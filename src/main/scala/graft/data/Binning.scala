@@ -1,0 +1,91 @@
+package graft.data
+
+import org.apache.spark.rdd.RDD
+
+/** Global per-feature bin boundaries — the reference's `HistogramCuts`
+  * (`src/common/hist_util.h:39-160`). `cuts(f)` is ascending; bin of value
+  * `v` is the first index `b` with `v <= cuts(f)(b)` (upper bound binary
+  * search, ref `BinarySearchBin` `hist_util.h:360`); the last boundary is the
+  * feature max, so every non-missing value lands in a bin. Missing (NaN) has
+  * no bin (−1): sparsity-aware split search routes it by learned default
+  * direction instead.
+  */
+final case class HistogramCuts(cuts: Array[Array[Double]]) extends Serializable {
+  val numFeatures: Int = cuts.length
+  /** global-bin-space offset of each feature, length numFeatures+1 */
+  val featureOffset: Array[Int] = cuts.scanLeft(0)(_ + _.length)
+  val totalBins: Int = featureOffset(numFeatures)
+
+  def numBins(f: Int): Int = cuts(f).length
+
+  /** Local bin index within feature f, or −1 for missing. */
+  def searchBin(f: Int, v: Double): Int = {
+    if (java.lang.Double.isNaN(v)) return -1
+    val c = cuts(f)
+    var lo = 0; var hi = c.length - 1
+    if (v > c(hi)) return hi // clamp: unseen value beyond training max
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (c(mid) < v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /** Bin all features of a dense row into local bin ids (−1 = missing). */
+  def binRow(features: Array[Double]): Array[Int] = {
+    val out = new Array[Int](numFeatures)
+    var f = 0
+    while (f < numFeatures) { out(f) = searchBin(f, features(f)); f += 1 }
+    out
+  }
+}
+
+object Binning {
+
+  /** Distributed weighted-quantile cut finding — the reference's
+    * `SketchOnDMatrix` (`src/common/hist_util.cc:53-81`): per-partition
+    * sketches, merged tree-wise (Spark's `treeAggregate` partial+final merge
+    * IS the reference's sketch allreduce, `quantile.h:940`).
+    *
+    * `weights` defaults to 1; pass hessians for the approx method's
+    * hessian-weighted re-sketch (`src/tree/updater_approx.cc:46-53`).
+    */
+  def findCuts(
+      data: RDD[(Array[Double], Double)], // (features, weight)
+      numFeatures: Int,
+      maxBin: Int): HistogramCuts = {
+    val budget = QuantileSketch.sizeFor(maxBin)
+    val zero = Array.fill(numFeatures)(new QuantileSketch(budget))
+    val sketches = data.treeAggregate(zero)(
+      seqOp = (acc, row) => {
+        val (fs, w) = row
+        var f = 0
+        while (f < numFeatures) { acc(f).push(fs(f), w); f += 1 }
+        acc
+      },
+      combOp = (a, b) => {
+        var f = 0
+        while (f < numFeatures) { a(f).merge(b(f)); f += 1 }
+        a
+      },
+      depth = 2)
+    HistogramCuts(sketches.map(s => cutsFromSummary(s.result, maxBin)))
+  }
+
+  /** Quantile values → deduplicated ascending boundaries (ref
+    * `HistogramCuts` construction in `hist_util.cc`). */
+  private[graft] def cutsFromSummary(s: WQSummary, maxBin: Int): Array[Double] = {
+    if (s.size == 0) return Array(0.0)
+    val tw = s.totalWeight
+    val out = new scala.collection.mutable.ArrayBuffer[Double](maxBin)
+    var b = 1
+    while (b < maxBin) {
+      val v = s.query(tw * b / maxBin)
+      if (out.isEmpty || v > out.last) out += v
+      b += 1
+    }
+    val max = s.values(s.size - 1)
+    if (out.isEmpty || max > out.last) out += max
+    out.toArray
+  }
+}

@@ -1,0 +1,267 @@
+package graft.metric
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation metrics as plain Spark SQL aggregations — the reference's
+  * metric registry (`src/metric/elementwise_metric.cu`, `auc.cc`,
+  * `rank_metric.cc`, `multiclass_metric.cu`, SURVEY §2.4). Every elementwise
+  * metric is Σ over rows ÷ Σ weights, i.e. exactly Spark's partial+final
+  * aggregate (the reference's metric allreduce, `src/metric/metric.cc`) —
+  * and directly DuckDB-oracle-verifiable.
+  *
+  * Column builders return AGGREGATE expressions usable in `df.agg(...)`.
+  */
+object Metrics {
+
+  // ---- elementwise (elementwise_metric.cu) --------------------------------
+
+  /** rmse (`elementwise_metric.cu:109`). */
+  def rmse(pred: Column, label: Column, w: Column): Column =
+    sqrt(sum(w * pow(pred - label, 2)) / sum(w))
+
+  /** rmsle (`elementwise_metric.cu:121`). */
+  def rmsle(pred: Column, label: Column, w: Column): Column =
+    sqrt(sum(w * pow(log1p(pred) - log1p(label), 2)) / sum(w))
+
+  /** mae (`elementwise_metric.cu:133`). */
+  def mae(pred: Column, label: Column, w: Column): Column =
+    sum(w * abs(pred - label)) / sum(w)
+
+  /** mape (`elementwise_metric.cu:142`). */
+  def mape(pred: Column, label: Column, w: Column): Column =
+    sum(w * abs((label - pred) / label)) / sum(w)
+
+  /** binary logloss (`elementwise_metric.cu:161`); pred is probability. */
+  def logloss(pred: Column, label: Column, w: Column): Column = {
+    val eps = lit(1e-16)
+    val p = least(greatest(pred, eps), lit(1.0) - eps)
+    sum(w * -(label * log(p) + (lit(1.0) - label) * log(lit(1.0) - p))) / sum(w)
+  }
+
+  /** mean pseudo-Huber error mphe (`elementwise_metric.cu:168`). */
+  def mphe(pred: Column, label: Column, w: Column, slope: Double = 1.0): Column = {
+    val r = pred - label
+    sum(w * (lit(slope * slope) * (sqrt(lit(1.0) + pow(r / slope, 2)) - lit(1.0)))) / sum(w)
+  }
+
+  /** classification error@t (`elementwise_metric.cu:208`). */
+  def errorAt(pred: Column, label: Column, w: Column, t: Double = 0.5): Column =
+    sum(w * when((pred > t) =!= (label > lit(0.5)), 1.0).otherwise(0.0)) / sum(w)
+
+  /** Stirling-series log-gamma (same closed form is emitted in the oracle
+    * SQL — Spark and DuckDB lack a shared lgamma builtin). Accurate to
+    * ~1e-8 for x ≥ 1, which count labels satisfy after the +1 shift. */
+  def lgammaStirling(x: Column): Column =
+    (x - lit(0.5)) * log(x) - x + lit(0.5 * math.log(2 * math.Pi)) +
+      lit(1.0) / (lit(12.0) * x) - lit(1.0) / (lit(360.0) * pow(x, 3))
+
+  /** poisson negative log-likelihood (`elementwise_metric.cu:244`). */
+  def poissonNloglik(pred: Column, label: Column, w: Column): Column = {
+    val p = greatest(pred, lit(1e-16))
+    sum(w * (p - label * log(p) + lgammaStirling(label + lit(1.0)))) / sum(w)
+  }
+
+  /** gamma deviance (`elementwise_metric.cu:263`). */
+  def gammaDeviance(pred: Column, label: Column, w: Column): Column = {
+    val e = lit(1e-16)
+    sum(w * (lit(2.0) * (log((pred + e) / (label + e)) + label / (pred + e) - lit(1.0)))) / sum(w)
+  }
+
+  /** gamma negative log-likelihood with unit dispersion
+    * (`elementwise_metric.cu:280`). */
+  def gammaNloglik(pred: Column, label: Column, w: Column): Column = {
+    val p = greatest(pred, lit(1e-16))
+    sum(w * (label / p + log(p))) / sum(w)
+  }
+
+  /** tweedie nloglik@rho (`elementwise_metric.cu:299`). */
+  def tweedieNloglik(pred: Column, label: Column, w: Column, rho: Double): Column = {
+    val p = greatest(pred, lit(1e-16))
+    val a = label * pow(p, lit(1.0 - rho)) / lit(1.0 - rho)
+    val b = pow(p, lit(2.0 - rho)) / lit(2.0 - rho)
+    sum(w * -(a - b)) / sum(w)
+  }
+
+  /** quantile pinball loss (`elementwise_metric.cu:412`). */
+  def pinball(pred: Column, label: Column, w: Column, alpha: Double): Column = {
+    val d = label - pred
+    sum(w * when(d >= 0, lit(alpha) * d).otherwise(lit(alpha - 1.0) * d)) / sum(w)
+  }
+
+  /** expectile loss (`elementwise_metric.cu:499`). */
+  def expectileLoss(pred: Column, label: Column, w: Column, tau: Double): Column = {
+    val r = pred - label
+    sum(w * when(r > 0, lit(1.0 - tau)).otherwise(lit(tau)) * r * r) / sum(w)
+  }
+
+  // ---- multiclass (multiclass_metric.cu) ----------------------------------
+
+  /** merror (`multiclass_metric.cu:222`): pred is the argmax class. */
+  def merror(predClass: Column, label: Column, w: Column): Column =
+    sum(w * when(predClass =!= label, 1.0).otherwise(0.0)) / sum(w)
+
+  /** mlogloss (`multiclass_metric.cu:226`): probs is ArrayType(Double). */
+  def mlogloss(probs: Column, label: Column, w: Column): Column =
+    sum(w * -log(greatest(element_at(probs, (label + lit(1)).cast("int")), lit(1e-16)))) / sum(w)
+
+  // ---- AUC (auc.cc) --------------------------------------------------------
+
+  /** Weighted binary ROC-AUC, trapezoid over distinct scores
+    * (`src/metric/auc.cc:153` BinaryROCAUC) — tie-correct, SQL-expressible:
+    * group by score desc, cumulative TP/FP, trapezoid sum. Returns a 1-row DF. */
+  def aucBinary(df: DataFrame, pred: Column, label: Column, w: Column): DataFrame = {
+    val g = df.groupBy(pred.as("p"))
+      .agg(sum(when(label > 0.5, w).otherwise(0.0)).as("tp"),
+        sum(when(label > 0.5, 0.0).otherwise(w)).as("fp"))
+    val ord = Window.orderBy(col("p").desc)
+    val c = g
+      .withColumn("ctp", sum("tp").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cfp", sum("fp").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    // trapezoid between consecutive cumulative points: dFP * (TPprev + TPcur)/2
+    val c2 = c
+      .withColumn("ptp", coalesce(lag("ctp", 1).over(ord), lit(0.0)))
+      .withColumn("pfp", coalesce(lag("cfp", 1).over(ord), lit(0.0)))
+    c2.agg(
+      (sum((col("cfp") - col("pfp")) * (col("ctp") + col("ptp")) / 2.0) /
+        (max("ctp") * max("cfp"))).as("auc"))
+  }
+
+  /** Per-query ranking AUC averaged over groups (`auc.cc:165,229`). */
+  def aucRanking(df: DataFrame, qid: Column, pred: Column, label: Column): DataFrame = {
+    val byQ = Window.partitionBy(col("q")).orderBy(col("p").desc)
+    val base = df.select(qid.as("q"), pred.as("p"), label.as("y"))
+      .groupBy("q", "p")
+      .agg(sum(when(col("y") > 0.5, 1.0).otherwise(0.0)).as("tp"),
+        sum(when(col("y") > 0.5, 0.0).otherwise(1.0)).as("fp"))
+      .withColumn("ctp", sum("tp").over(byQ.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cfp", sum("fp").over(byQ.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("ptp", coalesce(lag("ctp", 1).over(byQ), lit(0.0)))
+      .withColumn("pfp", coalesce(lag("cfp", 1).over(byQ), lit(0.0)))
+    val perQ = base.groupBy("q").agg(
+      (sum((col("cfp") - col("pfp")) * (col("ctp") + col("ptp")) / 2.0) /
+        (max("ctp") * max("cfp"))).as("auc"))
+    perQ.where(col("auc").isNotNull).agg(avg("auc").as("auc"), count("*").as("num_groups"))
+  }
+
+  // ---- ranking (rank_metric.cc + ranking_utils.h) --------------------------
+
+  private def rankedWindow(qid: Column, pred: Column, tie: Column) =
+    Window.partitionBy(qid).orderBy(pred.desc, tie.asc)
+
+  /** ndcg@k (`rank_metric.cc:469`): exponential gain 2^rel−1, discount
+    * 1/log2(1+pos); mean over groups (groups with zero ideal DCG score 0,
+    * matching `ndcg_exp_gain` semantics). `tie` makes ordering deterministic. */
+  def ndcgAt(df: DataFrame, qid: Column, pred: Column, label: Column, tie: Column,
+      k: Int, expGain: Boolean = true): DataFrame = {
+    def gain(l: Column): Column = if (expGain) pow(lit(2.0), l) - lit(1.0) else l
+    val rw = rankedWindow(col("q"), col("p"), col("t"))
+    val iw = Window.partitionBy(col("q")).orderBy(col("y").desc, col("t").asc)
+    val base = df.select(qid.as("q"), pred.as("p"), label.as("y"), tie.as("t"))
+      .withColumn("rk", row_number().over(rw))
+      .withColumn("irk", row_number().over(iw))
+    val dcg = base.where(col("rk") <= k)
+      .groupBy("q").agg(sum(gain(col("y")) / log2(col("rk") + lit(1.0))).as("dcg"))
+    val idcg = base.where(col("irk") <= k)
+      .groupBy("q").agg(sum(gain(col("y")) / log2(col("irk") + lit(1.0))).as("idcg"))
+    dcg.join(idcg, "q")
+      .select(col("q"), when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(0.0).as("ndcg"))
+      .agg(avg("ndcg").as("ndcg"), count("*").as("num_groups"))
+  }
+
+  /** precision@k (`rank_metric.cc:461`). */
+  def precisionAt(df: DataFrame, qid: Column, pred: Column, label: Column, tie: Column,
+      k: Int): DataFrame = {
+    val rw = rankedWindow(col("q"), col("p"), col("t"))
+    df.select(qid.as("q"), pred.as("p"), label.as("y"), tie.as("t"))
+      .withColumn("rk", row_number().over(rw))
+      .where(col("rk") <= k)
+      .groupBy("q").agg((sum(when(col("y") > 0, 1.0).otherwise(0.0)) / k).as("prec"))
+      .agg(avg("prec").as("precision"), count("*").as("num_groups"))
+  }
+
+  /** map@k (`rank_metric.cc:465`): mean average precision, binary relevance. */
+  def mapAt(df: DataFrame, qid: Column, pred: Column, label: Column, tie: Column,
+      k: Int): DataFrame = {
+    val rw = rankedWindow(col("q"), col("p"), col("t"))
+    val base = df.select(qid.as("q"), pred.as("p"), label.as("y"), tie.as("t"))
+      .withColumn("rk", row_number().over(rw))
+      .withColumn("rel", when(col("y") > 0, 1.0).otherwise(0.0))
+      .withColumn("cumrel", sum("rel").over(rw.rowsBetween(Window.unboundedPreceding, 0)))
+    val perQ = base.where(col("rk") <= k)
+      .groupBy("q")
+      .agg(sum(col("rel") * col("cumrel") / col("rk")).as("apNum"),
+        sum("rel").as("nrel"))
+      .select(col("q"), when(col("nrel") > 0, col("apNum") / col("nrel")).otherwise(0.0).as("ap"))
+    perQ.agg(avg("ap").as("map"), count("*").as("num_groups"))
+  }
+
+  // ---- survival ------------------------------------------------------------
+
+  /** cox negative partial log-likelihood (`rank_metric.cc:204` EvalCox):
+    * risk-set cumulative sums over |label| order; label<0 = censored. */
+  def coxNloglik(df: DataFrame, pred: Column, label: Column): DataFrame = {
+    val ord = Window.orderBy(abs(col("y")).desc) // risk set = rows with |t| >= current
+    val base = df.select(pred.as("p"), label.as("y"))
+      .withColumn("e", exp(col("p")))
+      .withColumn("riskSum", sum("e").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    base.where(col("y") > 0)
+      .agg((-sum(col("p") - log(col("riskSum")))).as("cox_nloglik"))
+  }
+
+  /** aft-nloglik with LOGISTIC error distribution
+    * (`src/metric/survival_metric.cu:250`, dists
+    * `src/common/probability_distribution.h`): interval labels
+    * [lower, upper]; sigma = distribution scale. Logistic CDF keeps it
+    * SQL-expressible (normal needs erf). pred is the raw margin (log time). */
+  def aftNloglikLogistic(df: DataFrame, pred: Column, lower: Column, upper: Column,
+      sigma: Double): DataFrame = {
+    val eps = lit(1e-12)
+    def cdf(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+    def pdf(z: Column): Column = {
+      val e = exp(-z)
+      e / pow(lit(1.0) + e, 2)
+    }
+    val zl = (log(col("lo")) - col("p")) / sigma
+    val zu = (log(col("hi")) - col("p")) / sigma
+    val like =
+      when(col("lo") === col("hi"), pdf(zl) / (lit(sigma) * col("lo"))) // uncensored
+        .when(col("hi").isNull || col("hi") === Double.PositiveInfinity,
+          lit(1.0) - cdf(zl)) // right-censored
+        .otherwise(cdf(zu) - cdf(zl)) // interval
+    df.select(pred.as("p"), lower.as("lo"), upper.as("hi"))
+      .agg(avg(-log(greatest(like, eps))).as("aft_nloglik"))
+  }
+
+  /** interval-regression-accuracy (`survival_metric.cu:254`): fraction of
+    * rows whose predicted log-time falls in [log lo, log hi]. */
+  def intervalAccuracy(df: DataFrame, pred: Column, lower: Column, upper: Column): DataFrame =
+    df.select(pred.as("p"), lower.as("lo"), upper.as("hi"))
+      .agg(avg(when(col("p") >= log(col("lo")) &&
+        (col("hi").isNull || col("p") <= log(col("hi"))), 1.0).otherwise(0.0))
+        .as("interval_accuracy"))
+
+  // ---- driver helper --------------------------------------------------------
+
+  /** Evaluate a named elementwise metric to a Double (driver loop use). */
+  def evaluate(name: String, df: DataFrame, pred: Column, label: Column,
+      w: Column): Double = {
+    val c = name match {
+      case "rmse" => rmse(pred, label, w)
+      case "rmsle" => rmsle(pred, label, w)
+      case "mae" => mae(pred, label, w)
+      case "mape" => mape(pred, label, w)
+      case "logloss" => logloss(pred, label, w)
+      case "mphe" => mphe(pred, label, w)
+      case "error" => errorAt(pred, label, w)
+      case "poisson-nloglik" => poissonNloglik(pred, label, w)
+      case "gamma-deviance" => gammaDeviance(pred, label, w)
+      case "gamma-nloglik" => gammaNloglik(pred, label, w)
+      case q if q.startsWith("quantile@") => pinball(pred, label, w, q.stripPrefix("quantile@").toDouble)
+      case q if q.startsWith("tweedie-nloglik@") => tweedieNloglik(pred, label, w, q.stripPrefix("tweedie-nloglik@").toDouble)
+      case other => throw new IllegalArgumentException(s"unknown metric: $other")
+    }
+    df.agg(c.cast("double").as("m")).head().getDouble(0)
+  }
+}

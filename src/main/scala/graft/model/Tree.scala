@@ -1,0 +1,207 @@
+package graft.model
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Decision-tree node with xgboost split semantics.
+  *
+  * Mirrors the reference node layout (`include/xgboost/tree_model.h:80-241`):
+  * a split node holds (feature, threshold, default direction, children); a
+  * leaf holds a weight vector (length 1 for single-target, >1 for
+  * multi-target — `src/tree/multi_target_tree_model.cc`). Categorical
+  * partition splits (`src/tree/hist/evaluate_splits.h:122-204`) carry the set
+  * of category codes routed RIGHT.
+  *
+  * Numeric routing: `value <= threshold` goes left; missing (NaN) follows
+  * `defaultLeft` (the reference's sparsity-aware default direction,
+  * `tree_model.h:115`). Categorical routing: category in `categoriesRight`
+  * goes right.
+  */
+final case class Node(
+    feature: Int,                  // -1 ⇒ leaf
+    threshold: Double,             // numeric split condition
+    defaultLeft: Boolean,
+    left: Int,
+    right: Int,
+    leaf: Array[Double],           // leaf weights (eta already applied)
+    gain: Double,
+    sumHess: Double,
+    categoriesRight: Array[Int]    // non-empty ⇒ categorical split
+) {
+  def isLeaf: Boolean = feature < 0
+  def isCategorical: Boolean = categoriesRight.nonEmpty
+}
+
+object Node {
+  def makeLeaf(weight: Array[Double], sumHess: Double): Node =
+    Node(-1, 0.0, defaultLeft = true, -1, -1, weight, 0.0, sumHess, Array.empty)
+}
+
+/** A single regression tree: array layout for cheap broadcast + traversal
+  * (analog of the reference's array-tree hot path,
+  * `src/predictor/cpu_predictor.cc:175`). */
+final case class Tree(nodes: Array[Node]) {
+
+  /** Index of the leaf this (dense, NaN=missing) feature row lands in. */
+  def leafIndex(features: Array[Double]): Int = {
+    var i = 0
+    while (!nodes(i).isLeaf) {
+      val n = nodes(i)
+      val v = features(n.feature)
+      i = if (java.lang.Double.isNaN(v)) {
+        if (n.defaultLeft) n.left else n.right
+      } else if (n.isCategorical) {
+        if (java.util.Arrays.binarySearch(n.categoriesRight, v.toInt) >= 0) n.right else n.left
+      } else {
+        if (v <= n.threshold) n.left else n.right
+      }
+    }
+    i
+  }
+
+  def predict(features: Array[Double]): Array[Double] = nodes(leafIndex(features)).leaf
+
+  def numLeaves: Int = nodes.count(_.isLeaf)
+  def maxDepth: Int = {
+    def depth(i: Int): Int =
+      if (nodes(i).isLeaf) 0 else 1 + math.max(depth(nodes(i).left), depth(nodes(i).right))
+    depth(0)
+  }
+}
+
+/** Trained ensemble (the reference's gbtree model: trees + per-tree weights
+  * for DART + base score — `src/gbm/gbtree.h`). `treeGroup(t)` is the output
+  * group (class) tree `t` contributes to, for multi:softmax-style
+  * one-tree-per-class boosting (`src/gbm/gbtree.cc:182-276`). */
+final case class BoosterModel(
+    trees: Array[Tree],
+    treeWeights: Array[Double],
+    treeGroup: Array[Int],
+    baseScore: Array[Double],
+    objective: String,
+    numGroups: Int,
+    numFeatures: Int
+) {
+
+  /** Raw margin per output group. */
+  def margin(features: Array[Double]): Array[Double] = {
+    val out = baseScore.clone()
+    var t = 0
+    while (t < trees.length) {
+      val leaf = trees(t).predict(features)
+      val g = treeGroup(t)
+      if (leaf.length == 1) out(g) += treeWeights(t) * leaf(0)
+      else { // multi-target tree: vector leaf maps 1:1 onto groups
+        var k = 0
+        while (k < leaf.length) { out(k) += treeWeights(t) * leaf(k); k += 1 }
+      }
+      t += 1
+    }
+    out
+  }
+
+  def leafIndices(features: Array[Double]): Array[Int] = trees.map(_.leafIndex(features))
+
+  /** Model slice: subrange of boosting layers (ref `Booster.Slice`,
+    * `src/learner.cc:1066`). */
+  def slice(begin: Int, end: Int): BoosterModel =
+    copy(
+      trees = trees.slice(begin, end),
+      treeWeights = treeWeights.slice(begin, end),
+      treeGroup = treeGroup.slice(begin, end))
+
+  /** Feature importance over trees (ref `src/gbm/gbtree.h:280-306`):
+    * weight / gain / cover / total_gain / total_cover. */
+  def featureImportance(kind: String): Map[Int, Double] = {
+    val splits = trees.iterator.flatMap(_.nodes.iterator.filterNot(_.isLeaf)).toSeq
+    val grouped = splits.groupBy(_.feature)
+    kind match {
+      case "weight"     => grouped.map { case (f, ns) => f -> ns.size.toDouble }
+      case "total_gain" => grouped.map { case (f, ns) => f -> ns.map(_.gain).sum }
+      case "gain"       => grouped.map { case (f, ns) => f -> ns.map(_.gain).sum / ns.size }
+      case "total_cover" => grouped.map { case (f, ns) => f -> ns.map(_.sumHess).sum }
+      case "cover"      => grouped.map { case (f, ns) => f -> ns.map(_.sumHess).sum / ns.size }
+      case other => throw new IllegalArgumentException(s"unknown importance: $other")
+    }
+  }
+
+  def toJson: String = BoosterModel.toJson(this)
+}
+
+/** JSON model IO (schema inspired by the reference's JSON model,
+  * `tree_model.h:272`, but flattened for clarity; versioned). */
+object BoosterModel {
+  private implicit val fmt: Formats = DefaultFormats
+
+  def toJson(m: BoosterModel): String = {
+    val trees = m.trees.map { t =>
+      JObject(
+        "nodes" -> JArray(t.nodes.map { n =>
+          JObject(
+            "feature" -> JInt(n.feature),
+            "threshold" -> JDouble(n.threshold),
+            "default_left" -> JBool(n.defaultLeft),
+            "left" -> JInt(n.left),
+            "right" -> JInt(n.right),
+            "leaf" -> JArray(n.leaf.map(JDouble(_)).toList),
+            "gain" -> JDouble(n.gain),
+            "sum_hess" -> JDouble(n.sumHess),
+            "categories_right" -> JArray(n.categoriesRight.map(c => JInt(BigInt(c))).toList))
+        }.toList))
+    }
+    val root = JObject(
+      "graft_version" -> JInt(1),
+      "objective" -> JString(m.objective),
+      "num_groups" -> JInt(m.numGroups),
+      "num_features" -> JInt(m.numFeatures),
+      "base_score" -> JArray(m.baseScore.map(JDouble(_)).toList),
+      "tree_weights" -> JArray(m.treeWeights.map(JDouble(_)).toList),
+      "tree_group" -> JArray(m.treeGroup.map(g => JInt(BigInt(g))).toList),
+      "trees" -> JArray(trees.toList))
+    JsonMethods.compact(JsonMethods.render(root))
+  }
+
+  def fromJson(s: String): BoosterModel = {
+    val j = JsonMethods.parse(s)
+    def arrD(v: JValue): Array[Double] = v.extract[List[Double]].toArray
+    def arrI(v: JValue): Array[Int] = v.extract[List[Int]].toArray
+    val trees = (j \ "trees").extract[List[JValue]].map { tj =>
+      val nodes = (tj \ "nodes").extract[List[JValue]].map { nj =>
+        Node(
+          (nj \ "feature").extract[Int],
+          (nj \ "threshold").extract[Double],
+          (nj \ "default_left").extract[Boolean],
+          (nj \ "left").extract[Int],
+          (nj \ "right").extract[Int],
+          arrD(nj \ "leaf"),
+          (nj \ "gain").extract[Double],
+          (nj \ "sum_hess").extract[Double],
+          arrI(nj \ "categories_right"))
+      }
+      Tree(nodes.toArray)
+    }
+    BoosterModel(
+      trees.toArray,
+      arrD(j \ "tree_weights"),
+      arrI(j \ "tree_group"),
+      arrD(j \ "base_score"),
+      (j \ "objective").extract[String],
+      (j \ "num_groups").extract[Int],
+      (j \ "num_features").extract[Int])
+  }
+
+  /** Graphviz dot dump (ref `src/tree/tree_model.cc:494`). */
+  def toDot(t: Tree): String = {
+    val sb = new StringBuilder("digraph tree {\n")
+    t.nodes.zipWithIndex.foreach { case (n, i) =>
+      if (n.isLeaf)
+        sb.append(s"""  $i [label="leaf=${n.leaf.mkString(",")}" shape=box];\n""")
+      else {
+        sb.append(s"""  $i [label="f${n.feature}<=${n.threshold}"];\n""")
+        sb.append(s"""  $i -> ${n.left} [label="yes${if (n.defaultLeft) ",missing" else ""}"];\n""")
+        sb.append(s"""  $i -> ${n.right} [label="no${if (!n.defaultLeft) ",missing" else ""}"];\n""")
+      }
+    }
+    sb.append("}\n").toString
+  }
+}

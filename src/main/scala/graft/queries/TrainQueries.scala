@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.predict.Predictor
+import graft.tree.{GBTTrainer, TrainParams}
+
+/** Training-based queries — not SQL-expressible (the boosting loop is
+  * driver-coordinated iteration), so these get the driver's rows-only
+  * check; correctness is covered by the ScalaTest invariants
+  * (loss-decrease, SHAP sum, JSON roundtrip) mirroring the reference's
+  * hypothesis-style tests (`tests/python/test_updaters.py`).
+  */
+object TrainQueries {
+
+  private val featureCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def lineitemTrainingData(s: SparkSession, dir: String) = {
+    val df = CoreQueries.table(s, dir, "lineitem")
+    df.rdd.map { r =>
+      val f = featureCols.map(c => r.getAs[Double](c)).toArray
+      val label = r.getAs[Double]("l_extendedprice") * (1 - r.getAs[Double]("l_discount")) / 100000.0
+      (f, label, 1.0)
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // hist-method regression: train → transform → per-flag error summary
+    "t_train_hist_rmse" -> ((s, dir) => {
+      val data = lineitemTrainingData(s, dir).cache()
+      val model = new GBTTrainer(TrainParams(numRounds = 5, maxDepth = 4,
+        maxBin = 64, eta = 0.3, seed = 7)).fit(data)
+      import s.implicits._
+      val df = CoreQueries.table(s, dir, "lineitem").select(
+        array(featureCols.map(c => col(c).cast("double")): _*).as("features"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) / 100000.0).as("label"),
+        col("l_returnflag"))
+      val out = Predictor.transform(df, model, "features")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sqrt(avg(pow(col("prediction") - col("label"), 2))), 3).as("rmse"))
+        .orderBy("l_returnflag")
+      data.unpersist(blocking = false)
+      out
+    }),
+
+    // binary classification: train → leaf/contrib outputs exercised
+    "t_train_logistic_auc" -> ((s, dir) => {
+      val df = CoreQueries.table(s, dir, "lineitem")
+      val data = df.rdd.map { r =>
+        val f = featureCols.map(c => r.getAs[Double](c)).toArray
+        (f, if (r.getAs[String]("l_returnflag") == "R") 1.0 else 0.0, 1.0)
+      }.cache()
+      val model = new GBTTrainer(TrainParams(objective = "binary:logistic",
+        numRounds = 5, maxDepth = 3, maxBin = 64, seed = 7)).fit(data)
+      val scored = Predictor.transform(
+        df.select(array(featureCols.map(c => col(c).cast("double")): _*).as("features"),
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y")),
+        model, "features")
+      data.unpersist(blocking = false)
+      graft.metric.Metrics.aucBinary(scored, col("prediction"), col("y"), lit(1.0))
+        .select(round(col("auc"), 3).as("auc"))
+    }),
+
+    // model IO + feature importance surfaced as a table
+    "t_feature_importance" -> ((s, dir) => {
+      val data = lineitemTrainingData(s, dir).cache()
+      val model = new GBTTrainer(TrainParams(numRounds = 5, maxDepth = 4,
+        maxBin = 64, seed = 7)).fit(data)
+      val roundtrip = graft.model.BoosterModel.fromJson(model.toJson)
+      import s.implicits._
+      val imp = roundtrip.featureImportance("weight").toSeq.sortBy(_._1)
+        .map { case (f, v) => (featureCols(f), v) }
+      data.unpersist(blocking = false)
+      imp.toDF("feature", "n_splits").orderBy("feature")
+    })
+  )
+}

@@ -1,0 +1,607 @@
+package graft.tree
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.storage.StorageLevel
+
+import graft.data.{Binning, HistogramCuts}
+import graft.model.{BoosterModel, Node, Tree}
+import graft.objective.{Objective, SoftmaxObjective}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Training hyper-parameters (the reference's `TrainParam`,
+  * `src/tree/param.h:82-205`, plus learner/booster params). */
+final case class TrainParams(
+    objective: String = "reg:squarederror",
+    numRounds: Int = 10,
+    eta: Double = 0.3,
+    maxDepth: Int = 6,
+    minChildWeight: Double = 1.0,
+    lambda: Double = 1.0, // L2 on leaf weights
+    alpha: Double = 0.0, // L1 on leaf weights
+    gamma: Double = 0.0, // min_split_loss
+    maxBin: Int = 256,
+    subsample: Double = 1.0,
+    colsampleBytree: Double = 1.0,
+    colsampleBylevel: Double = 1.0,
+    colsampleBynode: Double = 1.0,
+    maxDeltaStep: Double = 0.0,
+    seed: Long = 0L,
+    growPolicy: String = "depthwise", // | "lossguide"
+    maxLeaves: Int = 0, // 0 = unlimited (subject to maxDepth)
+    numClass: Int = 1,
+    baseScore: Option[Double] = None,
+    monotoneConstraints: Array[Int] = Array.empty, // per-feature −1/0/+1
+    interactionConstraints: Seq[Set[Int]] = Nil,
+    catFeatures: Set[Int] = Set.empty,
+    maxCatToOnehot: Int = 4,
+    maxCatThreshold: Int = 64,
+    treeMethod: String = "hist", // | "approx"
+    quantileAlpha: Double = 0.5,
+    tweedieVariancePower: Double = 1.5,
+    pseudoHuberSlope: Double = 1.0,
+    // DART (`src/gbm/gbtree.h:88-120`)
+    booster: String = "gbtree", // | "dart"
+    rateDrop: Double = 0.0,
+    skipDrop: Double = 0.0,
+    oneDrop: Boolean = false,
+    checkpointInterval: Int = 15
+)
+
+/** Bin-space tree shape, broadcast to executors for row routing — numeric
+  * condition is on BIN index (`bin <= splitBin` goes left), the analog of
+  * the reference's `FindSplitConditions`/`UpdatePosition`
+  * (`src/tree/common_row_partitioner.h:57,97-130`): rows are never
+  * physically repartitioned, position is recomputed from the broadcast
+  * shape. */
+final case class TreeShape(
+    feature: Array[Int], // -1 ⇒ leaf
+    splitBin: Array[Int],
+    defaultLeft: Array[Boolean],
+    left: Array[Int],
+    right: Array[Int],
+    catRight: Array[Array[Int]], // sorted cat-bin ids routed right; null ⇒ numeric
+    leaf: Array[Array[Double]],
+    sumHess: Array[Double],
+    gain: Array[Double]
+) extends Serializable {
+  def position(bins: Array[Int]): Int = {
+    var i = 0
+    while (feature(i) >= 0) {
+      val b = bins(feature(i))
+      i =
+        if (b < 0) { if (defaultLeft(i)) left(i) else right(i) }
+        else if (catRight(i) != null) {
+          if (java.util.Arrays.binarySearch(catRight(i), b) >= 0) right(i) else left(i)
+        } else if (b <= splitBin(i)) left(i)
+        else right(i)
+    }
+    i
+  }
+  def predictLeaf(bins: Array[Int]): Array[Double] = leaf(position(bins))
+}
+
+/** One training instance after quantization: local bin id per feature
+  * (−1 = missing), label, weight, and a stable row id (for deterministic
+  * per-iteration subsampling, ref `seed_per_iteration`
+  * `src/learner.cc:1119-1123`). */
+final case class BInst(bins: Array[Int], label: Double, weight: Double, rowId: Long)
+
+private final class BuildNode(
+    var g: Double, var h: Double, // totals INCLUDING missing mass
+    var depth: Int,
+    var lowerBound: Double = Double.NegativeInfinity, // monotone-constraint weight bounds
+    var upperBound: Double = Double.PositiveInfinity,
+    var allowed: Option[Set[Int]] = None // interaction-constraint feature set
+) {
+  var feature: Int = -1
+  var splitBin: Int = -1
+  var defaultLeft: Boolean = false
+  var left: Int = -1
+  var right: Int = -1
+  var gain: Double = 0.0
+  var catRight: Array[Int] = null
+  var weight: Double = 0.0 // leaf weight (pre-eta)
+  var childG: (Double, Double) = null // (GL, GR) set when split chosen
+  var childH: (Double, Double) = null
+}
+
+private[tree] final case class SplitCandidate(
+    feature: Int, splitBin: Int, defaultLeft: Boolean, gain: Double,
+    gl: Double, hl: Double, gr: Double, hr: Double, wl: Double, wr: Double,
+    catRight: Array[Int])
+
+/** Distributed gradient-boosted-tree trainer: the reference's learner loop
+  * (`src/learner.cc:1114` UpdateOneIter) + hist updater
+  * (`src/tree/updater_quantile_hist.cc:96-180`) re-expressed as a
+  * driver-coordinated loop of Spark `treeAggregate`s. Each histogram
+  * allreduce (`src/tree/hist/histogram.h:177-202`) becomes one
+  * partial+final aggregation; the collective/tracker/barrier machinery of
+  * the reference is replaced by Spark's shuffle (SURVEY §3.1).
+  *
+  * Scale design: the quantized matrix (`Array[Int]` bins, the
+  * `GHistIndexMatrix` analog `src/data/gradient_index.h`) is cached once;
+  * per level ONE pass builds histograms for ALL frontier nodes; the
+  * subtraction trick (`histogram.h:203-213`) halves that work; margins are
+  * a cached sibling RDD updated per iteration (prediction cache,
+  * `src/gbm/gbtree.cc:631-660`) with periodic localCheckpoint to bound
+  * lineage. Nothing driver-side scales with rows — only with
+  * nodes × features × bins.
+  */
+final class GBTTrainer(params: TrainParams) extends Serializable {
+
+  private val isMulti = params.numClass > 1
+  private val numGroups = math.max(params.numClass, 1)
+
+  /** data: (dense features with NaN=missing, label, weight). */
+  def fit(data: RDD[(Array[Double], Double, Double)]): BoosterModel = {
+    val numFeatures = data.first()._1.length
+    val cuts = findCuts(data, numFeatures)
+    val binned = data.zipWithIndex().map { case ((f, y, w), id) =>
+      BInst(cuts.binRow(f), y, w, id)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    binned.count()
+
+    val model = fitBinned(binned, cuts, numFeatures)
+    binned.unpersist(blocking = false)
+    model
+  }
+
+  private def findCuts(data: RDD[(Array[Double], Double, Double)], numFeatures: Int): HistogramCuts = {
+    val base = Binning.findCuts(data.map(r => (r._1, r._3)), numFeatures, params.maxBin)
+    if (params.catFeatures.isEmpty) base
+    else HistogramCuts(base.cuts.zipWithIndex.map { case (c, f) =>
+      if (!params.catFeatures.contains(f)) c
+      else {
+        // categorical: identity binning over integer codes 0..maxCode
+        val maxCode = math.max(0, c.last.toInt)
+        Array.tabulate(maxCode + 1)(_.toDouble)
+      }
+    })
+  }
+
+  def fitBinned(binned: RDD[BInst], cuts: HistogramCuts, numFeatures: Int): BoosterModel = {
+    val sc = binned.sparkContext
+    val softmax = if (isMulti) new SoftmaxObjective(params.numClass, params.objective == "multi:softprob") else null
+    val obj: Objective =
+      if (isMulti) null
+      else Objective(params.objective,
+        maxDeltaStep = if (params.maxDeltaStep > 0) params.maxDeltaStep else 0.7,
+        alpha = params.quantileAlpha, rho = params.tweedieVariancePower,
+        delta = params.pseudoHuberSlope)
+
+    // ---- base score (ref FitStump / InitEstimation, fit_stump.cc:50-82) ----
+    val (sumWy, sumW) = binned.treeAggregate((0.0, 0.0))(
+      (a, r) => (a._1 + r.weight * r.label, a._2 + r.weight),
+      (a, b) => (a._1 + b._1, a._2 + b._2))
+    val labelMean = if (sumW > 0) sumWy / sumW else 0.0
+    val base: Array[Double] =
+      if (isMulti) Array.fill(numGroups)(0.0)
+      else Array(params.baseScore.map(obj.probToMargin).getOrElse(obj.baseScore(labelMean)))
+
+    var margins: RDD[Array[Double]] = binned.map(_ => base.clone())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    margins.count()
+
+    val shapes = new ArrayBuffer[TreeShape]
+    val treeGroupBuf = new ArrayBuffer[Int]
+    val treeWeightsBuf = new ArrayBuffer[Double]
+    val rng = new java.util.Random(params.seed)
+    val colSampler = new ColumnSampler(numFeatures, params.seed)
+
+    var iter = 0
+    while (iter < params.numRounds) {
+      // per-iteration objective scale stats (absoluteerror / quantile)
+      if (!isMulti && obj.needsScale) {
+        val (s1, s2) = binned.zip(margins).treeAggregate((0.0, 0.0))(
+          { case ((a1, a2), (r, m)) =>
+            val res = math.abs(r.label - m(0))
+            (a1 + r.weight * math.sqrt(res), a2 + r.weight)
+          },
+          (a, b) => (a._1 + b._1, a._2 + b._2))
+        obj.setScale(s1, s2)
+      }
+
+      // DART: choose dropped trees for this iteration
+      val (droppedIdx, newTreeWeight) = dartDrop(shapes.length, rng)
+      val droppedShapes = droppedIdx.map(i => (shapes(i), treeWeightsBuf(i), treeGroupBuf(i)))
+
+      val newShapes = new Array[TreeShape](numGroups)
+      var k = 0
+      while (k < numGroups) {
+        newShapes(k) = growTree(binned, margins, cuts, numFeatures, obj, softmax, k, iter, colSampler, droppedShapes)
+        k += 1
+      }
+
+      // commit: eta lives in the TREE WEIGHT, not the leaf, so DART
+      // renormalization (ref NormalizeTrees, `src/gbm/gbtree.h:370`)
+      // composes: dropped trees scaled by k/(k+eta), new tree eta/(k+eta).
+      val kDrop = droppedIdx.length
+      val weightDeltas: Array[(Int, Double)] =
+        if (params.booster == "dart" && kDrop > 0) {
+          val factor = kDrop.toDouble / (kDrop + params.eta)
+          droppedIdx.map { i =>
+            val old = treeWeightsBuf(i)
+            treeWeightsBuf(i) = old * factor
+            (i, treeWeightsBuf(i) - old)
+          }
+        } else Array.empty
+      val newW = newTreeWeight
+      newShapes.zipWithIndex.foreach { case (s, g) =>
+        shapes += s; treeGroupBuf += g; treeWeightsBuf += newW
+      }
+
+      // ---- margin update (prediction cache, gbtree.cc:631-660) ----
+      val bNew = sc.broadcast(newShapes)
+      val bAdjust = sc.broadcast(weightDeltas.map { case (i, d) => (shapes(i), treeGroupBuf(i), d) })
+      val oldMargins = margins
+      margins = binned.zip(oldMargins).map { case (r, m) =>
+        val out = m.clone()
+        var g = 0
+        while (g < bNew.value.length) {
+          out(g) += newW * bNew.value(g).predictLeaf(r.bins)(0)
+          g += 1
+        }
+        var d = 0
+        while (d < bAdjust.value.length) {
+          val (sh, grp, delta) = bAdjust.value(d)
+          out(grp) += delta * sh.predictLeaf(r.bins)(0)
+          d += 1
+        }
+        out
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      if ((iter + 1) % params.checkpointInterval == 0) margins.localCheckpoint()
+      margins.count()
+      oldMargins.unpersist(blocking = false)
+      iter += 1
+    }
+
+    val trees = shapes.toArray.map(shapeToTree(_, cuts))
+    BoosterModel(trees, treeWeightsBuf.toArray, treeGroupBuf.toArray, base,
+      params.objective, numGroups, numFeatures)
+  }
+
+  /** DART dropout selection + new-tree weight (ref DropTrees/NormalizeTrees,
+    * `src/gbm/gbtree.h:369-370`): with k dropped trees the new tree gets
+    * weight eta/(k+eta) and dropped trees are rescaled by k/(k+eta); with no
+    * dropout (or skip_drop hit) the new tree gets full weight 1.0 — for
+    * plain gbtree the weight is simply eta. */
+  private def dartDrop(numTrees: Int, rng: java.util.Random): (Array[Int], Double) = {
+    if (params.booster != "dart") return (Array.empty, params.eta)
+    if (numTrees == 0) return (Array.empty, 1.0)
+    if (params.skipDrop > 0 && rng.nextDouble() < params.skipDrop) return (Array.empty, 1.0)
+    val dropped = (0 until numTrees).filter(_ => rng.nextDouble() < params.rateDrop).toArray
+    val finalDropped =
+      if (dropped.isEmpty && params.oneDrop) Array(rng.nextInt(numTrees))
+      else dropped
+    val k = finalDropped.length
+    if (k == 0) (finalDropped, 1.0)
+    else (finalDropped, params.eta / (k + params.eta))
+  }
+
+  /** Grow one tree for output group `grp` (ref UpdateTree,
+    * `updater_quantile_hist.cc:96-180`). */
+  private def growTree(
+      binned: RDD[BInst], margins: RDD[Array[Double]], cuts: HistogramCuts,
+      numFeatures: Int, obj: Objective, softmax: SoftmaxObjective, grp: Int,
+      iter: Int, colSampler: ColumnSampler,
+      droppedShapes: Array[(TreeShape, Double, Int)]): TreeShape = {
+
+    val sc = binned.sparkContext
+    val nodes = new ArrayBuffer[BuildNode]
+    val treeCols = colSampler.sampleTree(iter, params.colsampleBytree)
+
+    // root totals
+    val (rootG, rootH) = aggregateTotals(binned, margins, obj, softmax, grp, iter, droppedShapes)
+    nodes += new BuildNode(rootG, rootH, 0)
+    if (params.interactionConstraints.nonEmpty)
+      nodes(0).allowed = Some((0 until numFeatures).toSet)
+
+    var frontier = Array(0)
+    var parentHists = Map.empty[Int, Array[Double]] // node id → hist of that node
+    var depth = 0
+    var leaves = 1
+
+    while (frontier.nonEmpty && depth < params.maxDepth &&
+        (params.maxLeaves == 0 || leaves < params.maxLeaves)) {
+
+      // subtraction trick (histogram.h:203-213,386-425): build smaller sibling
+      val (buildSet, subtractSet) = planHistBuilds(frontier, parentHists, nodes)
+      val built = aggregateHistograms(binned, margins, cuts, obj, softmax, grp,
+        iter, buildSet, nodesShape(nodes), droppedShapes)
+      val hists = collection.mutable.Map[Int, Array[Double]](buildSet.zip(built).toSeq: _*)
+      subtractSet.foreach { case (nid, parent, sibling) =>
+        val ph = parentHists(parent)
+        val sh = hists(sibling)
+        val out = new Array[Double](ph.length)
+        var i = 0
+        while (i < ph.length) { out(i) = ph(i) - sh(i); i += 1 }
+        hists(nid) = out
+      }
+
+      val levelCols = colSampler.sampleLevel(treeCols, iter, depth, params.colsampleBylevel)
+      val nextFrontier = new ArrayBuffer[Int]
+      frontier.foreach { nid =>
+        val n = nodes(nid)
+        val nodeCols0 = colSampler.sampleNode(levelCols, iter, depth, nid, params.colsampleBynode)
+        val nodeCols = n.allowed match {
+          case Some(a) => nodeCols0.filter(a.contains)
+          case None => nodeCols0
+        }
+        val cand = SplitEnumerator.bestSplit(hists(nid), cuts, nodeCols, n.g, n.h,
+          params, n.lowerBound, n.upperBound)
+        cand match {
+          case Some(c) if c.gain > 0 &&
+              (params.maxLeaves == 0 || leaves + 1 <= math.max(params.maxLeaves, 2)) =>
+            applySplit(nodes, nid, c)
+            leaves += 1
+            nextFrontier += nodes(nid).left
+            nextFrontier += nodes(nid).right
+          case _ =>
+            n.weight = SplitEnumerator.calcWeight(n.g, n.h, params, n.lowerBound, n.upperBound)
+        }
+      }
+      parentHists = hists.toMap
+      frontier = nextFrontier.toArray
+      depth += 1
+    }
+    // remaining frontier → leaves
+    frontier.foreach { nid =>
+      val n = nodes(nid)
+      n.weight = SplitEnumerator.calcWeight(n.g, n.h, params, n.lowerBound, n.upperBound)
+    }
+    finalizeShape(nodes)
+  }
+
+  private def applySplit(nodes: ArrayBuffer[BuildNode], nid: Int, c: SplitCandidate): Unit = {
+    val n = nodes(nid)
+    n.feature = c.feature; n.splitBin = c.splitBin; n.defaultLeft = c.defaultLeft
+    n.gain = c.gain; n.catRight = c.catRight
+    val l = new BuildNode(c.gl, c.hl, n.depth + 1, n.lowerBound, n.upperBound)
+    val r = new BuildNode(c.gr, c.hr, n.depth + 1, n.lowerBound, n.upperBound)
+    // monotone constraints (ref split_evaluator.h:71-440): tighten bounds
+    val mono = if (params.monotoneConstraints.isEmpty) 0 else params.monotoneConstraints(c.feature)
+    if (mono != 0) {
+      val mid = (c.wl + c.wr) * 0.5
+      if (mono > 0) { l.upperBound = math.min(l.upperBound, mid); r.lowerBound = math.max(r.lowerBound, mid) }
+      else { l.lowerBound = math.max(l.lowerBound, mid); r.upperBound = math.min(r.upperBound, mid) }
+    }
+    // interaction constraints (ref src/tree/constraints.cc)
+    n.allowed.foreach { a =>
+      val newAllowed = params.interactionConstraints
+        .filter(_.contains(c.feature)).foldLeft(Set.empty[Int])(_ ++ _)
+      val childAllowed = a.intersect(if (newAllowed.isEmpty) Set(c.feature) else newAllowed)
+      l.allowed = Some(childAllowed); r.allowed = Some(childAllowed)
+    }
+    nodes += l
+    n.left = nodes.length - 1
+    nodes += r
+    n.right = nodes.length - 1
+  }
+
+  /** Decide which child of each split pair gets a fresh histogram build
+    * (smaller sumHess) vs parent-subtraction (ref BuildHistLeftRight,
+    * histogram.h:386-425). Root or nodes whose parent hist is unavailable
+    * are built directly. Returns (buildSet, subtract = (nid, parent, sibling)). */
+  private def planHistBuilds(
+      frontier: Array[Int], parentHists: Map[Int, Array[Double]],
+      nodes: ArrayBuffer[BuildNode]): (Array[Int], Array[(Int, Int, Int)]) = {
+    if (frontier.sameElements(Array(0))) return (Array(0), Array.empty)
+    val build = new ArrayBuffer[Int]
+    val subtract = new ArrayBuffer[(Int, Int, Int)]
+    // frontier children come in (left, right) consecutive pairs per parent
+    val byParent = frontier.groupBy { nid =>
+      nodes.indexWhere(p => p.left == nid || p.right == nid)
+    }
+    byParent.foreach { case (parent, kids) =>
+      if (parent < 0 || !parentHists.contains(parent) || kids.length != 2) {
+        kids.foreach(build += _)
+      } else {
+        val Array(a, b) = kids
+        val (small, large) = if (nodes(a).h <= nodes(b).h) (a, b) else (b, a)
+        build += small
+        subtract += ((large, parent, small))
+      }
+    }
+    (build.toArray, subtract.toArray)
+  }
+
+  private def nodesShape(nodes: ArrayBuffer[BuildNode]): TreeShape = {
+    val n = nodes.length
+    TreeShape(
+      Array.tabulate(n)(i => nodes(i).feature),
+      Array.tabulate(n)(i => nodes(i).splitBin),
+      Array.tabulate(n)(i => nodes(i).defaultLeft),
+      Array.tabulate(n)(i => nodes(i).left),
+      Array.tabulate(n)(i => nodes(i).right),
+      Array.tabulate(n)(i => nodes(i).catRight),
+      Array.tabulate(n)(i => Array(nodes(i).weight)),
+      Array.tabulate(n)(i => nodes(i).h),
+      Array.tabulate(n)(i => nodes(i).gain))
+  }
+
+  private def finalizeShape(nodes: ArrayBuffer[BuildNode]): TreeShape = nodesShape(nodes)
+
+  private def shapeToTree(s: TreeShape, cuts: HistogramCuts): Tree = {
+    val n = s.feature.length
+    Tree(Array.tabulate(n) { i =>
+      if (s.feature(i) < 0)
+        Node.makeLeaf(s.leaf(i), s.sumHess(i))
+      else {
+        val f = s.feature(i)
+        val thr =
+          if (s.catRight(i) != null) 0.0
+          else cuts.cuts(f)(s.splitBin(i))
+        Node(f, thr, s.defaultLeft(i), s.left(i), s.right(i), Array.empty,
+          s.gain(i), s.sumHess(i),
+          if (s.catRight(i) != null) s.catRight(i) else Array.empty)
+      }
+    })
+  }
+
+  // ---- distributed aggregations -------------------------------------------
+
+  /** Per-iteration deterministic row subsample predicate
+    * (ref `src/tree/hist/sampler.cc:204`; seeded per iteration). */
+  @inline private def sampled(rowId: Long, iter: Int): Boolean = {
+    if (params.subsample >= 1.0) true
+    else {
+      var z = rowId ^ (params.seed + 0x9E3779B97F4A7C15L * (iter + 1))
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      ((z >>> 11).toDouble / (1L << 53).toDouble) < params.subsample
+    }
+  }
+
+  /** Adjusted margin for group g under DART dropout: cached full-ensemble
+    * margin minus dropped trees' contributions (ref DropTrees,
+    * `src/gbm/gbtree.h:369`). */
+  @inline private def adjustedMargin(
+      m: Array[Double], bins: Array[Int], grp: Int,
+      dropped: Array[(TreeShape, Double, Int)]): Double = {
+    var out = m(grp)
+    var i = 0
+    while (i < dropped.length) {
+      val (sh, w, g) = dropped(i)
+      if (g == grp) out -= w * sh.predictLeaf(bins)(0)
+      i += 1
+    }
+    out
+  }
+
+  private def gradOf(
+      r: BInst, m: Array[Double], obj: Objective, softmax: SoftmaxObjective,
+      grp: Int, dropped: Array[(TreeShape, Double, Int)], out: Array[Double],
+      scratch: Array[Double]): Unit = {
+    if (isMulti) {
+      // softmax needs all group margins (dropout adjustment per group)
+      if (dropped.isEmpty) softmax.gradient(m, r.label, scratch)
+      else {
+        val adj = new Array[Double](numGroups)
+        var g = 0
+        while (g < numGroups) { adj(g) = adjustedMargin(m, r.bins, g, dropped); g += 1 }
+        softmax.gradient(adj, r.label, scratch)
+      }
+      out(0) = scratch(2 * grp) * r.weight
+      out(1) = scratch(2 * grp + 1) * r.weight
+    } else {
+      val margin = if (dropped.isEmpty) m(0) else adjustedMargin(m, r.bins, 0, dropped)
+      obj.gradient(margin, r.label, out)
+      out(0) *= r.weight
+      out(1) *= r.weight
+    }
+  }
+
+  private def aggregateTotals(
+      binned: RDD[BInst], margins: RDD[Array[Double]], obj: Objective,
+      softmax: SoftmaxObjective, grp: Int, iter: Int,
+      dropped: Array[(TreeShape, Double, Int)]): (Double, Double) = {
+    binned.zip(margins).mapPartitions { it =>
+      val out = new Array[Double](2)
+      val scratch = new Array[Double](2 * numGroups)
+      var g = 0.0; var h = 0.0
+      it.foreach { case (r, m) =>
+        if (sampled(r.rowId, iter)) {
+          gradOf(r, m, obj, softmax, grp, dropped, out, scratch)
+          g += out(0); h += out(1)
+        }
+      }
+      Iterator.single((g, h))
+    }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+  }
+
+  /** ONE pass building histograms for every node in `buildSet` — the analog
+    * of `HistogramBuilder::BuildHist` + allreduce (`histogram.h:44-202`):
+    * per-partition dense accumulation (allocation-free inner loop), then a
+    * tree-wise partial+final merge — Spark's map-side combine IS the
+    * reference's histogram allreduce. Hist layout per node: g at 2·bin,
+    * h at 2·bin+1 in global bin space. */
+  private def aggregateHistograms(
+      binned: RDD[BInst], margins: RDD[Array[Double]], cuts: HistogramCuts,
+      obj: Objective, softmax: SoftmaxObjective, grp: Int, iter: Int,
+      buildSet: Array[Int], shape: TreeShape,
+      dropped: Array[(TreeShape, Double, Int)]): Array[Array[Double]] = {
+
+    val sc = binned.sparkContext
+    val bShape = sc.broadcast(shape)
+    val histLen = 2 * cuts.totalBins
+    val nBuild = buildSet.length
+    val offsets = cuts.featureOffset
+    val numFeatures = cuts.numFeatures
+    // dense position→slot map (node ids are small ints)
+    val maxNid = if (buildSet.isEmpty) 0 else buildSet.max
+    val slotOf = Array.fill(maxNid + 1)(-1)
+    buildSet.zipWithIndex.foreach { case (nid, s) => slotOf(nid) = s }
+
+    val partials = binned.zip(margins).mapPartitions { it =>
+      val hists = new Array[Array[Double]](nBuild)
+      val out = new Array[Double](2)
+      val scratch = new Array[Double](2 * numGroups)
+      val sh = bShape.value
+      it.foreach { case (r, m) =>
+        if (sampled(r.rowId, iter)) {
+          val pos = sh.position(r.bins)
+          val slot = if (pos <= maxNid) slotOf(pos) else -1
+          if (slot >= 0) {
+            var hist = hists(slot)
+            if (hist == null) { hist = new Array[Double](histLen); hists(slot) = hist }
+            gradOf(r, m, obj, softmax, grp, dropped, out, scratch)
+            val g = out(0); val h = out(1)
+            var f = 0
+            while (f < numFeatures) {
+              val b = r.bins(f)
+              if (b >= 0) {
+                val gb = 2 * (offsets(f) + b)
+                hist(gb) += g
+                hist(gb + 1) += h
+              }
+              f += 1
+            }
+          }
+        }
+      }
+      Iterator.single(hists)
+    }
+    val result = partials.treeReduce((a, b) => {
+      var s = 0
+      while (s < nBuild) {
+        if (a(s) == null) a(s) = b(s)
+        else if (b(s) != null) {
+          val x = a(s); val y = b(s)
+          var i = 0
+          while (i < histLen) { x(i) += y(i); i += 1 }
+        }
+        s += 1
+      }
+      a
+    }, depth = 2)
+    bShape.destroy()
+    result.map(h => if (h == null) new Array[Double](histLen) else h)
+  }
+}
+
+/** Nested per-tree/level/node Bernoulli feature sampling (ref
+  * `src/common/random.h:70-80` ColumnSampler) — deterministic from seed. */
+final class ColumnSampler(numFeatures: Int, seed: Long) extends Serializable {
+  private def sample(from: Array[Int], frac: Double, salt: Long): Array[Int] = {
+    if (frac >= 1.0 || from.length <= 1) return from
+    val n = math.max(1, (from.length * frac).round.toInt)
+    val rng = new java.util.Random(seed ^ salt)
+    val shuffled = from.clone()
+    var i = shuffled.length - 1
+    while (i > 0) {
+      val j = rng.nextInt(i + 1)
+      val t = shuffled(i); shuffled(i) = shuffled(j); shuffled(j) = t
+      i -= 1
+    }
+    java.util.Arrays.sort(shuffled, 0, n)
+    shuffled.take(n)
+  }
+  def sampleTree(iter: Int, frac: Double): Array[Int] =
+    sample((0 until numFeatures).toArray, frac, 0x51ED2701L * (iter + 1))
+  def sampleLevel(treeCols: Array[Int], iter: Int, depth: Int, frac: Double): Array[Int] =
+    sample(treeCols, frac, 0x7F4A7C15L * (iter + 1) + 31L * depth)
+  def sampleNode(levelCols: Array[Int], iter: Int, depth: Int, nid: Int, frac: Double): Array[Int] =
+    sample(levelCols, frac, 0xC2B2AE35L * (iter + 1) + 131L * depth + 7919L * nid)
+}
