@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video payloads are opaque
+  * `BinaryType` columns travelling next to typed metadata, processed by
+  * per-partition batch decoders.
+  *
+  * The Spark-side machinery here — schema, batched mapPartitions decode,
+  * partition sizing — is real and tested; the actual media decode is a
+  * STUB (this container has no image/audio codecs): `decodeStub` derives
+  * deterministic fake features from the bytes so the pipeline shape,
+  * ordering and schema behavior can be exercised end-to-end. Swap
+  * `decodeStub` for a real codec (JNI/FFI) without touching callers.
+  *
+  * Scale notes: media blobs dominate row size, so partition count must be
+  * driven by `spark.sql.files.maxPartitionBytes` (blob-aware), and decode is
+  * per-partition batched to amortize codec init — the same shape a Pandas-UDF
+  * `mapInPandas` decode takes in PySpark.
+  */
+object Multimodal {
+
+  /** Canonical multimodal row schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true)))
+
+  /** Wrap a text column as an opaque binary payload (fixture helper — the
+    * testdata has no real media, so documents stand in as payloads). */
+  def asPayload(text: Column): Column = encode(text, "UTF-8")
+
+  /** STUB decode: deterministic fake "features" of a payload — byte length,
+    * a checksum-like 60-bit hash, and a fixed-length pseudo-embedding from
+    * hash-seeded positions. Real decode (JPEG→pixels, PCM→frames) would
+    * replace only this function. Expressed as native columns so even the
+    * stub is codegen'd. */
+  def decodeStub(payload: Column, embedDim: Int = 4): Column = {
+    // checksum via the UTF-8 view of the bytes: portable to engines whose
+    // md5 only accepts VARCHAR (Spark's base64 is MIME-chunked, so base64
+    // round-trips are NOT engine-stable)
+    val h = TextOps.hash60(decode(payload, "UTF-8"))
+    struct(
+      octet_length(payload).as("n_bytes"),
+      h.as("checksum"),
+      array((0 until embedDim).map(i =>
+        ((shiftright(h, i * 8).bitwiseAND(lit(255L))).cast("double") / 255.0)): _*).as("embedding"))
+  }
+
+  /** Batched per-partition decode for codecs that need init-once state (the
+    * real-codec path; the stub just forwards to `decodeStub` semantics).
+    * Kept as a DataFrame→DataFrame operator so callers are agnostic. */
+  def decodePartitioned(df: DataFrame, payloadCol: String, embedDim: Int = 4): DataFrame =
+    df.withColumn("decoded", decodeStub(col(payloadCol), embedDim))
+
+  /** Frame-sampling stub for video-like payloads: deterministic stride over
+    * the byte stream standing in for I-frame extraction. */
+  def sampleFrames(payload: Column, stride: Int): Column =
+    transform(
+      sequence(lit(1), greatest(octet_length(payload), lit(1)), lit(stride)),
+      i => TextOps.hash60(concat(base64(payload), i.cast("string"))) % 256)
+}

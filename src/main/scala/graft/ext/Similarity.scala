@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`): brute-force
+  * cosine top-k as the exactness baseline, and random-hyperplane LSH
+  * bucketing as the 100 TB scale path.
+  *
+  * Scale design: brute-force is a broadcast of the (small) query set against
+  * the full corpus — linear scan, no shuffle, fine for few queries. The LSH
+  * variant buckets BOTH sides by hyperplane sign bits so the join is a
+  * bucket equi-join (shuffle on a 2^planes-ary key) and per-bucket work is
+  * |bucket|² only within buckets — never a full cross join. All arithmetic
+  * is explicit float→double, expressed with zip_with/aggregate (codegen'd,
+  * no UDF) and reproducible bit-for-bit in the DuckDB oracle.
+  */
+object Similarity {
+
+  /** dot(a, b) with explicit double accumulation (left-to-right, matching
+    * DuckDB's list_sum order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k: every query row (id, vec) in `queries` is
+    * joined against every corpus row — `queries` must be small (it is
+    * broadcast). Ranking uses the ROUNDED cosine with id tiebreak so results
+    * are engine-independent. Returns (qid, vec_id, cos, rk). */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      roundDigits: Int = 5): DataFrame = {
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(queries.select(col("qid"), col("qe"))),
+        col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qe"), col("embedding")), roundDigits).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Deterministic pseudo-random unit-free hyperplanes (seeded Gaussian),
+    * generated once on the driver and inlined as literals — the same values
+    * are emitted into the oracle SQL so both engines bucket identically. */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** LSH bucket id: integer whose bit p is sign(dot(vec, plane_p)). */
+  def lshBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vec, planeLit) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: queries and corpus are both bucketed; candidates are
+    * co-bucketed rows; top-k per query by rounded cosine. At scale this is
+    * one equi-join shuffle on (bucket) instead of a cross join. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, planes: Array[Array[Double]],
+      k: Int, roundDigits: Int = 5): DataFrame = {
+    val cb = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val qb = queries.select(col("qid"), col("qe"),
+      lshBucket(col("qe"), planes).as("bucket"))
+    val scored = qb.join(cb, Seq("bucket"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("qe"), col("embedding")), roundDigits).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** The SQL text of `dot` in the DuckDB dialect over 1-indexed lists. */
+  def dotSql(a: String, b: String, dim: Int): String =
+    s"list_sum(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  /** SQL array literal for a hyperplane (for oracle emission). */
+  def planeSql(p: Array[Double]): String = p.mkString("[", ", ", "]")
+}

@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, shingling, portable hashing, MinHash signatures, SimHash,
+  * quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * Everything here is a pure Column expression (native Spark SQL functions,
+  * no UDFs) so whole-stage codegen applies and every operator is pushdown-
+  * and oracle-friendly. The hash primitive is a 60-bit value derived from
+  * md5 hex — NOT Spark's Murmur3 `hash()` — so the exact same value is
+  * computable in any engine with md5 (the DuckDB correctness oracle uses
+  * `CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT)`).
+  *
+  * Scale notes (100 TB): all per-document expressions are embarrassingly
+  * parallel map work over the scan — no shuffle, no driver state. The only
+  * shuffles in this family are the explicit groupBy/join operators in
+  * [[Dedup]] and [[Similarity]].
+  */
+object TextOps {
+
+  /** Whitespace tokenizer. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Portable 60-bit hash: first 15 hex digits of md5, as a non-negative
+    * Long. Identical in DuckDB: CAST(concat('0x', substr(md5(s),1,15)) AS
+    * BIGINT). */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** SQL fragment computing hash60 in the DuckDB dialect (for oracles). */
+  def hash60Sql(inner: String): String =
+    s"CAST(concat('0x', substr(md5($inner), 1, 15)) AS BIGINT)"
+
+  /** Distinct word n-gram shingles (default 3): the unit set for MinHash /
+    * Jaccard near-dedup. Documents shorter than n tokens yield an empty
+    * set. */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val make = transform(
+      sequence(lit(0), size(toks) - lit(n)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, (i + lit(j + 1)).cast("int"))): _*))
+    when(size(toks) >= n, array_distinct(make)).otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature of a shingle set via double hashing
+    * (Kirsch–Mitzenmacher): ONE md5 per shingle yields two independent
+    * values h1 (60 bits) and h2 (56 bits); hash function k is h1 + k·h2
+    * (k ≤ 7 keeps the sum < 2^61, overflow-free in any BIGINT engine).
+    * signature(k) = min over shingles. Empty set → nulls. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    require(numHashes <= 8, "double-hash construction supports ≤ 8 hashes")
+    val pairs = transform(shingleCol, s => {
+      val m = md5(s.cast("string"))
+      struct(
+        conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(m, 17, 14), 16, 10).cast("long").as("h2"))
+    })
+    array((0 until numHashes).map { k =>
+      array_min(transform(pairs, p => p.getField("h1") + lit(k.toLong) * p.getField("h2")))
+    }: _*)
+  }
+
+  /** 16-bit SimHash over (non-distinct) tokens: bit i is set iff the sum of
+    * ±1 votes from each token's hash bit i is positive. Near-duplicate
+    * documents land at small Hamming distance. */
+  def simhash16(toks: Column): Column = {
+    val hashed = transform(toks, t => hash60(t))
+    val bits = (0 until 16).map { i =>
+      val vote = aggregate(
+        hashed, lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Order-sensitive document fingerprint: position-weighted sum of token
+    * hashes mod a Mersenne prime — a rolling-hash analog that is exactly
+    * reproducible in SQL without 64-bit overflow ((h mod p)·pos < 2^52). */
+  def fingerprint(toks: Column): Column = {
+    val p = 2147483647L // 2^31 − 1
+    val withPos = zip_with(
+      transform(toks, t => hash60(t) % p),
+      sequence(lit(1L), size(toks).cast("long")),
+      (h, i) => h * i)
+    aggregate(withPos, lit(0L), (acc, x) => (acc + x) % p)
+  }
+
+  /** Fixed English stopword list shared with the oracle SQL. */
+  val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+
+  /** Stopword-ratio language-ID score: fraction of tokens in the English
+    * stopword profile (n-gram-profile heuristic reduced to a word profile —
+    * the corpus is whitespace-tokenizable). */
+  def enStopwordRatio(toks: Column): Column = {
+    val stop = array(EnStopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stop, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Document quality score in [0,1]: blend of length saturation, mean token
+    * length plausibility and stopword presence — the shape of heuristic
+    * quality filters used on web-scale corpora. */
+  def qualityScore(textCol: Column, toks: Column): Column = {
+    val nTok = size(toks).cast("double")
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    val meanTokLen = length(textCol).cast("double") / greatest(nTok, lit(1.0))
+    val tokLenScore = when(meanTokLen >= 3.0 && meanTokLen <= 10.0, 1.0).otherwise(0.5)
+    val stopScore = least(enStopwordRatio(toks) * lit(5.0), lit(1.0))
+    (lenScore * 0.4 + tokLenScore * 0.3 + stopScore * 0.3)
+  }
+}

@@ -67,9 +67,12 @@ object CoreQueries {
     // ---- projection/filter + missing-value predicate (§2.2) ----
     "q_filter_cast" -> ((s, dir) => table(s, dir, "lineitem")
       .where(col("l_discount") > 0.05 && !isnan(col("l_quantity")))
-      .select(col("l_orderkey"), col("l_quantity").cast("double").as("qty"),
+      // l_linenumber joins the sort as a unique tiebreaker: (orderkey, qty,
+      // revenue) can tie at the LIMIT cutoff and flip the oracle hash
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("lineno"),
+        col("l_quantity").cast("double").as("qty"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
-      .orderBy("l_orderkey", "qty", "revenue")
+      .orderBy("l_orderkey", "lineno")
       .limit(1000)),
 
     "q_label_validate" -> ((s, dir) => scored(s, dir)
@@ -152,14 +155,17 @@ object CoreQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_filter_cast" ->
-      """SELECT l_orderkey, CAST(l_quantity AS DOUBLE) AS qty,
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS lineno,
+        |  CAST(l_quantity AS DOUBLE) AS qty,
         |  round(l_extendedprice * (1.0 - l_discount), 4) AS revenue
         |FROM lineitem WHERE l_discount > 0.05 AND NOT isnan(l_quantity)
-        |ORDER BY 1, 2, 3 LIMIT 1000""".stripMargin,
+        |ORDER BY 1, 2 LIMIT 1000""".stripMargin,
 
+    // the sums are cast to BIGINT explicitly: DuckDB's sum(int) is HUGEINT
+    // (int128) which pandas-serializes differently than Spark's int64
     "q_label_validate" ->
-      s"""SELECT sum(CASE WHEN ylab < 0 OR ylab > 1 THEN 1 ELSE 0 END) AS bad_binary,
-         |  sum(CASE WHEN w < 0 THEN 1 ELSE 0 END) AS bad_weight,
+      s"""SELECT CAST(sum(CASE WHEN ylab < 0 OR ylab > 1 THEN 1 ELSE 0 END) AS BIGINT) AS bad_binary,
+         |  CAST(sum(CASE WHEN w < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_weight,
          |  count(*) AS n
          |FROM ($scoredSql)""".stripMargin,
 

@@ -1,0 +1,355 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+
+/** LLM-training-data pipeline queries over `documents.parquet` /
+  * `embeddings.parquet` — dedup (exact, MinHash-LSH, SimHash, n-gram
+  * Jaccard), similarity search (brute cosine, LSH ANN), text analysis
+  * (lang-ID, quality, token stats, fingerprint, TF-IDF), multimodal
+  * plumbing. Every query has a DuckDB oracle implementing the SAME
+  * deterministic computation (shared md5-derived 60-bit hash, identical
+  * float→double arithmetic, explicit rounding + tiebreaks), so all of these
+  * earn hash-match correctness rows.
+  */
+object PipelineQueries {
+
+  import CoreQueries.table
+
+  // ---- shared SQL fragments (DuckDB dialect) -------------------------------
+
+  /** hash60 in DuckDB: first 15 md5 hex digits as BIGINT (= TextOps.hash60). */
+  private def h60(inner: String): String = TextOps.hash60Sql(inner)
+
+  /** Distinct 3-word shingles of a token list `t` (= TextOps.shingles n=3). */
+  private val shingleSql =
+    "CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(range(1, len(t)-1), " +
+      "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) ELSE [] END"
+
+  private val NumHashes = 8
+  private val Bands = 4 // rows per band = 2
+
+  /** MinHash slot k (= TextOps.minhashSignature element k: double hashing
+    * h1 + k·h2 from one md5). */
+  private def mhSql(k: Int): String =
+    "list_min(list_transform(s, x -> " +
+      "CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) + " +
+      s"$k * CAST(concat('0x', substr(md5(x), 17, 14)) AS BIGINT)))"
+
+  // ---- queries -------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup by content hash, keep-min-id semantics (ext.Dedup.exactDedup)
+    "p_exact_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val dup = d.where(col("doc_id") < 100)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val kept = Dedup.exactDedup(d.unionByName(dup), "text", "doc_id")
+      kept.groupBy("lang")
+        .agg(count(lit(1)).as("n_unique"), sum("doc_id").as("sum_id"))
+        .orderBy("lang")
+    }),
+
+    // MinHash-LSH near-duplicate pairs, exact-Jaccard verified ≥ 0.8
+    "p_near_dup" -> ((s, dir) =>
+      Dedup.nearDupPairs(table(s, dir, "documents"), "text", "doc_id",
+          numHashes = NumHashes, bands = Bands, shingleN = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // 16-bit SimHash per document
+    "p_simhash" -> ((s, dir) => table(s, dir, "documents")
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"), TextOps.simhash16(TextOps.tokens(col("text"))).as("simhash"))
+      .orderBy("doc_id")),
+
+    // character-4-gram Jaccard of consecutive doc pairs
+    "p_char_ngram_jaccard" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), Dedup.charNgrams(col("text"), 4).as("g"))
+      val a = d.where(col("doc_id") < 100)
+        .select(col("doc_id").as("id_a"), col("g").as("ga"))
+      val b = d.select((col("doc_id") - 1).as("id_a"), col("doc_id").as("id_b"), col("g").as("gb"))
+      a.join(b, "id_a")
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("ga"), col("gb")), 5).as("jaccard"))
+        .orderBy("id_a")
+    }),
+
+    // brute-force cosine top-3 neighbors for 5 query vectors
+    "p_ann_brute" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Similarity.bruteTopK(e, q, k = 3).orderBy("qid", "rk")
+    }),
+
+    // LSH-bucketed ANN: top-1 co-bucketed neighbor per query (16 buckets)
+    "p_ann_lsh" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Similarity.lshTopK(e, q, planes, k = 1).orderBy("qid", "rk")
+    }),
+
+    // stopword-profile language-ID heuristic
+    "p_lang_id" -> ((s, dir) => {
+      val t = TextOps.tokens(col("text"))
+      table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          round(TextOps.enStopwordRatio(t), 5).as("en_ratio"),
+          when(TextOps.enStopwordRatio(t) > 0.05, "en").otherwise("other").as("guess"))
+        .orderBy("doc_id")
+    }),
+
+    // heuristic quality score
+    "p_quality" -> ((s, dir) => {
+      val t = TextOps.tokens(col("text"))
+      table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
+          round(TextOps.qualityScore(col("text"), t), 5).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus token statistics per language
+    "p_token_stats" -> ((s, dir) => table(s, dir, "documents")
+      .select(col("lang"), col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy("lang")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_distinct"))
+      .orderBy("lang")),
+
+    // order-sensitive rolling-hash document fingerprint
+    "p_fingerprint" -> ((s, dir) => table(s, dir, "documents")
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"), TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
+      .orderBy("doc_id")),
+
+    // top-20 corpus terms by total TF-IDF
+    "p_tfidf" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+      val toks = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val n = d.agg(count(lit(1)).as("n"))
+      tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+        .groupBy("term")
+        .agg(round(sum(col("tf").cast("double") *
+          log(col("n").cast("double") / col("df").cast("double"))), 4).as("tfidf"))
+        .orderBy(col("tfidf").desc, col("term"))
+        .limit(20)
+    }),
+
+    // embedding norms per class label (vector-column ops)
+    "p_embed_norm" -> ((s, dir) => table(s, dir, "embeddings")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        round(avg(Similarity.l2Norm(col("embedding"))), 5).as("avg_norm"))
+      .orderBy("label")),
+
+    // multimodal plumbing: opaque binary payload + stub decode features
+    "p_multimodal_meta" -> ((s, dir) => {
+      val payload = Multimodal.asPayload(col("text"))
+      val dec = Multimodal.decodeStub(payload)
+      table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id"),
+          dec.getField("n_bytes").cast("long").as("n_bytes"),
+          dec.getField("checksum").as("checksum"),
+          round(element_at(dec.getField("embedding"), 1), 5).as("e0"))
+        .orderBy("doc_id")
+    })
+  )
+
+  // deterministic hyperplanes shared between the Spark plan and the oracle
+  private val planes: Array[Array[Double]] = Similarity.hyperplanes(4, 64, seed = 42L)
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  private val cosSql: String = {
+    val dp = Similarity.dotSql("qe", "embedding", 64)
+    val nq = s"sqrt(${Similarity.dotSql("qe", "qe", 64)})"
+    val ne = s"sqrt(${Similarity.dotSql("embedding", "embedding", 64)})"
+    s"round(($dp) / (($nq) * ($ne)), 5)"
+  }
+
+  private def bucketSql(vec: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      val dp = s"list_sum(list_transform(range(1, 65), i -> CAST($vec[i] AS DOUBLE) * (${Similarity.planeSql(p)})[i]))"
+      s"(CASE WHEN ($dp) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val stopListSql = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracle: Map[String, String] = Map(
+    "p_exact_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000, text, lang FROM documents WHERE doc_id < 100
+        |), kept AS (
+        |  SELECT doc_id, lang FROM (
+        |    SELECT doc_id, lang,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM base) WHERE rn = 1
+        |)
+        |SELECT lang, count(*) AS n_unique, CAST(sum(doc_id) AS BIGINT) AS sum_id
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p_near_dup" -> {
+      val sig = (0 until NumHashes).map(k => mhSql(k)).mkString("[", ", ", "]")
+      val bandKeys = (0 until Bands).map { b =>
+        s"(SELECT $b AS band, md5(concat(CAST(sig[${2 * b + 1}] AS VARCHAR), '_', CAST(sig[${2 * b + 2}] AS VARCHAR))) AS key)"
+      }
+      s"""WITH sh AS (
+         |  SELECT doc_id AS id, $shingleSql AS s
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+         |), sig AS (
+         |  SELECT id, s, $sig AS sig FROM sh WHERE len(s) > 0
+         |), buckets AS (
+         |  SELECT id, bk.band, bk.key FROM sig,
+         |    LATERAL (${bandKeys.mkString(" UNION ALL ")}) bk
+         |), cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+         |), pairs AS (
+         |  SELECT id_a, id_b,
+         |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+         |      greatest(len(list_distinct(x.s || y.s)), 1) AS jac
+         |  FROM cand JOIN sh x ON x.id = cand.id_a JOIN sh y ON y.id = cand.id_b
+         |)
+         |SELECT id_a, id_b, round(jac, 5) AS jaccard
+         |FROM pairs WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "p_simhash" -> {
+      val bits = (0 until 16).map { i =>
+        s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH hashed AS (
+         |  SELECT doc_id, list_transform(string_split(text, ' '), x -> ${h60("x")}) AS hs
+         |  FROM documents WHERE doc_id < 100
+         |)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+         |FROM hashed ORDER BY doc_id""".stripMargin
+    },
+
+    "p_char_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(text) >= 4 THEN
+        |      list_distinct(list_transform(range(1, length(text)-2), i -> substr(text, i, 4)))
+        |    ELSE [] END AS g
+        |  FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |    greatest(len(list_distinct(a.g || b.g)), 1), 5) AS jaccard
+        |FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id < 100 ORDER BY a.doc_id""".stripMargin,
+
+    "p_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |s AS (
+         |  SELECT qid, vec_id, $cosSql AS cos
+         |  FROM q JOIN embeddings ON qid <> vec_id
+         |)
+         |SELECT qid, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rk
+         |FROM s QUALIFY rk <= 3 ORDER BY qid, rk""".stripMargin,
+
+    "p_ann_lsh" ->
+      s"""WITH cb AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
+         |), qb AS (
+         |  SELECT vec_id AS qid, embedding AS qe, ${bucketSql("embedding")} AS bucket
+         |  FROM embeddings WHERE vec_id < 20
+         |), s AS (
+         |  SELECT qid, vec_id, $cosSql AS cos
+         |  FROM qb JOIN cb USING (bucket) WHERE qid <> vec_id
+         |)
+         |SELECT qid, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rk
+         |FROM s QUALIFY rk <= 1 ORDER BY qid, rk""".stripMargin,
+
+    "p_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 100
+         |), r AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(t, x -> list_contains($stopListSql, x))) AS DOUBLE) /
+         |      greatest(len(t), 1) AS ratio
+         |  FROM t
+         |)
+         |SELECT doc_id, round(ratio, 5) AS en_ratio,
+         |  CASE WHEN ratio > 0.05 THEN 'en' ELSE 'other' END AS guess
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "p_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS t
+         |  FROM documents WHERE doc_id < 100
+         |), f AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |    least(CAST(len(t) AS DOUBLE) / 64.0, 1.0) AS len_score,
+         |    CASE WHEN CAST(length(text) AS DOUBLE) / greatest(len(t), 1) >= 3.0
+         |      AND CAST(length(text) AS DOUBLE) / greatest(len(t), 1) <= 10.0
+         |      THEN 1.0 ELSE 0.5 END AS tok_len_score,
+         |    least(CAST(len(list_filter(t, x -> list_contains($stopListSql, x))) AS DOUBLE) /
+         |      greatest(len(t), 1) * 5.0, 1.0) AS stop_score
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens,
+         |  round(len_score * 0.4 + tok_len_score * 0.3 + stop_score * 0.3, 5) AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "p_token_stats" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        |)
+        |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_tokens,
+        |  count(DISTINCT tok) AS n_distinct
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p_fingerprint" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 100
+         |)
+         |SELECT doc_id,
+         |  CAST(list_sum(list_transform(range(1, len(t) + 1),
+         |    i -> ((${h60("t[i]")}) % 2147483647) * i)) % 2147483647 AS BIGINT) AS fp
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "p_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents)
+        |SELECT term,
+        |  round(sum(CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE))), 4) AS tfidf
+        |FROM tf JOIN df USING (term) CROSS JOIN n
+        |GROUP BY term ORDER BY tfidf DESC, term LIMIT 20""".stripMargin,
+
+    "p_embed_norm" ->
+      s"""SELECT label, count(*) AS n,
+         |  round(avg(sqrt(${Similarity.dotSql("embedding", "embedding", 64)})), 5) AS avg_norm
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "p_multimodal_meta" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, decode(encode(text)) AS txt, octet_length(encode(text)) AS nb
+         |  FROM documents WHERE doc_id < 100
+         |), h AS (
+         |  SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes, ${h60("txt")} AS checksum FROM p
+         |)
+         |SELECT doc_id, n_bytes, checksum,
+         |  round(CAST((checksum >> 0) & 255 AS DOUBLE) / 255.0, 5) AS e0
+         |FROM h ORDER BY doc_id""".stripMargin
+  )
+}
