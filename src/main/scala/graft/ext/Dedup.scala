@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   * Near-dedup NEVER goes all-pairs: candidate pairs come from a banded-LSH
   * bucket equi-join (shuffle on the band key), so work is proportional to
   * Σ bucket² over near-duplicate buckets, not n². Skewed buckets (boiler-
-  * plate text) should be capped upstream via a bucket-size limit filter,
-  * which `lshBuckets` exposes as a plain column for.
+  * plate text, empty pages) are capped by `candidatePairs(maxBucketSize)`:
+  * buckets larger than the cap are dropped before the self-join (a windowed
+  * count over the hash-partitioned (band, key) space — no driver state), so
+  * one degenerate bucket can never make the join quadratic.
   */
 object Dedup {
 
@@ -26,24 +28,44 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
+  /** Hashes per salt group for the MinHash family: slot k derives from the
+    * md5 of the group-salted shingle, group = k / 64, so arbitrary k needs
+    * only ⌈k/64⌉ md5 evaluations per shingle. Within a group the two md5
+    * halves are combined by double hashing h1 + j·h2 (Kirsch–Mitzenmacher)
+    * with j = k % 64: h1 < 2^60, h2 < 2^56, so h1 + 63·h2 < 5.7e18 < 2^63
+    * — overflow-free in any signed-BIGINT engine. */
+  val HashesPerGroup = 64
+
+  private[ext] def saltedShingle(s: Column, group: Int): Column =
+    if (group == 0) s else concat(s, lit(s"#$group"))
+
   /** MinHash signature table (id, mh0..mh{k−1}) via the scalable
-    * explode→hash→aggregate shape: each shingle is md5-hashed ONCE
-    * (one row per (doc, shingle)), and signature slot k is a plain
-    * `min(h1 + k·h2)` partial+final aggregation (double hashing,
-    * Kirsch–Mitzenmacher). This keeps per-row expression work constant —
-    * a giant document never inflates one task's expression tree — and
-    * gives map-side combine for free. Docs with no shingles drop out. */
+    * explode→hash→aggregate shape: each shingle is md5-hashed once per
+    * SALT GROUP of 64 hash functions (one row per (doc, shingle)), and
+    * signature slot k is a plain `min(h1_g + j·h2_g)` partial+final
+    * aggregation (double hashing within the group). This keeps per-row
+    * expression work O(k/64) — a giant document never inflates one task's
+    * expression tree — and gives map-side combine for free. The standard
+    * corpus-scale operating point (128 hashes, r ≥ 4 rows per band) costs
+    * two md5s per shingle. Docs with no shingles drop out. */
   def minhashSignatures(df: DataFrame, textCol: String, idCol: Column,
       numHashes: Int, shingleN: Int = 3): DataFrame = {
-    require(numHashes <= 8, "double-hash construction supports <= 8 hashes")
+    val numGroups = (numHashes + HashesPerGroup - 1) / HashesPerGroup
     val sh = TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)
+    val hashCols = (0 until numGroups).flatMap { g =>
+      val m = md5(saltedShingle(col("s"), g))
+      Seq(conv(substring(m, 1, 15), 16, 10).cast("long").as(s"h1_$g"),
+        conv(substring(m, 17, 14), 16, 10).cast("long").as(s"h2_$g"))
+    }
     val exploded = df.select(idCol.as("id"), explode(sh).as("s"))
-      .select(col("id"),
-        conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(md5(col("s")), 17, 14), 16, 10).cast("long").as("h2"))
+      .select(col("id") +: hashCols: _*)
     exploded.groupBy("id")
-      .agg(min(col("h1")).as("mh0"),
-        (1 until numHashes).map(k => min(col("h1") + lit(k.toLong) * col("h2")).as(s"mh$k")): _*)
+      .agg(min(col("h1_0")).as("mh0"),
+        (1 until numHashes).map { k =>
+          val g = k / HashesPerGroup
+          val j = k % HashesPerGroup
+          min(col(s"h1_$g") + lit(j.toLong) * col(s"h2_$g")).as(s"mh$k")
+        }: _*)
   }
 
   /** Per-document LSH bucket rows: (id, band, key) where key hashes
@@ -62,10 +84,16 @@ object Dedup {
 
   /** Candidate near-duplicate pairs (idA < idB) from shared LSH buckets —
     * the bucket equi-join; distinct-ed because pairs can collide in several
-    * bands. */
-  def candidatePairs(buckets: DataFrame): DataFrame = {
-    val a = buckets.as("a")
-    val b = buckets.as("b")
+    * bands. Buckets larger than `maxBucketSize` are dropped first (windowed
+    * count over the hash-partitioned (band, key) space): a skewed
+    * boilerplate bucket would otherwise contribute |bucket|² pairs. Members
+    * of an over-cap bucket usually still pair through their other bands. */
+  def candidatePairs(buckets: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("key"))
+    val capped = buckets.withColumn("_bsz", count(lit(1)).over(w))
+      .where(col("_bsz") <= maxBucketSize).drop("_bsz")
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -76,10 +104,10 @@ object Dedup {
     * banded buckets → candidate join → exact Jaccard verification ≥
     * `threshold`. Returns (id_a, id_b, jaccard). */
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
-      numHashes: Int = 8, bands: Int = 4, shingleN: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     val sig = minhashSignatures(df, textCol, col(idCol).cast("long"), numHashes, shingleN)
-    val cands = candidatePairs(lshBuckets(sig, numHashes, bands))
+    val cands = candidatePairs(lshBuckets(sig, numHashes, bands), maxBucketSize)
     val sh = TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)
     val docs = df.select(col(idCol).cast("long").as("id"), sh.as("sh"))
     cands

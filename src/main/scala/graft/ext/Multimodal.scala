@@ -41,10 +41,11 @@ object Multimodal {
     * replace only this function. Expressed as native columns so even the
     * stub is codegen'd. */
   def decodeStub(payload: Column, embedDim: Int = 4): Column = {
-    // checksum via the UTF-8 view of the bytes: portable to engines whose
-    // md5 only accepts VARCHAR (Spark's base64 is MIME-chunked, so base64
-    // round-trips are NOT engine-stable)
-    val h = TextOps.hash60(decode(payload, "UTF-8"))
+    // checksum over the HEX view of the raw bytes: engine-portable (md5 of
+    // a VARCHAR both here and in DuckDB) and byte-faithful for arbitrary
+    // binary media — unlike a UTF-8 decode (mangles non-UTF8 bytes) or
+    // base64 (Spark's is MIME-chunked, not engine-stable)
+    val h = TextOps.hash60(hex(payload))
     struct(
       octet_length(payload).as("n_bytes"),
       h.as("checksum"),
@@ -59,9 +60,11 @@ object Multimodal {
     df.withColumn("decoded", decodeStub(col(payloadCol), embedDim))
 
   /** Frame-sampling stub for video-like payloads: deterministic stride over
-    * the byte stream standing in for I-frame extraction. */
+    * the byte stream standing in for I-frame extraction. Seeds from the
+    * hex view of the payload (byte-faithful and engine-stable; base64
+    * would be MIME-chunked and a UTF-8 decode would mangle media bytes). */
   def sampleFrames(payload: Column, stride: Int): Column =
     transform(
       sequence(lit(1), greatest(octet_length(payload), lit(1)), lit(stride)),
-      i => TextOps.hash60(concat(base64(payload), i.cast("string"))) % 256)
+      i => TextOps.hash60(concat(hex(payload), i.cast("string"))) % 256)
 }

@@ -44,24 +44,6 @@ object TextOps {
     when(size(toks) >= n, array_distinct(make)).otherwise(array().cast("array<string>"))
   }
 
-  /** MinHash signature of a shingle set via double hashing
-    * (Kirsch–Mitzenmacher): ONE md5 per shingle yields two independent
-    * values h1 (60 bits) and h2 (56 bits); hash function k is h1 + k·h2
-    * (k ≤ 7 keeps the sum < 2^61, overflow-free in any BIGINT engine).
-    * signature(k) = min over shingles. Empty set → nulls. */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
-    require(numHashes <= 8, "double-hash construction supports ≤ 8 hashes")
-    val pairs = transform(shingleCol, s => {
-      val m = md5(s.cast("string"))
-      struct(
-        conv(substring(m, 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(m, 17, 14), 16, 10).cast("long").as("h2"))
-    })
-    array((0 until numHashes).map { k =>
-      array_min(transform(pairs, p => p.getField("h1") + lit(k.toLong) * p.getField("h2")))
-    }: _*)
-  }
-
   /** 16-bit SimHash over (non-distinct) tokens: bit i is set iff the sum of
     * ±1 votes from each token's hash bit i is positive. Near-duplicate
     * documents land at small Hamming distance. */

@@ -67,12 +67,13 @@ object CoreQueries {
     // ---- projection/filter + missing-value predicate (§2.2) ----
     "q_filter_cast" -> ((s, dir) => table(s, dir, "lineitem")
       .where(col("l_discount") > 0.05 && !isnan(col("l_quantity")))
-      // l_linenumber joins the sort as a unique tiebreaker: (orderkey, qty,
-      // revenue) can tie at the LIMIT cutoff and flip the oracle hash
+      // the sort covers ALL output columns: (orderkey, lineno) alone is not
+      // unique in the synthetic data, so the LIMIT cutoff could otherwise
+      // pick engine-dependent rows and flip the oracle hash
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("lineno"),
         col("l_quantity").cast("double").as("qty"),
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
-      .orderBy("l_orderkey", "lineno")
+      .orderBy("l_orderkey", "lineno", "qty", "revenue")
       .limit(1000)),
 
     "q_label_validate" -> ((s, dir) => scored(s, dir)
@@ -159,7 +160,7 @@ object CoreQueries {
         |  CAST(l_quantity AS DOUBLE) AS qty,
         |  round(l_extendedprice * (1.0 - l_discount), 4) AS revenue
         |FROM lineitem WHERE l_discount > 0.05 AND NOT isnan(l_quantity)
-        |ORDER BY 1, 2 LIMIT 1000""".stripMargin,
+        |ORDER BY 1, 2, 3, 4 LIMIT 1000""".stripMargin,
 
     // the sums are cast to BIGINT explicitly: DuckDB's sum(int) is HUGEINT
     // (int128) which pandas-serializes differently than Spark's int64

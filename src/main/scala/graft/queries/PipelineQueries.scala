@@ -28,15 +28,18 @@ object PipelineQueries {
     "CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(range(1, len(t)-1), " +
       "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) ELSE [] END"
 
-  private val NumHashes = 8
-  private val Bands = 4 // rows per band = 2
+  private val NumHashes = 16
+  private val Bands = 4 // rows per band = 4 (the s-curve operating point)
+  private val MaxBucket = 1000 // LSH bucket-size skew cap (Dedup.candidatePairs)
 
-  /** MinHash slot k (= TextOps.minhashSignature element k: double hashing
-    * h1 + k·h2 from one md5). */
-  private def mhSql(k: Int): String =
+  /** MinHash slot k (= Dedup.minhashSignatures slot k: double hashing
+    * h1_g + j·h2_g from the group-salted md5; k < 64 ⇒ group 0, no salt). */
+  private def mhSql(k: Int): String = {
+    require(k < Dedup.HashesPerGroup, "oracle fragment emitted for group 0 only")
     "list_min(list_transform(s, x -> " +
       "CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) + " +
       s"$k * CAST(concat('0x', substr(md5(x), 17, 14)) AS BIGINT)))"
+  }
 
   // ---- queries -------------------------------------------------------------
 
@@ -56,7 +59,8 @@ object PipelineQueries {
     // MinHash-LSH near-duplicate pairs, exact-Jaccard verified ≥ 0.8
     "p_near_dup" -> ((s, dir) =>
       Dedup.nearDupPairs(table(s, dir, "documents"), "text", "doc_id",
-          numHashes = NumHashes, bands = Bands, shingleN = 3, threshold = 0.8)
+          numHashes = NumHashes, bands = Bands, shingleN = 3, threshold = 0.8,
+          maxBucketSize = MaxBucket)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
@@ -135,7 +139,10 @@ object PipelineQueries {
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
       val n = d.agg(count(lit(1)).as("n"))
-      tf.join(broadcast(df), "term").crossJoin(broadcast(n))
+      // plain shuffle join on term: the document-frequency table is
+      // vocabulary-sized (unbounded at corpus scale), so broadcasting it
+      // would not survive 100 TB; the 1-row corpus count stays broadcast
+      tf.join(df, "term").crossJoin(broadcast(n))
         .groupBy("term")
         .agg(round(sum(col("tf").cast("double") *
           log(col("n").cast("double") / col("df").cast("double"))), 4).as("tfidf"))
@@ -199,9 +206,11 @@ object PipelineQueries {
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p_near_dup" -> {
+      val r = NumHashes / Bands
       val sig = (0 until NumHashes).map(k => mhSql(k)).mkString("[", ", ", "]")
       val bandKeys = (0 until Bands).map { b =>
-        s"(SELECT $b AS band, md5(concat(CAST(sig[${2 * b + 1}] AS VARCHAR), '_', CAST(sig[${2 * b + 2}] AS VARCHAR))) AS key)"
+        val slots = (0 until r).map(j => s"CAST(sig[${b * r + j + 1}] AS VARCHAR)")
+        s"(SELECT $b AS band, md5(${slots.mkString("concat(", ", '_', ", ")")}) AS key)"
       }
       s"""WITH sh AS (
          |  SELECT doc_id AS id, $shingleSql AS s
@@ -211,6 +220,7 @@ object PipelineQueries {
          |), buckets AS (
          |  SELECT id, bk.band, bk.key FROM sig,
          |    LATERAL (${bandKeys.mkString(" UNION ALL ")}) bk
+         |  QUALIFY count(*) OVER (PARTITION BY bk.band, bk.key) <= $MaxBucket
          |), cand AS (
          |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
          |  FROM buckets a JOIN buckets b
@@ -343,10 +353,10 @@ object PipelineQueries {
 
     "p_multimodal_meta" ->
       s"""WITH p AS (
-         |  SELECT doc_id, decode(encode(text)) AS txt, octet_length(encode(text)) AS nb
+         |  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS nb
          |  FROM documents WHERE doc_id < 100
          |), h AS (
-         |  SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes, ${h60("txt")} AS checksum FROM p
+         |  SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes, ${h60("hx")} AS checksum FROM p
          |)
          |SELECT doc_id, n_bytes, checksum,
          |  round(CAST((checksum >> 0) & 255 AS DOUBLE) / 255.0, 5) AS e0
