@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.predict.Predictor
-import graft.queries.{CoreQueries, PipelineQueries, TrainQueries}
+import graft.queries.{CoreQueries, MetricQueries, PipelineQueries, TrainQueries}
 import graft.tree.{GBTTrainer, TrainParams}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -17,9 +17,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries ++ TrainQueries.queries ++ PipelineQueries.queries
+    CoreQueries.queries ++ MetricQueries.queries ++ TrainQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = CoreQueries.oracle ++ PipelineQueries.oracle
+  def oracleSql: Map[String, String] =
+    CoreQueries.oracle ++ MetricQueries.oracle ++ PipelineQueries.oracle
 }

@@ -109,26 +109,29 @@ object Metrics {
   // ---- AUC (auc.cc) --------------------------------------------------------
 
   /** Weighted binary ROC-AUC, trapezoid over distinct scores
-    * (`src/metric/auc.cc:153` BinaryROCAUC) — tie-correct, SQL-expressible:
-    * group by score desc, cumulative TP/FP, trapezoid sum. Returns a 1-row DF. */
+    * (`src/metric/auc.cc:153` BinaryROCAUC) — tie-correct. Returns a 1-row
+    * DF. Scale shape: groupBy(score) shrinks to distinct scores (shuffle,
+    * parallel), then [[graft.data.DistributedCumsum]] supplies the
+    * cumulative TP/FP sweep WITHOUT an unpartitioned window — no single
+    * task ever sees the whole score axis. The trapezoid term needs no lag:
+    * prev-cumulative = cumulative − own group mass. */
   def aucBinary(df: DataFrame, pred: Column, label: Column, w: Column): DataFrame = {
     val g = df.groupBy(pred.as("p"))
       .agg(sum(when(label > 0.5, w).otherwise(0.0)).as("tp"),
         sum(when(label > 0.5, 0.0).otherwise(w)).as("fp"))
-    val ord = Window.orderBy(col("p").desc)
-    val c = g
-      .withColumn("ctp", sum("tp").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("cfp", sum("fp").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
-    // trapezoid between consecutive cumulative points: dFP * (TPprev + TPcur)/2
-    val c2 = c
-      .withColumn("ptp", coalesce(lag("ctp", 1).over(ord), lit(0.0)))
-      .withColumn("pfp", coalesce(lag("cfp", 1).over(ord), lit(0.0)))
-    c2.agg(
-      (sum((col("cfp") - col("pfp")) * (col("ctp") + col("ptp")) / 2.0) /
-        (max("ctp") * max("cfp"))).as("auc"))
+    val c = graft.data.DistributedCumsum.cumsum(g, "p", descending = true, Seq("tp", "fp"))
+    // trapezoid between consecutive cumulative points:
+    // dFP · (TPprev + TPcur)/2 = fp · (2·ctp − tp)/2
+    c.agg(
+      (sum(col("fp") * (lit(2.0) * col("cum_tp") - col("tp")) / 2.0) /
+        (max("cum_tp") * max("cum_fp"))).as("auc"))
   }
 
-  /** Per-query ranking AUC averaged over groups (`auc.cc:165,229`). */
+  /** Per-query ranking AUC averaged over groups (`auc.cc:165,229`). The
+    * cumulative TP/FP windows are PARTITIONED by qid (bounded groups —
+    * scale-safe); groups lacking both classes are excluded from the mean,
+    * via an explicit guard (Spark yields NaN on double 0/0 where other
+    * engines yield NULL — the guard keeps the semantics engine-portable). */
   def aucRanking(df: DataFrame, qid: Column, pred: Column, label: Column): DataFrame = {
     val byQ = Window.partitionBy(col("q")).orderBy(col("p").desc)
     val base = df.select(qid.as("q"), pred.as("p"), label.as("y"))
@@ -137,12 +140,13 @@ object Metrics {
         sum(when(col("y") > 0.5, 0.0).otherwise(1.0)).as("fp"))
       .withColumn("ctp", sum("tp").over(byQ.rowsBetween(Window.unboundedPreceding, 0)))
       .withColumn("cfp", sum("fp").over(byQ.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("ptp", coalesce(lag("ctp", 1).over(byQ), lit(0.0)))
-      .withColumn("pfp", coalesce(lag("cfp", 1).over(byQ), lit(0.0)))
+    // trapezoid: dFP·(TPprev + TPcur)/2 = fp·(2·ctp − tp)/2 (no lag needed)
     val perQ = base.groupBy("q").agg(
-      (sum((col("cfp") - col("pfp")) * (col("ctp") + col("ptp")) / 2.0) /
-        (max("ctp") * max("cfp"))).as("auc"))
-    perQ.where(col("auc").isNotNull).agg(avg("auc").as("auc"), count("*").as("num_groups"))
+      sum(col("fp") * (lit(2.0) * col("ctp") - col("tp")) / 2.0).as("num"),
+      max("ctp").as("pos"), max("cfp").as("neg"))
+      .select(col("q"),
+        when(col("pos") > 0 && col("neg") > 0, col("num") / (col("pos") * col("neg"))).as("auc"))
+    perQ.where(col("auc").isNotNull).agg(avg("auc").as("auc"), count(lit(1)).as("num_groups"))
   }
 
   // ---- ranking (rank_metric.cc + ranking_utils.h) --------------------------
@@ -199,15 +203,23 @@ object Metrics {
 
   // ---- survival ------------------------------------------------------------
 
-  /** cox negative partial log-likelihood (`rank_metric.cc:204` EvalCox):
-    * risk-set cumulative sums over |label| order; label<0 = censored. */
+  /** cox negative MEAN partial log-likelihood per event (`rank_metric.cc:204`
+    * EvalCox): risk-set cumulative sums over |label| order; label<0 =
+    * censored. Breslow tie handling: rows with equal |label| share one risk
+    * set (value-based, deterministic). Scale shape: pre-aggregate per
+    * distinct |label| (shuffle, parallel), then the risk-set sweep runs via
+    * [[graft.data.DistributedCumsum]] — no unpartitioned window, no
+    * single-task sort. Normalized by the event count so the magnitude is
+    * O(log n) and engine-portable under rounding. */
   def coxNloglik(df: DataFrame, pred: Column, label: Column): DataFrame = {
-    val ord = Window.orderBy(abs(col("y")).desc) // risk set = rows with |t| >= current
-    val base = df.select(pred.as("p"), label.as("y"))
-      .withColumn("e", exp(col("p")))
-      .withColumn("riskSum", sum("e").over(ord.rowsBetween(Window.unboundedPreceding, 0)))
-    base.where(col("y") > 0)
-      .agg((-sum(col("p") - log(col("riskSum")))).as("cox_nloglik"))
+    val byV = df.select(pred.as("p"), label.as("y"))
+      .groupBy(abs(col("y")).as("av"))
+      .agg(sum(exp(col("p"))).as("se"),
+        sum(when(col("y") > 0, col("p")).otherwise(0.0)).as("sp"),
+        sum(when(col("y") > 0, 1.0).otherwise(0.0)).as("ne"))
+    val c = graft.data.DistributedCumsum.cumsum(byV, "av", descending = true, Seq("se"))
+    c.agg((-sum(col("sp") - col("ne") * log(col("cum_se"))) /
+      sum(col("ne"))).as("cox_nloglik"))
   }
 
   /** aft-nloglik with LOGISTIC error distribution
