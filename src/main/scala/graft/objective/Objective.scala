@@ -23,6 +23,19 @@ trait Objective extends Serializable {
   def baseScore(labelMean: Double): Double = probToMargin(labelMean)
   /** label validity predicate (ref `CheckLabel`). */
   def validLabel(y: Double): Boolean = true
+  /** true ⇒ per-row gradients depend on GLOBAL order statistics (risk
+    * sets); the trainer must use the objective's distributed gradient
+    * computation instead of this per-row kernel (survival:cox). */
+  def needsGlobalGradients: Boolean = false
+  /** true ⇒ labels are censoring intervals (lower, upper); the trainer
+    * routes through `gradientInterval` (survival:aft). */
+  def usesIntervalLabels: Boolean = false
+  /** (g, h) for interval-censored labels [lower, upper]; upper = NaN or
+    * +Inf means right-censored. Only called when `usesIntervalLabels`. */
+  def gradientInterval(margin: Double, lower: Double, upper: Double,
+      out: Array[Double]): Unit = gradient(margin, lower, out)
+  /** interval-label validity (only consulted when `usesIntervalLabels`). */
+  def validInterval(lower: Double, upper: Double): Boolean = true
   /** Hook run on the driver before each boosting iteration for objectives
     * with global scale statistics (reg:absoluteerror / reg:quantileerror,
     * `src/objective/regression_obj.cu:608-660`, `quantile_obj.cu:30-76`).
@@ -37,7 +50,8 @@ object Objective {
 
   /** Registry, name-keyed like `XGBOOST_REGISTER_OBJECTIVE`. */
   def apply(name: String, maxDeltaStep: Double = 0.7, alpha: Double = 0.5,
-      rho: Double = 1.5, delta: Double = 1.0): Objective = name match {
+      rho: Double = 1.5, delta: Double = 1.0,
+      aftDistribution: String = "normal", aftScale: Double = 1.0): Objective = name match {
     case "reg:squarederror" | "reg:linear" => SquaredError
     case "reg:squaredlogerror"             => SquaredLogError
     case "reg:logistic"                    => new Logistic("reg:logistic")
@@ -52,6 +66,7 @@ object Objective {
     case "reg:quantileerror"               => new QuantileError(alpha)
     case "reg:expectileerror"              => new ExpectileError(alpha)
     case "survival:cox"                    => Cox
+    case "survival:aft"                    => new AFT(aftDistribution, aftScale)
     case other => throw new IllegalArgumentException(s"unknown objective: $other")
   }
 }
@@ -229,21 +244,111 @@ final class ExpectileError(tau: Double) extends Objective {
   }
 }
 
-/** survival:cox (`src/objective/regression_obj.cu:604`) — gradient needs
-  * risk-set cumulative sums; the trainer substitutes the windowed
-  * pre-computation (SURVEY §2.5), so the per-row kernel here is only the
-  * exp-margin part. Placeholder single-row form: handled specially. */
+/** survival:cox (`src/objective/regression_obj.cu:604`): negative partial
+  * log-likelihood with Breslow risk sets. The gradient of row i is
+  * g = w·(e^{p_i}·R(t_i) − 1{event}), h = w·(e^{p_i}·R − e^{2p_i}·S) where
+  * R(t) = Σ_{events e: t_e ≤ t} 1/riskSum(t_e), S the squared analog, and
+  * riskSum(t) = Σ_{|y_j| ≥ t} e^{p_j} — GLOBAL order statistics, so the
+  * per-row kernel below is deliberately unusable: the trainer detects
+  * `needsGlobalGradients` and computes the full distributed form in
+  * [[CoxGradients]] (three partition-prefix passes over the |y|-sorted
+  * cached data, no single-task scan). label < 0 = right-censored at |label|. */
 object Cox extends Objective {
   val name = "survival:cox"
-  def gradient(m: Double, y: Double, out: Array[Double]): Unit = {
-    // Per-row form requires risk-set sums; GBTTrainer.computeCoxGradients
-    // provides the full computation. This fallback treats it as exp-link MSE.
-    val e = math.exp(m)
-    out(0) = e - math.abs(y)
-    out(1) = e
-  }
+  override def needsGlobalGradients: Boolean = true
+  def gradient(m: Double, y: Double, out: Array[Double]): Unit =
+    throw new UnsupportedOperationException(
+      "survival:cox gradients are risk-set based; the trainer computes them via CoxGradients")
   override def predTransform(m: Double): Double = math.exp(m)
+  override def baseScore(labelMean: Double): Double = 0.0
+  override def validLabel(y: Double): Boolean = y != 0.0 && !y.isNaN
   override def defaultMetric = "cox-nloglik"
+}
+
+/** survival:aft (`src/objective/aft_obj.cu:32-70`, distributions
+  * `src/common/probability_distribution.h:31-100`): accelerated failure
+  * time with interval-censored labels [lower, upper] on the TIME scale;
+  * margin predicts log-time. z = (ln t − m)/σ.
+  *   uncensored (lo == hi):   L = −ln f(z_lo) (+ const),
+  *     g = −(dln f/dz)·(dz/dm) = (dln f/dz)/σ evaluated with the sign
+  *     dz/dm = −1/σ; h analytically per distribution.
+  *   censored: L = −ln(F(z_hi) − F(z_lo)), right-censored ⇒ F(z_hi)=1.
+  * Hessians are clamped ≥ 1e-6 like the reference (`aft_obj.cu` uses
+  * clamped closed forms to keep Newton steps finite in the flat tails). */
+final class AFT(dist: String, sigma: Double) extends Objective {
+  val name = "survival:aft"
+  override def usesIntervalLabels: Boolean = true
+
+  // standard pdf f, cdf F and dln f/dz per error distribution
+  @inline private def pdf(z: Double): Double = dist match {
+    case "normal"   => math.exp(-0.5 * z * z) / math.sqrt(2 * math.Pi)
+    case "logistic" => { val e = math.exp(-z); e / ((1 + e) * (1 + e)) }
+    case "extreme"  => { val ez = math.exp(z); ez * math.exp(-ez) }
+  }
+  @inline private def cdf(z: Double): Double = dist match {
+    case "normal"   => 0.5 * (1.0 + AFT.erf(z / math.sqrt(2.0)))
+    case "logistic" => 1.0 / (1.0 + math.exp(-z))
+    case "extreme"  => 1.0 - math.exp(-math.exp(z))
+  }
+  /** f'(z) (derivative of the pdf). */
+  @inline private def dpdf(z: Double): Double = dist match {
+    case "normal"   => -z * pdf(z)
+    case "logistic" => pdf(z) * (1.0 - 2.0 / (1.0 + math.exp(-z)))
+    case "extreme"  => pdf(z) * (1.0 - math.exp(z))
+  }
+
+  def gradient(m: Double, y: Double, out: Array[Double]): Unit =
+    gradientInterval(m, y, y, out)
+
+  override def gradientInterval(m: Double, lo: Double, hi: Double,
+      out: Array[Double]): Unit = {
+    val rightCensored = hi.isNaN || hi.isInfinite
+    val zLo = (math.log(lo) - m) / sigma
+    if (!rightCensored && hi == lo) {
+      // uncensored: L = −ln f(z); g = −(dlnf)·dz/dm with dz/dm = −1/σ
+      dist match {
+        case "normal" =>
+          out(0) = -zLo / sigma
+          out(1) = 1.0 / (sigma * sigma)
+        case "logistic" =>
+          val s = cdf(zLo)
+          out(0) = (1.0 - 2.0 * s) / sigma
+          out(1) = math.max(2.0 * s * (1.0 - s) / (sigma * sigma), 1e-6)
+        case "extreme" =>
+          val ez = math.exp(zLo)
+          out(0) = (1.0 - ez) / sigma
+          out(1) = math.max(ez / (sigma * sigma), 1e-6)
+      }
+    } else {
+      val fLo = pdf(zLo); val dfLo = dpdf(zLo); val cLo = cdf(zLo)
+      val (fHi, dfHi, cHi) =
+        if (rightCensored) (0.0, 0.0, 1.0)
+        else { val z = (math.log(hi) - m) / sigma; (pdf(z), dpdf(z), cdf(z)) }
+      val d = math.max(cHi - cLo, 1e-12)
+      val n = fHi - fLo
+      out(0) = n / (sigma * d)
+      out(1) = math.max((n * n - d * (dfHi - dfLo)) / (sigma * sigma * d * d), 1e-6)
+    }
+  }
+
+  override def predTransform(m: Double): Double = math.exp(m)
+  override def probToMargin(p: Double): Double = math.log(math.max(p, 1e-16))
+  override def validInterval(lo: Double, hi: Double): Boolean =
+    lo > 0.0 && (hi.isNaN || hi >= lo)
+  override def defaultMetric = "aft-nloglik"
+}
+
+object AFT {
+  /** erf via Abramowitz–Stegun 7.1.26 (|err| < 1.5e-7) — enough for
+    * gradient computation; no external math dependency. */
+  def erf(x: Double): Double = {
+    val s = if (x < 0) -1.0 else 1.0
+    val a = math.abs(x)
+    val t = 1.0 / (1.0 + 0.3275911 * a)
+    val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t * math.exp(-a * a)
+    s * y
+  }
 }
 
 /** multi:softmax / multi:softprob (`src/objective/multiclass_obj.cu:234`):

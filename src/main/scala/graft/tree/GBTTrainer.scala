@@ -40,6 +40,8 @@ final case class TrainParams(
     quantileAlpha: Double = 0.5,
     tweedieVariancePower: Double = 1.5,
     pseudoHuberSlope: Double = 1.0,
+    aftDistribution: String = "normal", // | "logistic" | "extreme"
+    aftScale: Double = 1.0,
     // DART (`src/gbm/gbtree.h:88-120`)
     booster: String = "gbtree", // | "dart"
     rateDrop: Double = 0.0,
@@ -84,8 +86,10 @@ final case class TreeShape(
 /** One training instance after quantization: local bin id per feature
   * (−1 = missing), label, weight, and a stable row id (for deterministic
   * per-iteration subsampling, ref `seed_per_iteration`
-  * `src/learner.cc:1119-1123`). */
-final case class BInst(bins: Array[Int], label: Double, weight: Double, rowId: Long)
+  * `src/learner.cc:1119-1123`). `label2` is the censoring upper bound for
+  * interval objectives (survival:aft; NaN elsewhere). */
+final case class BInst(bins: Array[Int], label: Double, weight: Double, rowId: Long,
+    label2: Double = Double.NaN)
 
 private final class BuildNode(
     var g: Double, var h: Double, // totals INCLUDING missing mass
@@ -147,6 +151,23 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     model
   }
 
+  /** survival:aft entry: (features, lowerBound, upperBound, weight) with
+    * upperBound = NaN or +Inf for right-censored rows (ref interval labels
+    * `labels_lower_bound_`/`labels_upper_bound_`, `include/xgboost/
+    * data.h:77`). */
+  def fitSurvival(data: RDD[(Array[Double], Double, Double, Double)]): BoosterModel = {
+    val numFeatures = data.first()._1.length
+    val cuts = findCuts(data.map(r => (r._1, r._2, r._4)), numFeatures)
+    val binned = data.zipWithIndex().map { case ((f, lo, hi, w), id) =>
+      BInst(cuts.binRow(f), lo, w, id, label2 = hi)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    binned.count()
+
+    val model = fitBinned(binned, cuts, numFeatures)
+    binned.unpersist(blocking = false)
+    model
+  }
+
   private def findCuts(data: RDD[(Array[Double], Double, Double)], numFeatures: Int): HistogramCuts = {
     val base = Binning.findCuts(data.map(r => (r._1, r._3)), numFeatures, params.maxBin)
     if (params.catFeatures.isEmpty) base
@@ -160,15 +181,51 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     })
   }
 
-  def fitBinned(binned: RDD[BInst], cuts: HistogramCuts, numFeatures: Int): BoosterModel = {
-    val sc = binned.sparkContext
+  def fitBinned(binnedIn: RDD[BInst], cuts: HistogramCuts, numFeatures: Int): BoosterModel = {
+    val sc = binnedIn.sparkContext
     val softmax = if (isMulti) new SoftmaxObjective(params.numClass, params.objective == "multi:softprob") else null
     val obj: Objective =
       if (isMulti) null
       else Objective(params.objective,
         maxDeltaStep = if (params.maxDeltaStep > 0) params.maxDeltaStep else 0.7,
         alpha = params.quantileAlpha, rho = params.tweedieVariancePower,
-        delta = params.pseudoHuberSlope)
+        delta = params.pseudoHuberSlope,
+        aftDistribution = params.aftDistribution, aftScale = params.aftScale)
+    val needsGlobalGrads = !isMulti && obj.needsGlobalGradients
+    if (needsGlobalGrads && params.booster == "dart")
+      throw new IllegalArgumentException(
+        s"${params.objective} does not compose with dart dropout (risk-set gradients need the full-ensemble margin)")
+
+    // ---- fail-fast label/weight validation (ref CheckLabel per objective +
+    // MetaInfo::Validate, include/xgboost/data.h:127): one cheap pass, with
+    // the violation count in the error like the reference's CHECK messages ----
+    val badLabels =
+      if (isMulti) {
+        val k = params.numClass
+        binnedIn.treeAggregate(0L)((c, r) =>
+          if (r.label < 0 || r.label >= k || r.label != math.floor(r.label)) c + 1 else c, _ + _)
+      } else if (obj.usesIntervalLabels)
+        binnedIn.treeAggregate(0L)((c, r) => if (!obj.validInterval(r.label, r.label2)) c + 1 else c, _ + _)
+      else
+        binnedIn.treeAggregate(0L)((c, r) => if (!obj.validLabel(r.label)) c + 1 else c, _ + _)
+    if (badLabels > 0)
+      throw new IllegalArgumentException(
+        s"$badLabels label(s) violate the ${params.objective} label constraints")
+    val badWeights = binnedIn.treeAggregate(0L)((c, r) => if (r.weight < 0 || r.weight.isNaN) c + 1 else c, _ + _)
+    if (badWeights > 0)
+      throw new IllegalArgumentException(s"$badWeights instance weight(s) are negative or NaN")
+
+    // survival:cox needs |label|-sorted data for its risk-set scans; the
+    // order is fixed across iterations, so sort ONCE per fit (range
+    // partitioning keeps it distributed) and run every pass on the sorted
+    // copy
+    val binned =
+      if (needsGlobalGrads) {
+        val sorted = binnedIn.sortBy(r => math.abs(r.label))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        sorted.count()
+        sorted
+      } else binnedIn
 
     // ---- base score (ref FitStump / InitEstimation, fit_stump.cc:50-82) ----
     val (sumWy, sumW) = binned.treeAggregate((0.0, 0.0))(
@@ -206,10 +263,21 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       val (droppedIdx, newTreeWeight) = dartDrop(shapes.length, rng)
       val droppedShapes = droppedIdx.map(i => (shapes(i), treeWeightsBuf(i), treeGroupBuf(i)))
 
+      // risk-set objectives (survival:cox): per-row (g,h) precomputed once
+      // per iteration from global order statistics, cached for reuse by
+      // every tree level's histogram pass
+      val globalGrads: Option[RDD[Array[Double]]] =
+        if (needsGlobalGrads) {
+          val g = graft.objective.CoxGradients.compute(binned, margins)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          g.count()
+          Some(g)
+        } else None
+
       val newShapes = new Array[TreeShape](numGroups)
       var k = 0
       while (k < numGroups) {
-        newShapes(k) = growTree(binned, margins, cuts, numFeatures, obj, softmax, k, iter, colSampler, droppedShapes)
+        newShapes(k) = growTree(binned, margins, globalGrads, cuts, numFeatures, obj, softmax, k, iter, colSampler, droppedShapes)
         k += 1
       }
 
@@ -253,8 +321,10 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       if ((iter + 1) % params.checkpointInterval == 0) margins.localCheckpoint()
       margins.count()
       oldMargins.unpersist(blocking = false)
+      globalGrads.foreach(_.unpersist(blocking = false))
       iter += 1
     }
+    if (needsGlobalGrads) binned.unpersist(blocking = false)
 
     val trees = shapes.toArray.map(shapeToTree(_, cuts))
     BoosterModel(trees, treeWeightsBuf.toArray, treeGroupBuf.toArray, base,
@@ -282,7 +352,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
   /** Grow one tree for output group `grp` (ref UpdateTree,
     * `updater_quantile_hist.cc:96-180`). */
   private def growTree(
-      binned: RDD[BInst], margins: RDD[Array[Double]], cuts: HistogramCuts,
+      binned: RDD[BInst], margins: RDD[Array[Double]],
+      globalGrads: Option[RDD[Array[Double]]], cuts: HistogramCuts,
       numFeatures: Int, obj: Objective, softmax: SoftmaxObjective, grp: Int,
       iter: Int, colSampler: ColumnSampler,
       droppedShapes: Array[(TreeShape, Double, Int)]): TreeShape = {
@@ -292,7 +363,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     val treeCols = colSampler.sampleTree(iter, params.colsampleBytree)
 
     // root totals
-    val (rootG, rootH) = aggregateTotals(binned, margins, obj, softmax, grp, iter, droppedShapes)
+    val (rootG, rootH) = aggregateTotals(binned, margins, globalGrads, obj, softmax, grp, iter, droppedShapes)
     nodes += new BuildNode(rootG, rootH, 0)
     if (params.interactionConstraints.nonEmpty)
       nodes(0).allowed = Some((0 until numFeatures).toSet)
@@ -307,7 +378,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
 
       // subtraction trick (histogram.h:203-213,386-425): build smaller sibling
       val (buildSet, subtractSet) = planHistBuilds(frontier, parentHists, nodes)
-      val built = aggregateHistograms(binned, margins, cuts, obj, softmax, grp,
+      val built = aggregateHistograms(binned, margins, globalGrads, cuts, obj, softmax, grp,
         iter, buildSet, nodesShape(nodes), droppedShapes)
       val hists = collection.mutable.Map[Int, Array[Double]](buildSet.zip(built).toSeq: _*)
       subtractSet.foreach { case (nid, parent, sibling) =>
@@ -470,11 +541,27 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     out
   }
 
+  /** Align rows, margins and (optionally) precomputed per-row gradients.
+    * All three share the exact same partitioning/order (margins and grads
+    * are derived from `binned` by mapPartitions-style transforms), so zip
+    * is positional and shuffle-free. `pre == null` ⇒ compute from the
+    * objective kernel. */
+  private def zip3(
+      binned: RDD[BInst], margins: RDD[Array[Double]],
+      grads: Option[RDD[Array[Double]]]): RDD[(BInst, Array[Double], Array[Double])] =
+    grads match {
+      case Some(g) => binned.zip(margins).zip(g).map { case ((r, m), gh) => (r, m, gh) }
+      case None => binned.zip(margins).map { case (r, m) => (r, m, null) }
+    }
+
   private def gradOf(
-      r: BInst, m: Array[Double], obj: Objective, softmax: SoftmaxObjective,
+      r: BInst, m: Array[Double], pre: Array[Double], obj: Objective,
+      softmax: SoftmaxObjective,
       grp: Int, dropped: Array[(TreeShape, Double, Int)], out: Array[Double],
       scratch: Array[Double]): Unit = {
-    if (isMulti) {
+    if (pre != null) { // risk-set objectives: already weighted
+      out(0) = pre(0); out(1) = pre(1)
+    } else if (isMulti) {
       // softmax needs all group margins (dropout adjustment per group)
       if (dropped.isEmpty) softmax.gradient(m, r.label, scratch)
       else {
@@ -487,23 +574,25 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       out(1) = scratch(2 * grp + 1) * r.weight
     } else {
       val margin = if (dropped.isEmpty) m(0) else adjustedMargin(m, r.bins, 0, dropped)
-      obj.gradient(margin, r.label, out)
+      if (obj.usesIntervalLabels) obj.gradientInterval(margin, r.label, r.label2, out)
+      else obj.gradient(margin, r.label, out)
       out(0) *= r.weight
       out(1) *= r.weight
     }
   }
 
   private def aggregateTotals(
-      binned: RDD[BInst], margins: RDD[Array[Double]], obj: Objective,
+      binned: RDD[BInst], margins: RDD[Array[Double]],
+      globalGrads: Option[RDD[Array[Double]]], obj: Objective,
       softmax: SoftmaxObjective, grp: Int, iter: Int,
       dropped: Array[(TreeShape, Double, Int)]): (Double, Double) = {
-    binned.zip(margins).mapPartitions { it =>
+    zip3(binned, margins, globalGrads).mapPartitions { it =>
       val out = new Array[Double](2)
       val scratch = new Array[Double](2 * numGroups)
       var g = 0.0; var h = 0.0
-      it.foreach { case (r, m) =>
+      it.foreach { case (r, m, pre) =>
         if (sampled(r.rowId, iter)) {
-          gradOf(r, m, obj, softmax, grp, dropped, out, scratch)
+          gradOf(r, m, pre, obj, softmax, grp, dropped, out, scratch)
           g += out(0); h += out(1)
         }
       }
@@ -518,7 +607,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * reference's histogram allreduce. Hist layout per node: g at 2·bin,
     * h at 2·bin+1 in global bin space. */
   private def aggregateHistograms(
-      binned: RDD[BInst], margins: RDD[Array[Double]], cuts: HistogramCuts,
+      binned: RDD[BInst], margins: RDD[Array[Double]],
+      globalGrads: Option[RDD[Array[Double]]], cuts: HistogramCuts,
       obj: Objective, softmax: SoftmaxObjective, grp: Int, iter: Int,
       buildSet: Array[Int], shape: TreeShape,
       dropped: Array[(TreeShape, Double, Int)]): Array[Array[Double]] = {
@@ -534,19 +624,19 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     val slotOf = Array.fill(maxNid + 1)(-1)
     buildSet.zipWithIndex.foreach { case (nid, s) => slotOf(nid) = s }
 
-    val partials = binned.zip(margins).mapPartitions { it =>
+    val partials = zip3(binned, margins, globalGrads).mapPartitions { it =>
       val hists = new Array[Array[Double]](nBuild)
       val out = new Array[Double](2)
       val scratch = new Array[Double](2 * numGroups)
       val sh = bShape.value
-      it.foreach { case (r, m) =>
+      it.foreach { case (r, m, pre) =>
         if (sampled(r.rowId, iter)) {
           val pos = sh.position(r.bins)
           val slot = if (pos <= maxNid) slotOf(pos) else -1
           if (slot >= 0) {
             var hist = hists(slot)
             if (hist == null) { hist = new Array[Double](histLen); hists(slot) = hist }
-            gradOf(r, m, obj, softmax, grp, dropped, out, scratch)
+            gradOf(r, m, pre, obj, softmax, grp, dropped, out, scratch)
             val g = out(0); val h = out(1)
             var f = 0
             while (f < numFeatures) {
