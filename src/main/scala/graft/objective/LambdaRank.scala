@@ -1,0 +1,157 @@
+package graft.objective
+
+import org.apache.spark.rdd.RDD
+import graft.tree.BInst
+
+import scala.collection.mutable.ArrayBuffer
+
+/** LambdaRank objectives rank:ndcg / rank:map / rank:pairwise (reference
+  * kernels `src/objective/lambdarank_obj.h:91-140`, registrations
+  * `lambdarank_obj.cc:662-671`). Gradients are pairwise within a query
+  * group: for docs i (higher label) and j (lower), with current margins
+  * s_i, s_j and ρ = σ(−(s_i − s_j)):
+  *   g_i −= Δ·ρ,  g_j += Δ·ρ,  h_i += Δ·ρ(1−ρ),  h_j += Δ·ρ(1−ρ)
+  * where Δ is |metric change if i and j swapped ranks|: 1 for pairwise,
+  * the discount/gain swap for NDCG, the prefix-sum AP swap for MAP.
+  *
+  * These need the whole group, so `needsGlobalGradients` routes the
+  * trainer to [[LambdaRankGradients]], which walks qid-CONTIGUOUS
+  * partitions (the trainer co-partitions by qid once per fit — the
+  * reference Spark layer does the same, `XGBoostEstimator.scala:142-144`)
+  * and never shuffles per iteration. `topK > 0` restricts to pairs
+  * touching the current top-k (the reference's `lambdarank_pair_method =
+  * topk`), bounding work per group at corpus scale.
+  */
+final class LambdaRankObjective(val variant: String, val ndcgExpGain: Boolean = true,
+    val topK: Int = 0) extends Objective {
+  require(Set("ndcg", "map", "pairwise")(variant), s"unknown rank variant: $variant")
+  val name = s"rank:$variant"
+  override def needsGlobalGradients: Boolean = true
+  def gradient(m: Double, y: Double, out: Array[Double]): Unit =
+    throw new UnsupportedOperationException(
+      s"$name gradients are pairwise per query group; the trainer computes them via LambdaRankGradients")
+  override def baseScore(labelMean: Double): Double = 0.0
+  override def validLabel(y: Double): Boolean = y >= 0.0
+  override def defaultMetric: String = variant match {
+    case "ndcg" => "ndcg@8"
+    case "map"  => "map@8"
+    case _      => "auc"
+  }
+}
+
+object LambdaRankGradients {
+
+  /** Aligned per-row [g, h] (weighted). Requires rows of one qid contiguous
+    * within a partition (trainer's fitRanking guarantees it). */
+  def compute(binned: RDD[BInst], margins: RDD[Array[Double]],
+      obj: LambdaRankObjective): RDD[Array[Double]] = {
+    val variant = obj.variant
+    val expGain = obj.ndcgExpGain
+    val topK = obj.topK
+    binned.zip(margins).mapPartitions { it =>
+      val base = it.buffered
+      val out = new ArrayBuffer[Array[Double]]
+      val rows = new ArrayBuffer[(Double, Double, Double)] // (label, margin, weight)
+      while (base.hasNext) {
+        rows.clear()
+        val q = base.head._1.qid
+        while (base.hasNext && base.head._1.qid == q) {
+          val (r, m) = base.next()
+          rows += ((r.label, m(0), r.weight))
+        }
+        out ++= groupGradients(rows, variant, expGain, topK)
+      }
+      out.iterator
+    }
+  }
+
+  /** λ-gradients for one query group. */
+  private[objective] def groupGradients(
+      rows: scala.collection.Seq[(Double, Double, Double)], variant: String,
+      expGain: Boolean, topK: Int): Seq[Array[Double]] = {
+    val n = rows.length
+    val g = new Array[Double](n)
+    val h = new Array[Double](n)
+    if (n >= 2) {
+      // current ranking: margin desc, stable by position for determinism
+      val order = (0 until n).sortBy(i => (-rows(i)._2, i)).toArray
+      val rankOf = new Array[Int](n) // 1-based
+      var r = 0
+      while (r < n) { rankOf(order(r)) = r + 1; r += 1 }
+
+      // NDCG machinery
+      def gain(l: Double): Double = if (expGain) math.pow(2.0, l) - 1.0 else l
+      def disc(rank: Int): Double = 1.0 / (math.log(rank + 1.0) / math.log(2.0))
+      val invIdcg: Double =
+        if (variant == "ndcg") {
+          val sortedGains = rows.map(x => gain(x._1)).sortBy(-_)
+          val idcg = sortedGains.zipWithIndex.map { case (gn, k) => gn * disc(k + 1) }.sum
+          if (idcg > 0) 1.0 / idcg else 0.0
+        } else 0.0
+
+      // MAP machinery: prefix counts/sums over the CURRENT ranking
+      // (rel(k), R[k] = #relevant in top k, S[k] = Σ_{t≤k, rel} 1/t)
+      var nRel = 0
+      val relAt = new Array[Boolean](n + 1)
+      val cumRel = new Array[Int](n + 1)
+      val cumInv = new Array[Double](n + 1)
+      if (variant == "map") {
+        var k = 1
+        while (k <= n) {
+          val rel = rows(order(k - 1))._1 > 0
+          relAt(k) = rel
+          cumRel(k) = cumRel(k - 1) + (if (rel) 1 else 0)
+          cumInv(k) = cumInv(k - 1) + (if (rel) 1.0 / k else 0.0)
+          if (rel) nRel += 1
+          k += 1
+        }
+      }
+
+      /** |ΔAP| when the docs at 1-based ranks ri (relevant) and rj
+        * (non-relevant) swap places. */
+      def deltaMap(ri: Int, rj: Int): Double = {
+        if (nRel == 0) return 0.0
+        if (ri < rj) {
+          val a = ri; val b = rj
+          math.abs(-cumRel(a).toDouble / a + cumRel(b).toDouble / b -
+            (cumInv(b - 1) - cumInv(a))) / nRel
+        } else {
+          val a = rj; val b = ri
+          math.abs((cumRel(a) + 1.0) / a - cumRel(b).toDouble / b +
+            (cumInv(b - 1) - cumInv(a))) / nRel
+        }
+      }
+
+      var i = 0
+      while (i < n) {
+        var j = 0
+        while (j < n) {
+          val li = rows(i)._1; val lj = rows(j)._1
+          if (li > lj && (topK == 0 || rankOf(i) <= topK || rankOf(j) <= topK)) {
+            val d = variant match {
+              case "pairwise" => 1.0
+              case "ndcg" =>
+                math.abs((gain(li) - gain(lj)) * (disc(rankOf(i)) - disc(rankOf(j)))) * invIdcg
+              // MAP is binary-relevance: only (relevant, non-relevant) pairs
+              case "map" => if (li > 0 && lj <= 0) deltaMap(rankOf(i), rankOf(j)) else 0.0
+            }
+            if (d > 0) {
+              val rho = 1.0 / (1.0 + math.exp(rows(i)._2 - rows(j)._2))
+              g(i) -= d * rho
+              g(j) += d * rho
+              val hh = math.max(d * rho * (1.0 - rho), 1e-16)
+              h(i) += hh
+              h(j) += hh
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+    }
+    (0 until n).map { i =>
+      val w = rows(i)._3
+      Array(g(i) * w, math.max(h(i), 1e-16) * w)
+    }
+  }
+}

@@ -51,7 +51,8 @@ object Objective {
   /** Registry, name-keyed like `XGBOOST_REGISTER_OBJECTIVE`. */
   def apply(name: String, maxDeltaStep: Double = 0.7, alpha: Double = 0.5,
       rho: Double = 1.5, delta: Double = 1.0,
-      aftDistribution: String = "normal", aftScale: Double = 1.0): Objective = name match {
+      aftDistribution: String = "normal", aftScale: Double = 1.0,
+      rankExpGain: Boolean = true, rankTopK: Int = 0): Objective = name match {
     case "reg:squarederror" | "reg:linear" => SquaredError
     case "reg:squaredlogerror"             => SquaredLogError
     case "reg:logistic"                    => new Logistic("reg:logistic")
@@ -67,6 +68,9 @@ object Objective {
     case "reg:expectileerror"              => new ExpectileError(alpha)
     case "survival:cox"                    => Cox
     case "survival:aft"                    => new AFT(aftDistribution, aftScale)
+    case "rank:ndcg"                       => new LambdaRankObjective("ndcg", rankExpGain, rankTopK)
+    case "rank:map"                        => new LambdaRankObjective("map", rankExpGain, rankTopK)
+    case "rank:pairwise"                   => new LambdaRankObjective("pairwise", rankExpGain, rankTopK)
     case other => throw new IllegalArgumentException(s"unknown objective: $other")
   }
 }

@@ -63,6 +63,27 @@ object TrainQueries {
         .select(round(col("auc"), 3).as("auc"))
     }),
 
+    // learning-to-rank: qid-grouped lambdarank training, NDCG@5 surfaced
+    "t_train_rank_ndcg" -> ((s, dir) => {
+      val df = CoreQueries.table(s, dir, "lineitem")
+      val data = df.rdd.map { r =>
+        val f = featureCols.map(c => r.getAs[Double](c)).toArray
+        val rel = (r.getAs[Int]("l_linenumber") % 4).toDouble
+        (f, rel, 1.0, r.getAs[Long]("l_orderkey") % 100)
+      }.cache()
+      val model = new GBTTrainer(TrainParams(objective = "rank:ndcg",
+        numRounds = 5, maxDepth = 3, maxBin = 64, seed = 7)).fitRanking(data)
+      val scored = Predictor.transform(
+        df.select(array(featureCols.map(c => col(c).cast("double")): _*).as("features"),
+          (col("l_orderkey") % 100).as("q"),
+          (col("l_linenumber") % 4).cast("double").as("rel"),
+          col("l_orderkey").as("t")),
+        model, "features")
+      data.unpersist(blocking = false)
+      graft.metric.Metrics.ndcgAt(scored, col("q"), col("margin"), col("rel"), col("t"), k = 5)
+        .select(round(col("ndcg"), 3).as("ndcg"), col("num_groups"))
+    }),
+
     // model IO + feature importance surfaced as a table
     "t_feature_importance" -> ((s, dir) => {
       val data = lineitemTrainingData(s, dir).cache()

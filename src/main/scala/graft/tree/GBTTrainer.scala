@@ -5,7 +5,7 @@ import org.apache.spark.storage.StorageLevel
 
 import graft.data.{Binning, HistogramCuts}
 import graft.model.{BoosterModel, Node, Tree}
-import graft.objective.{Objective, SoftmaxObjective}
+import graft.objective.{CoxGradients, LambdaRankGradients, LambdaRankObjective, Objective, SoftmaxObjective}
 
 import scala.collection.mutable.ArrayBuffer
 
@@ -42,6 +42,8 @@ final case class TrainParams(
     pseudoHuberSlope: Double = 1.0,
     aftDistribution: String = "normal", // | "logistic" | "extreme"
     aftScale: Double = 1.0,
+    ndcgExpGain: Boolean = true, // rank:ndcg gain 2^rel−1 vs linear
+    lambdarankTopK: Int = 0, // 0 = all label-discordant pairs; >0 = pairs touching top-k
     // DART (`src/gbm/gbtree.h:88-120`)
     booster: String = "gbtree", // | "dart"
     rateDrop: Double = 0.0,
@@ -87,9 +89,10 @@ final case class TreeShape(
   * (−1 = missing), label, weight, and a stable row id (for deterministic
   * per-iteration subsampling, ref `seed_per_iteration`
   * `src/learner.cc:1119-1123`). `label2` is the censoring upper bound for
-  * interval objectives (survival:aft; NaN elsewhere). */
+  * interval objectives (survival:aft; NaN elsewhere). `qid` is the ranking
+  * query group (rank:* objectives; −1 elsewhere). */
 final case class BInst(bins: Array[Int], label: Double, weight: Double, rowId: Long,
-    label2: Double = Double.NaN)
+    label2: Double = Double.NaN, qid: Long = -1L)
 
 private final class BuildNode(
     var g: Double, var h: Double, // totals INCLUDING missing mass
@@ -168,6 +171,27 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     model
   }
 
+  /** rank:* entry: (features, relevance label, weight, qid). Co-partitions
+    * by qid ONCE (hash partition + in-partition sort, the reference Spark
+    * layer's `sortPartitionIfNeeded`, `XGBoostEstimator.scala:142-144`) so
+    * every per-iteration λ-gradient pass is a shuffle-free partition walk
+    * over contiguous groups. */
+  def fitRanking(data: RDD[(Array[Double], Double, Double, Long)]): BoosterModel = {
+    val numFeatures = data.first()._1.length
+    val cuts = findCuts(data.map(r => (r._1, r._2, r._3)), numFeatures)
+    val nParts = math.max(data.getNumPartitions, 1)
+    val grouped = data.map { case (f, y, w, q) => (q, (f, y, w)) }
+      .partitionBy(new org.apache.spark.HashPartitioner(nParts))
+      .mapPartitions(it => it.toArray.sortBy(_._1).iterator, preservesPartitioning = true)
+    val binned = grouped.zipWithIndex().map { case ((q, (f, y, w)), id) =>
+      BInst(cuts.binRow(f), y, w, id, qid = q)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    binned.count()
+    val model = fitBinned(binned, cuts, numFeatures)
+    binned.unpersist(blocking = false)
+    model
+  }
+
   private def findCuts(data: RDD[(Array[Double], Double, Double)], numFeatures: Int): HistogramCuts = {
     val base = Binning.findCuts(data.map(r => (r._1, r._3)), numFeatures, params.maxBin)
     if (params.catFeatures.isEmpty) base
@@ -190,7 +214,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         maxDeltaStep = if (params.maxDeltaStep > 0) params.maxDeltaStep else 0.7,
         alpha = params.quantileAlpha, rho = params.tweedieVariancePower,
         delta = params.pseudoHuberSlope,
-        aftDistribution = params.aftDistribution, aftScale = params.aftScale)
+        aftDistribution = params.aftDistribution, aftScale = params.aftScale,
+        rankExpGain = params.ndcgExpGain, rankTopK = params.lambdarankTopK)
     val needsGlobalGrads = !isMulti && obj.needsGlobalGradients
     if (needsGlobalGrads && params.booster == "dart")
       throw new IllegalArgumentException(
@@ -218,9 +243,11 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     // survival:cox needs |label|-sorted data for its risk-set scans; the
     // order is fixed across iterations, so sort ONCE per fit (range
     // partitioning keeps it distributed) and run every pass on the sorted
-    // copy
+    // copy. rank:* objectives instead require qid-contiguous partitions,
+    // which fitRanking establishes before binning — no re-sort here.
+    val needsCoxSort = needsGlobalGrads && !obj.isInstanceOf[LambdaRankObjective]
     val binned =
-      if (needsGlobalGrads) {
+      if (needsCoxSort) {
         val sorted = binnedIn.sortBy(r => math.abs(r.label))
           .persist(StorageLevel.MEMORY_AND_DISK)
         sorted.count()
@@ -268,8 +295,11 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       // every tree level's histogram pass
       val globalGrads: Option[RDD[Array[Double]]] =
         if (needsGlobalGrads) {
-          val g = graft.objective.CoxGradients.compute(binned, margins)
-            .persist(StorageLevel.MEMORY_AND_DISK)
+          val raw = obj match {
+            case lr: LambdaRankObjective => LambdaRankGradients.compute(binned, margins, lr)
+            case _ => CoxGradients.compute(binned, margins)
+          }
+          val g = raw.persist(StorageLevel.MEMORY_AND_DISK)
           g.count()
           Some(g)
         } else None
@@ -324,7 +354,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       globalGrads.foreach(_.unpersist(blocking = false))
       iter += 1
     }
-    if (needsGlobalGrads) binned.unpersist(blocking = false)
+    if (needsCoxSort) binned.unpersist(blocking = false)
 
     val trees = shapes.toArray.map(shapeToTree(_, cuts))
     BoosterModel(trees, treeWeightsBuf.toArray, treeGroupBuf.toArray, base,
