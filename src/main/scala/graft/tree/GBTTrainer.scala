@@ -141,17 +141,103 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
   private val numGroups = math.max(params.numClass, 1)
 
   /** data: (dense features with NaN=missing, label, weight). */
-  def fit(data: RDD[(Array[Double], Double, Double)]): BoosterModel = {
-    val numFeatures = data.first()._1.length
-    val cuts = findCuts(data, numFeatures)
-    val binned = data.zipWithIndex().map { case ((f, y, w), id) =>
-      BInst(cuts.binRow(f), y, w, id)
-    }.persist(StorageLevel.MEMORY_AND_DISK)
-    binned.count()
+  def fit(data: RDD[(Array[Double], Double, Double)]): BoosterModel = params.treeMethod match {
+    case "hist" =>
+      val numFeatures = data.first()._1.length
+      val cuts = findCuts(data, numFeatures)
+      val binned = data.zipWithIndex().map { case ((f, y, w), id) =>
+        BInst(cuts.binRow(f), y, w, id)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      binned.count()
 
-    val model = fitBinned(binned, cuts, numFeatures)
-    binned.unpersist(blocking = false)
-    model
+      val model = fitBinned(binned, cuts, numFeatures)
+      binned.unpersist(blocking = false)
+      model
+    case "approx" => fitApprox(data)
+    case other => throw new IllegalArgumentException(
+      s"unknown tree_method: $other (supported: hist, approx)")
+  }
+
+  /** grow_histmaker / approx (`src/tree/updater_approx.cc:46-100`): the
+    * quantile sketch is REBUILT every iteration with the current hessians
+    * as sketch weights (`BatchParam.hess` regen), concentrating bins where
+    * the loss curvature is — then one tree is grown on the fresh binning.
+    * Costs one sketch + re-bin pass per iteration on top of hist.
+    * Single-output per-row objectives only (the reference gates approx the
+    * same way for risk-set objectives). */
+  private def fitApprox(data: RDD[(Array[Double], Double, Double)]): BoosterModel = {
+    require(!isMulti, "tree_method=approx supports single-output objectives only")
+    require(params.booster != "dart", "tree_method=approx supports the gbtree booster only")
+    val obj = Objective(params.objective,
+      maxDeltaStep = if (params.maxDeltaStep > 0) params.maxDeltaStep else 0.7,
+      alpha = params.quantileAlpha, rho = params.tweedieVariancePower,
+      delta = params.pseudoHuberSlope)
+    require(!obj.needsGlobalGradients && !obj.usesIntervalLabels,
+      s"tree_method=approx does not support ${params.objective}")
+    val sc = data.sparkContext
+    val numFeatures = data.first()._1.length
+    // derived copy so we never clash with a caller-chosen storage level
+    val cached = data.map(identity).persist(StorageLevel.MEMORY_AND_DISK)
+    cached.count()
+
+    val badLabels = cached.treeAggregate(0L)((c, r) => if (!obj.validLabel(r._2)) c + 1 else c, _ + _)
+    if (badLabels > 0) throw new IllegalArgumentException(
+      s"$badLabels label(s) violate the ${params.objective} label constraints")
+    val badWeights = cached.treeAggregate(0L)((c, r) => if (r._3 < 0 || r._3.isNaN) c + 1 else c, _ + _)
+    if (badWeights > 0) throw new IllegalArgumentException(
+      s"$badWeights instance weight(s) are negative or NaN")
+
+    val (sumWy, sumW) = cached.treeAggregate((0.0, 0.0))(
+      (a, r) => (a._1 + r._3 * r._2, a._2 + r._3), (a, b) => (a._1 + b._1, a._2 + b._2))
+    val labelMean = if (sumW > 0) sumWy / sumW else 0.0
+    val base = Array(params.baseScore.map(obj.probToMargin).getOrElse(obj.baseScore(labelMean)))
+
+    var margins: RDD[Array[Double]] = cached.map(_ => base.clone())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    margins.count()
+
+    val colSampler = new ColumnSampler(numFeatures, params.seed)
+    val treesBuf = new ArrayBuffer[Tree]
+    var iter = 0
+    while (iter < params.numRounds) {
+      if (obj.needsScale) {
+        val (s1, s2) = cached.zip(margins).treeAggregate((0.0, 0.0))(
+          { case ((a1, a2), (r, m)) =>
+            val res = math.abs(r._2 - m(0))
+            (a1 + r._3 * math.sqrt(res), a2 + r._3)
+          }, (a, b) => (a._1 + b._1, a._2 + b._2))
+        obj.setScale(s1, s2)
+      }
+      // hessian-weighted re-sketch (updater_approx.cc:46-53)
+      val cuts = Binning.findCuts(cached.zip(margins).map { case ((f, y, w), m) =>
+        val o = new Array[Double](2)
+        obj.gradient(m(0), y, o)
+        (f, math.max(o(1) * w, 1e-16))
+      }, numFeatures, params.maxBin)
+      val binned = cached.zipWithIndex().map { case ((f, y, w), id) =>
+        BInst(cuts.binRow(f), y, w, id)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      binned.count()
+
+      val shape = growTree(binned, margins, None, cuts, numFeatures, obj, null, 0,
+        iter, colSampler, Array.empty)
+      treesBuf += shapeToTree(shape, cuts)
+
+      val bShape = sc.broadcast(shape)
+      val old = margins
+      margins = binned.zip(old).map { case (r, m) =>
+        val o = m.clone(); o(0) += params.eta * bShape.value.predictLeaf(r.bins)(0); o
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      if ((iter + 1) % params.checkpointInterval == 0) margins.localCheckpoint()
+      margins.count()
+      old.unpersist(blocking = false)
+      binned.unpersist(blocking = false)
+      iter += 1
+    }
+    cached.unpersist(blocking = false)
+    val n = treesBuf.length
+    BoosterModel(treesBuf.toArray, Array.fill(n)(params.eta), Array.fill(n)(0), base,
+      params.objective, 1, numFeatures)
   }
 
   /** survival:aft entry: (features, lowerBound, upperBound, weight) with
@@ -159,6 +245,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * `labels_lower_bound_`/`labels_upper_bound_`, `include/xgboost/
     * data.h:77`). */
   def fitSurvival(data: RDD[(Array[Double], Double, Double, Double)]): BoosterModel = {
+    require(params.treeMethod == "hist", "survival objectives support tree_method=hist only")
     val numFeatures = data.first()._1.length
     val cuts = findCuts(data.map(r => (r._1, r._2, r._4)), numFeatures)
     val binned = data.zipWithIndex().map { case ((f, lo, hi, w), id) =>
@@ -177,6 +264,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * every per-iteration λ-gradient pass is a shuffle-free partition walk
     * over contiguous groups. */
   def fitRanking(data: RDD[(Array[Double], Double, Double, Long)]): BoosterModel = {
+    require(params.treeMethod == "hist", "rank objectives support tree_method=hist only")
     val numFeatures = data.first()._1.length
     val cuts = findCuts(data.map(r => (r._1, r._2, r._3)), numFeatures)
     val nParts = math.max(data.getNumPartitions, 1)
@@ -379,9 +467,100 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     else (finalDropped, params.eta / (k + params.eta))
   }
 
-  /** Grow one tree for output group `grp` (ref UpdateTree,
-    * `updater_quantile_hist.cc:96-180`). */
+  /** Grow one tree for output group `grp`, dispatching on the expand
+    * policy (ref `src/tree/driver.h:1-126`: depthwise BFS vs lossguide
+    * best-first queue; `grow_policy` `src/tree/param.h:38,99-106`). */
   private def growTree(
+      binned: RDD[BInst], margins: RDD[Array[Double]],
+      globalGrads: Option[RDD[Array[Double]]], cuts: HistogramCuts,
+      numFeatures: Int, obj: Objective, softmax: SoftmaxObjective, grp: Int,
+      iter: Int, colSampler: ColumnSampler,
+      droppedShapes: Array[(TreeShape, Double, Int)]): TreeShape = params.growPolicy match {
+    case "depthwise" => growTreeDepthwise(binned, margins, globalGrads, cuts,
+      numFeatures, obj, softmax, grp, iter, colSampler, droppedShapes)
+    case "lossguide" => growTreeLossguide(binned, margins, globalGrads, cuts,
+      numFeatures, obj, softmax, grp, iter, colSampler, droppedShapes)
+    case other => throw new IllegalArgumentException(
+      s"unknown grow_policy: $other (supported: depthwise, lossguide)")
+  }
+
+  /** Best-first (lossguide) growth: a driver-side priority queue expands
+    * the highest-gain candidate anywhere in the tree until `maxLeaves`
+    * (ref `src/tree/driver.h` lossguide ordering). Each split costs ONE
+    * histogram aggregation (smaller child built, sibling by subtraction),
+    * so a tree with L leaves costs L−1 aggregation rounds — the price of
+    * unbalanced trees; depthwise batches a whole level per round. */
+  private def growTreeLossguide(
+      binned: RDD[BInst], margins: RDD[Array[Double]],
+      globalGrads: Option[RDD[Array[Double]]], cuts: HistogramCuts,
+      numFeatures: Int, obj: Objective, softmax: SoftmaxObjective, grp: Int,
+      iter: Int, colSampler: ColumnSampler,
+      droppedShapes: Array[(TreeShape, Double, Int)]): TreeShape = {
+
+    val nodes = new ArrayBuffer[BuildNode]
+    val treeCols = colSampler.sampleTree(iter, params.colsampleBytree)
+    val (rootG, rootH) = aggregateTotals(binned, margins, globalGrads, obj, softmax, grp, iter, droppedShapes)
+    nodes += new BuildNode(rootG, rootH, 0)
+    if (params.interactionConstraints.nonEmpty)
+      nodes(0).allowed = Some((0 until numFeatures).toSet)
+
+    val hists = collection.mutable.Map[Int, Array[Double]]()
+    hists(0) = aggregateHistograms(binned, margins, globalGrads, cuts, obj, softmax,
+      grp, iter, Array(0), nodesShape(nodes), droppedShapes)(0)
+
+    // max-queue by (gain, then smaller nid) for deterministic tie-breaks
+    val queue = collection.mutable.PriorityQueue.empty[(Double, Int, SplitCandidate)](
+      Ordering.by { case (gain, nid, _) => (gain, -nid) })
+    def tryEnqueue(nid: Int): Unit = {
+      val n = nodes(nid)
+      if (params.maxDepth > 0 && n.depth >= params.maxDepth) return
+      val nodeCols0 = colSampler.sampleNode(
+        colSampler.sampleLevel(treeCols, iter, n.depth, params.colsampleBylevel),
+        iter, n.depth, nid, params.colsampleBynode)
+      val nodeCols = n.allowed match {
+        case Some(a) => nodeCols0.filter(a.contains)
+        case None => nodeCols0
+      }
+      SplitEnumerator.bestSplit(hists(nid), cuts, nodeCols, n.g, n.h, params,
+        n.lowerBound, n.upperBound) match {
+        case Some(c) if c.gain > 0 => queue.enqueue((c.gain, nid, c))
+        case _ => ()
+      }
+    }
+    tryEnqueue(0)
+
+    var leaves = 1
+    val maxLeaves = if (params.maxLeaves > 0) params.maxLeaves else Int.MaxValue
+    while (queue.nonEmpty && leaves < maxLeaves) {
+      val (_, nid, c) = queue.dequeue()
+      applySplit(nodes, nid, c)
+      leaves += 1
+      val l = nodes(nid).left; val r = nodes(nid).right
+      val (small, large) = if (nodes(l).h <= nodes(r).h) (l, r) else (r, l)
+      val built = aggregateHistograms(binned, margins, globalGrads, cuts, obj,
+        softmax, grp, iter, Array(small), nodesShape(nodes), droppedShapes)(0)
+      hists(small) = built
+      val ph = hists(nid)
+      val sib = new Array[Double](ph.length)
+      var i = 0
+      while (i < ph.length) { sib(i) = ph(i) - built(i); i += 1 }
+      hists(large) = sib
+      hists.remove(nid) // expanded nodes never need their histogram again
+      tryEnqueue(l)
+      tryEnqueue(r)
+    }
+    nodes.indices.foreach { nid =>
+      val n = nodes(nid)
+      if (n.feature < 0)
+        n.weight = SplitEnumerator.calcWeight(n.g, n.h, params, n.lowerBound, n.upperBound)
+    }
+    finalizeShape(nodes)
+  }
+
+  /** Grow one tree level-synchronously (ref UpdateTree,
+    * `updater_quantile_hist.cc:96-180`): ONE histogram aggregation per
+    * level covers every frontier node. */
+  private def growTreeDepthwise(
       binned: RDD[BInst], margins: RDD[Array[Double]],
       globalGrads: Option[RDD[Array[Double]]], cuts: HistogramCuts,
       numFeatures: Int, obj: Objective, softmax: SoftmaxObjective, grp: Int,
