@@ -44,6 +44,8 @@ final case class TrainParams(
     aftScale: Double = 1.0,
     ndcgExpGain: Boolean = true, // rank:ndcg gain 2^rel−1 vs linear
     lambdarankTopK: Int = 0, // 0 = all label-discordant pairs; >0 = pairs touching top-k
+    evalMetric: Option[String] = None, // per-iteration watch metric (default: objective's)
+    earlyStoppingRounds: Int = 0, // 0 = off; else stop after this many non-improving rounds
     // DART (`src/gbm/gbtree.h:88-120`)
     booster: String = "gbtree", // | "dart"
     rateDrop: Double = 0.0,
@@ -157,6 +159,35 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     case other => throw new IllegalArgumentException(
       s"unknown tree_method: $other (supported: hist, approx)")
   }
+
+  /** hist fit with an eval WATCH set (ref watches + EvalOneIter,
+    * `src/learner.cc:1164`; early stopping `python-package/xgboost/
+    * callback.py:311`): the eval set is binned with the TRAIN cuts, its
+    * margin cache advances with every committed tree, and
+    * `earlyStoppingRounds` stops training when the watch metric stops
+    * improving — the returned model is truncated to the best iteration. */
+  def fit(data: RDD[(Array[Double], Double, Double)],
+      evalSet: RDD[(Array[Double], Double, Double)]): BoosterModel = {
+    require(params.treeMethod == "hist", "eval watches support tree_method=hist only")
+    val numFeatures = data.first()._1.length
+    val cuts = findCuts(data, numFeatures)
+    def toBinned(d: RDD[(Array[Double], Double, Double)]) =
+      d.zipWithIndex().map { case ((f, y, w), id) => BInst(cuts.binRow(f), y, w, id) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    val binned = toBinned(data); binned.count()
+    val evalBinned = toBinned(evalSet); evalBinned.count()
+    val model = fitBinned(binned, cuts, numFeatures, Some(evalBinned))
+    binned.unpersist(blocking = false)
+    evalBinned.unpersist(blocking = false)
+    model
+  }
+
+  /** (iteration, watch-metric value) per evaluated round of the last fit. */
+  def evalHistory: Seq[(Int, Double)] = lastHistory.toSeq
+  /** best (lowest/highest) watch-metric iteration of the last fit. */
+  def bestIteration: Int = lastBestIteration
+  private val lastHistory = new ArrayBuffer[(Int, Double)]
+  private var lastBestIteration: Int = -1
 
   /** grow_histmaker / approx (`src/tree/updater_approx.cc:46-100`): the
     * quantile sketch is REBUILT every iteration with the current hessians
@@ -293,7 +324,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     })
   }
 
-  def fitBinned(binnedIn: RDD[BInst], cuts: HistogramCuts, numFeatures: Int): BoosterModel = {
+  def fitBinned(binnedIn: RDD[BInst], cuts: HistogramCuts, numFeatures: Int,
+      evalBinnedOpt: Option[RDD[BInst]] = None): BoosterModel = {
     val sc = binnedIn.sparkContext
     val softmax = if (isMulti) new SoftmaxObjective(params.numClass, params.objective == "multi:softprob") else null
     val obj: Objective =
@@ -354,6 +386,10 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     var margins: RDD[Array[Double]] = binned.map(_ => base.clone())
       .persist(StorageLevel.MEMORY_AND_DISK)
     margins.count()
+    var evalMargins: Option[RDD[Array[Double]]] = evalBinnedOpt.map { eb =>
+      val em = eb.map(_ => base.clone()).persist(StorageLevel.MEMORY_AND_DISK)
+      em.count(); em
+    }
 
     val shapes = new ArrayBuffer[TreeShape]
     val treeGroupBuf = new ArrayBuffer[Int]
@@ -361,8 +397,16 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     val rng = new java.util.Random(params.seed)
     val colSampler = new ColumnSampler(numFeatures, params.seed)
 
+    // watch / early-stopping state (ref EvalOneIter + EarlyStopping)
+    val watching = params.earlyStoppingRounds > 0 || params.evalMetric.isDefined
+    lastHistory.clear()
+    lastBestIteration = -1
+    var bestValue = Double.NaN
+    var roundsSinceBest = 0
+    var stop = false
+
     var iter = 0
-    while (iter < params.numRounds) {
+    while (iter < params.numRounds && !stop) {
       // per-iteration objective scale stats (absoluteerror / quantile)
       if (!isMulti && obj.needsScale) {
         val (s1, s2) = binned.zip(margins).treeAggregate((0.0, 0.0))(
@@ -418,35 +462,65 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       }
 
       // ---- margin update (prediction cache, gbtree.cc:631-660) ----
+      // applied identically to the train AND eval margin caches
       val bNew = sc.broadcast(newShapes)
       val bAdjust = sc.broadcast(weightDeltas.map { case (i, d) => (shapes(i), treeGroupBuf(i), d) })
-      val oldMargins = margins
-      margins = binned.zip(oldMargins).map { case (r, m) =>
-        val out = m.clone()
-        var g = 0
-        while (g < bNew.value.length) {
-          out(g) += newW * bNew.value(g).predictLeaf(r.bins)(0)
-          g += 1
-        }
-        var d = 0
-        while (d < bAdjust.value.length) {
-          val (sh, grp, delta) = bAdjust.value(d)
-          out(grp) += delta * sh.predictLeaf(r.bins)(0)
-          d += 1
-        }
-        out
-      }.persist(StorageLevel.MEMORY_AND_DISK)
-      if ((iter + 1) % params.checkpointInterval == 0) margins.localCheckpoint()
-      margins.count()
-      oldMargins.unpersist(blocking = false)
+      def advance(rows: RDD[BInst], olds: RDD[Array[Double]]): RDD[Array[Double]] = {
+        val next = rows.zip(olds).map { case (r, m) =>
+          val out = m.clone()
+          var g = 0
+          while (g < bNew.value.length) {
+            out(g) += newW * bNew.value(g).predictLeaf(r.bins)(0)
+            g += 1
+          }
+          var d = 0
+          while (d < bAdjust.value.length) {
+            val (sh, grp, delta) = bAdjust.value(d)
+            out(grp) += delta * sh.predictLeaf(r.bins)(0)
+            d += 1
+          }
+          out
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+        if ((iter + 1) % params.checkpointInterval == 0) next.localCheckpoint()
+        next.count()
+        olds.unpersist(blocking = false)
+        next
+      }
+      margins = advance(binned, margins)
+      evalMargins = evalMargins.map(em => advance(evalBinnedOpt.get, em))
       globalGrads.foreach(_.unpersist(blocking = false))
+
+      // ---- watch metric + early stopping (learner.cc:1164, callback.py:311) ----
+      if (watching) {
+        val mName = params.evalMetric.getOrElse(
+          if (isMulti) "mlogloss" else obj.defaultMetric)
+        val v = (evalBinnedOpt, evalMargins) match {
+          case (Some(eb), Some(em)) => evalMetricValue(mName, eb, em, obj)
+          case _ => evalMetricValue(mName, binned, margins, obj)
+        }
+        lastHistory += ((iter, v))
+        val maximize = mName.startsWith("auc") || mName.startsWith("ndcg") ||
+          mName.startsWith("map") || mName.startsWith("precision")
+        val improved = bestValue.isNaN || (if (maximize) v > bestValue else v < bestValue)
+        if (improved) { bestValue = v; lastBestIteration = iter; roundsSinceBest = 0 }
+        else {
+          roundsSinceBest += 1
+          if (params.earlyStoppingRounds > 0 && roundsSinceBest >= params.earlyStoppingRounds)
+            stop = true
+        }
+      }
       iter += 1
     }
     if (needsCoxSort) binned.unpersist(blocking = false)
+    evalMargins.foreach(_.unpersist(blocking = false))
 
-    val trees = shapes.toArray.map(shapeToTree(_, cuts))
-    BoosterModel(trees, treeWeightsBuf.toArray, treeGroupBuf.toArray, base,
-      params.objective, numGroups, numFeatures)
+    // early stop ⇒ truncate to the best iteration (numGroups trees per round)
+    val keep =
+      if (stop && lastBestIteration >= 0) (lastBestIteration + 1) * numGroups
+      else shapes.length
+    val trees = shapes.take(keep).toArray.map(shapeToTree(_, cuts))
+    BoosterModel(trees, treeWeightsBuf.take(keep).toArray, treeGroupBuf.take(keep).toArray,
+      base, params.objective, numGroups, numFeatures)
   }
 
   /** DART dropout selection + new-tree weight (ref DropTrees/NormalizeTrees,
@@ -717,6 +791,99 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
           if (s.catRight(i) != null) s.catRight(i) else Array.empty)
       }
     })
+  }
+
+  // ---- watch metric evaluation (RDD form of graft.metric.Metrics for the
+  // training loop — one treeAggregate per evaluated iteration) -------------
+
+  private def evalMetricValue(name: String, rows: RDD[BInst],
+      margins: RDD[Array[Double]], obj: Objective): Double = {
+    if (name.startsWith("ndcg@"))
+      return evalNdcg(rows, margins, name.stripPrefix("ndcg@").toInt)
+    def ratio(f: (Double, Double, Double) => Double, pt: Double => Double = identity): Double = {
+      val (s, w) = rows.zip(margins).treeAggregate((0.0, 0.0))(
+        { case ((a, b), (r, m)) => (a + r.weight * f(pt(m(0)), r.label, r.weight), b + r.weight) },
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+      if (w > 0) s / w else 0.0
+    }
+    def ratioMulti(f: (Array[Double], Double) => Double): Double = {
+      val (s, w) = rows.zip(margins).treeAggregate((0.0, 0.0))(
+        { case ((a, b), (r, m)) => (a + r.weight * f(m, r.label), b + r.weight) },
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+      if (w > 0) s / w else 0.0
+    }
+    if (isMulti) {
+      name match {
+        case "merror" => ratioMulti((m, y) => if (argmaxOf(m) != y.toInt) 1.0 else 0.0)
+        case "mlogloss" => ratioMulti((m, y) => {
+          var mx = m(0); var k = 1
+          while (k < numGroups) { if (m(k) > mx) mx = m(k); k += 1 }
+          var se = 0.0; k = 0
+          while (k < numGroups) { se += math.exp(m(k) - mx); k += 1 }
+          -(m(y.toInt) - mx - math.log(se))
+        })
+        case other => throw new IllegalArgumentException(
+          s"unsupported multiclass watch metric: $other (supported: merror, mlogloss)")
+      }
+    } else {
+      val pt: Double => Double = obj.predTransform
+      name match {
+        case "rmse" => math.sqrt(ratio((p, y, _) => (p - y) * (p - y), pt))
+        case "rmsle" => math.sqrt(ratio((p, y, _) => {
+          val d = math.log1p(p) - math.log1p(y); d * d
+        }, pt))
+        case "mae" => ratio((p, y, _) => math.abs(p - y), pt)
+        case "mape" => ratio((p, y, _) => math.abs((y - p) / y), pt)
+        case "logloss" => ratio((p, y, _) => {
+          val c = math.max(math.min(p, 1 - 1e-16), 1e-16)
+          -(y * math.log(c) + (1 - y) * math.log(1 - c))
+        }, pt)
+        case "error" => ratio((p, y, _) => if ((p > 0.5) != (y > 0.5)) 1.0 else 0.0, pt)
+        case "poisson-nloglik" => ratio((p, y, _) => {
+          val c = math.max(p, 1e-16); c - y * math.log(c)
+        }, pt)
+        case "gamma-nloglik" => ratio((p, y, _) => {
+          val c = math.max(p, 1e-16); y / c + math.log(c)
+        }, pt)
+        case "mphe" => ratio((p, y, _) => math.sqrt(1 + (p - y) * (p - y)) - 1, pt)
+        case other => throw new IllegalArgumentException(
+          s"unsupported watch metric: $other (supported: rmse, rmsle, mae, mape, " +
+            "logloss, error, poisson-nloglik, gamma-nloglik, mphe, ndcg@k)")
+      }
+    }
+  }
+
+  @inline private def argmaxOf(m: Array[Double]): Int = {
+    var best = 0; var k = 1
+    while (k < m.length) { if (m(k) > m(best)) best = k; k += 1 }
+    best
+  }
+
+  /** mean NDCG@k over qid-contiguous groups (ranking fits only). */
+  private def evalNdcg(rows: RDD[BInst], margins: RDD[Array[Double]], k: Int): Double = {
+    val expGain = params.ndcgExpGain
+    val (s, n) = rows.zip(margins).mapPartitions { it =>
+      val base = it.buffered
+      var sum = 0.0; var cnt = 0L
+      val buf = new ArrayBuffer[(Double, Double)] // (label, margin)
+      while (base.hasNext) {
+        buf.clear()
+        val q = base.head._1.qid
+        while (base.hasNext && base.head._1.qid == q) {
+          val (r, m) = base.next(); buf += ((r.label, m(0)))
+        }
+        def gain(l: Double) = if (expGain) math.pow(2.0, l) - 1.0 else l
+        def disc(r: Int) = 1.0 / (math.log(r + 1.0) / math.log(2.0))
+        val ranked = buf.indices.sortBy(i => (-buf(i)._2, i)).take(k)
+        val dcg = ranked.zipWithIndex.map { case (i, r) => gain(buf(i)._1) * disc(r + 1) }.sum
+        val idcg = buf.map(x => gain(x._1)).sortBy(-_).take(k).zipWithIndex
+          .map { case (g, r) => g * disc(r + 1) }.sum
+        sum += (if (idcg > 0) dcg / idcg else 0.0)
+        cnt += 1
+      }
+      Iterator.single((sum, cnt))
+    }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    if (n > 0) s / n else 0.0
   }
 
   // ---- distributed aggregations -------------------------------------------
