@@ -1,0 +1,340 @@
+package graft.api
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.BoosterModel
+import graft.objective.Objective
+import graft.predict.Predictor
+import graft.tree.{GBTTrainer, TrainParams}
+
+/** MLlib Estimator facade over the graft trainer — the public API surface
+  * of the reference's Spark package (`jvm-packages/xgboost4j-spark/.../
+  * XGBoostEstimator.scala:95-463`): `fit(df)` → Model, `transform(df)`
+  * appending `prediction` (+ `rawPrediction`/`probability` for
+  * classification, `XGBoostEstimator.scala:499-510,731-760` semantics so
+  * MLlib evaluators/Pipelines consume the output directly), ML `Param`s,
+  * and save/load (MLWritable via the model's JSON).
+  *
+  * Features column accepts `array<double>`, `array<float>` or an ML
+  * `Vector` (the reference accepts both, `XGBoostEstimator.scala:242-263`).
+  */
+trait GraftXGBParams extends Params {
+  final val featuresCol = new Param[String](this, "featuresCol", "features column")
+  final val labelCol = new Param[String](this, "labelCol", "label column")
+  final val weightCol = new Param[String](this, "weightCol", "weight column ('' = unit)")
+  final val predictionCol = new Param[String](this, "predictionCol", "prediction output column")
+  final val numRound = new IntParam(this, "numRound", "boosting rounds")
+  final val maxDepth = new IntParam(this, "maxDepth", "max tree depth")
+  final val eta = new DoubleParam(this, "eta", "learning rate")
+  final val maxBin = new IntParam(this, "maxBin", "max histogram bins")
+  final val lambda = new DoubleParam(this, "lambda", "L2 regularization")
+  final val alpha = new DoubleParam(this, "alpha", "L1 regularization")
+  final val gamma = new DoubleParam(this, "gamma", "min split loss")
+  final val minChildWeight = new DoubleParam(this, "minChildWeight", "min child hessian")
+  final val subsample = new DoubleParam(this, "subsample", "row subsample per iteration")
+  final val colsampleBytree = new DoubleParam(this, "colsampleBytree", "feature subsample per tree")
+  final val treeMethod = new Param[String](this, "treeMethod", "hist | approx")
+  final val growPolicy = new Param[String](this, "growPolicy", "depthwise | lossguide")
+  final val maxLeaves = new IntParam(this, "maxLeaves", "max leaves (lossguide)")
+  final val seed = new LongParam(this, "seed", "random seed")
+  final val missing = new DoubleParam(this, "missing", "value treated as missing (NaN default)")
+  final val earlyStoppingRounds = new IntParam(this, "earlyStoppingRounds", "early stopping patience")
+  final val evalMetric = new Param[String](this, "evalMetric", "watch metric ('' = objective default)")
+
+  setDefault(featuresCol -> "features", labelCol -> "label", weightCol -> "",
+    predictionCol -> "prediction", numRound -> 100, maxDepth -> 6, eta -> 0.3,
+    maxBin -> 256, lambda -> 1.0, alpha -> 0.0, gamma -> 0.0,
+    minChildWeight -> 1.0, subsample -> 1.0, colsampleBytree -> 1.0,
+    treeMethod -> "hist", growPolicy -> "depthwise", maxLeaves -> 0,
+    seed -> 0L, missing -> Double.NaN, earlyStoppingRounds -> 0, evalMetric -> "")
+
+  def setFeaturesCol(v: String): this.type = set(featuresCol, v)
+  def setLabelCol(v: String): this.type = set(labelCol, v)
+  def setWeightCol(v: String): this.type = set(weightCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setNumRound(v: Int): this.type = set(numRound, v)
+  def setMaxDepth(v: Int): this.type = set(maxDepth, v)
+  def setEta(v: Double): this.type = set(eta, v)
+  def setMaxBin(v: Int): this.type = set(maxBin, v)
+  def setLambda(v: Double): this.type = set(lambda, v)
+  def setAlpha(v: Double): this.type = set(alpha, v)
+  def setGamma(v: Double): this.type = set(gamma, v)
+  def setMinChildWeight(v: Double): this.type = set(minChildWeight, v)
+  def setSubsample(v: Double): this.type = set(subsample, v)
+  def setColsampleBytree(v: Double): this.type = set(colsampleBytree, v)
+  def setTreeMethod(v: String): this.type = set(treeMethod, v)
+  def setGrowPolicy(v: String): this.type = set(growPolicy, v)
+  def setMaxLeaves(v: Int): this.type = set(maxLeaves, v)
+  def setSeed(v: Long): this.type = set(seed, v)
+  def setMissing(v: Double): this.type = set(missing, v)
+  def setEarlyStoppingRounds(v: Int): this.type = set(earlyStoppingRounds, v)
+  def setEvalMetric(v: String): this.type = set(evalMetric, v)
+
+  protected def baseTrainParams(objective: String, numClass: Int = 1): TrainParams =
+    TrainParams(
+      objective = objective, numRounds = $(numRound), eta = $(eta),
+      maxDepth = $(maxDepth), minChildWeight = $(minChildWeight),
+      lambda = $(lambda), alpha = $(alpha), gamma = $(gamma), maxBin = $(maxBin),
+      subsample = $(subsample), colsampleBytree = $(colsampleBytree),
+      seed = $(seed), growPolicy = $(growPolicy), maxLeaves = $(maxLeaves),
+      numClass = numClass, treeMethod = $(treeMethod),
+      earlyStoppingRounds = $(earlyStoppingRounds),
+      evalMetric = if ($(evalMetric).nonEmpty) Some($(evalMetric)) else None)
+
+  /** (features, label, weight) rows; `missing` values become NaN. */
+  protected def extractRdd(ds: Dataset[_]): RDD[(Array[Double], Double, Double)] = {
+    val w = if ($(weightCol).nonEmpty) col($(weightCol)).cast("double") else lit(1.0)
+    val miss = $(missing)
+    ds.select(col($(featuresCol)), col($(labelCol)).cast("double"), w).rdd.map { row =>
+      (GraftXGBParams.toDoubleArray(row.get(0), miss), row.getDouble(1), row.getDouble(2))
+    }
+  }
+
+  protected def validateFeatures(schema: StructType): Unit = {
+    val dt = schema($(featuresCol)).dataType
+    val ok = dt match {
+      case ArrayType(DoubleType | FloatType, _) => true
+      case _ => dt.typeName == "vector"
+    }
+    require(ok, s"featuresCol ${$(featuresCol)} must be array<double>, array<float> or Vector, got $dt")
+  }
+
+  /** Features column normalized to array<double> with `missing` → NaN, so
+    * every prediction path works on one representation (Vector columns go
+    * through `vector_to_array`). */
+  protected def featuresAsArray(ds: Dataset[_]): org.apache.spark.sql.Column = {
+    val base = ds.schema($(featuresCol)).dataType match {
+      case ArrayType(DoubleType, _) => col($(featuresCol))
+      case ArrayType(FloatType, _) => col($(featuresCol)).cast("array<double>")
+      case _ => org.apache.spark.ml.functions.vector_to_array(col($(featuresCol)))
+    }
+    val miss = $(missing)
+    if (miss.isNaN) base
+    else transform(base, x => when(x === miss, lit(Double.NaN)).otherwise(x))
+  }
+}
+
+object GraftXGBParams {
+  def toDoubleArray(v: Any, missing: Double): Array[Double] = {
+    val arr = v match {
+      case vec: Vector => vec.toArray
+      case s: scala.collection.Seq[_] =>
+        val out = new Array[Double](s.length)
+        var i = 0
+        s.foreach { x => out(i) = x.asInstanceOf[Number].doubleValue(); i += 1 }
+        out
+      case a: Array[Double] => a
+      case other => throw new IllegalArgumentException(s"unsupported features value: $other")
+    }
+    if (!missing.isNaN) {
+      var i = 0
+      while (i < arr.length) { if (arr(i) == missing) arr(i) = Double.NaN; i += 1 }
+    }
+    arr
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Regressor
+// ---------------------------------------------------------------------------
+
+class XGBoostRegressor(override val uid: String)
+    extends Estimator[XGBoostRegressionModel] with GraftXGBParams with GraftWritableParams {
+  def this() = this(Identifiable.randomUID("graftXgbRegressor"))
+
+  final val objective = new Param[String](this, "objective", "regression objective")
+  setDefault(objective -> "reg:squarederror")
+  def setObjective(v: String): this.type = set(objective, v)
+
+  override def fit(ds: Dataset[_]): XGBoostRegressionModel = {
+    validateFeatures(ds.schema)
+    val booster = new GBTTrainer(baseTrainParams($(objective))).fit(extractRdd(ds))
+    copyValues(new XGBoostRegressionModel(uid, booster)).setParent(this)
+  }
+  override def copy(extra: ParamMap): XGBoostRegressor = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType = {
+    validateFeatures(schema)
+    schema.add($(predictionCol), DoubleType)
+  }
+}
+
+object XGBoostRegressor extends GraftReadable[XGBoostRegressor] {
+  override protected def make(uid: String, model: Option[BoosterModel]) = new XGBoostRegressor(uid)
+}
+
+class XGBoostRegressionModel(override val uid: String, val booster: BoosterModel)
+    extends Model[XGBoostRegressionModel] with GraftXGBParams with GraftWritableModel {
+  override def transform(ds: Dataset[_]): DataFrame =
+    ds.withColumn($(predictionCol), Predictor.predictUdf(booster)(featuresAsArray(ds)))
+  override def copy(extra: ParamMap): XGBoostRegressionModel =
+    copyValues(new XGBoostRegressionModel(uid, booster), extra).setParent(parent)
+  override def transformSchema(schema: StructType): StructType =
+    schema.add($(predictionCol), DoubleType)
+}
+
+object XGBoostRegressionModel extends GraftReadable[XGBoostRegressionModel] {
+  override protected def make(uid: String, model: Option[BoosterModel]) =
+    new XGBoostRegressionModel(uid, model.get)
+}
+
+// ---------------------------------------------------------------------------
+// Classifier
+// ---------------------------------------------------------------------------
+
+class XGBoostClassifier(override val uid: String)
+    extends Estimator[XGBoostClassificationModel] with GraftXGBParams with GraftWritableParams {
+  def this() = this(Identifiable.randomUID("graftXgbClassifier"))
+
+  final val objective = new Param[String](this, "objective", "classification objective")
+  final val numClass = new IntParam(this, "numClass", "number of classes (multi)")
+  final val rawPredictionCol = new Param[String](this, "rawPredictionCol", "raw margin column")
+  final val probabilityCol = new Param[String](this, "probabilityCol", "probability column")
+  setDefault(objective -> "binary:logistic", numClass -> 2,
+    rawPredictionCol -> "rawPrediction", probabilityCol -> "probability")
+  def setObjective(v: String): this.type = set(objective, v)
+  def setNumClass(v: Int): this.type = set(numClass, v)
+  def setRawPredictionCol(v: String): this.type = set(rawPredictionCol, v)
+  def setProbabilityCol(v: String): this.type = set(probabilityCol, v)
+
+  override def fit(ds: Dataset[_]): XGBoostClassificationModel = {
+    validateFeatures(ds.schema)
+    val multi = $(objective).startsWith("multi:")
+    val tp = baseTrainParams($(objective), if (multi) $(numClass) else 1)
+    val booster = new GBTTrainer(tp).fit(extractRdd(ds))
+    copyValues(new XGBoostClassificationModel(uid, booster)).setParent(this)
+  }
+  override def copy(extra: ParamMap): XGBoostClassifier = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType = {
+    validateFeatures(schema)
+    schema.add($(rawPredictionCol), org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
+      .add($(probabilityCol), org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
+      .add($(predictionCol), DoubleType)
+  }
+}
+
+object XGBoostClassifier extends GraftReadable[XGBoostClassifier] {
+  override protected def make(uid: String, model: Option[BoosterModel]) = new XGBoostClassifier(uid)
+}
+
+/** Binary output follows the reference classifier's transform contract
+  * (`XGBoostEstimator.scala:731-760`): rawPrediction = [−margin, margin],
+  * probability = [1−p, p], prediction = argmax class — consumable by
+  * `BinaryClassificationEvaluator` and friends. Multiclass emits the
+  * per-class margin / softprob vectors. */
+class XGBoostClassificationModel(override val uid: String, val booster: BoosterModel)
+    extends Model[XGBoostClassificationModel] with GraftXGBParams with GraftWritableModel {
+  final val rawPredictionCol = new Param[String](this, "rawPredictionCol", "raw margin column")
+  final val probabilityCol = new Param[String](this, "probabilityCol", "probability column")
+  setDefault(rawPredictionCol -> "rawPrediction", probabilityCol -> "probability")
+  def setRawPredictionCol(v: String): this.type = set(rawPredictionCol, v)
+  def setProbabilityCol(v: String): this.type = set(probabilityCol, v)
+
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val bc = ds.sparkSession.sparkContext.broadcast(booster)
+    val f = featuresAsArray(ds)
+    if (booster.numGroups == 1) {
+      val rawU = udf { (v: Seq[Double]) =>
+        val m = bc.value.margin(v.toArray)(0)
+        Vectors.dense(-m, m)
+      }
+      val probU = udf { (v: Seq[Double]) =>
+        val p = 1.0 / (1.0 + math.exp(-bc.value.margin(v.toArray)(0)))
+        Vectors.dense(1.0 - p, p)
+      }
+      ds.withColumn($(rawPredictionCol), rawU(f))
+        .withColumn($(probabilityCol), probU(f))
+        .withColumn($(predictionCol),
+          when(element_at(org.apache.spark.ml.functions.vector_to_array(
+            col($(probabilityCol))), 2) > 0.5, 1.0).otherwise(0.0))
+    } else {
+      val rawU = udf { (v: Seq[Double]) => Vectors.dense(bc.value.margin(v.toArray)) }
+      val probU = udf { (v: Seq[Double]) =>
+        val m = bc.value.margin(v.toArray)
+        val mx = m.max
+        val e = m.map(x => math.exp(x - mx))
+        val s = e.sum
+        Vectors.dense(e.map(_ / s))
+      }
+      val argmaxU = udf { (v: Vector) =>
+        val arr = v.toArray
+        var best = 0; var k = 1
+        while (k < arr.length) { if (arr(k) > arr(best)) best = k; k += 1 }
+        best.toDouble
+      }
+      ds.withColumn($(rawPredictionCol), rawU(f))
+        .withColumn($(probabilityCol), probU(f))
+        .withColumn($(predictionCol), argmaxU(col($(probabilityCol))))
+    }
+  }
+  override def copy(extra: ParamMap): XGBoostClassificationModel =
+    copyValues(new XGBoostClassificationModel(uid, booster), extra).setParent(parent)
+  override def transformSchema(schema: StructType): StructType =
+    schema.add($(rawPredictionCol), org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
+      .add($(probabilityCol), org.apache.spark.ml.linalg.SQLDataTypes.VectorType)
+      .add($(predictionCol), DoubleType)
+}
+
+object XGBoostClassificationModel extends GraftReadable[XGBoostClassificationModel] {
+  override protected def make(uid: String, model: Option[BoosterModel]) =
+    new XGBoostClassificationModel(uid, model.get)
+}
+
+// ---------------------------------------------------------------------------
+// Ranker
+// ---------------------------------------------------------------------------
+
+class XGBoostRanker(override val uid: String)
+    extends Estimator[XGBoostRankerModel] with GraftXGBParams with GraftWritableParams {
+  def this() = this(Identifiable.randomUID("graftXgbRanker"))
+
+  final val objective = new Param[String](this, "objective", "ranking objective")
+  final val groupCol = new Param[String](this, "groupCol", "query-id column")
+  setDefault(objective -> "rank:ndcg", groupCol -> "qid")
+  def setObjective(v: String): this.type = set(objective, v)
+  def setGroupCol(v: String): this.type = set(groupCol, v)
+
+  override def fit(ds: Dataset[_]): XGBoostRankerModel = {
+    validateFeatures(ds.schema)
+    val w = if ($(weightCol).nonEmpty) col($(weightCol)).cast("double") else lit(1.0)
+    val miss = $(missing)
+    val rdd = ds.select(col($(featuresCol)), col($(labelCol)).cast("double"), w,
+      col($(groupCol)).cast("long")).rdd.map { row =>
+      (GraftXGBParams.toDoubleArray(row.get(0), miss), row.getDouble(1),
+        row.getDouble(2), row.getLong(3))
+    }
+    val booster = new GBTTrainer(baseTrainParams($(objective))).fitRanking(rdd)
+    copyValues(new XGBoostRankerModel(uid, booster)).setParent(this)
+  }
+  override def copy(extra: ParamMap): XGBoostRanker = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType = {
+    validateFeatures(schema)
+    schema.add($(predictionCol), DoubleType)
+  }
+}
+
+object XGBoostRanker extends GraftReadable[XGBoostRanker] {
+  override protected def make(uid: String, model: Option[BoosterModel]) = new XGBoostRanker(uid)
+}
+
+class XGBoostRankerModel(override val uid: String, val booster: BoosterModel)
+    extends Model[XGBoostRankerModel] with GraftXGBParams with GraftWritableModel {
+  override def transform(ds: Dataset[_]): DataFrame =
+    ds.withColumn($(predictionCol),
+      Predictor.marginUdf(booster)(featuresAsArray(ds)).getItem(0))
+  override def copy(extra: ParamMap): XGBoostRankerModel =
+    copyValues(new XGBoostRankerModel(uid, booster), extra).setParent(parent)
+  override def transformSchema(schema: StructType): StructType =
+    schema.add($(predictionCol), DoubleType)
+}
+
+object XGBoostRankerModel extends GraftReadable[XGBoostRankerModel] {
+  override protected def make(uid: String, model: Option[BoosterModel]) =
+    new XGBoostRankerModel(uid, model.get)
+}

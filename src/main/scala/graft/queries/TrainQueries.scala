@@ -63,6 +63,26 @@ object TrainQueries {
         .select(round(col("auc"), 3).as("auc"))
     }),
 
+    // MLlib Estimator facade end-to-end: fit(df) → transform(df) with
+    // rawPrediction/probability/prediction consumed by a standard evaluator
+    "t_train_estimator" -> ((s, dir) => {
+      import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+      val df = CoreQueries.table(s, dir, "lineitem").select(
+        array(featureCols.map(c => col(c).cast("double")): _*).as("features"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"))
+      val model = new graft.api.XGBoostClassifier()
+        .setNumRound(5).setMaxDepth(3).setMaxBin(64).setSeed(7L).fit(df)
+      val out = model.transform(df).cache()
+      val auc = new BinaryClassificationEvaluator()
+        .setRawPredictionCol("rawPrediction").evaluate(out)
+      val res = out.groupBy("prediction")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("evaluator_auc", round(lit(auc), 3))
+        .orderBy("prediction")
+      out.unpersist(blocking = false)
+      res
+    }),
+
     // learning-to-rank: qid-grouped lambdarank training, NDCG@5 surfaced
     "t_train_rank_ndcg" -> ((s, dir) => {
       val df = CoreQueries.table(s, dir, "lineitem")

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api._
+
+class EstimatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def regDf(seed: Int, n: Int = 1500) = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val x = Array(rng.nextGaussian(), rng.nextGaussian(), rng.nextGaussian())
+      (x.toSeq, x(0) * 3 - x(1) + 0.1 * rng.nextGaussian())
+    }.toDF("features", "label")
+  }
+
+  test("regressor fit/transform through the MLlib Estimator API") {
+    val df = regDf(81)
+    val model = new XGBoostRegressor().setNumRound(10).setMaxDepth(4)
+      .setMaxBin(64).setSeed(3L).fit(df)
+    val out = model.transform(df)
+    assert(out.columns.contains("prediction"))
+    val rmse = math.sqrt(out.selectExpr("avg(pow(prediction - label, 2))").head().getDouble(0))
+    assert(rmse < 1.0, s"estimator rmse $rmse")
+  }
+
+  test("binary classifier emits MLlib-consumable rawPrediction/probability/prediction") {
+    val rng = new scala.util.Random(83)
+    val df = (0 until 1500).map { _ =>
+      val x = Array(rng.nextGaussian(), rng.nextGaussian())
+      (Vectors.dense(x), if (x(0) + 0.3 * rng.nextGaussian() > 0) 1.0 else 0.0)
+    }.toDF("features", "label")
+    val model = new XGBoostClassifier().setNumRound(10).setMaxDepth(3)
+      .setMaxBin(64).setSeed(3L).fit(df)
+    val out = model.transform(df)
+    val row = out.select("rawPrediction", "probability", "prediction").head()
+    val raw = row.getAs[Vector](0); val prob = row.getAs[Vector](1)
+    assert(raw.size == 2 && prob.size == 2)
+    assert(math.abs(prob(0) + prob(1) - 1.0) < 1e-9)
+    assert(math.abs(raw(0) + raw(1)) < 1e-12, "raw = [-margin, margin]")
+    // the standard MLlib evaluator consumes the output directly
+    val auc = new BinaryClassificationEvaluator().setRawPredictionCol("rawPrediction")
+      .evaluate(out)
+    assert(auc > 0.85, s"evaluator AUC $auc")
+  }
+
+  test("multiclass classifier emits per-class vectors and argmax prediction") {
+    val rng = new scala.util.Random(87)
+    val df = (0 until 1500).map { _ =>
+      val x = Array(rng.nextGaussian(), rng.nextGaussian())
+      val y = (if (x(0) > 0.4) 2 else if (x(0) < -0.4) 0 else 1).toDouble
+      (x.toSeq, y)
+    }.toDF("features", "label")
+    val model = new XGBoostClassifier().setObjective("multi:softprob").setNumClass(3)
+      .setNumRound(8).setMaxDepth(3).setMaxBin(64).setSeed(3L).fit(df)
+    val out = model.transform(df)
+    val acc = out.selectExpr("CAST(avg(CASE WHEN prediction = label THEN 1.0 ELSE 0.0 END) AS DOUBLE)")
+      .head().getDouble(0)
+    assert(acc > 0.8, s"multiclass accuracy $acc")
+    assert(out.select("probability").head().getAs[Vector](0).size == 3)
+  }
+
+  test("ranker trains through qid groups") {
+    val rng = new scala.util.Random(89)
+    val df = (0 until 50).flatMap { q =>
+      (0 until 15).map { _ =>
+        val x = Array(rng.nextGaussian(), rng.nextGaussian())
+        val rel = math.max(0, math.min(3, math.round(1.5 + x(0)).toInt)).toDouble
+        (x.toSeq, rel, q.toLong)
+      }
+    }.toDF("features", "label", "qid")
+    val model = new XGBoostRanker().setNumRound(8).setMaxDepth(3).setMaxBin(64)
+      .setSeed(3L).fit(df)
+    val out = model.transform(df)
+    // prediction should correlate with relevance
+    val corr = out.selectExpr("corr(prediction, label)").head().getDouble(0)
+    assert(corr > 0.5, s"ranker corr $corr")
+  }
+
+  test("model save/load roundtrip preserves params and predictions") {
+    val df = regDf(91, 800)
+    val model = new XGBoostRegressor().setNumRound(6).setMaxDepth(3).setMaxBin(64)
+      .setSeed(3L).setPredictionCol("pred_out").fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ml-io").toString + "/m1"
+    model.write.overwrite().save(dir)
+    val loaded = XGBoostRegressionModel.load(dir)
+    assert(loaded.uid == model.uid)
+    val a = model.transform(df).select("pred_out").collect().map(_.getDouble(0))
+    val b = loaded.transform(df).select("pred_out").collect().map(_.getDouble(0))
+    a.zip(b).foreach { case (x, y) => assert(x == y, "loaded model predicts identically") }
+  }
+
+  test("estimator save/load roundtrip") {
+    val est = new XGBoostClassifier().setNumRound(4).setEta(0.1).setMaxBin(32)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ml-io").toString + "/e1"
+    est.write.overwrite().save(dir)
+    val loaded = XGBoostClassifier.load(dir)
+    assert(loaded.getOrDefault(loaded.numRound) == 4)
+    assert(loaded.getOrDefault(loaded.eta) == 0.1)
+    assert(loaded.getOrDefault(loaded.maxBin) == 32)
+  }
+}
