@@ -38,6 +38,14 @@ final case class HistogramCuts(cuts: Array[Array[Double]]) extends Serializable 
     while (f < numFeatures) { out(f) = searchBin(f, features(f)); f += 1 }
     out
   }
+
+  /** Bin a sparse row: output parallel to `idx` (length nnz). */
+  def binRowSparse(idx: Array[Int], values: Array[Double]): Array[Int] = {
+    val out = new Array[Int](idx.length)
+    var k = 0
+    while (k < idx.length) { out(k) = searchBin(idx(k), values(k)); k += 1 }
+    out
+  }
 }
 
 object Binning {
@@ -61,6 +69,32 @@ object Binning {
         val (fs, w) = row
         var f = 0
         while (f < numFeatures) { acc(f).push(fs(f), w); f += 1 }
+        acc
+      },
+      combOp = (a, b) => {
+        var f = 0
+        while (f < numFeatures) { a(f).merge(b(f)); f += 1 }
+        a
+      },
+      depth = 2)
+    HistogramCuts(sketches.map(s => cutsFromSummary(s.result, maxBin)))
+  }
+
+  /** Sparse-input cut finding: only PRESENT (idx, value) entries are pushed
+    * — identical to the dense path's NaN-skip, so a sparse encoding of the
+    * same data yields the same cuts (ref sparse sketching over CSR,
+    * `src/common/hist_util.cc:53-81`). */
+  def findCutsSparse(
+      data: RDD[(Array[Int], Array[Double], Double)], // (indices, values, weight)
+      numFeatures: Int,
+      maxBin: Int): HistogramCuts = {
+    val budget = QuantileSketch.sizeFor(maxBin)
+    val zero = Array.fill(numFeatures)(new QuantileSketch(budget))
+    val sketches = data.treeAggregate(zero)(
+      seqOp = (acc, row) => {
+        val (idx, vs, w) = row
+        var k = 0
+        while (k < idx.length) { acc(idx(k)).push(vs(k), w); k += 1 }
         acc
       },
       combOp = (a, b) => {

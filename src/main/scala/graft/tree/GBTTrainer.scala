@@ -71,10 +71,10 @@ final case class TreeShape(
     sumHess: Array[Double],
     gain: Array[Double]
 ) extends Serializable {
-  def position(bins: Array[Int]): Int = {
+  def position(r: BInst): Int = {
     var i = 0
     while (feature(i) >= 0) {
-      val b = bins(feature(i))
+      val b = r.binOf(feature(i))
       i =
         if (b < 0) { if (defaultLeft(i)) left(i) else right(i) }
         else if (catRight(i) != null) {
@@ -84,7 +84,7 @@ final case class TreeShape(
     }
     i
   }
-  def predictLeaf(bins: Array[Int]): Array[Double] = leaf(position(bins))
+  def predictLeaf(r: BInst): Array[Double] = leaf(position(r))
 }
 
 /** One training instance after quantization: local bin id per feature
@@ -92,9 +92,23 @@ final case class TreeShape(
   * per-iteration subsampling, ref `seed_per_iteration`
   * `src/learner.cc:1119-1123`). `label2` is the censoring upper bound for
   * interval objectives (survival:aft; NaN elsewhere). `qid` is the ranking
-  * query group (rank:* objectives; −1 elsewhere). */
+  * query group (rank:* objectives; −1 elsewhere).
+  *
+  * Sparse rows (ref CSR adapter `src/data/adapter.h:216-308`): `idx` holds
+  * the SORTED present feature ids and `bins` is parallel to `idx` (length
+  * nnz, not numFeatures); absent features are missing. `idx == null` ⇒
+  * dense. Storage per row is O(nnz) — wide one-hot/text data stays
+  * tractable. */
 final case class BInst(bins: Array[Int], label: Double, weight: Double, rowId: Long,
-    label2: Double = Double.NaN, qid: Long = -1L)
+    label2: Double = Double.NaN, qid: Long = -1L, idx: Array[Int] = null) {
+  /** bin of feature f (−1 = missing), for either representation. */
+  @inline def binOf(f: Int): Int =
+    if (idx == null) bins(f)
+    else {
+      val p = java.util.Arrays.binarySearch(idx, f)
+      if (p >= 0) bins(p) else -1
+    }
+}
 
 private final class BuildNode(
     var g: Double, var h: Double, // totals INCLUDING missing mass
@@ -257,7 +271,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       val bShape = sc.broadcast(shape)
       val old = margins
       margins = binned.zip(old).map { case (r, m) =>
-        val o = m.clone(); o(0) += params.eta * bShape.value.predictLeaf(r.bins)(0); o
+        val o = m.clone(); o(0) += params.eta * bShape.value.predictLeaf(r)(0); o
       }.persist(StorageLevel.MEMORY_AND_DISK)
       if ((iter + 1) % params.checkpointInterval == 0) margins.localCheckpoint()
       margins.count()
@@ -284,6 +298,23 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     }.persist(StorageLevel.MEMORY_AND_DISK)
     binned.count()
 
+    val model = fitBinned(binned, cuts, numFeatures)
+    binned.unpersist(blocking = false)
+    model
+  }
+
+  /** Sparse entry (ref CSR adapter `src/data/adapter.h:216-308`): rows are
+    * (sorted feature indices, parallel values, label, weight); absent
+    * features are missing (same routing as NaN). Identical cuts, histograms
+    * and trees as the equivalent NaN-dense encoding, at O(nnz) row cost. */
+  def fitSparse(data: RDD[(Array[Int], Array[Double], Double, Double)],
+      numFeatures: Int): BoosterModel = {
+    require(params.treeMethod == "hist", "sparse input supports tree_method=hist only")
+    val cuts = Binning.findCutsSparse(data.map(r => (r._1, r._2, r._4)), numFeatures, params.maxBin)
+    val binned = data.zipWithIndex().map { case ((idx, vs, y, w), id) =>
+      BInst(cuts.binRowSparse(idx, vs), y, w, id, idx = idx)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    binned.count()
     val model = fitBinned(binned, cuts, numFeatures)
     binned.unpersist(blocking = false)
     model
@@ -470,13 +501,13 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
           val out = m.clone()
           var g = 0
           while (g < bNew.value.length) {
-            out(g) += newW * bNew.value(g).predictLeaf(r.bins)(0)
+            out(g) += newW * bNew.value(g).predictLeaf(r)(0)
             g += 1
           }
           var d = 0
           while (d < bAdjust.value.length) {
             val (sh, grp, delta) = bAdjust.value(d)
-            out(grp) += delta * sh.predictLeaf(r.bins)(0)
+            out(grp) += delta * sh.predictLeaf(r)(0)
             d += 1
           }
           out
@@ -905,13 +936,13 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * margin minus dropped trees' contributions (ref DropTrees,
     * `src/gbm/gbtree.h:369`). */
   @inline private def adjustedMargin(
-      m: Array[Double], bins: Array[Int], grp: Int,
+      m: Array[Double], r: BInst, grp: Int,
       dropped: Array[(TreeShape, Double, Int)]): Double = {
     var out = m(grp)
     var i = 0
     while (i < dropped.length) {
       val (sh, w, g) = dropped(i)
-      if (g == grp) out -= w * sh.predictLeaf(bins)(0)
+      if (g == grp) out -= w * sh.predictLeaf(r)(0)
       i += 1
     }
     out
@@ -943,13 +974,13 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       else {
         val adj = new Array[Double](numGroups)
         var g = 0
-        while (g < numGroups) { adj(g) = adjustedMargin(m, r.bins, g, dropped); g += 1 }
+        while (g < numGroups) { adj(g) = adjustedMargin(m, r, g, dropped); g += 1 }
         softmax.gradient(adj, r.label, scratch)
       }
       out(0) = scratch(2 * grp) * r.weight
       out(1) = scratch(2 * grp + 1) * r.weight
     } else {
-      val margin = if (dropped.isEmpty) m(0) else adjustedMargin(m, r.bins, 0, dropped)
+      val margin = if (dropped.isEmpty) m(0) else adjustedMargin(m, r, 0, dropped)
       if (obj.usesIntervalLabels) obj.gradientInterval(margin, r.label, r.label2, out)
       else obj.gradient(margin, r.label, out)
       out(0) *= r.weight
@@ -1007,22 +1038,38 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       val sh = bShape.value
       it.foreach { case (r, m, pre) =>
         if (sampled(r.rowId, iter)) {
-          val pos = sh.position(r.bins)
+          val pos = sh.position(r)
           val slot = if (pos <= maxNid) slotOf(pos) else -1
           if (slot >= 0) {
             var hist = hists(slot)
             if (hist == null) { hist = new Array[Double](histLen); hists(slot) = hist }
             gradOf(r, m, pre, obj, softmax, grp, dropped, out, scratch)
             val g = out(0); val h = out(1)
-            var f = 0
-            while (f < numFeatures) {
-              val b = r.bins(f)
-              if (b >= 0) {
-                val gb = 2 * (offsets(f) + b)
-                hist(gb) += g
-                hist(gb + 1) += h
+            if (r.idx == null) {
+              var f = 0
+              while (f < numFeatures) {
+                val b = r.bins(f)
+                if (b >= 0) {
+                  val gb = 2 * (offsets(f) + b)
+                  hist(gb) += g
+                  hist(gb + 1) += h
+                }
+                f += 1
               }
-              f += 1
+            } else {
+              // sparse row: O(nnz) accumulation over present features only;
+              // absent mass reaches the split search as (total − Σ bins),
+              // i.e. the same missing-direction machinery as NaN
+              var k = 0
+              while (k < r.idx.length) {
+                val b = r.bins(k)
+                if (b >= 0) {
+                  val gb = 2 * (offsets(r.idx(k)) + b)
+                  hist(gb) += g
+                  hist(gb + 1) += h
+                }
+                k += 1
+              }
             }
           }
         }
