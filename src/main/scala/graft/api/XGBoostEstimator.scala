@@ -172,7 +172,7 @@ object XGBoostRegressor extends GraftReadable[XGBoostRegressor] {
 class XGBoostRegressionModel(override val uid: String, val booster: BoosterModel)
     extends Model[XGBoostRegressionModel] with GraftXGBParams with GraftWritableModel {
   override def transform(ds: Dataset[_]): DataFrame =
-    ds.withColumn($(predictionCol), Predictor.predictUdf(booster)(featuresAsArray(ds)))
+    ds.withColumn($(predictionCol), Predictor.predictCol(booster)(featuresAsArray(ds)))
   override def copy(extra: ParamMap): XGBoostRegressionModel =
     copyValues(new XGBoostRegressionModel(uid, booster), extra).setParent(parent)
   override def transformSchema(schema: StructType): StructType =
@@ -237,40 +237,28 @@ class XGBoostClassificationModel(override val uid: String, val booster: BoosterM
   def setProbabilityCol(v: String): this.type = set(probabilityCol, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
-    val bc = ds.sparkSession.sparkContext.broadcast(booster)
+    // the ensemble is walked ONCE per row (codegen TreePredict into a temp
+    // column); every output column derives from that margin
     val f = featuresAsArray(ds)
+    val arr2vec = org.apache.spark.ml.functions.array_to_vector _
     if (booster.numGroups == 1) {
-      val rawU = udf { (v: Seq[Double]) =>
-        val m = bc.value.margin(v.toArray)(0)
-        Vectors.dense(-m, m)
-      }
-      val probU = udf { (v: Seq[Double]) =>
-        val p = 1.0 / (1.0 + math.exp(-bc.value.margin(v.toArray)(0)))
-        Vectors.dense(1.0 - p, p)
-      }
-      ds.withColumn($(rawPredictionCol), rawU(f))
-        .withColumn($(probabilityCol), probU(f))
-        .withColumn($(predictionCol),
-          when(element_at(org.apache.spark.ml.functions.vector_to_array(
-            col($(probabilityCol))), 2) > 0.5, 1.0).otherwise(0.0))
+      val tmp = "_graft_margin"
+      val m = col(tmp)
+      val p = lit(1.0) / (lit(1.0) + exp(-m))
+      ds.withColumn(tmp, Predictor.marginScalarCol(booster)(f))
+        .withColumn($(rawPredictionCol), arr2vec(array(-m, m)))
+        .withColumn($(probabilityCol), arr2vec(array(lit(1.0) - p, p)))
+        .withColumn($(predictionCol), when(p > 0.5, 1.0).otherwise(0.0))
+        .drop(tmp)
     } else {
-      val rawU = udf { (v: Seq[Double]) => Vectors.dense(bc.value.margin(v.toArray)) }
-      val probU = udf { (v: Seq[Double]) =>
-        val m = bc.value.margin(v.toArray)
-        val mx = m.max
-        val e = m.map(x => math.exp(x - mx))
-        val s = e.sum
-        Vectors.dense(e.map(_ / s))
-      }
-      val argmaxU = udf { (v: Vector) =>
-        val arr = v.toArray
-        var best = 0; var k = 1
-        while (k < arr.length) { if (arr(k) > arr(best)) best = k; k += 1 }
-        best.toDouble
-      }
-      ds.withColumn($(rawPredictionCol), rawU(f))
-        .withColumn($(probabilityCol), probU(f))
-        .withColumn($(predictionCol), argmaxU(col($(probabilityCol))))
+      val tmp = "_graft_prob"
+      val prob = col(tmp)
+      ds.withColumn(tmp, Predictor.softprobCol(booster)(f))
+        .withColumn($(rawPredictionCol), arr2vec(Predictor.marginCol(booster)(f)))
+        .withColumn($(probabilityCol), arr2vec(prob))
+        .withColumn($(predictionCol),
+          (array_position(prob, array_max(prob)) - 1).cast("double"))
+        .drop(tmp)
     }
   }
   override def copy(extra: ParamMap): XGBoostClassificationModel =
@@ -327,7 +315,7 @@ class XGBoostRankerModel(override val uid: String, val booster: BoosterModel)
     extends Model[XGBoostRankerModel] with GraftXGBParams with GraftWritableModel {
   override def transform(ds: Dataset[_]): DataFrame =
     ds.withColumn($(predictionCol),
-      Predictor.marginUdf(booster)(featuresAsArray(ds)).getItem(0))
+      Predictor.marginScalarCol(booster)(featuresAsArray(ds)))
   override def copy(extra: ParamMap): XGBoostRankerModel =
     copyValues(new XGBoostRankerModel(uid, booster), extra).setParent(parent)
   override def transformSchema(schema: StructType): StructType =
