@@ -1,0 +1,258 @@
+package graft.linear
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.storage.StorageLevel
+
+import graft.objective.Objective
+
+import scala.util.Random
+
+/** Linear-booster hyper-parameters (the reference's `LinearTrainParam`,
+  * `src/linear/param.h:15-50`). `lambda`/`alpha` are normalized penalties:
+  * they are denormalized by the total instance weight before use
+  * (`src/gbm/gblinear.cc:133` `LazySumWeights` + `DenormalizePenalties`).
+  */
+final case class LinearParams(
+    objective: String = "reg:squarederror",
+    numRounds: Int = 10,
+    eta: Double = 0.5,
+    lambda: Double = 0.0, // L2, normalized
+    alpha: Double = 0.0, // L1, normalized
+    updater: String = "shotgun", // | "coord_descent"
+    featureSelector: String = "cyclic", // | shuffle | random | greedy | thrifty
+    topK: Int = 0, // 0 = all features (greedy/thrifty: rank cap)
+    seed: Long = 0L,
+    baseScore: Option[Double] = None
+)
+
+/** Trained elastic-net GLM: `margin(x) = base + bias + Σ_f w_f·x_f`
+  * (the reference's gblinear model, `src/gbm/gblinear_model.h`). Missing
+  * (NaN) features contribute 0, matching the sparse-DMatrix semantics of
+  * the reference (absent entry = no term). */
+final case class LinearModel(
+    weights: Array[Double],
+    bias: Double,
+    baseScore: Double,
+    objective: String,
+    numFeatures: Int
+) extends Serializable {
+  def margin(x: Array[Double]): Double = {
+    var m = baseScore + bias
+    var f = 0
+    val n = math.min(x.length, weights.length)
+    while (f < n) {
+      val v = x(f)
+      if (v == v) m += weights(f) * v
+      f += 1
+    }
+    m
+  }
+  def predict(x: Array[Double]): Double = Objective(objective).predTransform(margin(x))
+}
+
+/** Distributed gblinear: elastic-net coordinate descent re-expressed as
+  * Spark aggregations (ref `src/gbm/gblinear.cc:120-170` DoBoost,
+  * `src/linear/updater_shotgun.cc:96`, `updater_coordinate.cc:100`).
+  *
+  * Per boosting round every statistic the reference's updaters need is a
+  * partial+final sum — one `treeAggregate` computes, for all features at
+  * once: `Σ g·x_f`, `Σ h·x_f`, `Σ h·x_f²` (plus the bias sums `Σ g`,
+  * `Σ h`). The margin is NEVER materialized as an RDD: a linear margin is
+  * O(nnz) to recompute from the broadcast weight vector, so each pass
+  * rebuilds it on the fly — no cache to keep consistent, nothing shuffles,
+  * and the driver state is O(numFeatures).
+  *
+  *  - `shotgun` (parallel CD): all features updated from one pass's sums;
+  *    the bias delta is folded into each feature's gradient analytically
+  *    (`Σ g'·x = Σ g·x + Δbias·Σ h·x`), making our round a clean Jacobi
+  *    step where the reference's shared-memory version races (`:96` "in
+  *    parallel, without any locking").
+  *  - `coord_descent`: textbook sequential CD — one aggregation per
+  *    selected feature with exact intermediate margins (ref
+  *    `updater_coordinate.cc:100`); pick it for few features / exact path.
+  *
+  * Feature selectors (`src/linear/param.h:15-50`): cyclic, shuffle,
+  * random, greedy (top-k by univariate delta magnitude, re-ranked each
+  * round), thrifty (pre-sorted once per round). */
+final class GBLinearTrainer(val params: LinearParams) {
+
+  require(Set("shotgun", "coord_descent")(params.updater),
+    s"unknown gblinear updater: ${params.updater}")
+  require(Set("cyclic", "shuffle", "random", "greedy", "thrifty")(params.featureSelector),
+    s"unknown feature_selector: ${params.featureSelector}")
+
+  /** CoordinateDelta (ref `src/linear/coordinate_common.h:45-63`): closed
+    * -form elastic-net update for one coordinate given sums at the current
+    * margin; `lambdaD`/`alphaD` are already denormalized. */
+  private[linear] def coordinateDelta(sumGrad: Double, sumHess: Double, w: Double,
+      alphaD: Double, lambdaD: Double): Double = {
+    if (sumHess < 1e-5) return 0.0
+    val sumGradL2 = sumGrad + lambdaD * w
+    val sumHessL2 = sumHess + lambdaD
+    val tmp = w - sumGradL2 / sumHessL2
+    if (tmp >= 0) math.max(-(sumGradL2 + alphaD) / sumHessL2, -w)
+    else math.min(-(sumGradL2 - alphaD) / sumHessL2, -w)
+  }
+
+  /** Bias step (ref `coordinate_common.h:70-77`): unregularized. */
+  private[linear] def biasDelta(sumGrad: Double, sumHess: Double): Double =
+    if (sumHess < 1e-5) 0.0 else -sumGrad / sumHess
+
+  def fit(data: RDD[(Array[Double], Double, Double)]): LinearModel = {
+    val obj = Objective(params.objective)
+    require(!obj.needsGlobalGradients && !obj.usesIntervalLabels,
+      s"gblinear does not support ${params.objective}")
+    val cached = data.persist(StorageLevel.MEMORY_AND_DISK)
+    val sc = data.sparkContext
+
+    // numFeatures + Σ instance weight + weighted label mean, one pass
+    // (ref LazySumWeights `gblinear.cc:133`, FitStump intercept)
+    val (nf, sumW, sumWY) = cached.treeAggregate((0, 0.0, 0.0))(
+      seqOp = { case ((f, sw, swy), (x, y, w)) =>
+        (math.max(f, x.length), sw + w, swy + w * y) },
+      combOp = { case ((f1, s1, y1), (f2, s2, y2)) =>
+        (math.max(f1, f2), s1 + s2, y1 + y2) })
+    val base = params.baseScore.getOrElse(obj.baseScore(sumWY / math.max(sumW, 1e-16)))
+    val lambdaD = params.lambda * sumW
+    val alphaD = params.alpha * sumW
+
+    val weights = new Array[Double](nf)
+    var bias = 0.0
+    val rng = new Random(params.seed)
+
+    // one treeAggregate: per-feature [Σg·x, Σh·x, Σh·x²] + bias [Σg, Σh]
+    def fullSums(): (Array[Double], Double, Double) = {
+      val bw = sc.broadcast((weights.clone(), bias))
+      val zero = new Array[Double](3 * nf + 2)
+      val acc = cached.treeAggregate(zero)(
+        seqOp = { case (a, (x, y, w)) =>
+          val (ws, b) = bw.value
+          var m = base + b
+          var f = 0
+          val n = math.min(x.length, nf)
+          while (f < n) { val v = x(f); if (v == v) m += ws(f) * v; f += 1 }
+          val out = new Array[Double](2)
+          obj.gradient(m, y, out)
+          val g = w * out(0); val h = w * out(1)
+          f = 0
+          while (f < n) {
+            val v = x(f)
+            if (v == v && v != 0.0) {
+              a(3 * f) += g * v; a(3 * f + 1) += h * v; a(3 * f + 2) += h * v * v
+            }
+            f += 1
+          }
+          a(3 * nf) += g; a(3 * nf + 1) += h
+          a
+        },
+        combOp = { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+      bw.destroy()
+      (acc, acc(3 * nf), acc(3 * nf + 1))
+    }
+
+    // single-feature [Σg·x, Σh·x²] at exact current margins (coord_descent)
+    def featureSums(feat: Int): (Double, Double) = {
+      val bw = sc.broadcast((weights.clone(), bias))
+      val acc = cached.treeAggregate(new Array[Double](2))(
+        seqOp = { case (a, (x, y, w)) =>
+          if (feat < x.length) {
+            val v = x(feat)
+            if (v == v && v != 0.0) {
+              val (ws, b) = bw.value
+              var m = base + b
+              var f = 0
+              val n = math.min(x.length, nf)
+              while (f < n) { val u = x(f); if (u == u) m += ws(f) * u; f += 1 }
+              val out = new Array[Double](2)
+              obj.gradient(m, y, out)
+              a(0) += w * out(0) * v; a(1) += w * out(1) * v * v
+            }
+          }
+          a
+        },
+        combOp = { (a, b) => a(0) += b(0); a(1) += b(1); a })
+      bw.destroy()
+      (acc(0), acc(1))
+    }
+
+    def biasSums(): (Double, Double) = {
+      val bw = sc.broadcast((weights.clone(), bias))
+      val acc = cached.treeAggregate(new Array[Double](2))(
+        seqOp = { case (a, (x, y, w)) =>
+          val (ws, b) = bw.value
+          var m = base + b
+          var f = 0
+          val n = math.min(x.length, nf)
+          while (f < n) { val v = x(f); if (v == v) m += ws(f) * v; f += 1 }
+          val out = new Array[Double](2)
+          obj.gradient(m, y, out)
+          a(0) += w * out(0); a(1) += w * out(1); a
+        },
+        combOp = { (a, b) => a(0) += b(0); a(1) += b(1); a })
+      bw.destroy()
+      (acc(0), acc(1))
+    }
+
+    val allFeatures = (0 until nf).toArray
+    var round = 0
+    while (round < params.numRounds) {
+      if (params.updater == "shotgun") {
+        val (acc, sumG, sumH) = fullSums()
+        val db = params.eta * biasDelta(sumG, sumH)
+        bias += db
+        // selector over univariate deltas computed with bias-corrected grads
+        val delta = new Array[Double](nf)
+        var f = 0
+        while (f < nf) {
+          val sg = acc(3 * f) + db * acc(3 * f + 1) // Σg'·x = Σg·x + Δb·Σh·x
+          delta(f) = coordinateDelta(sg, acc(3 * f + 2), weights(f), alphaD, lambdaD)
+          f += 1
+        }
+        selectFeatures(delta, rng).foreach { f =>
+          weights(f) += params.eta * delta(f)
+        }
+      } else { // coord_descent: exact sequential CD
+        val (sumG, sumH) = biasSums()
+        bias += params.eta * biasDelta(sumG, sumH)
+        val order: Array[Int] = params.featureSelector match {
+          case "cyclic" => allFeatures
+          case "shuffle" => rng.shuffle(allFeatures.toSeq).toArray
+          case "random" =>
+            val k = if (params.topK > 0) params.topK else nf
+            Array.fill(k)(rng.nextInt(nf))
+          case _ => // greedy/thrifty: rank by univariate delta from one full pass
+            val (acc, _, _) = fullSums()
+            val d = allFeatures.map(f =>
+              f -> math.abs(coordinateDelta(acc(3 * f), acc(3 * f + 2), weights(f), alphaD, lambdaD)))
+            val sorted = d.sortBy(-_._2).map(_._1)
+            if (params.topK > 0) sorted.take(params.topK) else sorted
+        }
+        val capped = if (params.topK > 0 && (params.featureSelector == "cyclic" || params.featureSelector == "shuffle"))
+          order.take(params.topK) else order
+        capped.foreach { f =>
+          val (sg, shh) = featureSums(f)
+          weights(f) += params.eta * coordinateDelta(sg, shh, weights(f), alphaD, lambdaD)
+        }
+      }
+      round += 1
+    }
+    cached.unpersist(blocking = false)
+    LinearModel(weights, bias, base, params.objective, nf)
+  }
+
+  /** Which features to apply this round's shotgun deltas to. */
+  private def selectFeatures(delta: Array[Double], rng: Random): Array[Int] = {
+    val nf = delta.length
+    val all = (0 until nf).toArray
+    params.featureSelector match {
+      case "cyclic" => all
+      case "shuffle" => rng.shuffle(all.toSeq).toArray
+      case "random" =>
+        val k = if (params.topK > 0) params.topK else nf
+        Array.fill(k)(rng.nextInt(nf)).distinct
+      case "greedy" | "thrifty" =>
+        val ranked = all.sortBy(f => -math.abs(delta(f)))
+        if (params.topK > 0) ranked.take(params.topK) else ranked
+    }
+  }
+}

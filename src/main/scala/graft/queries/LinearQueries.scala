@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.linear.{GBLinearTrainer, LinearParams}
+
+/** gblinear queries. One shotgun round from the label-mean base on
+  * reg:squarederror is CLOSED FORM (ref `coordinate_common.h:45-63`):
+  * the bias delta is 0 (base = weighted label mean ⇒ Σg = 0) and each
+  * weight is `w_f = −Σ(g·x_f) / (Σx_f² + λ·ΣW)` — plain SQL aggregates,
+  * so the distributed trainer gets a DuckDB hash-match on its actual
+  * update math, not just a rows-only smoke. */
+object LinearQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gblinear_step" -> ((s, dir) => {
+      val data = TrainQueries.lineitemTrainingData(s, dir)
+      val m = new GBLinearTrainer(LinearParams(numRounds = 1, eta = 1.0,
+        lambda = 0.1, updater = "shotgun")).fit(data)
+      import s.implicits._
+      Seq((
+        math.round(m.weights(0) * 1e5) / 1e5,
+        math.round(m.weights(1) * 1e5) / 1e5,
+        math.round(m.weights(2) * 1e5) / 1e5,
+        math.round(m.weights(3) * 1e5) / 1e5
+      )).toDF("w_quantity", "w_extendedprice", "w_discount", "w_tax")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_gblinear_step" ->
+      """WITH t AS (
+        |  SELECT l_quantity AS x1, l_extendedprice AS x2, l_discount AS x3, l_tax AS x4,
+        |         l_extendedprice * (1 - l_discount) / 100000.0 AS y
+        |  FROM lineitem
+        |), g AS (
+        |  SELECT x1, x2, x3, x4, (SELECT avg(y) FROM t) - y AS gg FROM t
+        |)
+        |SELECT
+        |  round(-sum(gg * x1) / (sum(x1 * x1) + 0.1 * count(*)), 5) AS w_quantity,
+        |  round(-sum(gg * x2) / (sum(x2 * x2) + 0.1 * count(*)), 5) AS w_extendedprice,
+        |  round(-sum(gg * x3) / (sum(x3 * x3) + 0.1 * count(*)), 5) AS w_discount,
+        |  round(-sum(gg * x4) / (sum(x4 * x4) + 0.1 * count(*)), 5) AS w_tax
+        |FROM g""".stripMargin
+  )
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.linear.{GBLinearTrainer, LinearModel, LinearParams}
+
+class GBLinearSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val sc = spark.sparkContext
+
+  private def linearData(seed: Int, n: Int = 2000) = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val x = Array(rng.nextGaussian(), rng.nextGaussian(), rng.nextGaussian())
+      val y = 3.0 + 2.0 * x(0) - 1.5 * x(1) + 0.5 * x(2) + 0.05 * rng.nextGaussian()
+      (x, y, 1.0)
+    }
+  }
+
+  /** Closed-form ridge on centered data: solve (X'X + λ'I) w = X'r via
+    * Gaussian elimination (3×3), bias absorbed by the intercept. */
+  private def ridge(rows: Seq[(Array[Double], Double, Double)], lambdaD: Double) = {
+    val n = rows.size
+    val nf = 3
+    val ybar = rows.map(_._2).sum / n
+    val xbar = (0 until nf).map(f => rows.map(_._1(f)).sum / n).toArray
+    val a = Array.ofDim[Double](nf, nf + 1)
+    for (i <- 0 until nf) {
+      for (j <- 0 until nf)
+        a(i)(j) = rows.map(r => (r._1(i) - xbar(i)) * (r._1(j) - xbar(j))).sum +
+          (if (i == j) lambdaD else 0.0)
+      a(i)(nf) = rows.map(r => (r._1(i) - xbar(i)) * (r._2 - ybar)).sum
+    }
+    for (p <- 0 until nf) { // eliminate
+      for (i <- p + 1 until nf) {
+        val m = a(i)(p) / a(p)(p)
+        for (j <- p to nf) a(i)(j) -= m * a(p)(j)
+      }
+    }
+    val w = new Array[Double](nf)
+    for (i <- (nf - 1) to 0 by -1) {
+      var s = a(i)(nf)
+      for (j <- i + 1 until nf) s -= a(i)(j) * w(j)
+      w(i) = s / a(i)(i)
+    }
+    w
+  }
+
+  test("shotgun converges to the ridge solution") {
+    val rows = linearData(7)
+    val data = sc.parallelize(rows, 4)
+    val lambda = 0.1
+    val m = new GBLinearTrainer(LinearParams(numRounds = 60, eta = 0.5,
+      lambda = lambda, updater = "shotgun")).fit(data)
+    val expect = ridge(rows, lambda * rows.size)
+    (0 until 3).foreach { f =>
+      assert(math.abs(m.weights(f) - expect(f)) < 0.02,
+        s"w$f=${m.weights(f)} vs ridge ${expect(f)}")
+    }
+  }
+
+  test("coord_descent matches shotgun on the same problem") {
+    val rows = linearData(11, n = 500)
+    val data = sc.parallelize(rows, 3)
+    val cd = new GBLinearTrainer(LinearParams(numRounds = 15, eta = 1.0,
+      lambda = 0.1, updater = "coord_descent")).fit(data)
+    val sg = new GBLinearTrainer(LinearParams(numRounds = 40, eta = 0.5,
+      lambda = 0.1, updater = "shotgun")).fit(data)
+    (0 until 3).foreach { f =>
+      assert(math.abs(cd.weights(f) - sg.weights(f)) < 0.03,
+        s"w$f: cd=${cd.weights(f)} shotgun=${sg.weights(f)}")
+    }
+  }
+
+  test("alpha drives small true weights to exactly zero (L1 soft threshold)") {
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 1500).map { _ =>
+      val x = Array(rng.nextGaussian(), rng.nextGaussian(), rng.nextGaussian())
+      val y = 2.0 * x(0) + 0.02 * rng.nextGaussian() // x1, x2 irrelevant
+      (x, y, 1.0)
+    }
+    val m = new GBLinearTrainer(LinearParams(numRounds = 40, eta = 0.5,
+      alpha = 0.05, updater = "shotgun")).fit(sc.parallelize(rows, 3))
+    assert(math.abs(m.weights(0) - 2.0) < 0.1, s"w0=${m.weights(0)}")
+    assert(math.abs(m.weights(1)) < 1e-6 && math.abs(m.weights(2)) < 1e-6,
+      s"irrelevant weights not zeroed: ${m.weights.toSeq}")
+  }
+
+  test("greedy selector with topK touches only the strongest features") {
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 1000).map { _ =>
+      val x = Array.fill(6)(rng.nextGaussian())
+      val y = 4.0 * x(0) + 0.01 * rng.nextGaussian()
+      (x, y, 1.0)
+    }
+    // one round: exactly ONE coordinate (the strongest) may move
+    val m = new GBLinearTrainer(LinearParams(numRounds = 1, eta = 1.0,
+      updater = "coord_descent", featureSelector = "greedy", topK = 1))
+      .fit(sc.parallelize(rows, 3))
+    assert(math.abs(m.weights(0) - 4.0) < 0.1, s"w0=${m.weights(0)}")
+    assert((1 until 6).forall(f => m.weights(f) == 0.0),
+      s"topK=1 greedy should leave others untouched: ${m.weights.toSeq}")
+  }
+
+  test("logistic gblinear separates a linear boundary") {
+    val rng = new scala.util.Random(19)
+    val rows = (0 until 2000).map { _ =>
+      val x = Array(rng.nextGaussian(), rng.nextGaussian())
+      val p = 1.0 / (1.0 + math.exp(-(2.0 * x(0) - x(1))))
+      (x, if (rng.nextDouble() < p) 1.0 else 0.0, 1.0)
+    }
+    val m = new GBLinearTrainer(LinearParams(objective = "binary:logistic",
+      numRounds = 40, eta = 0.5, lambda = 0.01)).fit(sc.parallelize(rows, 4))
+    val acc = rows.count { case (x, y, _) =>
+      (if (m.predict(x) > 0.5) 1.0 else 0.0) == y
+    }.toDouble / rows.size
+    assert(acc > 0.78, s"accuracy $acc") // Bayes ≈ 0.81 on this noisy boundary
+    assert(m.weights(0) > 0 && m.weights(1) < 0, s"signs: ${m.weights.toSeq}")
+    val ratio = m.weights(0) / -m.weights(1)
+    assert(ratio > 1.5 && ratio < 2.7, s"w0/-w1=$ratio, want ≈2")
+  }
+}
