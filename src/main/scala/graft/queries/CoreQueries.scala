@@ -82,6 +82,19 @@ object CoreQueries {
         sum(when(col("w") < 0, 1L).otherwise(0L)).as("bad_weight"),
         count(lit(1)).as("n"))),
 
+    // ---- categorical dictionary + recode (§2.3 Recode, §2.7 category
+    // union): one collect_set pass builds the sorted-order dictionaries,
+    // recode is a broadcast literal-map lookup; DuckDB reproduces codes
+    // with dense_rank over distinct values ----
+    "q_cat_recode" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val dict = graft.data.CategoryEncoder.fit(li, Seq("l_returnflag", "l_linestatus"))
+      dict.transform(li)
+        .groupBy("l_returnflag_code", "l_linestatus_code")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag_code", "l_linestatus_code")
+    }),
+
     // ---- gradient computation as SQL (§2.8) ----
     "grad_squarederror" -> ((s, dir) => scored(s, dir)
       .groupBy("l_returnflag")
@@ -169,6 +182,21 @@ object CoreQueries {
          |  CAST(sum(CASE WHEN w < 0 THEN 1 ELSE 0 END) AS BIGINT) AS bad_weight,
          |  count(*) AS n
          |FROM ($scoredSql)""".stripMargin,
+
+    "q_cat_recode" ->
+      """WITH rf AS (
+        |  SELECT v, CAST(dense_rank() OVER (ORDER BY v) AS INT) - 1 AS c
+        |  FROM (SELECT DISTINCT l_returnflag AS v FROM lineitem)
+        |), ls AS (
+        |  SELECT v, CAST(dense_rank() OVER (ORDER BY v) AS INT) - 1 AS c
+        |  FROM (SELECT DISTINCT l_linestatus AS v FROM lineitem)
+        |)
+        |SELECT rf.c AS l_returnflag_code, ls.c AS l_linestatus_code,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem l
+        |JOIN rf ON l.l_returnflag = rf.v
+        |JOIN ls ON l.l_linestatus = ls.v
+        |GROUP BY 1, 2""".stripMargin,
 
     "grad_squarederror" ->
       s"""SELECT l_returnflag,
