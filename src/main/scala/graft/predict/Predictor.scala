@@ -42,13 +42,22 @@ object Predictor {
   def leafCol(model: BoosterModel)(features: Column): Column =
     pred(model, TreePredict.Leaf)(features)
 
-  /** Per-feature contributions (nfeat+1 incl. bias) that sum to the margin —
-    * cover-weighted path attribution (Saabas), the fast variant of the
+  /** Per-feature contributions (nfeat+1 incl. bias) that sum to the
+    * margin — EXACT TreeSHAP (ref `pred_contribs`, `shap.cc:101-340`). */
+  def contribCol(model: BoosterModel)(features: Column): Column =
+    pred(model, TreePredict.Shap)(features)
+
+  /** Saabas cover-weighted path attribution — the fast variant of the
     * reference's `approx_contribs` (`include/xgboost/learner.h:111`); the
     * sum-to-margin invariant of `tests/python/test_shap.py` holds by
     * construction. */
-  def contribCol(model: BoosterModel)(features: Column): Column =
+  def approxContribCol(model: BoosterModel)(features: Column): Column =
     pred(model, TreePredict.Contrib)(features)
+
+  /** SHAP interaction values, (nfeat+1)² flattened row-major (ref
+    * `pred_interactions`): row sums = SHAP values, grand total = margin. */
+  def interactionsCol(model: BoosterModel)(features: Column): Column =
+    pred(model, TreePredict.ShapInter)(features)
 
   /** Transform helper mirroring the reference Spark layer's output columns
     * (`XGBoostEstimator.scala:563-680`): adds margin/prediction (+leaf,

@@ -34,7 +34,8 @@ final class FlatModel(
     val numGroups: Int,
     val numFeatures: Int,
     val objective: Objective,
-    val nodeValue: Array[Double] // cover-weighted expected value per node (Saabas)
+    val nodeValue: Array[Double], // cover-weighted expected value per node (Saabas)
+    val cover: Array[Double] // sum of hessians routed through each node
 ) extends Serializable {
 
   private val numTrees = treeRoot.length
@@ -112,6 +113,14 @@ final class FlatModel(
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** Exact TreeSHAP φ (nfeat+1 incl. bias) — ref `shap.cc:101-340`. */
+  def shapData(a: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(TreeShap.shap(this, a))
+
+  /** SHAP interaction values, (nfeat+1)² flattened row-major. */
+  def shapInterData(a: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(TreeShap.interactions(this, a))
+
   /** Saabas cover-weighted path attribution (nfeat+1 incl. bias), the fast
     * variant of the reference's `approx_contribs`
     * (`include/xgboost/learner.h:111`); sums to the margin by construction. */
@@ -160,6 +169,7 @@ object FlatModel {
     val catBuf = new scala.collection.mutable.ArrayBuffer[Int]
     val treeRoot = new Array[Int](model.trees.length)
     val nodeValue = new Array[Double](nNodes)
+    val coverAll = new Array[Double](nNodes)
 
     var base = 0
     model.trees.zipWithIndex.foreach { case (tree, t) =>
@@ -195,6 +205,7 @@ object FlatModel {
         }
       }
       fill(0)
+      System.arraycopy(cover, 0, coverAll, base, cover.length)
       base += tree.nodes.length
     }
 
@@ -206,7 +217,7 @@ object FlatModel {
     new FlatModel(feature, threshold, defaultLeft, left, right,
       leafOff, leafLen, leafBuf.toArray, catOff, catLen, catBuf.toArray,
       treeRoot, model.treeWeights, model.treeGroup, model.baseScore,
-      model.numGroups, model.numFeatures, obj, nodeValue)
+      model.numGroups, model.numFeatures, obj, nodeValue, coverAll)
   }
 }
 
@@ -225,7 +236,8 @@ case class TreePredict(child: Expression, model: FlatModel, mode: Int)
   }
 
   override def dataType: DataType = mode match {
-    case TreePredict.Margin | TreePredict.Softprob | TreePredict.Contrib =>
+    case TreePredict.Margin | TreePredict.Softprob | TreePredict.Contrib |
+         TreePredict.Shap | TreePredict.ShapInter =>
       ArrayType(DoubleType, containsNull = false)
     case TreePredict.Leaf => ArrayType(IntegerType, containsNull = false)
     case _ => DoubleType
@@ -241,6 +253,8 @@ case class TreePredict(child: Expression, model: FlatModel, mode: Int)
     case TreePredict.Argmax => "argmaxOf"
     case TreePredict.Leaf => "leafData"
     case TreePredict.Contrib => "contribData"
+    case TreePredict.Shap => "shapData"
+    case TreePredict.ShapInter => "shapInterData"
   }
 
   protected override def nullSafeEval(input: Any): Any = {
@@ -253,6 +267,8 @@ case class TreePredict(child: Expression, model: FlatModel, mode: Int)
       case TreePredict.Argmax => model.argmaxOf(a)
       case TreePredict.Leaf => model.leafData(a)
       case TreePredict.Contrib => model.contribData(a)
+      case TreePredict.Shap => model.shapData(a)
+      case TreePredict.ShapInter => model.shapInterData(a)
     }
   }
 
@@ -273,4 +289,6 @@ object TreePredict {
   val Leaf = 4
   val Contrib = 5
   val MarginScalar = 6
+  val Shap = 7
+  val ShapInter = 8
 }
