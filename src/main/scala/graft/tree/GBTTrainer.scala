@@ -654,10 +654,10 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       tryEnqueue(l)
       tryEnqueue(r)
     }
-    nodes.indices.foreach { nid =>
-      val n = nodes(nid)
-      if (n.feature < 0)
-        n.weight = SplitEnumerator.calcWeight(n.g, n.h, params, n.lowerBound, n.upperBound)
+    nodes.foreach { n =>
+      // every node (internal too) gets its would-be leaf weight so the
+      // prune updater can collapse splits exactly (ref CollapseToLeaf)
+      n.weight = SplitEnumerator.calcWeight(n.g, n.h, params, n.lowerBound, n.upperBound)
     }
     finalizeShape(nodes)
   }
@@ -730,9 +730,9 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       frontier = nextFrontier.toArray
       depth += 1
     }
-    // remaining frontier → leaves
-    frontier.foreach { nid =>
-      val n = nodes(nid)
+    // every node (internal too) gets its would-be leaf weight so the
+    // prune updater can collapse splits exactly (ref CollapseToLeaf)
+    nodes.foreach { n =>
       n.weight = SplitEnumerator.calcWeight(n.g, n.h, params, n.lowerBound, n.upperBound)
     }
     finalizeShape(nodes)
@@ -817,7 +817,9 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         val thr =
           if (s.catRight(i) != null) 0.0
           else cuts.cuts(f)(s.splitBin(i))
-        Node(f, thr, s.defaultLeft(i), s.left(i), s.right(i), Array.empty,
+        // internal nodes carry their would-be leaf weight (s.leaf) so the
+        // prune updater can collapse them without re-aggregating data
+        Node(f, thr, s.defaultLeft(i), s.left(i), s.right(i), s.leaf(i),
           s.gain(i), s.sumHess(i),
           if (s.catRight(i) != null) s.catRight(i) else Array.empty)
       }
