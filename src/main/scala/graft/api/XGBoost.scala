@@ -1,0 +1,88 @@
+package graft.api
+
+import org.apache.spark.rdd.RDD
+
+import graft.model.BoosterModel
+import graft.objective.Objective
+import graft.tree.{CustomEvalMetric, GBTTrainer, TrainingCallback, TrainParams}
+
+/** Functional training facade — the reference's `xgboost.train()` /
+  * `xgboost.cv()` (`python-package/xgboost/training.py:12-180,435`):
+  * one-call training with watches, callbacks, custom objective/metric, and
+  * k-fold cross-validation over deterministic row-slice folds
+  * (`DMatrix::Slice` / `mknfold`, `training.py:310-360`). */
+object XGBoost {
+
+  /** Train with optional eval watch, callbacks, and custom hooks. */
+  def train(
+      data: RDD[(Array[Double], Double, Double)],
+      params: TrainParams,
+      evalSet: Option[RDD[(Array[Double], Double, Double)]] = None,
+      callbacks: Seq[TrainingCallback] = Nil,
+      customObj: Option[Objective] = None,
+      customMetric: Option[CustomEvalMetric] = None): BoosterModel = {
+    val trainer = new GBTTrainer(params).withCallbacks(callbacks)
+    customObj.foreach(trainer.withCustomObjective)
+    customMetric.foreach(trainer.withCustomMetric)
+    evalSet match {
+      case Some(ev) => trainer.fit(data, ev)
+      case None => trainer.fit(data)
+    }
+  }
+
+  /** Per-iteration eval mean/std across folds + the best mean iteration. */
+  final case class CvResult(foldHistories: Seq[Seq[(Int, Double)]], maximize: Boolean) {
+    /** (iteration, mean, std) over folds, up to the shortest fold. */
+    def summary: Seq[(Int, Double, Double)] = {
+      val n = foldHistories.map(_.size).min
+      (0 until n).map { i =>
+        val vs = foldHistories.map(_(i)._2)
+        val mean = vs.sum / vs.size
+        val std = math.sqrt(vs.map(v => (v - mean) * (v - mean)).sum / vs.size)
+        (i, mean, std)
+      }
+    }
+    def bestIteration: Int = {
+      val s = summary
+      (if (maximize) s.maxBy(_._2) else s.minBy(_._2))._1
+    }
+  }
+
+  /** k-fold CV (ref `training.py:435` `cv`): rows get a deterministic
+    * seeded fold id (the `DMatrix::Slice` row-slice analog — a filter, not
+    * a shuffle); each fold trains on the complement and watches the fold.
+    */
+  def cv(
+      data: RDD[(Array[Double], Double, Double)],
+      params: TrainParams,
+      nfold: Int = 5,
+      seed: Long = 0L,
+      customObj: Option[Objective] = None,
+      customMetric: Option[CustomEvalMetric] = None): CvResult = {
+    require(nfold >= 2, s"nfold must be >= 2, got $nfold")
+    val metricName = params.evalMetric.getOrElse {
+      if (params.numClass > 1) "mlogloss"
+      else customMetric.map(_.name).getOrElse(Objective(params.objective).defaultMetric)
+    }
+    val p = params.copy(evalMetric = Some(metricName))
+    val folded = data.mapPartitionsWithIndex { (pi, it) =>
+      val rng = new scala.util.Random(seed ^ (pi * 0x9E3779B97F4A7C15L))
+      it.map(r => (rng.nextInt(nfold), r))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    folded.count()
+    val histories = (0 until nfold).map { k =>
+      val trainer = new GBTTrainer(p)
+      customObj.foreach(trainer.withCustomObjective)
+      customMetric.foreach(trainer.withCustomMetric)
+      trainer.fit(
+        folded.filter(_._1 != k).map(_._2),
+        folded.filter(_._1 == k).map(_._2))
+      trainer.evalHistory
+    }
+    folded.unpersist(blocking = false)
+    val maximize = customMetric.map(_.maximize).getOrElse(
+      metricName.startsWith("auc") || metricName.startsWith("ndcg") ||
+        metricName.startsWith("map") || metricName.startsWith("precision"))
+    CvResult(histories, maximize)
+  }
+}

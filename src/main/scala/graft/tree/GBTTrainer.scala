@@ -156,6 +156,19 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
   private val isMulti = params.numClass > 1
   private val numGroups = math.max(params.numClass, 1)
 
+  // ---- driver-side training hooks (ref callback.py:51-640, custom
+  // objective `objective.py` / custom feval `training.py:53`) ----
+  @transient private var callbacks: Seq[TrainingCallback] = Nil
+  private var customObj: Option[Objective] = None
+  private var customMetric: Option[CustomEvalMetric] = None
+  /** Per-iteration callbacks (monitoring, checkpointing, custom stop). */
+  def withCallbacks(cbs: Seq[TrainingCallback]): this.type = { callbacks = cbs; this }
+  /** User objective: any [[Objective]] implementation replaces the
+    * registry lookup for `params.objective` (single-output only). */
+  def withCustomObjective(o: Objective): this.type = { customObj = Some(o); this }
+  /** User eval metric for the watch/early-stopping loop. */
+  def withCustomMetric(m: CustomEvalMetric): this.type = { customMetric = Some(m); this }
+
   /** data: (dense features with NaN=missing, label, weight). */
   def fit(data: RDD[(Array[Double], Double, Double)]): BoosterModel = params.treeMethod match {
     case "hist" =>
@@ -361,12 +374,12 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     val softmax = if (isMulti) new SoftmaxObjective(params.numClass, params.objective == "multi:softprob") else null
     val obj: Objective =
       if (isMulti) null
-      else Objective(params.objective,
+      else customObj.getOrElse(Objective(params.objective,
         maxDeltaStep = if (params.maxDeltaStep > 0) params.maxDeltaStep else 0.7,
         alpha = params.quantileAlpha, rho = params.tweedieVariancePower,
         delta = params.pseudoHuberSlope,
         aftDistribution = params.aftDistribution, aftScale = params.aftScale,
-        rankExpGain = params.ndcgExpGain, rankTopK = params.lambdarankTopK)
+        rankExpGain = params.ndcgExpGain, rankTopK = params.lambdarankTopK))
     val needsGlobalGrads = !isMulti && obj.needsGlobalGradients
     if (needsGlobalGrads && params.booster == "dart")
       throw new IllegalArgumentException(
@@ -429,15 +442,18 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     val colSampler = new ColumnSampler(numFeatures, params.seed)
 
     // watch / early-stopping state (ref EvalOneIter + EarlyStopping)
-    val watching = params.earlyStoppingRounds > 0 || params.evalMetric.isDefined
+    val watching = params.earlyStoppingRounds > 0 || params.evalMetric.isDefined ||
+      customMetric.isDefined || callbacks.nonEmpty
     lastHistory.clear()
     lastBestIteration = -1
     var bestValue = Double.NaN
     var roundsSinceBest = 0
     var stop = false
+    var stopFromCallback = false // callback stop keeps all trees (no truncation)
 
     var iter = 0
     while (iter < params.numRounds && !stop) {
+      callbacks.foreach(_.beforeIteration(iter))
       // per-iteration objective scale stats (absoluteerror / quantile)
       if (!isMulti && obj.needsScale) {
         val (s1, s2) = binned.zip(margins).treeAggregate((0.0, 0.0))(
@@ -523,15 +539,27 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
 
       // ---- watch metric + early stopping (learner.cc:1164, callback.py:311) ----
       if (watching) {
-        val mName = params.evalMetric.getOrElse(
-          if (isMulti) "mlogloss" else obj.defaultMetric)
-        val v = (evalBinnedOpt, evalMargins) match {
-          case (Some(eb), Some(em)) => evalMetricValue(mName, eb, em, obj)
-          case _ => evalMetricValue(mName, binned, margins, obj)
+        val (watchRows, watchMargins) = (evalBinnedOpt, evalMargins) match {
+          case (Some(eb), Some(em)) => (eb, em)
+          case _ => (binned, margins)
+        }
+        val (mName, v, maximize) = customMetric match {
+          case Some(cm) => // user feval: distributed (num, den) sums
+            val (num, den) = watchRows.zip(watchMargins).treeAggregate((0.0, 0.0))(
+              { case ((a, b), (r, m)) =>
+                val (n2, d2) = cm.contribution(m(0), r.label, r.weight)
+                (a + n2, b + d2)
+              },
+              (a, b) => (a._1 + b._1, a._2 + b._2))
+            (cm.name, cm.finish(num, den), cm.maximize)
+          case None =>
+            val n = params.evalMetric.getOrElse(
+              if (isMulti) "mlogloss" else obj.defaultMetric)
+            (n, evalMetricValue(n, watchRows, watchMargins, obj),
+              n.startsWith("auc") || n.startsWith("ndcg") ||
+                n.startsWith("map") || n.startsWith("precision"))
         }
         lastHistory += ((iter, v))
-        val maximize = mName.startsWith("auc") || mName.startsWith("ndcg") ||
-          mName.startsWith("map") || mName.startsWith("precision")
         val improved = bestValue.isNaN || (if (maximize) v > bestValue else v < bestValue)
         if (improved) { bestValue = v; lastBestIteration = iter; roundsSinceBest = 0 }
         else {
@@ -539,15 +567,21 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
           if (params.earlyStoppingRounds > 0 && roundsSinceBest >= params.earlyStoppingRounds)
             stop = true
         }
+        if (callbacks.exists(_.afterIteration(iter, Map(mName -> v)))) {
+          stop = true; stopFromCallback = true
+        }
+      } else if (callbacks.exists(_.afterIteration(iter, Map.empty))) {
+        stop = true; stopFromCallback = true
       }
       iter += 1
     }
+    callbacks.foreach(_.afterTraining(lastBestIteration))
     if (needsCoxSort) binned.unpersist(blocking = false)
     evalMargins.foreach(_.unpersist(blocking = false))
 
     // early stop ⇒ truncate to the best iteration (numGroups trees per round)
     val keep =
-      if (stop && lastBestIteration >= 0) (lastBestIteration + 1) * numGroups
+      if (stop && !stopFromCallback && lastBestIteration >= 0) (lastBestIteration + 1) * numGroups
       else shapes.length
     val trees = shapes.take(keep).toArray.map(shapeToTree(_, cuts))
     BoosterModel(trees, treeWeightsBuf.take(keep).toArray, treeGroupBuf.take(keep).toArray,

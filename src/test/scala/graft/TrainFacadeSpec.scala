@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.XGBoost
+import graft.objective.Objective
+import graft.tree.{CustomEvalMetric, GBTTrainer, TrainingCallback, TrainParams}
+
+class TrainFacadeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val sc = spark.sparkContext
+
+  private def data(seed: Int, n: Int = 2000) = {
+    val rng = new scala.util.Random(seed)
+    (0 until n).map { _ =>
+      val x = Array(rng.nextGaussian(), rng.nextGaussian())
+      (x, 3.0 * x(0) + 0.3 * rng.nextGaussian(), 1.0)
+    }
+  }
+
+  test("callbacks fire each round and can stop training") {
+    val seen = collection.mutable.ArrayBuffer[Int]()
+    val cb = new TrainingCallback {
+      override def beforeIteration(iter: Int): Unit = seen += iter
+      override def afterIteration(iter: Int, log: Map[String, Double]): Boolean =
+        iter >= 3 // stop after the 4th round
+    }
+    val m = XGBoost.train(sc.parallelize(data(1), 3),
+      TrainParams(numRounds = 20, maxDepth = 3), callbacks = Seq(cb))
+    assert(seen.toSeq == Seq(0, 1, 2, 3))
+    assert(m.trees.length == 4, s"callback stop must keep all 4 trees, got ${m.trees.length}")
+  }
+
+  test("custom objective trains through the registry-free hook") {
+    // squared error re-implemented as a custom objective
+    val custom = new Objective {
+      def name = "custom:squared"
+      def gradient(m: Double, y: Double, out: Array[Double]): Unit = {
+        out(0) = m - y; out(1) = 1.0
+      }
+    }
+    val rows = data(2)
+    val m = XGBoost.train(sc.parallelize(rows, 3),
+      TrainParams(numRounds = 5, maxDepth = 3, eta = 0.5), customObj = Some(custom))
+    val ref = new GBTTrainer(TrainParams(numRounds = 5, maxDepth = 3, eta = 0.5))
+      .fit(sc.parallelize(rows, 3))
+    rows.take(20).foreach { case (x, _, _) =>
+      assert(math.abs(m.margin(x)(0) - ref.margin(x)(0)) < 1e-9,
+        "custom squared error must match the built-in")
+    }
+  }
+
+  test("custom eval metric drives the watch log") {
+    val values = collection.mutable.ArrayBuffer[Double]()
+    val metric = new CustomEvalMetric {
+      def name = "my_mae"
+      def contribution(m: Double, y: Double, w: Double) = (w * math.abs(m - y), w)
+    }
+    val cb = new TrainingCallback {
+      override def afterIteration(iter: Int, log: Map[String, Double]): Boolean = {
+        values += log("my_mae"); false
+      }
+    }
+    XGBoost.train(sc.parallelize(data(3), 3),
+      TrainParams(numRounds = 6, maxDepth = 3, eta = 0.5),
+      callbacks = Seq(cb), customMetric = Some(metric))
+    assert(values.size == 6)
+    assert(values.last < values.head * 0.5, s"my_mae should fall: $values")
+  }
+
+  test("cv produces per-fold histories and a sensible best iteration") {
+    val res = XGBoost.cv(sc.parallelize(data(4), 4),
+      TrainParams(numRounds = 5, maxDepth = 3, eta = 0.5), nfold = 3, seed = 9)
+    assert(res.foldHistories.size == 3)
+    val s = res.summary
+    assert(s.size == 5)
+    assert(s.last._2 < s.head._2, "held-out rmse should improve over rounds")
+    assert(res.bestIteration >= 2, s"best=${res.bestIteration}, summary=$s")
+    s.foreach { case (_, mean, std) => assert(std < mean, "folds should agree") }
+  }
+}
