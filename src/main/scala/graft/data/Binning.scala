@@ -106,6 +106,50 @@ object Binning {
     HistogramCuts(sketches.map(s => cutsFromSummary(s.result, maxBin)))
   }
 
+  /** Exact-method cuts: EVERY distinct feature value becomes its own bin
+    * boundary, so downstream split enumeration over bins IS the exact
+    * greedy enumeration over sorted column values (ref `grow_colmaker`'s
+    * sorted-CSC scans, `src/tree/updater_colmaker.cc` + `SortedCSCPage`,
+    * `include/xgboost/data.h:441-445`). The per-feature sorted set built
+    * by the aggregation is the distributed analog of the sorted column.
+    * Guarded by `maxDistinct` total values — exact is for small/medium
+    * data, matching the reference (colmaker CHECKs a single worker). */
+  def findCutsExact(
+      data: RDD[(Array[Double], Double)],
+      numFeatures: Int,
+      maxDistinct: Int = 1 << 21): HistogramCuts = {
+    val zero = Array.fill(numFeatures)(new java.util.TreeSet[java.lang.Double]())
+    val sets = data.treeAggregate(zero)(
+      seqOp = (acc, row) => {
+        val fs = row._1
+        var f = 0
+        while (f < numFeatures) {
+          val v = fs(f)
+          if (v == v) acc(f).add(v)
+          f += 1
+        }
+        acc
+      },
+      combOp = (a, b) => {
+        var f = 0
+        while (f < numFeatures) { a(f).addAll(b(f)); f += 1 }
+        require(a.iterator.map(_.size).sum <= maxDistinct,
+          s"tree_method=exact: > $maxDistinct distinct values; use hist/approx at this scale")
+        a
+      },
+      depth = 2)
+    HistogramCuts(sets.map { s =>
+      if (s.isEmpty) Array(0.0)
+      else {
+        val out = new Array[Double](s.size)
+        val it = s.iterator()
+        var i = 0
+        while (it.hasNext) { out(i) = it.next(); i += 1 }
+        out
+      }
+    })
+  }
+
   /** Quantile values → deduplicated ascending boundaries (ref
     * `HistogramCuts` construction in `hist_util.cc`). */
   private[graft] def cutsFromSummary(s: WQSummary, maxBin: Int): Array[Double] = {

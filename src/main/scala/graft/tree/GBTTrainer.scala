@@ -183,8 +183,21 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       binned.unpersist(blocking = false)
       model
     case "approx" => fitApprox(data)
+    case "exact" =>
+      // grow_colmaker semantics via distinct-value cuts: with every
+      // distinct value its own bin, bin-space enumeration IS the exact
+      // greedy scan over sorted columns (Binning.findCutsExact doc)
+      val numFeatures = data.first()._1.length
+      val cuts = Binning.findCutsExact(data.map(r => (r._1, r._3)), numFeatures)
+      val binned = data.zipWithIndex().map { case ((f, y, w), id) =>
+        BInst(cuts.binRow(f), y, w, id)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      binned.count()
+      val model = fitBinned(binned, cuts, numFeatures)
+      binned.unpersist(blocking = false)
+      model
     case other => throw new IllegalArgumentException(
-      s"unknown tree_method: $other (supported: hist, approx)")
+      s"unknown tree_method: $other (supported: exact, hist, approx)")
   }
 
   /** hist fit with an eval WATCH set (ref watches + EvalOneIter,
