@@ -1,0 +1,346 @@
+package graft.tree
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.storage.StorageLevel
+
+import graft.data.{Binning, HistogramCuts}
+import graft.model.{BoosterModel, Node, Tree}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Multi-target tree growth — ONE tree per round with VECTOR leaves (the
+  * reference's `multi_strategy=multi_output_tree`:
+  * `src/tree/hist/histogram.h:315-425` `MultiHistogramBuilder`,
+  * `evaluate_splits.h:609` `HistMultiEvaluator`, model
+  * `src/tree/multi_target_tree_model.cc`), instead of one tree per class.
+  *
+  * Distribution shape: gradients are a `2K`-vector per row, computed once
+  * per iteration; each tree level runs ONE `treeAggregate` whose partial
+  * is `frontier × totalBins × 2K` doubles (the per-target lanes of the
+  * single-target layout). Split gain sums the per-target gains over a
+  * shared split point (`HistMultiEvaluator` semantics); leaves carry one
+  * weight per target. Rows are never repartitioned — node position is
+  * recomputed from the broadcast tree shape, like the single-target path.
+  *
+  * Objectives: `reg:squarederror` with vector labels, and
+  * `multi:softmax`/`multi:softprob` with class-index labels (softmax
+  * gradient per class lane). Categorical splits, monotone and interaction
+  * constraints are single-target-path features (the reference's
+  * multi-target updater is similarly restricted).
+  */
+final class MultiTargetTrainer(params: TrainParams, numTargets: Int) extends Serializable {
+  require(numTargets >= 2, "use GBTTrainer for single-target models")
+
+  private val softprob = params.objective == "multi:softprob" || params.objective == "multi:softmax"
+
+  /** data: (features, labels — K targets or a class index, weight). */
+  def fit(data: RDD[(Array[Double], Array[Double], Double)]): BoosterModel = {
+    val sc = data.sparkContext
+    val nf = data.first()._1.length
+    val K = numTargets
+    val cuts = Binning.findCuts(data.map(r => (r._1, r._3)), nf, params.maxBin)
+    val totalBins = cuts.totalBins
+    val bCuts = sc.broadcast(cuts)
+    val binned = data.map { case (x, ys, w) =>
+      (bCuts.value.binRow(x), ys, w)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    binned.count()
+
+    // base score per target (weighted mean for regression; 0 for softmax)
+    val base: Array[Double] =
+      if (softprob) new Array[Double](K)
+      else {
+        val (sums, sw) = binned.treeAggregate((new Array[Double](K), 0.0))(
+          { case ((s, c), (_, ys, w)) =>
+            var k = 0
+            while (k < K) { s(k) += w * ys(k); k += 1 }
+            (s, c + w)
+          },
+          { case ((a, ca), (b, cb)) =>
+            var k = 0
+            while (k < K) { a(k) += b(k); k += 1 }
+            (a, ca + cb)
+          })
+        sums.map(_ / math.max(sw, 1e-16))
+      }
+
+    var margins: RDD[Array[Double]] = binned.map(_ => base.clone())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    margins.count()
+
+    val trees = new ArrayBuffer[Tree]
+    var iter = 0
+    while (iter < params.numRounds) {
+      // per-row 2K gradient vector at current margins, once per iteration
+      val grads = binned.zip(margins).map { case ((_, ys, w), m) =>
+        gradientVector(ys, m, w, K)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      grads.count()
+
+      val shape = growTree(binned, grads, cuts, nf, K)
+      trees += shapeToTree(shape, cuts, K)
+
+      val bShape = sc.broadcast(shape)
+      val next = binned.zip(margins).map { case ((bins, _, _), m) =>
+        val leafW = bShape.value.leafOf(bins)
+        val out = m.clone()
+        var k = 0
+        while (k < K) { out(k) += params.eta * leafW(k); k += 1 }
+        out
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      if ((iter + 1) % params.checkpointInterval == 0) next.localCheckpoint()
+      next.count()
+      margins.unpersist(blocking = false)
+      margins = next
+      grads.unpersist(blocking = false)
+      iter += 1
+    }
+    margins.unpersist(blocking = false)
+    binned.unpersist(blocking = false)
+    BoosterModel(trees.toArray, Array.fill(trees.length)(params.eta),
+      new Array[Int](trees.length), base, params.objective, K, nf)
+  }
+
+  private def gradientVector(ys: Array[Double], m: Array[Double], w: Double,
+      K: Int): Array[Double] = {
+    val out = new Array[Double](2 * K)
+    if (softprob) { // multiclass: ys(0) = class index
+      var mx = m(0); var k = 1
+      while (k < K) { if (m(k) > mx) mx = m(k); k += 1 }
+      var s = 0.0
+      k = 0
+      while (k < K) { s += math.exp(m(k) - mx); k += 1 }
+      val label = ys(0).toInt
+      k = 0
+      while (k < K) {
+        val p = math.exp(m(k) - mx) / s
+        out(2 * k) = w * (p - (if (k == label) 1.0 else 0.0))
+        out(2 * k + 1) = w * math.max(2.0 * p * (1.0 - p), 1e-16)
+        k += 1
+      }
+    } else { // vector squared error
+      var k = 0
+      while (k < K) {
+        out(2 * k) = w * (m(k) - ys(k))
+        out(2 * k + 1) = w
+        k += 1
+      }
+    }
+    out
+  }
+
+  /** Bin-space vector-leaf tree shape. */
+  private[tree] final case class MShape(
+      feature: Array[Int], splitBin: Array[Int], defaultLeft: Array[Boolean],
+      left: Array[Int], right: Array[Int], leaf: Array[Array[Double]],
+      sumHess: Array[Double], gain: Array[Double]) extends Serializable {
+    def position(bins: Array[Int]): Int = {
+      var i = 0
+      while (feature(i) >= 0) {
+        val b = bins(feature(i))
+        i = if (b < 0) { if (defaultLeft(i)) left(i) else right(i) }
+        else if (b <= splitBin(i)) left(i)
+        else right(i)
+      }
+      i
+    }
+    def leafOf(bins: Array[Int]): Array[Double] = leaf(position(bins))
+  }
+
+  private final class MNode(val g: Array[Double], val h: Array[Double], val depth: Int) {
+    var feature: Int = -1
+    var splitBin: Int = -1
+    var defaultLeft: Boolean = true
+    var left: Int = -1
+    var right: Int = -1
+    var gain: Double = 0.0
+    var weight: Array[Double] = _
+    def hTotal: Double = { var s = 0.0; var k = 0; while (k < h.length) { s += h(k); k += 1 }; s }
+  }
+
+  private def growTree(binned: RDD[(Array[Int], Array[Double], Double)],
+      grads: RDD[Array[Double]], cuts: HistogramCuts, nf: Int, K: Int): MShape = {
+    val sc = binned.sparkContext
+    val totalBins = cuts.totalBins
+    val nodes = new ArrayBuffer[MNode]
+
+    // root totals
+    val rootTot = grads.treeAggregate(new Array[Double](2 * K))(
+      (a, g) => { var i = 0; while (i < a.length) { a(i) += g(i); i += 1 }; a },
+      (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+    nodes += new MNode(
+      Array.tabulate(K)(k => rootTot(2 * k)),
+      Array.tabulate(K)(k => rootTot(2 * k + 1)), 0)
+
+    var frontier = Array(0)
+    var depth = 0
+    var leaves = 1
+    while (frontier.nonEmpty && depth < params.maxDepth &&
+        (params.maxLeaves == 0 || leaves < params.maxLeaves)) {
+      val shape = partialShape(nodes)
+      val bShape = sc.broadcast(shape)
+      val bFrontier = sc.broadcast(frontier)
+      val featOff = cuts.featureOffset // small driver array, ships in closure
+      val lanes = 2 * K * totalBins
+      // ONE aggregation for the whole frontier: [node][globalBin][target][g|h]
+      val hist = binned.zip(grads).treeAggregate(new Array[Double](frontier.length * lanes))(
+        seqOp = { case (a, ((bins, _, _), g)) =>
+          val pos = bShape.value.position(bins)
+          val fi = java.util.Arrays.binarySearch(bFrontier.value, pos)
+          if (fi >= 0) {
+            val baseOff = fi * lanes
+            var f = 0
+            while (f < nf) {
+              val b = bins(f)
+              if (b >= 0) {
+                val off = baseOff + (featOff(f) + b) * 2 * K
+                var k = 0
+                while (k < 2 * K) { a(off + k) += g(k); k += 1 }
+              }
+              f += 1
+            }
+          }
+          a
+        },
+        combOp = { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+      bShape.destroy(); bFrontier.destroy()
+
+      val nextFrontier = new ArrayBuffer[Int]
+      frontier.zipWithIndex.foreach { case (nid, fi) =>
+        val n = nodes(nid)
+        bestMultiSplit(hist, fi * 2 * K * totalBins, cuts, n, K) match {
+          case Some((f, bin, defaultLeft2, gain, gl, hl)) if gain > params.gamma &&
+              (params.maxLeaves == 0 || leaves + 1 <= math.max(params.maxLeaves, 2)) =>
+            n.feature = f; n.splitBin = bin; n.defaultLeft = defaultLeft2; n.gain = gain
+            val gr = Array.tabulate(K)(k => n.g(k) - gl(k))
+            val hr = Array.tabulate(K)(k => n.h(k) - hl(k))
+            val l = new MNode(gl, hl, n.depth + 1)
+            val r = new MNode(gr, hr, n.depth + 1)
+            n.left = nodes.length; nodes += l
+            n.right = nodes.length; nodes += r
+            leaves += 1
+            nextFrontier += n.left
+            nextFrontier += n.right
+          case _ => // stays a leaf
+        }
+      }
+      frontier = nextFrontier.toArray
+      depth += 1
+    }
+    nodes.foreach { n =>
+      n.weight = Array.tabulate(K)(k => SplitEnumerator.calcWeight(n.g(k), n.h(k), params))
+    }
+    MShape(
+      Array.tabulate(nodes.length)(i => nodes(i).feature),
+      Array.tabulate(nodes.length)(i => nodes(i).splitBin),
+      Array.tabulate(nodes.length)(i => nodes(i).defaultLeft),
+      Array.tabulate(nodes.length)(i => nodes(i).left),
+      Array.tabulate(nodes.length)(i => nodes(i).right),
+      Array.tabulate(nodes.length)(i => nodes(i).weight),
+      Array.tabulate(nodes.length)(i => nodes(i).hTotal),
+      Array.tabulate(nodes.length)(i => nodes(i).gain))
+  }
+
+  private def partialShape(nodes: ArrayBuffer[MNode]): MShapeLite = MShapeLite(
+    Array.tabulate(nodes.length)(i => nodes(i).feature),
+    Array.tabulate(nodes.length)(i => nodes(i).splitBin),
+    Array.tabulate(nodes.length)(i => nodes(i).defaultLeft),
+    Array.tabulate(nodes.length)(i => nodes(i).left),
+    Array.tabulate(nodes.length)(i => nodes(i).right),
+    null)
+
+  /** Summed-gain split search over one node's multi-target histogram (ref
+    * `HistMultiEvaluator::EvaluateSplits`): forward and backward scans per
+    * feature score missing-right and missing-left; gain is the SUM of
+    * per-target gains at a shared split point; min_child_weight applies to
+    * the summed hessian. Returns (feature, bin, defaultLeft, gain,
+    * leftG[], leftH[]). */
+  private def bestMultiSplit(hist: Array[Double], off: Int, cuts: HistogramCuts,
+      n: MNode, K: Int): Option[(Int, Int, Boolean, Double, Array[Double], Array[Double])] = {
+    var best: (Int, Int, Boolean, Double, Array[Double], Array[Double]) = null
+    val parentGain = (0 until K).map(k => SplitEnumerator.calcGain(n.g(k), n.h(k), params)).sum
+    var f = 0
+    while (f < cuts.numFeatures) {
+      val nb = cuts.numBins(f)
+      val fOff = off + cuts.featureOffset(f) * 2 * K
+      // forward scan: cumulative from the left; missing mass goes RIGHT
+      scanDirection(hist, fOff, nb, n, K, parentGain, forward = true).foreach { c =>
+        if (best == null || c._4 > best._4) best = (f, c._1, c._2, c._4, c._5, c._6)
+      }
+      // backward scan: missing mass goes LEFT
+      scanDirection(hist, fOff, nb, n, K, parentGain, forward = false).foreach { c =>
+        if (best == null || c._4 > best._4) best = (f, c._1, c._2, c._4, c._5, c._6)
+      }
+      f += 1
+    }
+    Option(best)
+  }
+
+  private def scanDirection(hist: Array[Double], fOff: Int, nb: Int, n: MNode,
+      K: Int, parentGain: Double, forward: Boolean)
+      : Option[(Int, Boolean, Int, Double, Array[Double], Array[Double])] = {
+    val gAcc = new Array[Double](K)
+    val hAcc = new Array[Double](K)
+    var best: (Int, Boolean, Int, Double, Array[Double], Array[Double]) = null
+    var i = 0
+    while (i < nb - 1) {
+      val b = if (forward) i else nb - 1 - i
+      var k = 0
+      while (k < K) {
+        gAcc(k) += hist(fOff + b * 2 * K + 2 * k)
+        hAcc(k) += hist(fOff + b * 2 * K + 2 * k + 1)
+        k += 1
+      }
+      // forward: acc = left side (bins <= b), missing right
+      // backward: acc = right side (bins > b-1), missing left
+      val (gl, hl) =
+        if (forward) (gAcc, hAcc)
+        else (Array.tabulate(K)(k => n.g(k) - gAcc(k)), Array.tabulate(K)(k => n.h(k) - hAcc(k)))
+      var hlSum = 0.0; var hrSum = 0.0
+      k = 0
+      while (k < K) { hlSum += hl(k); hrSum += n.h(k) - hl(k); k += 1 }
+      if (hlSum >= params.minChildWeight && hrSum >= params.minChildWeight) {
+        var gain = -parentGain
+        k = 0
+        while (k < K) {
+          gain += SplitEnumerator.calcGain(gl(k), hl(k), params) +
+            SplitEnumerator.calcGain(n.g(k) - gl(k), n.h(k) - hl(k), params)
+          k += 1
+        }
+        val splitBin = if (forward) b else b - 1
+        if (splitBin >= 0 && (best == null || gain > best._4))
+          best = (splitBin, !forward, splitBin, gain, gl.clone(), hl.clone())
+      }
+      i += 1
+    }
+    best match {
+      case null => None
+      case (bin, dl, _, gain, gl, hl) => Some((bin, dl, bin, gain, gl, hl))
+    }
+  }
+
+  private def shapeToTree(s: MShape, cuts: HistogramCuts, K: Int): Tree =
+    Tree(Array.tabulate(s.feature.length) { i =>
+      if (s.feature(i) < 0) Node.makeLeaf(s.leaf(i), s.sumHess(i))
+      else Node(s.feature(i), cuts.cuts(s.feature(i))(s.splitBin(i)),
+        s.defaultLeft(i), s.left(i), s.right(i), s.leaf(i), s.gain(i),
+        s.sumHess(i), Array.empty)
+    })
+}
+
+/** Routing-only shape broadcast during growth (no leaf vectors yet). */
+private[tree] final case class MShapeLite(
+    feature: Array[Int], splitBin: Array[Int], defaultLeft: Array[Boolean],
+    left: Array[Int], right: Array[Int], leaf: Array[Array[Double]])
+    extends Serializable {
+  def position(bins: Array[Int]): Int = {
+    var i = 0
+    while (feature(i) >= 0) {
+      val b = bins(feature(i))
+      i = if (b < 0) { if (defaultLeft(i)) left(i) else right(i) }
+      else if (b <= splitBin(i)) left(i)
+      else right(i)
+    }
+    i
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.tree.{GBTTrainer, MultiTargetTrainer, TrainParams}
+
+class MultiTargetSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val sc = spark.sparkContext
+
+  test("vector-leaf regression learns two targets with one tree per round") {
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 3000).map { _ =>
+      val x = Array(rng.nextGaussian(), rng.nextGaussian())
+      val ys = Array(3.0 * x(0), -2.0 * x(1) + 1.0)
+      (x, ys.map(_ + 0.05 * rng.nextGaussian()), 1.0)
+    }
+    val m = new MultiTargetTrainer(TrainParams(numRounds = 8, maxDepth = 4,
+      eta = 0.5, maxBin = 64), numTargets = 2)
+      .fit(sc.parallelize(rows, 4))
+    assert(m.trees.length == 8, "ONE tree per round, not one per target")
+    assert(m.trees.forall(_.nodes.filter(_.isLeaf).forall(_.leaf.length == 2)),
+      "leaves must be 2-vectors")
+    val rmse = Array(0.0, 0.0)
+    rows.foreach { case (x, ys, _) =>
+      val p = m.margin(x)
+      rmse(0) += math.pow(p(0) - ys(0), 2) / rows.size
+      rmse(1) += math.pow(p(1) - ys(1), 2) / rows.size
+    }
+    assert(math.sqrt(rmse(0)) < 0.8, s"target0 rmse ${math.sqrt(rmse(0))}")
+    assert(math.sqrt(rmse(1)) < 0.8, s"target1 rmse ${math.sqrt(rmse(1))}")
+  }
+
+  test("multi_output_tree softprob classifies three blobs") {
+    val rng = new scala.util.Random(13)
+    val centers = Array((0.0, 0.0), (4.0, 0.0), (0.0, 4.0))
+    val rows = (0 until 3000).map { _ =>
+      val c = rng.nextInt(3)
+      val x = Array(centers(c)._1 + rng.nextGaussian(), centers(c)._2 + rng.nextGaussian())
+      (x, Array(c.toDouble), 1.0)
+    }
+    val m = new MultiTargetTrainer(TrainParams(objective = "multi:softprob",
+      numRounds = 8, maxDepth = 4, eta = 0.5, maxBin = 64), numTargets = 3)
+      .fit(sc.parallelize(rows, 4))
+    val acc = rows.count { case (x, ys, _) =>
+      val p = m.margin(x)
+      p.indices.maxBy(p) == ys(0).toInt
+    }.toDouble / rows.size
+    assert(acc > 0.9, s"accuracy $acc")
+    // vs one-tree-per-class: same rounds → multi-output uses 1/3 the trees
+    val perClass = new GBTTrainer(TrainParams(objective = "multi:softprob",
+      numClass = 3, numRounds = 8, maxDepth = 4, eta = 0.5, maxBin = 64, seed = 1))
+      .fit(sc.parallelize(rows.map { case (x, ys, w) => (x, ys(0), w) }, 4))
+    val accPc = rows.count { case (x, ys, _) =>
+      val p = perClass.margin(x)
+      p.indices.maxBy(p) == ys(0).toInt
+    }.toDouble / rows.size
+    assert(m.trees.length * 3 == perClass.trees.length)
+    assert(acc > accPc - 0.05, s"multi-output $acc vs per-class $accPc")
+  }
+
+  test("shared split points: both targets' signal flows through one structure") {
+    // target0 depends on x0 only, target1 on x0 only too (correlated task):
+    // one shared tree should fit both nearly perfectly
+    val rng = new scala.util.Random(17)
+    val rows = (0 until 2000).map { _ =>
+      val x = Array(rng.nextGaussian())
+      (x, Array(if (x(0) > 0) 1.0 else -1.0, if (x(0) > 0) 5.0 else 2.0), 1.0)
+    }
+    val m = new MultiTargetTrainer(TrainParams(numRounds = 5, maxDepth = 2,
+      eta = 0.7, maxBin = 32), numTargets = 2).fit(sc.parallelize(rows, 3))
+    val p = m.margin(Array(1.5))
+    val q = m.margin(Array(-1.5))
+    assert(math.abs(p(0) - 1.0) < 0.2 && math.abs(p(1) - 5.0) < 0.4, p.toSeq.toString)
+    assert(math.abs(q(0) + 1.0) < 0.2 && math.abs(q(1) - 2.0) < 0.4, q.toSeq.toString)
+  }
+}
