@@ -79,7 +79,7 @@ class GrowPolicySpec extends AnyFunSuite {
       new GBTTrainer(TrainParams(growPolicy = "bogus", numRounds = 1)).fit(data)
     }
     intercept[IllegalArgumentException] {
-      new GBTTrainer(TrainParams(treeMethod = "exact", numRounds = 1)).fit(data)
+      new GBTTrainer(TrainParams(treeMethod = "bogus", numRounds = 1)).fit(data)
     }
   }
 }
