@@ -190,6 +190,56 @@ object BoosterModel {
       (j \ "num_features").extract[Int])
   }
 
+  /** Text dump, the reference's human-readable format
+    * (`src/tree/tree_model.cc:225` `DumpRegTree` text): depth-indented
+    * `nid:[fX<thr] yes=,no=,missing=` splits and `nid:leaf=` leaves, with
+    * stats when `withStats`. */
+  def toText(t: Tree, withStats: Boolean = false): String = {
+    val sb = new StringBuilder
+    def go(i: Int, depth: Int): Unit = {
+      val n = t.nodes(i)
+      sb.append("\t" * depth).append(i).append(':')
+      if (n.isLeaf) {
+        sb.append("leaf=").append(n.leaf.mkString(","))
+        if (withStats) sb.append(",cover=").append(n.sumHess)
+        sb.append('\n')
+      } else {
+        val cond =
+          if (n.isCategorical) s"f${n.feature}:{${n.categoriesRight.mkString(",")}}"
+          else s"f${n.feature}<${n.threshold}"
+        val miss = if (n.defaultLeft) n.left else n.right
+        sb.append(s"[$cond] yes=${n.left},no=${n.right},missing=$miss")
+        if (withStats) sb.append(s",gain=${n.gain},cover=${n.sumHess}")
+        sb.append('\n')
+        go(n.left, depth + 1)
+        go(n.right, depth + 1)
+      }
+    }
+    go(0, 0)
+    sb.toString
+  }
+
+  /** Nested JSON dump per tree (ref `tree_model.cc:333` `DumpRegTree`
+    * json: nodeid/split/split_condition/yes/no/missing/children). */
+  def toDumpJson(t: Tree, withStats: Boolean = false): String = {
+    import org.json4s.JsonDSL._
+    def go(i: Int): JObject = {
+      val n = t.nodes(i)
+      if (n.isLeaf) {
+        val base: JObject = ("nodeid" -> i) ~ ("leaf" -> n.leaf(0))
+        if (withStats) base ~ ("cover" -> n.sumHess) else base
+      } else {
+        val miss = if (n.defaultLeft) n.left else n.right
+        val base: JObject = ("nodeid" -> i) ~ ("split" -> s"f${n.feature}") ~
+          ("split_condition" -> n.threshold) ~ ("yes" -> n.left) ~
+          ("no" -> n.right) ~ ("missing" -> miss) ~
+          ("children" -> List(go(n.left), go(n.right)))
+        if (withStats) base ~ ("gain" -> n.gain) ~ ("cover" -> n.sumHess) else base
+      }
+    }
+    JsonMethods.compact(JsonMethods.render(go(0)))
+  }
+
   /** Graphviz dot dump (ref `src/tree/tree_model.cc:494`). */
   def toDot(t: Tree): String = {
     val sb = new StringBuilder("digraph tree {\n")

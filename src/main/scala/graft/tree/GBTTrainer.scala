@@ -22,6 +22,7 @@ final case class TrainParams(
     gamma: Double = 0.0, // min_split_loss
     maxBin: Int = 256,
     subsample: Double = 1.0,
+    samplingMethod: String = "uniform", // | "gradient_based"
     colsampleBytree: Double = 1.0,
     colsampleBylevel: Double = 1.0,
     colsampleBynode: Double = 1.0,
@@ -496,6 +497,26 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
           Some(g)
         } else None
 
+      // gradient-based sampling: one pass for this iteration's mean
+      // regularized gradient magnitude (ref CalcSamplingInfo,
+      // sampler.cc:39-77); the aggregations then sample ∝ u/ū with 1/p
+      // rescaling
+      if (gradBased) {
+        require(!isMulti, "sampling_method=gradient_based supports single-output objectives")
+        val (uSum, n) = zip3(binned, margins, globalGrads).mapPartitions { it =>
+          val out = new Array[Double](2)
+          val scratch = new Array[Double](2 * numGroups)
+          var s = 0.0; var c = 0L
+          it.foreach { case (r, m, pre) =>
+            gradOf(r, m, pre, obj, softmax, 0, droppedShapes, out, scratch)
+            s += math.sqrt(out(0) * out(0) + params.lambda * out(1) * out(1))
+            c += 1
+          }
+          Iterator.single((s, c))
+        }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+        gbMeanU = if (n > 0) uSum / n else 1.0
+      }
+
       val newShapes = new Array[TreeShape](numGroups)
       var k = 0
       while (k < numGroups) {
@@ -968,18 +989,39 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
 
   // ---- distributed aggregations -------------------------------------------
 
+  /** Deterministic per-(row, iteration) uniform in [0,1). */
+  @inline private def rand01(rowId: Long, iter: Int): Double = {
+    var z = rowId ^ (params.seed + 0x9E3779B97F4A7C15L * (iter + 1))
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 53).toDouble
+  }
+
   /** Per-iteration deterministic row subsample predicate
     * (ref `src/tree/hist/sampler.cc:204`; seeded per iteration). */
-  @inline private def sampled(rowId: Long, iter: Int): Boolean = {
-    if (params.subsample >= 1.0) true
-    else {
-      var z = rowId ^ (params.seed + 0x9E3779B97F4A7C15L * (iter + 1))
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z = z ^ (z >>> 31)
-      ((z >>> 11).toDouble / (1L << 53).toDouble) < params.subsample
-    }
+  @inline private def sampled(rowId: Long, iter: Int): Boolean =
+    params.subsample >= 1.0 || rand01(rowId, iter) < params.subsample
+
+  /** Gradient-based sampling (ref `CalcSamplingInfo`/`GradientBasedSampling`,
+    * `src/tree/hist/sampler.cc:39-120`): keep probability
+    * `p = min(1, subsample · u / ū)` with `u = √(g² + λ·h²)` the
+    * regularized gradient magnitude, and kept gradients rescaled by `1/p`
+    * (unbiased). `ū` (gbMeanU) comes from one aggregation per iteration;
+    * the reference solves the exact threshold by search — the mean-scaled
+    * form is the standard one-shot approximation. Returns 0 (drop row) or
+    * the scale factor. */
+  @inline private def gradientSampleScale(rowId: Long, iter: Int,
+      g: Double, h: Double): Double = {
+    val u = math.sqrt(g * g + params.lambda * h * h)
+    val p = math.min(1.0, params.subsample * u / math.max(gbMeanU, 1e-300))
+    if (rand01(rowId, iter) < p) 1.0 / p else 0.0
   }
+
+  private val gradBased =
+    params.samplingMethod == "gradient_based" && params.subsample < 1.0
+  /** mean regularized gradient magnitude of the current iteration. */
+  private var gbMeanU: Double = 1.0
 
   /** Adjusted margin for group g under DART dropout: cached full-ensemble
     * margin minus dropped trees' contributions (ref DropTrees,
@@ -1047,7 +1089,11 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       val scratch = new Array[Double](2 * numGroups)
       var g = 0.0; var h = 0.0
       it.foreach { case (r, m, pre) =>
-        if (sampled(r.rowId, iter)) {
+        if (gradBased) {
+          gradOf(r, m, pre, obj, softmax, grp, dropped, out, scratch)
+          val s = gradientSampleScale(r.rowId, iter, out(0), out(1))
+          if (s > 0) { g += s * out(0); h += s * out(1) }
+        } else if (sampled(r.rowId, iter)) {
           gradOf(r, m, pre, obj, softmax, grp, dropped, out, scratch)
           g += out(0); h += out(1)
         }
@@ -1086,14 +1132,17 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       val scratch = new Array[Double](2 * numGroups)
       val sh = bShape.value
       it.foreach { case (r, m, pre) =>
-        if (sampled(r.rowId, iter)) {
+        if (gradBased || sampled(r.rowId, iter)) {
           val pos = sh.position(r)
           val slot = if (pos <= maxNid) slotOf(pos) else -1
           if (slot >= 0) {
             var hist = hists(slot)
             if (hist == null) { hist = new Array[Double](histLen); hists(slot) = hist }
             gradOf(r, m, pre, obj, softmax, grp, dropped, out, scratch)
-            val g = out(0); val h = out(1)
+            val sampleScale =
+              if (gradBased) gradientSampleScale(r.rowId, iter, out(0), out(1)) else 1.0
+            val g = sampleScale * out(0); val h = sampleScale * out(1)
+            if (sampleScale > 0) {
             if (r.idx == null) {
               var f = 0
               while (f < numFeatures) {
@@ -1119,6 +1168,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
                 }
                 k += 1
               }
+            }
             }
           }
         }
