@@ -51,13 +51,17 @@ object Dedup {
   def minhashSignatures(df: DataFrame, textCol: String, idCol: Column,
       numHashes: Int, shingleN: Int = 3): DataFrame = {
     val numGroups = (numHashes + HashesPerGroup - 1) / HashesPerGroup
-    val sh = TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)
     val hashCols = (0 until numGroups).flatMap { g =>
       val m = md5(saltedShingle(col("s"), g))
       Seq(conv(substring(m, 1, 15), 16, 10).cast("long").as(s"h1_$g"),
         conv(substring(m, 17, 14), 16, 10).cast("long").as(s"h2_$g"))
     }
-    val exploded = df.select(idCol.as("id"), explode(sh).as("s"))
+    // tokens materialize as an attribute BEFORE entering the shingle
+    // transform: a nested split() subtree would be re-inlined at every
+    // element_at inside the lambda — O(tokens²) regex work per document
+    val exploded = df
+      .select(idCol.as("id"), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), explode(TextOps.shingles(col("_toks"), shingleN)).as("s"))
       .select(col("id") +: hashCols: _*)
     exploded.groupBy("id")
       .agg(min(col("h1_0")).as("mh0"),
@@ -108,8 +112,9 @@ object Dedup {
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     val sig = minhashSignatures(df, textCol, col(idCol).cast("long"), numHashes, shingleN)
     val cands = candidatePairs(lshBuckets(sig, numHashes, bands), maxBucketSize)
-    val sh = TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)
-    val docs = df.select(col(idCol).cast("long").as("id"), sh.as("sh"))
+    val docs = df
+      .select(col(idCol).cast("long").as("id"), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), TextOps.shingles(col("_toks"), shingleN).as("sh"))
     cands
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")

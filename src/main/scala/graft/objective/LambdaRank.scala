@@ -18,12 +18,22 @@ import scala.collection.mutable.ArrayBuffer
   * trainer to [[LambdaRankGradients]], which walks qid-CONTIGUOUS
   * partitions (the trainer co-partitions by qid once per fit — the
   * reference Spark layer does the same, `XGBoostEstimator.scala:142-144`)
-  * and never shuffles per iteration. `topK > 0` restricts to pairs
-  * touching the current top-k (the reference's `lambdarank_pair_method =
-  * topk`), bounding work per group at corpus scale.
+  * and never shuffles per iteration.
+  *
+  * Pair budget — the part that decides 100 TB viability. All-pairs is
+  * O(n²) per group and detonates on large groups (a 10× group is 100×
+  * the pairs). Following the reference's `lambdarank_pair_method`
+  * (`src/common/ranking_utils.h:73-74`), the DEFAULT is `mean`: `numPair`
+  * sampled label-discordant partners per doc per iteration (the
+  * reference's default too), O(n·numPair). `topK > 0` selects the `topk`
+  * method instead: full enumeration restricted to pairs touching the
+  * current top-k. `all` keeps the exact full enumeration for small
+  * groups/tests.
   */
 final class LambdaRankObjective(val variant: String, val ndcgExpGain: Boolean = true,
-    val topK: Int = 0) extends Objective {
+    val topK: Int = 0, val pairMethod: String = "mean", val numPair: Int = 8)
+    extends Objective {
+  require(Set("mean", "topk", "all")(pairMethod), s"unknown pair method: $pairMethod")
   require(Set("ndcg", "map", "pairwise")(variant), s"unknown rank variant: $variant")
   val name = s"rank:$variant"
   override def needsGlobalGradients: Boolean = true
@@ -48,6 +58,8 @@ object LambdaRankGradients {
     val variant = obj.variant
     val expGain = obj.ndcgExpGain
     val topK = obj.topK
+    val pairMethod = obj.pairMethod
+    val numPair = obj.numPair
     binned.zip(margins).mapPartitions { it =>
       val base = it.buffered
       val out = new ArrayBuffer[Array[Double]]
@@ -59,7 +71,7 @@ object LambdaRankGradients {
           val (r, m) = base.next()
           rows += ((r.label, m(0), r.weight))
         }
-        out ++= groupGradients(rows, variant, expGain, topK)
+        out ++= groupGradients(rows, variant, expGain, topK, pairMethod, numPair, q)
       }
       out.iterator
     }
@@ -68,7 +80,8 @@ object LambdaRankGradients {
   /** λ-gradients for one query group. */
   private[objective] def groupGradients(
       rows: scala.collection.Seq[(Double, Double, Double)], variant: String,
-      expGain: Boolean, topK: Int): Seq[Array[Double]] = {
+      expGain: Boolean, topK: Int, pairMethod: String = "all",
+      numPair: Int = 8, qid: Long = 0L): Seq[Array[Double]] = {
     val n = rows.length
     val g = new Array[Double](n)
     val h = new Array[Double](n)
@@ -122,31 +135,61 @@ object LambdaRankGradients {
         }
       }
 
-      var i = 0
-      while (i < n) {
-        var j = 0
-        while (j < n) {
-          val li = rows(i)._1; val lj = rows(j)._1
-          if (li > lj && (topK == 0 || rankOf(i) <= topK || rankOf(j) <= topK)) {
-            val d = variant match {
-              case "pairwise" => 1.0
-              case "ndcg" =>
-                math.abs((gain(li) - gain(lj)) * (disc(rankOf(i)) - disc(rankOf(j)))) * invIdcg
-              // MAP is binary-relevance: only (relevant, non-relevant) pairs
-              case "map" => if (li > 0 && lj <= 0) deltaMap(rankOf(i), rankOf(j)) else 0.0
-            }
-            if (d > 0) {
-              val rho = 1.0 / (1.0 + math.exp(rows(i)._2 - rows(j)._2))
-              g(i) -= d * rho
-              g(j) += d * rho
-              val hh = math.max(d * rho * (1.0 - rho), 1e-16)
-              h(i) += hh
-              h(j) += hh
-            }
-          }
-          j += 1
+      // one label-discordant pair's λ contribution; i must hold the HIGHER label
+      @inline def contribute(i: Int, j: Int): Unit = {
+        val li = rows(i)._1; val lj = rows(j)._1
+        val d = variant match {
+          case "pairwise" => 1.0
+          case "ndcg" =>
+            math.abs((gain(li) - gain(lj)) * (disc(rankOf(i)) - disc(rankOf(j)))) * invIdcg
+          // MAP is binary-relevance: only (relevant, non-relevant) pairs
+          case "map" => if (li > 0 && lj <= 0) deltaMap(rankOf(i), rankOf(j)) else 0.0
         }
-        i += 1
+        if (d > 0) {
+          val rho = 1.0 / (1.0 + math.exp(rows(i)._2 - rows(j)._2))
+          g(i) -= d * rho
+          g(j) += d * rho
+          val hh = math.max(d * rho * (1.0 - rho), 1e-16)
+          h(i) += hh
+          h(j) += hh
+        }
+      }
+
+      if (topK == 0 && pairMethod == "mean") {
+        // sampled pairs, O(n·numPair) (ref pair_method=mean): deterministic
+        // seed varies with the margins, so each boosting iteration draws a
+        // fresh pair sample like the reference
+        var marginHash = qid * 0x9E3779B97F4A7C15L
+        var i = 0
+        while (i < n) {
+          marginHash ^= java.lang.Double.doubleToLongBits(rows(i)._2) * 0xC2B2AE3D27D4EB4FL
+          i += 1
+        }
+        val rng = new java.util.Random(marginHash)
+        i = 0
+        while (i < n) {
+          var t = 0
+          while (t < numPair) {
+            val j = rng.nextInt(n)
+            val li = rows(i)._1; val lj = rows(j)._1
+            if (li > lj) contribute(i, j)
+            else if (lj > li) contribute(j, i)
+            t += 1
+          }
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < n) {
+          var j = 0
+          while (j < n) {
+            if (rows(i)._1 > rows(j)._1 &&
+                (topK == 0 || rankOf(i) <= topK || rankOf(j) <= topK))
+              contribute(i, j)
+            j += 1
+          }
+          i += 1
+        }
       }
     }
     (0 until n).map { i =>

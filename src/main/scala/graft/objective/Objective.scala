@@ -52,7 +52,8 @@ object Objective {
   def apply(name: String, maxDeltaStep: Double = 0.7, alpha: Double = 0.5,
       rho: Double = 1.5, delta: Double = 1.0,
       aftDistribution: String = "normal", aftScale: Double = 1.0,
-      rankExpGain: Boolean = true, rankTopK: Int = 0): Objective = name match {
+      rankExpGain: Boolean = true, rankTopK: Int = 0,
+      rankPairMethod: String = "mean", rankNumPair: Int = 8): Objective = name match {
     case "reg:squarederror" | "reg:linear" => SquaredError
     case "reg:squaredlogerror"             => SquaredLogError
     case "reg:logistic"                    => new Logistic("reg:logistic")
@@ -68,9 +69,9 @@ object Objective {
     case "reg:expectileerror"              => new ExpectileError(alpha)
     case "survival:cox"                    => Cox
     case "survival:aft"                    => new AFT(aftDistribution, aftScale)
-    case "rank:ndcg"                       => new LambdaRankObjective("ndcg", rankExpGain, rankTopK)
-    case "rank:map"                        => new LambdaRankObjective("map", rankExpGain, rankTopK)
-    case "rank:pairwise"                   => new LambdaRankObjective("pairwise", rankExpGain, rankTopK)
+    case "rank:ndcg"                       => new LambdaRankObjective("ndcg", rankExpGain, rankTopK, rankPairMethod, rankNumPair)
+    case "rank:map"                        => new LambdaRankObjective("map", rankExpGain, rankTopK, rankPairMethod, rankNumPair)
+    case "rank:pairwise"                   => new LambdaRankObjective("pairwise", rankExpGain, rankTopK, rankPairMethod, rankNumPair)
     case other => throw new IllegalArgumentException(s"unknown objective: $other")
   }
 }

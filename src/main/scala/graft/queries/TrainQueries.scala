@@ -104,10 +104,12 @@ object TrainQueries {
         .select(round(col("ndcg"), 3).as("ndcg"), col("num_groups"))
     }),
 
-    // model IO + feature importance surfaced as a table
+    // model IO + feature importance surfaced as a table. The op under
+    // test is importance+JSON roundtrip, not training: a 2-round model
+    // exercises it identically at a fraction of the bench cost
     "t_feature_importance" -> ((s, dir) => {
       val data = lineitemTrainingData(s, dir).cache()
-      val model = new GBTTrainer(TrainParams(numRounds = 5, maxDepth = 4,
+      val model = new GBTTrainer(TrainParams(numRounds = 2, maxDepth = 3,
         maxBin = 64, seed = 7)).fit(data)
       val roundtrip = graft.model.BoosterModel.fromJson(model.toJson)
       import s.implicits._

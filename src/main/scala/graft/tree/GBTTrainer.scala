@@ -44,7 +44,9 @@ final case class TrainParams(
     aftDistribution: String = "normal", // | "logistic" | "extreme"
     aftScale: Double = 1.0,
     ndcgExpGain: Boolean = true, // rank:ndcg gain 2^rel−1 vs linear
-    lambdarankTopK: Int = 0, // 0 = all label-discordant pairs; >0 = pairs touching top-k
+    lambdarankTopK: Int = 0, // >0 selects pair_method=topk with this k
+    lambdarankPairMethod: String = "mean", // | "topk" | "all" (ranking_utils.h:73)
+    lambdarankNumPair: Int = 8, // sampled pairs per doc (pair_method=mean)
     evalMetric: Option[String] = None, // per-iteration watch metric (default: objective's)
     earlyStoppingRounds: Int = 0, // 0 = off; else stop after this many non-improving rounds
     // DART (`src/gbm/gbtree.h:88-120`)
@@ -393,7 +395,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         alpha = params.quantileAlpha, rho = params.tweedieVariancePower,
         delta = params.pseudoHuberSlope,
         aftDistribution = params.aftDistribution, aftScale = params.aftScale,
-        rankExpGain = params.ndcgExpGain, rankTopK = params.lambdarankTopK))
+        rankExpGain = params.ndcgExpGain, rankTopK = params.lambdarankTopK,
+        rankPairMethod = params.lambdarankPairMethod, rankNumPair = params.lambdarankNumPair))
     val needsGlobalGrads = !isMulti && obj.needsGlobalGradients
     if (needsGlobalGrads && params.booster == "dart")
       throw new IllegalArgumentException(
