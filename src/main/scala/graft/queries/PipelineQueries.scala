@@ -142,10 +142,14 @@ object PipelineQueries {
       // plain shuffle join on term: the document-frequency table is
       // vocabulary-sized (unbounded at corpus scale), so broadcasting it
       // would not survive 100 TB; the 1-row corpus count stays broadcast
+      // per-contribution rounding to a scaled BIGINT before the sum:
+      // integer addition is order-independent, so the hash compare cannot
+      // flip on Spark's partial-aggregation order (ADVICE r2)
       tf.join(df, "term").crossJoin(broadcast(n))
         .groupBy("term")
-        .agg(round(sum(col("tf").cast("double") *
-          log(col("n").cast("double") / col("df").cast("double"))), 4).as("tfidf"))
+        .agg((sum(round(col("tf").cast("double") *
+            log(col("n").cast("double") / col("df").cast("double")) * 10000.0)
+          .cast("long")) / 10000.0).as("tfidf"))
         .orderBy(col("tfidf").desc, col("term"))
         .limit(20)
     }),
@@ -153,8 +157,11 @@ object PipelineQueries {
     // embedding norms per class label (vector-column ops)
     "p_embed_norm" -> ((s, dir) => table(s, dir, "embeddings")
       .groupBy("label")
+      // per-row norms round to scaled BIGINTs before the mean: the integer
+      // sum is aggregation-order-independent (ADVICE r2)
       .agg(count(lit(1)).as("n"),
-        round(avg(Similarity.l2Norm(col("embedding"))), 5).as("avg_norm"))
+        round(sum(round(Similarity.l2Norm(col("embedding")) * 100000.0).cast("long"))
+          / 100000.0 / count(lit(1)), 5).as("avg_norm"))
       .orderBy("label")),
 
     // multimodal plumbing: opaque binary payload + stub decode features
@@ -342,13 +349,13 @@ object PipelineQueries {
         |  SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
         |), n AS (SELECT count(*) AS n FROM documents)
         |SELECT term,
-        |  round(sum(CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE))), 4) AS tfidf
+        |  sum(CAST(round(CAST(tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) * 10000.0) AS BIGINT)) / 10000.0 AS tfidf
         |FROM tf JOIN df USING (term) CROSS JOIN n
         |GROUP BY term ORDER BY tfidf DESC, term LIMIT 20""".stripMargin,
 
     "p_embed_norm" ->
       s"""SELECT label, count(*) AS n,
-         |  round(avg(sqrt(${Similarity.dotSql("embedding", "embedding", 64)})), 5) AS avg_norm
+         |  round(sum(CAST(round(sqrt(${Similarity.dotSql("embedding", "embedding", 64)}) * 100000.0) AS BIGINT)) / 100000.0 / count(*), 5) AS avg_norm
          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
 
     "p_multimodal_meta" ->

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.linear.{GBLinearTrainer, LinearModel, LinearParams}
@@ -118,5 +119,29 @@ class GBLinearSpec extends AnyFunSuite {
     assert(m.weights(0) > 0 && m.weights(1) < 0, s"signs: ${m.weights.toSeq}")
     val ratio = m.weights(0) / -m.weights(1)
     assert(ratio > 1.5 && ratio < 2.7, s"w0/-w1=$ratio, want ≈2")
+  }
+
+  test("GraftLinearRegressor estimator fits, transforms, and persists") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val rows = (0 until 1500).map { _ =>
+      val x = Seq(rng.nextGaussian(), rng.nextGaussian())
+      (x, 1.0 + 2.0 * x(0) - x(1) + 0.05 * rng.nextGaussian())
+    }
+    val df = rows.toDF("features", "label")
+    val est = new graft.api.GraftLinearRegressor()
+      .setNumRound(40).setEta(0.5).setLambda(0.01)
+    val m = est.fit(df)
+    val scored = m.transform(df)
+    val rmse = math.sqrt(scored.select(avg(pow(col("prediction") - col("label"), 2)))
+      .head().getDouble(0))
+    assert(rmse < 0.15, s"estimator rmse $rmse")
+    // column-expression transform matches the driver-side predict
+    val first = rows.head
+    val colPred = scored.select("prediction").head().getDouble(0)
+    assert(math.abs(colPred - m.model.predict(first._1.toArray)) < 1e-9)
+    // JSON persistence
+    val back = graft.api.LinearModelIO.fromJson(graft.api.LinearModelIO.toJson(m.model))
+    assert(back == m.model.copy(weights = back.weights) && back.weights.toSeq == m.model.weights.toSeq)
   }
 }
