@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingScorer
+import graft.tree.{GBTTrainer, TrainParams}
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming scores match batch scores through the same expression") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 800).map { i =>
+      val x = Seq(rng.nextGaussian(), rng.nextGaussian())
+      (i.toLong, x, 3.0 * x(0) - x(1))
+    }
+    val model = new GBTTrainer(TrainParams(numRounds = 3, maxDepth = 3, seed = 2))
+      .fit(spark.sparkContext.parallelize(rows.map { case (_, x, y) => (x.toArray, y, 1.0) }, 3))
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val scored = StreamingScorer.score(
+      stream.toDF().toDF("id", "features"), model, "features")
+    val q = scored.writeStream.format("memory").queryName("scored_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(rows.map(r => (r._1, r._2)))
+      q.processAllAvailable()
+      val out = spark.table("scored_sink")
+        .select("id", "prediction").as[(Long, Double)].collect().toMap
+      assert(out.size == rows.size)
+      rows.take(100).foreach { case (id, x, _) =>
+        val batch = model.margin(x.toArray)(0)
+        assert(math.abs(out(id) - batch) < 1e-12, s"row $id: ${out(id)} vs $batch")
+      }
+    } finally q.stop()
+  }
+
+  test("watermarked windowed aggregation over streaming predictions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = new GBTTrainer(TrainParams(numRounds = 1, maxDepth = 1, seed = 1))
+      .fit(spark.sparkContext.parallelize(
+        (0 until 200).map(i => (Array(i.toDouble), i.toDouble, 1.0)), 2))
+    val stream = MemoryStream[(java.sql.Timestamp, Seq[Double])]
+    val scored = StreamingScorer.score(
+      stream.toDF().toDF("ts", "features"), model, "features")
+    val windowed = StreamingScorer.windowedMeanPrediction(
+      scored, "ts", "10 seconds", "30 seconds")
+    val q = windowed.writeStream.format("memory").queryName("win_sink")
+      .outputMode("append").start()
+    try {
+      val base = 1700000000000L
+      stream.addData((0 until 40).map(i =>
+        (new java.sql.Timestamp(base + i * 1000L), Seq(i.toDouble))))
+      // advance the watermark far enough to close the earlier windows
+      stream.addData(Seq((new java.sql.Timestamp(base + 120000L), Seq(1.0))))
+      q.processAllAvailable()
+      val n = spark.table("win_sink").count()
+      assert(n >= 3, s"expected closed 10s windows, got $n rows")
+    } finally q.stop()
+  }
+}
