@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{CoreQueries, PipelineQueries}
+import graft.tree.{GBTTrainer, TrainParams}
+
+/** Physical-plan audits: the properties that decide 100 TB behavior are
+  * asserted here, not just eyeballed — filters reach the parquet scan,
+  * small dimensions broadcast, scoring stays inside whole-stage codegen,
+  * recode never joins, and the LSH pipeline never goes cartesian. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters and projection push down to the parquet scan") {
+    val p = plan(CoreQueries.queries("q_filter_cast")(spark, sf))
+    assert(p.contains("PushedFilters: ["), "no pushed filters in scan")
+    assert(p.contains("GreaterThan(l_discount"), s"discount filter not pushed:\n${p.take(800)}")
+    // column pruning: the scan must not read all 11 lineitem columns
+    val read = "ReadSchema: [^\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("l_shipdate"), s"unpruned scan: $read")
+  }
+
+  test("small dimension joins broadcast") {
+    val p = plan(CoreQueries.queries("q_join_agg")(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n${p.take(800)}")
+    assert(!p.contains("SortMergeJoin"), "small dim should not sort-merge")
+  }
+
+  test("prediction runs inside whole-stage codegen") {
+    val rows = (0 until 200).map(i => (Array(i.toDouble), i.toDouble, 1.0))
+    val model = new GBTTrainer(TrainParams(numRounds = 2, maxDepth = 2, seed = 1))
+      .fit(spark.sparkContext.parallelize(rows, 2))
+    import org.apache.spark.sql.functions._
+    // parquet-backed input: a local Seq would constant-fold to a
+    // LocalTableScan and hide the codegen pipeline
+    val df = CoreQueries.table(spark, sf, "lineitem")
+      .select(array(col("l_quantity"), col("l_tax")).as("features"))
+    val scored = df.withColumn("pred",
+      graft.predict.Predictor.predictCol(model)(col("features")))
+    val p = plan(scored)
+    assert(p.contains("graft_predict"), "predict expression missing from plan")
+    // the `*(n)` prefix marks a WholeStageCodegen stage in plan strings
+    assert("\\*\\(\\d+\\) Project \\[[^\n]*graft_predict".r.findFirstIn(p).isDefined,
+      s"predict fell out of codegen:\n${p.take(600)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLAppliedFunction"),
+      "predict must not use a UDF path")
+  }
+
+  test("category recode is a broadcast map lookup, not a join") {
+    val li = CoreQueries.table(spark, sf, "lineitem")
+    val dict = graft.data.CategoryEncoder.fit(li, Seq("l_returnflag"))
+    val p = plan(dict.transform(li).select("l_returnflag_code"))
+    assert(!p.contains("Join"), s"recode must not join:\n${p.take(600)}")
+  }
+
+  test("near-dup candidate generation never goes cartesian") {
+    val p = plan(PipelineQueries.queries("p_near_dup")(spark, sf))
+    assert(!p.contains("CartesianProduct"), "LSH pipeline must stay bucketed")
+    // the self-join on (band, key) is an equi-join
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected an equi-join on bucket keys")
+  }
+}
