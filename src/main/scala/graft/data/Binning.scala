@@ -31,11 +31,16 @@ final case class HistogramCuts(cuts: Array[Array[Double]]) extends Serializable 
     lo
   }
 
-  /** Bin all features of a dense row into local bin ids (−1 = missing). */
+  /** Bin all features of a dense row into local bin ids (−1 = missing).
+    * Rows shorter than the unified column count are padded with missing —
+    * the reference accepts ragged batches the same way (`num_col_` is the
+    * max index+1 seen, `include/xgboost/data.h:57`). */
   def binRow(features: Array[Double]): Array[Int] = {
     val out = new Array[Int](numFeatures)
+    val n = math.min(numFeatures, features.length)
     var f = 0
-    while (f < numFeatures) { out(f) = searchBin(f, features(f)); f += 1 }
+    while (f < n) { out(f) = searchBin(f, features(f)); f += 1 }
+    while (f < numFeatures) { out(f) = -1; f += 1 }
     out
   }
 
@@ -57,23 +62,40 @@ object Binning {
     *
     * `weights` defaults to 1; pass hessians for the approx method's
     * hessian-weighted re-sketch (`src/tree/updater_approx.cc:46-53`).
+    *
+    * The unified column count is discovered IN the same pass: the sketch
+    * accumulator grows to the longest row seen, so ragged inputs get the
+    * reference's `MetaInfo::SynchronizeNumberOfColumns` semantics
+    * (`include/xgboost/data.h:191` — num_col = global max, short rows pad
+    * as missing) with no extra scan. `minFeatures` is a lower bound on the
+    * result width (0 = fully data-driven).
     */
   def findCuts(
       data: RDD[(Array[Double], Double)], // (features, weight)
-      numFeatures: Int,
+      minFeatures: Int,
       maxBin: Int): HistogramCuts = {
     val budget = QuantileSketch.sizeFor(maxBin)
-    val zero = Array.fill(numFeatures)(new QuantileSketch(budget))
+    def grow(acc: Array[QuantileSketch], n: Int): Array[QuantileSketch] =
+      if (acc.length >= n) acc
+      else {
+        val out = java.util.Arrays.copyOf(acc, n)
+        var i = acc.length
+        while (i < n) { out(i) = new QuantileSketch(budget); i += 1 }
+        out
+      }
+    val zero = Array.fill(minFeatures)(new QuantileSketch(budget))
     val sketches = data.treeAggregate(zero)(
-      seqOp = (acc, row) => {
+      seqOp = (acc0, row) => {
         val (fs, w) = row
+        val acc = grow(acc0, fs.length)
         var f = 0
-        while (f < numFeatures) { acc(f).push(fs(f), w); f += 1 }
+        while (f < fs.length) { acc(f).push(fs(f), w); f += 1 }
         acc
       },
-      combOp = (a, b) => {
+      combOp = (a0, b) => {
+        val a = grow(a0, b.length)
         var f = 0
-        while (f < numFeatures) { a(f).merge(b(f)); f += 1 }
+        while (f < b.length) { a(f).merge(b(f)); f += 1 }
         a
       },
       depth = 2)
@@ -86,20 +108,30 @@ object Binning {
     * `src/common/hist_util.cc:53-81`). */
   def findCutsSparse(
       data: RDD[(Array[Int], Array[Double], Double)], // (indices, values, weight)
-      numFeatures: Int,
+      minFeatures: Int,
       maxBin: Int): HistogramCuts = {
     val budget = QuantileSketch.sizeFor(maxBin)
-    val zero = Array.fill(numFeatures)(new QuantileSketch(budget))
+    def grow(acc: Array[QuantileSketch], n: Int): Array[QuantileSketch] =
+      if (acc.length >= n) acc
+      else {
+        val out = java.util.Arrays.copyOf(acc, n)
+        var i = acc.length
+        while (i < n) { out(i) = new QuantileSketch(budget); i += 1 }
+        out
+      }
+    val zero = Array.fill(minFeatures)(new QuantileSketch(budget))
     val sketches = data.treeAggregate(zero)(
-      seqOp = (acc, row) => {
+      seqOp = (acc0, row) => {
         val (idx, vs, w) = row
+        val acc = if (idx.length == 0) acc0 else grow(acc0, idx(idx.length - 1) + 1)
         var k = 0
         while (k < idx.length) { acc(idx(k)).push(vs(k), w); k += 1 }
         acc
       },
-      combOp = (a, b) => {
+      combOp = (a0, b) => {
+        val a = grow(a0, b.length)
         var f = 0
-        while (f < numFeatures) { a(f).merge(b(f)); f += 1 }
+        while (f < b.length) { a(f).merge(b(f)); f += 1 }
         a
       },
       depth = 2)
@@ -116,23 +148,33 @@ object Binning {
     * data, matching the reference (colmaker CHECKs a single worker). */
   def findCutsExact(
       data: RDD[(Array[Double], Double)],
-      numFeatures: Int,
+      minFeatures: Int,
       maxDistinct: Int = 1 << 21): HistogramCuts = {
-    val zero = Array.fill(numFeatures)(new java.util.TreeSet[java.lang.Double]())
+    def grow(acc: Array[java.util.TreeSet[java.lang.Double]], n: Int) =
+      if (acc.length >= n) acc
+      else {
+        val out = java.util.Arrays.copyOf(acc, n)
+        var i = acc.length
+        while (i < n) { out(i) = new java.util.TreeSet[java.lang.Double](); i += 1 }
+        out
+      }
+    val zero = Array.fill(minFeatures)(new java.util.TreeSet[java.lang.Double]())
     val sets = data.treeAggregate(zero)(
-      seqOp = (acc, row) => {
+      seqOp = (acc0, row) => {
         val fs = row._1
+        val acc = grow(acc0, fs.length)
         var f = 0
-        while (f < numFeatures) {
+        while (f < fs.length) {
           val v = fs(f)
           if (v == v) acc(f).add(v)
           f += 1
         }
         acc
       },
-      combOp = (a, b) => {
+      combOp = (a0, b) => {
+        val a = grow(a0, b.length)
         var f = 0
-        while (f < numFeatures) { a(f).addAll(b(f)); f += 1 }
+        while (f < b.length) { a(f).addAll(b(f)); f += 1 }
         require(a.iterator.map(_.size).sum <= maxDistinct,
           s"tree_method=exact: > $maxDistinct distinct values; use hist/approx at this scale")
         a

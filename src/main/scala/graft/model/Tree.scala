@@ -42,12 +42,14 @@ object Node {
   * `src/predictor/cpu_predictor.cc:175`). */
 final case class Tree(nodes: Array[Node]) {
 
-  /** Index of the leaf this (dense, NaN=missing) feature row lands in. */
+  /** Index of the leaf this (dense, NaN=missing) feature row lands in.
+    * Rows shorter than the trained width treat trailing features as
+    * missing (ragged-batch semantics, `include/xgboost/data.h:191`). */
   def leafIndex(features: Array[Double]): Int = {
     var i = 0
     while (!nodes(i).isLeaf) {
       val n = nodes(i)
-      val v = features(n.feature)
+      val v = if (n.feature < features.length) features(n.feature) else Double.NaN
       i = if (java.lang.Double.isNaN(v)) {
         if (n.defaultLeft) n.left else n.right
       } else if (n.isCategorical) {

@@ -95,6 +95,20 @@ object CoreQueries {
         .orderBy("l_returnflag_code", "l_linestatus_code")
     }),
 
+    // ---- batch append / union (§2.7; ref SparsePage::Push appending
+    // ingest batches, include/xgboost/data.h:410): two batch slices are
+    // re-appended with union — Spark's union is a zero-shuffle concat of
+    // partition lists, the exact analog of page append ----
+    "q_union_append" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val batchA = li.where(col("l_linenumber") <= 3)
+      val batchB = li.where(col("l_linenumber") > 3)
+      batchA.unionByName(batchB)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+
     // ---- gradient computation as SQL (§2.8) ----
     "grad_squarederror" -> ((s, dir) => scored(s, dir)
       .groupBy("l_returnflag")
@@ -197,6 +211,15 @@ object CoreQueries {
         |JOIN rf ON l.l_returnflag = rf.v
         |JOIN ls ON l.l_linestatus = ls.v
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_union_append" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM (
+        |  SELECT * FROM lineitem WHERE l_linenumber <= 3
+        |  UNION ALL
+        |  SELECT * FROM lineitem WHERE l_linenumber > 3
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "grad_squarederror" ->
       s"""SELECT l_returnflag,

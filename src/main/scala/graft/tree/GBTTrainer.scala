@@ -175,8 +175,10 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
   /** data: (dense features with NaN=missing, label, weight). */
   def fit(data: RDD[(Array[Double], Double, Double)]): BoosterModel = params.treeMethod match {
     case "hist" =>
-      val numFeatures = data.first()._1.length
-      val cuts = findCuts(data, numFeatures)
+      // column count is unified inside the sketch pass (ref
+      // MetaInfo::SynchronizeNumberOfColumns, include/xgboost/data.h:191)
+      val cuts = findCuts(data)
+      val numFeatures = cuts.numFeatures
       val binned = data.zipWithIndex().map { case ((f, y, w), id) =>
         BInst(cuts.binRow(f), y, w, id)
       }.persist(StorageLevel.MEMORY_AND_DISK)
@@ -190,8 +192,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       // grow_colmaker semantics via distinct-value cuts: with every
       // distinct value its own bin, bin-space enumeration IS the exact
       // greedy scan over sorted columns (Binning.findCutsExact doc)
-      val numFeatures = data.first()._1.length
-      val cuts = Binning.findCutsExact(data.map(r => (r._1, r._3)), numFeatures)
+      val cuts = Binning.findCutsExact(data.map(r => (r._1, r._3)), 0)
+      val numFeatures = cuts.numFeatures
       val binned = data.zipWithIndex().map { case ((f, y, w), id) =>
         BInst(cuts.binRow(f), y, w, id)
       }.persist(StorageLevel.MEMORY_AND_DISK)
@@ -212,8 +214,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
   def fit(data: RDD[(Array[Double], Double, Double)],
       evalSet: RDD[(Array[Double], Double, Double)]): BoosterModel = {
     require(params.treeMethod == "hist", "eval watches support tree_method=hist only")
-    val numFeatures = data.first()._1.length
-    val cuts = findCuts(data, numFeatures)
+    val cuts = findCuts(data)
+    val numFeatures = cuts.numFeatures
     def toBinned(d: RDD[(Array[Double], Double, Double)]) =
       d.zipWithIndex().map { case ((f, y, w), id) => BInst(cuts.binRow(f), y, w, id) }
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -249,7 +251,6 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     require(!obj.needsGlobalGradients && !obj.usesIntervalLabels,
       s"tree_method=approx does not support ${params.objective}")
     val sc = data.sparkContext
-    val numFeatures = data.first()._1.length
     // derived copy so we never clash with a caller-chosen storage level
     val cached = data.map(identity).persist(StorageLevel.MEMORY_AND_DISK)
     cached.count()
@@ -261,8 +262,11 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     if (badWeights > 0) throw new IllegalArgumentException(
       s"$badWeights instance weight(s) are negative or NaN")
 
-    val (sumWy, sumW) = cached.treeAggregate((0.0, 0.0))(
-      (a, r) => (a._1 + r._3 * r._2, a._2 + r._3), (a, b) => (a._1 + b._1, a._2 + b._2))
+    // base-score stats + unified column count, one pass (ref
+    // MetaInfo::SynchronizeNumberOfColumns, include/xgboost/data.h:191)
+    val (sumWy, sumW, numFeatures) = cached.treeAggregate((0.0, 0.0, 0))(
+      (a, r) => (a._1 + r._3 * r._2, a._2 + r._3, math.max(a._3, r._1.length)),
+      (a, b) => (a._1 + b._1, a._2 + b._2, math.max(a._3, b._3)))
     val labelMean = if (sumW > 0) sumWy / sumW else 0.0
     val base = Array(params.baseScore.map(obj.probToMargin).getOrElse(obj.baseScore(labelMean)))
 
@@ -309,6 +313,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       iter += 1
     }
     cached.unpersist(blocking = false)
+    margins.unpersist(blocking = false)
     val n = treesBuf.length
     BoosterModel(treesBuf.toArray, Array.fill(n)(params.eta), Array.fill(n)(0), base,
       params.objective, 1, numFeatures)
@@ -320,8 +325,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * data.h:77`). */
   def fitSurvival(data: RDD[(Array[Double], Double, Double, Double)]): BoosterModel = {
     require(params.treeMethod == "hist", "survival objectives support tree_method=hist only")
-    val numFeatures = data.first()._1.length
-    val cuts = findCuts(data.map(r => (r._1, r._2, r._4)), numFeatures)
+    val cuts = findCuts(data.map(r => (r._1, r._2, r._4)))
+    val numFeatures = cuts.numFeatures
     val binned = data.zipWithIndex().map { case ((f, lo, hi, w), id) =>
       BInst(cuts.binRow(f), lo, w, id, label2 = hi)
     }.persist(StorageLevel.MEMORY_AND_DISK)
@@ -356,8 +361,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * over contiguous groups. */
   def fitRanking(data: RDD[(Array[Double], Double, Double, Long)]): BoosterModel = {
     require(params.treeMethod == "hist", "rank objectives support tree_method=hist only")
-    val numFeatures = data.first()._1.length
-    val cuts = findCuts(data.map(r => (r._1, r._2, r._3)), numFeatures)
+    val cuts = findCuts(data.map(r => (r._1, r._2, r._3)))
+    val numFeatures = cuts.numFeatures
     val nParts = math.max(data.getNumPartitions, 1)
     val grouped = data.map { case (f, y, w, q) => (q, (f, y, w)) }
       .partitionBy(new org.apache.spark.HashPartitioner(nParts))
@@ -371,8 +376,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     model
   }
 
-  private def findCuts(data: RDD[(Array[Double], Double, Double)], numFeatures: Int): HistogramCuts = {
-    val base = Binning.findCuts(data.map(r => (r._1, r._3)), numFeatures, params.maxBin)
+  private def findCuts(data: RDD[(Array[Double], Double, Double)]): HistogramCuts = {
+    val base = Binning.findCuts(data.map(r => (r._1, r._3)), 0, params.maxBin)
     if (params.catFeatures.isEmpty) base
     else HistogramCuts(base.cuts.zipWithIndex.map { case (c, f) =>
       if (!params.catFeatures.contains(f)) c
@@ -615,6 +620,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     callbacks.foreach(_.afterTraining(lastBestIteration))
     if (needsCoxSort) binned.unpersist(blocking = false)
     evalMargins.foreach(_.unpersist(blocking = false))
+    margins.unpersist(blocking = false) // final prediction cache — don't leak blocks
 
     // early stop ⇒ truncate to the best iteration (numGroups trees per round)
     val keep =
@@ -628,18 +634,23 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
   /** DART dropout selection + new-tree weight (ref DropTrees/NormalizeTrees,
     * `src/gbm/gbtree.h:369-370`): with k dropped trees the new tree gets
     * weight eta/(k+eta) and dropped trees are rescaled by k/(k+eta); with no
-    * dropout (or skip_drop hit) the new tree gets full weight 1.0 — for
-    * plain gbtree the weight is simply eta. */
+    * dropout (or skip_drop hit) the new tree gets weight eta, so rate_drop=0
+    * dart boosts identically to gbtree (gbtree.cc:542-545 effective scale). */
   private def dartDrop(numTrees: Int, rng: java.util.Random): (Array[Int], Double) = {
     if (params.booster != "dart") return (Array.empty, params.eta)
-    if (numTrees == 0) return (Array.empty, 1.0)
-    if (params.skipDrop > 0 && rng.nextDouble() < params.skipDrop) return (Array.empty, 1.0)
+    // reference weight_drop is a multiplier ON TOP of eta-scaled leaves
+    // (NormalizeTrees pushes 1.0 when nothing is dropped, gbtree.cc:542-545);
+    // our leaves are unscaled with eta carried in treeWeights, so the
+    // no-drop weight here is eta (= lr × 1.0), making rate_drop=0 dart
+    // boost identically to gbtree.
+    if (numTrees == 0) return (Array.empty, params.eta)
+    if (params.skipDrop > 0 && rng.nextDouble() < params.skipDrop) return (Array.empty, params.eta)
     val dropped = (0 until numTrees).filter(_ => rng.nextDouble() < params.rateDrop).toArray
     val finalDropped =
       if (dropped.isEmpty && params.oneDrop) Array(rng.nextInt(numTrees))
       else dropped
     val k = finalDropped.length
-    if (k == 0) (finalDropped, 1.0)
+    if (k == 0) (finalDropped, params.eta)
     else (finalDropped, params.eta / (k + params.eta))
   }
 

@@ -36,9 +36,10 @@ final class MultiTargetTrainer(params: TrainParams, numTargets: Int) extends Ser
   /** data: (features, labels — K targets or a class index, weight). */
   def fit(data: RDD[(Array[Double], Array[Double], Double)]): BoosterModel = {
     val sc = data.sparkContext
-    val nf = data.first()._1.length
     val K = numTargets
-    val cuts = Binning.findCuts(data.map(r => (r._1, r._3)), nf, params.maxBin)
+    // column count unified inside the sketch pass (data.h:191 semantics)
+    val cuts = Binning.findCuts(data.map(r => (r._1, r._3)), 0, params.maxBin)
+    val nf = cuts.numFeatures
     val totalBins = cuts.totalBins
     val bCuts = sc.broadcast(cuts)
     val binned = data.map { case (x, ys, w) =>

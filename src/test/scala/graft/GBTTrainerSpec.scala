@@ -152,6 +152,27 @@ class GBTTrainerSpec extends AnyFunSuite {
     data.unpersist()
   }
 
+  test("ragged rows unify column count to the global max (data.h:191)") {
+    val spark = TestSpark.spark
+    val rng = new scala.util.Random(3)
+    // rows alternate between 2 and 4 features; the signal is in feature 3,
+    // which short rows lack (treated as missing)
+    val rows = (0 until 400).map { i =>
+      val x3 = rng.nextDouble()
+      if (i % 2 == 0) (Array(rng.nextDouble(), rng.nextDouble()), 0.5, 1.0)
+      else (Array(rng.nextDouble(), rng.nextDouble(), rng.nextDouble(), x3), x3, 1.0)
+    }
+    val data = spark.sparkContext.parallelize(rows, 4)
+    val m = new GBTTrainer(TrainParams(numRounds = 3, maxDepth = 3, maxBin = 32, seed = 1))
+      .fit(data)
+    assert(m.numFeatures == 4, s"unified width should be 4, got ${m.numFeatures}")
+    // a full-width row predicts from feature 3; a short row follows the
+    // missing default direction without crashing
+    val pFull = m.margin(Array(0.5, 0.5, 0.5, 0.9))(0)
+    val pShort = m.margin(Array(0.5, 0.5))(0)
+    assert(!pFull.isNaN && !pShort.isNaN)
+  }
+
   test("binning assigns every non-missing value a bin; NaN gets -1") {
     val data = lineitemData()
     val cuts = Binning.findCuts(data.map(r => (r._1, 1.0)), 4, 16)
