@@ -16,6 +16,10 @@ object Bench {
     // changes, which silently reshuffles who pays JIT warm-up round-to-round
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (k, _) => only.forall(_.contains(k)) }
+    // JVM/codegen warm-up outside the timed region so the first query's
+    // number measures the query, not classloading + codegen bootstrap
+    spark.range(1000).selectExpr("sum(id * 2)").collect()
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -24,6 +28,7 @@ object Bench {
       // behind so later timings measure the query, not accumulated state
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc() // park tenured garbage between queries, not inside one
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -160,16 +160,19 @@ object Metrics {
   def ndcgAt(df: DataFrame, qid: Column, pred: Column, label: Column, tie: Column,
       k: Int, expGain: Boolean = true): DataFrame = {
     def gain(l: Column): Column = if (expGain) pow(lit(2.0), l) - lit(1.0) else l
+    // both windows cluster on q → ONE exchange, two in-partition sorts;
+    // dcg and idcg then come out of a single groupBy (no second shuffle,
+    // no self-join)
     val rw = rankedWindow(col("q"), col("p"), col("t"))
     val iw = Window.partitionBy(col("q")).orderBy(col("y").desc, col("t").asc)
-    val base = df.select(qid.as("q"), pred.as("p"), label.as("y"), tie.as("t"))
+    df.select(qid.as("q"), pred.as("p"), label.as("y"), tie.as("t"))
       .withColumn("rk", row_number().over(rw))
       .withColumn("irk", row_number().over(iw))
-    val dcg = base.where(col("rk") <= k)
-      .groupBy("q").agg(sum(gain(col("y")) / log2(col("rk") + lit(1.0))).as("dcg"))
-    val idcg = base.where(col("irk") <= k)
-      .groupBy("q").agg(sum(gain(col("y")) / log2(col("irk") + lit(1.0))).as("idcg"))
-    dcg.join(idcg, "q")
+      .groupBy("q").agg(
+        sum(when(col("rk") <= k, gain(col("y")) / log2(col("rk") + lit(1.0)))
+          .otherwise(0.0)).as("dcg"),
+        sum(when(col("irk") <= k, gain(col("y")) / log2(col("irk") + lit(1.0)))
+          .otherwise(0.0)).as("idcg"))
       .select(col("q"), when(col("idcg") > 0, col("dcg") / col("idcg")).otherwise(0.0).as("ndcg"))
       .agg(avg("ndcg").as("ndcg"), count("*").as("num_groups"))
   }

@@ -16,12 +16,20 @@ object TrainQueries {
 
   private val featureCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+  /** Feature/label decode for the trainer: the projection (and label
+    * arithmetic) happens in the DataFrame FIRST so column pruning reaches
+    * the parquet scan — `.rdd` on the full table would read every column —
+    * and the row decode is positional, not name-lookup-per-value. */
   def lineitemTrainingData(s: SparkSession, dir: String) = {
-    val df = CoreQueries.table(s, dir, "lineitem")
+    val df = CoreQueries.table(s, dir, "lineitem").select(
+      featureCols.map(c => col(c).cast("double")) :+
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) / 100000.0).as("label"): _*)
+    val n = featureCols.length
     df.rdd.map { r =>
-      val f = featureCols.map(c => r.getAs[Double](c)).toArray
-      val label = r.getAs[Double]("l_extendedprice") * (1 - r.getAs[Double]("l_discount")) / 100000.0
-      (f, label, 1.0)
+      val f = new Array[Double](n)
+      var i = 0
+      while (i < n) { f(i) = r.getDouble(i); i += 1 }
+      (f, r.getDouble(n), 1.0)
     }
   }
 
@@ -48,10 +56,16 @@ object TrainQueries {
     // binary classification: train → leaf/contrib outputs exercised
     "t_train_logistic_auc" -> ((s, dir) => {
       val df = CoreQueries.table(s, dir, "lineitem")
-      val data = df.rdd.map { r =>
-        val f = featureCols.map(c => r.getAs[Double](c)).toArray
-        (f, if (r.getAs[String]("l_returnflag") == "R") 1.0 else 0.0, 1.0)
-      }.cache()
+      val n = featureCols.length
+      val data = df.select(
+        featureCols.map(c => col(c).cast("double")) :+
+          when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"): _*)
+        .rdd.map { r =>
+          val f = new Array[Double](n)
+          var i = 0
+          while (i < n) { f(i) = r.getDouble(i); i += 1 }
+          (f, r.getDouble(n), 1.0)
+        }.cache()
       val model = new GBTTrainer(TrainParams(objective = "binary:logistic",
         numRounds = 5, maxDepth = 3, maxBin = 64, seed = 7)).fit(data)
       val scored = Predictor.transform(
@@ -86,11 +100,17 @@ object TrainQueries {
     // learning-to-rank: qid-grouped lambdarank training, NDCG@5 surfaced
     "t_train_rank_ndcg" -> ((s, dir) => {
       val df = CoreQueries.table(s, dir, "lineitem")
-      val data = df.rdd.map { r =>
-        val f = featureCols.map(c => r.getAs[Double](c)).toArray
-        val rel = (r.getAs[Int]("l_linenumber") % 4).toDouble
-        (f, rel, 1.0, r.getAs[Long]("l_orderkey") % 100)
-      }.cache()
+      val n = featureCols.length
+      val data = df.select(
+        featureCols.map(c => col(c).cast("double")) :+
+          (col("l_linenumber") % 4).cast("double").as("rel") :+
+          (col("l_orderkey") % 100).as("q"): _*)
+        .rdd.map { r =>
+          val f = new Array[Double](n)
+          var i = 0
+          while (i < n) { f(i) = r.getDouble(i); i += 1 }
+          (f, r.getDouble(n), 1.0, r.getLong(n + 1))
+        }.cache()
       val model = new GBTTrainer(TrainParams(objective = "rank:ndcg",
         numRounds = 5, maxDepth = 3, maxBin = 64, seed = 7)).fitRanking(data)
       val scored = Predictor.transform(
