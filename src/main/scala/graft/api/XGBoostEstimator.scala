@@ -47,13 +47,15 @@ trait GraftXGBParams extends Params {
   final val missing = new DoubleParam(this, "missing", "value treated as missing (NaN default)")
   final val earlyStoppingRounds = new IntParam(this, "earlyStoppingRounds", "early stopping patience")
   final val evalMetric = new Param[String](this, "evalMetric", "watch metric ('' = objective default)")
+  final val scalePosWeight = new DoubleParam(this, "scalePosWeight", "positive-class gradient scale")
 
   setDefault(featuresCol -> "features", labelCol -> "label", weightCol -> "",
     predictionCol -> "prediction", numRound -> 100, maxDepth -> 6, eta -> 0.3,
     maxBin -> 256, lambda -> 1.0, alpha -> 0.0, gamma -> 0.0,
     minChildWeight -> 1.0, subsample -> 1.0, colsampleBytree -> 1.0,
     treeMethod -> "hist", growPolicy -> "depthwise", maxLeaves -> 0,
-    seed -> 0L, missing -> Double.NaN, earlyStoppingRounds -> 0, evalMetric -> "")
+    seed -> 0L, missing -> Double.NaN, earlyStoppingRounds -> 0, evalMetric -> "",
+    scalePosWeight -> 1.0)
 
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setLabelCol(v: String): this.type = set(labelCol, v)
@@ -76,6 +78,7 @@ trait GraftXGBParams extends Params {
   def setMissing(v: Double): this.type = set(missing, v)
   def setEarlyStoppingRounds(v: Int): this.type = set(earlyStoppingRounds, v)
   def setEvalMetric(v: String): this.type = set(evalMetric, v)
+  def setScalePosWeight(v: Double): this.type = set(scalePosWeight, v)
 
   protected def baseTrainParams(objective: String, numClass: Int = 1): TrainParams =
     TrainParams(
@@ -86,7 +89,8 @@ trait GraftXGBParams extends Params {
       seed = $(seed), growPolicy = $(growPolicy), maxLeaves = $(maxLeaves),
       numClass = numClass, treeMethod = $(treeMethod),
       earlyStoppingRounds = $(earlyStoppingRounds),
-      evalMetric = if ($(evalMetric).nonEmpty) Some($(evalMetric)) else None)
+      evalMetric = if ($(evalMetric).nonEmpty) Some($(evalMetric)) else None,
+      scalePosWeight = $(scalePosWeight))
 
   /** (features, label, weight) rows; `missing` values become NaN. */
   protected def extractRdd(ds: Dataset[_]): RDD[(Array[Double], Double, Double)] = {

@@ -23,7 +23,7 @@ final case class Node(
     defaultLeft: Boolean,
     left: Int,
     right: Int,
-    leaf: Array[Double],           // leaf weights (eta already applied)
+    leaf: Array[Double],           // leaf weights (unscaled; eta lives in BoosterModel.treeWeights)
     gain: Double,
     sumHess: Double,
     categoriesRight: Array[Int]    // non-empty ⇒ categorical split

@@ -53,12 +53,18 @@ object Objective {
       rho: Double = 1.5, delta: Double = 1.0,
       aftDistribution: String = "normal", aftScale: Double = 1.0,
       rankExpGain: Boolean = true, rankTopK: Int = 0,
-      rankPairMethod: String = "mean", rankNumPair: Int = 8): Objective = name match {
-    case "reg:squarederror" | "reg:linear" => SquaredError
-    case "reg:squaredlogerror"             => SquaredLogError
-    case "reg:logistic"                    => new Logistic("reg:logistic")
-    case "binary:logistic"                 => new Logistic("binary:logistic")
-    case "binary:logitraw"                 => LogitRaw
+      rankPairMethod: String = "mean", rankNumPair: Int = 8,
+      scalePosWeight: Double = 1.0): Objective = {
+    // scale_pos_weight applies to the RegLoss family only
+    // (RegLossParam, src/objective/regression_param.h:15)
+    def pw(o: Objective): Objective =
+      if (scalePosWeight == 1.0) o else new PosWeighted(o, scalePosWeight)
+    name match {
+    case "reg:squarederror" | "reg:linear" => pw(SquaredError)
+    case "reg:squaredlogerror"             => pw(SquaredLogError)
+    case "reg:logistic"                    => pw(new Logistic("reg:logistic"))
+    case "binary:logistic"                 => pw(new Logistic("binary:logistic"))
+    case "binary:logitraw"                 => pw(LogitRaw)
     case "binary:hinge"                    => Hinge
     case "count:poisson"                   => new Poisson(maxDeltaStep)
     case "reg:gamma"                       => Gamma
@@ -73,7 +79,25 @@ object Objective {
     case "rank:map"                        => new LambdaRankObjective("map", rankExpGain, rankTopK, rankPairMethod, rankNumPair)
     case "rank:pairwise"                   => new LambdaRankObjective("pairwise", rankExpGain, rankTopK, rankPairMethod, rankNumPair)
     case other => throw new IllegalArgumentException(s"unknown objective: $other")
+    }
   }
+}
+
+/** scale_pos_weight (`src/objective/regression_param.h:15`, applied in the
+  * RegLoss kernel `src/objective/regression_obj.cu:186-189`): rows with
+  * label == 1 get BOTH g and h multiplied — the standard class-imbalance
+  * rebalancer. A decorator so every RegLoss-family objective composes. */
+private final class PosWeighted(inner: Objective, spw: Double) extends Objective {
+  def name: String = inner.name
+  def gradient(m: Double, y: Double, out: Array[Double]): Unit = {
+    inner.gradient(m, y, out)
+    if (y == 1.0) { out(0) *= spw; out(1) *= spw }
+  }
+  override def predTransform(m: Double): Double = inner.predTransform(m)
+  override def probToMargin(p: Double): Double = inner.probToMargin(p)
+  override def baseScore(labelMean: Double): Double = inner.baseScore(labelMean)
+  override def validLabel(y: Double): Boolean = inner.validLabel(y)
+  override def defaultMetric: String = inner.defaultMetric
 }
 
 /** reg:squarederror (`src/objective/regression_loss.h:16-33`): g=p−y, h=1. */

@@ -49,6 +49,9 @@ final case class TrainParams(
     lambdarankNumPair: Int = 8, // sampled pairs per doc (pair_method=mean)
     evalMetric: Option[String] = None, // per-iteration watch metric (default: objective's)
     earlyStoppingRounds: Int = 0, // 0 = off; else stop after this many non-improving rounds
+    scalePosWeight: Double = 1.0, // positive-class gradient rebalance (RegLoss family)
+    featureWeights: Array[Double] = Array.empty, // weighted column sampling (random.h:40-68)
+    numParallelTree: Int = 1, // boosted-random-forest layer width (gbtree.cc:282)
     // DART (`src/gbm/gbtree.h:88-120`)
     booster: String = "gbtree", // | "dart"
     rateDrop: Double = 0.0,
@@ -244,10 +247,11 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
   private def fitApprox(data: RDD[(Array[Double], Double, Double)]): BoosterModel = {
     require(!isMulti, "tree_method=approx supports single-output objectives only")
     require(params.booster != "dart", "tree_method=approx supports the gbtree booster only")
+    require(params.numParallelTree <= 1, "num_parallel_tree requires tree_method=hist")
     val obj = Objective(params.objective,
       maxDeltaStep = if (params.maxDeltaStep > 0) params.maxDeltaStep else 0.7,
       alpha = params.quantileAlpha, rho = params.tweedieVariancePower,
-      delta = params.pseudoHuberSlope)
+      delta = params.pseudoHuberSlope, scalePosWeight = params.scalePosWeight)
     require(!obj.needsGlobalGradients && !obj.usesIntervalLabels,
       s"tree_method=approx does not support ${params.objective}")
     val sc = data.sparkContext
@@ -274,7 +278,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       .persist(StorageLevel.MEMORY_AND_DISK)
     margins.count()
 
-    val colSampler = new ColumnSampler(numFeatures, params.seed)
+    val colSampler = new ColumnSampler(numFeatures, params.seed, params.featureWeights)
     val treesBuf = new ArrayBuffer[Tree]
     var iter = 0
     while (iter < params.numRounds) {
@@ -401,7 +405,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         delta = params.pseudoHuberSlope,
         aftDistribution = params.aftDistribution, aftScale = params.aftScale,
         rankExpGain = params.ndcgExpGain, rankTopK = params.lambdarankTopK,
-        rankPairMethod = params.lambdarankPairMethod, rankNumPair = params.lambdarankNumPair))
+        rankPairMethod = params.lambdarankPairMethod, rankNumPair = params.lambdarankNumPair,
+        scalePosWeight = params.scalePosWeight))
     val needsGlobalGrads = !isMulti && obj.needsGlobalGradients
     if (needsGlobalGrads && params.booster == "dart")
       throw new IllegalArgumentException(
@@ -461,7 +466,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     val treeGroupBuf = new ArrayBuffer[Int]
     val treeWeightsBuf = new ArrayBuffer[Double]
     val rng = new java.util.Random(params.seed)
-    val colSampler = new ColumnSampler(numFeatures, params.seed)
+    val colSampler = new ColumnSampler(numFeatures, params.seed, params.featureWeights)
 
     // watch / early-stopping state (ref EvalOneIter + EarlyStopping)
     val watching = params.earlyStoppingRounds > 0 || params.evalMetric.isDefined ||
@@ -525,10 +530,20 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         gbMeanU = if (n > 0) uSum / n else 1.0
       }
 
-      val newShapes = new Array[TreeShape](numGroups)
+      // num_parallel_tree (ref InitNewTrees loop `src/gbm/gbtree.cc:282`):
+      // K trees per group per round, all from the SAME gradients but with
+      // per-tree sampling streams (virtual iteration salt), each committed
+      // at weight/K so the complete layer uses the full weight — a bagged
+      // forest layer (gbtree.cc:539).
+      val kPar = math.max(params.numParallelTree, 1)
+      val newShapes = new Array[TreeShape](numGroups * kPar)
+      val newGroups = new Array[Int](numGroups * kPar)
       var k = 0
-      while (k < numGroups) {
-        newShapes(k) = growTree(binned, margins, globalGrads, cuts, numFeatures, obj, softmax, k, iter, colSampler, droppedShapes)
+      while (k < numGroups * kPar) {
+        val grp = k / kPar
+        val saltIter = if (kPar == 1) iter else iter * kPar + (k % kPar)
+        newShapes(k) = growTree(binned, margins, globalGrads, cuts, numFeatures, obj, softmax, grp, saltIter, colSampler, droppedShapes)
+        newGroups(k) = grp
         k += 1
       }
 
@@ -545,21 +560,22 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
             (i, treeWeightsBuf(i) - old)
           }
         } else Array.empty
-      val newW = newTreeWeight
-      newShapes.zipWithIndex.foreach { case (s, g) =>
-        shapes += s; treeGroupBuf += g; treeWeightsBuf += newW
+      val newW = newTreeWeight / kPar
+      newShapes.zipWithIndex.foreach { case (s, i) =>
+        shapes += s; treeGroupBuf += newGroups(i); treeWeightsBuf += newW
       }
 
       // ---- margin update (prediction cache, gbtree.cc:631-660) ----
       // applied identically to the train AND eval margin caches
-      val bNew = sc.broadcast(newShapes)
+      val bNew = sc.broadcast(newShapes.zip(newGroups))
       val bAdjust = sc.broadcast(weightDeltas.map { case (i, d) => (shapes(i), treeGroupBuf(i), d) })
       def advance(rows: RDD[BInst], olds: RDD[Array[Double]]): RDD[Array[Double]] = {
         val next = rows.zip(olds).map { case (r, m) =>
           val out = m.clone()
           var g = 0
           while (g < bNew.value.length) {
-            out(g) += newW * bNew.value(g).predictLeaf(r)(0)
+            val (sh, grp) = bNew.value(g)
+            out(grp) += newW * sh.predictLeaf(r)(0)
             g += 1
           }
           var d = 0
@@ -622,9 +638,11 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     evalMargins.foreach(_.unpersist(blocking = false))
     margins.unpersist(blocking = false) // final prediction cache — don't leak blocks
 
-    // early stop ⇒ truncate to the best iteration (numGroups trees per round)
+    // early stop ⇒ truncate to the best iteration
+    // (numGroups × num_parallel_tree trees per round = one layer)
+    val layer = numGroups * math.max(params.numParallelTree, 1)
     val keep =
-      if (stop && !stopFromCallback && lastBestIteration >= 0) (lastBestIteration + 1) * numGroups
+      if (stop && !stopFromCallback && lastBestIteration >= 0) (lastBestIteration + 1) * layer
       else shapes.length
     val trees = shapes.take(keep).toArray.map(shapeToTree(_, cuts))
     BoosterModel(trees, treeWeightsBuf.take(keep).toArray, treeGroupBuf.take(keep).toArray,
@@ -1208,12 +1226,31 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
 }
 
 /** Nested per-tree/level/node Bernoulli feature sampling (ref
-  * `src/common/random.h:70-80` ColumnSampler) — deterministic from seed. */
-final class ColumnSampler(numFeatures: Int, seed: Long) extends Serializable {
+  * `src/common/random.h:70-80` ColumnSampler) — deterministic from seed.
+  * With non-empty `featureWeights`, sampling is weighted without
+  * replacement via Efraimidis–Spirakis keys u^(1/w) (the reference's
+  * `WeightedSamplingWithoutReplacement`, `src/common/random.h:40-68`). */
+final class ColumnSampler(numFeatures: Int, seed: Long,
+    featureWeights: Array[Double] = Array.empty) extends Serializable {
+  require(featureWeights.isEmpty || featureWeights.length == numFeatures,
+    s"feature_weights length ${featureWeights.length} != numFeatures $numFeatures")
+  require(featureWeights.forall(_ >= 0), "feature_weights must be non-negative")
+
   private def sample(from: Array[Int], frac: Double, salt: Long): Array[Int] = {
     if (frac >= 1.0 || from.length <= 1) return from
     val n = math.max(1, (from.length * frac).round.toInt)
     val rng = new java.util.Random(seed ^ salt)
+    if (featureWeights.nonEmpty) {
+      // key = u^(1/w); top-n keys = weighted sample without replacement
+      val keyed = from.map { f =>
+        val w = featureWeights(f)
+        val key = if (w <= 0) -1.0 else math.pow(rng.nextDouble(), 1.0 / w)
+        (f, key)
+      }
+      val picked = keyed.sortBy(-_._2).take(n).map(_._1)
+      java.util.Arrays.sort(picked)
+      return picked
+    }
     val shuffled = from.clone()
     var i = shuffled.length - 1
     while (i > 0) {
