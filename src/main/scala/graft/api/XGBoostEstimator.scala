@@ -48,6 +48,7 @@ trait GraftXGBParams extends Params {
   final val earlyStoppingRounds = new IntParam(this, "earlyStoppingRounds", "early stopping patience")
   final val evalMetric = new Param[String](this, "evalMetric", "watch metric ('' = objective default)")
   final val scalePosWeight = new DoubleParam(this, "scalePosWeight", "positive-class gradient scale")
+  final val baseMarginCol = new Param[String](this, "baseMarginCol", "per-row initial margin column ('' = none)")
 
   setDefault(featuresCol -> "features", labelCol -> "label", weightCol -> "",
     predictionCol -> "prediction", numRound -> 100, maxDepth -> 6, eta -> 0.3,
@@ -55,7 +56,7 @@ trait GraftXGBParams extends Params {
     minChildWeight -> 1.0, subsample -> 1.0, colsampleBytree -> 1.0,
     treeMethod -> "hist", growPolicy -> "depthwise", maxLeaves -> 0,
     seed -> 0L, missing -> Double.NaN, earlyStoppingRounds -> 0, evalMetric -> "",
-    scalePosWeight -> 1.0)
+    scalePosWeight -> 1.0, baseMarginCol -> "")
 
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setLabelCol(v: String): this.type = set(labelCol, v)
@@ -79,6 +80,7 @@ trait GraftXGBParams extends Params {
   def setEarlyStoppingRounds(v: Int): this.type = set(earlyStoppingRounds, v)
   def setEvalMetric(v: String): this.type = set(evalMetric, v)
   def setScalePosWeight(v: Double): this.type = set(scalePosWeight, v)
+  def setBaseMarginCol(v: String): this.type = set(baseMarginCol, v)
 
   protected def baseTrainParams(objective: String, numClass: Int = 1): TrainParams =
     TrainParams(
@@ -98,6 +100,17 @@ trait GraftXGBParams extends Params {
     val miss = $(missing)
     ds.select(col($(featuresCol)), col($(labelCol)).cast("double"), w).rdd.map { row =>
       (GraftXGBParams.toDoubleArray(row.get(0), miss), row.getDouble(1), row.getDouble(2))
+    }
+  }
+
+  /** (features, label, weight, baseMargin) rows for base-margin training. */
+  protected def extractRddWithMargin(ds: Dataset[_]): RDD[(Array[Double], Double, Double, Double)] = {
+    val w = if ($(weightCol).nonEmpty) col($(weightCol)).cast("double") else lit(1.0)
+    val miss = $(missing)
+    ds.select(col($(featuresCol)), col($(labelCol)).cast("double"), w,
+      col($(baseMarginCol)).cast("double")).rdd.map { row =>
+      (GraftXGBParams.toDoubleArray(row.get(0), miss), row.getDouble(1), row.getDouble(2),
+        row.getDouble(3))
     }
   }
 
@@ -159,7 +172,13 @@ class XGBoostRegressor(override val uid: String)
 
   override def fit(ds: Dataset[_]): XGBoostRegressionModel = {
     validateFeatures(ds.schema)
-    val booster = new GBTTrainer(baseTrainParams($(objective))).fit(extractRdd(ds))
+    val trainer = new GBTTrainer(baseTrainParams($(objective)))
+    // base_margin training (ref baseMarginCol, XGBoostEstimator.scala:206):
+    // boosting starts from the per-row margin column; transform adds the
+    // column back (model baseScore is 0)
+    val booster =
+      if ($(baseMarginCol).nonEmpty) trainer.fitWithBaseMargin(extractRddWithMargin(ds))
+      else trainer.fit(extractRdd(ds))
     copyValues(new XGBoostRegressionModel(uid, booster)).setParent(this)
   }
   override def copy(extra: ParamMap): XGBoostRegressor = defaultCopy(extra)
@@ -175,8 +194,14 @@ object XGBoostRegressor extends GraftReadable[XGBoostRegressor] {
 
 class XGBoostRegressionModel(override val uid: String, val booster: BoosterModel)
     extends Model[XGBoostRegressionModel] with GraftXGBParams with GraftWritableModel {
-  override def transform(ds: Dataset[_]): DataFrame =
-    ds.withColumn($(predictionCol), Predictor.predictCol(booster)(featuresAsArray(ds)))
+  override def transform(ds: Dataset[_]): DataFrame = {
+    val own = Predictor.predictCol(booster)(featuresAsArray(ds))
+    val pred =
+      if ($(baseMarginCol).nonEmpty && ds.columns.contains($(baseMarginCol)))
+        own + col($(baseMarginCol)).cast("double")
+      else own
+    ds.withColumn($(predictionCol), pred)
+  }
   override def copy(extra: ParamMap): XGBoostRegressionModel =
     copyValues(new XGBoostRegressionModel(uid, booster), extra).setParent(parent)
   override def transformSchema(schema: StructType): StructType =
@@ -209,6 +234,7 @@ class XGBoostClassifier(override val uid: String)
 
   override def fit(ds: Dataset[_]): XGBoostClassificationModel = {
     validateFeatures(ds.schema)
+    require($(baseMarginCol).isEmpty, "baseMarginCol is supported by XGBoostRegressor only")
     val multi = $(objective).startsWith("multi:")
     val tp = baseTrainParams($(objective), if (multi) $(numClass) else 1)
     val booster = new GBTTrainer(tp).fit(extractRdd(ds))

@@ -230,6 +230,55 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     model
   }
 
+  /** Per-row base-margin fit (ref `base_margin_` in MetaInfo,
+    * `include/xgboost/data.h:77`; margins replace base_score as the
+    * boosting start point): rows are (features, label, weight, baseMargin).
+    * The returned model's baseScore is 0 — at predict time the caller adds
+    * its own margins, exactly like the reference's inplace-predict with
+    * base_margin. Single-output hist only. */
+  def fitWithBaseMargin(data: RDD[(Array[Double], Double, Double, Double)]): BoosterModel = {
+    require(params.treeMethod == "hist", "base margins support tree_method=hist only")
+    require(!isMulti, "per-row base margins support single-output objectives only")
+    val cuts = findCuts(data.map(r => (r._1, r._2, r._3)))
+    val numFeatures = cuts.numFeatures
+    val binned = data.zipWithIndex().map { case ((f, y, w, _), id) =>
+      BInst(cuts.binRow(f), y, w, id)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    binned.count()
+    val margins = data.map(r => Array(r._4))
+    val model = fitBinned(binned, cuts, numFeatures,
+      initMargins = Some(margins), baseOverride = Some(Array(0.0)))
+    binned.unpersist(blocking = false)
+    model
+  }
+
+  /** Continue boosting from an existing model (the reference's `xgb_model`
+    * continuation, `python-package/xgboost/training.py:40-46` /
+    * `Learner::Configure` resuming BoostedRounds): numRounds NEW trees are
+    * appended, with margins seeded from the previous model's predictions.
+    * gbtree + hist only (dart dropout would have to rescale prior trees). */
+  def fitContinue(data: RDD[(Array[Double], Double, Double)], prev: BoosterModel): BoosterModel = {
+    require(params.treeMethod == "hist", "continuation supports tree_method=hist only")
+    require(params.booster != "dart", "continuation supports the gbtree booster only")
+    require(prev.numGroups == numGroups,
+      s"previous model has ${prev.numGroups} output groups, params give $numGroups")
+    val cuts = findCuts(data)
+    val numFeatures = math.max(cuts.numFeatures, prev.numFeatures)
+    val binned = data.zipWithIndex().map { case ((f, y, w), id) =>
+      BInst(cuts.binRow(f), y, w, id)
+    }.persist(StorageLevel.MEMORY_AND_DISK)
+    binned.count()
+    val bPrev = binned.sparkContext.broadcast(prev)
+    val margins = data.map(r => bPrev.value.margin(r._1))
+    val cont = fitBinned(binned, cuts, numFeatures,
+      initMargins = Some(margins), baseOverride = Some(prev.baseScore.clone()))
+    binned.unpersist(blocking = false)
+    bPrev.destroy()
+    BoosterModel(prev.trees ++ cont.trees, prev.treeWeights ++ cont.treeWeights,
+      prev.treeGroup ++ cont.treeGroup, prev.baseScore, params.objective,
+      numGroups, numFeatures)
+  }
+
   /** (iteration, watch-metric value) per evaluated round of the last fit. */
   def evalHistory: Seq[(Int, Double)] = lastHistory.toSeq
   /** best (lowest/highest) watch-metric iteration of the last fit. */
@@ -394,7 +443,9 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
   }
 
   def fitBinned(binnedIn: RDD[BInst], cuts: HistogramCuts, numFeatures: Int,
-      evalBinnedOpt: Option[RDD[BInst]] = None): BoosterModel = {
+      evalBinnedOpt: Option[RDD[BInst]] = None,
+      initMargins: Option[RDD[Array[Double]]] = None,
+      baseOverride: Option[Array[Double]] = None): BoosterModel = {
     val sc = binnedIn.sparkContext
     val softmax = if (isMulti) new SoftmaxObjective(params.numClass, params.objective == "multi:softprob") else null
     val obj: Objective =
@@ -446,15 +497,18 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       } else binnedIn
 
     // ---- base score (ref FitStump / InitEstimation, fit_stump.cc:50-82) ----
-    val (sumWy, sumW) = binned.treeAggregate((0.0, 0.0))(
-      (a, r) => (a._1 + r.weight * r.label, a._2 + r.weight),
-      (a, b) => (a._1 + b._1, a._2 + b._2))
-    val labelMean = if (sumW > 0) sumWy / sumW else 0.0
-    val base: Array[Double] =
+    require(initMargins.isEmpty || !needsCoxSort,
+      "per-row initial margins do not compose with risk-set objectives (binned rows are re-sorted)")
+    val base: Array[Double] = baseOverride.getOrElse {
+      val (sumWy, sumW) = binned.treeAggregate((0.0, 0.0))(
+        (a, r) => (a._1 + r.weight * r.label, a._2 + r.weight),
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+      val labelMean = if (sumW > 0) sumWy / sumW else 0.0
       if (isMulti) Array.fill(numGroups)(0.0)
       else Array(params.baseScore.map(obj.probToMargin).getOrElse(obj.baseScore(labelMean)))
+    }
 
-    var margins: RDD[Array[Double]] = binned.map(_ => base.clone())
+    var margins: RDD[Array[Double]] = initMargins.getOrElse(binned.map(_ => base.clone()))
       .persist(StorageLevel.MEMORY_AND_DISK)
     margins.count()
     var evalMargins: Option[RDD[Array[Double]]] = evalBinnedOpt.map { eb =>
