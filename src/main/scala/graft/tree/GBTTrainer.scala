@@ -57,6 +57,8 @@ final case class TrainParams(
     rateDrop: Double = 0.0,
     skipDrop: Double = 0.0,
     oneDrop: Boolean = false,
+    sampleType: String = "uniform", // | "weighted" (drop prob ∝ tree weight)
+    normalizeType: String = "tree", // | "forest"
     checkpointInterval: Int = 15
 )
 
@@ -547,7 +549,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       }
 
       // DART: choose dropped trees for this iteration
-      val (droppedIdx, newTreeWeight) = dartDrop(shapes.length, rng)
+      val (droppedIdx, newTreeWeight, dropFactor) = dartDrop(treeWeightsBuf, rng)
       val droppedShapes = droppedIdx.map(i => (shapes(i), treeWeightsBuf(i), treeGroupBuf(i)))
 
       // risk-set objectives (survival:cox): per-row (g,h) precomputed once
@@ -607,10 +609,9 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       val kDrop = droppedIdx.length
       val weightDeltas: Array[(Int, Double)] =
         if (params.booster == "dart" && kDrop > 0) {
-          val factor = kDrop.toDouble / (kDrop + params.eta)
           droppedIdx.map { i =>
             val old = treeWeightsBuf(i)
-            treeWeightsBuf(i) = old * factor
+            treeWeightsBuf(i) = old * dropFactor
             (i, treeWeightsBuf(i) - old)
           }
         } else Array.empty
@@ -703,27 +704,46 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       base, params.objective, numGroups, numFeatures)
   }
 
-  /** DART dropout selection + new-tree weight (ref DropTrees/NormalizeTrees,
-    * `src/gbm/gbtree.h:369-370`): with k dropped trees the new tree gets
-    * weight eta/(k+eta) and dropped trees are rescaled by k/(k+eta); with no
-    * dropout (or skip_drop hit) the new tree gets weight eta, so rate_drop=0
-    * dart boosts identically to gbtree (gbtree.cc:542-545 effective scale). */
-  private def dartDrop(numTrees: Int, rng: java.util.Random): (Array[Int], Double) = {
-    if (params.booster != "dart") return (Array.empty, params.eta)
-    // reference weight_drop is a multiplier ON TOP of eta-scaled leaves
-    // (NormalizeTrees pushes 1.0 when nothing is dropped, gbtree.cc:542-545);
-    // our leaves are unscaled with eta carried in treeWeights, so the
-    // no-drop weight here is eta (= lr × 1.0), making rate_drop=0 dart
-    // boost identically to gbtree.
-    if (numTrees == 0) return (Array.empty, params.eta)
-    if (params.skipDrop > 0 && rng.nextDouble() < params.skipDrop) return (Array.empty, params.eta)
-    val dropped = (0 until numTrees).filter(_ => rng.nextDouble() < params.rateDrop).toArray
+  /** DART dropout selection + new-tree weight + dropped-tree rescale
+    * factor (ref DropTrees `src/gbm/gbtree.cc:566-608` / NormalizeTrees
+    * `:537-563`). Our leaves are unscaled with eta carried in treeWeights
+    * (reference folds lr into leaves with weight_drop on top — same math):
+    * no-drop rounds commit at weight eta, so rate_drop=0 dart boosts
+    * identically to gbtree.
+    *
+    * sample_type=weighted: drop prob_i = rate_drop·N·w_i/Σw (weight ratios
+    * are identical in both weight conventions, the lr factor cancels).
+    * normalize_type=tree: new eta/(k+eta), dropped ×k/(k+eta);
+    * normalize_type=forest: new eta/(1+eta), dropped ×1/(1+eta). */
+  private def dartDrop(weights: scala.collection.Seq[Double],
+      rng: java.util.Random): (Array[Int], Double, Double) = {
+    val eta = params.eta
+    if (params.booster != "dart") return (Array.empty, eta, 1.0)
+    val numTrees = weights.length
+    if (numTrees == 0) return (Array.empty, eta, 1.0)
+    if (params.skipDrop > 0 && rng.nextDouble() < params.skipDrop)
+      return (Array.empty, eta, 1.0)
+    val weighted = params.sampleType == "weighted"
+    val sumW = if (weighted) weights.sum else 0.0
+    val dropped =
+      if (weighted && sumW > 0)
+        (0 until numTrees).filter(i =>
+          rng.nextDouble() < params.rateDrop * numTrees * weights(i) / sumW).toArray
+      else (0 until numTrees).filter(_ => rng.nextDouble() < params.rateDrop).toArray
     val finalDropped =
-      if (dropped.isEmpty && params.oneDrop) Array(rng.nextInt(numTrees))
-      else dropped
+      if (dropped.nonEmpty || !params.oneDrop) dropped
+      else if (weighted && sumW > 0) {
+        // discrete draw ∝ weight (ref one_drop weighted branch)
+        var u = rng.nextDouble() * sumW
+        var i = 0
+        while (i < numTrees - 1 && u >= weights(i)) { u -= weights(i); i += 1 }
+        Array(i)
+      } else Array(rng.nextInt(numTrees))
     val k = finalDropped.length
-    if (k == 0) (finalDropped, params.eta)
-    else (finalDropped, params.eta / (k + params.eta))
+    if (k == 0) (finalDropped, eta, 1.0)
+    else if (params.normalizeType == "forest")
+      (finalDropped, eta / (1.0 + eta), 1.0 / (1.0 + eta))
+    else (finalDropped, eta / (k + eta), k.toDouble / (k + eta))
   }
 
   /** Grow one tree for output group `grp`, dispatching on the expand

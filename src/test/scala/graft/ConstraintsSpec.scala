@@ -94,6 +94,23 @@ class ConstraintsSpec extends AnyFunSuite {
     assert(math.abs(rg - rd) < 0.1 * rg, s"dart0 rmse $rd vs gbtree rmse $rg")
   }
 
+  test("dart sample_type=weighted and normalize_type=forest train and stay weight-sane") {
+    val d = data(1000).cache()
+    val m = new GBTTrainer(TrainParams(numRounds = 8, maxDepth = 3, maxBin = 32,
+      seed = 5, eta = 0.5, booster = "dart", rateDrop = 0.4,
+      sampleType = "weighted", normalizeType = "forest")).fit(d)
+    val local = d.collect()
+    d.unpersist(blocking = false)
+    val mean = local.map(_._2).sum / local.length
+    val rmse0 = math.sqrt(local.map { case (_, y, _) => (y - mean) * (y - mean) }.sum / local.length)
+    val rmse = math.sqrt(local.map { case (f, y, _) =>
+      val p = m.margin(f)(0); (p - y) * (p - y)
+    }.sum / local.length)
+    assert(rmse < rmse0, s"weighted/forest dart failed to learn: $rmse vs $rmse0")
+    assert(m.treeWeights.forall(w => w > 0 && w <= 0.5 + 1e-12),
+      s"tree weights out of range: ${m.treeWeights.mkString(",")}")
+  }
+
   test("dart with dropout still learns and rescales tree weights below eta") {
     val d = data(1000).cache()
     val m = new GBTTrainer(TrainParams(numRounds = 8, maxDepth = 3, maxBin = 32,
