@@ -75,6 +75,23 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
+  /** Embedding-cosine near-duplicate mining (the embedding flavor of
+    * [[Dedup]]): LSH-bucket the corpus once, pair WITHIN buckets only
+    * (id_a < id_b), keep pairs at/above the cosine threshold. At corpus
+    * scale this is one shuffle on the bucket key and per-bucket-quadratic
+    * candidate work — never an all-pairs join; recall is tuned by the
+    * plane count exactly like [[lshTopK]]. */
+  def embedDupPairs(corpus: DataFrame, planes: Array[Array[Double]],
+      threshold: Double, roundDigits: Int = 5): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    b.as("a").join(b.as("c"),
+      col("a.bucket") === col("c.bucket") && col("a.vec_id") < col("c.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("c.vec_id").as("id_b"),
+        round(cosine(col("a.embedding"), col("c.embedding")), roundDigits).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** The SQL text of `dot` in the DuckDB dialect over 1-indexed lists. */
   def dotSql(a: String, b: String, dim: Int): String =
     s"list_sum(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"

@@ -99,6 +99,12 @@ object PipelineQueries {
       Similarity.lshTopK(e, q, planes, k = 1).orderBy("qid", "rk")
     }),
 
+    // embedding-cosine near-dup mining: LSH buckets → in-bucket pairs →
+    // cosine threshold (the embedding flavor of dedup)
+    "p_embed_dedup" -> ((s, dir) =>
+      Similarity.embedDupPairs(table(s, dir, "embeddings"), planes, threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
     // stopword-profile language-ID heuristic
     "p_lang_id" -> ((s, dir) => {
       val t = TextOps.tokens(col("text"))
@@ -291,6 +297,21 @@ object PipelineQueries {
          |SELECT qid, vec_id, cos,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rk
          |FROM s QUALIFY rk <= 1 ORDER BY qid, rk""".stripMargin,
+
+    "p_embed_dedup" -> {
+      val dp = Similarity.dotSql("a.embedding", "c.embedding", 64)
+      val na = s"sqrt(${Similarity.dotSql("a.embedding", "a.embedding", 64)})"
+      val nc = s"sqrt(${Similarity.dotSql("c.embedding", "c.embedding", 64)})"
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
+         |), pairs AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |    round(($dp) / (($na) * ($nc)), 5) AS cos
+         |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+         |)
+         |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "p_lang_id" ->
       s"""WITH t AS (
