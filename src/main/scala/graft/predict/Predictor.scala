@@ -59,6 +59,25 @@ object Predictor {
   def interactionsCol(model: BoosterModel)(features: Column): Column =
     pred(model, TreePredict.ShapInter)(features)
 
+  // ---- sparse rows: (sorted indices, parallel values), never densified ----
+
+  private def predSparse(model: BoosterModel, mode: Int)(idx: Column, vals: Column): Column =
+    ColumnBridge.column(TreePredictSparse(ColumnBridge.expression(idx),
+      ColumnBridge.expression(vals), FlatModel(model), mode))
+
+  /** Transformed prediction over sparse (indices, values) feature columns —
+    * a 100k-wide one-hot row costs O(depth·trees·log nnz), not O(width). */
+  def predictSparseCol(model: BoosterModel)(idx: Column, vals: Column): Column =
+    predSparse(model, TreePredict.Value)(idx, vals)
+
+  /** Raw scalar margin over sparse features. */
+  def marginSparseCol(model: BoosterModel)(idx: Column, vals: Column): Column =
+    predSparse(model, TreePredict.MarginScalar)(idx, vals)
+
+  /** Per-tree leaf indices over sparse features. */
+  def leafSparseCol(model: BoosterModel)(idx: Column, vals: Column): Column =
+    predSparse(model, TreePredict.Leaf)(idx, vals)
+
   /** Transform helper mirroring the reference Spark layer's output columns
     * (`XGBoostEstimator.scala:563-680`): adds margin/prediction (+leaf,
     * +contrib on demand). */

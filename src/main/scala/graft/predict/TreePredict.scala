@@ -1,7 +1,7 @@
 package graft.predict
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -77,6 +77,75 @@ final class FlatModel(
       t += 1
     }
     out
+  }
+
+  // --- sparse row access: features as (sorted indices, parallel values) —
+  // --- absent features are missing; a tree walk touches only depth
+  // --- features per tree, so the binary search beats densifying a wide
+  // --- one-hot row (ref sparse CSR predict, cpu_predictor.cc FVecDrop) ---
+
+  @inline private def featAtSparse(idx: ArrayData, vals: ArrayData, f: Int): Double = {
+    var lo = 0
+    var hi = idx.numElements() - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val v = idx.getInt(mid)
+      if (v == f) return vals.getDouble(mid)
+      else if (v < f) lo = mid + 1
+      else hi = mid - 1
+    }
+    Double.NaN
+  }
+
+  def leafOfSparse(idx: ArrayData, vals: ArrayData, t: Int): Int = {
+    var i = treeRoot(t)
+    var f = feature(i)
+    while (f >= 0) {
+      val v = featAtSparse(idx, vals, f)
+      i =
+        if (v != v) { if (defaultLeft(i)) left(i) else right(i) } // missing
+        else if (catLen(i) > 0) {
+          val o = catOff(i)
+          if (java.util.Arrays.binarySearch(catVal, o, o + catLen(i), v.toInt) >= 0) right(i)
+          else left(i)
+        } else if (v <= threshold(i)) left(i)
+        else right(i)
+      f = feature(i)
+    }
+    i
+  }
+
+  def marginSparse(idx: ArrayData, vals: ArrayData): Array[Double] = {
+    val out = baseScore.clone()
+    var t = 0
+    while (t < numTrees) {
+      val li = leafOfSparse(idx, vals, t)
+      val off = leafOff(li)
+      val len = leafLen(li)
+      if (len == 1) out(treeGroup(t)) += treeWeight(t) * leafVal(off)
+      else {
+        var k = 0
+        while (k < len) { out(k) += treeWeight(t) * leafVal(off + k); k += 1 }
+      }
+      t += 1
+    }
+    out
+  }
+
+  def marginSparseData(idx: ArrayData, vals: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(marginSparse(idx, vals))
+
+  def valueOfSparse(idx: ArrayData, vals: ArrayData): Double =
+    objective.predTransform(marginSparse(idx, vals)(0))
+
+  def marginScalarSparse(idx: ArrayData, vals: ArrayData): Double =
+    marginSparse(idx, vals)(0)
+
+  def leafSparseData(idx: ArrayData, vals: ArrayData): ArrayData = {
+    val out = new Array[Int](numTrees)
+    var t = 0
+    while (t < numTrees) { out(t) = leafOfSparse(idx, vals, t); t += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   // --- codegen entry points (one per TreePredict mode; ArrayData in, ---
@@ -291,4 +360,56 @@ object TreePredict {
   val MarginScalar = 6
   val Shap = 7
   val ShapInter = 8
+}
+
+/** Sparse-row prediction: features arrive as (sorted indices, parallel
+  * values) columns and are NEVER densified — each tree walk binary-searches
+  * only the few features on its path, so a 100k-wide one-hot row costs
+  * O(depth·trees·log nnz), not O(numFeatures). Same codegen shape as
+  * [[TreePredict]]. Modes: Value / MarginScalar / Leaf. */
+case class TreePredictSparse(left: Expression, right: Expression,
+    model: FlatModel, mode: Int) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"graft_predict_sparse requires (array<int>, array<double>), got (${l.sql}, ${r.sql})")
+  }
+
+  override def dataType: DataType = mode match {
+    case TreePredict.Margin => ArrayType(DoubleType, containsNull = false)
+    case TreePredict.Leaf => ArrayType(IntegerType, containsNull = false)
+    case _ => DoubleType
+  }
+
+  override def prettyName: String = "graft_predict_sparse"
+
+  private def methodName: String = mode match {
+    case TreePredict.Margin => "marginSparseData"
+    case TreePredict.Value => "valueOfSparse"
+    case TreePredict.MarginScalar => "marginScalarSparse"
+    case TreePredict.Leaf => "leafSparseData"
+    case m => throw new IllegalArgumentException(s"sparse predict does not support mode $m")
+  }
+
+  protected override def nullSafeEval(idx: Any, vals: Any): Any = {
+    val i = idx.asInstanceOf[ArrayData]
+    val v = vals.asInstanceOf[ArrayData]
+    mode match {
+      case TreePredict.Margin => model.marginSparseData(i, v)
+      case TreePredict.Value => model.valueOfSparse(i, v)
+      case TreePredict.MarginScalar => model.marginScalarSparse(i, v)
+      case TreePredict.Leaf => model.leafSparseData(i, v)
+      case m => throw new IllegalArgumentException(s"sparse predict does not support mode $m")
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("graftModel", model, classOf[FlatModel].getName)
+    defineCodeGen(ctx, ev, (i, v) => s"$m.$methodName($i, $v)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): TreePredictSparse = copy(left = newLeft, right = newRight)
 }
