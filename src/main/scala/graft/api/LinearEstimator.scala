@@ -13,7 +13,7 @@ import graft.linear.{GBLinearTrainer, LinearModel, LinearParams}
   * `booster=gblinear` path through the same Spark-package API,
   * `src/gbm/gblinear.cc` + `XGBoostEstimator.scala` surface): `fit(df)`
   * runs distributed coordinate descent, the model's `transform` scores
-  * with pure column expressions (`zip_with` dot product — codegen, no
+  * with a native codegen dot-product kernel ([[graft.ext.VectorDot]], no
   * UDF), and the model persists as JSON. */
 class GraftLinearRegressor(override val uid: String)
     extends Estimator[GraftLinearModel] with GraftXGBParams {
@@ -52,12 +52,13 @@ class GraftLinearModel(override val uid: String, val model: LinearModel)
 
   override def transform(ds: Dataset[_]): DataFrame = {
     val f = featuresAsArray(ds)
-    // dot product as a column expression: missing (NaN) contributes 0,
+    // dot product as a codegen kernel: missing (NaN) contributes 0,
     // matching LinearModel.margin / the reference's sparse semantics
-    val dot = aggregate(
-      zip_with(f, lit(model.weights), (x, w) =>
-        when(isnan(x), lit(0.0)).otherwise(x * w)),
-      lit(0.0), (acc, v) => acc + v)
+    val dot = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.ext.VectorDot(ColumnBridge.expression(f),
+        ColumnBridge.expression(lit(model.weights)), skipNaN = true))
+    }
     val margin = dot + lit(model.baseScore + model.bias)
     val pred = model.objective match {
       case o if o.contains("logistic") => lit(1.0) / (lit(1.0) + exp(-margin))

@@ -30,6 +30,26 @@ object XGBoost {
     }
   }
 
+  /** Multi-output training (vector-leaf trees, ref `multi_strategy =
+    * multi_output_tree`): labels are K-vectors (vector squared error or
+    * softmax with a class index), or — for `reg:quantileerror` with
+    * `quantileAlphas` set — a scalar label trained to one output lane per
+    * alpha (ref `quantile_obj.cu` vector `quantile_alpha`). */
+  def trainMulti(
+      data: RDD[(Array[Double], Array[Double], Double)],
+      params: TrainParams,
+      numTargets: Int): BoosterModel =
+    new graft.tree.MultiTargetTrainer(params, numTargets).fit(data)
+
+  /** Multi-quantile convenience: scalar-label rows, one output per alpha. */
+  def trainQuantiles(
+      data: RDD[(Array[Double], Double, Double)],
+      params: TrainParams,
+      alphas: Array[Double]): BoosterModel =
+    trainMulti(data.map { case (f, y, w) => (f, Array(y), w) },
+      params.copy(objective = "reg:quantileerror", quantileAlphas = alphas),
+      alphas.length)
+
   /** Per-iteration eval mean/std across folds + the best mean iteration. */
   final case class CvResult(foldHistories: Seq[Seq[(Int, Double)]], maximize: Boolean) {
     /** (iteration, mean, std) over folds, up to the shortest fold. */

@@ -13,16 +13,18 @@ import org.apache.spark.sql.functions._
   * variant buckets BOTH sides by hyperplane sign bits so the join is a
   * bucket equi-join (shuffle on a 2^planes-ary key) and per-bucket work is
   * |bucket|² only within buckets — never a full cross join. All arithmetic
-  * is explicit float→double, expressed with zip_with/aggregate (codegen'd,
-  * no UDF) and reproducible bit-for-bit in the DuckDB oracle.
+  * is explicit float→double via the codegen [[VectorDot]] kernel (no UDF,
+  * no interpreted HOF) and reproducible bit-for-bit in the DuckDB oracle.
   */
 object Similarity {
 
   /** dot(a, b) with explicit double accumulation (left-to-right, matching
-    * DuckDB's list_sum order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    * DuckDB's list_sum order) — a codegen [[VectorDot]] primitive loop, not
+    * the interpreted `aggregate(zip_with(...))` HOF spelling. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(VectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -34,11 +36,15 @@ object Similarity {
     * are engine-independent. Returns (qid, vec_id, cos, rk). */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       roundDigits: Int = 5): DataFrame = {
-    val scored = corpus.select(col("vec_id"), col("embedding"))
-      .join(broadcast(queries.select(col("qid"), col("qe"))),
+    // norms are per-ROW, so compute them once per side before the pair
+    // join instead of twice per candidate pair inside `cosine`
+    val scored = corpus.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nc"))
+      .join(broadcast(queries.select(col("qid"), col("qe"),
+        l2Norm(col("qe")).as("nq"))),
         col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        round(cosine(col("qe"), col("embedding")), roundDigits).as("cos"))
+        round(dot(col("qe"), col("embedding")) / (col("nq") * col("nc")), roundDigits).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
@@ -64,13 +70,15 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, planes: Array[Array[Double]],
       k: Int, roundDigits: Int = 5): DataFrame = {
     val cb = corpus.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), planes).as("bucket"))
+      lshBucket(col("embedding"), planes).as("bucket"),
+      l2Norm(col("embedding")).as("nc"))
     val qb = queries.select(col("qid"), col("qe"),
-      lshBucket(col("qe"), planes).as("bucket"))
+      lshBucket(col("qe"), planes).as("bucket"),
+      l2Norm(col("qe")).as("nq"))
     val scored = qb.join(cb, Seq("bucket"))
       .where(col("qid") =!= col("vec_id"))
       .select(col("qid"), col("vec_id"),
-        round(cosine(col("qe"), col("embedding")), roundDigits).as("cos"))
+        round(dot(col("qe"), col("embedding")) / (col("nq") * col("nc")), roundDigits).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
@@ -84,11 +92,13 @@ object Similarity {
   def embedDupPairs(corpus: DataFrame, planes: Array[Array[Double]],
       threshold: Double, roundDigits: Int = 5): DataFrame = {
     val b = corpus.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), planes).as("bucket"))
+      lshBucket(col("embedding"), planes).as("bucket"),
+      l2Norm(col("embedding")).as("nrm"))
     b.as("a").join(b.as("c"),
       col("a.bucket") === col("c.bucket") && col("a.vec_id") < col("c.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("c.vec_id").as("id_b"),
-        round(cosine(col("a.embedding"), col("c.embedding")), roundDigits).as("cos"))
+        round(dot(col("a.embedding"), col("c.embedding")) / (col("a.nrm") * col("c.nrm")),
+          roundDigits).as("cos"))
       .where(col("cos") >= threshold)
   }
 

@@ -39,6 +39,7 @@ final case class TrainParams(
     maxCatThreshold: Int = 64,
     treeMethod: String = "hist", // | "approx"
     quantileAlpha: Double = 0.5,
+    quantileAlphas: Array[Double] = Array.empty, // ≥2 entries ⇒ multi-quantile (one output lane per alpha)
     tweedieVariancePower: Double = 1.5,
     pseudoHuberSlope: Double = 1.0,
     aftDistribution: String = "normal", // | "logistic" | "extreme"

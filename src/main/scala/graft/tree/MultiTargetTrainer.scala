@@ -32,6 +32,15 @@ final class MultiTargetTrainer(params: TrainParams, numTargets: Int) extends Ser
   require(numTargets >= 2, "use GBTTrainer for single-target models")
 
   private val softprob = params.objective == "multi:softprob" || params.objective == "multi:softmax"
+  // multi-quantile (ref `quantile_obj.cu`: `quantile_alpha` may be a vector,
+  // one output lane per alpha): scalar label in ys(0), pinball subgradient
+  // per lane, unit hessian
+  private val quantileAlphas: Array[Double] =
+    if (params.objective == "reg:quantileerror") params.quantileAlphas else Array.empty
+  private val multiQuantile = quantileAlphas.length >= 2
+  require(!multiQuantile || quantileAlphas.length == numTargets,
+    s"quantileAlphas has ${quantileAlphas.length} entries but numTargets is $numTargets")
+  require(quantileAlphas.forall(a => a > 0 && a < 1), "quantile alphas must lie in (0, 1)")
 
   /** data: (features, labels — K targets or a class index, weight). */
   def fit(data: RDD[(Array[Double], Array[Double], Double)]): BoosterModel = {
@@ -50,7 +59,14 @@ final class MultiTargetTrainer(params: TrainParams, numTargets: Int) extends Ser
     // base score per target (weighted mean for regression; 0 for softmax)
     val base: Array[Double] =
       if (softprob) new Array[Double](K)
-      else {
+      else if (multiQuantile) {
+        // every alpha lane starts at the weighted label mean; the pinball
+        // gradients pull each lane to its own quantile from there
+        val (sum, sw) = binned.treeAggregate((0.0, 0.0))(
+          { case ((s, c), (_, ys, w)) => (s + w * ys(0), c + w) },
+          { case ((a, ca), (b, cb)) => (a + b, ca + cb) })
+        Array.fill(K)(sum / math.max(sw, 1e-16))
+      } else {
         val (sums, sw) = binned.treeAggregate((new Array[Double](K), 0.0))(
           { case ((s, c), (_, ys, w)) =>
             var k = 0
@@ -117,6 +133,16 @@ final class MultiTargetTrainer(params: TrainParams, numTargets: Int) extends Ser
         val p = math.exp(m(k) - mx) / s
         out(2 * k) = w * (p - (if (k == label) 1.0 else 0.0))
         out(2 * k + 1) = w * math.max(2.0 * p * (1.0 - p), 1e-16)
+        k += 1
+      }
+    } else if (quantileAlphas.nonEmpty) { // multi-quantile: pinball per lane
+      val y = ys(0)
+      var k = 0
+      while (k < K) {
+        // dL/dm of the pinball loss: −alpha when under-predicting, 1−alpha
+        // when over-predicting; unit hessian (quantile_obj.cu:60-76)
+        out(2 * k) = w * (if (y > m(k)) -quantileAlphas(k) else 1.0 - quantileAlphas(k))
+        out(2 * k + 1) = w
         k += 1
       }
     } else { // vector squared error

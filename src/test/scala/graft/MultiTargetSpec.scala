@@ -74,4 +74,35 @@ class MultiTargetSpec extends AnyFunSuite {
     assert(math.abs(p(0) - 1.0) < 0.2 && math.abs(p(1) - 5.0) < 0.4, p.toSeq.toString)
     assert(math.abs(q(0) + 1.0) < 0.2 && math.abs(q(1) - 2.0) < 0.4, q.toSeq.toString)
   }
+
+  test("multi-quantile: one lane per alpha, lanes converge to the quantiles") {
+    // y | x ~ N(2x, 1): the alpha-quantile of y is 2x + z_alpha, so each
+    // lane should recover a parallel line offset by its normal quantile
+    val rng = new scala.util.Random(23)
+    val rows = (0 until 6000).map { _ =>
+      val x = rng.nextDouble() * 4.0
+      (Array(x), 2.0 * x + rng.nextGaussian(), 1.0)
+    }
+    val alphas = Array(0.1, 0.5, 0.9)
+    val m = graft.api.XGBoost.trainQuantiles(sc.parallelize(rows, 4),
+      TrainParams(numRounds = 40, maxDepth = 3, eta = 0.3, maxBin = 64, seed = 3),
+      alphas)
+    assert(m.numGroups == 3)
+    // empirical coverage of each lane ≈ its alpha
+    val n = rows.size
+    val below = Array(0, 0, 0)
+    rows.foreach { case (x, y, _) =>
+      val q = m.margin(x)
+      var k = 0
+      while (k < 3) { if (y <= q(k)) below(k) += 1; k += 1 }
+    }
+    val cov = below.map(_.toDouble / n)
+    alphas.indices.foreach { k =>
+      assert(math.abs(cov(k) - alphas(k)) < 0.06,
+        s"lane $k coverage ${cov(k)} vs alpha ${alphas(k)}")
+    }
+    // lanes are ordered at a mid-domain probe point
+    val q = m.margin(Array(2.0))
+    assert(q(0) < q(1) && q(1) < q(2), q.toSeq.toString)
+  }
 }
