@@ -94,6 +94,15 @@ trait GraftXGBParams extends Params {
       evalMetric = if ($(evalMetric).nonEmpty) Some($(evalMetric)) else None,
       scalePosWeight = $(scalePosWeight))
 
+  /** Training consumes its input twice (quantile-sketch pass + binning
+    * pass) — persist the decoded rows for the duration of `fit` so the
+    * source scan and row decode don't run twice (the reference's DMatrix
+    * is likewise materialized once before training). */
+  protected def withPersisted[T, R](rdd: RDD[T])(f: RDD[T] => R): R = {
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try f(rdd) finally rdd.unpersist(blocking = false)
+  }
+
   /** (features, label, weight) rows; `missing` values become NaN. */
   protected def extractRdd(ds: Dataset[_]): RDD[(Array[Double], Double, Double)] = {
     val w = if ($(weightCol).nonEmpty) col($(weightCol)).cast("double") else lit(1.0)
@@ -177,8 +186,9 @@ class XGBoostRegressor(override val uid: String)
     // boosting starts from the per-row margin column; transform adds the
     // column back (model baseScore is 0)
     val booster =
-      if ($(baseMarginCol).nonEmpty) trainer.fitWithBaseMargin(extractRddWithMargin(ds))
-      else trainer.fit(extractRdd(ds))
+      if ($(baseMarginCol).nonEmpty)
+        withPersisted(extractRddWithMargin(ds))(trainer.fitWithBaseMargin)
+      else withPersisted(extractRdd(ds))(trainer.fit(_))
     copyValues(new XGBoostRegressionModel(uid, booster)).setParent(this)
   }
   override def copy(extra: ParamMap): XGBoostRegressor = defaultCopy(extra)
@@ -237,7 +247,7 @@ class XGBoostClassifier(override val uid: String)
     require($(baseMarginCol).isEmpty, "baseMarginCol is supported by XGBoostRegressor only")
     val multi = $(objective).startsWith("multi:")
     val tp = baseTrainParams($(objective), if (multi) $(numClass) else 1)
-    val booster = new GBTTrainer(tp).fit(extractRdd(ds))
+    val booster = withPersisted(extractRdd(ds))(new GBTTrainer(tp).fit(_))
     copyValues(new XGBoostClassificationModel(uid, booster)).setParent(this)
   }
   override def copy(extra: ParamMap): XGBoostClassifier = defaultCopy(extra)
@@ -327,7 +337,7 @@ class XGBoostRanker(override val uid: String)
       (GraftXGBParams.toDoubleArray(row.get(0), miss), row.getDouble(1),
         row.getDouble(2), row.getLong(3))
     }
-    val booster = new GBTTrainer(baseTrainParams($(objective))).fitRanking(rdd)
+    val booster = withPersisted(rdd)(new GBTTrainer(baseTrainParams($(objective))).fitRanking(_))
     copyValues(new XGBoostRankerModel(uid, booster)).setParent(this)
   }
   override def copy(extra: ParamMap): XGBoostRanker = defaultCopy(extra)

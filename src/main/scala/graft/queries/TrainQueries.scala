@@ -81,9 +81,12 @@ object TrainQueries {
     // rawPrediction/probability/prediction consumed by a standard evaluator
     "t_train_estimator" -> ((s, dir) => {
       import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+      // label is a noisy function of unit price so the evaluator AUC
+      // demonstrates actual learning, not a coin-flip fixture
       val df = CoreQueries.table(s, dir, "lineitem").select(
         array(featureCols.map(c => col(c).cast("double")): _*).as("features"),
-        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("label"))
+        when(col("l_extendedprice") / col("l_quantity") +
+          (col("l_orderkey") % 7) * 300.0 > 2500.0, 1.0).otherwise(0.0).as("label"))
       val model = new graft.api.XGBoostClassifier()
         .setNumRound(5).setMaxDepth(3).setMaxBin(64).setSeed(7L).fit(df)
       val out = model.transform(df).cache()
