@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table — the batch expression of
+  * the Structured Streaming shapes in [[graft.streaming.StreamingScorer]]
+  * (same column expressions evaluate unchanged under `readStream`):
+  * event-time tumbling windows, gap-based sessionization
+  * (`session_window` semantics), and semi-structured JSON props.
+  *
+  * Oracle-portability: money sums go through integer cents
+  * (`round(value*100) → BIGINT`) and time through whole epoch seconds, so
+  * every aggregate is order-insensitive integer math — no double-rounding
+  * boundary risk between Spark's partial-agg order and DuckDB's.
+  *
+  * Scale notes: the tumbling window is a plain hash aggregation on
+  * (hour, type) — fully parallel, no window function. Sessionization
+  * partitions by `user_id` (bounded per-user event counts), the same
+  * keying a `session_window` stream would state-partition on. */
+object EventQueries {
+
+  /** The events table carries TIMESTAMP(NANOS) — Spark 4 rejects it unless
+    * read as raw nanos-since-epoch longs; all time math below is then exact
+    * integer division, mirrored by `epoch_ns(ts) // n` in the oracle. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // event-time tumbling window: per (hour, event_type) count + cent sum
+    "e_window_agg" -> ((s, dir) =>
+      events(s, dir).select(
+        expr("ts div 3600000000000").as("hr"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("hr", "event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .orderBy("hr", "event_type")),
+
+    // gap-based sessionization (30-min inactivity): sessions + events per user
+    "e_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      events(s, dir).select(col("user_id"), col("event_id"),
+        expr("ts div 1000000000").as("sec"))
+        .withColumn("gap", col("sec") - lag("sec", 1).over(byUser))
+        .withColumn("brk", when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum("brk").as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // semi-structured props: JSON field extract + per-type aggregate
+    "e_json_props" -> ((s, dir) =>
+      events(s, dir).select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+        .orderBy("event_type"))
+  )
+
+  def oracle: Map[String, String] = Map(
+    "e_window_agg" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hr, event_type,
+        |  count(*) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "e_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS sec
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id,
+        |    sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS gap
+        |  FROM e
+        |)
+        |SELECT user_id,
+        |  sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
