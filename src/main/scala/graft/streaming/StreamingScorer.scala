@@ -34,3 +34,68 @@ object StreamingScorer {
       .groupBy(org.apache.spark.sql.functions.window(col(timeCol), window))
       .agg(count(lit(1)).as("n"), avg(col("prediction")).as("mean_prediction"))
 }
+
+/** A closed user session emitted by [[StreamingSessionizer]]. */
+final case class SessionUpdate(userId: Long, startSec: Long, endSec: Long,
+    nEvents: Long)
+
+private final case class SessionState(startSec: Long, lastSec: Long, nEvents: Long)
+
+/** Gap-based sessionization with CUSTOM STATE
+  * (`flatMapGroupsWithState`, event-time timeout) — the streaming twin of
+  * the batch `e_sessionize` query ([[graft.queries.EventQueries]]): state is
+  * one (start, last, count) triple per user, sessions close either when an
+  * event arrives after more than `gapSec` of inactivity or when the
+  * watermark passes last+gap (timeout). State is partitioned by user across
+  * the cluster by the state store — the same `user_id` keying the batch
+  * window uses, so both scale identically. */
+object StreamingSessionizer {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  /** events: (user_id: Long, ts: Timestamp). Returns closed sessions. */
+  def sessionize(events: DataFrame, gapSec: Long, watermark: String): Dataset[SessionUpdate] = {
+    implicit val updEnc = Encoders.product[SessionUpdate]
+    implicit val longEnc = Encoders.scalaLong
+    // the WATERMARKED ts column must flow into the state operator (the
+    // unsupported-operation checker rejects event-time timeout otherwise),
+    // so keep the timestamp typed and convert to seconds inside the group fn
+    implicit val rowEnc = Encoders.product[(Long, java.sql.Timestamp)]
+    val stateEnc = Encoders.product[SessionState]
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (user: Long, rowsTs: Iterator[(Long, java.sql.Timestamp)], st: GroupState[SessionState]) => {
+          val rows = rowsTs.map(r => (r._1, r._2.getTime / 1000L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+          if (st.hasTimedOut) {
+            st.getOption.foreach(s =>
+              out += SessionUpdate(user, s.startSec, s.lastSec, s.nEvents))
+            st.remove()
+          } else {
+            // micro-batch delivery is unordered within a group: sort the
+            // batch, then fold into the running session
+            var cur = st.getOption.orNull
+            rows.map(_._2).toArray.sorted.foreach { sec =>
+              cur match {
+                case null => cur = SessionState(sec, sec, 1)
+                case s if sec - s.lastSec > gapSec =>
+                  out += SessionUpdate(user, s.startSec, s.lastSec, s.nEvents)
+                  cur = SessionState(sec, sec, 1)
+                case s => cur = SessionState(s.startSec, sec, s.nEvents + 1)
+              }
+            }
+            if (cur != null) {
+              st.update(cur)
+              // close via timeout once the watermark passes last event + gap
+              st.setTimeoutTimestamp((cur.lastSec + gapSec) * 1000L)
+            }
+          }
+          out.iterator
+        })(stateEnc, updEnc)
+  }
+}

@@ -62,4 +62,36 @@ class StreamingSpec extends AnyFunSuite {
       assert(n >= 3, s"expected closed 10s windows, got $n rows")
     } finally q.stop()
   }
+
+  test("stateful sessionization closes sessions on gap and on watermark timeout") {
+    import spark.implicits._
+    import graft.streaming.StreamingSessionizer
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = StreamingSessionizer.sessionize(
+      stream.toDF().toDF("user_id", "ts"), gapSec = 60, watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("sess_sink")
+      .outputMode("append").start()
+    try {
+      val t0 = 1700000000L // seconds
+      def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+      // user 1: two bursts 10 min apart (one explicit gap close);
+      // user 2: one burst, closed only by the advancing watermark
+      stream.addData(Seq(
+        (1L, ts(t0)), (1L, ts(t0 + 30)), (1L, ts(t0 + 55)),
+        (2L, ts(t0 + 10)), (2L, ts(t0 + 20))))
+      q.processAllAvailable()
+      stream.addData(Seq((1L, ts(t0 + 600)), (1L, ts(t0 + 620))))
+      q.processAllAvailable()
+      // push the watermark far past everything to time out open sessions
+      stream.addData(Seq((9L, ts(t0 + 5000))))
+      q.processAllAvailable()
+      val out = spark.table("sess_sink")
+        .select("userId", "startSec", "endSec", "nEvents")
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      assert(out.contains((1L, t0, t0 + 55, 3L)), s"user1 first session: ${out.toSeq}")
+      assert(out.contains((1L, t0 + 600, t0 + 620, 2L)), s"user1 second session: ${out.toSeq}")
+      assert(out.contains((2L, t0 + 10, t0 + 20, 2L)), s"user2 session: ${out.toSeq}")
+    } finally q.stop()
+  }
 }
