@@ -108,6 +108,8 @@ final case class TreeShape(
   * nnz, not numFeatures); absent features are missing. `idx == null` ⇒
   * dense. Storage per row is O(nnz) — wide one-hot/text data stays
   * tractable. */
+/** rowId is a UNIQUE id (zipWithUniqueId — no extra partition-count job),
+  * not a contiguous index: it only seeds the per-row subsample hash. */
 final case class BInst(bins: Array[Int], label: Double, weight: Double, rowId: Long,
     label2: Double = Double.NaN, qid: Long = -1L, idx: Array[Int] = null) {
   /** bin of feature f (−1 = missing), for either representation. */
@@ -185,7 +187,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       // MetaInfo::SynchronizeNumberOfColumns, include/xgboost/data.h:191)
       val cuts = findCuts(data)
       val numFeatures = cuts.numFeatures
-      val binned = data.zipWithIndex().map { case ((f, y, w), id) =>
+      val binned = data.zipWithUniqueId().map { case ((f, y, w), id) =>
         BInst(cuts.binRow(f), y, w, id)
       }.persist(StorageLevel.MEMORY_AND_DISK)
       binned.count()
@@ -200,7 +202,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       // greedy scan over sorted columns (Binning.findCutsExact doc)
       val cuts = Binning.findCutsExact(data.map(r => (r._1, r._3)), 0)
       val numFeatures = cuts.numFeatures
-      val binned = data.zipWithIndex().map { case ((f, y, w), id) =>
+      val binned = data.zipWithUniqueId().map { case ((f, y, w), id) =>
         BInst(cuts.binRow(f), y, w, id)
       }.persist(StorageLevel.MEMORY_AND_DISK)
       binned.count()
@@ -223,7 +225,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     val cuts = findCuts(data)
     val numFeatures = cuts.numFeatures
     def toBinned(d: RDD[(Array[Double], Double, Double)]) =
-      d.zipWithIndex().map { case ((f, y, w), id) => BInst(cuts.binRow(f), y, w, id) }
+      d.zipWithUniqueId().map { case ((f, y, w), id) => BInst(cuts.binRow(f), y, w, id) }
         .persist(StorageLevel.MEMORY_AND_DISK)
     val binned = toBinned(data); binned.count()
     val evalBinned = toBinned(evalSet); evalBinned.count()
@@ -244,7 +246,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     require(!isMulti, "per-row base margins support single-output objectives only")
     val cuts = findCuts(data.map(r => (r._1, r._2, r._3)))
     val numFeatures = cuts.numFeatures
-    val binned = data.zipWithIndex().map { case ((f, y, w, _), id) =>
+    val binned = data.zipWithUniqueId().map { case ((f, y, w, _), id) =>
       BInst(cuts.binRow(f), y, w, id)
     }.persist(StorageLevel.MEMORY_AND_DISK)
     binned.count()
@@ -267,7 +269,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       s"previous model has ${prev.numGroups} output groups, params give $numGroups")
     val cuts = findCuts(data)
     val numFeatures = math.max(cuts.numFeatures, prev.numFeatures)
-    val binned = data.zipWithIndex().map { case ((f, y, w), id) =>
+    val binned = data.zipWithUniqueId().map { case ((f, y, w), id) =>
       BInst(cuts.binRow(f), y, w, id)
     }.persist(StorageLevel.MEMORY_AND_DISK)
     binned.count()
@@ -348,7 +350,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         obj.gradient(m(0), y, o)
         (f, math.max(o(1) * w, 1e-16))
       }, numFeatures, params.maxBin)
-      val binned = cached.zipWithIndex().map { case ((f, y, w), id) =>
+      val binned = cached.zipWithUniqueId().map { case ((f, y, w), id) =>
         BInst(cuts.binRow(f), y, w, id)
       }.persist(StorageLevel.MEMORY_AND_DISK)
       binned.count()
@@ -383,7 +385,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     require(params.treeMethod == "hist", "survival objectives support tree_method=hist only")
     val cuts = findCuts(data.map(r => (r._1, r._2, r._4)))
     val numFeatures = cuts.numFeatures
-    val binned = data.zipWithIndex().map { case ((f, lo, hi, w), id) =>
+    val binned = data.zipWithUniqueId().map { case ((f, lo, hi, w), id) =>
       BInst(cuts.binRow(f), lo, w, id, label2 = hi)
     }.persist(StorageLevel.MEMORY_AND_DISK)
     binned.count()
@@ -401,7 +403,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       numFeatures: Int): BoosterModel = {
     require(params.treeMethod == "hist", "sparse input supports tree_method=hist only")
     val cuts = Binning.findCutsSparse(data.map(r => (r._1, r._2, r._4)), numFeatures, params.maxBin)
-    val binned = data.zipWithIndex().map { case ((idx, vs, y, w), id) =>
+    val binned = data.zipWithUniqueId().map { case ((idx, vs, y, w), id) =>
       BInst(cuts.binRowSparse(idx, vs), y, w, id, idx = idx)
     }.persist(StorageLevel.MEMORY_AND_DISK)
     binned.count()
@@ -423,7 +425,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     val grouped = data.map { case (f, y, w, q) => (q, (f, y, w)) }
       .partitionBy(new org.apache.spark.HashPartitioner(nParts))
       .mapPartitions(it => it.toArray.sortBy(_._1).iterator, preservesPartitioning = true)
-    val binned = grouped.zipWithIndex().map { case ((q, (f, y, w)), id) =>
+    val binned = grouped.zipWithUniqueId().map { case ((q, (f, y, w)), id) =>
       BInst(cuts.binRow(f), y, w, id, qid = q)
     }.persist(StorageLevel.MEMORY_AND_DISK)
     binned.count()
@@ -469,19 +471,25 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     // ---- fail-fast label/weight validation (ref CheckLabel per objective +
     // MetaInfo::Validate, include/xgboost/data.h:127): one cheap pass, with
     // the violation count in the error like the reference's CHECK messages ----
-    val badLabels =
-      if (isMulti) {
-        val k = params.numClass
-        binnedIn.treeAggregate(0L)((c, r) =>
-          if (r.label < 0 || r.label >= k || r.label != math.floor(r.label)) c + 1 else c, _ + _)
-      } else if (obj.usesIntervalLabels)
-        binnedIn.treeAggregate(0L)((c, r) => if (!obj.validInterval(r.label, r.label2)) c + 1 else c, _ + _)
-      else
-        binnedIn.treeAggregate(0L)((c, r) => if (!obj.validLabel(r.label)) c + 1 else c, _ + _)
+    // one fused pass: label violations, weight violations, and the
+    // weighted label stats the base score needs (acc = badL, badW, sumWy, sumW)
+    val kMulti = params.numClass
+    val intervalLabels = !isMulti && obj.usesIntervalLabels
+    val (badLabels, badWeights, sumWy, sumW) =
+      binnedIn.treeAggregate((0L, 0L, 0.0, 0.0))(
+        { case ((bl, bw, wy, w), r) =>
+          val labelOk =
+            if (isMulti) r.label >= 0 && r.label < kMulti && r.label == math.floor(r.label)
+            else if (intervalLabels) obj.validInterval(r.label, r.label2)
+            else obj.validLabel(r.label)
+          val weightOk = r.weight >= 0 && !r.weight.isNaN
+          (if (labelOk) bl else bl + 1, if (weightOk) bw else bw + 1,
+            wy + r.weight * r.label, w + r.weight)
+        },
+        { case ((a1, a2, a3, a4), (b1, b2, b3, b4)) => (a1 + b1, a2 + b2, a3 + b3, a4 + b4) })
     if (badLabels > 0)
       throw new IllegalArgumentException(
         s"$badLabels label(s) violate the ${params.objective} label constraints")
-    val badWeights = binnedIn.treeAggregate(0L)((c, r) => if (r.weight < 0 || r.weight.isNaN) c + 1 else c, _ + _)
     if (badWeights > 0)
       throw new IllegalArgumentException(s"$badWeights instance weight(s) are negative or NaN")
 
@@ -503,9 +511,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     require(initMargins.isEmpty || !needsCoxSort,
       "per-row initial margins do not compose with risk-set objectives (binned rows are re-sorted)")
     val base: Array[Double] = baseOverride.getOrElse {
-      val (sumWy, sumW) = binned.treeAggregate((0.0, 0.0))(
-        (a, r) => (a._1 + r.weight * r.label, a._2 + r.weight),
-        (a, b) => (a._1 + b._1, a._2 + b._2))
+      // sumWy/sumW come from the fused validation pass above
       val labelMean = if (sumW > 0) sumWy / sumW else 0.0
       if (isMulti) Array.fill(numGroups)(0.0)
       else Array(params.baseScore.map(obj.probToMargin).getOrElse(obj.baseScore(labelMean)))
