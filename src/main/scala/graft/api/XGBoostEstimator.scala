@@ -176,11 +176,24 @@ class XGBoostRegressor(override val uid: String)
   def this() = this(Identifiable.randomUID("graftXgbRegressor"))
 
   final val objective = new Param[String](this, "objective", "regression objective")
-  setDefault(objective -> "reg:squarederror")
+  final val quantileAlphas = new DoubleArrayParam(this, "quantileAlphas",
+    "multi-quantile: one output lane per alpha (reg:quantileerror only)")
+  setDefault(objective -> "reg:squarederror", quantileAlphas -> Array.empty[Double])
   def setObjective(v: String): this.type = set(objective, v)
+  def setQuantileAlphas(v: Array[Double]): this.type = set(quantileAlphas, v)
 
   override def fit(ds: Dataset[_]): XGBoostRegressionModel = {
     validateFeatures(ds.schema)
+    // multi-quantile (ref vector `quantile_alpha`): vector-leaf trees, one
+    // output lane per alpha
+    if ($(quantileAlphas).length >= 2) {
+      require($(objective) == "reg:quantileerror",
+        "quantileAlphas requires objective=reg:quantileerror")
+      require($(baseMarginCol).isEmpty, "quantileAlphas does not compose with baseMarginCol")
+      val booster = withPersisted(extractRdd(ds))(rdd =>
+        XGBoost.trainQuantiles(rdd, baseTrainParams($(objective)), $(quantileAlphas)))
+      return copyValues(new XGBoostRegressionModel(uid, booster)).setParent(this)
+    }
     val trainer = new GBTTrainer(baseTrainParams($(objective)))
     // base_margin training (ref baseMarginCol, XGBoostEstimator.scala:206):
     // boosting starts from the per-row margin column; transform adds the
@@ -205,6 +218,11 @@ object XGBoostRegressor extends GraftReadable[XGBoostRegressor] {
 class XGBoostRegressionModel(override val uid: String, val booster: BoosterModel)
     extends Model[XGBoostRegressionModel] with GraftXGBParams with GraftWritableModel {
   override def transform(ds: Dataset[_]): DataFrame = {
+    // multi-output regression (multi-quantile): prediction is the margin
+    // vector, one element per output lane
+    if (booster.numGroups > 1)
+      return ds.withColumn($(predictionCol),
+        Predictor.marginCol(booster)(featuresAsArray(ds)))
     val own = Predictor.predictCol(booster)(featuresAsArray(ds))
     val pred =
       if ($(baseMarginCol).nonEmpty && ds.columns.contains($(baseMarginCol)))
@@ -215,7 +233,9 @@ class XGBoostRegressionModel(override val uid: String, val booster: BoosterModel
   override def copy(extra: ParamMap): XGBoostRegressionModel =
     copyValues(new XGBoostRegressionModel(uid, booster), extra).setParent(parent)
   override def transformSchema(schema: StructType): StructType =
-    schema.add($(predictionCol), DoubleType)
+    if (booster.numGroups > 1)
+      schema.add($(predictionCol), ArrayType(DoubleType, containsNull = false))
+    else schema.add($(predictionCol), DoubleType)
 }
 
 object XGBoostRegressionModel extends GraftReadable[XGBoostRegressionModel] {

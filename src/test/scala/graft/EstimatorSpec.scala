@@ -103,4 +103,31 @@ class EstimatorSpec extends AnyFunSuite {
     assert(loaded.getOrDefault(loaded.eta) == 0.1)
     assert(loaded.getOrDefault(loaded.maxBin) == 32)
   }
+
+  test("multi-quantile regressor: array prediction, ordered lanes") {
+    val rng = new scala.util.Random(91)
+    val df = (0 until 4000).map { _ =>
+      val x = rng.nextDouble() * 4.0
+      (Seq(x), 2.0 * x + rng.nextGaussian())
+    }.toDF("features", "label")
+    val model = new XGBoostRegressor()
+      .setObjective("reg:quantileerror")
+      .setQuantileAlphas(Array(0.1, 0.5, 0.9))
+      .setNumRound(30).setMaxDepth(3).setMaxBin(64).setSeed(5L)
+      .fit(df)
+    val out = model.transform(df)
+    val schema = out.schema("prediction").dataType.simpleString
+    assert(schema == "array<double>", schema)
+    val rows = out.selectExpr("features[0] AS x", "prediction").collect()
+    // lanes ordered on the vast majority of rows, and median tracks 2x
+    val ordered = rows.count { r =>
+      val p = r.getSeq[Double](1)
+      p(0) <= p(1) && p(1) <= p(2)
+    }
+    assert(ordered > rows.length * 0.95, s"ordered lanes on $ordered/${rows.length}")
+    val medianErr = rows.map { r =>
+      math.abs(r.getSeq[Double](1)(1) - 2.0 * r.getDouble(0))
+    }.sum / rows.length
+    assert(medianErr < 0.5, s"median lane mean abs err $medianErr")
+  }
 }
