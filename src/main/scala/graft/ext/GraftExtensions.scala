@@ -45,4 +45,28 @@ object GraftExtensions {
     functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+
+  /** Bind a trained model to SQL: registers `<name>(features)` (transformed
+    * prediction), `<name>_margin(features)` and `<name>_leaf(features)` over
+    * an `array<double>` column — `SELECT my_model(features) FROM t`. The
+    * flattened model rides the plan as a codegen reference object, exactly
+    * like the Column API path. */
+  def registerModel(spark: org.apache.spark.sql.SparkSession, name: String,
+      model: graft.model.BoosterModel): Unit = {
+    import graft.predict.{FlatModel, TreePredict}
+    val flat = FlatModel(model)
+    def unary(fnName: String, mode: Int) = {
+      val builder = (children: Seq[Expression]) => children match {
+        case Seq(f) => TreePredict(f, flat, mode): Expression
+        case _ => throw new IllegalArgumentException(
+          s"$fnName expects 1 argument (features array<double>), got ${children.size}")
+      }
+      spark.sessionState.functionRegistry.registerFunction(
+        new FunctionIdentifier(fnName),
+        new ExpressionInfo(classOf[TreePredict].getName, fnName), builder)
+    }
+    unary(name, TreePredict.Value)
+    unary(s"${name}_margin", TreePredict.MarginScalar)
+    unary(s"${name}_leaf", TreePredict.Leaf)
+  }
 }

@@ -31,6 +31,29 @@ class ExtensionsSpec extends AnyFunSuite {
       Set("graft_dot", "graft_dot_skipnan"))
   }
 
+  test("a trained model scores from plain SQL via registerModel") {
+    import graft.tree.{GBTTrainer, TrainParams}
+    val rng = new scala.util.Random(77)
+    val rows = (0 until 1000).map { _ =>
+      val x = Array(rng.nextGaussian(), rng.nextGaussian())
+      (x, 2.0 * x(0) - x(1), 1.0)
+    }
+    val model = new GBTTrainer(TrainParams(numRounds = 4, maxDepth = 3, seed = 2))
+      .fit(spark.sparkContext.parallelize(rows, 2))
+    GraftExtensions.registerModel(spark, "my_booster", model)
+    import spark.implicits._
+    val df = rows.take(50).map(r => r._1.toSeq).toDF("features")
+    df.createOrReplaceTempView("ext_rows")
+    val out = spark.sql(
+      """SELECT my_booster(features) AS p, my_booster_margin(features) AS m,
+        |  my_booster_leaf(features) AS l FROM ext_rows""".stripMargin).collect()
+    out.zip(rows.take(50)).foreach { case (r, (x, _, _)) =>
+      assert(r.getDouble(0) == model.margin(x)(0), "sql vs direct margin")
+      assert(r.getDouble(1) == model.margin(x)(0))
+      assert(r.getSeq[Int](2).length == model.trees.length)
+    }
+  }
+
   test("registered function participates in codegen over a distributed plan") {
     GraftExtensions.register(spark)
     import spark.implicits._
