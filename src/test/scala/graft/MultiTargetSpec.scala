@@ -104,5 +104,9 @@ class MultiTargetSpec extends AnyFunSuite {
     // lanes are ordered at a mid-domain probe point
     val q = m.margin(Array(2.0))
     assert(q(0) < q(1) && q(1) < q(2), q.toSeq.toString)
+    // vector-leaf model survives the JSON roundtrip bit-for-bit
+    val rt = graft.model.BoosterModel.fromJson(m.toJson)
+    assert(rt.numGroups == 3)
+    assert(rt.margin(Array(2.0)).toSeq == q.toSeq)
   }
 }
