@@ -102,6 +102,74 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  // ---- IVF (inverted-file) ANN: coarse quantizer + multi-probe ----------
+
+  /** Train an IVF coarse quantizer: deterministic Lloyd iterations on a
+    * driver-side sample (bounded rows × dim doubles — NOT the corpus; at
+    * 100 TB the quantizer trains on a sample by construction, exactly like
+    * faiss-style IVF). Init = first k sample vectors; ties in assignment
+    * break to the lowest centroid index. */
+  def kmeansCentroids(corpus: DataFrame, k: Int, sampleRows: Int = 2048,
+      iters: Int = 8): Array[Array[Double]] = {
+    val sample = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(sampleRows)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(sample.length >= k, s"need at least $k sample rows, got ${sample.length}")
+    val dim = sample.head.length
+    var cents = Array.tabulate(k)(i => sample(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { best = c; bestD = d }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c)
+        else sums(c).map(_ / counts(c)))
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF cell id(s) as a column: the `probe` nearest centroids. */
+  def ivfCells(vec: Column, centroids: Array[Array[Double]], probe: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(IvfCells(ColumnBridge.expression(vec), centroids, probe))
+  }
+
+  /** IVF-bucketed ANN: corpus rows live in their single nearest cell;
+    * queries probe their `nprobe` nearest cells. One equi-join shuffle on
+    * the cell id; per-cell work is |cell|·|queries-in-cell| — the classic
+    * inverted-file scale path (vs [[lshTopK]]'s hyperplane buckets). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Double]], nprobe: Int, k: Int,
+      roundDigits: Int = 5): DataFrame = {
+    val cb = corpus.select(col("vec_id"), col("embedding"),
+      ivfCells(col("embedding"), centroids, 1)(0).as("cell"),
+      l2Norm(col("embedding")).as("nc"))
+    val qb = queries.select(col("qid"), col("qe"),
+      explode(ivfCells(col("qe"), centroids, nprobe)).as("cell"),
+      l2Norm(col("qe")).as("nq"))
+    val scored = qb.join(cb, Seq("cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("embedding")) / (col("nq") * col("nc")), roundDigits).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
   /** The SQL text of `dot` in the DuckDB dialect over 1-indexed lists. */
   def dotSql(a: String, b: String, dim: Int): String =
     s"list_sum(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"

@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -67,6 +67,80 @@ object VectorMath {
     while (i < n) { val x = a.getDouble(i); if (x == x) s += x * b.getDouble(i); i += 1 }
     s
   }
+}
+
+/** IVF coarse-quantizer cell assignment: the `probe` nearest centroids of
+  * the input vector, by squared distance `|c|² − 2·v·c` (the `|v|²` term is
+  * constant per row and cannot change the argmin). Ties break to the LOWEST
+  * centroid index, and the probe list is built by repeated first-min scans —
+  * both properties are mirrored exactly by the generated oracle SQL.
+  * Centroids ride the plan as a codegen reference object. */
+case class IvfCells(child: Expression, centroids: Array[Array[Double]],
+    probe: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_ivf_cells requires array<float|double>, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_ivf_cells"
+
+  @transient private lazy val normSq: Array[Double] =
+    centroids.map(c => c.map(x => x * x).sum)
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def cellsOf(v: ArrayData): ArrayData = {
+    val k = centroids.length
+    val d = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val dot = if (isFloat) VectorMath.dotFD(v, UnsafeWrap.wrap(centroids(c)))
+        else VectorMath.dotDD(v, UnsafeWrap.wrap(centroids(c)))
+      d(c) = normSq(c) - 2.0 * dot
+      c += 1
+    }
+    val out = new Array[Int](math.min(probe, k))
+    val taken = new Array[Boolean](k)
+    var p = 0
+    while (p < out.length) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < k) {
+        if (!taken(i) && d(i) < bestD) { best = i; bestD = d(i) }
+        i += 1
+      }
+      taken(best) = true
+      out(p) = best
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  protected override def nullSafeEval(v: Any): Any =
+    cellsOf(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("graftIvf", this, classOf[IvfCells].getName)
+    defineCodeGen(ctx, ev, v => s"$self.cellsOf($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfCells =
+    copy(child = newChild)
+}
+
+/** Wrap a driver-built primitive array as ArrayData once (cached per
+  * centroid array via identity — centroids are immutable plan constants). */
+private object UnsafeWrap {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Array[Double], ArrayData]()
+  def wrap(a: Array[Double]): ArrayData =
+    cache.computeIfAbsent(a, arr => UnsafeArrayData.fromPrimitiveArray(arr))
 }
 
 /** dot(a, b) over array<float>/array<double> columns in any combination;

@@ -99,6 +99,16 @@ object PipelineQueries {
       Similarity.lshTopK(e, q, planes, k = 1).orderBy("qid", "rk")
     }),
 
+    // IVF-cell ANN: corpus in nearest cell, queries probe 2 cells (8-cell
+    // fixed coarse quantizer — data-trained quantizers via
+    // Similarity.kmeansCentroids, exercised in ScalaTest)
+    "p_ann_ivf" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 15)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Similarity.ivfTopK(e, q, ivfCentroids, nprobe = 2, k = 2).orderBy("qid", "rk")
+    }),
+
     // embedding-cosine near-dup mining: LSH buckets → in-bucket pairs →
     // cosine threshold (the embedding flavor of dedup)
     "p_embed_dedup" -> ((s, dir) =>
@@ -186,6 +196,9 @@ object PipelineQueries {
   // deterministic hyperplanes shared between the Spark plan and the oracle
   private val planes: Array[Array[Double]] = Similarity.hyperplanes(4, 64, seed = 42L)
 
+  // fixed 8-cell IVF coarse quantizer, likewise shared as literals
+  private val ivfCentroids: Array[Array[Double]] = Similarity.hyperplanes(8, 64, seed = 7L)
+
   // ---- oracle SQL ----------------------------------------------------------
 
   private val cosSql: String = {
@@ -202,6 +215,39 @@ object PipelineQueries {
     }.mkString("(", " + ", ")")
 
   private val stopListSql = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  // ---- IVF oracle fragments: distances as CTE columns d0..d7, argmin and
+  // ---- second-argmin as first-match CASE chains (ties → lowest index,
+  // ---- matching IvfCells' strictly-less scan) ----
+  private val ivfK = ivfCentroids.length
+
+  /** `d<i>` column definitions for a vector column: |c|² − 2·v·c with the
+    * centroid norm emitted as a Scala-computed literal (bit-identical to
+    * the Spark kernel's). */
+  private def ivfDistCols(vec: String): String =
+    ivfCentroids.zipWithIndex.map { case (c, i) =>
+      val normSq = c.map(x => x * x).sum
+      val dp = s"list_sum(list_transform(range(1, 65), j -> CAST($vec[j] AS DOUBLE) * (${Similarity.planeSql(c)})[j]))"
+      s"($normSq - 2.0 * ($dp)) AS d$i"
+    }.mkString(", ")
+
+  private val ivfLeastAll = (0 until ivfK).map(i => s"d$i").mkString("least(", ", ", ")")
+
+  /** First-match argmin over the d columns. */
+  private val ivfCellCase =
+    (0 until ivfK).map(i => s"WHEN d$i = m THEN $i").mkString("CASE ", " ", " END")
+
+  /** Second-nearest cell: per first-cell branch, first-match argmin over
+    * the remaining columns. */
+  private val ivfCell2Case = {
+    val branches = (0 until ivfK).map { b =>
+      val rest = (0 until ivfK).filter(_ != b)
+      val m2 = rest.map(i => s"d$i").mkString("least(", ", ", ")")
+      val inner = rest.map(i => s"WHEN d$i = ($m2) THEN $i").mkString("CASE ", " ", " END")
+      s"WHEN $b THEN ($inner)"
+    }
+    s"CASE cell1 ${branches.mkString(" ")} END"
+  }
 
   val oracle: Map[String, String] = Map(
     "p_exact_dedup" ->
@@ -297,6 +343,33 @@ object PipelineQueries {
          |SELECT qid, vec_id, cos,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rk
          |FROM s QUALIFY rk <= 1 ORDER BY qid, rk""".stripMargin,
+
+    "p_ann_ivf" ->
+      s"""WITH cd AS (
+         |  SELECT vec_id, embedding, ${ivfDistCols("embedding")} FROM embeddings
+         |), cm AS (
+         |  SELECT *, $ivfLeastAll AS m FROM cd
+         |), cells AS (
+         |  SELECT vec_id, embedding, $ivfCellCase AS cell FROM cm
+         |), qd AS (
+         |  SELECT vec_id AS qid, embedding AS qe, ${ivfDistCols("embedding")}
+         |  FROM embeddings WHERE vec_id < 15
+         |), qm AS (
+         |  SELECT *, $ivfLeastAll AS m FROM qd
+         |), qc1 AS (
+         |  SELECT *, $ivfCellCase AS cell1 FROM qm
+         |), qc AS (
+         |  SELECT qid, qe, cell1, $ivfCell2Case AS cell2 FROM qc1
+         |), probe AS (
+         |  SELECT qid, qe, cell1 AS cell FROM qc
+         |  UNION ALL SELECT qid, qe, cell2 FROM qc
+         |), s AS (
+         |  SELECT qid, vec_id, $cosSql AS cos
+         |  FROM probe JOIN cells USING (cell) WHERE qid <> vec_id
+         |)
+         |SELECT qid, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rk
+         |FROM s QUALIFY rk <= 2 ORDER BY qid, rk""".stripMargin,
 
     "p_embed_dedup" -> {
       val dp = Similarity.dotSql("a.embedding", "c.embedding", 64)
