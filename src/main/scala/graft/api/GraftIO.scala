@@ -30,6 +30,20 @@ private[api] class GraftWriter(instance: Params, booster: Option[BoosterModel])
     val fs = file.getFileSystem(sc.hadoopConfiguration)
     val out = fs.create(file, shouldOverwrite)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    // Pipeline compatibility: PipelineModel.load locates each stage through
+    // MLlib's standard `metadata` file (DefaultParamsReader.loadParamsInstance
+    // reads `class` there, then dispatches to OUR MLReader, which reads
+    // graft.json) — param content lives in graft.json, so the maps are empty
+    val meta = JsonMethods.compact(JsonMethods.render(JObject(List(
+      "class" -> JString(instance.getClass.getName),
+      "timestamp" -> JInt(System.currentTimeMillis()),
+      "sparkVersion" -> JString(org.apache.spark.SPARK_VERSION),
+      "uid" -> JString(instance.uid),
+      "paramMap" -> JObject(Nil),
+      "defaultParamMap" -> JObject(Nil)))))
+    val metaFile = new Path(path, "metadata")
+    val mout = fs.create(metaFile, shouldOverwrite)
+    try mout.write(meta.getBytes("UTF-8")) finally mout.close()
   }
 }
 

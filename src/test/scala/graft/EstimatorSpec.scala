@@ -104,6 +104,24 @@ class EstimatorSpec extends AnyFunSuite {
     assert(loaded.getOrDefault(loaded.maxBin) == 32)
   }
 
+  test("estimator composes inside an MLlib Pipeline with save/load") {
+    import org.apache.spark.ml.{Pipeline, PipelineModel}
+    import org.apache.spark.ml.feature.SQLTransformer
+    val df = regDf(85)
+    // a real multi-stage pipeline: SQL feature prep stage → booster stage
+    val prep = new SQLTransformer().setStatement(
+      "SELECT features, label, label * 0.0 + 1.0 AS w FROM __THIS__")
+    val xgb = new XGBoostRegressor().setNumRound(6).setMaxDepth(3)
+      .setMaxBin(32).setSeed(9L).setWeightCol("w")
+    val pm = new Pipeline().setStages(Array(prep, xgb)).fit(df)
+    val before = pm.transform(df).selectExpr("sum(prediction)").head().getDouble(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe").toString
+    pm.write.overwrite().save(dir)
+    val loaded = PipelineModel.load(dir)
+    val after = loaded.transform(df).selectExpr("sum(prediction)").head().getDouble(0)
+    assert(before == after, s"$before vs $after")
+  }
+
   test("multi-quantile regressor: array prediction, ordered lanes") {
     val rng = new scala.util.Random(91)
     val df = (0 until 4000).map { _ =>
