@@ -94,4 +94,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(out.contains((2L, t0 + 10, t0 + 20, 2L)), s"user2 session: ${out.toSeq}")
     } finally q.stop()
   }
+
+  test("streaming sessionizer agrees with the batch e_sessionize query") {
+    import spark.implicits._
+    import graft.streaming.StreamingSessionizer
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // batch twin: (user_id, n_sessions, n_events) with a 30-min gap
+    val batch = graft.queries.EventQueries.queries("e_sessionize")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // stream the same events (nanos → whole-second timestamps; the batch
+    // query floors to seconds too, so session boundaries are identical)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("user_id", "ts div 1000000000 AS sec")
+      .collect().map(r => (r.getLong(0), new java.sql.Timestamp(r.getLong(1) * 1000L)))
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = StreamingSessionizer.sessionize(
+      stream.toDF().toDF("user_id", "ts"), gapSec = 1800, watermark = "0 seconds")
+    val q = sessions.writeStream.format("memory").queryName("parity_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(events)
+      q.processAllAvailable()
+      // sentinel far in the future closes every open session via timeout
+      val maxSec = events.map(_._2.getTime / 1000).max
+      stream.addData(Seq((999999L, new java.sql.Timestamp((maxSec + 100000) * 1000L))))
+      q.processAllAvailable()
+      val streamed = spark.table("parity_sink")
+        .where($"userId" =!= 999999L)
+        .groupBy("userId")
+        .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("ns"),
+          org.apache.spark.sql.functions.sum("nEvents").as("ne"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed.keySet == batch.keySet)
+      streamed.foreach { case (u, (ns, ne)) =>
+        assert(batch(u) == ((ns, ne)), s"user $u: stream ($ns,$ne) vs batch ${batch(u)}")
+      }
+    } finally q.stop()
+  }
 }
