@@ -60,7 +60,12 @@ final case class TrainParams(
     oneDrop: Boolean = false,
     sampleType: String = "uniform", // | "weighted" (drop prob ∝ tree weight)
     normalizeType: String = "tree", // | "forest"
-    checkpointInterval: Int = 15
+    checkpointInterval: Int = 15,
+    // training parallelism floor: −1 = auto (repartition up to
+    // defaultParallelism when the input arrives under-partitioned, e.g. a
+    // single parquet file); 0 = never repartition (pins aggregation order
+    // for bit-reproducibility); >0 = explicit floor
+    minTrainPartitions: Int = -1
 )
 
 /** Bin-space tree shape, broadcast to executors for row routing — numeric
@@ -180,8 +185,23 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
   /** User eval metric for the watch/early-stopping loop. */
   def withCustomMetric(m: CustomEvalMetric): this.type = { customMetric = Some(m); this }
 
+  /** Defend against under-partitioned inputs (a single parquet file → 1-3
+    * partitions → 1-3 training tasks regardless of cluster size): lift to
+    * the parallelism floor before the multi-pass training loop. One shuffle,
+    * amortized over every boosting round via shuffle-file reuse. */
+  private def ensurePar[T: scala.reflect.ClassTag](data: RDD[T]): RDD[T] = {
+    val target = params.minTrainPartitions match {
+      case -1 => data.sparkContext.defaultParallelism
+      case 0 => 0
+      case n => n
+    }
+    if (target > data.getNumPartitions) data.repartition(target) else data
+  }
+
   /** data: (dense features with NaN=missing, label, weight). */
-  def fit(data: RDD[(Array[Double], Double, Double)]): BoosterModel = params.treeMethod match {
+  def fit(dataIn: RDD[(Array[Double], Double, Double)]): BoosterModel = {
+    val data = ensurePar(dataIn)
+    params.treeMethod match {
     case "hist" =>
       // column count is unified inside the sketch pass (ref
       // MetaInfo::SynchronizeNumberOfColumns, include/xgboost/data.h:191)
@@ -211,6 +231,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       model
     case other => throw new IllegalArgumentException(
       s"unknown tree_method: $other (supported: exact, hist, approx)")
+    }
   }
 
   /** hist fit with an eval WATCH set (ref watches + EvalOneIter,
@@ -219,8 +240,10 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * margin cache advances with every committed tree, and
     * `earlyStoppingRounds` stops training when the watch metric stops
     * improving — the returned model is truncated to the best iteration. */
-  def fit(data: RDD[(Array[Double], Double, Double)],
-      evalSet: RDD[(Array[Double], Double, Double)]): BoosterModel = {
+  def fit(dataIn: RDD[(Array[Double], Double, Double)],
+      evalSetIn: RDD[(Array[Double], Double, Double)]): BoosterModel = {
+    val data = ensurePar(dataIn)
+    val evalSet = ensurePar(evalSetIn)
     require(params.treeMethod == "hist", "eval watches support tree_method=hist only")
     val cuts = findCuts(data)
     val numFeatures = cuts.numFeatures
@@ -241,7 +264,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * The returned model's baseScore is 0 — at predict time the caller adds
     * its own margins, exactly like the reference's inplace-predict with
     * base_margin. Single-output hist only. */
-  def fitWithBaseMargin(data: RDD[(Array[Double], Double, Double, Double)]): BoosterModel = {
+  def fitWithBaseMargin(dataIn: RDD[(Array[Double], Double, Double, Double)]): BoosterModel = {
+    val data = ensurePar(dataIn)
     require(params.treeMethod == "hist", "base margins support tree_method=hist only")
     require(!isMulti, "per-row base margins support single-output objectives only")
     val cuts = findCuts(data.map(r => (r._1, r._2, r._3)))
@@ -262,7 +286,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * `Learner::Configure` resuming BoostedRounds): numRounds NEW trees are
     * appended, with margins seeded from the previous model's predictions.
     * gbtree + hist only (dart dropout would have to rescale prior trees). */
-  def fitContinue(data: RDD[(Array[Double], Double, Double)], prev: BoosterModel): BoosterModel = {
+  def fitContinue(dataIn: RDD[(Array[Double], Double, Double)], prev: BoosterModel): BoosterModel = {
+    val data = ensurePar(dataIn)
     require(params.treeMethod == "hist", "continuation supports tree_method=hist only")
     require(params.booster != "dart", "continuation supports the gbtree booster only")
     require(prev.numGroups == numGroups,
@@ -381,7 +406,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * upperBound = NaN or +Inf for right-censored rows (ref interval labels
     * `labels_lower_bound_`/`labels_upper_bound_`, `include/xgboost/
     * data.h:77`). */
-  def fitSurvival(data: RDD[(Array[Double], Double, Double, Double)]): BoosterModel = {
+  def fitSurvival(dataIn: RDD[(Array[Double], Double, Double, Double)]): BoosterModel = {
+    val data = ensurePar(dataIn)
     require(params.treeMethod == "hist", "survival objectives support tree_method=hist only")
     val cuts = findCuts(data.map(r => (r._1, r._2, r._4)))
     val numFeatures = cuts.numFeatures
@@ -399,9 +425,10 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * (sorted feature indices, parallel values, label, weight); absent
     * features are missing (same routing as NaN). Identical cuts, histograms
     * and trees as the equivalent NaN-dense encoding, at O(nnz) row cost. */
-  def fitSparse(data: RDD[(Array[Int], Array[Double], Double, Double)],
+  def fitSparse(dataIn: RDD[(Array[Int], Array[Double], Double, Double)],
       numFeatures: Int): BoosterModel = {
     require(params.treeMethod == "hist", "sparse input supports tree_method=hist only")
+    val data = ensurePar(dataIn)
     val cuts = Binning.findCutsSparse(data.map(r => (r._1, r._2, r._4)), numFeatures, params.maxBin)
     val binned = data.zipWithUniqueId().map { case ((idx, vs, y, w), id) =>
       BInst(cuts.binRowSparse(idx, vs), y, w, id, idx = idx)
@@ -417,7 +444,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * layer's `sortPartitionIfNeeded`, `XGBoostEstimator.scala:142-144`) so
     * every per-iteration λ-gradient pass is a shuffle-free partition walk
     * over contiguous groups. */
-  def fitRanking(data: RDD[(Array[Double], Double, Double, Long)]): BoosterModel = {
+  def fitRanking(dataIn: RDD[(Array[Double], Double, Double, Long)]): BoosterModel = {
+    val data = ensurePar(dataIn)
     require(params.treeMethod == "hist", "rank objectives support tree_method=hist only")
     val cuts = findCuts(data.map(r => (r._1, r._2, r._3)))
     val numFeatures = cuts.numFeatures

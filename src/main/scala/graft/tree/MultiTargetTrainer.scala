@@ -43,7 +43,14 @@ final class MultiTargetTrainer(params: TrainParams, numTargets: Int) extends Ser
   require(quantileAlphas.forall(a => a > 0 && a < 1), "quantile alphas must lie in (0, 1)")
 
   /** data: (features, labels — K targets or a class index, weight). */
-  def fit(data: RDD[(Array[Double], Array[Double], Double)]): BoosterModel = {
+  def fit(dataIn: RDD[(Array[Double], Array[Double], Double)]): BoosterModel = {
+    // same under-partitioned-input defense as GBTTrainer.ensurePar
+    val parTarget = params.minTrainPartitions match {
+      case -1 => dataIn.sparkContext.defaultParallelism
+      case n => n
+    }
+    val data =
+      if (parTarget > dataIn.getNumPartitions) dataIn.repartition(parTarget) else dataIn
     val sc = data.sparkContext
     val K = numTargets
     // column count unified inside the sketch pass (data.h:191 semantics)

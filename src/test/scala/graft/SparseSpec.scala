@@ -19,7 +19,8 @@ class SparseSpec extends AnyFunSuite {
       val y = fmap.getOrElse(2, 0.0) * 2.0 - fmap.getOrElse(7, 0.0) + 0.05 * rng.nextGaussian()
       (present, values, y, 1.0)
     }
-    val p = TrainParams(numRounds = 6, maxDepth = 4, maxBin = 32, eta = 0.3, seed = 11)
+    val p = TrainParams(numRounds = 6, maxDepth = 4, maxBin = 32, eta = 0.3, seed = 11,
+      minTrainPartitions = 0) // keep 1 partition: no auto-repartition
     // single partition pins the sketch/histogram merge order, so the two
     // encodings must agree BIT-FOR-BIT (multi-partition fits differ at
     // ~1e-4 in cut placement purely from treeAggregate merge order)
