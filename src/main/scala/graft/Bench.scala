@@ -27,8 +27,13 @@ object Bench {
       // isolate queries: drop any cached plans/RDD blocks a query left
       // behind so later timings measure the query, not accumulated state
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      System.gc() // park tenured garbage between queries, not inside one
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // two gc+drain cycles: the first GC enqueues ContextCleaner work for
+      // every shuffle/broadcast the query leaked, the sleep lets the cleaner
+      // drain OUTSIDE the next query's timed region (otherwise the cleanup
+      // storm lands mid-query and shows up as a spurious multi-second stall)
+      System.gc(); Thread.sleep(1500)
+      System.gc(); Thread.sleep(500)
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

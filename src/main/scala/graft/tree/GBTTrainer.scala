@@ -445,11 +445,17 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * every per-iteration λ-gradient pass is a shuffle-free partition walk
     * over contiguous groups. */
   def fitRanking(dataIn: RDD[(Array[Double], Double, Double, Long)]): BoosterModel = {
-    val data = ensurePar(dataIn)
+    // no ensurePar here: the qid partitionBy below IS the spreading shuffle;
+    // only its partition COUNT needs the parallelism floor
+    val data = dataIn
     require(params.treeMethod == "hist", "rank objectives support tree_method=hist only")
     val cuts = findCuts(data.map(r => (r._1, r._2, r._3)))
     val numFeatures = cuts.numFeatures
-    val nParts = math.max(data.getNumPartitions, 1)
+    val nParts = params.minTrainPartitions match {
+      case -1 => math.max(data.getNumPartitions, data.sparkContext.defaultParallelism)
+      case 0 => math.max(data.getNumPartitions, 1)
+      case n => math.max(n, 1)
+    }
     val grouped = data.map { case (f, y, w, q) => (q, (f, y, w)) }
       .partitionBy(new org.apache.spark.HashPartitioner(nParts))
       .mapPartitions(it => it.toArray.sortBy(_._1).iterator, preservesPartitioning = true)
