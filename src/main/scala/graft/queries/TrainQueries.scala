@@ -33,6 +33,29 @@ object TrainQueries {
     }
   }
 
+  /** Deterministic full-binary-tree ensemble (heap layout): internal node i
+    * splits feature (i % nf) at a threshold swept across the plausible
+    * lineitem value range so every path is exercised. */
+  private def syntheticEnsemble(numTrees: Int, depth: Int, nf: Int): graft.model.BoosterModel = {
+    import graft.model.{BoosterModel, Node, Tree}
+    val internal = (1 << depth) - 1
+    val total = (1 << (depth + 1)) - 1
+    val trees = Array.tabulate(numTrees) { t =>
+      Tree(Array.tabulate(total) { i =>
+        if (i < internal)
+          Node(feature = (i + t) % nf, threshold = ((i * 7 + t * 13) % 50).toDouble,
+            defaultLeft = (i + t) % 2 == 0, left = 2 * i + 1, right = 2 * i + 2,
+            leaf = Array.empty, gain = 0.0, sumHess = 1.0, categoriesRight = Array.empty)
+        else
+          Node(feature = -1, threshold = 0.0, defaultLeft = true, left = -1, right = -1,
+            leaf = Array(((i * 3 + t) % 11) * 0.01), gain = 0.0, sumHess = 1.0,
+            categoriesRight = Array.empty)
+      })
+    }
+    BoosterModel(trees, Array.fill(numTrees)(0.1), new Array[Int](numTrees),
+      Array(0.5), "reg:squarederror", 1, nf)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // hist-method regression: train → transform → per-flag error summary
     "t_train_hist_rmse" -> ((s, dir) => {
@@ -51,6 +74,20 @@ object TrainQueries {
         .orderBy("l_returnflag")
       data.unpersist(blocking = false)
       out
+    }),
+
+    // pure inference throughput: a synthetic 60-tree depth-5 ensemble over
+    // every lineitem row through the codegen predictor — isolates the
+    // per-row scoring tax the 100 TB inference scan pays, with ZERO
+    // training jobs in the timed region
+    "t_predict_throughput" -> ((s, dir) => {
+      val model = syntheticEnsemble(numTrees = 60, depth = 5,
+        nf = featureCols.length)
+      val df = CoreQueries.table(s, dir, "lineitem").select(
+        array(featureCols.map(c => col(c).cast("double")): _*).as("features"))
+      Predictor.transform(df, model, "features")
+        .agg(count(lit(1)).as("n_scored"),
+          round(avg(col("prediction")), 3).as("mean_pred"))
     }),
 
     // binary classification: train → leaf/contrib outputs exercised
