@@ -10,6 +10,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_DEBUG=1: print slow stages / scheduling gaps to stderr
+    // (diagnosing intermittent stalls without touching the output contract)
+    if (sys.env.contains("SPARK_GRAFT_DEBUG")) {
+      import org.apache.spark.scheduler._
+      val lastEnd = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+      spark.sparkContext.addSparkListener(new SparkListener {
+        override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+          val info = sc.stageInfo
+          val dur = for { s <- info.submissionTime; c <- info.completionTime } yield c - s
+          val gap = (System.nanoTime() - lastEnd.getAndSet(System.nanoTime())) / 1e9
+          if (dur.exists(_ > 2000) || gap > 3.0)
+            System.err.println(f"[graft-debug] stage ${info.stageId}%4d dur=${dur.getOrElse(-1L)}%6dms gap=$gap%6.1fs ${info.name.take(100)}")
+        }
+      })
+    }
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local profiling aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // deterministic name order: hash-map order shifts when the query set
