@@ -78,9 +78,11 @@ trait GraftReadable[T <: Params] extends MLReadable[T] {
       val booster = (j \ "booster").toOption.map(b => BoosterModel.fromJson(b.extract[String]))
       val instance = make(uid, booster)
       (j \ "params") match {
-        case JObject(fields) => fields.foreach { case (name, JString(enc)) =>
-          val p = instance.getParam(name)
-          instance.set(p, p.jsonDecode(enc))
+        case JObject(fields) => fields.foreach {
+          case (name, JString(enc)) =>
+            val p = instance.getParam(name)
+            instance.set(p, p.jsonDecode(enc))
+          case _ => () // graft.json params are always string-encoded
         }
         case _ => ()
       }
