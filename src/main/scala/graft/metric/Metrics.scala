@@ -127,6 +127,26 @@ object Metrics {
         (max("cum_tp") * max("cum_fp"))).as("auc"))
   }
 
+  /** Weighted binary PR-AUC (`src/metric/auc.cc` BinaryPRAUC semantics):
+    * trapezoid over the (recall, precision) curve at distinct scores,
+    * descending. Same scale shape as [[aucBinary]]: distinct-score groupBy
+    * then a distributed cumulative sweep; the previous curve point is
+    * recovered as cumulative − own mass, so no lag/window is needed. The
+    * zero-recall boundary takes precision 1 by convention (both engines
+    * apply the identical CASE). */
+  def aucPR(df: DataFrame, pred: Column, label: Column, w: Column): DataFrame = {
+    val g = df.groupBy(pred.as("p"))
+      .agg(sum(when(label > 0.5, w).otherwise(0.0)).as("tp"),
+        sum(when(label > 0.5, 0.0).otherwise(w)).as("fp"))
+    val c = graft.data.DistributedCumsum.cumsum(g, "p", descending = true, Seq("tp", "fp"))
+    val prevTp = col("cum_tp") - col("tp")
+    val prevFp = col("cum_fp") - col("fp")
+    val prec = col("cum_tp") / (col("cum_tp") + col("cum_fp"))
+    val prevPrec = when(prevTp + prevFp > 0, prevTp / (prevTp + prevFp)).otherwise(1.0)
+    c.agg(
+      (sum(col("tp") * (prec + prevPrec) / 2.0) / max("cum_tp")).as("aucpr"))
+  }
+
   /** Per-query ranking AUC averaged over groups (`auc.cc:165,229`). The
     * cumulative TP/FP windows are PARTITIONED by qid (bounded groups —
     * scale-safe); groups lacking both classes are excluded from the mean,

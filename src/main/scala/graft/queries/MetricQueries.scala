@@ -97,6 +97,10 @@ object MetricQueries {
       Metrics.aucBinary(ranked(s, dir), col("p"), col("yb"), col("w"))
         .select(round(col("auc"), 6).as("auc"))),
 
+    "m_aucpr" -> ((s, dir) =>
+      Metrics.aucPR(ranked(s, dir), col("p"), col("yb"), col("w"))
+        .select(round(col("aucpr"), 6).as("aucpr"))),
+
     "m_auc_rank" -> ((s, dir) =>
       Metrics.aucRanking(ranked(s, dir), col("q"), col("p"), col("yb"))
         .select(round(col("auc"), 6).as("auc"), col("num_groups"))),
@@ -148,6 +152,23 @@ object MetricQueries {
          |  FROM g
          |)
          |SELECT round(sum(fp * (2.0 * ctp - tp) / 2.0) / (max(ctp) * max(cfp)), 6) AS auc
+         |FROM c""".stripMargin,
+
+    "m_aucpr" ->
+      s"""WITH g AS (
+         |  SELECT p, sum(CASE WHEN yb > 0.5 THEN w ELSE 0.0 END) AS tp,
+         |    sum(CASE WHEN yb > 0.5 THEN 0.0 ELSE w END) AS fp
+         |  FROM ($rankedSql) GROUP BY 1
+         |), c AS (
+         |  SELECT p, tp, fp,
+         |    sum(tp) OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+         |    sum(fp) OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cfp
+         |  FROM g
+         |)
+         |SELECT round(sum(tp * ((ctp / (ctp + cfp)) +
+         |    (CASE WHEN (ctp - tp) + (cfp - fp) > 0
+         |          THEN (ctp - tp) / ((ctp - tp) + (cfp - fp)) ELSE 1.0 END)) / 2.0)
+         |  / max(ctp), 6) AS aucpr
          |FROM c""".stripMargin,
 
     "m_auc_rank" ->
