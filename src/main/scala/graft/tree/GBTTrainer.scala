@@ -505,22 +505,25 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     // ---- fail-fast label/weight validation (ref CheckLabel per objective +
     // MetaInfo::Validate, include/xgboost/data.h:127): one cheap pass, with
     // the violation count in the error like the reference's CHECK messages ----
-    // one fused pass: label violations, weight violations, and the
-    // weighted label stats the base score needs (acc = badL, badW, sumWy, sumW)
+    // one fused pass: row count, label violations, weight violations, and
+    // the weighted label stats the base score needs
     val kMulti = params.numClass
     val intervalLabels = !isMulti && obj.usesIntervalLabels
-    val (badLabels, badWeights, sumWy, sumW) =
-      binnedIn.treeAggregate((0L, 0L, 0.0, 0.0))(
-        { case ((bl, bw, wy, w), r) =>
+    val (numRows, badLabels, badWeights, sumWy, sumW) =
+      binnedIn.treeAggregate((0L, 0L, 0L, 0.0, 0.0))(
+        { case ((n, bl, bw, wy, w), r) =>
           val labelOk =
             if (isMulti) r.label >= 0 && r.label < kMulti && r.label == math.floor(r.label)
             else if (intervalLabels) obj.validInterval(r.label, r.label2)
             else obj.validLabel(r.label)
           val weightOk = r.weight >= 0 && !r.weight.isNaN
-          (if (labelOk) bl else bl + 1, if (weightOk) bw else bw + 1,
+          (n + 1, if (labelOk) bl else bl + 1, if (weightOk) bw else bw + 1,
             wy + r.weight * r.label, w + r.weight)
         },
-        { case ((a1, a2, a3, a4), (b1, b2, b3, b4)) => (a1 + b1, a2 + b2, a3 + b3, a4 + b4) })
+        { case ((a0, a1, a2, a3, a4), (b0, b1, b2, b3, b4)) =>
+          (a0 + b0, a1 + b1, a2 + b2, a3 + b3, a4 + b4) })
+    if (numRows == 0)
+      throw new IllegalArgumentException("cannot train on an empty dataset (0 rows)")
     if (badLabels > 0)
       throw new IllegalArgumentException(
         s"$badLabels label(s) violate the ${params.objective} label constraints")

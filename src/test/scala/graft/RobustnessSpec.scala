@@ -27,6 +27,13 @@ class RobustnessSpec extends AnyFunSuite {
       "constant/missing feature values must not affect prediction")
   }
 
+  test("empty dataset fails fast with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      new GBTTrainer(p).fit(sc.emptyRDD[(Array[Double], Double, Double)])
+    }
+    assert(e.getMessage.contains("empty dataset"))
+  }
+
   test("tiny dataset trains without error and predicts the mean") {
     val rows = Seq((Array(1.0), 3.0, 1.0), (Array(2.0), 5.0, 1.0))
     val m = new GBTTrainer(p.copy(minChildWeight = 10.0)).fit(sc.parallelize(rows, 1))
