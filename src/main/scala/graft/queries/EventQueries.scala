@@ -65,7 +65,7 @@ object EventQueries {
     "e_window_agg" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hr, event_type,
         |  count(*) AS n,
-        |  sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "e_sessionize" ->
@@ -78,13 +78,13 @@ object EventQueries {
         |  FROM e
         |)
         |SELECT user_id,
-        |  sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "e_json_props" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )

@@ -38,6 +38,13 @@ def main():
             n_bad += 1; continue
         if len(got) != len(want):
             print(f"[ROWS] {name}: {len(got)} vs {len(want)}"); n_bad += 1; continue
+        # the driver's hash stringifies values, so int64 123 vs float64 123.0
+        # (e.g. DuckDB sum(BIGINT) -> HUGEINT -> pandas float) is a mismatch
+        # even when values are numerically equal — flag dtype-kind drift
+        kinds = [(c, got[c].dtype.kind, want[c].dtype.kind) for c in got.columns]
+        drift = [k for k in kinds if (k[1] in "iu") != (k[2] in "iu")]
+        if drift:
+            print(f"[TYPE] {name}: int/float kind drift {drift}"); n_bad += 1; continue
         bad = None
         for c in got.columns:
             a, b = got[c].values, want[c].values
