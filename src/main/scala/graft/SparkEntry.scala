@@ -3,7 +3,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.predict.Predictor
-import graft.queries.{CoreQueries, EventQueries, LinearQueries, MetricQueries, PipelineQueries, SourceQueries, TrainQueries}
+import graft.queries.{CoreQueries, EventQueries, KernelQueries, LinearQueries, MetricQueries, PipelineQueries, SourceQueries, TrainQueries}
 import graft.tree.{GBTTrainer, TrainParams}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -19,11 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ MetricQueries.queries ++ TrainQueries.queries ++
       PipelineQueries.queries ++ LinearQueries.queries ++ SourceQueries.queries ++
-      EventQueries.queries
+      EventQueries.queries ++ KernelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ MetricQueries.oracle ++ PipelineQueries.oracle ++
-      LinearQueries.oracle ++ SourceQueries.oracle ++ EventQueries.oracle
+      LinearQueries.oracle ++ SourceQueries.oracle ++ EventQueries.oracle ++
+      KernelQueries.oracle
 }
