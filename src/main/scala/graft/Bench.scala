@@ -14,14 +14,18 @@ object Bench {
     // (diagnosing intermittent stalls without touching the output contract)
     if (sys.env.contains("SPARK_GRAFT_DEBUG")) {
       import org.apache.spark.scheduler._
+      // SPARK_GRAFT_DEBUG=<ms> sets the slow-stage threshold (default 2000)
+      val thresholdMs = sys.env("SPARK_GRAFT_DEBUG").toLongOption.filter(_ > 0).getOrElse(2000L)
       val lastEnd = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
       spark.sparkContext.addSparkListener(new SparkListener {
         override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
           val info = sc.stageInfo
           val dur = for { s <- info.submissionTime; c <- info.completionTime } yield c - s
           val gap = (System.nanoTime() - lastEnd.getAndSet(System.nanoTime())) / 1e9
-          if (dur.exists(_ > 2000) || gap > 3.0)
-            System.err.println(f"[graft-debug] stage ${info.stageId}%4d dur=${dur.getOrElse(-1L)}%6dms gap=$gap%6.1fs ${info.name.take(100)}")
+          if (dur.exists(_ > thresholdMs) || gap > 3.0) {
+            val m = info.taskMetrics
+            System.err.println(f"[graft-debug] stage ${info.stageId}%4d tasks=${info.numTasks}%3d dur=${dur.getOrElse(-1L)}%6dms gap=$gap%6.1fs run=${m.executorRunTime}%5dms gc=${m.jvmGCTime}%4dms deser=${m.executorDeserializeTime}%4dms ${info.name.take(100)}")
+          }
         }
       })
     }
@@ -32,9 +36,31 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (k, _) => only.forall(_.contains(k)) }
     // JVM/codegen warm-up outside the timed region so the first query's
-    // number measures the query, not classloading + codegen bootstrap
+    // number measures the query, not classloading + codegen bootstrap.
+    // The trainer loops are warmed on a tiny in-memory set for the same
+    // reason: C2 compilation of the histogram/λ-gradient kernels costs
+    // seconds of interpreted execution on first touch, which is a JVM
+    // cold-start artifact, not a property of the operators under test —
+    // steady-state throughput is what a long-running cluster job sees.
     spark.range(1000).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    locally {
+      import graft.tree.{GBTTrainer, TrainParams}
+      val rnd = new java.util.Random(1)
+      val tiny = spark.sparkContext.parallelize(
+        (0 until 4000).map { i =>
+          (Array.fill(4)(rnd.nextDouble() * 50), (i % 4).toDouble, 1.0, (i % 37).toLong)
+        }, 8).cache()
+      val dense = tiny.map(r => (r._1, r._2, r._3))
+      new GBTTrainer(TrainParams(numRounds = 3, maxDepth = 3, maxBin = 32)).fit(dense)
+      new GBTTrainer(TrainParams(objective = "binary:logistic", numRounds = 2,
+        maxDepth = 3, maxBin = 32)).fit(dense.map(r => (r._1, (r._2 % 2), r._3)))
+      new GBTTrainer(TrainParams(objective = "rank:ndcg", numRounds = 3,
+        maxDepth = 3, maxBin = 32)).fitRanking(tiny)
+      tiny.unpersist(blocking = true)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc(); Thread.sleep(300)
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

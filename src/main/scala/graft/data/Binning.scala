@@ -84,7 +84,7 @@ object Binning {
         out
       }
     val zero = Array.fill(minFeatures)(new QuantileSketch(budget))
-    val sketches = data.treeAggregate(zero)(
+    val sketches = graft.Agg.aggregate(data)(zero)(
       seqOp = (acc0, row) => {
         val (fs, w) = row
         val acc = grow(acc0, fs.length)
@@ -97,8 +97,7 @@ object Binning {
         var f = 0
         while (f < b.length) { a(f).merge(b(f)); f += 1 }
         a
-      },
-      depth = 2)
+      })
     HistogramCuts(sketches.map(s => cutsFromSummary(s.result, maxBin)))
   }
 
@@ -120,7 +119,7 @@ object Binning {
         out
       }
     val zero = Array.fill(minFeatures)(new QuantileSketch(budget))
-    val sketches = data.treeAggregate(zero)(
+    val sketches = graft.Agg.aggregate(data)(zero)(
       seqOp = (acc0, row) => {
         val (idx, vs, w) = row
         val acc = if (idx.length == 0) acc0 else grow(acc0, idx(idx.length - 1) + 1)
@@ -133,8 +132,7 @@ object Binning {
         var f = 0
         while (f < b.length) { a(f).merge(b(f)); f += 1 }
         a
-      },
-      depth = 2)
+      })
     HistogramCuts(sketches.map(s => cutsFromSummary(s.result, maxBin)))
   }
 
@@ -159,7 +157,7 @@ object Binning {
         out
       }
     val zero = Array.fill(minFeatures)(new java.util.TreeSet[java.lang.Double]())
-    val sets = data.treeAggregate(zero)(
+    val sets = graft.Agg.aggregate(data)(zero)(
       seqOp = (acc0, row) => {
         val fs = row._1
         val acc = grow(acc0, fs.length)
@@ -178,8 +176,7 @@ object Binning {
         require(a.iterator.map(_.size).sum <= maxDistinct,
           s"tree_method=exact: > $maxDistinct distinct values; use hist/approx at this scale")
         a
-      },
-      depth = 2)
+      })
     HistogramCuts(sets.map { s =>
       if (s.isEmpty) Array(0.0)
       else {

@@ -43,7 +43,12 @@ object DistributedCumsum {
     val schema = sorted.schema
     val idxs = sumCols.map(schema.fieldIndex).toArray
     val k = idxs.length
-    val rdd = sorted.rdd // one lazily-planned RDD shared by both passes
+    // persisted: pass 1 (totals) and pass 2 (emit) both read it, and without
+    // the persist each pass re-runs the whole upstream plan (scan + the
+    // caller's distinct-key aggregation). The blocks are the DISTINCT-key
+    // table — already shrunk by the caller's groupBy — not the raw input.
+    val rdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nParts = rdd.getNumPartitions
 
     // pass 1: per-partition totals (tiny collect: nParts × k doubles)

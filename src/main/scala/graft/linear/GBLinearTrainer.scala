@@ -107,7 +107,7 @@ final class GBLinearTrainer(val params: LinearParams) {
 
     // numFeatures + Σ instance weight + weighted label mean, one pass
     // (ref LazySumWeights `gblinear.cc:133`, FitStump intercept)
-    val (nf, sumW, sumWY) = cached.treeAggregate((0, 0.0, 0.0))(
+    val (nf, sumW, sumWY) = graft.Agg.aggregate(cached)((0, 0.0, 0.0))(
       seqOp = { case ((f, sw, swy), (x, y, w)) =>
         (math.max(f, x.length), sw + w, swy + w * y) },
       combOp = { case ((f1, s1, y1), (f2, s2, y2)) =>
@@ -124,7 +124,7 @@ final class GBLinearTrainer(val params: LinearParams) {
     def fullSums(): (Array[Double], Double, Double) = {
       val bw = sc.broadcast((weights.clone(), bias))
       val zero = new Array[Double](3 * nf + 2)
-      val acc = cached.treeAggregate(zero)(
+      val acc = graft.Agg.aggregate(cached)(zero)(
         seqOp = { case (a, (x, y, w)) =>
           val (ws, b) = bw.value
           var m = base + b
@@ -153,7 +153,7 @@ final class GBLinearTrainer(val params: LinearParams) {
     // single-feature [Σg·x, Σh·x²] at exact current margins (coord_descent)
     def featureSums(feat: Int): (Double, Double) = {
       val bw = sc.broadcast((weights.clone(), bias))
-      val acc = cached.treeAggregate(new Array[Double](2))(
+      val acc = graft.Agg.aggregate(cached)(new Array[Double](2))(
         seqOp = { case (a, (x, y, w)) =>
           if (feat < x.length) {
             val v = x(feat)
@@ -177,7 +177,7 @@ final class GBLinearTrainer(val params: LinearParams) {
 
     def biasSums(): (Double, Double) = {
       val bw = sc.broadcast((weights.clone(), bias))
-      val acc = cached.treeAggregate(new Array[Double](2))(
+      val acc = graft.Agg.aggregate(cached)(new Array[Double](2))(
         seqOp = { case (a, (x, y, w)) =>
           val (ws, b) = bw.value
           var m = base + b

@@ -43,6 +43,13 @@ object PipelineQueries {
 
   // ---- queries -------------------------------------------------------------
 
+  /** Spread a single-row-group sf parquet across the cluster before
+    * CPU-heavy map-side work (shingle explode, per-doc md5 family, vector
+    * math): without it the whole pipeline body runs as ONE scan task. A
+    * real corpus has thousands of splits; this stands in for them. */
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // exact dedup by content hash, keep-min-id semantics (ext.Dedup.exactDedup)
@@ -58,7 +65,7 @@ object PipelineQueries {
 
     // MinHash-LSH near-duplicate pairs, exact-Jaccard verified ≥ 0.8
     "p_near_dup" -> ((s, dir) =>
-      Dedup.nearDupPairs(table(s, dir, "documents"), "text", "doc_id",
+      Dedup.nearDupPairs(spread(table(s, dir, "documents")), "text", "doc_id",
           numHashes = NumHashes, bands = Bands, shingleN = 3, threshold = 0.8,
           maxBucketSize = MaxBucket)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
@@ -150,7 +157,7 @@ object PipelineQueries {
 
     // top-20 corpus terms by total TF-IDF
     "p_tfidf" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
+      val d = spread(table(s, dir, "documents"))
       val toks = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))

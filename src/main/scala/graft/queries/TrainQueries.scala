@@ -120,13 +120,18 @@ object TrainQueries {
       import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
       // label is a noisy function of unit price so the evaluator AUC
       // demonstrates actual learning, not a coin-flip fixture
+      // repartition after the projection: the sf parquet is a single row
+      // group, so without it the scan — and every narrow stage downstream,
+      // including the evaluator's per-row scoring — runs as ONE task
       val df = CoreQueries.table(s, dir, "lineitem").select(
         array(featureCols.map(c => col(c).cast("double")): _*).as("features"),
         when(col("l_extendedprice") / col("l_quantity") +
           (col("l_orderkey") % 7) * 300.0 > 2500.0, 1.0).otherwise(0.0).as("label"))
+        .repartition(s.sparkContext.defaultParallelism)
       val model = new graft.api.XGBoostClassifier()
         .setNumRound(5).setMaxDepth(3).setMaxBin(64).setSeed(7L).fit(df)
       val out = model.transform(df).cache()
+      out.count()
       val auc = new BinaryClassificationEvaluator()
         .setRawPredictionCol("rawPrediction").evaluate(out)
       val res = out.groupBy("prediction")

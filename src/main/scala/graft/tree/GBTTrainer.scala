@@ -338,16 +338,16 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     val cached = data.map(identity).persist(StorageLevel.MEMORY_AND_DISK)
     cached.count()
 
-    val badLabels = cached.treeAggregate(0L)((c, r) => if (!obj.validLabel(r._2)) c + 1 else c, _ + _)
+    val badLabels = graft.Agg.aggregate(cached)(0L)((c, r) => if (!obj.validLabel(r._2)) c + 1 else c, _ + _)
     if (badLabels > 0) throw new IllegalArgumentException(
       s"$badLabels label(s) violate the ${params.objective} label constraints")
-    val badWeights = cached.treeAggregate(0L)((c, r) => if (r._3 < 0 || r._3.isNaN) c + 1 else c, _ + _)
+    val badWeights = graft.Agg.aggregate(cached)(0L)((c, r) => if (r._3 < 0 || r._3.isNaN) c + 1 else c, _ + _)
     if (badWeights > 0) throw new IllegalArgumentException(
       s"$badWeights instance weight(s) are negative or NaN")
 
     // base-score stats + unified column count, one pass (ref
     // MetaInfo::SynchronizeNumberOfColumns, include/xgboost/data.h:191)
-    val (sumWy, sumW, numFeatures) = cached.treeAggregate((0.0, 0.0, 0))(
+    val (sumWy, sumW, numFeatures) = graft.Agg.aggregate(cached)((0.0, 0.0, 0))(
       (a, r) => (a._1 + r._3 * r._2, a._2 + r._3, math.max(a._3, r._1.length)),
       (a, b) => (a._1 + b._1, a._2 + b._2, math.max(a._3, b._3)))
     val labelMean = if (sumW > 0) sumWy / sumW else 0.0
@@ -362,7 +362,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     var iter = 0
     while (iter < params.numRounds) {
       if (obj.needsScale) {
-        val (s1, s2) = cached.zip(margins).treeAggregate((0.0, 0.0))(
+        val (s1, s2) = graft.Agg.aggregate(cached.zip(margins))((0.0, 0.0))(
           { case ((a1, a2), (r, m)) =>
             val res = math.abs(r._2 - m(0))
             (a1 + r._3 * math.sqrt(res), a2 + r._3)
@@ -446,11 +446,11 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * over contiguous groups. */
   def fitRanking(dataIn: RDD[(Array[Double], Double, Double, Long)]): BoosterModel = {
     // no ensurePar here: the qid partitionBy below IS the spreading shuffle;
-    // only its partition COUNT needs the parallelism floor
+    // only its partition COUNT needs the parallelism floor. The shuffle runs
+    // FIRST so every subsequent pass (sketch included — a single parquet
+    // file would otherwise sketch on 1-3 tasks) is spread across the cluster.
     val data = dataIn
     require(params.treeMethod == "hist", "rank objectives support tree_method=hist only")
-    val cuts = findCuts(data.map(r => (r._1, r._2, r._3)))
-    val numFeatures = cuts.numFeatures
     val nParts = params.minTrainPartitions match {
       case -1 => math.max(data.getNumPartitions, data.sparkContext.defaultParallelism)
       case 0 => math.max(data.getNumPartitions, 1)
@@ -459,10 +459,14 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     val grouped = data.map { case (f, y, w, q) => (q, (f, y, w)) }
       .partitionBy(new org.apache.spark.HashPartitioner(nParts))
       .mapPartitions(it => it.toArray.sortBy(_._1).iterator, preservesPartitioning = true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cuts = findCuts(grouped.map { case (_, (f, y, w)) => (f, y, w) })
+    val numFeatures = cuts.numFeatures
     val binned = grouped.zipWithUniqueId().map { case ((q, (f, y, w)), id) =>
       BInst(cuts.binRow(f), y, w, id, qid = q)
     }.persist(StorageLevel.MEMORY_AND_DISK)
     binned.count()
+    grouped.unpersist(blocking = false)
     val model = fitBinned(binned, cuts, numFeatures)
     binned.unpersist(blocking = false)
     model
@@ -510,7 +514,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     val kMulti = params.numClass
     val intervalLabels = !isMulti && obj.usesIntervalLabels
     val (numRows, badLabels, badWeights, sumWy, sumW) =
-      binnedIn.treeAggregate((0L, 0L, 0L, 0.0, 0.0))(
+      graft.Agg.aggregate(binnedIn)((0L, 0L, 0L, 0.0, 0.0))(
         { case ((n, bl, bw, wy, w), r) =>
           val labelOk =
             if (isMulti) r.label >= 0 && r.label < kMulti && r.label == math.floor(r.label)
@@ -583,7 +587,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       callbacks.foreach(_.beforeIteration(iter))
       // per-iteration objective scale stats (absoluteerror / quantile)
       if (!isMulti && obj.needsScale) {
-        val (s1, s2) = binned.zip(margins).treeAggregate((0.0, 0.0))(
+        val (s1, s2) = graft.Agg.aggregate(binned.zip(margins))((0.0, 0.0))(
           { case ((a1, a2), (r, m)) =>
             val res = math.abs(r.label - m(0))
             (a1 + r.weight * math.sqrt(res), a2 + r.weight)
@@ -626,7 +630,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
             c += 1
           }
           Iterator.single((s, c))
-        }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+        }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = graft.Agg.depth(binned.getNumPartitions))
         gbMeanU = if (n > 0) uSum / n else 1.0
       }
 
@@ -702,7 +706,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         }
         val (mName, v, maximize) = customMetric match {
           case Some(cm) => // user feval: distributed (num, den) sums
-            val (num, den) = watchRows.zip(watchMargins).treeAggregate((0.0, 0.0))(
+            val (num, den) = graft.Agg.aggregate(watchRows.zip(watchMargins))((0.0, 0.0))(
               { case ((a, b), (r, m)) =>
                 val (n2, d2) = cm.contribution(m(0), r.label, r.weight)
                 (a + n2, b + d2)
@@ -1052,13 +1056,13 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     if (name.startsWith("ndcg@"))
       return evalNdcg(rows, margins, name.stripPrefix("ndcg@").toInt)
     def ratio(f: (Double, Double, Double) => Double, pt: Double => Double = identity): Double = {
-      val (s, w) = rows.zip(margins).treeAggregate((0.0, 0.0))(
+      val (s, w) = graft.Agg.aggregate(rows.zip(margins))((0.0, 0.0))(
         { case ((a, b), (r, m)) => (a + r.weight * f(pt(m(0)), r.label, r.weight), b + r.weight) },
         (a, b) => (a._1 + b._1, a._2 + b._2))
       if (w > 0) s / w else 0.0
     }
     def ratioMulti(f: (Array[Double], Double) => Double): Double = {
-      val (s, w) = rows.zip(margins).treeAggregate((0.0, 0.0))(
+      val (s, w) = graft.Agg.aggregate(rows.zip(margins))((0.0, 0.0))(
         { case ((a, b), (r, m)) => (a + r.weight * f(m, r.label), b + r.weight) },
         (a, b) => (a._1 + b._1, a._2 + b._2))
       if (w > 0) s / w else 0.0
@@ -1133,7 +1137,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         cnt += 1
       }
       Iterator.single((sum, cnt))
-    }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = graft.Agg.depth(rows.getNumPartitions))
     if (n > 0) s / n else 0.0
   }
 
@@ -1249,7 +1253,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         }
       }
       Iterator.single((g, h))
-    }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = 2)
+    }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = graft.Agg.depth(binned.getNumPartitions))
   }
 
   /** ONE pass building histograms for every node in `buildSet` — the analog
@@ -1325,7 +1329,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       }
       Iterator.single(hists)
     }
-    val result = partials.treeReduce((a, b) => {
+    val result = graft.Agg.reduce(partials)((a, b) => {
       var s = 0
       while (s < nBuild) {
         if (a(s) == null) a(s) = b(s)
@@ -1337,7 +1341,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         s += 1
       }
       a
-    }, depth = 2)
+    })
     bShape.destroy()
     result.map(h => if (h == null) new Array[Double](histLen) else h)
   }

@@ -69,12 +69,12 @@ final class MultiTargetTrainer(params: TrainParams, numTargets: Int) extends Ser
       else if (multiQuantile) {
         // every alpha lane starts at the weighted label mean; the pinball
         // gradients pull each lane to its own quantile from there
-        val (sum, sw) = binned.treeAggregate((0.0, 0.0))(
+        val (sum, sw) = graft.Agg.aggregate(binned)((0.0, 0.0))(
           { case ((s, c), (_, ys, w)) => (s + w * ys(0), c + w) },
           { case ((a, ca), (b, cb)) => (a + b, ca + cb) })
         Array.fill(K)(sum / math.max(sw, 1e-16))
       } else {
-        val (sums, sw) = binned.treeAggregate((new Array[Double](K), 0.0))(
+        val (sums, sw) = graft.Agg.aggregate(binned)((new Array[Double](K), 0.0))(
           { case ((s, c), (_, ys, w)) =>
             var k = 0
             while (k < K) { s(k) += w * ys(k); k += 1 }
@@ -199,7 +199,7 @@ final class MultiTargetTrainer(params: TrainParams, numTargets: Int) extends Ser
     val nodes = new ArrayBuffer[MNode]
 
     // root totals
-    val rootTot = grads.treeAggregate(new Array[Double](2 * K))(
+    val rootTot = graft.Agg.aggregate(grads)(new Array[Double](2 * K))(
       (a, g) => { var i = 0; while (i < a.length) { a(i) += g(i); i += 1 }; a },
       (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
     nodes += new MNode(
@@ -217,7 +217,7 @@ final class MultiTargetTrainer(params: TrainParams, numTargets: Int) extends Ser
       val featOff = cuts.featureOffset // small driver array, ships in closure
       val lanes = 2 * K * totalBins
       // ONE aggregation for the whole frontier: [node][globalBin][target][g|h]
-      val hist = binned.zip(grads).treeAggregate(new Array[Double](frontier.length * lanes))(
+      val hist = graft.Agg.aggregate(binned.zip(grads))(new Array[Double](frontier.length * lanes))(
         seqOp = { case (a, ((bins, _, _), g)) =>
           val pos = bShape.value.position(bins)
           val fi = java.util.Arrays.binarySearch(bFrontier.value, pos)

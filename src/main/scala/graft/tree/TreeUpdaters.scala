@@ -96,7 +96,7 @@ object TreeUpdaters {
     val newTrees = model.trees.zipWithIndex.map { case (tree, t) =>
       val bTree = sc.broadcast(tree)
       val nNodes = tree.nodes.length
-      val acc = cached.zip(margins).treeAggregate(new Array[Double](2 * nNodes))(
+      val acc = graft.Agg.aggregate(cached.zip(margins))(new Array[Double](2 * nNodes))(
         seqOp = { case (a, ((x, y, w), m)) =>
           val out = new Array[Double](2)
           obj.gradient(m, y, out)
