@@ -43,12 +43,12 @@ object DistributedCumsum {
     val schema = sorted.schema
     val idxs = sumCols.map(schema.fieldIndex).toArray
     val k = idxs.length
-    // persisted: pass 1 (totals) and pass 2 (emit) both read it, and without
-    // the persist each pass re-runs the whole upstream plan (scan + the
-    // caller's distinct-key aggregation). The blocks are the DISTINCT-key
-    // table — already shrunk by the caller's groupBy — not the raw input.
+    // One lazily-planned RDD shared by both passes — deliberately NOT
+    // persisted: the passes share the range-exchange's shuffle files, so
+    // pass 2 re-reads the (distinct-key-sized) shuffle output, not the
+    // upstream plan. Caching the converted Row objects was measured
+    // strictly slower than the shuffle re-read at every tested size.
     val rdd = sorted.rdd
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nParts = rdd.getNumPartitions
 
     // pass 1: per-partition totals (tiny collect: nParts × k doubles)

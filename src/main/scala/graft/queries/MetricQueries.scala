@@ -23,13 +23,13 @@ object MetricQueries {
 
   import CoreQueries.table
 
-  /** The sf parquet is one row group → one scan task; everything Spark
-    * plans map-side (the md5 tiebreak projection, and notably the partial
-    * top-k sort that InferWindowGroupLimit pushes below the window exchange
-    * for rank-filter queries) would single-thread on it. A round-robin
-    * repartition stands in for the thousands of splits a real table has. */
+  /** No repartition before the projection: a spread was tried (the sf
+    * parquet is one row group → one scan task) and measured net-negative —
+    * the extra 600k-row shuffle cost more than the map-side md5/projection
+    * work it parallelized, and for the cumsum metrics it broke exchange
+    * reuse. At real scale the scan arrives in many splits anyway. */
   private def ranked(s: SparkSession, dir: String): DataFrame =
-    table(s, dir, "lineitem").repartition(s.sparkContext.defaultParallelism).select(
+    table(s, dir, "lineitem").select(
       (col("l_orderkey") % 100).as("q"),
       ((floor(col("l_extendedprice") * 100).cast("long") % 1000) / lit(1000.0)).as("p"),
       (col("l_linenumber") % 4).as("rel"),

@@ -43,12 +43,14 @@ object PipelineQueries {
 
   // ---- queries -------------------------------------------------------------
 
-  /** Spread a single-row-group sf parquet across the cluster before
-    * CPU-heavy map-side work (shingle explode, per-doc md5 family, vector
-    * math): without it the whole pipeline body runs as ONE scan task. A
-    * real corpus has thousands of splits; this stands in for them. */
-  private def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+  // NOTE on parallelism: the sf documents parquet is one row group (5k
+  // docs), so the map-side text work runs as one scan task locally. A
+  // repartition to "spread" it was tried and measured NET-NEGATIVE at this
+  // size (the shuffle + lost exchange reuse cost 2-10× the work being
+  // spread — round-robin additionally full-row-sorts each input partition
+  // via sortBeforeRepartition). A real corpus arrives in thousands of
+  // splits and parallelizes at the scan with no repartition, so the
+  // operators themselves stay shuffle-minimal here.
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -65,7 +67,7 @@ object PipelineQueries {
 
     // MinHash-LSH near-duplicate pairs, exact-Jaccard verified ≥ 0.8
     "p_near_dup" -> ((s, dir) =>
-      Dedup.nearDupPairs(spread(table(s, dir, "documents")), "text", "doc_id",
+      Dedup.nearDupPairs(table(s, dir, "documents"), "text", "doc_id",
           numHashes = NumHashes, bands = Bands, shingleN = 3, threshold = 0.8,
           maxBucketSize = MaxBucket)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
@@ -157,7 +159,7 @@ object PipelineQueries {
 
     // top-20 corpus terms by total TF-IDF
     "p_tfidf" -> ((s, dir) => {
-      val d = spread(table(s, dir, "documents"))
+      val d = table(s, dir, "documents")
       val toks = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))

@@ -123,11 +123,14 @@ object TrainQueries {
       // repartition after the projection: the sf parquet is a single row
       // group, so without it the scan — and every narrow stage downstream,
       // including the evaluator's per-row scoring — runs as ONE task
-      val df = CoreQueries.table(s, dir, "lineitem").select(
-        array(featureCols.map(c => col(c).cast("double")): _*).as("features"),
-        when(col("l_extendedprice") / col("l_quantity") +
-          (col("l_orderkey") % 7) * 300.0 > 2500.0, 1.0).otherwise(0.0).as("label"))
-        .repartition(s.sparkContext.defaultParallelism)
+      // hash repartition on the key column (round-robin would sort each
+      // input partition by the full row — array compares — first)
+      val df = CoreQueries.table(s, dir, "lineitem")
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+        .select(
+          array(featureCols.map(c => col(c).cast("double")): _*).as("features"),
+          when(col("l_extendedprice") / col("l_quantity") +
+            (col("l_orderkey") % 7) * 300.0 > 2500.0, 1.0).otherwise(0.0).as("label"))
       val model = new graft.api.XGBoostClassifier()
         .setNumRound(5).setMaxDepth(3).setMaxBin(64).setSeed(7L).fit(df)
       val out = model.transform(df).cache()
