@@ -9,11 +9,14 @@ import org.apache.spark.sql.types._
   * per-partition batch decoders.
   *
   * The Spark-side machinery here — schema, batched mapPartitions decode,
-  * partition sizing — is real and tested; the actual media decode is a
-  * STUB (this container has no image/audio codecs): `decodeStub` derives
-  * deterministic fake features from the bytes so the pipeline shape,
-  * ordering and schema behavior can be exercised end-to-end. Swap
-  * `decodeStub` for a real codec (JNI/FFI) without touching callers.
+  * partition sizing — is real and tested. REAL decode exists for
+  * container-friendly formats in [[MediaCodecs]] (RIFF/PCM WAV, BI_RGB
+  * BMP — pure-JVM parsers, oracle-checked via `p_wav_decode` /
+  * `p_bmp_decode`); `decodeStub` below remains the stand-in for formats
+  * that need codec libraries this container lacks (JPEG/MP3/H.264),
+  * deriving deterministic fake features so pipeline shape, ordering and
+  * schema behavior stay exercisable end-to-end. Swap it for a JNI/FFI
+  * codec without touching callers.
   *
   * Scale notes: media blobs dominate row size, so partition count must be
   * driven by `spark.sql.files.maxPartitionBytes` (blob-aware), and decode is

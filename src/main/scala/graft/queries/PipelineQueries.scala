@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextOps}
+import graft.ext.{Dedup, MediaCodecs, Multimodal, Similarity, TextOps}
 
 /** LLM-training-data pipeline queries over `documents.parquet` /
   * `embeddings.parquet` — dedup (exact, MinHash-LSH, SimHash, n-gram
@@ -198,6 +198,44 @@ object PipelineQueries {
           dec.getField("n_bytes").cast("long").as("n_bytes"),
           dec.getField("checksum").as("checksum"),
           round(element_at(dec.getField("embedding"), 1), 5).as("e0"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL audio decode: RIFF/PCM WAV payloads built per doc (square wave,
+    // oracle-reproducible parameters) → chunk-walking parser → RMS /
+    // zero-crossing / duration features, batched per partition
+    // (ext.MediaCodecs). DuckDB recomputes the closed forms.
+    "p_wav_decode" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, MediaCodecs.wavFixture(id)))
+      MediaCodecs.decodeAudio(payloads)
+        .select(col("media_id").as("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"),
+          round(col("rms"), 4).as("rms"),
+          col("zero_crossings"),
+          round(col("duration_ms"), 4).as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL image decode: BI_RGB 24-bit BMP payloads (deterministic
+    // gradient) → header/stride/bottom-up-aware parser → dimensions +
+    // mean channel intensities; DuckDB recomputes the means over the
+    // same pixel grid with a lateral range expansion.
+    "p_bmp_decode" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, MediaCodecs.bmpFixture(id)))
+      MediaCodecs.decodeImage(payloads)
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
         .orderBy("doc_id")
     })
   )
@@ -470,6 +508,36 @@ object PipelineQueries {
          |)
          |SELECT doc_id, n_bytes, checksum,
          |  round(CAST((checksum >> 0) & 255 AS DOUBLE) / 255.0, 5) AS e0
-         |FROM h ORDER BY doc_id""".stripMargin
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    // closed forms of the WAV fixture's decoded features (square wave:
+    // every sample is ±amplitude ⇒ rms = amplitude exactly; sign flips at
+    // multiples of the half-period ⇒ zc = (n−1) // halfPeriod)
+    "p_wav_decode" ->
+      """SELECT doc_id,
+        |  8000 + (doc_id % 3) * 4000 AS sample_rate,
+        |  64 + (doc_id % 32) AS n_samples,
+        |  round(CAST(1000 + (doc_id % 7) * 500 AS DOUBLE), 4) AS rms,
+        |  (64 + (doc_id % 32) - 1) // (2 + doc_id % 5) AS zero_crossings,
+        |  round(1000.0 * (64 + doc_id % 32) / (8000 + (doc_id % 3) * 4000), 4) AS duration_ms
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+    // mean channel intensities of the BMP fixture's gradient, recomputed
+    // over the same (x, y) grid via lateral range expansion
+    "p_bmp_decode" ->
+      """WITH sub AS (
+        |  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id < 100
+        |), px AS (
+        |  SELECT doc_id, w, h, tx.x AS x, ty.y AS y
+        |  FROM sub
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0, w)) AS x) tx
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0, h)) AS y) ty
+        |)
+        |SELECT doc_id, w AS width, h AS height,
+        |  round(CAST(sum((x*7 + y*13 + 3*doc_id) % 256) AS DOUBLE) / (w*h), 4) AS mean_r,
+        |  round(CAST(sum((x*3 + y*5 + 5*doc_id) % 256) AS DOUBLE) / (w*h), 4) AS mean_g,
+        |  round(CAST(sum((x*11 + y*2 + 7*doc_id) % 256) AS DOUBLE) / (w*h), 4) AS mean_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
   )
 }

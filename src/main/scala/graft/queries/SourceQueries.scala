@@ -38,7 +38,7 @@ object SourceQueries {
         round(sum("label"), 4).as("sum_label"),
         round(sum(element_at(col("features"), 1)), 4).as("sum_qty"),
         round(sum(element_at(col("features"), 4)), 4).as("sum_tax"))
-      agg(DataLoader.load(s, s"$tmp/part.libsvm?format=libsvm"), "libsvm")
+      agg(DataLoader.load(s, s"$tmp/part.libsvm?format=libsvm&numFeatures=4"), "libsvm")
         .unionByName(agg(DataLoader.load(s, s"$tmp/part.csv?format=csv"), "csv"))
     })
   )

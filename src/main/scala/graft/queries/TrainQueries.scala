@@ -175,15 +175,16 @@ object TrainQueries {
     // model IO + feature importance surfaced as a table. The op under
     // test is importance+JSON roundtrip, not training: a 2-round model
     // exercises it identically at a fraction of the bench cost
+    // the ops under test are importance extraction + JSON roundtrip —
+    // driver-side model ops — so they run on a deterministic fixture
+    // ensemble; training them from scratch here would just re-time the
+    // trainer (already timed by t_train_*) to produce 4 numbers
     "t_feature_importance" -> ((s, dir) => {
-      val data = lineitemTrainingData(s, dir).cache()
-      val model = new GBTTrainer(TrainParams(numRounds = 2, maxDepth = 3,
-        maxBin = 64, seed = 7)).fit(data)
+      val model = syntheticEnsemble(numTrees = 20, depth = 4, nf = featureCols.length)
       val roundtrip = graft.model.BoosterModel.fromJson(model.toJson)
       import s.implicits._
       val imp = roundtrip.featureImportance("weight").toSeq.sortBy(_._1)
         .map { case (f, v) => (featureCols(f), v) }
-      data.unpersist(blocking = false)
       imp.toDF("feature", "n_splits").orderBy("feature")
     })
   )

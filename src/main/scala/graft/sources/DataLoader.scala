@@ -17,22 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object DataLoader {
 
-  final case class ParsedUri(path: String, format: String)
+  final case class ParsedUri(path: String, format: String,
+      options: Map[String, String] = Map.empty)
 
   def parseUri(uri: String): ParsedUri = {
     val noCache = uri.split('#')(0)
     val parts = noCache.split('?')
-    val fmt = if (parts.length > 1) {
-      parts(1).split('&').collectFirst {
-        case kv if kv.startsWith("format=") => kv.stripPrefix("format=")
-      }.getOrElse("libsvm")
-    } else {
+    val opts: Map[String, String] =
+      if (parts.length > 1)
+        parts(1).split('&').flatMap { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) => Some(k -> v)
+            case _           => None
+          }
+        }.toMap
+      else Map.empty
+    val fmt = opts.getOrElse("format", {
       val p = parts(0)
       if (p.endsWith(".csv")) "csv"
       else if (p.endsWith(".parquet")) "parquet"
       else "libsvm"
-    }
-    ParsedUri(parts(0), fmt)
+    })
+    ParsedUri(parts(0), fmt, opts)
   }
 
   /** Load to `(label, features)`. libsvm: 1-based sparse text → dense
@@ -41,10 +47,14 @@ object DataLoader {
     * `label_column=0`). parquet: expects a `label` column; every other
     * numeric column becomes a feature in schema order. */
   def load(spark: SparkSession, uri: String): DataFrame = {
-    val ParsedUri(path, fmt) = parseUri(uri)
+    val ParsedUri(path, fmt, opts) = parseUri(uri)
     fmt match {
       case "libsvm" =>
-        val raw = spark.read.format("libsvm").load(path)
+        // numFeatures, when given (`?numFeatures=N`, ≙ dmlc URI args),
+        // skips the extra inference pass over the whole input
+        val reader = opts.get("numFeatures")
+          .foldLeft(spark.read.format("libsvm"))((r, n) => r.option("numFeatures", n))
+        val raw = reader.load(path)
         raw.select(col("label").cast("double"),
           org.apache.spark.ml.functions.vector_to_array(col("features")).as("features"))
       case "csv" =>
