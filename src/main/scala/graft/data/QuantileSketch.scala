@@ -1,6 +1,5 @@
 package graft.data
 
-import scala.collection.mutable.ArrayBuffer
 
 /** Mergeable weighted quantile summary — the GK-style summary of the
   * reference's `WQSummary` (`src/common/quantile.h:35-530`) and of the
@@ -27,35 +26,37 @@ final class WQSummary(
   def size: Int = values.length
   def totalWeight: Double = if (size == 0) 0.0 else rmaxs(size - 1)
 
-  /** SetCombine (quantile.h `SetCombine`): merge two summaries. */
+  /** SetCombine (quantile.h `SetCombine`): merge two summaries. Primitive
+    * preallocated output — this runs once per buffer flush on the sketch
+    * hot path, so no boxed collections. */
   def merge(other: WQSummary): WQSummary = {
     if (other.size == 0) return this
     if (size == 0) return other
-    val n = size + other.size
-    val v = new ArrayBuffer[Double](n)
-    val rmin = new ArrayBuffer[Double](n)
-    val rmax = new ArrayBuffer[Double](n)
-    val wmin = new ArrayBuffer[Double](n)
+    val cap = size + other.size
+    val v = new Array[Double](cap)
+    val rmin = new Array[Double](cap)
+    val rmax = new Array[Double](cap)
+    val wmin = new Array[Double](cap)
+    var len = 0
     var i = 0; var j = 0
     // helpers: rank bounds contributed by the OTHER summary at a foreign value
     def addEntry(value: Double, rmi: Double, rma: Double, wmi: Double): Unit = {
-      if (v.nonEmpty && v.last == value) {
+      if (len > 0 && v(len - 1) == value) {
         // identical values merged: ranks add
-        val k = v.length - 1
-        rmin(k) += rmi; rmax(k) += rma; wmin(k) += wmi
-      } else { v += value; rmin += rmi; rmax += rma; wmin += wmi }
+        rmin(len - 1) += rmi; rmax(len - 1) += rma; wmin(len - 1) += wmi
+      } else { v(len) = value; rmin(len) = rmi; rmax(len) = rma; wmin(len) = wmi; len += 1 }
     }
     while (i < size || j < other.size) {
       if (j >= other.size || (i < size && values(i) < other.values(j))) {
         // entry from this; other's contribution at values(i)
         val x = values(i)
-        val (orm, orx) = other.rankBoundsAt(x, j)
-        addEntry(x, rmins(i) + orm, rmaxs(i) + orx, wmins(i))
+        val p = other.predecessorBefore(x, j)
+        addEntry(x, rmins(i) + other.rminNext(p), rmaxs(i) + other.rmaxPrev(p + 1), wmins(i))
         i += 1
       } else if (i >= size || other.values(j) < values(i)) {
         val x = other.values(j)
-        val (trm, trx) = rankBoundsAt(x, i)
-        addEntry(x, other.rmins(j) + trm, other.rmaxs(j) + trx, other.wmins(j))
+        val p = predecessorBefore(x, i)
+        addEntry(x, other.rmins(j) + rminNext(p), other.rmaxs(j) + rmaxPrev(p + 1), other.wmins(j))
         j += 1
       } else { // equal values: exact sum
         addEntry(values(i), rmins(i) + other.rmins(j), rmaxs(i) + other.rmaxs(j),
@@ -63,29 +64,33 @@ final class WQSummary(
         i += 1; j += 1
       }
     }
-    new WQSummary(v.toArray, rmin.toArray, rmax.toArray, wmin.toArray)
+    new WQSummary(java.util.Arrays.copyOf(v, len), java.util.Arrays.copyOf(rmin, len),
+      java.util.Arrays.copyOf(rmax, len), java.util.Arrays.copyOf(wmin, len))
   }
 
-  /** (rmin, rmax) contribution of THIS summary at foreign value x, where
-    * `hint` is a lower bound on the insertion position (scan cursor). */
-  private def rankBoundsAt(x: Double, hint: Int): (Double, Double) = {
-    // predecessor: last entry with value < x; successor: first with value > x
+  /** Index of the last entry with value < x, scanning from `hint − 1`
+    * (cursor lower bound); −1 if none. */
+  private def predecessorBefore(x: Double, hint: Int): Int = {
     var p = hint - 1
     while (p + 1 < size && values(p + 1) < x) p += 1
-    val lo = if (p >= 0) rmins(p) + wmins(p) else 0.0 // RMinNext of predecessor
-    val s = p + 1
-    val hi =
-      if (s < size) rmaxs(s) - wmins(s) // RMaxPrev of successor
-      else totalWeight
-    (lo, hi)
+    p
   }
 
+  /** rmin + wmin of entry p (RMinNext), 0 below the front. */
+  private def rminNext(p: Int): Double = if (p >= 0) rmins(p) + wmins(p) else 0.0
+
+  /** rmax − wmin of entry s (RMaxPrev), total weight past the back. */
+  private def rmaxPrev(s: Int): Double = if (s < size) rmaxs(s) - wmins(s) else totalWeight
+
   /** SetPrune (quantile.h:225): shrink to at most `maxSize` entries keeping
-    * endpoints; selects entries nearest evenly spaced ranks. */
+    * endpoints; selects entries nearest evenly spaced ranks. The quantile
+    * cursor is non-decreasing, so kept indices arrive sorted and dedup is
+    * a same-as-last check (no boxed set). */
   def prune(maxSize: Int): WQSummary = {
     if (size <= maxSize || size <= 2) return this
-    val keep = new java.util.TreeSet[Integer]()
-    keep.add(0); keep.add(size - 1)
+    val keep = new Array[Int](maxSize)
+    keep(0) = 0
+    var kept = 1
     val tw = totalWeight
     val n = maxSize - 2
     var k = 1
@@ -94,11 +99,22 @@ final class WQSummary(
       val d = tw * k / (n + 1)
       // first entry whose mid-rank >= d, starting from cursor (ranks sorted)
       while (cursor < size - 1 && (rmins(cursor) + rmaxs(cursor)) * 0.5 < d) cursor += 1
-      keep.add(cursor)
+      if (cursor != keep(kept - 1) && cursor != size - 1) { keep(kept) = cursor; kept += 1 }
       k += 1
     }
-    val idx = keep.toArray(new Array[Integer](0)).map(_.intValue()).sorted
-    new WQSummary(idx.map(values), idx.map(rmins), idx.map(rmaxs), idx.map(wmins))
+    keep(kept) = size - 1
+    kept += 1
+    val v = new Array[Double](kept)
+    val rmin = new Array[Double](kept)
+    val rmax = new Array[Double](kept)
+    val wmin = new Array[Double](kept)
+    var t = 0
+    while (t < kept) {
+      val idx = keep(t)
+      v(t) = values(idx); rmin(t) = rmins(idx); rmax(t) = rmaxs(idx); wmin(t) = wmins(idx)
+      t += 1
+    }
+    new WQSummary(v, rmin, rmax, wmin)
   }
 
   /** Value whose rank range covers `d` (query function of the paper):
@@ -119,48 +135,90 @@ final class WQSummary(
 object WQSummary {
   val empty = new WQSummary(Array.empty, Array.empty, Array.empty, Array.empty)
 
-  /** Exact summary from raw (value, weight) pairs. */
-  def fromSorted(pairs: Array[(Double, Double)]): WQSummary = {
-    if (pairs.isEmpty) return empty
-    val v = new ArrayBuffer[Double](pairs.length)
-    val wmin = new ArrayBuffer[Double](pairs.length)
+  /** Exact summary from raw (value, weight) pairs (test surface). */
+  def fromSorted(pairs: Array[(Double, Double)]): WQSummary =
+    fromSorted(pairs.map(_._1), pairs.map(_._2), pairs.length)
+
+  /** Exact summary from value-ascending parallel arrays (first `n` slots). */
+  def fromSorted(vals: Array[Double], ws: Array[Double], n: Int): WQSummary = {
+    if (n == 0) return empty
+    val v = new Array[Double](n)
+    val wmin = new Array[Double](n)
+    var len = 0
     var i = 0
-    while (i < pairs.length) {
-      val (x, w) = pairs(i)
-      if (v.nonEmpty && v.last == x) wmin(wmin.length - 1) += w
-      else { v += x; wmin += w }
+    while (i < n) {
+      if (len > 0 && v(len - 1) == vals(i)) wmin(len - 1) += ws(i)
+      else { v(len) = vals(i); wmin(len) = ws(i); len += 1 }
       i += 1
     }
-    val n = v.length
-    val rmin = new Array[Double](n)
-    val rmax = new Array[Double](n)
+    val rmin = new Array[Double](len)
+    val rmax = new Array[Double](len)
     var acc = 0.0
     i = 0
-    while (i < n) { rmin(i) = acc; acc += wmin(i); rmax(i) = acc; i += 1 }
-    new WQSummary(v.toArray, rmin, rmax, wmin.toArray)
+    while (i < len) { rmin(i) = acc; acc += wmin(i); rmax(i) = acc; i += 1 }
+    new WQSummary(java.util.Arrays.copyOf(v, len), rmin, rmax,
+      java.util.Arrays.copyOf(wmin, len))
   }
 }
 
 /** Streaming sketch over one feature: buffers raw pairs, folds them into a
   * pruned summary when full (the background-queue design of
   * `quantile.h:488` `WQuantileSketch`). `maxSize` follows the reference's
-  * budget `2/eps * kFactor` with kFactor=2 (`quantile.h:568-590`). */
+  * budget `2/eps * kFactor` with kFactor=2 (`quantile.h:568-590`).
+  *
+  * Hot path (every row × every feature of the sketch pass goes through
+  * `push`): the buffer is a pair of primitive double arrays and the flush
+  * sort is an in-place dual-array quicksort — no per-push tuple boxing,
+  * no boxed comparator. Unweighted inputs (all weights 1) are the common
+  * case and cost the same as weighted ones. */
 final class QuantileSketch(val maxSize: Int, bufferCap: Int = 4096) extends Serializable {
   private var summary: WQSummary = WQSummary.empty
-  private val buf = new ArrayBuffer[(Double, Double)](math.min(bufferCap, 1024))
+  private var bufV = new Array[Double](math.min(bufferCap, 1024))
+  private var bufW = new Array[Double](bufV.length)
+  private var bufLen = 0
 
   def push(value: Double, weight: Double): Unit = {
     if (!java.lang.Double.isNaN(value) && weight > 0) {
-      buf += ((value, weight))
-      if (buf.length >= bufferCap) flush()
+      if (bufLen == bufV.length && bufLen < bufferCap) {
+        val cap = math.min(bufferCap, bufV.length * 2)
+        bufV = java.util.Arrays.copyOf(bufV, cap)
+        bufW = java.util.Arrays.copyOf(bufW, cap)
+      }
+      bufV(bufLen) = value
+      bufW(bufLen) = weight
+      bufLen += 1
+      if (bufLen >= bufferCap) flush()
+    }
+  }
+
+  /** In-place quicksort of (bufV, bufW) by value over [lo, hi]. Equal
+    * values need no stable order: `fromSorted` folds them into one entry
+    * by summing weights, which commutes. */
+  private def sortPairs(lo0: Int, hi0: Int): Unit = {
+    var lo = lo0; var hi = hi0
+    while (lo < hi) {
+      val pivot = bufV((lo + hi) >>> 1)
+      var i = lo; var j = hi
+      while (i <= j) {
+        while (bufV(i) < pivot) i += 1
+        while (bufV(j) > pivot) j -= 1
+        if (i <= j) {
+          val tv = bufV(i); bufV(i) = bufV(j); bufV(j) = tv
+          val tw = bufW(i); bufW(i) = bufW(j); bufW(j) = tw
+          i += 1; j -= 1
+        }
+      }
+      // recurse on the smaller side, loop on the larger (O(log n) stack)
+      if (j - lo < hi - i) { if (lo < j) sortPairs(lo, j); lo = i }
+      else { if (i < hi) sortPairs(i, hi); hi = j }
     }
   }
 
   private def flush(): Unit = {
-    if (buf.nonEmpty) {
-      val sorted = buf.toArray.sortBy(_._1)
-      summary = summary.merge(WQSummary.fromSorted(sorted)).prune(maxSize)
-      buf.clear()
+    if (bufLen > 0) {
+      sortPairs(0, bufLen - 1)
+      summary = summary.merge(WQSummary.fromSorted(bufV, bufW, bufLen)).prune(maxSize)
+      bufLen = 0
     }
   }
 

@@ -52,7 +52,12 @@ final class LambdaRankObjective(val variant: String, val ndcgExpGain: Boolean = 
 object LambdaRankGradients {
 
   /** Aligned per-row [g, h] (weighted). Requires rows of one qid contiguous
-    * within a partition (trainer's fitRanking guarantees it). */
+    * within a partition (trainer's fitRanking guarantees it).
+    *
+    * Hot path: one full pass per boosting iteration, so the group gather
+    * uses primitive double builders (no per-row tuple boxing) and groups
+    * stream through lazily — the partition never holds more than one
+    * group's inputs plus its emitted gradient rows. */
   def compute(binned: RDD[BInst], margins: RDD[Array[Double]],
       obj: LambdaRankObjective): RDD[Array[Double]] = {
     val variant = obj.variant
@@ -62,43 +67,67 @@ object LambdaRankGradients {
     val numPair = obj.numPair
     binned.zip(margins).mapPartitions { it =>
       val base = it.buffered
-      val out = new ArrayBuffer[Array[Double]]
-      val rows = new ArrayBuffer[(Double, Double, Double)] // (label, margin, weight)
-      while (base.hasNext) {
-        rows.clear()
-        val q = base.head._1.qid
-        while (base.hasNext && base.head._1.qid == q) {
-          val (r, m) = base.next()
-          rows += ((r.label, m(0), r.weight))
+      new Iterator[Array[Array[Double]]] {
+        private val lb = new ArrayBuffer[Double]
+        private val mb = new ArrayBuffer[Double]
+        private val wb = new ArrayBuffer[Double]
+        def hasNext: Boolean = base.hasNext
+        def next(): Array[Array[Double]] = {
+          lb.clear(); mb.clear(); wb.clear()
+          val q = base.head._1.qid
+          while (base.hasNext && base.head._1.qid == q) {
+            val (r, m) = base.next()
+            lb += r.label; mb += m(0); wb += r.weight
+          }
+          groupGradients(lb.toArray, mb.toArray, wb.toArray,
+            variant, expGain, topK, pairMethod, numPair, q)
         }
-        out ++= groupGradients(rows, variant, expGain, topK, pairMethod, numPair, q)
-      }
-      out.iterator
+      }.flatten
     }
   }
 
-  /** λ-gradients for one query group. */
+  /** Seq-tuple adapter (unit-test surface; the trainer path uses the
+    * primitive-array form below). */
   private[objective] def groupGradients(
       rows: scala.collection.Seq[(Double, Double, Double)], variant: String,
       expGain: Boolean, topK: Int, pairMethod: String = "all",
-      numPair: Int = 8, qid: Long = 0L): Seq[Array[Double]] = {
-    val n = rows.length
+      numPair: Int = 8, qid: Long = 0L): Seq[Array[Double]] =
+    groupGradients(rows.map(_._1).toArray, rows.map(_._2).toArray,
+      rows.map(_._3).toArray, variant, expGain, topK, pairMethod, numPair, qid)
+      .toSeq
+
+  /** λ-gradients for one query group over parallel primitive arrays. */
+  private[objective] def groupGradients(
+      labels: Array[Double], margins: Array[Double], weights: Array[Double],
+      variant: String, expGain: Boolean, topK: Int, pairMethod: String,
+      numPair: Int, qid: Long): Array[Array[Double]] = {
+    val n = labels.length
     val g = new Array[Double](n)
     val h = new Array[Double](n)
     if (n >= 2) {
       // current ranking: margin desc, stable by position for determinism
-      val order = (0 until n).sortBy(i => (-rows(i)._2, i)).toArray
+      // (boxed-Integer TimSort is stable, so equal margins keep index order)
+      val order = new Array[Integer](n)
+      var oi = 0
+      while (oi < n) { order(oi) = Integer.valueOf(oi); oi += 1 }
+      java.util.Arrays.sort(order, (a: Integer, b: Integer) =>
+        java.lang.Double.compare(margins(b.intValue), margins(a.intValue)))
       val rankOf = new Array[Int](n) // 1-based
       var r = 0
-      while (r < n) { rankOf(order(r)) = r + 1; r += 1 }
+      while (r < n) { rankOf(order(r).intValue) = r + 1; r += 1 }
 
       // NDCG machinery
       def gain(l: Double): Double = if (expGain) math.pow(2.0, l) - 1.0 else l
       def disc(rank: Int): Double = 1.0 / (math.log(rank + 1.0) / math.log(2.0))
       val invIdcg: Double =
         if (variant == "ndcg") {
-          val sortedGains = rows.map(x => gain(x._1)).sortBy(-_)
-          val idcg = sortedGains.zipWithIndex.map { case (gn, k) => gn * disc(k + 1) }.sum
+          val sortedGains = new Array[Double](n)
+          var si = 0
+          while (si < n) { sortedGains(si) = gain(labels(si)); si += 1 }
+          java.util.Arrays.sort(sortedGains) // ascending; read back-to-front
+          var idcg = 0.0
+          var k = 0
+          while (k < n) { idcg += sortedGains(n - 1 - k) * disc(k + 1); k += 1 }
           if (idcg > 0) 1.0 / idcg else 0.0
         } else 0.0
 
@@ -111,7 +140,7 @@ object LambdaRankGradients {
       if (variant == "map") {
         var k = 1
         while (k <= n) {
-          val rel = rows(order(k - 1))._1 > 0
+          val rel = labels(order(k - 1).intValue) > 0
           relAt(k) = rel
           cumRel(k) = cumRel(k - 1) + (if (rel) 1 else 0)
           cumInv(k) = cumInv(k - 1) + (if (rel) 1.0 / k else 0.0)
@@ -137,7 +166,7 @@ object LambdaRankGradients {
 
       // one label-discordant pair's λ contribution; i must hold the HIGHER label
       @inline def contribute(i: Int, j: Int): Unit = {
-        val li = rows(i)._1; val lj = rows(j)._1
+        val li = labels(i); val lj = labels(j)
         val d = variant match {
           case "pairwise" => 1.0
           case "ndcg" =>
@@ -146,7 +175,7 @@ object LambdaRankGradients {
           case "map" => if (li > 0 && lj <= 0) deltaMap(rankOf(i), rankOf(j)) else 0.0
         }
         if (d > 0) {
-          val rho = 1.0 / (1.0 + math.exp(rows(i)._2 - rows(j)._2))
+          val rho = 1.0 / (1.0 + math.exp(margins(i) - margins(j)))
           g(i) -= d * rho
           g(j) += d * rho
           val hh = math.max(d * rho * (1.0 - rho), 1e-16)
@@ -162,7 +191,7 @@ object LambdaRankGradients {
         var marginHash = qid * 0x9E3779B97F4A7C15L
         var i = 0
         while (i < n) {
-          marginHash ^= java.lang.Double.doubleToLongBits(rows(i)._2) * 0xC2B2AE3D27D4EB4FL
+          marginHash ^= java.lang.Double.doubleToLongBits(margins(i)) * 0xC2B2AE3D27D4EB4FL
           i += 1
         }
         val rng = new java.util.Random(marginHash)
@@ -171,7 +200,7 @@ object LambdaRankGradients {
           var t = 0
           while (t < numPair) {
             val j = rng.nextInt(n)
-            val li = rows(i)._1; val lj = rows(j)._1
+            val li = labels(i); val lj = labels(j)
             if (li > lj) contribute(i, j)
             else if (lj > li) contribute(j, i)
             t += 1
@@ -183,7 +212,7 @@ object LambdaRankGradients {
         while (i < n) {
           var j = 0
           while (j < n) {
-            if (rows(i)._1 > rows(j)._1 &&
+            if (labels(i) > labels(j) &&
                 (topK == 0 || rankOf(i) <= topK || rankOf(j) <= topK))
               contribute(i, j)
             j += 1
@@ -192,8 +221,8 @@ object LambdaRankGradients {
         }
       }
     }
-    (0 until n).map { i =>
-      val w = rows(i)._3
+    Array.tabulate(n) { i =>
+      val w = weights(i)
       Array(g(i) * w, math.max(h(i), 1e-16) * w)
     }
   }
