@@ -38,8 +38,9 @@ object XGBoost {
   def trainMulti(
       data: RDD[(Array[Double], Array[Double], Double)],
       params: TrainParams,
-      numTargets: Int): BoosterModel =
-    new graft.tree.MultiTargetTrainer(params, numTargets).fit(data)
+      numTargets: Int,
+      customObj: Option[graft.objective.MultiObjective] = None): BoosterModel =
+    new graft.tree.MultiTargetTrainer(params, numTargets, customObj).fit(data)
 
   /** Multi-quantile convenience: scalar-label rows, one output per alpha. */
   def trainQuantiles(

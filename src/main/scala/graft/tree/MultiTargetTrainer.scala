@@ -22,25 +22,36 @@ import scala.collection.mutable.ArrayBuffer
   * weight per target. Rows are never repartitioned — node position is
   * recomputed from the broadcast tree shape, like the single-target path.
   *
-  * Objectives: `reg:squarederror` with vector labels, and
-  * `multi:softmax`/`multi:softprob` with class-index labels (softmax
-  * gradient per class lane). Categorical splits, monotone and interaction
-  * constraints are single-target-path features (the reference's
-  * multi-target updater is similarly restricted).
+  * Objectives ([[graft.objective.MultiObjective]]): ANY elementwise scalar
+  * objective lifted per lane over vector labels
+  * ([[graft.objective.ElementwiseMultiObjective]] — squarederror,
+  * logistic, poisson, gamma, tweedie, hinge, pseudohuber, expectile, …),
+  * `multi:softmax`/`multi:softprob` with class-index labels, vector-alpha
+  * `reg:quantileerror`, or a user-supplied custom MultiObjective.
+  * Categorical splits, monotone and interaction constraints are
+  * single-target-path features (the reference's multi-target updater is
+  * similarly restricted).
   */
-final class MultiTargetTrainer(params: TrainParams, numTargets: Int) extends Serializable {
+final class MultiTargetTrainer(params: TrainParams, numTargets: Int,
+    customObj: Option[graft.objective.MultiObjective] = None) extends Serializable {
   require(numTargets >= 2, "use GBTTrainer for single-target models")
 
-  private val softprob = params.objective == "multi:softprob" || params.objective == "multi:softmax"
-  // multi-quantile (ref `quantile_obj.cu`: `quantile_alpha` may be a vector,
-  // one output lane per alpha): scalar label in ys(0), pinball subgradient
-  // per lane, unit hessian
-  private val quantileAlphas: Array[Double] =
-    if (params.objective == "reg:quantileerror") params.quantileAlphas else Array.empty
-  private val multiQuantile = quantileAlphas.length >= 2
-  require(!multiQuantile || quantileAlphas.length == numTargets,
-    s"quantileAlphas has ${quantileAlphas.length} entries but numTargets is $numTargets")
-  require(quantileAlphas.forall(a => a > 0 && a < 1), "quantile alphas must lie in (0, 1)")
+  import graft.objective.{ElementwiseMultiObjective, MultiObjective, MultiQuantileObjective, Objective, SoftmaxMultiObjective}
+
+  private val mobj: MultiObjective = customObj.getOrElse {
+    params.objective match {
+      case "multi:softprob" | "multi:softmax" => new SoftmaxMultiObjective(numTargets)
+      case "reg:quantileerror" if params.quantileAlphas.length >= 2 =>
+        new MultiQuantileObjective(params.quantileAlphas)
+      case name =>
+        new ElementwiseMultiObjective(Objective(name,
+          maxDeltaStep = if (params.maxDeltaStep > 0) params.maxDeltaStep else 0.7,
+          rho = params.tweedieVariancePower, delta = params.pseudoHuberSlope,
+          scalePosWeight = params.scalePosWeight), numTargets)
+    }
+  }
+  require(mobj.numTargets == numTargets,
+    s"objective ${mobj.name} has ${mobj.numTargets} lanes but numTargets is $numTargets")
 
   /** data: (features, labels — K targets or a class index, weight). */
   def fit(dataIn: RDD[(Array[Double], Array[Double], Double)]): BoosterModel = {
@@ -63,30 +74,24 @@ final class MultiTargetTrainer(params: TrainParams, numTargets: Int) extends Ser
     }.persist(StorageLevel.MEMORY_AND_DISK)
     binned.count()
 
-    // base score per target (weighted mean for regression; 0 for softmax)
-    val base: Array[Double] =
-      if (softprob) new Array[Double](K)
-      else if (multiQuantile) {
-        // every alpha lane starts at the weighted label mean; the pinball
-        // gradients pull each lane to its own quantile from there
-        val (sum, sw) = graft.Agg.aggregate(binned)((0.0, 0.0))(
-          { case ((s, c), (_, ys, w)) => (s + w * ys(0), c + w) },
-          { case ((a, ca), (b, cb)) => (a + b, ca + cb) })
-        Array.fill(K)(sum / math.max(sw, 1e-16))
-      } else {
-        val (sums, sw) = graft.Agg.aggregate(binned)((new Array[Double](K), 0.0))(
-          { case ((s, c), (_, ys, w)) =>
-            var k = 0
-            while (k < K) { s(k) += w * ys(k); k += 1 }
-            (s, c + w)
-          },
-          { case ((a, ca), (b, cb)) =>
-            var k = 0
-            while (k < K) { a(k) += b(k); k += 1 }
-            (a, ca + cb)
-          })
-        sums.map(_ / math.max(sw, 1e-16))
-      }
+    // base score per target: per-lane weighted label means through the
+    // objective's link (ref FitStump per target; scalar-label objectives
+    // share ys(0) across lanes)
+    val base: Array[Double] = {
+      val scalarLab = mobj.scalarLabel
+      val (sums, sw) = graft.Agg.aggregate(binned)((new Array[Double](K), 0.0))(
+        { case ((s, c), (_, ys, w)) =>
+          var k = 0
+          while (k < K) { s(k) += w * ys(if (scalarLab) 0 else k); k += 1 }
+          (s, c + w)
+        },
+        { case ((a, ca), (b, cb)) =>
+          var k = 0
+          while (k < K) { a(k) += b(k); k += 1 }
+          (a, ca + cb)
+        })
+      mobj.baseScore(sums.map(_ / math.max(sw, 1e-16)))
+    }
 
     var margins: RDD[Array[Double]] = binned.map(_ => base.clone())
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -96,8 +101,11 @@ final class MultiTargetTrainer(params: TrainParams, numTargets: Int) extends Ser
     var iter = 0
     while (iter < params.numRounds) {
       // per-row 2K gradient vector at current margins, once per iteration
+      val obj = mobj
       val grads = binned.zip(margins).map { case ((_, ys, w), m) =>
-        gradientVector(ys, m, w, K)
+        val out = new Array[Double](2 * K)
+        obj.gradient(ys, m, w, out)
+        out
       }.persist(StorageLevel.MEMORY_AND_DISK)
       grads.count()
 
@@ -123,44 +131,6 @@ final class MultiTargetTrainer(params: TrainParams, numTargets: Int) extends Ser
     binned.unpersist(blocking = false)
     BoosterModel(trees.toArray, Array.fill(trees.length)(params.eta),
       new Array[Int](trees.length), base, params.objective, K, nf)
-  }
-
-  private def gradientVector(ys: Array[Double], m: Array[Double], w: Double,
-      K: Int): Array[Double] = {
-    val out = new Array[Double](2 * K)
-    if (softprob) { // multiclass: ys(0) = class index
-      var mx = m(0); var k = 1
-      while (k < K) { if (m(k) > mx) mx = m(k); k += 1 }
-      var s = 0.0
-      k = 0
-      while (k < K) { s += math.exp(m(k) - mx); k += 1 }
-      val label = ys(0).toInt
-      k = 0
-      while (k < K) {
-        val p = math.exp(m(k) - mx) / s
-        out(2 * k) = w * (p - (if (k == label) 1.0 else 0.0))
-        out(2 * k + 1) = w * math.max(2.0 * p * (1.0 - p), 1e-16)
-        k += 1
-      }
-    } else if (quantileAlphas.nonEmpty) { // multi-quantile: pinball per lane
-      val y = ys(0)
-      var k = 0
-      while (k < K) {
-        // dL/dm of the pinball loss: −alpha when under-predicting, 1−alpha
-        // when over-predicting; unit hessian (quantile_obj.cu:60-76)
-        out(2 * k) = w * (if (y > m(k)) -quantileAlphas(k) else 1.0 - quantileAlphas(k))
-        out(2 * k + 1) = w
-        k += 1
-      }
-    } else { // vector squared error
-      var k = 0
-      while (k < K) {
-        out(2 * k) = w * (m(k) - ys(k))
-        out(2 * k + 1) = w
-        k += 1
-      }
-    }
-    out
   }
 
   /** Bin-space vector-leaf tree shape. */

@@ -109,4 +109,69 @@ class MultiTargetSpec extends AnyFunSuite {
     assert(rt.numGroups == 3)
     assert(rt.margin(Array(2.0)).toSeq == q.toSeq)
   }
+
+  test("elementwise lift: binary:logistic over two independent label lanes") {
+    // lane0 = 1{x0 > 0}, lane1 = 1{x1 > 0} with noise: a multi-output tree
+    // with per-lane logistic gradients should recover both decision rules
+    val rng = new scala.util.Random(29)
+    val rows = (0 until 4000).map { _ =>
+      val x = Array(rng.nextGaussian(), rng.nextGaussian())
+      def lab(v: Double) =
+        if (rng.nextDouble() < 0.05) 1.0 - (if (v > 0) 1.0 else 0.0)
+        else if (v > 0) 1.0 else 0.0
+      (x, Array(lab(x(0)), lab(x(1))), 1.0)
+    }
+    val m = new MultiTargetTrainer(TrainParams(objective = "binary:logistic",
+      numRounds = 10, maxDepth = 3, eta = 0.5, maxBin = 32), numTargets = 2)
+      .fit(sc.parallelize(rows, 4))
+    def sigmoid(z: Double) = 1.0 / (1.0 + math.exp(-z))
+    val acc = Array(0, 0)
+    rows.foreach { case (x, ys, _) =>
+      val p = m.margin(x)
+      if ((sigmoid(p(0)) > 0.5) == (ys(0) > 0.5)) acc(0) += 1
+      if ((sigmoid(p(1)) > 0.5) == (ys(1) > 0.5)) acc(1) += 1
+    }
+    assert(acc(0).toDouble / rows.size > 0.9, s"lane0 acc ${acc(0).toDouble / rows.size}")
+    assert(acc(1).toDouble / rows.size > 0.9, s"lane1 acc ${acc(1).toDouble / rows.size}")
+  }
+
+  test("custom MultiObjective plugs into the trainer") {
+    // asymmetric per-lane squared error: lane 1 penalizes over-prediction 3x
+    val custom = new graft.objective.MultiObjective {
+      val numTargets = 2
+      val name = "custom:asym"
+      def gradient(ys: Array[Double], m: Array[Double], w: Double, out: Array[Double]): Unit = {
+        var k = 0
+        while (k < 2) {
+          val scale = if (k == 1 && m(k) > ys(k)) 3.0 else 1.0
+          out(2 * k) = w * scale * (m(k) - ys(k))
+          out(2 * k + 1) = w * scale
+          k += 1
+        }
+      }
+      def baseScore(laneMeans: Array[Double]): Array[Double] = laneMeans.clone()
+    }
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 2000).map { _ =>
+      val x = Array(rng.nextGaussian())
+      (x, Array(2.0 * x(0), -x(0)), 1.0)
+    }
+    val m = graft.api.XGBoost.trainMulti(sc.parallelize(rows, 3),
+      TrainParams(numRounds = 6, maxDepth = 3, eta = 0.5, maxBin = 32),
+      numTargets = 2, customObj = Some(custom))
+    var rmse0 = 0.0
+    rows.foreach { case (x, ys, _) => rmse0 += math.pow(m.margin(x)(0) - ys(0), 2) / rows.size }
+    assert(math.sqrt(rmse0) < 0.8, s"custom-objective fit rmse ${math.sqrt(rmse0)}")
+  }
+
+  test("non-elementwise objectives are rejected with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      new MultiTargetTrainer(TrainParams(objective = "survival:aft"), numTargets = 2)
+    }
+    assert(e.getMessage.contains("interval"))
+    val e2 = intercept[IllegalArgumentException] {
+      new MultiTargetTrainer(TrainParams(objective = "rank:ndcg"), numTargets = 2)
+    }
+    assert(e2.getMessage.contains("whole-group"))
+  }
 }
