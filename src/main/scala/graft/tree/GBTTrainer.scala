@@ -456,17 +456,21 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       case 0 => math.max(data.getNumPartitions, 1)
       case n => math.max(n, 1)
     }
-    val grouped = data.map { case (f, y, w, q) => (q, (f, y, w)) }
+    // The qid co-partitioning shuffle runs once; BOTH passes below re-read
+    // its shuffle files (no intermediate persist — caching the pre-binned
+    // tuple rows was measured pure heap pressure). The sketch pass needs no
+    // qid order, so the in-partition sort happens once, fused into the
+    // binned-cache build.
+    val parts = data.map { case (f, y, w, q) => (q, (f, y, w)) }
       .partitionBy(new org.apache.spark.HashPartitioner(nParts))
-      .mapPartitions(it => it.toArray.sortBy(_._1).iterator, preservesPartitioning = true)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val cuts = findCuts(grouped.map { case (_, (f, y, w)) => (f, y, w) })
+    val cuts = findCuts(parts.map { case (_, (f, y, w)) => (f, y, w) })
     val numFeatures = cuts.numFeatures
-    val binned = grouped.zipWithUniqueId().map { case ((q, (f, y, w)), id) =>
-      BInst(cuts.binRow(f), y, w, id, qid = q)
-    }.persist(StorageLevel.MEMORY_AND_DISK)
+    val binned = parts
+      .mapPartitions(it => it.toArray.sortBy(_._1).iterator, preservesPartitioning = true)
+      .zipWithUniqueId().map { case ((q, (f, y, w)), id) =>
+        BInst(cuts.binRow(f), y, w, id, qid = q)
+      }.persist(StorageLevel.MEMORY_AND_DISK)
     binned.count()
-    grouped.unpersist(blocking = false)
     val model = fitBinned(binned, cuts, numFeatures)
     binned.unpersist(blocking = false)
     model
