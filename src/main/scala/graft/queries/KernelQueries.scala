@@ -3,11 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.data.HistogramCuts
+import graft.data.{Binning, HistogramCuts}
 import graft.model.{BoosterModel, Node, Tree}
-import graft.objective.Objective
+import graft.objective.{CoxGradients, LambdaRankGradients, LambdaRankObjective, Objective}
 import graft.predict.Predictor
-import graft.tree.{GBTTrainer, TrainParams}
+import graft.tree.{BInst, GBTTrainer, TrainParams}
 
 /** Oracle-verified TRAINING-KERNEL queries — each converts a trainer
   * internal from "test-only" evidence to a DuckDB hash-match row by picking
@@ -110,6 +110,84 @@ object KernelQueries {
       (0 until 50).map(b => (b.toLong, hist(3 * b), hist(3 * b + 1),
         hist(3 * b + 2).toLong))
         .toDF("bin", "sum_g", "sum_h", "n").orderBy("bin")
+    }),
+
+    // distributed weighted-quantile sketch → cut boundaries. Fixture
+    // exactness: both features have far fewer distinct values (50 / 7)
+    // than the sketch budget (512 for maxBin 64), so merge/prune never
+    // approximates and every rank is an exact integer-valued double; the
+    // query points tw·b/64 are exact too (64 is a power of two). The
+    // oracle replays query(d) = min value with cumulative count ≥ d.
+    "q_sketch_cuts" -> ((s, dir) => {
+      val rdd = CoreQueries.table(s, dir, "lineitem").select(
+        col("l_quantity").cast("double"), col("l_linenumber").cast("double"))
+        .rdd.map(r => (Array(r.getDouble(0), r.getDouble(1)), 1.0))
+      val cuts = Binning.findCuts(rdd, 0, maxBin = 64)
+      import s.implicits._
+      cuts.cuts.zipWithIndex.flatMap { case (c, f) =>
+        c.zipWithIndex.map { case (v, b) => (f.toLong, b.toLong, v) }
+      }.toSeq.toDF("feature", "bin", "cut").orderBy("feature", "bin")
+    }),
+
+    // survival:cox risk-set gradient kernel (CoxGradients: 3-pass
+    // partition-prefix sweep with cross-partition tie stitching) vs a
+    // window-cumsum oracle. Margin 0 ⇒ exp = 1 exactly, so risk sums are
+    // exact integer-valued doubles and the only float chain is the ≤ ~50
+    // sequential R/S accumulations — identical on both engines. The
+    // distributed machinery under test (range sort, partition stitching,
+    // Breslow tie groups, ownership) is fully exercised; the exp link is
+    // covered by m_cox_nloglik.
+    "q_cox_grad" -> ((s, dir) => {
+      val rows = CoreQueries.table(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 4 === 0, -floor(col("l_quantity")))
+          .otherwise(floor(col("l_quantity"))).cast("double").as("y"))
+        .rdd.map(r => BInst(Array.emptyIntArray, r.getDouble(0), 1.0, 0L))
+      // persisted like the trainer's cox path: the range sort's TIE order
+      // is fetch-dependent, so re-evaluations could misalign the zip below
+      val sorted = rows.sortBy(r => math.abs(r.label))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gh = CoxGradients.compute(sorted, sorted.map(_ => Array(0.0)))
+      import s.implicits._
+      sorted.zip(gh).map { case (r, a) => (r.label.toLong, a(0), a(1)) }
+        .toDF("y", "g", "h")
+        .select(col("y"), round(col("g"), 6).as("g"), round(col("h"), 6).as("h"))
+        .groupBy("y", "g", "h").agg(count(lit(1)).as("n"))
+        .orderBy("y", "g", "h")
+    }),
+
+    // rank:ndcg λ-gradient kernel (LambdaRankGradients, pair_method=all)
+    // vs a pairwise-join oracle: 4 bounded groups, strictly distinct
+    // in-group scores (unique key mod a prime ≫ group stride) so both
+    // engines derive the identical ranking, ΔNDCG and σ terms per pair.
+    "q_rank_grad" -> ((s, dir) => {
+      // DISTINCT: the synthetic lineitem repeats (orderkey, linenumber)
+      // pairs, which would alias keys and tie the ranking scores
+      val base = CoreQueries.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 1000 < 4)
+        .select((col("l_orderkey") % 1000).as("q"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("key"),
+          ((col("l_orderkey") * 8 + col("l_linenumber")) % 9973 / lit(9973.0)).as("p"),
+          (col("l_linenumber") % 4).cast("double").as("rel"))
+        .distinct()
+      // deterministic total order (q, key) ⇒ the two lineages below zip
+      // consistently even if the shuffle is re-read
+      val paired = base.rdd
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .partitionBy(new org.apache.spark.HashPartitioner(8))
+        .mapPartitions(_.toArray.sortBy(t => (t._1, t._2._1)).iterator,
+          preservesPartitioning = true)
+        .map { case (q, (key, p, rel)) =>
+          (BInst(Array.emptyIntArray, rel, 1.0, key, qid = q), p)
+        }
+      val gh = LambdaRankGradients.compute(paired.map(_._1),
+        paired.map(t => Array(t._2)),
+        new LambdaRankObjective("ndcg", pairMethod = "all"))
+      import s.implicits._
+      paired.map(_._1.rowId).zip(gh).map { case (key, a) => (key, a(0), a(1)) }
+        .toDF("key", "g", "h")
+        .select(col("key"), (round(col("g"), 5) + lit(0.0)).as("g"),
+          round(col("h"), 5).as("h"))
+        .orderBy("key")
     })
   )
 
@@ -155,6 +233,80 @@ object KernelQueries {
         |  0.5 * count(*) - sum(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END) AS sum_g,
         |  0.25 * count(*) AS sum_h,
         |  count(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // query(d) = min value whose exact cumulative count ≥ d, for the 63
+    // quantile points, deduplicated, plus the max value (cutsFromSummary)
+    "q_sketch_cuts" ->
+      """WITH vals AS (
+        |  SELECT 0 AS f, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 1, CAST(l_linenumber AS DOUBLE) FROM lineitem),
+        |counts AS (SELECT f, v, CAST(count(*) AS DOUBLE) AS c FROM vals GROUP BY f, v),
+        |cum AS (SELECT f, v, sum(c) OVER (PARTITION BY f ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax FROM counts),
+        |tw AS (SELECT f, CAST(count(*) AS DOUBLE) AS t FROM vals GROUP BY f),
+        |qpts AS (SELECT tw.f AS f, tw.t * r.b / 64 AS d FROM tw, range(1, 64) r(b)),
+        |hits AS (SELECT q.f AS f, min(c.v) AS v FROM qpts q
+        |  JOIN cum c ON c.f = q.f AND c.rmax >= q.d GROUP BY q.f, q.d),
+        |allcuts AS (SELECT DISTINCT f, v FROM
+        |  (SELECT * FROM hits UNION ALL SELECT f, max(v) FROM counts GROUP BY f))
+        |SELECT CAST(f AS BIGINT) AS feature,
+        |  CAST(row_number() OVER (PARTITION BY f ORDER BY v) - 1 AS BIGINT) AS bin,
+        |  v AS cut
+        |FROM allcuts ORDER BY feature, bin""".stripMargin,
+
+    // value-based Breslow risk sets at margin 0 (exp = 1): riskSum(v) =
+    // #rows with |y| ≥ v; R/S are the ascending prefix sums of
+    // nEvents/riskSum (and /riskSum²); g = R − 1{event}, h = R − S
+    "q_cox_grad" ->
+      """WITH s AS (SELECT CASE WHEN l_orderkey % 4 = 0 THEN -floor(l_quantity)
+        |    ELSE floor(l_quantity) END AS y FROM lineitem),
+        |byv AS (SELECT abs(y) AS v, CAST(count(*) AS DOUBLE) AS se,
+        |  CAST(sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS ne FROM s GROUP BY 1),
+        |c AS (SELECT v, ne, sum(se) OVER (ORDER BY v DESC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS risk FROM byv),
+        |r AS (SELECT v,
+        |  sum(ne / risk) OVER (ORDER BY v ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigr,
+        |  sum(ne / (risk * risk)) OVER (ORDER BY v ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigs FROM c)
+        |SELECT CAST(s.y AS BIGINT) AS y,
+        |  round(bigr - CASE WHEN s.y > 0 THEN 1.0 ELSE 0.0 END, 6) AS g,
+        |  round(greatest(bigr - bigs, 1e-16), 6) AS h,
+        |  count(*) AS n
+        |FROM s JOIN r ON abs(s.y) = r.v
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // all-pairs ΔNDCG·σ λ-gradients over 4 bounded groups; the join
+    // mirrors contribute(): d = |Δgain·Δdisc|·(1/idcg), ρ = σ(−(p_i−p_j)),
+    // per-pair hessian clamp, then per-row signed sums
+    "q_rank_grad" ->
+      """WITH rows_ AS (
+        |  SELECT DISTINCT l_orderkey % 1000 AS q, l_orderkey * 8 + l_linenumber AS key,
+        |    (l_orderkey * 8 + l_linenumber) % 9973 / 9973.0 AS p,
+        |    CAST(l_linenumber % 4 AS DOUBLE) AS rel
+        |  FROM lineitem WHERE l_orderkey % 1000 < 4),
+        |ranked AS (SELECT q, key, p, rel,
+        |  row_number() OVER (PARTITION BY q ORDER BY p DESC) AS rk FROM rows_),
+        |idcg AS (SELECT q, 1.0 / sum((pow(2.0, rel) - 1.0) / (ln(irk + 1.0) / ln(2.0))) AS inv FROM (
+        |  SELECT q, rel, row_number() OVER (PARTITION BY q ORDER BY rel DESC) AS irk
+        |  FROM rows_) GROUP BY q),
+        |pairs AS (
+        |  SELECT a.q AS q, a.key AS ki, b.key AS kj,
+        |    abs((pow(2.0, a.rel) - pow(2.0, b.rel)) *
+        |        (1.0/(ln(a.rk + 1.0)/ln(2.0)) - 1.0/(ln(b.rk + 1.0)/ln(2.0)))) * i.inv AS d,
+        |    1.0 / (1.0 + exp(a.p - b.p)) AS rho
+        |  FROM ranked a JOIN ranked b ON a.q = b.q AND a.rel > b.rel
+        |  JOIN idcg i ON i.q = a.q),
+        |contrib AS (
+        |  SELECT ki AS key, -d * rho AS cg,
+        |    greatest(d * rho * (1.0 - rho), 1e-16) AS chh FROM pairs
+        |  UNION ALL
+        |  SELECT kj, d * rho, greatest(d * rho * (1.0 - rho), 1e-16) FROM pairs)
+        |SELECT r.key AS key,
+        |  round(coalesce(sum(cg), 0.0), 5) + 0.0 AS g,
+        |  round(greatest(coalesce(sum(chh), 0.0), 1e-16), 5) AS h
+        |FROM rows_ r LEFT JOIN contrib c ON c.key = r.key
+        |GROUP BY r.key ORDER BY r.key""".stripMargin
   )
 }
