@@ -128,12 +128,18 @@ final case class BoosterModel(
   }
 
   def toJson: String = BoosterModel.toJson(this)
+
+  /** Export in the reference's native JSON model schema ([[XGBoostJson]]). */
+  def toXGBoostJson: String = XGBoostJson.toXGBoostJson(this)
 }
 
 /** JSON model IO (schema inspired by the reference's JSON model,
   * `tree_model.h:272`, but flattened for clarity; versioned). */
 object BoosterModel {
   private implicit val fmt: Formats = DefaultFormats
+
+  /** Load a model saved by the reference runtime ([[XGBoostJson]]). */
+  def fromXGBoostJson(s: String): BoosterModel = XGBoostJson.fromXGBoostJson(s)
 
   def toJson(m: BoosterModel): String = {
     val trees = m.trees.map { t =>

@@ -1,0 +1,208 @@
+package graft.model
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Interop with the reference's native JSON model format (the schema
+  * written by `Learner::SaveModel` — `src/learner.cc:955-985`, trees
+  * `src/tree/tree_model.cc:1226` with the field names of
+  * `src/tree/io_utils.h:50-63`, booster layout
+  * `src/gbm/gbtree_model.cc:51-85`). A user switching engines can load an
+  * existing xgboost-trained model here (`fromXGBoostJson`) and score it
+  * with the codegen predictors, or export a graft-trained booster for the
+  * reference runtime (`toXGBoostJson`).
+  *
+  * Split-comparison semantics: the reference routes LEFT on
+  * `value < split_condition`; graft routes LEFT on `value <= threshold`.
+  * In double space these convert EXACTLY: importing uses
+  * `threshold = nextDown(cond)` (v <= nextDown(c) ⟺ v < c) and exporting
+  * uses `cond = nextUp(threshold)`, so import→export→import is the
+  * identity. Caveat: the reference compares in float32, so feature values
+  * that straddle a float32 rounding boundary of the condition can differ —
+  * inherent to any float-to-double engine migration, and absent when
+  * features themselves are float-representable.
+  *
+  * Scope: gbtree and dart boosters with scalar-leaf numerical trees
+  * (including one-tree-per-class multiclass via `tree_info`). Categorical
+  * splits and `multi_strategy=multi_output_tree` layouts raise a
+  * descriptive error rather than mis-importing.
+  */
+object XGBoostJson {
+  private implicit val fmt: Formats = DefaultFormats
+
+  // ---- import --------------------------------------------------------------
+
+  def fromXGBoostJson(s: String): BoosterModel = {
+    val j = JsonMethods.parse(s)
+    val learner = j \ "learner"
+    require(learner != JNothing, "not an xgboost model JSON: missing 'learner'")
+    val lmp = learner \ "learner_model_param"
+    def lmpStr(k: String, dflt: String): String =
+      (lmp \ k) match { case JString(v) => v; case _ => dflt }
+    val numFeatures = lmpStr("num_feature", "0").toInt
+    val numClass = lmpStr("num_class", "0").toInt
+    val numTarget = lmpStr("num_target", "1").toInt
+    require(numTarget <= 1,
+      s"num_target=$numTarget: multi-target reference models are not importable " +
+        "(different tree layout); train via XGBoost.trainMulti instead")
+    val numGroups = math.max(numClass, 1)
+
+    val objName = (learner \ "objective" \ "name") match {
+      case JString(n) => n
+      case _ => "reg:squarederror"
+    }
+
+    val gb = learner \ "gradient_booster"
+    val boosterName = (gb \ "name").extract[String]
+    require(boosterName == "gbtree" || boosterName == "dart",
+      s"unsupported booster '$boosterName' (gbtree/dart only; gblinear models " +
+        "have no trees to import)")
+    // dart nests the gbtree payload one level down (gbtree.cc:451)
+    val model = if (boosterName == "dart") gb \ "gbtree" \ "model" else gb \ "model"
+    require(model != JNothing, "malformed model: missing gradient_booster model")
+
+    val treesJson = (model \ "trees").extract[List[JValue]]
+    val treeInfo = (model \ "tree_info").extract[List[Int]].toArray
+    val weightDrop = (model \ "weight_drop") match {
+      case JArray(ws) => ws.map(_.extract[Double]).toArray
+      case _ => Array.empty[Double]
+    }
+
+    val trees = treesJson.map(parseTree).toArray
+    val treeWeights =
+      if (weightDrop.nonEmpty) {
+        require(weightDrop.length == trees.length, "weight_drop/trees length mismatch")
+        weightDrop
+      } else Array.fill(trees.length)(1.0)
+
+    // base_score is stored in the objective's OUTPUT space; the margin the
+    // trees start from is ProbToMargin(base_score) (learner.cc:152)
+    val bs = lmpStr("base_score", "0.5").toDouble
+    val baseMargin =
+      try graft.objective.Objective(objName).probToMargin(bs)
+      catch { case _: Throwable => bs } // unknown objective: take it as margin
+
+    BoosterModel(trees, treeWeights,
+      if (treeInfo.length == trees.length) treeInfo else new Array[Int](trees.length),
+      Array.fill(numGroups)(baseMargin), objName, numGroups, numFeatures)
+  }
+
+  private def parseTree(tj: JValue): Tree = {
+    def ints(k: String): Array[Int] = (tj \ k).extract[List[Int]].toArray
+    def nums(k: String): Array[Double] = (tj \ k) match {
+      case JArray(vs) => vs.map {
+        case JDouble(d) => d
+        case JInt(i) => i.toDouble
+        case JDecimal(d) => d.toDouble
+        case other => throw new IllegalArgumentException(s"bad number in $k: $other")
+      }.toArray
+      case _ => throw new IllegalArgumentException(s"missing tree array '$k'")
+    }
+    val lefts = ints("left_children")
+    val rights = ints("right_children")
+    val splitIdx = ints("split_indices")
+    val conds = nums("split_conditions")
+    val dftLeft = nums("default_left").map(_ != 0.0)
+    val sumHess = nums("sum_hessian")
+    val lossChg = nums("loss_changes")
+    val n = lefts.length
+    require(Seq(rights, splitIdx, conds, dftLeft, sumHess, lossChg).forall(_.length == n),
+      "inconsistent tree array lengths")
+    (tj \ "categories_nodes") match {
+      case JArray(cn) if cn.nonEmpty =>
+        throw new IllegalArgumentException(
+          "categorical splits in reference JSON are not importable yet; " +
+            "re-train with graft's catFeatures for categorical support")
+      case _ =>
+    }
+    Tree(Array.tabulate(n) { i =>
+      if (lefts(i) == -1) // leaf: split_conditions holds the leaf value
+        Node(feature = -1, threshold = 0.0, defaultLeft = true, left = -1, right = -1,
+          leaf = Array(conds(i)), gain = lossChg(i), sumHess = sumHess(i),
+          categoriesRight = Array.empty)
+      else
+        Node(feature = splitIdx(i),
+          // ref routes left on v < cond; ours on v <= threshold — exact in doubles
+          threshold = Math.nextDown(conds(i)),
+          defaultLeft = dftLeft(i), left = lefts(i), right = rights(i),
+          leaf = Array.empty, gain = lossChg(i), sumHess = sumHess(i),
+          categoriesRight = Array.empty)
+    })
+  }
+
+  // ---- export --------------------------------------------------------------
+
+  def toXGBoostJson(m: BoosterModel): String = {
+    require(m.trees.forall(_.nodes.forall(n => n.isLeaf || n.categoriesRight.isEmpty)),
+      "categorical splits are not exportable to the reference JSON yet")
+    require(m.trees.forall(_.nodes.forall(n => !n.isLeaf || n.leaf.length == 1)),
+      "vector-leaf (multi-target) trees use a different reference layout; not exportable")
+
+    val treesJson = m.trees.zipWithIndex.map { case (t, ti) =>
+      val n = t.nodes.length
+      val parents = Array.fill(n)(-1)
+      t.nodes.zipWithIndex.foreach { case (node, i) =>
+        if (!node.isLeaf) { parents(node.left) = i; parents(node.right) = i }
+      }
+      val w = m.treeWeights(ti) // fold the tree weight into the leaf values
+      JObject(
+        "tree_param" -> JObject(
+          "num_nodes" -> JString(n.toString),
+          "num_feature" -> JString(m.numFeatures.toString),
+          "size_leaf_vector" -> JString("1")),
+        "id" -> JInt(ti),
+        "loss_changes" -> JArray(t.nodes.map(x => JDouble(x.gain)).toList),
+        "sum_hessian" -> JArray(t.nodes.map(x => JDouble(x.sumHess)).toList),
+        "base_weights" -> JArray(t.nodes.map(x =>
+          JDouble(if (x.isLeaf) x.leaf(0) * w else 0.0)).toList),
+        "left_children" -> JArray(t.nodes.map(x => JInt(if (x.isLeaf) -1 else x.left)).toList),
+        "right_children" -> JArray(t.nodes.map(x => JInt(if (x.isLeaf) -1 else x.right)).toList),
+        "parents" -> JArray(parents.map(p => JInt(BigInt(p))).toList),
+        "split_indices" -> JArray(t.nodes.map(x =>
+          JInt(BigInt(if (x.isLeaf) 0 else x.feature))).toList),
+        "split_conditions" -> JArray(t.nodes.map(x =>
+          JDouble(if (x.isLeaf) x.leaf(0) * w else Math.nextUp(x.threshold))).toList),
+        "default_left" -> JArray(t.nodes.map(x =>
+          JInt(if (!x.isLeaf && x.defaultLeft) 1 else 0)).toList),
+        "split_type" -> JArray(List.fill(n)(JInt(0))),
+        "categories" -> JArray(Nil),
+        "categories_nodes" -> JArray(Nil),
+        "categories_segments" -> JArray(Nil),
+        "categories_sizes" -> JArray(Nil))
+    }
+    val iters = if (m.numGroups > 0) m.trees.length / math.max(m.numGroups, 1) else m.trees.length
+    val indptr = (0 to math.max(iters, 0)).map(i => JInt(BigInt(i * math.max(m.numGroups, 1))))
+    val root = JObject(
+      "version" -> JArray(List(JInt(3), JInt(0), JInt(0))),
+      "learner" -> JObject(
+        "learner_model_param" -> JObject(
+          "base_score" -> JString(marginToOutput(m.objective, m.baseScore(0)).toString),
+          "num_feature" -> JString(m.numFeatures.toString),
+          "num_class" -> JString((if (m.numGroups > 1) m.numGroups else 0).toString),
+          "num_target" -> JString("1"),
+          "boost_from_average" -> JString("1")),
+        "gradient_booster" -> JObject(
+          "name" -> JString("gbtree"),
+          "model" -> JObject(
+            "gbtree_model_param" -> JObject(
+              "num_trees" -> JString(m.trees.length.toString),
+              "num_parallel_tree" -> JString("1")),
+            "trees" -> JArray(treesJson.toList),
+            "tree_info" -> JArray(m.treeGroup.map(g => JInt(BigInt(g))).toList),
+            "iteration_indptr" -> JArray(indptr.toList))),
+        "objective" -> JObject("name" -> JString(m.objective)),
+        "attributes" -> JObject(),
+        "feature_names" -> JArray(Nil),
+        "feature_types" -> JArray(Nil)))
+    JsonMethods.compact(JsonMethods.render(root))
+  }
+
+  /** Inverse of the objective link for base_score export (the reference
+    * stores base_score in output space and re-applies ProbToMargin on
+    * load). */
+  private def marginToOutput(objective: String, margin: Double): Double = objective match {
+    case "binary:logistic" | "reg:logistic" => 1.0 / (1.0 + math.exp(-margin))
+    case "count:poisson" | "reg:gamma" | "reg:tweedie" => math.exp(margin)
+    case _ => margin
+  }
+}
