@@ -205,4 +205,58 @@ object XGBoostJson {
     case "count:poisson" | "reg:gamma" | "reg:tweedie" => math.exp(margin)
     case _ => margin
   }
+
+  // ---- gblinear ------------------------------------------------------------
+
+  /** Import a reference gblinear model (`src/gbm/gblinear_model.cc:10-18`:
+    * one flat `weights` array laid out `[feature × group]` with the bias
+    * appended; single output group supported here). */
+  def linearFromXGBoostJson(s: String): graft.linear.LinearModel = {
+    val j = JsonMethods.parse(s)
+    val learner = j \ "learner"
+    require(learner != JNothing, "not an xgboost model JSON: missing 'learner'")
+    val gb = learner \ "gradient_booster"
+    require((gb \ "name").extract[String] == "gblinear",
+      "not a gblinear model; use fromXGBoostJson for tree boosters")
+    val lmp = learner \ "learner_model_param"
+    def lmpStr(k: String, dflt: String): String =
+      (lmp \ k) match { case JString(v) => v; case _ => dflt }
+    val nf = lmpStr("num_feature", "0").toInt
+    val numClass = lmpStr("num_class", "0").toInt
+    require(numClass <= 1, s"multiclass gblinear (num_class=$numClass) not supported")
+    val objName = (learner \ "objective" \ "name") match {
+      case JString(n) => n
+      case _ => "reg:squarederror"
+    }
+    val all = (gb \ "model" \ "weights").extract[List[Double]].toArray
+    require(all.length == nf + 1,
+      s"weights length ${all.length} != num_feature $nf + 1 bias")
+    val bs = lmpStr("base_score", "0.5").toDouble
+    val baseMargin =
+      try graft.objective.Objective(objName).probToMargin(bs)
+      catch { case _: Throwable => bs }
+    graft.linear.LinearModel(all.take(nf), all(nf), baseMargin, objName, nf)
+  }
+
+  /** Export a graft gblinear model in the reference schema. */
+  def toXGBoostJson(lm: graft.linear.LinearModel): String = {
+    val root = JObject(
+      "version" -> JArray(List(JInt(3), JInt(0), JInt(0))),
+      "learner" -> JObject(
+        "learner_model_param" -> JObject(
+          "base_score" -> JString(marginToOutput(lm.objective, lm.baseScore).toString),
+          "num_feature" -> JString(lm.numFeatures.toString),
+          "num_class" -> JString("0"),
+          "num_target" -> JString("1")),
+        "gradient_booster" -> JObject(
+          "name" -> JString("gblinear"),
+          "model" -> JObject(
+            "weights" -> JArray((lm.weights :+ lm.bias).map(JDouble(_)).toList),
+            "boosted_rounds" -> JInt(1))),
+        "objective" -> JObject("name" -> JString(lm.objective)),
+        "attributes" -> JObject(),
+        "feature_names" -> JArray(Nil),
+        "feature_types" -> JArray(Nil)))
+    JsonMethods.compact(JsonMethods.render(root))
+  }
 }

@@ -89,6 +89,18 @@ class XGBoostJsonSpec extends AnyFunSuite {
     }
   }
 
+  test("gblinear roundtrip preserves weights, bias, and base margin") {
+    val lm = graft.linear.LinearModel(Array(0.5, -1.25), bias = 0.75,
+      baseScore = 0.2, objective = "reg:squarederror", numFeatures = 2)
+    val rt = XGBoostJson.linearFromXGBoostJson(XGBoostJson.toXGBoostJson(lm))
+    assert(rt.weights.toSeq == lm.weights.toSeq && rt.bias == lm.bias)
+    assert(math.abs(rt.margin(Array(2.0, 1.0)) - lm.margin(Array(2.0, 1.0))) < 1e-12)
+    // logistic link roundtrips through output space
+    val lml = lm.copy(objective = "binary:logistic", baseScore = 0.4)
+    val rtl = XGBoostJson.linearFromXGBoostJson(XGBoostJson.toXGBoostJson(lml))
+    assert(math.abs(rtl.baseScore - 0.4) < 1e-12)
+  }
+
   test("scope errors are descriptive") {
     val multiTarget = refJson.replace(""""num_target":"1"""", """"num_target":"3"""")
     val e1 = intercept[IllegalArgumentException](XGBoostJson.fromXGBoostJson(multiTarget))
