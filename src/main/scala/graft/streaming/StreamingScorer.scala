@@ -99,3 +99,41 @@ object StreamingSessionizer {
         })(stateEnc, updEnc)
   }
 }
+
+/** Streaming ingestion gate for a continuous document feed — the
+  * LLM-data-pipeline operators ([[graft.ext.TextOps]] quality/language
+  * heuristics, content-hash exact dedup) applied at the `readStream`
+  * boundary, where a 100 TB corpus actually arrives. The SAME batch column
+  * expressions evaluate inside the micro-batch plan (no forked logic to
+  * drift), and dedup state is Spark's watermark-scoped duplicate store
+  * keyed by the content hash — partitioned exactly like the batch
+  * `Dedup.exactDedup` hash-groupBy, with the watermark bounding state
+  * instead of unbounded history (the streaming-correct trade: duplicates
+  * farther apart than the watermark pass through and are caught by the
+  * periodic batch dedup sweep).
+  */
+object StreamingIngest {
+  import graft.ext.TextOps
+
+  /** Gate + dedup a streaming document feed. Emits the surviving rows with
+    * their `content_hash`, `n_tokens`, `quality`, `en_ratio` columns.
+    *
+    * docs: streaming DataFrame with event-time `tsCol` and text `textCol`.
+    * The quality/language thresholds mirror the batch `p_quality` /
+    * `p_lang_id` heuristics. */
+  def cleanDocuments(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "10 minutes",
+      minTokens: Int = 5, minQuality: Double = 0.2): DataFrame = {
+    require(docs.isStreaming,
+      "cleanDocuments is the streaming twin; batch feeds use Dedup.exactDedup + the p_quality filters")
+    val t = TextOps.tokens(col(textCol))
+    docs
+      .withWatermark(tsCol, watermark)
+      .withColumn("content_hash", md5(col(textCol)))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("quality", TextOps.qualityScore(col(textCol), t))
+      .withColumn("en_ratio", TextOps.enStopwordRatio(t))
+      .where(col("n_tokens") >= minTokens && col("quality") >= minQuality)
+      .dropDuplicatesWithinWatermark("content_hash")
+  }
+}

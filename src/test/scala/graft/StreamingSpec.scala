@@ -133,4 +133,40 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+  test("streaming ingest gate: quality filter + watermark-scoped exact dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val good1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val good2 = "a second perfectly reasonable document with the usual amount of english words"
+    val short = "too short"
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val cleaned = graft.streaming.StreamingIngest.cleanDocuments(
+      stream.toDF().toDF("ts", "text"), watermark = "1 minute", minTokens = 5,
+      minQuality = 0.05)
+    val q = cleaned.writeStream.format("memory").queryName("ingest_sink")
+      .outputMode("append").start()
+    try {
+      // batch 1: two good docs, an in-batch duplicate of good1, a too-short doc
+      stream.addData(Seq((ts(0), good1), (ts(1), good2), (ts(2), good1), (ts(3), short)))
+      q.processAllAvailable()
+      // batch 2: a duplicate of good1 inside the watermark + one fresh doc
+      val good3 = "yet another fine piece of training text that should clearly survive the gate"
+      stream.addData(Seq((ts(10), good1), (ts(11), good3)))
+      q.processAllAvailable()
+      val out = spark.table("ingest_sink").select("text").as[String].collect()
+      assert(out.count(_ == good1) == 1, s"duplicates must collapse: ${out.toSeq}")
+      assert(out.contains(good2) && out.contains(good3))
+      assert(!out.contains(short), "below-min-token doc must be gated out")
+      // parity with the batch pipeline: same survivors via exactDedup + filter
+      val batchDf = Seq((1L, good1), (2L, good2), (3L, good1), (4L, short), (5L, good3))
+        .toDF("doc_id", "text")
+      val batchKept = graft.ext.Dedup.exactDedup(batchDf, "text", "doc_id")
+        .where(org.apache.spark.sql.functions.size(
+          graft.ext.TextOps.tokens(org.apache.spark.sql.functions.col("text"))) >= 5)
+        .select("text").as[String].collect().toSet
+      assert(batchKept == out.toSet, "streaming gate must agree with the batch pipeline")
+    } finally q.stop()
+  }
+
 }
