@@ -61,6 +61,12 @@ final case class TrainParams(
     sampleType: String = "uniform", // | "weighted" (drop prob ∝ tree weight)
     normalizeType: String = "tree", // | "forest"
     checkpointInterval: Int = 15,
+    // deferred prediction-cache updates: plain gbtree fits accumulate up to
+    // this many freshly-grown trees as on-the-fly margin adjustments (the
+    // same per-row tree-walk machinery DART dropout uses) before
+    // materializing a new margin RDD — one cache-advance Spark job per
+    // FLUSH instead of one per iteration. 1 = advance every iteration.
+    marginFlushInterval: Int = 8,
     // training parallelism floor: −1 = auto (repartition up to
     // defaultParallelism when the input arrives under-partitioned, e.g. a
     // single parquet file); 0 = never repartition (pins aggregation order
@@ -586,6 +592,48 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     var stop = false
     var stopFromCallback = false // callback stop keeps all trees (no truncation)
 
+    // ---- deferred prediction-cache updates ----
+    // A freshly-committed tree does not need to be baked into the margin RDD
+    // before the next iteration: `gradOf` already adjusts cached margins by
+    // a tree list (DART dropout subtracts w·leaf — a pending tree with
+    // weight −w ADDS its contribution). So plain fits keep new trees in a
+    // pending list and only materialize a new margin RDD every
+    // `marginFlushInterval` trees: one cache-advance job per flush instead
+    // of one per iteration, at the cost of ≤interval extra depth-d tree
+    // walks per row inside the gradient passes. Addition order of tree
+    // contributions is unchanged, so the trained model is bit-identical.
+    // Gated off whenever something reads `margins` directly mid-loop:
+    // DART (owns the dropped list), watch/early-stop metrics, eval caches,
+    // per-iteration scale stats, and risk-set/ranking global gradients.
+    val deferMargins = params.marginFlushInterval > 1 &&
+      params.booster == "gbtree" && !watching && evalBinnedOpt.isEmpty &&
+      (isMulti || !obj.needsScale) && !needsGlobalGrads
+    val pending = new ArrayBuffer[(TreeShape, Double, Int)]
+    var flushCount = 0
+    def flushPending(): Unit = if (pending.nonEmpty) {
+      val bP = sc.broadcast(pending.toArray)
+      val next = binned.zip(margins).map { case (r, m) =>
+        val out = m.clone()
+        val p = bP.value
+        var i = 0
+        while (i < p.length) {
+          val (sh, w, g) = p(i)
+          out(g) += w * sh.predictLeaf(r)(0)
+          i += 1
+        }
+        out
+      }.persist(StorageLevel.MEMORY_AND_DISK)
+      flushCount += 1
+      // lineage grows one map per flush; truncate on the same cadence (in
+      // iterations) as the non-deferred path's checkpointInterval
+      if (flushCount % math.max(1, params.checkpointInterval / params.marginFlushInterval) == 0)
+        next.localCheckpoint()
+      next.count()
+      margins.unpersist(blocking = false)
+      margins = next
+      pending.clear()
+    }
+
     var iter = 0
     while (iter < params.numRounds && !stop) {
       callbacks.foreach(_.beforeIteration(iter))
@@ -602,7 +650,12 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
 
       // DART: choose dropped trees for this iteration
       val (droppedIdx, newTreeWeight, dropFactor) = dartDrop(treeWeightsBuf, rng)
-      val droppedShapes = droppedIdx.map(i => (shapes(i), treeWeightsBuf(i), treeGroupBuf(i)))
+      val dartDroppedShapes = droppedIdx.map(i => (shapes(i), treeWeightsBuf(i), treeGroupBuf(i)))
+      // pending (deferred-cache) trees ride the same adjustment list with
+      // negated weights: adjustedMargin's `out -= (−w)·leaf` ≡ `out += w·leaf`
+      val droppedShapes =
+        if (pending.isEmpty) dartDroppedShapes
+        else dartDroppedShapes ++ pending.map { case (sh, w, g) => (sh, -w, g) }
 
       // risk-set objectives (survival:cox): per-row (g,h) precomputed once
       // per iteration from global order statistics, cached for reuse by
@@ -673,6 +726,17 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       }
 
       // ---- margin update (prediction cache, gbtree.cc:631-660) ----
+      // deferred path: queue the new layer and only materialize every
+      // `marginFlushInterval` trees (margins is never read after the loop,
+      // so the final partial batch needs no flush at all)
+      if (deferMargins) {
+        var p = 0
+        while (p < newShapes.length) {
+          pending += ((newShapes(p), newW, newGroups(p)))
+          p += 1
+        }
+        if (pending.length >= params.marginFlushInterval) flushPending()
+      } else {
       // applied identically to the train AND eval margin caches
       val bNew = sc.broadcast(newShapes.zip(newGroups))
       val bAdjust = sc.broadcast(weightDeltas.map { case (i, d) => (shapes(i), treeGroupBuf(i), d) })
@@ -700,6 +764,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       }
       margins = advance(binned, margins)
       evalMargins = evalMargins.map(em => advance(evalBinnedOpt.get, em))
+      } // end margin-update branch
       globalGrads.foreach(_.unpersist(blocking = false))
 
       // ---- watch metric + early stopping (learner.cc:1164, callback.py:311) ----
