@@ -122,6 +122,59 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected pair list: every vertex gets
+    * the MINIMUM vertex id of its component as `label` — the canonical
+    * representative a dedup pipeline keeps (`label == id`) while all other
+    * members of the cluster are dropped.
+    *
+    * Distributed min-label propagation: per round, each vertex takes the
+    * min of its own label and its neighbors' labels (one edge⋈label shuffle
+    * + one groupBy-min), converging in graph-diameter rounds with a cheap
+    * monotone checksum (labels only decrease, so an unchanged exact
+    * decimal sum ⇔ fixpoint) as the stop probe. Duplicate graphs are
+    * near-cliques (pairwise-similar members), so the diameter — and the
+    * round count — is small and independent of corpus size; each round is
+    * a pair of hash-partitioned shuffles with no driver-side graph state,
+    * and `localCheckpoint` cuts the iterative lineage. (For adversarially
+    * long path-shaped graphs the alternating large-star/small-star scheme
+    * of Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * bounds rounds at O(log n); dup mining does not produce such graphs.)
+    *
+    * Returns one row per vertex that appears in `pairs`: (id, label). */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges
+      .select(col("src").as("id"), least(col("src"), col("dst")).as("label"))
+      .groupBy("id").agg(min("label").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var prevSum: java.math.BigDecimal = null
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val msgs = edges.alias("e")
+        .join(labels.alias("l"), col("e.dst") === col("l.id"))
+        .select(col("e.src").as("id"), col("l.label").as("label"))
+      // eager localCheckpoint: stores the round's result AND truncates the
+      // iterative lineage (without it the logical plan doubles per round)
+      val next = labels.union(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      labels.unpersist(blocking = false)
+      labels = next
+      converged = prevSum != null && s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /

@@ -73,6 +73,18 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // duplicate-cluster resolution: connected components over the mined
+    // pairs; cluster_id = min doc id of the component (the canonical doc
+    // a dedup pipeline keeps)
+    "p_dup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.nearDupPairs(table(s, dir, "documents"), "text", "doc_id",
+            numHashes = NumHashes, bands = Bands, shingleN = 3, threshold = 0.8,
+            maxBucketSize = MaxBucket),
+          "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+        .orderBy("doc_id")),
+
     // 16-bit SimHash per document
     "p_simhash" -> ((s, dir) => table(s, dir, "documents")
       .where(col("doc_id") < 100)
@@ -296,6 +308,37 @@ object PipelineQueries {
     s"CASE cell1 ${branches.mkString(" ")} END"
   }
 
+  /** Shared CTE chain of the MinHash-LSH miner (shingles → signatures →
+    * banded buckets → capped candidates → exact-Jaccard pairs); consumed
+    * by the p_near_dup and p_dup_clusters oracles. */
+  private lazy val nearDupCtes: String = {
+    val r = NumHashes / Bands
+    val sig = (0 until NumHashes).map(k => mhSql(k)).mkString("[", ", ", "]")
+    val bandKeys = (0 until Bands).map { b =>
+      val slots = (0 until r).map(j => s"CAST(sig[${b * r + j + 1}] AS VARCHAR)")
+      s"(SELECT $b AS band, md5(${slots.mkString("concat(", ", '_', ", ")")}) AS key)"
+    }
+    s"""sh AS (
+       |  SELECT doc_id AS id, $shingleSql AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |), sig AS (
+       |  SELECT id, s, $sig AS sig FROM sh WHERE len(s) > 0
+       |), buckets AS (
+       |  SELECT id, bk.band, bk.key FROM sig,
+       |    LATERAL (${bandKeys.mkString(" UNION ALL ")}) bk
+       |  QUALIFY count(*) OVER (PARTITION BY bk.band, bk.key) <= $MaxBucket
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+       |), pairs AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |      greatest(len(list_distinct(x.s || y.s)), 1) AS jac
+       |  FROM cand JOIN sh x ON x.id = cand.id_a JOIN sh y ON y.id = cand.id_b
+       |)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "p_exact_dedup" ->
       """WITH base AS (
@@ -311,35 +354,25 @@ object PipelineQueries {
         |SELECT lang, count(*) AS n_unique, CAST(sum(doc_id) AS BIGINT) AS sum_id
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
-    "p_near_dup" -> {
-      val r = NumHashes / Bands
-      val sig = (0 until NumHashes).map(k => mhSql(k)).mkString("[", ", ", "]")
-      val bandKeys = (0 until Bands).map { b =>
-        val slots = (0 until r).map(j => s"CAST(sig[${b * r + j + 1}] AS VARCHAR)")
-        s"(SELECT $b AS band, md5(${slots.mkString("concat(", ", '_', ", ")")}) AS key)"
-      }
-      s"""WITH sh AS (
-         |  SELECT doc_id AS id, $shingleSql AS s
-         |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-         |), sig AS (
-         |  SELECT id, s, $sig AS sig FROM sh WHERE len(s) > 0
-         |), buckets AS (
-         |  SELECT id, bk.band, bk.key FROM sig,
-         |    LATERAL (${bandKeys.mkString(" UNION ALL ")}) bk
-         |  QUALIFY count(*) OVER (PARTITION BY bk.band, bk.key) <= $MaxBucket
-         |), cand AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         |  FROM buckets a JOIN buckets b
-         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id
-         |), pairs AS (
-         |  SELECT id_a, id_b,
-         |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-         |      greatest(len(list_distinct(x.s || y.s)), 1) AS jac
-         |  FROM cand JOIN sh x ON x.id = cand.id_a JOIN sh y ON y.id = cand.id_b
-         |)
+    "p_near_dup" ->
+      s"""WITH $nearDupCtes
          |SELECT id_a, id_b, round(jac, 5) AS jaccard
-         |FROM pairs WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin
-    },
+         |FROM pairs WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    // connected components over the near-dup pairs: recursive reachability
+    // closure, cluster id = min doc id reachable (= component minimum)
+    "p_dup_clusters" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+         |dup AS (SELECT id_a, id_b FROM pairs WHERE jac >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+         |          UNION SELECT id_b, id_a FROM dup),
+         |reach(id, r) AS (
+         |  SELECT src, least(src, dst) FROM edges
+         |  UNION
+         |  SELECT e.src, w.r FROM edges e JOIN reach w ON w.id = e.dst
+         |)
+         |SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "p_simhash" -> {
       val bits = (0 until 16).map { i =>

@@ -568,9 +568,16 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       else Array(params.baseScore.map(obj.probToMargin).getOrElse(obj.baseScore(labelMean)))
     }
 
-    var margins: RDD[Array[Double]] = initMargins.getOrElse(binned.map(_ => base.clone()))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    margins.count()
+    // caller-supplied margins (continuation / base_margin) are the product
+    // of real upstream compute — pin them. The all-base initial cache is a
+    // constant-per-row map over the already-persisted binned rows: leaving
+    // it lazy skips one persist+count job and its storage; the first
+    // advance/flush persists its successor.
+    var margins: RDD[Array[Double]] = initMargins match {
+      case Some(m) =>
+        val p = m.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
+      case None => binned.map(_ => base.clone())
+    }
     var evalMargins: Option[RDD[Array[Double]]] = evalBinnedOpt.map { eb =>
       val em = eb.map(_ => base.clone()).persist(StorageLevel.MEMORY_AND_DISK)
       em.count(); em

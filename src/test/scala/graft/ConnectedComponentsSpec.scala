@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Dedup
+
+/** Distributed min-label-propagation connected components
+  * (`Dedup.connectedComponents`) over hand-built graphs with known
+  * component structure. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def cc(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val df = pairs.toDF("a", "b")
+    Dedup.connectedComponents(df, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("two components, a chain and a triangle, resolve to their min ids") {
+    // chain 1-2-3-4 (diameter 3 forces multiple propagation rounds),
+    // triangle 10-11-12, and an isolated pair 20-21
+    val labels = cc(Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (12L, 10L),
+      (11L, 12L), (21L, 20L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges within the iteration cap") {
+    // 0-1-2-...-19: worst-case diameter for label propagation
+    val labels = cc((0L until 19L).map(i => (i, i + 1)))
+    assert(labels.size == 20)
+    assert(labels.values.forall(_ == 0L))
+  }
+
+  test("duplicate and reversed pairs do not change the result") {
+    val labels = cc(Seq((5L, 6L), (6L, 5L), (5L, 6L), (6L, 7L)))
+    assert(labels == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+}
