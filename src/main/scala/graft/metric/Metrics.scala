@@ -212,14 +212,23 @@ object Metrics {
   def mapAt(df: DataFrame, qid: Column, pred: Column, label: Column, tie: Column,
       k: Int): DataFrame = {
     val rw = rankedWindow(col("q"), col("p"), col("t"))
+    // the cumulative relevant-count at a relevant row equals its
+    // row_number within the (q, relevant) slice under the SAME ordering —
+    // two row_number windows (streaming fast path) instead of a running
+    // sum frame (per-row aggregate-frame update, ~8× slower in WindowExec);
+    // hashpartitioning(q) satisfies the (q, rel) clustering, so the second
+    // window adds a sort but NO exchange. Filtering rk<=k first is safe:
+    // ranks within the slice are unchanged by dropping later rows.
     val base = df.select(qid.as("q"), pred.as("p"), label.as("y"), tie.as("t"))
       .withColumn("rk", row_number().over(rw))
-      .withColumn("rel", when(col("y") > 0, 1.0).otherwise(0.0))
-      .withColumn("cumrel", sum("rel").over(rw.rowsBetween(Window.unboundedPreceding, 0)))
-    val perQ = base.where(col("rk") <= k)
+      .where(col("rk") <= k)
+      .withColumn("relRank", row_number().over(
+        Window.partitionBy(col("q"), col("y") > 0).orderBy(col("p").desc, col("t").asc)))
+    val perQ = base
       .groupBy("q")
-      .agg(sum(col("rel") * col("cumrel") / col("rk")).as("apNum"),
-        sum("rel").as("nrel"))
+      .agg(sum(when(col("y") > 0, col("relRank").cast("double") / col("rk"))
+          .otherwise(0.0)).as("apNum"),
+        sum(when(col("y") > 0, 1.0).otherwise(0.0)).as("nrel"))
       .select(col("q"), when(col("nrel") > 0, col("apNum") / col("nrel")).otherwise(0.0).as("ap"))
     perQ.agg(avg("ap").as("map"), count("*").as("num_groups"))
   }
