@@ -45,8 +45,23 @@ object CoxGradients {
       tieEventsBefore: Long, tieEventsAfter: Long, ownsFirst: Boolean,
       rOffset: Double, sOffset: Double)
 
-  def compute(binned: RDD[BInst], margins: RDD[Array[Double]]): RDD[Array[Double]] = {
-    val zipped = binned.zip(margins)
+  /** `pending`: trees committed to the model but not yet materialized into
+    * the margin cache (deferred prediction-cache updates) — their
+    * contribution is added per row on the fly, exactly as the trainer's
+    * `adjustedMargin` does for the histogram passes. */
+  def compute(binned: RDD[BInst], margins: RDD[Array[Double]],
+      pending: Array[(graft.tree.TreeShape, Double, Int)] = Array.empty): RDD[Array[Double]] = {
+    val zipped =
+      if (pending.isEmpty) binned.zip(margins)
+      else binned.zip(margins).map { case (r, m) =>
+        var out = m(0)
+        var i = 0
+        while (i < pending.length) {
+          out += pending(i)._2 * pending(i)._1.predictLeaf(r)(0)
+          i += 1
+        }
+        (r, Array(out))
+      }
     val sc = binned.sparkContext
     val nParts = zipped.getNumPartitions
 

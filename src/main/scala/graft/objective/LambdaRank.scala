@@ -59,13 +59,27 @@ object LambdaRankGradients {
     * stream through lazily — the partition never holds more than one
     * group's inputs plus its emitted gradient rows. */
   def compute(binned: RDD[BInst], margins: RDD[Array[Double]],
-      obj: LambdaRankObjective): RDD[Array[Double]] = {
+      obj: LambdaRankObjective,
+      pending: Array[(graft.tree.TreeShape, Double, Int)] = Array.empty): RDD[Array[Double]] = {
     val variant = obj.variant
     val expGain = obj.ndcgExpGain
     val topK = obj.topK
     val pairMethod = obj.pairMethod
     val numPair = obj.numPair
-    binned.zip(margins).mapPartitions { it =>
+    // deferred-cache trees: add their contribution to the cached margin on
+    // the fly (see CoxGradients.compute)
+    val zipped =
+      if (pending.isEmpty) binned.zip(margins)
+      else binned.zip(margins).map { case (r, m) =>
+        var out = m(0)
+        var i = 0
+        while (i < pending.length) {
+          out += pending(i)._2 * pending(i)._1.predictLeaf(r)(0)
+          i += 1
+        }
+        (r, Array(out))
+      }
+    zipped.mapPartitions { it =>
       val base = it.buffered
       new Iterator[Array[Array[Double]]] {
         private val lb = new ArrayBuffer[Double]

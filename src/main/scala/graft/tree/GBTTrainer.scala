@@ -609,12 +609,14 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     // of one per iteration, at the cost of ≤interval extra depth-d tree
     // walks per row inside the gradient passes. Addition order of tree
     // contributions is unchanged, so the trained model is bit-identical.
-    // Gated off whenever something reads `margins` directly mid-loop:
-    // DART (owns the dropped list), watch/early-stop metrics, eval caches,
-    // per-iteration scale stats, and risk-set/ranking global gradients.
+    // Gated off whenever something reads `margins` directly mid-loop
+    // without pending-aware adjustment: DART (owns the dropped list),
+    // watch/early-stop metrics, eval caches, per-iteration scale stats.
+    // Risk-set/ranking global-gradient objectives participate: their
+    // computers take the pending list and adjust margins on the fly.
     val deferMargins = params.marginFlushInterval > 1 &&
       params.booster == "gbtree" && !watching && evalBinnedOpt.isEmpty &&
-      (isMulti || !obj.needsScale) && !needsGlobalGrads
+      (isMulti || !obj.needsScale)
     val pending = new ArrayBuffer[(TreeShape, Double, Int)]
     var flushCount = 0
     def flushPending(): Unit = if (pending.nonEmpty) {
@@ -669,9 +671,11 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       // every tree level's histogram pass
       val globalGrads: Option[RDD[Array[Double]]] =
         if (needsGlobalGrads) {
+          val pendingArr = pending.toArray
           val raw = obj match {
-            case lr: LambdaRankObjective => LambdaRankGradients.compute(binned, margins, lr)
-            case _ => CoxGradients.compute(binned, margins)
+            case lr: LambdaRankObjective =>
+              LambdaRankGradients.compute(binned, margins, lr, pendingArr)
+            case _ => CoxGradients.compute(binned, margins, pendingArr)
           }
           val g = raw.persist(StorageLevel.MEMORY_AND_DISK)
           g.count()

@@ -50,6 +50,39 @@ class DeferredMarginSpec extends AnyFunSuite {
     data.unpersist()
   }
 
+  test("deferred cache is bit-identical for rank:ndcg (pending-aware λ-gradients)") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+    val data = df.rdd.map { r =>
+      val f = Array(r.getAs[Double]("l_quantity"), r.getAs[Double]("l_extendedprice"),
+        r.getAs[Double]("l_discount"), r.getAs[Double]("l_tax"))
+      (f, (r.getAs[Int]("l_linenumber") % 4).toDouble, 1.0,
+        r.getAs[Long]("l_orderkey") % 50)
+    }.cache()
+    val base = TrainParams(objective = "rank:ndcg", numRounds = 6, maxDepth = 3,
+      eta = 0.3, maxBin = 32, seed = 3, minTrainPartitions = 0)
+    val every = new GBTTrainer(base.copy(marginFlushInterval = 1)).fitRanking(data).toJson
+    val deferred = new GBTTrainer(base.copy(marginFlushInterval = 4)).fitRanking(data).toJson
+    assert(deferred == every)
+    data.unpersist()
+  }
+
+  test("deferred cache is bit-identical for survival:cox (pending-aware risk sets)") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+    val data = df.rdd.map { r =>
+      val f = Array(r.getAs[Double]("l_quantity"), r.getAs[Double]("l_discount"),
+        r.getAs[Double]("l_tax"))
+      // |label| = survival time, sign = censoring
+      val t = 1.0 + r.getAs[Double]("l_extendedprice") / 10000.0
+      (f, if (r.getAs[Long]("l_orderkey") % 3 == 0) -t else t, 1.0)
+    }.cache()
+    val base = TrainParams(objective = "survival:cox", numRounds = 5, maxDepth = 3,
+      eta = 0.2, maxBin = 32, seed = 5, minTrainPartitions = 0)
+    val every = new GBTTrainer(base.copy(marginFlushInterval = 1)).fit(data).toJson
+    val deferred = new GBTTrainer(base.copy(marginFlushInterval = 4)).fit(data).toJson
+    assert(deferred == every)
+    data.unpersist()
+  }
+
   test("watch list disables deferral without changing results") {
     val data = lineitemData().cache()
     // a watching fit takes the non-deferred branch regardless of the
