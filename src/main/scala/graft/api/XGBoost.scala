@@ -13,18 +13,26 @@ import graft.tree.{CustomEvalMetric, GBTTrainer, TrainingCallback, TrainParams}
   * (`DMatrix::Slice` / `mknfold`, `training.py:310-360`). */
 object XGBoost {
 
-  /** Train with optional eval watch, callbacks, and custom hooks. */
+  /** Train with optional eval watches, callbacks, and custom hooks.
+    * `evals` is the reference's named watchlist
+    * (`xgb.train(evals=[(dtrain,'train'),(dval,'val')])`): every set is
+    * evaluated per round under "<name>-<metric>" keys and the LAST entry
+    * drives early stopping; `evalSet` is shorthand for a single watch
+    * named "eval". */
   def train(
       data: RDD[(Array[Double], Double, Double)],
       params: TrainParams,
       evalSet: Option[RDD[(Array[Double], Double, Double)]] = None,
       callbacks: Seq[TrainingCallback] = Nil,
       customObj: Option[Objective] = None,
-      customMetric: Option[CustomEvalMetric] = None): BoosterModel = {
+      customMetric: Option[CustomEvalMetric] = None,
+      evals: Seq[(String, RDD[(Array[Double], Double, Double)])] = Nil): BoosterModel = {
+    require(evalSet.isEmpty || evals.isEmpty, "pass evalSet or evals, not both")
     val trainer = new GBTTrainer(params).withCallbacks(callbacks)
     customObj.foreach(trainer.withCustomObjective)
     customMetric.foreach(trainer.withCustomMetric)
-    evalSet match {
+    if (evals.nonEmpty) trainer.fitWatches(data, evals)
+    else evalSet match {
       case Some(ev) => trainer.fit(data, ev)
       case None => trainer.fit(data)
     }

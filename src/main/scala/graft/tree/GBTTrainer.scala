@@ -247,9 +247,16 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * `earlyStoppingRounds` stops training when the watch metric stops
     * improving — the returned model is truncated to the best iteration. */
   def fit(dataIn: RDD[(Array[Double], Double, Double)],
-      evalSetIn: RDD[(Array[Double], Double, Double)]): BoosterModel = {
+      evalSetIn: RDD[(Array[Double], Double, Double)]): BoosterModel =
+    fitWatches(dataIn, Seq("eval" -> evalSetIn))
+
+  /** Named watchlist fit (ref `xgb.train(evals=[(dtrain,'train'),...])`,
+    * `learner.cc` EvalOneIter): every watch set is binned with the TRAIN
+    * cuts and evaluated each round; the LAST entry drives early stopping.
+    * Full per-watch log via [[evalHistoryFull]]. */
+  def fitWatches(dataIn: RDD[(Array[Double], Double, Double)],
+      watchesIn: Seq[(String, RDD[(Array[Double], Double, Double)])]): BoosterModel = {
     val data = ensurePar(dataIn)
-    val evalSet = ensurePar(evalSetIn)
     require(params.treeMethod == "hist", "eval watches support tree_method=hist only")
     val cuts = findCuts(data)
     val numFeatures = cuts.numFeatures
@@ -257,10 +264,12 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       d.zipWithUniqueId().map { case ((f, y, w), id) => BInst(cuts.binRow(f), y, w, id) }
         .persist(StorageLevel.MEMORY_AND_DISK)
     val binned = toBinned(data); binned.count()
-    val evalBinned = toBinned(evalSet); evalBinned.count()
-    val model = fitBinned(binned, cuts, numFeatures, Some(evalBinned))
+    val watches = watchesIn.map { case (n, d) =>
+      val b = toBinned(ensurePar(d)); b.count(); (n, b)
+    }
+    val model = fitBinned(binned, cuts, numFeatures, watches)
     binned.unpersist(blocking = false)
-    evalBinned.unpersist(blocking = false)
+    watches.foreach(_._2.unpersist(blocking = false))
     model
   }
 
@@ -317,9 +326,15 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
 
   /** (iteration, watch-metric value) per evaluated round of the last fit. */
   def evalHistory: Seq[(Int, Double)] = lastHistory.toSeq
+
+  /** Per-iteration eval log over EVERY watch set, keyed "<name>-<metric>"
+    * (bare metric name for the implicit train watch) — the reference's
+    * `evals_result` surface. */
+  def evalHistoryFull: Seq[(Int, Map[String, Double])] = lastFullHistory.toSeq
   /** best (lowest/highest) watch-metric iteration of the last fit. */
   def bestIteration: Int = lastBestIteration
   private val lastHistory = new ArrayBuffer[(Int, Double)]
+  private val lastFullHistory = new ArrayBuffer[(Int, Map[String, Double])]
   private var lastBestIteration: Int = -1
 
   /** grow_histmaker / approx (`src/tree/updater_approx.cc:46-100`): the
@@ -496,7 +511,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
   }
 
   def fitBinned(binnedIn: RDD[BInst], cuts: HistogramCuts, numFeatures: Int,
-      evalBinnedOpt: Option[RDD[BInst]] = None,
+      watchSets: Seq[(String, RDD[BInst])] = Nil,
       initMargins: Option[RDD[Array[Double]]] = None,
       baseOverride: Option[Array[Double]] = None): BoosterModel = {
     val sc = binnedIn.sparkContext
@@ -578,10 +593,10 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         val p = m.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
       case None => binned.map(_ => base.clone())
     }
-    var evalMargins: Option[RDD[Array[Double]]] = evalBinnedOpt.map { eb =>
+    var watchMargins: Array[RDD[Array[Double]]] = watchSets.map { case (_, eb) =>
       val em = eb.map(_ => base.clone()).persist(StorageLevel.MEMORY_AND_DISK)
       em.count(); em
-    }
+    }.toArray
 
     val shapes = new ArrayBuffer[TreeShape]
     val treeGroupBuf = new ArrayBuffer[Int]
@@ -593,6 +608,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     val watching = params.earlyStoppingRounds > 0 || params.evalMetric.isDefined ||
       customMetric.isDefined || callbacks.nonEmpty
     lastHistory.clear()
+    lastFullHistory.clear()
     lastBestIteration = -1
     var bestValue = Double.NaN
     var roundsSinceBest = 0
@@ -615,7 +631,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     // Risk-set/ranking global-gradient objectives participate: their
     // computers take the pending list and adjust margins on the fly.
     val deferMargins = params.marginFlushInterval > 1 &&
-      params.booster == "gbtree" && !watching && evalBinnedOpt.isEmpty &&
+      params.booster == "gbtree" && !watching && watchSets.isEmpty &&
       (isMulti || !obj.needsScale)
     val pending = new ArrayBuffer[(TreeShape, Double, Int)]
     var flushCount = 0
@@ -774,33 +790,46 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         next
       }
       margins = advance(binned, margins)
-      evalMargins = evalMargins.map(em => advance(evalBinnedOpt.get, em))
+      watchMargins = watchMargins.zip(watchSets).map { case (em, (_, eb)) => advance(eb, em) }
       } // end margin-update branch
       globalGrads.foreach(_.unpersist(blocking = false))
 
-      // ---- watch metric + early stopping (learner.cc:1164, callback.py:311) ----
+      // ---- watch metrics + early stopping (learner.cc:1164 EvalOneIter,
+      // callback.py:311) ---- every watch set is evaluated each round; the
+      // LAST entry drives early stopping (reference watchlist semantics:
+      // "the last entry in evals will be used for early stopping"). With
+      // no explicit watches the training set itself is the implicit watch
+      // and log keys stay the bare metric name; named watches log as
+      // "<name>-<metric>" like the reference's printed eval lines.
       if (watching) {
-        val (watchRows, watchMargins) = (evalBinnedOpt, evalMargins) match {
-          case (Some(eb), Some(em)) => (eb, em)
-          case _ => (binned, margins)
+        val watchList: Seq[(String, RDD[BInst], RDD[Array[Double]])] =
+          if (watchSets.nonEmpty)
+            watchSets.zip(watchMargins).map { case ((n, eb), em) => (n, eb, em) }
+          else Seq(("", binned, margins))
+        def evalOne(rows: RDD[BInst], ms: RDD[Array[Double]]): (String, Double, Boolean) =
+          customMetric match {
+            case Some(cm) => // user feval: distributed (num, den) sums
+              val (num, den) = graft.Agg.aggregate(rows.zip(ms))((0.0, 0.0))(
+                { case ((a, b), (r, m)) =>
+                  val (n2, d2) = cm.contribution(m(0), r.label, r.weight)
+                  (a + n2, b + d2)
+                },
+                (a, b) => (a._1 + b._1, a._2 + b._2))
+              (cm.name, cm.finish(num, den), cm.maximize)
+            case None =>
+              val n = params.evalMetric.getOrElse(
+                if (isMulti) "mlogloss" else obj.defaultMetric)
+              (n, evalMetricValue(n, rows, ms, obj),
+                n.startsWith("auc") || n.startsWith("ndcg") ||
+                  n.startsWith("map") || n.startsWith("precision"))
+          }
+        val evals = watchList.map { case (wName, rows, ms) =>
+          val (mName, v, maximize) = evalOne(rows, ms)
+          (if (wName.isEmpty) mName else s"$wName-$mName", v, maximize)
         }
-        val (mName, v, maximize) = customMetric match {
-          case Some(cm) => // user feval: distributed (num, den) sums
-            val (num, den) = graft.Agg.aggregate(watchRows.zip(watchMargins))((0.0, 0.0))(
-              { case ((a, b), (r, m)) =>
-                val (n2, d2) = cm.contribution(m(0), r.label, r.weight)
-                (a + n2, b + d2)
-              },
-              (a, b) => (a._1 + b._1, a._2 + b._2))
-            (cm.name, cm.finish(num, den), cm.maximize)
-          case None =>
-            val n = params.evalMetric.getOrElse(
-              if (isMulti) "mlogloss" else obj.defaultMetric)
-            (n, evalMetricValue(n, watchRows, watchMargins, obj),
-              n.startsWith("auc") || n.startsWith("ndcg") ||
-                n.startsWith("map") || n.startsWith("precision"))
-        }
+        val (_, v, maximize) = evals.last
         lastHistory += ((iter, v))
+        lastFullHistory += ((iter, evals.map { case (k, value, _) => (k, value) }.toMap))
         val improved = bestValue.isNaN || (if (maximize) v > bestValue else v < bestValue)
         if (improved) { bestValue = v; lastBestIteration = iter; roundsSinceBest = 0 }
         else {
@@ -808,7 +837,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
           if (params.earlyStoppingRounds > 0 && roundsSinceBest >= params.earlyStoppingRounds)
             stop = true
         }
-        if (callbacks.exists(_.afterIteration(iter, Map(mName -> v)))) {
+        if (callbacks.exists(_.afterIteration(iter,
+            evals.map { case (k, value, _) => (k, value) }.toMap))) {
           stop = true; stopFromCallback = true
         }
       } else if (callbacks.exists(_.afterIteration(iter, Map.empty))) {
@@ -818,7 +848,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     }
     callbacks.foreach(_.afterTraining(lastBestIteration))
     if (needsCoxSort) binned.unpersist(blocking = false)
-    evalMargins.foreach(_.unpersist(blocking = false))
+    watchMargins.foreach(_.unpersist(blocking = false))
     margins.unpersist(blocking = false) // final prediction cache — don't leak blocks
 
     // early stop ⇒ truncate to the best iteration
