@@ -49,6 +49,12 @@ trait GraftXGBParams extends Params {
   final val evalMetric = new Param[String](this, "evalMetric", "watch metric ('' = objective default)")
   final val scalePosWeight = new DoubleParam(this, "scalePosWeight", "positive-class gradient scale")
   final val baseMarginCol = new Param[String](this, "baseMarginCol", "per-row initial margin column ('' = none)")
+  /** MLlib-idiomatic validation watch (same contract as MLlib's own
+    * `GBTClassifier.validationIndicatorCol`): boolean column, true rows
+    * form the eval watch driving `earlyStoppingRounds`/`evalMetric`,
+    * false rows train. */
+  final val validationIndicatorCol = new Param[String](this, "validationIndicatorCol",
+    "boolean column marking validation rows ('' = watch the train set)")
 
   setDefault(featuresCol -> "features", labelCol -> "label", weightCol -> "",
     predictionCol -> "prediction", numRound -> 100, maxDepth -> 6, eta -> 0.3,
@@ -56,7 +62,7 @@ trait GraftXGBParams extends Params {
     minChildWeight -> 1.0, subsample -> 1.0, colsampleBytree -> 1.0,
     treeMethod -> "hist", growPolicy -> "depthwise", maxLeaves -> 0,
     seed -> 0L, missing -> Double.NaN, earlyStoppingRounds -> 0, evalMetric -> "",
-    scalePosWeight -> 1.0, baseMarginCol -> "")
+    scalePosWeight -> 1.0, baseMarginCol -> "", validationIndicatorCol -> "")
 
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setLabelCol(v: String): this.type = set(labelCol, v)
@@ -81,6 +87,30 @@ trait GraftXGBParams extends Params {
   def setEvalMetric(v: String): this.type = set(evalMetric, v)
   def setScalePosWeight(v: Double): this.type = set(scalePosWeight, v)
   def setBaseMarginCol(v: String): this.type = set(baseMarginCol, v)
+  def setValidationIndicatorCol(v: String): this.type = set(validationIndicatorCol, v)
+
+  /** Run the trainer on rows split by `validationIndicatorCol` (if set):
+    * false rows train, true rows form the eval watch. Decoded rows persist
+    * for the duration (sketch + bin + per-iteration eval passes). */
+  protected def fitWithOptionalValidation(
+      ds: Dataset[_], trainer: GBTTrainer): graft.model.BoosterModel = {
+    if ($(validationIndicatorCol).isEmpty)
+      withPersisted(extractRdd(ds))(trainer.fit(_))
+    else {
+      val flag = col($(validationIndicatorCol)).cast("boolean")
+      val w = if ($(weightCol).nonEmpty) col($(weightCol)).cast("double") else lit(1.0)
+      val miss = $(missing)
+      val tagged = ds.select(col($(featuresCol)), col($(labelCol)).cast("double"), w, flag)
+        .rdd.map { row =>
+          (GraftXGBParams.toDoubleArray(row.get(0), miss), row.getDouble(1),
+            row.getDouble(2), row.getBoolean(3))
+        }
+      withPersisted(tagged) { t =>
+        trainer.fit(t.filter(!_._4).map(r => (r._1, r._2, r._3)),
+          t.filter(_._4).map(r => (r._1, r._2, r._3)))
+      }
+    }
+  }
 
   protected def baseTrainParams(objective: String, numClass: Int = 1): TrainParams =
     TrainParams(
@@ -199,9 +229,11 @@ class XGBoostRegressor(override val uid: String)
     // boosting starts from the per-row margin column; transform adds the
     // column back (model baseScore is 0)
     val booster =
-      if ($(baseMarginCol).nonEmpty)
+      if ($(baseMarginCol).nonEmpty) {
+        require($(validationIndicatorCol).isEmpty,
+          "baseMarginCol does not compose with validationIndicatorCol")
         withPersisted(extractRddWithMargin(ds))(trainer.fitWithBaseMargin)
-      else withPersisted(extractRdd(ds))(trainer.fit(_))
+      } else fitWithOptionalValidation(ds, trainer)
     copyValues(new XGBoostRegressionModel(uid, booster)).setParent(this)
   }
   override def copy(extra: ParamMap): XGBoostRegressor = defaultCopy(extra)
@@ -267,7 +299,7 @@ class XGBoostClassifier(override val uid: String)
     require($(baseMarginCol).isEmpty, "baseMarginCol is supported by XGBoostRegressor only")
     val multi = $(objective).startsWith("multi:")
     val tp = baseTrainParams($(objective), if (multi) $(numClass) else 1)
-    val booster = withPersisted(extractRdd(ds))(new GBTTrainer(tp).fit(_))
+    val booster = fitWithOptionalValidation(ds, new GBTTrainer(tp))
     copyValues(new XGBoostClassificationModel(uid, booster)).setParent(this)
   }
   override def copy(extra: ParamMap): XGBoostClassifier = defaultCopy(extra)
@@ -350,6 +382,8 @@ class XGBoostRanker(override val uid: String)
 
   override def fit(ds: Dataset[_]): XGBoostRankerModel = {
     validateFeatures(ds.schema)
+    require($(validationIndicatorCol).isEmpty,
+      "validationIndicatorCol is not supported for ranking (watches need qid-contiguous partitions)")
     val w = if ($(weightCol).nonEmpty) col($(weightCol)).cast("double") else lit(1.0)
     val miss = $(missing)
     val rdd = ds.select(col($(featuresCol)), col($(labelCol)).cast("double"), w,

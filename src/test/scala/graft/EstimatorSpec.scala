@@ -148,4 +148,31 @@ class EstimatorSpec extends AnyFunSuite {
     }.sum / rows.length
     assert(medianErr < 0.5, s"median lane mean abs err $medianErr")
   }
+
+  test("validationIndicatorCol drives early stopping through the estimator") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    // train rows are learnable; validation rows are pure noise ⇒ the val
+    // watch plateaus immediately and earlyStoppingRounds kicks in
+    val df = ((0 until 3000).map { _ =>
+      val x = rng.nextGaussian()
+      (Seq(x, rng.nextGaussian()), 2.0 * x + 0.1 * rng.nextGaussian(), false)
+    } ++ (0 until 1000).map { _ =>
+      (Seq(rng.nextGaussian(), rng.nextGaussian()), rng.nextGaussian(), true)
+    }).toDF("features", "label", "isVal")
+      .repartition(4)
+    val model = new XGBoostRegressor()
+      .setNumRound(40).setMaxDepth(4).setMaxBin(64).setSeed(7L)
+      .setEarlyStoppingRounds(3).setValidationIndicatorCol("isVal")
+      .fit(df)
+    assert(model.booster.trees.length < 40,
+      s"noise validation watch should stop early, got ${model.booster.trees.length}")
+    // without the indicator the learnable train set is the watch: no stop
+    val noVal = new XGBoostRegressor()
+      .setNumRound(12).setMaxDepth(4).setMaxBin(64).setSeed(7L)
+      .setEarlyStoppingRounds(3)
+      .fit(df.where(!$"isVal"))
+    assert(noVal.booster.trees.length == 12,
+      s"train watch keeps improving: ${noVal.booster.trees.length}")
+  }
 }
