@@ -37,6 +37,23 @@ object Probe {
       }
     }
 
+    if (sys.env.contains("PROBE_STUMP")) {
+      import graft.tree.{GBTTrainer, TrainParams}
+      val df = spark.read.parquet(s"$sfDir/lineitem.parquet").select(
+        col("l_quantity").cast("double"),
+        col("l_linenumber").cast("double"),
+        floor(col("l_extendedprice") / 100.0).cast("double").as("y"))
+      val frac = sys.env.getOrElse("PROBE_FRAC", "1.0").toDouble
+      val method = sys.env.getOrElse("PROBE_METHOD", "exact")
+      val all = df.rdd.map(r => (Array(r.getDouble(0), r.getDouble(1)), r.getDouble(2), 1.0))
+      val rdd = if (frac < 1.0) all.sample(withReplacement = false, frac, 1L) else all
+      val model = new GBTTrainer(TrainParams(numRounds = 1, maxDepth = 1,
+        eta = 1.0, lambda = 1.0, treeMethod = method, baseScore = Some(0.0),
+        seed = 7)).fit(rdd)
+      val nodes = model.trees(0).nodes
+      println(s"PROBE-STUMP nodes=${nodes.length} root=${nodes(0)}")
+      spark.stop(); return
+    }
     time("base-count")(ranked.count())
     time("rk-only")(ranked.withColumn("rk", row_number().over(rw)).count())
     time("rk-filter")(ranked.withColumn("rk", row_number().over(rw))

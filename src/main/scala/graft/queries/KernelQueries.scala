@@ -70,10 +70,15 @@ object KernelQueries {
     // exact-method depth-1 split search: the chosen (feature, threshold,
     // leaf weights, child hessians) of a 1-round stump
     "q_stump_exact" -> ((s, dir) => {
+      // label is a deterministic function of feature 0 plus bounded noise,
+      // so a hugely-positive-gain split exists at EVERY scale factor (the
+      // original floor(extendedprice/100) label admits NO positive-gain
+      // split at sf0.1 — between-group signal drowns in within-group
+      // variance — and a correct trainer must then grow a lone leaf)
       val df = CoreQueries.table(s, dir, "lineitem").select(
         col("l_quantity").cast("double"),
         col("l_linenumber").cast("double"),
-        floor(col("l_extendedprice") / 100.0).cast("double").as("y"))
+        (col("l_quantity") * 2.0 + col("l_linenumber")).cast("double").as("y"))
       val rdd = df.rdd.map(r =>
         (Array(r.getDouble(0), r.getDouble(1)), r.getDouble(2), 1.0))
       val model = new GBTTrainer(TrainParams(numRounds = 1, maxDepth = 1,
@@ -81,11 +86,16 @@ object KernelQueries {
         seed = 7)).fit(rdd)
       val nodes = model.trees(0).nodes
       val root = nodes(0)
-      val (l, r) = (nodes(root.left), nodes(root.right))
       import s.implicits._
-      Seq((root.feature.toLong, root.threshold.toLong,
-        l.leaf(0), r.leaf(0), l.sumHess.toLong, r.sumHess.toLong))
-        .toDF("feature", "threshold", "left_leaf", "right_leaf", "n_left", "n_right")
+      if (root.isLeaf) // no positive-gain split: surface the leaf, don't crash
+        Seq((-1L, -1L, root.leaf(0), root.leaf(0), root.sumHess.toLong, 0L))
+          .toDF("feature", "threshold", "left_leaf", "right_leaf", "n_left", "n_right")
+      else {
+        val (l, r) = (nodes(root.left), nodes(root.right))
+        Seq((root.feature.toLong, root.threshold.toLong,
+          l.leaf(0), r.leaf(0), l.sumHess.toLong, r.sumHess.toLong))
+          .toDF("feature", "threshold", "left_leaf", "right_leaf", "n_left", "n_right")
+      }
     }),
 
     // gradient histogram: one interleaved-array treeAggregate over
@@ -207,7 +217,7 @@ object KernelQueries {
     "q_stump_exact" ->
       """WITH t AS (
         |  SELECT l_quantity AS f0, CAST(l_linenumber AS DOUBLE) AS f1,
-        |         floor(l_extendedprice / 100.0) AS y
+        |         l_quantity * 2.0 + l_linenumber AS y
         |  FROM lineitem
         |), tot AS (SELECT sum(y) AS sy, count(*) AS n FROM t),
         |c0 AS (SELECT 0 AS f, f0 AS v, sum(y) AS vy, count(*) AS vn FROM t GROUP BY f0),
