@@ -137,3 +137,65 @@ object StreamingIngest {
       .dropDuplicatesWithinWatermark("content_hash")
   }
 }
+
+/** Continuous training over a micro-batch stream — the streaming twin of
+  * the reference's `xgb_model` continuation (training.py:40-46): each
+  * micro-batch appends `roundsPerBatch` boosted rounds onto the running
+  * ensemble via [[graft.tree.GBTTrainer.fitContinue]], starting from the
+  * previous model's margins, so the ensemble incrementally tracks the feed
+  * without ever re-reading history. The model reference lives on the
+  * driver (foreachBatch runs there); executors see each generation as a
+  * broadcast inside fitContinue — no state store, no model shipping
+  * beyond the per-generation broadcast a batch fit pays anyway.
+  *
+  * Scale notes: each micro-batch fit is the SAME distributed hist fit as
+  * batch training (sketch → bin → level-wise treeAggregates) on just the
+  * new data; `maxTrees` bounds ensemble growth (oldest-first slice) so
+  * per-row inference cost stays O(maxTrees·depth) on an unbounded feed. */
+final class StreamingTrainer(
+    params: graft.tree.TrainParams,
+    initial: Option[BoosterModel] = None,
+    maxTrees: Int = 0) extends Serializable {
+
+  @volatile private var current: Option[BoosterModel] = initial
+
+  /** Latest model generation (None until the first non-empty batch). */
+  def model: Option[BoosterModel] = current
+
+  /** Fold one micro-batch of (features, label, weight) rows into the
+    * ensemble; returns the updated model. Empty batches are a no-op. */
+  def update(batch: org.apache.spark.rdd.RDD[(Array[Double], Double, Double)]): Option[BoosterModel] = {
+    if (batch.isEmpty()) return current
+    val trainer = new graft.tree.GBTTrainer(params)
+    val next = current match {
+      case Some(prev) => trainer.fitContinue(batch, prev)
+      case None => trainer.fit(batch)
+    }
+    val bounded =
+      if (maxTrees > 0 && next.trees.length > maxTrees)
+        next.slice(next.trees.length - maxTrees, next.trees.length)
+      else next
+    current = Some(bounded)
+    current
+  }
+
+  /** foreachBatch sink: decode `featuresCol`/`labelCol` (+ optional
+    * `weightCol`) from each micro-batch DataFrame and fold it in. */
+  def sink(featuresCol: String = "features", labelCol: String = "label",
+      weightCol: String = ""): (DataFrame, Long) => Unit = { (df, _) =>
+    val w = if (weightCol.nonEmpty) col(weightCol).cast("double") else lit(1.0)
+    val rows = df.select(col(featuresCol), col(labelCol).cast("double"), w)
+      .rdd.map { r =>
+        val f = r.get(0) match {
+          case a: scala.collection.Seq[_] =>
+            a.map(x => x.asInstanceOf[Number].doubleValue()).toArray
+          case a: Array[Double] => a
+          case other => throw new IllegalArgumentException(
+            s"featuresCol must be array<double>, got ${other.getClass}")
+        }
+        (f, r.getDouble(1), r.getDouble(2))
+      }
+    update(rows)
+    ()
+  }
+}

@@ -169,4 +169,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("continuous training: micro-batches extend the ensemble and reduce error") {
+    import spark.implicits._
+    import graft.streaming.StreamingTrainer
+    val rng = new scala.util.Random(41)
+    def batchRows(n: Int) = (0 until n).map { _ =>
+      val x = Seq(rng.nextGaussian(), rng.nextGaussian())
+      (x, 2.0 * x(0) - 3.0 * x(1))
+    }
+    val st = new StreamingTrainer(
+      TrainParams(numRounds = 3, maxDepth = 3, eta = 0.4, maxBin = 32, seed = 9,
+        minTrainPartitions = 0))
+
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Seq[Double], Double)]
+    val q = stream.toDF().toDF("features", "label")
+      .writeStream.foreachBatch(st.sink()).outputMode("append").start()
+    try {
+      def rmse(m: graft.model.BoosterModel): Double = {
+        val test = batchRows(500)
+        math.sqrt(test.map { case (x, y) =>
+          val p = m.margin(x.toArray)(0); (p - y) * (p - y)
+        }.sum / test.size)
+      }
+      stream.addData(batchRows(1500)); q.processAllAvailable()
+      val m1 = st.model.get
+      assert(m1.trees.length == 3)
+      val r1 = rmse(m1)
+      (0 until 3).foreach { _ => stream.addData(batchRows(1500)); q.processAllAvailable() }
+      val m4 = st.model.get
+      assert(m4.trees.length == 12, s"3 rounds x 4 batches, got ${m4.trees.length}")
+      val r4 = rmse(m4)
+      assert(r4 < r1 * 0.8, s"continued ensemble should improve: $r1 -> $r4")
+      // earlier generations' trees are a strict prefix (pure continuation)
+      assert(m4.trees.take(3).map(_.toString).sameElements(m1.trees.map(_.toString)))
+    } finally q.stop()
+  }
+
+  test("continuous training bounds the ensemble at maxTrees") {
+    import spark.implicits._
+    import graft.streaming.StreamingTrainer
+    val rng = new scala.util.Random(43)
+    val st = new StreamingTrainer(
+      TrainParams(numRounds = 2, maxDepth = 2, eta = 0.3, maxBin = 16, seed = 1,
+        minTrainPartitions = 0), maxTrees = 5)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Seq[Double], Double)]
+    val q = stream.toDF().toDF("features", "label")
+      .writeStream.foreachBatch(st.sink()).outputMode("append").start()
+    try {
+      (0 until 4).foreach { _ =>
+        stream.addData((0 until 300).map { _ =>
+          val x = Seq(rng.nextGaussian()); (x, x(0) * 5.0)
+        })
+        q.processAllAvailable()
+      }
+      assert(st.model.get.trees.length == 5,
+        s"8 grown, bounded to 5: ${st.model.get.trees.length}")
+    } finally q.stop()
+  }
 }
