@@ -89,7 +89,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"noop-sink full-plan evaluation since r5; earlier rounds' count() timings under-measured filter-free queries (Catalyst pruned their window/sort subtrees)"}""")
     spark.stop()
   }
 }
