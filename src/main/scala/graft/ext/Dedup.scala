@@ -152,7 +152,11 @@ object Dedup {
       .select(col("src").as("id"), least(col("src"), col("dst")).as("label"))
       .groupBy("id").agg(min("label").as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var prevSum: java.math.BigDecimal = null
+    // seed the monotone checksum from the INITIAL labels: min-of-neighbors
+    // is already the fixpoint on cliques (the common dup-cluster shape), so
+    // those graphs converge after ONE propagation round instead of two
+    var prevSum: java.math.BigDecimal =
+      labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
