@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, MediaCodecs, Multimodal, Similarity, TextOps}
+import graft.ext.{Curation, Dedup, MediaCodecs, Multimodal, Similarity, TextOps}
 
 /** LLM-training-data pipeline queries over `documents.parquet` /
   * `embeddings.parquet` — dedup (exact, MinHash-LSH, SimHash, n-gram
@@ -72,6 +72,24 @@ object PipelineQueries {
           maxBucketSize = MaxBucket)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
         .orderBy("id_a", "id_b")),
+
+    // deterministic stratified sampling (data mixing): md5-hash coin per
+    // doc, per-language rates — reproducible across reruns/retries, pure
+    // map-side predicate (no shuffle, no rand())
+    "p_stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(table(s, dir, "documents"), "lang",
+          Map("en" -> 0.5), defaultRate = 0.2, keyCol = "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_id"))
+        .orderBy("lang")),
+
+    // sequence packing: concat-then-chunk into 256-token packs over a
+    // distributed range-partitioned cumsum (no single-task window)
+    "p_seq_pack" -> ((s, dir) =>
+      Curation.packSequences(table(s, dir, "documents"), "text", "doc_id", 256)
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("pack_id")),
 
     // duplicate-cluster resolution: connected components over the mined
     // pairs; cluster_id = min doc id of the component (the canonical doc
@@ -358,6 +376,23 @@ object PipelineQueries {
       s"""WITH $nearDupCtes
          |SELECT id_a, id_b, round(jac, 5) AS jaccard
          |FROM pairs WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "p_stratified_sample" ->
+      s"""SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_id
+         |FROM documents
+         |WHERE ${h60("concat(CAST(doc_id AS VARCHAR), '_', 'strat')")} / 1152921504606846976.0
+         |  < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.2 END
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS n FROM documents
+        |), c AS (
+        |  SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) - n AS cum_before FROM t
+        |)
+        |SELECT CAST(floor(cum_before / 256) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // connected components over the near-dup pairs: recursive reachability
     // closure, cluster id = min doc id reachable (= component minimum)

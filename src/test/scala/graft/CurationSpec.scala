@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Curation
+
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("stratified sampling is deterministic and near the target rates") {
+    import spark.implicits._
+    val docs = (0L until 4000L).map(i => (i, if (i % 4 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s1 = Curation.stratifiedSample(docs, "lang", Map("en" -> 0.5), 0.1, "doc_id")
+      .collect().map(_.getLong(0)).sorted
+    val s2 = Curation.stratifiedSample(docs, "lang", Map("en" -> 0.5), 0.1, "doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(s1.sameElements(s2), "same salt must reproduce the same sample")
+    val en = s1.count(_ % 4 == 0) / 1000.0
+    val de = s1.count(_ % 4 != 0) / 3000.0
+    assert(math.abs(en - 0.5) < 0.06, s"en rate $en")
+    assert(math.abs(de - 0.1) < 0.04, s"de rate $de")
+    // a different salt draws a different (same-sized-ish) sample
+    val s3 = Curation.stratifiedSample(docs, "lang", Map("en" -> 0.5), 0.1,
+      "doc_id", salt = "other").collect().map(_.getLong(0)).sorted
+    assert(!s3.sameElements(s1), "different salt must decorrelate")
+  }
+
+  test("sequence packing: budget boundaries and token conservation") {
+    import spark.implicits._
+    // 10 docs x 100 tokens, budget 256: packs hold [0,1,2],[3,4,5],... by
+    // first-token position
+    val docs = (0L until 10L).map(i => (i, Array.fill(100)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = Curation.packSequences(docs, "text", "doc_id", 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(packed.map(_._2).forall(_ == 100L))
+    // doc i starts at token 100*i -> pack floor(100i/256)
+    packed.foreach { case (id, _, pack) =>
+      assert(pack == (100 * id) / 256, s"doc $id in pack $pack")
+    }
+    assert(packed.map(_._2).sum == 1000L)
+  }
+}
