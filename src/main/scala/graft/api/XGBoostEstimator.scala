@@ -25,6 +25,26 @@ import graft.tree.{GBTTrainer, TrainParams}
   * Features column accepts `array<double>`, `array<float>` or an ML
   * `Vector` (the reference accepts both, `XGBoostEstimator.scala:242-263`).
   */
+/** Per-fit training history surfaced on fitted models (the reference's
+  * `evals_result` / MLlib's model `.summary` pattern — present on the fit
+  * result, not persisted through save/load). */
+final case class TrainingSummary(
+    history: Seq[(Int, Double)],
+    fullHistory: Seq[(Int, Map[String, Double])],
+    bestIteration: Int)
+
+trait HasTrainingSummary {
+  private var ts: Option[TrainingSummary] = None
+  /** Watch-metric history of the fit that produced this model (empty when
+    * nothing was watched, None after save/load). */
+  def summary: Option[TrainingSummary] = ts
+  private[api] def setSummary(t: graft.tree.GBTTrainer): this.type = {
+    if (t.evalHistory.nonEmpty)
+      ts = Some(TrainingSummary(t.evalHistory, t.evalHistoryFull, t.bestIteration))
+    this
+  }
+}
+
 trait GraftXGBParams extends Params {
   final val featuresCol = new Param[String](this, "featuresCol", "features column")
   final val labelCol = new Param[String](this, "labelCol", "label column")
@@ -234,7 +254,8 @@ class XGBoostRegressor(override val uid: String)
           "baseMarginCol does not compose with validationIndicatorCol")
         withPersisted(extractRddWithMargin(ds))(trainer.fitWithBaseMargin)
       } else fitWithOptionalValidation(ds, trainer)
-    copyValues(new XGBoostRegressionModel(uid, booster)).setParent(this)
+    copyValues(new XGBoostRegressionModel(uid, booster))
+      .setSummary(trainer).setParent(this)
   }
   override def copy(extra: ParamMap): XGBoostRegressor = defaultCopy(extra)
   override def transformSchema(schema: StructType): StructType = {
@@ -248,7 +269,8 @@ object XGBoostRegressor extends GraftReadable[XGBoostRegressor] {
 }
 
 class XGBoostRegressionModel(override val uid: String, val booster: BoosterModel)
-    extends Model[XGBoostRegressionModel] with GraftXGBParams with GraftWritableModel {
+    extends Model[XGBoostRegressionModel] with GraftXGBParams with GraftWritableModel
+    with HasTrainingSummary {
   override def transform(ds: Dataset[_]): DataFrame = {
     // multi-output regression (multi-quantile): prediction is the margin
     // vector, one element per output lane
@@ -299,8 +321,10 @@ class XGBoostClassifier(override val uid: String)
     require($(baseMarginCol).isEmpty, "baseMarginCol is supported by XGBoostRegressor only")
     val multi = $(objective).startsWith("multi:")
     val tp = baseTrainParams($(objective), if (multi) $(numClass) else 1)
-    val booster = fitWithOptionalValidation(ds, new GBTTrainer(tp))
-    copyValues(new XGBoostClassificationModel(uid, booster)).setParent(this)
+    val trainer = new GBTTrainer(tp)
+    val booster = fitWithOptionalValidation(ds, trainer)
+    copyValues(new XGBoostClassificationModel(uid, booster))
+      .setSummary(trainer).setParent(this)
   }
   override def copy(extra: ParamMap): XGBoostClassifier = defaultCopy(extra)
   override def transformSchema(schema: StructType): StructType = {
@@ -321,7 +345,8 @@ object XGBoostClassifier extends GraftReadable[XGBoostClassifier] {
   * `BinaryClassificationEvaluator` and friends. Multiclass emits the
   * per-class margin / softprob vectors. */
 class XGBoostClassificationModel(override val uid: String, val booster: BoosterModel)
-    extends Model[XGBoostClassificationModel] with GraftXGBParams with GraftWritableModel {
+    extends Model[XGBoostClassificationModel] with GraftXGBParams with GraftWritableModel
+    with HasTrainingSummary {
   final val rawPredictionCol = new Param[String](this, "rawPredictionCol", "raw margin column")
   final val probabilityCol = new Param[String](this, "probabilityCol", "probability column")
   setDefault(rawPredictionCol -> "rawPrediction", probabilityCol -> "probability")
@@ -391,8 +416,10 @@ class XGBoostRanker(override val uid: String)
       (GraftXGBParams.toDoubleArray(row.get(0), miss), row.getDouble(1),
         row.getDouble(2), row.getLong(3))
     }
-    val booster = withPersisted(rdd)(new GBTTrainer(baseTrainParams($(objective))).fitRanking(_))
-    copyValues(new XGBoostRankerModel(uid, booster)).setParent(this)
+    val trainer = new GBTTrainer(baseTrainParams($(objective)))
+    val booster = withPersisted(rdd)(trainer.fitRanking(_))
+    copyValues(new XGBoostRankerModel(uid, booster))
+      .setSummary(trainer).setParent(this)
   }
   override def copy(extra: ParamMap): XGBoostRanker = defaultCopy(extra)
   override def transformSchema(schema: StructType): StructType = {
@@ -406,7 +433,8 @@ object XGBoostRanker extends GraftReadable[XGBoostRanker] {
 }
 
 class XGBoostRankerModel(override val uid: String, val booster: BoosterModel)
-    extends Model[XGBoostRankerModel] with GraftXGBParams with GraftWritableModel {
+    extends Model[XGBoostRankerModel] with GraftXGBParams with GraftWritableModel
+    with HasTrainingSummary {
   override def transform(ds: Dataset[_]): DataFrame =
     ds.withColumn($(predictionCol),
       Predictor.marginScalarCol(booster)(featuresAsArray(ds)))

@@ -167,6 +167,11 @@ class EstimatorSpec extends AnyFunSuite {
       .fit(df)
     assert(model.booster.trees.length < 40,
       s"noise validation watch should stop early, got ${model.booster.trees.length}")
+    // training summary rides the fitted model (MLlib .summary pattern)
+    val sum = model.summary.get
+    assert(sum.history.nonEmpty)
+    assert(sum.bestIteration + 1 == model.booster.trees.length)
+    assert(sum.fullHistory.head._2.keySet == Set("eval-rmse"), sum.fullHistory.head._2.keySet)
     // without the indicator the learnable train set is the watch: no stop
     val noVal = new XGBoostRegressor()
       .setNumRound(12).setMaxDepth(4).setMaxBin(64).setSeed(7L)
