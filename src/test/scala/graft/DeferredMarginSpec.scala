@@ -83,6 +83,34 @@ class DeferredMarginSpec extends AnyFunSuite {
     data.unpersist()
   }
 
+  test("deferral schedules fewer Spark jobs than per-iteration flushing") {
+    val data = lineitemData().cache()
+    data.count()
+    def jobsDuring(f: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try { f; Thread.sleep(500) } // let the listener bus drain
+      finally spark.sparkContext.removeSparkListener(l)
+      counter.get()
+    }
+    val base = TrainParams(numRounds = 10, maxDepth = 3, eta = 0.3, maxBin = 32,
+      minTrainPartitions = 0)
+    val jEvery = jobsDuring {
+      new GBTTrainer(base.copy(marginFlushInterval = 1)).fit(data)
+    }
+    val jDeferred = jobsDuring {
+      new GBTTrainer(base.copy(marginFlushInterval = 100)).fit(data)
+    }
+    // 10 rounds: per-iteration flushing pays ~10 extra cache-advance jobs
+    assert(jDeferred <= jEvery - 8,
+      s"deferred fit should save ~1 job/iteration: $jDeferred vs $jEvery")
+    data.unpersist()
+  }
+
   test("watch list disables deferral without changing results") {
     val data = lineitemData().cache()
     // a watching fit takes the non-deferred branch regardless of the
