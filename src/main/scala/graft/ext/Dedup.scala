@@ -159,6 +159,7 @@ object Dedup {
       labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
     var iter = 0
     var converged = false
+    var lastDelta: java.math.BigDecimal = null
     while (iter < maxIter && !converged) {
       val msgs = edges.alias("e")
         .join(labels.alias("l"), col("e.dst") === col("l.id"))
@@ -172,10 +173,20 @@ object Dedup {
       labels.unpersist(blocking = false)
       labels = next
       converged = prevSum != null && s.compareTo(prevSum) == 0
+      lastDelta = if (prevSum == null) s else prevSum.subtract(s)
       prevSum = s
       iter += 1
     }
     edges.unpersist(blocking = false)
+    // labels only decrease, so a non-zero final delta means propagation was
+    // still in flight when maxIter hit — the labels are NOT canonical
+    // component ids (possible only for components of diameter > maxIter).
+    // Fail loudly rather than hand back silently-wrong clusters.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"(residual label-sum delta $lastDelta); the input graph has a " +
+          s"component of diameter > $maxIter — raise maxIter")
     labels
   }
 

@@ -14,13 +14,16 @@ import org.json4s.jackson.JsonMethods
   *
   * Split-comparison semantics: the reference routes LEFT on
   * `value < split_condition`; graft routes LEFT on `value <= threshold`.
-  * In double space these convert EXACTLY: importing uses
-  * `threshold = nextDown(cond)` (v <= nextDown(c) ⟺ v < c) and exporting
-  * uses `cond = nextUp(threshold)`, so import→export→import is the
-  * identity. Caveat: the reference compares in float32, so feature values
-  * that straddle a float32 rounding boundary of the condition can differ —
-  * inherent to any float-to-double engine migration, and absent when
-  * features themselves are float-representable.
+  * Importing uses `threshold = nextDown(cond)` in double space
+  * (v <= nextDown(c) ⟺ v < c — exact, since no float32 value can equal
+  * the double-ulp predecessor of a float32 condition). Exporting must
+  * account for the reference parsing `split_condition` into float32
+  * (`tree_model.cc` LoadModelImpl), which would round a double-space
+  * `nextUp(T)` back to T: we emit the smallest FLOAT32 strictly greater
+  * than the threshold, so `v <= T` (graft) ⟺ `v < cond` (reference) holds
+  * exactly for every float32 feature value v — which is all of them, the
+  * reference casts features to float32 at ingestion. Caveat only if graft
+  * is fed double features that are not float32-representable.
   *
   * Scope: gbtree and dart boosters with scalar-leaf numerical trees
   * (including one-tree-per-class multiclass via `tree_info`). Categorical
@@ -77,7 +80,7 @@ object XGBoostJson {
 
     // base_score is stored in the objective's OUTPUT space; the margin the
     // trees start from is ProbToMargin(base_score) (learner.cc:152)
-    val bs = lmpStr("base_score", "0.5").toDouble
+    val bs = parseBaseScore(lmpStr("base_score", "0.5"))
     val baseMargin =
       try graft.objective.Objective(objName).probToMargin(bs)
       catch { case _: Throwable => bs } // unknown objective: take it as margin
@@ -85,6 +88,26 @@ object XGBoostJson {
     BoosterModel(trees, treeWeights,
       if (treeInfo.length == trees.length) treeInfo else new Array[Int](trees.length),
       Array.fill(numGroups)(baseMargin), objName, numGroups, numFeatures)
+  }
+
+  /** `base_score` is a plain scalar string pre-3.1 ("5E-1") but a
+    * bracketed ParamArray string since 3.1 ("[5E-1]", one value per
+    * output group — `src/common/param_array.cc` WriteStream); accept both
+    * and take the first element as the scalar score. */
+  private[graft] def parseBaseScore(raw: String): Double = {
+    val s = raw.trim.stripPrefix("[").stripPrefix("(").stripSuffix("]").stripSuffix(")")
+    val first = s.split(',')(0).trim
+    require(first.nonEmpty, s"empty base_score '$raw'")
+    first.toDouble
+  }
+
+  /** Smallest float32 strictly greater than t (as a double). Used for
+    * export: the reference parses split_condition into float32, so the
+    * successor must be taken in float32 space — a double-space nextUp
+    * would round back to t for any float-representable t. */
+  private[graft] def float32Successor(t: Double): Double = {
+    val f = t.toFloat
+    if (f.toDouble > t) f.toDouble else Math.nextUp(f).toDouble
   }
 
   private def parseTree(tj: JValue): Tree = {
@@ -161,7 +184,7 @@ object XGBoostJson {
         "split_indices" -> JArray(t.nodes.map(x =>
           JInt(BigInt(if (x.isLeaf) 0 else x.feature))).toList),
         "split_conditions" -> JArray(t.nodes.map(x =>
-          JDouble(if (x.isLeaf) x.leaf(0) * w else Math.nextUp(x.threshold))).toList),
+          JDouble(if (x.isLeaf) x.leaf(0) * w else float32Successor(x.threshold))).toList),
         "default_left" -> JArray(t.nodes.map(x =>
           JInt(if (!x.isLeaf && x.defaultLeft) 1 else 0)).toList),
         "split_type" -> JArray(List.fill(n)(JInt(0))),
@@ -231,7 +254,7 @@ object XGBoostJson {
     val all = (gb \ "model" \ "weights").extract[List[Double]].toArray
     require(all.length == nf + 1,
       s"weights length ${all.length} != num_feature $nf + 1 bias")
-    val bs = lmpStr("base_score", "0.5").toDouble
+    val bs = parseBaseScore(lmpStr("base_score", "0.5"))
     val baseMargin =
       try graft.objective.Objective(objName).probToMargin(bs)
       catch { case _: Throwable => bs }

@@ -172,9 +172,28 @@ final class StreamingTrainer(
       case None => trainer.fit(batch)
     }
     val bounded =
-      if (maxTrees > 0 && next.trees.length > maxTrees)
-        next.slice(next.trees.length - maxTrees, next.trees.length)
-      else next
+      if (maxTrees > 0 && next.trees.length > maxTrees) {
+        val cut = next.trees.length - maxTrees
+        // The dropped (oldest) trees' contribution is baked into every later
+        // tree's residual fit; removing them without compensation shifts all
+        // predictions by that contribution. Estimate its per-group mean on
+        // the current batch and fold it into baseScore so the sliced
+        // ensemble keeps the same prediction center.
+        val dropped = next.copy(
+          trees = next.trees.slice(0, cut),
+          treeWeights = next.treeWeights.slice(0, cut),
+          treeGroup = next.treeGroup.slice(0, cut),
+          baseScore = new Array[Double](next.baseScore.length))
+        val (sums, n) = batch
+          .map { case (f, _, _) => (dropped.margin(f), 1L) }
+          .treeReduce { case ((a, na), (b, nb)) =>
+            var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }
+            (a, na + nb)
+          }
+        val sliced = next.slice(cut, next.trees.length)
+        sliced.copy(baseScore = Array.tabulate(sliced.baseScore.length)(g =>
+          sliced.baseScore(g) + sums(g) / math.max(n, 1L).toDouble))
+      } else next
     current = Some(bounded)
     current
   }

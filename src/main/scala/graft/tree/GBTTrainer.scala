@@ -1011,8 +1011,6 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     // root totals
     val (rootG, rootH) = aggregateTotals(binned, margins, globalGrads, obj, softmax, grp, iter, droppedShapes)
     nodes += new BuildNode(rootG, rootH, 0)
-    if (sys.env.contains("GRAFT_DEBUG_ROOT"))
-      System.err.println(s"[graft-root] rootG=$rootG rootH=$rootH")
     if (params.interactionConstraints.nonEmpty)
       nodes(0).allowed = Some((0 until numFeatures).toSet)
 
@@ -1049,8 +1047,6 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         }
         val cand = SplitEnumerator.bestSplit(hists(nid), cuts, nodeCols, n.g, n.h,
           params, n.lowerBound, n.upperBound)
-        if (sys.env.contains("GRAFT_DEBUG_ROOT"))
-          System.err.println(s"[graft-root] nid=$nid g=${n.g} h=${n.h} histSumG=${hists(nid).indices.collect { case i if i % 2 == 0 => hists(nid)(i) }.sum} cand=$cand")
         cand match {
           case Some(c) if c.gain > 0 &&
               (params.maxLeaves == 0 || leaves + 1 <= math.max(params.maxLeaves, 2)) =>

@@ -33,6 +33,16 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(labels.values.forall(_ == 0L))
   }
 
+  test("non-convergence within maxIter fails loudly, not silently-wrong labels") {
+    import spark.implicits._
+    // diameter-19 path cannot finish in 3 rounds; partially-propagated
+    // labels must never be handed back as canonical component ids
+    val df = (0L until 19L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException](
+      Dedup.connectedComponents(df, "a", "b", maxIter = 3))
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("duplicate and reversed pairs do not change the result") {
     val labels = cc(Seq((5L, 6L), (6L, 5L), (5L, 6L), (6L, 7L)))
     assert(labels == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))

@@ -228,4 +228,25 @@ class StreamingSpec extends AnyFunSuite {
         s"8 grown, bounded to 5: ${st.model.get.trees.length}")
     } finally q.stop()
   }
+
+  test("maxTrees slice folds dropped trees' contribution into baseScore") {
+    import graft.streaming.StreamingTrainer
+    val sc = spark.sparkContext
+    val rng = new scala.util.Random(11)
+    // baseScore pinned at 0 so the EARLIEST trees must carry the label mean
+    // (~10); slicing them off uncompensated would shift every prediction
+    // down by that amount
+    val st = new StreamingTrainer(
+      TrainParams(numRounds = 2, maxDepth = 2, eta = 0.5, maxBin = 16, seed = 3,
+        baseScore = Some(0.0), minTrainPartitions = 0), maxTrees = 4)
+    def batch() = sc.parallelize((0 until 400).map { _ =>
+      val x = rng.nextGaussian(); (Array(x), 10.0 + x, 1.0)
+    }, 2)
+    (0 until 4).foreach(_ => st.update(batch()))
+    val m = st.model.get
+    assert(m.trees.length == 4)
+    val eval = (0 until 200).map { _ => val x = rng.nextGaussian(); (Array(x), 10.0 + x) }
+    val bias = eval.map { case (f, y) => m.margin(f)(0) - y }.sum / eval.size
+    assert(math.abs(bias) < 1.0, s"post-slice prediction bias $bias should be ~0")
+  }
 }

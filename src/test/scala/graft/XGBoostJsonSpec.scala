@@ -45,6 +45,51 @@ class XGBoostJsonSpec extends AnyFunSuite {
     assert(m.featureImportance("gain")(0) == 7.5)
   }
 
+  test("import: post-3.1 ParamArray base_score form parses (trees + gblinear)") {
+    // since ref 3.1 base_score is a ParamArray serialized as a bracketed
+    // array string (src/common/param_array.cc WriteStream), e.g. "[5E-1]"
+    val arr = refJson.replace(""""base_score":"5E-1"""", """"base_score":"[5E-1]"""")
+    val m = XGBoostJson.fromXGBoostJson(arr)
+    assert(math.abs(m.baseScore(0)) < 1e-12) // 0.5 through the logistic link
+    assert(XGBoostJson.parseBaseScore("[2.5E-1,5E-1]") == 0.25)
+    assert(XGBoostJson.parseBaseScore(" [1E0] ") == 1.0)
+    assert(XGBoostJson.parseBaseScore("5E-1") == 0.5) // pre-3.1 scalar still ok
+    val lm = graft.linear.LinearModel(Array(1.0), bias = 0.0, baseScore = 0.2,
+      objective = "reg:squarederror", numFeatures = 1)
+    val linArr = XGBoostJson.toXGBoostJson(lm)
+      .replace(""""base_score":"0.2"""", """"base_score":"[2E-1]"""")
+    assert(linArr.contains("[2E-1]"), "fixture replace must hit")
+    assert(math.abs(XGBoostJson.linearFromXGBoostJson(linArr).baseScore - 0.2) < 1e-12)
+  }
+
+  test("export thresholds survive the reference's float32 parse") {
+    // the reference parses split_condition into FLOAT32 (tree_model.cc
+    // LoadModelImpl), so a double-space nextUp(T) rounds straight back to T
+    // and rows with feature == T flip from LEFT (graft) to RIGHT (reference)
+    assert(Math.nextUp(10.0).toFloat == 10.0f) // the naive emit collapses
+    val c = XGBoostJson.float32Successor(10.0)
+    assert(c.toFloat > 10.0f, "emitted condition must stay above T in float32")
+    // graft routes v=10 LEFT (v <= T); reference must agree: v < (float)cond
+    assert(10.0f < c.toFloat)
+    // non-float-representable threshold: smallest float strictly above it
+    assert(0.3f.toDouble > 0.3 && XGBoostJson.float32Successor(0.3) == 0.3f.toDouble)
+    // a trained model's exported conditions all clear their threshold in f32
+    val rng = new scala.util.Random(9)
+    val rows = (0 until 800).map { _ =>
+      val x = Array(rng.nextInt(50).toDouble, rng.nextGaussian())
+      (x, x(0) * 2.0 + x(1), 1.0)
+    }
+    val m = new GBTTrainer(TrainParams(numRounds = 3, maxDepth = 3, maxBin = 16, seed = 6))
+      .fit(sc.parallelize(rows, 2))
+    val rt = XGBoostJson.fromXGBoostJson(XGBoostJson.toXGBoostJson(m))
+    m.trees.zip(rt.trees).foreach { case (a, b) =>
+      a.nodes.zip(b.nodes).foreach { case (na, nb) =>
+        if (!na.isLeaf) assert(na.threshold.toFloat < nb.threshold.toFloat ||
+          na.threshold < nb.threshold, s"threshold ${na.threshold} not below f32 cond")
+      }
+    }
+  }
+
   test("import: dart weight_drop becomes tree weights") {
     val dart = refJson
       .replace(""""gradient_booster":{"name":"gbtree","model":{""",
