@@ -111,7 +111,8 @@ object XGBoost {
     folded.unpersist(blocking = false)
     val maximize = customMetric.map(_.maximize).getOrElse(
       metricName.startsWith("auc") || metricName.startsWith("ndcg") ||
-        metricName.startsWith("map") || metricName.startsWith("precision"))
+        metricName.startsWith("map") || metricName.startsWith("precision") ||
+        metricName.startsWith("pre@") || metricName == "interval-regression-accuracy")
     CvResult(histories, maximize)
   }
 }

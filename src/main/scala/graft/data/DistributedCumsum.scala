@@ -1,6 +1,6 @@
 package graft.data
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
@@ -34,12 +34,20 @@ object DistributedCumsum {
   /** Returns `df` with an extra inclusive running-sum column `cum_<c>` for
     * each c in `sumCols`, ordered by `orderCol` (unique values). */
   def cumsum(df: DataFrame, orderCol: String, descending: Boolean,
-      sumCols: Seq[String]): DataFrame = {
+      sumCols: Seq[String]): DataFrame =
+    cumsum(df, Seq(if (descending) col(orderCol).desc else col(orderCol).asc), sumCols)
+
+  /** Composite-key variant: running sums under a lexicographic multi-column
+    * order (each element carries its own asc/desc). Lets a per-group sweep
+    * (e.g. per-class ROC) ride ONE global two-pass prefix scan — callers
+    * recover within-group sums by subtracting the preceding groups' totals
+    * — instead of one unpartitioned window per group. Key tuples must be
+    * unique. */
+  def cumsum(df: DataFrame, order: Seq[Column], sumCols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
-    val ord = if (descending) col(orderCol).desc else col(orderCol).asc
     val prepared = df.withColumns(
       sumCols.map(c => c -> col(c).cast("double")).toMap)
-    val sorted = prepared.repartitionByRange(ord).sortWithinPartitions(ord)
+    val sorted = prepared.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val schema = sorted.schema
     val idxs = sumCols.map(schema.fieldIndex).toArray
     val k = idxs.length

@@ -147,6 +147,52 @@ object Metrics {
       (sum(col("tp") * (prec + prevPrec) / 2.0) / max("cum_tp")).as("aucpr"))
   }
 
+  /** Multiclass one-vs-rest ROC-AUC (`src/metric/auc.cc:83` MultiAUC with
+    * `MultiAUCType::kMultiClass`, dispatched from EvalMultiClass
+    * `auc.cc:377`): per class c, the binary tie-correct AUC of response
+    * (label == c) against the class-c probability, combined with class
+    * PREVALENCE weights — auc = Σ_c auc_c·tp_c / Σ_c tp_c where tp_c is
+    * the total positive weight of class c (the reference's
+    * `weight = tp(c)` at auc.cc:137). Returns null (the reference's NaN)
+    * if any class lacks positives or negatives (auc.cc:132-143).
+    *
+    * Scale shape: one posexplode (rows × numClass — numClass is small and
+    * fixed), ONE groupBy to distinct (class, score) points, then a single
+    * composite-key [[graft.data.DistributedCumsum]] over (class asc,
+    * score desc) — all per-class ROC sweeps ride the same two-pass prefix
+    * scan; within-class cumulatives are recovered by subtracting the
+    * preceding classes' totals (a numClass-row broadcast join). No
+    * unpartitioned window, no per-class Spark job. */
+  def aucMulticlass(df: DataFrame, probs: Column, label: Column, w: Column): DataFrame = {
+    val x = df.select(label.as("y"), w.as("wt"), posexplode(probs).as(Seq("c", "p")))
+    val g = x.groupBy(col("c"), col("p"))
+      .agg(sum(when(col("y") === col("c").cast("double"), col("wt")).otherwise(0.0)).as("tp"),
+        sum(when(col("y") === col("c").cast("double"), 0.0).otherwise(col("wt"))).as("fp"))
+    val cum = graft.data.DistributedCumsum.cumsum(
+      g, Seq(col("c").asc, col("p").desc), Seq("tp", "fp"))
+    // per-class exclusive offset = global cumulative at end of class − class total
+    val off = cum.groupBy("c").agg(
+      (max("cum_tp") - sum("tp")).as("offTp"),
+      (max("cum_fp") - sum("fp")).as("offFp"))
+    val perClass = cum.join(broadcast(off), "c")
+      .select(col("c"), col("tp"), col("fp"),
+        (col("cum_tp") - col("offTp")).as("ctp"),
+        (col("cum_fp") - col("offFp")).as("cfp"))
+      .groupBy("c").agg(
+        sum(col("fp") * (lit(2.0) * col("ctp") - col("tp")) / 2.0).as("area"),
+        max("ctp").as("ttp"), max("cfp").as("tfp"))
+    // degenerate classes (no positives or no negatives) are excluded from
+    // the inner sum (their division would raise under ANSI) and the outer
+    // min-guard turns the whole result into null — the reference's NaN
+    // contract (auc.cc:132-143)
+    val valid = col("ttp") > 0 && col("tfp") > 0
+    perClass.agg(
+      when(min(when(valid, 1).otherwise(0)) === 1,
+        sum(when(valid, col("area") / (col("ttp") * col("tfp")) * col("ttp")))
+          / sum(col("ttp")))
+        .as("auc"))
+  }
+
   /** Per-query ranking AUC averaged over groups (`auc.cc:165,229`). The
     * cumulative TP/FP windows are PARTITIONED by qid (bounded groups —
     * scale-safe); groups lacking both classes are excluded from the mean,
@@ -288,9 +334,33 @@ object Metrics {
 
   // ---- driver helper --------------------------------------------------------
 
-  /** Evaluate a named elementwise metric to a Double (driver loop use). */
+  /** Evaluate any registered metric name to a Double (driver helper; the
+    * training watch loop has its own binned-RDD fast paths in GBTTrainer
+    * that dispatch to the same kernels). Ranking names need `qid` (+
+    * optionally `tie` for deterministic order); multiclass OvR auc needs
+    * `probs`. Unknown combinations raise with the supported list. */
   def evaluate(name: String, df: DataFrame, pred: Column, label: Column,
-      w: Column): Double = {
+      w: Column, qid: Option[Column] = None, probs: Option[Column] = None,
+      tie: Option[Column] = None): Double = {
+    def one(out: DataFrame): Double = {
+      val r = out.head()
+      if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+    }
+    val tieCol = tie.getOrElse(pred)
+    name match {
+      case "auc" if probs.isDefined => return one(aucMulticlass(df, probs.get, label, w))
+      case "auc" if qid.isDefined => return one(aucRanking(df, qid.get, pred, label))
+      case "auc" => return one(aucBinary(df, pred, label, w))
+      case "aucpr" => return one(aucPR(df, pred, label, w))
+      case "cox-nloglik" => return one(coxNloglik(df, pred, label))
+      case n if n.startsWith("ndcg@") =>
+        return one(ndcgAt(df, qid.get, pred, label, tieCol, n.stripPrefix("ndcg@").toInt))
+      case n if n.startsWith("map@") =>
+        return one(mapAt(df, qid.get, pred, label, tieCol, n.stripPrefix("map@").toInt))
+      case n if n.startsWith("pre@") =>
+        return one(precisionAt(df, qid.get, pred, label, tieCol, n.stripPrefix("pre@").toInt))
+      case _ =>
+    }
     val c = name match {
       case "rmse" => rmse(pred, label, w)
       case "rmsle" => rmsle(pred, label, w)
@@ -299,6 +369,8 @@ object Metrics {
       case "logloss" => logloss(pred, label, w)
       case "mphe" => mphe(pred, label, w)
       case "error" => errorAt(pred, label, w)
+      case e if e.startsWith("error@") => errorAt(pred, label, w, e.stripPrefix("error@").toDouble)
+      case e if e.startsWith("expectile@") => expectileLoss(pred, label, w, e.stripPrefix("expectile@").toDouble)
       case "poisson-nloglik" => poissonNloglik(pred, label, w)
       case "gamma-deviance" => gammaDeviance(pred, label, w)
       case "gamma-nloglik" => gammaNloglik(pred, label, w)

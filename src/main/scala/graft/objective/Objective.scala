@@ -365,6 +365,21 @@ final class AFT(dist: String, sigma: Double) extends Objective {
   override def validInterval(lo: Double, hi: Double): Boolean =
     lo > 0.0 && (hi.isNaN || hi >= lo)
   override def defaultMetric = "aft-nloglik"
+
+  /** Row negative log-likelihood — the aft-nloglik metric kernel
+    * (`src/metric/survival_metric.cu:250`): −ln f(z)/(σ·t) uncensored,
+    * −ln(F(z_hi) − F(z_lo)) censored (right-censored ⇒ F(z_hi) = 1). */
+  def nloglik(m: Double, lo: Double, hi: Double): Double = {
+    val rightCensored = hi.isNaN || hi.isInfinite
+    val zLo = (math.log(lo) - m) / sigma
+    val like =
+      if (!rightCensored && hi == lo) pdf(zLo) / (sigma * lo)
+      else {
+        val cHi = if (rightCensored) 1.0 else cdf((math.log(hi) - m) / sigma)
+        cHi - cdf(zLo)
+      }
+    -math.log(math.max(like, 1e-12))
+  }
 }
 
 object AFT {

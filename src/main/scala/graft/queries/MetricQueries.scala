@@ -130,6 +130,11 @@ object MetricQueries {
     "m_mlogloss" -> ((s, dir) => multi(s, dir)
       .agg(round(Metrics.mlogloss(col("probs"), col("y3"), col("w")), 6).as("mlogloss"))),
 
+    // one-vs-rest multiclass AUC (auc.cc:83 MultiAUC, prevalence-weighted)
+    "m_auc_multi" -> ((s, dir) =>
+      Metrics.aucMulticlass(multi(s, dir), col("probs"), col("y3"), col("w"))
+        .select(round(col("auc"), 6).as("auc_multi"))),
+
     // ---- survival (rank_metric.cc:204, survival_metric.cu:250,254) ----
     "m_cox_nloglik" -> ((s, dir) =>
       Metrics.coxNloglik(surv(s, dir), col("cp"), col("y"))
@@ -249,6 +254,28 @@ object MetricQueries {
     "m_mlogloss" ->
       s"""SELECT round(sum(w * -ln(greatest(probs[CAST(y3 AS INT) + 1], 1e-16))) / sum(w), 6) AS mlogloss
          |FROM ($multiSql)""".stripMargin,
+
+    "m_auc_multi" ->
+      s"""WITH x AS (
+         |  SELECT y3 AS y, w, classes.c AS c, probs[classes.c + 1] AS p
+         |  FROM ($multiSql) f, (VALUES (0), (1), (2)) AS classes(c)
+         |), g AS (
+         |  SELECT c, p,
+         |    sum(CASE WHEN y = CAST(c AS DOUBLE) THEN w ELSE 0.0 END) AS tp,
+         |    sum(CASE WHEN y = CAST(c AS DOUBLE) THEN 0.0 ELSE w END) AS fp
+         |  FROM x GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT c, tp, fp,
+         |    sum(tp) OVER (PARTITION BY c ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+         |    sum(fp) OVER (PARTITION BY c ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cfp
+         |  FROM g
+         |), perc AS (
+         |  SELECT c, sum(fp * (2.0 * ctp - tp) / 2.0) AS area,
+         |    max(ctp) AS ttp, max(cfp) AS tfp
+         |  FROM cum GROUP BY c
+         |)
+         |SELECT round(sum(area / (ttp * tfp) * ttp) / sum(ttp), 6) AS auc_multi
+         |FROM perc""".stripMargin,
 
     "m_cox_nloglik" ->
       s"""WITH byv AS (

@@ -821,7 +821,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
                 if (isMulti) "mlogloss" else obj.defaultMetric)
               (n, evalMetricValue(n, rows, ms, obj),
                 n.startsWith("auc") || n.startsWith("ndcg") ||
-                  n.startsWith("map") || n.startsWith("precision"))
+                  n.startsWith("map") || n.startsWith("precision") ||
+                  n.startsWith("pre@") || n == "interval-regression-accuracy")
           }
         val evals = watchList.map { case (wName, rows, ms) =>
           val (mName, v, maximize) = evalOne(rows, ms)
@@ -1161,10 +1162,46 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
   // ---- watch metric evaluation (RDD form of graft.metric.Metrics for the
   // training loop — one treeAggregate per evaluated iteration) -------------
 
+  /** ONE metric-name registry for every facade (train/cv/estimators):
+    * elementwise names run as fused treeAggregates; ranking names
+    * (ndcg@k/map@k/pre@k, ranking auc) walk the qid-co-partitioned groups
+    * in place (no shuffle); global-sweep names (auc/aucpr, multiclass OvR
+    * auc, cox-nloglik) delegate to the oracle-verified DataFrame kernels in
+    * [[graft.metric.Metrics]]. Mirrors the reference's metric registry
+    * dispatch (`src/metric/metric.cc` Metric::Create). */
   private def evalMetricValue(name: String, rows: RDD[BInst],
       margins: RDD[Array[Double]], obj: Objective): Double = {
     if (name.startsWith("ndcg@"))
       return evalNdcg(rows, margins, name.stripPrefix("ndcg@").toInt)
+    if (name.startsWith("map@"))
+      return evalMapAt(rows, margins, name.stripPrefix("map@").toInt)
+    if (name == "map")
+      return evalMapAt(rows, margins, Int.MaxValue)
+    if (name.startsWith("pre@"))
+      return evalPrecAt(rows, margins, name.stripPrefix("pre@").toInt)
+    if (name == "auc" && params.objective.startsWith("rank:"))
+      return evalGroupAuc(rows, margins)
+    if (name == "auc" || name == "aucpr")
+      return evalAucGlobal(name, rows, margins)
+    if (name == "cox-nloglik")
+      return evalCoxNloglik(rows, margins)
+    if (name == "aft-nloglik" || name == "interval-regression-accuracy") {
+      val aft = obj match {
+        case a: graft.objective.AFT => a
+        case _ => new graft.objective.AFT(params.aftDistribution, params.aftScale)
+      }
+      val (s, n) = graft.Agg.aggregate(rows.zip(margins))((0.0, 0.0))(
+        { case ((a, b), (r, m)) =>
+          val v =
+            if (name == "aft-nloglik") aft.nloglik(m(0), r.label, r.label2)
+            else if (m(0) >= math.log(r.label) &&
+              (r.label2.isNaN || r.label2.isInfinite || m(0) <= math.log(r.label2))) 1.0
+            else 0.0
+          (a + v, b + 1.0)
+        },
+        (a, b) => (a._1 + b._1, a._2 + b._2))
+      return if (n > 0) s / n else 0.0
+    }
     def ratio(f: (Double, Double, Double) => Double, pt: Double => Double = identity): Double = {
       val (s, w) = graft.Agg.aggregate(rows.zip(margins))((0.0, 0.0))(
         { case ((a, b), (r, m)) => (a + r.weight * f(pt(m(0)), r.label, r.weight), b + r.weight) },
@@ -1211,9 +1248,30 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
           val c = math.max(p, 1e-16); y / c + math.log(c)
         }, pt)
         case "mphe" => ratio((p, y, _) => math.sqrt(1 + (p - y) * (p - y)) - 1, pt)
+        case "gamma-deviance" => ratio((p, y, _) =>
+          2.0 * (math.log((p + 1e-16) / (y + 1e-16)) + y / (p + 1e-16) - 1.0), pt)
+        case q if q.startsWith("error@") =>
+          val t = q.stripPrefix("error@").toDouble
+          ratio((p, y, _) => if ((p > t) != (y > 0.5)) 1.0 else 0.0, pt)
+        case q if q == "tweedie-nloglik" || q.startsWith("tweedie-nloglik@") =>
+          val rho = if (q.contains('@')) q.stripPrefix("tweedie-nloglik@").toDouble
+            else params.tweedieVariancePower
+          ratio((p, y, _) => {
+            val c = math.max(p, 1e-16)
+            -(y * math.pow(c, 1.0 - rho) / (1.0 - rho) - math.pow(c, 2.0 - rho) / (2.0 - rho))
+          }, pt)
+        case q if q == "quantile" || q.startsWith("quantile@") =>
+          val alpha = if (q.contains('@')) q.stripPrefix("quantile@").toDouble
+            else params.quantileAlpha
+          ratio((p, y, _) => {
+            val d = y - p
+            if (d >= 0) alpha * d else (alpha - 1.0) * d
+          }, pt)
         case other => throw new IllegalArgumentException(
           s"unsupported watch metric: $other (supported: rmse, rmsle, mae, mape, " +
-            "logloss, error, poisson-nloglik, gamma-nloglik, mphe, ndcg@k)")
+            "logloss, error[@t], poisson-nloglik, gamma-nloglik, gamma-deviance, " +
+            "tweedie-nloglik[@rho], quantile[@alpha], mphe, auc, aucpr, cox-nloglik, " +
+            "aft-nloglik, interval-regression-accuracy, ndcg@k, map[@k], pre@k)")
       }
     }
   }
@@ -1249,6 +1307,117 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       Iterator.single((sum, cnt))
     }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = graft.Agg.depth(rows.getNumPartitions))
     if (n > 0) s / n else 0.0
+  }
+
+  /** Mean of a per-group statistic over qid-contiguous groups (ranking
+    * fits co-partition+sort by qid, so each group is walked in memory with
+    * no shuffle). `f` sees (margin, label) pairs in row order; None
+    * excludes the group from the mean (the reference's invalid-group
+    * handling, `auc.cc:206`). */
+  private def groupMean(rows: RDD[BInst], margins: RDD[Array[Double]])(
+      f: ArrayBuffer[(Double, Double)] => Option[Double]): Double = {
+    val (s, n) = rows.zip(margins).mapPartitions { it =>
+      val base = it.buffered
+      var sum = 0.0; var cnt = 0L
+      val buf = new ArrayBuffer[(Double, Double)]
+      while (base.hasNext) {
+        buf.clear()
+        val q = base.head._1.qid
+        while (base.hasNext && base.head._1.qid == q) {
+          val (r, m) = base.next(); buf += ((m(0), r.label))
+        }
+        f(buf) match { case Some(v) => sum += v; cnt += 1; case None => }
+      }
+      Iterator.single((sum, cnt))
+    }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = graft.Agg.depth(rows.getNumPartitions))
+    if (n > 0) s / n else 0.0
+  }
+
+  /** map@k (`rank_metric.cc:465`): binary relevance label>0.5. */
+  private def evalMapAt(rows: RDD[BInst], margins: RDD[Array[Double]], k: Int): Double =
+    groupMean(rows, margins) { buf =>
+      val order = buf.indices.sortBy(i => (-buf(i)._1, i)).take(k)
+      var nrel = 0.0; var ap = 0.0; var rk = 0; var cum = 0.0
+      order.foreach { i =>
+        rk += 1
+        if (buf(i)._2 > 0.5) { cum += 1; nrel += 1; ap += cum / rk }
+      }
+      Some(if (nrel > 0) ap / nrel else 0.0)
+    }
+
+  /** pre@k (`rank_metric.cc:461`). */
+  private def evalPrecAt(rows: RDD[BInst], margins: RDD[Array[Double]], k: Int): Double =
+    groupMean(rows, margins) { buf =>
+      val top = buf.indices.sortBy(i => (-buf(i)._1, i)).take(k)
+      Some(top.count(i => buf(i)._2 > 0.5).toDouble / k)
+    }
+
+  /** Per-group ranking ROC-AUC (`auc.cc:165` RankingAUC): tie-correct
+    * trapezoid per group, groups lacking both classes excluded. */
+  private def evalGroupAuc(rows: RDD[BInst], margins: RDD[Array[Double]]): Double =
+    groupMean(rows, margins) { buf =>
+      val byScore = buf.groupBy(_._1).toSeq.sortBy(-_._1)
+      var ctp = 0.0; var cfp = 0.0; var area = 0.0
+      byScore.foreach { case (_, xs) =>
+        var tp = 0.0; var fp = 0.0
+        xs.foreach { case (_, y) => if (y > 0.5) tp += 1 else fp += 1 }
+        area += fp * (ctp + (ctp + tp)) / 2.0
+        ctp += tp; cfp += fp
+      }
+      if (ctp > 0 && cfp > 0) Some(area / (ctp * cfp)) else None
+    }
+
+  @inline private def softprobOf(m: Array[Double]): Array[Double] = {
+    var mx = m(0); var k = 1
+    while (k < m.length) { if (m(k) > mx) mx = m(k); k += 1 }
+    val e = new Array[Double](m.length); var s = 0.0
+    k = 0
+    while (k < m.length) { e(k) = math.exp(m(k) - mx); s += e(k); k += 1 }
+    k = 0
+    while (k < m.length) { e(k) /= s; k += 1 }
+    e
+  }
+
+  /** Global-sweep AUCs through the oracle-verified DataFrame kernels:
+    * binary ROC/PR ([[graft.metric.Metrics.aucBinary]]/[[
+    * graft.metric.Metrics.aucPR]] — AUC is invariant under the monotone
+    * predTransform, so raw margins feed the sweep) and multiclass
+    * one-vs-rest ROC ([[graft.metric.Metrics.aucMulticlass]] over
+    * softprob). All ride DistributedCumsum — no single-task window. */
+  private def evalAucGlobal(name: String, rows: RDD[BInst],
+      margins: RDD[Array[Double]]): Double = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val out =
+      if (isMulti) {
+        require(name == "auc", s"$name is not defined for multiclass models")
+        val df = rows.zip(margins)
+          .map { case (r, m) => (r.label, r.weight, softprobOf(m).toSeq) }
+          .toDF("label", "weight", "probs")
+        graft.metric.Metrics.aucMulticlass(df, col("probs"), col("label"), col("weight"))
+      } else {
+        val df = rows.zip(margins)
+          .map { case (r, m) => (r.label, r.weight, m(0)) }
+          .toDF("label", "weight", "pred")
+        if (name == "auc")
+          graft.metric.Metrics.aucBinary(df, col("pred"), col("label"), col("weight"))
+        else
+          graft.metric.Metrics.aucPR(df, col("pred"), col("label"), col("weight"))
+      }
+    val r = out.head()
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
+  }
+
+  /** cox-nloglik (`rank_metric.cc:204` EvalCox) through the
+    * DistributedCumsum risk-set kernel. */
+  private def evalCoxNloglik(rows: RDD[BInst], margins: RDD[Array[Double]]): Double = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = rows.zip(margins).map { case (r, m) => (r.label, m(0)) }.toDF("y", "p")
+    val r = graft.metric.Metrics.coxNloglik(df, col("p"), col("y")).head()
+    if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }
 
   // ---- distributed aggregations -------------------------------------------
