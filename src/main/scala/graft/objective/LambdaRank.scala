@@ -31,10 +31,18 @@ import scala.collection.mutable.ArrayBuffer
   * groups/tests.
   */
 final class LambdaRankObjective(val variant: String, val ndcgExpGain: Boolean = true,
-    val topK: Int = 0, val pairMethod: String = "mean", val numPair: Int = 8)
+    val topK: Int = 0, val pairMethod: String = "mean", val numPair: Int = 8,
+    val unbiased: Boolean = false, val biasNorm: Double = 1.0)
     extends Objective {
   require(Set("mean", "topk", "all")(pairMethod), s"unknown pair method: $pairMethod")
   require(Set("ndcg", "map", "pairwise")(variant), s"unknown rank variant: $variant")
+
+  /** Tracked position count for debiasing (ref `RankingCache
+    * ::MaxPositionSize`, ranking_utils.h:224: truncation level for topk,
+    * else a hard 32 — "the bias decreases exponentially"). */
+  def maxPositions: Int = if (topK > 0) topK else 32
+  /** t± update exponent 1/(1+bias_norm) (ranking_utils.h:96 Regularizer). */
+  def regularizer: Double = 1.0 / (1.0 + biasNorm)
   val name = s"rank:$variant"
   override def needsGlobalGradients: Boolean = true
   def gradient(m: Double, y: Double, out: Array[Double]): Unit =
@@ -60,26 +68,14 @@ object LambdaRankGradients {
     * group's inputs plus its emitted gradient rows. */
   def compute(binned: RDD[BInst], margins: RDD[Array[Double]],
       obj: LambdaRankObjective,
-      pending: Array[(graft.tree.TreeShape, Double, Int)] = Array.empty): RDD[Array[Double]] = {
+      pending: Array[(graft.tree.TreeShape, Double, Int)] = Array.empty,
+      tPlus: Array[Double] = null, tMinus: Array[Double] = null): RDD[Array[Double]] = {
     val variant = obj.variant
     val expGain = obj.ndcgExpGain
     val topK = obj.topK
     val pairMethod = obj.pairMethod
     val numPair = obj.numPair
-    // deferred-cache trees: add their contribution to the cached margin on
-    // the fly (see CoxGradients.compute)
-    val zipped =
-      if (pending.isEmpty) binned.zip(margins)
-      else binned.zip(margins).map { case (r, m) =>
-        var out = m(0)
-        var i = 0
-        while (i < pending.length) {
-          out += pending(i)._2 * pending(i)._1.predictLeaf(r)(0)
-          i += 1
-        }
-        (r, Array(out))
-      }
-    zipped.mapPartitions { it =>
+    withPending(binned, margins, pending).mapPartitions { it =>
       val base = it.buffered
       new Iterator[Array[Array[Double]]] {
         private val lb = new ArrayBuffer[Double]
@@ -94,10 +90,68 @@ object LambdaRankGradients {
             lb += r.label; mb += m(0); wb += r.weight
           }
           groupGradients(lb.toArray, mb.toArray, wb.toArray,
-            variant, expGain, topK, pairMethod, numPair, q)
+            variant, expGain, topK, pairMethod, numPair, q, tPlus, tMinus, null, null)
         }
       }.flatten
     }
+  }
+
+  /** Deferred-cache trees: add their contribution to the cached margin on
+    * the fly (see CoxGradients.compute). */
+  private def withPending(binned: RDD[BInst], margins: RDD[Array[Double]],
+      pending: Array[(graft.tree.TreeShape, Double, Int)]): RDD[(BInst, Array[Double])] =
+    if (pending.isEmpty) binned.zip(margins)
+    else binned.zip(margins).map { case (r, m) =>
+      var out = m(0)
+      var i = 0
+      while (i < pending.length) {
+        out += pending(i)._2 * pending(i)._1.predictLeaf(r)(0)
+        i += 1
+      }
+      (r, Array(out))
+    }
+
+  /** Position-bias numerator pass for Unbiased LambdaMART (ref
+    * `lambdarank_obj.cc:205-220` accumulation + `:40-88`
+    * UpdatePositionBias): re-walks the SAME pair sample as [[compute]]
+    * (the mean-method RNG is seeded from (qid, margins), so both passes
+    * enumerate identical pairs) and sums, per displayed position,
+    * li = Σ cost/t⁻(low) and lj = Σ cost/t⁺(high) with
+    * cost = ln(1/(1−σ(s_hi−s_lo)))·|Δmetric| — eq. 30/31 of Hu et al.,
+    * "Unbiased LambdaMART". One treeAggregate per boosted iteration; the
+    * driver receives 2·maxPositions doubles, independent of data size. */
+  def positionBias(binned: RDD[BInst], margins: RDD[Array[Double]],
+      obj: LambdaRankObjective, pending: Array[(graft.tree.TreeShape, Double, Int)],
+      tPlus: Array[Double], tMinus: Array[Double]): (Array[Double], Array[Double]) = {
+    val variant = obj.variant
+    val expGain = obj.ndcgExpGain
+    val topK = obj.topK
+    val pairMethod = obj.pairMethod
+    val numPair = obj.numPair
+    val k = tPlus.length
+    withPending(binned, margins, pending).mapPartitions { it =>
+      val base = it.buffered
+      val li = new Array[Double](k)
+      val lj = new Array[Double](k)
+      val lb = new ArrayBuffer[Double]
+      val mb = new ArrayBuffer[Double]
+      val wb = new ArrayBuffer[Double]
+      while (base.hasNext) {
+        lb.clear(); mb.clear(); wb.clear()
+        val q = base.head._1.qid
+        while (base.hasNext && base.head._1.qid == q) {
+          val (r, m) = base.next()
+          lb += r.label; mb += m(0); wb += r.weight
+        }
+        groupGradients(lb.toArray, mb.toArray, wb.toArray,
+          variant, expGain, topK, pairMethod, numPair, q, tPlus, tMinus, li, lj)
+      }
+      Iterator.single((li, lj))
+    }.treeReduce({ case ((a1, a2), (b1, b2)) =>
+      var i = 0
+      while (i < a1.length) { a1(i) += b1(i); a2(i) += b2(i); i += 1 }
+      (a1, a2)
+    }, depth = graft.Agg.depth(binned.getNumPartitions))
   }
 
   /** Seq-tuple adapter (unit-test surface; the trainer path uses the
@@ -107,14 +161,23 @@ object LambdaRankGradients {
       expGain: Boolean, topK: Int, pairMethod: String = "all",
       numPair: Int = 8, qid: Long = 0L): Seq[Array[Double]] =
     groupGradients(rows.map(_._1).toArray, rows.map(_._2).toArray,
-      rows.map(_._3).toArray, variant, expGain, topK, pairMethod, numPair, qid)
+      rows.map(_._3).toArray, variant, expGain, topK, pairMethod, numPair, qid,
+      null, null, null, null)
       .toSeq
 
-  /** λ-gradients for one query group over parallel primitive arrays. */
+  /** λ-gradients for one query group over parallel primitive arrays.
+    * `tPlus`/`tMinus` (non-null ⇒ unbiased mode) are the position-bias
+    * ratios t⁺/t⁻ indexed by the doc's position in the INPUT order (the
+    * displayed order — `lambdarank_obj.h:93` LambdaGrad uses idx_high/
+    * idx_low from the original list); pair gradients are scaled by
+    * 1/(t⁺(high)·t⁻(low)). `liAcc`/`ljAcc` (non-null) additionally
+    * accumulate the eq. 30/31 numerators for the t± update. */
   private[objective] def groupGradients(
       labels: Array[Double], margins: Array[Double], weights: Array[Double],
       variant: String, expGain: Boolean, topK: Int, pairMethod: String,
-      numPair: Int, qid: Long): Array[Array[Double]] = {
+      numPair: Int, qid: Long, tPlus: Array[Double],
+      tMinus: Array[Double], liAcc: Array[Double],
+      ljAcc: Array[Double]): Array[Array[Double]] = {
     val n = labels.length
     val g = new Array[Double](n)
     val h = new Array[Double](n)
@@ -190,9 +253,27 @@ object LambdaRankGradients {
         }
         if (d > 0) {
           val rho = 1.0 / (1.0 + math.exp(margins(i) - margins(j)))
-          g(i) -= d * rho
-          g(j) += d * rho
-          val hh = math.max(d * rho * (1.0 - rho), 1e-16)
+          // position debiasing (LambdaGrad, lambdarank_obj.h:128-138):
+          // scale the pair by 1/(t⁺(i)·t⁻(j)) when both positions are
+          // tracked; accumulate eq.30/31 numerators when requested, with
+          // cost = ln(1/(1−σ(s_hi−s_lo)))·Δ = −ln(ρ)·Δ
+          var scale = 1.0
+          if (tPlus != null) {
+            val k = tPlus.length
+            if (i < k && j < k) {
+              val tpOk = tPlus(i) >= 1e-16
+              val tmOk = tMinus(j) >= 1e-16
+              if (tpOk && tmOk) scale = 1.0 / (tPlus(i) * tMinus(j))
+              if (liAcc != null) {
+                val cost = -math.log(math.max(rho, 1e-300)) * d
+                if (tmOk) liAcc(i) += cost / tMinus(j)
+                if (tpOk) ljAcc(j) += cost / tPlus(i)
+              }
+            }
+          }
+          g(i) -= d * rho * scale
+          g(j) += d * rho * scale
+          val hh = math.max(d * rho * (1.0 - rho) * scale, 1e-16)
           h(i) += hh
           h(j) += hh
         }

@@ -54,6 +54,7 @@ object Objective {
       aftDistribution: String = "normal", aftScale: Double = 1.0,
       rankExpGain: Boolean = true, rankTopK: Int = 0,
       rankPairMethod: String = "mean", rankNumPair: Int = 8,
+      rankUnbiased: Boolean = false, rankBiasNorm: Double = 1.0,
       scalePosWeight: Double = 1.0): Objective = {
     // scale_pos_weight applies to the RegLoss family only
     // (RegLossParam, src/objective/regression_param.h:15)
@@ -75,9 +76,9 @@ object Objective {
     case "reg:expectileerror"              => new ExpectileError(alpha)
     case "survival:cox"                    => Cox
     case "survival:aft"                    => new AFT(aftDistribution, aftScale)
-    case "rank:ndcg"                       => new LambdaRankObjective("ndcg", rankExpGain, rankTopK, rankPairMethod, rankNumPair)
-    case "rank:map"                        => new LambdaRankObjective("map", rankExpGain, rankTopK, rankPairMethod, rankNumPair)
-    case "rank:pairwise"                   => new LambdaRankObjective("pairwise", rankExpGain, rankTopK, rankPairMethod, rankNumPair)
+    case "rank:ndcg"                       => new LambdaRankObjective("ndcg", rankExpGain, rankTopK, rankPairMethod, rankNumPair, rankUnbiased, rankBiasNorm)
+    case "rank:map"                        => new LambdaRankObjective("map", rankExpGain, rankTopK, rankPairMethod, rankNumPair, rankUnbiased, rankBiasNorm)
+    case "rank:pairwise"                   => new LambdaRankObjective("pairwise", rankExpGain, rankTopK, rankPairMethod, rankNumPair, rankUnbiased, rankBiasNorm)
     case other => throw new IllegalArgumentException(s"unknown objective: $other")
     }
   }

@@ -198,6 +198,43 @@ object KernelQueries {
         .select(col("key"), (round(col("g"), 5) + lit(0.0)).as("g"),
           round(col("h"), 5).as("h"))
         .orderBy("key")
+    }),
+
+    // Position-debiased λ-kernel (Unbiased LambdaMART, `src/objective/
+    // lambdarank_obj.h:93` LambdaGrad unbiased path): ONE gradient pass
+    // with FIXED position-bias curves t⁺(i)=(1+i)^-1/2, t⁻(j)=(1+j)^-1/4
+    // over the displayed (input) order — checks the 1/(t⁺·t⁻) pair
+    // scaling and the 32-tracked-position guard against closed-form SQL.
+    // The iterative t± re-fit is driver-side state covered by
+    // UnbiasedLambdaRankSpec (it is not SQL-expressible).
+    "q_rank_grad_unbiased" -> ((s, dir) => {
+      val base = CoreQueries.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 1000 < 4)
+        .select((col("l_orderkey") % 1000).as("q"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("key"),
+          ((col("l_orderkey") * 8 + col("l_linenumber")) % 9973 / lit(9973.0)).as("p"),
+          (col("l_linenumber") % 4).cast("double").as("rel"))
+        .distinct()
+      val paired = base.rdd
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .partitionBy(new org.apache.spark.HashPartitioner(8))
+        .mapPartitions(_.toArray.sortBy(t => (t._1, t._2._1)).iterator,
+          preservesPartitioning = true)
+        .map { case (q, (key, p, rel)) =>
+          (BInst(Array.emptyIntArray, rel, 1.0, key, qid = q), p)
+        }
+      val tPlus = Array.tabulate(32)(i => math.pow(1.0 + i, -0.5))
+      val tMinus = Array.tabulate(32)(i => math.pow(1.0 + i, -0.25))
+      val gh = LambdaRankGradients.compute(paired.map(_._1),
+        paired.map(t => Array(t._2)),
+        new LambdaRankObjective("ndcg", pairMethod = "all", unbiased = true),
+        Array.empty, tPlus, tMinus)
+      import s.implicits._
+      paired.map(_._1.rowId).zip(gh).map { case (key, a) => (key, a(0), a(1)) }
+        .toDF("key", "g", "h")
+        .select(col("key"), (round(col("g"), 5) + lit(0.0)).as("g"),
+          round(col("h"), 5).as("h"))
+        .orderBy("key")
     })
   )
 
@@ -313,6 +350,39 @@ object KernelQueries {
         |    greatest(d * rho * (1.0 - rho), 1e-16) AS chh FROM pairs
         |  UNION ALL
         |  SELECT kj, d * rho, greatest(d * rho * (1.0 - rho), 1e-16) FROM pairs)
+        |SELECT r.key AS key,
+        |  round(coalesce(sum(cg), 0.0), 5) + 0.0 AS g,
+        |  round(greatest(coalesce(sum(chh), 0.0), 1e-16), 5) AS h
+        |FROM rows_ r LEFT JOIN contrib c ON c.key = r.key
+        |GROUP BY r.key ORDER BY r.key""".stripMargin,
+
+    "q_rank_grad_unbiased" ->
+      """WITH rows_ AS (
+        |  SELECT DISTINCT l_orderkey % 1000 AS q, l_orderkey * 8 + l_linenumber AS key,
+        |    (l_orderkey * 8 + l_linenumber) % 9973 / 9973.0 AS p,
+        |    CAST(l_linenumber % 4 AS DOUBLE) AS rel
+        |  FROM lineitem WHERE l_orderkey % 1000 < 4),
+        |ranked AS (SELECT q, key, p, rel,
+        |  row_number() OVER (PARTITION BY q ORDER BY p DESC) AS rk,
+        |  row_number() OVER (PARTITION BY q ORDER BY key) - 1 AS pos FROM rows_),
+        |idcg AS (SELECT q, 1.0 / sum((pow(2.0, rel) - 1.0) / (ln(irk + 1.0) / ln(2.0))) AS inv FROM (
+        |  SELECT q, rel, row_number() OVER (PARTITION BY q ORDER BY rel DESC) AS irk
+        |  FROM rows_) GROUP BY q),
+        |pairs AS (
+        |  SELECT a.q AS q, a.key AS ki, b.key AS kj,
+        |    abs((pow(2.0, a.rel) - pow(2.0, b.rel)) *
+        |        (1.0/(ln(a.rk + 1.0)/ln(2.0)) - 1.0/(ln(b.rk + 1.0)/ln(2.0)))) * i.inv AS d,
+        |    1.0 / (1.0 + exp(a.p - b.p)) AS rho,
+        |    CASE WHEN a.pos < 32 AND b.pos < 32
+        |         THEN pow(1.0 + a.pos, 0.5) * pow(1.0 + b.pos, 0.25)
+        |         ELSE 1.0 END AS scale
+        |  FROM ranked a JOIN ranked b ON a.q = b.q AND a.rel > b.rel
+        |  JOIN idcg i ON i.q = a.q),
+        |contrib AS (
+        |  SELECT ki AS key, -d * rho * scale AS cg,
+        |    greatest(d * rho * (1.0 - rho) * scale, 1e-16) AS chh FROM pairs
+        |  UNION ALL
+        |  SELECT kj, d * rho * scale, greatest(d * rho * (1.0 - rho) * scale, 1e-16) FROM pairs)
         |SELECT r.key AS key,
         |  round(coalesce(sum(cg), 0.0), 5) + 0.0 AS g,
         |  round(greatest(coalesce(sum(chh), 0.0), 1e-16), 5) AS h

@@ -48,6 +48,8 @@ final case class TrainParams(
     lambdarankTopK: Int = 0, // >0 selects pair_method=topk with this k
     lambdarankPairMethod: String = "mean", // | "topk" | "all" (ranking_utils.h:73)
     lambdarankNumPair: Int = 8, // sampled pairs per doc (pair_method=mean)
+    lambdarankUnbiased: Boolean = false, // position debiasing (Unbiased LambdaMART)
+    lambdarankBiasNorm: Double = 1.0, // t± update regularizer 1/(1+norm) (ranking_utils.h:82)
     evalMetric: Option[String] = None, // per-iteration watch metric (default: objective's)
     earlyStoppingRounds: Int = 0, // 0 = off; else stop after this many non-improving rounds
     scalePosWeight: Double = 1.0, // positive-class gradient rebalance (RegLoss family)
@@ -335,6 +337,11 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
   def bestIteration: Int = lastBestIteration
   private val lastHistory = new ArrayBuffer[(Int, Double)]
   private val lastFullHistory = new ArrayBuffer[(Int, Map[String, Double])]
+
+  /** Fitted t⁺/t⁻ position-bias ratios after an unbiased LambdaRank fit
+    * (the reference exposes them as objective config "ti+"/"tj-"). */
+  def positionBias: Option[(Array[Double], Array[Double])] = lastPositionBias
+  private var lastPositionBias: Option[(Array[Double], Array[Double])] = None
   private var lastBestIteration: Int = -1
 
   /** grow_histmaker / approx (`src/tree/updater_approx.cc:46-100`): the
@@ -525,6 +532,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         aftDistribution = params.aftDistribution, aftScale = params.aftScale,
         rankExpGain = params.ndcgExpGain, rankTopK = params.lambdarankTopK,
         rankPairMethod = params.lambdarankPairMethod, rankNumPair = params.lambdarankNumPair,
+        rankUnbiased = params.lambdarankUnbiased, rankBiasNorm = params.lambdarankBiasNorm,
         scalePosWeight = params.scalePosWeight))
     val needsGlobalGrads = !isMulti && obj.needsGlobalGradients
     if (needsGlobalGrads && params.booster == "dart")
@@ -635,6 +643,20 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       (isMulti || !obj.needsScale)
     val pending = new ArrayBuffer[(TreeShape, Double, Int)]
     var flushCount = 0
+
+    // ---- Unbiased LambdaMART position-bias state (driver-side: 4 arrays
+    // of maxPositions ≤ 32 doubles; ref lambdarank_obj.cc li_full_/
+    // lj_full_/ti_plus_/tj_minus_). t± start at 1 (no bias assumed) and
+    // are re-fit from the accumulated eq.30/31 numerators each iteration.
+    val unbiasedLR: Option[LambdaRankObjective] = obj match {
+      case lr: LambdaRankObjective if lr.unbiased => Some(lr)
+      case _ => None
+    }
+    val biasK = unbiasedLR.map(_.maxPositions).getOrElse(0)
+    val tPlus = Array.fill(biasK)(1.0)
+    val tMinus = Array.fill(biasK)(1.0)
+    val liTotal = new Array[Double](biasK)
+    val ljTotal = new Array[Double](biasK)
     def flushPending(): Unit = if (pending.nonEmpty) {
       val bP = sc.broadcast(pending.toArray)
       val next = binned.zip(margins).map { case (r, m) =>
@@ -690,11 +712,28 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
           val pendingArr = pending.toArray
           val raw = obj match {
             case lr: LambdaRankObjective =>
-              LambdaRankGradients.compute(binned, margins, lr, pendingArr)
+              LambdaRankGradients.compute(binned, margins, lr, pendingArr,
+                if (lr.unbiased) tPlus else null, if (lr.unbiased) tMinus else null)
             case _ => CoxGradients.compute(binned, margins, pendingArr)
           }
           val g = raw.persist(StorageLevel.MEMORY_AND_DISK)
           g.count()
+          // position-bias update (UpdatePositionBias, lambdarank_obj.cc:103):
+          // accumulate this iteration's per-position numerators into the
+          // running totals, then re-fit t±(i) = (l(i)/l(0))^regularizer
+          unbiasedLR.foreach { lr =>
+            val (li, lj) = LambdaRankGradients.positionBias(
+              binned, margins, lr, pendingArr, tPlus, tMinus)
+            var i = 0
+            while (i < biasK) { liTotal(i) += li(i); ljTotal(i) += lj(i); i += 1 }
+            val reg = lr.regularizer
+            i = 0
+            while (i < biasK) {
+              if (liTotal(0) >= 1e-16) tPlus(i) = math.pow(liTotal(i) / liTotal(0), reg)
+              if (ljTotal(0) >= 1e-16) tMinus(i) = math.pow(ljTotal(i) / ljTotal(0), reg)
+              i += 1
+            }
+          }
           Some(g)
         } else None
 
@@ -848,6 +887,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       iter += 1
     }
     callbacks.foreach(_.afterTraining(lastBestIteration))
+    unbiasedLR.foreach(_ => lastPositionBias = Some((tPlus.clone(), tMinus.clone())))
     if (needsCoxSort) binned.unpersist(blocking = false)
     watchMargins.foreach(_.unpersist(blocking = false))
     margins.unpersist(blocking = false) // final prediction cache — don't leak blocks
