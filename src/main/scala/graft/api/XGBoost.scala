@@ -87,17 +87,38 @@ object XGBoost {
       nfold: Int = 5,
       seed: Long = 0L,
       customObj: Option[Objective] = None,
-      customMetric: Option[CustomEvalMetric] = None): CvResult = {
+      customMetric: Option[CustomEvalMetric] = None,
+      stratified: Boolean = false): CvResult = {
     require(nfold >= 2, s"nfold must be >= 2, got $nfold")
     val metricName = params.evalMetric.getOrElse {
       if (params.numClass > 1) "mlogloss"
       else customMetric.map(_.name).getOrElse(Objective(params.objective).defaultMetric)
     }
     val p = params.copy(evalMetric = Some(metricName))
-    val folded = data.mapPartitionsWithIndex { (pi, it) =>
-      val rng = new scala.util.Random(seed ^ (pi * 0x9E3779B97F4A7C15L))
-      it.map(r => (rng.nextInt(nfold), r))
-    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // stratified (`python-package/xgboost/training.py:435` cv(stratified=)):
+    // per class, rows are dealt round-robin across folds by their in-class
+    // sequence number, so every fold carries the class proportions exactly
+    // (within ±1 per class) — one filter+zipWithIndex pass per class over
+    // the (pinned) input, classification label cardinality assumed small
+    val pinned =
+      if (stratified && data.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        Some(data.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else None
+    val folded = (if (!stratified) {
+      data.mapPartitionsWithIndex { (pi, it) =>
+        val rng = new scala.util.Random(seed ^ (pi * 0x9E3779B97F4A7C15L))
+        it.map(r => (rng.nextInt(nfold), r))
+      }
+    } else {
+      val classes = data.map(_._2).distinct().collect().sorted
+      require(classes.length <= 100,
+        s"stratified cv needs a discrete class label (got ${classes.length} distinct values)")
+      classes.zipWithIndex.map { case (c, ci) =>
+        data.filter(_._2 == c).zipWithIndex.map { case (r, i) =>
+          (((i + seed + ci) % nfold).toInt.abs, r)
+        }
+      }.reduce(_ union _)
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     folded.count()
     val histories = (0 until nfold).map { k =>
       val trainer = new GBTTrainer(p)
@@ -109,10 +130,12 @@ object XGBoost {
       trainer.evalHistory
     }
     folded.unpersist(blocking = false)
+    pinned.foreach(_.unpersist(blocking = false))
     val maximize = customMetric.map(_.maximize).getOrElse(
       metricName.startsWith("auc") || metricName.startsWith("ndcg") ||
         metricName.startsWith("map") || metricName.startsWith("precision") ||
-        metricName.startsWith("pre@") || metricName == "interval-regression-accuracy")
+        metricName.startsWith("pre@") || metricName.startsWith("ams@") ||
+        metricName == "interval-regression-accuracy")
     CvResult(histories, maximize)
   }
 }

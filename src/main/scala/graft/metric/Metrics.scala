@@ -193,6 +193,38 @@ object Metrics {
         .as("auc"))
   }
 
+  /** ams@ratio (`src/metric/rank_metric.cc:48` EvalAMS — the HEP
+    * "approximate median significance", br = 10): sweep the descending
+    * score order accumulating weighted signal s (label>0.5) and background
+    * b; AMS(s,b) = √(2((s+b+br)·ln(1+s/(b+br)) − s)). ratio ≥ 1 returns
+    * the MAX over candidate thresholds = distinct-score prefixes excluding
+    * the full-data prefix (the reference's `i < ndata-1` bound); ratio < 1
+    * evaluates at the ⌊ratio·n⌋-row cutoff (row-sliced — deterministic
+    * when scores are unique, same caveat as the reference's unstable
+    * sort). Scale shape: distinct-score groupBy + DistributedCumsum — no
+    * unpartitioned window; the reference explicitly does NOT support
+    * distributed evaluation of this metric, this form does. */
+  def amsAt(df: DataFrame, pred: Column, label: Column, w: Column,
+      ratio: Double): DataFrame = {
+    val g = df.groupBy(pred.as("p"))
+      .agg(sum(when(label > 0.5, w).otherwise(0.0)).as("tp"),
+        sum(when(label > 0.5, 0.0).otherwise(w)).as("fp"),
+        count(lit(1)).cast("double").as("cnt"))
+    val c = graft.data.DistributedCumsum.cumsum(g, "p", descending = true,
+      Seq("tp", "fp", "cnt"))
+    val br = lit(10.0)
+    val ams = sqrt(lit(2.0) * ((col("cum_tp") + col("cum_fp") + br) *
+      log(lit(1.0) + col("cum_tp") / (col("cum_fp") + br)) - col("cum_tp")))
+    val n = df.agg(count(lit(1))).head().getLong(0)
+    if (ratio >= 1.0)
+      c.agg(max(when(col("cum_cnt") < n, ams)).as("ams"))
+    else {
+      // AMS at the cumulative point nearest (below) the ⌊ratio·n⌋-row cutoff
+      val ntop = math.min(math.max((ratio * n).toLong, 1L), n - 1)
+      c.where(col("cum_cnt") <= ntop).agg(max_by(ams, col("cum_cnt")).as("ams"))
+    }
+  }
+
   /** Per-query ranking AUC averaged over groups (`auc.cc:165,229`). The
     * cumulative TP/FP windows are PARTITIONED by qid (bounded groups —
     * scale-safe); groups lacking both classes are excluded from the mean,
@@ -352,6 +384,8 @@ object Metrics {
       case "auc" if qid.isDefined => return one(aucRanking(df, qid.get, pred, label))
       case "auc" => return one(aucBinary(df, pred, label, w))
       case "aucpr" => return one(aucPR(df, pred, label, w))
+      case n if n.startsWith("ams@") =>
+        return one(amsAt(df, pred, label, w, n.stripPrefix("ams@").toDouble))
       case "cox-nloglik" => return one(coxNloglik(df, pred, label))
       case n if n.startsWith("ndcg@") =>
         return one(ndcgAt(df, qid.get, pred, label, tieCol, n.stripPrefix("ndcg@").toInt))

@@ -110,6 +110,11 @@ object MetricQueries {
       Metrics.aucRanking(ranked(s, dir), col("q"), col("p"), col("yb"))
         .select(round(col("auc"), 6).as("auc"), col("num_groups"))),
 
+    // AMS (rank_metric.cc:48; ratio>=1 = max over candidate thresholds)
+    "m_ams" -> ((s, dir) =>
+      Metrics.amsAt(ranked(s, dir), col("p"), col("yb"), col("w"), ratio = 1.0)
+        .select(round(col("ams"), 6).as("ams"))),
+
     // ---- ranking (rank_metric.cc:461-469) ----
     "m_ndcg" -> ((s, dir) =>
       Metrics.ndcgAt(ranked(s, dir), col("q"), col("p"), col("rel"), col("t"), k = 5)
@@ -200,6 +205,22 @@ object MetricQueries {
          |)
          |SELECT round(avg(auc), 6) AS auc, count(*) AS num_groups
          |FROM perq WHERE auc IS NOT NULL""".stripMargin,
+
+    "m_ams" ->
+      s"""WITH g AS (
+         |  SELECT p, sum(CASE WHEN yb > 0.5 THEN w ELSE 0.0 END) AS tp,
+         |    sum(CASE WHEN yb > 0.5 THEN 0.0 ELSE w END) AS fp,
+         |    count(*) AS cnt
+         |  FROM ($rankedSql) GROUP BY 1
+         |), c AS (
+         |  SELECT p, tp, fp,
+         |    sum(tp) OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ctp,
+         |    sum(fp) OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cfp,
+         |    sum(cnt) OVER (ORDER BY p DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ccnt
+         |  FROM g
+         |), tot AS (SELECT sum(cnt) AS n FROM g)
+         |SELECT round(max(sqrt(2.0 * ((ctp + cfp + 10.0) * ln(1.0 + ctp / (cfp + 10.0)) - ctp))), 6) AS ams
+         |FROM c, tot WHERE ccnt < n""".stripMargin,
 
     "m_ndcg" ->
       s"""WITH r AS (

@@ -861,7 +861,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
               (n, evalMetricValue(n, rows, ms, obj),
                 n.startsWith("auc") || n.startsWith("ndcg") ||
                   n.startsWith("map") || n.startsWith("precision") ||
-                  n.startsWith("pre@") || n == "interval-regression-accuracy")
+                  n.startsWith("pre@") || n.startsWith("ams@") ||
+                  n == "interval-regression-accuracy")
           }
         val evals = watchList.map { case (wName, rows, ms) =>
           val (mName, v, maximize) = evalOne(rows, ms)
@@ -1221,7 +1222,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       return evalPrecAt(rows, margins, name.stripPrefix("pre@").toInt)
     if (name == "auc" && params.objective.startsWith("rank:"))
       return evalGroupAuc(rows, margins)
-    if (name == "auc" || name == "aucpr")
+    if (name == "auc" || name == "aucpr" || name.startsWith("ams@"))
       return evalAucGlobal(name, rows, margins)
     if (name == "cox-nloglik")
       return evalCoxNloglik(rows, margins)
@@ -1442,6 +1443,9 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
           .toDF("label", "weight", "pred")
         if (name == "auc")
           graft.metric.Metrics.aucBinary(df, col("pred"), col("label"), col("weight"))
+        else if (name.startsWith("ams@"))
+          graft.metric.Metrics.amsAt(df, col("pred"), col("label"), col("weight"),
+            name.stripPrefix("ams@").toDouble)
         else
           graft.metric.Metrics.aucPR(df, col("pred"), col("label"), col("weight"))
       }

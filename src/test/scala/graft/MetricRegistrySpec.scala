@@ -132,6 +132,70 @@ class MetricRegistrySpec extends AnyFunSuite {
     }
   }
 
+  test("amsAt matches brute-force AMS sweep (rank_metric.cc:48)") {
+    val rng = new scala.util.Random(29)
+    val rows = (0 until 900).map { _ =>
+      // quantized scores force tie groups; weighted labels
+      (math.rint(rng.nextDouble() * 50) / 50.0,
+        if (rng.nextDouble() < 0.3) 1.0 else 0.0, 0.5 + rng.nextDouble())
+    }
+    val df = rows.toDF("p", "y", "w")
+
+    // brute force: descending-score sweep, AMS at each distinct-score
+    // boundary excluding the full prefix (the reference's i < ndata-1)
+    val sorted = rows.sortBy(-_._1)
+    val br = 10.0
+    var s = 0.0; var b = 0.0; var best = 0.0
+    sorted.zipWithIndex.foreach { case ((p, y, w), i) =>
+      if (y > 0.5) s += w else b += w
+      val boundary = i < sorted.length - 1 && sorted(i + 1)._1 != p
+      if (boundary) {
+        val ams = math.sqrt(2 * ((s + b + br) * math.log(1 + s / (b + br)) - s))
+        if (ams > best) best = ams
+      }
+    }
+    val got = Metrics.amsAt(df, col("p"), col("y"), col("w"), ratio = 1.0)
+      .head().getDouble(0)
+    assert(math.abs(got - best) < 1e-9, s"ams $got vs brute $best")
+
+    // cutoff mode: AMS at the largest distinct-score boundary <= 30% of rows
+    val ntop = (0.3 * sorted.length).toLong
+    var s2 = 0.0; var b2 = 0.0; var at = 0.0; var cnt = 0L
+    sorted.foreach { case (p, y, w) =>
+      cnt += 1
+      if (y > 0.5) s2 += w else b2 += w
+      val lastOfGroup = cnt == sorted.length ||
+        sorted((cnt - 1).toInt)._1 != sorted(cnt.toInt)._1
+      if (lastOfGroup && cnt <= ntop)
+        at = math.sqrt(2 * ((s2 + b2 + br) * math.log(1 + s2 / (b2 + br)) - s2))
+    }
+    val gotCut = Metrics.amsAt(df, col("p"), col("y"), col("w"), ratio = 0.3)
+      .head().getDouble(0)
+    assert(math.abs(gotCut - at) < 1e-9, s"ams@0.3 $gotCut vs brute $at")
+  }
+
+  test("watch loop: ams@1 dispatches and is maximized by early stopping") {
+    val rng = new scala.util.Random(31)
+    val rows = (0 until 1500).map { _ =>
+      val x = Array(rng.nextGaussian(), rng.nextGaussian())
+      (x, if (x(0) + 0.5 * rng.nextGaussian() > 0.6) 1.0 else 0.0, 1.0)
+    }
+    val tr = new GBTTrainer(TrainParams(objective = "binary:logistic",
+      numRounds = 4, maxDepth = 3, evalMetric = Some("ams@1"), seed = 9))
+    val model = tr.fit(sc.parallelize(rows, 3))
+    val h = tr.evalHistory
+    assert(h.size == 4 && h.forall { case (_, v) => v > 0.0 && !v.isNaN },
+      s"ams history: $h")
+    // the watch value is the same AMS the standalone metric computes on the
+    // final model's scores (AMS is ordering-only, so the curve may be flat)
+    val scored = rows.map { case (x, y, w) => (model.margin(x)(0), y, w) }
+      .toDF("p", "y", "w")
+    val direct = Metrics.amsAt(scored, col("p"), col("y"), col("w"), ratio = 1.0)
+      .head().getDouble(0)
+    assert(math.abs(h.last._2 - direct) < 1e-9,
+      s"watch ams ${h.last._2} vs direct $direct")
+  }
+
   test("Metrics.evaluate dispatches ranking and sweep names") {
     val rng = new scala.util.Random(21)
     val df = (0 until 500).map { i =>

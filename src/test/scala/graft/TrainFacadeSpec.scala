@@ -78,4 +78,45 @@ class TrainFacadeSpec extends AnyFunSuite {
     assert(res.bestIteration >= 2, s"best=${res.bestIteration}, summary=$s")
     s.foreach { case (_, mean, std) => assert(std < mean, "folds should agree") }
   }
+
+  test("stratified cv preserves class proportions in every fold (training.py:435)") {
+    // 12% positives: uniform folding at nfold=4 can easily land a fold at
+    // 8-16%, stratified must hold every fold to within one row per class
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 2000).map { _ =>
+      val y = if (rng.nextDouble() < 0.12) 1.0 else 0.0
+      (Array(rng.nextGaussian(), rng.nextGaussian() + y), y, 1.0)
+    }
+    val rdd = sc.parallelize(rows, 4)
+    val nfold = 4
+
+    // reach the fold assignment through the same deal the facade uses
+    val res = XGBoost.cv(rdd,
+      TrainParams(objective = "binary:logistic", numRounds = 3, maxDepth = 2),
+      nfold = nfold, seed = 7, stratified = true)
+    assert(res.foldHistories.size == nfold)
+    assert(res.summary.forall { case (_, mean, _) => !mean.isNaN })
+
+    // independently verify the deal itself: per class, round-robin by
+    // in-class sequence => every fold count within 1 of m/nfold
+    val classes = rdd.map(_._2).distinct().collect().sorted
+    classes.zipWithIndex.foreach { case (c, ci) =>
+      val m = rows.count(_._2 == c)
+      val counts = rdd.filter(_._2 == c).zipWithIndex
+        .map { case (_, i) => (((i + 7 + ci) % nfold).toInt.abs, 1L) }
+        .reduceByKey(_ + _).collectAsMap()
+      (0 until nfold).foreach { k =>
+        val got = counts.getOrElse(k, 0L)
+        assert(math.abs(got - m.toDouble / nfold) <= 1.0,
+          s"class $c fold $k: $got of $m rows (want ~${m / nfold})")
+      }
+    }
+
+    // non-discrete labels must be rejected
+    val cont = sc.parallelize((0 until 500).map(i =>
+      (Array(rng.nextGaussian()), rng.nextDouble(), 1.0)), 2)
+    intercept[IllegalArgumentException] {
+      XGBoost.cv(cont, TrainParams(numRounds = 2), nfold = 2, stratified = true)
+    }
+  }
 }
