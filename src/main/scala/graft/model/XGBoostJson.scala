@@ -35,8 +35,11 @@ object XGBoostJson {
 
   // ---- import --------------------------------------------------------------
 
-  def fromXGBoostJson(s: String): BoosterModel = {
-    val j = JsonMethods.parse(s)
+  def fromXGBoostJson(s: String): BoosterModel = fromParsed(JsonMethods.parse(s))
+
+  /** Shared import path for the text-JSON and UBJSON ([[Ubjson]]) carriers
+    * — both serialize the same `Learner::SaveModel` document. */
+  private[model] def fromParsed(j: JValue): BoosterModel = {
     val learner = j \ "learner"
     require(learner != JNothing, "not an xgboost model JSON: missing 'learner'")
     val lmp = learner \ "learner_model_param"
@@ -234,8 +237,10 @@ object XGBoostJson {
   /** Import a reference gblinear model (`src/gbm/gblinear_model.cc:10-18`:
     * one flat `weights` array laid out `[feature × group]` with the bias
     * appended; single output group supported here). */
-  def linearFromXGBoostJson(s: String): graft.linear.LinearModel = {
-    val j = JsonMethods.parse(s)
+  def linearFromXGBoostJson(s: String): graft.linear.LinearModel =
+    linearFromParsed(JsonMethods.parse(s))
+
+  private[model] def linearFromParsed(j: JValue): graft.linear.LinearModel = {
     val learner = j \ "learner"
     require(learner != JNothing, "not an xgboost model JSON: missing 'learner'")
     val gb = learner \ "gradient_booster"
