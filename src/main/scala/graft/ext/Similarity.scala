@@ -83,6 +83,35 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
+  /** Multi-probe LSH ANN for HIGH plane counts (the corpus-scale operating
+    * point): at 16+ planes a single 2^planes-ary bucket is too selective
+    * for recall, so each query also probes the buckets at Hamming
+    * distance 1 (one sign bit flipped — the classic multi-probe
+    * sequence). ONLY the query side fans out (×(planes+1) rows — queries
+    * are the small side); the corpus keeps exactly one row per vector, so
+    * the join stays a corpus-linear equi-join shuffle and no (qid,
+    * vec_id) pair can duplicate (a corpus vector lives in one bucket). */
+  def lshTopKMultiProbe(corpus: DataFrame, queries: DataFrame,
+      planes: Array[Array[Double]], k: Int, roundDigits: Int = 5): DataFrame = {
+    val cb = corpus.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), planes).as("bucket"),
+      l2Norm(col("embedding")).as("nc"))
+    val flips = array((lit(0L) +: planes.indices.map(i => lit(1L << i))): _*)
+    val qb = queries.select(col("qid"), col("qe"),
+        lshBucket(col("qe"), planes).as("bucket0"),
+        l2Norm(col("qe")).as("nq"))
+      .select(col("qid"), col("qe"), col("nq"), col("bucket0"),
+        explode(flips).as("flip"))
+      .select(col("qid"), col("qe"), col("nq"),
+        col("bucket0").bitwiseXOR(col("flip")).as("bucket"))
+    val scored = qb.join(cb, Seq("bucket"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("embedding")) / (col("nq") * col("nc")), roundDigits).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
   /** Embedding-cosine near-duplicate mining (the embedding flavor of
     * [[Dedup]]): LSH-bucket the corpus once, pair WITHIN buckets only
     * (id_a < id_b), keep pairs at/above the cosine threshold. At corpus

@@ -33,12 +33,15 @@ object PipelineQueries {
   private val MaxBucket = 1000 // LSH bucket-size skew cap (Dedup.candidatePairs)
 
   /** MinHash slot k (= Dedup.minhashSignatures slot k: double hashing
-    * h1_g + j·h2_g from the group-salted md5; k < 64 ⇒ group 0, no salt). */
+    * h1_g + j·h2_g from the group-salted md5 — group g = k/64 salts the
+    * shingle with '#g', g = 0 unsalted). */
   private def mhSql(k: Int): String = {
-    require(k < Dedup.HashesPerGroup, "oracle fragment emitted for group 0 only")
+    val g = k / Dedup.HashesPerGroup
+    val j = k % Dedup.HashesPerGroup
+    val x = if (g == 0) "x" else s"concat(x, '#$g')"
     "list_min(list_transform(s, x -> " +
-      "CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT) + " +
-      s"$k * CAST(concat('0x', substr(md5(x), 17, 14)) AS BIGINT)))"
+      s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT) + " +
+      s"$j * CAST(concat('0x', substr(md5($x), 17, 14)) AS BIGINT)))"
   }
 
   // ---- queries -------------------------------------------------------------
@@ -69,6 +72,19 @@ object PipelineQueries {
     "p_near_dup" -> ((s, dir) =>
       Dedup.nearDupPairs(table(s, dir, "documents"), "text", "doc_id",
           numHashes = NumHashes, bands = Bands, shingleN = 3, threshold = 0.8,
+          maxBucketSize = MaxBucket)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // the CORPUS-SCALE near-dup operating point: 128 hashes / 32 bands of
+    // 4 (the k/band setting a production-corpus dedup runs — s-curve
+    // midpoint ≈ 0.72, steep enough to separate 0.8-Jaccard dups from
+    // unrelated docs at billions of documents). Same miner, same skew cap;
+    // 2 salted md5s per shingle (the O(k/64) design point), 32-band
+    // bucket join. Bench-graded at sf0.1 alongside the demo-scale row.
+    "p_near_dup_k128" -> ((s, dir) =>
+      Dedup.nearDupPairs(table(s, dir, "documents"), "text", "doc_id",
+          numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8,
           maxBucketSize = MaxBucket)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
         .orderBy("id_a", "id_b")),
@@ -136,6 +152,17 @@ object PipelineQueries {
       val q = e.where(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       Similarity.lshTopK(e, q, planes, k = 1).orderBy("qid", "rk")
+    }),
+
+    // the CORPUS-SCALE ANN operating point: 16 hyperplanes (65536
+    // buckets — the selectivity a billion-vector index needs) with
+    // Hamming-1 multi-probe for recall; only the query side fans out
+    // (×17), the corpus stays one row per vector
+    "p_ann_lsh_p16" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Similarity.lshTopKMultiProbe(e, q, planes16, k = 1).orderBy("qid", "rk")
     }),
 
     // IVF-cell ANN: corpus in nearest cell, queries probe 2 cells (8-cell
@@ -273,6 +300,9 @@ object PipelineQueries {
   // deterministic hyperplanes shared between the Spark plan and the oracle
   private val planes: Array[Array[Double]] = Similarity.hyperplanes(4, 64, seed = 42L)
 
+  // the 16-plane corpus-scale bucketing (65536 buckets, multi-probe)
+  private val planes16: Array[Array[Double]] = Similarity.hyperplanes(16, 64, seed = 42L)
+
   // fixed 8-cell IVF coarse quantizer, likewise shared as literals
   private val ivfCentroids: Array[Array[Double]] = Similarity.hyperplanes(8, 64, seed = 7L)
 
@@ -285,11 +315,13 @@ object PipelineQueries {
     s"round(($dp) / (($nq) * ($ne)), 5)"
   }
 
-  private def bucketSql(vec: String): String =
-    planes.zipWithIndex.map { case (p, i) =>
+  private def bucketSqlFor(vec: String, ps: Array[Array[Double]]): String =
+    ps.zipWithIndex.map { case (p, i) =>
       val dp = s"list_sum(list_transform(range(1, 65), i -> CAST($vec[i] AS DOUBLE) * (${Similarity.planeSql(p)})[i]))"
       s"(CASE WHEN ($dp) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  private def bucketSql(vec: String): String = bucketSqlFor(vec, planes)
 
   private val stopListSql = TextOps.EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
@@ -357,6 +389,52 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
+  /** The miner CTE chain at an arbitrary (numHashes, bands) operating
+    * point, in the same explode→hash→aggregate shape as
+    * `Dedup.minhashSignatures` (md5 computed ONCE per (doc, shingle,
+    * salt group), not once per slot — at 128 hashes the naive per-slot
+    * form costs 64× more md5 work in the oracle). */
+  private def nearDupCtesFor(numHashes: Int, bands: Int): String = {
+    val r = numHashes / bands
+    val groups = (numHashes + Dedup.HashesPerGroup - 1) / Dedup.HashesPerGroup
+    val hashCols = (0 until groups).map { g =>
+      val x = if (g == 0) "x" else s"concat(x, '#$g')"
+      s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT) AS h1_$g, " +
+        s"CAST(concat('0x', substr(md5($x), 17, 14)) AS BIGINT) AS h2_$g"
+    }.mkString(", ")
+    val minAggs = (0 until numHashes).map { k =>
+      val g = k / Dedup.HashesPerGroup
+      val j = k % Dedup.HashesPerGroup
+      s"min(h1_$g + $j * h2_$g) AS mh$k"
+    }.mkString(", ")
+    val bandKeys = (0 until bands).map { b =>
+      val slots = (0 until r).map(j => s"CAST(mh${b * r + j} AS VARCHAR)")
+      s"(SELECT $b AS band, md5(${slots.mkString("concat(", ", '_', ", ")")}) AS key)"
+    }
+    s"""sh AS (
+       |  SELECT doc_id AS id, $shingleSql AS s
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |), hx AS (
+       |  SELECT id, $hashCols
+       |  FROM (SELECT id, unnest(s) AS x FROM sh WHERE len(s) > 0)
+       |), sig AS (
+       |  SELECT id, $minAggs FROM hx GROUP BY id
+       |), buckets AS (
+       |  SELECT id, bk.band, bk.key FROM sig,
+       |    LATERAL (${bandKeys.mkString(" UNION ALL ")}) bk
+       |  QUALIFY count(*) OVER (PARTITION BY bk.band, bk.key) <= $MaxBucket
+       |), cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+       |), pairs AS (
+       |  SELECT id_a, id_b,
+       |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+       |      greatest(len(list_distinct(x.s || y.s)), 1) AS jac
+       |  FROM cand JOIN sh x ON x.id = cand.id_a JOIN sh y ON y.id = cand.id_b
+       |)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "p_exact_dedup" ->
       """WITH base AS (
@@ -374,6 +452,11 @@ object PipelineQueries {
 
     "p_near_dup" ->
       s"""WITH $nearDupCtes
+         |SELECT id_a, id_b, round(jac, 5) AS jaccard
+         |FROM pairs WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "p_near_dup_k128" ->
+      s"""WITH ${nearDupCtesFor(128, 32)}
          |SELECT id_a, id_b, round(jac, 5) AS jaccard
          |FROM pairs WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
@@ -458,6 +541,27 @@ object PipelineQueries {
          |SELECT qid, vec_id, cos,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rk
          |FROM s QUALIFY rk <= 1 ORDER BY qid, rk""".stripMargin,
+
+    "p_ann_lsh_p16" -> {
+      val flipList = (0L +: (0 until 16).map(i => 1L << i)).mkString("[", ", ", "]")
+      s"""WITH cb AS (
+         |  SELECT vec_id, embedding, ${bucketSqlFor("embedding", planes16)} AS bucket
+         |  FROM embeddings
+         |), q0 AS (
+         |  SELECT vec_id AS qid, embedding AS qe,
+         |    ${bucketSqlFor("embedding", planes16)} AS bucket0
+         |  FROM embeddings WHERE vec_id < 20
+         |), qb AS (
+         |  SELECT qid, qe, xor(bucket0, f.flip) AS bucket
+         |  FROM q0, LATERAL (SELECT unnest($flipList) AS flip) f
+         |), s AS (
+         |  SELECT qid, vec_id, $cosSql AS cos
+         |  FROM qb JOIN cb USING (bucket) WHERE qid <> vec_id
+         |)
+         |SELECT qid, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rk
+         |FROM s QUALIFY rk <= 1 ORDER BY qid, rk""".stripMargin
+    },
 
     "p_ann_ivf" ->
       s"""WITH cd AS (
