@@ -24,7 +24,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracle ++ MetricQueries.oracle ++ PipelineQueries.oracle ++
-      LinearQueries.oracle ++ SourceQueries.oracle ++ EventQueries.oracle ++
-      KernelQueries.oracle
+    CoreQueries.oracle ++ MetricQueries.oracle ++ TrainQueries.oracle ++
+      PipelineQueries.oracle ++ LinearQueries.oracle ++ SourceQueries.oracle ++
+      EventQueries.oracle ++ KernelQueries.oracle
 }

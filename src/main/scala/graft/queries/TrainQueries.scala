@@ -186,6 +186,139 @@ object TrainQueries {
       val imp = roundtrip.featureImportance("weight").toSeq.sortBy(_._1)
         .map { case (f, v) => (featureCols(f), v) }
       imp.toDF("feature", "n_splits").orderBy("feature")
+    }),
+
+    // ---- golden-hash determinism rows ------------------------------------
+    // The t_train_* queries above are not SQL-expressible (rows-only
+    // check). These twins train FIXED-SEED models on an SF-INDEPENDENT
+    // seeded synthetic fixture and emit a canonical model digest whose
+    // expected value is PINNED as a constant in the oracle — the gate then
+    // proves training is bit-stable round-over-round, at both scales, in a
+    // fresh JVM. An unintended change to sketch/histogram/split/leaf math
+    // flips the hash and turns the row red. The fixture is SINGLE-partition
+    // (with minTrainPartitions=0 so it stays that way): near-tie split
+    // gains amplify last-ulp float-sum noise into different-but-equally-
+    // valid trees, so bit-stability requires a pinned reduction order —
+    // multi-partition merge order is task-completion order, which no
+    // engine (reference included) pins across runs for float sums.
+    "t_hash_hist" -> ((s, _) =>
+      hashRow(s, new GBTTrainer(goldenParams()).fit(goldenRows(s)))),
+
+    // maxBin 32 ≠ the hist row's 64 so the approx re-sketch path gets its
+    // own distinct digest (at 64 both paths derive identical cuts on this
+    // fixture and the rows would alias)
+    "t_hash_approx" -> ((s, _) =>
+      hashRow(s, new GBTTrainer(goldenParams(treeMethod = "approx").copy(maxBin = 32))
+        .fit(goldenRows(s)))),
+
+    "t_hash_logistic" -> ((s, _) =>
+      hashRow(s, new GBTTrainer(goldenParams(objective = "binary:logistic"))
+        .fit(goldenRows(s, labelKind = "binary")))),
+
+    "t_hash_multi" -> ((s, _) =>
+      hashRow(s, new GBTTrainer(goldenParams(objective = "multi:softprob", numClass = 3))
+        .fit(goldenRows(s, labelKind = "class3")))),
+
+    "t_hash_rank" -> ((s, _) =>
+      hashRow(s, new GBTTrainer(goldenParams(objective = "rank:ndcg"))
+        .fitRanking(goldenRows(s, labelKind = "rel4").map { case (f, y, w) =>
+          (f, y, w, (f(0) * 17).toLong.abs % 40) // qid from a feature: deterministic
+        }))),
+
+    "t_hash_dart" -> ((s, _) =>
+      hashRow(s, new GBTTrainer(goldenParams(booster = "dart", rateDrop = 0.3))
+        .fit(goldenRows(s)))),
+
+    "t_hash_linear" -> ((s, _) => {
+      // coord_descent: the sequential selector is order-deterministic
+      val lm = new graft.linear.GBLinearTrainer(graft.linear.LinearParams(
+        numRounds = 5, eta = 0.5, updater = "coord_descent", seed = 7))
+        .fit(goldenRows(s))
+      import s.implicits._
+      val canon = (lm.weights.map(fmt) :+ fmt(lm.bias) :+ fmt(lm.baseScore))
+        .mkString(lm.objective + "|", ",", "")
+      Seq((md5Hex(canon), lm.numFeatures)).toDF("model_md5", "n_features")
     })
   )
+
+  /** PINNED golden digests: the oracle for each t_hash_* row is a
+    * constant — DuckDB cannot train a GBDT, but it can hold the expected
+    * hash still while the gate re-trains and re-hashes every round. An
+    * intentional change to training math must re-pin these (that is the
+    * point: the diff becomes visible and deliberate). */
+  val oracle: Map[String, String] = Map(
+    "t_hash_hist" ->
+      "SELECT '2aca1b768ecb3ce8322ee1b6677431b9' AS model_md5, 5 AS n_trees, 155 AS n_nodes",
+    "t_hash_approx" ->
+      "SELECT '10da90ce34694678182a641dc2e8f0f4' AS model_md5, 5 AS n_trees, 155 AS n_nodes",
+    "t_hash_logistic" ->
+      "SELECT '98ad0f403bfea93fe25a55b1b03841a6' AS model_md5, 5 AS n_trees, 115 AS n_nodes",
+    "t_hash_multi" ->
+      "SELECT 'a8c5bad0e14942b5baa9a013c19cc8bd' AS model_md5, 15 AS n_trees, 449 AS n_nodes",
+    "t_hash_rank" ->
+      "SELECT 'fcde222d684092eaf5152be2ada4504d' AS model_md5, 5 AS n_trees, 113 AS n_nodes",
+    "t_hash_dart" ->
+      "SELECT '2c80776d57b2356ac88fb731b9725a82' AS model_md5, 5 AS n_trees, 155 AS n_nodes",
+    "t_hash_linear" ->
+      "SELECT '24887bb85f773245b342170bc64f92cf' AS model_md5, 6 AS n_features")
+
+  /** Fixture params: small enough to add ~1 s per row to bench, deep
+    * enough to exercise sketch→bin→grow→leaf on every path. */
+  private def goldenParams(
+      objective: String = "reg:squarederror",
+      numClass: Int = 1,
+      treeMethod: String = "hist",
+      booster: String = "gbtree",
+      rateDrop: Double = 0.0) =
+    TrainParams(objective = objective, numClass = numClass,
+      treeMethod = treeMethod, booster = booster, rateDrop = rateDrop,
+      numRounds = 5, maxDepth = 4, maxBin = 64, eta = 0.3, seed = 7,
+      minTrainPartitions = 0)
+
+  /** SF-independent fixture: 10k rows, 6 features, ONE partition (pinned
+    * fold order — see the block comment above), all values derived from a
+    * splittable per-index hash (same bytes every scale, every round,
+    * every JVM). */
+  private def goldenRows(s: SparkSession, labelKind: String = "reg") =
+    s.sparkContext.parallelize(0 until 10000, 1).map { i =>
+      val rng = new java.util.Random(0x5DEECE66DL ^ (i.toLong * 0x9E3779B97F4A7C15L))
+      val f = Array.fill(6)(math.rint(rng.nextGaussian() * 1000) / 100.0)
+      val noise = rng.nextGaussian()
+      val y = labelKind match {
+        case "reg" => 2.0 * f(0) - f(1) + 0.05 * f(2) * f(3) + noise
+        case "binary" => if (f(0) + 0.5 * noise > 0) 1.0 else 0.0
+        case "class3" => (math.abs(f(0) + f(1) + noise) * 3).toInt % 3
+        case "rel4" => (math.abs(f(0) + 0.5 * noise) * 2).toInt % 4
+      }
+      (f, y.toDouble, 1.0)
+    }
+
+  private def fmt(v: Double): String = f"$v%.6e" // absorbs last-ulp noise
+
+  private def md5Hex(sIn: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sIn.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Canonical digest of a booster: objective, groups, base margins, and
+    * every node's (feature, threshold, children, default dir, leaves) at
+    * 7 significant digits. */
+  private def hashRow(s: SparkSession, m: graft.model.BoosterModel): DataFrame = {
+    val sb = new StringBuilder
+    sb.append(m.objective).append('|').append(m.numGroups).append('|')
+    m.baseScore.foreach(b => sb.append(fmt(b)).append(','))
+    m.trees.indices.foreach { t =>
+      sb.append('|').append(fmt(m.treeWeights(t))).append(':')
+        .append(m.treeGroup(t)).append(';')
+      m.trees(t).nodes.foreach { nd =>
+        sb.append(nd.feature).append(':')
+        if (nd.isLeaf) nd.leaf.foreach(v => sb.append(fmt(v)).append(','))
+        else sb.append(fmt(nd.threshold)).append(':').append(nd.left).append(':')
+          .append(nd.right).append(':').append(if (nd.defaultLeft) 1 else 0)
+        sb.append(';')
+      }
+    }
+    import s.implicits._
+    Seq((md5Hex(sb.toString), m.trees.length,
+      m.trees.map(_.nodes.length).sum)).toDF("model_md5", "n_trees", "n_nodes")
+  }
 }
