@@ -11,9 +11,9 @@ import scala.collection.mutable.ArrayBuffer
   * the sweep split across range partitions and only per-partition scalars
   * on the driver).
   *
-  * Inputs MUST be |label|-ascending sorted across partitions (the trainer
-  * sorts once per fit — the order never changes between iterations) with
-  * `margins` zip-aligned to `binned`.
+  * Input rows (instance, cached margin) MUST be |label|-ascending sorted
+  * across partitions (the trainer sorts once per fit — the order never
+  * changes between iterations).
   *
   * Math (Breslow ties, value-based and deterministic: all rows sharing an
   * event time share one risk set — the reference's sequential loop is
@@ -49,11 +49,11 @@ object CoxGradients {
     * the margin cache (deferred prediction-cache updates) — their
     * contribution is added per row on the fly, exactly as the trainer's
     * `adjustedMargin` does for the histogram passes. */
-  def compute(binned: RDD[BInst], margins: RDD[Array[Double]],
+  def compute(rows: RDD[(BInst, Array[Double])],
       pending: Array[(graft.tree.TreeShape, Double, Int)] = Array.empty): RDD[Array[Double]] = {
     val zipped =
-      if (pending.isEmpty) binned.zip(margins)
-      else binned.zip(margins).map { case (r, m) =>
+      if (pending.isEmpty) rows
+      else rows.map { case (r, m) =>
         var out = m(0)
         var i = 0
         while (i < pending.length) {
@@ -62,7 +62,7 @@ object CoxGradients {
         }
         (r, Array(out))
       }
-    val sc = binned.sparkContext
+    val sc = rows.sparkContext
     val nParts = zipped.getNumPartitions
 
     // ---- pass 1: per-partition boundary summaries ----

@@ -66,7 +66,7 @@ object LambdaRankGradients {
     * uses primitive double builders (no per-row tuple boxing) and groups
     * stream through lazily — the partition never holds more than one
     * group's inputs plus its emitted gradient rows. */
-  def compute(binned: RDD[BInst], margins: RDD[Array[Double]],
+  def compute(rows: RDD[(BInst, Array[Double])],
       obj: LambdaRankObjective,
       pending: Array[(graft.tree.TreeShape, Double, Int)] = Array.empty,
       tPlus: Array[Double] = null, tMinus: Array[Double] = null): RDD[Array[Double]] = {
@@ -75,7 +75,7 @@ object LambdaRankGradients {
     val topK = obj.topK
     val pairMethod = obj.pairMethod
     val numPair = obj.numPair
-    withPending(binned, margins, pending).mapPartitions { it =>
+    withPending(rows, pending).mapPartitions { it =>
       val base = it.buffered
       new Iterator[Array[Array[Double]]] {
         private val lb = new ArrayBuffer[Double]
@@ -98,10 +98,10 @@ object LambdaRankGradients {
 
   /** Deferred-cache trees: add their contribution to the cached margin on
     * the fly (see CoxGradients.compute). */
-  private def withPending(binned: RDD[BInst], margins: RDD[Array[Double]],
+  private def withPending(rows: RDD[(BInst, Array[Double])],
       pending: Array[(graft.tree.TreeShape, Double, Int)]): RDD[(BInst, Array[Double])] =
-    if (pending.isEmpty) binned.zip(margins)
-    else binned.zip(margins).map { case (r, m) =>
+    if (pending.isEmpty) rows
+    else rows.map { case (r, m) =>
       var out = m(0)
       var i = 0
       while (i < pending.length) {
@@ -120,7 +120,7 @@ object LambdaRankGradients {
     * cost = ln(1/(1−σ(s_hi−s_lo)))·|Δmetric| — eq. 30/31 of Hu et al.,
     * "Unbiased LambdaMART". One treeAggregate per boosted iteration; the
     * driver receives 2·maxPositions doubles, independent of data size. */
-  def positionBias(binned: RDD[BInst], margins: RDD[Array[Double]],
+  def positionBias(rows: RDD[(BInst, Array[Double])],
       obj: LambdaRankObjective, pending: Array[(graft.tree.TreeShape, Double, Int)],
       tPlus: Array[Double], tMinus: Array[Double]): (Array[Double], Array[Double]) = {
     val variant = obj.variant
@@ -129,7 +129,7 @@ object LambdaRankGradients {
     val pairMethod = obj.pairMethod
     val numPair = obj.numPair
     val k = tPlus.length
-    withPending(binned, margins, pending).mapPartitions { it =>
+    withPending(rows, pending).mapPartitions { it =>
       val base = it.buffered
       val li = new Array[Double](k)
       val lj = new Array[Double](k)
@@ -151,7 +151,7 @@ object LambdaRankGradients {
       var i = 0
       while (i < a1.length) { a1(i) += b1(i); a2(i) += b2(i); i += 1 }
       (a1, a2)
-    }, depth = graft.Agg.depth(binned.getNumPartitions))
+    }, depth = graft.Agg.depth(rows.getNumPartitions))
   }
 
   /** Seq-tuple adapter (unit-test surface; the trainer path uses the

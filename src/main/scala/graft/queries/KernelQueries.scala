@@ -156,7 +156,7 @@ object KernelQueries {
       // is fetch-dependent, so re-evaluations could misalign the zip below
       val sorted = rows.sortBy(r => math.abs(r.label))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val gh = CoxGradients.compute(sorted, sorted.map(_ => Array(0.0)))
+      val gh = CoxGradients.compute(sorted.map(r => (r, Array(0.0))))
       import s.implicits._
       sorted.zip(gh).map { case (r, a) => (r.label.toLong, a(0), a(1)) }
         .toDF("y", "g", "h")
@@ -189,8 +189,8 @@ object KernelQueries {
         .map { case (q, (key, p, rel)) =>
           (BInst(Array.emptyIntArray, rel, 1.0, key, qid = q), p)
         }
-      val gh = LambdaRankGradients.compute(paired.map(_._1),
-        paired.map(t => Array(t._2)),
+      val gh = LambdaRankGradients.compute(
+        paired.map { case (r, p) => (r, Array(p)) },
         new LambdaRankObjective("ndcg", pairMethod = "all"))
       import s.implicits._
       paired.map(_._1.rowId).zip(gh).map { case (key, a) => (key, a(0), a(1)) }
@@ -225,8 +225,8 @@ object KernelQueries {
         }
       val tPlus = Array.tabulate(32)(i => math.pow(1.0 + i, -0.5))
       val tMinus = Array.tabulate(32)(i => math.pow(1.0 + i, -0.25))
-      val gh = LambdaRankGradients.compute(paired.map(_._1),
-        paired.map(t => Array(t._2)),
+      val gh = LambdaRankGradients.compute(
+        paired.map { case (r, p) => (r, Array(p)) },
         new LambdaRankObjective("ndcg", pairMethod = "all", unbiased = true),
         Array.empty, tPlus, tMinus)
       import s.implicits._

@@ -381,16 +381,22 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     val labelMean = if (sumW > 0) sumWy / sumW else 0.0
     val base = Array(params.baseScore.map(obj.probToMargin).getOrElse(obj.baseScore(labelMean)))
 
-    var margins: RDD[Array[Double]] = cached.map(_ => base.clone())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    margins.count()
+    // margins packed with the RAW rows (re-binned every iteration, so the
+    // persistent pair carries features, not bins); the per-iteration
+    // binned twin is derived 1:1 from this cache and written back through
+    // a same-iteration positional zip of parent and direct child — never
+    // a zip across persisted generations
+    var cacheRaw: RDD[((Array[Double], Double, Double), Array[Double])] =
+      cached.map(r => (r, base.clone())).persist(StorageLevel.MEMORY_AND_DISK)
+    cacheRaw.count()
+    cached.unpersist(blocking = false)
 
     val colSampler = new ColumnSampler(numFeatures, params.seed, params.featureWeights)
     val treesBuf = new ArrayBuffer[Tree]
     var iter = 0
     while (iter < params.numRounds) {
       if (obj.needsScale) {
-        val (s1, s2) = graft.Agg.aggregate(cached.zip(margins))((0.0, 0.0))(
+        val (s1, s2) = graft.Agg.aggregate(cacheRaw)((0.0, 0.0))(
           { case ((a1, a2), (r, m)) =>
             val res = math.abs(r._2 - m(0))
             (a1 + r._3 * math.sqrt(res), a2 + r._3)
@@ -398,33 +404,32 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         obj.setScale(s1, s2)
       }
       // hessian-weighted re-sketch (updater_approx.cc:46-53)
-      val cuts = Binning.findCuts(cached.zip(margins).map { case ((f, y, w), m) =>
+      val cuts = Binning.findCuts(cacheRaw.map { case ((f, y, w), m) =>
         val o = new Array[Double](2)
         obj.gradient(m(0), y, o)
         (f, math.max(o(1) * w, 1e-16))
       }, numFeatures, params.maxBin)
-      val binned = cached.zipWithUniqueId().map { case ((f, y, w), id) =>
-        BInst(cuts.binRow(f), y, w, id)
+      val binned = cacheRaw.zipWithUniqueId().map { case (((f, y, w), m), id) =>
+        (BInst(cuts.binRow(f), y, w, id), m)
       }.persist(StorageLevel.MEMORY_AND_DISK)
       binned.count()
 
-      val shape = growTree(binned, margins, None, cuts, numFeatures, obj, null, 0,
+      val shape = growTree(binned, None, cuts, numFeatures, obj, null, 0,
         iter, colSampler, Array.empty)
       treesBuf += shapeToTree(shape, cuts)
 
       val bShape = sc.broadcast(shape)
-      val old = margins
-      margins = binned.zip(old).map { case (r, m) =>
-        val o = m.clone(); o(0) += params.eta * bShape.value.predictLeaf(r)(0); o
+      val old = cacheRaw
+      cacheRaw = binned.zip(old).map { case ((r, m), (row, _)) =>
+        val o = m.clone(); o(0) += params.eta * bShape.value.predictLeaf(r)(0); (row, o)
       }.persist(StorageLevel.MEMORY_AND_DISK)
-      if ((iter + 1) % params.checkpointInterval == 0) margins.localCheckpoint()
-      margins.count()
+      if ((iter + 1) % params.checkpointInterval == 0) cacheRaw.localCheckpoint()
+      cacheRaw.count()
       old.unpersist(blocking = false)
       binned.unpersist(blocking = false)
       iter += 1
     }
-    cached.unpersist(blocking = false)
-    margins.unpersist(blocking = false)
+    cacheRaw.unpersist(blocking = false)
     val n = treesBuf.length
     BoosterModel(treesBuf.toArray, Array.fill(n)(params.eta), Array.fill(n)(0), base,
       params.objective, 1, numFeatures)
@@ -591,18 +596,22 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       else Array(params.baseScore.map(obj.probToMargin).getOrElse(obj.baseScore(labelMean)))
     }
 
-    // caller-supplied margins (continuation / base_margin) are the product
-    // of real upstream compute — pin them. The all-base initial cache is a
-    // constant-per-row map over the already-persisted binned rows: leaving
-    // it lazy skips one persist+count job and its storage; the first
-    // advance/flush persists its successor.
-    var margins: RDD[Array[Double]] = initMargins match {
+    // The prediction cache is PACKED into the row: one RDD[(BInst,
+    // margins)] instead of a second RDD zip-aligned to `binned` — no
+    // cross-generation zip to mis-align, and one cached block per
+    // partition instead of two. The one construction-time zip (caller-
+    // supplied initMargins for continuation / base_margin) pairs two maps
+    // of the same parent `data` — positional by construction. The all-base
+    // initial cache is a constant-per-row map over the already-persisted
+    // binned rows: leaving it lazy skips one persist+count job and its
+    // storage; the first advance/flush persists its successor.
+    var cache: RDD[(BInst, Array[Double])] = initMargins match {
       case Some(m) =>
-        val p = m.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
-      case None => binned.map(_ => base.clone())
+        val p = binned.zip(m).persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
+      case None => binned.map(r => (r, base.clone()))
     }
-    var watchMargins: Array[RDD[Array[Double]]] = watchSets.map { case (_, eb) =>
-      val em = eb.map(_ => base.clone()).persist(StorageLevel.MEMORY_AND_DISK)
+    var watchCaches: Array[RDD[(BInst, Array[Double])]] = watchSets.map { case (_, eb) =>
+      val em = eb.map(r => (r, base.clone())).persist(StorageLevel.MEMORY_AND_DISK)
       em.count(); em
     }.toArray
 
@@ -659,7 +668,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     val ljTotal = new Array[Double](biasK)
     def flushPending(): Unit = if (pending.nonEmpty) {
       val bP = sc.broadcast(pending.toArray)
-      val next = binned.zip(margins).map { case (r, m) =>
+      val next = cache.map { case (r, m) =>
         val out = m.clone()
         val p = bP.value
         var i = 0
@@ -668,7 +677,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
           out(g) += w * sh.predictLeaf(r)(0)
           i += 1
         }
-        out
+        (r, out)
       }.persist(StorageLevel.MEMORY_AND_DISK)
       flushCount += 1
       // lineage grows one map per flush; truncate on the same cadence (in
@@ -676,8 +685,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       if (flushCount % math.max(1, params.checkpointInterval / params.marginFlushInterval) == 0)
         next.localCheckpoint()
       next.count()
-      margins.unpersist(blocking = false)
-      margins = next
+      cache.unpersist(blocking = false)
+      cache = next
       pending.clear()
     }
 
@@ -686,7 +695,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       callbacks.foreach(_.beforeIteration(iter))
       // per-iteration objective scale stats (absoluteerror / quantile)
       if (!isMulti && obj.needsScale) {
-        val (s1, s2) = graft.Agg.aggregate(binned.zip(margins))((0.0, 0.0))(
+        val (s1, s2) = graft.Agg.aggregate(cache)((0.0, 0.0))(
           { case ((a1, a2), (r, m)) =>
             val res = math.abs(r.label - m(0))
             (a1 + r.weight * math.sqrt(res), a2 + r.weight)
@@ -712,9 +721,9 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
           val pendingArr = pending.toArray
           val raw = obj match {
             case lr: LambdaRankObjective =>
-              LambdaRankGradients.compute(binned, margins, lr, pendingArr,
+              LambdaRankGradients.compute(cache, lr, pendingArr,
                 if (lr.unbiased) tPlus else null, if (lr.unbiased) tMinus else null)
-            case _ => CoxGradients.compute(binned, margins, pendingArr)
+            case _ => CoxGradients.compute(cache, pendingArr)
           }
           val g = raw.persist(StorageLevel.MEMORY_AND_DISK)
           g.count()
@@ -723,7 +732,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
           // running totals, then re-fit t±(i) = (l(i)/l(0))^regularizer
           unbiasedLR.foreach { lr =>
             val (li, lj) = LambdaRankGradients.positionBias(
-              binned, margins, lr, pendingArr, tPlus, tMinus)
+              cache, lr, pendingArr, tPlus, tMinus)
             var i = 0
             while (i < biasK) { liTotal(i) += li(i); ljTotal(i) += lj(i); i += 1 }
             val reg = lr.regularizer
@@ -743,7 +752,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       // rescaling
       if (gradBased) {
         require(!isMulti, "sampling_method=gradient_based supports single-output objectives")
-        val (uSum, n) = zip3(binned, margins, globalGrads).mapPartitions { it =>
+        val (uSum, n) = withGrads(cache, globalGrads).mapPartitions { it =>
           val out = new Array[Double](2)
           val scratch = new Array[Double](2 * numGroups)
           var s = 0.0; var c = 0L
@@ -753,7 +762,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
             c += 1
           }
           Iterator.single((s, c))
-        }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = graft.Agg.depth(binned.getNumPartitions))
+        }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = graft.Agg.depth(cache.getNumPartitions))
         gbMeanU = if (n > 0) uSum / n else 1.0
       }
 
@@ -769,7 +778,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       while (k < numGroups * kPar) {
         val grp = k / kPar
         val saltIter = if (kPar == 1) iter else iter * kPar + (k % kPar)
-        newShapes(k) = growTree(binned, margins, globalGrads, cuts, numFeatures, obj, softmax, grp, saltIter, colSampler, droppedShapes)
+        newShapes(k) = growTree(cache, globalGrads, cuts, numFeatures, obj, softmax, grp, saltIter, colSampler, droppedShapes)
         newGroups(k) = grp
         k += 1
       }
@@ -806,8 +815,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       // applied identically to the train AND eval margin caches
       val bNew = sc.broadcast(newShapes.zip(newGroups))
       val bAdjust = sc.broadcast(weightDeltas.map { case (i, d) => (shapes(i), treeGroupBuf(i), d) })
-      def advance(rows: RDD[BInst], olds: RDD[Array[Double]]): RDD[Array[Double]] = {
-        val next = rows.zip(olds).map { case (r, m) =>
+      def advance(c: RDD[(BInst, Array[Double])]): RDD[(BInst, Array[Double])] = {
+        val next = c.map { case (r, m) =>
           val out = m.clone()
           var g = 0
           while (g < bNew.value.length) {
@@ -821,15 +830,15 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
             out(grp) += delta * sh.predictLeaf(r)(0)
             d += 1
           }
-          out
+          (r, out)
         }.persist(StorageLevel.MEMORY_AND_DISK)
         if ((iter + 1) % params.checkpointInterval == 0) next.localCheckpoint()
         next.count()
-        olds.unpersist(blocking = false)
+        c.unpersist(blocking = false)
         next
       }
-      margins = advance(binned, margins)
-      watchMargins = watchMargins.zip(watchSets).map { case (em, (_, eb)) => advance(eb, em) }
+      cache = advance(cache)
+      watchCaches = watchCaches.map(advance)
       } // end margin-update branch
       globalGrads.foreach(_.unpersist(blocking = false))
 
@@ -841,14 +850,14 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       // and log keys stay the bare metric name; named watches log as
       // "<name>-<metric>" like the reference's printed eval lines.
       if (watching) {
-        val watchList: Seq[(String, RDD[BInst], RDD[Array[Double]])] =
+        val watchList: Seq[(String, RDD[(BInst, Array[Double])])] =
           if (watchSets.nonEmpty)
-            watchSets.zip(watchMargins).map { case ((n, eb), em) => (n, eb, em) }
-          else Seq(("", binned, margins))
-        def evalOne(rows: RDD[BInst], ms: RDD[Array[Double]]): (String, Double, Boolean) =
+            watchSets.map(_._1).zip(watchCaches)
+          else Seq(("", cache))
+        def evalOne(c: RDD[(BInst, Array[Double])]): (String, Double, Boolean) =
           customMetric match {
             case Some(cm) => // user feval: distributed (num, den) sums
-              val (num, den) = graft.Agg.aggregate(rows.zip(ms))((0.0, 0.0))(
+              val (num, den) = graft.Agg.aggregate(c)((0.0, 0.0))(
                 { case ((a, b), (r, m)) =>
                   val (n2, d2) = cm.contribution(m(0), r.label, r.weight)
                   (a + n2, b + d2)
@@ -858,14 +867,14 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
             case None =>
               val n = params.evalMetric.getOrElse(
                 if (isMulti) "mlogloss" else obj.defaultMetric)
-              (n, evalMetricValue(n, rows, ms, obj),
+              (n, evalMetricValue(n, c, obj),
                 n.startsWith("auc") || n.startsWith("ndcg") ||
                   n.startsWith("map") || n.startsWith("precision") ||
                   n.startsWith("pre@") || n.startsWith("ams@") ||
                   n == "interval-regression-accuracy")
           }
-        val evals = watchList.map { case (wName, rows, ms) =>
-          val (mName, v, maximize) = evalOne(rows, ms)
+        val evals = watchList.map { case (wName, c) =>
+          val (mName, v, maximize) = evalOne(c)
           (if (wName.isEmpty) mName else s"$wName-$mName", v, maximize)
         }
         val (_, v, maximize) = evals.last
@@ -890,8 +899,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     callbacks.foreach(_.afterTraining(lastBestIteration))
     unbiasedLR.foreach(_ => lastPositionBias = Some((tPlus.clone(), tMinus.clone())))
     if (needsCoxSort) binned.unpersist(blocking = false)
-    watchMargins.foreach(_.unpersist(blocking = false))
-    margins.unpersist(blocking = false) // final prediction cache — don't leak blocks
+    watchCaches.foreach(_.unpersist(blocking = false))
+    cache.unpersist(blocking = false) // final prediction cache — don't leak blocks
 
     // early stop ⇒ truncate to the best iteration
     // (numGroups × num_parallel_tree trees per round = one layer)
@@ -950,14 +959,14 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * policy (ref `src/tree/driver.h:1-126`: depthwise BFS vs lossguide
     * best-first queue; `grow_policy` `src/tree/param.h:38,99-106`). */
   private def growTree(
-      binned: RDD[BInst], margins: RDD[Array[Double]],
+      cache: RDD[(BInst, Array[Double])],
       globalGrads: Option[RDD[Array[Double]]], cuts: HistogramCuts,
       numFeatures: Int, obj: Objective, softmax: SoftmaxObjective, grp: Int,
       iter: Int, colSampler: ColumnSampler,
       droppedShapes: Array[(TreeShape, Double, Int)]): TreeShape = params.growPolicy match {
-    case "depthwise" => growTreeDepthwise(binned, margins, globalGrads, cuts,
+    case "depthwise" => growTreeDepthwise(cache, globalGrads, cuts,
       numFeatures, obj, softmax, grp, iter, colSampler, droppedShapes)
-    case "lossguide" => growTreeLossguide(binned, margins, globalGrads, cuts,
+    case "lossguide" => growTreeLossguide(cache, globalGrads, cuts,
       numFeatures, obj, softmax, grp, iter, colSampler, droppedShapes)
     case other => throw new IllegalArgumentException(
       s"unknown grow_policy: $other (supported: depthwise, lossguide)")
@@ -970,7 +979,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * so a tree with L leaves costs L−1 aggregation rounds — the price of
     * unbalanced trees; depthwise batches a whole level per round. */
   private def growTreeLossguide(
-      binned: RDD[BInst], margins: RDD[Array[Double]],
+      cache: RDD[(BInst, Array[Double])],
       globalGrads: Option[RDD[Array[Double]]], cuts: HistogramCuts,
       numFeatures: Int, obj: Objective, softmax: SoftmaxObjective, grp: Int,
       iter: Int, colSampler: ColumnSampler,
@@ -978,13 +987,13 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
 
     val nodes = new ArrayBuffer[BuildNode]
     val treeCols = colSampler.sampleTree(iter, params.colsampleBytree)
-    val (rootG, rootH) = aggregateTotals(binned, margins, globalGrads, obj, softmax, grp, iter, droppedShapes)
+    val (rootG, rootH) = aggregateTotals(cache, globalGrads, obj, softmax, grp, iter, droppedShapes)
     nodes += new BuildNode(rootG, rootH, 0)
     if (params.interactionConstraints.nonEmpty)
       nodes(0).allowed = Some((0 until numFeatures).toSet)
 
     val hists = collection.mutable.Map[Int, Array[Double]]()
-    hists(0) = aggregateHistograms(binned, margins, globalGrads, cuts, obj, softmax,
+    hists(0) = aggregateHistograms(cache, globalGrads, cuts, obj, softmax,
       grp, iter, Array(0), nodesShape(nodes), droppedShapes)(0)
 
     // max-queue by (gain, then smaller nid) for deterministic tie-breaks
@@ -1016,7 +1025,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       leaves += 1
       val l = nodes(nid).left; val r = nodes(nid).right
       val (small, large) = if (nodes(l).h <= nodes(r).h) (l, r) else (r, l)
-      val built = aggregateHistograms(binned, margins, globalGrads, cuts, obj,
+      val built = aggregateHistograms(cache, globalGrads, cuts, obj,
         softmax, grp, iter, Array(small), nodesShape(nodes), droppedShapes)(0)
       hists(small) = built
       val ph = hists(nid)
@@ -1040,18 +1049,18 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * `updater_quantile_hist.cc:96-180`): ONE histogram aggregation per
     * level covers every frontier node. */
   private def growTreeDepthwise(
-      binned: RDD[BInst], margins: RDD[Array[Double]],
+      cache: RDD[(BInst, Array[Double])],
       globalGrads: Option[RDD[Array[Double]]], cuts: HistogramCuts,
       numFeatures: Int, obj: Objective, softmax: SoftmaxObjective, grp: Int,
       iter: Int, colSampler: ColumnSampler,
       droppedShapes: Array[(TreeShape, Double, Int)]): TreeShape = {
 
-    val sc = binned.sparkContext
+    val sc = cache.sparkContext
     val nodes = new ArrayBuffer[BuildNode]
     val treeCols = colSampler.sampleTree(iter, params.colsampleBytree)
 
     // root totals
-    val (rootG, rootH) = aggregateTotals(binned, margins, globalGrads, obj, softmax, grp, iter, droppedShapes)
+    val (rootG, rootH) = aggregateTotals(cache, globalGrads, obj, softmax, grp, iter, droppedShapes)
     nodes += new BuildNode(rootG, rootH, 0)
     if (params.interactionConstraints.nonEmpty)
       nodes(0).allowed = Some((0 until numFeatures).toSet)
@@ -1066,7 +1075,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
 
       // subtraction trick (histogram.h:203-213,386-425): build smaller sibling
       val (buildSet, subtractSet) = planHistBuilds(frontier, parentHists, nodes)
-      val built = aggregateHistograms(binned, margins, globalGrads, cuts, obj, softmax, grp,
+      val built = aggregateHistograms(cache, globalGrads, cuts, obj, softmax, grp,
         iter, buildSet, nodesShape(nodes), droppedShapes)
       val hists = collection.mutable.Map[Int, Array[Double]](buildSet.zip(built).toSeq: _*)
       subtractSet.foreach { case (nid, parent, sibling) =>
@@ -1210,28 +1219,28 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * auc, cox-nloglik) delegate to the oracle-verified DataFrame kernels in
     * [[graft.metric.Metrics]]. Mirrors the reference's metric registry
     * dispatch (`src/metric/metric.cc` Metric::Create). */
-  private def evalMetricValue(name: String, rows: RDD[BInst],
-      margins: RDD[Array[Double]], obj: Objective): Double = {
+  private def evalMetricValue(name: String, c: RDD[(BInst, Array[Double])],
+      obj: Objective): Double = {
     if (name.startsWith("ndcg@"))
-      return evalNdcg(rows, margins, name.stripPrefix("ndcg@").toInt)
+      return evalNdcg(c, name.stripPrefix("ndcg@").toInt)
     if (name.startsWith("map@"))
-      return evalMapAt(rows, margins, name.stripPrefix("map@").toInt)
+      return evalMapAt(c, name.stripPrefix("map@").toInt)
     if (name == "map")
-      return evalMapAt(rows, margins, Int.MaxValue)
+      return evalMapAt(c, Int.MaxValue)
     if (name.startsWith("pre@"))
-      return evalPrecAt(rows, margins, name.stripPrefix("pre@").toInt)
+      return evalPrecAt(c, name.stripPrefix("pre@").toInt)
     if (name == "auc" && params.objective.startsWith("rank:"))
-      return evalGroupAuc(rows, margins)
+      return evalGroupAuc(c)
     if (name == "auc" || name == "aucpr" || name.startsWith("ams@"))
-      return evalAucGlobal(name, rows, margins)
+      return evalAucGlobal(name, c)
     if (name == "cox-nloglik")
-      return evalCoxNloglik(rows, margins)
+      return evalCoxNloglik(c)
     if (name == "aft-nloglik" || name == "interval-regression-accuracy") {
       val aft = obj match {
         case a: graft.objective.AFT => a
         case _ => new graft.objective.AFT(params.aftDistribution, params.aftScale)
       }
-      val (s, n) = graft.Agg.aggregate(rows.zip(margins))((0.0, 0.0))(
+      val (s, n) = graft.Agg.aggregate(c)((0.0, 0.0))(
         { case ((a, b), (r, m)) =>
           val v =
             if (name == "aft-nloglik") aft.nloglik(m(0), r.label, r.label2)
@@ -1244,13 +1253,13 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       return if (n > 0) s / n else 0.0
     }
     def ratio(f: (Double, Double, Double) => Double, pt: Double => Double = identity): Double = {
-      val (s, w) = graft.Agg.aggregate(rows.zip(margins))((0.0, 0.0))(
+      val (s, w) = graft.Agg.aggregate(c)((0.0, 0.0))(
         { case ((a, b), (r, m)) => (a + r.weight * f(pt(m(0)), r.label, r.weight), b + r.weight) },
         (a, b) => (a._1 + b._1, a._2 + b._2))
       if (w > 0) s / w else 0.0
     }
     def ratioMulti(f: (Array[Double], Double) => Double): Double = {
-      val (s, w) = graft.Agg.aggregate(rows.zip(margins))((0.0, 0.0))(
+      val (s, w) = graft.Agg.aggregate(c)((0.0, 0.0))(
         { case ((a, b), (r, m)) => (a + r.weight * f(m, r.label), b + r.weight) },
         (a, b) => (a._1 + b._1, a._2 + b._2))
       if (w > 0) s / w else 0.0
@@ -1324,9 +1333,9 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
   }
 
   /** mean NDCG@k over qid-contiguous groups (ranking fits only). */
-  private def evalNdcg(rows: RDD[BInst], margins: RDD[Array[Double]], k: Int): Double = {
+  private def evalNdcg(c: RDD[(BInst, Array[Double])], k: Int): Double = {
     val expGain = params.ndcgExpGain
-    val (s, n) = rows.zip(margins).mapPartitions { it =>
+    val (s, n) = c.mapPartitions { it =>
       val base = it.buffered
       var sum = 0.0; var cnt = 0L
       val buf = new ArrayBuffer[(Double, Double)] // (label, margin)
@@ -1346,7 +1355,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         cnt += 1
       }
       Iterator.single((sum, cnt))
-    }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = graft.Agg.depth(rows.getNumPartitions))
+    }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = graft.Agg.depth(c.getNumPartitions))
     if (n > 0) s / n else 0.0
   }
 
@@ -1355,9 +1364,9 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * no shuffle). `f` sees (margin, label) pairs in row order; None
     * excludes the group from the mean (the reference's invalid-group
     * handling, `auc.cc:206`). */
-  private def groupMean(rows: RDD[BInst], margins: RDD[Array[Double]])(
+  private def groupMean(c: RDD[(BInst, Array[Double])])(
       f: ArrayBuffer[(Double, Double)] => Option[Double]): Double = {
-    val (s, n) = rows.zip(margins).mapPartitions { it =>
+    val (s, n) = c.mapPartitions { it =>
       val base = it.buffered
       var sum = 0.0; var cnt = 0L
       val buf = new ArrayBuffer[(Double, Double)]
@@ -1370,13 +1379,13 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         f(buf) match { case Some(v) => sum += v; cnt += 1; case None => }
       }
       Iterator.single((sum, cnt))
-    }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = graft.Agg.depth(rows.getNumPartitions))
+    }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = graft.Agg.depth(c.getNumPartitions))
     if (n > 0) s / n else 0.0
   }
 
   /** map@k (`rank_metric.cc:465`): binary relevance label>0.5. */
-  private def evalMapAt(rows: RDD[BInst], margins: RDD[Array[Double]], k: Int): Double =
-    groupMean(rows, margins) { buf =>
+  private def evalMapAt(c: RDD[(BInst, Array[Double])], k: Int): Double =
+    groupMean(c) { buf =>
       val order = buf.indices.sortBy(i => (-buf(i)._1, i)).take(k)
       var nrel = 0.0; var ap = 0.0; var rk = 0; var cum = 0.0
       order.foreach { i =>
@@ -1387,16 +1396,16 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     }
 
   /** pre@k (`rank_metric.cc:461`). */
-  private def evalPrecAt(rows: RDD[BInst], margins: RDD[Array[Double]], k: Int): Double =
-    groupMean(rows, margins) { buf =>
+  private def evalPrecAt(c: RDD[(BInst, Array[Double])], k: Int): Double =
+    groupMean(c) { buf =>
       val top = buf.indices.sortBy(i => (-buf(i)._1, i)).take(k)
       Some(top.count(i => buf(i)._2 > 0.5).toDouble / k)
     }
 
   /** Per-group ranking ROC-AUC (`auc.cc:165` RankingAUC): tie-correct
     * trapezoid per group, groups lacking both classes excluded. */
-  private def evalGroupAuc(rows: RDD[BInst], margins: RDD[Array[Double]]): Double =
-    groupMean(rows, margins) { buf =>
+  private def evalGroupAuc(c: RDD[(BInst, Array[Double])]): Double =
+    groupMean(c) { buf =>
       val byScore = buf.groupBy(_._1).toSeq.sortBy(-_._1)
       var ctp = 0.0; var cfp = 0.0; var area = 0.0
       byScore.foreach { case (_, xs) =>
@@ -1425,20 +1434,20 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * predTransform, so raw margins feed the sweep) and multiclass
     * one-vs-rest ROC ([[graft.metric.Metrics.aucMulticlass]] over
     * softprob). All ride DistributedCumsum — no single-task window. */
-  private def evalAucGlobal(name: String, rows: RDD[BInst],
-      margins: RDD[Array[Double]]): Double = {
+  private def evalAucGlobal(name: String,
+      c: RDD[(BInst, Array[Double])]): Double = {
     val spark = org.apache.spark.sql.SparkSession.active
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val out =
       if (isMulti) {
         require(name == "auc", s"$name is not defined for multiclass models")
-        val df = rows.zip(margins)
+        val df = c
           .map { case (r, m) => (r.label, r.weight, softprobOf(m).toSeq) }
           .toDF("label", "weight", "probs")
         graft.metric.Metrics.aucMulticlass(df, col("probs"), col("label"), col("weight"))
       } else {
-        val df = rows.zip(margins)
+        val df = c
           .map { case (r, m) => (r.label, r.weight, m(0)) }
           .toDF("label", "weight", "pred")
         if (name == "auc")
@@ -1455,11 +1464,11 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
 
   /** cox-nloglik (`rank_metric.cc:204` EvalCox) through the
     * DistributedCumsum risk-set kernel. */
-  private def evalCoxNloglik(rows: RDD[BInst], margins: RDD[Array[Double]]): Double = {
+  private def evalCoxNloglik(c: RDD[(BInst, Array[Double])]): Double = {
     val spark = org.apache.spark.sql.SparkSession.active
     import org.apache.spark.sql.functions.col
     import spark.implicits._
-    val df = rows.zip(margins).map { case (r, m) => (r.label, m(0)) }.toDF("y", "p")
+    val df = c.map { case (r, m) => (r.label, m(0)) }.toDF("y", "p")
     val r = graft.metric.Metrics.coxNloglik(df, col("p"), col("y")).head()
     if (r.isNullAt(0)) Double.NaN else r.getDouble(0)
   }
@@ -1516,17 +1525,18 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     out
   }
 
-  /** Align rows, margins and (optionally) precomputed per-row gradients.
-    * All three share the exact same partitioning/order (margins and grads
-    * are derived from `binned` by mapPartitions-style transforms), so zip
-    * is positional and shuffle-free. `pre == null` ⇒ compute from the
-    * objective kernel. */
-  private def zip3(
-      binned: RDD[BInst], margins: RDD[Array[Double]],
+  /** Attach the (optional) precomputed per-row gradients to the packed
+    * (row, margin) cache. The gradients RDD is derived from `cache` by a
+    * mapPartitions-style transform in the SAME iteration (never persisted
+    * across margin generations), so the zip is positional, shuffle-free
+    * and alignment-safe. `pre == null` ⇒ compute from the objective
+    * kernel. */
+  private def withGrads(
+      cache: RDD[(BInst, Array[Double])],
       grads: Option[RDD[Array[Double]]]): RDD[(BInst, Array[Double], Array[Double])] =
     grads match {
-      case Some(g) => binned.zip(margins).zip(g).map { case ((r, m), gh) => (r, m, gh) }
-      case None => binned.zip(margins).map { case (r, m) => (r, m, null) }
+      case Some(g) => cache.zip(g).map { case ((r, m), gh) => (r, m, gh) }
+      case None => cache.map { case (r, m) => (r, m, null) }
     }
 
   private def gradOf(
@@ -1557,11 +1567,11 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
   }
 
   private def aggregateTotals(
-      binned: RDD[BInst], margins: RDD[Array[Double]],
+      cache: RDD[(BInst, Array[Double])],
       globalGrads: Option[RDD[Array[Double]]], obj: Objective,
       softmax: SoftmaxObjective, grp: Int, iter: Int,
       dropped: Array[(TreeShape, Double, Int)]): (Double, Double) = {
-    zip3(binned, margins, globalGrads).mapPartitions { it =>
+    withGrads(cache, globalGrads).mapPartitions { it =>
       val out = new Array[Double](2)
       val scratch = new Array[Double](2 * numGroups)
       var g = 0.0; var h = 0.0
@@ -1576,7 +1586,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         }
       }
       Iterator.single((g, h))
-    }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = graft.Agg.depth(binned.getNumPartitions))
+    }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2), depth = graft.Agg.depth(cache.getNumPartitions))
   }
 
   /** ONE pass building histograms for every node in `buildSet` — the analog
@@ -1586,13 +1596,13 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * reference's histogram allreduce. Hist layout per node: g at 2·bin,
     * h at 2·bin+1 in global bin space. */
   private def aggregateHistograms(
-      binned: RDD[BInst], margins: RDD[Array[Double]],
+      cache: RDD[(BInst, Array[Double])],
       globalGrads: Option[RDD[Array[Double]]], cuts: HistogramCuts,
       obj: Objective, softmax: SoftmaxObjective, grp: Int, iter: Int,
       buildSet: Array[Int], shape: TreeShape,
       dropped: Array[(TreeShape, Double, Int)]): Array[Array[Double]] = {
 
-    val sc = binned.sparkContext
+    val sc = cache.sparkContext
     val bShape = sc.broadcast(shape)
     val histLen = 2 * cuts.totalBins
     val nBuild = buildSet.length
@@ -1603,7 +1613,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     val slotOf = Array.fill(maxNid + 1)(-1)
     buildSet.zipWithIndex.foreach { case (nid, s) => slotOf(nid) = s }
 
-    val partials = zip3(binned, margins, globalGrads).mapPartitions { it =>
+    val partials = withGrads(cache, globalGrads).mapPartitions { it =>
       val hists = new Array[Array[Double]](nBuild)
       val out = new Array[Double](2)
       val scratch = new Array[Double](2 * numGroups)

@@ -36,11 +36,10 @@ class SurvivalSpec extends AnyFunSuite {
       val y = if (rng.nextInt(4) == 0) -t else t
       (y, rng.nextGaussian() * 0.3, 0.5 + rng.nextDouble())
     }
-    val binned = sc.parallelize(rows.map { case (y, _, w) =>
-      BInst(Array(0), y, w, 0L)
+    val packed = sc.parallelize(rows.map { case (y, p, w) =>
+      (BInst(Array(0), y, w, 0L), Array(p))
     }, 7)
-    val margins = sc.parallelize(rows.map { case (_, p, _) => Array(p) }, 7)
-    val got = CoxGradients.compute(binned, margins).collect()
+    val got = CoxGradients.compute(packed).collect()
     val want = bruteCox(rows)
     assert(got.length == want.length)
     got.zip(want).zipWithIndex.foreach { case ((g, (wg, wh)), i) =>
