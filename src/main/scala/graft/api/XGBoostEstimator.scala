@@ -141,7 +141,12 @@ trait GraftXGBParams extends Params {
       seed = $(seed), growPolicy = $(growPolicy), maxLeaves = $(maxLeaves),
       numClass = numClass, treeMethod = $(treeMethod),
       earlyStoppingRounds = $(earlyStoppingRounds),
-      evalMetric = if ($(evalMetric).nonEmpty) Some($(evalMetric)) else None,
+      // comma-separated list ⇒ multi-metric watch (reference repeated
+      // eval_metric; the LAST one drives early stopping)
+      evalMetric = if ($(evalMetric).nonEmpty && !$(evalMetric).contains(","))
+        Some($(evalMetric)) else None,
+      evalMetrics = if ($(evalMetric).contains(","))
+        $(evalMetric).split(',').map(_.trim).filter(_.nonEmpty).toSeq else Nil,
       scalePosWeight = $(scalePosWeight))
 
   /** Training consumes its input twice (quantile-sketch pass + binning

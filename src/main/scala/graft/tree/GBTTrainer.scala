@@ -51,6 +51,10 @@ final case class TrainParams(
     lambdarankUnbiased: Boolean = false, // position debiasing (Unbiased LambdaMART)
     lambdarankBiasNorm: Double = 1.0, // t± update regularizer 1/(1+norm) (ranking_utils.h:82)
     evalMetric: Option[String] = None, // per-iteration watch metric (default: objective's)
+    evalMetrics: Seq[String] = Nil, // MULTIPLE watch metrics (ref eval_metric list,
+    // `python-package/xgboost/training.py` params with repeated eval_metric: every
+    // watch is evaluated under every metric; the LAST metric drives early stopping).
+    // Takes precedence over evalMetric when non-empty.
     earlyStoppingRounds: Int = 0, // 0 = off; else stop after this many non-improving rounds
     scalePosWeight: Double = 1.0, // positive-class gradient rebalance (RegLoss family)
     featureWeights: Array[Double] = Array.empty, // weighted column sampling (random.h:40-68)
@@ -623,6 +627,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
 
     // watch / early-stopping state (ref EvalOneIter + EarlyStopping)
     val watching = params.earlyStoppingRounds > 0 || params.evalMetric.isDefined ||
+      params.evalMetrics.nonEmpty ||
       customMetric.isDefined || callbacks.nonEmpty
     lastHistory.clear()
     lastFullHistory.clear()
@@ -854,7 +859,19 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
           if (watchSets.nonEmpty)
             watchSets.map(_._1).zip(watchCaches)
           else Seq(("", cache))
-        def evalOne(c: RDD[(BInst, Array[Double])]): (String, Double, Boolean) =
+        def maximizeOf(n: String): Boolean =
+          n.startsWith("auc") || n.startsWith("ndcg") ||
+            n.startsWith("map") || n.startsWith("precision") ||
+            n.startsWith("pre@") || n.startsWith("ams@") ||
+            n == "interval-regression-accuracy"
+        // every metric in the list is evaluated per watch; the LAST one of
+        // the LAST watch drives early stopping (reference semantics for a
+        // repeated eval_metric param)
+        val metricNames: Seq[String] =
+          if (params.evalMetrics.nonEmpty) params.evalMetrics
+          else Seq(params.evalMetric.getOrElse(
+            if (isMulti) "mlogloss" else obj.defaultMetric))
+        def evalAll(c: RDD[(BInst, Array[Double])]): Seq[(String, Double, Boolean)] =
           customMetric match {
             case Some(cm) => // user feval: distributed (num, den) sums
               val (num, den) = graft.Agg.aggregate(c)((0.0, 0.0))(
@@ -863,19 +880,14 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
                   (a + n2, b + d2)
                 },
                 (a, b) => (a._1 + b._1, a._2 + b._2))
-              (cm.name, cm.finish(num, den), cm.maximize)
+              Seq((cm.name, cm.finish(num, den), cm.maximize))
             case None =>
-              val n = params.evalMetric.getOrElse(
-                if (isMulti) "mlogloss" else obj.defaultMetric)
-              (n, evalMetricValue(n, c, obj),
-                n.startsWith("auc") || n.startsWith("ndcg") ||
-                  n.startsWith("map") || n.startsWith("precision") ||
-                  n.startsWith("pre@") || n.startsWith("ams@") ||
-                  n == "interval-regression-accuracy")
+              metricNames.map(n => (n, evalMetricValue(n, c, obj), maximizeOf(n)))
           }
-        val evals = watchList.map { case (wName, c) =>
-          val (mName, v, maximize) = evalOne(c)
-          (if (wName.isEmpty) mName else s"$wName-$mName", v, maximize)
+        val evals = watchList.flatMap { case (wName, c) =>
+          evalAll(c).map { case (mName, v, maximize) =>
+            (if (wName.isEmpty) mName else s"$wName-$mName", v, maximize)
+          }
         }
         val (_, v, maximize) = evals.last
         lastHistory += ((iter, v))

@@ -196,6 +196,32 @@ class MetricRegistrySpec extends AnyFunSuite {
       s"watch ams ${h.last._2} vs direct $direct")
   }
 
+  test("evalMetrics list: every metric logged, LAST drives early stopping") {
+    val rng = new scala.util.Random(37)
+    val rows = (0 until 2000).map { _ =>
+      val x = Array(rng.nextGaussian(), rng.nextGaussian())
+      (x, if (x(0) + 0.8 * rng.nextGaussian() > 0) 1.0 else 0.0, 1.0)
+    }
+    val (train, eval) = rows.splitAt(1500)
+    val tr = new GBTTrainer(TrainParams(objective = "binary:logistic",
+      numRounds = 8, maxDepth = 3, seed = 21,
+      evalMetrics = Seq("logloss", "auc"), earlyStoppingRounds = 3))
+    tr.fit(sc.parallelize(train, 3), sc.parallelize(eval, 2))
+    val full = tr.evalHistoryFull
+    assert(full.nonEmpty)
+    // both metrics logged per round under the watch-prefixed keys
+    assert(full.head._2.keySet == Set("eval-logloss", "eval-auc"),
+      s"keys: ${full.head._2.keySet}")
+    // the early-stopping track (lastHistory) follows the LAST metric (auc)
+    tr.evalHistory.zip(full).foreach { case ((_, v), (_, m)) =>
+      assert(v == m("eval-auc"), s"early-stop track $v vs auc ${m("eval-auc")}")
+    }
+    // and bestIteration is the max-auc round
+    val bestAuc = full.maxBy(_._2("eval-auc"))._1
+    assert(tr.bestIteration == bestAuc,
+      s"best ${tr.bestIteration} vs argmax-auc $bestAuc")
+  }
+
   test("Metrics.evaluate dispatches ranking and sweep names") {
     val rng = new scala.util.Random(21)
     val df = (0 until 500).map { i =>
