@@ -203,4 +203,37 @@ object Dedup {
         sequence(lit(1), length(s) - lit(n - 1)),
         i => s.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>"))
+
+  /** Repeated n-gram mining (the n-gram-granularity form of substring
+    * dedup from Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": repeated passages — boilerplate, licenses,
+    * templated spam — recur verbatim across documents and should be
+    * down-weighted or cut). Returns every token n-gram present in at
+    * least `minDocs` DISTINCT documents with its document and occurrence
+    * counts. 100 TB shape: explode → ONE hash shuffle on the n-gram key
+    * with map-side combine (per-doc (ngram, count) partials), output
+    * bounded by the hot set, never by the corpus. */
+  def repeatedNgrams(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    val perDoc = df
+      .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), explode(TextOps.ngramsAll(col("_toks"), n)).as("ngram"))
+      // map-side pre-aggregation unit: per-(doc, ngram) occurrence count
+      .groupBy("id", "ngram").agg(count(lit(1)).as("cnt"))
+    perDoc.groupBy("ngram")
+      .agg(count(lit(1)).as("n_docs"), sum("cnt").as("n_occurrences"))
+      .where(col("n_docs") >= minDocs)
+  }
+
+  /** Flag documents carrying repeated n-grams: per doc, how many of its
+    * n-grams are corpus-hot (≥ minDocs docs). One additional shuffle join
+    * on the n-gram key against the bounded hot set. */
+  def flagRepeatedNgramDocs(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    val hot = repeatedNgrams(df, textCol, idCol, n, minDocs).select("ngram")
+    df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col("id"), explode(TextOps.ngramsAll(col("_toks"), n)).as("ngram"))
+      .join(hot, "ngram")
+      .groupBy("id").agg(count(lit(1)).as("n_hot_ngrams"))
+  }
 }

@@ -44,6 +44,16 @@ object TextOps {
     when(size(toks) >= n, array_distinct(make)).otherwise(array().cast("array<string>"))
   }
 
+  /** Word n-grams WITHOUT per-document dedup (every occurrence kept) —
+    * the repeated-passage mining unit, where occurrence COUNTS matter;
+    * [[shingles]] distinct-s for set-similarity (MinHash/Jaccard). */
+  def ngramsAll(toks: Column, n: Int): Column = {
+    val make = transform(
+      sequence(lit(0), size(toks) - lit(n)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, (i + lit(j + 1)).cast("int"))): _*))
+    when(size(toks) >= n, make).otherwise(array().cast("array<string>"))
+  }
+
   /** 16-bit SimHash over (non-distinct) tokens: bit i is set iff the sum of
     * ±1 votes from each token's hash bit i is positive. Near-duplicate
     * documents land at small Hamming distance. */

@@ -89,6 +89,20 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // repeated n-gram mining (Lee et al. 2022 substring dedup at n-gram
+    // granularity): 5-grams present in >= 3 distinct docs, with counts
+    "p_repeated_ngrams" -> ((s, dir) =>
+      Dedup.repeatedNgrams(table(s, dir, "documents"), "text", "doc_id",
+          n = 5, minDocs = 3)
+        .orderBy("ngram")),
+
+    // per-document hot-n-gram exposure (the cut/down-weight signal)
+    "p_repeat_flag" -> ((s, dir) =>
+      Dedup.flagRepeatedNgramDocs(table(s, dir, "documents"), "text", "doc_id",
+          n = 5, minDocs = 3)
+        .select(col("id").as("doc_id"), col("n_hot_ngrams"))
+        .orderBy("doc_id")),
+
     // deterministic stratified sampling (data mixing): md5-hash coin per
     // doc, per-language rates — reproducible across reruns/retries, pure
     // map-side predicate (no shuffle, no rand())
@@ -459,6 +473,34 @@ object PipelineQueries {
       s"""WITH ${nearDupCtesFor(128, 32)}
          |SELECT id_a, id_b, round(jac, 5) AS jaccard
          |FROM pairs WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "p_repeated_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5 THEN
+        |    list_transform(range(1, len(t)-3),
+        |      i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])
+        |    ELSE [] END) AS ngram
+        |  FROM t
+        |)
+        |SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+        |FROM g GROUP BY ngram HAVING count(DISTINCT doc_id) >= 3
+        |ORDER BY ngram""".stripMargin,
+
+    "p_repeat_flag" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5 THEN
+        |    list_transform(range(1, len(t)-3),
+        |      i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])
+        |    ELSE [] END) AS ngram
+        |  FROM t
+        |), hot AS (
+        |  SELECT ngram FROM g GROUP BY ngram HAVING count(DISTINCT doc_id) >= 3
+        |)
+        |SELECT doc_id, count(*) AS n_hot_ngrams
+        |FROM g JOIN hot USING (ngram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "p_stratified_sample" ->
       s"""SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_id

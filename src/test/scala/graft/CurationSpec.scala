@@ -41,4 +41,23 @@ class CurationSpec extends AnyFunSuite {
     }
     assert(packed.map(_._2).sum == 1000L)
   }
+
+  test("repeated n-gram mining counts docs and occurrences (Lee et al. shape)") {
+    import spark.implicits._
+    val boiler = "all rights reserved by the author"
+    val docs = Seq(
+      (0L, s"alpha beta $boiler gamma"),
+      (1L, s"$boiler delta $boiler"), // twice in one doc
+      (2L, s"epsilon $boiler"),
+      (3L, "nothing shared here at all today")).toDF("doc_id", "text")
+    val full = graft.ext.Dedup.repeatedNgrams(docs, "text", "doc_id", n = 6, minDocs = 3)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(full.contains(boiler), s"hot set: ${full.keySet}")
+    assert(full(boiler) == ((3L, 4L)), s"${full(boiler)}") // 3 docs, 4 occurrences
+    // flagged docs: exactly the three carriers, doc 1 counts both hits
+    val flags = graft.ext.Dedup.flagRepeatedNgramDocs(docs, "text", "doc_id", n = 6, minDocs = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(flags.keySet == Set(0L, 1L, 2L))
+    assert(flags(1L) >= 2, s"doc 1 carries the passage twice: $flags")
+  }
 }
