@@ -75,8 +75,12 @@ final case class TrainParams(
     marginFlushInterval: Int = 8,
     // training parallelism floor: −1 = auto (repartition up to
     // defaultParallelism when the input arrives under-partitioned, e.g. a
-    // single parquet file); 0 = never repartition (pins aggregation order
-    // for bit-reproducibility); >0 = explicit floor
+    // single parquet file); 0 = never repartition (pins partition contents;
+    // NOTE full bit-reproducibility across runs additionally requires a
+    // single input partition — multi-partition float sums merge in task-
+    // completion order, which near-tie split gains can amplify into
+    // different-but-equally-valid trees; see TrainQueries' golden rows);
+    // >0 = explicit floor
     minTrainPartitions: Int = -1
 )
 
