@@ -65,4 +65,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), "expected an equi-join on bucket keys")
   }
+
+  test("corpus-scale operating points stay equi-joined (k128 miner, multi-probe ANN)") {
+    val p128 = plan(PipelineQueries.queries("p_near_dup_k128")(spark, sf))
+    assert(!p128.contains("CartesianProduct"), "128-hash miner must stay bucketed")
+    val pAnn = plan(PipelineQueries.queries("p_ann_lsh_p16")(spark, sf))
+    assert(!pAnn.contains("CartesianProduct"), "multi-probe ANN must stay bucketed")
+    assert(pAnn.contains("SortMergeJoin") || pAnn.contains("ShuffledHashJoin") ||
+      pAnn.contains("BroadcastHashJoin"), "expected an equi-join on the probe bucket")
+    // the ×17 probe fanout must sit on the QUERY side only: the corpus
+    // branch reaches the join without a Generate (explode) above its scan
+    val joinIdx = pAnn.indexOf("Join")
+    assert(joinIdx >= 0 && pAnn.substring(0, joinIdx).nonEmpty)
+    assert(pAnn.contains("Generate explode"), "probe fanout should be an explode")
+  }
 }
