@@ -90,7 +90,7 @@ object XGBoost {
       customMetric: Option[CustomEvalMetric] = None,
       stratified: Boolean = false): CvResult = {
     require(nfold >= 2, s"nfold must be >= 2, got $nfold")
-    val metricName = params.evalMetric.getOrElse {
+    val metricName = params.evalMetrics.lastOption.orElse(params.evalMetric).getOrElse {
       if (params.numClass > 1) "mlogloss"
       else customMetric.map(_.name).getOrElse(Objective(params.objective).defaultMetric)
     }

@@ -131,6 +131,76 @@ final case class BoosterModel(
 
   /** Export in the reference's native JSON model schema ([[XGBoostJson]]). */
   def toXGBoostJson: String = XGBoostJson.toXGBoostJson(this)
+
+  /** The reference's `Booster.trees_to_dataframe`
+    * (`python-package/xgboost/core.py:3103`): one row per REACHABLE node
+    * (depth-first from each root, so pruned-orphan slots are skipped),
+    * with the reference's conventions — leaves put their output value in
+    * `gain` and null out split/children; vector leaves emit one row per
+    * target; categorical splits carry the category set and a null
+    * threshold with yes=right. Leaf values and gains are reported with
+    * the tree weight (eta/DART) folded in, i.e. the contribution a row
+    * actually receives — matching the reference, whose stored leaves are
+    * already learning-rate-scaled. */
+  def treesToDataFrame(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val rows = collection.mutable.ArrayBuffer
+      .empty[(Int, Option[Int], Int, String, String, Option[Double], Seq[Int],
+        Option[String], Option[String], Option[String], Double, Double)]
+    trees.indices.foreach { t =>
+      val tree = trees(t)
+      val w = treeWeights(t)
+      val grp = treeGroup(t)
+      val isVector = tree.nodes.exists(n => n.isLeaf && n.leaf.length > 1)
+      val stack = collection.mutable.Stack(0)
+      while (stack.nonEmpty) {
+        val nid = stack.pop()
+        val n = tree.nodes(nid)
+        def id(x: Int) = s"$t-$x"
+        if (n.isLeaf) {
+          val targets = if (n.leaf.length > 1) n.leaf.indices else Seq(grp)
+          targets.foreach { tg =>
+            rows += ((t, Some(tg), nid, id(nid), "Leaf", None, null,
+              None, None, None, w * n.leaf(if (n.leaf.length > 1) tg else 0), n.sumHess))
+          }
+        } else {
+          stack.push(n.left); stack.push(n.right)
+          val miss = if (n.defaultLeft) n.left else n.right
+          val (yes, no, split, cats) =
+            if (n.isCategorical) (n.right, n.left, None, n.categoriesRight.toSeq)
+            else (n.left, n.right, Some(n.threshold), null: Seq[Int])
+          rows += ((t, if (isVector) None else Some(grp),
+            nid, id(nid), s"f${n.feature}", split, cats,
+            Some(id(yes)), Some(id(no)), Some(id(miss)), n.gain, n.sumHess))
+        }
+      }
+    }
+    rows.toSeq.toDF("tree", "target", "node", "id", "feature", "split",
+      "categories", "yes", "no", "missing", "gain", "cover")
+  }
+
+  /** The reference's `Booster.get_split_value_histogram`
+    * (`core.py:3327`): numpy-histogram the numeric split thresholds used
+    * for one feature across all trees — equal-width bins over
+    * [min, max], rightmost bin inclusive, bin count = min(#unique,
+    * requested). Returns (binUpperEdge, count) pairs. */
+  def splitValueHistogram(feature: Int, bins: Option[Int] = None): Array[(Double, Long)] = {
+    val values = trees.flatMap(_.nodes.iterator
+      .filter(n => !n.isLeaf && !n.isCategorical && n.feature == feature)
+      .map(_.threshold))
+    if (values.isEmpty) return Array.empty
+    val nUnique = values.distinct.length
+    val nBins = math.max(bins.fold(nUnique)(b => math.min(nUnique, b)), 1)
+    var lo = values.min; var hi = values.max
+    if (lo == hi) { lo -= 0.5; hi += 0.5 } // np.histogram's degenerate-range rule
+    val width = (hi - lo) / nBins
+    val counts = new Array[Long](nBins)
+    values.foreach { v =>
+      val b = math.min(((v - lo) / width).toInt, nBins - 1) // right edge inclusive
+      counts(b) += 1
+    }
+    Array.tabulate(nBins)(i => (lo + width * (i + 1), counts(i)))
+  }
 }
 
 /** JSON model IO (schema inspired by the reference's JSON model,
