@@ -279,10 +279,14 @@ object Metrics {
   def precisionAt(df: DataFrame, qid: Column, pred: Column, label: Column, tie: Column,
       k: Int): DataFrame = {
     val rw = rankedWindow(col("q"), col("p"), col("t"))
+    // denominator is min(k, group size) — `rank_metric.cc:315`
+    // `n = std::min(TopK, g_label.Size())`, so bare "pre" (k = max) is
+    // hits/|group|
     df.select(qid.as("q"), pred.as("p"), label.as("y"), tie.as("t"))
       .withColumn("rk", row_number().over(rw))
-      .where(col("rk") <= k)
-      .groupBy("q").agg((sum(when(col("y") > 0, 1.0).otherwise(0.0)) / k).as("prec"))
+      .groupBy("q").agg(
+        (sum(when(col("y") > 0 && col("rk") <= k, 1.0).otherwise(0.0)) /
+          least(lit(k), count(lit(1)))).as("prec"))
       .agg(avg("prec").as("precision"), count("*").as("num_groups"))
   }
 
@@ -387,6 +391,10 @@ object Metrics {
       case n if n.startsWith("ams@") =>
         return one(amsAt(df, pred, label, w, n.stripPrefix("ams@").toDouble))
       case "cox-nloglik" => return one(coxNloglik(df, pred, label))
+      case "ndcg" =>
+        return one(ndcgAt(df, qid.get, pred, label, tieCol, Int.MaxValue))
+      case "pre" =>
+        return one(precisionAt(df, qid.get, pred, label, tieCol, Int.MaxValue))
       case n if n.startsWith("ndcg@") =>
         return one(ndcgAt(df, qid.get, pred, label, tieCol, n.stripPrefix("ndcg@").toInt))
       case n if n.startsWith("map@") =>

@@ -262,8 +262,9 @@ object MetricQueries {
          |    row_number() OVER (PARTITION BY q ORDER BY p DESC, t ASC) AS rk
          |  FROM ($rankedSql)
          |), perq AS (
-         |  SELECT q, sum(CASE WHEN yb > 0 THEN 1.0 ELSE 0.0 END) / 5 AS prec
-         |  FROM r WHERE rk <= 5 GROUP BY q
+         |  SELECT q, sum(CASE WHEN yb > 0 AND rk <= 5 THEN 1.0 ELSE 0.0 END)
+         |    / least(5, count(*)) AS prec
+         |  FROM r GROUP BY q
          |)
          |SELECT round(avg(prec), 6) AS precision, count(*) AS num_groups
          |FROM perq""".stripMargin,

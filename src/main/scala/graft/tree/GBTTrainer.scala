@@ -1237,14 +1237,20 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * dispatch (`src/metric/metric.cc` Metric::Create). */
   private def evalMetricValue(name: String, c: RDD[(BInst, Array[Double])],
       obj: Objective): Double = {
+    // bare "ndcg"/"map"/"pre" = whole-list k (the reference's default when
+    // no @k suffix is given, rank_metric.cc topn=max)
     if (name.startsWith("ndcg@"))
       return evalNdcg(c, name.stripPrefix("ndcg@").toInt)
+    if (name == "ndcg")
+      return evalNdcg(c, Int.MaxValue)
     if (name.startsWith("map@"))
       return evalMapAt(c, name.stripPrefix("map@").toInt)
     if (name == "map")
       return evalMapAt(c, Int.MaxValue)
     if (name.startsWith("pre@"))
       return evalPrecAt(c, name.stripPrefix("pre@").toInt)
+    if (name == "pre")
+      return evalPrecAt(c, Int.MaxValue)
     if (name == "auc" && params.objective.startsWith("rank:"))
       return evalGroupAuc(c)
     if (name == "auc" || name == "aucpr" || name.startsWith("ams@"))
@@ -1414,8 +1420,10 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
   /** pre@k (`rank_metric.cc:461`). */
   private def evalPrecAt(c: RDD[(BInst, Array[Double])], k: Int): Double =
     groupMean(c) { buf =>
-      val top = buf.indices.sortBy(i => (-buf(i)._1, i)).take(k)
-      Some(top.count(i => buf(i)._2 > 0.5).toDouble / k)
+      // hits / min(k, |group|) — rank_metric.cc:315
+      val n = math.min(k, buf.length)
+      val top = buf.indices.sortBy(i => (-buf(i)._1, i)).take(n)
+      Some(top.count(i => buf(i)._2 > 0.5).toDouble / n)
     }
 
   /** Per-group ranking ROC-AUC (`auc.cc:165` RankingAUC): tie-correct

@@ -222,6 +222,37 @@ class MetricRegistrySpec extends AnyFunSuite {
       s"best ${tr.bestIteration} vs argmax-auc $bestAuc")
   }
 
+  test("bare ndcg/map/pre = whole-list k; precision divides by min(k, group size)") {
+    import org.apache.spark.sql.functions.lit
+    // two groups: sizes 3 and 2; scores rank by p desc; binary labels
+    val df = Seq(
+      (1L, 0.9, 1.0), (1L, 0.8, 0.0), (1L, 0.7, 1.0),
+      (2L, 0.6, 1.0), (2L, 0.5, 0.0)).toDF("q", "p", "y")
+    // pre@5 with groups smaller than 5: rank_metric.cc:315 divides by
+    // min(5, |group|) -> group1 = 2/3, group2 = 1/2, mean = 7/12
+    val p5 = Metrics.precisionAt(df, col("q"), col("p"), col("y"), lit(0), k = 5)
+      .head().getDouble(0)
+    assert(math.abs(p5 - 7.0 / 12.0) < 1e-12, s"pre@5 $p5")
+    // bare "pre" through the registry = same whole-list value here
+    val bare = Metrics.evaluate("pre", df, col("p"), col("y"), lit(1.0),
+      qid = Some(col("q")))
+    assert(math.abs(bare - 7.0 / 12.0) < 1e-12, s"pre $bare")
+    val ndcgBare = Metrics.evaluate("ndcg", df, col("p"), col("y"), lit(1.0),
+      qid = Some(col("q")))
+    assert(ndcgBare > 0.0 && ndcgBare <= 1.0)
+    // the trainer watch loop accepts the bare names too
+    val rng = new scala.util.Random(41)
+    val rows = (0 until 600).map { i =>
+      (Array(rng.nextGaussian()), (i % 3).toDouble, 1.0, (i % 20).toLong)
+    }
+    Seq("ndcg", "pre", "map").foreach { m =>
+      val tr = new GBTTrainer(TrainParams(objective = "rank:ndcg",
+        numRounds = 2, maxDepth = 2, evalMetric = Some(m), seed = 6))
+      tr.fitRanking(sc.parallelize(rows, 2))
+      assert(tr.evalHistory.forall(v => !v._2.isNaN && v._2 >= 0.0), s"$m history")
+    }
+  }
+
   test("Metrics.evaluate dispatches ranking and sweep names") {
     val rng = new scala.util.Random(21)
     val df = (0 until 500).map { i =>
