@@ -29,10 +29,20 @@ import scala.collection.mutable.ArrayBuffer
   * method instead: full enumeration restricted to pairs touching the
   * current top-k. `all` keeps the exact full enumeration for small
   * groups/tests.
+  *
+  * Normalization parity (reference defaults, `ranking_utils.h:81-82` +
+  * `lambdarank_obj.cc:227-252`): `lambdarank_normalization` (default
+  * TRUE) rescales a group's accumulated λ's — mean method by 1/num_pair,
+  * topk/all by log2(1+Σλ)/Σλ with Σλ = Σ_pairs −2·λ_ij — and
+  * `lambdarank_score_normalization` (default TRUE) divides Δmetric by
+  * (|s_high−s_low| + 0.01) whenever the group's current best and worst
+  * scores differ (`lambdarank_obj.h:124-126`). The pair hessian follows
+  * the reference closed form max(σ(1−σ), ε)·Δ·2 (`lambdarank_obj.h:134`).
   */
 final class LambdaRankObjective(val variant: String, val ndcgExpGain: Boolean = true,
     val topK: Int = 0, val pairMethod: String = "mean", val numPair: Int = 8,
-    val unbiased: Boolean = false, val biasNorm: Double = 1.0)
+    val unbiased: Boolean = false, val biasNorm: Double = 1.0,
+    val normalization: Boolean = true, val scoreNormalization: Boolean = true)
     extends Objective {
   require(Set("mean", "topk", "all")(pairMethod), s"unknown pair method: $pairMethod")
   require(Set("ndcg", "map", "pairwise")(variant), s"unknown rank variant: $variant")
@@ -75,6 +85,8 @@ object LambdaRankGradients {
     val topK = obj.topK
     val pairMethod = obj.pairMethod
     val numPair = obj.numPair
+    val norm = obj.normalization
+    val scoreNorm = obj.scoreNormalization
     withPending(rows, pending).mapPartitions { it =>
       val base = it.buffered
       new Iterator[Array[Array[Double]]] {
@@ -90,7 +102,8 @@ object LambdaRankGradients {
             lb += r.label; mb += m(0); wb += r.weight
           }
           groupGradients(lb.toArray, mb.toArray, wb.toArray,
-            variant, expGain, topK, pairMethod, numPair, q, tPlus, tMinus, null, null)
+            variant, expGain, topK, pairMethod, numPair, q, tPlus, tMinus, null, null,
+            norm, scoreNorm)
         }
       }.flatten
     }
@@ -128,6 +141,8 @@ object LambdaRankGradients {
     val topK = obj.topK
     val pairMethod = obj.pairMethod
     val numPair = obj.numPair
+    val norm = obj.normalization
+    val scoreNorm = obj.scoreNormalization
     val k = tPlus.length
     withPending(rows, pending).mapPartitions { it =>
       val base = it.buffered
@@ -144,7 +159,8 @@ object LambdaRankGradients {
           lb += r.label; mb += m(0); wb += r.weight
         }
         groupGradients(lb.toArray, mb.toArray, wb.toArray,
-          variant, expGain, topK, pairMethod, numPair, q, tPlus, tMinus, li, lj)
+          variant, expGain, topK, pairMethod, numPair, q, tPlus, tMinus, li, lj,
+          norm, scoreNorm)
       }
       Iterator.single((li, lj))
     }.treeReduce({ case ((a1, a2), (b1, b2)) =>
@@ -159,10 +175,11 @@ object LambdaRankGradients {
   private[objective] def groupGradients(
       rows: scala.collection.Seq[(Double, Double, Double)], variant: String,
       expGain: Boolean, topK: Int, pairMethod: String = "all",
-      numPair: Int = 8, qid: Long = 0L): Seq[Array[Double]] =
+      numPair: Int = 8, qid: Long = 0L, normalization: Boolean = false,
+      scoreNormalization: Boolean = false): Seq[Array[Double]] =
     groupGradients(rows.map(_._1).toArray, rows.map(_._2).toArray,
       rows.map(_._3).toArray, variant, expGain, topK, pairMethod, numPair, qid,
-      null, null, null, null)
+      null, null, null, null, normalization, scoreNormalization)
       .toSeq
 
   /** λ-gradients for one query group over parallel primitive arrays.
@@ -177,10 +194,12 @@ object LambdaRankGradients {
       variant: String, expGain: Boolean, topK: Int, pairMethod: String,
       numPair: Int, qid: Long, tPlus: Array[Double],
       tMinus: Array[Double], liAcc: Array[Double],
-      ljAcc: Array[Double]): Array[Array[Double]] = {
+      ljAcc: Array[Double], normalization: Boolean,
+      scoreNormalization: Boolean): Array[Array[Double]] = {
     val n = labels.length
     val g = new Array[Double](n)
     val h = new Array[Double](n)
+    var sumLambda = 0.0
     if (n >= 2) {
       // current ranking: margin desc, stable by position for determinism
       // (boxed-Integer TimSort is stable, so equal margins keep index order)
@@ -241,16 +260,23 @@ object LambdaRankGradients {
         }
       }
 
+      // score-gap normalization guard (LambdaGrad, lambdarank_obj.h:110-111,
+      // 124-126): only divide when the group's current best and worst
+      // scores differ (a constant-score group would just rescale by 1/0.01)
+      val scoreSpread = scoreNormalization &&
+        margins(order(0).intValue) != margins(order(n - 1).intValue)
+
       // one label-discordant pair's λ contribution; i must hold the HIGHER label
       @inline def contribute(i: Int, j: Int): Unit = {
         val li = labels(i); val lj = labels(j)
-        val d = variant match {
+        var d = variant match {
           case "pairwise" => 1.0
           case "ndcg" =>
             math.abs((gain(li) - gain(lj)) * (disc(rankOf(i)) - disc(rankOf(j)))) * invIdcg
           // MAP is binary-relevance: only (relevant, non-relevant) pairs
           case "map" => if (li > 0 && lj <= 0) deltaMap(rankOf(i), rankOf(j)) else 0.0
         }
+        if (scoreSpread) d /= math.abs(margins(i) - margins(j)) + 0.01
         if (d > 0) {
           val rho = 1.0 / (1.0 + math.exp(margins(i) - margins(j)))
           // position debiasing (LambdaGrad, lambdarank_obj.h:128-138):
@@ -273,9 +299,13 @@ object LambdaRankGradients {
           }
           g(i) -= d * rho * scale
           g(j) += d * rho * scale
-          val hh = math.max(d * rho * (1.0 - rho) * scale, 1e-16)
+          // reference pair hessian max(σ(1−σ), ε)·Δ·2 (lambdarank_obj.h:134)
+          val hh = 2.0 * d * math.max(rho * (1.0 - rho), 1e-16) * scale
           h(i) += hh
           h(j) += hh
+          // Σλ for topk normalization: −2·λ_ij summed over the processed
+          // pairs (lambdarank_obj.cc:224 sum_lambda), post unbiased scaling
+          sumLambda += 2.0 * d * rho * scale
         }
       }
 
@@ -314,6 +344,19 @@ object LambdaRankGradients {
           }
           i += 1
         }
+      }
+    }
+    // lambdarank_normalization (lambdarank_obj.cc:227-245): mean method
+    // scales by 1/num_pair; topk (and our exact "all") by log2(1+Σλ)/Σλ.
+    // Applied to the group's λ sums BEFORE weights, like the reference.
+    if (normalization) {
+      val norm =
+        if (topK == 0 && pairMethod == "mean") 1.0 / numPair
+        else if (sumLambda > 0.0) math.log(1.0 + sumLambda) / math.log(2.0) / sumLambda
+        else 1.0
+      if (norm != 1.0) {
+        var i = 0
+        while (i < n) { g(i) *= norm; h(i) *= norm; i += 1 }
       }
     }
     Array.tabulate(n) { i =>

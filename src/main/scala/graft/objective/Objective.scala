@@ -55,6 +55,7 @@ object Objective {
       rankExpGain: Boolean = true, rankTopK: Int = 0,
       rankPairMethod: String = "mean", rankNumPair: Int = 8,
       rankUnbiased: Boolean = false, rankBiasNorm: Double = 1.0,
+      rankNormalization: Boolean = true, rankScoreNormalization: Boolean = true,
       scalePosWeight: Double = 1.0): Objective = {
     // scale_pos_weight applies to the RegLoss family only
     // (RegLossParam, src/objective/regression_param.h:15)
@@ -76,9 +77,9 @@ object Objective {
     case "reg:expectileerror"              => new ExpectileError(alpha)
     case "survival:cox"                    => Cox
     case "survival:aft"                    => new AFT(aftDistribution, aftScale)
-    case "rank:ndcg"                       => new LambdaRankObjective("ndcg", rankExpGain, rankTopK, rankPairMethod, rankNumPair, rankUnbiased, rankBiasNorm)
-    case "rank:map"                        => new LambdaRankObjective("map", rankExpGain, rankTopK, rankPairMethod, rankNumPair, rankUnbiased, rankBiasNorm)
-    case "rank:pairwise"                   => new LambdaRankObjective("pairwise", rankExpGain, rankTopK, rankPairMethod, rankNumPair, rankUnbiased, rankBiasNorm)
+    case "rank:ndcg"                       => new LambdaRankObjective("ndcg", rankExpGain, rankTopK, rankPairMethod, rankNumPair, rankUnbiased, rankBiasNorm, rankNormalization, rankScoreNormalization)
+    case "rank:map"                        => new LambdaRankObjective("map", rankExpGain, rankTopK, rankPairMethod, rankNumPair, rankUnbiased, rankBiasNorm, rankNormalization, rankScoreNormalization)
+    case "rank:pairwise"                   => new LambdaRankObjective("pairwise", rankExpGain, rankTopK, rankPairMethod, rankNumPair, rankUnbiased, rankBiasNorm, rankNormalization, rankScoreNormalization)
     case other => throw new IllegalArgumentException(s"unknown objective: $other")
     }
   }

@@ -191,7 +191,8 @@ object KernelQueries {
         }
       val gh = LambdaRankGradients.compute(
         paired.map { case (r, p) => (r, Array(p)) },
-        new LambdaRankObjective("ndcg", pairMethod = "all"))
+        new LambdaRankObjective("ndcg", pairMethod = "all",
+          normalization = false, scoreNormalization = false))
       import s.implicits._
       paired.map(_._1.rowId).zip(gh).map { case (key, a) => (key, a(0), a(1)) }
         .toDF("key", "g", "h")
@@ -227,8 +228,44 @@ object KernelQueries {
       val tMinus = Array.tabulate(32)(i => math.pow(1.0 + i, -0.25))
       val gh = LambdaRankGradients.compute(
         paired.map { case (r, p) => (r, Array(p)) },
-        new LambdaRankObjective("ndcg", pairMethod = "all", unbiased = true),
+        new LambdaRankObjective("ndcg", pairMethod = "all", unbiased = true,
+          normalization = false, scoreNormalization = false),
         Array.empty, tPlus, tMinus)
+      import s.implicits._
+      paired.map(_._1.rowId).zip(gh).map { case (key, a) => (key, a(0), a(1)) }
+        .toDF("key", "g", "h")
+        .select(col("key"), (round(col("g"), 5) + lit(0.0)).as("g"),
+          round(col("h"), 5).as("h"))
+        .orderBy("key")
+    }),
+
+    // Reference-DEFAULT λ-kernel (lambdarank_normalization +
+    // lambdarank_score_normalization both true, `ranking_utils.h:81-82`):
+    // Δ is divided by (|s_i−s_j| + 0.01) (the groups here always have
+    // score spread), then each group's λ sums are rescaled by
+    // log2(1+Σλ)/Σλ with Σλ = Σ_pairs 2·Δ·ρ (the non-mean branch of
+    // `lambdarank_obj.cc:227-245`; pair_method=all is exact enumeration,
+    // so it takes the same branch as topk). Hash-matched against the
+    // closed form in SQL.
+    "q_rank_grad_norm" -> ((s, dir) => {
+      val base = CoreQueries.table(s, dir, "lineitem")
+        .where(col("l_orderkey") % 1000 < 4)
+        .select((col("l_orderkey") % 1000).as("q"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).as("key"),
+          ((col("l_orderkey") * 8 + col("l_linenumber")) % 9973 / lit(9973.0)).as("p"),
+          (col("l_linenumber") % 4).cast("double").as("rel"))
+        .distinct()
+      val paired = base.rdd
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .partitionBy(new org.apache.spark.HashPartitioner(8))
+        .mapPartitions(_.toArray.sortBy(t => (t._1, t._2._1)).iterator,
+          preservesPartitioning = true)
+        .map { case (q, (key, p, rel)) =>
+          (BInst(Array.emptyIntArray, rel, 1.0, key, qid = q), p)
+        }
+      val gh = LambdaRankGradients.compute(
+        paired.map { case (r, p) => (r, Array(p)) },
+        new LambdaRankObjective("ndcg", pairMethod = "all"))
       import s.implicits._
       paired.map(_._1.rowId).zip(gh).map { case (key, a) => (key, a(0), a(1)) }
         .toDF("key", "g", "h")
@@ -347,9 +384,9 @@ object KernelQueries {
         |  JOIN idcg i ON i.q = a.q),
         |contrib AS (
         |  SELECT ki AS key, -d * rho AS cg,
-        |    greatest(d * rho * (1.0 - rho), 1e-16) AS chh FROM pairs
+        |    2.0 * d * greatest(rho * (1.0 - rho), 1e-16) AS chh FROM pairs
         |  UNION ALL
-        |  SELECT kj, d * rho, greatest(d * rho * (1.0 - rho), 1e-16) FROM pairs)
+        |  SELECT kj, d * rho, 2.0 * d * greatest(rho * (1.0 - rho), 1e-16) FROM pairs)
         |SELECT r.key AS key,
         |  round(coalesce(sum(cg), 0.0), 5) + 0.0 AS g,
         |  round(greatest(coalesce(sum(chh), 0.0), 1e-16), 5) AS h
@@ -380,9 +417,49 @@ object KernelQueries {
         |  JOIN idcg i ON i.q = a.q),
         |contrib AS (
         |  SELECT ki AS key, -d * rho * scale AS cg,
-        |    greatest(d * rho * (1.0 - rho) * scale, 1e-16) AS chh FROM pairs
+        |    2.0 * d * greatest(rho * (1.0 - rho), 1e-16) * scale AS chh FROM pairs
         |  UNION ALL
-        |  SELECT kj, d * rho * scale, greatest(d * rho * (1.0 - rho) * scale, 1e-16) FROM pairs)
+        |  SELECT kj, d * rho * scale, 2.0 * d * greatest(rho * (1.0 - rho), 1e-16) * scale FROM pairs)
+        |SELECT r.key AS key,
+        |  round(coalesce(sum(cg), 0.0), 5) + 0.0 AS g,
+        |  round(greatest(coalesce(sum(chh), 0.0), 1e-16), 5) AS h
+        |FROM rows_ r LEFT JOIN contrib c ON c.key = r.key
+        |GROUP BY r.key ORDER BY r.key""".stripMargin,
+
+    // reference defaults: Δ /= (|Δscore| + 0.01) when the group has score
+    // spread; per-group λ rescale by log2(1+Σλ)/Σλ, Σλ = Σ 2·Δ·ρ
+    "q_rank_grad_norm" ->
+      """WITH rows_ AS (
+        |  SELECT DISTINCT l_orderkey % 1000 AS q, l_orderkey * 8 + l_linenumber AS key,
+        |    (l_orderkey * 8 + l_linenumber) % 9973 / 9973.0 AS p,
+        |    CAST(l_linenumber % 4 AS DOUBLE) AS rel
+        |  FROM lineitem WHERE l_orderkey % 1000 < 4),
+        |gs AS (SELECT q, max(p) AS mx, min(p) AS mn FROM rows_ GROUP BY q),
+        |ranked AS (SELECT q, key, p, rel,
+        |  row_number() OVER (PARTITION BY q ORDER BY p DESC) AS rk FROM rows_),
+        |idcg AS (SELECT q, 1.0 / sum((pow(2.0, rel) - 1.0) / (ln(irk + 1.0) / ln(2.0))) AS inv FROM (
+        |  SELECT q, rel, row_number() OVER (PARTITION BY q ORDER BY rel DESC) AS irk
+        |  FROM rows_) GROUP BY q),
+        |pairs AS (
+        |  SELECT a.q AS q, a.key AS ki, b.key AS kj,
+        |    abs((pow(2.0, a.rel) - pow(2.0, b.rel)) *
+        |        (1.0/(ln(a.rk + 1.0)/ln(2.0)) - 1.0/(ln(b.rk + 1.0)/ln(2.0)))) * i.inv
+        |      / (CASE WHEN g.mx <> g.mn THEN abs(a.p - b.p) + 0.01 ELSE 1.0 END) AS d,
+        |    1.0 / (1.0 + exp(a.p - b.p)) AS rho
+        |  FROM ranked a JOIN ranked b ON a.q = b.q AND a.rel > b.rel
+        |  JOIN idcg i ON i.q = a.q JOIN gs g ON g.q = a.q),
+        |nrm AS (SELECT q,
+        |  CASE WHEN sum(2.0 * d * rho) > 0
+        |       THEN ln(1.0 + sum(2.0 * d * rho)) / ln(2.0) / sum(2.0 * d * rho)
+        |       ELSE 1.0 END AS nm
+        |  FROM pairs WHERE d > 0 GROUP BY q),
+        |contrib AS (
+        |  SELECT p.q, ki AS key, -d * rho * nm AS cg,
+        |    2.0 * d * greatest(rho * (1.0 - rho), 1e-16) * nm AS chh
+        |  FROM pairs p JOIN nrm n ON n.q = p.q
+        |  UNION ALL
+        |  SELECT p.q, kj, d * rho * nm, 2.0 * d * greatest(rho * (1.0 - rho), 1e-16) * nm
+        |  FROM pairs p JOIN nrm n ON n.q = p.q)
         |SELECT r.key AS key,
         |  round(coalesce(sum(cg), 0.0), 5) + 0.0 AS g,
         |  round(greatest(coalesce(sum(chh), 0.0), 1e-16), 5) AS h

@@ -255,8 +255,10 @@ object TrainQueries {
       "SELECT '98ad0f403bfea93fe25a55b1b03841a6' AS model_md5, 5 AS n_trees, 115 AS n_nodes",
     "t_hash_multi" ->
       "SELECT 'a8c5bad0e14942b5baa9a013c19cc8bd' AS model_md5, 15 AS n_trees, 449 AS n_nodes",
+    // re-pinned r7: LambdaRank reference parity (hessian ×2 closed form +
+    // lambdarank_normalization/score_normalization default-true)
     "t_hash_rank" ->
-      "SELECT 'fcde222d684092eaf5152be2ada4504d' AS model_md5, 5 AS n_trees, 113 AS n_nodes",
+      "SELECT 'db78f92d0d929cf300f2d5ec211afde7' AS model_md5, 5 AS n_trees, 121 AS n_nodes",
     "t_hash_dart" ->
       "SELECT '2c80776d57b2356ac88fb731b9725a82' AS model_md5, 5 AS n_trees, 155 AS n_nodes",
     "t_hash_linear" ->

@@ -50,6 +50,8 @@ final case class TrainParams(
     lambdarankNumPair: Int = 8, // sampled pairs per doc (pair_method=mean)
     lambdarankUnbiased: Boolean = false, // position debiasing (Unbiased LambdaMART)
     lambdarankBiasNorm: Double = 1.0, // t± update regularizer 1/(1+norm) (ranking_utils.h:82)
+    lambdarankNormalization: Boolean = true, // group λ rescale (ranking_utils.h:81, default true)
+    lambdarankScoreNormalization: Boolean = true, // Δ/(|score gap|+0.01) (ranking_utils.h:82, default true)
     evalMetric: Option[String] = None, // per-iteration watch metric (default: objective's)
     evalMetrics: Seq[String] = Nil, // MULTIPLE watch metrics (ref eval_metric list,
     // `python-package/xgboost/training.py` params with repeated eval_metric: every
@@ -546,6 +548,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         rankExpGain = params.ndcgExpGain, rankTopK = params.lambdarankTopK,
         rankPairMethod = params.lambdarankPairMethod, rankNumPair = params.lambdarankNumPair,
         rankUnbiased = params.lambdarankUnbiased, rankBiasNorm = params.lambdarankBiasNorm,
+        rankNormalization = params.lambdarankNormalization,
+        rankScoreNormalization = params.lambdarankScoreNormalization,
         scalePosWeight = params.scalePosWeight))
     val needsGlobalGrads = !isMulti && obj.needsGlobalGradients
     if (needsGlobalGrads && params.booster == "dart")

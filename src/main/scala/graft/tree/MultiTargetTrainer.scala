@@ -14,10 +14,12 @@ import scala.collection.mutable.ArrayBuffer
   * `evaluate_splits.h:609` `HistMultiEvaluator`, model
   * `src/tree/multi_target_tree_model.cc`), instead of one tree per class.
   *
-  * Distribution shape: gradients are a `2K`-vector per row, computed once
-  * per iteration; each tree level runs ONE `treeAggregate` whose partial
-  * is `frontier × totalBins × 2K` doubles (the per-target lanes of the
-  * single-target layout). Split gain sums the per-target gains over a
+  * Distribution shape: ONE cached `RDD[((bins, labels, weight), margins)]`
+  * (margins packed with the row — no cross-generation zip, one block per
+  * partition); each tree level runs ONE `treeAggregate` whose partial is
+  * `frontier × totalBins × 2K` doubles (the per-target lanes of the
+  * single-target layout), with the `2K` gradient vector recomputed inline
+  * from the packed margin for frontier rows. Split gain sums the per-target gains over a
   * shared split point (`HistMultiEvaluator` semantics); leaves carry one
   * weight per target. Rows are never repartitioned — node position is
   * recomputed from the broadcast tree shape, like the single-target path.
@@ -67,19 +69,15 @@ final class MultiTargetTrainer(params: TrainParams, numTargets: Int,
     // column count unified inside the sketch pass (data.h:191 semantics)
     val cuts = Binning.findCuts(data.map(r => (r._1, r._3)), 0, params.maxBin)
     val nf = cuts.numFeatures
-    val totalBins = cuts.totalBins
     val bCuts = sc.broadcast(cuts)
-    val binned = data.map { case (x, ys, w) =>
-      (bCuts.value.binRow(x), ys, w)
-    }.persist(StorageLevel.MEMORY_AND_DISK)
-    binned.count()
 
     // base score per target: per-lane weighted label means through the
     // objective's link (ref FitStump per target; scalar-label objectives
-    // share ys(0) across lanes)
+    // share ys(0) across lanes). Runs on the raw rows — only (ys, w) are
+    // read, so it needs neither the binned layout nor the cache below.
     val base: Array[Double] = {
       val scalarLab = mobj.scalarLabel
-      val (sums, sw) = graft.Agg.aggregate(binned)((new Array[Double](K), 0.0))(
+      val (sums, sw) = graft.Agg.aggregate(data)((new Array[Double](K), 0.0))(
         { case ((s, c), (_, ys, w)) =>
           var k = 0
           while (k < K) { s(k) += w * ys(if (scalarLab) 0 else k); k += 1 }
@@ -93,42 +91,40 @@ final class MultiTargetTrainer(params: TrainParams, numTargets: Int,
       mobj.baseScore(sums.map(_ / math.max(sw, 1e-16)))
     }
 
-    var margins: RDD[Array[Double]] = binned.map(_ => base.clone())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    margins.count()
+    // Margins PACKED with the binned row — same rework as GBTTrainer's
+    // packed prediction cache (§ "The prediction cache is PACKED into the
+    // row"): one RDD[((bins, ys, w), margins)] instead of `binned` plus a
+    // separately-persisted margin RDD re-`zip`ped every iteration. No
+    // cross-generation zip to mis-align, one cached block per partition
+    // instead of two, and gradients are computed inline in the histogram
+    // passes (frontier rows only) instead of a third persisted RDD.
+    var cache: RDD[((Array[Int], Array[Double], Double), Array[Double])] =
+      data.map { case (x, ys, w) => ((bCuts.value.binRow(x), ys, w), base.clone()) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    cache.count()
 
     val trees = new ArrayBuffer[Tree]
     var iter = 0
     while (iter < params.numRounds) {
-      // per-row 2K gradient vector at current margins, once per iteration
-      val obj = mobj
-      val grads = binned.zip(margins).map { case ((_, ys, w), m) =>
-        val out = new Array[Double](2 * K)
-        obj.gradient(ys, m, w, out)
-        out
-      }.persist(StorageLevel.MEMORY_AND_DISK)
-      grads.count()
-
-      val shape = growTree(binned, grads, cuts, nf, K)
+      val shape = growTree(cache, cuts, nf, K)
       trees += shapeToTree(shape, cuts, K)
 
       val bShape = sc.broadcast(shape)
-      val next = binned.zip(margins).map { case ((bins, _, _), m) =>
-        val leafW = bShape.value.leafOf(bins)
+      val eta = params.eta
+      val next = cache.map { case (r, m) =>
+        val leafW = bShape.value.leafOf(r._1)
         val out = m.clone()
         var k = 0
-        while (k < K) { out(k) += params.eta * leafW(k); k += 1 }
-        out
+        while (k < K) { out(k) += eta * leafW(k); k += 1 }
+        (r, out)
       }.persist(StorageLevel.MEMORY_AND_DISK)
       if ((iter + 1) % params.checkpointInterval == 0) next.localCheckpoint()
       next.count()
-      margins.unpersist(blocking = false)
-      margins = next
-      grads.unpersist(blocking = false)
+      cache.unpersist(blocking = false)
+      cache = next
       iter += 1
     }
-    margins.unpersist(blocking = false)
-    binned.unpersist(blocking = false)
+    cache.unpersist(blocking = false)
     BoosterModel(trees.toArray, Array.fill(trees.length)(params.eta),
       new Array[Int](trees.length), base, params.objective, K, nf)
   }
@@ -162,15 +158,20 @@ final class MultiTargetTrainer(params: TrainParams, numTargets: Int,
     def hTotal: Double = { var s = 0.0; var k = 0; while (k < h.length) { s += h(k); k += 1 }; s }
   }
 
-  private def growTree(binned: RDD[(Array[Int], Array[Double], Double)],
-      grads: RDD[Array[Double]], cuts: HistogramCuts, nf: Int, K: Int): MShape = {
-    val sc = binned.sparkContext
+  private def growTree(cache: RDD[((Array[Int], Array[Double], Double), Array[Double])],
+      cuts: HistogramCuts, nf: Int, K: Int): MShape = {
+    val sc = cache.sparkContext
+    val obj = mobj
     val totalBins = cuts.totalBins
     val nodes = new ArrayBuffer[MNode]
 
-    // root totals
-    val rootTot = graft.Agg.aggregate(grads)(new Array[Double](2 * K))(
-      (a, g) => { var i = 0; while (i < a.length) { a(i) += g(i); i += 1 }; a },
+    // root totals (per-row gradient computed inline at the cached margin)
+    val rootTot = graft.Agg.aggregate(cache)(new Array[Double](2 * K))(
+      { case (a, ((_, ys, w), m)) =>
+        val g = new Array[Double](2 * K)
+        obj.gradient(ys, m, w, g)
+        var i = 0; while (i < a.length) { a(i) += g(i); i += 1 }; a
+      },
       (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
     nodes += new MNode(
       Array.tabulate(K)(k => rootTot(2 * k)),
@@ -186,12 +187,16 @@ final class MultiTargetTrainer(params: TrainParams, numTargets: Int,
       val bFrontier = sc.broadcast(frontier)
       val featOff = cuts.featureOffset // small driver array, ships in closure
       val lanes = 2 * K * totalBins
-      // ONE aggregation for the whole frontier: [node][globalBin][target][g|h]
-      val hist = graft.Agg.aggregate(binned.zip(grads))(new Array[Double](frontier.length * lanes))(
-        seqOp = { case (a, ((bins, _, _), g)) =>
+      // ONE aggregation for the whole frontier: [node][globalBin][target][g|h];
+      // the 2K gradient is recomputed inline for frontier rows only — no
+      // separately-persisted grads RDD, no zip
+      val hist = graft.Agg.aggregate(cache)(new Array[Double](frontier.length * lanes))(
+        seqOp = { case (a, ((bins, ys, w), m)) =>
           val pos = bShape.value.position(bins)
           val fi = java.util.Arrays.binarySearch(bFrontier.value, pos)
           if (fi >= 0) {
+            val g = new Array[Double](2 * K)
+            obj.gradient(ys, m, w, g)
             val baseOff = fi * lanes
             var f = 0
             while (f < nf) {

@@ -89,14 +89,18 @@ object TreeUpdaters {
       alpha = params.quantileAlpha, rho = params.tweedieVariancePower,
       delta = params.pseudoHuberSlope)
     val sc = data.sparkContext
-    val cached = data.persist(StorageLevel.MEMORY_AND_DISK)
-    var margins = cached.map(_ => model.baseScore(0))
-    margins.persist(StorageLevel.MEMORY_AND_DISK).count()
+    // prequential margin packed with the row (same rework as the trainers'
+    // packed prediction cache): one cached RDD[((x, y, w), margin)], no
+    // cross-generation zip between the data and a separate margin RDD
+    val baseScore = model.baseScore(0)
+    var cache: RDD[((Array[Double], Double, Double), Double)] =
+      data.map(r => (r, baseScore)).persist(StorageLevel.MEMORY_AND_DISK)
+    cache.count()
 
     val newTrees = model.trees.zipWithIndex.map { case (tree, t) =>
       val bTree = sc.broadcast(tree)
       val nNodes = tree.nodes.length
-      val acc = graft.Agg.aggregate(cached.zip(margins))(new Array[Double](2 * nNodes))(
+      val acc = graft.Agg.aggregate(cache)(new Array[Double](2 * nNodes))(
         seqOp = { case (a, ((x, y, w), m)) =>
           val out = new Array[Double](2)
           obj.gradient(m, y, out)
@@ -143,17 +147,16 @@ object TreeUpdaters {
       bTree.destroy()
       // advance prequential margins with the REFRESHED tree
       val bNew = sc.broadcast((refreshed, model.treeWeights(t)))
-      val next = cached.zip(margins).map { case ((x, _, _), m) =>
+      val next = cache.map { case (r, m) =>
         val (tr, tw) = bNew.value
-        m + tw * tr.predict(x)(0)
+        (r, m + tw * tr.predict(r._1)(0))
       }
       next.persist(StorageLevel.MEMORY_AND_DISK).count()
-      margins.unpersist(blocking = false)
-      margins = next
+      cache.unpersist(blocking = false)
+      cache = next
       refreshed
     }
-    margins.unpersist(blocking = false)
-    cached.unpersist(blocking = false)
+    cache.unpersist(blocking = false)
     model.copy(trees = newTrees)
   }
 }
