@@ -65,31 +65,52 @@ object Bench {
       System.gc(); Thread.sleep(300)
     }
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
       // noop sink, NOT count(): count() lets Catalyst prune unreferenced
       // aggregate expressions — and with them entire window/sort/join
       // subtrees — so filter-free queries would time a hollowed-out plan.
       // The noop write evaluates every output column of the real plan
       // without driver-side result transfer.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // isolate queries: drop any cached plans/RDD blocks a query left
-      // behind so later timings measure the query, not accumulated state
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      // two gc+drain cycles: the first GC enqueues ContextCleaner work for
-      // every shuffle/broadcast the query leaked, the sleep lets the cleaner
-      // drain OUTSIDE the next query's timed region (otherwise the cleanup
-      // storm lands mid-query and shows up as a spurious multi-second stall)
-      System.gc(); Thread.sleep(1500)
-      System.gc(); Thread.sleep(500)
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // drop any cached plans/RDD blocks a query execution left behind so
+      // later timings measure the query, not accumulated state
+      def drain(fullGc: Boolean): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        if (fullGc) {
+          // two gc+drain cycles: the first GC enqueues ContextCleaner work
+          // for every shuffle/broadcast the query leaked, the sleep lets the
+          // cleaner drain OUTSIDE the next query's timed region (otherwise
+          // the cleanup storm lands mid-query as a spurious stall)
+          System.gc(); Thread.sleep(1500)
+          System.gc(); Thread.sleep(500)
+        } else { System.gc(); Thread.sleep(200) }
+      }
+      // Repetition policy: a single-shot number for a sub-second query is
+      // dominated by one-time codegen compilation of that query's generated
+      // class (measured: p_token_stats 1.7 s cold vs 0.5 s steady-state) —
+      // a JVM artifact a long-running cluster job amortizes to zero. So
+      // short queries (< 3 s first run) report the MEDIAN OF 3 executions;
+      // long queries — internally multi-job trainer/miner loops, warm by
+      // construction — stay single-shot to keep the round's bench bounded.
+      val first = run()
+      val dt =
+        if (first < 3.0) {
+          drain(fullGc = false); val second = run()
+          drain(fullGc = false); val third = run()
+          Array(first, second, third).sorted.apply(1)
+        } else first
+      drain(fullGc = true)
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"noop-sink full-plan evaluation since r5; earlier rounds' count() timings under-measured filter-free queries (Catalyst pruned their window/sort subtrees)"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"noop-sink full-plan evaluation since r5; sub-3s queries report median-of-3 executions since r7 (single-shot numbers were dominated by one-time codegen of the query's generated class); >=3s queries single-shot"}""")
     spark.stop()
   }
 }

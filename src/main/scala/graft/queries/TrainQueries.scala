@@ -172,6 +172,40 @@ object TrainQueries {
         .select(round(col("ndcg"), 3).as("ndcg"), col("num_groups"))
     }),
 
+    // multi-target vector-leaf training (multi_strategy=multi_output_tree,
+    // `src/tree/hist/histogram.h:315` MultiHistogramBuilder): ONE tree per
+    // round carrying K=2 leaf lanes over the packed-margin cache; per-lane
+    // RMSE of the fitted model surfaced (distributed — model broadcast,
+    // no driver-side scoring)
+    "t_train_multi" -> ((s, dir) => {
+      val n = featureCols.length
+      val data = CoreQueries.table(s, dir, "lineitem").select(
+        featureCols.map(c => col(c).cast("double")) :+
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) / 100000.0).as("y0") :+
+          (col("l_quantity") / 10.0 + col("l_tax")).as("y1"): _*)
+        .rdd.map { r =>
+          val f = new Array[Double](n)
+          var i = 0
+          while (i < n) { f(i) = r.getDouble(i); i += 1 }
+          (f, Array(r.getDouble(n), r.getDouble(n + 1)), 1.0)
+        }.cache()
+      val model = graft.api.XGBoost.trainMulti(data,
+        TrainParams(numRounds = 5, maxDepth = 3, maxBin = 64, eta = 0.3, seed = 7),
+        numTargets = 2)
+      val bm = s.sparkContext.broadcast(model)
+      import s.implicits._
+      val errs = data.map { case (f, ys, _) =>
+        val p = bm.value.margin(f)
+        (p(0) - ys(0), p(1) - ys(1))
+      }.toDF("e0", "e1")
+      val out = errs.agg(
+        round(sqrt(avg(col("e0") * col("e0"))), 3).as("rmse_y0"),
+        round(sqrt(avg(col("e1") * col("e1"))), 3).as("rmse_y1"),
+        count(lit(1)).as("n"))
+      data.unpersist(blocking = false)
+      out
+    }),
+
     // model IO + feature importance surfaced as a table. The op under
     // test is importance+JSON roundtrip, not training: a 2-round model
     // exercises it identically at a fraction of the bench cost
@@ -229,6 +263,15 @@ object TrainQueries {
       hashRow(s, new GBTTrainer(goldenParams(booster = "dart", rateDrop = 0.3))
         .fit(goldenRows(s)))),
 
+    // multi-output tree (vector leaves, MultiTargetTrainer): lane 1 is the
+    // regression label, lane 2 a second deterministic function of the
+    // fixture features — pins the packed-margin multi-target path
+    "t_hash_multitree" -> ((s, _) =>
+      hashRow(s, new graft.tree.MultiTargetTrainer(goldenParams(), 2)
+        .fit(goldenRows(s).map { case (f, y, w) =>
+          (f, Array(y, 0.5 * f(1) - f(2)), w)
+        }))),
+
     "t_hash_linear" -> ((s, _) => {
       // coord_descent: the sequential selector is order-deterministic
       val lm = new graft.linear.GBLinearTrainer(graft.linear.LinearParams(
@@ -261,6 +304,8 @@ object TrainQueries {
       "SELECT 'db78f92d0d929cf300f2d5ec211afde7' AS model_md5, 5 AS n_trees, 121 AS n_nodes",
     "t_hash_dart" ->
       "SELECT '2c80776d57b2356ac88fb731b9725a82' AS model_md5, 5 AS n_trees, 155 AS n_nodes",
+    "t_hash_multitree" ->
+      "SELECT '7231d623c61a208acb1bb63a07c3a6fa' AS model_md5, 5 AS n_trees, 155 AS n_nodes",
     "t_hash_linear" ->
       "SELECT '24887bb85f773245b342170bc64f92cf' AS model_md5, 6 AS n_features")
 
