@@ -75,6 +75,21 @@ trait GraftXGBParams extends Params {
     * false rows train. */
   final val validationIndicatorCol = new Param[String](this, "validationIndicatorCol",
     "boolean column marking validation rows ('' = watch the train set)")
+  /** Per-feature types, reference `feature_types` (the Spark package's
+    * param at `params/XGBoostParams.scala:179`): "c" marks a categorical
+    * feature (integer-coded category ids — [[graft.data.CategoryEncoder]]
+    * produces them from string columns); anything else ("q", "float",
+    * "int") is numeric. Empty = all numeric. */
+  final val featureTypes = new StringArrayParam(this, "featureTypes",
+    "per-feature types; 'c' = categorical, others numeric ([] = all numeric)")
+  /** Per-feature monotonicity −1/0/+1 (ref `monotone_constraints`). */
+  final val monotoneConstraints = new IntArrayParam(this, "monotoneConstraints",
+    "per-feature monotone constraints -1/0/+1 ([] = unconstrained)")
+  /** Interaction constraints in the reference's nested-list string form,
+    * e.g. "[[0,2],[1,3,4]]": features may only co-occur on a root→leaf
+    * path within a declared group (ref `interaction_constraints`). */
+  final val interactionConstraints = new Param[String](this, "interactionConstraints",
+    "nested feature-index lists, e.g. [[0,2],[1,3]] ('' = unconstrained)")
 
   setDefault(featuresCol -> "features", labelCol -> "label", weightCol -> "",
     predictionCol -> "prediction", numRound -> 100, maxDepth -> 6, eta -> 0.3,
@@ -82,7 +97,9 @@ trait GraftXGBParams extends Params {
     minChildWeight -> 1.0, subsample -> 1.0, colsampleBytree -> 1.0,
     treeMethod -> "hist", growPolicy -> "depthwise", maxLeaves -> 0,
     seed -> 0L, missing -> Double.NaN, earlyStoppingRounds -> 0, evalMetric -> "",
-    scalePosWeight -> 1.0, baseMarginCol -> "", validationIndicatorCol -> "")
+    scalePosWeight -> 1.0, baseMarginCol -> "", validationIndicatorCol -> "",
+    featureTypes -> Array.empty[String], monotoneConstraints -> Array.empty[Int],
+    interactionConstraints -> "")
 
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setLabelCol(v: String): this.type = set(labelCol, v)
@@ -108,6 +125,9 @@ trait GraftXGBParams extends Params {
   def setScalePosWeight(v: Double): this.type = set(scalePosWeight, v)
   def setBaseMarginCol(v: String): this.type = set(baseMarginCol, v)
   def setValidationIndicatorCol(v: String): this.type = set(validationIndicatorCol, v)
+  def setFeatureTypes(v: Array[String]): this.type = set(featureTypes, v)
+  def setMonotoneConstraints(v: Array[Int]): this.type = set(monotoneConstraints, v)
+  def setInteractionConstraints(v: String): this.type = set(interactionConstraints, v)
 
   /** Run the trainer on rows split by `validationIndicatorCol` (if set):
     * false rows train, true rows form the eval watch. Decoded rows persist
@@ -147,7 +167,11 @@ trait GraftXGBParams extends Params {
         Some($(evalMetric)) else None,
       evalMetrics = if ($(evalMetric).contains(","))
         $(evalMetric).split(',').map(_.trim).filter(_.nonEmpty).toSeq else Nil,
-      scalePosWeight = $(scalePosWeight))
+      scalePosWeight = $(scalePosWeight),
+      catFeatures = $(featureTypes).iterator.zipWithIndex
+        .collect { case (t, i) if t == "c" => i }.toSet,
+      monotoneConstraints = $(monotoneConstraints),
+      interactionConstraints = GraftXGBParams.parseInteractionConstraints($(interactionConstraints)))
 
   /** Training consumes its input twice (quantile-sketch pass + binning
     * pass) — persist the decoded rows for the duration of `fit` so the
@@ -203,6 +227,18 @@ trait GraftXGBParams extends Params {
 }
 
 object GraftXGBParams {
+  /** "[[0,2],[1,3,4]]" → Seq(Set(0,2), Set(1,3,4)) — the reference's
+    * `interaction_constraints` string form. */
+  def parseInteractionConstraints(s: String): Seq[Set[Int]] =
+    if (s.trim.isEmpty) Nil
+    else {
+      val groups = "\\[([0-9,\\s]+)\\]".r.findAllMatchIn(s)
+        .map(_.group(1).split(',').map(_.trim).filter(_.nonEmpty).map(_.toInt).toSet)
+        .toSeq
+      require(groups.nonEmpty, s"unparseable interactionConstraints: $s")
+      groups
+    }
+
   def toDoubleArray(v: Any, missing: Double): Array[Double] = {
     val arr = v match {
       case vec: Vector => vec.toArray

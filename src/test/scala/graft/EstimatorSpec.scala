@@ -180,4 +180,81 @@ class EstimatorSpec extends AnyFunSuite {
     assert(noVal.booster.trees.length == 12,
       s"train watch keeps improving: ${noVal.booster.trees.length}")
   }
+
+  test("categorical features end-to-end: string column → CategoryEncoder → " +
+      "featureTypes('c') → categorical splits → save/load") {
+    import org.apache.spark.sql.functions.{array, col}
+    // the label lift is a NON-ORDINAL function of the category (codes
+    // {1, 3} high, {0, 2, 4} low), so a numeric threshold split cannot
+    // separate the classes — only a set-partition split can
+    val cities = Array("ams", "ber", "cdg", "dxb", "ewr")
+    val lift = Map("ams" -> 0.0, "ber" -> 5.0, "cdg" -> 0.0, "dxb" -> 5.0, "ewr" -> 0.0)
+    val rng = new scala.util.Random(11)
+    val raw = (0 until 2000).map { _ =>
+      val c = cities(rng.nextInt(cities.length))
+      val x = rng.nextGaussian()
+      (c, x, 0.5 * x + lift(c) + 0.05 * rng.nextGaussian())
+    }.toDF("city", "x", "label")
+    val dict = graft.data.CategoryEncoder.fit(raw, Seq("city"))
+    val encoded = dict.transform(raw)
+      .select(array(col("x"), col("city_code").cast("double")).as("features"), col("label"))
+    val model = new XGBoostRegressor().setNumRound(8).setMaxDepth(3).setMaxBin(32)
+      .setSeed(5L).setFeatureTypes(Array("q", "c")).fit(encoded)
+    // the trainer must have produced set-partition conditions on feature 1
+    assert(model.booster.trees.exists(_.nodes.exists(n =>
+      !n.isLeaf && n.isCategorical && n.feature == 1)),
+      "expected categorical (set-partition) splits on the 'c' feature")
+    val out = model.transform(encoded)
+    val rmse = math.sqrt(out.selectExpr("avg(pow(prediction - label, 2))").head().getDouble(0))
+    assert(rmse < 0.5, s"categorical estimator rmse $rmse")
+    // save/load keeps the categorical conditions, the featureTypes param,
+    // and the predictions
+    val dir = java.nio.file.Files.createTempDirectory("graft-cat-est").toString
+    model.write.overwrite().save(dir)
+    val back = XGBoostRegressionModel.load(dir)
+    assert(back.getOrDefault(back.featureTypes).toSeq == Seq("q", "c"))
+    assert(back.booster.trees.exists(_.nodes.exists(n => !n.isLeaf && n.isCategorical)))
+    val a = model.booster.margin(Array(0.3, 1.0))(0)
+    val b = back.booster.margin(Array(0.3, 1.0))(0)
+    assert(a == b, s"roundtrip prediction drift: $a vs $b")
+  }
+
+  test("monotone constraint honored through the estimator facade") {
+    // label DECREASES in x0 on average, but the +1 constraint must force
+    // the fitted function non-decreasing in x0 anyway (the reference's
+    // monotone-constraint contract)
+    val rng = new scala.util.Random(23)
+    val df = (0 until 2000).map { _ =>
+      val x = Array(rng.nextGaussian(), rng.nextGaussian())
+      (x.toSeq, -0.5 * x(0) + x(1) + 0.1 * rng.nextGaussian())
+    }.toDF("features", "label")
+    val model = new XGBoostRegressor().setNumRound(8).setMaxDepth(3).setMaxBin(32)
+      .setSeed(5L).setMonotoneConstraints(Array(1, 0)).fit(df)
+    val sweep = (-20 to 20).map(i => model.booster.margin(Array(i / 5.0, 0.0))(0))
+    sweep.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(hi >= lo - 1e-12, s"monotone(+1) violated: $sweep")
+    }
+  }
+
+  test("interaction constraints honored through the estimator facade") {
+    // with groups [[0],[1]] no root→leaf path may mix features 0 and 1
+    val rng = new scala.util.Random(29)
+    val df = (0 until 2000).map { _ =>
+      val x = Array(rng.nextGaussian(), rng.nextGaussian())
+      (x.toSeq, x(0) * x(1) + 0.1 * rng.nextGaussian()) // interaction bait
+    }.toDF("features", "label")
+    val model = new XGBoostRegressor().setNumRound(6).setMaxDepth(4).setMaxBin(32)
+      .setSeed(5L).setInteractionConstraints("[[0],[1]]").fit(df)
+    model.booster.trees.foreach { t =>
+      def walk(i: Int, seen: Set[Int]): Unit = {
+        val n = t.nodes(i)
+        if (!n.isLeaf) {
+          val s = seen + n.feature
+          assert(s.size <= 1, s"path mixes features $s despite [[0],[1]]")
+          walk(n.left, s); walk(n.right, s)
+        }
+      }
+      walk(0, Set.empty)
+    }
+  }
 }
