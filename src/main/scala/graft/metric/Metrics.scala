@@ -336,18 +336,40 @@ object Metrics {
       sum(col("ne"))).as("cox_nloglik"))
   }
 
-  /** aft-nloglik with LOGISTIC error distribution
-    * (`src/metric/survival_metric.cu:250`, dists
-    * `src/common/probability_distribution.h`): interval labels
-    * [lower, upper]; sigma = distribution scale. Logistic CDF keeps it
-    * SQL-expressible (normal needs erf). pred is the raw margin (log time). */
-  def aftNloglikLogistic(df: DataFrame, pred: Column, lower: Column, upper: Column,
-      sigma: Double): DataFrame = {
+  /** erf as a Column expression — Abramowitz–Stegun 7.1.26, the SAME
+    * closed form as [[graft.objective.AFT.erf]] (|err| < 1.5e-7), so the
+    * executors, the driver-side objective, and a SQL oracle emitting the
+    * identical polynomial all agree under rounding. Pure arithmetic ⇒
+    * whole-stage codegen. */
+  private def erfCol(x: Column): Column = {
+    val s = when(x < 0, -1.0).otherwise(1.0)
+    val a = abs(x)
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * a)
+    val y = lit(1.0) - (((((lit(1.061405429) * t - lit(1.453152027)) * t) +
+      lit(1.421413741)) * t - lit(0.284496736)) * t + lit(0.254829592)) * t * exp(-a * a)
+    s * y
+  }
+
+  /** aft-nloglik (`src/metric/survival_metric.cu:250`) for all three error
+    * distributions (`src/common/probability_distribution.h:31-120`; the
+    * reference DEFAULT `aft_loss_distribution` is "normal",
+    * `survival_util.h`): interval labels [lower, upper]; sigma = the
+    * distribution scale; pred is the raw margin (log time). Normal uses
+    * the A&S erf closed form (Spark has no erf builtin). One aggregation,
+    * all map-side arithmetic. */
+  def aftNloglik(df: DataFrame, pred: Column, lower: Column, upper: Column,
+      sigma: Double, dist: String = "normal"): DataFrame = {
+    require(Set("normal", "logistic", "extreme")(dist), s"unknown AFT distribution: $dist")
     val eps = lit(1e-12)
-    def cdf(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
-    def pdf(z: Column): Column = {
-      val e = exp(-z)
-      e / pow(lit(1.0) + e, 2)
+    def cdf(z: Column): Column = dist match {
+      case "normal"   => lit(0.5) * (lit(1.0) + erfCol(z / math.sqrt(2.0)))
+      case "logistic" => lit(1.0) / (lit(1.0) + exp(-z))
+      case "extreme"  => lit(1.0) - exp(-exp(z))
+    }
+    def pdf(z: Column): Column = dist match {
+      case "normal"   => exp(-z * z / 2) / math.sqrt(2.0 * math.Pi)
+      case "logistic" => { val e = exp(-z); e / pow(lit(1.0) + e, 2) }
+      case "extreme"  => exp(z) * exp(-exp(z))
     }
     val zl = (log(col("lo")) - col("p")) / sigma
     val zu = (log(col("hi")) - col("p")) / sigma
@@ -359,6 +381,10 @@ object Metrics {
     df.select(pred.as("p"), lower.as("lo"), upper.as("hi"))
       .agg(avg(-log(greatest(like, eps))).as("aft_nloglik"))
   }
+
+  /** back-compat alias (pre-r7 name; logistic was the only distribution). */
+  def aftNloglikLogistic(df: DataFrame, pred: Column, lower: Column, upper: Column,
+      sigma: Double): DataFrame = aftNloglik(df, pred, lower, upper, sigma, "logistic")
 
   /** interval-regression-accuracy (`survival_metric.cu:254`): fraction of
     * rows whose predicted log-time falls in [log lo, log hi]. */

@@ -149,6 +149,19 @@ object MetricQueries {
       Metrics.aftNloglikLogistic(surv(s, dir), col("ap"), col("lo"), col("hi"), sigma = 1.0)
         .select(round(col("aft_nloglik"), 6).as("aft_nloglik"))),
 
+    // the reference's DEFAULT aft_loss_distribution is normal
+    // (survival_util.h AFTParam); erf via the A&S 7.1.26 closed form on
+    // both engines
+    "m_aft_nloglik_normal" -> ((s, dir) =>
+      Metrics.aftNloglik(surv(s, dir), col("ap"), col("lo"), col("hi"),
+        sigma = 1.0, dist = "normal")
+        .select(round(col("aft_nloglik"), 6).as("aft_nloglik_normal"))),
+
+    "m_aft_nloglik_extreme" -> ((s, dir) =>
+      Metrics.aftNloglik(surv(s, dir), col("ap"), col("lo"), col("hi"),
+        sigma = 1.0, dist = "extreme")
+        .select(round(col("aft_nloglik"), 6).as("aft_nloglik_extreme"))),
+
     "m_interval_acc" -> ((s, dir) =>
       Metrics.intervalAccuracy(surv(s, dir), col("ap"), col("lo"), col("hi"))
         .select(round(col("interval_accuracy"), 6).as("interval_accuracy")))
@@ -327,6 +340,45 @@ object MetricQueries {
          |  FROM f
          |)
          |SELECT round(avg(-ln(greatest(lk, 1e-12))), 6) AS aft_nloglik FROM l""".stripMargin,
+
+    // normal error distribution: erf emitted as the SAME A&S 7.1.26
+    // polynomial the Spark side evaluates (Metrics.erfCol), so both
+    // engines compute bit-comparable likelihoods
+    "m_aft_nloglik_normal" ->
+      s"""WITH f AS (SELECT * FROM ($survSql)),
+         |z AS (SELECT lo, hi, (ln(lo) - ap) / 1.0 AS zl,
+         |  CASE WHEN hi IS NULL THEN NULL ELSE (ln(hi) - ap) / 1.0 END AS zu FROM f),
+         |u AS (SELECT lo, hi, zl, zu, zl / sqrt(2.0) AS ul, zu / sqrt(2.0) AS uu FROM z),
+         |t1 AS (SELECT lo, hi, zl, ul, uu,
+         |  abs(ul) AS al, 1.0 / (1.0 + 0.3275911 * abs(ul)) AS tl,
+         |  abs(uu) AS au, 1.0 / (1.0 + 0.3275911 * abs(uu)) AS tu FROM u),
+         |er AS (SELECT lo, hi, zl,
+         |  (CASE WHEN ul < 0 THEN -1.0 ELSE 1.0 END) *
+         |    (1.0 - (((((1.061405429 * tl - 1.453152027) * tl) + 1.421413741) * tl
+         |      - 0.284496736) * tl + 0.254829592) * tl * exp(-al * al)) AS erfl,
+         |  (CASE WHEN uu < 0 THEN -1.0 ELSE 1.0 END) *
+         |    (1.0 - (((((1.061405429 * tu - 1.453152027) * tu) + 1.421413741) * tu
+         |      - 0.284496736) * tu + 0.254829592) * tu * exp(-au * au)) AS erfu
+         |  FROM t1),
+         |l AS (SELECT CASE
+         |    WHEN hi IS NOT NULL AND lo = hi THEN
+         |      exp(-zl * zl / 2) / sqrt(2.0 * pi()) / (1.0 * lo)
+         |    WHEN hi IS NULL THEN 1.0 - 0.5 * (1.0 + erfl)
+         |    ELSE 0.5 * (1.0 + erfu) - 0.5 * (1.0 + erfl)
+         |  END AS lk FROM er)
+         |SELECT round(avg(-ln(greatest(lk, 1e-12))), 6) AS aft_nloglik_normal FROM l""".stripMargin,
+
+    "m_aft_nloglik_extreme" ->
+      s"""WITH f AS (SELECT * FROM ($survSql)),
+         |z AS (SELECT lo, hi, (ln(lo) - ap) / 1.0 AS zl,
+         |  CASE WHEN hi IS NULL THEN NULL ELSE (ln(hi) - ap) / 1.0 END AS zu FROM f),
+         |l AS (SELECT CASE
+         |    WHEN hi IS NOT NULL AND lo = hi THEN
+         |      exp(zl) * exp(-exp(zl)) / (1.0 * lo)
+         |    WHEN hi IS NULL THEN 1.0 - (1.0 - exp(-exp(zl)))
+         |    ELSE (1.0 - exp(-exp(zu))) - (1.0 - exp(-exp(zl)))
+         |  END AS lk FROM z)
+         |SELECT round(avg(-ln(greatest(lk, 1e-12))), 6) AS aft_nloglik_extreme FROM l""".stripMargin,
 
     "m_interval_acc" ->
       s"""SELECT round(avg(CASE WHEN ap >= ln(lo) AND (hi IS NULL OR ap <= ln(hi))

@@ -126,6 +126,34 @@ class SurvivalSpec extends AnyFunSuite {
     }
   }
 
+  test("Metrics.aftNloglik agrees with the objective's scalar nloglik for all 3 distributions") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rng = new scala.util.Random(61)
+    // mix of uncensored (lo == hi), right-censored (hi = null→NaN on the
+    // scalar side) and interval rows
+    val rows = (0 until 500).map { i =>
+      val lo = 0.5 + rng.nextDouble() * 9
+      val hi = i % 3 match {
+        case 0 => lo
+        case 1 => Double.NaN
+        case _ => lo * (1.5 + rng.nextDouble())
+      }
+      (rng.nextGaussian(), lo, hi)
+    }
+    val df = rows.map { case (p, lo, hi) =>
+      (p, lo, if (hi.isNaN) null.asInstanceOf[java.lang.Double] else java.lang.Double.valueOf(hi))
+    }.toDF("p", "lo", "hi")
+    for (dist <- Seq("normal", "logistic", "extreme"); sigma <- Seq(1.0, 1.7)) {
+      val got = graft.metric.Metrics
+        .aftNloglik(df, col("p"), col("lo"), col("hi"), sigma, dist)
+        .head().getDouble(0)
+      val aft = new AFT(dist, sigma)
+      val want = rows.map { case (p, lo, hi) => aft.nloglik(p, lo, hi) }.sum / rows.length
+      assert(math.abs(got - want) < 1e-9, s"$dist sigma=$sigma: df=$got scalar=$want")
+    }
+  }
+
   test("validLabel is enforced at fit entry with a violation count") {
     val bad = sc.parallelize((0 until 100).map { i =>
       (Array(i.toDouble), if (i % 10 == 0) 0.0 else 1.0 + i, 1.0) // gamma needs y > 0
