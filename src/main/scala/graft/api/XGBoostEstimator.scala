@@ -173,6 +173,11 @@ trait GraftXGBParams extends Params {
       monotoneConstraints = $(monotoneConstraints),
       interactionConstraints = GraftXGBParams.parseInteractionConstraints($(interactionConstraints)))
 
+  /** Stamp the facade's featureTypes onto the trained booster so native
+    * JSON/UBJSON export carries them (ref learner.cc:694-696). */
+  protected def withFeatureMeta(b: graft.model.BoosterModel): graft.model.BoosterModel =
+    if ($(featureTypes).isEmpty) b else b.copy(featureTypes = $(featureTypes))
+
   /** Training consumes its input twice (quantile-sketch pass + binning
     * pass) — persist the decoded rows for the duration of `fit` so the
     * source scan and row decode don't run twice (the reference's DMatrix
@@ -283,7 +288,7 @@ class XGBoostRegressor(override val uid: String)
       require($(baseMarginCol).isEmpty, "quantileAlphas does not compose with baseMarginCol")
       val booster = withPersisted(extractRdd(ds))(rdd =>
         XGBoost.trainQuantiles(rdd, baseTrainParams($(objective)), $(quantileAlphas)))
-      return copyValues(new XGBoostRegressionModel(uid, booster)).setParent(this)
+      return copyValues(new XGBoostRegressionModel(uid, withFeatureMeta(booster))).setParent(this)
     }
     val trainer = new GBTTrainer(baseTrainParams($(objective)))
     // base_margin training (ref baseMarginCol, XGBoostEstimator.scala:206):
@@ -295,7 +300,7 @@ class XGBoostRegressor(override val uid: String)
           "baseMarginCol does not compose with validationIndicatorCol")
         withPersisted(extractRddWithMargin(ds))(trainer.fitWithBaseMargin)
       } else fitWithOptionalValidation(ds, trainer)
-    copyValues(new XGBoostRegressionModel(uid, booster))
+    copyValues(new XGBoostRegressionModel(uid, withFeatureMeta(booster)))
       .setSummary(trainer).setParent(this)
   }
   override def copy(extra: ParamMap): XGBoostRegressor = defaultCopy(extra)
@@ -364,7 +369,7 @@ class XGBoostClassifier(override val uid: String)
     val tp = baseTrainParams($(objective), if (multi) $(numClass) else 1)
     val trainer = new GBTTrainer(tp)
     val booster = fitWithOptionalValidation(ds, trainer)
-    copyValues(new XGBoostClassificationModel(uid, booster))
+    copyValues(new XGBoostClassificationModel(uid, withFeatureMeta(booster)))
       .setSummary(trainer).setParent(this)
   }
   override def copy(extra: ParamMap): XGBoostClassifier = defaultCopy(extra)
@@ -459,7 +464,7 @@ class XGBoostRanker(override val uid: String)
     }
     val trainer = new GBTTrainer(baseTrainParams($(objective)))
     val booster = withPersisted(rdd)(trainer.fitRanking(_))
-    copyValues(new XGBoostRankerModel(uid, booster))
+    copyValues(new XGBoostRankerModel(uid, withFeatureMeta(booster)))
       .setSummary(trainer).setParent(this)
   }
   override def copy(extra: ParamMap): XGBoostRanker = defaultCopy(extra)

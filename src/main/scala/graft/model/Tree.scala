@@ -82,7 +82,13 @@ final case class BoosterModel(
     baseScore: Array[Double],
     objective: String,
     numGroups: Int,
-    numFeatures: Int
+    numFeatures: Int,
+    /** Optional per-feature names/types (ref `learner.cc:694-696`
+      * feature_names/feature_types): carried through native JSON/UBJSON
+      * IO and used by [[treesToDataFrame]]; empty = unnamed (`f3`-style
+      * ids). */
+    featureNames: Array[String] = Array.empty,
+    featureTypes: Array[String] = Array.empty
 ) {
 
   /** Raw margin per output group. */
@@ -169,8 +175,13 @@ final case class BoosterModel(
           val (yes, no, split, cats) =
             if (n.isCategorical) (n.right, n.left, None, n.categoriesRight.toSeq)
             else (n.left, n.right, Some(n.threshold), null: Seq[Int])
+          // real feature names when the model carries them (ref
+          // trees_to_dataframe uses feature_names the same way)
+          val fname =
+            if (n.feature < featureNames.length) featureNames(n.feature)
+            else s"f${n.feature}"
           rows += ((t, if (isVector) None else Some(grp),
-            nid, id(nid), s"f${n.feature}", split, cats,
+            nid, id(nid), fname, split, cats,
             Some(id(yes)), Some(id(no)), Some(id(miss)), n.gain, n.sumHess))
         }
       }
@@ -235,6 +246,8 @@ object BoosterModel {
       "base_score" -> JArray(m.baseScore.map(JDouble(_)).toList),
       "tree_weights" -> JArray(m.treeWeights.map(JDouble(_)).toList),
       "tree_group" -> JArray(m.treeGroup.map(g => JInt(BigInt(g))).toList),
+      "feature_names" -> JArray(m.featureNames.map(JString(_)).toList),
+      "feature_types" -> JArray(m.featureTypes.map(JString(_)).toList),
       "trees" -> JArray(trees.toList))
     JsonMethods.compact(JsonMethods.render(root))
   }
@@ -258,6 +271,10 @@ object BoosterModel {
       }
       Tree(nodes.toArray)
     }
+    def arrS(v: JValue): Array[String] = v match {
+      case JArray(xs) => xs.collect { case JString(x) => x }.toArray
+      case _ => Array.empty // pre-r7 models carry no name fields
+    }
     BoosterModel(
       trees.toArray,
       arrD(j \ "tree_weights"),
@@ -265,7 +282,9 @@ object BoosterModel {
       arrD(j \ "base_score"),
       (j \ "objective").extract[String],
       (j \ "num_groups").extract[Int],
-      (j \ "num_features").extract[Int])
+      (j \ "num_features").extract[Int],
+      featureNames = arrS(j \ "feature_names"),
+      featureTypes = arrS(j \ "feature_types"))
   }
 
   /** Text dump, the reference's human-readable format

@@ -90,7 +90,16 @@ object XGBoostJson {
 
     BoosterModel(trees, treeWeights,
       if (treeInfo.length == trees.length) treeInfo else new Array[Int](trees.length),
-      Array.fill(numGroups)(baseMargin), objName, numGroups, numFeatures)
+      Array.fill(numGroups)(baseMargin), objName, numGroups, numFeatures,
+      featureNames = strArray(learner \ "feature_names"),
+      featureTypes = strArray(learner \ "feature_types"))
+  }
+
+  /** learner.feature_names / feature_types (`src/learner.cc:694-696`):
+    * string arrays, possibly absent or empty. */
+  private def strArray(v: JValue): Array[String] = v match {
+    case JArray(xs) => xs.collect { case JString(x) => x }.toArray
+    case _ => Array.empty
   }
 
   /** `base_score` is a plain scalar string pre-3.1 ("5E-1") but a
@@ -218,8 +227,8 @@ object XGBoostJson {
             "iteration_indptr" -> JArray(indptr.toList))),
         "objective" -> JObject("name" -> JString(m.objective)),
         "attributes" -> JObject(),
-        "feature_names" -> JArray(Nil),
-        "feature_types" -> JArray(Nil)))
+        "feature_names" -> JArray(m.featureNames.map(JString(_)).toList),
+        "feature_types" -> JArray(m.featureTypes.map(JString(_)).toList)))
     JsonMethods.compact(JsonMethods.render(root))
   }
 

@@ -45,6 +45,36 @@ class XGBoostJsonSpec extends AnyFunSuite {
     assert(m.featureImportance("gain")(0) == 7.5)
   }
 
+  test("feature_names/feature_types: reference fixture imports with names, " +
+      "roundtrip through JSON and UBJSON keeps them, trees_to_dataframe uses them") {
+    // reference-generated fixture with populated name fields (learner.cc:694)
+    val named = refJson.replace(
+      """"feature_names":[],"feature_types":[]""",
+      """"feature_names":["age","income"],"feature_types":["q","q"]""")
+    val m = XGBoostJson.fromXGBoostJson(named)
+    assert(m.featureNames.toSeq == Seq("age", "income"))
+    assert(m.featureTypes.toSeq == Seq("q", "q"))
+
+    // export → import keeps the names (text carrier)
+    val rt = XGBoostJson.fromXGBoostJson(XGBoostJson.toXGBoostJson(m))
+    assert(rt.featureNames.toSeq == Seq("age", "income"))
+    assert(rt.featureTypes.toSeq == Seq("q", "q"))
+
+    // binary carrier (same document)
+    val ubj = graft.model.Ubjson.fromXGBoostUbj(graft.model.Ubjson.toXGBoostUbj(m))
+    assert(ubj.featureNames.toSeq == Seq("age", "income"))
+
+    // graft-native JSON carries them too (pre-r7 models decode to empty)
+    val native = BoosterModel.fromJson(m.toJson)
+    assert(native.featureNames.toSeq == Seq("age", "income"))
+    assert(native.featureTypes.toSeq == Seq("q", "q"))
+
+    // inspection shows real names instead of f0-style ids
+    val feats = m.treesToDataFrame(TestSpark.spark)
+      .select("feature").collect().map(_.getString(0)).toSet
+    assert(feats.contains("age") && !feats.exists(_.startsWith("f0")), feats)
+  }
+
   test("import: post-3.1 ParamArray base_score form parses (trees + gblinear)") {
     // since ref 3.1 base_score is a ParamArray serialized as a bracketed
     // array string (src/common/param_array.cc WriteStream), e.g. "[5E-1]"
