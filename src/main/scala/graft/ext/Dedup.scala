@@ -135,14 +135,18 @@ object Dedup {
     * near-cliques (pairwise-similar members), so the diameter — and the
     * round count — is small and independent of corpus size; each round is
     * a pair of hash-partitioned shuffles with no driver-side graph state,
-    * and `localCheckpoint` cuts the iterative lineage. (For adversarially
-    * long path-shaped graphs the alternating large-star/small-star scheme
-    * of Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * bounds rounds at O(log n); dup mining does not produce such graphs.)
+    * and `localCheckpoint` cuts the iterative lineage. For adversarially
+    * long path-shaped graphs (a chain of pairwise near-dups — contract
+    * boilerplate series) propagation's round count IS the diameter; pass
+    * `algorithm = "star"` to use [[connectedComponentsStar]] instead,
+    * whose round count is logarithmic and diameter-independent.
     *
     * Returns one row per vertex that appears in `pairs`: (id, label). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, algorithm: String = "propagation"): DataFrame = {
+    require(Set("propagation", "star")(algorithm), s"unknown CC algorithm: $algorithm")
+    if (algorithm == "star")
+      return connectedComponentsStar(pairs, aCol, bCol, maxIter)
     import org.apache.spark.storage.StorageLevel
     val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
     val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
@@ -186,7 +190,89 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"(residual label-sum delta $lastDelta); the input graph has a " +
-          s"component of diameter > $maxIter — raise maxIter")
+          s"component of diameter > $maxIter — raise maxIter, or use " +
+          "algorithm = \"star\" (round count logarithmic, diameter-independent)")
+    labels
+  }
+
+  /** Alternating large-star/small-star connected components (Kiveris et
+    * al. 2014, "Connected Components in MapReduce and Beyond", alg. 2):
+    * each round rewires the edge set toward the component minimum —
+    *   large-star: per node x with m = min(N(x) ∪ {x}), every neighbor
+    *     y > x re-links to (y, m);
+    *   small-star: per node u over its smaller neighbors N (edges
+    *     oriented hi→lo) with m = min(N), links (v, m) for v ∈ N∖{m}
+    *     plus (u, m)
+    * — until the edge set is a fixpoint (a star forest rooted at each
+    * component's minimum). Round count is O(log² n) REGARDLESS of graph
+    * diameter — the scale-safe alternative to min-label propagation for
+    * long-chain graphs. Each round: two groupBy-min shuffles + two
+    * hash joins, no driver graph state; `localCheckpoint` truncates the
+    * iterative lineage; convergence probed by (edge count, exact decimal
+    * edge checksum) — the canonical oriented edge set is distinct, so an
+    * unchanged pair ⇔ unchanged set (the rewiring is deterministic).
+    *
+    * Same contract as [[connectedComponents]]: one (id, label) row per
+    * vertex appearing in `pairs`. */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+    val nodes = half.select(col("src").as("id"))
+      .union(half.select(col("dst").as("id"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // canonical oriented edge set (hi > lo), self-loops dropped
+    var edges = half
+      .select(greatest(col("src"), col("dst")).as("hi"),
+        least(col("src"), col("dst")).as("lo"))
+      .where(col("hi") =!= col("lo")).distinct()
+      .localCheckpoint()
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        sum(col("hi").cast("decimal(38,0)") * lit(1000003) +
+          col("lo").cast("decimal(38,0)"))).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var sig = signature(edges)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // large-star over the symmetric neighbor view
+      val sym = edges.select(col("hi").as("x"), col("lo").as("y"))
+        .union(edges.select(col("lo").as("x"), col("hi").as("y")))
+      val mins = sym.groupBy("x").agg(min(col("y")).as("mn"))
+        .select(col("x"), least(col("mn"), col("x")).as("m"))
+      val afterLarge = sym.join(mins, "x")
+        .where(col("y") > col("x"))
+        .select(col("y").as("hi"), col("m").as("lo")) // y > x ≥ m ⇒ oriented
+        .where(col("hi") =!= col("lo")).distinct()
+      // small-star over the oriented set (every neighbor of hi is < hi)
+      val mins2 = afterLarge.groupBy("hi").agg(min(col("lo")).as("m"))
+      val small = afterLarge.join(mins2, "hi")
+        .where(col("lo") =!= col("m"))
+        .select(col("lo").as("a"), col("m").as("b"))
+        .union(mins2.select(col("hi").as("a"), col("m").as("b")))
+      val next = small
+        .select(greatest(col("a"), col("b")).as("hi"), least(col("a"), col("b")).as("lo"))
+        .where(col("hi") =!= col("lo")).distinct()
+        .localCheckpoint()
+      val s = signature(next)
+      edges = next
+      converged = s == sig
+      sig = s
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds — " +
+          "Kiveris et al. bound rounds at O(log^2 n); raise maxIter")
+    // fixpoint edges form a star forest: every non-root points at its
+    // component minimum; roots (and isolated vertices) label themselves
+    val labels = nodes.alias("n")
+      .join(edges.alias("e"), col("n.id") === col("e.hi"), "left")
+      .select(col("n.id").as("id"), coalesce(col("e.lo"), col("n.id")).as("label"))
+      .groupBy("id").agg(min("label").as("label"))
+    nodes.unpersist(blocking = false)
     labels
   }
 

@@ -47,4 +47,33 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     val labels = cc(Seq((5L, 6L), (6L, 5L), (5L, 6L), (6L, 7L)))
     assert(labels == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
+
+  private def ccStar(pairs: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] = {
+    import spark.implicits._
+    val df = pairs.toDF("a", "b")
+    Dedup.connectedComponents(df, "a", "b", maxIter, algorithm = "star").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("large-star/small-star matches propagation on random graphs") {
+    val rng = new scala.util.Random(47)
+    for (trial <- 0 until 3) {
+      val n = 30 + rng.nextInt(30)
+      val pairs = Seq.fill(n)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      val want = cc(pairs)
+      val got = ccStar(pairs)
+      assert(got == want, s"trial $trial: star=$got propagation=$want pairs=$pairs")
+    }
+  }
+
+  test("star variant converges on a 10k-vertex path graph without raising maxIter") {
+    // diameter 10_000 ≫ any sane propagation cap; Kiveris et al. bound the
+    // alternating scheme's rounds logarithmically, so the DEFAULT cap of 25
+    // must be enough — the adversarial long-chain case propagation throws on
+    val labels = ccStar((0L until 10000L).map(i => (i, i + 1)), maxIter = 25)
+    assert(labels.size == 10001)
+    assert(labels.values.forall(_ == 0L),
+      s"non-root labels: ${labels.filter(_._2 != 0L).take(5)}")
+  }
 }
