@@ -447,9 +447,39 @@ class XGBoostRanker(override val uid: String)
 
   final val objective = new Param[String](this, "objective", "ranking objective")
   final val groupCol = new Param[String](this, "groupCol", "query-id column")
-  setDefault(objective -> "rank:ndcg", groupCol -> "qid")
+  // LambdaRank knobs (reference LambdaRankParam, ranking_utils.h:63-150),
+  // reference defaults throughout
+  final val lambdarankPairMethod = new Param[String](this, "lambdarankPairMethod",
+    "pair construction: mean | topk | all")
+  final val lambdarankNumPair = new IntParam(this, "lambdarankNumPair",
+    "sampled pairs per doc (pair_method=mean)")
+  final val lambdarankTopK = new IntParam(this, "lambdarankTopK",
+    "top-k pair truncation (0 = off; >0 selects pair_method=topk)")
+  final val lambdarankUnbiased = new BooleanParam(this, "lambdarankUnbiased",
+    "position-debiased training (Unbiased LambdaMART)")
+  final val lambdarankBiasNorm = new DoubleParam(this, "lambdarankBiasNorm",
+    "t-plus/t-minus update regularizer")
+  final val lambdarankNormalization = new BooleanParam(this, "lambdarankNormalization",
+    "per-group lambda rescale (reference default true)")
+  final val lambdarankScoreNormalization = new BooleanParam(this, "lambdarankScoreNormalization",
+    "divide delta by (|score gap| + 0.01) (reference default true)")
+  final val ndcgExpGain = new BooleanParam(this, "ndcgExpGain",
+    "NDCG gain 2^rel-1 (true) vs linear rel")
+  setDefault(objective -> "rank:ndcg", groupCol -> "qid",
+    lambdarankPairMethod -> "mean", lambdarankNumPair -> 8, lambdarankTopK -> 0,
+    lambdarankUnbiased -> false, lambdarankBiasNorm -> 1.0,
+    lambdarankNormalization -> true, lambdarankScoreNormalization -> true,
+    ndcgExpGain -> true)
   def setObjective(v: String): this.type = set(objective, v)
   def setGroupCol(v: String): this.type = set(groupCol, v)
+  def setLambdarankPairMethod(v: String): this.type = set(lambdarankPairMethod, v)
+  def setLambdarankNumPair(v: Int): this.type = set(lambdarankNumPair, v)
+  def setLambdarankTopK(v: Int): this.type = set(lambdarankTopK, v)
+  def setLambdarankUnbiased(v: Boolean): this.type = set(lambdarankUnbiased, v)
+  def setLambdarankBiasNorm(v: Double): this.type = set(lambdarankBiasNorm, v)
+  def setLambdarankNormalization(v: Boolean): this.type = set(lambdarankNormalization, v)
+  def setLambdarankScoreNormalization(v: Boolean): this.type = set(lambdarankScoreNormalization, v)
+  def setNdcgExpGain(v: Boolean): this.type = set(ndcgExpGain, v)
 
   override def fit(ds: Dataset[_]): XGBoostRankerModel = {
     validateFeatures(ds.schema)
@@ -462,7 +492,15 @@ class XGBoostRanker(override val uid: String)
       (GraftXGBParams.toDoubleArray(row.get(0), miss), row.getDouble(1),
         row.getDouble(2), row.getLong(3))
     }
-    val trainer = new GBTTrainer(baseTrainParams($(objective)))
+    val trainer = new GBTTrainer(baseTrainParams($(objective)).copy(
+      lambdarankPairMethod = $(lambdarankPairMethod),
+      lambdarankNumPair = $(lambdarankNumPair),
+      lambdarankTopK = $(lambdarankTopK),
+      lambdarankUnbiased = $(lambdarankUnbiased),
+      lambdarankBiasNorm = $(lambdarankBiasNorm),
+      lambdarankNormalization = $(lambdarankNormalization),
+      lambdarankScoreNormalization = $(lambdarankScoreNormalization),
+      ndcgExpGain = $(ndcgExpGain)))
     val booster = withPersisted(rdd)(trainer.fitRanking(_))
     copyValues(new XGBoostRankerModel(uid, withFeatureMeta(booster)))
       .setSummary(trainer).setParent(this)

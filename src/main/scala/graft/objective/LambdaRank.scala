@@ -79,7 +79,8 @@ object LambdaRankGradients {
   def compute(rows: RDD[(BInst, Array[Double])],
       obj: LambdaRankObjective,
       pending: Array[(graft.tree.TreeShape, Double, Int)] = Array.empty,
-      tPlus: Array[Double] = null, tMinus: Array[Double] = null): RDD[Array[Double]] = {
+      tPlus: Array[Double] = null, tMinus: Array[Double] = null,
+      weightNorm: Double = 1.0): RDD[Array[Double]] = {
     val variant = obj.variant
     val expGain = obj.ndcgExpGain
     val topK = obj.topK
@@ -103,7 +104,7 @@ object LambdaRankGradients {
           }
           groupGradients(lb.toArray, mb.toArray, wb.toArray,
             variant, expGain, topK, pairMethod, numPair, q, tPlus, tMinus, null, null,
-            norm, scoreNorm)
+            norm, scoreNorm, weightNorm)
         }
       }.flatten
     }
@@ -160,7 +161,7 @@ object LambdaRankGradients {
         }
         groupGradients(lb.toArray, mb.toArray, wb.toArray,
           variant, expGain, topK, pairMethod, numPair, q, tPlus, tMinus, li, lj,
-          norm, scoreNorm)
+          norm, scoreNorm, 1.0) // w_norm scales gpair only, never the t± numerators
       }
       Iterator.single((li, lj))
     }.treeReduce({ case ((a1, a2), (b1, b2)) =>
@@ -179,7 +180,7 @@ object LambdaRankGradients {
       scoreNormalization: Boolean = false): Seq[Array[Double]] =
     groupGradients(rows.map(_._1).toArray, rows.map(_._2).toArray,
       rows.map(_._3).toArray, variant, expGain, topK, pairMethod, numPair, qid,
-      null, null, null, null, normalization, scoreNormalization)
+      null, null, null, null, normalization, scoreNormalization, 1.0)
       .toSeq
 
   /** λ-gradients for one query group over parallel primitive arrays.
@@ -195,7 +196,7 @@ object LambdaRankGradients {
       numPair: Int, qid: Long, tPlus: Array[Double],
       tMinus: Array[Double], liAcc: Array[Double],
       ljAcc: Array[Double], normalization: Boolean,
-      scoreNormalization: Boolean): Array[Array[Double]] = {
+      scoreNormalization: Boolean, weightNorm: Double): Array[Array[Double]] = {
     val n = labels.length
     val g = new Array[Double](n)
     val h = new Array[Double](n)
@@ -359,8 +360,10 @@ object LambdaRankGradients {
         while (i < n) { g(i) *= norm; h(i) *= norm; i += 1 }
       }
     }
+    // final weight scaling `gpair * w * w_norm` (lambdarank_obj.cc:247-250;
+    // w_norm = n_groups/Σ group-weights, RankingCache ranking_utils.cc:44)
     Array.tabulate(n) { i =>
-      val w = weights(i)
+      val w = weights(i) * weightNorm
       Array(g(i) * w, math.max(h(i), 1e-16) * w)
     }
   }

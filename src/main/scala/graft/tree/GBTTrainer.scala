@@ -679,6 +679,28 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     val tMinus = Array.fill(biasK)(1.0)
     val liTotal = new Array[Double](biasK)
     val ljTotal = new Array[Double](biasK)
+
+    // ---- ranking group-weight normalizer (RankingCache,
+    // ranking_utils.cc:37-44): w_norm = n_groups / Σ_g weight(g), the
+    // group weight read from each group's FIRST row (the reference's
+    // one-weight-per-query contract; unit weights ⇒ 1.0, so unweighted
+    // fits are unchanged). Every λ-pair is scaled `· w · w_norm`
+    // (lambdarank_obj.cc:247-250) — uniformly rescaled group weights
+    // leave the trained model identical. One pass, computed once per fit
+    // (weights never change across iterations).
+    val rankWeightNorm: Double = obj match {
+      case _: LambdaRankObjective =>
+        val (nGroups, sumGW) = cache.mapPartitions { it =>
+          var n = 0L; var s = 0.0; var last = 0L; var first = true
+          it.foreach { case (r, _) =>
+            if (first || r.qid != last) { n += 1; s += r.weight; last = r.qid; first = false }
+          }
+          Iterator.single((n, s))
+        }.treeReduce((a, b) => (a._1 + b._1, a._2 + b._2),
+          depth = graft.Agg.depth(cache.getNumPartitions))
+        if (sumGW > 0) nGroups.toDouble / sumGW else 1.0
+      case _ => 1.0
+    }
     def flushPending(): Unit = if (pending.nonEmpty) {
       val bP = sc.broadcast(pending.toArray)
       val next = cache.map { case (r, m) =>
@@ -735,7 +757,8 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
           val raw = obj match {
             case lr: LambdaRankObjective =>
               LambdaRankGradients.compute(cache, lr, pendingArr,
-                if (lr.unbiased) tPlus else null, if (lr.unbiased) tMinus else null)
+                if (lr.unbiased) tPlus else null, if (lr.unbiased) tMinus else null,
+                rankWeightNorm)
             case _ => CoxGradients.compute(cache, pendingArr)
           }
           val g = raw.persist(StorageLevel.MEMORY_AND_DISK)

@@ -236,6 +236,35 @@ class EstimatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ranker facade exposes the LambdaRank knobs and they reach the trainer") {
+    val rng = new scala.util.Random(37)
+    val df = (0 until 60).flatMap { q =>
+      (0 until 20).map { _ =>
+        val x = Array(rng.nextGaussian(), rng.nextGaussian())
+        val rel = math.max(0, math.min(3, math.round(1.5 + x(0) + 0.4 * rng.nextGaussian()).toInt)).toDouble
+        (x.toSeq, rel, q.toLong)
+      }
+    }.toDF("features", "label", "qid")
+    def ranker = new XGBoostRanker().setNumRound(5).setMaxDepth(3).setMaxBin(32).setSeed(9L)
+    val defaults = ranker.fit(df)
+    // flags are plumbed: switching off the reference-default normalizations
+    // must train a DIFFERENT model (different effective λ scale)
+    val unnormalized = ranker.setLambdarankNormalization(false)
+      .setLambdarankScoreNormalization(false).fit(df)
+    val probe = Array(0.5, -0.2)
+    assert(defaults.booster.margin(probe)(0) != unnormalized.booster.margin(probe)(0),
+      "normalization flags did not reach the trainer")
+    // unbiased + topk paths run end-to-end through the facade
+    val unbiased = ranker.setLambdarankUnbiased(true).setLambdarankTopK(8).fit(df)
+    assert(unbiased.booster.trees.nonEmpty)
+    // params persist through save/load
+    val dir = java.nio.file.Files.createTempDirectory("graft-ranker").toString
+    unbiased.write.overwrite().save(dir)
+    val back = XGBoostRankerModel.load(dir)
+    assert(back.getOrDefault(back.asInstanceOf[GraftXGBParams].predictionCol) == "prediction")
+    assert(back.booster.margin(probe)(0) == unbiased.booster.margin(probe)(0))
+  }
+
   test("interaction constraints honored through the estimator facade") {
     // with groups [[0],[1]] no root→leaf path may mix features 0 and 1
     val rng = new scala.util.Random(29)

@@ -75,4 +75,22 @@ class RankingSpec extends AnyFunSuite {
     val after = meanNdcgAt5(rows, x => model.margin(x)(0))
     assert(after > meanNdcgAt5(rows, _ => 0.0) + 0.1, s"topk ndcg@5 $after")
   }
+
+  test("group-weight normalizer: uniformly rescaled weights leave the model identical") {
+    // w_norm = n_groups / Σ group-weights (RankingCache, ranking_utils.cc:44)
+    // exactly cancels a uniform weight rescale: gpair · (3w) · (n/Σ3w) =
+    // gpair · w · (n/Σw) — so weights 3.0 must train the SAME model as 1.0
+    val rows = makeData(53)
+    def fit(w: Double) = new GBTTrainer(TrainParams(objective = "rank:ndcg",
+      numRounds = 6, maxDepth = 3, maxBin = 64, eta = 0.3, seed = 9,
+      minTrainPartitions = 0))
+      .fitRanking(sc.parallelize(rows.map { case (x, rel, _, q) => (x, rel, w, q) }, 1))
+    val unit = fit(1.0)
+    val tripled = fit(3.0)
+    val probe = rows.take(40).map(_._1)
+    probe.foreach { x =>
+      val a = unit.margin(x)(0); val b = tripled.margin(x)(0)
+      assert(a == b, s"uniform group-weight rescale changed the model: $a vs $b")
+    }
+  }
 }

@@ -20,12 +20,12 @@ class UnbiasedLambdaRankSpec extends AnyFunSuite {
     val weights = Array.fill(6)(1.0)
     val biased = LambdaRankGradients.groupGradients(
       labels, margins, weights, "ndcg", true, 0, "all", 8, 1L,
-      null, null, null, null, false, false)
+      null, null, null, null, false, false, 1.0)
     val ones = Array.fill(32)(1.0)
     val li = new Array[Double](32); val lj = new Array[Double](32)
     val unb = LambdaRankGradients.groupGradients(
       labels, margins, weights, "ndcg", true, 0, "all", 8, 1L,
-      ones, ones.clone(), li, lj, false, false)
+      ones, ones.clone(), li, lj, false, false, 1.0)
     biased.zip(unb).foreach { case (a, b) =>
       assert(math.abs(a(0) - b(0)) < 1e-12 && math.abs(a(1) - b(1)) < 1e-12,
         "t±=1 must leave gradients unchanged")
@@ -41,11 +41,11 @@ class UnbiasedLambdaRankSpec extends AnyFunSuite {
     val margins = Array(0.0, 0.0)
     val w = Array(1.0, 1.0)
     val biased = LambdaRankGradients.groupGradients(
-      labels, margins, w, "pairwise", true, 0, "all", 8, 0L, null, null, null, null, false, false)
+      labels, margins, w, "pairwise", true, 0, "all", 8, 0L, null, null, null, null, false, false, 1.0)
     val tp = Array.fill(32)(1.0); tp(0) = 0.5 // high doc sits at position 0
     val tm = Array.fill(32)(1.0); tm(1) = 0.25 // low doc at position 1
     val unb = LambdaRankGradients.groupGradients(
-      labels, margins, w, "pairwise", true, 0, "all", 8, 0L, tp, tm, null, null, false, false)
+      labels, margins, w, "pairwise", true, 0, "all", 8, 0L, tp, tm, null, null, false, false, 1.0)
     // scale = 1/(0.5 · 0.25) = 8
     assert(math.abs(unb(0)(0) / biased(0)(0) - 8.0) < 1e-9, "gradient scale")
     assert(math.abs(unb(0)(1) / biased(0)(1) - 8.0) < 1e-9, "hessian scale")
