@@ -237,11 +237,13 @@ object Ubjson {
       lenStr(o, "split_indices"); i32Array(o, ints("split_indices"))
       lenStr(o, "split_conditions"); f32Array(o, nums("split_conditions"))
       lenStr(o, "default_left"); u8Array(o, ints("default_left"))
-      lenStr(o, "split_type"); u8Array(o, Array.fill(n)(0))
-      lenStr(o, "categories"); i32Array(o, Array.empty[Int])
-      lenStr(o, "categories_nodes"); i32Array(o, Array.empty[Int])
-      lenStr(o, "categories_segments"); i64Array(o, Array.empty[Long])
-      lenStr(o, "categories_sizes"); i64Array(o, Array.empty[Long])
+      // categorical split arrays ride through from the shared document
+      // (typed exactly as RegTree::SaveCategoricalSplit: U8/I32/I64)
+      lenStr(o, "split_type"); u8Array(o, ints("split_type"))
+      lenStr(o, "categories"); i32Array(o, ints("categories"))
+      lenStr(o, "categories_nodes"); i32Array(o, ints("categories_nodes"))
+      lenStr(o, "categories_segments"); i64Array(o, ints("categories_segments").map(_.toLong))
+      lenStr(o, "categories_sizes"); i64Array(o, ints("categories_sizes").map(_.toLong))
       o.byte('}')
     }
 

@@ -25,10 +25,12 @@ import org.json4s.jackson.JsonMethods
   * reference casts features to float32 at ingestion. Caveat only if graft
   * is fed double features that are not float32-representable.
   *
-  * Scope: gbtree and dart boosters with scalar-leaf numerical trees
-  * (including one-tree-per-class multiclass via `tree_info`). Categorical
-  * splits and `multi_strategy=multi_output_tree` layouts raise a
-  * descriptive error rather than mis-importing.
+  * Scope: gbtree and dart boosters with scalar-leaf trees (including
+  * one-tree-per-class multiclass via `tree_info`), numerical AND
+  * categorical splits (the `SaveCategoricalSplit` side arrays, r7 — the
+  * flat `categories` list is the right-routed set, matching
+  * `Node.categoriesRight`). `multi_strategy=multi_output_tree` layouts
+  * raise a descriptive error rather than mis-importing.
   */
 object XGBoostJson {
   private implicit val fmt: Formats = DefaultFormats
@@ -143,33 +145,50 @@ object XGBoostJson {
     val n = lefts.length
     require(Seq(rights, splitIdx, conds, dftLeft, sumHess, lossChg).forall(_.length == n),
       "inconsistent tree array lengths")
-    (tj \ "categories_nodes") match {
+    // categorical splits (RegTree::SaveCategoricalSplit, tree_model.cc:1043):
+    // categories_nodes lists the categorical node ids; categories_segments/
+    // sizes index the flat ascending `categories` list. The listed set is
+    // the RIGHT-routed partition: the reference's Decision() sends
+    // NOT-in-set LEFT (categorical GetDecision, predict_fn.h:18-20), the
+    // same contract as our Node.categoriesRight.
+    val catsByNode: Map[Int, Array[Int]] = (tj \ "categories_nodes") match {
       case JArray(cn) if cn.nonEmpty =>
-        throw new IllegalArgumentException(
-          "categorical splits in reference JSON are not importable yet; " +
-            "re-train with graft's catFeatures for categorical support")
-      case _ =>
+        val catNodes = ints("categories_nodes")
+        val segs = ints("categories_segments")
+        val sizes = ints("categories_sizes")
+        val flat = ints("categories")
+        require(segs.length == catNodes.length && sizes.length == catNodes.length,
+          "inconsistent categorical split arrays")
+        catNodes.indices.map { k =>
+          catNodes(k) -> java.util.Arrays.copyOfRange(flat, segs(k), segs(k) + sizes(k))
+        }.toMap
+      case _ => Map.empty
     }
     Tree(Array.tabulate(n) { i =>
       if (lefts(i) == -1) // leaf: split_conditions holds the leaf value
         Node(feature = -1, threshold = 0.0, defaultLeft = true, left = -1, right = -1,
           leaf = Array(conds(i)), gain = lossChg(i), sumHess = sumHess(i),
           categoriesRight = Array.empty)
-      else
-        Node(feature = splitIdx(i),
-          // ref routes left on v < cond; ours on v <= threshold — exact in doubles
-          threshold = Math.nextDown(conds(i)),
-          defaultLeft = dftLeft(i), left = lefts(i), right = rights(i),
-          leaf = Array.empty, gain = lossChg(i), sumHess = sumHess(i),
-          categoriesRight = Array.empty)
+      else catsByNode.get(i) match {
+        case Some(cats) => // categorical: split_conditions value is unused
+          Node(feature = splitIdx(i), threshold = 0.0,
+            defaultLeft = dftLeft(i), left = lefts(i), right = rights(i),
+            leaf = Array.empty, gain = lossChg(i), sumHess = sumHess(i),
+            categoriesRight = cats)
+        case None =>
+          Node(feature = splitIdx(i),
+            // ref routes left on v < cond; ours on v <= threshold — exact in doubles
+            threshold = Math.nextDown(conds(i)),
+            defaultLeft = dftLeft(i), left = lefts(i), right = rights(i),
+            leaf = Array.empty, gain = lossChg(i), sumHess = sumHess(i),
+            categoriesRight = Array.empty)
+      }
     })
   }
 
   // ---- export --------------------------------------------------------------
 
   def toXGBoostJson(m: BoosterModel): String = {
-    require(m.trees.forall(_.nodes.forall(n => n.isLeaf || n.categoriesRight.isEmpty)),
-      "categorical splits are not exportable to the reference JSON yet")
     require(m.trees.forall(_.nodes.forall(n => !n.isLeaf || n.leaf.length == 1)),
       "vector-leaf (multi-target) trees use a different reference layout; not exportable")
 
@@ -179,6 +198,13 @@ object XGBoostJson {
       t.nodes.zipWithIndex.foreach { case (node, i) =>
         if (!node.isLeaf) { parents(node.left) = i; parents(node.right) = i }
       }
+      // categorical splits → the SaveCategoricalSplit layout (ascending
+      // node ids; categoriesRight IS the reference's right-routed set)
+      val catNodes = t.nodes.zipWithIndex
+        .filter { case (node, _) => !node.isLeaf && node.isCategorical }
+      val catSegments = catNodes.scanLeft(0) { case (off, (node, _)) =>
+        off + node.categoriesRight.length
+      }.init
       val w = m.treeWeights(ti) // fold the tree weight into the leaf values
       JObject(
         "tree_param" -> JObject(
@@ -196,14 +222,19 @@ object XGBoostJson {
         "split_indices" -> JArray(t.nodes.map(x =>
           JInt(BigInt(if (x.isLeaf) 0 else x.feature))).toList),
         "split_conditions" -> JArray(t.nodes.map(x =>
-          JDouble(if (x.isLeaf) x.leaf(0) * w else float32Successor(x.threshold))).toList),
+          JDouble(if (x.isLeaf) x.leaf(0) * w
+          else if (x.isCategorical) 0.0 // unused on the categorical path
+          else float32Successor(x.threshold))).toList),
         "default_left" -> JArray(t.nodes.map(x =>
           JInt(if (!x.isLeaf && x.defaultLeft) 1 else 0)).toList),
-        "split_type" -> JArray(List.fill(n)(JInt(0))),
-        "categories" -> JArray(Nil),
-        "categories_nodes" -> JArray(Nil),
-        "categories_segments" -> JArray(Nil),
-        "categories_sizes" -> JArray(Nil))
+        "split_type" -> JArray(t.nodes.map(x =>
+          JInt(if (!x.isLeaf && x.isCategorical) 1 else 0)).toList),
+        "categories" -> JArray(catNodes.flatMap(_._1.categoriesRight)
+          .map(c => JInt(BigInt(c))).toList),
+        "categories_nodes" -> JArray(catNodes.map(p => JInt(BigInt(p._2))).toList),
+        "categories_segments" -> JArray(catSegments.map(s => JInt(BigInt(s))).toList),
+        "categories_sizes" -> JArray(catNodes.map(p =>
+          JInt(BigInt(p._1.categoriesRight.length))).toList))
     }
     val iters = if (m.numGroups > 0) m.trees.length / math.max(m.numGroups, 1) else m.trees.length
     val indptr = (0 to math.max(iters, 0)).map(i => JInt(BigInt(i * math.max(m.numGroups, 1))))

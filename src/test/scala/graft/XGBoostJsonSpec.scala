@@ -75,6 +75,36 @@ class XGBoostJsonSpec extends AnyFunSuite {
     assert(feats.contains("age") && !feats.exists(_.startsWith("f0")), feats)
   }
 
+  test("categorical splits roundtrip through reference JSON and UBJSON") {
+    import graft.model.{Node, Tree}
+    // root: categorical f0 with {2, 5} routed RIGHT; right child numeric
+    val tree = Tree(Array(
+      Node(feature = 0, threshold = 0.0, defaultLeft = true, left = 1, right = 2,
+        leaf = Array.empty, gain = 3.0, sumHess = 10.0, categoriesRight = Array(2, 5)),
+      Node.makeLeaf(Array(-1.0), 6.0),
+      Node(feature = 1, threshold = 7.5, defaultLeft = false, left = 3, right = 4,
+        leaf = Array.empty, gain = 1.0, sumHess = 4.0, categoriesRight = Array.empty),
+      Node.makeLeaf(Array(0.5), 2.0),
+      Node.makeLeaf(Array(2.0), 2.0)))
+    val m = BoosterModel(Array(tree), Array(1.0), Array(0), Array(0.0),
+      "reg:squarederror", 1, 2)
+    val json = XGBoostJson.toXGBoostJson(m)
+    // side arrays present in the emitted document
+    assert(json.contains("\"categories_nodes\":[0]"), json)
+    assert(json.contains("\"categories\":[2,5]"), json)
+    val back = XGBoostJson.fromXGBoostJson(json)
+    val root = back.trees(0).nodes(0)
+    assert(root.isCategorical && root.categoriesRight.toSeq == Seq(2, 5))
+    // routing: category 5 goes RIGHT (then numeric path), 3 goes LEFT
+    assert(back.margin(Array(5.0, 3.0))(0) == m.margin(Array(5.0, 3.0))(0))
+    assert(back.margin(Array(3.0, 0.0))(0) == m.margin(Array(3.0, 0.0))(0))
+    assert(back.margin(Array(5.0, 9.0))(0) == m.margin(Array(5.0, 9.0))(0))
+    // binary carrier: typed side arrays survive both directions
+    val ubj = graft.model.Ubjson.fromXGBoostUbj(graft.model.Ubjson.toXGBoostUbj(m))
+    assert(ubj.trees(0).nodes(0).categoriesRight.toSeq == Seq(2, 5))
+    assert(ubj.margin(Array(2.0, 9.0))(0) == m.margin(Array(2.0, 9.0))(0))
+  }
+
   test("import: post-3.1 ParamArray base_score form parses (trees + gblinear)") {
     // since ref 3.1 base_score is a ParamArray serialized as a bracketed
     // array string (src/common/param_array.cc WriteStream), e.g. "[5E-1]"
