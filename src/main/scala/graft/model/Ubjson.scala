@@ -221,7 +221,32 @@ object Ubjson {
           case JDouble(d) => d.toInt
           case other => fail(s"bad int in $k: $other")
         }.toArray
-      val n = ints("left_children").length
+      // multi-target trees (MultiTargetTree::SaveModel field set): typed
+      // arrays, no categorical side arrays
+      val isMultiTarget = (tj \ "leaf_weights") match {
+        case JArray(lw) => lw.nonEmpty
+        case _ => false
+      }
+      if (isMultiTarget) {
+        o.byte('{')
+        lenStr(o, "tree_param"); writeJValue(o, tj \ "tree_param")
+        lenStr(o, "id"); scalarInt(o, (tj \ "id") match {
+          case JInt(i) => i.toLong
+          case _ => 0L
+        })
+        lenStr(o, "loss_changes"); f32Array(o, nums("loss_changes"))
+        lenStr(o, "sum_hessian"); f32Array(o, nums("sum_hessian"))
+        lenStr(o, "base_weights"); f32Array(o, nums("base_weights"))
+        lenStr(o, "leaf_weights"); f32Array(o, nums("leaf_weights"))
+        lenStr(o, "left_children"); i32Array(o, ints("left_children"))
+        lenStr(o, "right_children"); i32Array(o, ints("right_children"))
+        lenStr(o, "parents"); i32Array(o, ints("parents"))
+        lenStr(o, "split_indices"); i32Array(o, ints("split_indices"))
+        lenStr(o, "split_conditions"); f32Array(o, nums("split_conditions"))
+        lenStr(o, "default_left"); u8Array(o, ints("default_left"))
+        o.byte('}')
+        return
+      }
       o.byte('{')
       lenStr(o, "tree_param"); writeJValue(o, tj \ "tree_param")
       lenStr(o, "id"); scalarInt(o, (tj \ "id") match {

@@ -50,10 +50,11 @@ object XGBoostJson {
     val numFeatures = lmpStr("num_feature", "0").toInt
     val numClass = lmpStr("num_class", "0").toInt
     val numTarget = lmpStr("num_target", "1").toInt
-    require(numTarget <= 1,
-      s"num_target=$numTarget: multi-target reference models are not importable " +
-        "(different tree layout); train via XGBoost.trainMulti instead")
-    val numGroups = math.max(numClass, 1)
+    require(numTarget <= 1 || numClass <= 1,
+      s"num_target=$numTarget with num_class=$numClass is not a valid layout")
+    // multi-target (multi_strategy=multi_output_tree): vector-leaf trees,
+    // one output lane per target — our MultiTargetTrainer layout
+    val numGroups = math.max(math.max(numClass, numTarget), 1)
 
     val objName = (learner \ "objective" \ "name") match {
       case JString(n) => n
@@ -77,6 +78,10 @@ object XGBoostJson {
     }
 
     val trees = treesJson.map(parseTree).toArray
+    if (numTarget > 1)
+      require(trees.forall(_.nodes.forall(n => !n.isLeaf || n.leaf.length == numTarget)),
+        s"num_target=$numTarget but the trees are not multi-target layout " +
+          "(missing/mis-sized leaf_weights) — malformed model")
     val treeWeights =
       if (weightDrop.nonEmpty) {
         require(weightDrop.length == trees.length, "weight_drop/trees length mismatch")
@@ -84,15 +89,19 @@ object XGBoostJson {
       } else Array.fill(trees.length)(1.0)
 
     // base_score is stored in the objective's OUTPUT space; the margin the
-    // trees start from is ProbToMargin(base_score) (learner.cc:152)
-    val bs = parseBaseScore(lmpStr("base_score", "0.5"))
-    val baseMargin =
-      try graft.objective.Objective(objName).probToMargin(bs)
-      catch { case _: Throwable => bs } // unknown objective: take it as margin
+    // trees start from is ProbToMargin(base_score) (learner.cc:152). The
+    // post-3.1 ParamArray form carries one value per output lane.
+    val bsAll = parseBaseScores(lmpStr("base_score", "0.5"))
+    def toMargin(v: Double): Double =
+      try graft.objective.Objective(objName).probToMargin(v)
+      catch { case _: Throwable => v } // unknown objective: take it as margin
+    val baseMargins =
+      if (bsAll.length == numGroups) bsAll.map(toMargin)
+      else Array.fill(numGroups)(toMargin(bsAll(0)))
 
     BoosterModel(trees, treeWeights,
       if (treeInfo.length == trees.length) treeInfo else new Array[Int](trees.length),
-      Array.fill(numGroups)(baseMargin), objName, numGroups, numFeatures,
+      baseMargins, objName, numGroups, numFeatures,
       featureNames = strArray(learner \ "feature_names"),
       featureTypes = strArray(learner \ "feature_types"))
   }
@@ -108,11 +117,14 @@ object XGBoostJson {
     * bracketed ParamArray string since 3.1 ("[5E-1]", one value per
     * output group — `src/common/param_array.cc` WriteStream); accept both
     * and take the first element as the scalar score. */
-  private[graft] def parseBaseScore(raw: String): Double = {
+  private[graft] def parseBaseScore(raw: String): Double = parseBaseScores(raw)(0)
+
+  /** All base_score lanes (ParamArray since 3.1 — one per output). */
+  private[graft] def parseBaseScores(raw: String): Array[Double] = {
     val s = raw.trim.stripPrefix("[").stripPrefix("(").stripSuffix("]").stripSuffix(")")
-    val first = s.split(',')(0).trim
-    require(first.nonEmpty, s"empty base_score '$raw'")
-    first.toDouble
+    val vals = s.split(',').map(_.trim).filter(_.nonEmpty)
+    require(vals.nonEmpty, s"empty base_score '$raw'")
+    vals.map(_.toDouble)
   }
 
   /** Smallest float32 strictly greater than t (as a double). Used for
@@ -125,6 +137,16 @@ object XGBoostJson {
   }
 
   private def parseTree(tj: JValue): Tree = {
+    // multi-target layout (MultiTargetTree::SaveModel,
+    // multi_target_tree_model.cc:348): same field names, but leaves store
+    // their K-vector in `leaf_weights` indexed by the leaf ordinal that
+    // sits in the leaf's right_children slot (LeafIdx = RightChild,
+    // multi_target_tree_model.h:114); `base_weights` is n_nodes×K internal
+    // weight vectors; leaf-ness is left_children == -1
+    (tj \ "leaf_weights") match {
+      case JArray(lw) if lw.nonEmpty => return parseMultiTargetTree(tj)
+      case _ =>
+    }
     def ints(k: String): Array[Int] = (tj \ k).extract[List[Int]].toArray
     def nums(k: String): Array[Double] = (tj \ k) match {
       case JArray(vs) => vs.map {
@@ -186,11 +208,41 @@ object XGBoostJson {
     })
   }
 
+  private def parseMultiTargetTree(tj: JValue): Tree = {
+    def ints(k: String): Array[Int] = (tj \ k).extract[List[Int]].toArray
+    def nums(k: String): Array[Double] = (tj \ k).extract[List[Double]].toArray
+    val lefts = ints("left_children")
+    val rights = ints("right_children")
+    val splitIdx = ints("split_indices")
+    val conds = nums("split_conditions")
+    val dftLeft = nums("default_left").map(_ != 0.0)
+    val sumHess = nums("sum_hessian")
+    val lossChg = nums("loss_changes")
+    val baseW = nums("base_weights")
+    val leafW = nums("leaf_weights")
+    val n = lefts.length
+    require(n > 0 && baseW.length % n == 0, "malformed multi-target tree arrays")
+    val k = baseW.length / n
+    Tree(Array.tabulate(n) { i =>
+      if (lefts(i) == -1) // leaf: right_children holds the leaf ordinal
+        Node(feature = -1, threshold = 0.0, defaultLeft = true, left = -1, right = -1,
+          leaf = java.util.Arrays.copyOfRange(leafW, rights(i) * k, (rights(i) + 1) * k),
+          gain = lossChg(i), sumHess = sumHess(i), categoriesRight = Array.empty)
+      else
+        Node(feature = splitIdx(i), threshold = Math.nextDown(conds(i)),
+          defaultLeft = dftLeft(i), left = lefts(i), right = rights(i),
+          // internal K-vector weight (prune-collapse target)
+          leaf = java.util.Arrays.copyOfRange(baseW, i * k, (i + 1) * k),
+          gain = lossChg(i), sumHess = sumHess(i), categoriesRight = Array.empty)
+    })
+  }
+
   // ---- export --------------------------------------------------------------
 
   def toXGBoostJson(m: BoosterModel): String = {
-    require(m.trees.forall(_.nodes.forall(n => !n.isLeaf || n.leaf.length == 1)),
-      "vector-leaf (multi-target) trees use a different reference layout; not exportable")
+    // vector-leaf ensembles use the reference's MultiTargetTree layout
+    if (m.trees.exists(_.nodes.exists(n => n.isLeaf && n.leaf.length > 1)))
+      return toXGBoostJsonMultiTarget(m)
 
     val treesJson = m.trees.zipWithIndex.map { case (t, ti) =>
       val n = t.nodes.length
@@ -256,6 +308,85 @@ object XGBoostJson {
             "trees" -> JArray(treesJson.toList),
             "tree_info" -> JArray(m.treeGroup.map(g => JInt(BigInt(g))).toList),
             "iteration_indptr" -> JArray(indptr.toList))),
+        "objective" -> JObject("name" -> JString(m.objective)),
+        "attributes" -> JObject(),
+        "feature_names" -> JArray(m.featureNames.map(JString(_)).toList),
+        "feature_types" -> JArray(m.featureTypes.map(JString(_)).toList)))
+    JsonMethods.compact(JsonMethods.render(root))
+  }
+
+  /** Export a vector-leaf (multi-target) booster in the reference's
+    * `MultiTargetTree::SaveModel` layout (multi_target_tree_model.cc:348):
+    * a leaf's `right_children` slot holds its leaf ordinal into the
+    * `leaf_weights` (n_leaves×K) array; `base_weights` carries every
+    * node's K-vector weight; `num_target` = K on the learner. Tree
+    * weights (eta) are folded into the emitted weights like the scalar
+    * export. */
+  private def toXGBoostJsonMultiTarget(m: BoosterModel): String = {
+    val K = m.numGroups
+    require(m.trees.forall(_.nodes.forall(n => n.leaf.isEmpty || n.leaf.length == K)),
+      s"vector-leaf export needs every node weight to carry $K lanes")
+    require(m.trees.forall(_.nodes.forall(n => n.isLeaf || !n.isCategorical)),
+      "categorical multi-target export is not part of the reference layout")
+    val treesJson = m.trees.zipWithIndex.map { case (t, ti) =>
+      val n = t.nodes.length
+      val w = m.treeWeights(ti)
+      val parents = Array.fill(n)(-1)
+      t.nodes.zipWithIndex.foreach { case (node, i) =>
+        if (!node.isLeaf) { parents(node.left) = i; parents(node.right) = i }
+      }
+      // leaf ordinals in node-index order; LeafIdx rides in right_children
+      var ord = -1
+      val leafOrd = t.nodes.map(nd => if (nd.isLeaf) { ord += 1; ord } else -1)
+      val leafWeights = new Array[Double]((ord + 1) * K)
+      t.nodes.zipWithIndex.foreach { case (nd, i) =>
+        if (nd.isLeaf) {
+          var j = 0
+          while (j < K) { leafWeights(leafOrd(i) * K + j) = nd.leaf(j) * w; j += 1 }
+        }
+      }
+      val baseWeights = t.nodes.flatMap(nd =>
+        if (nd.leaf.length == K) nd.leaf.map(_ * w) else new Array[Double](K))
+      JObject(
+        "tree_param" -> JObject(
+          "num_nodes" -> JString(n.toString),
+          "num_feature" -> JString(m.numFeatures.toString),
+          "size_leaf_vector" -> JString(K.toString)),
+        "id" -> JInt(ti),
+        "loss_changes" -> JArray(t.nodes.map(x => JDouble(x.gain)).toList),
+        "sum_hessian" -> JArray(t.nodes.map(x => JDouble(x.sumHess)).toList),
+        "base_weights" -> JArray(baseWeights.map(JDouble(_)).toList),
+        "leaf_weights" -> JArray(leafWeights.map(JDouble(_)).toList),
+        "left_children" -> JArray(t.nodes.map(x => JInt(if (x.isLeaf) -1 else x.left)).toList),
+        "right_children" -> JArray(t.nodes.zipWithIndex.map { case (x, i) =>
+          JInt(if (x.isLeaf) leafOrd(i) else x.right) }.toList),
+        "parents" -> JArray(parents.map(p => JInt(BigInt(p))).toList),
+        "split_indices" -> JArray(t.nodes.map(x =>
+          JInt(BigInt(if (x.isLeaf) 0 else x.feature))).toList),
+        "split_conditions" -> JArray(t.nodes.map(x =>
+          JDouble(if (x.isLeaf) 0.0 else float32Successor(x.threshold))).toList),
+        "default_left" -> JArray(t.nodes.map(x =>
+          JInt(if (!x.isLeaf && x.defaultLeft) 1 else 0)).toList))
+    }
+    val bs = m.baseScore.map(v => marginToOutput(m.objective, v))
+    val root = JObject(
+      "version" -> JArray(List(JInt(3), JInt(0), JInt(0))),
+      "learner" -> JObject(
+        "learner_model_param" -> JObject(
+          "base_score" -> JString(bs.mkString("[", ",", "]")),
+          "num_feature" -> JString(m.numFeatures.toString),
+          "num_class" -> JString("0"),
+          "num_target" -> JString(K.toString),
+          "boost_from_average" -> JString("1")),
+        "gradient_booster" -> JObject(
+          "name" -> JString("gbtree"),
+          "model" -> JObject(
+            "gbtree_model_param" -> JObject(
+              "num_trees" -> JString(m.trees.length.toString),
+              "num_parallel_tree" -> JString("1")),
+            "trees" -> JArray(treesJson.toList),
+            "tree_info" -> JArray(m.treeGroup.map(g => JInt(BigInt(g))).toList),
+            "iteration_indptr" -> JArray((0 to m.trees.length).map(i => JInt(BigInt(i))).toList))),
         "objective" -> JObject("name" -> JString(m.objective)),
         "attributes" -> JObject(),
         "feature_names" -> JArray(m.featureNames.map(JString(_)).toList),

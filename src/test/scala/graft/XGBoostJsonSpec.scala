@@ -75,6 +75,40 @@ class XGBoostJsonSpec extends AnyFunSuite {
     assert(feats.contains("age") && !feats.exists(_.startsWith("f0")), feats)
   }
 
+  test("multi-target (vector-leaf) models roundtrip through the MultiTargetTree layout") {
+    // train a real two-target model, export in the reference layout,
+    // reimport, and compare margins exactly (JSON carrier is double-exact)
+    val rng = new scala.util.Random(71)
+    val data = sc.parallelize((0 until 2000).map { _ =>
+      val x = Array(rng.nextGaussian(), rng.nextGaussian())
+      (x, Array(2.0 * x(0) - x(1), x(1) * 0.5), 1.0)
+    }, 2)
+    val m = graft.api.XGBoost.trainMulti(data,
+      graft.tree.TrainParams(numRounds = 3, maxDepth = 3, maxBin = 32, seed = 5,
+        minTrainPartitions = 0), numTargets = 2)
+    val json = m.toXGBoostJson
+    // the reference layout markers
+    assert(json.contains("\"num_target\":\"2\""), "learner num_target")
+    assert(json.contains("\"leaf_weights\""), "MultiTargetTree leaf_weights array")
+    assert(json.contains("\"size_leaf_vector\":\"2\""))
+    val back = XGBoostJson.fromXGBoostJson(json)
+    assert(back.numGroups == 2)
+    val probes = Seq(Array(0.5, -1.2), Array(-2.0, 0.3), Array(0.0, 0.0))
+    probes.foreach { x =>
+      val a = m.margin(x); val b = back.margin(x)
+      assert(math.abs(a(0) - b(0)) < 1e-12 && math.abs(a(1) - b(1)) < 1e-12,
+        s"margin drift: ${a.toSeq} vs ${b.toSeq}")
+    }
+    // binary carrier stores f32 (the reference's typed arrays) — compare
+    // with float tolerance
+    val ubj = graft.model.Ubjson.fromXGBoostUbj(graft.model.Ubjson.toXGBoostUbj(m))
+    probes.foreach { x =>
+      val a = m.margin(x); val b = ubj.margin(x)
+      assert(math.abs(a(0) - b(0)) < 1e-5 && math.abs(a(1) - b(1)) < 1e-5,
+        s"ubj margin drift: ${a.toSeq} vs ${b.toSeq}")
+    }
+  }
+
   test("categorical splits roundtrip through reference JSON and UBJSON") {
     import graft.model.{Node, Tree}
     // root: categorical f0 with {2, 5} routed RIGHT; right child numeric
@@ -207,6 +241,7 @@ class XGBoostJsonSpec extends AnyFunSuite {
   }
 
   test("scope errors are descriptive") {
+    // num_target > 1 with scalar-layout trees is malformed, not importable
     val multiTarget = refJson.replace(""""num_target":"1"""", """"num_target":"3"""")
     val e1 = intercept[IllegalArgumentException](XGBoostJson.fromXGBoostJson(multiTarget))
     assert(e1.getMessage.contains("multi-target"))
