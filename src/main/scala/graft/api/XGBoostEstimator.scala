@@ -90,6 +90,26 @@ trait GraftXGBParams extends Params {
     * path within a declared group (ref `interaction_constraints`). */
   final val interactionConstraints = new Param[String](this, "interactionConstraints",
     "nested feature-index lists, e.g. [[0,2],[1,3]] ('' = unconstrained)")
+  // remaining reference Spark-package params (params/XGBoostParams.scala)
+  final val colsampleBylevel = new DoubleParam(this, "colsampleBylevel", "feature subsample per level")
+  final val colsampleBynode = new DoubleParam(this, "colsampleBynode", "feature subsample per node")
+  final val samplingMethod = new Param[String](this, "samplingMethod", "uniform | gradient_based")
+  final val maxDeltaStep = new DoubleParam(this, "maxDeltaStep", "max leaf-weight step (0 = unlimited)")
+  final val numParallelTree = new IntParam(this, "numParallelTree", "boosted-random-forest width")
+  final val baseScore = new DoubleParam(this, "baseScore", "global bias in output space (NaN = from labels)")
+  final val maxCatToOnehot = new IntParam(this, "maxCatToOnehot", "one-hot threshold for categorical splits")
+  final val maxCatThreshold = new IntParam(this, "maxCatThreshold", "max categories per partition split")
+  // DART (booster=dart)
+  final val boosterType = new Param[String](this, "booster", "gbtree | dart")
+  final val rateDrop = new DoubleParam(this, "rateDrop", "DART dropout rate")
+  final val skipDrop = new DoubleParam(this, "skipDrop", "DART skip-dropout probability")
+  final val oneDrop = new BooleanParam(this, "oneDrop", "DART: drop at least one tree")
+  final val sampleType = new Param[String](this, "sampleType", "DART: uniform | weighted")
+  final val normalizeType = new Param[String](this, "normalizeType", "DART: tree | forest")
+  // objective-family knobs
+  final val tweedieVariancePower = new DoubleParam(this, "tweedieVariancePower", "reg:tweedie power")
+  final val huberSlope = new DoubleParam(this, "huberSlope", "reg:pseudohubererror slope")
+  final val quantileAlpha = new DoubleParam(this, "quantileAlpha", "reg:quantileerror / expectile alpha")
 
   setDefault(featuresCol -> "features", labelCol -> "label", weightCol -> "",
     predictionCol -> "prediction", numRound -> 100, maxDepth -> 6, eta -> 0.3,
@@ -99,7 +119,13 @@ trait GraftXGBParams extends Params {
     seed -> 0L, missing -> Double.NaN, earlyStoppingRounds -> 0, evalMetric -> "",
     scalePosWeight -> 1.0, baseMarginCol -> "", validationIndicatorCol -> "",
     featureTypes -> Array.empty[String], monotoneConstraints -> Array.empty[Int],
-    interactionConstraints -> "")
+    interactionConstraints -> "",
+    colsampleBylevel -> 1.0, colsampleBynode -> 1.0, samplingMethod -> "uniform",
+    maxDeltaStep -> 0.0, numParallelTree -> 1, baseScore -> Double.NaN,
+    maxCatToOnehot -> 4, maxCatThreshold -> 64,
+    boosterType -> "gbtree", rateDrop -> 0.0, skipDrop -> 0.0, oneDrop -> false,
+    sampleType -> "uniform", normalizeType -> "tree",
+    tweedieVariancePower -> 1.5, huberSlope -> 1.0, quantileAlpha -> 0.5)
 
   def setFeaturesCol(v: String): this.type = set(featuresCol, v)
   def setLabelCol(v: String): this.type = set(labelCol, v)
@@ -128,6 +154,23 @@ trait GraftXGBParams extends Params {
   def setFeatureTypes(v: Array[String]): this.type = set(featureTypes, v)
   def setMonotoneConstraints(v: Array[Int]): this.type = set(monotoneConstraints, v)
   def setInteractionConstraints(v: String): this.type = set(interactionConstraints, v)
+  def setColsampleBylevel(v: Double): this.type = set(colsampleBylevel, v)
+  def setColsampleBynode(v: Double): this.type = set(colsampleBynode, v)
+  def setSamplingMethod(v: String): this.type = set(samplingMethod, v)
+  def setMaxDeltaStep(v: Double): this.type = set(maxDeltaStep, v)
+  def setNumParallelTree(v: Int): this.type = set(numParallelTree, v)
+  def setBaseScore(v: Double): this.type = set(baseScore, v)
+  def setMaxCatToOnehot(v: Int): this.type = set(maxCatToOnehot, v)
+  def setMaxCatThreshold(v: Int): this.type = set(maxCatThreshold, v)
+  def setBooster(v: String): this.type = set(boosterType, v)
+  def setRateDrop(v: Double): this.type = set(rateDrop, v)
+  def setSkipDrop(v: Double): this.type = set(skipDrop, v)
+  def setOneDrop(v: Boolean): this.type = set(oneDrop, v)
+  def setSampleType(v: String): this.type = set(sampleType, v)
+  def setNormalizeType(v: String): this.type = set(normalizeType, v)
+  def setTweedieVariancePower(v: Double): this.type = set(tweedieVariancePower, v)
+  def setHuberSlope(v: Double): this.type = set(huberSlope, v)
+  def setQuantileAlpha(v: Double): this.type = set(quantileAlpha, v)
 
   /** Run the trainer on rows split by `validationIndicatorCol` (if set):
     * false rows train, true rows form the eval watch. Decoded rows persist
@@ -171,7 +214,16 @@ trait GraftXGBParams extends Params {
       catFeatures = $(featureTypes).iterator.zipWithIndex
         .collect { case (t, i) if t == "c" => i }.toSet,
       monotoneConstraints = $(monotoneConstraints),
-      interactionConstraints = GraftXGBParams.parseInteractionConstraints($(interactionConstraints)))
+      interactionConstraints = GraftXGBParams.parseInteractionConstraints($(interactionConstraints)),
+      colsampleBylevel = $(colsampleBylevel), colsampleBynode = $(colsampleBynode),
+      samplingMethod = $(samplingMethod), maxDeltaStep = $(maxDeltaStep),
+      numParallelTree = $(numParallelTree),
+      baseScore = if ($(baseScore).isNaN) None else Some($(baseScore)),
+      maxCatToOnehot = $(maxCatToOnehot), maxCatThreshold = $(maxCatThreshold),
+      booster = $(boosterType), rateDrop = $(rateDrop), skipDrop = $(skipDrop),
+      oneDrop = $(oneDrop), sampleType = $(sampleType), normalizeType = $(normalizeType),
+      tweedieVariancePower = $(tweedieVariancePower), pseudoHuberSlope = $(huberSlope),
+      quantileAlpha = $(quantileAlpha))
 
   /** Stamp the facade's featureTypes onto the trained booster so native
     * JSON/UBJSON export carries them (ref learner.cc:694-696). */

@@ -236,6 +236,36 @@ class EstimatorSpec extends AnyFunSuite {
     }
   }
 
+  test("reference Spark-package params reach the trainer: DART, quantileAlpha, numParallelTree, baseScore") {
+    val df = regDf(97)
+    // DART booster through the facade: dropout must change the model
+    val dart = new XGBoostRegressor().setNumRound(8).setMaxDepth(3).setMaxBin(32)
+      .setSeed(3L).setBooster("dart").setRateDrop(0.5).setOneDrop(true).fit(df)
+    val plain = new XGBoostRegressor().setNumRound(8).setMaxDepth(3).setMaxBin(32)
+      .setSeed(3L).fit(df)
+    val probe = Array(0.4, -0.6, 1.1)
+    assert(dart.booster.margin(probe)(0) != plain.booster.margin(probe)(0),
+      "DART params did not reach the trainer")
+    // pinned quantile level: alpha 0.9 fits a higher curve than 0.1
+    def qfit(a: Double) = new XGBoostRegressor().setObjective("reg:quantileerror")
+      .setQuantileAlpha(a).setNumRound(10).setMaxDepth(3).setMaxBin(32).setSeed(3L).fit(df)
+    val hi = qfit(0.9); val lo = qfit(0.1)
+    val preds = (0 until 50).map { i =>
+      val x = Array(i / 25.0 - 1.0, 0.0, 0.0)
+      (hi.booster.margin(x)(0), lo.booster.margin(x)(0))
+    }
+    assert(preds.count { case (h, l) => h > l } > 40,
+      "quantileAlpha must select different quantile curves")
+    // boosted random forest: numParallelTree trees per round
+    val rf = new XGBoostRegressor().setNumRound(2).setNumParallelTree(3)
+      .setMaxDepth(3).setMaxBin(32).setSeed(3L).setSubsample(0.7).fit(df)
+    assert(rf.booster.trees.length == 6, s"2 rounds x 3 parallel = 6, got ${rf.booster.trees.length}")
+    // explicit base score overrides the label-mean intercept
+    val biased = new XGBoostRegressor().setNumRound(1).setMaxDepth(2).setMaxBin(32)
+      .setSeed(3L).setBaseScore(42.0).fit(df)
+    assert(biased.booster.baseScore(0) == 42.0)
+  }
+
   test("ranker facade exposes the LambdaRank knobs and they reach the trainer") {
     val rng = new scala.util.Random(37)
     val df = (0 until 60).flatMap { q =>
