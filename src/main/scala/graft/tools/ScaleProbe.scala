@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc scale experiment (not part of the library surface): replicate
+  * the documents corpus N× with distinct doc ids and re-run the heavy
+  * pipeline operators, reporting the observed scaling exponent. A
+  * near-linear exponent (≈1 on a fixed 32-thread box, modulo fixed
+  * costs) is the empirical check behind the "scales to 100 TB" design
+  * claims — a quadratic term would show up immediately as ≈2. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "20").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import graft.ext.{Dedup, TextOps}
+
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val nBase = base.count()
+    // distinct ids per replica; texts repeat ⇒ dedup finds real clusters
+    val big = spark.range(mult).crossJoin(base)
+      .select((col("doc_id") * mult + col("id")).as("doc_id"), col("lang"), col("text"))
+      .repartition(32).cache()
+    val nBig = big.count()
+    println(s"[scale] corpus ${nBase} -> ${nBig} docs (x$mult)")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
+    }
+    // warm
+    big.select(count(lit(1))).collect()
+
+    time("exact_dedup") {
+      Dedup.exactDedup(big, "text", "doc_id").count()
+    }
+    time("near_dup_k128") {
+      Dedup.nearDupPairs(big, "text", "doc_id", numHashes = 128, bands = 32).count()
+    }
+    // exact-dedup-first composition: collapse byte-identical replicas
+    // before the fuzzy miner — the standard pipeline order. On a
+    // replica-heavy corpus this removes the output-bound quadratic (every
+    // k-copy group contributes k(k−1)/2 true pairs to the raw miner).
+    time("near_dup_after_exact") {
+      val reps = Dedup.exactDedup(big, "text", "doc_id").cache()
+      val n = Dedup.nearDupPairs(reps, "text", "doc_id",
+        numHashes = 128, bands = 32).count()
+      reps.unpersist(blocking = false)
+      n
+    }
+    time("dup_clusters") {
+      val pairs = Dedup.nearDupPairs(big, "text", "doc_id", numHashes = 16, bands = 4)
+      Dedup.connectedComponents(pairs, "id_a", "id_b").count()
+    }
+    time("token_stats") {
+      big.select(col("lang"), col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+        .groupBy("lang")
+        .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_tokens"),
+          countDistinct("tok").as("n_distinct")).count()
+    }
+    spark.stop()
+  }
+}
