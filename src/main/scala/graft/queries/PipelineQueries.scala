@@ -89,6 +89,20 @@ object PipelineQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
         .orderBy("id_a", "id_b")),
 
+    // exact-dedup-first composition (the standard pipeline order — see the
+    // COVERAGE scale experiment: on replica-heavy corpora the raw miner is
+    // output-bound on the k(k−1)/2 pairs inside every byte-identical
+    // group; collapsing them first removes that term). Representative =
+    // min doc_id per md5(text) group, deterministic on both engines.
+    "p_near_dup_exact_first" -> ((s, dir) => {
+      val reps = Dedup.exactDedup(table(s, dir, "documents"), "text", "doc_id")
+      Dedup.nearDupPairs(reps, "text", "doc_id",
+          numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8,
+          maxBucketSize = MaxBucket)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // repeated n-gram mining (Lee et al. 2022 substring dedup at n-gram
     // granularity): 5-grams present in >= 3 distinct docs, with counts
     "p_repeated_ngrams" -> ((s, dir) =>
@@ -408,7 +422,8 @@ object PipelineQueries {
     * `Dedup.minhashSignatures` (md5 computed ONCE per (doc, shingle,
     * salt group), not once per slot — at 128 hashes the naive per-slot
     * form costs 64× more md5 work in the oracle). */
-  private def nearDupCtesFor(numHashes: Int, bands: Int): String = {
+  private def nearDupCtesFor(numHashes: Int, bands: Int,
+      source: String = "documents"): String = {
     val r = numHashes / bands
     val groups = (numHashes + Dedup.HashesPerGroup - 1) / Dedup.HashesPerGroup
     val hashCols = (0 until groups).map { g =>
@@ -427,7 +442,7 @@ object PipelineQueries {
     }
     s"""sh AS (
        |  SELECT doc_id AS id, $shingleSql AS s
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM $source)
        |), hx AS (
        |  SELECT id, $hashCols
        |  FROM (SELECT id, unnest(s) AS x FROM sh WHERE len(s) > 0)
@@ -471,6 +486,16 @@ object PipelineQueries {
 
     "p_near_dup_k128" ->
       s"""WITH ${nearDupCtesFor(128, 32)}
+         |SELECT id_a, id_b, round(jac, 5) AS jaccard
+         |FROM pairs WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
+
+    "p_near_dup_exact_first" ->
+      s"""WITH dedup AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1
+         |), ${nearDupCtesFor(128, 32, source = "dedup")}
          |SELECT id_a, id_b, round(jac, 5) AS jaccard
          |FROM pairs WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin,
 
