@@ -64,6 +64,35 @@ object ScaleProbe {
         .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_tokens"),
           countDistinct("tok").as("n_distinct")).count()
     }
+    big.unpersist(blocking = false)
+
+    // trainer scaling: same 4-feature lineitem regression at 1× and
+    // TRAIN_MULT× rows (jittered replicas so splits stay non-degenerate).
+    // Histogram building is one treeAggregate per level whose partial is
+    // nodes×bins×2 doubles — row count should scale the map side linearly
+    // and leave the reduce side constant.
+    import graft.tree.{GBTTrainer, TrainParams}
+    val trainMult = sys.env.getOrElse("SPARK_GRAFT_TRAIN_MULT", "10").toInt
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_quantity").cast("double"), col("l_extendedprice").cast("double"),
+        col("l_discount").cast("double"), col("l_tax").cast("double"))
+    def rows(m: Int) = spark.range(m).crossJoin(li)
+      .select((col("l_quantity") + col("id") * 1e-4).as("f0"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) / 100000.0).as("y"))
+      .repartition(32)
+      .rdd.map(r => (Array(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)),
+        r.getDouble(4), 1.0))
+      .cache()
+    for (m <- Seq(1, trainMult)) {
+      val data = rows(m)
+      val n = data.count()
+      val t0 = System.nanoTime()
+      new GBTTrainer(TrainParams(numRounds = 5, maxDepth = 5, maxBin = 64, seed = 7))
+        .fit(data)
+      println(f"[scale] train_hist_x$m%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      data.unpersist(blocking = true)
+    }
     spark.stop()
   }
 }
