@@ -110,9 +110,16 @@ object Dedup {
   def nearDupPairs(df: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 16, bands: Int = 4, shingleN: Int = 3,
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
-    val sig = minhashSignatures(df, textCol, col(idCol).cast("long"), numHashes, shingleN)
+    // under-partitioned-input defense (single-row-group parquet): the
+    // shingle→md5 signature chain is NARROW until the first shuffle, so a
+    // 1-partition source runs the O(k/64)·shingles md5 work — and both
+    // join-side shingle rebuilds — as single tasks. One cheap repartition
+    // of the raw (id, text) rows parallelizes every downstream branch.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val sig = minhashSignatures(src, textCol, col(idCol).cast("long"), numHashes, shingleN)
     val cands = candidatePairs(lshBuckets(sig, numHashes, bands), maxBucketSize)
-    val docs = df
+    val docs = src
       .select(col(idCol).cast("long").as("id"), TextOps.tokens(col(textCol)).as("_toks"))
       .select(col("id"), TextOps.shingles(col("_toks"), shingleN).as("sh"))
     cands
