@@ -115,8 +115,7 @@ object Dedup {
     // 1-partition source runs the O(k/64)·shingles md5 work — and both
     // join-side shingle rebuilds — as single tasks. One cheap repartition
     // of the raw (id, text) rows parallelizes every downstream branch.
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val src = if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    val src = ensurePar(df)
     val sig = minhashSignatures(src, textCol, col(idCol).cast("long"), numHashes, shingleN)
     val cands = candidatePairs(lshBuckets(sig, numHashes, bands), maxBucketSize)
     val docs = src
@@ -306,9 +305,16 @@ object Dedup {
     * counts. 100 TB shape: explode → ONE hash shuffle on the n-gram key
     * with map-side combine (per-doc (ngram, count) partials), output
     * bounded by the hot set, never by the corpus. */
+  /** Same under-partitioned-input defense as [[nearDupPairs]]: the n-gram
+    * explode + map-side combine is narrow until the first shuffle. */
+  private def ensurePar(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+  }
+
   def repeatedNgrams(df: DataFrame, textCol: String, idCol: String,
       n: Int, minDocs: Int): DataFrame = {
-    val perDoc = df
+    val perDoc = ensurePar(df)
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_toks"))
       .select(col("id"), explode(TextOps.ngramsAll(col("_toks"), n)).as("ngram"))
       // map-side pre-aggregation unit: per-(doc, ngram) occurrence count
@@ -323,8 +329,9 @@ object Dedup {
     * on the n-gram key against the bounded hot set. */
   def flagRepeatedNgramDocs(df: DataFrame, textCol: String, idCol: String,
       n: Int, minDocs: Int): DataFrame = {
-    val hot = repeatedNgrams(df, textCol, idCol, n, minDocs).select("ngram")
-    df.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_toks"))
+    val src = ensurePar(df)
+    val hot = repeatedNgrams(src, textCol, idCol, n, minDocs).select("ngram")
+    src.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_toks"))
       .select(col("id"), explode(TextOps.ngramsAll(col("_toks"), n)).as("ngram"))
       .join(hot, "ngram")
       .groupBy("id").agg(count(lit(1)).as("n_hot_ngrams"))
