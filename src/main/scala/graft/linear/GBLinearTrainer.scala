@@ -50,6 +50,57 @@ final case class LinearModel(
   def predict(x: Array[Double]): Double = Objective(objective).predTransform(margin(x))
 }
 
+/** Multiclass gblinear model (ref gblinear with `num_output_group` > 1 —
+  * the updaters loop groups with per-group gradient pairs,
+  * `updater_shotgun.cc:38-47`; flat model layout `weight[fid·K + gid]`
+  * with per-group bias appended, `src/gbm/gblinear_model.h`): one weight
+  * vector and bias per class, softmax output. */
+final case class MultiLinearModel(
+    weights: Array[Array[Double]], // K × numFeatures
+    bias: Array[Double], // K
+    baseScore: Array[Double], // K margins
+    objective: String,
+    numFeatures: Int
+) extends Serializable {
+  def numClass: Int = weights.length
+  def margin(x: Array[Double]): Array[Double] = {
+    val out = new Array[Double](weights.length)
+    var k = 0
+    while (k < weights.length) {
+      var m = baseScore(k) + bias(k)
+      val wk = weights(k)
+      val n = math.min(x.length, wk.length)
+      var f = 0
+      while (f < n) { val v = x(f); if (v == v) m += wk(f) * v; f += 1 }
+      out(k) = m
+      k += 1
+    }
+    out
+  }
+  def softprob(x: Array[Double]): Array[Double] = MultiLinearModel.softmax(margin(x))
+  def predictClass(x: Array[Double]): Int = {
+    val m = margin(x)
+    var best = 0
+    var k = 1
+    while (k < m.length) { if (m(k) > m(best)) best = k; k += 1 }
+    best
+  }
+}
+
+object MultiLinearModel {
+  private[linear] def softmax(m: Array[Double]): Array[Double] = {
+    var mx = m(0); var k = 1
+    while (k < m.length) { if (m(k) > mx) mx = m(k); k += 1 }
+    val out = new Array[Double](m.length)
+    var s = 0.0
+    k = 0
+    while (k < m.length) { out(k) = math.exp(m(k) - mx); s += out(k); k += 1 }
+    k = 0
+    while (k < m.length) { out(k) /= s; k += 1 }
+    out
+  }
+}
+
 /** Distributed gblinear: elastic-net coordinate descent re-expressed as
   * Spark aggregations (ref `src/gbm/gblinear.cc:120-170` DoBoost,
   * `src/linear/updater_shotgun.cc:96`, `updater_coordinate.cc:100`).
@@ -238,6 +289,213 @@ final class GBLinearTrainer(val params: LinearParams) {
     }
     cached.unpersist(blocking = false)
     LinearModel(weights, bias, base, params.objective, nf)
+  }
+
+  /** Multiclass (softmax) gblinear: labels are class indices 0..K−1, one
+    * weight vector + bias per class (ref gblinear `num_output_group` > 1,
+    * `updater_shotgun.cc:38-47` — the updaters loop groups with per-group
+    * gradient pairs; our lanes ARE those groups). Softmax gradients match
+    * the tree path's `SoftmaxObjective`: g_k = p_k − 1{y=k},
+    * h_k = max(2·p_k(1−p_k), ε). One `treeAggregate` per shotgun round
+    * computes, for every (feature, class), `[Σg·x, Σh·x, Σh·x²]` plus the
+    * per-class bias sums — driver state O(numFeatures·K). Selectors rank
+    * features by the max |delta| across classes and apply ALL class lanes
+    * of a selected feature (the reference updates every group per chosen
+    * feature). Base margins start at 0 per class, like the tree softmax
+    * path. */
+  def fitMulti(data: RDD[(Array[Double], Double, Double)], numClass: Int): MultiLinearModel = {
+    require(numClass >= 2, "fitMulti needs numClass >= 2")
+    val cached = data.persist(StorageLevel.MEMORY_AND_DISK)
+    val sc = data.sparkContext
+    val K = numClass
+
+    val (nf, sumW, badLabels) = graft.Agg.aggregate(cached)((0, 0.0, 0L))(
+      seqOp = { case ((f, sw, bad), (x, y, w)) =>
+        val ok = y == math.floor(y) && y >= 0 && y < K
+        (math.max(f, x.length), sw + w, bad + (if (ok) 0L else 1L)) },
+      combOp = { case ((f1, s1, b1), (f2, s2, b2)) =>
+        (math.max(f1, f2), s1 + s2, b1 + b2) })
+    require(badLabels == 0, s"$badLabels label(s) outside [0, $K) for multiclass gblinear")
+    val lambdaD = params.lambda * sumW
+    val alphaD = params.alpha * sumW
+
+    val weights = Array.fill(K)(new Array[Double](nf))
+    val bias = new Array[Double](K)
+    val rng = new Random(params.seed)
+
+    // per-row softmax gradient lanes at the broadcast weights
+    def gh(x: Array[Double], y: Double, w: Double,
+        ws: Array[Array[Double]], bs: Array[Double], g: Array[Double],
+        h: Array[Double]): Unit = {
+      val m = new Array[Double](K)
+      var k = 0
+      while (k < K) {
+        var mm = bs(k)
+        val wk = ws(k)
+        val n = math.min(x.length, nf)
+        var f = 0
+        while (f < n) { val v = x(f); if (v == v) mm += wk(f) * v; f += 1 }
+        m(k) = mm
+        k += 1
+      }
+      val p = MultiLinearModel.softmax(m)
+      val yi = y.toInt
+      k = 0
+      while (k < K) {
+        g(k) = w * (p(k) - (if (k == yi) 1.0 else 0.0))
+        h(k) = w * math.max(2.0 * p(k) * (1.0 - p(k)), 1e-16)
+        k += 1
+      }
+    }
+
+    // layout: feature f, class k → a((f·K + k)·3 + {0,1,2}); bias sums at
+    // 3·nf·K + 2k
+    def fullSums(): Array[Double] = {
+      val bw = sc.broadcast((weights.map(_.clone()), bias.clone()))
+      val acc = graft.Agg.aggregate(cached)(new Array[Double](3 * nf * K + 2 * K))(
+        seqOp = { case (a, (x, y, w)) =>
+          val (ws, bs) = bw.value
+          val g = new Array[Double](K)
+          val h = new Array[Double](K)
+          gh(x, y, w, ws, bs, g, h)
+          val n = math.min(x.length, nf)
+          var f = 0
+          while (f < n) {
+            val v = x(f)
+            if (v == v && v != 0.0) {
+              var k = 0
+              while (k < K) {
+                val off = (f * K + k) * 3
+                a(off) += g(k) * v; a(off + 1) += h(k) * v; a(off + 2) += h(k) * v * v
+                k += 1
+              }
+            }
+            f += 1
+          }
+          var k = 0
+          while (k < K) { a(3 * nf * K + 2 * k) += g(k); a(3 * nf * K + 2 * k + 1) += h(k); k += 1 }
+          a
+        },
+        combOp = { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+      bw.destroy()
+      acc
+    }
+
+    // one feature at exact current margins: [Σg_k·x, Σh_k·x²] per class
+    def featureSums(feat: Int): Array[Double] = {
+      val bw = sc.broadcast((weights.map(_.clone()), bias.clone()))
+      val acc = graft.Agg.aggregate(cached)(new Array[Double](2 * K))(
+        seqOp = { case (a, (x, y, w)) =>
+          if (feat < x.length) {
+            val v = x(feat)
+            if (v == v && v != 0.0) {
+              val (ws, bs) = bw.value
+              val g = new Array[Double](K)
+              val h = new Array[Double](K)
+              gh(x, y, w, ws, bs, g, h)
+              var k = 0
+              while (k < K) { a(2 * k) += g(k) * v; a(2 * k + 1) += h(k) * v * v; k += 1 }
+            }
+          }
+          a
+        },
+        combOp = { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+      bw.destroy()
+      acc
+    }
+
+    def biasSums(): Array[Double] = {
+      val bw = sc.broadcast((weights.map(_.clone()), bias.clone()))
+      val acc = graft.Agg.aggregate(cached)(new Array[Double](2 * K))(
+        seqOp = { case (a, (x, y, w)) =>
+          val (ws, bs) = bw.value
+          val g = new Array[Double](K)
+          val h = new Array[Double](K)
+          gh(x, y, w, ws, bs, g, h)
+          var k = 0
+          while (k < K) { a(2 * k) += g(k); a(2 * k + 1) += h(k); k += 1 }
+          a
+        },
+        combOp = { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+      bw.destroy()
+      acc
+    }
+
+    val allFeatures = (0 until nf).toArray
+    var round = 0
+    while (round < params.numRounds) {
+      if (params.updater == "shotgun") {
+        val acc = fullSums()
+        val db = new Array[Double](K)
+        var k = 0
+        while (k < K) {
+          db(k) = params.eta * biasDelta(acc(3 * nf * K + 2 * k), acc(3 * nf * K + 2 * k + 1))
+          bias(k) += db(k)
+          k += 1
+        }
+        // per-(feature, class) deltas with the per-class bias correction
+        // Σg'·x = Σg·x + Δb_k·Σh·x, selector ranked by max |delta| over k
+        val delta = Array.ofDim[Double](nf, K)
+        val rank = new Array[Double](nf)
+        var f = 0
+        while (f < nf) {
+          k = 0
+          while (k < K) {
+            val off = (f * K + k) * 3
+            val sg = acc(off) + db(k) * acc(off + 1)
+            delta(f)(k) = coordinateDelta(sg, acc(off + 2), weights(k)(f), alphaD, lambdaD)
+            rank(f) = math.max(rank(f), math.abs(delta(f)(k)))
+            k += 1
+          }
+          f += 1
+        }
+        selectFeatures(rank, rng).foreach { ff =>
+          k = 0
+          while (k < K) { weights(k)(ff) += params.eta * delta(ff)(k); k += 1 }
+        }
+      } else { // coord_descent: exact sequential CD over features
+        val bAcc = biasSums()
+        var k = 0
+        while (k < K) { bias(k) += params.eta * biasDelta(bAcc(2 * k), bAcc(2 * k + 1)); k += 1 }
+        val order: Array[Int] = params.featureSelector match {
+          case "cyclic" => allFeatures
+          case "shuffle" => rng.shuffle(allFeatures.toSeq).toArray
+          case "random" =>
+            val kk = if (params.topK > 0) params.topK else nf
+            Array.fill(kk)(rng.nextInt(nf))
+          case _ =>
+            val acc = fullSums()
+            val d = allFeatures.map { f =>
+              var best = 0.0
+              var c = 0
+              while (c < K) {
+                val off = (f * K + c) * 3
+                best = math.max(best,
+                  math.abs(coordinateDelta(acc(off), acc(off + 2), weights(c)(f), alphaD, lambdaD)))
+                c += 1
+              }
+              f -> best
+            }
+            val sorted = d.sortBy(-_._2).map(_._1)
+            if (params.topK > 0) sorted.take(params.topK) else sorted
+        }
+        val capped = if (params.topK > 0 && (params.featureSelector == "cyclic" || params.featureSelector == "shuffle"))
+          order.take(params.topK) else order
+        capped.foreach { ff =>
+          val acc = featureSums(ff)
+          k = 0
+          while (k < K) {
+            weights(k)(ff) += params.eta *
+              coordinateDelta(acc(2 * k), acc(2 * k + 1), weights(k)(ff), alphaD, lambdaD)
+            k += 1
+          }
+        }
+      }
+      round += 1
+    }
+    cached.unpersist(blocking = false)
+    MultiLinearModel(weights, bias, new Array[Double](K),
+      if (params.objective.startsWith("multi:")) params.objective else "multi:softprob", nf)
   }
 
   /** Which features to apply this round's shotgun deltas to. */

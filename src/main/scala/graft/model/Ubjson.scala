@@ -292,8 +292,17 @@ object Ubjson {
 
   /** Export a graft gblinear model as reference UBJSON (weights as
     * F32Array, `gblinear_model.cc:14`). */
-  def toXGBoostUbj(lm: graft.linear.LinearModel): Array[Byte] = {
-    val doc = org.json4s.jackson.JsonMethods.parse(XGBoostJson.toXGBoostJson(lm))
+  def toXGBoostUbj(lm: graft.linear.LinearModel): Array[Byte] =
+    linearDocToUbj(org.json4s.jackson.JsonMethods.parse(XGBoostJson.toXGBoostJson(lm)))
+
+  /** Multiclass gblinear (same flat `[feature × group] + biases` layout). */
+  def toXGBoostUbj(lm: graft.linear.MultiLinearModel): Array[Byte] =
+    linearDocToUbj(org.json4s.jackson.JsonMethods.parse(XGBoostJson.toXGBoostJson(lm)))
+
+  def linearMultiFromXGBoostUbj(bytes: Array[Byte]): graft.linear.MultiLinearModel =
+    XGBoostJson.linearMultiFromParsed(read(bytes))
+
+  private def linearDocToUbj(doc: JValue): Array[Byte] = {
     val o = new Out()
     def writeVal(path: List[String], j: JValue): Unit = j match {
       case JObject(fields) =>

@@ -422,7 +422,8 @@ object XGBoostJson {
       (lmp \ k) match { case JString(v) => v; case _ => dflt }
     val nf = lmpStr("num_feature", "0").toInt
     val numClass = lmpStr("num_class", "0").toInt
-    require(numClass <= 1, s"multiclass gblinear (num_class=$numClass) not supported")
+    require(numClass <= 1, s"multiclass gblinear (num_class=$numClass): " +
+      "use linearMultiFromXGBoostJson / Ubjson.linearMultiFromXGBoostUbj")
     val objName = (learner \ "objective" \ "name") match {
       case JString(n) => n
       case _ => "reg:squarederror"
@@ -435,6 +436,62 @@ object XGBoostJson {
       try graft.objective.Objective(objName).probToMargin(bs)
       catch { case _: Throwable => bs }
     graft.linear.LinearModel(all.take(nf), all(nf), baseMargin, objName, nf)
+  }
+
+  /** Import a MULTICLASS reference gblinear model: the flat `weights`
+    * array is laid out `weight[fid·K + gid]` with the K per-group biases
+    * appended (`src/gbm/gblinear_model.h` layout), K = num_class. */
+  def linearMultiFromXGBoostJson(s: String): graft.linear.MultiLinearModel =
+    linearMultiFromParsed(JsonMethods.parse(s))
+
+  private[model] def linearMultiFromParsed(j: JValue): graft.linear.MultiLinearModel = {
+    val learner = j \ "learner"
+    require(learner != JNothing, "not an xgboost model JSON: missing 'learner'")
+    val gb = learner \ "gradient_booster"
+    require((gb \ "name").extract[String] == "gblinear", "not a gblinear model")
+    val lmp = learner \ "learner_model_param"
+    def lmpStr(k: String, dflt: String): String =
+      (lmp \ k) match { case JString(v) => v; case _ => dflt }
+    val nf = lmpStr("num_feature", "0").toInt
+    val numClass = lmpStr("num_class", "0").toInt
+    require(numClass >= 2, s"num_class=$numClass is not a multiclass gblinear model")
+    val objName = (learner \ "objective" \ "name") match {
+      case JString(n) => n
+      case _ => "multi:softprob"
+    }
+    val all = (gb \ "model" \ "weights").extract[List[Double]].toArray
+    require(all.length == (nf + 1) * numClass,
+      s"weights length ${all.length} != (num_feature $nf + 1) * num_class $numClass")
+    val weights = Array.tabulate(numClass)(k => Array.tabulate(nf)(f => all(f * numClass + k)))
+    val bias = Array.tabulate(numClass)(k => all(nf * numClass + k))
+    graft.linear.MultiLinearModel(weights, bias, new Array[Double](numClass), objName, nf)
+  }
+
+  /** Export a multiclass gblinear model in the reference layout. */
+  def toXGBoostJson(lm: graft.linear.MultiLinearModel): String = {
+    val K = lm.numClass
+    val flat = Array.tabulate((lm.numFeatures + 1) * K) { i =>
+      val f = i / K; val k = i % K
+      if (f < lm.numFeatures) lm.weights(k)(f) else lm.bias(k)
+    }
+    val root = JObject(
+      "version" -> JArray(List(JInt(3), JInt(0), JInt(0))),
+      "learner" -> JObject(
+        "learner_model_param" -> JObject(
+          "base_score" -> JString("5E-1"),
+          "num_feature" -> JString(lm.numFeatures.toString),
+          "num_class" -> JString(K.toString),
+          "num_target" -> JString("1")),
+        "gradient_booster" -> JObject(
+          "name" -> JString("gblinear"),
+          "model" -> JObject(
+            "weights" -> JArray(flat.map(JDouble(_)).toList),
+            "boosted_rounds" -> JInt(1))),
+        "objective" -> JObject("name" -> JString(lm.objective)),
+        "attributes" -> JObject(),
+        "feature_names" -> JArray(Nil),
+        "feature_types" -> JArray(Nil)))
+    JsonMethods.compact(JsonMethods.render(root))
   }
 
   /** Export a graft gblinear model in the reference schema. */

@@ -281,6 +281,18 @@ object TrainQueries {
       val canon = (lm.weights.map(fmt) :+ fmt(lm.bias) :+ fmt(lm.baseScore))
         .mkString(lm.objective + "|", ",", "")
       Seq((md5Hex(canon), lm.numFeatures)).toDF("model_md5", "n_features")
+    }),
+
+    // multiclass gblinear (softmax lanes — ref num_output_group > 1)
+    "t_hash_linear_multi" -> ((s, _) => {
+      val lm = new graft.linear.GBLinearTrainer(graft.linear.LinearParams(
+        objective = "multi:softprob",
+        numRounds = 5, eta = 0.5, updater = "coord_descent", seed = 7))
+        .fitMulti(goldenRows(s, labelKind = "class3"), numClass = 3)
+      import s.implicits._
+      val canon = (lm.weights.flatMap(_.map(fmt)) ++ lm.bias.map(fmt))
+        .mkString(lm.objective + "|", ",", "")
+      Seq((md5Hex(canon), lm.numFeatures)).toDF("model_md5", "n_features")
     })
   )
 
@@ -307,7 +319,9 @@ object TrainQueries {
     "t_hash_multitree" ->
       "SELECT '7231d623c61a208acb1bb63a07c3a6fa' AS model_md5, 5 AS n_trees, 155 AS n_nodes",
     "t_hash_linear" ->
-      "SELECT '24887bb85f773245b342170bc64f92cf' AS model_md5, 6 AS n_features")
+      "SELECT '24887bb85f773245b342170bc64f92cf' AS model_md5, 6 AS n_features",
+    "t_hash_linear_multi" ->
+      "SELECT '02da7db622f699f653f0d1996d5cb22e' AS model_md5, 6 AS n_features")
 
   /** Fixture params: small enough to add ~1 s per row to bench, deep
     * enough to exercise sketch→bin→grow→leaf on every path. */

@@ -144,4 +144,42 @@ class GBLinearSpec extends AnyFunSuite {
     val back = graft.api.LinearModelIO.fromJson(graft.api.LinearModelIO.toJson(m.model))
     assert(back == m.model.copy(weights = back.weights) && back.weights.toSeq == m.model.weights.toSeq)
   }
+
+  test("multiclass gblinear learns linearly separable classes (both updaters) and round-trips IO") {
+    // 3 classes with linear decision structure: argmax over class-specific
+    // linear scores of x — exactly gblinear-multiclass's hypothesis space
+    val rng = new scala.util.Random(19)
+    val w0 = Array(Array(2.0, 0.0), Array(-1.0, 1.5), Array(-1.0, -1.5))
+    val rows = (0 until 3000).map { _ =>
+      val x = Array(rng.nextGaussian(), rng.nextGaussian())
+      val scores = w0.map(w => w(0) * x(0) + w(1) * x(1) + 0.3 * rng.nextGaussian())
+      (x, scores.indexOf(scores.max).toDouble, 1.0)
+    }
+    val data = sc.parallelize(rows, 4)
+    for (updater <- Seq("shotgun", "coord_descent")) {
+      val lm = new GBLinearTrainer(graft.linear.LinearParams(
+        objective = "multi:softprob", numRounds = 25, eta = 0.5,
+        updater = updater, seed = 3)).fitMulti(data, numClass = 3)
+      val acc = rows.count { case (x, y, _) => lm.predictClass(x) == y.toInt }.toDouble / rows.size
+      assert(acc > 0.85, s"$updater multiclass accuracy $acc")
+      // softprob sums to 1
+      val p = lm.softprob(rows.head._1)
+      assert(math.abs(p.sum - 1.0) < 1e-12 && p.forall(_ >= 0))
+      // native JSON roundtrip ([feature × group] + biases flat layout)
+      val back = graft.model.XGBoostJson.linearMultiFromXGBoostJson(
+        graft.model.XGBoostJson.toXGBoostJson(lm))
+      assert(back.numClass == 3 && back.numFeatures == lm.numFeatures)
+      rows.take(10).foreach { case (x, _, _) =>
+        val a = lm.margin(x); val b = back.margin(x)
+        (0 until 3).foreach(k => assert(math.abs(a(k) - b(k)) < 1e-12))
+      }
+      // UBJSON carrier (f32 weights — float tolerance)
+      val ubj = graft.model.Ubjson.linearMultiFromXGBoostUbj(
+        graft.model.Ubjson.toXGBoostUbj(lm))
+      rows.take(5).foreach { case (x, _, _) =>
+        val a = lm.margin(x); val b = ubj.margin(x)
+        (0 until 3).foreach(k => assert(math.abs(a(k) - b(k)) < 1e-4))
+      }
+    }
+  }
 }
