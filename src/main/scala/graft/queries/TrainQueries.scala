@@ -33,6 +33,20 @@ object TrainQueries {
     }
   }
 
+  /** 3-class twin of [[lineitemTrainingData]] (label = l_linenumber % 3). */
+  def lineitemTrainingData3Class(s: SparkSession, dir: String) = {
+    val df = CoreQueries.table(s, dir, "lineitem").select(
+      featureCols.map(c => col(c).cast("double")) :+
+        (col("l_linenumber") % 3).cast("double").as("label"): _*)
+    val n = featureCols.length
+    df.rdd.map { r =>
+      val f = new Array[Double](n)
+      var i = 0
+      while (i < n) { f(i) = r.getDouble(i); i += 1 }
+      (f, r.getDouble(n), 1.0)
+    }
+  }
+
   /** Deterministic full-binary-tree ensemble (heap layout): internal node i
     * splits feature (i % nf) at a threshold swept across the plausible
     * lineitem value range so every path is exercised. */
