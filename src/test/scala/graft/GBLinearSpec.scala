@@ -145,6 +145,45 @@ class GBLinearSpec extends AnyFunSuite {
     assert(back == m.model.copy(weights = back.weights) && back.weights.toSeq == m.model.weights.toSeq)
   }
 
+  test("GraftLinearClassifier: binary and multiclass through the MLlib facade") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    // binary
+    val bin = (0 until 2000).map { _ =>
+      val x = Seq(rng.nextGaussian(), rng.nextGaussian())
+      (x, if (x(0) - 0.5 * x(1) + 0.3 * rng.nextGaussian() > 0) 1.0 else 0.0)
+    }.toDF("features", "label")
+    val bm = new graft.api.GraftLinearClassifier()
+      .setNumRound(20).setEta(0.5).setLambda(0.01).fit(bin)
+    val bout = bm.transform(bin).cache()
+    val bacc = bout.selectExpr("avg(CAST(prediction = label AS DOUBLE))")
+      .head().getDouble(0)
+    assert(bacc > 0.85, s"binary linear facade accuracy $bacc")
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    val auc = new BinaryClassificationEvaluator().evaluate(bout)
+    assert(auc > 0.9, s"evaluator must consume rawPrediction: $auc")
+    bout.unpersist(blocking = false)
+
+    // multiclass: argmax of class-wise linear scores
+    val w0 = Array(Array(2.0, 0.0), Array(-1.0, 1.5), Array(-1.0, -1.5))
+    val mc = (0 until 3000).map { _ =>
+      val x = Seq(rng.nextGaussian(), rng.nextGaussian())
+      val sc0 = w0.map(w => w(0) * x(0) + w(1) * x(1) + 0.3 * rng.nextGaussian())
+      (x, sc0.indexOf(sc0.max).toDouble)
+    }.toDF("features", "label")
+    val mm = new graft.api.GraftLinearClassifier().setNumClass(3)
+      .setNumRound(25).setEta(0.5).setLambda(0.01).fit(mc)
+    val mout = mm.transform(mc).cache()
+    val macc = mout.selectExpr("avg(CAST(prediction = label AS DOUBLE))")
+      .head().getDouble(0)
+    assert(macc > 0.85, s"multiclass linear facade accuracy $macc")
+    // probability is a valid softmax vector
+    val row = mout.select("probability").head()
+      .getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(math.abs(row.toArray.sum - 1.0) < 1e-9 && row.toArray.forall(_ >= 0))
+    mout.unpersist(blocking = false)
+  }
+
   test("multiclass gblinear learns linearly separable classes (both updaters) and round-trips IO") {
     // 3 classes with linear decision structure: argmax over class-specific
     // linear scores of x — exactly gblinear-multiclass's hypothesis space
