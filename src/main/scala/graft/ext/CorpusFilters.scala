@@ -1,0 +1,167 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality filters — the four canonical LLM-curation operators that
+  * sit between cleaning/dedup ([[Dedup]]) and sampling/packing
+  * ([[Curation]]) in a pretraining-data pipeline:
+  *
+  *  - [[decontaminate]] — eval-benchmark decontamination by n-gram overlap
+  *    (the GPT-3 appendix-C / Dolma procedure): flag training documents
+  *    sharing any n-gram with a held-out evaluation set.
+  *  - [[repetitionStats]] — within-document repetition signals from the
+  *    Gopher quality rules (Rae et al. 2021, §A1.1): fraction of tokens
+  *    covered by the most frequent bigram and by duplicated trigrams,
+  *    plus the keep/reject decision at the published-style thresholds.
+  *  - [[unigramNll]] — per-document negative log-likelihood under the
+  *    corpus unigram LM (the CCNet perplexity-filter shape, with the
+  *    corpus itself as the language model).
+  *  - [[dsirLogWeight]] — hashed-unigram importance weight
+  *    log p_target/p_raw per document (DSIR, Xie et al. 2023), for
+  *    importance resampling toward a target domain.
+  *
+  * Determinism contract: every per-token/per-bucket log term is quantized
+  * to fixed-point micro-nats (`round(ln(·)·1e6)` as BIGINT) before any
+  * aggregation, so per-document sums are pure integer arithmetic —
+  * order-independent and engine-exact (the same portability contract as
+  * [[TextOps.hash60]]; float sums over shuffled rows would be
+  * order-dependent and could never hash-match a DuckDB oracle).
+  *
+  * Scale design (100 TB):
+  *  - decontaminate: the benchmark n-gram set is small by definition
+  *    (eval suites are ~10^5 docs), so it is broadcast — the corpus side
+  *    is one map + one partial-aggregated groupBy on doc id, no corpus
+  *    shuffle on the n-gram key.
+  *  - repetitionStats: two aggregations keyed by (doc, gram) then doc —
+  *    hash-partitioned, map-side combined, linear in corpus tokens.
+  *  - unigramNll: the vocabulary is unbounded (like TF-IDF), so the
+  *    token→count join is a shuffle join by design, NOT a broadcast.
+  *  - dsirLogWeight: DSIR's entire point is the bounded hashed feature
+  *    space — the per-bucket log-ratio table has `numBuckets` rows
+  *    regardless of corpus size and is always broadcast.
+  */
+object CorpusFilters {
+
+  /** Micro-nat quantization of a (natural-log) expression: BIGINT
+    * `round(ln · 1e6)` — ties round away from zero in both Spark
+    * (HALF_UP) and DuckDB. */
+  private def microNats(lnExpr: Column): Column =
+    round(lnExpr * lit(1e6), 0).cast("long")
+
+  /** Benchmark decontamination (GPT-3 appendix C: 13-gram overlap; Dolma
+    * uses paragraph+n-gram variants). Counts, per training document, the
+    * distinct word `n`-grams it shares with ANY document of `benchmark`,
+    * and flags documents with at least one overlap. Returns one row per
+    * `docs` row: (idCol, n_overlap, contaminated 0/1).
+    *
+    * The benchmark n-gram set is deduplicated then broadcast: eval suites
+    * are bounded, corpora are not — the corpus side never shuffles on the
+    * n-gram key. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ngrams = TextOps.shingles(TextOps.tokens(col(textCol)), n)
+    val benchNg = benchmark.select(explode(ngrams).as("ngram")).distinct()
+    val overlap = docs.select(col(idCol), explode(ngrams).as("ngram"))
+      .join(broadcast(benchNg), "ngram")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    docs.select(col(idCol)).join(overlap, Seq(idCol), "left").select(
+      col(idCol),
+      coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+      (coalesce(col("n_overlap"), lit(0L)) > 0).cast("long").as("contaminated"))
+  }
+
+  /** Gopher-style within-document repetition stats (Rae et al. 2021
+    * §A1.1, token-granularity analog of the character-fraction rules):
+    *  - `top_bigram_frac`: fraction of tokens covered by occurrences of
+    *    the document's most frequent bigram (reject > 0.20 in Gopher);
+    *  - `dup_trigram_frac`: fraction of tokens covered by trigrams that
+    *    occur more than once (overlap-ignoring, capped at 1 — the same
+    *    convention as the public Gopher-rule reimplementations);
+    *  - `repetition_keep`: 1 iff both fractions pass the thresholds.
+    * Both fractions are ratios of integers rounded to 5 decimals, so the
+    * keep decision compares identical doubles in any engine. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", topBigramMax: Double = 0.20,
+      dupTrigramMax: Double = 0.18): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val base = docs.select(col(idCol), size(toks).cast("long").as("n_tok"),
+      TextOps.ngramsAll(toks, 2).as("g2"), TextOps.ngramsAll(toks, 3).as("g3"))
+    val top2 = base.select(col(idCol), explode(col("g2")).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(max("c").as("top2"))
+    val dup3 = base.select(col(idCol), explode(col("g3")).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("c") >= 2, col("c") * 3).otherwise(0L)).as("dup3"))
+    val topFrac = round(
+      least(coalesce(col("top2"), lit(0L)) * lit(2.0) / col("n_tok"), lit(1.0)), 5)
+    val dupFrac = round(
+      least(coalesce(col("dup3"), lit(0L)) * lit(1.0) / col("n_tok"), lit(1.0)), 5)
+    base.select(col(idCol), col("n_tok"))
+      .join(top2, Seq(idCol), "left").join(dup3, Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"),
+        topFrac.as("top_bigram_frac"), dupFrac.as("dup_trigram_frac"),
+        (topFrac <= topBigramMax && dupFrac <= dupTrigramMax)
+          .cast("long").as("repetition_keep"))
+  }
+
+  /** Per-document negative log-likelihood under the corpus unigram LM —
+    * the CCNet/KenLM perplexity-filter shape (Wenzek et al. 2020) with
+    * the corpus itself as the LM: nll(doc) = Σ_tok ln(N / count(tok)),
+    * reported as integer micro-nats (`nll_micro_total`) plus `n_tokens`
+    * so callers derive mean-NLL/perplexity buckets. High mean-NLL = rare
+    * vocabulary = candidate for filtering.
+    *
+    * The token→corpus-count join shuffles on the token key by design: the
+    * vocabulary is unbounded at corpus scale (same reasoning as TF-IDF —
+    * a broadcast would OOM the executors on a real web corpus). */
+  def unigramNll(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val perDocTok = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
+    val vocab = perDocTok.groupBy("tok").agg(sum("c").as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    val scored = vocab.crossJoin(broadcast(total)) // 1-row scalar broadcast
+      .select(col("tok"), microNats(log(col("total") / col("cnt"))).as("nll_micro"))
+    perDocTok.join(scored, "tok").groupBy(col(idCol)).agg(
+      sum("c").as("n_tokens"),
+      sum(col("c") * col("nll_micro")).as("nll_micro_total"))
+  }
+
+  /** DSIR importance log-weight (Xie et al. 2023): hashed-unigram bucket
+    * counts over the target subset (rows where `isTarget`) vs the full
+    * corpus, add-1 smoothed; per document,
+    * w(doc) = Σ_tok ln( p_target(bucket(tok)) / p_raw(bucket(tok)) ),
+    * reported as integer micro-nats (`dsir_micro`). Documents with
+    * positive weight look more target-like than the corpus average;
+    * resample proportionally to exp(w) (or threshold) to shift the
+    * mixture toward the target domain.
+    *
+    * The bucket table is `numBuckets` rows regardless of corpus size —
+    * bounded by construction (DSIR's hashed feature space) — so the
+    * per-token lookup join is always a broadcast. */
+  def dsirLogWeight(docs: DataFrame, isTarget: Column, numBuckets: Int = 512,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    val tokBuckets = docs
+      .select(col(idCol), isTarget.cast("long").as("is_t"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), col("is_t"),
+        pmod(TextOps.hash60(col("tok")), lit(numBuckets.toLong)).as("b"))
+    val buckets = tokBuckets.groupBy("b")
+      .agg(count(lit(1)).as("raw_c"), sum("is_t").as("tgt_c"))
+    val totals = buckets.agg(sum("raw_c").as("R"), sum("tgt_c").as("T"))
+    val nb = lit(numBuckets.toDouble)
+    val scored = buckets.crossJoin(broadcast(totals)) // 1-row scalar broadcast
+      .select(col("b"), microNats(log(
+        ((col("tgt_c") + lit(1.0)) / (col("T") + nb)) /
+          ((col("raw_c") + lit(1.0)) / (col("R") + nb)))).as("w_micro"))
+    tokBuckets.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(scored), "b")
+      .groupBy(col(idCol)).agg(
+        sum("c").as("n_tokens"),
+        sum(col("c") * col("w_micro")).as("dsir_micro"))
+  }
+}

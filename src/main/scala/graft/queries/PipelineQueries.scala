@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Curation, Dedup, MediaCodecs, Multimodal, Similarity, TextOps}
+import graft.ext.{CorpusFilters, Curation, Dedup, MediaCodecs, Multimodal, Similarity, TextOps}
 
 /** LLM-training-data pipeline queries over `documents.parquet` /
   * `embeddings.parquet` — dedup (exact, MinHash-LSH, SimHash, n-gram
@@ -322,7 +322,39 @@ object PipelineQueries {
           round(col("mean_g"), 4).as("mean_g"),
           round(col("mean_b"), 4).as("mean_b"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // ---- corpus-quality filters (ext.CorpusFilters) ------------------------
+
+    // eval-benchmark decontamination (GPT-3 appendix C shape): the src0
+    // slice plays the held-out benchmark; training docs sharing any
+    // distinct 5-gram with it are contaminated. Benchmark n-grams
+    // broadcast — the corpus side never shuffles on the n-gram key.
+    "p_decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      CorpusFilters.decontaminate(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"), n = 5)
+        .orderBy("doc_id")
+    }),
+
+    // Gopher repetition rules (Rae et al. 2021 §A1.1): top-bigram and
+    // duplicate-trigram token fractions + keep decision
+    "p_gopher_repetition" -> ((s, dir) =>
+      CorpusFilters.repetitionStats(table(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // CCNet-shape perplexity filter: per-doc NLL under the corpus unigram
+    // LM, fixed-point micro-nats (order-independent integer sums)
+    "p_unigram_nll" -> ((s, dir) =>
+      CorpusFilters.unigramNll(table(s, dir, "documents"))
+        .orderBy("doc_id")),
+
+    // DSIR importance log-weight toward the lang='en' target slice over
+    // 512 hashed unigram buckets (bounded → broadcast lookup)
+    "p_dsir_weight" -> ((s, dir) =>
+      CorpusFilters.dsirLogWeight(table(s, dir, "documents"),
+        col("lang") === "en").orderBy("doc_id"))
   )
 
   // deterministic hyperplanes shared between the Spark plan and the oracle
@@ -777,6 +809,88 @@ object PipelineQueries {
         |  round(CAST(sum((x*7 + y*13 + 3*doc_id) % 256) AS DOUBLE) / (w*h), 4) AS mean_r,
         |  round(CAST(sum((x*3 + y*5 + 5*doc_id) % 256) AS DOUBLE) / (w*h), 4) AS mean_g,
         |  round(CAST(sum((x*11 + y*2 + 7*doc_id) % 256) AS DOUBLE) / (w*h), 4) AS mean_b
-        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // distinct 5-gram overlap vs the src0 "benchmark" slice
+    "p_decontaminate" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |ng AS (
+        |  SELECT doc_id, source, unnest(CASE WHEN len(t) >= 5 THEN
+        |    list_distinct(list_transform(range(1, len(t)-3),
+        |      i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))
+        |    ELSE [] END) AS ngram
+        |  FROM t
+        |), bn AS (SELECT DISTINCT ngram FROM ng WHERE source = 'src0'),
+        |ov AS (
+        |  SELECT doc_id, count(*) AS n_overlap
+        |  FROM ng JOIN bn USING (ngram) WHERE ng.source <> 'src0' GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  CAST(coalesce(ov.n_overlap, 0) > 0 AS BIGINT) AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+        |LEFT JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Gopher repetition fractions: integer-ratio doubles rounded to 5dp,
+    // keep decision evaluated on the rounded values in both engines
+    "p_gopher_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |b AS (SELECT doc_id, len(t) AS n_tok FROM t),
+        |g2 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+        |    list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1])
+        |    ELSE [] END) AS g
+        |  FROM t),
+        |c2 AS (SELECT doc_id, max(c) AS top2 FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])
+        |    ELSE [] END) AS g
+        |  FROM t),
+        |c3 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN 3*c ELSE 0 END) AS dup3 FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  round(least(coalesce(top2, 0) * 2.0 / n_tok, 1.0), 5) AS top_bigram_frac,
+        |  round(least(coalesce(dup3, 0) * 1.0 / n_tok, 1.0), 5) AS dup_trigram_frac,
+        |  CAST(round(least(coalesce(top2, 0) * 2.0 / n_tok, 1.0), 5) <= 0.20
+        |   AND round(least(coalesce(dup3, 0) * 1.0 / n_tok, 1.0), 5) <= 0.18
+        |   AS BIGINT) AS repetition_keep
+        |FROM b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // corpus-unigram-LM NLL in integer micro-nats (ln quantized per token
+    // TYPE before the per-doc sum — order-independent integer arithmetic)
+    "p_unigram_nll" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |pd AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |v AS (SELECT tok, sum(c) AS cnt FROM pd GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS total FROM v),
+        |sc AS (SELECT tok,
+        |  CAST(round(ln(CAST(total AS DOUBLE) / cnt) * 1000000, 0) AS BIGINT) AS nll_micro
+        |  FROM v, tot)
+        |SELECT pd.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(sum(c * nll_micro) AS BIGINT) AS nll_micro_total
+        |FROM pd JOIN sc USING (tok) GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin,
+
+    // DSIR hashed-unigram importance log-weight vs the lang='en' target,
+    // add-1 smoothing over 512 buckets, micro-nat quantization per bucket
+    "p_dsir_weight" -> {
+      val bucket = s"${h60("tok")} % 512"
+      s"""WITH tok AS (
+         |  SELECT doc_id, CAST(lang = 'en' AS BIGINT) AS is_t, $bucket AS b
+         |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+         |        FROM documents)
+         |),
+         |bc AS (SELECT b, count(*) AS raw_c, sum(is_t) AS tgt_c FROM tok GROUP BY b),
+         |tt AS (SELECT sum(raw_c) AS r_tot, sum(tgt_c) AS t_tot FROM bc),
+         |sc AS (SELECT b, CAST(round(ln(
+         |    ((tgt_c + 1.0) / (t_tot + 512.0)) /
+         |    ((raw_c + 1.0) / (r_tot + 512.0))) * 1000000, 0) AS BIGINT) AS w_micro
+         |  FROM bc, tt),
+         |pd AS (SELECT doc_id, b, count(*) AS c FROM tok GROUP BY 1, 2)
+         |SELECT pd.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(sum(c * w_micro) AS BIGINT) AS dsir_micro
+         |FROM pd JOIN sc USING (b) GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin
+    }
   )
 }

@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.CorpusFilters
+
+class CorpusFiltersSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("decontaminate flags exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a totally clean document about spark and scala here"), // clean
+      (2L, "he saw the quick brown fox jumps far away today"),     // 1 shared 5-gram... check
+      (3L, "quick brown fox jumps over the lazy dog again now")    // several shared
+    ).toDF("doc_id", "text")
+    val out = CorpusFilters.decontaminate(docs, bench, n = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(byId(1L) == ((1L, 0L, 0L)))
+    // doc 2 shares "the quick brown fox jumps"
+    assert(byId(2L)._2 == 1L && byId(2L)._3 == 1L)
+    // doc 3 shares 4 of the benchmark's 5-grams (all but the one needing "dog" 9th)
+    assert(byId(3L)._2 == 4L && byId(3L)._3 == 1L)
+  }
+
+  test("repetitionStats: hand-computed fractions and keep decision") {
+    import spark.implicits._
+    // doc 1: "a b a b a b" — bigram "a b" x3 of 5 bigrams, top frac = 6/6 -> capped 1.0;
+    //   trigrams "a b a" x2, "b a b" x2 -> dup3 = 12 tokens -> capped 1.0 -> reject
+    // doc 2: 12 all-distinct tokens -> top bigram count 1 -> frac 2/12 =
+    //   0.16667 <= 0.20, dup3 = 0 -> keep
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 ta tb")
+    ).toDF("doc_id", "text")
+    val out = CorpusFilters.repetitionStats(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, 6L, 1.0, 1.0, 0L)))
+    assert(out(1) == ((2L, 12L, 0.16667, 0.0, 1L)))
+  }
+
+  test("unigramNll: rarer vocabulary means higher per-token NLL") {
+    import spark.implicits._
+    // corpus: "w" appears 8 times, "rare" twice; N = 10
+    val docs = Seq(
+      (1L, "w w w w"),
+      (2L, "w w w w"),
+      (3L, "rare rare")
+    ).toDF("doc_id", "text")
+    val out = CorpusFilters.unigramNll(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // per-token micro-nats: ln(10/8)*1e6 ~ 223144, ln(10/2)*1e6 ~ 1609438
+    assert(out(0) == ((1L, 4L, 4L * 223144L)))
+    assert(out(1)._3 == out(0)._3)
+    assert(out(2) == ((3L, 2L, 2L * 1609438L)))
+    // mean NLL orders docs by rarity
+    assert(out(2)._3 / out(2)._2 > out(0)._3 / out(0)._2)
+  }
+
+  test("dsirLogWeight: target-vocabulary docs score above corpus-average docs") {
+    import spark.implicits._
+    val target = (0 until 50).map(i => (i.toLong, "en", "alpha beta gamma delta"))
+    val other = (50 until 100).map(i => (i.toLong, "de", "eins zwei drei vier"))
+    val docs = (target ++ other).toDF("doc_id", "lang", "text")
+    val rows = CorpusFilters.dsirLogWeight(docs, col("lang") === "en")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    val (tgtW, rawW) = (rows.filter(_._1 < 50).map(_._2), rows.filter(_._1 >= 50).map(_._2))
+    assert(tgtW.distinct.length == 1 && rawW.distinct.length == 1,
+      "identical docs must get identical integer weights")
+    assert(tgtW.head > 0L, s"target-like docs should have positive log-weight, got ${tgtW.head}")
+    assert(rawW.head < 0L, s"off-target docs should have negative log-weight, got ${rawW.head}")
+  }
+}
