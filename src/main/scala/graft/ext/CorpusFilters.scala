@@ -130,6 +130,32 @@ object CorpusFilters {
       sum(col("c") * col("nll_micro")).as("nll_micro_total"))
   }
 
+  /** End-to-end curation pipeline in production stage order: exact dedup
+    * → Gopher repetition gate → benchmark decontamination → deterministic
+    * stratified sample. Returns the surviving rows of `docs` with all
+    * original columns, ready for [[Curation.packSequences]].
+    *
+    * Cheap exact dedup runs FIRST so every n-gram stage sees only unique
+    * survivors (the composition the 20× scale probe measured for the
+    * near-dup miner — collapse byte-identical replicas before any
+    * quadratic-in-duplicates work). The two n-gram gates are keep-lists
+    * applied as left-semi joins on the doc id — no row data moves through
+    * the gate shuffles, only ids. */
+  def curate(docs: DataFrame, benchmark: DataFrame, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double, n: Int = 5,
+      idCol: String = "doc_id", textCol: String = "text",
+      topBigramMax: Double = 0.20, dupTrigramMax: Double = 0.18): DataFrame = {
+    val unique = Dedup.exactDedup(docs, textCol, idCol)
+    val repKeep = repetitionStats(unique, idCol, textCol, topBigramMax, dupTrigramMax)
+      .where(col("repetition_keep") === 1).select(col(idCol))
+    val cleanKeep = decontaminate(unique, benchmark, n, idCol, textCol)
+      .where(col("contaminated") === 0).select(col(idCol))
+    val survivors = unique
+      .join(repKeep, Seq(idCol), "left_semi")
+      .join(cleanKeep, Seq(idCol), "left_semi")
+    Curation.stratifiedSample(survivors, strataCol, rates, defaultRate, idCol)
+  }
+
   /** DSIR importance log-weight (Xie et al. 2023): hashed-unigram bucket
     * counts over the target subset (rows where `isTarget`) vs the full
     * corpus, add-1 smoothed; per document,

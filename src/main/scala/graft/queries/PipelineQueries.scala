@@ -354,7 +354,22 @@ object PipelineQueries {
     // 512 hashed unigram buckets (bounded → broadcast lookup)
     "p_dsir_weight" -> ((s, dir) =>
       CorpusFilters.dsirLogWeight(table(s, dir, "documents"),
-        col("lang") === "en").orderBy("doc_id"))
+        col("lang") === "en").orderBy("doc_id")),
+
+    // end-to-end curation pipeline: exact dedup → repetition gate →
+    // decontamination (vs src0) → stratified sample → 256-token packing,
+    // summarized per pack
+    "p_curation_pipeline" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val curated = CorpusFilters.curate(
+        docs.where(col("source") =!= "src0"),
+        docs.where(col("source") === "src0"),
+        "lang", Map("en" -> 0.5), defaultRate = 0.2)
+      Curation.packSequences(curated, "text", "doc_id", 256)
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("pack_id")
+    })
   )
 
   // deterministic hyperplanes shared between the Spark plan and the oracle
@@ -891,6 +906,73 @@ object PipelineQueries {
          |SELECT pd.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
          |  CAST(sum(c * w_micro) AS BIGINT) AS dsir_micro
          |FROM pd JOIN sc USING (b) GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin
+    },
+
+    // the composed pipeline: each stage is the same SQL as its standalone
+    // oracle row, chained (dedup → repetition gate → decontamination →
+    // stratified sample → packing)
+    "p_curation_pipeline" -> {
+      val coin = h60("concat(CAST(doc_id AS VARCHAR), '_', 'strat')")
+      """WITH train AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE source <> 'src0'
+        |), uniq AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM train) WHERE rn = 1
+        |), t AS (SELECT doc_id, string_split(text, ' ') AS t FROM uniq),
+        |g2 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2 THEN
+        |    list_transform(range(1, len(t)), i -> t[i]||' '||t[i+1])
+        |    ELSE [] END) AS g
+        |  FROM t),
+        |c2 AS (SELECT doc_id, max(c) AS top2 FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 3 THEN
+        |    list_transform(range(1, len(t)-1), i -> t[i]||' '||t[i+1]||' '||t[i+2])
+        |    ELSE [] END) AS g
+        |  FROM t),
+        |c3 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN 3*c ELSE 0 END) AS dup3 FROM
+        |  (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY doc_id),
+        |rep AS (
+        |  SELECT b.doc_id
+        |  FROM (SELECT doc_id, len(t) AS n_tok FROM t) b
+        |  LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+        |  WHERE round(least(coalesce(top2, 0) * 2.0 / n_tok, 1.0), 5) <= 0.20
+        |    AND round(least(coalesce(dup3, 0) * 1.0 / n_tok, 1.0), 5) <= 0.18
+        |), bt AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents WHERE source = 'src0'
+        |), bn AS (
+        |  SELECT DISTINCT unnest(CASE WHEN len(t) >= 5 THEN
+        |    list_distinct(list_transform(range(1, len(t)-3),
+        |      i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))
+        |    ELSE [] END) AS ngram
+        |  FROM bt
+        |), dng AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 5 THEN
+        |    list_distinct(list_transform(range(1, len(t)-3),
+        |      i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]))
+        |    ELSE [] END) AS ngram
+        |  FROM t
+        |), dirty AS (SELECT DISTINCT doc_id FROM dng JOIN bn USING (ngram)),
+        |surv AS (
+        |  SELECT u.doc_id, u.text FROM uniq u
+        |  JOIN rep USING (doc_id)
+        |  WHERE u.doc_id NOT IN (SELECT doc_id FROM dirty)
+        |""".stripMargin +
+      s"    AND $coin / 1152921504606846976.0\n" +
+      """      < CASE WHEN u.lang = 'en' THEN 0.5 ELSE 0.2 END
+        |), c AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+        |    sum(CAST(len(string_split(text, ' ')) AS DOUBLE))
+        |      OVER (ORDER BY doc_id) - CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |      AS cum_before
+        |  FROM surv
+        |)
+        |SELECT CAST(floor(cum_before / 256) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
     }
   )
 }

@@ -63,6 +63,24 @@ class CorpusFiltersSpec extends AnyFunSuite {
     assert(out(2)._3 / out(2)._2 > out(0)._3 / out(0)._2)
   }
 
+  test("curate applies dedup, repetition, and contamination gates in order") {
+    import spark.implicits._
+    val clean = "w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc wd we wf wg"
+    val docs = Seq(
+      (1L, clean, "en"),                                     // survives
+      (2L, clean, "en"),                                     // exact dup of 1 -> dropped
+      (3L, "x y x y x y x y x y x y x y x y", "en"),         // repetitive -> dropped
+      (4L, "b1 b2 b3 b4 b5 extra tail words here now ok fin", "en") // contaminated
+    ).toDF("doc_id", "text", "lang")
+    val bench = Seq((9L, "b1 b2 b3 b4 b5")).toDF("doc_id", "text")
+    // rate 1.0 = sampling keeps everything: isolates the three gates
+    val out = CorpusFilters.curate(docs, bench, "lang", Map.empty, 1.0)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(out.sameElements(Array(1L)))
+    // rate 0.0 drops everything deterministically
+    assert(CorpusFilters.curate(docs, bench, "lang", Map.empty, 0.0).count() == 0L)
+  }
+
   test("dsirLogWeight: target-vocabulary docs score above corpus-average docs") {
     import spark.implicits._
     val target = (0 until 50).map(i => (i.toLong, "en", "alpha beta gamma delta"))
