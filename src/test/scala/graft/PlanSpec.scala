@@ -51,6 +51,36 @@ class PlanSpec extends AnyFunSuite {
       "predict must not use a UDF path")
   }
 
+  test("decontamination broadcasts the benchmark n-gram set; DSIR broadcasts the bucket table") {
+    val pDecon = plan(PipelineQueries.queries("p_decontaminate")(spark, sf))
+    assert(pDecon.contains("BroadcastHashJoin"),
+      s"benchmark n-grams must broadcast:\n${pDecon.take(800)}")
+    assert(!pDecon.contains("CartesianProduct"), "decontamination went cartesian")
+    val pDsir = plan(PipelineQueries.queries("p_dsir_weight")(spark, sf))
+    // two broadcasts by design: the 1-row totals and the bounded bucket table
+    assert(pDsir.contains("BroadcastHashJoin") || pDsir.contains("BroadcastNestedLoopJoin"),
+      s"bucket lookup must broadcast:\n${pDsir.take(800)}")
+    assert(!pDsir.contains("CartesianProduct"), "dsir went cartesian")
+    // the unigram-LM vocabulary join is NOT hint-forced to broadcast
+    // (unbounded vocab): at this fixture size Catalyst auto-broadcasts the
+    // small side, so assert the at-scale shape by disabling the size-based
+    // auto-broadcast — the plan must degrade to a shuffle join, proving no
+    // broadcast() hint pins the unbounded side in memory
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    try {
+      spark.conf.set(thresholdKey, "-1")
+      val pNll = plan(PipelineQueries.queries("p_unigram_nll")(spark, sf))
+      assert(pNll.contains("SortMergeJoin") || pNll.contains("ShuffledHashJoin"),
+        s"vocab join should shuffle once auto-broadcast is off:\n${pNll.take(800)}")
+      // the DSIR bucket lookup is hint-forced: it must broadcast even with
+      // size-based auto-broadcast disabled (bounded by construction)
+      val pDsir2 = plan(PipelineQueries.queries("p_dsir_weight")(spark, sf))
+      assert(pDsir2.contains("BroadcastHashJoin"),
+        s"bucket lookup must stay broadcast at scale:\n${pDsir2.take(800)}")
+    } finally spark.conf.set(thresholdKey, saved)
+  }
+
   test("category recode is a broadcast map lookup, not a join") {
     val li = CoreQueries.table(spark, sf, "lineitem")
     val dict = graft.data.CategoryEncoder.fit(li, Seq("l_returnflag"))
