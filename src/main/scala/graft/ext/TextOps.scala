@@ -80,6 +80,21 @@ object TextOps {
     aggregate(withPos, lit(0L), (acc, x) => (acc + x) % p)
   }
 
+  /** Fraction of tokens covered by the document's most frequent word
+    * n-gram, as a pure array expression — shuffle-free, for stateless
+    * streaming gates ([[graft.streaming.StreamingIngest]]). Quadratic in
+    * the per-document n-gram count, which is fine for bounded stream
+    * documents; unbounded batch corpora use
+    * [[CorpusFilters.repetitionStats]] (keyed aggregation, linear)
+    * instead — the two compute the identical capped fraction. */
+  def topNgramFraction(toks: Column, n: Int): Column = {
+    val grams = ngramsAll(toks, n)
+    val top = array_max(transform(array_distinct(grams),
+      g => size(filter(grams, x => x === g))))
+    least(coalesce(top, lit(0)).cast("double") * lit(n.toDouble) /
+      greatest(size(toks), lit(1)).cast("double"), lit(1.0))
+  }
+
   /** Fixed English stopword list shared with the oracle SQL. */
   val EnStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 

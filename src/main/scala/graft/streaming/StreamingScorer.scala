@@ -116,14 +116,21 @@ object StreamingIngest {
   import graft.ext.TextOps
 
   /** Gate + dedup a streaming document feed. Emits the surviving rows with
-    * their `content_hash`, `n_tokens`, `quality`, `en_ratio` columns.
+    * their `content_hash`, `n_tokens`, `quality`, `en_ratio`,
+    * `top_bigram_frac` columns.
     *
     * docs: streaming DataFrame with event-time `tsCol` and text `textCol`.
     * The quality/language thresholds mirror the batch `p_quality` /
-    * `p_lang_id` heuristics. */
+    * `p_lang_id` heuristics; the repetition gate mirrors the batch
+    * Gopher rule (`CorpusFilters.repetitionStats` top-bigram fraction)
+    * via the shuffle-free array expression `TextOps.topNgramFraction` —
+    * the whole gate stays a stateless projection ahead of the
+    * watermark-scoped dedup (default 1.0 = off, matching pre-existing
+    * feeds that tuned only quality). */
   def cleanDocuments(docs: DataFrame, textCol: String = "text",
       tsCol: String = "ts", watermark: String = "10 minutes",
-      minTokens: Int = 5, minQuality: Double = 0.2): DataFrame = {
+      minTokens: Int = 5, minQuality: Double = 0.2,
+      maxTopBigramFrac: Double = 1.0): DataFrame = {
     require(docs.isStreaming,
       "cleanDocuments is the streaming twin; batch feeds use Dedup.exactDedup + the p_quality filters")
     val t = TextOps.tokens(col(textCol))
@@ -133,7 +140,9 @@ object StreamingIngest {
       .withColumn("n_tokens", size(t).cast("long"))
       .withColumn("quality", TextOps.qualityScore(col(textCol), t))
       .withColumn("en_ratio", TextOps.enStopwordRatio(t))
-      .where(col("n_tokens") >= minTokens && col("quality") >= minQuality)
+      .withColumn("top_bigram_frac", TextOps.topNgramFraction(t, 2))
+      .where(col("n_tokens") >= minTokens && col("quality") >= minQuality &&
+        col("top_bigram_frac") <= maxTopBigramFrac)
       .dropDuplicatesWithinWatermark("content_hash")
   }
 }

@@ -64,6 +64,22 @@ object ScaleProbe {
         .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_tokens"),
           countDistinct("tok").as("n_distinct")).count()
     }
+    // corpus-quality filters: all keyed by doc id (or the bounded bucket
+    // key) — each should scale linearly in corpus tokens
+    import graft.ext.CorpusFilters
+    val bench = base.limit(250).select("doc_id", "text")
+    time("decontaminate") {
+      CorpusFilters.decontaminate(big, bench).where(col("contaminated") === 1).count()
+    }
+    time("gopher_repetition") {
+      CorpusFilters.repetitionStats(big).where(col("repetition_keep") === 1).count()
+    }
+    time("unigram_nll") {
+      CorpusFilters.unigramNll(big).count()
+    }
+    time("dsir_weight") {
+      CorpusFilters.dsirLogWeight(big, col("lang") === "en").count()
+    }
     big.unpersist(blocking = false)
 
     // trainer scaling: same 4-feature lineitem regression at 1× and

@@ -169,6 +169,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming repetition gate agrees with the batch Gopher top-bigram rule") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, round}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val clean = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val loopy = "buy now buy now buy now buy now buy now buy now buy now please"
+    // batch side: the keyed-aggregation fraction on the same two docs
+    val batchFrac = graft.ext.CorpusFilters
+      .repetitionStats(Seq((1L, clean), (2L, loopy)).toDF("doc_id", "text"))
+      .select("doc_id", "top_bigram_frac").as[(Long, Double)].collect().toMap
+    assert(batchFrac(2L) > 0.5 && batchFrac(1L) < 0.2)
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val cleaned = graft.streaming.StreamingIngest.cleanDocuments(
+      stream.toDF().toDF("ts", "text"), watermark = "1 minute", minTokens = 5,
+      minQuality = 0.0, maxTopBigramFrac = 0.3)
+    val q = cleaned.writeStream.format("memory").queryName("rep_gate_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((ts(0), clean), (ts(1), loopy)))
+      q.processAllAvailable()
+      val out = spark.table("rep_gate_sink")
+        .select(col("text"), round(col("top_bigram_frac"), 5).as("f"))
+        .as[(String, Double)].collect().toMap
+      assert(out.contains(clean) && !out.contains(loopy),
+        s"repetitive doc must be gated out: ${out.keySet.map(_.take(20))}")
+      // the shuffle-free array expression computes the identical fraction
+      assert(math.abs(out(clean) - batchFrac(1L)) < 1e-9)
+    } finally q.stop()
+  }
+
   test("continuous training: micro-batches extend the ensemble and reduce error") {
     import spark.implicits._
     import graft.streaming.StreamingTrainer
