@@ -199,6 +199,42 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    * k-means cells + within-cell pairwise cosine. A document is flagged as
+    * a semantic duplicate iff some LOWER-id document in the same cell has
+    * cosine ≥ `threshold` — the min-id-canonical convention shared with
+    * [[Dedup.exactDedup]]/`connectedComponents` (the paper sorts each
+    * cluster and keeps one representative per above-threshold group; the
+    * smaller-id-wins rule is that greedy with document id as the sort key).
+    * Returns one row per corpus row: (vec_id, cell, n_sem_dups, max_cos,
+    * kept 0/1). For exact transitive clusters, feed the within-cell pairs
+    * into `Dedup.connectedComponents` instead.
+    *
+    * Scale design: centroids broadcast (k × dim doubles — k grows with the
+    * corpus, the paper uses k ≈ √n, so the table stays tiny relative to
+    * data); assignment is map-only; the self-join is an equi-join on the
+    * cell id, so per-cell work is |cell|² with |cell| ≈ n/k bounded by
+    * the quantizer — never a corpus cross-join. */
+  def semDedup(corpus: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double, roundDigits: Int = 5): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      ivfCells(col("embedding"), centroids, 1)(0).as("cell"),
+      l2Norm(col("embedding")).as("nrm"))
+    val dups = b.as("a").join(b.as("c"),
+        col("a.cell") === col("c.cell") && col("a.vec_id") < col("c.vec_id"))
+      .select(col("c.vec_id").as("vec_id"),
+        round(dot(col("a.embedding"), col("c.embedding")) / (col("a.nrm") * col("c.nrm")),
+          roundDigits).as("cos"))
+      .where(col("cos") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_sem_dups"), max(col("cos")).as("max_cos"))
+    b.select(col("vec_id"), col("cell")).join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_sem_dups"), lit(0L)).as("n_sem_dups"),
+        coalesce(col("max_cos"), lit(0.0)).as("max_cos"),
+        (coalesce(col("n_sem_dups"), lit(0L)) === 0).cast("long").as("kept"))
+  }
+
   /** The SQL text of `dot` in the DuckDB dialect over 1-indexed lists. */
   def dotSql(a: String, b: String, dim: Int): String =
     s"list_sum(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"

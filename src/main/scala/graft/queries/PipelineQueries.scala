@@ -209,6 +209,13 @@ object PipelineQueries {
       Similarity.embedDupPairs(table(s, dir, "embeddings"), planes, threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
+    // SemDeDup: k-means-cell semantic dedup — every doc flagged iff a
+    // smaller-id doc in its cell is within cosine threshold (min-id
+    // canonical); same 8-centroid coarse quantizer as p_ann_ivf
+    "p_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(table(s, dir, "embeddings"), ivfCentroids, threshold = 0.35)
+        .orderBy("vec_id")),
+
     // stopword-profile language-ID heuristic
     "p_lang_id" -> ((s, dir) => {
       val t = TextOps.tokens(col("text"))
@@ -717,6 +724,34 @@ object PipelineQueries {
          |)
          |SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4
          |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "p_semdedup" -> {
+      val dp = Similarity.dotSql("a.embedding", "c.embedding", 64)
+      val na = s"sqrt(${Similarity.dotSql("a.embedding", "a.embedding", 64)})"
+      val nc = s"sqrt(${Similarity.dotSql("c.embedding", "c.embedding", 64)})"
+      s"""WITH cd AS (
+         |  SELECT vec_id, embedding, ${ivfDistCols("embedding")} FROM embeddings
+         |), cm AS (
+         |  SELECT *, $ivfLeastAll AS m FROM cd
+         |), cells AS (
+         |  SELECT vec_id, embedding, $ivfCellCase AS cell FROM cm
+         |), dup0 AS (
+         |  SELECT c.vec_id AS vec_id,
+         |    round(($dp) / (($na) * ($nc)), 5) AS cos
+         |  FROM cells a JOIN cells c ON a.cell = c.cell AND a.vec_id < c.vec_id
+         |), dup AS (
+         |  SELECT * FROM dup0 WHERE cos >= 0.35
+         |), agg AS (
+         |  SELECT vec_id, count(*) AS n_sem_dups, max(cos) AS max_cos
+         |  FROM dup GROUP BY vec_id
+         |)
+         |SELECT cells.vec_id, CAST(cell AS INT) AS cell,
+         |  CAST(coalesce(n_sem_dups, 0) AS BIGINT) AS n_sem_dups,
+         |  coalesce(max_cos, 0.0) AS max_cos,
+         |  CAST(CASE WHEN n_sem_dups IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM cells LEFT JOIN agg ON cells.vec_id = agg.vec_id
+         |ORDER BY cells.vec_id""".stripMargin
     },
 
     "p_lang_id" ->

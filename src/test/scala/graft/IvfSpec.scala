@@ -52,4 +52,40 @@ class IvfSpec extends AnyFunSuite {
     val recall = (ivf & brute).size.toDouble / brute.size
     assert(recall > 0.9, s"nprobe=1 recall $recall")
   }
+
+  test("semDedup flags exactly the docs with a smaller-id in-cell near-duplicate") {
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    // base corpus + jittered copies of every 5th vector (the semantic dups)
+    val base = corpus.as[(Long, Seq[Float])].collect()
+    val copies = base.filter(_._1 % 5 == 0).map { case (id, v) =>
+      (1000L + id, v.map(x => x + rng.nextGaussian().toFloat * 0.01f))
+    }
+    val all = (base ++ copies).toSeq.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(all, k = 3, sampleRows = 2000, iters = 10)
+    val out = Similarity.semDedup(all, cents, threshold = 0.999)
+      .select("vec_id", "kept").as[(Long, Long)].collect().toMap
+    assert(out.size == base.length + copies.length)
+    // brute-force oracle of the rule: removed iff exists smaller-id vector
+    // in the same cell with rounded cosine >= threshold
+    def cell(v: Seq[Float]): Int = cents.zipWithIndex.minBy { case (c, _) =>
+      c.zip(v).map { case (a, b) => (a - b.toDouble) * (a - b.toDouble) }.sum
+    }._2
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      math.rint(dp / (na * nb) * 1e5) / 1e5
+    }
+    val rows = (base ++ copies).map { case (id, v) => (id, v, cell(v)) }
+    val expectRemoved = rows.filter { case (id, v, c) =>
+      rows.exists { case (j, w, cj) => j < id && cj == c && cos(v, w) >= 0.999 }
+    }.map(_._1).toSet
+    assert(expectRemoved.nonEmpty, "fixture must contain semantic dups")
+    val gotRemoved = out.filter(_._2 == 0L).keySet
+    assert(gotRemoved == expectRemoved,
+      s"missing=${expectRemoved -- gotRemoved} extra=${gotRemoved -- expectRemoved}")
+    // every jittered copy whose source shares its cell must be flagged
+    assert(copies.map(_._1).count(gotRemoved) >= copies.length / 2)
+  }
 }
