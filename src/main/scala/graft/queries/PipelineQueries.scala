@@ -216,6 +216,20 @@ object PipelineQueries {
       Similarity.semDedup(table(s, dir, "embeddings"), ivfCentroids, threshold = 0.35)
         .orderBy("vec_id")),
 
+    // learned quality-filter scoring: hashed-BoW (64 buckets, raw counts)
+    // through the codegen dot-product kernel against a pinned literal
+    // gblinear model — the map-only inference path of QualityClassifier
+    // (training itself is pinned by the t_hash_quality_clf digest)
+    "p_quality_clf" -> ((s, dir) => {
+      val scored = graft.ext.QualityClassifier.scoreDocs(
+        table(s, dir, "documents").where(col("doc_id") < 100),
+        qcModel, numBuckets = 64, sublinearTf = false)
+      scored.select(col("doc_id"),
+        round(col("quality_margin"), 5).as("quality_margin"),
+        (col("quality_margin") > 0).cast("long").as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // stopword-profile language-ID heuristic
     "p_lang_id" -> ((s, dir) => {
       val t = TextOps.tokens(col("text"))
@@ -387,6 +401,14 @@ object PipelineQueries {
 
   // fixed 8-cell IVF coarse quantizer, likewise shared as literals
   private val ivfCentroids: Array[Array[Double]] = Similarity.hyperplanes(8, 64, seed = 7L)
+
+  /** Pinned literal quality-filter model for the p_quality_clf scoring
+    * row: deterministic seeded weights (the model under test is the
+    * SCORING path; training is pinned by t_hash_quality_clf). */
+  private val qcWeights: Array[Double] = Similarity.hyperplanes(1, 64, seed = 19L)(0).map(_ / 8.0)
+  private val qcModel = graft.linear.LinearModel(
+    qcWeights, bias = 0.05, baseScore = 0.0,
+    objective = "binary:logistic", numFeatures = 64)
 
   // ---- oracle SQL ----------------------------------------------------------
 
@@ -752,6 +774,26 @@ object PipelineQueries {
          |  CAST(CASE WHEN n_sem_dups IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM cells LEFT JOIN agg ON cells.vec_id = agg.vec_id
          |ORDER BY cells.vec_id""".stripMargin
+    },
+
+    "p_quality_clf" -> {
+      val w = Similarity.planeSql(qcWeights)
+      val bucket = s"(${TextOps.hash60Sql("tk")} % 64)"
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE doc_id < 100
+         |), f AS (
+         |  SELECT doc_id, list_transform(range(0, 64), b ->
+         |    CAST(len(list_filter(toks, tk -> $bucket = b)) AS DOUBLE)) AS bow
+         |  FROM t
+         |), m AS (
+         |  SELECT doc_id,
+         |    list_sum(list_transform(range(1, 65), i -> bow[i] * ($w)[i])) + 0.05 AS margin
+         |  FROM f
+         |)
+         |SELECT doc_id, round(margin, 5) AS quality_margin,
+         |  CAST(margin > 0 AS BIGINT) AS kept
+         |FROM m ORDER BY doc_id""".stripMargin
     },
 
     "p_lang_id" ->

@@ -297,6 +297,20 @@ object TrainQueries {
       Seq((md5Hex(canon), lm.numFeatures)).toDF("model_md5", "n_features")
     }),
 
+    // learned corpus-quality filter: hashed-BoW featurization into the
+    // engine's own gblinear logistic (the fastText/DataComp shape) —
+    // pins featurizer (JVM hash60) + weak labels + coord_descent together
+    "t_hash_quality_clf" -> ((s, _) => {
+      val lm = graft.ext.QualityClassifier.trainFilter(
+        goldenDocs(s), numBuckets = 64,
+        params = graft.linear.LinearParams(objective = "binary:logistic",
+          numRounds = 5, eta = 0.5, lambda = 1.0, updater = "coord_descent", seed = 7))
+      import s.implicits._
+      val canon = (lm.weights.map(fmt) :+ fmt(lm.bias) :+ fmt(lm.baseScore))
+        .mkString(lm.objective + "|", ",", "")
+      Seq((md5Hex(canon), lm.numFeatures)).toDF("model_md5", "n_features")
+    }),
+
     // multiclass gblinear (softmax lanes — ref num_output_group > 1)
     "t_hash_linear_multi" -> ((s, _) => {
       val lm = new graft.linear.GBLinearTrainer(graft.linear.LinearParams(
@@ -335,7 +349,9 @@ object TrainQueries {
     "t_hash_linear" ->
       "SELECT '24887bb85f773245b342170bc64f92cf' AS model_md5, 6 AS n_features",
     "t_hash_linear_multi" ->
-      "SELECT '02da7db622f699f653f0d1996d5cb22e' AS model_md5, 6 AS n_features")
+      "SELECT '02da7db622f699f653f0d1996d5cb22e' AS model_md5, 6 AS n_features",
+    "t_hash_quality_clf" ->
+      "SELECT '85b2016a40e4242b20719e1d00edb6d2' AS model_md5, 64 AS n_features")
 
   /** Fixture params: small enough to add ~1 s per row to bench, deep
     * enough to exercise sketch→bin→grow→leaf on every path. */
@@ -367,6 +383,25 @@ object TrainQueries {
       }
       (f, y.toDouble, 1.0)
     }
+
+  /** SF-independent document fixture for the learned quality filter:
+    * 2000 seeded docs, half drawn from a stopword-rich "good" vocabulary
+    * and half from symbol-noise — a separable weak-label problem whose
+    * fit is reproducible byte-for-byte (one partition, splittable
+    * per-index seed, deterministic token draws). */
+  private def goldenDocs(s: SparkSession) = {
+    val good = Array("the", "a", "of", "and", "to", "in", "is", "it",
+      "fox", "river", "story", "plain", "words", "fine", "clear", "day")
+    val bad = Array("zxq", "qqj9", "x#!", "%%%", "kkkk", "vvv2", "jjj",
+      "zz@", "???", "&&&", "mm9m", "qq~")
+    val rows = s.sparkContext.parallelize(0 until 2000, 1).map { i =>
+      val rng = new java.util.Random(0x5DEECE66DL ^ (i.toLong * 0x9E3779B97F4A7C15L))
+      val vocab = if (i % 2 == 0) good else bad
+      val n = 8 + rng.nextInt(40)
+      (i.toLong, Array.fill(n)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    s.createDataFrame(rows).toDF("doc_id", "text")
+  }
 
   private def fmt(v: Double): String = f"$v%.6e" // absorbs last-ulp noise
 
