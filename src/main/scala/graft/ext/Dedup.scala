@@ -72,6 +72,43 @@ object Dedup {
         }: _*)
   }
 
+  /** Shuffle-free per-ROW MinHash signature: the same slot math as
+    * [[minhashSignatures]] (group-salted md5, Kirsch–Mitzenmacher double
+    * hashing, min over shingles — bit-identical output) but spelled as
+    * array expressions over the row's own shingle set, so it works as a
+    * stateless projection in Structured Streaming gates
+    * ([[graft.streaming.StreamingIngest]]). Per-row cost is
+    * O(shingles × ⌈k/64⌉) md5s — fine for bounded stream documents;
+    * unbounded batch corpora use the explode→aggregate shape instead
+    * (giant documents would inflate one task's expression tree here).
+    * Adds `outCol` as array<long> of length `numHashes`; documents with
+    * no shingles get an empty array. */
+  def withMinhashSignature(df: DataFrame, textCol: String,
+      outCol: String, numHashes: Int, shingleN: Int = 3): DataFrame = {
+    val numGroups = (numHashes + HashesPerGroup - 1) / HashesPerGroup
+    // materialize (h1_g, h2_g) per shingle as an ATTRIBUTE first: the k
+    // per-slot aggregates below would otherwise each re-inline the md5
+    // subtree (same re-inlining hazard as the batch shape's tokens)
+    val hs = transform(
+      TextOps.shingles(TextOps.tokens(col(textCol)), shingleN),
+      s => struct((0 until numGroups).flatMap { g =>
+        val m = md5(saltedShingle(s, g))
+        Seq(conv(substring(m, 1, 15), 16, 10).cast("long").as(s"h1_$g"),
+          conv(substring(m, 17, 14), 16, 10).cast("long").as(s"h2_$g"))
+      }: _*))
+    val slots = (0 until numHashes).map { k =>
+      val g = k / HashesPerGroup
+      val j = k % HashesPerGroup
+      array_min(transform(col("_graft_hs"),
+        h => h.getField(s"h1_$g") + lit(j.toLong) * h.getField(s"h2_$g")))
+    }
+    df.withColumn("_graft_hs", hs)
+      .withColumn(outCol,
+        when(size(col("_graft_hs")) > 0, array(slots: _*))
+          .otherwise(array().cast("array<bigint>")))
+      .drop("_graft_hs")
+  }
+
   /** Per-document LSH bucket rows: (id, band, key) where key hashes
     * `rowsPerBand` consecutive signature slots. Near-duplicates agree on
     * ≥1 band key with high probability (s-curve of banded MinHash). Band

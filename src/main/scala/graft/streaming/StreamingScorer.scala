@@ -126,15 +126,27 @@ object StreamingIngest {
     * via the shuffle-free array expression `TextOps.topNgramFraction` —
     * the whole gate stays a stateless projection ahead of the
     * watermark-scoped dedup (default 1.0 = off, matching pre-existing
-    * feeds that tuned only quality). */
+    * feeds that tuned only quality).
+    *
+    * `nearDupHashes` > 0 upgrades the dedup key from the exact content
+    * hash to a k-hash MinHash signature (`Dedup.withMinhashSignature`,
+    * bit-identical slot math to the batch miner): documents whose SHINGLE
+    * SETS coincide — reordered, re-wrapped, or boilerplate-identical text
+    * — collapse even when their bytes differ. Signature equality is the
+    * AND over all k hashes (P = J^k), so this is the near-exact tier of
+    * near-dedup; the banded OR-semantics tier (catching J ≈ 0.8) stays a
+    * batch sweep (`Dedup.nearDupPairs`) because any-band matching needs
+    * cross-key state that a single watermark-scoped dedup cannot hold.
+    * Exact duplicates have equal signatures, so the exact tier is
+    * subsumed; `content_hash` stays in the output for audit. */
   def cleanDocuments(docs: DataFrame, textCol: String = "text",
       tsCol: String = "ts", watermark: String = "10 minutes",
       minTokens: Int = 5, minQuality: Double = 0.2,
-      maxTopBigramFrac: Double = 1.0): DataFrame = {
+      maxTopBigramFrac: Double = 1.0, nearDupHashes: Int = 0): DataFrame = {
     require(docs.isStreaming,
       "cleanDocuments is the streaming twin; batch feeds use Dedup.exactDedup + the p_quality filters")
     val t = TextOps.tokens(col(textCol))
-    docs
+    val gated = docs
       .withWatermark(tsCol, watermark)
       .withColumn("content_hash", md5(col(textCol)))
       .withColumn("n_tokens", size(t).cast("long"))
@@ -143,7 +155,17 @@ object StreamingIngest {
       .withColumn("top_bigram_frac", TextOps.topNgramFraction(t, 2))
       .where(col("n_tokens") >= minTokens && col("quality") >= minQuality &&
         col("top_bigram_frac") <= maxTopBigramFrac)
-      .dropDuplicatesWithinWatermark("content_hash")
+    if (nearDupHashes <= 0) gated.dropDuplicatesWithinWatermark("content_hash")
+    else {
+      graft.ext.Dedup.withMinhashSignature(gated, textCol, "minhash_sig", nearDupHashes)
+        .withColumn("dedup_key",
+          // empty signature (no shingles) → fall back to the exact hash
+          // so shingle-less short docs don't all collapse onto one key
+          when(size(col("minhash_sig")) > 0, concat_ws("_", col("minhash_sig")))
+            .otherwise(col("content_hash")))
+        .dropDuplicatesWithinWatermark("dedup_key")
+        .drop("dedup_key")
+    }
   }
 }
 

@@ -34,4 +34,25 @@ class DedupSkewSpec extends AnyFunSuite {
     val uncapped = Dedup.candidatePairs(buckets, maxBucketSize = 1000000).count()
     assert(uncapped >= 400L * 399 / 2, s"uncapped should flood: $uncapped")
   }
+
+  test("withMinhashSignature is bit-identical to the explode-aggregate batch shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rng = new scala.util.Random(9)
+    val docs = ((0 until 40).map { i =>
+      (i.toLong, (0 until 5 + rng.nextInt(40)).map(_ => s"w${rng.nextInt(200)}").mkString(" "))
+    } :+ (99L, "xx")) // shingle-less short doc
+      .toDF("doc_id", "text")
+    val k = 96 // spans two salt groups
+    val arr = Dedup.withMinhashSignature(docs, "text", "sig", k)
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    val agg = Dedup.minhashSignatures(docs, "text", col("doc_id"), k)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(j => r.getLong(j))).toMap
+    // shingle-less docs drop out of the aggregate shape, get [] in the row shape
+    assert(arr(99L).isEmpty && !agg.contains(99L))
+    agg.foreach { case (id, sig) =>
+      assert(arr(id) == sig, s"doc $id: row-shape and batch-shape signatures differ")
+    }
+    assert(agg.size == 40)
+  }
 }

@@ -200,6 +200,32 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup gate collapses shingle-set-identical docs within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // rotations share the same SHINGLE SET but different bytes
+    val rotA = "alpha beta gamma alpha beta gamma"
+    val rotB = "beta gamma alpha beta gamma alpha"
+    val other = "an unrelated document with plenty of ordinary tokens inside it"
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val cleaned = graft.streaming.StreamingIngest.cleanDocuments(
+      stream.toDF().toDF("ts", "text"), watermark = "1 minute", minTokens = 5,
+      minQuality = 0.0, nearDupHashes = 16)
+    val q = cleaned.writeStream.format("memory").queryName("neardup_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((ts(0), rotA), (ts(1), rotB), (ts(2), other), (ts(3), other)))
+      q.processAllAvailable()
+      val out = spark.table("neardup_sink").select("text").as[String].collect()
+      assert(out.count(_ == other) == 1, "exact dup must still collapse")
+      assert((out.contains(rotA) && !out.contains(rotB)) ||
+        (out.contains(rotB) && !out.contains(rotA)),
+        s"byte-different shingle-set-identical docs must collapse to one: ${out.toSeq}")
+      assert(out.length == 2)
+    } finally q.stop()
+  }
+
   test("continuous training: micro-batches extend the ensemble and reduce error") {
     import spark.implicits._
     import graft.streaming.StreamingTrainer
