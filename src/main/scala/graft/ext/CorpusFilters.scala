@@ -130,6 +130,49 @@ object CorpusFilters {
       sum(col("c") * col("nll_micro")).as("nll_micro_total"))
   }
 
+  /** Per-document NLL under the corpus BIGRAM LM with Jelinek–Mercer
+    * interpolation to the unigram (the CCNet/KenLM perplexity-filter
+    * ladder, one rung up from [[unigramNll]]):
+    * nll(doc) = Σ_bigrams −ln( λ·c(w1w2)/c(w1·) + (1−λ)·c(w2)/N )
+    * where c(w1·) is the bigram-context count (Σ over bigrams starting
+    * w1 — NOT c(w1), which over-counts document-final tokens) and N the
+    * corpus token total. Reported as integer micro-nats
+    * (`nll_micro_total`) with `n_bigrams`, so callers derive mean
+    * NLL/perplexity. Documents with fewer than 2 tokens have no bigrams
+    * and drop out (they are [[unigramNll]]'s territory).
+    *
+    * Scale: both count tables are vocabulary-sized (unbounded), so every
+    * lookup is a shuffle join by design — same reasoning as
+    * [[unigramNll]]/TF-IDF. The interpolation keeps every probability
+    * strictly positive (c(w2) ≥ 1 for any observed token), so no
+    * smoothing constants beyond λ. */
+  def bigramNll(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", lambda: Double = 0.9): DataFrame = {
+    require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    val perDocBi = docs
+      .select(col(idCol),
+        explode(TextOps.ngramsAll(TextOps.tokens(col(textCol)), 2)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    val biCounts = perDocBi.groupBy("g").agg(sum("c").as("cb"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+      .withColumn("w2", substring_index(col("g"), " ", -1))
+    val ctx = biCounts.groupBy("w1").agg(sum("cb").as("cctx"))
+    val uniDoc = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+    val uni = uniDoc.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum("cu").as("n"))
+    val scored = biCounts
+      .join(ctx, "w1")
+      .join(uni.withColumnRenamed("tok", "w2"), "w2")
+      .crossJoin(broadcast(total)) // 1-row scalar broadcast
+      .select(col("g"), microNats(-log(
+        lit(lambda) * col("cb") / col("cctx") +
+          lit(1.0 - lambda) * col("cu") / col("n"))).as("nll_micro"))
+    perDocBi.join(scored, "g").groupBy(col(idCol)).agg(
+      sum("c").as("n_bigrams"),
+      sum(col("c") * col("nll_micro")).as("nll_micro_total"))
+  }
+
   /** End-to-end curation pipeline in production stage order: exact dedup
     * → Gopher repetition gate → benchmark decontamination → deterministic
     * stratified sample. Returns the surviving rows of `docs` with all

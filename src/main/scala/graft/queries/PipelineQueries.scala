@@ -371,6 +371,12 @@ object PipelineQueries {
       CorpusFilters.unigramNll(table(s, dir, "documents"))
         .orderBy("doc_id")),
 
+    // bigram-LM perplexity filter (Jelinek–Mercer interpolation to the
+    // unigram) — the CCNet ladder one rung above p_unigram_nll
+    "p_bigram_nll" -> ((s, dir) =>
+      CorpusFilters.bigramNll(table(s, dir, "documents"))
+        .orderBy("doc_id")),
+
     // DSIR importance log-weight toward the lang='en' target slice over
     // 512 hashed unigram buckets (bounded → broadcast lookup)
     "p_dsir_weight" -> ((s, dir) =>
@@ -963,6 +969,41 @@ object PipelineQueries {
         |SELECT pd.doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
         |  CAST(sum(c * nll_micro) AS BIGINT) AS nll_micro_total
         |FROM pd JOIN sc USING (tok) GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin,
+
+    "p_bigram_nll" -> {
+      val lam = 0.9
+      // the backoff weight is emitted from the SAME Scala double the
+      // Spark plan uses (1.0 - 0.9 is not the literal 0.1)
+      val mix = s"$lam * cb / cctx + ${1.0 - lam} * cu / n"
+      s"""WITH tok AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+         |), bg AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS g
+         |  FROM tok WHERE len(toks) >= 2
+         |), pd AS (
+         |  SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+         |), b AS (
+         |  SELECT g, sum(c) AS cb,
+         |    split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2
+         |  FROM pd GROUP BY g
+         |), ctx AS (
+         |  SELECT w1, sum(cb) AS cctx FROM b GROUP BY w1
+         |), u AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+         |), uc AS (
+         |  SELECT tok, count(*) AS cu FROM u GROUP BY tok
+         |), tot AS (
+         |  SELECT sum(cu) AS n FROM uc
+         |), sc AS (
+         |  SELECT g,
+         |    CAST(round((0 - ln($mix)) * 1000000, 0) AS BIGINT) AS nll_micro
+         |  FROM b JOIN ctx USING (w1) JOIN uc ON b.w2 = uc.tok, tot
+         |)
+         |SELECT pd.doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(c * nll_micro) AS BIGINT) AS nll_micro_total
+         |FROM pd JOIN sc USING (g) GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin
+    },
 
     // DSIR hashed-unigram importance log-weight vs the lang='en' target,
     // add-1 smoothing over 512 buckets, micro-nat quantization per bucket

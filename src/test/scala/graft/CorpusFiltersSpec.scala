@@ -63,6 +63,30 @@ class CorpusFiltersSpec extends AnyFunSuite {
     assert(out(2)._3 / out(2)._2 > out(0)._3 / out(0)._2)
   }
 
+  test("bigramNll: hand-computed interpolated probabilities") {
+    import spark.implicits._
+    // corpus bigrams: "a b" x2 (docs 1,2), "b a" x1 (doc 2), "c c" x1 (doc 3)
+    // contexts: c(a·)=2, c(b·)=1, c(c·)=1; unigrams: a=3 b=2 c=2 solo=1, N=8
+    val docs = Seq(
+      (1L, "a b"),
+      (2L, "a b a"),
+      (3L, "c c"),
+      (4L, "solo") // 1 token -> no bigrams -> drops out
+    ).toDF("doc_id", "text")
+    val out = CorpusFilters.bigramNll(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    def micro(p: Double) = math.rint(-math.log(p) * 1e6).toLong
+    val pAB = 0.9 * 2.0 / 2.0 + (1.0 - 0.9) * 2.0 / 8.0 // p(b|a)
+    val pBA = 0.9 * 1.0 / 1.0 + (1.0 - 0.9) * 3.0 / 8.0 // p(a|b)
+    val pCC = 0.9 * 1.0 / 1.0 + (1.0 - 0.9) * 2.0 / 8.0 // p(c|c)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(out(0) == ((1L, 1L, micro(pAB))))
+    assert(out(1) == ((2L, 2L, micro(pAB) + micro(pBA))))
+    assert(out(2) == ((3L, 1L, micro(pCC))))
+    // interpolation keeps every observed bigram strictly positive
+    assert(out.forall(_._3 > 0L))
+  }
+
   test("curate applies dedup, repetition, and contamination gates in order") {
     import spark.implicits._
     val clean = "w1 w2 w3 w4 w5 w6 w7 w8 w9 wa wb wc wd we wf wg"
