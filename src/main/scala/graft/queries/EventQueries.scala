@@ -21,12 +21,27 @@ import org.apache.spark.sql.functions._
   * keying a `session_window` stream would state-partition on. */
 object EventQueries {
 
-  /** The events table carries TIMESTAMP(NANOS) — Spark 4 rejects it unless
-    * read as raw nanos-since-epoch longs; all time math below is then exact
-    * integer division, mirrored by `epoch_ns(ts) // n` in the oracle. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  /** Events with `ts` normalized to epoch NANOSECONDS as a long, whatever
+    * the parquet physical type: TIMESTAMP(NANOS) files are read as raw
+    * nanos longs (Spark 4 rejects them otherwise), TIMESTAMP(MICROS) files
+    * arrive as TIMESTAMP_NTZ/TIMESTAMP and are converted via `unix_micros`
+    * under a UTC session zone — the same naive-epoch interpretation
+    * DuckDB's `epoch_ns(ts)` applies in the oracle. All time math below is
+    * then exact integer division on the ns long, mirrored by
+    * `epoch_ns(ts) // n`. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => raw
+      case _ =>
+        // NTZ→LTZ cast reads the naive micros in the session zone; pin it
+        // to UTC so the stored micros pass through unchanged (the engine's
+        // event-time contract, matching the oracle's naive epoch_ns)
+        s.conf.set("spark.sql.session.timeZone", "UTC")
+        raw.withColumn("ts",
+          (unix_micros(col("ts").cast("timestamp")) * lit(1000L)).as("ts"))
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -103,10 +103,9 @@ class StreamingSpec extends AnyFunSuite {
     // batch twin: (user_id, n_sessions, n_events) with a 30-min gap
     val batch = graft.queries.EventQueries.queries("e_sessionize")(spark, dir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
-    // stream the same events (nanos → whole-second timestamps; the batch
+    // stream the same events (epoch-ns → whole-second timestamps; the batch
     // query floors to seconds too, so session boundaries are identical)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$dir/events.parquet")
+    val events = graft.queries.EventQueries.events(spark, dir)
       .selectExpr("user_id", "ts div 1000000000 AS sec")
       .collect().map(r => (r.getLong(0), new java.sql.Timestamp(r.getLong(1) * 1000L)))
     val stream = MemoryStream[(Long, java.sql.Timestamp)]
