@@ -18,10 +18,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Normalize IEEE -0.0 → +0.0 on every float/double output column:
+    // the driver's compare stringifies values, so a rounded-to-zero column
+    // that lands on the negative side of zero would hash-mismatch a
+    // mathematically identical oracle value ("-0.0" vs "0.0").
+    // `c === 0.0` is true for both zeros; NaN and null fall through.
+    def dropNegZero(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      import org.apache.spark.sql.types.{DoubleType, FloatType}
+      df.select(df.schema.fields.map { f => f.dataType match {
+        case DoubleType => when(col(f.name) === lit(0.0), lit(0.0))
+          .otherwise(col(f.name)).as(f.name)
+        case FloatType => when(col(f.name) === lit(0.0f), lit(0.0f))
+          .otherwise(col(f.name)).as(f.name)
+        case _ => col(f.name)
+      }}: _*)
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try dropNegZero(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -60,9 +60,17 @@ object CorpusFilters {
     * n-gram key. */
   def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ngrams = TextOps.shingles(TextOps.tokens(col(textCol)), n)
-    val benchNg = benchmark.select(explode(ngrams).as("ngram")).distinct()
-    val overlap = docs.select(col(idCol), explode(ngrams).as("ngram"))
+    // tokens materialize as an ATTRIBUTE before the shingle lambda (the
+    // Dedup.minhashSignatures pattern): an inlined split() subtree would
+    // be re-evaluated at every element_at inside the transform —
+    // O(tokens²) regex work per document.
+    val benchNg = benchmark
+      .select(TextOps.tokens(col(textCol)).as("_toks"))
+      .select(explode(TextOps.shingles(col("_toks"), n)).as("ngram"))
+      .distinct()
+    val overlap = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(TextOps.shingles(col("_toks"), n)).as("ngram"))
       .join(broadcast(benchNg), "ngram")
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
     docs.select(col(idCol)).join(overlap, Seq(idCol), "left").select(
@@ -84,22 +92,35 @@ object CorpusFilters {
   def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", topBigramMax: Double = 0.20,
       dupTrigramMax: Double = 0.18): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
-    val base = docs.select(col(idCol), size(toks).cast("long").as("n_tok"),
-      TextOps.ngramsAll(toks, 2).as("g2"), TextOps.ngramsAll(toks, 3).as("g3"))
-    val top2 = base.select(col(idCol), explode(col("g2")).as("g"))
-      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
-      .groupBy(col(idCol)).agg(max("c").as("top2"))
-    val dup3 = base.select(col(idCol), explode(col("g3")).as("g"))
-      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    // _toks materializes as an ATTRIBUTE before any n-gram lambda (the
+    // Dedup.minhashSignatures pattern — an inlined split() would be
+    // re-evaluated per element_at: O(tokens²) regex per document), and ONE
+    // exploded (doc, n, gram)→count aggregate serves both the top-bigram
+    // and dup-trigram stats (they differ only in n), instead of two
+    // separate explode+groupBy chains each recomputing the token arrays.
+    val base = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), size(col("_toks")).cast("long").as("n_tok"),
+        TextOps.ngramsAll(col("_toks"), 2).as("g2"),
+        TextOps.ngramsAll(col("_toks"), 3).as("g3"))
+    def tagged(n: Int, grams: Column): Column =
+      transform(grams, g => struct(lit(n).as("n"), g.as("g")))
+    val stats = base
+      .select(col(idCol), col("n_tok"),
+        explode(concat(tagged(2, col("g2")), tagged(3, col("g3")))).as("gn"))
+      .select(col(idCol), col("n_tok"), col("gn.n").as("n"), col("gn.g").as("g"))
+      .groupBy(col(idCol), col("n_tok"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col(idCol))
-      .agg(sum(when(col("c") >= 2, col("c") * 3).otherwise(0L)).as("dup3"))
+      .agg(max(when(col("n") === 2, col("c"))).as("top2"),
+        sum(when(col("n") === 3 && col("c") >= 2, col("c") * 3)
+          .otherwise(0L)).as("dup3"))
     val topFrac = round(
       least(coalesce(col("top2"), lit(0L)) * lit(2.0) / col("n_tok"), lit(1.0)), 5)
     val dupFrac = round(
       least(coalesce(col("dup3"), lit(0L)) * lit(1.0) / col("n_tok"), lit(1.0)), 5)
     base.select(col(idCol), col("n_tok"))
-      .join(top2, Seq(idCol), "left").join(dup3, Seq(idCol), "left")
+      .join(stats, Seq(idCol), "left")
       .select(col(idCol), col("n_tok"),
         topFrac.as("top_bigram_frac"), dupFrac.as("dup_trigram_frac"),
         (topFrac <= topBigramMax && dupFrac <= dupTrigramMax)
@@ -149,9 +170,11 @@ object CorpusFilters {
   def bigramNll(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", lambda: Double = 0.9): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
+    // _toks as an attribute first — same re-inlining hazard as
+    // [[repetitionStats]]/[[decontaminate]].
     val perDocBi = docs
-      .select(col(idCol),
-        explode(TextOps.ngramsAll(TextOps.tokens(col(textCol)), 2)).as("g"))
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), explode(TextOps.ngramsAll(col("_toks"), 2)).as("g"))
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
     val biCounts = perDocBi.groupBy("g").agg(sum("c").as("cb"))
       .withColumn("w1", substring_index(col("g"), " ", 1))

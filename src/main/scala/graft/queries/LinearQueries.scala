@@ -57,10 +57,10 @@ object LinearQueries {
         |  SELECT x1, x2, x3, x4, (SELECT avg(y) FROM t) - y AS gg FROM t
         |)
         |SELECT
-        |  round(-sum(gg * x1) / (sum(x1 * x1) + 0.1 * count(*)), 5) AS w_quantity,
-        |  round(-sum(gg * x2) / (sum(x2 * x2) + 0.1 * count(*)), 5) AS w_extendedprice,
-        |  round(-sum(gg * x3) / (sum(x3 * x3) + 0.1 * count(*)), 5) AS w_discount,
-        |  round(-sum(gg * x4) / (sum(x4 * x4) + 0.1 * count(*)), 5) AS w_tax
+        |  round(-sum(gg * x1) / (sum(x1 * x1) + 0.1 * count(*)), 5) + 0.0 AS w_quantity,
+        |  round(-sum(gg * x2) / (sum(x2 * x2) + 0.1 * count(*)), 5) + 0.0 AS w_extendedprice,
+        |  round(-sum(gg * x3) / (sum(x3 * x3) + 0.1 * count(*)), 5) + 0.0 AS w_discount,
+        |  round(-sum(gg * x4) / (sum(x4 * x4) + 0.1 * count(*)), 5) + 0.0 AS w_tax
         |FROM g""".stripMargin,
 
     // K = 3, h constant = 2·(1/3)(1−1/3); g_k = 1/3 − 1{y=k}; eta 1, λ 0.1
@@ -69,8 +69,10 @@ object LinearQueries {
       def g(k: Int) = s"(CASE WHEN y = $k THEN 1.0/3.0 - 1.0 ELSE 1.0/3.0 END)"
       def db(k: Int) = s"(-(sum(${g(k)})) / ($h * count(*)))"
       val cols = (for (k <- 0 until 3; f <- 1 to 4) yield
+        // `+ 0.0` collapses IEEE -0.0 (DuckDB round() of a tiny negative)
+        // to +0.0 so the driver's stringifying hash agrees with Spark.
         s"round(-(sum(${g(k)} * x$f) + ${db(k)} * $h * sum(x$f)) / " +
-          s"($h * sum(x$f * x$f) + 0.1 * count(*)), 5) AS w${k}_x${f}"
+          s"($h * sum(x$f * x$f) + 0.1 * count(*)), 5) + 0.0 AS w${k}_x${f}"
       ).mkString(",\n        |  ")
       s"""WITH t AS (
         |  SELECT l_quantity AS x1, l_extendedprice AS x2, l_discount AS x3, l_tax AS x4,

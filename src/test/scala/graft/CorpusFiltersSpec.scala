@@ -105,6 +105,27 @@ class CorpusFiltersSpec extends AnyFunSuite {
     assert(CorpusFilters.curate(docs, bench, "lang", Map.empty, 0.0).count() == 0L)
   }
 
+  test("n-gram stages keep tokens materialized as an attribute (no split() re-inlining)") {
+    import spark.implicits._
+    // Guard for the O(tokens²) hazard: if the split() tokenizer subtree is
+    // ever re-inlined into the shingle/ngram transform lambdas (one copy
+    // per element_at), the executed-plan string sprouts a split() per
+    // n-gram position — dozens per scan. Materialized as an attribute,
+    // each scan of the docs table evaluates split() exactly once, so the
+    // total count stays at the number of distinct text scans in the plan.
+    val docs = Seq((1L, "a b c d e f g h i j"), (2L, "k l m n o p q r s t"))
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    def splits(df: org.apache.spark.sql.DataFrame): Int =
+      "split\\(".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val rep = splits(CorpusFilters.repetitionStats(docs))
+    val dec = splits(CorpusFilters.decontaminate(docs, bench))
+    val big = splits(CorpusFilters.bigramNll(docs))
+    assert(rep <= 3, s"repetitionStats re-inlines split(): $rep occurrences")
+    assert(dec <= 3, s"decontaminate re-inlines split(): $dec occurrences")
+    assert(big <= 4, s"bigramNll re-inlines split(): $big occurrences")
+  }
+
   test("dsirLogWeight: target-vocabulary docs score above corpus-average docs") {
     import spark.implicits._
     val target = (0 until 50).map(i => (i.toLong, "en", "alpha beta gamma delta"))
