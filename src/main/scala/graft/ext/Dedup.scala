@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
   * Scale design (100 TB): exact dedup is one hash-partitioned window (or
   * groupBy) on the 128-bit content hash — never a driver materialization.
   * Near-dedup NEVER goes all-pairs: candidate pairs come from a banded-LSH
-  * bucket equi-join (shuffle on the band key), so work is proportional to
-  * Σ bucket² over near-duplicate buckets, not n². Skewed buckets (boiler-
-  * plate text, empty pages) are capped by `candidatePairs(maxBucketSize)`:
-  * buckets larger than the cap are dropped before the self-join (a windowed
-  * count over the hash-partitioned (band, key) space — no driver state), so
-  * one degenerate bucket can never make the join quadratic.
+  * bucket grouping (one shuffle on the band key), so work is proportional
+  * to Σ bucket² over near-duplicate buckets, not n². Skewed buckets
+  * (boilerplate text, empty pages) are capped by
+  * `candidatePairs(maxBucketSize)`: buckets larger than the cap are
+  * dropped before pair explosion (a size() filter on the grouped bucket —
+  * no driver state), so one degenerate bucket can never make the pair
+  * count quadratic.
   */
 object Dedup {
 
@@ -124,20 +125,30 @@ object Dedup {
   }
 
   /** Candidate near-duplicate pairs (idA < idB) from shared LSH buckets —
-    * the bucket equi-join; distinct-ed because pairs can collide in several
-    * bands. Buckets larger than `maxBucketSize` are dropped first (windowed
-    * count over the hash-partitioned (band, key) space): a skewed
-    * boilerplate bucket would otherwise contribute |bucket|² pairs. Members
-    * of an over-cap bucket usually still pair through their other bands. */
+    * distinct-ed because pairs can collide in several bands. Buckets larger
+    * than `maxBucketSize` are dropped: a skewed boilerplate bucket would
+    * otherwise contribute |bucket|² pairs. Members of an over-cap bucket
+    * usually still pair through their other bands.
+    *
+    * Spelled as ONE groupBy on (band, key) collecting the member ids
+    * (bounded by the cap, so the array fits comfortably in a task) followed
+    * by an i<j pair explosion over the sorted array — NOT as a bucket
+    * self-join. A self-join evaluates the bucket-building subtree twice
+    * (once per side; the broadcast side cannot reuse the shuffle side's
+    * exchange), which for the miner means the whole shingle→md5→signature
+    * chain runs twice. The aggregate shape computes it once and replaces
+    * the windowed-count cap with a plain size() filter — one shuffle total. */
   def candidatePairs(buckets: DataFrame, maxBucketSize: Int = 1000): DataFrame = {
-    val w = Window.partitionBy(col("band"), col("key"))
-    val capped = buckets.withColumn("_bsz", count(lit(1)).over(w))
-      .where(col("_bsz") <= maxBucketSize).drop("_bsz")
-    val a = capped.as("a")
-    val b = capped.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val grouped = buckets.groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucketSize))
+    grouped
+      .select(col("ids"), posexplode(col("ids")).as(Seq("pos", "id_a")))
+      // ids is sorted ascending, so pairing each element with its strict
+      // suffix enumerates exactly the id_a < id_b pairs of the bucket
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("pos") + lit(2),
+          greatest(size(col("ids")) - col("pos") - lit(1), lit(0)))).as("id_b"))
       .distinct()
   }
 
@@ -154,7 +165,15 @@ object Dedup {
     // of the raw (id, text) rows parallelizes every downstream branch.
     val src = ensurePar(df)
     val sig = minhashSignatures(src, textCol, col(idCol).cast("long"), numHashes, shingleN)
+    // Pin the candidate list's partitioning before the verification join:
+    // AQE sizes post-shuffle partitions by BYTES, and a pair row is two
+    // longs — but each one triggers an array_intersect over the full
+    // shingle sets, so byte-based coalescing would serialize the Jaccard
+    // work into one task. Hash-partitioning on id_a keeps the verification
+    // spread across the cluster and co-partitions the first stitch join.
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val cands = candidatePairs(lshBuckets(sig, numHashes, bands), maxBucketSize)
+      .repartition(par, col("id_a"))
     val docs = src
       .select(col(idCol).cast("long").as("id"), TextOps.tokens(col(textCol)).as("_toks"))
       .select(col("id"), TextOps.shingles(col("_toks"), shingleN).as("sh"))
@@ -191,8 +210,16 @@ object Dedup {
     if (algorithm == "star")
       return connectedComponentsStar(pairs, aCol, bCol, maxIter)
     import org.apache.spark.storage.StorageLevel
-    val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val edges = half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+    // symmetrize with ONE scan of `pairs`: a union of a projection with its
+    // swap evaluates the (often expensive — e.g. the whole near-dup miner)
+    // upstream plan once per branch; the explode emits both directions
+    // from a single pass
+    val edges = pairs
+      .select(explode(array(
+        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
+        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges
@@ -260,9 +287,13 @@ object Dedup {
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val half = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-    val nodes = half.select(col("src").as("id"))
-      .union(half.select(col("dst").as("id"))).distinct()
+    // materialize the (possibly expensive) upstream pair plan ONCE; nodes
+    // and the oriented edge set both derive from the checkpointed rows
+    val half = pairs
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .localCheckpoint()
+    val nodes = half
+      .select(explode(array(col("src"), col("dst"))).as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // canonical oriented edge set (hi > lo), self-loops dropped
     var edges = half
@@ -343,15 +374,27 @@ object Dedup {
     * with map-side combine (per-doc (ngram, count) partials), output
     * bounded by the hot set, never by the corpus. */
   /** Same under-partitioned-input defense as [[nearDupPairs]]: the n-gram
-    * explode + map-side combine is narrow until the first shuffle. */
+    * explode + map-side combine is narrow until the first shuffle, so a
+    * single-row-group parquet would run all of it as one task.
+    * `getNumPartitions` compiles the plan to an RDD (no job runs) — called
+    * once per operator entry, never on an already-ensured frame; the
+    * threshold is par/2 so an input that is merely a little under the
+    * session parallelism is left alone (repartitioning it buys less than
+    * the extra exchange costs). */
   private def ensurePar(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
+    if (df.rdd.getNumPartitions < (par + 1) / 2) df.repartition(par) else df
   }
 
   def repeatedNgrams(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minDocs: Int): DataFrame =
+    repeatedNgramsOf(ensurePar(df), textCol, idCol, n, minDocs)
+
+  /** Body of [[repeatedNgrams]] over an already-parallelism-ensured frame
+    * (so [[flagRepeatedNgramDocs]] does not re-probe partition counts). */
+  private def repeatedNgramsOf(src: DataFrame, textCol: String, idCol: String,
       n: Int, minDocs: Int): DataFrame = {
-    val perDoc = ensurePar(df)
+    val perDoc = src
       .select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_toks"))
       .select(col("id"), explode(TextOps.ngramsAll(col("_toks"), n)).as("ngram"))
       // map-side pre-aggregation unit: per-(doc, ngram) occurrence count
@@ -367,7 +410,7 @@ object Dedup {
   def flagRepeatedNgramDocs(df: DataFrame, textCol: String, idCol: String,
       n: Int, minDocs: Int): DataFrame = {
     val src = ensurePar(df)
-    val hot = repeatedNgrams(src, textCol, idCol, n, minDocs).select("ngram")
+    val hot = repeatedNgramsOf(src, textCol, idCol, n, minDocs).select("ngram")
     src.select(col(idCol).as("id"), TextOps.tokens(col(textCol)).as("_toks"))
       .select(col("id"), explode(TextOps.ngramsAll(col("_toks"), n)).as("ngram"))
       .join(hot, "ngram")

@@ -37,18 +37,26 @@ object EventQueries {
       case _ =>
         // NTZ→LTZ cast reads the naive micros in the session zone; pin it
         // to UTC so the stored micros pass through unchanged (the engine's
-        // event-time contract, matching the oracle's naive epoch_ns)
+        // event-time contract, matching the oracle's naive epoch_ns). The
+        // zone id is attached to the Cast during the eager analysis of
+        // withColumn, so the prior session zone can be restored right
+        // after — a non-UTC caller keeps its own zone for everything else.
+        val prevTz = s.conf.get("spark.sql.session.timeZone")
         s.conf.set("spark.sql.session.timeZone", "UTC")
-        raw.withColumn("ts",
+        try raw.withColumn("ts",
           (unix_micros(col("ts").cast("timestamp")) * lit(1000L)).as("ts"))
+        finally s.conf.set("spark.sql.session.timeZone", prevTz)
     }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // event-time tumbling window: per (hour, event_type) count + cent sum
+    // event-time tumbling window: per (hour, event_type) count + cent sum.
+    // FLOOR division on the ns long (subtract pmod first): `div` truncates
+    // toward zero while the oracle's `//` floors, which would diverge on
+    // pre-1970 (negative-epoch) event times — all-integer, no double cast
     "e_window_agg" -> ((s, dir) =>
       events(s, dir).select(
-        expr("ts div 3600000000000").as("hr"),
+        expr("(ts - pmod(ts, 3600000000000)) div 3600000000000").as("hr"),
         col("event_type"),
         round(col("value") * 100).cast("long").as("cents"))
         .groupBy("hr", "event_type")
@@ -59,7 +67,8 @@ object EventQueries {
     "e_sessionize" -> ((s, dir) => {
       val byUser = Window.partitionBy("user_id").orderBy("sec", "event_id")
       events(s, dir).select(col("user_id"), col("event_id"),
-        expr("ts div 1000000000").as("sec"))
+        // floor division, matching the oracle's `//` (see e_window_agg)
+        expr("(ts - pmod(ts, 1000000000)) div 1000000000").as("sec"))
         .withColumn("gap", col("sec") - lag("sec", 1).over(byUser))
         .withColumn("brk", when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
         .groupBy("user_id")

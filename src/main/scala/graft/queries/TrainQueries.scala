@@ -57,9 +57,13 @@ object TrainQueries {
     val trees = Array.tabulate(numTrees) { t =>
       Tree(Array.tabulate(total) { i =>
         if (i < internal)
+          // gain in exact quarters / integer sumHess: their per-feature sums
+          // are exactly representable doubles, so the pinned importance
+          // oracle row compares equal in any engine (no float-sum slack)
           Node(feature = (i + t) % nf, threshold = ((i * 7 + t * 13) % 50).toDouble,
             defaultLeft = (i + t) % 2 == 0, left = 2 * i + 1, right = 2 * i + 2,
-            leaf = Array.empty, gain = 0.0, sumHess = 1.0, categoriesRight = Array.empty)
+            leaf = Array.empty, gain = ((i * 5 + t * 13) % 23) * 0.25,
+            sumHess = ((i + 2 * t) % 7 + 1).toDouble, categoriesRight = Array.empty)
         else
           Node(feature = -1, threshold = 0.0, defaultLeft = true, left = -1, right = -1,
             leaf = Array(((i * 3 + t) % 11) * 0.01), gain = 0.0, sumHess = 1.0,
@@ -231,9 +235,19 @@ object TrainQueries {
       val model = syntheticEnsemble(numTrees = 20, depth = 4, nf = featureCols.length)
       val roundtrip = graft.model.BoosterModel.fromJson(model.toJson)
       import s.implicits._
-      val imp = roundtrip.featureImportance("weight").toSeq.sortBy(_._1)
-        .map { case (f, v) => (featureCols(f), v) }
-      imp.toDF("feature", "n_splits").orderBy("feature")
+      // three importance modes with distinct per-feature values (the
+      // fixture's round-robin features make plain split counts uniform);
+      // the oracle pins the full table as constants — the model is a
+      // deterministic fixture, so any drift in importance math or the
+      // JSON roundtrip (which carries gain/cover) flips the row red
+      val w = roundtrip.featureImportance("weight")
+      val g = roundtrip.featureImportance("total_gain")
+      val c = roundtrip.featureImportance("total_cover")
+      val imp = w.keys.toSeq.sorted.map { f =>
+        (featureCols(f), w(f), g(f), c(f))
+      }
+      imp.toDF("feature", "n_splits", "total_gain", "total_cover")
+        .orderBy("feature")
     }),
 
     // ---- golden-hash determinism rows ------------------------------------
@@ -351,7 +365,21 @@ object TrainQueries {
     "t_hash_linear_multi" ->
       "SELECT '02da7db622f699f653f0d1996d5cb22e' AS model_md5, 6 AS n_features",
     "t_hash_quality_clf" ->
-      "SELECT '85b2016a40e4242b20719e1d00edb6d2' AS model_md5, 64 AS n_features")
+      "SELECT '85b2016a40e4242b20719e1d00edb6d2' AS model_md5, 64 AS n_features",
+    // pinned like the t_hash_* digests: the synthetic fixture ensemble is
+    // deterministic, so importance (through the JSON roundtrip, which
+    // carries gain/cover) is a constant table; gains are exact quarters
+    // and covers integers, so the doubles compare exactly in any engine
+    "t_feature_importance" ->
+      """SELECT feature, CAST(n_splits AS DOUBLE) AS n_splits,
+        |       CAST(total_gain AS DOUBLE) AS total_gain,
+        |       CAST(total_cover AS DOUBLE) AS total_cover
+        |FROM (VALUES
+        |  ('l_discount', 75, 199.0, 309.0),
+        |  ('l_extendedprice', 75, 203.75, 298.0),
+        |  ('l_quantity', 75, 208.5, 287.0),
+        |  ('l_tax', 75, 207.5, 304.0)) AS t(feature, n_splits, total_gain, total_cover)
+        |ORDER BY feature""".stripMargin)
 
   /** Fixture params: small enough to add ~1 s per row to bench, deep
     * enough to exercise sketch→bin→grow→leaf on every path. */
