@@ -291,6 +291,17 @@ object TrainQueries {
       hashRow(s, new GBTTrainer(goldenParams(booster = "dart", rateDrop = 0.3))
         .fit(goldenRows(s)))),
 
+    // LearningRateScheduler callback (ref callback.py:272): a decaying
+    // per-round eta lands in the tree weights AND changes every later
+    // tree's fit — the digest pins the whole schedule-into-training path
+    // (identical params to t_hash_hist otherwise, so digest divergence
+    // from that row is exactly the scheduler's effect)
+    "t_hash_lr_decay" -> ((s, _) =>
+      hashRow(s, new GBTTrainer(goldenParams())
+        .withCallbacks(Seq(graft.tree.LearningRateScheduler(
+          i => 0.5 * math.pow(0.5, i))))
+        .fit(goldenRows(s)))),
+
     // multi-output tree (vector leaves, MultiTargetTrainer): lane 1 is the
     // regression label, lane 2 a second deterministic function of the
     // fixture features — pins the packed-margin multi-target path
@@ -358,6 +369,10 @@ object TrainQueries {
       "SELECT 'db78f92d0d929cf300f2d5ec211afde7' AS model_md5, 5 AS n_trees, 121 AS n_nodes",
     "t_hash_dart" ->
       "SELECT '2c80776d57b2356ac88fb731b9725a82' AS model_md5, 5 AS n_trees, 155 AS n_nodes",
+    // pinned r8: LearningRateScheduler digest — MUST differ from
+    // t_hash_hist (same params, decaying schedule)
+    "t_hash_lr_decay" ->
+      "SELECT '7bdee9a348efb7cd824a015f80afbb97' AS model_md5, 5 AS n_trees, 155 AS n_nodes",
     "t_hash_multitree" ->
       "SELECT '7231d623c61a208acb1bb63a07c3a6fa' AS model_md5, 5 AS n_trees, 155 AS n_nodes",
     "t_hash_linear" ->

@@ -739,8 +739,14 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
         obj.setScale(s1, s2)
       }
 
+      // per-round learning rate: a LearningRateScheduler callback overrides
+      // params.eta for this round's tree weight (eta lives in tree weights,
+      // so the schedule lands in the committed model and the margin cache)
+      val iterEta = callbacks.collectFirst {
+        case s: LearningRateScheduler => s.etaFor(iter)
+      }.getOrElse(params.eta)
       // DART: choose dropped trees for this iteration
-      val (droppedIdx, newTreeWeight, dropFactor) = dartDrop(treeWeightsBuf, rng)
+      val (droppedIdx, newTreeWeight, dropFactor) = dartDrop(treeWeightsBuf, rng, iterEta)
       val dartDroppedShapes = droppedIdx.map(i => (shapes(i), treeWeightsBuf(i), treeGroupBuf(i)))
       // pending (deferred-cache) trees ride the same adjustment list with
       // negated weights: adjustedMargin's `out -= (−w)·leaf` ≡ `out += w·leaf`
@@ -937,6 +943,14 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
       } else if (callbacks.exists(_.afterIteration(iter, Map.empty))) {
         stop = true; stopFromCallback = true
       }
+      if (callbacks.nonEmpty) {
+        // lazy model-as-of-this-round builder (checkpoint callbacks);
+        // committed trees only — costs nothing unless a callback calls it
+        val snap = () => BoosterModel(shapes.toArray.map(shapeToTree(_, cuts)),
+          treeWeightsBuf.toArray, treeGroupBuf.toArray, base,
+          params.objective, numGroups, numFeatures)
+        callbacks.foreach(_.afterIterationSnapshot(iter, snap))
+      }
       iter += 1
     }
     callbacks.foreach(_.afterTraining(lastBestIteration))
@@ -968,8 +982,7 @@ final class GBTTrainer(params: TrainParams) extends Serializable {
     * normalize_type=tree: new eta/(k+eta), dropped ×k/(k+eta);
     * normalize_type=forest: new eta/(1+eta), dropped ×1/(1+eta). */
   private def dartDrop(weights: scala.collection.Seq[Double],
-      rng: java.util.Random): (Array[Int], Double, Double) = {
-    val eta = params.eta
+      rng: java.util.Random, eta: Double): (Array[Int], Double, Double) = {
     if (params.booster != "dart") return (Array.empty, eta, 1.0)
     val numTrees = weights.length
     if (numTrees == 0) return (Array.empty, eta, 1.0)

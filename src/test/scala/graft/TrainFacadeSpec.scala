@@ -31,6 +31,70 @@ class TrainFacadeSpec extends AnyFunSuite {
     assert(m.trees.length == 4, s"callback stop must keep all 4 trees, got ${m.trees.length}")
   }
 
+  test("LearningRateScheduler commits each round at the scheduled eta") {
+    import graft.tree.LearningRateScheduler
+    val rates = Seq(0.5, 0.25, 0.125, 0.1)
+    val m = XGBoost.train(sc.parallelize(data(21), 3),
+      TrainParams(numRounds = 4, maxDepth = 3, eta = 0.9),
+      callbacks = Seq(LearningRateScheduler(rates)))
+    assert(m.treeWeights.toSeq == rates,
+      s"per-round eta must land in the tree weights: ${m.treeWeights.toSeq}")
+    // a scheduled model must differ from the fixed-eta one
+    val fixed = XGBoost.train(sc.parallelize(data(21), 3),
+      TrainParams(numRounds = 4, maxDepth = 3, eta = 0.9))
+    assert(fixed.treeWeights.toSeq == Seq.fill(4)(0.9))
+    // sequence form clamps at its last value past the end
+    val clamped = XGBoost.train(sc.parallelize(data(21), 3),
+      TrainParams(numRounds = 3, maxDepth = 3),
+      callbacks = Seq(LearningRateScheduler(Seq(0.4))))
+    assert(clamped.treeWeights.toSeq == Seq(0.4, 0.4, 0.4))
+  }
+
+  test("EvaluationMonitor logs per period and replays the skipped last round") {
+    import graft.tree.EvaluationMonitor
+    val lines = collection.mutable.ArrayBuffer[String]()
+    val rows = data(22)
+    XGBoost.train(sc.parallelize(rows, 3),
+      TrainParams(numRounds = 5, maxDepth = 3, eta = 0.5),
+      evals = Seq("train" -> sc.parallelize(rows, 3)),
+      callbacks = Seq(new EvaluationMonitor(period = 2, logger = lines += _)))
+    // rounds 0,2,4 print on period; round 4 IS the last so no replay needed
+    assert(lines.size == 3, s"got: $lines")
+    assert(lines.forall(_.matches("""\[\d+\]\ttrain-rmse:\d+\.\d{5}""")), s"got: $lines")
+    assert(lines.map(_.takeWhile(_ != ']').drop(1)).toSeq == Seq("0", "2", "4"))
+    // period 4 over 6 rounds: prints 0, 4, then replays round 5 after training
+    val lines2 = collection.mutable.ArrayBuffer[String]()
+    XGBoost.train(sc.parallelize(rows, 3),
+      TrainParams(numRounds = 6, maxDepth = 3, eta = 0.5),
+      evals = Seq("train" -> sc.parallelize(rows, 3)),
+      callbacks = Seq(new EvaluationMonitor(period = 4, logger = lines2 += _)))
+    assert(lines2.map(_.takeWhile(_ != ']').drop(1)).toSeq == Seq("0", "4", "5"),
+      s"got: $lines2")
+  }
+
+  test("CheckpointCallback writes reloadable models every k rounds") {
+    import graft.tree.CheckpointCallback
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val rows = data(23)
+    val m = XGBoost.train(sc.parallelize(rows, 3),
+      TrainParams(numRounds = 6, maxDepth = 3, eta = 0.5),
+      callbacks = Seq(new CheckpointCallback(dir, name = "m", interval = 2)))
+    val files = new java.io.File(dir).list().sorted
+    assert(files.toSeq == Seq("m_1.json", "m_3.json", "m_5.json"), s"got: ${files.toSeq}")
+    // each checkpoint reloads and carries exactly (iter+1) trees; the last
+    // one predicts identically to the final model
+    val ck1 = graft.model.BoosterModel.fromJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "m_1.json")))
+    assert(ck1.trees.length == 2)
+    val ck5 = graft.model.BoosterModel.fromJson(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(dir, "m_5.json")))
+    assert(ck5.trees.length == 6)
+    rows.take(10).foreach { case (x, _, _) =>
+      assert(math.abs(ck5.margin(x)(0) - m.margin(x)(0)) < 1e-12,
+        "last checkpoint must predict like the final model")
+    }
+  }
+
   test("custom objective trains through the registry-free hook") {
     // squared error re-implemented as a custom objective
     val custom = new Objective {
