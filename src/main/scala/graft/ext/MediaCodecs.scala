@@ -3,9 +3,9 @@ package graft.ext
 import org.apache.spark.sql.{DataFrame, Dataset}
 
 /** REAL media decode for container-friendly formats — the non-stub half of
-  * the multimodal column story ([[Multimodal]] keeps the declared stub for
-  * codec-library formats like JPEG/MP3 that this build environment cannot
-  * decode).
+  * the multimodal column story, with [[Jpeg]] covering baseline JPEG
+  * ([[Multimodal]] keeps the declared stub only for codec-library formats
+  * like MP3/H.264 that this build environment cannot decode).
   *
   * PCM WAV (RIFF) and uncompressed 24-bit BMP are complete, publicly
   * specified formats parseable in pure JVM code, so the decode here is the

@@ -11,9 +11,11 @@ import org.apache.spark.sql.types._
   * The Spark-side machinery here — schema, batched mapPartitions decode,
   * partition sizing — is real and tested. REAL decode exists for
   * container-friendly formats in [[MediaCodecs]] (RIFF/PCM WAV, BI_RGB
-  * BMP — pure-JVM parsers, oracle-checked via `p_wav_decode` /
-  * `p_bmp_decode`); `decodeStub` below remains the stand-in for formats
-  * that need codec libraries this container lacks (JPEG/MP3/H.264),
+  * BMP — oracle-checked via `p_wav_decode` / `p_bmp_decode`) and for
+  * baseline JPEG in [[Jpeg]] (pure-JVM Huffman + IDCT decoder,
+  * `p_jpeg_decode` + ImageIO cross-validation); `decodeStub` below
+  * remains the stand-in only for formats that genuinely need codec
+  * libraries this container lacks (MP3/H.264 entropy+transform stacks),
   * deriving deterministic fake features so pipeline shape, ordering and
   * schema behavior stay exercisable end-to-end. Swap it for a JNI/FFI
   * codec without touching callers.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{CorpusFilters, Curation, Dedup, MediaCodecs, Multimodal, Similarity, TextOps}
+import graft.ext.{CorpusFilters, Curation, Dedup, Jpeg, MediaCodecs, Multimodal, Similarity, TextOps}
 
 /** LLM-training-data pipeline queries over `documents.parquet` /
   * `embeddings.parquet` — dedup (exact, MinHash-LSH, SimHash, n-gram
@@ -342,6 +342,24 @@ object PipelineQueries {
           round(col("mean_r"), 4).as("mean_r"),
           round(col("mean_g"), 4).as("mean_g"),
           round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL baseline-JPEG decode (ext.Jpeg: marker parse → Huffman → zigzag
+    // dequant → IDCT), no codec library. The fixture is constant within
+    // each 8×8 block, so decode is BIT-EXACT (DC-only coefficients + flat
+    // quant) and the mean has a closed form over the block grid — the
+    // lossy general path is bounded + ImageIO-cross-validated in JpegSpec.
+    "p_jpeg_decode" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, Jpeg.jpegFixture(id)))
+      Jpeg.decodeImages(payloads)
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_r"), 4).as("mean_y"))
         .orderBy("doc_id")
     }),
 
@@ -908,6 +926,24 @@ object PipelineQueries {
         |  round(CAST(sum((x*3 + y*5 + 5*doc_id) % 256) AS DOUBLE) / (w*h), 4) AS mean_g,
         |  round(CAST(sum((x*11 + y*2 + 7*doc_id) % 256) AS DOUBLE) / (w*h), 4) AS mean_b
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // JPEG fixture: constant per 8×8 block ⇒ bit-exact decode; the mean
+    // over pixels equals the mean over the (bx, by) block grid. Spark's
+    // mean divides 64·S by 64·N — IEEE division of identical ratios, so
+    // the doubles agree exactly before round()
+    "p_jpeg_decode" ->
+      """WITH sub AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+        |  FROM documents WHERE doc_id < 100
+        |), px AS (
+        |  SELECT doc_id, bw, bh, tx.x AS bx, ty.y AS by
+        |  FROM sub
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0, bw)) AS x) tx
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0, bh)) AS y) ty
+        |)
+        |SELECT doc_id, 8 * bw AS width, 8 * bh AS height,
+        |  round(CAST(sum((bx*31 + by*17 + 5*doc_id) % 256) AS DOUBLE) / (bw*bh), 4) AS mean_y
+        |FROM px GROUP BY doc_id, bw, bh ORDER BY doc_id""".stripMargin,
 
     // distinct 5-gram overlap vs the src0 "benchmark" slice
     "p_decontaminate" ->
