@@ -235,6 +235,115 @@ object Similarity {
         (coalesce(col("n_sem_dups"), lit(0L)) === 0).cast("long").as("kept"))
   }
 
+  // ---- Product quantization (IVF-PQ): the 100 TB memory point ------------
+
+  /** Deterministic fixed PQ codebooks (seeded Gaussian), inlined as
+    * literals into the oracle SQL — data-trained codebooks come from
+    * [[pqTrainCodebooks]] (exercised in ScalaTest, like the IVF
+    * quantizer). Layout: [numSub][k][subDim]. */
+  def pqCodebooks(numSub: Int, k: Int, subDim: Int, seed: Long = 11L): Array[Array[Array[Double]]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(numSub)(Array.fill(k)(Array.fill(subDim)(rng.nextGaussian())))
+  }
+
+  /** Train PQ codebooks: per-subspace Lloyd iterations on a bounded
+    * driver-side sample (the faiss ProductQuantizer shape — at 100 TB the
+    * codebooks train on a sample by construction and the corpus is only
+    * ENCODED, never collected). Deterministic: sorted sample, first-k
+    * init, lowest-index ties. */
+  def pqTrainCodebooks(corpus: DataFrame, numSub: Int, k: Int,
+      sampleRows: Int = 2048, iters: Int = 8): Array[Array[Array[Double]]] = {
+    val sample = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy("vec_id").limit(sampleRows)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "empty sample")
+    val dim = sample.head.length
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val subDim = dim / numSub
+    Array.tabulate(numSub) { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+      require(sub.length >= k, s"need at least $k sample rows, got ${sub.length}")
+      var cents = Array.tabulate(k)(i => sub(i).clone())
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val counts = new Array[Long](k)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d = 0.0; var i = 0
+            while (i < subDim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+            if (d < bestD) { best = c; bestD = d }
+            c += 1
+          }
+          var i = 0
+          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(k)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+        it += 1
+      }
+      cents
+    }
+  }
+
+  /** PQ codes of a vector column (array<int>, one code per subspace). */
+  def pqCodes(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(PqCodes(ColumnBridge.expression(vec), codebooks))
+  }
+
+  /** ADC approximate squared distance between an exact query vector and a
+    * codes column. */
+  def pqAdc(q: Column, codes: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(PqAdc(ColumnBridge.expression(q),
+      ColumnBridge.expression(codes), codebooks))
+  }
+
+  /** PQ brute ADC top-k: the corpus is ENCODED ONCE to `numSub` small ints
+    * per vector (the compressed table that fits in memory at corpus scale
+    * — 64 floats → 4–16 bytes), then every query scans codes via the ADC
+    * kernel. No shuffle: queries broadcast, codes scanned in place.
+    * Ranking by ROUNDED ascending distance with id tiebreak. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+      codebooks: Array[Array[Array[Double]]], k: Int,
+      roundDigits: Int = 5): DataFrame = {
+    val codes = corpus.select(col("vec_id"), pqCodes(col("embedding"), codebooks).as("codes"))
+    val scored = codes
+      .join(broadcast(queries.select(col("qid"), col("qe"))),
+        col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(pqAdc(col("qe"), col("codes"), codebooks), roundDigits).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** IVF-PQ top-k — the corpus-scale ANN operating point (faiss
+    * IndexIVFPQ): the corpus is stored as (cell, codes) ONLY — coarse cell
+    * from the IVF quantizer, `numSub` code bytes from PQ — and queries
+    * probe their `nprobe` nearest cells, scoring candidates with the ADC
+    * kernel. One equi-join shuffle on the cell id over the COMPRESSED
+    * table; the raw embeddings never move after encoding. */
+  def pqIvfTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Double]], codebooks: Array[Array[Array[Double]]],
+      nprobe: Int, k: Int, roundDigits: Int = 5): DataFrame = {
+    val cb = corpus.select(col("vec_id"),
+      ivfCells(col("embedding"), centroids, 1)(0).as("cell"),
+      pqCodes(col("embedding"), codebooks).as("codes"))
+    val qb = queries.select(col("qid"), col("qe"),
+      explode(ivfCells(col("qe"), centroids, nprobe)).as("cell"))
+    val scored = qb.join(cb, Seq("cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(pqAdc(col("qe"), col("codes"), codebooks), roundDigits).as("adc"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").asc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
   /** The SQL text of `dot` in the DuckDB dialect over 1-indexed lists. */
   def dotSql(a: String, b: String, dim: Int): String =
     s"list_sum(list_transform(range(1, ${dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"

@@ -135,6 +135,130 @@ case class IvfCells(child: Expression, centroids: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** Product-quantization code assignment: the input vector is cut into
+  * `codebooks.length` contiguous subvectors and each is assigned to its
+  * nearest sub-centroid by squared distance `|c|² − 2·v·c` (the subvector
+  * norm is constant within a sub and cannot change the argmin). Ties break
+  * to the LOWEST code, mirroring [[IvfCells]]' strictly-less scan — the
+  * oracle SQL reproduces both. Output: array<int> of one code per sub.
+  * Codebooks ride the plan as a codegen reference object. */
+case class PqCodes(child: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_codes requires array<float|double>, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_codes"
+
+  @transient private lazy val normSq: Array[Array[Double]] =
+    codebooks.map(_.map(c => c.map(x => x * x).sum))
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def codesOf(v: ArrayData): ArrayData = {
+    val m = codebooks.length
+    val out = new Array[Int](m)
+    var off = 0
+    var s = 0
+    while (s < m) {
+      val cb = codebooks(s)
+      val subDim = cb(0).length
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        // dot(v[off..off+subDim), cb(c)) left-to-right, like VectorMath
+        var dp = 0.0
+        var i = 0
+        if (isFloat) while (i < subDim) { dp += v.getFloat(off + i).toDouble * cb(c)(i); i += 1 }
+        else while (i < subDim) { dp += v.getDouble(off + i) * cb(c)(i); i += 1 }
+        val d = normSq(s)(c) - 2.0 * dp
+        if (d < bestD) { best = c; bestD = d }
+        c += 1
+      }
+      out(s) = best
+      off += subDim
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  protected override def nullSafeEval(v: Any): Any =
+    codesOf(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("graftPq", this, classOf[PqCodes].getName)
+    defineCodeGen(ctx, ev, v => s"$self.codesOf($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance computation (ADC): approximate squared L2 distance
+  * between an exact query vector and a PQ-coded corpus vector —
+  * Σ_sub |q_sub − codebook(sub)(code_sub)|². Accumulation: each sub-total
+  * folds left-to-right from 0.0, and sub-totals add in sub order — the
+  * exact grouping the oracle's `list_sum(...) + list_sum(...) + …`
+  * reproduces, so rounded distances hash-match. */
+case class PqAdc(left: Expression, right: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_adc requires (array<float|double>, array<int>), got (${l.sql}, ${r.sql})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_pq_adc"
+
+  private def isFloat = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def adcOf(q: ArrayData, codes: ArrayData): Double = {
+    var total = 0.0
+    var off = 0
+    var s = 0
+    while (s < codebooks.length) {
+      val cent = codebooks(s)(codes.getInt(s))
+      var sub = 0.0
+      var i = 0
+      if (isFloat) while (i < cent.length) {
+        val t = q.getFloat(off + i).toDouble - cent(i); sub += t * t; i += 1
+      } else while (i < cent.length) {
+        val t = q.getDouble(off + i) - cent(i); sub += t * t; i += 1
+      }
+      total += sub
+      off += cent.length
+      s += 1
+    }
+    total
+  }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    adcOf(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("graftPqAdc", this, classOf[PqAdc].getName)
+    defineCodeGen(ctx, ev, (q, c) => s"$self.adcOf($q, $c)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): PqAdc = copy(left = newLeft, right = newRight)
+}
+
 /** Wrap a driver-built primitive array as ArrayData once (cached per
   * centroid array via identity — centroids are immutable plan constants). */
 private object UnsafeWrap {

@@ -203,6 +203,29 @@ object PipelineQueries {
       Similarity.ivfTopK(e, q, ivfCentroids, nprobe = 2, k = 2).orderBy("qid", "rk")
     }),
 
+    // Product quantization, brute ADC: the corpus is ENCODED once to 4
+    // sub-codes per vector (the compressed table that fits in memory at
+    // 100 TB — 64 floats → a few bytes) and queries scan codes with the
+    // asymmetric-distance kernel. Fixed deterministic codebooks so the
+    // oracle recomputes codes + ADC from literals (data-trained codebooks
+    // via Similarity.pqTrainCodebooks, exercised in ScalaTest)
+    "p_ann_pq" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 15)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Similarity.pqTopK(e, q, pqBooks, k = 2).orderBy("qid", "rk")
+    }),
+
+    // IVF-PQ: the faiss-IndexIVFPQ operating point — corpus stored as
+    // (cell, codes) only, queries probe 2 cells, ADC scoring within cells
+    "p_ann_ivfpq" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 15)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Similarity.pqIvfTopK(e, q, ivfCentroids, pqBooks, nprobe = 2, k = 2)
+        .orderBy("qid", "rk")
+    }),
+
     // embedding-cosine near-dup mining: LSH buckets → in-bucket pairs →
     // cosine threshold (the embedding flavor of dedup)
     "p_embed_dedup" -> ((s, dir) =>
@@ -426,6 +449,10 @@ object PipelineQueries {
   // fixed 8-cell IVF coarse quantizer, likewise shared as literals
   private val ivfCentroids: Array[Array[Double]] = Similarity.hyperplanes(8, 64, seed = 7L)
 
+  // fixed PQ codebooks: 4 subspaces × 4 centroids × 16 dims, shared as
+  // literals with the oracle (data-trained path covered in ScalaTest)
+  private val pqBooks: Array[Array[Array[Double]]] = Similarity.pqCodebooks(4, 4, 16, seed = 11L)
+
   /** Pinned literal quality-filter model for the p_quality_clf scoring
     * row: deterministic seeded weights (the model under test is the
     * SCORING path; training is pinned by t_hash_quality_clf). */
@@ -485,6 +512,41 @@ object PipelineQueries {
     }
     s"CASE cell1 ${branches.mkString(" ")} END"
   }
+
+  // ---- PQ oracle fragments: per-sub distance cols e{s}_{c} (|c|² − 2·v·c
+  // ---- with Scala-computed norm literals, matching PqCodes), first-match
+  // ---- argmin codes, and ADC sub-totals summed in sub order (matching
+  // ---- PqAdc's grouping) ----
+  private val pqM = pqBooks.length
+  private val pqK = pqBooks(0).length
+  private val pqSubDim = pqBooks(0)(0).length
+
+  private def pqDistCols(vec: String): String =
+    (for (s <- 0 until pqM; c <- 0 until pqK) yield {
+      val cb = pqBooks(s)(c)
+      val normSq = cb.map(x => x * x).sum
+      val dp = s"list_sum(list_transform(range(1, ${pqSubDim + 1}), " +
+        s"j -> CAST($vec[j + ${s * pqSubDim}] AS DOUBLE) * (${Similarity.planeSql(cb)})[j]))"
+      s"($normSq - 2.0 * ($dp)) AS e${s}_$c"
+    }).mkString(", ")
+
+  private val pqCodeCols: String =
+    (0 until pqM).map { s =>
+      val m = (0 until pqK).map(c => s"e${s}_$c").mkString("least(", ", ", ")")
+      val cse = (0 until pqK).map(c => s"WHEN e${s}_$c = ($m) THEN $c")
+        .mkString("CASE ", " ", " END")
+      s"($cse) AS code$s"
+    }.mkString(", ")
+
+  private def pqAdcSql(qe: String): String =
+    (0 until pqM).map { s =>
+      val branches = (0 until pqK).map { c =>
+        val lit = Similarity.planeSql(pqBooks(s)(c))
+        val term = s"(CAST($qe[j + ${s * pqSubDim}] AS DOUBLE) - ($lit)[j])"
+        s"WHEN $c THEN list_sum(list_transform(range(1, ${pqSubDim + 1}), j -> $term * $term))"
+      }.mkString(" ")
+      s"(CASE code$s $branches END)"
+    }.mkString(" + ")
 
   /** Shared CTE chain of the MinHash-LSH miner (shingles → signatures →
     * banded buckets → capped candidates → exact-Jaccard pairs); consumed
@@ -755,6 +817,52 @@ object PipelineQueries {
          |)
          |SELECT qid, vec_id, cos,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rk
+         |FROM s QUALIFY rk <= 2 ORDER BY qid, rk""".stripMargin,
+
+    "p_ann_pq" ->
+      s"""WITH cd AS (
+         |  SELECT vec_id, ${pqDistCols("embedding")} FROM embeddings
+         |), code AS (
+         |  SELECT vec_id, $pqCodeCols FROM cd
+         |), q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 15
+         |), s AS (
+         |  SELECT qid, vec_id, round(${pqAdcSql("qe")}, 5) AS adc
+         |  FROM q JOIN code ON qid <> vec_id
+         |)
+         |SELECT qid, vec_id, adc,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id) AS INT) AS rk
+         |FROM s QUALIFY rk <= 2 ORDER BY qid, rk""".stripMargin,
+
+    "p_ann_ivfpq" ->
+      s"""WITH cd AS (
+         |  SELECT vec_id, embedding, ${ivfDistCols("embedding")} FROM embeddings
+         |), cm AS (
+         |  SELECT *, $ivfLeastAll AS m FROM cd
+         |), cells AS (
+         |  SELECT vec_id, embedding, $ivfCellCase AS cell FROM cm
+         |), pd AS (
+         |  SELECT vec_id, cell, ${pqDistCols("embedding")} FROM cells
+         |), code AS (
+         |  SELECT vec_id, cell, $pqCodeCols FROM pd
+         |), qd AS (
+         |  SELECT vec_id AS qid, embedding AS qe, ${ivfDistCols("embedding")}
+         |  FROM embeddings WHERE vec_id < 15
+         |), qm AS (
+         |  SELECT *, $ivfLeastAll AS m FROM qd
+         |), qc1 AS (
+         |  SELECT *, $ivfCellCase AS cell1 FROM qm
+         |), qc AS (
+         |  SELECT qid, qe, cell1, $ivfCell2Case AS cell2 FROM qc1
+         |), probe AS (
+         |  SELECT qid, qe, cell1 AS cell FROM qc
+         |  UNION ALL SELECT qid, qe, cell2 FROM qc
+         |), s AS (
+         |  SELECT qid, vec_id, round(${pqAdcSql("qe")}, 5) AS adc
+         |  FROM probe JOIN code USING (cell) WHERE qid <> vec_id
+         |)
+         |SELECT qid, vec_id, adc,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id) AS INT) AS rk
          |FROM s QUALIFY rk <= 2 ORDER BY qid, rk""".stripMargin,
 
     "p_embed_dedup" -> {
