@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{CorpusFilters, Curation, Dedup, Jpeg, MediaCodecs, Multimodal, Similarity, TextOps}
+import graft.ext.{CorpusFilters, Curation, Dedup, Jpeg, MediaCodecs, Multimodal, Png, Similarity, TextOps}
 
 /** LLM-training-data pipeline queries over `documents.parquet` /
   * `embeddings.parquet` — dedup (exact, MinHash-LSH, SimHash, n-gram
@@ -383,6 +383,24 @@ object PipelineQueries {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           round(col("mean_r"), 4).as("mean_y"))
+        .orderBy("doc_id")
+    }),
+
+    // REAL PNG decode (ext.Png: chunk walk → zlib inflate → all-five-filter
+    // unfilter), no codec library. PNG is lossless so the decode is exact
+    // for any fixture; the oracle recomputes the gradient means directly.
+    "p_png_decode" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, Png.pngFixture(id)))
+      Png.decodeImages(payloads)
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
         .orderBy("doc_id")
     }),
 
@@ -1052,6 +1070,24 @@ object PipelineQueries {
         |SELECT doc_id, 8 * bw AS width, 8 * bh AS height,
         |  round(CAST(sum((bx*31 + by*17 + 5*doc_id) % 256) AS DOUBLE) / (bw*bh), 4) AS mean_y
         |FROM px GROUP BY doc_id, bw, bh ORDER BY doc_id""".stripMargin,
+
+    // PNG fixture gradient means recomputed exactly (lossless codec ⇒ the
+    // decoded pixels ARE the gradient; same lateral-expansion shape as BMP)
+    "p_png_decode" ->
+      """WITH sub AS (
+        |  SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id < 100
+        |), px AS (
+        |  SELECT doc_id, w, h, tx.x AS x, ty.y AS y
+        |  FROM sub
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0, w)) AS x) tx
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0, h)) AS y) ty
+        |)
+        |SELECT doc_id, w AS width, h AS height,
+        |  round(CAST(sum((x*5 + y*11 + 3*doc_id) % 256) AS DOUBLE) / (w*h), 4) AS mean_r,
+        |  round(CAST(sum((x*13 + y*3 + 5*doc_id) % 256) AS DOUBLE) / (w*h), 4) AS mean_g,
+        |  round(CAST(sum((x*2 + y*7 + 7*doc_id) % 256) AS DOUBLE) / (w*h), 4) AS mean_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     // distinct 5-gram overlap vs the src0 "benchmark" slice
     "p_decontaminate" ->
