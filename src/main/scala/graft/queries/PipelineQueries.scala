@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{CorpusFilters, Curation, Dedup, Jpeg, MediaCodecs, Multimodal, Png, Similarity, TextOps}
+import graft.ext.{Avi, CorpusFilters, Curation, Dedup, Jpeg, MediaCodecs, Multimodal, Png, Similarity, TextOps}
 
 /** LLM-training-data pipeline queries over `documents.parquet` /
   * `embeddings.parquet` — dedup (exact, MinHash-LSH, SimHash, n-gram
@@ -402,6 +402,26 @@ object PipelineQueries {
           round(col("mean_g"), 4).as("mean_g"),
           round(col("mean_b"), 4).as("mean_b"))
         .orderBy("doc_id")
+    }),
+
+    // REAL video frame-sample (ext.Avi): RIFF walk → every-2nd MJPEG
+    // frame → ext.Jpeg decode, all pure JVM. Unsampled frames are never
+    // entropy-decoded; one output row per sampled frame. Per-block-constant
+    // fixture ⇒ bit-exact decode ⇒ closed-form per-frame means.
+    "p_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, Avi.aviFixture(id)))
+      Avi.sampleVideos(payloads, stride = 2)
+        .select(col("media_id").as("doc_id"),
+          col("frame_idx").cast("long").as("frame_idx"),
+          col("n_frames").cast("long").as("n_frames"),
+          round(col("fps"), 4).as("fps"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_y"), 4).as("mean_y"))
+        .orderBy("doc_id", "frame_idx")
     }),
 
     // ---- corpus-quality filters (ext.CorpusFilters) ------------------------
@@ -1088,6 +1108,28 @@ object PipelineQueries {
         |  round(CAST(sum((x*13 + y*3 + 5*doc_id) % 256) AS DOUBLE) / (w*h), 4) AS mean_g,
         |  round(CAST(sum((x*2 + y*7 + 7*doc_id) % 256) AS DOUBLE) / (w*h), 4) AS mean_b
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // AVI/MJPEG fixture: frames constant per 8×8 block ⇒ bit-exact frame
+    // decode; mean over pixels equals mean over the block columns (IEEE
+    // division of the same exact rational). fps survives the container's
+    // integer microseconds-per-frame round-trip on both engines.
+    "p_video_frames" ->
+      """WITH sub AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS bw, 4 + doc_id % 4 AS n,
+        |         1000000 // (10 + doc_id % 5) AS uspf
+        |  FROM documents WHERE doc_id < 100
+        |), fr AS (
+        |  SELECT doc_id, bw, n, uspf, tf.f AS f
+        |  FROM sub CROSS JOIN LATERAL (SELECT unnest(range(0, n, 2)) AS f) tf
+        |), px AS (
+        |  SELECT doc_id, bw, n, uspf, f, tx.bx AS bx
+        |  FROM fr CROSS JOIN LATERAL (SELECT unnest(range(0, bw)) AS bx) tx
+        |)
+        |SELECT doc_id, f AS frame_idx, n AS n_frames,
+        |  round(1e6 / uspf, 4) AS fps,
+        |  8 * bw AS width, 8 AS height,
+        |  round(CAST(sum((bx*31 + 5*doc_id + 11*f) % 256) AS DOUBLE) / bw, 4) AS mean_y
+        |FROM px GROUP BY doc_id, bw, n, uspf, f ORDER BY doc_id, frame_idx""".stripMargin,
 
     // distinct 5-gram overlap vs the src0 "benchmark" slice
     "p_decontaminate" ->
