@@ -139,10 +139,19 @@ object CorpusFilters {
     * a broadcast would OOM the executors on a real web corpus). */
   def unigramNll(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // perDocTok feeds both the vocabulary rollup and the final per-doc
+    // join, and vocab feeds both the scoring and the corpus total. The
+    // subtrees are NOT deduped by ReuseExchange (each consumer pushes
+    // different isnotnull filters into its copy, so the canonicalized
+    // exchanges differ) — without materialization the tokenize+explode+
+    // aggregate pass over the corpus executes once per consumer. One
+    // eager localCheckpoint per shared aggregate = one corpus pass total
+    // (the same shared-intermediate pattern as [[Dedup]]'s CC rounds).
     val perDocTok = docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("c"))
-    val vocab = perDocTok.groupBy("tok").agg(sum("c").as("cnt"))
+      .localCheckpoint()
+    val vocab = perDocTok.groupBy("tok").agg(sum("c").as("cnt")).localCheckpoint()
     val total = vocab.agg(sum("cnt").as("total"))
     val scored = vocab.crossJoin(broadcast(total)) // 1-row scalar broadcast
       .select(col("tok"), microNats(log(col("total") / col("cnt"))).as("nll_micro"))
@@ -171,18 +180,26 @@ object CorpusFilters {
       textCol: String = "text", lambda: Double = 0.9): DataFrame = {
     require(lambda > 0 && lambda < 1, s"lambda must be in (0,1), got $lambda")
     // _toks as an attribute first — same re-inlining hazard as
-    // [[repetitionStats]]/[[decontaminate]].
+    // [[repetitionStats]]/[[decontaminate]]. Shared aggregates are
+    // localCheckpoint'd for the same reason as [[unigramNll]]: perDocBi
+    // has two consumers and biCounts/uni two each, and the consumers'
+    // divergent pushed filters defeat ReuseExchange — unmaterialized,
+    // the corpus tokenize+explode pass ran THREE times (measured 2.5×
+    // slower at sf0.01) instead of twice (once per n-gram order).
     val perDocBi = docs
       .select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
       .select(col(idCol), explode(TextOps.ngramsAll(col("_toks"), 2)).as("g"))
       .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val biCounts = perDocBi.groupBy("g").agg(sum("c").as("cb"))
       .withColumn("w1", substring_index(col("g"), " ", 1))
       .withColumn("w2", substring_index(col("g"), " ", -1))
+      .localCheckpoint()
     val ctx = biCounts.groupBy("w1").agg(sum("cb").as("cctx"))
-    val uniDoc = docs
+    val uni = docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
-    val uni = uniDoc.groupBy("tok").agg(count(lit(1)).as("cu"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+      .localCheckpoint()
     val total = uni.agg(sum("cu").as("n"))
     val scored = biCounts
       .join(ctx, "w1")

@@ -174,13 +174,41 @@ object Dedup {
     val par = df.sparkSession.sparkContext.defaultParallelism
     val cands = candidatePairs(lshBuckets(sig, numHashes, bands), maxBucketSize)
       .repartition(par, col("id_a"))
-    val docs = src
+      .localCheckpoint()
+    // Verification reads the exact shingle SETS of both pair members. The
+    // naive shape — join the full corpus's shingle table into the pairs
+    // twice — rebuilds tokens+shingles per side AND shuffles the fat
+    // shingle arrays on the join key twice. Instead: semi-join the corpus
+    // down to candidate MEMBERS first (ids touched by ≥1 pair — bounded
+    // by 2·|pairs|, a small fraction of the corpus at any dup rate worth
+    // mining), materialize that small (id, shingles) table once, and let both
+    // pair-join sides consume it (AQE broadcasts it at bench scale; at
+    // cluster scale it degrades to one reduced-size shuffle join per side
+    // rather than two corpus-sized ones).
+    val candIds = cands
+      .select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val docsSh = src
       .select(col(idCol).cast("long").as("id"), TextOps.tokens(col(textCol)).as("_toks"))
       .select(col("id"), TextOps.shingles(col("_toks"), shingleN).as("sh"))
+      .join(candIds, Seq("id"), "left_semi")
+      .localCheckpoint()
+    // A checkpointed relation carries no size statistics, so AQE cannot
+    // see that docsSh is broadcast-sized and would plan sort-merge joins
+    // (measured: the whole family regresses ~2×). Decide like AQE does,
+    // but from the MATERIALIZED row count (a cheap count on checkpointed
+    // data): pair members with ~1k-token shingle sets fit a 10 MB-class
+    // broadcast comfortably below 100k rows; above that, fall back to
+    // co-partitioned shuffle joins of the reduced table.
+    val bcast = docsSh.count() <= 100000
+    def side(n: String) = {
+      val d = docsSh.select(col("id").as(n), col("sh").as(s"sh_$n"))
+      if (bcast) broadcast(d) else d
+    }
     cands
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .join(side("id_a"), "id_a")
+      .join(side("id_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_id_a"), col("sh_id_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -190,18 +218,26 @@ object Dedup {
     * members of the cluster are dropped.
     *
     * Distributed min-label propagation: per round, each vertex takes the
-    * min of its own label and its neighbors' labels (one edge⋈label shuffle
-    * + one groupBy-min), converging in graph-diameter rounds with a cheap
-    * monotone checksum (labels only decrease, so an unchanged exact
-    * decimal sum ⇔ fixpoint) as the stop probe. Duplicate graphs are
-    * near-cliques (pairwise-similar members), so the diameter — and the
-    * round count — is small and independent of corpus size; each round is
-    * a pair of hash-partitioned shuffles with no driver-side graph state,
-    * and `localCheckpoint` cuts the iterative lineage. For adversarially
-    * long path-shaped graphs (a chain of pairwise near-dups — contract
+    * min of its own label and its neighbors' labels, converging in
+    * graph-diameter rounds. Duplicate graphs are near-cliques
+    * (pairwise-similar members), so the diameter — and the round count —
+    * is small and independent of corpus size. For adversarially long
+    * path-shaped graphs (a chain of pairwise near-dups — contract
     * boilerplate series) propagation's round count IS the diameter; pass
     * `algorithm = "star"` to use [[connectedComponentsStar]] instead,
     * whose round count is logarithmic and diameter-independent.
+    *
+    * The inner loop runs on co-partitioned pair RDDs, not DataFrames:
+    * a DataFrame loop pays Catalyst planning + whole-stage-codegen
+    * compilation for a FRESH plan every round (measured ~2 s/round of
+    * driver time on a label table of a few thousand rows — 3× the actual
+    * shuffle work) and re-exchanges the edge side every round because the
+    * per-round expression ids defeat exchange reuse. Here the symmetrized
+    * edge set is hash-partitioned by message key ONCE and never moves
+    * again; each round is one reduceByKey shuffle of the messages plus
+    * narrow co-partitioned joins, with no driver-side graph state. Labels
+    * only decrease, so `changed == 0` (counted from the round's persisted
+    * result, no extra pass) is an exact fixpoint probe.
     *
     * Returns one row per vertex that appears in `pairs`: (id, label). */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
@@ -209,60 +245,76 @@ object Dedup {
     require(Set("propagation", "star")(algorithm), s"unknown CC algorithm: $algorithm")
     if (algorithm == "star")
       return connectedComponentsStar(pairs, aCol, bCol, maxIter)
+    import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
-    // symmetrize with ONE scan of `pairs`: a union of a projection with its
-    // swap evaluates the (often expensive — e.g. the whole near-dup miner)
-    // upstream plan once per branch; the explode emits both directions
-    // from a single pass
-    val edges = pairs
-      .select(explode(array(
-        struct(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")),
-        struct(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst"))))
-        .as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
+    val spark = pairs.sparkSession
+    val part = new HashPartitioner(spark.sparkContext.defaultParallelism)
+    // One scan of the (often expensive — e.g. the whole near-dup miner)
+    // upstream plan: flatMap emits both edge directions keyed by the
+    // message SOURCE (dst), then ONE partitionBy pins them to the
+    // partitioner every later join reuses. Duplicate pairs need no
+    // distinct — a duplicate edge only duplicates a min() message.
+    val byDst = pairs
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .rdd
+      .flatMap { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        Iterator((a, b), (b, a)) // (dst, src): dst's label flows to src
+      }
+      .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges
-      .select(col("src").as("id"), least(col("src"), col("dst")).as("label"))
-      .groupBy("id").agg(min("label").as("label"))
+    // initial label = min(self, neighbors) — the fixpoint already on
+    // cliques (the common dup-cluster shape), so those converge in ONE
+    // round of the changed-count probe
+    var labels = byDst
+      .map { case (d, s) => (d, math.min(d, s)) }
+      .reduceByKey(part, math.min(_: Long, _: Long)) // narrow: byDst is already part-partitioned
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // seed the monotone checksum from the INITIAL labels: min-of-neighbors
-    // is already the fixpoint on cliques (the common dup-cluster shape), so
-    // those graphs converge after ONE propagation round instead of two
-    var prevSum: java.math.BigDecimal =
-      labels.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
     var iter = 0
     var converged = false
-    var lastDelta: java.math.BigDecimal = null
+    var lastChanged = -1L
     while (iter < maxIter && !converged) {
-      val msgs = edges.alias("e")
-        .join(labels.alias("l"), col("e.dst") === col("l.id"))
-        .select(col("e.src").as("id"), col("l.label").as("label"))
-      // eager localCheckpoint: stores the round's result AND truncates the
-      // iterative lineage (without it the logical plan doubles per round)
-      val next = labels.union(msgs)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint()
-      val s = next.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      // neighbor labels flow dst→src: narrow join (both sides on `part`),
+      // then the round's ONE shuffle combines messages per receiver
+      val msgs = byDst.join(labels)
+        .map { case (_, (src, lbl)) => (src, lbl) }
+        .reduceByKey(part, math.min(_: Long, _: Long))
+      // every vertex of the symmetrized graph has ≥1 neighbor ⇒ inner join
+      // keeps all vertices; carry the per-vertex changed flag so the
+      // convergence count reads the persisted result instead of re-joining
+      val next = byDstSafeJoin(labels, msgs)
+        .mapValues { case (o, m) => (math.min(o, m), m < o) }
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.filter(_._2._2).count()
       labels.unpersist(blocking = false)
-      labels = next
-      converged = prevSum != null && s.compareTo(prevSum) == 0
-      lastDelta = if (prevSum == null) s else prevSum.subtract(s)
-      prevSum = s
+      labels = next.mapValues(_._1) // mapValues keeps the partitioner
+      lastChanged = changed
+      converged = changed == 0
       iter += 1
     }
-    edges.unpersist(blocking = false)
-    // labels only decrease, so a non-zero final delta means propagation was
-    // still in flight when maxIter hit — the labels are NOT canonical
-    // component ids (possible only for components of diameter > maxIter).
-    // Fail loudly rather than hand back silently-wrong clusters.
+    byDst.unpersist(blocking = false)
+    // labels only decrease, so changed > 0 at maxIter means propagation was
+    // still in flight — the labels are NOT canonical component ids
+    // (possible only for components of diameter > maxIter). Fail loudly
+    // rather than hand back silently-wrong clusters.
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
-          s"(residual label-sum delta $lastDelta); the input graph has a " +
+          s"($lastChanged labels still decreasing); the input graph has a " +
           s"component of diameter > $maxIter — raise maxIter, or use " +
           "algorithm = \"star\" (round count logarithmic, diameter-independent)")
-    labels
+    import spark.implicits._
+    labels.toDF("id", "label")
+  }
+
+  /** Narrow inner join of two co-partitioned pair RDDs (both on the same
+    * partitioner by construction). Split out so the call site stays
+    * readable; asserts the precondition the narrowness depends on. */
+  private def byDstSafeJoin(a: org.apache.spark.rdd.RDD[(Long, Long)],
+      b: org.apache.spark.rdd.RDD[(Long, Long)]): org.apache.spark.rdd.RDD[(Long, (Long, Long))] = {
+    require(a.partitioner.isDefined && a.partitioner == b.partitioner,
+      "co-partitioning precondition lost — the join would silently shuffle")
+    a.join(b)
   }
 
   /** Alternating large-star/small-star connected components (Kiveris et

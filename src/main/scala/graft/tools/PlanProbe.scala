@@ -23,8 +23,11 @@ object PlanProbe {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id*2)").collect() // warm
-    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    // construction INSIDE the timed region: iterative operators do eager
+    // localCheckpoint work while building the DataFrame (Bench times the
+    // same way)
     val t0 = System.nanoTime()
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
     df.write.format("noop").mode("overwrite").save()
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"== $name took $sec%.2f s ==")
