@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Avi, CorpusFilters, Curation, Dedup, Jpeg, MediaCodecs, Multimodal, Png, Similarity, TextOps}
+import graft.ext.{Avi, Bpe, CorpusFilters, Curation, Dedup, Jpeg, MediaCodecs, Multimodal, Png, Similarity, TextOps}
 
 /** LLM-training-data pipeline queries over `documents.parquet` /
   * `embeddings.parquet` — dedup (exact, MinHash-LSH, SimHash, n-gram
@@ -22,6 +22,24 @@ object PipelineQueries {
 
   /** hash60 in DuckDB: first 15 md5 hex digits as BIGINT (= TextOps.hash60). */
   private def h60(inner: String): String = TextOps.hash60Sql(inner)
+
+  /** SF-independent golden corpus for the BPE digest row: 1000 docs of 10
+    * zipf-ish draws from a 20-stem vocabulary, all values LCG-seeded from
+    * the doc id — same reproducibility contract as TrainQueries'
+    * goldenRows. */
+  private def bpeGoldenCorpus(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val words = Vector("the", "of", "and", "to", "in", "data", "model", "train",
+      "spark", "learn", "ing", "er", "est", "token", "ize", "ization", "pre",
+      "post", "process", "stream")
+    (0L until 1000L).map { i =>
+      val rng = new java.util.Random(i * 0x9E3779B97F4A7C15L + 7L)
+      (i, Seq.fill(10) {
+        val u = rng.nextDouble()
+        words(math.min(words.length - 1, (-math.log(u) / math.log(1.45)).toInt))
+      }.mkString(" "))
+    }.toDF("doc_id", "text")
+  }
 
   /** Distinct 3-word shingles of a token list `t` (= TextOps.shingles n=3). */
   private val shingleSql =
@@ -422,6 +440,30 @@ object PipelineQueries {
           col("height").cast("long").as("height"),
           round(col("mean_y"), 4).as("mean_y"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // REAL BPE tokenizer (ext.Bpe) end-to-end on an SF-independent golden
+    // corpus: distributed word counts → bounded driver merge loop →
+    // broadcast map-only encode. Golden-digest row in the t_hash_* style:
+    // the merge list md5 and an order-independent integer checksum of all
+    // 1000 encodings are PINNED — any change to count tiebreaks, the merge
+    // loop, or the rank-based encoder flips the row red.
+    "t_hash_bpe" -> ((s, _) => {
+      import s.implicits._
+      val docs = bpeGoldenCorpus(s)
+      val model = Bpe.trainFromCorpus(docs, "text", numMerges = 48, topWords = 200)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val mergesMd5 = md.digest(
+        model.merges.map { case (a, b) => s"$a $b" }.mkString("\n").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Bpe.encodeDocs(docs, "text", "doc_id", model)
+        .select(TextOps.hash60(concat_ws(" ", col("pieces"))).as("h"), col("n_pieces"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_pieces").cast("long")).as("total_pieces"),
+          sum(col("h").cast("decimal(38,0)")).cast("string").as("enc_checksum"))
+        .select(lit(mergesMd5).as("merges_md5"),
+          lit(model.merges.length.toLong).as("n_merges"),
+          col("n_docs"), col("total_pieces"), col("enc_checksum"))
     }),
 
     // ---- corpus-quality filters (ext.CorpusFilters) ------------------------
@@ -1090,6 +1132,14 @@ object PipelineQueries {
         |SELECT doc_id, 8 * bw AS width, 8 * bh AS height,
         |  round(CAST(sum((bx*31 + by*17 + 5*doc_id) % 256) AS DOUBLE) / (bw*bh), 4) AS mean_y
         |FROM px GROUP BY doc_id, bw, bh ORDER BY doc_id""".stripMargin,
+
+    // pinned r8: BPE golden digest — merge-list md5 + order-independent
+    // encode checksum on the SF-independent corpus (values below printed
+    // by the first run, then frozen; see t_hash_* precedent)
+    "t_hash_bpe" ->
+      ("SELECT '3b555f877ee4f181a0a45d16b25e8174' AS merges_md5, 48 AS n_merges, " +
+        "1000 AS n_docs, 10006 AS total_pieces, " +
+        "'578263843954837017197' AS enc_checksum"),
 
     // PNG fixture gradient means recomputed exactly (lossless codec ⇒ the
     // decoded pixels ARE the gradient; same lateral-expansion shape as BMP)
