@@ -135,6 +135,42 @@ object MediaCodecs {
       if (sampleRate > 0) frames * 1000.0 / sampleRate else 0.0, rms, zc)
   }
 
+  /** Decode the raw sample stream (channel-mean per frame) for DSP
+    * consumers ([[AudioDsp]]); same chunk walk and PCM constraints as
+    * [[decodeWav]]. */
+  def decodeWavSamples(bytes: Array[Byte]): (Int, Array[Double]) = {
+    require(bytes.length >= 12 && tag(bytes, 0) == "RIFF" && tag(bytes, 8) == "WAVE",
+      "not a RIFF/WAVE stream")
+    var fmtOff = -1; var dataOff = -1; var dataLen = 0
+    var off = 12
+    while (off + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+      val id = tag(bytes, off)
+      val sz = le32(bytes, off + 4)
+      require(sz >= 0 && off + 8 + sz <= bytes.length, s"chunk '$id' overruns stream")
+      if (id == "fmt ") fmtOff = off + 8
+      else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1)
+    }
+    require(fmtOff >= 0 && dataOff >= 0, "missing fmt/data chunk")
+    require(le16(bytes, fmtOff) == 1 && le16(bytes, fmtOff + 14) == 16,
+      "16-bit PCM only")
+    val channels = le16(bytes, fmtOff + 2)
+    val sampleRate = le32(bytes, fmtOff + 4)
+    val frames = dataLen / (2 * channels)
+    val out = new Array[Double](frames)
+    var f = 0
+    while (f < frames) {
+      var acc = 0.0; var c = 0
+      while (c < channels) {
+        acc += le16(bytes, dataOff + 2 * (f * channels + c)).toShort.toDouble
+        c += 1
+      }
+      out(f) = acc / channels
+      f += 1
+    }
+    (sampleRate, out)
+  }
+
   // ---- BMP (uncompressed 24-bit) ------------------------------------------
 
   /** Decoded image features: dimensions plus mean channel intensity. */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Avi, Bpe, CorpusFilters, Curation, Dedup, Jpeg, MediaCodecs, Multimodal, Png, Similarity, TextOps}
+import graft.ext.{AudioDsp, Avi, Bpe, CorpusFilters, Curation, Dedup, Jpeg, MediaCodecs, Multimodal, Png, Similarity, TextOps}
 
 /** LLM-training-data pipeline queries over `documents.parquet` /
   * `embeddings.parquet` — dedup (exact, MinHash-LSH, SimHash, n-gram
@@ -440,6 +440,41 @@ object PipelineQueries {
           col("height").cast("long").as("height"),
           round(col("mean_y"), 4).as("mean_y"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // REAL audio DSP (ext.AudioDsp): 64-point radix-2 FFT power spectrum
+    // of the square-wave WAV fixture, amplitude-normalized. The DuckDB
+    // oracle recomputes the O(n²) NAIVE DFT of the same samples — a true
+    // independent recomputation (different algorithm, different libm),
+    // agreeing to 4 decimals.
+    "p_audio_spectrum" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, MediaCodecs.wavFixture(id)))
+      AudioDsp.spectrumRows(payloads, size = 64)
+        .select(col("media_id").as("doc_id"),
+          col("bin").cast("long").as("bin"),
+          round(col("npower"), 4).as("npower"))
+        .orderBy("doc_id", "bin")
+    }),
+
+    // MFCC golden digest (mel filterbank + log + DCT-II are not reasonably
+    // SQL-expressible): order-independent checksum of all rounded
+    // coefficient vectors, pinned like the t_hash_* rows; spec invariants
+    // (Parseval, tone peak, determinism) cover the math.
+    "t_hash_mfcc" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, MediaCodecs.wavFixture(id)))
+      AudioDsp.mfccRows(payloads)
+        .select(TextOps.hash60(concat_ws(",",
+          transform(col("mfcc"), v => round(v, 4).cast("string")))).as("h"),
+          col("n_frames"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_frames").cast("long")).as("total_frames"),
+          sum(col("h").cast("decimal(38,0)")).cast("string").as("mfcc_checksum"))
     }),
 
     // REAL BPE tokenizer (ext.Bpe) end-to-end on an SF-independent golden
@@ -1132,6 +1167,34 @@ object PipelineQueries {
         |SELECT doc_id, 8 * bw AS width, 8 * bh AS height,
         |  round(CAST(sum((bx*31 + by*17 + 5*doc_id) % 256) AS DOUBLE) / (bw*bh), 4) AS mean_y
         |FROM px GROUP BY doc_id, bw, bh ORDER BY doc_id""".stripMargin,
+
+    // naive O(n²) DFT of the square-wave fixture — an INDEPENDENT
+    // recomputation of the Spark side's radix-2 FFT (different algorithm
+    // and libm; amplitude-normalized power agrees at 4 decimals)
+    "p_audio_spectrum" ->
+      """WITH sub AS (
+        |  SELECT doc_id, 2 + doc_id % 5 AS hp,
+        |         CAST(1000 + (doc_id % 7) * 500 AS DOUBLE) AS amp
+        |  FROM documents WHERE doc_id < 100
+        |), smp AS (
+        |  SELECT doc_id, hp, amp, tn.n AS n,
+        |         CASE WHEN ((tn.n // hp) % 2) = 0 THEN amp ELSE -amp END AS s
+        |  FROM sub CROSS JOIN LATERAL (SELECT unnest(range(0, 64)) AS n) tn
+        |), dft AS (
+        |  SELECT doc_id, tk.k AS bin, amp,
+        |         sum(s * cos(2 * pi() * tk.k * n / 64.0)) AS re,
+        |         sum(s * sin(-2 * pi() * tk.k * n / 64.0)) AS im
+        |  FROM smp CROSS JOIN LATERAL (SELECT unnest(range(0, 33)) AS k) tk
+        |  GROUP BY doc_id, tk.k, amp
+        |)
+        |SELECT doc_id, bin,
+        |  round((re*re + im*im) / ((64.0*amp) * (64.0*amp)), 4) AS npower
+        |FROM dft ORDER BY doc_id, bin""".stripMargin,
+
+    // pinned r8: MFCC golden digest (see the query comment)
+    "t_hash_mfcc" ->
+      ("SELECT 100 AS n_docs, 100 AS total_frames, " +
+        "'57848768426560920316' AS mfcc_checksum"),
 
     // pinned r8: BPE golden digest — merge-list md5 + order-independent
     // encode checksum on the SF-independent corpus (values below printed
