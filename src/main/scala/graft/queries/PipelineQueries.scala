@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AudioDsp, Avi, Bpe, CorpusFilters, Curation, Dedup, Jpeg, MediaCodecs, Multimodal, Png, Similarity, TextOps}
+import graft.ext.{AudioDsp, Avi, Bpe, CorpusFilters, Curation, Dedup, ImageOps, Jpeg, MediaCodecs, Multimodal, Png, Similarity, TextOps}
 
 /** LLM-training-data pipeline queries over `documents.parquet` /
   * `embeddings.parquet` — dedup (exact, MinHash-LSH, SimHash, n-gram
@@ -440,6 +440,26 @@ object PipelineQueries {
           col("height").cast("long").as("height"),
           round(col("mean_y"), 4).as("mean_y"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // REAL image preprocessing (ext.ImageOps): PNG decode → bilinear
+    // resize to a fixed 4×4 thumbnail, one row per target pixel. The
+    // half-pixel-center interpolation uses only dyadic-rational arithmetic
+    // on integer channels with explicit floor(v+0.5) rounding, so the
+    // DuckDB oracle recomputes the EXACT same integers from the gradient
+    // closed form.
+    "p_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, Png.pngFixture(id)))
+      ImageOps.resizedPngRows(payloads, 4, 4)
+        .select(col("media_id").as("doc_id"),
+          col("px").cast("long").as("px"),
+          col("r").cast("long").as("r"),
+          col("g").cast("long").as("g"),
+          col("b").cast("long").as("b"))
+        .orderBy("doc_id", "px")
     }),
 
     // REAL audio DSP (ext.AudioDsp): 64-point radix-2 FFT power spectrum
@@ -1167,6 +1187,40 @@ object PipelineQueries {
         |SELECT doc_id, 8 * bw AS width, 8 * bh AS height,
         |  round(CAST(sum((bx*31 + by*17 + 5*doc_id) % 256) AS DOUBLE) / (bw*bh), 4) AS mean_y
         |FROM px GROUP BY doc_id, bw, bh ORDER BY doc_id""".stripMargin,
+
+    // bilinear interpolation over the PNG gradient recomputed exactly:
+    // all coordinates are dyadic rationals (integer w over 4), so every
+    // intermediate double is exact in both engines and floor(v+0.5)
+    // lands on identical integers
+    "p_image_resize" ->
+      """WITH sub AS (
+        |  SELECT doc_id, 5 + doc_id % 6 AS w, 4 + doc_id % 3 AS h
+        |  FROM documents WHERE doc_id < 100
+        |), t AS (
+        |  SELECT doc_id, w, h, tt.px AS px, tt.px % 4 AS tx, tt.px // 4 AS ty
+        |  FROM sub CROSS JOIN LATERAL (SELECT unnest(range(0, 16)) AS px) tt
+        |), c AS (
+        |  SELECT doc_id, w, h, px,
+        |    greatest(0.0, least(w - 1.0, (tx + 0.5) * w / 4.0 - 0.5)) AS sx,
+        |    greatest(0.0, least(h - 1.0, (ty + 0.5) * h / 4.0 - 0.5)) AS sy
+        |  FROM t
+        |), d AS (
+        |  SELECT doc_id, w, h, px,
+        |    CAST(floor(sx) AS BIGINT) AS x0,
+        |    least(CAST(floor(sx) AS BIGINT) + 1, w - 1) AS x1,
+        |    CAST(floor(sy) AS BIGINT) AS y0,
+        |    least(CAST(floor(sy) AS BIGINT) + 1, h - 1) AS y1,
+        |    sx - floor(sx) AS fx, sy - floor(sy) AS fy
+        |  FROM c
+        |)
+        |SELECT doc_id, px,
+        |  CAST(floor((1-fy)*((1-fx)*((x0*5 + y0*11 + 3*doc_id) % 256) + fx*((x1*5 + y0*11 + 3*doc_id) % 256))
+        |     + fy*((1-fx)*((x0*5 + y1*11 + 3*doc_id) % 256) + fx*((x1*5 + y1*11 + 3*doc_id) % 256)) + 0.5) AS BIGINT) AS r,
+        |  CAST(floor((1-fy)*((1-fx)*((x0*13 + y0*3 + 5*doc_id) % 256) + fx*((x1*13 + y0*3 + 5*doc_id) % 256))
+        |     + fy*((1-fx)*((x0*13 + y1*3 + 5*doc_id) % 256) + fx*((x1*13 + y1*3 + 5*doc_id) % 256)) + 0.5) AS BIGINT) AS g,
+        |  CAST(floor((1-fy)*((1-fx)*((x0*2 + y0*7 + 7*doc_id) % 256) + fx*((x1*2 + y0*7 + 7*doc_id) % 256))
+        |     + fy*((1-fx)*((x0*2 + y1*7 + 7*doc_id) % 256) + fx*((x1*2 + y1*7 + 7*doc_id) % 256)) + 0.5) AS BIGINT) AS b
+        |FROM d ORDER BY doc_id, px""".stripMargin,
 
     // naive O(n²) DFT of the square-wave fixture — an INDEPENDENT
     // recomputation of the Spark side's radix-2 FFT (different algorithm
