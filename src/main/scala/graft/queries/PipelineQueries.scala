@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AudioDsp, Avi, Bpe, CorpusFilters, Curation, Dedup, ImageOps, Jpeg, MediaCodecs, Multimodal, Png, Similarity, TextOps}
+import graft.ext.{AudioDsp, Avi, Bpe, CorpusFilters, Curation, Dedup, Gif, ImageOps, Jpeg, MediaCodecs, Multimodal, Png, Similarity, TextOps}
 
 /** LLM-training-data pipeline queries over `documents.parquet` /
   * `embeddings.parquet` — dedup (exact, MinHash-LSH, SimHash, n-gram
@@ -440,6 +440,24 @@ object PipelineQueries {
           col("height").cast("long").as("height"),
           round(col("mean_y"), 4).as("mean_y"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // REAL GIF decode (ext.Gif): LZW with variable 3–12-bit codes +
+    // palette lookup, no codec library. Lossless ⇒ the oracle recomputes
+    // the indexed-gradient channel means exactly.
+    "p_gif_decode" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, Gif.gifFixture(id)))
+      Gif.decodeImages(payloads)
+        .select(col("media_id").as("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy("doc_id")
     }),
 
     // REAL image preprocessing (ext.ImageOps): PNG decode → bilinear
@@ -1187,6 +1205,24 @@ object PipelineQueries {
         |SELECT doc_id, 8 * bw AS width, 8 * bh AS height,
         |  round(CAST(sum((bx*31 + by*17 + 5*doc_id) % 256) AS DOUBLE) / (bw*bh), 4) AS mean_y
         |FROM px GROUP BY doc_id, bw, bh ORDER BY doc_id""".stripMargin,
+
+    // GIF fixture: palette color of index (x·3+y·5+id)%16 — lossless
+    // decode ⇒ exact means over the indexed gradient
+    "p_gif_decode" ->
+      """WITH sub AS (
+        |  SELECT doc_id, 6 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id < 100
+        |), px AS (
+        |  SELECT doc_id, w, h, (tx.x * 3 + ty.y * 5 + doc_id) % 16 AS c
+        |  FROM sub
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0, w)) AS x) tx
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0, h)) AS y) ty
+        |)
+        |SELECT doc_id, w AS width, h AS height,
+        |  round(CAST(sum((c*17 + doc_id) % 256) AS DOUBLE) / (w*h), 4) AS mean_r,
+        |  round(CAST(sum((c*29 + 2*doc_id) % 256) AS DOUBLE) / (w*h), 4) AS mean_g,
+        |  round(CAST(sum((c*43 + 3*doc_id) % 256) AS DOUBLE) / (w*h), 4) AS mean_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     // bilinear interpolation over the PNG gradient recomputed exactly:
     // all coordinates are dyadic rationals (integer w over 4), so every
