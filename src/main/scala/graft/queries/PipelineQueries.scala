@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AudioDsp, Avi, Bpe, CorpusFilters, Curation, Dedup, Gif, ImageOps, Jpeg, MediaCodecs, Multimodal, Png, Similarity, TextOps}
+import graft.ext.{AudioDsp, Avi, Bpe, CorpusFilters, Curation, Dedup, Gif, ImageOps, Jpeg, MediaCodecs, Mp3, Multimodal, Png, Similarity, TextOps}
 
 /** LLM-training-data pipeline queries over `documents.parquet` /
   * `embeddings.parquet` — dedup (exact, MinHash-LSH, SimHash, n-gram
@@ -440,6 +440,25 @@ object PipelineQueries {
           col("height").cast("long").as("height"),
           round(col("mean_y"), 4).as("mean_y"))
         .orderBy("doc_id", "frame_idx")
+    }),
+
+    // REAL MP3 frame-header walk (ext.Mp3): sync scan, header fields,
+    // frame-length stepping, ID3v2 skip → duration/bitrate/CBR metadata
+    // without PCM synthesis (which stays the declared stub). Closed-form
+    // oracle from the fixture parameters.
+    "p_mp3_meta" -> ((s, dir) => {
+      import s.implicits._
+      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+        .select(col("doc_id")).as[Long]
+        .map(id => (id, Mp3.mp3Fixture(id)))
+      Mp3.parseStreams(payloads)
+        .select(col("media_id").as("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("is_cbr").cast("long").as("is_cbr"),
+          round(col("avg_bitrate_kbps"), 4).as("avg_bitrate_kbps"),
+          round(col("duration_ms"), 4).as("duration_ms"))
+        .orderBy("doc_id")
     }),
 
     // REAL GIF decode (ext.Gif): LZW with variable 3–12-bit codes +
@@ -1205,6 +1224,22 @@ object PipelineQueries {
         |SELECT doc_id, 8 * bw AS width, 8 * bh AS height,
         |  round(CAST(sum((bx*31 + by*17 + 5*doc_id) % 256) AS DOUBLE) / (bw*bh), 4) AS mean_y
         |FROM px GROUP BY doc_id, bw, bh ORDER BY doc_id""".stripMargin,
+
+    // MP3 fixture closed forms: CBR stream of 5+(id%6) MPEG1-L3 frames,
+    // duration = n·1152/rate
+    "p_mp3_meta" ->
+      """WITH sub AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+        |    CASE doc_id % 5 WHEN 0 THEN 128 WHEN 1 THEN 160 WHEN 2 THEN 192
+        |                    WHEN 3 THEN 224 ELSE 256 END AS br,
+        |    5 + doc_id % 6 AS n
+        |  FROM documents WHERE doc_id < 100
+        |)
+        |SELECT doc_id, sr AS sample_rate, n AS n_frames, 1 AS is_cbr,
+        |  round(CAST(br AS DOUBLE), 4) AS avg_bitrate_kbps,
+        |  round(CAST(n AS DOUBLE) * 1152 * 1000.0 / sr, 4) AS duration_ms
+        |FROM sub ORDER BY doc_id""".stripMargin,
 
     // GIF fixture: palette color of index (x·3+y·5+id)%16 — lossless
     // decode ⇒ exact means over the indexed gradient
