@@ -1,0 +1,91 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-cleaning operators for pretraining-corpus curation — the two
+  * canonical pre-dedup cleaning stages of a web-scale pipeline:
+  *
+  *  - [[c4Clean]] — the C4 line/page heuristics (Raffel et al. 2020,
+  *    "Exploring the Limits of Transfer Learning…", §2.2): keep a line
+  *    iff it ends in a terminal punctuation mark, has at least five
+  *    words, and does not mention javascript; drop the whole page if
+  *    fewer than three lines survive or the raw page contains a curly
+  *    brace (code markup) or the phrase "lorem ipsum" (placeholder
+  *    boilerplate).
+  *  - [[redactPii]] — rule-based PII redaction (the Dolma / BigScience
+  *    ROOTS practice): replace email addresses, North-American-style
+  *    phone numbers and IPv4 addresses with typed placeholder tokens,
+  *    reporting per-document match counts.
+  *
+  * Scale design (100 TB): both operators are pure per-row projections —
+  * higher-order array functions and `regexp_replace` over the text
+  * column, no shuffle, no UDFs, fully codegen'd — so they scale with
+  * the scan and compose for free ahead of [[Dedup]] / [[CorpusFilters]]
+  * stages. Regexes stay inside the Java∩RE2 common subset (no
+  * lookaround, no backreferences) so a DuckDB oracle evaluates the
+  * SAME patterns, and the cleaned/redacted strings are compared by md5
+  * across engines.
+  */
+object Cleaning {
+
+  /** Email, phone, IPv4 — the portable (Java ∩ RE2) patterns. Groups are
+    * avoided so `regexp_extract_all(…, 0)` works identically in Spark
+    * and DuckDB. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** C4 keep-this-line predicate over a line Column (a lambda variable
+    * from `filter(lines, …)`): terminal punctuation + ≥5 words + no
+    * "javascript" mention. Word count uses single-space splitting — the
+    * same contract as [[TextOps.tokens]]. */
+  private def keepLine(l: Column): Column =
+    substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+      size(split(l, " ")) >= 5 &&
+      !lower(l).contains("javascript")
+
+  /** C4 line+page filter. One row per input row:
+    * (idCol, n_lines, n_kept, page_keep 0/1, clean_text) where
+    * clean_text is the surviving lines re-joined with '\n' for kept
+    * pages and the empty string for dropped pages. Map-only. */
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    // lines and kept-lines materialized once as attributes so the
+    // per-line lambda work is not re-inlined per consumer (the
+    // CorpusFilters._toks lesson)
+    val staged = docs
+      .select(col(idCol), col(textCol).as("_t"),
+        split(col(textCol), "\n").as("_lines"))
+      .select(col(idCol), col("_t"), col("_lines"),
+        filter(col("_lines"), keepLine _).as("_kept"))
+    val pageKeep = size(col("_kept")) >= 3 &&
+      !lower(col("_t")).contains("lorem ipsum") &&
+      !col("_t").contains("{")
+    staged.select(
+      col(idCol),
+      size(col("_lines")).as("n_lines"),
+      size(col("_kept")).as("n_kept"),
+      pageKeep.cast("int").as("page_keep"),
+      when(pageKeep, array_join(col("_kept"), "\n")).otherwise(lit(""))
+        .as("clean_text"))
+  }
+
+  /** Rule-based PII redaction. One row per input row:
+    * (idCol, n_emails, n_phones, n_ips, redacted) with matches replaced
+    * by [EMAIL] / [PHONE] / [IP] in that order. Map-only. */
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phones"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "[EMAIL]"),
+          PhoneRe, "[PHONE]"),
+        Ipv4Re, "[IP]").as("redacted"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AudioDsp, Avi, Bpe, CorpusFilters, Curation, Dedup, Gif, ImageOps, Jpeg, MediaCodecs, Mp3, Multimodal, Png, Similarity, TextOps}
+import graft.ext.{AudioDsp, Avi, Bpe, Cleaning, CorpusFilters, Curation, Dedup, Gif, ImageOps, Jpeg, MediaCodecs, Mp3, Multimodal, Png, Similarity, TextOps}
 
 /** LLM-training-data pipeline queries over `documents.parquet` /
   * `embeddings.parquet` — dedup (exact, MinHash-LSH, SimHash, n-gram
@@ -40,6 +40,43 @@ object PipelineQueries {
       }.mkString(" "))
     }.toDF("doc_id", "text")
   }
+
+  /** Deterministic multi-line web-page fixture for the cleaning rows:
+    * six lines mixing kept sentences, the word-salad `text` column, PII
+    * (email/phone/IPv4) and the C4 hazard cases (javascript mention,
+    * curly-brace markup, lorem-ipsum boilerplate), all derived from
+    * doc_id so the DuckDB oracle rebuilds the identical page in SQL. */
+  private def pageFixture = concat_ws("\n",
+    lit("A solid first sentence with seven words."),
+    when(col("doc_id") % 13 === 0,
+      lit("We will update the lorem ipsum placeholder text tomorrow."))
+      .otherwise(concat(lit("Contact user"), (col("doc_id") % 100).cast("string"),
+        lit("@example.com or call 555-123-4567 soon please."))),
+    substring(col("text"), 1, 40),
+    lit("tiny line."),
+    when(col("doc_id") % 7 === 0,
+      lit("Please enable javascript to continue browsing."))
+      .otherwise(lit("Server logs show address 10.1.2.3 visited twice today.")),
+    when(col("doc_id") % 11 === 0,
+      lit("Broken markup { lurks here badly today."))
+      .otherwise(lit("A closing remark rounds out the page!")))
+
+  /** pageFixture in DuckDB dialect (chr(10) = '\n'). */
+  private val pageFixtureSql =
+    """concat_ws(chr(10),
+      |      'A solid first sentence with seven words.',
+      |      CASE WHEN doc_id % 13 = 0
+      |           THEN 'We will update the lorem ipsum placeholder text tomorrow.'
+      |           ELSE 'Contact user' || (doc_id % 100) ||
+      |                '@example.com or call 555-123-4567 soon please.' END,
+      |      substr(text, 1, 40),
+      |      'tiny line.',
+      |      CASE WHEN doc_id % 7 = 0
+      |           THEN 'Please enable javascript to continue browsing.'
+      |           ELSE 'Server logs show address 10.1.2.3 visited twice today.' END,
+      |      CASE WHEN doc_id % 11 = 0
+      |           THEN 'Broken markup { lurks here badly today.'
+      |           ELSE 'A closing remark rounds out the page!' END)""".stripMargin
 
   /** Distinct 3-word shingles of a token list `t` (= TextOps.shingles n=3). */
   private val shingleSql =
@@ -458,6 +495,37 @@ object PipelineQueries {
           col("is_cbr").cast("long").as("is_cbr"),
           round(col("avg_bitrate_kbps"), 4).as("avg_bitrate_kbps"),
           round(col("duration_ms"), 4).as("duration_ms"))
+        .orderBy("doc_id")
+    }),
+
+    // C4 line/page cleaning (Raffel et al. 2020 §2.2) over the
+    // deterministic pageFixture; the oracle re-runs the same line
+    // predicate with a DuckDB list_filter lambda and compares the
+    // cleaned page by md5.
+    "p_c4_clean" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), pageFixture.as("page"))
+      Cleaning.c4Clean(docs, "doc_id", "page")
+        .select(col("doc_id"),
+          col("n_lines").cast("long").as("n_lines"),
+          col("n_kept").cast("long").as("n_kept"),
+          col("page_keep").cast("long").as("page_keep"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // PII redaction (email/phone/IPv4 → typed placeholders) over the
+    // same fixture; patterns live in the Java∩RE2 subset so DuckDB
+    // evaluates the identical regexes, redacted page compared by md5.
+    "p_pii_redact" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), pageFixture.as("page"))
+      Cleaning.redactPii(docs, "doc_id", "page")
+        .select(col("doc_id"),
+          col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_ips").cast("long").as("n_ips"),
+          md5(col("redacted")).as("redacted_md5"))
         .orderBy("doc_id")
     }),
 
@@ -1240,6 +1308,47 @@ object PipelineQueries {
         |  round(CAST(br AS DOUBLE), 4) AS avg_bitrate_kbps,
         |  round(CAST(n AS DOUBLE) * 1152 * 1000.0 / sr, 4) AS duration_ms
         |FROM sub ORDER BY doc_id""".stripMargin,
+
+    // C4 cleaning: identical fixture + line predicate in DuckDB lambda
+    // form; page md5 pins the exact surviving text
+    "p_c4_clean" ->
+      (s"""WITH fx AS (
+        |  SELECT doc_id, $pageFixtureSql AS t
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      right(l, 1) IN ('.', '!', '?', '"')
+        |      AND len(string_split(l, ' ')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM fx
+        |)
+        |SELECT doc_id,
+        |  CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  CAST(CASE WHEN len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+        |            AND NOT contains(t, '{') THEN 1 ELSE 0 END AS BIGINT) AS page_keep,
+        |  md5(CASE WHEN len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+        |           AND NOT contains(t, '{')
+        |      THEN array_to_string(kept, chr(10)) ELSE '' END) AS clean_md5
+        |FROM k ORDER BY doc_id""").stripMargin,
+
+    // PII redaction: same regexes (no lookaround/backrefs — Java∩RE2),
+    // DuckDB needs the explicit 'g' flag for global replace
+    "p_pii_redact" ->
+      (s"""WITH fx AS (
+        |  SELECT doc_id, $pageFixtureSql AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '${Cleaning.EmailRe}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '${Cleaning.PhoneRe}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t, '${Cleaning.Ipv4Re}')) AS BIGINT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |      '${Cleaning.EmailRe}', '[EMAIL]', 'g'),
+        |      '${Cleaning.PhoneRe}', '[PHONE]', 'g'),
+        |      '${Cleaning.Ipv4Re}', '[IP]', 'g')) AS redacted_md5
+        |FROM fx ORDER BY doc_id""").stripMargin,
 
     // GIF fixture: palette color of index (x·3+y·5+id)%16 — lossless
     // decode ⇒ exact means over the indexed gradient

@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.Cleaning
+
+class CleaningSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def page(lines: String*): String = lines.mkString("\n")
+
+  test("c4Clean keeps only terminal-punctuated lines with >= 5 words and no javascript") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, page(
+        "This line has plenty of words and ends right.",
+        "no terminal punctuation so this line is dropped",
+        "Short line.",
+        "Please enable JavaScript to continue browsing now.",
+        "Another perfectly fine sentence sits right here!",
+        "A third keeper closes out the healthy page?"))
+    ).toDF("doc_id", "text")
+    val r = Cleaning.c4Clean(docs).collect().head
+    assert(r.getAs[Int]("n_lines") == 6)
+    assert(r.getAs[Int]("n_kept") == 3)
+    assert(r.getAs[Int]("page_keep") == 1)
+    assert(r.getAs[String]("clean_text") == page(
+      "This line has plenty of words and ends right.",
+      "Another perfectly fine sentence sits right here!",
+      "A third keeper closes out the healthy page?"))
+  }
+
+  test("c4Clean page-level rules: < 3 kept lines, curly brace, lorem ipsum") {
+    import spark.implicits._
+    val good = page(
+      "First healthy sentence with enough words here.",
+      "Second healthy sentence with enough words too.",
+      "Third healthy sentence with enough words also.")
+    val docs = Seq(
+      (1L, good),
+      (2L, good.replaceFirst("First", "{ First")),                 // brace kills page
+      (3L, good + "\nWe left some lorem ipsum placeholder inside."), // phrase kills page
+      (4L, page(
+        "Only one healthy sentence with enough words.",
+        "Second healthy sentence with enough words too."))          // only 2 kept
+    ).toDF("doc_id", "text")
+    val byId = Cleaning.c4Clean(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Int]("page_keep") == 1)
+    assert(byId(1L).getAs[String]("clean_text") == good)
+    assert(byId(2L).getAs[Int]("page_keep") == 0)
+    assert(byId(2L).getAs[String]("clean_text") == "")
+    assert(byId(3L).getAs[Int]("page_keep") == 0)
+    assert(byId(4L).getAs[Int]("page_keep") == 0)
+    assert(byId(4L).getAs[Int]("n_kept") == 2)
+  }
+
+  test("c4Clean accepts closing-quote lines and counts words on single spaces") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, page(
+        "\"A quoted sentence still counts as prose.\"",
+        "one two three four five.",   // exactly 5 words -> kept
+        "one two three four.",        // 4 words -> dropped
+        "Filler sentence to reach the page threshold here."))
+    ).toDF("doc_id", "text")
+    val r = Cleaning.c4Clean(docs).collect().head
+    assert(r.getAs[Int]("n_kept") == 3)
+    assert(r.getAs[Int]("page_keep") == 1)
+  }
+
+  test("redactPii replaces emails, phones and IPv4s and counts matches") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Mail a.user+tag@sub.example.org or b@x.io, call 555-123-4567 " +
+        "or 555.987.6543, server 192.168.0.1 logs all of it."),
+      (2L, "No pii here at all, just version 1.2 and section 3.")
+    ).toDF("doc_id", "text")
+    val byId = Cleaning.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Int]("n_emails") == 2)
+    assert(byId(1L).getAs[Int]("n_phones") == 2)
+    assert(byId(1L).getAs[Int]("n_ips") == 1)
+    assert(byId(1L).getAs[String]("redacted") ==
+      "Mail [EMAIL] or [EMAIL], call [PHONE] or [PHONE], server [IP] logs all of it.")
+    assert(byId(2L).getAs[Int]("n_emails") == 0)
+    assert(byId(2L).getAs[Int]("n_phones") == 0)
+    assert(byId(2L).getAs[Int]("n_ips") == 0)
+    assert(byId(2L).getAs[String]("redacted") == docs.collect()
+      .find(_.getLong(0) == 2L).get.getString(1))
+  }
+
+  test("cleaning plans are map-only: no exchange, single split per scan") {
+    import spark.implicits._
+    val docs = Seq((1L, "a.\nb.")).toDF("doc_id", "text")
+    val planC4 = Cleaning.c4Clean(docs).queryExecution.executedPlan.toString
+    val planPii = Cleaning.redactPii(docs).queryExecution.executedPlan.toString
+    assert(!planC4.toLowerCase.contains("exchange"))
+    assert(!planPii.toLowerCase.contains("exchange"))
+    // the line-split runs once, staged as an attribute (no re-inlining
+    // of split() into every consumer — the CorpusFilters._toks lesson)
+    val splits = "split\\(".r.findAllIn(planC4).length
+    assert(splits <= 3, s"expected staged line split, got $splits split() sites:\n$planC4")
+  }
+}
