@@ -456,6 +456,52 @@ object Dedup {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** Paragraph-level dedup (the Dolma / RefinedWeb boilerplate-removal
+    * stage): a paragraph ('\n'-separated span) is duplicated when its
+    * content occupies at least `minCount` (doc, position) slots across
+    * the corpus, and EVERY occurrence of a duplicated paragraph is
+    * removed from every document — the order-independent rule ("keep the
+    * first occurrence" would depend on scan order and could never be
+    * oracle-checked). Blank paragraphs are structural: never counted,
+    * always kept.
+    *
+    * Returns (idCol, n_paras, n_dup_paras, clean_text) with clean_text
+    * the surviving paragraphs re-joined by '\n' in original order.
+    *
+    * Scale (100 TB): explode → map-side-combined count on the 60-bit
+    * paragraph hash (partial aggregation absorbs hot keys like shared
+    * boilerplate before the shuffle), then the duplicated-hash set —
+    * unbounded in principle, tiny in practice — joins back on the hash
+    * key (AQE skew-split covers a pathological hot paragraph), and one
+    * groupBy(doc) rebuilds the page. Paragraph TEXT never shuffles in
+    * the counting pass; only 60-bit hashes do. Collisions at 60 bits are
+    * negligible and the oracle computes the identical hash. */
+  def paragraphDedup(df: DataFrame, textCol: String, idCol: String,
+      minCount: Int = 2): DataFrame = {
+    val paras = df.select(
+        col(idCol).as("_pd_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "para")))
+      .withColumn("ph", TextOps.hash60(col("para")))
+      .withColumn("blank", trim(col("para")) === "")
+    val dup = paras.where(!col("blank"))
+      .groupBy("ph").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+      .select(col("ph"), lit(true).as("_dup"))
+    paras.join(dup, Seq("ph"), "left")
+      .withColumn("is_dup", !col("blank") && coalesce(col("_dup"), lit(false)))
+      .groupBy("_pd_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_paras"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("is_dup"), struct(col("pos"), col("para"))))),
+            x => x.getField("para")),
+          "\n").as("clean_text"))
+      .withColumnRenamed("_pd_id", idCol)
+  }
+
   /** Flag documents carrying repeated n-grams: per doc, how many of its
     * n-grams are corpus-hot (≥ minDocs docs). One additional shuffle join
     * on the n-gram key against the bounded hot set. */

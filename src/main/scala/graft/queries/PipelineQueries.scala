@@ -498,6 +498,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Paragraph-level dedup (Dolma-style boilerplate removal) over a
+    // fixture page of: corpus-wide boilerplate (every doc), a group
+    // slogan (~10 docs each), a blank structural line, the unique word
+    // salad, and a per-doc unique marker — dup paragraphs vanish, order
+    // and blanks survive, page compared by md5.
+    "p_para_dedup" -> ((s, dir) => {
+      val fx = table(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          lit("Subscribe to our newsletter today!"),
+          concat(lit("Group slogan number "), (col("doc_id") % 50).cast("string")),
+          lit(""),
+          col("text"),
+          concat(lit("Unique marker "), col("doc_id").cast("string"))).as("page"))
+      Dedup.paragraphDedup(fx, "page", "doc_id", minCount = 2)
+        .select(col("doc_id"),
+          col("n_paras").cast("long").as("n_paras"),
+          col("n_dup_paras").cast("long").as("n_dup_paras"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // C4 line/page cleaning (Raffel et al. 2020 §2.2) over the
     // deterministic pageFixture; the oracle re-runs the same line
     // predicate with a DuckDB list_filter lambda and compares the
@@ -1308,6 +1329,43 @@ object PipelineQueries {
         |  round(CAST(br AS DOUBLE), 4) AS avg_bitrate_kbps,
         |  round(CAST(n AS DOUBLE) * 1152 * 1000.0 / sr, 4) AS duration_ms
         |FROM sub ORDER BY doc_id""".stripMargin,
+
+    // paragraph dedup: zipped unnests give (pos, para), hash60 counts
+    // duplicate slots, string_agg(ORDER BY pos) rebuilds the page
+    "p_para_dedup" ->
+      (s"""WITH fx AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    'Subscribe to our newsletter today!',
+        |    'Group slogan number ' || (doc_id % 50),
+        |    '',
+        |    text,
+        |    'Unique marker ' || doc_id) AS t
+        |  FROM documents
+        |), ls AS (
+        |  SELECT doc_id, string_split(t, chr(10)) AS l FROM fx
+        |), paras AS (
+        |  SELECT doc_id, u.pos, l[u.pos] AS para
+        |  FROM ls
+        |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) + 1)) AS pos) u
+        |), ph AS (
+        |  SELECT doc_id, pos, para,
+        |    ${h60("para")} AS h,
+        |    trim(para) = '' AS blank
+        |  FROM paras
+        |), dup AS (
+        |  SELECT h FROM ph WHERE NOT blank GROUP BY h HAVING count(*) >= 2
+        |), j AS (
+        |  SELECT p.*, (d.h IS NOT NULL) AS isdup0
+        |  FROM ph p LEFT JOIN dup d ON p.h = d.h
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN NOT blank AND isdup0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_paras,
+        |  md5(coalesce(string_agg(
+        |    CASE WHEN blank OR NOT isdup0 THEN para END, chr(10) ORDER BY pos),
+        |    '')) AS clean_md5
+        |FROM j GROUP BY doc_id ORDER BY doc_id""").stripMargin,
 
     // C4 cleaning: identical fixture + line predicate in DuckDB lambda
     // form; page md5 pins the exact surviving text
