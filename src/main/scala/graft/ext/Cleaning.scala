@@ -1,7 +1,50 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode NFC normalization as a native codegen expression (Spark has no
+  * builtin; a Scala UDF would box every row and fall out of whole-stage
+  * codegen). `java.text.Normalizer` NFC agrees with DuckDB's
+  * `nfc_normalize` (utf8proc) on the stable Unicode composition set, so
+  * normalized text oracle-checks by md5. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_nfc requires string, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "graft_nfc"
+
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    // fast path: Normalizer.isNormalized is a cheap scan and nearly all
+    // real text is already NFC — skip the allocation for it
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  protected override def nullSafeEval(v: Any): Any =
+    normalize(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("graftNfc", this, classOf[NfcNormalize].getName)
+    defineCodeGen(ctx, ev, v => s"$self.normalize($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
 
 /** Text-cleaning operators for pretraining-corpus curation — the two
   * canonical pre-dedup cleaning stages of a web-scale pipeline:
@@ -70,6 +113,20 @@ object Cleaning {
       when(pageKeep, array_join(col("_kept"), "\n")).otherwise(lit(""))
         .as("clean_text"))
   }
+
+  /** Unicode NFC normalization of a string column (see [[NfcNormalize]]). */
+  def nfc(c: Column): Column = ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+
+  /** Control characters to strip in [[fixText]]: C0 minus \t\n\r, plus
+    * DEL. Hex escapes parse identically in Java and RE2 regexes. */
+  val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+
+  /** ftfy/Dolma-style text fixing: NFC-normalize, strip control
+    * characters, collapse space/tab runs to one space, trim. Map-only,
+    * fully codegen'd; DuckDB mirrors it with `nfc_normalize` +
+    * `regexp_replace(..., 'g')`. */
+  def fixText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(nfc(c), ControlRe, ""), "[ \\t]+", " "))
 
   /** Rule-based PII redaction. One row per input row:
     * (idCol, n_emails, n_phones, n_ips, redacted) with matches replaced

@@ -535,6 +535,23 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Text fixing (NFC via the graft_nfc codegen expression + control
+    // strip + whitespace collapse + trim) over a fixture with a
+    // combining acute, doubled spaces/tabs and a BEL control char; the
+    // oracle runs DuckDB's utf8proc nfc_normalize + the same regexes.
+    "p_fix_text" -> ((s, dir) => {
+      val fx = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit(" Cafe\u0301  du\t\tMarche\u0301 "),
+          substring(col("text"), 1, 20),
+          lit(" end\u0007bell "),
+          (col("doc_id") % 10).cast("string")).as("raw"))
+      fx.select(col("doc_id"), graft.ext.Cleaning.fixText(col("raw")).as("fixed"))
+        .select(col("doc_id"),
+          length(col("fixed")).cast("long").as("fixed_len"),
+          md5(col("fixed")).as("fixed_md5"))
+        .orderBy("doc_id")
+    }),
+
     // PII redaction (email/phone/IPv4 → typed placeholders) over the
     // same fixture; patterns live in the Java∩RE2 subset so DuckDB
     // evaluates the identical regexes, redacted page compared by md5.
@@ -1390,6 +1407,26 @@ object PipelineQueries {
         |           AND NOT contains(t, '{')
         |      THEN array_to_string(kept, chr(10)) ELSE '' END) AS clean_md5
         |FROM k ORDER BY doc_id""").stripMargin,
+
+    // text fixing: utf8proc nfc_normalize ∘ the same control-strip and
+    // whitespace-collapse regexes; chr(769)=U+0301, chr(7)=BEL
+    "p_fix_text" ->
+      (s"""WITH fx AS (
+        |  SELECT doc_id,
+        |    ' Cafe' || chr(769) || '  du' || chr(9) || chr(9) ||
+        |    'Marche' || chr(769) || ' ' || substr(text, 1, 20) ||
+        |    ' end' || chr(7) || 'bell ' || (doc_id % 10) AS raw
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+        |      '${Cleaning.ControlRe}', '', 'g'),
+        |      '[ \\t]+', ' ', 'g')) AS fixed
+        |  FROM fx
+        |)
+        |SELECT doc_id, CAST(length(fixed) AS BIGINT) AS fixed_len,
+        |  md5(fixed) AS fixed_md5
+        |FROM f ORDER BY doc_id""").stripMargin,
 
     // PII redaction: same regexes (no lookaround/backrefs — Java∩RE2),
     // DuckDB needs the explicit 'g' flag for global replace

@@ -92,6 +92,38 @@ class CleaningSpec extends AnyFunSuite {
       .find(_.getLong(0) == 2L).get.getString(1))
   }
 
+  test("fixText: NFC-composes accents, strips controls, collapses whitespace, trims") {
+    import spark.implicits._
+    val raw = " Cafe\u0301  du\t\tMarche\u0301 end\u0007bell \u001b"
+    val out = Seq((1L, raw)).toDF("doc_id", "text")
+      .select(Cleaning.fixText(col("text")).as("fixed"))
+      .collect().head.getString(0)
+    assert(out == "Caf\u00e9 du March\u00e9 endbell")
+    // already-normalized text passes through unchanged (fast path)
+    val clean = "plain ascii stays put"
+    val out2 = Seq((1L, clean)).toDF("doc_id", "text")
+      .select(Cleaning.fixText(col("text")).as("fixed"))
+      .collect().head.getString(0)
+    assert(out2 == clean)
+  }
+
+  test("nfc expression is codegen-compatible and null-safe") {
+    import spark.implicits._
+    val df = Seq((1L, "é"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"), Cleaning.nfc(col("text")).as("n"))
+      .orderBy("doc_id").collect()
+    assert(rows(0).getString(1) == "é")
+    assert(rows(1).isNullAt(1))
+    // LocalTableScan folds constant projections driver-side; range()
+    // produces a genuine codegen stage to host the expression
+    val plan = spark.range(2)
+      .select(Cleaning.nfc(concat(lit("é"), col("id").cast("string"))))
+      .queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks a WholeStageCodegen stage in the plan dump
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
   test("cleaning plans are map-only: no exchange, single split per scan") {
     import spark.implicits._
     val docs = Seq((1L, "a.\nb.")).toDF("doc_id", "text")
