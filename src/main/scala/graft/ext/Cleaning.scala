@@ -92,27 +92,32 @@ object Cleaning {
     * (idCol, n_lines, n_kept, page_keep 0/1, clean_text) where
     * clean_text is the surviving lines re-joined with '\n' for kept
     * pages and the empty string for dropped pages. Map-only. */
-  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text"): DataFrame = {
-    // lines and kept-lines materialized once as attributes so the
-    // per-line lambda work is not re-inlined per consumer (the
-    // CorpusFilters._toks lesson)
-    val staged = docs
-      .select(col(idCol), col(textCol).as("_t"),
-        split(col(textCol), "\n").as("_lines"))
-      .select(col(idCol), col("_t"), col("_lines"),
-        filter(col("_lines"), keepLine _).as("_kept"))
+  /** Append `n_lines`, `n_kept`, `page_keep`, `clean_text` to every row,
+    * preserving all other columns — a stateless projection, so it is
+    * streaming-safe and composes inside any gate. Lines and kept-lines
+    * are materialized once as attributes so the per-line lambda work is
+    * not re-inlined per consumer (the CorpusFilters `_toks` lesson). */
+  def withC4Columns(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val staged = df
+      .withColumn("_lines", split(col(textCol), "\n"))
+      .withColumn("_kept", filter(col("_lines"), keepLine _))
     val pageKeep = size(col("_kept")) >= 3 &&
-      !lower(col("_t")).contains("lorem ipsum") &&
-      !col("_t").contains("{")
-    staged.select(
-      col(idCol),
-      size(col("_lines")).as("n_lines"),
-      size(col("_kept")).as("n_kept"),
-      pageKeep.cast("int").as("page_keep"),
-      when(pageKeep, array_join(col("_kept"), "\n")).otherwise(lit(""))
-        .as("clean_text"))
+      !lower(col(textCol)).contains("lorem ipsum") &&
+      !col(textCol).contains("{")
+    staged
+      .withColumn("n_lines", size(col("_lines")))
+      .withColumn("n_kept", size(col("_kept")))
+      .withColumn("page_keep", pageKeep.cast("int"))
+      .withColumn("clean_text",
+        when(pageKeep, array_join(col("_kept"), "\n")).otherwise(lit("")))
+      .drop("_lines", "_kept")
   }
+
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame =
+    withC4Columns(docs, textCol)
+      .select(col(idCol), col("n_lines"), col("n_kept"), col("page_keep"),
+        col("clean_text"))
 
   /** Unicode NFC normalization of a string column (see [[NfcNormalize]]). */
   def nfc(c: Column): Column = ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
@@ -131,6 +136,15 @@ object Cleaning {
   /** Rule-based PII redaction. One row per input row:
     * (idCol, n_emails, n_phones, n_ips, redacted) with matches replaced
     * by [EMAIL] / [PHONE] / [IP] in that order. Map-only. */
+  /** The redaction chain alone, as a Column — for composing into gates
+    * (streaming or batch) that only need the scrubbed text. */
+  def redactText(t: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+
   def redactPii(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
     val t = col(textCol)
@@ -139,10 +153,6 @@ object Cleaning {
       size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
       size(regexp_extract_all(t, lit(PhoneRe), lit(0))).as("n_phones"),
       size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ips"),
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(t, EmailRe, "[EMAIL]"),
-          PhoneRe, "[PHONE]"),
-        Ipv4Re, "[IP]").as("redacted"))
+      redactText(t).as("redacted"))
   }
 }

@@ -142,11 +142,30 @@ object StreamingIngest {
   def cleanDocuments(docs: DataFrame, textCol: String = "text",
       tsCol: String = "ts", watermark: String = "10 minutes",
       minTokens: Int = 5, minQuality: Double = 0.2,
-      maxTopBigramFrac: Double = 1.0, nearDupHashes: Int = 0): DataFrame = {
+      maxTopBigramFrac: Double = 1.0, nearDupHashes: Int = 0,
+      fixUnicode: Boolean = false, c4: Boolean = false,
+      redactPii: Boolean = false): DataFrame = {
     require(docs.isStreaming,
       "cleanDocuments is the streaming twin; batch feeds use Dedup.exactDedup + the p_quality filters")
+    // optional pre-gate cleaning stages — all stateless projections, so
+    // they ride the stream bit-identically to their batch forms:
+    // fixText → C4 line/page filter (dropped pages leave the stream,
+    // survivors carry the cleaned text) → PII redaction
+    import graft.ext.Cleaning
+    val fixed =
+      if (fixUnicode) docs.withColumn(textCol, Cleaning.fixText(col(textCol)))
+      else docs
+    val c4ed =
+      if (c4) Cleaning.withC4Columns(fixed, textCol)
+        .where(col("page_keep") === 1)
+        .withColumn(textCol, col("clean_text"))
+        .drop("n_lines", "n_kept", "page_keep", "clean_text")
+      else fixed
+    val scrubbed =
+      if (redactPii) c4ed.withColumn(textCol, Cleaning.redactText(col(textCol)))
+      else c4ed
     val t = TextOps.tokens(col(textCol))
-    val gated = docs
+    val gated = scrubbed
       .withWatermark(tsCol, watermark)
       .withColumn("content_hash", md5(col(textCol)))
       .withColumn("n_tokens", size(t).cast("long"))

@@ -168,6 +168,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming cleaning stages (fixText + C4 + PII) agree with the batch operators") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    def page(lines: String*) = lines.mkString("\n")
+    val keeper = page(
+      "A first healthy sentence with plenty of words right here.",
+      "Contact me at someone@example.com for all further details.",
+      "A third solid sentence keeps this page over the threshold.")
+    val dirty = "  " + keeper // leading whitespace fixText must trim
+    val jsPage = page(
+      "Please enable javascript to continue browsing this site now.",
+      "Second line without terminal punctuation so it drops",
+      "short one.")
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val cleaned = graft.streaming.StreamingIngest.cleanDocuments(
+      stream.toDF().toDF("ts", "text"), watermark = "1 minute", minTokens = 5,
+      minQuality = 0.0, fixUnicode = true, c4 = true, redactPii = true)
+    val q = cleaned.writeStream.format("memory").queryName("clean_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((ts(0), dirty), (ts(1), jsPage)))
+      q.processAllAvailable()
+      val out = spark.table("clean_sink").select("text").as[String].collect()
+      // the js page loses every line -> page dropped; the keeper survives
+      // with its email redacted, exactly as the batch composition yields
+      val batch = graft.ext.Cleaning.withC4Columns(
+          Seq((1L, dirty), (2L, jsPage)).toDF("doc_id", "text")
+            .select(col("doc_id"), graft.ext.Cleaning.fixText(col("text")).as("text")), "text")
+        .where(col("page_keep") === 1)
+        .select(graft.ext.Cleaning.redactText(col("clean_text")).as("text"))
+        .as[String].collect()
+      assert(out.toSeq == batch.toSeq, s"stream=$out batch=${batch.toSeq}")
+      assert(out.length == 1 && out.head.contains("[EMAIL]") && !out.head.contains("@"))
+    } finally q.stop()
+  }
+
   test("streaming repetition gate agrees with the batch Gopher top-bigram rule") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, round}
