@@ -35,6 +35,51 @@ object Curation {
     df.where(hashFraction(col(keyCol), salt) < rate)
   }
 
+  /** Temperature-weighted mixture sampling — the multilingual/multi-source
+    * pretraining mix rule (XLM-R §3.1, mT5: sample stratum l with
+    * p_l ∝ n_l^alpha, alpha<1 up-weighting low-resource strata): keep
+    * rates are allocated so the EXPECTED kept volume is
+    * `targetFraction`·N, split across strata by n_l^alpha, clamped at 1.
+    *
+    * Determinism contract: per-stratum counts are collected (bounded —
+    * strata are languages/sources), the weight sum accumulates
+    * left-to-right in stratum-sorted order (an unordered float sum would
+    * differ across engines in the last ulp), and each rate is quantized
+    * to an integer micro-rate (round-half-up) before the same md5-coin
+    * predicate as [[stratifiedSample]]. Appends `rate_micro`.
+    *
+    * Scale: one tiny count aggregate to the driver, then a map-side
+    * predicate — no shuffle of the corpus. */
+  /** The per-stratum rate table of [[temperatureSample]]:
+    * (stratum, n_docs, rate_micro), stratum-sorted. One tiny aggregate
+    * to the driver (strata are bounded by construction). */
+  def temperatureRates(df: DataFrame, strataCol: String, alpha: Double,
+      targetFraction: Double): Seq[(String, Long, Long)] = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+      .sortBy(_._1)
+    val total = counts.map(_._2).sum
+    var wsum = 0.0
+    val weights = counts.map { case (s, n) =>
+      val w = math.pow(n.toDouble, alpha); wsum += w; (s, n, w)
+    }
+    weights.map { case (s, n, w) =>
+      val rate = math.min(1.0, targetFraction * total * (w / wsum) / n)
+      (s, n, math.round(rate * 1e6))
+    }.toSeq
+  }
+
+  def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
+      alpha: Double, targetFraction: Double,
+      salt: String = "temp"): DataFrame = {
+    val rates = temperatureRates(df, strataCol, alpha, targetFraction)
+    val rateExpr = rates.foldLeft(lit(0L)) {
+      case (acc, (v, _, m)) => when(col(strataCol) === v, lit(m)).otherwise(acc)
+    }
+    df.withColumn("rate_micro", rateExpr)
+      .where(hashFraction(col(keyCol), salt) < col("rate_micro") / lit(1e6))
+  }
+
   /** Contiguous sequence packing: documents in `orderCol` order are
     * concatenated and chunked into packs of `budget` tokens — pack id =
     * floor(tokens-before-this-doc / budget), the standard pretraining

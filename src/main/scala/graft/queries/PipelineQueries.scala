@@ -78,6 +78,29 @@ object PipelineQueries {
       |           THEN 'Broken markup { lurks here badly today.'
       |           ELSE 'A closing remark rounds out the page!' END)""".stripMargin
 
+  /** Deterministic messy-URL fixture for the provenance rows: uppercase
+    * scheme/host, optional port, tracking params and an optional
+    * fragment, all derived from doc_id + source. */
+  private def urlFixture = concat(
+    lit("HTTPS://WWW."), col("source"), lit(".Example.COM"),
+    when(col("doc_id") % 3 === 0, lit(":8080")).otherwise(lit("")),
+    lit("/Path/"), col("doc_id").cast("string"),
+    when(col("doc_id") % 2 === 0,
+      concat(lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+        lit("&utm_campaign=x")))
+      .otherwise(concat(lit("?id="), col("doc_id").cast("string"))),
+    when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** urlFixture in DuckDB dialect. */
+  private val urlFixtureSql =
+    """'HTTPS://WWW.' || source || '.Example.COM' ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END ||
+      |    '/Path/' || doc_id ||
+      |    CASE WHEN doc_id % 2 = 0
+      |         THEN '?utm_source=feed&id=' || doc_id || '&utm_campaign=x'
+      |         ELSE '?id=' || doc_id END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END""".stripMargin
+
   /** Distinct 3-word shingles of a token list `t` (= TextOps.shingles n=3). */
   private val shingleSql =
     "CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(range(1, len(t)-1), " +
@@ -496,6 +519,49 @@ object PipelineQueries {
           round(col("avg_bitrate_kbps"), 4).as("avg_bitrate_kbps"),
           round(col("duration_ms"), 4).as("duration_ms"))
         .orderBy("doc_id")
+    }),
+
+    // URL canonicalization + host/registered-domain extraction over the
+    // messy urlFixture; all regexes live in the Java∩RE2 subset so the
+    // oracle evaluates the identical patterns.
+    "p_url_normalize" -> ((s, dir) => {
+      val fx = table(s, dir, "documents")
+        .select(col("doc_id"), urlFixture.as("url"))
+      fx.select(col("doc_id"),
+        graft.ext.UrlOps.normalize(col("url")).as("norm_url"),
+        graft.ext.UrlOps.domain(col("url")).as("domain"),
+        graft.ext.UrlOps.registeredDomain(col("url")).as("reg_domain"))
+        .orderBy("doc_id")
+    }),
+
+    // RefinedWeb-style per-domain quota: keep the 7 smallest doc_ids per
+    // domain via one hash-partitioned window; the oracle replays the
+    // same row_number with QUALIFY.
+    "p_domain_cap" -> ((s, dir) => {
+      val fx = table(s, dir, "documents")
+        .select(col("doc_id"), urlFixture.as("url"))
+      graft.ext.UrlOps.capPerDomain(fx, "url", "doc_id", cap = 7)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+        .orderBy("domain")
+    }),
+
+    // Temperature-weighted mixture sampling (n_l^0.5 allocation, half the
+    // corpus) over lang strata: the rate table pins the float contract
+    // (stratum-ordered weight sum, micro-rate round-half-up) and n_kept
+    // pins the md5-coin.
+    "p_temperature_sample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val kept = Curation.temperatureSample(docs, "lang", "doc_id",
+        alpha = 0.5, targetFraction = 0.5)
+      val rates = Curation.temperatureRates(docs, "lang", 0.5, 0.5)
+        .toDF("lang", "n_docs", "rate_micro")
+      rates.join(
+          kept.groupBy("lang").agg(count(lit(1)).as("n_kept")), Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("rate_micro"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy("lang")
     }),
 
     // Paragraph-level dedup (Dolma-style boilerplate removal) over a
@@ -1346,6 +1412,75 @@ object PipelineQueries {
         |  round(CAST(br AS DOUBLE), 4) AS avg_bitrate_kbps,
         |  round(CAST(n AS DOUBLE) * 1152 * 1000.0 / sr, 4) AS duration_ms
         |FROM sub ORDER BY doc_id""".stripMargin,
+
+    // URL canonicalization: identical regex chain in DuckDB (tracking
+    // strip needs the explicit 'g' flag; Spark replaces globally)
+    "p_url_normalize" ->
+      (s"""WITH fx AS (
+        |  SELECT doc_id, $urlFixtureSql AS url
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+        |        '#.*$$', ''),
+        |        '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+        |        '[?&]$$', '') AS norm_url,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        |      ':\\d+$$', ''), '^www\\.', '') AS domain
+        |  FROM fx
+        |)
+        |SELECT doc_id, norm_url, domain,
+        |  regexp_extract(domain, '([^.]+\\.[^.]+)$$', 1) AS reg_domain
+        |FROM n ORDER BY doc_id""").stripMargin,
+
+    // per-domain cap: same deterministic row_number, QUALIFY-free form
+    "p_domain_cap" ->
+      (s"""WITH fx AS (
+        |  SELECT doc_id, $urlFixtureSql AS url
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        |      ':\\d+$$', ''), '^www\\.', '') AS domain
+        |  FROM fx
+        |), k AS (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        |  FROM d
+        |)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM k WHERE rn <= 7 GROUP BY domain ORDER BY domain""").stripMargin,
+
+    // temperature sampling: stratum-ordered weight sum via list_sum,
+    // micro-rate round-half-up, md5-coin identical to hashFraction
+    "p_temperature_sample" ->
+      (s"""WITH c AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        |), a AS (
+        |  SELECT sum(n) AS total,
+        |    list_sum(list(pow(n, 0.5) ORDER BY lang)) AS wsum
+        |  FROM c
+        |), r AS (
+        |  SELECT lang, n,
+        |    CAST(round(least(1.0, 0.5 * a.total * (pow(n, 0.5) / a.wsum) / n)
+        |      * 1e6) AS BIGINT) AS rate_micro
+        |  FROM c, a
+        |), k AS (
+        |  SELECT d.lang, count(*) AS cnt
+        |  FROM documents d JOIN r ON d.lang = r.lang
+        |  WHERE ${h60("concat(CAST(doc_id AS VARCHAR), '_temp')")} /
+        |        1152921504606846976.0 < r.rate_micro / 1e6
+        |  GROUP BY d.lang
+        |)
+        |SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs, r.rate_micro,
+        |  CAST(coalesce(k.cnt, 0) AS BIGINT) AS n_kept
+        |FROM r LEFT JOIN k ON r.lang = k.lang
+        |ORDER BY r.lang""").stripMargin,
 
     // paragraph dedup: zipped unnests give (pos, para), hash60 counts
     // duplicate slots, string_agg(ORDER BY pos) rebuilds the page

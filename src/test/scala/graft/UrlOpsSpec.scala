@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Curation, UrlOps}
+
+class UrlOpsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("domain: lowercases, strips www. and port; registeredDomain keeps last two labels") {
+    import spark.implicits._
+    val rows = Seq(
+      "HTTPS://WWW.News.Example.COM:8080/a/b?x=1",
+      "http://sub.site.org/path",
+      "not a url at all"
+    ).toDF("url")
+      .select(UrlOps.domain(col("url")).as("d"),
+        UrlOps.registeredDomain(col("url")).as("rd"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows(0) == (("news.example.com", "example.com")))
+    assert(rows(1) == (("sub.site.org", "site.org")))
+    assert(rows(2) == (("", "")))
+  }
+
+  test("normalize: lowercases scheme+host only, strips fragment/tracking/dangling separators") {
+    import spark.implicits._
+    val rows = Seq(
+      "HTTP://Example.COM/KeepCase?utm_source=a&id=7&utm_campaign=b#frag",
+      "https://x.io/p?gclid=abc",
+      "https://x.io/p?fbclid=1&keep=2"
+    ).toDF("url").select(UrlOps.normalize(col("url")).as("n"))
+      .collect().map(_.getString(0))
+    assert(rows(0) == "http://example.com/KeepCase?id=7")
+    assert(rows(1) == "https://x.io/p")
+    assert(rows(2) == "https://x.io/p?keep=2")
+  }
+
+  test("capPerDomain keeps the cap smallest orderCol rows per domain") {
+    import spark.implicits._
+    val docs = (1L to 10L).map(i =>
+      (i, s"https://${if (i % 2 == 0) "even" else "odd"}.com/$i"))
+      .toDF("doc_id", "url")
+    val kept = UrlOps.capPerDomain(docs, "url", "doc_id", cap = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L, 2L, 4L, 6L))
+  }
+
+  test("blocklistFilter drops blocked domains without a join") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "https://spam.net/x"), (2L, "https://good.org/y")
+    ).toDF("doc_id", "url")
+    val kept = UrlOps.blocklistFilter(docs, "url", Seq("spam.net"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L))
+    val plan = UrlOps.blocklistFilter(docs, "url", Seq("spam.net"))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+  }
+
+  test("temperatureSample: alpha=1 reduces to uniform targetFraction rates") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, if (i <= 200) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val rates = Curation.temperatureRates(docs, "lang", alpha = 1.0,
+      targetFraction = 0.4)
+    // alpha=1: K_l = f*N*(n_l/N) = f*n_l -> every stratum rate = f
+    assert(rates.map(_._3).toSet == Set(400000L))
+    // alpha=0 flattens mass equally across strata: K_l = f*N/2 = 60 per
+    // stratum -> de (100 docs) rate 0.6, en (200 docs) rate 0.3
+    val flat = Curation.temperatureRates(docs, "lang", alpha = 0.0,
+      targetFraction = 0.4).map(t => t._1 -> t._3).toMap
+    assert(flat("de") == 600000L && flat("en") == 300000L)
+    // the sample itself is reproducible: same call -> same kept set
+    val k1 = Curation.temperatureSample(docs, "lang", "doc_id", 0.5, 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    val k2 = Curation.temperatureSample(docs, "lang", "doc_id", 0.5, 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k1 == k2 && k1.nonEmpty)
+  }
+}
