@@ -24,14 +24,17 @@ object SourceQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft_uri")
       val lsv = new StringBuilder
       val csv = new StringBuilder
+      val jsl = new StringBuilder
       rows.foreach { r =>
         val y = r.getDouble(0)
         val fs = (1 to 4).map(r.getDouble)
         lsv.append(y).append(fs.zipWithIndex.map { case (v, i) => s" ${i + 1}:$v" }.mkString).append('\n')
         csv.append(y).append(',').append(fs.mkString(",")).append('\n')
+        jsl.append(s"""{"label": $y, "features": [${fs.mkString(", ")}]}""").append('\n')
       }
       java.nio.file.Files.writeString(tmp.resolve("part.libsvm"), lsv.toString)
       java.nio.file.Files.writeString(tmp.resolve("part.csv"), csv.toString)
+      java.nio.file.Files.writeString(tmp.resolve("part.jsonl"), jsl.toString)
       def agg(df: DataFrame, src: String): DataFrame = df.agg(
         lit(src).as("src"),
         count(lit(1)).as("n"),
@@ -40,6 +43,7 @@ object SourceQueries {
         round(sum(element_at(col("features"), 4)), 4).as("sum_tax"))
       agg(DataLoader.load(s, s"$tmp/part.libsvm?format=libsvm&numFeatures=4"), "libsvm")
         .unionByName(agg(DataLoader.load(s, s"$tmp/part.csv?format=csv"), "csv"))
+        .unionByName(agg(DataLoader.load(s, s"$tmp/part.jsonl"), "jsonl"))
     })
   )
 
@@ -58,6 +62,8 @@ object SourceQueries {
          |)
          |SELECT 'libsvm' AS src, n, sum_label, sum_qty, sum_tax FROM a
          |UNION ALL
-         |SELECT 'csv' AS src, n, sum_label, sum_qty, sum_tax FROM a""".stripMargin
+         |SELECT 'csv' AS src, n, sum_label, sum_qty, sum_tax FROM a
+         |UNION ALL
+         |SELECT 'jsonl' AS src, n, sum_label, sum_qty, sum_tax FROM a""".stripMargin
   )
 }

@@ -36,6 +36,7 @@ object DataLoader {
       val p = parts(0)
       if (p.endsWith(".csv")) "csv"
       else if (p.endsWith(".parquet")) "parquet"
+      else if (p.endsWith(".jsonl") || p.endsWith(".json")) "jsonl"
       else "libsvm"
     })
     ParsedUri(parts(0), fmt, opts)
@@ -69,8 +70,15 @@ object DataLoader {
         }.map(_.name)
         raw.select(col("label").cast("double"),
           array(feats.map(c => col(c).cast("double")): _*).as("features"))
+      case "jsonl" =>
+        // JSON-lines {"label": y, "features": [..]} — the corpus
+        // interchange format; Spark's json source is split-distributed
+        // like the text sources, one object per line
+        val raw = spark.read.json(path)
+        raw.select(col("label").cast("double"),
+          col("features").cast("array<double>").as("features"))
       case other => throw new IllegalArgumentException(
-        s"unknown format in URI '$uri': $other (libsvm, csv, parquet)")
+        s"unknown format in URI '$uri': $other (libsvm, csv, parquet, jsonl)")
     }
   }
 }

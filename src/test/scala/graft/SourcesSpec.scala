@@ -26,8 +26,19 @@ class SourcesSpec extends AnyFunSuite {
       assert(a.getDouble(0) == b.getDouble(0))
       assert(a.getSeq[Double](1) == b.getSeq[Double](1))
     }
+    // jsonl loads the same rows
+    java.nio.file.Files.writeString(tmp.resolve("d.jsonl"),
+      "{\"label\": 1.5, \"features\": [2.0, 0.0, 4.5]}\n" +
+        "{\"label\": -0.5, \"features\": [0.0, 1.25, 0.0]}\n")
+    val jsl = DataLoader.load(spark, s"$tmp/d.jsonl")
+      .orderBy("label").collect()
+    lsv.zip(jsl).foreach { case (a, b) =>
+      assert(a.getDouble(0) == b.getDouble(0))
+      assert(a.getSeq[Double](1) == b.getSeq[Double](1))
+    }
     // format inference from extension + #cache suffix ignored
     assert(DataLoader.parseUri("x/y.csv#cache").format == "csv")
+    assert(DataLoader.parseUri("x/y.jsonl#cache").format == "jsonl")
     assert(DataLoader.parseUri("x/y.txt?format=libsvm#cache").format == "libsvm")
   }
 
