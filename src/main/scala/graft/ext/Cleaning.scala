@@ -136,6 +136,26 @@ object Cleaning {
   /** Rule-based PII redaction. One row per input row:
     * (idCol, n_emails, n_phones, n_ips, redacted) with matches replaced
     * by [EMAIL] / [PHONE] / [IP] in that order. Map-only. */
+  /** Batch cleaning composition in production order: [[fixText]] →
+    * C4 line/page filter (dropped pages leave the corpus, survivors
+    * carry the cleaned text) → PII redaction → paragraph-level dedup
+    * ([[Dedup.paragraphDedup]], which removes cross-corpus boilerplate
+    * paragraphs the line rules cannot see). Returns one row per
+    * SURVIVING page: (idCol, n_paras, n_dup_paras, textCol). The same
+    * composition the streaming gate applies per micro-batch
+    * (paragraph dedup being the one corpus-wide stage that stays
+    * batch-only — its counts need the full corpus). */
+  def cleanCorpus(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", paraMinCount: Int = 2): DataFrame = {
+    val fixed = docs.withColumn(textCol, fixText(col(textCol)))
+    val c4ed = withC4Columns(fixed, textCol)
+      .where(col("page_keep") === 1)
+      .withColumn(textCol, redactText(col("clean_text")))
+      .drop("n_lines", "n_kept", "page_keep", "clean_text")
+    Dedup.paragraphDedup(c4ed, textCol, idCol, paraMinCount)
+      .withColumnRenamed("clean_text", textCol)
+  }
+
   /** The redaction chain alone, as a Column — for composing into gates
     * (streaming or batch) that only need the scrubbed text. */
   def redactText(t: Column): Column =

@@ -564,6 +564,24 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // Full cleaning composition (fixText → C4 → PII redact → paragraph
+    // dedup) over the pageFixture plus a per-doc unique keeper line: the
+    // shared boilerplate lines all fall to the paragraph dedup, leaving
+    // (for most docs) exactly the unique line — the md5 pins the whole
+    // four-stage composition end to end.
+    "p_clean_pipeline" -> ((s, dir) => {
+      val fx = table(s, dir, "documents").select(col("doc_id"),
+        concat(pageFixture, lit("\n"),
+          substring(col("text"), 1, 40), lit(" stays unique today."))
+          .as("page"))
+      graft.ext.Cleaning.cleanCorpus(fx, "doc_id", "page")
+        .select(col("doc_id"),
+          col("n_paras").cast("long").as("n_paras"),
+          col("n_dup_paras").cast("long").as("n_dup_paras"),
+          md5(col("page")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Paragraph-level dedup (Dolma-style boilerplate removal) over a
     // fixture page of: corpus-wide boilerplate (every doc), a group
     // slogan (~10 docs each), a blank structural line, the unique word
@@ -1481,6 +1499,64 @@ object PipelineQueries {
         |  CAST(coalesce(k.cnt, 0) AS BIGINT) AS n_kept
         |FROM r LEFT JOIN k ON r.lang = k.lang
         |ORDER BY r.lang""").stripMargin,
+
+    // full cleaning composition: every stage's proven SQL fragment
+    // chained — nfc/regex fixing, C4 lambda filter, redaction chain,
+    // then the hash-counted paragraph dedup over the survivors
+    "p_clean_pipeline" ->
+      (s"""WITH fx AS (
+        |  SELECT doc_id, $pageFixtureSql || chr(10) ||
+        |    substr(text, 1, 40) || ' stays unique today.' AS t0
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(nfc_normalize(t0),
+        |      '${Cleaning.ControlRe}', '', 'g'),
+        |      '[ \\t]+', ' ', 'g')) AS t
+        |  FROM fx
+        |), k AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split(t, chr(10)), l ->
+        |      right(l, 1) IN ('.', '!', '?', '"')
+        |      AND len(string_split(l, ' ')) >= 5
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM f
+        |), surv AS (
+        |  SELECT doc_id, array_to_string(kept, chr(10)) AS ct
+        |  FROM k
+        |  WHERE len(kept) >= 3 AND NOT contains(lower(t), 'lorem ipsum')
+        |    AND NOT contains(t, '{')
+        |), red AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(ct,
+        |      '${Cleaning.EmailRe}', '[EMAIL]', 'g'),
+        |      '${Cleaning.PhoneRe}', '[PHONE]', 'g'),
+        |      '${Cleaning.Ipv4Re}', '[IP]', 'g') AS rt
+        |  FROM surv
+        |), ls AS (
+        |  SELECT doc_id, string_split(rt, chr(10)) AS l FROM red
+        |), paras AS (
+        |  SELECT doc_id, u.pos, l[u.pos] AS para
+        |  FROM ls
+        |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(l) + 1)) AS pos) u
+        |), ph AS (
+        |  SELECT doc_id, pos, para,
+        |    ${h60("para")} AS h,
+        |    trim(para) = '' AS blank
+        |  FROM paras
+        |), dup AS (
+        |  SELECT h FROM ph WHERE NOT blank GROUP BY h HAVING count(*) >= 2
+        |), j AS (
+        |  SELECT p.*, (d.h IS NOT NULL) AS isdup0
+        |  FROM ph p LEFT JOIN dup d ON p.h = d.h
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN NOT blank AND isdup0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_paras,
+        |  md5(coalesce(string_agg(
+        |    CASE WHEN blank OR NOT isdup0 THEN para END, chr(10) ORDER BY pos),
+        |    '')) AS clean_md5
+        |FROM j GROUP BY doc_id ORDER BY doc_id""").stripMargin,
 
     // paragraph dedup: zipped unnests give (pos, para), hash60 counts
     // duplicate slots, string_agg(ORDER BY pos) rebuilds the page

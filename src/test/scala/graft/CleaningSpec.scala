@@ -124,6 +124,29 @@ class CleaningSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("cleanCorpus composition: boilerplate paragraphs vanish, unique prose survives") {
+    import spark.implicits._
+    val boiler = "Subscribe to this newsletter for more details."
+    def doc(unique: String) = page(
+      boiler,
+      unique,
+      "Contact us at help@example.com for assistance today.",
+      "A third filler sentence keeps the page alive.")
+    val docs = Seq(
+      (1L, doc("Document one carries its own special sentence.")),
+      (2L, doc("Document two has a different unique sentence.")),
+      (3L, doc("Document three closes with its own words."))
+    ).toDF("doc_id", "text")
+    val out = Cleaning.cleanCorpus(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // boiler + redacted contact + filler are corpus-wide dups; only the
+    // unique line survives, with the email already redacted before dedup
+    assert(out(1L).getAs[String]("text") ==
+      "Document one carries its own special sentence.")
+    assert(out(2L).getAs[Long]("n_dup_paras") == 3L)
+    assert(out.values.forall(!_.getAs[String]("text").contains("@")))
+  }
+
   test("cleaning plans are map-only: no exchange, single split per scan") {
     import spark.implicits._
     val docs = Seq((1L, "a.\nb.")).toDF("doc_id", "text")
