@@ -514,4 +514,49 @@ object Dedup {
       .join(hot, "ngram")
       .groupBy("id").agg(count(lit(1)).as("n_hot_ngrams"))
   }
+
+  /** Repeated-SPAN removal — the action half of Lee et al. 2022's exact
+    * substring dedup at n-gram granularity: every token covered by ANY
+    * occurrence of a corpus-hot n-gram (one appearing in ≥ `minDocs`
+    * docs) is cut from every document. Removing all occurrences (not
+    * "all but one") keeps the operator order-independent — which copy
+    * survives in the paper's suffix-array formulation depends on scan
+    * order, which a distributed, retry-prone run cannot reproduce.
+    *
+    * Returns (idCol, n_tokens, n_removed, clean_text) — clean_text the
+    * surviving tokens re-joined by ' ' in original order.
+    *
+    * Scale (100 TB): the hot set comes from the existing map-side
+    * combined (doc, ngram) aggregate; documents then explode to
+    * (ngram, start) pairs that shuffle-join the hot set on the n-gram
+    * key (AQE handles hot-ngram skew), the covered starts fold back with
+    * one groupBy(doc), and the final cut is a per-row array expression —
+    * token indices kept iff no hot start covers them. The doc token
+    * arrays never shuffle; only (id, start, ngram) triples ride the join
+    * and only ids + integer starts come back. */
+  def removeRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
+      n: Int, minDocs: Int): DataFrame = {
+    val src = ensurePar(df)
+    val hot = repeatedNgramsOf(src, textCol, idCol, n, minDocs).select("ngram")
+    val toks = src.select(col(idCol).as("id"), col(textCol),
+      TextOps.tokens(col(textCol)).as("_toks"))
+    val starts = toks
+      .select(col("id"), posexplode(TextOps.ngramsAll(col("_toks"), n))
+        .as(Seq("start", "ngram")))
+      .join(hot, "ngram")
+      .groupBy("id").agg(collect_set(col("start")).as("_starts"))
+    toks.join(starts, Seq("id"), "left")
+      .withColumn("_starts",
+        coalesce(col("_starts"), array().cast("array<int>")))
+      .select(
+        col("id").as(idCol),
+        size(col("_toks")).as("n_tokens"),
+        col("_toks"), col("_starts"))
+      .withColumn("_kept",
+        filter(col("_toks"), (_, i) =>
+          !exists(col("_starts"), s => s <= i && i < s + lit(n))))
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - size(col("_kept"))).as("n_removed"),
+        array_join(col("_kept"), " ").as("clean_text"))
+  }
 }

@@ -195,6 +195,18 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("n_hot_ngrams"))
         .orderBy("doc_id")),
 
+    // repeated-SPAN removal (Lee et al. 2022 substring dedup, n-gram
+    // granularity): tokens covered by any corpus-hot 3-gram occurrence
+    // are cut from every doc; md5 pins the rebuilt text
+    "p_span_dedup" -> ((s, dir) =>
+      Dedup.removeRepeatedSpans(table(s, dir, "documents"), "text", "doc_id",
+          n = 3, minDocs = 3)
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_removed").cast("long").as("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")),
+
     // deterministic stratified sampling (data mixing): md5-hash coin per
     // doc, per-language rates — reproducible across reruns/retries, pure
     // map-side predicate (no shuffle, no rand())
@@ -1050,6 +1062,38 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_hot_ngrams
         |FROM g JOIN hot USING (ngram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // span removal: (start, ngram) pairs via lateral range, hot set by
+    // distinct-doc count, covered-index cut via nested list lambdas
+    "p_span_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, u.i - 1 AS s0,
+        |    t[u.i]||' '||t[u.i+1]||' '||t[u.i+2] AS ngram
+        |  FROM t
+        |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+        |  WHERE len(t) >= 3
+        |), hot AS (
+        |  SELECT ngram FROM g GROUP BY ngram HAVING count(DISTINCT doc_id) >= 3
+        |), st AS (
+        |  SELECT doc_id, list(DISTINCT s0) AS starts
+        |  FROM g JOIN hot USING (ngram) GROUP BY doc_id
+        |), j AS (
+        |  SELECT t.doc_id, t.t,
+        |    CASE WHEN st.starts IS NULL THEN [] ELSE st.starts END AS starts
+        |  FROM t LEFT JOIN st USING (doc_id)
+        |), k AS (
+        |  SELECT doc_id, len(t) AS n_tokens,
+        |    list_transform(
+        |      list_filter(range(1, len(t) + 1),
+        |        i -> len(list_filter(starts, s -> s <= i - 1 AND i - 1 < s + 3)) = 0),
+        |      i -> t[i]) AS kept
+        |  FROM j
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+        |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "p_stratified_sample" ->
       s"""SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_id

@@ -49,6 +49,36 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(byId(1L).getAs[Long]("n_dup_paras") == 2L)
   }
 
+  test("removeRepeatedSpans cuts every token covered by a corpus-hot n-gram") {
+    import spark.implicits._
+    // "x y z" appears in all 3 docs -> hot at minDocs=3; overlapping
+    // occurrences in doc 3 merge into one covered region
+    val docs = Seq(
+      (1L, "a x y z b"),
+      (2L, "x y z"),
+      (3L, "c x y z x y z d")
+    ).toDF("doc_id", "text")
+    val byId = Dedup.removeRepeatedSpans(docs, "text", "doc_id", n = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[String]("clean_text") == "a b")
+    assert(byId(1L).getAs[Int]("n_removed") == 3)
+    assert(byId(2L).getAs[String]("clean_text") == "")
+    // doc 3: hot starts at 1, 4 cover idx 1..6 ("x y z x y z"); ALSO
+    // "z x y"/"y z x" only appear in doc 3 -> not hot; keep "c d"
+    assert(byId(3L).getAs[String]("clean_text") == "c d")
+    assert(byId(3L).getAs[Int]("n_removed") == 6)
+  }
+
+  test("removeRepeatedSpans leaves unique docs untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s"), (2L, "t u v w"), (3L, "aa bb")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(docs, "text", "doc_id", n = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("clean_text")).toMap
+    assert(out == Map(1L -> "p q r s", 2L -> "t u v w", 3L -> "aa bb"))
+  }
+
   test("paragraphDedup count pass shuffles hashes, not paragraph text") {
     import spark.implicits._
     val docs = Seq((1L, "a\nb")).toDF("doc_id", "text")
