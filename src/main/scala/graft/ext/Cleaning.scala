@@ -136,6 +136,40 @@ object Cleaning {
   /** Rule-based PII redaction. One row per input row:
     * (idCol, n_emails, n_phones, n_ips, redacted) with matches replaced
     * by [EMAIL] / [PHONE] / [IP] in that order. Map-only. */
+  /** Plain-text extraction from raw HTML (the trafilatura-lite step a
+    * web pipeline runs before any line heuristics): drop script/style
+    * blocks and comments (dotall non-greedy — `(?s)` is in the Java∩RE2
+    * subset), drop remaining tags, THEN decode the common entities
+    * (decoding last so `&lt;p&gt;` cannot materialize a strippable
+    * tag), collapse whitespace, trim. Map-only, codegen'd. */
+  def stripHtml(t: Column): Column = {
+    val noBlocks = regexp_replace(t,
+      "(?s)(<script\\b.*?</script>|<style\\b.*?</style>|<!--.*?-->)", "")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(noTags, "&nbsp;", " "),
+                "&quot;", "\""),
+              "&#39;", "'"),
+            "&lt;", "<"),
+          "&gt;", ">"),
+        "&amp;", "&")
+    trim(regexp_replace(decoded, "[ \\t]+", " "))
+  }
+
+  /** Sentence segmentation without lookaround (RE2 has none): sentences
+    * are maximal `[^.!?]+[.!?]+` runs, trimmed — the C4/Gopher
+    * sentence-count unit. Returns array<string>. */
+  def sentences(t: Column): Column =
+    filter(
+      transform(regexp_extract_all(t, lit("[^.!?]+[.!?]+"), lit(0)),
+        s => trim(s)),
+      s => s =!= "")
+
   /** Batch cleaning composition in production order: [[fixText]] →
     * C4 line/page filter (dropped pages leave the corpus, survivors
     * carry the cleaned text) → PII redaction → paragraph-level dedup

@@ -576,6 +576,39 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // HTML → text extraction over a fixture page with style/script
+    // blocks, a comment, entities and a tag-lookalike entity (decoded
+    // AFTER tag-strip, so it must survive) — stripped string compared
+    // verbatim.
+    "p_html_strip" -> ((s, dir) => {
+      val fx = table(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("<html><head><style>p { color: red }</style><!-- note --></head>" +
+            "<body><h1>Title "),
+          (col("doc_id") % 100).cast("string"),
+          lit("</h1><p>First &amp; second &lt;tag&gt;.</p>" +
+            "<script>var x = 1 < 2;</script><p>"),
+          substring(col("text"), 1, 30),
+          lit(".</p></body></html>")).as("html"))
+      fx.select(col("doc_id"),
+          graft.ext.Cleaning.stripHtml(col("html")).as("stripped"))
+        .orderBy("doc_id")
+    }),
+
+    // sentence segmentation (lookaround-free [^.!?]+[.!?]+ runs) over
+    // the stripped fixture text
+    "p_sentence_split" -> ((s, dir) => {
+      val fx = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit("First sentence here. Second one! Third? trailing bit"),
+          lit(" id "), (col("doc_id") % 7).cast("string")).as("t"))
+      fx.select(col("doc_id"),
+          graft.ext.Cleaning.sentences(col("t")).as("sents"))
+        .select(col("doc_id"),
+          size(col("sents")).cast("long").as("n_sentences"),
+          md5(array_join(col("sents"), "|")).as("sent_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Full cleaning composition (fixText → C4 → PII redact → paragraph
     // dedup) over the pageFixture plus a per-doc unique keeper line: the
     // shared boilerplate lines all fall to the paragraph dedup, leaving
@@ -1543,6 +1576,55 @@ object PipelineQueries {
         |  CAST(coalesce(k.cnt, 0) AS BIGINT) AS n_kept
         |FROM r LEFT JOIN k ON r.lang = k.lang
         |ORDER BY r.lang""").stripMargin,
+
+    // HTML strip: identical regex chain (dotall inline flag, decode
+    // after tag-strip), string compared verbatim
+    "p_html_strip" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p { color: red }</style><!-- note --></head>' ||
+        |    '<body><h1>Title ' || (doc_id % 100) ||
+        |    '</h1><p>First &amp; second &lt;tag&gt;.</p>' ||
+        |    '<script>var x = 1 < 2;</script><p>' ||
+        |    substr(text, 1, 30) || '.</p></body></html>' AS html
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    regexp_replace(
+        |      regexp_replace(html,
+        |        '(?s)(<script\b.*?</script>|<style\b.*?</style>|<!--.*?-->)',
+        |        '', 'g'),
+        |      '<[^>]*>', ' ', 'g') AS t1
+        |  FROM fx
+        |), d AS (
+        |  SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(t1,
+        |      '&nbsp;', ' '), '&quot;', '"'), '&#39;', chr(39)),
+        |      '&lt;', '<'), '&gt;', '>'), '&amp;', '&') AS t2
+        |  FROM s
+        |)
+        |SELECT doc_id,
+        |  trim(regexp_replace(t2, '[ \t]+', ' ', 'g')) AS stripped
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // sentence segmentation: same lookaround-free pattern
+    "p_sentence_split" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |    'First sentence here. Second one! Third? trailing bit id ' ||
+        |    (doc_id % 7) AS t
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    list_filter(
+        |      list_transform(regexp_extract_all(t, '[^.!?]+[.!?]+'),
+        |        x -> trim(x)),
+        |      x -> x <> '') AS sents
+        |  FROM fx
+        |)
+        |SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+        |  md5(coalesce(array_to_string(sents, '|'), '')) AS sent_md5
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // full cleaning composition: every stage's proven SQL fragment
     // chained — nfc/regex fixing, C4 lambda filter, redaction chain,

@@ -124,6 +124,26 @@ class CleaningSpec extends AnyFunSuite {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("stripHtml: blocks and tags go, entities decode AFTER tag-strip") {
+    import spark.implicits._
+    val html = "<html><head><style>h1 { x }</style><!-- c --></head>" +
+      "<body><h1>Hi</h1><p>A &amp; B &lt;em&gt; ok.</p>" +
+      "<script>if (1 < 2) alert('x');</script>done</body></html>"
+    val out = Seq((1L, html)).toDF("doc_id", "text")
+      .select(Cleaning.stripHtml(col("text")).as("s"))
+      .collect().head.getString(0)
+    assert(out == "Hi A & B <em> ok. done")
+  }
+
+  test("sentences: terminal-punctuation runs, trailing fragment dropped") {
+    import spark.implicits._
+    val out = Seq((1L, "One here. Two there! Three? tail no end"))
+      .toDF("doc_id", "text")
+      .select(Cleaning.sentences(col("text")).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(out == Seq("One here.", "Two there!", "Three?"))
+  }
+
   test("cleanCorpus composition: boilerplate paragraphs vanish, unique prose survives") {
     import spark.implicits._
     val boiler = "Subscribe to this newsletter for more details."
