@@ -80,6 +80,29 @@ object Curation {
       .where(hashFraction(col(keyCol), salt) < col("rate_micro") / lit(1e6))
   }
 
+  /** Sliding-window token chunking (the HF-style stride split that
+    * prepares documents for embedding/retrieval): chunk k covers tokens
+    * [k·stride, k·stride + chunkSize), k = 0 .. ⌊(n−1)/stride⌋ — every
+    * token lands in ≥1 chunk, tail chunks may be short, stride <
+    * chunkSize gives overlap. One row per chunk via posexplode; pure
+    * map-side array arithmetic, no shuffle. */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    val staged = df.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+    val chunks = when(col("_n") > 0,
+      transform(
+        sequence(lit(0), floor((col("_n") - 1) / stride).cast("int")),
+        k => slice(col("_toks"), k * stride + 1, lit(chunkSize))))
+      .otherwise(array().cast("array<array<string>>"))
+    staged.select(col(idCol), col("_n").as("n_tokens"),
+        posexplode(chunks).as(Seq("chunk_id", "_chunk")))
+      .select(col(idCol), col("chunk_id"),
+        size(col("_chunk")).as("n_chunk_tokens"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
+  }
+
   /** Contiguous sequence packing: documents in `orderCol` order are
     * concatenated and chunked into packs of `budget` tokens — pack id =
     * floor(tokens-before-this-doc / budget), the standard pretraining

@@ -576,6 +576,17 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // sliding-window chunking (32-token chunks, stride 24 → 8-token
+    // overlap) straight over the corpus; md5 per chunk pins content and
+    // boundaries
+    "p_chunk_text" -> ((s, dir) =>
+      Curation.chunkTokens(table(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
     // HTML → text extraction over a fixture page with style/script
     // blocks, a comment, entities and a tag-lookalike entity (decoded
     // AFTER tag-strip, so it must survive) — stripped string compared
@@ -1576,6 +1587,23 @@ object PipelineQueries {
         |  CAST(coalesce(k.cnt, 0) AS BIGINT) AS n_kept
         |FROM r LEFT JOIN k ON r.lang = k.lang
         |ORDER BY r.lang""").stripMargin,
+
+    // chunking: k in [0, (n-1)//stride], 1-based list slice per chunk
+    "p_chunk_text" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, u.k AS chunk_id,
+        |    t[u.k * 24 + 1 : least(u.k * 24 + 32, n)] AS chunk
+        |  FROM t
+        |  CROSS JOIN LATERAL (SELECT unnest(range(0, ((n - 1) // 24) + 1)) AS k) u
+        |  WHERE n > 0
+        |)
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+        |  md5(coalesce(array_to_string(chunk, ' '), '')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
 
     // HTML strip: identical regex chain (dotall inline flag, decode
     // after tag-strip), string compared verbatim

@@ -167,6 +167,20 @@ class CleaningSpec extends AnyFunSuite {
     assert(out.values.forall(!_.getAs[String]("text").contains("@")))
   }
 
+  test("null text rows: c4Clean drops the page, redactPii passes null through") {
+    import spark.implicits._
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, "a.\nb.\nc. d e f g."))
+      .toDF("doc_id", "text")
+    val c4 = Cleaning.c4Clean(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(c4(1L).getAs[Int]("page_keep") == 0)
+    assert(c4(1L).getAs[String]("clean_text") == "")
+    val pii = Cleaning.redactPii(docs).collect().map(r => r.getLong(0) -> r).toMap
+    assert(pii(1L).isNullAt(pii(1L).fieldIndex("redacted")))
+    val span = graft.ext.Dedup.removeRepeatedSpans(docs, "text", "doc_id", 3, 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(span.contains(1L) && span.contains(2L))
+  }
+
   test("cleaning plans are map-only: no exchange, single split per scan") {
     import spark.implicits._
     val docs = Seq((1L, "a.\nb.")).toDF("doc_id", "text")

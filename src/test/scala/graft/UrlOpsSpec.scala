@@ -60,6 +60,19 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("join"), plan)
   }
 
+  test("chunkTokens: stride windows cover every token; tails shorten; overlap correct") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a"))
+      .toDF("doc_id", "text")
+    val rows = Curation.chunkTokens(docs, "doc_id", "text", chunkSize = 4, stride = 3)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    val d1 = rows.filter(_._1 == 1L)
+    assert(d1.map(_._4).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(rows.filter(_._1 == 2L).map(_._4).toSeq == Seq("a"))
+  }
+
   test("temperatureSample: alpha=1 reduces to uniform targetFraction rates") {
     import spark.implicits._
     val docs = (1L to 300L).map(i => (i, if (i <= 200) "en" else "de"))
