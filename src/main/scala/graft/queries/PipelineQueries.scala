@@ -576,6 +576,25 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // one-pass corpus profile: per-lang volume, token/char totals,
+    // exact-dup exposure and mean quality — the summary a curation run
+    // reports before/after each stage (single scan, two aggregates)
+    "p_corpus_stats" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextOps.tokens(col("text")).as("_toks"), md5(col("text")).as("_h"))
+      val dupDocs = docs.groupBy("_h").agg(count(lit(1)).as("c"))
+        .where(col("c") >= 2)
+        .agg(coalesce(sum("c"), lit(0L)).as("n_dup_docs"))
+      docs.groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(col("_toks"))).cast("long").as("n_tokens"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          round(avg(size(col("_toks"))), 4).as("avg_tokens"))
+        .crossJoin(broadcast(dupDocs)) // 1-row scalar broadcast
+        .orderBy("lang")
+    }),
+
     // sliding-window chunking (32-token chunks, stride 24 → 8-token
     // overlap) straight over the corpus; md5 per chunk pins content and
     // boundaries
@@ -1587,6 +1606,23 @@ object PipelineQueries {
         |  CAST(coalesce(k.cnt, 0) AS BIGINT) AS n_kept
         |FROM r LEFT JOIN k ON r.lang = k.lang
         |ORDER BY r.lang""").stripMargin,
+
+    // corpus profile: same two aggregates
+    "p_corpus_stats" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS t,
+        |    md5(text) AS h
+        |  FROM documents
+        |), dup AS (
+        |  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n_dup_docs FROM (
+        |    SELECT count(*) AS c FROM d GROUP BY h HAVING count(*) >= 2)
+        |)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(t)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  round(avg(len(t)), 4) AS avg_tokens,
+        |  (SELECT n_dup_docs FROM dup) AS n_dup_docs
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
 
     // chunking: k in [0, (n-1)//stride], 1-based list slice per chunk
     "p_chunk_text" ->
