@@ -80,6 +80,36 @@ object ScaleProbe {
     time("dsir_weight") {
       CorpusFilters.dsirLogWeight(big, col("lang") === "en").count()
     }
+    // cleaning surface: paragraph dedup and span removal are the two
+    // shuffle-bearing cleaning ops (hash-count + join-back); the rest of
+    // cleanCorpus is map-only and scales with the scan by construction
+    // sum over the computed columns so count-only pruning cannot skip
+    // the clean-text rebuild (a bare count() lets the optimizer drop the
+    // array work and even eliminate the join-back entirely)
+    time("paragraph_dedup") {
+      val pages = big.withColumn("text",
+        concat_ws("\n", lit("Shared boilerplate header line."), col("text"),
+          concat(lit("Unique footer "), col("doc_id").cast("string"))))
+      Dedup.paragraphDedup(pages, "text", "doc_id")
+        .agg(sum(length(col("clean_text"))), sum("n_dup_paras")).collect()
+      1L
+    }
+    time("span_dedup") {
+      Dedup.removeRepeatedSpans(big, "text", "doc_id", n = 3, minDocs = 3)
+        .agg(sum(length(col("clean_text"))), sum("n_removed")).collect()
+      1L
+    }
+    time("clean_corpus") {
+      graft.ext.Cleaning.cleanCorpus(
+        big.withColumn("text",
+          concat(col("text"), lit(". Filler one two three four five.\n"),
+            lit("Second line makes the page three strong!\n"),
+            concat(lit("Third unique closer "), col("doc_id").cast("string"),
+              lit(" ends well.")))),
+        "doc_id", "text")
+        .agg(sum(length(col("text"))), sum("n_dup_paras")).collect()
+      1L
+    }
     big.unpersist(blocking = false)
 
     // trainer scaling: same 4-feature lineitem regression at 1× and
