@@ -34,10 +34,18 @@ object GraftExtensions {
 
   /** (identifier, info, builder) triples — shared by the extensions hook and
     * [[register]]. */
+  private def unary1(name: String, make: Expression => Expression)
+      (children: Seq[Expression]): Expression = children match {
+    case Seq(a) => make(a)
+    case _ => throw new IllegalArgumentException(
+      s"$name expects 1 argument, got ${children.size}")
+  }
+
   val functions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression)] = Seq(
     fn("graft_dot", binary("graft_dot", VectorDot(_, _))),
-    fn("graft_dot_skipnan", binary("graft_dot_skipnan", VectorDot(_, _, skipNaN = true))))
+    fn("graft_dot_skipnan", binary("graft_dot_skipnan", VectorDot(_, _, skipNaN = true))),
+    fn("graft_nfc", unary1("graft_nfc", NfcNormalize(_))))
 
   /** Register into an ALREADY-RUNNING session (the extensions config only
     * applies at session construction). */

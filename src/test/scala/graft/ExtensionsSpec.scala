@@ -20,6 +20,12 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(1) == 3.0)
   }
 
+  test("graft_nfc normalizes from plain SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT graft_nfc('e\u0301') AS n").head()
+    assert(r.getString(0) == "\u00e9")
+  }
+
   test("the extensions hook injects the same function set") {
     // drive the SparkSessionExtensions path directly (a new session with
     // spark.sql.extensions would need its own SparkContext lifecycle)
@@ -28,7 +34,7 @@ class ExtensionsSpec extends AnyFunSuite {
     // registration through the hook must not throw and must cover every
     // function the programmatic path registers
     assert(GraftExtensions.functions.map(_._1.funcName).toSet ==
-      Set("graft_dot", "graft_dot_skipnan"))
+      Set("graft_dot", "graft_dot_skipnan", "graft_nfc"))
   }
 
   test("a trained model scores from plain SQL via registerModel") {
