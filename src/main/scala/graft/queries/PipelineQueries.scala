@@ -343,6 +343,20 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // learned lang-id SCORING path: pinned literal 5-class softmax
+    // weights over hashed char bigrams, first-occurrence argmax
+    // (training is pinned by the t_hash_lang_clf digest)
+    "p_lang_clf" -> ((s, dir) => {
+      val scored = graft.ext.LangClassifier.scoreDocs(
+        table(s, dir, "documents").where(col("doc_id") < 100)
+          .select(col("doc_id"), col("text")),
+        lcModel, lcClasses, numBuckets = 64)
+      scored.select(col("doc_id"),
+        col("lang_pred"),
+        round(col("lang_margin"), 5).as("lang_margin"))
+        .orderBy("doc_id")
+    }),
+
     // stopword-profile language-ID heuristic
     "p_lang_id" -> ((s, dir) => {
       val t = TextOps.tokens(col("text"))
@@ -890,6 +904,17 @@ object PipelineQueries {
   // literals with the oracle (data-trained path covered in ScalaTest)
   private val pqBooks: Array[Array[Array[Double]]] = Similarity.pqCodebooks(4, 4, 16, seed = 11L)
 
+  /** Pinned literal 5-class lang-id model for the p_lang_clf scoring
+    * row (training pinned by t_hash_lang_clf): deterministic seeded
+    * weights, class list = the corpus langs sorted. */
+  private val lcClasses = Seq("de", "en", "es", "fr", "zh")
+  private val lcWeights: Array[Array[Double]] =
+    Similarity.hyperplanes(5, 64, seed = 23L).map(_.map(_ / 8.0))
+  private val lcModel = graft.linear.MultiLinearModel(
+    lcWeights, bias = Array.tabulate(5)(k => 0.01 * k),
+    baseScore = Array.fill(5)(0.0), objective = "multi:softmax",
+    numFeatures = 64)
+
   /** Pinned literal quality-filter model for the p_quality_clf scoring
     * row: deterministic seeded weights (the model under test is the
     * SCORING path; training is pinned by t_hash_quality_clf). */
@@ -1394,6 +1419,32 @@ object PipelineQueries {
          |)
          |SELECT doc_id, round(margin, 5) AS quality_margin,
          |  CAST(margin > 0 AS BIGINT) AS kept
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    // learned lang-id: same char-bigram hashing, 5 literal dot products,
+    // first-occurrence argmax via list_position on identical doubles
+    "p_lang_clf" -> {
+      val ms = lcWeights.zipWithIndex.map { case (w, k) =>
+        s"list_sum(list_transform(range(1, 65), i -> bow[i] * (${Similarity.planeSql(w)})[i])) + ${0.01 * k}"
+      }.mkString("[", ",\n      ", "]")
+      val bucket = s"(${TextOps.hash60Sql("gm")} % 64)"
+      s"""WITH t AS (
+         |  SELECT doc_id, lower(text) AS s FROM documents WHERE doc_id < 100
+         |), g AS (
+         |  SELECT doc_id, list_transform(range(1, length(s)), i -> substr(s, i, 2)) AS grams
+         |  FROM t
+         |), f AS (
+         |  SELECT doc_id, list_transform(range(0, 64), b ->
+         |    CAST(len(list_filter(grams, gm -> $bucket = b)) AS DOUBLE)) AS bow
+         |  FROM g
+         |), m AS (
+         |  SELECT doc_id, $ms AS ms FROM f
+         |)
+         |SELECT doc_id,
+         |  (['de','en','es','fr','zh'])[list_position(ms, list_aggregate(ms, 'max'))]
+         |    AS lang_pred,
+         |  round(list_aggregate(ms, 'max'), 5) AS lang_margin
          |FROM m ORDER BY doc_id""".stripMargin
     },
 

@@ -342,6 +342,20 @@ object TrainQueries {
       Seq((md5Hex(canon), lm.numFeatures)).toDF("model_md5", "n_features")
     }),
 
+    // learned language identifier: hashed char-bigram features into the
+    // engine's multiclass gblinear (the fastText lang-id shape) — pins
+    // the char featurizer + fitMulti softmax lanes + class ordering
+    "t_hash_lang_clf" -> ((s, _) => {
+      val (lm, classes) = graft.ext.LangClassifier.train(
+        goldenLangDocs(s), numBuckets = 64,
+        params = graft.linear.LinearParams(objective = "multi:softmax",
+          numRounds = 5, eta = 0.5, lambda = 1.0, updater = "coord_descent", seed = 7))
+      import s.implicits._
+      val canon = (lm.weights.flatMap(_.map(fmt)) ++ lm.bias.map(fmt))
+        .mkString(lm.objective + "|" + classes.mkString(",") + "|", ",", "")
+      Seq((md5Hex(canon), lm.numFeatures)).toDF("model_md5", "n_features")
+    }),
+
     // multiclass gblinear (softmax lanes — ref num_output_group > 1)
     "t_hash_linear_multi" -> ((s, _) => {
       val lm = new graft.linear.GBLinearTrainer(graft.linear.LinearParams(
@@ -387,6 +401,8 @@ object TrainQueries {
       "SELECT '02da7db622f699f653f0d1996d5cb22e' AS model_md5, 6 AS n_features",
     "t_hash_quality_clf" ->
       "SELECT '85b2016a40e4242b20719e1d00edb6d2' AS model_md5, 64 AS n_features",
+    "t_hash_lang_clf" ->
+      "SELECT 'f0d49d2b80431e0d01ba0f19a1817675' AS model_md5, 64 AS n_features",
     // pinned like the t_hash_* digests: the synthetic fixture ensemble is
     // deterministic, so importance (through the JSON roundtrip, which
     // carries gain/cover) is a constant table; gains are exact quarters
@@ -450,6 +466,21 @@ object TrainQueries {
       (i.toLong, Array.fill(n)(vocab(rng.nextInt(vocab.length))).mkString(" "))
     }
     s.createDataFrame(rows).toDF("doc_id", "text")
+  }
+
+  /** Three synthetic "languages" with disjoint character alphabets —
+    * LCG-deterministic, class-separable by char bigrams alone. */
+  private def goldenLangDocs(s: SparkSession) = {
+    val alphabets = Array("abcdefghi", "jklmnopqr", "stuvwxyz")
+    val rows = s.sparkContext.parallelize(0 until 1500, 1).map { i =>
+      val rng = new java.util.Random(0x2545F4914F6CDD1DL ^ (i.toLong * 0x9E3779B97F4A7C15L))
+      val ab = alphabets(i % 3)
+      val words = Array.fill(6 + rng.nextInt(20)) {
+        Array.fill(2 + rng.nextInt(6))(ab(rng.nextInt(ab.length))).mkString
+      }
+      (i.toLong, words.mkString(" "), s"lang${i % 3}")
+    }
+    s.createDataFrame(rows).toDF("doc_id", "text", "lang")
   }
 
   private def fmt(v: Double): String = f"$v%.6e" // absorbs last-ulp noise
