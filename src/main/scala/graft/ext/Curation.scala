@@ -69,6 +69,48 @@ object Curation {
     }.toSeq
   }
 
+  /** Unclamped variant of [[temperatureRates]] — rates above 1 mean the
+    * stratum is REPLICATED (epochs over low-resource data, the actual
+    * multilingual-mix semantics when alpha pushes mass toward small
+    * strata). Same determinism contract. */
+  def temperatureRatesUnclamped(df: DataFrame, strataCol: String,
+      alpha: Double, targetFraction: Double): Seq[(String, Long, Long)] = {
+    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1))
+      .sortBy(_._1)
+    val total = counts.map(_._2).sum
+    var wsum = 0.0
+    val weights = counts.map { case (s, n) =>
+      val w = math.pow(n.toDouble, alpha); wsum += w; (s, n, w)
+    }
+    weights.map { case (s, n, w) =>
+      val rate = targetFraction * total * (w / wsum) / n
+      (s, n, math.round(rate * 1e6))
+    }.toSeq
+  }
+
+  /** Temperature MIXING with upsampling: every row is emitted
+    * ⌊rate⌋ + coin(frac(rate)) times with a `copy_id` column
+    * (0-based) — deterministic (the fractional coin is the same
+    * md5-coin as [[stratifiedSample]]), so epochs over low-resource
+    * strata reproduce across reruns/retries. Map-side explode over a
+    * per-row sequence; no shuffle. */
+  def temperatureMix(df: DataFrame, strataCol: String, keyCol: String,
+      alpha: Double, targetFraction: Double,
+      salt: String = "mix"): DataFrame = {
+    val rates = temperatureRatesUnclamped(df, strataCol, alpha, targetFraction)
+    val rateExpr = rates.foldLeft(lit(0L)) {
+      case (acc, (v, _, m)) => when(col(strataCol) === v, lit(m)).otherwise(acc)
+    }
+    val whole = (col("rate_micro") / lit(1000000L)).cast("long")
+    val fracMicro = col("rate_micro") % lit(1000000L)
+    val extra = (hashFraction(col(keyCol), salt) * lit(1e6) < fracMicro).cast("long")
+    df.withColumn("rate_micro", rateExpr)
+      .withColumn("n_copies", (whole + extra).cast("int"))
+      .where(col("n_copies") > 0)
+      .select(col("*"), explode(sequence(lit(0), col("n_copies") - 1)).as("copy_id"))
+  }
+
   def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
       alpha: Double, targetFraction: Double,
       salt: String = "temp"): DataFrame = {

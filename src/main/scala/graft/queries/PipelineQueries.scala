@@ -671,6 +671,26 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Temperature MIXING with upsampling (alpha=0.3, full-corpus
+    // budget): low-resource langs get rates > 1 → deterministic epoch
+    // replication with copy ids; per-lang row counts pin rates + coins
+    "p_temperature_mix" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+      val mixed = Curation.temperatureMix(docs, "lang", "doc_id",
+        alpha = 0.3, targetFraction = 1.0)
+      val rates = Curation.temperatureRatesUnclamped(docs, "lang", 0.3, 1.0)
+        .toDF("lang", "n_docs", "rate_micro")
+      rates.join(
+          mixed.groupBy("lang").agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct("doc_id").as("n_docs_kept")), Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"), col("rate_micro"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+          coalesce(col("n_docs_kept"), lit(0L)).as("n_docs_kept"))
+        .orderBy("lang")
+    }),
+
     // Paragraph-level dedup (Dolma-style boilerplate removal) over a
     // fixture page of: corpus-wide boilerplate (every doc), a group
     // slogan (~10 docs each), a blank structural line, the unique word
@@ -1798,6 +1818,37 @@ object PipelineQueries {
         |    CASE WHEN blank OR NOT isdup0 THEN para END, chr(10) ORDER BY pos),
         |    '')) AS clean_md5
         |FROM j GROUP BY doc_id ORDER BY doc_id""").stripMargin,
+
+    // temperature mix: unclamped rates, whole copies + fractional coin
+    "p_temperature_mix" ->
+      (s"""WITH c AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        |), a AS (
+        |  SELECT sum(n) AS total,
+        |    list_sum(list(pow(n, 0.3) ORDER BY lang)) AS wsum
+        |  FROM c
+        |), r AS (
+        |  SELECT lang, n,
+        |    CAST(round(1.0 * a.total * (pow(n, 0.3) / a.wsum) / n * 1e6)
+        |      AS BIGINT) AS rate_micro
+        |  FROM c, a
+        |), e AS (
+        |  SELECT d.lang, d.doc_id, r.rate_micro,
+        |    r.rate_micro // 1000000 +
+        |    CASE WHEN (${h60("concat(CAST(doc_id AS VARCHAR), '_mix')")} /
+        |               1152921504606846976.0) * 1e6 < r.rate_micro % 1000000
+        |         THEN 1 ELSE 0 END AS nc
+        |  FROM documents d JOIN r ON d.lang = r.lang
+        |), k AS (
+        |  SELECT lang, sum(nc) AS n_rows,
+        |    count(CASE WHEN nc > 0 THEN 1 END) AS n_docs_kept
+        |  FROM e GROUP BY lang
+        |)
+        |SELECT r.lang, CAST(r.n AS BIGINT) AS n_docs, r.rate_micro,
+        |  CAST(coalesce(k.n_rows, 0) AS BIGINT) AS n_rows,
+        |  CAST(coalesce(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept
+        |FROM r LEFT JOIN k ON r.lang = k.lang
+        |ORDER BY r.lang""").stripMargin,
 
     // paragraph dedup: zipped unnests give (pos, para), hash60 counts
     // duplicate slots, string_agg(ORDER BY pos) rebuilds the page

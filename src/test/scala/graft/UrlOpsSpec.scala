@@ -60,6 +60,29 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("join"), plan)
   }
 
+  test("temperatureMix replicates low-resource strata with copy ids, deterministically") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (i, if (i <= 280) "big" else "small"))
+      .toDF("doc_id", "lang")
+    // alpha=0 splits the budget evenly: small (20 docs) gets rate
+    // 150/20 = 7.5 -> 7 or 8 copies per doc; big gets 150/280 < 1
+    val mixed = Curation.temperatureMix(docs, "lang", "doc_id",
+      alpha = 0.0, targetFraction = 1.0)
+    val small = mixed.where(col("lang") === "small")
+    val copies = small.groupBy("doc_id").count().select("count").as[Long].collect()
+    assert(copies.forall(c => c == 7L || c == 8L), copies.toSeq.toString)
+    // copy ids are dense 0..n-1 per doc
+    val ids = small.where(col("doc_id") === 281L)
+      .select("copy_id").as[Int].collect().sorted
+    assert(ids.toSeq == (0 until ids.length))
+    // reproducible across invocations
+    val again = Curation.temperatureMix(docs, "lang", "doc_id", 0.0, 1.0)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val first = mixed.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == first)
+  }
+
   test("chunkTokens: stride windows cover every token; tails shorten; overlap correct") {
     import spark.implicits._
     val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "a"))
