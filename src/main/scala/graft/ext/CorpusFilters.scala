@@ -160,6 +160,37 @@ object CorpusFilters {
       sum(col("c") * col("nll_micro")).as("nll_micro_total"))
   }
 
+  /** CCNet's head/middle/tail partition (Wenzek et al. 2020 §3.3): rank
+    * documents by mean per-token NLL under the LM WITHIN each language
+    * and cut into terciles — "head" = most fluent third. Mean NLL
+    * compares as an exact integer cross-product (nll·n' vs nll'·n), and
+    * `ntile` runs over (lang) with a doc-id tiebreak, so the buckets
+    * are deterministic and engine-portable. One window shuffle on the
+    * lang key (bounded stratum count; each partition sorts its own
+    * stratum — the 100 TB shape is fine because per-lang rank is
+    * exactly what the operator means). */
+  def ccnetBuckets(docs: DataFrame, langCol: String = "lang",
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, "need at least 2 buckets")
+    val nll = unigramNll(docs, idCol, textCol)
+    val joined = docs.select(col(idCol), col(langCol)).join(nll, idCol)
+    // mean micro-nats per token via INTEGER division (`div`, not `/`:
+    // the double quotient can round up across an integer boundary and
+    // then truncate differently than DuckDB's floor `//`)
+    val meanMicro = expr("nll_micro_total div n_tokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(meanMicro.asc, col(idCol).asc)
+    joined
+      .withColumn("mean_nll_micro", meanMicro)
+      .withColumn("bucket", ntile(buckets).over(w))
+      .withColumn("tier",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === buckets, "tail")
+          .otherwise("middle"))
+  }
+
   /** Per-document NLL under the corpus BIGRAM LM with Jelinek–Mercer
     * interpolation to the unigram (the CCNet/KenLM perplexity-filter
     * ladder, one rung up from [[unigramNll]]):

@@ -895,6 +895,16 @@ object PipelineQueries {
       CorpusFilters.dsirLogWeight(table(s, dir, "documents"),
         col("lang") === "en").orderBy("doc_id")),
 
+    // CCNet head/middle/tail: per-lang perplexity terciles (exact
+    // integer mean micro-nats, ntile with doc-id tiebreak); per-tier
+    // counts + id sums pin every bucket assignment
+    "p_ccnet_buckets" -> ((s, dir) =>
+      CorpusFilters.ccnetBuckets(table(s, dir, "documents"))
+        .groupBy("lang", "tier")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
+          min("mean_nll_micro").as("min_nll"), max("mean_nll_micro").as("max_nll"))
+        .orderBy("lang", "tier")),
+
     // end-to-end curation pipeline: exact dedup → repetition gate →
     // decontamination (vs src0) → stratified sample → 256-token packing,
     // summarized per pack
@@ -2125,6 +2135,36 @@ object PipelineQueries {
 
     // corpus-unigram-LM NLL in integer micro-nats (ln quantized per token
     // TYPE before the per-doc sum — order-independent integer arithmetic)
+    // ccnet buckets: the unigram-NLL fragment + per-lang ntile
+    "p_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |pd AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+        |v AS (SELECT tok, sum(c) AS cnt FROM pd GROUP BY tok),
+        |tot AS (SELECT sum(cnt) AS total FROM v),
+        |sc AS (SELECT tok,
+        |  CAST(round(ln(CAST(total AS DOUBLE) / cnt) * 1000000, 0) AS BIGINT) AS nll_micro
+        |  FROM v, tot),
+        |nll AS (
+        |  SELECT pd.doc_id, sum(c) AS n_tokens, sum(c * nll_micro) AS nll_micro_total
+        |  FROM pd JOIN sc USING (tok) GROUP BY pd.doc_id),
+        |j AS (
+        |  SELECT d.lang, d.doc_id,
+        |    nll.nll_micro_total // nll.n_tokens AS mean_nll_micro
+        |  FROM documents d JOIN nll ON d.doc_id = nll.doc_id),
+        |b AS (
+        |  SELECT lang, doc_id, mean_nll_micro,
+        |    ntile(3) OVER (PARTITION BY lang
+        |      ORDER BY mean_nll_micro ASC, doc_id ASC) AS bucket
+        |  FROM j)
+        |SELECT lang,
+        |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+        |       ELSE 'middle' END AS tier,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+        |  CAST(min(mean_nll_micro) AS BIGINT) AS min_nll,
+        |  CAST(max(mean_nll_micro) AS BIGINT) AS max_nll
+        |FROM b GROUP BY lang, tier ORDER BY lang, tier""".stripMargin,
+
     "p_unigram_nll" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |pd AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),

@@ -28,6 +28,27 @@ class CorpusFiltersSpec extends AnyFunSuite {
     assert(byId(3L)._2 == 4L && byId(3L)._3 == 1L)
   }
 
+  test("ccnetBuckets: fluent docs land in head, rare-token docs in tail, per lang") {
+    import spark.implicits._
+    // 'common' appears everywhere (low NLL); 'rareN' tokens are unique
+    // (high NLL). 6 docs per lang -> terciles of 2.
+    val docs = (0 until 12).map { i =>
+      val lang = if (i < 6) "aa" else "bb"
+      val text = i % 3 match {
+        case 0 => "common common common common"            // fluent
+        case 1 => s"common common rare$i common"           // middling
+        case _ => s"rare${i}x rare${i}y rare${i}z rare${i}w" // perplexing
+      }
+      (i.toLong, lang, text)
+    }.toDF("doc_id", "lang", "text")
+    val out = CorpusFilters.ccnetBuckets(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("tier")).toMap
+    assert(out(0L) == "head" && out(3L) == "head")
+    assert(out(1L) == "middle" && out(4L) == "middle")
+    assert(out(2L) == "tail" && out(5L) == "tail")
+    assert(out(6L) == "head" && out(8L) == "tail")
+  }
+
   test("repetitionStats: hand-computed fractions and keep decision") {
     import spark.implicits._
     // doc 1: "a b a b a b" — bigram "a b" x3 of 5 bigrams, top frac = 6/6 -> capped 1.0;
