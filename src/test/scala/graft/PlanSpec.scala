@@ -96,6 +96,22 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), "expected an equi-join on bucket keys")
   }
 
+  test("cleaning shuffle ops: hash-keyed equi-joins only, no cartesian, window on domain") {
+    // paragraph dedup: count pass + join-back ride the 60-bit hash key
+    val pPara = plan(PipelineQueries.queries("p_para_dedup")(spark, sf))
+    assert(!pPara.contains("CartesianProduct"), "paragraph dedup must stay keyed")
+    assert(pPara.contains("HashAggregate"), "expected map-side combined counts")
+    // span removal: hot-set join is an equi-join on the ngram key
+    val pSpan = plan(PipelineQueries.queries("p_span_dedup")(spark, sf))
+    assert(!pSpan.contains("CartesianProduct"), "span removal must stay keyed")
+    assert(pSpan.contains("SortMergeJoin") || pSpan.contains("ShuffledHashJoin") ||
+      pSpan.contains("BroadcastHashJoin"), "expected an equi-join on the ngram key")
+    // domain cap: exactly one Window (the per-domain quota), no join
+    val pCap = plan(PipelineQueries.queries("p_domain_cap")(spark, sf))
+    assert(pCap.contains("Window"), "expected the per-domain row_number window")
+    assert(!pCap.contains("Join"), "domain cap must not join")
+  }
+
   test("corpus-scale operating points stay equi-joined (k128 miner, multi-probe ANN)") {
     val p128 = plan(PipelineQueries.queries("p_near_dup_k128")(spark, sf))
     assert(!p128.contains("CartesianProduct"), "128-hash miner must stay bucketed")
