@@ -18,6 +18,12 @@ final case class HistogramCuts(cuts: Array[Array[Double]]) extends Serializable 
 
   def numBins(f: Int): Int = cuts(f).length
 
+  /** Reference `DMatrix.get_quantile_cut` (core.py:1126 →
+    * `GetQuantileCut`): the trained histogram boundaries in CSR layout —
+    * (indptr of length numFeatures+1, flat cut values). */
+  def quantileCut: (Array[Long], Array[Double]) =
+    (featureOffset.map(_.toLong), cuts.flatten)
+
   /** Local bin index within feature f, or −1 for missing. */
   def searchBin(f: Int, v: Double): Int = {
     if (java.lang.Double.isNaN(v)) return -1

@@ -82,8 +82,24 @@ object Predictor {
     * (`XGBoostEstimator.scala:563-680`): adds margin/prediction (+leaf,
     * +contrib on demand). */
   def transform(df: DataFrame, model: BoosterModel, featuresCol: String,
-      withLeaf: Boolean = false, withContrib: Boolean = false): DataFrame = {
-    val f = col(featuresCol)
+      withLeaf: Boolean = false, withContrib: Boolean = false,
+      iterationRange: (Int, Int) = (0, 0)): DataFrame = {
+    // reference `predict(iteration_range=(a, b))` (core.py:2436): score
+    // with boosting rounds [a, b) only; (0, 0) = the full model. The
+    // slice happens driver-side once — the broadcast literal shrinks
+    // with it, so partial-model scoring is CHEAPER, not a filter at
+    // eval time. Rounds are counted as numGroups trees per round (the
+    // default one-parallel-tree layout); num_parallel_tree > 1 ensembles
+    // slice by tree index via model.slice directly.
+    val m =
+      if (iterationRange == ((0, 0))) model
+      else model.slice(iterationRange._1 * model.numGroups,
+        iterationRange._2 * model.numGroups)
+    transformSliced(df, m, col(featuresCol), withLeaf, withContrib)
+  }
+
+  private def transformSliced(df: DataFrame, model: BoosterModel, f: Column,
+      withLeaf: Boolean, withContrib: Boolean): DataFrame = {
     var out = df
     if (model.numGroups > 1) {
       out = out

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.tree.{GBTTrainer, TrainParams}
@@ -46,6 +47,22 @@ class ModelInspectionSpec extends AnyFunSuite {
     }
     // every reachable node appears exactly once
     assert(rows.map(_.getString(3)).distinct.length == rows.length)
+  }
+
+  test("transform iteration_range scores the sliced prefix of the ensemble") {
+    import spark.implicits._
+    val df = Seq((Array(0.5, -1.0, 0.2), 0.0), (Array(-2.0, 1.0, 0.0), 0.0))
+      .toDF("features", "y")
+    val ranged = graft.predict.Predictor
+      .transform(df, model, "features", iterationRange = (0, 2))
+      .select(col("prediction")).as[Double].collect()
+    val sliced = graft.predict.Predictor
+      .transform(df, model.slice(0, 2), "features")
+      .select(col("prediction")).as[Double].collect()
+    val full = graft.predict.Predictor.transform(df, model, "features")
+      .select(col("prediction")).as[Double].collect()
+    assert(ranged.toSeq == sliced.toSeq)
+    assert(ranged.toSeq != full.toSeq, "2-round prefix must differ from 4 rounds")
   }
 
   test("splitValueHistogram mirrors np.histogram semantics") {

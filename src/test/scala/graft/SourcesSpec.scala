@@ -79,6 +79,14 @@ class SourcesSpec extends AnyFunSuite {
     BinnedCache.save(spark, binned, cuts, tmp)
     val (loaded, cuts2) = BinnedCache.load(spark, tmp)
     assert(cuts2.cuts.map(_.toSeq).toSeq == cuts.cuts.map(_.toSeq).toSeq)
+    // reference get_quantile_cut CSR layout: indptr deltas = per-feature
+    // bin counts, flat data re-slices to the per-feature arrays
+    val (indptr, flat) = cuts.quantileCut
+    assert(indptr.length == nf + 1 && indptr(0) == 0L)
+    (0 until nf).foreach { f =>
+      assert(flat.slice(indptr(f).toInt, indptr(f + 1).toInt).toSeq ==
+        cuts.cuts(f).toSeq)
+    }
     // the cache contract: rows and cuts roundtrip EXACTLY
     val origRows = binned.map(r => (r.bins.toSeq, r.label, r.weight, r.rowId)).collect().toSet
     val backRows = loaded.map(r => (r.bins.toSeq, r.label, r.weight, r.rowId)).collect().toSet
