@@ -48,7 +48,13 @@ object UrlOps {
   def registeredDomain(url: Column): Column =
     regexp_extract(domain(url), "([^.]+\\.[^.]+)$", 1)
 
-  /** Canonical URL for URL-level dedup (see object doc for the rules). */
+  /** Canonical URL for URL-level dedup (see object doc for the rules).
+    * Note the tracking-param match is unanchored on the left (RE2 has no
+    * backreferences for a capture-and-restore spelling, and lookbehind
+    * is unavailable in the Java∩RE2 subset), so a parameter NAME that
+    * merely ends in `utm_x`/`fbclid`/`gclid` is also stripped — the
+    * standard aggressive-canonicalization tradeoff, identical in the
+    * oracle. */
   def normalize(url: Column): Column = {
     // lowercase scheme+host only: split at the first path separator
     val schemeHost = regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
