@@ -560,6 +560,27 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // URL-level dedup: canonicalize then keep the smallest doc_id per
+    // normalized URL (every doc_id % 250 pair collides after tracking
+    // params and fragments are stripped) — the crawl-frontier dedup
+    "p_url_dedup" -> ((s, dir) => {
+      val fx = table(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("HTTPS://WWW.Example.COM/Page/"),
+          (col("doc_id") % 250).cast("string"),
+          when(col("doc_id") % 2 === 0,
+            concat(lit("?utm_source=feed"), lit("&utm_term="),
+              col("doc_id").cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#top")).otherwise(lit("")))
+          .as("url"))
+      val canon = fx.select(col("doc_id"),
+        graft.ext.UrlOps.normalize(col("url")).as("norm_url"))
+      Dedup.exactDedup(canon, "norm_url", "doc_id")
+        .groupBy()
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+    }),
+
     // RefinedWeb-style per-domain quota: keep the 7 smallest doc_ids per
     // domain via one hash-partitioned window; the oracle replays the
     // same row_number with QUALIFY.
@@ -1641,6 +1662,31 @@ object PipelineQueries {
         |SELECT doc_id, norm_url, domain,
         |  regexp_extract(domain, '([^.]+\\.[^.]+)$$', 1) AS reg_domain
         |FROM n ORDER BY doc_id""").stripMargin,
+
+    // URL dedup: canonicalize (same regex chain) then min-id per group
+    "p_url_dedup" ->
+      """WITH fx AS (
+        |  SELECT doc_id,
+        |    'HTTPS://WWW.Example.COM/Page/' || (doc_id % 250) ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN '?utm_source=feed&utm_term=' || doc_id ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '#top' ELSE '' END AS url
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+        |        '#.*$', ''),
+        |        '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+        |        '[?&]$', '') AS nu
+        |  FROM fx
+        |), k AS (
+        |  SELECT nu, min(doc_id) AS keep FROM n GROUP BY nu
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(keep) AS BIGINT) AS sum_ids
+        |FROM k""".stripMargin,
 
     // per-domain cap: same deterministic row_number, QUALIFY-free form
     "p_domain_cap" ->
