@@ -76,6 +76,18 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // ordered conversion funnel view → click → purchase: strictly-after
+    // stage times per user, corpus counts + total time-to-convert
+    "e_funnel" -> ((s, dir) => {
+      val f = funnel(events(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      f.agg(
+        count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_click"),
+        count(col("t3")).as("n_purchase"),
+        coalesce(sum(col("t3") - col("t1")), lit(0L)).as("convert_ns"))
+    }),
+
     // semi-structured props: JSON field extract + per-type aggregate
     "e_json_props" -> ((s, dir) =>
       events(s, dir).select(col("event_type"),
@@ -84,6 +96,27 @@ object EventQueries {
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
         .orderBy("event_type"))
   )
+
+  /** Ordered-funnel stage times: per user, t1 = first stage-1 event,
+    * t_i = first stage-i event STRICTLY after t_{i−1}; later stages are
+    * null for users who drop out. K stages = K aggregates + K−1 left
+    * joins, all hash-keyed on the user — co-partitioned after the first
+    * shuffle, no window over the full event stream. */
+  private[graft] def funnel(e: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    var out = e.where(col(typeCol) === stages.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
+    stages.tail.zipWithIndex.foreach { case (stage, j) =>
+      val i = j + 2
+      val cand = e.where(col(typeCol) === stage)
+        .join(out.select(col(userCol), col(s"t${i - 1}").as("_prev")), userCol)
+        .where(col(tsCol) > col("_prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t$i"))
+      out = out.join(cand, Seq(userCol), "left")
+    }
+    out
+  }
 
   def oracle: Map[String, String] = Map(
     "e_window_agg" ->
@@ -105,6 +138,31 @@ object EventQueries {
         |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "e_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) AS ts, event_type FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+        |  GROUP BY e.user_id
+        |), s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        |  GROUP BY e.user_id
+        |)
+        |SELECT CAST(count(s1.t1) AS BIGINT) AS n_view,
+        |  CAST(count(s2.t2) AS BIGINT) AS n_click,
+        |  CAST(count(s3.t3) AS BIGINT) AS n_purchase,
+        |  CAST(coalesce(sum(s3.t3 - s1.t1), 0) AS BIGINT) AS convert_ns
+        |FROM s1
+        |LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
 
     "e_json_props" ->
       """SELECT event_type, count(*) AS n,

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+class FunnelSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("funnel: strictly-after ordering, dropouts null, min per stage") {
+    import spark.implicits._
+    val e = Seq(
+      // user 1 completes in order: a@10, b@20, c@30
+      (1L, 10L, "a"), (1L, 20L, "b"), (1L, 30L, "c"),
+      // user 2: b BEFORE a -> the b@5 does not count; b@25 does; no c
+      (2L, 5L, "b"), (2L, 15L, "a"), (2L, 25L, "b"),
+      // user 3: a only
+      (3L, 7L, "a"),
+      // user 4: never does a -> not in the funnel at all
+      (4L, 1L, "b"), (4L, 2L, "c"),
+      // user 5: a@10, c@20 but b missing -> stage 3 must NOT fire
+      (5L, 10L, "a"), (5L, 20L, "c"),
+      // user 6: same-ts a and b -> strict > excludes the b; later b@40 counts
+      (6L, 30L, "a"), (6L, 30L, "b"), (6L, 40L, "b"), (6L, 50L, "c")
+    ).toDF("user_id", "ts", "event_type")
+    val f = graft.queries.EventQueries.funnel(e, "user_id", "ts", "event_type",
+      Seq("a", "b", "c")).orderBy("user_id").collect()
+    val byId = f.map(r => r.getLong(0) -> r).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L, 5L, 6L))
+    assert(byId(1L).getLong(1) == 10L && byId(1L).getLong(2) == 20L &&
+      byId(1L).getLong(3) == 30L)
+    assert(byId(2L).getLong(2) == 25L && byId(2L).isNullAt(3))
+    assert(byId(3L).isNullAt(2) && byId(3L).isNullAt(3))
+    assert(byId(5L).isNullAt(2) && byId(5L).isNullAt(3), "c without b must not count")
+    assert(byId(6L).getLong(2) == 40L && byId(6L).getLong(3) == 50L)
+  }
+}
