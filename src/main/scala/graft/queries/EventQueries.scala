@@ -88,6 +88,23 @@ object EventQueries {
         coalesce(sum(col("t3") - col("t1")), lit(0L)).as("convert_ns"))
     }),
 
+    // weekly cohort retention: cohort = floor-week of a user's first
+    // event, cell (cohort, k) = distinct users active k weeks later —
+    // two user-keyed aggregates + one distinct, no full-stream window
+    "e_retention" -> ((s, dir) => {
+      val weekNs = 604800000000000L // 7 * 24 * 3600 * 1e9
+      val e = events(s, dir).select(col("user_id"),
+        expr(s"(ts - pmod(ts, $weekNs)) div $weekNs").as("wk"))
+      val cohort = e.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      e.join(cohort, "user_id")
+        .select(col("user_id"), col("cohort_wk"),
+          (col("wk") - col("cohort_wk")).as("k"))
+        .distinct()
+        .groupBy("cohort_wk", "k")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "k")
+    }),
+
     // semi-structured props: JSON field extract + per-type aggregate
     "e_json_props" -> ((s, dir) =>
       events(s, dir).select(col("event_type"),
@@ -163,6 +180,18 @@ object EventQueries {
         |FROM s1
         |LEFT JOIN s2 ON s1.user_id = s2.user_id
         |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin,
+
+    "e_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events
+        |), c AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id
+        |), a AS (
+        |  SELECT DISTINCT e.user_id, c.cohort_wk, e.wk - c.cohort_wk AS k
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |)
+        |SELECT cohort_wk, k, count(*) AS n_users
+        |FROM a GROUP BY cohort_wk, k ORDER BY cohort_wk, k""".stripMargin,
 
     "e_json_props" ->
       """SELECT event_type, count(*) AS n,
