@@ -100,6 +100,63 @@ object StreamingSessionizer {
   }
 }
 
+/** Streaming twin of the batch conversion funnel
+  * ([[graft.queries.EventQueries.funnel]]): per-user state = the stage
+  * times reached so far; an event advances the funnel iff it is the
+  * next expected stage and strictly after the previous stage time.
+  * Within each micro-batch the group's events are SORTED by event time
+  * (delivery is unordered), so with batches arriving in event-time
+  * order the streaming completions are identical to the batch funnel's
+  * completers — the parity `StreamingSpec` asserts it. Emits one
+  * [[FunnelCompletion]] when a user reaches the final stage; state is
+  * dropped on completion, so per-user state is O(K) and completed
+  * users cost nothing thereafter. */
+object StreamingFunnel {
+  import org.apache.spark.sql.{Dataset, Encoders}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  /** events: (user_id: Long, ts: Timestamp, event_type: String). */
+  def funnel(events: DataFrame, stages: Seq[String],
+      watermark: String): Dataset[FunnelCompletion] = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    implicit val outEnc = Encoders.product[FunnelCompletion]
+    implicit val longEnc = Encoders.scalaLong
+    implicit val rowEnc = Encoders.product[(Long, java.sql.Timestamp, String)]
+    val stateEnc = Encoders.product[FunnelState]
+    val k = stages.length
+    val typed = events
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast("long").as("user_id"), col("ts"),
+        col("event_type").cast("string"))
+      .as[(Long, java.sql.Timestamp, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelCompletion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
+            st: GroupState[FunnelState]) => {
+          var s = st.getOption.getOrElse(FunnelState(Vector.empty, done = false))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelCompletion]
+          if (!s.done) {
+            val batch = rows.map(r => (r._2.getTime, r._3)).toArray.sortBy(_._1)
+            batch.foreach { case (ms, tpe) =>
+              if (!s.done && s.times.length < k &&
+                  tpe == stages(s.times.length) &&
+                  (s.times.isEmpty || ms > s.times.last)) {
+                s = FunnelState(s.times :+ ms, s.times.length + 1 == k)
+                if (s.done)
+                  out += FunnelCompletion(user, s.times.head, s.times.last)
+              }
+            }
+            if (s.done) st.remove() else st.update(s)
+          }
+          out.iterator
+        })(stateEnc, outEnc)
+  }
+}
+
+final case class FunnelCompletion(userId: Long, firstMs: Long, lastMs: Long)
+private final case class FunnelState(times: Vector[Long], done: Boolean)
+
 /** Streaming ingestion gate for a continuous document feed — the
   * LLM-data-pipeline operators ([[graft.ext.TextOps]] quality/language
   * heuristics, content-hash exact dedup) applied at the `readStream`

@@ -168,6 +168,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel completions agree with the batch funnel's completers") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val stages = Seq("view", "click", "buy")
+    val fixture = Seq(
+      (1L, 10, "view"), (1L, 20, "click"), (1L, 30, "buy"),   // completes
+      (2L, 5, "click"), (2L, 15, "view"), (2L, 25, "click"),  // no buy
+      (3L, 7, "view"), (3L, 8, "buy"),                        // skips click
+      (4L, 1, "view"), (4L, 2, "click"), (4L, 3, "buy"),      // completes
+      (4L, 9, "view"))                                        // post-completion noise
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamingFunnel.funnel(
+      stream.toDF().toDF("user_id", "ts", "event_type"), stages, "1 minute")
+    val q = out.writeStream.format("memory").queryName("funnel_sink")
+      .outputMode("append").start()
+    try {
+      // two event-time-ordered micro-batches
+      val (b1, b2) = fixture.map { case (u, s, t) => (u, ts(s), t) }
+        .partition(_._2.getTime < ts(9).getTime)
+      stream.addData(b1); q.processAllAvailable()
+      stream.addData(b2); q.processAllAvailable()
+      val streamed = spark.table("funnel_sink")
+        .select("userId").as[Long].collect().toSet
+      val batch = graft.queries.EventQueries.funnel(
+          fixture.map { case (u, s, t) => (u, s.toLong, t) }
+            .toDF("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", stages)
+        .where(col("t3").isNotNull)
+        .select("user_id").as[Long].collect().toSet
+      assert(streamed == batch && streamed == Set(1L, 4L))
+    } finally q.stop()
+  }
+
   test("streaming cleaning stages (fixText + C4 + PII) agree with the batch operators") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
