@@ -160,6 +160,57 @@ object CorpusFilters {
       sum(col("c") * col("nll_micro")).as("nll_micro_total"))
   }
 
+  /** The full Gopher QUALITY rule set (Rae et al. 2021, §A1.1 — the
+    * non-repetition half; repetition lives in [[repetitionStats]]):
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    * (# and … marks), bullet-start / ellipsis-end line fractions,
+    * alphabetic-word fraction, and minimum stop-word containment. All
+    * map-only array expressions over tokens/lines staged as attributes;
+    * each metric is emitted (5-dp rounded ratios over exact integer
+    * sums, portable) alongside the composite `quality_keep`. */
+  def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Int = 50, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+      maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+      minStopHits: Int = 2): DataFrame = {
+    val stop = array(TextOps.EnStopwords.map(lit): _*)
+    val staged = docs.select(col(idCol), col(textCol).as("_t"),
+        TextOps.tokens(col(textCol)).as("_toks"),
+        split(col(textCol), "\n").as("_lines"))
+      .withColumn("_n", size(col("_toks")))
+      .withColumn("_nl", size(col("_lines")))
+    val hashCount = length(col("_t")) - length(regexp_replace(col("_t"), "#", ""))
+    val ellCount =
+      ((length(col("_t")) - length(regexp_replace(col("_t"), "\\.\\.\\.", ""))) / 3)
+        .cast("long")
+    val metrics = staged.select(
+      col(idCol),
+      col("_n").cast("long").as("n_words"),
+      round(aggregate(col("_toks"), lit(0L), (acc, w) => acc + length(w))
+        .cast("double") / greatest(col("_n"), lit(1)), 5).as("mean_word_len"),
+      round((hashCount + ellCount).cast("double") /
+        greatest(col("_n"), lit(1)), 5).as("symbol_ratio"),
+      round(size(filter(col("_lines"), l =>
+        l.startsWith("- ") || l.startsWith("* ") || l.startsWith("\u2022")))
+        .cast("double") / greatest(col("_nl"), lit(1)), 5).as("bullet_frac"),
+      round(size(filter(col("_lines"), l => l.endsWith("...")))
+        .cast("double") / greatest(col("_nl"), lit(1)), 5).as("ellipsis_frac"),
+      round(size(filter(col("_toks"), w => w.rlike("[A-Za-z]")))
+        .cast("double") / greatest(col("_n"), lit(1)), 5).as("alpha_frac"),
+      size(filter(stop, sw => array_contains(col("_toks"), sw)))
+        .cast("long").as("stop_hits"))
+    metrics.withColumn("quality_keep",
+      (col("n_words") >= minWords && col("n_words") <= maxWords &&
+        col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen &&
+        col("symbol_ratio") <= maxSymbolRatio &&
+        col("bullet_frac") <= maxBulletFrac &&
+        col("ellipsis_frac") <= maxEllipsisFrac &&
+        col("alpha_frac") >= minAlphaFrac &&
+        col("stop_hits") >= minStopHits).cast("int"))
+  }
+
   /** CCNet's head/middle/tail partition (Wenzek et al. 2020 §3.3): rank
     * documents by mean per-token NLL under the LM WITHIN each language
     * and cut into terciles — "head" = most fluent third. Mean NLL

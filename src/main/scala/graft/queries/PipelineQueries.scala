@@ -916,6 +916,16 @@ object PipelineQueries {
       CorpusFilters.dsirLogWeight(table(s, dir, "documents"),
         col("lang") === "en").orderBy("doc_id")),
 
+    // full Gopher quality rules (non-repetition half): bounds, ratios
+    // and stop-hit containment over the raw corpus
+    "p_gopher_quality" -> ((s, dir) =>
+      CorpusFilters.gopherQuality(table(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+          col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
+          col("alpha_frac"), col("stop_hits"),
+          col("quality_keep").cast("long").as("quality_keep"))
+        .orderBy("doc_id")),
+
     // CCNet head/middle/tail: per-lang perplexity terciles (exact
     // integer mean micro-nats, ntile with doc-id tiebreak); per-tier
     // counts + id sums pin every bucket assignment
@@ -2181,6 +2191,43 @@ object PipelineQueries {
 
     // corpus-unigram-LM NLL in integer micro-nats (ln quantized per token
     // TYPE before the per-doc sum — order-independent integer arithmetic)
+    // gopher quality: same integer-exact ratios in list-lambda form
+    "p_gopher_quality" -> {
+      val stopList = graft.ext.TextOps.EnStopwords.map(w => s"'$w'")
+        .mkString("[", ", ", "]")
+      s"""WITH t AS (
+        |  SELECT doc_id, text AS t, string_split(text, ' ') AS toks,
+        |    string_split(text, chr(10)) AS ls
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    round(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
+        |      / greatest(len(toks), 1), 5) AS mean_word_len,
+        |    round(CAST((length(t) - length(replace(t, '#', ''))) +
+        |      (length(t) - length(replace(t, '...', ''))) // 3 AS DOUBLE)
+        |      / greatest(len(toks), 1), 5) AS symbol_ratio,
+        |    round(CAST(len(list_filter(ls, l -> starts_with(l, '- ')
+        |      OR starts_with(l, '* ') OR starts_with(l, chr(8226)))) AS DOUBLE)
+        |      / greatest(len(ls), 1), 5) AS bullet_frac,
+        |    round(CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)
+        |      / greatest(len(ls), 1), 5) AS ellipsis_frac,
+        |    round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+        |      AS DOUBLE) / greatest(len(toks), 1), 5) AS alpha_frac,
+        |    CAST(len(list_filter($stopList, sw -> list_contains(toks, sw)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM t
+        |)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_frac, stop_hits,
+        |  CAST(CASE WHEN n_words >= 50 AND n_words <= 100000
+        |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |    AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |    AND stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS quality_keep
+        |FROM m ORDER BY doc_id""".stripMargin
+    },
+
     // ccnet buckets: the unigram-NLL fragment + per-lang ntile
     "p_ccnet_buckets" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -28,6 +28,32 @@ class CorpusFiltersSpec extends AnyFunSuite {
     assert(byId(3L)._2 == 4L && byId(3L)._3 == 1L)
   }
 
+  test("gopherQuality: each rule trips on its designed offender") {
+    import spark.implicits._
+    val fifty = (1 to 50).map(i => "the story of and truly wonderful example" + (i % 9))
+      .mkString(" ") // 350 words incl. stopwords, mean length ~4.9
+    val good = fifty
+    val docs = Seq(
+      (1L, good),                                              // passes all
+      (2L, "too few words here."),                             // n_words < 50
+      (3L, (1 to 60).map(_ => "x").mkString(" ")),             // mean len 1 < 3
+      (4L, good + " " + (1 to 60).map(_ => "####").mkString(" ")), // symbols
+      (5L, (1 to 60).map(_ => "12345").mkString(" ")),         // no alpha
+      (6L, (1 to 60).map(_ => "zebra quilt").mkString(" "))    // no stopwords
+    ).toDF("doc_id", "text")
+    val byId = CorpusFilters.gopherQuality(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Int]("quality_keep") == 1)
+    assert(byId(2L).getAs[Int]("quality_keep") == 0)
+    assert(byId(3L).getAs[Int]("quality_keep") == 0)
+    assert(byId(4L).getAs[Int]("quality_keep") == 0 &&
+      byId(4L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(byId(5L).getAs[Int]("quality_keep") == 0 &&
+      byId(5L).getAs[Double]("alpha_frac") == 0.0)
+    assert(byId(6L).getAs[Int]("quality_keep") == 0 &&
+      byId(6L).getAs[Long]("stop_hits") == 0L)
+  }
+
   test("ccnetBuckets: fluent docs land in head, rare-token docs in tail, per lang") {
     import spark.implicits._
     // 'common' appears everywhere (low NLL); 'rareN' tokens are unique
