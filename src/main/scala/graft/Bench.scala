@@ -34,6 +34,9 @@ object Bench {
     }
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local profiling aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_FAIL_INJECT=name makes that query throw — exercises the
+    // loud-failure path end-to-end (sentinel time + errors key) on demand
+    val failInject = sys.env.get("SPARK_GRAFT_FAIL_INJECT")
     // deterministic name order: hash-map order shifts when the query set
     // changes, which silently reshuffles who pays JIT warm-up round-to-round
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -70,11 +73,24 @@ object Bench {
       // subtrees — so filter-free queries would time a hollowed-out plan.
       // The noop write evaluates every output column of the real plan
       // without driver-side result transfer.
+      // A failed query must be LOUD: swallowing the exception would let a
+      // broken bench-only row (t_train_*, no oracle) keep "passing" with a
+      // plausible-looking time. Print the failure and return the -1.0
+      // sentinel, which flows into the JSON (negative time + an "errors"
+      // key) so the driver can see it.
       def run(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          if (failInject.contains(name))
+            throw new IllegalStateException("SPARK_GRAFT_FAIL_INJECT test failure")
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[graft-bench] FAILED $name: " +
+              s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(400)}")
+            -1.0
+        }
       }
       // drop any cached plans/RDD blocks a query execution left behind so
       // later timings measure the query, not accumulated state
@@ -99,7 +115,8 @@ object Bench {
       // construction — stay single-shot to keep the round's bench bounded.
       val first = run()
       val dt =
-        if (first < 3.0) {
+        if (first < 0.0) first // failure sentinel — no point re-running
+        else if (first < 3.0) {
           drain(fullGc = false); val second = run()
           drain(fullGc = false); val third = run()
           Array(first, second, third).sorted.apply(1)
@@ -109,8 +126,10 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","note":"noop-sink full-plan evaluation since r5; sub-3s queries report median-of-3 executions since r7 (single-shot numbers were dominated by one-time codegen of the query's generated class); >=3s queries single-shot"}""")
+    val errs = results.collect { case (k, v) if v < 0.0 => s"\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0.0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","note":"noop-sink full-plan evaluation since r5; sub-3s queries report median-of-3 executions since r7 (single-shot numbers were dominated by one-time codegen of the query's generated class); >=3s queries single-shot; -1.0 = query FAILED (see stderr), failed names repeated in errors"}""")
     spark.stop()
   }
 }

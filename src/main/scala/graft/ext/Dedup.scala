@@ -194,12 +194,24 @@ object Dedup {
       .localCheckpoint()
     // A checkpointed relation carries no size statistics, so AQE cannot
     // see that docsSh is broadcast-sized and would plan sort-merge joins
-    // (measured: the whole family regresses ~2×). Decide like AQE does,
-    // but from the MATERIALIZED row count (a cheap count on checkpointed
-    // data): pair members with ~1k-token shingle sets fit a 10 MB-class
-    // broadcast comfortably below 100k rows; above that, fall back to
-    // co-partitioned shuffle joins of the reduced table.
-    val bcast = docsSh.count() <= 100000
+    // (measured: the whole family regresses ~2×). Decide like AQE does —
+    // by BYTES, not rows: a docsSh row carries the member's full shingle
+    // array, so with real web documents (10³–10⁴ tokens ⇒ ~10–100 KB of
+    // shingles per row) ANY fixed row threshold is off by orders of
+    // magnitude — 100k wide rows is a multi-GB broadcast (executor OOM),
+    // while millions of tweet-sized rows would needlessly shuffle. One
+    // cheap pass over the checkpointed rows sums the actual string
+    // payload plus per-element/per-row array overhead and gates against
+    // the session's own broadcast threshold (respecting -1 = disabled),
+    // so the operator inherits whatever broadcast budget the cluster
+    // config declares instead of hard-coding one.
+    val st = docsSh.agg(
+      coalesce(sum(aggregate(col("sh"), lit(0L), (a, x) => a + octet_length(x))), lit(0L)),
+      coalesce(sum(size(col("sh")).cast("long")), lit(0L)),
+      count(lit(1))).head
+    val estBytes = st.getLong(0) + 16L * st.getLong(1) + 32L * st.getLong(2)
+    val bcastCap = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val bcast = bcastCap > 0 && estBytes <= bcastCap
     def side(n: String) = {
       val d = docsSh.select(col("id").as(n), col("sh").as(s"sh_$n"))
       if (bcast) broadcast(d) else d
@@ -270,6 +282,9 @@ object Dedup {
       .map { case (d, s) => (d, math.min(d, s)) }
       .reduceByKey(part, math.min(_: Long, _: Long)) // narrow: byDst is already part-partitioned
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // the round's RDD currently pinned in the block manager (round 1: the
+    // initial labels; later rounds: that round's `next`)
+    var persisted: org.apache.spark.rdd.RDD[_] = labels
     var iter = 0
     var converged = false
     var lastChanged = -1L
@@ -286,7 +301,14 @@ object Dedup {
         .mapValues { case (o, m) => (math.min(o, m), m < o) }
         .persist(StorageLevel.MEMORY_AND_DISK)
       val changed = next.filter(_._2._2).count()
-      labels.unpersist(blocking = false)
+      // `next` is materialized by the count, so the PREVIOUS round's
+      // persisted RDD can be released. `persisted` tracks it explicitly:
+      // from round 2 on, `labels` is an unpersisted mapValues view of the
+      // prior `next`, so unpersisting `labels` itself would be a no-op
+      // and every round's MEMORY_AND_DISK blocks would pile up in the
+      // block manager for the length of the loop.
+      persisted.unpersist(blocking = false)
+      persisted = next
       labels = next.mapValues(_._1) // mapValues keeps the partitioner
       lastChanged = changed
       converged = changed == 0
@@ -529,32 +551,48 @@ object Dedup {
     * Scale (100 TB): the hot set comes from the existing map-side
     * combined (doc, ngram) aggregate; documents then explode to
     * (ngram, start) pairs that shuffle-join the hot set on the n-gram
-    * key (AQE handles hot-ngram skew), the covered starts fold back with
-    * one groupBy(doc), and the final cut is a per-row array expression —
-    * token indices kept iff no hot start covers them. The doc token
-    * arrays never shuffle; only (id, start, ngram) triples ride the join
-    * and only ids + integer starts come back. */
+    * key (AQE handles hot-ngram skew), each hit expands to its n covered
+    * POSITIONS which fold back with one groupBy(doc), and the final cut
+    * is `array_except(0..T−1, covered)` — a hash-set membership pass,
+    * O(T + |covered|) per row. (An exists-over-starts lambda here would
+    * be O(T × |starts|): a long document FULLY covered by hot n-grams —
+    * the classic boilerplate/license page, the very thing this operator
+    * targets — has |starts| ≈ T, i.e. ~10⁸ comparisons for one 10k-token
+    * row. Expanding starts to positions costs only n× more rows in the
+    * fold-back, and n is a small constant.) The doc token arrays never
+    * shuffle; only (id, start, ngram) triples ride the join and only
+    * ids + integer positions come back. */
   def removeRepeatedSpans(df: DataFrame, textCol: String, idCol: String,
       n: Int, minDocs: Int): DataFrame = {
     val src = ensurePar(df)
     val hot = repeatedNgramsOf(src, textCol, idCol, n, minDocs).select("ngram")
     val toks = src.select(col(idCol).as("id"), col(textCol),
       TextOps.tokens(col(textCol)).as("_toks"))
-    val starts = toks
+    val covered = toks
       .select(col("id"), posexplode(TextOps.ngramsAll(col("_toks"), n))
         .as(Seq("start", "ngram")))
       .join(hot, "ngram")
-      .groupBy("id").agg(collect_set(col("start")).as("_starts"))
-    toks.join(starts, Seq("id"), "left")
-      .withColumn("_starts",
-        coalesce(col("_starts"), array().cast("array<int>")))
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+      .groupBy("id").agg(collect_set(col("pos")).as("_covered"))
+    toks.join(covered, Seq("id"), "left")
+      .withColumn("_covered",
+        coalesce(col("_covered"), array().cast("array<int>")))
       .select(
         col("id").as(idCol),
         size(col("_toks")).as("n_tokens"),
-        col("_toks"), col("_starts"))
+        col("_toks"), col("_covered"))
+      // array_except builds ONE hash set of the covered positions and
+      // streams the 0..T−1 index range through it in order, so the kept
+      // positions stay ascending and the whole cut is linear per row
+      .withColumn("_keptPos",
+        array_except(
+          when(size(col("_toks")) > 0,
+            sequence(lit(0), size(col("_toks")) - 1))
+            .otherwise(array().cast("array<int>")),
+          col("_covered")))
       .withColumn("_kept",
-        filter(col("_toks"), (_, i) =>
-          !exists(col("_starts"), s => s <= i && i < s + lit(n))))
+        transform(col("_keptPos"), p => element_at(col("_toks"), p + 1)))
       .select(col(idCol), col("n_tokens"),
         (col("n_tokens") - size(col("_kept"))).as("n_removed"),
         array_join(col("_kept"), " ").as("clean_text"))

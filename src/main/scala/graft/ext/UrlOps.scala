@@ -43,10 +43,75 @@ object UrlOps {
       regexp_replace(lower(regexp_extract(url, HostRe, 1)), ":\\d+$", ""),
       "^www\\.", "")
 
-  /** Last two host labels ("registered domain" under generic TLDs — the
-    * public-suffix list is out of scope and documented so). */
-  def registeredDomain(url: Column): Column =
-    regexp_extract(domain(url), "([^.]+\\.[^.]+)$", 1)
+  /** Bounded literal subset of the Public Suffix List: the common
+    * MULTI-PART public suffixes (ccTLD second-level registries) under
+    * which "last two labels" is the wrong registered-domain rule —
+    * `example.co.uk` must group as `example.co.uk`, not collapse to
+    * `co.uk` (which would merge every .co.uk site into one blocklist /
+    * per-domain-cap bucket). The full PSL is a public, periodically
+    * updated table; this trimmed set covers the highest-traffic ccTLD
+    * registries and is deliberately literal so the DuckDB oracle can
+    * evaluate the identical membership test. Hosts under suffixes not
+    * listed here fall back to the last-two-labels rule. */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    // United Kingdom / Ireland
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "ltd.uk", "plc.uk", "nhs.uk",
+    // Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    // Japan / Korea / Taiwan / Hong Kong / Singapore
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    // China / India / Southeast Asia
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "nic.in",
+    "co.id", "or.id", "web.id", "ac.id", "go.id",
+    "co.th", "in.th", "or.th", "ac.th", "go.th",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    // Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "org.mx", "net.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co",
+    // Middle East / Africa / Europe ccSLDs
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr",
+    "co.za", "net.za", "org.za", "gov.za", "ac.za", "web.za",
+    "com.eg", "com.sa", "org.sa", "edu.sa", "gov.sa",
+    "com.ua", "in.ua", "net.ua", "org.ua", "gov.ua", "edu.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl")
+
+  /** Registered domain of the URL: the last two host labels, EXCEPT when
+    * those two labels are themselves a known multi-part public suffix
+    * ([[MultiPartSuffixes]] — co.uk, com.au, co.jp, …), in which case the
+    * last THREE labels are taken. A host that IS a bare public suffix
+    * (no third label) returns the suffix itself. Pure column expression
+    * (regex extracts + a literal IN), identically evaluable in DuckDB. */
+  def registeredDomain(url: Column): Column = {
+    val d = domain(url)
+    val two = regexp_extract(d, "([^.]+\\.[^.]+)$", 1)
+    val three = regexp_extract(d, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
+    when(two.isInCollection(MultiPartSuffixes) && three =!= "", three)
+      .otherwise(two)
+  }
+
+  /** [[registeredDomain]]'s decision in the DuckDB dialect over a SQL
+    * expression `domainSql` yielding the host (for oracles — keeps the
+    * literal suffix set in lock-step with the Scala side). */
+  def registeredDomainSql(domainSql: String): String = {
+    val inList = MultiPartSuffixes.map(s => s"'$s'").mkString(", ")
+    s"""CASE WHEN regexp_extract($domainSql, '([^.]+\\.[^.]+)$$', 1) IN ($inList)
+       |      AND regexp_extract($domainSql, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+       |     THEN regexp_extract($domainSql, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+       |     ELSE regexp_extract($domainSql, '([^.]+\\.[^.]+)$$', 1) END""".stripMargin
+  }
 
   /** Canonical URL for URL-level dedup (see object doc for the rules).
     * Note the tracking-param match is unanchored on the left (RE2 has no
@@ -63,7 +128,13 @@ object UrlOps {
     val noTracking = regexp_replace(noFragment,
       "(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?", "")
     val noDanglingSep = regexp_replace(noTracking, "[?&]$", "")
-    concat(lower(schemeHost), noDanglingSep)
+    // trailing-slash strip: /a/b/ and /a/b are the same resource for
+    // dedup purposes; fires only when the slash ends the whole remainder
+    // (i.e. no query survived), one slash at a time — /a// canonicalizes
+    // to /a/ which re-canonicalizes to /a on a second pass, matching the
+    // single-application contract of the other rules
+    val noTrailingSlash = regexp_replace(noDanglingSep, "/$", "")
+    concat(lower(schemeHost), noTrailingSlash)
   }
 
   /** Drop rows whose [[domain]] is in `blocked` (a bounded list — rides

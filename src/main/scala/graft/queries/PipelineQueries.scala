@@ -79,24 +79,34 @@ object PipelineQueries {
       |           ELSE 'A closing remark rounds out the page!' END)""".stripMargin
 
   /** Deterministic messy-URL fixture for the provenance rows: uppercase
-    * scheme/host, optional port, tracking params and an optional
+    * scheme/host, ccTLD multi-part suffixes (co.uk / com.au — the PSL
+    * registered-domain cases), optional port, tracking params, a
+    * bare-path trailing slash variant (doc_id % 7) and an optional
     * fragment, all derived from doc_id + source. */
   private def urlFixture = concat(
-    lit("HTTPS://WWW."), col("source"), lit(".Example.COM"),
+    lit("HTTPS://WWW."), col("source"),
+    when(col("doc_id") % 4 === 1, lit(".Sample.CO.UK"))
+      .when(col("doc_id") % 4 === 2, lit(".Portal.COM.AU"))
+      .otherwise(lit(".Example.COM")),
     when(col("doc_id") % 3 === 0, lit(":8080")).otherwise(lit("")),
     lit("/Path/"), col("doc_id").cast("string"),
-    when(col("doc_id") % 2 === 0,
-      concat(lit("?utm_source=feed&id="), col("doc_id").cast("string"),
-        lit("&utm_campaign=x")))
+    when(col("doc_id") % 7 === 0, lit("/"))
+      .when(col("doc_id") % 2 === 0,
+        concat(lit("?utm_source=feed&id="), col("doc_id").cast("string"),
+          lit("&utm_campaign=x")))
       .otherwise(concat(lit("?id="), col("doc_id").cast("string"))),
     when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit("")))
 
   /** urlFixture in DuckDB dialect. */
   private val urlFixtureSql =
-    """'HTTPS://WWW.' || source || '.Example.COM' ||
+    """'HTTPS://WWW.' || source ||
+      |    CASE WHEN doc_id % 4 = 1 THEN '.Sample.CO.UK'
+      |         WHEN doc_id % 4 = 2 THEN '.Portal.COM.AU'
+      |         ELSE '.Example.COM' END ||
       |    CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END ||
       |    '/Path/' || doc_id ||
-      |    CASE WHEN doc_id % 2 = 0
+      |    CASE WHEN doc_id % 7 = 0 THEN '/'
+      |         WHEN doc_id % 2 = 0
       |         THEN '?utm_source=feed&id=' || doc_id || '&utm_campaign=x'
       |         ELSE '?id=' || doc_id END ||
       |    CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END""".stripMargin
@@ -1659,18 +1669,19 @@ object PipelineQueries {
         |), n AS (
         |  SELECT doc_id,
         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
-        |    regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |        regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
         |        '#.*$$', ''),
         |        '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
-        |        '[?&]$$', '') AS norm_url,
+        |        '[?&]$$', ''),
+        |        '/$$', '') AS norm_url,
         |    regexp_replace(regexp_replace(
         |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
         |      ':\\d+$$', ''), '^www\\.', '') AS domain
         |  FROM fx
         |)
         |SELECT doc_id, norm_url, domain,
-        |  regexp_extract(domain, '([^.]+\\.[^.]+)$$', 1) AS reg_domain
+        |  ${graft.ext.UrlOps.registeredDomainSql("domain").replace("\n", "\n        |  ")} AS reg_domain
         |FROM n ORDER BY doc_id""").stripMargin,
 
     // URL dedup: canonicalize (same regex chain) then min-id per group
@@ -1685,11 +1696,12 @@ object PipelineQueries {
         |), n AS (
         |  SELECT doc_id,
         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
-        |    regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
         |        regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
         |        '#.*$', ''),
         |        '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
-        |        '[?&]$', '') AS nu
+        |        '[?&]$', ''),
+        |        '/$', '') AS nu
         |  FROM fx
         |), k AS (
         |  SELECT nu, min(doc_id) AS keep FROM n GROUP BY nu

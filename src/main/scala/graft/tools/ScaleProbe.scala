@@ -99,6 +99,26 @@ object ScaleProbe {
         .agg(sum(length(col("clean_text"))), sum("n_removed")).collect()
       1L
     }
+    // span removal on FULLY-COVERED boilerplate docs (every token of every
+    // doc sits under a hot n-gram — the license-page worst case, where
+    // |starts| ≈ |tokens|): the r8 exists-lambda keep-filter was O(T²)
+    // per document here (~25M lambda evals per 5k-token doc); the
+    // covered-set array_except cut must scale ~linearly in doc count
+    for (m <- Seq(1, 4)) {
+      val tokensN = 5000
+      val nd = 64 * m
+      val boiler = spark.range(nd).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(tokensN - 1)),
+          i => concat(lit("b"), (i % 977).cast("string"))), " ").as("text"))
+        .repartition(32).cache()
+      boiler.count()
+      time(s"span_boiler_x$m") {
+        Dedup.removeRepeatedSpans(boiler, "text", "doc_id", n = 3, minDocs = 3)
+          .agg(sum(length(col("clean_text"))), sum("n_removed")).collect()
+        nd.toLong
+      }
+      boiler.unpersist(blocking = true)
+    }
     time("clean_corpus") {
       graft.ext.Cleaning.cleanCorpus(
         big.withColumn("text",

@@ -112,6 +112,41 @@ class PlanSpec extends AnyFunSuite {
     assert(!pCap.contains("Join"), "domain cap must not join")
   }
 
+  test("near-dup verification broadcast is gated by BYTES, not rows") {
+    import org.apache.spark.sql.functions._
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(thresholdKey)
+    // identical texts in pairs (2i, 2i+1) so every doc is a candidate-pair
+    // member and docsSh carries the whole corpus's shingle arrays
+    def corpus(nDocs: Int, tokensPerDoc: Int) =
+      spark.range(nDocs).select(col("id").as("doc_id"),
+        array_join(transform(sequence(lit(0), lit(tokensPerDoc - 1)),
+          i => concat(lit("tok"), i.cast("string"), lit("_"),
+            floor(col("id") / 2).cast("long").cast("string"))), " ").as("text"))
+    def verifyPlan(df: org.apache.spark.sql.DataFrame): String =
+      graft.ext.Dedup.nearDupPairs(df, "text", "doc_id",
+        numHashes = 16, bands = 4).queryExecution.executedPlan.toString
+    try {
+      // WIDE corpus: 8k rows — far under the old 100k-row threshold —
+      // but ~20 MB of shingle strings, over the 64 KB session budget.
+      // The old rows<=100k gate would broadcast this shape (at real
+      // web-doc widths: a multi-GB executor OOM); the byte gate must NOT
+      // hint a broadcast. (Catalyst estimates a checkpointed LogicalRDD
+      // at ~18 B/row — arrays of strings count as pointer-sized — so the
+      // fixture needs >3.6k rows to ALSO clear the stats-based
+      // auto-broadcast and expose our gate's decision in the plan.)
+      spark.conf.set(thresholdKey, (64 * 1024).toString)
+      val pWide = verifyPlan(corpus(8000, 100))
+      assert(!pWide.contains("BroadcastHashJoin"),
+        s"wide docs under a 64 KB budget must NOT broadcast:\n${pWide.take(800)}")
+      // narrow corpus at the default 10 MB budget: broadcast expected
+      spark.conf.set(thresholdKey, (10 * 1024 * 1024).toString)
+      val pNarrow = verifyPlan(corpus(30, 20))
+      assert(pNarrow.contains("BroadcastHashJoin"),
+        s"narrow docs under the default budget must broadcast:\n${pNarrow.take(800)}")
+    } finally spark.conf.set(thresholdKey, saved)
+  }
+
   test("corpus-scale operating points stay equi-joined (k128 miner, multi-probe ANN)") {
     val p128 = plan(PipelineQueries.queries("p_near_dup_k128")(spark, sf))
     assert(!p128.contains("CartesianProduct"), "128-hash miner must stay bucketed")
