@@ -149,6 +149,17 @@ final class GBLinearTrainer(val params: LinearParams) {
   private[linear] def biasDelta(sumGrad: Double, sumHess: Double): Double =
     if (sumHess < 1e-5) 0.0 else -sumGrad / sumHess
 
+  /** One-partition inputs (≤1M rows) fold in-driver — see the localRows
+    * note in [[fit]] for why this is bit-identical to the cluster path.
+    * Returns null when the distributed path must run. */
+  private def localFold(
+      cached: RDD[(Array[Double], Double, Double)]): Array[(Array[Double], Double, Double)] =
+    if (cached.getNumPartitions == 1 &&
+        cached.mapPartitions(it => Iterator(it.take(1000001).size),
+          preservesPartitioning = true).first() <= 1000000)
+      cached.collect()
+    else null
+
   def fit(data: RDD[(Array[Double], Double, Double)]): LinearModel = {
     val obj = Objective(params.objective)
     require(!obj.needsGlobalGradients && !obj.usesIntervalLabels,
@@ -171,13 +182,39 @@ final class GBLinearTrainer(val params: LinearParams) {
     var bias = 0.0
     val rng = new Random(params.seed)
 
+    // Local fast path for ONE-PARTITION inputs (golden-digest fixtures,
+    // driver-distilled samples): sequential coordinate descent costs one
+    // cluster pass per (round × selected feature) — ~325 scheduler
+    // round-trips for a 64-bucket 5-round fit, ~20 ms each, all to fold a
+    // few thousand rows that already sit in a single task. For a
+    // one-partition RDD the in-driver fold is BIT-IDENTICAL to the
+    // distributed answer: treeAggregate folds that partition with the
+    // same seqOp in the same row order, and the single partial IS the
+    // result (no zero-merge), so the pinned t_hash_* digests cannot move.
+    // Multi-partition data always takes the cluster path — the
+    // cross-partition combine order would otherwise change the FP sums.
+    val localRows: Array[(Array[Double], Double, Double)] = localFold(cached)
+
+    def sumAgg(zero: Array[Double])(
+        seq: (Array[Double], (Array[Double], Double, Double)) => Array[Double]): Array[Double] =
+      if (localRows != null) {
+        var a = zero; var i = 0
+        while (i < localRows.length) { a = seq(a, localRows(i)); i += 1 }
+        a
+      } else graft.Agg.aggregate(cached)(zero)(seq,
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+
     // one treeAggregate: per-feature [Σg·x, Σh·x, Σh·x²] + bias [Σg, Σh]
     def fullSums(): (Array[Double], Double, Double) = {
-      val bw = sc.broadcast((weights.clone(), bias))
+      val snap = (weights.clone(), bias)
+      val bw = if (localRows != null) null else sc.broadcast(snap)
+      // ship weights EITHER via broadcast (cluster) or direct capture
+      // (local) — never both (a captured snapshot would ride every task)
+      val snapCap = if (bw == null) snap else null
       val zero = new Array[Double](3 * nf + 2)
-      val acc = graft.Agg.aggregate(cached)(zero)(
-        seqOp = { case (a, (x, y, w)) =>
-          val (ws, b) = bw.value
+      val acc = sumAgg(zero)(
+        { case (a, (x, y, w)) =>
+          val (ws, b) = if (bw == null) snapCap else bw.value
           var m = base + b
           var f = 0
           val n = math.min(x.length, nf)
@@ -195,21 +232,22 @@ final class GBLinearTrainer(val params: LinearParams) {
           }
           a(3 * nf) += g; a(3 * nf + 1) += h
           a
-        },
-        combOp = { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
-      bw.destroy()
+        })
+      if (bw != null) bw.destroy()
       (acc, acc(3 * nf), acc(3 * nf + 1))
     }
 
     // single-feature [Σg·x, Σh·x²] at exact current margins (coord_descent)
     def featureSums(feat: Int): (Double, Double) = {
-      val bw = sc.broadcast((weights.clone(), bias))
-      val acc = graft.Agg.aggregate(cached)(new Array[Double](2))(
-        seqOp = { case (a, (x, y, w)) =>
+      val snap = (weights.clone(), bias)
+      val bw = if (localRows != null) null else sc.broadcast(snap)
+      val snapCap = if (bw == null) snap else null
+      val acc = sumAgg(new Array[Double](2))(
+        { case (a, (x, y, w)) =>
           if (feat < x.length) {
             val v = x(feat)
             if (v == v && v != 0.0) {
-              val (ws, b) = bw.value
+              val (ws, b) = if (bw == null) snapCap else bw.value
               var m = base + b
               var f = 0
               val n = math.min(x.length, nf)
@@ -220,17 +258,18 @@ final class GBLinearTrainer(val params: LinearParams) {
             }
           }
           a
-        },
-        combOp = { (a, b) => a(0) += b(0); a(1) += b(1); a })
-      bw.destroy()
+        })
+      if (bw != null) bw.destroy()
       (acc(0), acc(1))
     }
 
     def biasSums(): (Double, Double) = {
-      val bw = sc.broadcast((weights.clone(), bias))
-      val acc = graft.Agg.aggregate(cached)(new Array[Double](2))(
-        seqOp = { case (a, (x, y, w)) =>
-          val (ws, b) = bw.value
+      val snap = (weights.clone(), bias)
+      val bw = if (localRows != null) null else sc.broadcast(snap)
+      val snapCap = if (bw == null) snap else null
+      val acc = sumAgg(new Array[Double](2))(
+        { case (a, (x, y, w)) =>
+          val (ws, b) = if (bw == null) snapCap else bw.value
           var m = base + b
           var f = 0
           val n = math.min(x.length, nf)
@@ -238,9 +277,8 @@ final class GBLinearTrainer(val params: LinearParams) {
           val out = new Array[Double](2)
           obj.gradient(m, y, out)
           a(0) += w * out(0); a(1) += w * out(1); a
-        },
-        combOp = { (a, b) => a(0) += b(0); a(1) += b(1); a })
-      bw.destroy()
+        })
+      if (bw != null) bw.destroy()
       (acc(0), acc(1))
     }
 
@@ -348,13 +386,27 @@ final class GBLinearTrainer(val params: LinearParams) {
       }
     }
 
+    // same one-partition local fast path as [[fit]] (bit-identical)
+    val localRows: Array[(Array[Double], Double, Double)] = localFold(cached)
+
+    def sumAgg(zero: Array[Double])(
+        seq: (Array[Double], (Array[Double], Double, Double)) => Array[Double]): Array[Double] =
+      if (localRows != null) {
+        var a = zero; var i = 0
+        while (i < localRows.length) { a = seq(a, localRows(i)); i += 1 }
+        a
+      } else graft.Agg.aggregate(cached)(zero)(seq,
+        (a, b) => { var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
+
     // layout: feature f, class k → a((f·K + k)·3 + {0,1,2}); bias sums at
     // 3·nf·K + 2k
     def fullSums(): Array[Double] = {
-      val bw = sc.broadcast((weights.map(_.clone()), bias.clone()))
-      val acc = graft.Agg.aggregate(cached)(new Array[Double](3 * nf * K + 2 * K))(
-        seqOp = { case (a, (x, y, w)) =>
-          val (ws, bs) = bw.value
+      val snap = (weights.map(_.clone()), bias.clone())
+      val bw = if (localRows != null) null else sc.broadcast(snap)
+      val snapCap = if (bw == null) snap else null
+      val acc = sumAgg(new Array[Double](3 * nf * K + 2 * K))(
+        { case (a, (x, y, w)) =>
+          val (ws, bs) = if (bw == null) snapCap else bw.value
           val g = new Array[Double](K)
           val h = new Array[Double](K)
           gh(x, y, w, ws, bs, g, h)
@@ -375,21 +427,22 @@ final class GBLinearTrainer(val params: LinearParams) {
           var k = 0
           while (k < K) { a(3 * nf * K + 2 * k) += g(k); a(3 * nf * K + 2 * k + 1) += h(k); k += 1 }
           a
-        },
-        combOp = { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
-      bw.destroy()
+        })
+      if (bw != null) bw.destroy()
       acc
     }
 
     // one feature at exact current margins: [Σg_k·x, Σh_k·x²] per class
     def featureSums(feat: Int): Array[Double] = {
-      val bw = sc.broadcast((weights.map(_.clone()), bias.clone()))
-      val acc = graft.Agg.aggregate(cached)(new Array[Double](2 * K))(
-        seqOp = { case (a, (x, y, w)) =>
+      val snap = (weights.map(_.clone()), bias.clone())
+      val bw = if (localRows != null) null else sc.broadcast(snap)
+      val snapCap = if (bw == null) snap else null
+      val acc = sumAgg(new Array[Double](2 * K))(
+        { case (a, (x, y, w)) =>
           if (feat < x.length) {
             val v = x(feat)
             if (v == v && v != 0.0) {
-              val (ws, bs) = bw.value
+              val (ws, bs) = if (bw == null) snapCap else bw.value
               val g = new Array[Double](K)
               val h = new Array[Double](K)
               gh(x, y, w, ws, bs, g, h)
@@ -398,26 +451,26 @@ final class GBLinearTrainer(val params: LinearParams) {
             }
           }
           a
-        },
-        combOp = { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
-      bw.destroy()
+        })
+      if (bw != null) bw.destroy()
       acc
     }
 
     def biasSums(): Array[Double] = {
-      val bw = sc.broadcast((weights.map(_.clone()), bias.clone()))
-      val acc = graft.Agg.aggregate(cached)(new Array[Double](2 * K))(
-        seqOp = { case (a, (x, y, w)) =>
-          val (ws, bs) = bw.value
+      val snap = (weights.map(_.clone()), bias.clone())
+      val bw = if (localRows != null) null else sc.broadcast(snap)
+      val snapCap = if (bw == null) snap else null
+      val acc = sumAgg(new Array[Double](2 * K))(
+        { case (a, (x, y, w)) =>
+          val (ws, bs) = if (bw == null) snapCap else bw.value
           val g = new Array[Double](K)
           val h = new Array[Double](K)
           gh(x, y, w, ws, bs, g, h)
           var k = 0
           while (k < K) { a(2 * k) += g(k); a(2 * k + 1) += h(k); k += 1 }
           a
-        },
-        combOp = { (a, b) => var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a })
-      bw.destroy()
+        })
+      if (bw != null) bw.destroy()
       acc
     }
 

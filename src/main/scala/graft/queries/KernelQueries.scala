@@ -56,15 +56,37 @@ object KernelQueries {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // codegen ensemble walk, keyed on the exact margin (×10⁴ as integer)
+    // codegen ensemble walk, keyed on the exact margin (×10⁴ as integer);
+    // pk_r1 re-scores through the PUBLIC iteration_range entry point
+    // (Predictor.transform, rounds [0, 1) = tree 0 only — the sliced
+    // model's margin, base score included), pinning model.slice + the
+    // transform plumbing alongside the full-model walk
     "q_predict_walk" -> ((s, dir) => {
       val df = CoreQueries.table(s, dir, "lineitem").select(
         array(col("l_quantity").cast("double"), col("l_extendedprice").cast("double"),
           col("l_discount").cast("double"), col("l_tax").cast("double")).as("features"))
-      df.select(Predictor.predictCol(walkModel)(col("features")).as("p"))
-        .select(round(col("p") * 10000).cast("long").as("pk"))
-        .groupBy("pk").agg(count(lit(1)).as("n"))
-        .orderBy("pk")
+      Predictor.transform(df, walkModel, "features", iterationRange = (0, 1))
+        .withColumn("p", Predictor.predictCol(walkModel)(col("features")))
+        .select(round(col("p") * 10000).cast("long").as("pk"),
+          round(col("margin") * 10000).cast("long").as("pk_r1"))
+        .groupBy("pk", "pk_r1").agg(count(lit(1)).as("n"))
+        .orderBy("pk", "pk_r1")
+    }),
+
+    // DMatrix.get_quantile_cut parity: the trained histogram boundaries
+    // in CSR layout — kind 0 rows carry the indptr, kind 1 rows the flat
+    // cut values in (feature, bin) order; same sketch fixture as
+    // q_sketch_cuts, so every value is exact
+    "q_quantile_cut" -> ((s, dir) => {
+      val rdd = CoreQueries.table(s, dir, "lineitem").select(
+        col("l_quantity").cast("double"), col("l_linenumber").cast("double"))
+        .rdd.map(r => (Array(r.getDouble(0), r.getDouble(1)), 1.0))
+      val cuts = Binning.findCuts(rdd, 0, maxBin = 64)
+      val (indptr, vals) = cuts.quantileCut
+      import s.implicits._
+      (indptr.zipWithIndex.map { case (v, i) => (0L, i.toLong, v.toDouble) } ++
+        vals.zipWithIndex.map { case (v, j) => (1L, j.toLong, v) })
+        .toSeq.toDF("kind", "idx", "v").orderBy("kind", "idx")
     }),
 
     // exact-method depth-1 split search: the chosen (feature, threshold,
@@ -277,16 +299,46 @@ object KernelQueries {
 
   val oracle: Map[String, String] = Map(
     "q_predict_walk" ->
-      """WITH p AS (
-        |  SELECT 0.5
-        |    + (CASE WHEN l_quantity <= 25.0
+      """WITH t AS (
+        |  SELECT
+        |    (CASE WHEN l_quantity <= 25.0
         |        THEN (CASE WHEN l_discount <= 0.05 THEN 0.11 ELSE 0.27 END)
-        |        ELSE (CASE WHEN l_extendedprice <= 30000.0 THEN 0.42 ELSE -0.13 END) END)
-        |    + (CASE WHEN l_tax <= 0.04 THEN -0.05
-        |        ELSE (CASE WHEN l_quantity <= 10.0 THEN 0.19 ELSE 0.33 END) END) AS pred
+        |        ELSE (CASE WHEN l_extendedprice <= 30000.0 THEN 0.42 ELSE -0.13 END) END) AS t0,
+        |    (CASE WHEN l_tax <= 0.04 THEN -0.05
+        |        ELSE (CASE WHEN l_quantity <= 10.0 THEN 0.19 ELSE 0.33 END) END) AS t1
         |  FROM lineitem)
-        |SELECT CAST(round(pred * 10000) AS BIGINT) AS pk, count(*) AS n
-        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+        |SELECT CAST(round((0.5 + t0 + t1) * 10000) AS BIGINT) AS pk,
+        |  CAST(round((0.5 + t0) * 10000) AS BIGINT) AS pk_r1, count(*) AS n
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // CSR layout over the same exact-cut construction as q_sketch_cuts:
+    // indptr = per-feature bin-count prefix sums, flat values in
+    // (feature, bin) order
+    "q_quantile_cut" ->
+      """WITH vals AS (
+        |  SELECT 0 AS f, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 1, CAST(l_linenumber AS DOUBLE) FROM lineitem),
+        |counts AS (SELECT f, v, CAST(count(*) AS DOUBLE) AS c FROM vals GROUP BY f, v),
+        |cum AS (SELECT f, v, sum(c) OVER (PARTITION BY f ORDER BY v
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmax FROM counts),
+        |tw AS (SELECT f, CAST(count(*) AS DOUBLE) AS t FROM vals GROUP BY f),
+        |qpts AS (SELECT tw.f AS f, tw.t * r.b / 64 AS d FROM tw, range(1, 64) r(b)),
+        |hits AS (SELECT q.f AS f, min(c.v) AS v FROM qpts q
+        |  JOIN cum c ON c.f = q.f AND c.rmax >= q.d GROUP BY q.f, q.d),
+        |allcuts AS (SELECT DISTINCT f, v FROM
+        |  (SELECT * FROM hits UNION ALL SELECT f, max(v) FROM counts GROUP BY f)),
+        |ordered AS (
+        |  SELECT v, row_number() OVER (ORDER BY f, v) - 1 AS gidx FROM allcuts),
+        |nbins AS (SELECT f, count(*) AS c FROM allcuts GROUP BY f)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS kind, CAST(0 AS BIGINT) AS idx,
+        |    CAST(0 AS DOUBLE) AS v
+        |  UNION ALL
+        |  SELECT 0, CAST(f + 1 AS BIGINT),
+        |    CAST(sum(c) OVER (ORDER BY f) AS DOUBLE) FROM nbins
+        |  UNION ALL
+        |  SELECT 1, CAST(gidx AS BIGINT), v FROM ordered
+        |) ORDER BY kind, idx""".stripMargin,
 
     "q_stump_exact" ->
       """WITH t AS (
