@@ -113,23 +113,77 @@ object Bench {
       // short queries (< 3 s first run) report the MEDIAN OF 3 executions;
       // long queries — internally multi-job trainer/miner loops, warm by
       // construction — stay single-shot to keep the round's bench bounded.
+      // stderr marker so SPARK_GRAFT_DEBUG stage lines attribute to a query
+      if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+        System.err.println(s"[graft-bench] >>> $name")
       val first = run()
       val dt =
         if (first < 0.0) first // failure sentinel — no point re-running
         else if (first < 3.0) {
           drain(fullGc = false); val second = run()
           drain(fullGc = false); val third = run()
-          Array(first, second, third).sorted.apply(1)
+          // a flaky query must not hide behind the median: any failed
+          // repeat poisons the row (else sorted()(1) can pick a valid
+          // time and the failure is visible only on stderr)
+          if (second < 0.0 || third < 0.0) -1.0
+          else Array(first, second, third).sorted.apply(1)
         } else first
       drain(fullGc = true)
       name -> dt
     }
+    // Variance ledger: the heaviest single-shot rows are the ones JVM-state
+    // accumulation across a 135-query run can inflate (measured r9:
+    // p_span_dedup 7.8 s full-run vs 1.8 s isolated, same harness). Re-run
+    // them in a FRESH child JVM so the artifact itself distinguishes an
+    // engine regression (slow in isolation too) from harness contamination
+    // (fast in isolation) without anyone re-running the bench by hand.
+    val isoMin = sys.env.get("SPARK_GRAFT_ISOLATE_MIN")
+      .flatMap(_.toDoubleOption).getOrElse(3.0)
+    val flagged = results.filter(_._2 >= isoMin).sortBy(-_._2).take(6).map(_._1)
+    val isolated: Seq[(String, Double)] =
+      if (flagged.isEmpty || only.isDefined ||
+          sys.env.contains("SPARK_GRAFT_NO_ISOLATED")) Seq.empty
+      else try {
+        import scala.jdk.CollectionConverters._
+        val jvm = new java.io.File(new java.io.File(
+          System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+        val rtArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+          .filterNot(a => a.startsWith("-Xlog") || a.startsWith("-agentlib"))
+        val cmd = (Seq(jvm) ++ rtArgs ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.Bench")).asJava
+        val pb = new ProcessBuilder(cmd)
+        pb.environment().put("SPARK_GRAFT_ONLY", flagged.mkString(","))
+        pb.environment().put("SPARK_GRAFT_NO_ISOLATED", "1")
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.redirectErrorStream(false)
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
+        val outJson = scala.io.Source.fromInputStream(proc.getInputStream).mkString
+        val rc = proc.waitFor()
+        if (rc != 0) System.err.println(s"[graft-bench] isolated re-run rc=$rc")
+        // one flat {"name":sec} object under "queries" — regex is enough
+        val re = """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r
+        val inner = outJson.drop(math.max(0, outJson.indexOf("\"queries\"")))
+        re.findAllMatchIn(inner)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, _) => flagged.contains(k) }
+          .toSeq.distinct
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[graft-bench] isolated re-run failed: " +
+            s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(200)}")
+          Seq.empty
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, v) if v < 0.0 => s"\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0.0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","note":"noop-sink full-plan evaluation since r5; sub-3s queries report median-of-3 executions since r7 (single-shot numbers were dominated by one-time codegen of the query's generated class); >=3s queries single-shot; -1.0 = query FAILED (see stderr), failed names repeated in errors"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"sf":"$sfDir","note":"noop-sink full-plan eval; sub-3s rows = median of 3; -1.0 = FAILED (names in errors); isolated = fresh-JVM re-run of the heaviest rows: engine regression iff slow there too, else full-run JVM-state noise"}""")
     spark.stop()
   }
 }

@@ -197,7 +197,12 @@ object CorpusFilters {
         .cast("double") / greatest(col("_nl"), lit(1)), 5).as("bullet_frac"),
       round(size(filter(col("_lines"), l => l.endsWith("...")))
         .cast("double") / greatest(col("_nl"), lit(1)), 5).as("ellipsis_frac"),
-      round(size(filter(col("_toks"), w => w.rlike("[A-Za-z]")))
+      // "token contains an ASCII letter" via a single translate pass —
+      // same predicate as rlike("[A-Za-z]") without a per-token regex
+      // engine invocation (the regex dominated this column's cost)
+      round(size(filter(col("_toks"), w =>
+        length(w) > length(translate(w,
+          "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ", ""))))
         .cast("double") / greatest(col("_n"), lit(1)), 5).as("alpha_frac"),
       size(filter(stop, sw => array_contains(col("_toks"), sw)))
         .cast("long").as("stop_hits"))

@@ -211,6 +211,19 @@ object Dedup {
       count(lit(1))).head
     val estBytes = st.getLong(0) + 16L * st.getLong(1) + 32L * st.getLong(2)
     val bcastCap = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    // Comparison semantics deliberately mirror Catalyst's own
+    // auto-broadcast: ESTIMATED relation size vs the threshold, no
+    // expansion factor. The hashed relation the executor builds is
+    // larger than this estimate (UnsafeRows + LongHashedRelation
+    // index), but Catalyst's stats-based broadcasts carry the same
+    // optimism and the threshold is tuned cluster-side with that
+    // understanding — our estimate already folds in per-element and
+    // per-row header overhead, so it sits closer to the UnsafeRow
+    // footprint than raw octets do. A 3× safety factor was measured
+    // (r10) to flip this family to shuffle joins at bench scale for a
+    // ~3× slowdown while the 1× gate has never been observed near an
+    // executor memory limit; the gate's job is matching the cluster's
+    // declared budget, not re-deriving a stricter one.
     val bcast = bcastCap > 0 && estBytes <= bcastCap
     def side(n: String) = {
       val d = docsSh.select(col("id").as(n), col("sh").as(s"sh_$n"))

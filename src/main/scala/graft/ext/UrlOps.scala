@@ -88,26 +88,56 @@ object UrlOps {
     "com.ua", "in.ua", "net.ua", "org.ua", "gov.ua", "edu.ua",
     "com.pl", "net.pl", "org.pl", "edu.pl")
 
-  /** Registered domain of the URL: the last two host labels, EXCEPT when
-    * those two labels are themselves a known multi-part public suffix
-    * ([[MultiPartSuffixes]] — co.uk, com.au, co.jp, …), in which case the
-    * last THREE labels are taken. A host that IS a bare public suffix
-    * (no third label) returns the suffix itself. Pure column expression
-    * (regex extracts + a literal IN), identically evaluable in DuckDB. */
+  /** The PSL's WILDCARD rules (`*.<tld>`): EVERY second-level label under
+    * these TLDs is itself a public suffix, so the registered domain is the
+    * last THREE labels. This is the complete current wildcard set for
+    * whole ccTLDs (the PSL also wildcards a handful of hosting providers'
+    * private subtrees, which are out of scope for provenance grouping). */
+  val WildcardTlds: Seq[String] = Seq(
+    "bd", "ck", "er", "fk", "jm", "kh", "kw", "mm", "np", "pg", "ye")
+
+  /** PSL EXCEPTION rules (`!www.ck`): hosts carved back OUT of a wildcard
+    * — `www.ck` is a registrable domain even though `*.ck` is a suffix. */
+  val WildcardExceptions: Seq[String] = Seq("www.ck")
+
+  /** Registered domain of the URL: the last two host labels, EXCEPT
+    *  - wildcard-exception hosts ([[WildcardExceptions]], `!www.ck`):
+    *    the two labels ARE the registered domain even under a wildcard;
+    *  - wildcard TLDs ([[WildcardTlds]], `*.ck` …): last THREE labels;
+    *  - known multi-part public suffixes ([[MultiPartSuffixes]] — co.uk,
+    *    com.au, co.jp, …): last THREE labels.
+    * A host that IS a bare public suffix (no third label) returns the
+    * suffix itself. Hosts under suffixes in none of the literal tables
+    * fall back to last-two-labels. Internationalized hosts participate in
+    * their wire (punycode `xn--`) form — the PSL's own canonical matching
+    * form — so no IDN decode is needed or attempted. Pure column
+    * expression (regex extracts + literal INs), identically evaluable in
+    * DuckDB. */
   def registeredDomain(url: Column): Column = {
     val d = domain(url)
     val two = regexp_extract(d, "([^.]+\\.[^.]+)$", 1)
     val three = regexp_extract(d, "([^.]+\\.[^.]+\\.[^.]+)$", 1)
-    when(two.isInCollection(MultiPartSuffixes) && three =!= "", three)
+    val tld = regexp_extract(d, "([^.]+)$", 1)
+    when(two.isInCollection(WildcardExceptions), two)
+      .when(tld.isInCollection(WildcardTlds) && three =!= "", three)
+      .when(two.isInCollection(MultiPartSuffixes) && three =!= "", three)
       .otherwise(two)
   }
 
   /** [[registeredDomain]]'s decision in the DuckDB dialect over a SQL
     * expression `domainSql` yielding the host (for oracles — keeps the
-    * literal suffix set in lock-step with the Scala side). */
+    * literal suffix/wildcard/exception tables in lock-step with the
+    * Scala side). */
   def registeredDomainSql(domainSql: String): String = {
     val inList = MultiPartSuffixes.map(s => s"'$s'").mkString(", ")
-    s"""CASE WHEN regexp_extract($domainSql, '([^.]+\\.[^.]+)$$', 1) IN ($inList)
+    val wcList = WildcardTlds.map(s => s"'$s'").mkString(", ")
+    val exList = WildcardExceptions.map(s => s"'$s'").mkString(", ")
+    s"""CASE WHEN regexp_extract($domainSql, '([^.]+\\.[^.]+)$$', 1) IN ($exList)
+       |     THEN regexp_extract($domainSql, '([^.]+\\.[^.]+)$$', 1)
+       |     WHEN regexp_extract($domainSql, '([^.]+)$$', 1) IN ($wcList)
+       |      AND regexp_extract($domainSql, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
+       |     THEN regexp_extract($domainSql, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
+       |     WHEN regexp_extract($domainSql, '([^.]+\\.[^.]+)$$', 1) IN ($inList)
        |      AND regexp_extract($domainSql, '([^.]+\\.[^.]+\\.[^.]+)$$', 1) <> ''
        |     THEN regexp_extract($domainSql, '([^.]+\\.[^.]+\\.[^.]+)$$', 1)
        |     ELSE regexp_extract($domainSql, '([^.]+\\.[^.]+)$$', 1) END""".stripMargin

@@ -149,16 +149,28 @@ final class GBLinearTrainer(val params: LinearParams) {
   private[linear] def biasDelta(sumGrad: Double, sumHess: Double): Double =
     if (sumHess < 1e-5) 0.0 else -sumGrad / sumHess
 
-  /** One-partition inputs (≤1M rows) fold in-driver — see the localRows
-    * note in [[fit]] for why this is bit-identical to the cluster path.
-    * Returns null when the distributed path must run. */
-  private def localFold(
+  /** One-partition inputs fold in-driver — see the localRows note in
+    * [[fit]] for why this is bit-identical to the cluster path. Returns
+    * null when the distributed path must run. Gated by estimated BYTES,
+    * not rows: the probe pass tracks the widest feature vector alongside
+    * the row count, and a 1-partition input only collects when
+    * `rows × (nf·8 + 48)` (array payload + per-row tuple/array-header
+    * overhead) fits in a 256 MB driver slice — a 1M-row × 1k-feature
+    * single-partition RDD is ~8 GB and must stay on the cluster path
+    * even though its row count alone looks collectable. */
+  private[graft] def localFold(
       cached: RDD[(Array[Double], Double, Double)]): Array[(Array[Double], Double, Double)] =
-    if (cached.getNumPartitions == 1 &&
-        cached.mapPartitions(it => Iterator(it.take(1000001).size),
-          preservesPartitioning = true).first() <= 1000000)
-      cached.collect()
-    else null
+    if (cached.getNumPartitions == 1) {
+      val (rows, maxNf) = cached.mapPartitions({ it =>
+        var n = 0L; var nf = 0
+        while (n <= 1000000 && it.hasNext) {
+          val x = it.next()._1; if (x.length > nf) nf = x.length; n += 1
+        }
+        Iterator((n, nf))
+      }, preservesPartitioning = true).first()
+      val estBytes = rows * (8L * maxNf + 48L)
+      if (rows <= 1000000 && estBytes <= (256L << 20)) cached.collect() else null
+    } else null
 
   def fit(data: RDD[(Array[Double], Double, Double)]): LinearModel = {
     val obj = Objective(params.objective)

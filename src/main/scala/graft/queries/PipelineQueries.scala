@@ -85,7 +85,14 @@ object PipelineQueries {
     * fragment, all derived from doc_id + source. */
   private def urlFixture = concat(
     lit("HTTPS://WWW."), col("source"),
-    when(col("doc_id") % 4 === 1, lit(".Sample.CO.UK"))
+    // PSL fixture coverage: multi-part suffixes (co.uk/com.au), a
+    // wildcard TLD (*.ck), a wildcard EXCEPTION host (!www.ck), and a
+    // punycode (IDN wire-form) label — each exercised through the
+    // registered-domain logic on BOTH engines
+    when(col("doc_id") % 11 === 3, lit(".Things.CK"))
+      .when(col("doc_id") % 11 === 4, lit(".www.ck"))
+      .when(col("doc_id") % 11 === 5, lit(".XN--Bcher-KVA.DE"))
+      .when(col("doc_id") % 4 === 1, lit(".Sample.CO.UK"))
       .when(col("doc_id") % 4 === 2, lit(".Portal.COM.AU"))
       .otherwise(lit(".Example.COM")),
     when(col("doc_id") % 3 === 0, lit(":8080")).otherwise(lit("")),
@@ -100,7 +107,10 @@ object PipelineQueries {
   /** urlFixture in DuckDB dialect. */
   private val urlFixtureSql =
     """'HTTPS://WWW.' || source ||
-      |    CASE WHEN doc_id % 4 = 1 THEN '.Sample.CO.UK'
+      |    CASE WHEN doc_id % 11 = 3 THEN '.Things.CK'
+      |         WHEN doc_id % 11 = 4 THEN '.www.ck'
+      |         WHEN doc_id % 11 = 5 THEN '.XN--Bcher-KVA.DE'
+      |         WHEN doc_id % 4 = 1 THEN '.Sample.CO.UK'
       |         WHEN doc_id % 4 = 2 THEN '.Portal.COM.AU'
       |         ELSE '.Example.COM' END ||
       |    CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END ||

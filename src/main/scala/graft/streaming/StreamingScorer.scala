@@ -40,20 +40,42 @@ final case class SessionUpdate(userId: Long, startSec: Long, endSec: Long,
     nEvents: Long)
 
 private final case class SessionState(startSec: Long, lastSec: Long, nEvents: Long)
+private final case class SessionSetState(sessions: Seq[SessionState])
 
 /** Gap-based sessionization with CUSTOM STATE
   * (`flatMapGroupsWithState`, event-time timeout) — the streaming twin of
-  * the batch `e_sessionize` query ([[graft.queries.EventQueries]]): state is
-  * one (start, last, count) triple per user, sessions close either when an
-  * event arrives after more than `gapSec` of inactivity or when the
-  * watermark passes last+gap (timeout). State is partitioned by user across
-  * the cluster by the state store — the same `user_id` keying the batch
-  * window uses, so both scale identically. */
+  * the batch `e_sessionize` query ([[graft.queries.EventQueries]]). State is
+  * the set of TENTATIVE sessions per user (interval-merged, kept sorted,
+  * mutually more than `gapSec` apart); a session is emitted only once the
+  * event-time WATERMARK passes `last + gap`, at which point no event that
+  * could still extend or bridge it can arrive.
+  *
+  * == Event-time disorder contract ==
+  *  - Disorder BOUNDED BY THE WATERMARK DELAY is fully REORDERED: the
+  *    emitted sessions equal the batch operator's on the same event
+  *    multiset, for ANY arrival order/batching of the events (asserted by
+  *    `StreamingSpec`'s shuffled-delivery parity case). This holds because
+  *    an event merges into the tentative set in event-time position
+  *    (including extending a session's START backward or bridging two
+  *    tentative sessions into one), and emission waits for the watermark
+  *    to seal the session: an event that could still merge has
+  *    `ts ≤ last + gap < watermark` and would have been dropped as late.
+  *  - Events LATER THAN THE WATERMARK are DROPPED before the operator by
+  *    Spark's late-row filter (standard watermark semantics); they affect
+  *    nothing — never a corrupted or out-of-range session.
+  *  - Granularity: timestamps are floored to epoch-SECONDS (identical to
+  *    the batch oracle's `epoch_ns // 1000000000`), so the two engines
+  *    compare session boundaries at the same resolution.
+  *
+  * State is partitioned by user across the cluster by the state store —
+  * the same `user_id` keying the batch window uses, so both scale
+  * identically; per-user state is O(sessions inside the watermark
+  * horizon), the same bound Spark's own streaming aggregation state has. */
 object StreamingSessionizer {
   import org.apache.spark.sql.{Dataset, Encoders}
   import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-  /** events: (user_id: Long, ts: Timestamp). Returns closed sessions. */
+  /** events: (user_id: Long, ts: Timestamp). Returns watermark-sealed sessions. */
   def sessionize(events: DataFrame, gapSec: Long, watermark: String): Dataset[SessionUpdate] = {
     implicit val updEnc = Encoders.product[SessionUpdate]
     implicit val longEnc = Encoders.scalaLong
@@ -61,56 +83,84 @@ object StreamingSessionizer {
     // unsupported-operation checker rejects event-time timeout otherwise),
     // so keep the timestamp typed and convert to seconds inside the group fn
     implicit val rowEnc = Encoders.product[(Long, java.sql.Timestamp)]
-    val stateEnc = Encoders.product[SessionState]
+    val stateEnc = Encoders.product[SessionSetState]
     val typed = events
       .withWatermark("ts", watermark)
       .select(col("user_id").cast("long").as("user_id"), col("ts"))
       .as[(Long, java.sql.Timestamp)]
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState[SessionState, SessionUpdate](
+      .flatMapGroupsWithState[SessionSetState, SessionUpdate](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        (user: Long, rowsTs: Iterator[(Long, java.sql.Timestamp)], st: GroupState[SessionState]) => {
-          val rows = rowsTs.map(r => (r._1, r._2.getTime / 1000L))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
-          if (st.hasTimedOut) {
-            st.getOption.foreach(s =>
-              out += SessionUpdate(user, s.startSec, s.lastSec, s.nEvents))
-            st.remove()
-          } else {
-            // micro-batch delivery is unordered within a group: sort the
-            // batch, then fold into the running session
-            var cur = st.getOption.orNull
-            rows.map(_._2).toArray.sorted.foreach { sec =>
-              cur match {
-                case null => cur = SessionState(sec, sec, 1)
-                case s if sec - s.lastSec > gapSec =>
-                  out += SessionUpdate(user, s.startSec, s.lastSec, s.nEvents)
-                  cur = SessionState(sec, sec, 1)
-                case s => cur = SessionState(s.startSec, sec, s.nEvents + 1)
-              }
-            }
-            if (cur != null) {
-              st.update(cur)
-              // close via timeout once the watermark passes last event + gap
-              st.setTimeoutTimestamp((cur.lastSec + gapSec) * 1000L)
+        (user: Long, rowsTs: Iterator[(Long, java.sql.Timestamp)],
+            st: GroupState[SessionSetState]) => {
+          val wmMs = st.getCurrentWatermarkMs()
+          var sessions: List[SessionState] =
+            st.getOption.map(_.sessions.toList).getOrElse(Nil)
+          if (!st.hasTimedOut) {
+            val secs = rowsTs.map(_._2.getTime / 1000L).toArray
+            java.util.Arrays.sort(secs)
+            // interval-merge each event into the sorted tentative set; an
+            // event within gap of two adjacent sessions BRIDGES them
+            secs.foreach { sec =>
+              val (left, rest) = sessions.span(s => s.lastSec + gapSec < sec)
+              val (merge, right) = rest.span(s => s.startSec - gapSec <= sec)
+              val m =
+                if (merge.isEmpty) SessionState(sec, sec, 1L)
+                else SessionState(math.min(merge.head.startSec, sec),
+                  math.max(merge.last.lastSec, sec),
+                  merge.iterator.map(_.nEvents).sum + 1L)
+              sessions = left ::: (m :: right)
             }
           }
-          out.iterator
+          // seal check: once floor(wm/1000) > last+gap, no arriving event
+          // (all have ts ≥ watermark) can merge — safe to emit
+          val (sealed0, open) =
+            sessions.partition(s => wmMs / 1000L > s.lastSec + gapSec)
+          if (open.nonEmpty) {
+            st.update(SessionSetState(open))
+            // wake when the watermark can first seal the earliest session;
+            // open sessions satisfy (last+gap+1)*1000 > wm, so this is a
+            // legal (strictly-future) event-time timeout
+            st.setTimeoutTimestamp(
+              (open.iterator.map(_.lastSec).min + gapSec + 1) * 1000L)
+          } else st.remove()
+          sealed0.iterator.map(s =>
+            SessionUpdate(user, s.startSec, s.lastSec, s.nEvents))
         })(stateEnc, updEnc)
   }
 }
 
 /** Streaming twin of the batch conversion funnel
   * ([[graft.queries.EventQueries.funnel]]): per-user state = the stage
-  * times reached so far; an event advances the funnel iff it is the
-  * next expected stage and strictly after the previous stage time.
-  * Within each micro-batch the group's events are SORTED by event time
-  * (delivery is unordered), so with batches arriving in event-time
-  * order the streaming completions are identical to the batch funnel's
-  * completers — the parity `StreamingSpec` asserts it. Emits one
-  * [[FunnelCompletion]] when a user reaches the final stage; state is
-  * dropped on completion, so per-user state is O(K) and completed
-  * users cost nothing thereafter. */
+  * times confirmed so far plus a buffer of not-yet-sealed stage events;
+  * an event advances the funnel iff it is the next expected stage and
+  * strictly after the previous stage time.
+  *
+  * == Event-time disorder contract ==
+  *  - Incoming stage events are BUFFERED in state and folded into the
+  *    funnel only once the event-time WATERMARK passes them, in global
+  *    event-time order. Disorder bounded by the watermark delay is
+  *    therefore fully REORDERED: completions equal the batch funnel's
+  *    completers for ANY arrival order/batching (a later-delivered
+  *    earlier-stage event still lands before the later stages —
+  *    asserted by `StreamingSpec`'s shuffled-delivery case).
+  *  - Events LATER THAN THE WATERMARK are DROPPED before the operator
+  *    by Spark's late-row filter: a funnel stage whose event arrives
+  *    beyond the watermark is simply never reached (no partial/corrupt
+  *    completion), matching standard watermark semantics.
+  *  - Granularity: ordering decisions compare FULL timestamp precision
+  *    (epoch-nanos as carried by Spark's TimestampType, i.e. exact to
+  *    the microsecond — the same precision the batch funnel's
+  *    `epoch_ns` comparisons see), so batch/stream parity has no
+  *    truncation bound; the emitted first/last times are floored to ms
+  *    for the output schema only.
+  *  - One completion per funnel traversal: state is dropped on
+  *    completion (per-user state is O(K + buffered-in-watermark) and
+  *    completed users cost nothing thereafter), so a user who re-runs
+  *    the whole funnel AFTER completing emits again, where the batch
+  *    operator reports only the first traversal. Parity therefore
+  *    compares one-traversal users (the testdata shape).
+  */
 object StreamingFunnel {
   import org.apache.spark.sql.{Dataset, Encoders}
   import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -124,6 +174,7 @@ object StreamingFunnel {
     implicit val rowEnc = Encoders.product[(Long, java.sql.Timestamp, String)]
     val stateEnc = Encoders.product[FunnelState]
     val k = stages.length
+    val stageIdx = stages.zipWithIndex.toMap
     val typed = events
       .withWatermark("ts", watermark)
       .select(col("user_id").cast("long").as("user_id"), col("ts"),
@@ -131,23 +182,46 @@ object StreamingFunnel {
       .as[(Long, java.sql.Timestamp, String)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, FunnelCompletion](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, String)],
             st: GroupState[FunnelState]) => {
-          var s = st.getOption.getOrElse(FunnelState(Vector.empty, done = false))
-          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelCompletion]
-          if (!s.done) {
-            val batch = rows.map(r => (r._2.getTime, r._3)).toArray.sortBy(_._1)
-            batch.foreach { case (ms, tpe) =>
-              if (!s.done && s.times.length < k &&
-                  tpe == stages(s.times.length) &&
-                  (s.times.isEmpty || ms > s.times.last)) {
-                s = FunnelState(s.times :+ ms, s.times.length + 1 == k)
-                if (s.done)
-                  out += FunnelCompletion(user, s.times.head, s.times.last)
+          val wmNs = st.getCurrentWatermarkMs() * 1000000L
+          var s = st.getOption.getOrElse(
+            FunnelState(Vector.empty, Vector.empty, Vector.empty))
+          if (!st.hasTimedOut) {
+            // buffer this batch's stage events (non-stage types dropped)
+            rows.foreach { r =>
+              stageIdx.get(r._3).foreach { si =>
+                val ns = r._2.getTime / 1000L * 1000000000L + r._2.getNanos
+                s = FunnelState(s.times, s.pendNs :+ ns, s.pendStage :+ si)
               }
             }
-            if (s.done) st.remove() else st.update(s)
+          }
+          // fold the events the watermark has sealed, in event-time order
+          // (stage-index tiebreak for determinism; equal-time events can
+          // never both advance — the strictly-after rule matches batch)
+          val (ready, hold) = s.pendNs.zip(s.pendStage).partition(_._1 < wmNs)
+          var times = s.times
+          var done = false
+          ready.sorted.foreach { case (ns, si) =>
+            if (!done && si == times.length && (times.isEmpty || ns > times.last)) {
+              times = times :+ ns
+              done = times.length == k
+            }
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelCompletion]
+          if (done) {
+            out += FunnelCompletion(user, times.head / 1000000L,
+              times.last / 1000000L)
+            st.remove()
+          } else if (times.isEmpty && hold.isEmpty) {
+            st.remove()
+          } else {
+            val (pn, ps) = hold.unzip
+            st.update(FunnelState(times, pn, ps))
+            // wake when the watermark can first seal the earliest buffered
+            // event; buffered events satisfy ns ≥ wm so this is legal
+            if (pn.nonEmpty) st.setTimeoutTimestamp(pn.min / 1000000L + 1)
           }
           out.iterator
         })(stateEnc, outEnc)
@@ -155,7 +229,8 @@ object StreamingFunnel {
 }
 
 final case class FunnelCompletion(userId: Long, firstMs: Long, lastMs: Long)
-private final case class FunnelState(times: Vector[Long], done: Boolean)
+private final case class FunnelState(times: Vector[Long],
+    pendNs: Vector[Long], pendStage: Vector[Int])
 
 /** Streaming ingestion gate for a continuous document feed — the
   * LLM-data-pipeline operators ([[graft.ext.TextOps]] quality/language

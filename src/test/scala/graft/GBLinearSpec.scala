@@ -221,4 +221,21 @@ class GBLinearSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("localFold driver collect is byte-gated: wide 1-partition input takes cluster path") {
+    val t = new GBLinearTrainer(LinearParams())
+    // 40k rows x 1000 features: ~322 MB estimated (rows x (8*nf+48)) — over
+    // the 256 MB driver slice even though the row count is far under 1M.
+    // Rows are generated lazily in the map so the probe streams them.
+    val wide = sc.parallelize(1 to 40000, 1)
+      .map(i => (Array.fill(1000)(i.toDouble), 1.0, 1.0))
+    assert(t.localFold(wide) == null, "wide 1-partition input must NOT collect to the driver")
+    // narrow 1-partition fixture: local fast path engages, rows intact
+    val narrow = sc.parallelize(linearData(7, n = 500), 1)
+    val local = t.localFold(narrow)
+    assert(local != null && local.length == 500)
+    // multi-partition data never collects regardless of size
+    val multi = sc.parallelize(linearData(7, n = 500), 4)
+    assert(t.localFold(multi) == null)
+  }
 }

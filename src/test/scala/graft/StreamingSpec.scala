@@ -191,6 +191,10 @@ class StreamingSpec extends AnyFunSuite {
         .partition(_._2.getTime < ts(9).getTime)
       stream.addData(b1); q.processAllAvailable()
       stream.addData(b2); q.processAllAvailable()
+      // completions emit once the watermark seals the events: advance it
+      // far past the fixture with a sentinel user (view-only — no effect
+      // on the completion set)
+      stream.addData(Seq((99L, ts(100000), "view"))); q.processAllAvailable()
       val streamed = spark.table("funnel_sink")
         .select("userId").as[Long].collect().toSet
       val batch = graft.queries.EventQueries.funnel(
@@ -201,6 +205,131 @@ class StreamingSpec extends AnyFunSuite {
         .select("user_id").as[Long].collect().toSet
       assert(streamed == batch && streamed == Set(1L, 4L))
     } finally q.stop()
+  }
+
+  test("funnel under event-time disorder: within-watermark reorder, beyond-watermark drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val stages = Seq("view", "click", "buy")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    // 5-minute watermark delay: disorder inside it must be REORDERED
+    val out = graft.streaming.StreamingFunnel.funnel(
+      stream.toDF().toDF("user_id", "ts", "event_type"), stages, "5 minutes")
+    val q = out.writeStream.format("memory").queryName("funnel_disorder_sink")
+      .outputMode("append").start()
+    try {
+      // user 1 completes view(10) < click(20) < buy(30) but DELIVERY is
+      // shuffled across batches: buy arrives first, view arrives LAST.
+      // user 2's click(40) arrives one batch late but within watermark.
+      stream.addData(Seq((1L, ts(30), "buy"), (2L, ts(35), "view")))
+      q.processAllAvailable()
+      stream.addData(Seq((1L, ts(20), "click"), (2L, ts(50), "buy")))
+      q.processAllAvailable()
+      stream.addData(Seq((1L, ts(10), "view"), (2L, ts(40), "click")))
+      q.processAllAvailable()
+      // seal everything: sentinel pushes the watermark far past the fixture
+      stream.addData(Seq((99L, ts(100000), "view")))
+      q.processAllAvailable()
+      val got = spark.table("funnel_disorder_sink")
+        .select("userId", "firstMs", "lastMs").as[(Long, Long, Long)]
+        .collect().sortBy(_._1)
+      // both users complete with the CORRECT event-time stage order
+      assert(got.toSeq == Seq(
+        (1L, ts(10).getTime, ts(30).getTime),
+        (2L, ts(35).getTime, ts(50).getTime)), s"got: ${got.toSeq}")
+
+      // batch-operator agreement on the same (disordered-delivery) multiset
+      val batch = graft.queries.EventQueries.funnel(
+          Seq((1L, 30L, "buy"), (2L, 35L, "view"), (1L, 20L, "click"),
+            (2L, 50L, "buy"), (1L, 10L, "view"), (2L, 40L, "click"))
+            .toDF("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type", stages)
+        .where(org.apache.spark.sql.functions.col("t3").isNotNull)
+        .select("user_id").as[Long].collect().toSet
+      assert(batch == Set(1L, 2L))
+    } finally q.stop()
+
+    // beyond-watermark lateness DROPS the event (stage never reached)
+    val stream2 = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out2 = graft.streaming.StreamingFunnel.funnel(
+      stream2.toDF().toDF("user_id", "ts", "event_type"), stages, "0 seconds")
+    val q2 = out2.writeStream.format("memory").queryName("funnel_late_sink")
+      .outputMode("append").start()
+    try {
+      stream2.addData(Seq((1L, ts(10), "view"), (1L, ts(30), "buy")))
+      q2.processAllAvailable() // watermark now ts(30)
+      // click(20) arrives BELOW the watermark → late-row filter drops it
+      stream2.addData(Seq((1L, ts(20), "click")))
+      q2.processAllAvailable()
+      stream2.addData(Seq((99L, ts(100000), "view")))
+      q2.processAllAvailable()
+      assert(spark.table("funnel_late_sink").count() == 0,
+        "a beyond-watermark stage event must be dropped, not folded")
+    } finally q2.stop()
+  }
+
+  test("sessionizer under event-time disorder: backward extension, bridging, late drop") {
+    import spark.implicits._
+    import graft.streaming.StreamingSessionizer
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000L
+    def ts(sec: Long) = new java.sql.Timestamp((t0 + sec) * 1000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = StreamingSessionizer.sessionize(
+      stream.toDF().toDF("user_id", "ts"), gapSec = 60,
+      watermark = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_disorder_sink")
+      .outputMode("append").start()
+    try {
+      // user 1: one true session {0, 50, 100, 150} delivered completely
+      // out of order across batches; 100 BRIDGES the tentative sessions
+      // {0,50} and {150} (gaps 50 ≤ 60 each side), 0 extends the start
+      // BACKWARD after later events arrived.
+      stream.addData(Seq((1L, ts(50)), (1L, ts(150))))
+      q.processAllAvailable()
+      stream.addData(Seq((1L, ts(100)), (1L, ts(0))))
+      q.processAllAvailable()
+      // user 2: two sessions, second delivered before first
+      stream.addData(Seq((2L, ts(500))))
+      q.processAllAvailable()
+      stream.addData(Seq((2L, ts(300))))
+      q.processAllAvailable()
+      // sentinel far in the future seals everything via timeout
+      stream.addData(Seq((999L, ts(1000000))))
+      q.processAllAvailable()
+      val got = spark.table("sess_disorder_sink")
+        .where($"userId" =!= 999L)
+        .select("userId", "startSec", "endSec", "nEvents")
+        .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      assert(got.toSeq == Seq(
+        (1L, t0, t0 + 150, 4L),
+        (2L, t0 + 300, t0 + 300, 1L),
+        (2L, t0 + 500, t0 + 500, 1L)), s"got: ${got.toSeq}")
+    } finally q.stop()
+
+    // beyond-watermark lateness: the late event is dropped, the already
+    // sealed session is untouched (never a corrupted/backward session)
+    val stream2 = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions2 = StreamingSessionizer.sessionize(
+      stream2.toDF().toDF("user_id", "ts"), gapSec = 60, watermark = "0 seconds")
+    val q2 = sessions2.writeStream.format("memory").queryName("sess_late_sink")
+      .outputMode("append").start()
+    try {
+      stream2.addData(Seq((1L, ts(1000))))
+      q2.processAllAvailable()
+      stream2.addData(Seq((9L, ts(5000)))) // watermark → ts(5000), seals user 1
+      q2.processAllAvailable()
+      // ts(900) is far below the watermark → dropped by the late-row filter
+      stream2.addData(Seq((1L, ts(900))))
+      q2.processAllAvailable()
+      stream2.addData(Seq((9L, ts(9000))))
+      q2.processAllAvailable()
+      val got = spark.table("sess_late_sink").where($"userId" === 1L)
+        .select("startSec", "endSec", "nEvents").as[(Long, Long, Long)]
+        .collect().toSeq
+      assert(got == Seq((t0 + 1000, t0 + 1000, 1L)), s"got: $got")
+    } finally q2.stop()
   }
 
   test("streaming cleaning stages (fixText + C4 + PII) agree with the batch operators") {

@@ -24,6 +24,32 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(rows(2) == (("", "")))
   }
 
+  test("registeredDomain: PSL multi-part, wildcard, exception, punycode") {
+    import spark.implicits._
+    val rows = Seq(
+      "https://shop.example.co.uk/x",      // multi-part suffix: 3 labels
+      "https://deep.sub.example.co.uk/x",  // suffix buried deeper: still 3
+      "https://co.uk/",                    // bare public suffix host
+      "https://a.b.things.ck/x",           // *.ck wildcard: things.ck is a
+                                           // suffix, so 3 labels
+      "https://sub.www.ck/x",              // !www.ck exception: 2 labels
+      "https://site.example.bd/x",         // *.bd wildcard
+      "https://sub.xn--bcher-kva.de/x",    // punycode host, wire form kept
+      "https://xn--p1ai.xn--80asehdb/x"    // all-IDN labels, 2-label rule
+    ).toDF("url")
+      .select(UrlOps.registeredDomain(col("url")).as("rd"))
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq(
+      "example.co.uk", "example.co.uk", "co.uk",
+      "b.things.ck", "www.ck", "site.example.bd",
+      "xn--bcher-kva.de", "xn--p1ai.xn--80asehdb"), rows)
+  }
+
+  // registeredDomainSql's lock-step with registeredDomain is proven by the
+  // oracle gate itself: p_url_normalize/p_domain_cap hash-match the DuckDB
+  // replay of the same CASE over fixtures that hit every rule class
+  // (multi-part, wildcard, exception, punycode).
+
   test("normalize: lowercases scheme+host only, strips fragment/tracking/dangling separators") {
     import spark.implicits._
     val rows = Seq(
