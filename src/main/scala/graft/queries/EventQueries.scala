@@ -116,23 +116,41 @@ object EventQueries {
 
   /** Ordered-funnel stage times: per user, t1 = first stage-1 event,
     * t_i = first stage-i event STRICTLY after t_{i−1}; later stages are
-    * null for users who drop out. K stages = K aggregates + K−1 left
-    * joins, all hash-keyed on the user — co-partitioned after the first
-    * shuffle, no window over the full event stream. */
+    * null for users who drop out.
+    *
+    * ONE user-keyed shuffle total (r10; was K aggregates + K−1 hash
+    * joins): non-stage events are dropped map-side, the survivors group
+    * once per user as a time-sorted (ts, stage) list, and a codegen'd
+    * `aggregate` lambda folds it greedily — append ts when the event is
+    * the next expected stage and strictly after the previous stage time.
+    * A time-ordered greedy scan picks exactly the minimal qualifying
+    * times, so the result is identical to the join-chain formulation
+    * (and to the DuckDB oracle that still replays the join chain).
+    * Per-user state is the stage-event list — linear, map-side-filtered
+    * to stage types only; at cluster scale this turns K scans + K
+    * shuffles of the event stream into one scan + one shuffle. */
   private[graft] def funnel(e: DataFrame, userCol: String, tsCol: String,
       typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "need at least one funnel stage")
-    var out = e.where(col(typeCol) === stages.head)
-      .groupBy(col(userCol)).agg(min(col(tsCol)).as("t1"))
-    stages.tail.zipWithIndex.foreach { case (stage, j) =>
-      val i = j + 2
-      val cand = e.where(col(typeCol) === stage)
-        .join(out.select(col(userCol), col(s"t${i - 1}").as("_prev")), userCol)
-        .where(col(tsCol) > col("_prev"))
-        .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t$i"))
-      out = out.join(cand, Seq(userCol), "left")
-    }
-    out
+    val k = stages.length
+    val stageArr = array(stages.map(lit): _*)
+    val evs = e.select(col(userCol),
+        struct(col(tsCol).cast("long").as("ts"),
+          (array_position(stageArr, col(typeCol)) - 1).cast("int").as("si")).as("ev"))
+      .where(col("ev.si") >= 0)
+    val folded = evs.groupBy(col(userCol))
+      .agg(sort_array(collect_list(col("ev"))).as("_evs"))
+      .select(col(userCol),
+        aggregate(col("_evs"), lit(Array.empty[Long]),
+          (acc, ev) => when(
+            size(acc) < k && ev.getField("si") === size(acc) &&
+              ev.getField("ts") >
+                coalesce(try_element_at(acc, lit(-1)), lit(Long.MinValue)),
+            concat(acc, array(ev.getField("ts")))).otherwise(acc)).as("_tarr"))
+    (1 to k).foldLeft(folded)((df, i) =>
+        df.withColumn(s"t$i", try_element_at(col("_tarr"), lit(i))))
+      .where(col("t1").isNotNull)
+      .select(col(userCol) +: (1 to k).map(i => col(s"t$i")): _*)
   }
 
   def oracle: Map[String, String] = Map(
