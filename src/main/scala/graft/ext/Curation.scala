@@ -161,4 +161,45 @@ object Curation {
     c.select(col(orderCol), col("n_tokens").cast("long").as("n_tokens"),
       floor((col("cum_n_tokens") - col("n_tokens")) / budget).cast("long").as("pack_id"))
   }
+
+  /** Per-stratum TOKEN-budget selection — the "give me a 1T-token en +
+    * 200B-token de mix" primitive: within each stratum, documents are
+    * taken in deterministic `idCol` order until the stratum's token
+    * budget is exhausted (a document is kept iff its INCLUSIVE running
+    * token count fits the budget — no partial documents). Unlike
+    * [[stratifiedSample]] (a per-doc rate coin), the budget is a hard
+    * token-count contract, which is how pretraining mixes are actually
+    * specified.
+    *
+    * Scale shape: ONE global range-partitioned cumulative sum over
+    * (stratum, id) ([[graft.data.DistributedCumsum]] — no single-task
+    * window, no per-stratum pass), then each stratum's running count is
+    * recovered by subtracting the stratum's global prefix (a tiny
+    * per-stratum aggregate, broadcast back). Map-side predicate after
+    * that; text never shuffles (only id/stratum/token-count ride the
+    * range exchange).
+    *
+    * Returns (idCol, strataCol, n_tokens, cum_tokens) for kept docs,
+    * cum_tokens = the stratum-local inclusive running count. */
+  def takeTokenBudget(df: DataFrame, strataCol: String,
+      budgets: Map[String, Long], defaultBudget: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      "budgets must be non-negative")
+    val withTokens = df.select(col(idCol), col(strataCol),
+      size(TextOps.tokens(col(textCol))).cast("double").as("_nt"))
+    val c = graft.data.DistributedCumsum.cumsum(
+      withTokens, Seq(col(strataCol).asc, col(idCol).asc), Seq("_nt"))
+    // stratum's global prefix = the exclusive cumsum of its first row
+    // (rows are (stratum, id)-ordered, so that row has the stratum min)
+    val prefix = c.groupBy(col(strataCol))
+      .agg(min(col("cum__nt") - col("_nt")).as("_pre"))
+    val budget = coalesce(
+      try_element_at(typedLit(budgets), col(strataCol)), lit(defaultBudget))
+    c.join(broadcast(prefix), strataCol)
+      .select(col(idCol), col(strataCol),
+        col("_nt").cast("long").as("n_tokens"),
+        (col("cum__nt") - col("_pre")).cast("long").as("cum_tokens"))
+      .where(col("cum_tokens") <= budget)
+  }
 }

@@ -166,6 +166,32 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // cross-snapshot incremental dedup (the daily-crawl shape): the new
+    // batch = every doc_id % 3 == 0 doc PLUS shifted replicas of 200
+    // prior docs (guaranteed cross-snapshot dups); prior = the rest.
+    // Bloom pre-filter ON to exercise the full path — the result is
+    // exact regardless (no false negatives)
+    "p_incr_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val prior = d.where(col("doc_id") % 3 =!= 0)
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .unionByName(prior.where(col("doc_id") < 200)
+          .withColumn("doc_id", col("doc_id") + 20000))
+      Dedup.incrementalDedup(batch, prior,
+          bloomExpectedItems = 100000L, bloomFpp = 0.01)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
+        .orderBy("lang")
+    }),
+
+    // per-stratum token-budget selection: en gets 20k tokens, every
+    // other lang 8k — docs taken in doc_id order until the stratum's
+    // budget fills; one global range-partitioned cumsum, text unshuffled
+    "p_token_budget" -> ((s, dir) =>
+      Curation.takeTokenBudget(table(s, dir, "documents"), "lang",
+          Map("en" -> 20000L), defaultBudget = 8000L)
+        .orderBy("doc_id")),
+
     // MinHash-LSH near-duplicate pairs, exact-Jaccard verified ≥ 0.8
     "p_near_dup" -> ((s, dir) =>
       Dedup.nearDupPairs(table(s, dir, "documents"), "text", "doc_id",
@@ -1183,6 +1209,40 @@ object PipelineQueries {
         |)
         |SELECT lang, count(*) AS n_unique, CAST(sum(doc_id) AS BIGINT) AS sum_id
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p_incr_dedup" ->
+      """WITH prior AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+        |), batch AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text, lang FROM documents
+        |  WHERE doc_id % 3 <> 0 AND doc_id < 200
+        |), dedup AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM batch) WHERE rn = 1
+        |), kept AS (
+        |  SELECT d.doc_id, d.lang FROM dedup d
+        |  WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE md5(p.text) = md5(d.text))
+        |)
+        |SELECT lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_tokens) OVER (
+        |      PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 20000 ELSE 8000 END
+        |ORDER BY doc_id""".stripMargin,
 
     "p_near_dup" ->
       s"""WITH $nearDupCtes

@@ -60,4 +60,44 @@ class CurationSpec extends AnyFunSuite {
     assert(flags.keySet == Set(0L, 1L, 2L))
     assert(flags(1L) >= 2, s"doc 1 carries the passage twice: $flags")
   }
+
+  test("takeTokenBudget: per-stratum hard budgets, no partial docs, id order") {
+    import spark.implicits._
+    // en docs: 4 tokens each; de docs: 3 tokens each
+    val docs = ((1L to 10L).map(i => (i, "en", "a b c d")) ++
+      (11L to 20L).map(i => (i, "de", "x y z"))).toDF("doc_id", "lang", "text")
+    val kept = graft.ext.Curation.takeTokenBudget(
+        docs, "lang", Map("en" -> 10L), defaultBudget = 7L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // en budget 10: docs 1 (cum 4) and 2 (cum 8) fit; doc 3 (cum 12) would
+    // overflow and is NOT taken partially. de budget 7: docs 11 (3), 12 (6).
+    assert(kept.toSeq == Seq(
+      (1L, "en", 4L, 4L), (2L, "en", 4L, 8L),
+      (11L, "de", 3L, 3L), (12L, "de", 3L, 6L)), kept.toSeq)
+    // zero budget takes nothing from that stratum
+    val none = graft.ext.Curation.takeTokenBudget(
+      docs, "lang", Map("en" -> 0L), defaultBudget = 3L)
+      .select("lang").as[String].collect()
+    assert(!none.contains("en") && none.count(_ == "de") == 1)
+  }
+
+  test("incrementalDedup: within-batch dedup + prior anti-join; bloom never changes the result") {
+    import spark.implicits._
+    val prior = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "fresh one"), (11L, "fresh one"),   // within-batch dup: keep 10
+      (12L, "seen before"),                     // cross-snapshot dup: drop
+      (13L, "fresh two")).toDF("doc_id", "text")
+    def ids(bloom: Long) = graft.ext.Dedup.incrementalDedup(
+        batch, prior, bloomExpectedItems = bloom)
+      .select("doc_id").as[Long].collect().toSet
+    val plain = ids(-1L)
+    assert(plain == Set(10L, 13L), plain)
+    // bloom pre-filter on: identical result (no false negatives), and the
+    // output schema is the batch's original schema
+    assert(ids(1000L) == plain)
+    val cols = graft.ext.Dedup.incrementalDedup(batch, prior).columns.toSeq
+    assert(cols == Seq("doc_id", "text"), cols)
+  }
 }
