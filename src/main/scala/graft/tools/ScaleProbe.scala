@@ -130,7 +130,38 @@ object ScaleProbe {
         .agg(sum(length(col("text"))), sum("n_dup_paras")).collect()
       1L
     }
+    // incremental snapshot dedup: the anti-join carries hashes only, and
+    // the bloom pre-filter runs map-side on the batch — both linear
+    time("incremental_dedup") {
+      val prior = big.where(col("doc_id") % 3 =!= 0)
+      val batch = big.where(col("doc_id") % 3 === 0)
+      Dedup.incrementalDedup(batch, prior,
+        bloomExpectedItems = nBig, bloomFpp = 0.01).count()
+    }
+    // token-budget mix: one range-partitioned cumsum over (lang, id)
+    time("token_budget") {
+      graft.ext.Curation.takeTokenBudget(big, "lang",
+        Map("en" -> 1000000L), defaultBudget = 500000L).count()
+    }
     big.unpersist(blocking = false)
+
+    // funnel over a user-replicated event stream: one user-keyed shuffle,
+    // per-user work linear in that user's stage events
+    locally {
+      val ev = graft.queries.EventQueries.events(spark, dir)
+        .select("user_id", "ts", "event_type")
+      val bigEv = spark.range(mult).crossJoin(ev)
+        .select((col("user_id") * mult + col("id")).as("user_id"),
+          col("ts"), col("event_type"))
+        .repartition(32).cache()
+      val nEv = bigEv.count()
+      time("funnel") {
+        graft.queries.EventQueries.funnel(bigEv, "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase")).count()
+      }
+      println(s"[scale] funnel events: $nEv")
+      bigEv.unpersist(blocking = true)
+    }
 
     // trainer scaling: same 4-feature lineitem regression at 1× and
     // TRAIN_MULT× rows (jittered replicas so splits stay non-degenerate).

@@ -112,6 +112,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!pCap.contains("Join"), "domain cap must not join")
   }
 
+  test("funnel is one user-keyed aggregation: no joins, no window") {
+    val p = plan(graft.queries.EventQueries.queries("e_funnel")(spark, sf))
+    assert(!p.contains("Join"), s"funnel must not join:\n${p.take(600)}")
+    assert(!p.contains("Window"), s"funnel must not window:\n${p.take(600)}")
+    // the greedy stage fold rides ObjectHashAggregate (collect_list)
+    assert(p.contains("Aggregate"), "expected the user-keyed aggregation")
+  }
+
+  test("token budget: text stays out of the cumsum exchange; incremental dedup stays keyed") {
+    val pBudget = plan(PipelineQueries.queries("p_token_budget")(spark, sf))
+    // no per-stratum window over the full stream — the cumsum is the
+    // range-partitioned two-pass scan (shows as Exchange rangepartitioning)
+    assert(!pBudget.contains("Window"), s"no window:\n${pBudget.take(600)}")
+    assert(pBudget.contains("rangepartitioning"),
+      s"expected the range-partitioned cumsum:\n${pBudget.take(800)}")
+    val pIncr = plan(PipelineQueries.queries("p_incr_dedup")(spark, sf))
+    assert(!pIncr.contains("CartesianProduct"), "incremental dedup must stay keyed")
+    assert(pIncr.contains("LeftAnti") || pIncr.contains("left_anti"),
+      s"expected the hash anti-join:\n${pIncr.take(800)}")
+  }
+
   test("near-dup verification broadcast is gated by BYTES, not rows") {
     import org.apache.spark.sql.functions._
     val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
