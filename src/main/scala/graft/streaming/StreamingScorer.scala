@@ -270,13 +270,25 @@ object StreamingIngest {
     * batch sweep (`Dedup.nearDupPairs`) because any-band matching needs
     * cross-key state that a single watermark-scoped dedup cannot hold.
     * Exact duplicates have equal signatures, so the exact tier is
-    * subsumed; `content_hash` stays in the output for audit. */
+    * subsumed; `content_hash` stays in the output for audit.
+    *
+    * `priorDocs` (a STATIC, already-curated corpus snapshot) switches on
+    * the cross-snapshot tier — the streaming twin of
+    * [[graft.ext.Dedup.incrementalDedup]]: surviving rows are checked
+    * against the snapshot's distinct content hashes via a stream-static
+    * join (hash-only projection — the snapshot's text never enters the
+    * stream plan), so a document already in the published corpus never
+    * re-enters through the feed. Runs BEFORE the watermark-scoped
+    * within-stream dedup, shrinking that state. Spark's stream-static
+    * support has no left_anti, so this is the equivalent left_outer +
+    * null filter. */
   def cleanDocuments(docs: DataFrame, textCol: String = "text",
       tsCol: String = "ts", watermark: String = "10 minutes",
       minTokens: Int = 5, minQuality: Double = 0.2,
       maxTopBigramFrac: Double = 1.0, nearDupHashes: Int = 0,
       fixUnicode: Boolean = false, c4: Boolean = false,
-      redactPii: Boolean = false): DataFrame = {
+      redactPii: Boolean = false,
+      priorDocs: Option[DataFrame] = None): DataFrame = {
     require(docs.isStreaming,
       "cleanDocuments is the streaming twin; batch feeds use Dedup.exactDedup + the p_quality filters")
     // optional pre-gate cleaning stages — all stateless projections, so
@@ -306,9 +318,19 @@ object StreamingIngest {
       .withColumn("top_bigram_frac", TextOps.topNgramFraction(t, 2))
       .where(col("n_tokens") >= minTokens && col("quality") >= minQuality &&
         col("top_bigram_frac") <= maxTopBigramFrac)
-    if (nearDupHashes <= 0) gated.dropDuplicatesWithinWatermark("content_hash")
+    val unseen = priorDocs match {
+      case Some(prior) =>
+        require(!prior.isStreaming, "priorDocs must be a static snapshot")
+        val priorH = prior
+          .select(md5(col(textCol)).as("content_hash"), lit(1).as("_seen"))
+          .distinct()
+        gated.join(priorH, Seq("content_hash"), "left_outer")
+          .where(col("_seen").isNull).drop("_seen")
+      case None => gated
+    }
+    if (nearDupHashes <= 0) unseen.dropDuplicatesWithinWatermark("content_hash")
     else {
-      graft.ext.Dedup.withMinhashSignature(gated, textCol, "minhash_sig", nearDupHashes)
+      graft.ext.Dedup.withMinhashSignature(unseen, textCol, "minhash_sig", nearDupHashes)
         .withColumn("dedup_key",
           // empty signature (no shingles) → fall back to the exact hash
           // so shingle-less short docs don't all collapse onto one key

@@ -168,6 +168,39 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest gate: prior-snapshot dedup (incrementalDedup twin)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val seen = "this document already lives in the published and curated corpus snapshot"
+    val fresh = "a genuinely new crawl document that the prior snapshot has never contained"
+    val prior = Seq((1L, seen)).toDF("doc_id", "text")
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val cleaned = graft.streaming.StreamingIngest.cleanDocuments(
+      stream.toDF().toDF("ts", "text"), watermark = "1 minute", minTokens = 5,
+      minQuality = 0.05, priorDocs = Some(prior))
+    val q = cleaned.writeStream.format("memory").queryName("prior_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((ts(0), seen), (ts(1), fresh)))
+      q.processAllAvailable()
+      val out = spark.table("prior_sink").select("text").as[String].collect().toSeq
+      assert(out == Seq(fresh), s"snapshot doc must not re-enter: $out")
+      // batch twin agreement on the same inputs
+      val batchKept = graft.ext.Dedup.incrementalDedup(
+          Seq((10L, seen), (11L, fresh)).toDF("doc_id", "text"), prior)
+        .select("text").as[String].collect().toSeq
+      assert(batchKept == Seq(fresh))
+      // a streaming prior is rejected loudly
+      val err = intercept[IllegalArgumentException] {
+        graft.streaming.StreamingIngest.cleanDocuments(
+          stream.toDF().toDF("ts", "text"),
+          priorDocs = Some(stream.toDF().toDF("ts", "text")))
+      }
+      assert(err.getMessage.contains("static snapshot"))
+    } finally q.stop()
+  }
+
   test("streaming funnel completions agree with the batch funnel's completers") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
