@@ -100,4 +100,20 @@ class CurationSpec extends AnyFunSuite {
     val cols = graft.ext.Dedup.incrementalDedup(batch, prior).columns.toSeq
     assert(cols == Seq("doc_id", "text"), cols)
   }
+
+  test("new ops degrade cleanly on empty inputs") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    val docs = Seq((1L, "en", "a b c")).toDF("doc_id", "lang", "text")
+    assert(graft.ext.Curation.takeTokenBudget(
+      empty, "lang", Map.empty, defaultBudget = 10L).count() == 0)
+    // empty prior: everything in the batch survives (minus within-batch dups)
+    val kept = graft.ext.Dedup.incrementalDedup(
+        docs.select("doc_id", "text"), empty.select("doc_id", "text"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L))
+    // empty batch: nothing out
+    assert(graft.ext.Dedup.incrementalDedup(
+      empty.select("doc_id", "text"), docs.select("doc_id", "text")).count() == 0)
+  }
 }
