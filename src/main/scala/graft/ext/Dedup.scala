@@ -29,6 +29,36 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
+  /** Duplicate-cluster resolution with a QUALITY keep-policy — the
+    * production alternative to "keep the smallest id": given mined
+    * near-dup `pairs` (id_a, id_b), label clusters via
+    * [[connectedComponents]] and keep, per cluster, the member with the
+    * highest `score` (ties broken by smallest id — fully deterministic,
+    * so the choice is oracle-checkable). Documents in no cluster keep
+    * themselves (cluster_id = own id, kept = 1).
+    *
+    * Scale shape: the label table is (id, label) only — document text
+    * never enters the resolution; one id-keyed join to attach labels +
+    * one window over cluster_id (near-dup clusters are small by
+    * construction, so the per-partition sort is bounded; the window key
+    * hash-distributes clusters across the cluster).
+    *
+    * Returns (idCol, cluster_id, kept 0/1) for every input document. */
+  def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, score: Column,
+      idCol: String = "doc_id"): DataFrame = {
+    val labels = connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as(idCol), col("label"))
+    val withL = docs.select(col(idCol).cast("long").as(idCol), score.as("_score"))
+      .join(labels, Seq(idCol), "left")
+      .select(col(idCol), col("_score"),
+        coalesce(col("label"), col(idCol)).as("cluster_id"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("_score").desc, col(idCol).asc)
+    withL.withColumn("_rn", row_number().over(w))
+      .select(col(idCol), col("cluster_id"),
+        (col("_rn") === 1).cast("long").as("kept"))
+  }
+
   /** Cross-snapshot INCREMENTAL exact dedup — the daily-crawl shape: dedup
     * a new batch against an already-curated prior corpus WITHOUT re-reading
     * or re-deduping history beyond its content hashes. Two stages, both

@@ -283,6 +283,20 @@ object PipelineQueries {
         .select(col("id").as("doc_id"), col("label").as("cluster_id"))
         .orderBy("doc_id")),
 
+    // duplicate-cluster resolution with the QUALITY keep-policy: same
+    // mined clusters as p_dup_clusters, but the kept member is the
+    // highest-token-count doc (tiebreak smallest id) — the production
+    // choice ("keep the longest copy"), deterministic and oracle-checked
+    "p_cluster_keep_best" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.keepBestPerCluster(docs,
+          Dedup.nearDupPairs(docs, "text", "doc_id",
+            numHashes = NumHashes, bands = Bands, shingleN = 3, threshold = 0.8,
+            maxBucketSize = MaxBucket),
+          size(TextOps.tokens(col("text"))).cast("long"))
+        .orderBy("doc_id")
+    }),
+
     // 16-bit SimHash per document
     "p_simhash" -> ((s, dir) => table(s, dir, "documents")
       .where(col("doc_id") < 100)
@@ -1355,6 +1369,30 @@ object PipelineQueries {
          |)
          |SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "p_cluster_keep_best" ->
+      s"""WITH RECURSIVE $nearDupCtes,
+         |dup AS (SELECT id_a, id_b FROM pairs WHERE jac >= 0.8),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+         |          UNION SELECT id_b, id_a FROM dup),
+         |reach(id, r) AS (
+         |  SELECT src, least(src, dst) FROM edges
+         |  UNION
+         |  SELECT e.src, w.r FROM edges e JOIN reach w ON w.id = e.dst
+         |),
+         |lab AS (SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS lbl
+         |        FROM reach GROUP BY id),
+         |scored AS (
+         |  SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster_id,
+         |    len(string_split(d.text, ' ')) AS score
+         |  FROM documents d LEFT JOIN lab l ON l.id = d.doc_id
+         |)
+         |SELECT doc_id, cluster_id,
+         |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM (SELECT doc_id, cluster_id, row_number() OVER (
+         |        PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
+         |      FROM scored)
+         |ORDER BY doc_id""".stripMargin,
 
     "p_simhash" -> {
       val bits = (0 until 16).map { i =>

@@ -76,4 +76,22 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(labels.values.forall(_ == 0L),
       s"non-root labels: ${labels.filter(_._2 != 0L).take(5)}")
   }
+
+  test("keepBestPerCluster keeps the max-score member, tiebreak min id; singletons keep") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // cluster {1,2,3} (chain), cluster {7,8}, singleton 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L),  // 2 and 3 tie on score -> keep 2
+      (7L, 5L), (8L, 50L),              // keep 8 (higher score, larger id)
+      (9L, 1L)).toDF("doc_id", "score")
+    val out = graft.ext.Dedup.keepBestPerCluster(docs, pairs, col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 1L, 0L), (2L, 1L, 1L), (3L, 1L, 0L),
+      (7L, 7L, 0L), (8L, 7L, 1L),
+      (9L, 9L, 1L)), out.toSeq)
+  }
 }
