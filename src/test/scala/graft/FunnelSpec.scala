@@ -34,4 +34,41 @@ class FunnelSpec extends AnyFunSuite {
     assert(byId(5L).isNullAt(2) && byId(5L).isNullAt(3), "c without b must not count")
     assert(byId(6L).getLong(2) == 40L && byId(6L).getLong(3) == 50L)
   }
+
+  /** In-memory reference: t1 = min stage-1 ts; t_i = min stage-i ts > t_{i-1}. */
+  private def refFunnel(events: Seq[(Long, Long, String)],
+      stages: Seq[String]): Map[Long, Seq[Option[Long]]] =
+    events.groupBy(_._1).flatMap { case (u, evs) =>
+      val ts = stages.foldLeft(Seq.empty[Option[Long]]) { (acc, stage) =>
+        val prev = acc.lastOption.flatten
+        val cand = evs.filter(e => e._3 == stage &&
+          (acc.isEmpty || (prev.nonEmpty && e._2 > prev.get))).map(_._2)
+        acc :+ (if ((acc.isEmpty || prev.nonEmpty) && cand.nonEmpty)
+          Some(cand.min) else None)
+      }
+      if (ts.head.nonEmpty) Some(u -> ts) else None
+    }
+
+  test("funnel matches the min-after reference on seeded random event multisets") {
+    import spark.implicits._
+    val stages = Seq("a", "b", "c")
+    for (seed <- Seq(1, 7, 42)) {
+      val rng = new scala.util.Random(seed)
+      val events = (0 until 600).map { _ =>
+        (rng.nextInt(25).toLong,                  // user
+          rng.nextInt(40).toLong,                 // ts (collisions likely)
+          Seq("a", "b", "c", "x")(rng.nextInt(4))) // stage or noise
+      }
+      val got = graft.queries.EventQueries.funnel(
+          events.toDF("user_id", "ts", "event_type"), "user_id", "ts",
+          "event_type", stages)
+        .collect().map { r =>
+          r.getLong(0) -> (1 to 3).map(i =>
+            if (r.isNullAt(i)) None else Some(r.getLong(i)))
+        }.toMap
+      val want = refFunnel(events, stages)
+      assert(got == want,
+        s"seed $seed: ${got.toSeq.sortBy(_._1).take(5)} vs ${want.toSeq.sortBy(_._1).take(5)}")
+    }
+  }
 }

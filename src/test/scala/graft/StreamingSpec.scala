@@ -365,6 +365,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("sessionizer: randomized shuffled delivery equals the batch gap-split (seeded)") {
+    import spark.implicits._
+    import graft.streaming.StreamingSessionizer
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000L
+    val gap = 60L
+    for (seed <- Seq(3, 19)) {
+      val rng = new scala.util.Random(seed)
+      // 8 users x ~25 events in a 2000-second span: sessions form naturally
+      val events = (0 until 200).map { _ =>
+        (rng.nextInt(8).toLong + 1L, t0 + rng.nextInt(2000).toLong)
+      }.distinct
+      // reference: per user, sort, split on gap > 60
+      val want = events.groupBy(_._1).flatMap { case (u, evs) =>
+        val secs = evs.map(_._2).sorted
+        val sessions = secs.tail.foldLeft(List(List(secs.head))) { (acc, s) =>
+          if (s - acc.head.head > gap) List(s) :: acc
+          else (s :: acc.head) :: acc.tail
+        }
+        sessions.map(ss => (u, ss.min, ss.max, ss.length.toLong))
+      }.toSet
+      // delivery: random order, random batch boundaries, huge watermark
+      // delay so nothing is dropped — pure disorder, no lateness
+      val shuffled = rng.shuffle(events)
+      val batches = shuffled.grouped(1 + rng.nextInt(40)).toSeq
+      val stream = MemoryStream[(Long, java.sql.Timestamp)]
+      val sessions = StreamingSessionizer.sessionize(
+        stream.toDF().toDF("user_id", "ts"), gapSec = gap, watermark = "1 hour")
+      val q = sessions.writeStream.format("memory")
+        .queryName(s"sess_rand_$seed").outputMode("append").start()
+      try {
+        batches.foreach { b =>
+          stream.addData(b.map(e => (e._1, new java.sql.Timestamp(e._2 * 1000L))))
+          q.processAllAvailable()
+        }
+        // seal everything
+        stream.addData(Seq((99L, new java.sql.Timestamp((t0 + 100000) * 1000L))))
+        q.processAllAvailable()
+        val got = spark.table(s"sess_rand_$seed").where($"userId" =!= 99L)
+          .select("userId", "startSec", "endSec", "nEvents")
+          .as[(Long, Long, Long, Long)].collect().toSet
+        assert(got == want,
+          s"seed $seed: missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+      } finally q.stop()
+    }
+  }
+
   test("streaming cleaning stages (fixText + C4 + PII) agree with the batch operators") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
