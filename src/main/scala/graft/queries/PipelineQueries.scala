@@ -297,6 +297,38 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // WARC ingest round-trip: documents are wrapped as HTML pages,
+    // serialized into WARC/1.0 response records per partition (plain and
+    // gzip-member-per-record layouts alternate by group — the parse
+    // output is identical, so the oracle covers both), parsed back with
+    // the record/HTTP-header walker, and pinned by md5 + byte length
+    // against the oracle's direct recomputation from the table
+    "p_warc_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("<html><head><title>doc</title></head><body><p>"),
+            col("text"), lit("</p></body></html>")).as("html"))
+      val blobs = docs.as[(Long, String)].mapPartitions { it =>
+        it.grouped(64).map { grp =>
+          val recs = grp.map { case (id, html) =>
+            (s"https://corpus.example/doc/$id", "2024-01-01T00:00:00Z",
+              "text/html", html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          if (grp.head._1 % 2 == 0) graft.sources.Warc.gzipPerRecord(recs)
+          else graft.sources.Warc.writeAll(recs)
+        }
+      }.toDF("payload")
+      graft.sources.Warc.records(blobs, col("payload"))
+        .select(
+          regexp_extract(col("warc_url"), "/doc/(\\d+)$", 1).cast("long").as("doc_id"),
+          col("http_status").cast("long").as("http_status"),
+          col("content_type"),
+          octet_length(col("body_text")).cast("long").as("n_bytes"),
+          md5(col("body_text")).as("page_md5"))
+        .orderBy("doc_id")
+    }),
+
     // 16-bit SimHash per document
     "p_simhash" -> ((s, dir) => table(s, dir, "documents")
       .where(col("doc_id") < 100)
@@ -1393,6 +1425,15 @@ object PipelineQueries {
          |        PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
          |      FROM scored)
          |ORDER BY doc_id""".stripMargin,
+
+    "p_warc_extract" ->
+      """SELECT doc_id, CAST(200 AS BIGINT) AS http_status,
+        |  'text/html' AS content_type,
+        |  CAST(strlen('<html><head><title>doc</title></head><body><p>' || text ||
+        |    '</p></body></html>') AS BIGINT) AS n_bytes,
+        |  md5('<html><head><title>doc</title></head><body><p>' || text ||
+        |    '</p></body></html>') AS page_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p_simhash" -> {
       val bits = (0 until 16).map { i =>
