@@ -37,6 +37,7 @@ object DataLoader {
       if (p.endsWith(".csv")) "csv"
       else if (p.endsWith(".parquet")) "parquet"
       else if (p.endsWith(".jsonl") || p.endsWith(".json")) "jsonl"
+      else if (p.endsWith(".orc")) "orc"
       else "libsvm"
     })
     ParsedUri(parts(0), fmt, opts)
@@ -63,8 +64,10 @@ object DataLoader {
         val cols = raw.columns
         raw.select(col(cols.head).cast("double").as("label"),
           array(cols.tail.map(c => col(c).cast("double")): _*).as("features"))
-      case "parquet" =>
-        val raw = spark.read.parquet(path)
+      case "parquet" | "orc" =>
+        // both columnar formats share the schema contract: a `label`
+        // column, every other numeric column a feature in schema order
+        val raw = if (fmt == "orc") spark.read.orc(path) else spark.read.parquet(path)
         val feats = raw.schema.fields.filter { f =>
           f.name != "label" && f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
         }.map(_.name)

@@ -168,6 +168,32 @@ object Warc {
     -1
   }
 
+  /** Serialize one WET-style `conversion` record (extracted plain text,
+    * no HTTP envelope) — the layout of Common Crawl's `.wet.gz` files. */
+  def writeConversion(out: ByteArrayOutputStream, uri: String, date: String,
+      text: Array[Byte]): Unit = {
+    out.write(("WARC/1.0\r\n" +
+      "WARC-Type: conversion\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"WARC-Date: $date\r\n" +
+      "Content-Type: text/plain\r\n" +
+      s"Content-Length: ${text.length}\r\n\r\n").getBytes(UTF_8))
+    out.write(text)
+    out.write(Crlf); out.write(Crlf)
+  }
+
+  /** Explode a binary WET payload column (conversion records) into one
+    * row per record: (warc_url, warc_date, text). */
+  def wetTexts(df: DataFrame, payloadCol: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(payloadCol.as("p")).as[Array[Byte]]
+      .mapPartitions(_.flatMap(p => parseAll(p).iterator
+        .filter(_.warcType == "conversion")
+        .map(r => (r.targetUri, r.warcDate, new String(r.body, UTF_8)))))
+      .toDF("warc_url", "warc_date", "text")
+  }
+
   /** Explode a binary WARC payload column into one row per `response`
     * record: (warc_url, warc_date, http_status, content_type, body,
     * body_text). Batched per-partition parse — payload blobs never

@@ -36,9 +36,22 @@ class SourcesSpec extends AnyFunSuite {
       assert(a.getDouble(0) == b.getDouble(0))
       assert(a.getSeq[Double](1) == b.getSeq[Double](1))
     }
+    // orc loads the same rows (columnar twin of the parquet contract)
+    import spark.implicits._
+    val orcPath = s"$tmp/d_orc"
+    Seq((1.5, 2.0, 0.0, 4.5), (-0.5, 0.0, 1.25, 0.0))
+      .toDF("label", "f0", "f1", "f2")
+      .write.mode("overwrite").orc(orcPath)
+    val orc = DataLoader.load(spark, s"$orcPath?format=orc")
+      .orderBy("label").collect()
+    lsv.zip(orc).foreach { case (a, b) =>
+      assert(a.getDouble(0) == b.getDouble(0))
+      assert(a.getSeq[Double](1) == b.getSeq[Double](1))
+    }
     // format inference from extension + #cache suffix ignored
     assert(DataLoader.parseUri("x/y.csv#cache").format == "csv")
     assert(DataLoader.parseUri("x/y.jsonl#cache").format == "jsonl")
+    assert(DataLoader.parseUri("x/y.orc#cache").format == "orc")
     assert(DataLoader.parseUri("x/y.txt?format=libsvm#cache").format == "libsvm")
   }
 

@@ -53,6 +53,26 @@ class WarcSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("WARC"))
   }
 
+  test("WET conversion records round-trip and explode via wetTexts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = new java.io.ByteArrayOutputStream()
+    Warc.writeConversion(out, "https://x.example/a", "2024-01-01T00:00:00Z",
+      "extracted text körper".getBytes(UTF_8))
+    Warc.writeConversion(out, "https://x.example/b", "2024-01-01T00:00:00Z",
+      "second page".getBytes(UTF_8))
+    val rows = Warc.wetTexts(Seq(out.toByteArray).toDF("payload"), col("payload"))
+      .select("warc_url", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      ("https://x.example/a", "extracted text körper"),
+      ("https://x.example/b", "second page")))
+    // response-record explode ignores conversion records and vice versa
+    assert(Warc.records(Seq(out.toByteArray).toDF("payload"), col("payload"))
+      .count() == 0)
+  }
+
   test("records() explodes response rows in Spark, blobs stay partition-local") {
     val spark = TestSpark.spark
     import spark.implicits._
