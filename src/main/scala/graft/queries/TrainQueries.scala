@@ -173,10 +173,15 @@ object TrainQueries {
     "t_train_rank_ndcg" -> ((s, dir) => {
       val df = CoreQueries.table(s, dir, "lineitem")
       val n = featureCols.length
+      // hash repartition AFTER the narrow projection (the single-row-group
+      // parquet defense, as in t_train_estimator — but shuffling only the
+      // selected columns): without it the row-conversion map and the
+      // qid-shuffle's map side run as the scan's 3 tasks
       val data = df.select(
         featureCols.map(c => col(c).cast("double")) :+
           (col("l_linenumber") % 4).cast("double").as("rel") :+
           (col("l_orderkey") % 100).as("q"): _*)
+        .repartition(s.sparkContext.defaultParallelism, col("q"))
         .rdd.map { r =>
           val f = new Array[Double](n)
           var i = 0
