@@ -208,10 +208,14 @@ object TrainQueries {
     // no driver-side scoring)
     "t_train_multi" -> ((s, dir) => {
       val n = featureCols.length
+      // repartition after the narrow projection (single-row-group defense):
+      // the trainer's internal ensurePar otherwise runs its map side — and
+      // this row conversion — as the scan's 3 tasks
       val data = CoreQueries.table(s, dir, "lineitem").select(
         featureCols.map(c => col(c).cast("double")) :+
           (col("l_extendedprice") * (lit(1.0) - col("l_discount")) / 100000.0).as("y0") :+
           (col("l_quantity") / 10.0 + col("l_tax")).as("y1"): _*)
+        .repartition(s.sparkContext.defaultParallelism, col("l_quantity"))
         .rdd.map { r =>
           val f = new Array[Double](n)
           var i = 0
