@@ -275,13 +275,14 @@ object StreamingIngest {
     * `priorDocs` (a STATIC, already-curated corpus snapshot) switches on
     * the cross-snapshot tier — the streaming twin of
     * [[graft.ext.Dedup.incrementalDedup]]: surviving rows are checked
-    * against the snapshot's distinct content hashes via a stream-static
-    * join (hash-only projection — the snapshot's text never enters the
-    * stream plan), so a document already in the published corpus never
-    * re-enters through the feed. Runs BEFORE the watermark-scoped
-    * within-stream dedup, shrinking that state. Spark's stream-static
-    * support has no left_anti, so this is the equivalent left_outer +
-    * null filter. */
+    * against the snapshot via a stream-static join on THE SAME KEY the
+    * within-stream dedup uses (exact content hash, or the minhash
+    * signature key when `nearDupHashes` > 0 — a feed doc merely
+    * signature-equal to a snapshot doc must not re-enter either). Only
+    * the key projection of the snapshot enters the stream plan, never
+    * its text. Runs BEFORE the watermark-scoped within-stream dedup,
+    * shrinking that state. Spark's stream-static support has no
+    * left_anti, so this is the equivalent left_outer + null filter. */
   def cleanDocuments(docs: DataFrame, textCol: String = "text",
       tsCol: String = "ts", watermark: String = "10 minutes",
       minTokens: Int = 5, minQuality: Double = 0.2,
@@ -318,24 +319,40 @@ object StreamingIngest {
       .withColumn("top_bigram_frac", TextOps.topNgramFraction(t, 2))
       .where(col("n_tokens") >= minTokens && col("quality") >= minQuality &&
         col("top_bigram_frac") <= maxTopBigramFrac)
-    val unseen = priorDocs match {
+    priorDocs.foreach(prior =>
+      require(!prior.isStreaming, "priorDocs must be a static snapshot"))
+    // the snapshot gate matches ON THE SAME KEY the within-stream dedup
+    // uses — exact content hash, or the minhash-signature key when the
+    // near-dup tier is on (a feed doc that is merely signature-equal to a
+    // snapshot doc must not re-enter either). Stream-static has no
+    // left_anti, hence left_outer + null filter.
+    def dropSeen(stream: DataFrame, keyOf: DataFrame => DataFrame,
+        key: String): DataFrame = priorDocs match {
       case Some(prior) =>
-        require(!prior.isStreaming, "priorDocs must be a static snapshot")
-        val priorH = prior
-          .select(md5(col(textCol)).as("content_hash"), lit(1).as("_seen"))
-          .distinct()
-        gated.join(priorH, Seq("content_hash"), "left_outer")
+        val priorK = keyOf(prior).select(col(key), lit(1).as("_seen")).distinct()
+        stream.join(priorK, Seq(key), "left_outer")
           .where(col("_seen").isNull).drop("_seen")
-      case None => gated
+      case None => stream
     }
-    if (nearDupHashes <= 0) unseen.dropDuplicatesWithinWatermark("content_hash")
-    else {
-      graft.ext.Dedup.withMinhashSignature(unseen, textCol, "minhash_sig", nearDupHashes)
+    if (nearDupHashes <= 0) {
+      dropSeen(gated,
+        p => p.select(md5(col(textCol)).as("content_hash")), "content_hash")
+        .dropDuplicatesWithinWatermark("content_hash")
+    } else {
+      def withKey(df: DataFrame): DataFrame =
+        graft.ext.Dedup.withMinhashSignature(df, textCol, "minhash_sig", nearDupHashes)
+          .withColumn("dedup_key",
+            // empty signature (no shingles) → fall back to the exact hash
+            // so shingle-less short docs don't all collapse onto one key
+            when(size(col("minhash_sig")) > 0, concat_ws("_", col("minhash_sig")))
+              .otherwise(md5(col(textCol))))
+          .drop("minhash_sig")
+      val keyed = graft.ext.Dedup
+        .withMinhashSignature(gated, textCol, "minhash_sig", nearDupHashes)
         .withColumn("dedup_key",
-          // empty signature (no shingles) → fall back to the exact hash
-          // so shingle-less short docs don't all collapse onto one key
           when(size(col("minhash_sig")) > 0, concat_ws("_", col("minhash_sig")))
             .otherwise(col("content_hash")))
+      dropSeen(keyed, withKey, "dedup_key")
         .dropDuplicatesWithinWatermark("dedup_key")
         .drop("dedup_key")
     }

@@ -199,6 +199,25 @@ class StreamingSpec extends AnyFunSuite {
       }
       assert(err.getMessage.contains("static snapshot"))
     } finally q.stop()
+
+    // with the near-dup tier ON, the snapshot gate matches on the
+    // SIGNATURE key: a byte-different ROTATION of a snapshot doc (same
+    // shingle set, the near-dup-gate fixture trick) must not re-enter
+    val rotPrior = Seq((1L, "alpha beta gamma alpha beta gamma")).toDF("doc_id", "text")
+    val rotated = "beta gamma alpha beta gamma alpha"
+    val stream2 = MemoryStream[(java.sql.Timestamp, String)]
+    val cleaned2 = graft.streaming.StreamingIngest.cleanDocuments(
+      stream2.toDF().toDF("ts", "text"), watermark = "1 minute", minTokens = 5,
+      minQuality = 0.0, nearDupHashes = 16, priorDocs = Some(rotPrior))
+    val q2 = cleaned2.writeStream.format("memory").queryName("prior_sig_sink")
+      .outputMode("append").start()
+    try {
+      stream2.addData(Seq((ts(0), rotated), (ts(1), fresh)))
+      q2.processAllAvailable()
+      val out2 = spark.table("prior_sig_sink").select("text").as[String].collect().toSeq
+      assert(out2 == Seq(fresh),
+        s"signature-equal rotation of a snapshot doc must not re-enter: $out2")
+    } finally q2.stop()
   }
 
   test("streaming funnel completions agree with the batch funnel's completers") {
