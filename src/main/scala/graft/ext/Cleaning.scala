@@ -126,12 +126,20 @@ object Cleaning {
     * DEL. Hex escapes parse identically in Java and RE2 regexes. */
   val ControlRe = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
 
-  /** ftfy/Dolma-style text fixing: NFC-normalize, strip control
-    * characters, collapse space/tab runs to one space, trim. Map-only,
-    * fully codegen'd; DuckDB mirrors it with `nfc_normalize` +
-    * `regexp_replace(..., 'g')`. */
+  /** ftfy/Dolma-style text fixing: strip control characters, collapse
+    * space/tab runs to one space, trim, then NFC-normalize LAST.
+    * Map-only, fully codegen'd; DuckDB mirrors it with
+    * `regexp_replace(..., 'g')` + `nfc_normalize` in the same order.
+    *
+    * NFC must run last for idempotence: a control char sitting between
+    * a base letter and a combining mark (e.g. `O` + BEL + U+0301)
+    * blocks composition, and stripping it AFTER normalizing leaves a
+    * newly-adjacent base+mark pair that a second pass would compose —
+    * so nfc-first breaks `fixText(fixText(x)) == fixText(x)`. With NFC
+    * last, a second pass finds no controls, no space runs, nothing to
+    * trim, and NFC itself is idempotent. */
   def fixText(c: Column): Column =
-    trim(regexp_replace(regexp_replace(nfc(c), ControlRe, ""), "[ \\t]+", " "))
+    nfc(trim(regexp_replace(regexp_replace(c, ControlRe, ""), "[ \\t]+", " ")))
 
   /** Rule-based PII redaction. One row per input row:
     * (idCol, n_emails, n_phones, n_ips, redacted) with matches replaced

@@ -841,10 +841,11 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
-    // Text fixing (NFC via the graft_nfc codegen expression + control
-    // strip + whitespace collapse + trim) over a fixture with a
-    // combining acute, doubled spaces/tabs and a BEL control char; the
-    // oracle runs DuckDB's utf8proc nfc_normalize + the same regexes.
+    // Text fixing (control strip + whitespace collapse + trim, then NFC
+    // LAST via the graft_nfc codegen expression — the idempotent order)
+    // over a fixture with a combining acute, doubled spaces/tabs and a
+    // BEL control char; the oracle runs the same regexes then DuckDB's
+    // utf8proc nfc_normalize in the same order.
     "p_fix_text" -> ((s, dir) => {
       val fx = table(s, dir, "documents").select(col("doc_id"),
         concat(lit(" Cafe\u0301  du\t\tMarche\u0301 "),
@@ -1998,9 +1999,9 @@ object PipelineQueries {
         |  FROM documents
         |), f AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(nfc_normalize(t0),
+        |    nfc_normalize(trim(regexp_replace(regexp_replace(t0,
         |      '${Cleaning.ControlRe}', '', 'g'),
-        |      '[ \\t]+', ' ', 'g')) AS t
+        |      '[ \\t]+', ' ', 'g'))) AS t
         |  FROM fx
         |), k AS (
         |  SELECT doc_id, t,
@@ -2138,8 +2139,9 @@ object PipelineQueries {
         |      THEN array_to_string(kept, chr(10)) ELSE '' END) AS clean_md5
         |FROM k ORDER BY doc_id""").stripMargin,
 
-    // text fixing: utf8proc nfc_normalize ∘ the same control-strip and
-    // whitespace-collapse regexes; chr(769)=U+0301, chr(7)=BEL
+    // text fixing: the same control-strip and whitespace-collapse
+    // regexes, then utf8proc nfc_normalize LAST (mirrors fixText's
+    // idempotent order); chr(769)=U+0301, chr(7)=BEL
     "p_fix_text" ->
       (s"""WITH fx AS (
         |  SELECT doc_id,
@@ -2149,9 +2151,9 @@ object PipelineQueries {
         |  FROM documents
         |), f AS (
         |  SELECT doc_id,
-        |    trim(regexp_replace(regexp_replace(nfc_normalize(raw),
+        |    nfc_normalize(trim(regexp_replace(regexp_replace(raw,
         |      '${Cleaning.ControlRe}', '', 'g'),
-        |      '[ \\t]+', ' ', 'g')) AS fixed
+        |      '[ \\t]+', ' ', 'g'))) AS fixed
         |  FROM fx
         |)
         |SELECT doc_id, CAST(length(fixed) AS BIGINT) AS fixed_len,
