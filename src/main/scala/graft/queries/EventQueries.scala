@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types
 
 /** Event-stream analytics over the `events` table — the batch expression of
   * the Structured Streaming shapes in [[graft.streaming.StreamingScorer]]
@@ -119,38 +120,76 @@ object EventQueries {
     * null for users who drop out.
     *
     * ONE user-keyed shuffle total (r10; was K aggregates + K−1 hash
-    * joins): non-stage events are dropped map-side, the survivors group
-    * once per user as a time-sorted (ts, stage) list, and a codegen'd
-    * `aggregate` lambda folds it greedily — append ts when the event is
-    * the next expected stage and strictly after the previous stage time.
-    * A time-ordered greedy scan picks exactly the minimal qualifying
+    * joins): non-stage events are dropped map-side, the survivors are
+    * hash-repartitioned on user and SORTED WITHIN PARTITIONS by
+    * (user, ts, stage) — Spark's external sort, which spills instead of
+    * buffering — and a streaming per-partition fold walks consecutive
+    * same-user runs greedily: append ts when the event is the next
+    * expected stage and strictly after the previous stage time. A
+    * time-ordered greedy scan picks exactly the minimal qualifying
     * times, so the result is identical to the join-chain formulation
     * (and to the DuckDB oracle that still replays the join chain).
-    * Per-user state is the stage-event list — linear, map-side-filtered
-    * to stage types only; at cluster scale this turns K scans + K
-    * shuffles of the event stream into one scan + one shuffle. */
+    *
+    * Per-user STATE is O(K) — the ≤K accepted stage times — never the
+    * user's event list (r12; was a per-user `collect_list` of every
+    * stage event, a single-task OOM for a bot identity with 10⁷–10⁸
+    * events, exactly the quantity an adversarial bot inflates). The
+    * shuffle count is unchanged: one hash repartition on user; the sort
+    * is within-partition only, no global range exchange. */
   private[graft] def funnel(e: DataFrame, userCol: String, tsCol: String,
       typeCol: String, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "need at least one funnel stage")
     val k = stages.length
     val stageArr = array(stages.map(lit): _*)
     val evs = e.select(col(userCol),
-        struct(col(tsCol).cast("long").as("ts"),
-          (array_position(stageArr, col(typeCol)) - 1).cast("int").as("si")).as("ev"))
-      .where(col("ev.si") >= 0)
-    val folded = evs.groupBy(col(userCol))
-      .agg(sort_array(collect_list(col("ev"))).as("_evs"))
-      .select(col(userCol),
-        aggregate(col("_evs"), lit(Array.empty[Long]),
-          (acc, ev) => when(
-            size(acc) < k && ev.getField("si") === size(acc) &&
-              ev.getField("ts") >
-                coalesce(try_element_at(acc, lit(-1)), lit(Long.MinValue)),
-            concat(acc, array(ev.getField("ts")))).otherwise(acc)).as("_tarr"))
-    (1 to k).foldLeft(folded)((df, i) =>
-        df.withColumn(s"t$i", try_element_at(col("_tarr"), lit(i))))
-      .where(col("t1").isNotNull)
-      .select(col(userCol) +: (1 to k).map(i => col(s"t$i")): _*)
+        col(tsCol).cast("long").as("__ts"),
+        (array_position(stageArr, col(typeCol)) - 1).cast("int").as("__si"))
+      .where(col("__si") >= 0)
+    val userField = evs.schema.head
+    val outSchema = types.StructType(userField +:
+      (1 to k).map(i => types.StructField(s"t$i", types.LongType, nullable = true)))
+    val nPart = e.sparkSession.sessionState.conf.numShufflePartitions
+    evs.repartition(nPart, col(userCol))
+      .sortWithinPartitions(col(userCol), col("__ts"), col("__si"))
+      .mapPartitions { it =>
+        new Iterator[Row] {
+          private var pendingRow: Row = null
+          private var cur: Any = null
+          private var open = false
+          private val times = new scala.collection.mutable.ArrayBuffer[Long](k)
+          private def emit(): Row = {
+            val vals = new Array[Any](k + 1)
+            vals(0) = cur
+            var i = 0
+            while (i < k) {
+              vals(i + 1) = if (i < times.length) times(i) else null; i += 1
+            }
+            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+          }
+          private def advance(): Unit = {
+            while (pendingRow == null && it.hasNext) {
+              val r = it.next()
+              val u = r.get(0)
+              if (!open || u != cur) {
+                if (open && times.nonEmpty) pendingRow = emit()
+                cur = u; open = true; times.clear()
+              }
+              if (times.length < k && r.getInt(2) == times.length &&
+                  (times.isEmpty || r.getLong(1) > times.last))
+                times += r.getLong(1)
+            }
+            if (pendingRow == null && open) {
+              open = false
+              if (times.nonEmpty) pendingRow = emit()
+            }
+          }
+          def hasNext: Boolean = { if (pendingRow == null) advance(); pendingRow != null }
+          def next(): Row = {
+            if (!hasNext) throw new NoSuchElementException("empty funnel iterator")
+            val r = pendingRow; pendingRow = null; r
+          }
+        }
+      }(Encoders.row(outSchema))
   }
 
   def oracle: Map[String, String] = Map(

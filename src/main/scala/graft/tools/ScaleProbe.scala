@@ -163,6 +163,31 @@ object ScaleProbe {
       bigEv.unpersist(blocking = true)
     }
 
+    // adversarial-bot funnel skew: ONE user with 10⁶ stage events. The
+    // r12 sorted-iterator fold keeps per-user STATE at O(K) stage times
+    // (the old collect_list buffered the whole event list in one task —
+    // exactly this shape OOMed). The skewed user lands in one task by
+    // construction (hash partitioning can't split a key); what must stay
+    // bounded is that task's MEMORY, which the external sort + streaming
+    // fold guarantee.
+    locally {
+      val botEvents = 1000000L
+      val bot = spark.range(botEvents).select(
+        lit(7L).as("user_id"),
+        (col("id") * 1000L).as("ts"),
+        element_at(array(lit("view"), lit("click"), lit("purchase"), lit("x")),
+          (col("id") % 4 + 1).cast("int")).as("event_type"))
+      var f: Array[org.apache.spark.sql.Row] = Array.empty
+      time("funnel_bot_user") {
+        f = graft.queries.EventQueries.funnel(bot, "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase")).collect()
+        f.length.toLong
+      }
+      require(f.length == 1 && f.head.getLong(0) == 7L,
+        s"bot funnel wrong: ${f.toSeq}")
+      println(s"[scale] funnel bot user: $botEvents events -> 1 row, O(K) state")
+    }
+
     // trainer scaling: same 4-feature lineitem regression at 1× and
     // TRAIN_MULT× rows (jittered replicas so splits stay non-degenerate).
     // Histogram building is one treeAggregate per level whose partial is

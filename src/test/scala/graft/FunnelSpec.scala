@@ -35,6 +35,24 @@ class FunnelSpec extends AnyFunSuite {
     assert(byId(6L).getLong(2) == 40L && byId(6L).getLong(3) == 50L)
   }
 
+  test("funnel: one 10^6-event bot user folds in O(K) state (no per-user buffer)") {
+    // the r12 sorted-iterator fold must not materialize the user's event
+    // list; this passes trivially post-fix and OOM-shapes under the old
+    // per-user collect_list at cluster-scale event counts
+    val bot = spark.range(1000000L).select(
+      lit(7L).as("user_id"),
+      (col("id") * 1000L).as("ts"),
+      element_at(
+        array(lit("a"), lit("b"), lit("c"), lit("x")),
+        (col("id") % 4 + 1).cast("int")).as("event_type"))
+    val f = graft.queries.EventQueries.funnel(bot, "user_id", "ts",
+      "event_type", Seq("a", "b", "c")).collect()
+    // id 0 -> a@0, id 1 -> b@1000, id 2 -> c@2000: greedy min times
+    assert(f.length == 1)
+    assert(f.head.getLong(0) == 7L && f.head.getLong(1) == 0L &&
+      f.head.getLong(2) == 1000L && f.head.getLong(3) == 2000L)
+  }
+
   /** In-memory reference: t1 = min stage-1 ts; t_i = min stage-i ts > t_{i-1}. */
   private def refFunnel(events: Seq[(Long, Long, String)],
       stages: Seq[String]): Map[Long, Seq[Option[Long]]] =
