@@ -13,9 +13,37 @@ import graft.ext.{Cleaning, Curation, UrlOps}
 class CleaningPropertySpec extends AnyFunSuite {
   import TestSpark._
 
-  private def check(p: Prop): Unit = {
-    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), p)
+  /** 500 cases with a PINNED initial seed: the r10 fixText idempotence
+    * bug survived multiple rounds of this suite at 30 unpinned cases —
+    * the counterexample class (control char between base letter and
+    * combining mark) needs three specific generator picks to collide, so
+    * a 30-case run found it only on seed luck. 500 pinned cases make the
+    * run deterministic AND dense enough to cover the hazard classes; the
+    * known r10 counterexample is additionally a fixed unit test below. */
+  private def check(p: Prop, cases: Int = 500): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(cases)
+      .withInitialSeed(org.scalacheck.rng.Seed(20261231L)), p)
     assert(r.passed, r.status.toString)
+  }
+
+  test("fixText regression: control char between base and combining mark (r10)") {
+    import spark.implicits._
+    // "O" + BEL + U+0301: stripping the BEL makes the combining acute
+    // newly adjacent to the O. NFC-FIRST left the pair uncomposed, so a
+    // second fixText pass composed it to Ó and the output changed —
+    // the exact r10 counterexample. NFC-LAST composes in pass one.
+    val rows = Seq("O\u0007\u0301k", "e\u007F\u0301", "A\u0001\u0308B end")
+      .toDF("t")
+      .select(Cleaning.fixText(col("t")).as("once"))
+      .select(col("once"), Cleaning.fixText(col("once")).as("twice"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"fixText not idempotent on ${r.getString(0)}"))
+    // and pass one must actually compose: pre-r11 code fails HERE even
+    // when the idempotence assert above is not reached
+    assert(rows.exists(_.getString(0).contains("\u00D3k")),
+      "O+BEL+combining-acute must compose to U+00D3 in one pass")
   }
 
   // printable-ish text with the hazards the operators care about
@@ -86,7 +114,7 @@ class CleaningPropertySpec extends AnyFunSuite {
         .select(UrlOps.normalize(col("u")).as("once"))
         .select(col("once"), UrlOps.normalize(col("once")).as("twice"))
       df.collect().forall(r => r.getString(0) == r.getString(1))
-    })
+    }, cases = 100)
   }
 
   test("chunkTokens with stride == chunkSize partitions the tokens exactly") {
@@ -108,6 +136,6 @@ class CleaningPropertySpec extends AnyFunSuite {
         val (r, n) = rebuilt(i.toLong)
         r == ws.mkString(" ") && n == ws.length.toLong
       }
-    })
+    }, cases = 100)
   }
 }
