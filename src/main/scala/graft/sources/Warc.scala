@@ -80,10 +80,25 @@ object Warc {
       writeResponse(one, uri, date, mime, body)
       val gz = new GZIPOutputStream(out)
       gz.write(one.toByteArray)
-      gz.finish() // member boundary; next record starts a new member
+      // close(), not finish(): close releases the native Deflater
+      // immediately (finish leaves one allocated per record until GC —
+      // native-memory pressure on a many-record archive). The underlying
+      // ByteArrayOutputStream's close() is a no-op, so the next record
+      // still opens a new member on the same stream.
+      gz.close()
     }
     out.toByteArray
   }
+
+  /** Initial-capacity hint for the gunzip buffer: ~4× the compressed
+    * length (typical WARC text ratio), clamped to a sane ceiling. The
+    * naive `payload.length * 4` overflows Int for a ≥512 MiB gzipped
+    * blob — exactly the ~1 GiB Common Crawl `.warc.gz` shape — making
+    * the constructor throw before parsing starts. The clamp at 256 MiB
+    * costs at most a few doubling copies on genuinely huge payloads and
+    * never pre-commits a 2 GiB array on a bad ratio guess. */
+  private[graft] def gunzipSizeHint(compressedLen: Int): Int =
+    math.min(compressedLen.toLong * 4L, 256L * 1024 * 1024).toInt
 
   /** Parse a plain or gzipped (concatenated-member) WARC payload into
     * records. Loud failures: a payload that loses record sync throws with
@@ -93,7 +108,7 @@ object Warc {
       if (payload.length >= 2 && (payload(0) & 0xff) == 0x1f &&
           (payload(1) & 0xff) == 0x8b) {
         val in = new GZIPInputStream(new ByteArrayInputStream(payload), 65536)
-        val out = new ByteArrayOutputStream(payload.length * 4)
+        val out = new ByteArrayOutputStream(gunzipSizeHint(payload.length))
         val buf = new Array[Byte](65536)
         var n = in.read(buf)
         while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }

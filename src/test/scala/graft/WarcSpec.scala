@@ -89,4 +89,15 @@ class WarcSpec extends AnyFunSuite {
       ("https://x.example/2", 200, "beta"),
       ("https://x.example/3", 200, "gamma")))
   }
+
+  test("gunzip buffer hint never overflows Int for Common-Crawl-sized blobs") {
+    // pre-fix, 600 MiB compressed * 4 wrapped negative and the
+    // ByteArrayOutputStream constructor threw before parsing began
+    val sixHundredMiB = 600 * 1024 * 1024
+    val hint = Warc.gunzipSizeHint(sixHundredMiB)
+    assert(hint > 0 && hint <= 256 * 1024 * 1024)
+    assert(new java.io.ByteArrayOutputStream(Warc.gunzipSizeHint(Int.MaxValue)) != null)
+    // small payloads keep the 4x heuristic exactly
+    assert(Warc.gunzipSizeHint(1000) == 4000)
+  }
 }
