@@ -165,10 +165,23 @@ object StreamingFunnel {
   import org.apache.spark.sql.{Dataset, Encoders}
   import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
-  /** events: (user_id: Long, ts: Timestamp, event_type: String). */
+  /** events: (user_id: Long, ts: Timestamp, event_type: String).
+    *
+    * `idleTtlMs` bounds per-user state for users who never complete: a
+    * user with PARTIAL progress and nothing buffered is evicted once
+    * the event-time watermark advances `idleTtlMs` past their last
+    * activity (pre-r12 this path registered NO timeout, so abandoned
+    * partial funnels were retained forever — state grew with the user
+    * population, the one unbounded-state path in the operator). Losing
+    * evicted progress is the streaming-correct trade: an event arriving
+    * after the TTL restarts that user's funnel from stage 1, exactly as
+    * if they were new. Event-time TTL, so replaying history cannot
+    * mass-evict on processing-time gaps. */
   def funnel(events: DataFrame, stages: Seq[String],
-      watermark: String): Dataset[FunnelCompletion] = {
+      watermark: String, idleTtlMs: Long = 7L * 24 * 3600 * 1000)
+      : Dataset[FunnelCompletion] = {
     require(stages.nonEmpty, "need at least one funnel stage")
+    require(idleTtlMs > 0, "idleTtlMs must be positive")
     implicit val outEnc = Encoders.product[FunnelCompletion]
     implicit val longEnc = Encoders.scalaLong
     implicit val rowEnc = Encoders.product[(Long, java.sql.Timestamp, String)]
@@ -216,12 +229,23 @@ object StreamingFunnel {
             st.remove()
           } else if (times.isEmpty && hold.isEmpty) {
             st.remove()
+          } else if (st.hasTimedOut && ready.isEmpty && hold.isEmpty) {
+            // idle-TTL expiry: a timeout wake with NOTHING sealed this
+            // call means it was the idle deadline (a buffer wake always
+            // seals its trigger event into `ready`; a batch with new
+            // events is not a timeout call) — the user made partial
+            // progress, then no events for idleTtlMs of event time.
+            // Evict; a later event restarts them from stage 1.
+            st.remove()
           } else {
             val (pn, ps) = hold.unzip
             st.update(FunnelState(times, pn, ps))
             // wake when the watermark can first seal the earliest buffered
-            // event; buffered events satisfy ns ≥ wm so this is legal
+            // event (buffered events satisfy ns ≥ wm so this is legal);
+            // with an empty buffer, wake at the idle deadline instead so
+            // partial-progress state can never outlive the TTL
             if (pn.nonEmpty) st.setTimeoutTimestamp(pn.min / 1000000L + 1)
+            else st.setTimeoutTimestamp(st.getCurrentWatermarkMs() + idleTtlMs)
           }
           out.iterator
         })(stateEnc, outEnc)

@@ -321,6 +321,49 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("funnel idle-TTL: abandoned partial progress is evicted, re-entry restarts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val stages = Seq("view", "click", "buy")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    // 10-second event-time TTL so the fixture can cross it
+    val out = graft.streaming.StreamingFunnel.funnel(
+      stream.toDF().toDF("user_id", "ts", "event_type"), stages, "0 seconds",
+      idleTtlMs = 10000L)
+    val q = out.writeStream.format("memory").queryName("funnel_ttl_sink")
+      .outputMode("append").start()
+    def stateRows: Long = {
+      val p = q.lastProgress
+      p.stateOperators.map(_.numRowsTotal).sum
+    }
+    try {
+      // user 1 makes stage-1 progress then goes silent forever
+      stream.addData(Seq((1L, ts(10), "view"))); q.processAllAvailable()
+      // sentinel advances the watermark to ts(1000): user 1's view gets
+      // sealed into partial progress (times=[t1], empty buffer) with an
+      // idle deadline of wm+TTL = ts(1010) — pre-r12 this state
+      // registered NO timeout and lived forever
+      stream.addData(Seq((99L, ts(1000), "view"))); q.processAllAvailable()
+      assert(stateRows == 2L, s"user 1 + sentinel expected, got $stateRows")
+      // watermark ts(2000) passes the idle deadline: the timeout sweep
+      // (Spark's trailing no-data batch) must evict the abandoned state
+      stream.addData(Seq((99L, ts(2000), "view"))); q.processAllAvailable()
+      assert(stateRows == 1L,
+        s"abandoned partial-progress state must be evicted at the TTL, got $stateRows")
+      assert(spark.table("funnel_ttl_sink").count() == 0)
+      // re-entry AFTER eviction restarts from stage 1 and can complete
+      stream.addData(Seq((1L, ts(4000), "view"), (1L, ts(4010), "click"),
+        (1L, ts(4020), "buy"))); q.processAllAvailable()
+      stream.addData(Seq((99L, ts(100000), "view"))); q.processAllAvailable()
+      stream.addData(Seq((99L, ts(100001), "view"))); q.processAllAvailable()
+      val got = spark.table("funnel_ttl_sink")
+        .select("userId", "firstMs", "lastMs").as[(Long, Long, Long)].collect()
+      assert(got.toSeq == Seq((1L, ts(4000).getTime, ts(4020).getTime)),
+        s"got: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionizer under event-time disorder: backward extension, bridging, late drop") {
     import spark.implicits._
     import graft.streaming.StreamingSessionizer
