@@ -34,6 +34,8 @@ object Bench {
     }
     // SPARK_GRAFT_ONLY=q1,q2 restricts the run (local profiling aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // set only by the isolated-fork parent: warm-once-time-second policy
+    val isoChild = sys.env.contains("SPARK_GRAFT_ISO_CHILD")
     // SPARK_GRAFT_FAIL_INJECT=name makes that query throw — exercises the
     // loud-failure path end-to-end (sentinel time + errors key) on demand
     val failInject = sys.env.get("SPARK_GRAFT_FAIL_INJECT")
@@ -119,6 +121,17 @@ object Bench {
       val first = run()
       val dt =
         if (first < 0.0) first // failure sentinel — no point re-running
+        else if (isoChild) {
+          // Isolated-fork child: the WHOLE point of the fork is separating
+          // an engine regression from JVM-state contamination, and a
+          // single-shot number in a fresh JVM bakes one-time codegen+JIT
+          // warmup into exactly the rows under suspicion (measured three
+          // rounds running: p_cluster_keep_best 22.9 s cold-single-shot vs
+          // 9.1 s steady-state). Warm once, report the second run — the
+          // number a long-lived cluster job actually sees.
+          drain(fullGc = false); val second = run()
+          if (second < 0.0) -1.0 else second
+        }
         else if (first < 3.0) {
           drain(fullGc = false); val second = run()
           drain(fullGc = false); val third = run()
@@ -155,6 +168,7 @@ object Bench {
         val pb = new ProcessBuilder(cmd)
         pb.environment().put("SPARK_GRAFT_ONLY", flagged.mkString(","))
         pb.environment().put("SPARK_GRAFT_NO_ISOLATED", "1")
+        pb.environment().put("SPARK_GRAFT_ISO_CHILD", "1")
         pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
         pb.redirectErrorStream(false)
@@ -183,7 +197,7 @@ object Bench {
     val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0.0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"sf":"$sfDir","note":"noop-sink full-plan eval; sub-3s rows = median of 3; -1.0 = FAILED (names in errors); isolated = fresh-JVM re-run of the heaviest rows: engine regression iff slow there too, else full-run JVM-state noise"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"sf":"$sfDir","note":"noop-sink full-plan eval; sub-3s rows = median of 3; -1.0 = FAILED (names in errors); isolated = fresh-JVM WARMED re-run of the heaviest rows (warm once, report second run; codegen+JIT excluded): engine regression iff slow there too, else full-run JVM-state noise"}""")
     spark.stop()
   }
 }

@@ -177,11 +177,16 @@ object TrainQueries {
       // parquet defense, as in t_train_estimator — but shuffling only the
       // selected columns): without it the row-conversion map and the
       // qid-shuffle's map side run as the scan's 3 tasks
+      // key choice: l_orderkey (high-cardinality — ~50 distinct l_quantity
+      // or 100 distinct q values map 32 partitions unevenly and made this
+      // row jitter-sensitive); qid co-location is NOT needed here, the
+      // trainer's own partitionBy(qid) is the spreading shuffle for groups
       val data = df.select(
         featureCols.map(c => col(c).cast("double")) :+
           (col("l_linenumber") % 4).cast("double").as("rel") :+
-          (col("l_orderkey") % 100).as("q"): _*)
-        .repartition(s.sparkContext.defaultParallelism, col("q"))
+          (col("l_orderkey") % 100).as("q") :+
+          col("l_orderkey").as("okey"): _*)
+        .repartition(s.sparkContext.defaultParallelism, col("okey"))
         .rdd.map { r =>
           val f = new Array[Double](n)
           var i = 0
@@ -211,11 +216,14 @@ object TrainQueries {
       // repartition after the narrow projection (single-row-group defense):
       // the trainer's internal ensurePar otherwise runs its map side — and
       // this row conversion — as the scan's 3 tasks
+      // hash key must be high-cardinality: l_quantity's ~50 distinct values
+      // land 32 partitions unevenly (some empty) and amplified host jitter
       val data = CoreQueries.table(s, dir, "lineitem").select(
         featureCols.map(c => col(c).cast("double")) :+
           (col("l_extendedprice") * (lit(1.0) - col("l_discount")) / 100000.0).as("y0") :+
-          (col("l_quantity") / 10.0 + col("l_tax")).as("y1"): _*)
-        .repartition(s.sparkContext.defaultParallelism, col("l_quantity"))
+          (col("l_quantity") / 10.0 + col("l_tax")).as("y1") :+
+          col("l_orderkey").as("okey"): _*)
+        .repartition(s.sparkContext.defaultParallelism, col("okey"))
         .rdd.map { r =>
           val f = new Array[Double](n)
           var i = 0
