@@ -845,12 +845,16 @@ object PipelineQueries {
     // LAST via the graft_nfc codegen expression — the idempotent order)
     // over a fixture with a combining acute, doubled spaces/tabs and a
     // BEL control char; the oracle runs the same regexes then DuckDB's
-    // utf8proc nfc_normalize in the same order.
+    // utf8proc nfc_normalize in the same order. The O+BEL+U+0301
+    // fragment pins the ORDER in the md5: stripping the BEL makes the
+    // mark adjacent, so NFC-last composes it (1 char) while the broken
+    // NFC-first order leaves it decomposed (2 chars) — fixed_len and
+    // fixed_md5 both flip if the order regresses.
     "p_fix_text" -> ((s, dir) => {
       val fx = table(s, dir, "documents").select(col("doc_id"),
         concat(lit(" Cafe\u0301  du\t\tMarche\u0301 "),
           substring(col("text"), 1, 20),
-          lit(" end\u0007bell "),
+          lit(" end\u0007bell O\u0007\u0301k "),
           (col("doc_id") % 10).cast("string")).as("raw"))
       fx.select(col("doc_id"), graft.ext.Cleaning.fixText(col("raw")).as("fixed"))
         .select(col("doc_id"),
@@ -2141,13 +2145,17 @@ object PipelineQueries {
 
     // text fixing: the same control-strip and whitespace-collapse
     // regexes, then utf8proc nfc_normalize LAST (mirrors fixText's
-    // idempotent order); chr(769)=U+0301, chr(7)=BEL
+    // idempotent order); chr(769)=U+0301, chr(7)=BEL. The
+    // O+BEL+U+0301 fragment pins the ORDER: NFC-last composes the
+    // newly-adjacent pair (1 char), NFC-first leaves it decomposed —
+    // fixed_len and fixed_md5 both flip if the order regresses.
     "p_fix_text" ->
       (s"""WITH fx AS (
         |  SELECT doc_id,
         |    ' Cafe' || chr(769) || '  du' || chr(9) || chr(9) ||
         |    'Marche' || chr(769) || ' ' || substr(text, 1, 20) ||
-        |    ' end' || chr(7) || 'bell ' || (doc_id % 10) AS raw
+        |    ' end' || chr(7) || 'bell O' || chr(7) || chr(769) || 'k ' ||
+        |    (doc_id % 10) AS raw
         |  FROM documents
         |), f AS (
         |  SELECT doc_id,
