@@ -144,8 +144,24 @@ object EventQueries {
     val evs = e.select(col(userCol),
         col(tsCol).cast("long").as("__ts"),
         (array_position(stageArr, col(typeCol)) - 1).cast("int").as("__si"))
-      .where(col("__si") >= 0)
+      // null-ts events are dropped map-side (dirty data: a null timestamp
+      // can never be "the earliest qualifying time"); matches the oracle's
+      // join chain, where min(ts) skips NULLs — and keeps the iterator's
+      // getLong(1) total
+      .where(col("__si") >= 0 && col("__ts").isNotNull)
     val userField = evs.schema.head
+    // the fold detects group boundaries with value equality on the
+    // external row object; that is only well-defined for scalar key types
+    // (long/int/string/decimal/...) — an array, map, struct, or binary
+    // user key surfaces as a JVM object comparing by reference, so every
+    // row would open a new group and silently emit duplicate user rows
+    userField.dataType match {
+      case _: types.ArrayType | _: types.MapType | _: types.StructType |
+          types.BinaryType =>
+        throw new IllegalArgumentException(
+          s"funnel user column must be a scalar type, got ${userField.dataType}")
+      case _ => ()
+    }
     val outSchema = types.StructType(userField +:
       (1 to k).map(i => types.StructField(s"t$i", types.LongType, nullable = true)))
     val nPart = e.sparkSession.sessionState.conf.numShufflePartitions

@@ -170,7 +170,9 @@ object StreamingFunnel {
     * `idleTtlMs` bounds per-user state for users who never complete: a
     * user with PARTIAL progress and nothing buffered is evicted once
     * the event-time watermark advances `idleTtlMs` past their last
-    * activity (pre-r12 this path registered NO timeout, so abandoned
+    * ACCEPTED stage event — the deadline derives from funnel progress
+    * itself, so a stream of irrelevant or non-advancing event types
+    * cannot keep refreshing it (pre-r12 this path registered NO timeout, so abandoned
     * partial funnels were retained forever — state grew with the user
     * population, the one unbounded-state path in the operator). Losing
     * evicted progress is the streaming-correct trade: an event arriving
@@ -242,10 +244,20 @@ object StreamingFunnel {
             st.update(FunnelState(times, pn, ps))
             // wake when the watermark can first seal the earliest buffered
             // event (buffered events satisfy ns ≥ wm so this is legal);
-            // with an empty buffer, wake at the idle deadline instead so
-            // partial-progress state can never outlive the TTL
+            // with an empty buffer, wake at the idle deadline: idleTtlMs of
+            // EVENT TIME past the user's last ACCEPTED stage event
+            // (times.last — this branch implies times.nonEmpty, the
+            // times-and-hold-both-empty case removed state above). The
+            // deadline is a pure function of accepted progress, so batches
+            // of non-stage or non-advancing events cannot keep refreshing
+            // it — a user spamming irrelevant event types still expires.
+            // Clamped one past the watermark when already overdue (Spark
+            // rejects timeouts at or before the current watermark); the
+            // clamp fires the eviction on the next timeout sweep.
             if (pn.nonEmpty) st.setTimeoutTimestamp(pn.min / 1000000L + 1)
-            else st.setTimeoutTimestamp(st.getCurrentWatermarkMs() + idleTtlMs)
+            else st.setTimeoutTimestamp(
+              math.max(times.last / 1000000L + idleTtlMs,
+                st.getCurrentWatermarkMs() + 1))
           }
           out.iterator
         })(stateEnc, outEnc)

@@ -53,6 +53,30 @@ class FunnelSpec extends AnyFunSuite {
       f.head.getLong(2) == 1000L && f.head.getLong(3) == 2000L)
   }
 
+  test("funnel: null timestamps are dropped, not NPEs (ADVICE r12)") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Some(10L), "a"), (1L, None, "b"), (1L, Some(20L), "b"),
+      (2L, None, "a") // user 2's ONLY stage event has a null ts
+    ).toDF("user_id", "ts", "event_type")
+    val f = graft.queries.EventQueries.funnel(e, "user_id", "ts",
+      "event_type", Seq("a", "b")).collect()
+    assert(f.length == 1, s"null-ts-only user must drop out: ${f.toSeq}")
+    assert(f.head.getLong(0) == 1L && f.head.getLong(1) == 10L &&
+      f.head.getLong(2) == 20L)
+  }
+
+  test("funnel: non-scalar user key is rejected up front (ADVICE r12)") {
+    import spark.implicits._
+    val e = Seq((Array[Byte](1), 10L, "a"))
+      .toDF("user_id", "ts", "event_type")
+    val ex = intercept[IllegalArgumentException] {
+      graft.queries.EventQueries.funnel(e, "user_id", "ts", "event_type",
+        Seq("a"))
+    }
+    assert(ex.getMessage.contains("scalar"))
+  }
+
   /** In-memory reference: t1 = min stage-1 ts; t_i = min stage-i ts > t_{i-1}. */
   private def refFunnel(events: Seq[(Long, Long, String)],
       stages: Seq[String]): Map[Long, Seq[Option[Long]]] =

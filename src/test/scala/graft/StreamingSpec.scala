@@ -337,6 +337,17 @@ class StreamingSpec extends AnyFunSuite {
       val p = q.lastProgress
       p.stateOperators.map(_.numRowsTotal).sum
     }
+    // the timeout sweep runs in Spark's TRAILING no-data batch, which
+    // processAllAvailable does not strictly guarantee has completed —
+    // poll instead of asserting the count once (ADVICE r12)
+    def awaitStateRows(expect: Long, hint: String): Unit = {
+      val deadline = System.currentTimeMillis() + 30000L
+      var cur = stateRows
+      while (cur != expect && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100L); q.processAllAvailable(); cur = stateRows
+      }
+      assert(cur == expect, s"$hint: expected $expect state rows, got $cur")
+    }
     try {
       // user 1 makes stage-1 progress then goes silent forever
       stream.addData(Seq((1L, ts(10), "view"))); q.processAllAvailable()
@@ -345,12 +356,11 @@ class StreamingSpec extends AnyFunSuite {
       // idle deadline of wm+TTL = ts(1010) — pre-r12 this state
       // registered NO timeout and lived forever
       stream.addData(Seq((99L, ts(1000), "view"))); q.processAllAvailable()
-      assert(stateRows == 2L, s"user 1 + sentinel expected, got $stateRows")
+      awaitStateRows(2L, "user 1 + sentinel expected")
       // watermark ts(2000) passes the idle deadline: the timeout sweep
       // (Spark's trailing no-data batch) must evict the abandoned state
       stream.addData(Seq((99L, ts(2000), "view"))); q.processAllAvailable()
-      assert(stateRows == 1L,
-        s"abandoned partial-progress state must be evicted at the TTL, got $stateRows")
+      awaitStateRows(1L, "abandoned partial-progress state must be evicted at the TTL")
       assert(spark.table("funnel_ttl_sink").count() == 0)
       // re-entry AFTER eviction restarts from stage 1 and can complete
       stream.addData(Seq((1L, ts(4000), "view"), (1L, ts(4010), "click"),
@@ -361,6 +371,46 @@ class StreamingSpec extends AnyFunSuite {
         .select("userId", "firstMs", "lastMs").as[(Long, Long, Long)].collect()
       assert(got.toSeq == Seq((1L, ts(4000).getTime, ts(4020).getTime)),
         s"got: ${got.toSeq}")
+    } finally q.stop()
+  }
+
+  test("funnel idle-TTL derives from accepted progress: irrelevant-event spam cannot extend it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    // 100-second TTL; user 1's only ACCEPTED stage event is view@10, so
+    // the idle deadline is pinned at ts(110) no matter what else arrives
+    val out = graft.streaming.StreamingFunnel.funnel(
+      stream.toDF().toDF("user_id", "ts", "event_type"),
+      Seq("view", "click", "buy"), "0 seconds", idleTtlMs = 100000L)
+    val q = out.writeStream.format("memory").queryName("funnel_ttl_spam_sink")
+      .outputMode("append").start()
+    def stateRows: Long = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    def awaitStateRows(expect: Long, hint: String): Unit = {
+      val deadline = System.currentTimeMillis() + 30000L
+      var cur = stateRows
+      while (cur != expect && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100L); q.processAllAvailable(); cur = stateRows
+      }
+      assert(cur == expect, s"$hint: expected $expect state rows, got $cur")
+    }
+    try {
+      stream.addData(Seq((1L, ts(10), "view"))); q.processAllAvailable()
+      // sentinel seals user 1's progress: times=[ts(10)], deadline ts(110)
+      stream.addData(Seq((99L, ts(20), "view"))); q.processAllAvailable()
+      awaitStateRows(2L, "user 1 + sentinel expected")
+      // spam: non-stage event types for user 1 — pre-fix each invocation
+      // refreshed the deadline to watermark+TTL (ts(120), then ts(205)),
+      // keeping the state alive as long as the spam continues
+      stream.addData(Seq((1L, ts(100), "noise"))); q.processAllAvailable()
+      stream.addData(Seq((1L, ts(105), "noise"))); q.processAllAvailable()
+      awaitStateRows(2L, "spam must not evict early either")
+      // watermark ts(112) is past the PINNED deadline ts(110) but well
+      // before any spam-refreshed one: user 1 must be evicted
+      stream.addData(Seq((99L, ts(112), "view"))); q.processAllAvailable()
+      awaitStateRows(1L, "idle deadline must derive from accepted progress, not spam")
+      assert(spark.table("funnel_ttl_spam_sink").count() == 0)
     } finally q.stop()
   }
 
