@@ -86,17 +86,96 @@ object Dedup {
     val batch = exactDedup(newDocs, textCol, idCol)
       .withColumn("_h", md5(col(textCol)))
     val priorH = priorDocs.select(md5(col(textCol)).as("_h")).distinct()
+    bloomedAntiJoin(batch, priorH, "_h", bloomExpectedItems, bloomFpp)
+      .drop("_h")
+  }
+
+  /** Anti-join `batch` against `priorKeys` on `keyCol`, with the optional
+    * Bloom pre-filter of [[incrementalDedup]] (no false negatives, so the
+    * result is exact regardless; rows the filter clears skip the anti-join
+    * shuffle entirely). The one UDF in the codebase lives here by
+    * necessity: Spark exposes no public might_contain function. */
+  private def bloomedAntiJoin(batch: DataFrame, priorKeys: DataFrame,
+      keyCol: String, bloomExpectedItems: Long, bloomFpp: Double): DataFrame = {
     val preFiltered =
       if (bloomExpectedItems > 0) {
-        val bf = priorH.stat.bloomFilter("_h", bloomExpectedItems, bloomFpp)
+        val bf = priorKeys.stat.bloomFilter(keyCol, bloomExpectedItems, bloomFpp)
         val maybe = udf((h: String) => h != null && bf.mightContain(h))
-        batch.withColumn("_maybe", maybe(col("_h")))
+        batch.withColumn("_maybe", maybe(col(keyCol)))
       } else batch.withColumn("_maybe", lit(true))
     val checked = preFiltered.where(col("_maybe"))
-      .join(priorH, Seq("_h"), "left_anti")
+      .join(priorKeys, Seq(keyCol), "left_anti")
     preFiltered.where(!col("_maybe"))
       .unionByName(checked)
-      .drop("_maybe", "_h")
+      .drop("_maybe")
+  }
+
+  /** The signature-equality dedup KEY of a document — the '_'-joined
+    * `numHashes`-slot MinHash signature, falling back to the exact content
+    * hash for shingle-less documents (so short docs do not all collapse
+    * onto one empty-signature key). THE SAME key, bit for bit, as the
+    * streaming ingest gate's near-dup tier
+    * ([[graft.streaming.StreamingIngest.cleanDocuments]] `nearDupHashes`):
+    * a batch gated here and a feed gated there agree on what "already
+    * seen" means. Signature equality is the AND over all k hashes
+    * (P ≈ J^k), the near-exact tier of near-dedup — documents whose
+    * shingle SETS coincide (re-wrapped, re-paginated, boilerplate-identical
+    * text) collapse even when their bytes differ; exact duplicates are
+    * subsumed. The banded OR-semantics tier (J ≈ 0.8) remains
+    * [[nearDupPairs]]. */
+  private def sigKeyCol(numHashes: Int): Column =
+    concat_ws("_", (0 until numHashes).map(k => col(s"mh$k").cast("string")): _*)
+
+  /** One signature key per document (column `_key`) — the snapshot
+    * projection of a curated corpus for [[incrementalNearDedup]]. At
+    * corpus scale, persist THIS (a few hundred bytes per document) next
+    * to the snapshot and gate every subsequent crawl against it without
+    * re-reading the snapshot's text. Shingle-less documents fall back to
+    * md5(text); the fallback is computed map-side on the raw scan (no id
+    * join — only the shingled docs pay the explode→aggregate pass). */
+  def nearDupKeys(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 128,
+      shingleN: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(docs, textCol, col(idCol), numHashes, shingleN)
+      .select(sigKeyCol(numHashes).as("_key"))
+    val shingleless = docs
+      .where(size(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)) === 0)
+      .select(md5(col(textCol)).as("_key"))
+    sigs.unionByName(shingleless)
+  }
+
+  /** Cross-snapshot incremental NEAR-dedup — [[incrementalDedup]]'s
+    * signature-equality sibling, closing the daily-crawl gap the exact
+    * tier leaves open: a re-wrapped or boilerplate-identical copy of a
+    * prior-snapshot document has a different md5 but the same shingle set,
+    * so the exact gate re-admits it. Two stages on the shared key:
+    *  1. within-batch dedup — smallest `idCol` per signature key
+    *     (deterministic, oracle-checkable, same policy as [[exactDedup]]);
+    *  2. anti-join against the prior snapshot's DISTINCT signature keys —
+    *     only the ~100-byte key rides the shuffle for the prior side,
+    *     never its text. Pass a persisted [[nearDupKeys]] projection as
+    *     `priorKeys` to skip recomputing the snapshot's signatures.
+    * The optional Bloom pre-filter works exactly as in
+    * [[incrementalDedup]] (no false negatives; result unchanged).
+    *
+    * Returns the kept new-batch rows (original schema). Requires `idCol`
+    * unique within `newDocs` (it keys the signature join-back). */
+  def incrementalNearDedup(newDocs: DataFrame, priorKeys: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = 128, shingleN: Int = 3,
+      bloomExpectedItems: Long = -1L, bloomFpp: Double = 0.01): DataFrame = {
+    require(priorKeys.columns.toSeq == Seq("_key"),
+      "priorKeys must be a nearDupKeys projection (single `_key` column); " +
+        "got " + priorKeys.columns.mkString(", "))
+    val sigs = minhashSignatures(newDocs, textCol, col(idCol), numHashes, shingleN)
+      .select(col("id").as(idCol), sigKeyCol(numHashes).as("_key"))
+    val keyed = newDocs.join(sigs, Seq(idCol), "left")
+      .withColumn("_key", coalesce(col("_key"), md5(col(textCol))))
+    val w = Window.partitionBy(col("_key")).orderBy(col(idCol))
+    val batch = keyed.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+    bloomedAntiJoin(batch, priorKeys.distinct(), "_key",
+      bloomExpectedItems, bloomFpp).drop("_key")
   }
 
   /** Hashes per salt group for the MinHash family: slot k derives from the

@@ -184,6 +184,35 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // cross-snapshot incremental NEAR-dedup (the signature-equality tier
+    // the exact gate cannot provide): prior = non-%3 docs, with doc_id <
+    // 200 texts DOUBLED (T·T); the batch adds TRIPLED replicas (T·T·T,
+    // ids +20000) of those docs — byte-different (md5 differs, the exact
+    // tier re-admits them) but shingle-SET-identical (periodic text:
+    // T·T and T·T·T share shingles(T) plus the two seam shingles), so the
+    // 16-hash signature key drops every one — plus byte-identical
+    // replicas (ids +40000) proving exact dups are subsumed. Gate runs
+    // against the persisted nearDupKeys projection, the 100-TB shape.
+    "p_incr_neardup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val prior = d.where(col("doc_id") % 3 =!= 0)
+        .withColumn("text", when(col("doc_id") < 200,
+          concat(col("text"), lit(" "), col("text"))).otherwise(col("text")))
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .unionByName(d.where(col("doc_id") % 3 =!= 0 && col("doc_id") < 200)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" "), col("text"), lit(" "), col("text")).as("text"),
+            col("lang")))
+        .unionByName(prior
+          .where(col("doc_id") >= 200 && col("doc_id") < 300)
+          .withColumn("doc_id", col("doc_id") + 40000))
+      Dedup.incrementalNearDedup(batch,
+          Dedup.nearDupKeys(prior, numHashes = 16), numHashes = 16)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
+        .orderBy("lang")
+    }),
+
     // per-stratum token-budget selection: en gets 20k tokens, every
     // other lang 8k — docs taken in doc_id order until the stratum's
     // budget fills; one global range-partitioned cumsum, text unshuffled
@@ -1246,6 +1275,42 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
+  /** Per-document signature-KEY CTE chain (= `Dedup.nearDupKeys` /
+    * `incrementalNearDedup` key): the '_'-joined minhash signature, md5
+    * fallback for shingle-less docs. `src` must expose (doc_id, text);
+    * CTE names carry `prefix` so two chains coexist in one query. The
+    * fallback needs the CASE (not coalesce over concat_ws): DuckDB's
+    * concat_ws SKIPS nulls, so an unmatched left join would yield ''
+    * rather than NULL. */
+  private def sigKeyCtes(prefix: String, src: String, numHashes: Int): String = {
+    val groups = (numHashes + Dedup.HashesPerGroup - 1) / Dedup.HashesPerGroup
+    val hashCols = (0 until groups).map { g =>
+      val x = if (g == 0) "x" else s"concat(x, '#$g')"
+      s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT) AS h1_$g, " +
+        s"CAST(concat('0x', substr(md5($x), 17, 14)) AS BIGINT) AS h2_$g"
+    }.mkString(", ")
+    val minAggs = (0 until numHashes).map { k =>
+      val g = k / Dedup.HashesPerGroup
+      val j = k % Dedup.HashesPerGroup
+      s"min(h1_$g + $j * h2_$g) AS mh$k"
+    }.mkString(", ")
+    val keyConcat = (0 until numHashes).map(k => s"CAST(mh$k AS VARCHAR)")
+      .mkString("concat_ws('_', ", ", ", ")")
+    s"""${prefix}_sh AS (
+       |  SELECT doc_id AS id, text, $shingleSql AS s
+       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM $src)
+       |), ${prefix}_hx AS (
+       |  SELECT id, $hashCols
+       |  FROM (SELECT id, unnest(s) AS x FROM ${prefix}_sh WHERE len(s) > 0)
+       |), ${prefix}_sig AS (
+       |  SELECT id, $minAggs FROM ${prefix}_hx GROUP BY id
+       |), ${prefix}_key AS (
+       |  SELECT sh.id, CASE WHEN g.id IS NULL THEN md5(sh.text)
+       |    ELSE $keyConcat END AS key
+       |  FROM ${prefix}_sh sh LEFT JOIN ${prefix}_sig g ON g.id = sh.id
+       |)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "p_exact_dedup" ->
       """WITH base AS (
@@ -1280,6 +1345,30 @@ object PipelineQueries {
         |)
         |SELECT lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p_incr_neardup" ->
+      s"""WITH prior AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id < 200 THEN text || ' ' || text ELSE text END AS text
+         |  FROM documents WHERE doc_id % 3 <> 0
+         |), batch AS (
+         |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text || ' ' || text || ' ' || text, lang
+         |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id + 40000, text, lang FROM documents
+         |  WHERE doc_id % 3 <> 0 AND doc_id >= 200 AND doc_id < 300
+         |), ${sigKeyCtes("b", "batch", 16)}, ${sigKeyCtes("p", "prior", 16)},
+         |kept AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT b.doc_id, b.lang, k.key,
+         |      row_number() OVER (PARTITION BY k.key ORDER BY b.doc_id) AS rn
+         |    FROM batch b JOIN b_key k ON k.id = b.doc_id)
+         |  WHERE rn = 1 AND key NOT IN (SELECT key FROM p_key)
+         |)
+         |SELECT lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p_token_budget" ->
       """WITH t AS (

@@ -101,6 +101,44 @@ class CurationSpec extends AnyFunSuite {
     assert(cols == Seq("doc_id", "text"), cols)
   }
 
+  test("incrementalNearDedup: signature key gates byte-different same-shingle-set docs") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta"
+    val t1x2 = s"$t1 $t1"
+    val t1x3 = s"$t1 $t1 $t1" // same shingle SET as t1x2, different bytes
+    val prior = Seq((1L, t1x2), (2L, "red green blue walls")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, t1x3),                                            // near-dup of prior 1: drop
+      (11L, "red green blue walls"),                          // exact dup of prior 2: drop
+      (12L, "a wholly novel document about something else"),  // keep
+      (13L, "x y"),                                           // shingle-less, md5 fallback: keep
+      (14L, "x y"),                                           // within-batch dup of 13: drop
+      (15L, "another new doc with plenty of words"))          // keep
+      .toDF("doc_id", "text")
+    val keys = graft.ext.Dedup.nearDupKeys(prior, numHashes = 16)
+    def ids(bloom: Long) = graft.ext.Dedup.incrementalNearDedup(
+        batch, keys, numHashes = 16, bloomExpectedItems = bloom)
+      .select("doc_id").as[Long].collect().toSet
+    val plain = ids(-1L)
+    assert(plain == Set(12L, 13L, 15L), plain)
+    assert(ids(1000L) == plain, "bloom pre-filter must never change the result")
+    // the fixture is a TRUE near-dup: the exact tier re-admits doc 10
+    val exact = graft.ext.Dedup.incrementalDedup(batch, prior)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exact.contains(10L), "t1x3 must differ from t1x2 byte-wise")
+    // original schema out; shingle-less prior docs gate the fallback key
+    assert(graft.ext.Dedup.incrementalNearDedup(batch, keys, numHashes = 16)
+      .columns.toSeq == Seq("doc_id", "text"))
+    val keys2 = graft.ext.Dedup.nearDupKeys(
+      Seq((1L, "x y")).toDF("doc_id", "text"), numHashes = 16)
+    assert(graft.ext.Dedup.incrementalNearDedup(
+      Seq((20L, "x y")).toDF("doc_id", "text"), keys2, numHashes = 16).count() == 0)
+    // passing raw prior docs instead of a nearDupKeys projection fails loudly
+    intercept[IllegalArgumentException] {
+      graft.ext.Dedup.incrementalNearDedup(batch, prior, numHashes = 16)
+    }
+  }
+
   test("new ops degrade cleanly on empty inputs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")

@@ -217,6 +217,15 @@ class StreamingSpec extends AnyFunSuite {
       val out2 = spark.table("prior_sig_sink").select("text").as[String].collect().toSeq
       assert(out2 == Seq(fresh),
         s"signature-equal rotation of a snapshot doc must not re-enter: $out2")
+      // batch twin agreement on the same inputs and key: the batch
+      // incremental NEAR-dedup gate keeps exactly the streaming survivors
+      val batchKept2 = graft.ext.Dedup.incrementalNearDedup(
+          Seq((10L, rotated), (11L, fresh)).toDF("doc_id", "text"),
+          graft.ext.Dedup.nearDupKeys(rotPrior, numHashes = 16),
+          numHashes = 16)
+        .select("text").as[String].collect().toSeq
+      assert(batchKept2 == out2,
+        "batch incrementalNearDedup must agree with the streaming snapshot gate")
     } finally q2.stop()
   }
 
