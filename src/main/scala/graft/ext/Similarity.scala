@@ -217,22 +217,37 @@ object Similarity {
     * the quantizer — never a corpus cross-join. */
   def semDedup(corpus: DataFrame, centroids: Array[Array[Double]],
       threshold: Double, roundDigits: Int = 5): DataFrame = {
-    val b = corpus.select(col("vec_id"), col("embedding"),
-      ivfCells(col("embedding"), centroids, 1)(0).as("cell"),
-      l2Norm(col("embedding")).as("nrm"))
-    val dups = b.as("a").join(b.as("c"),
-        col("a.cell") === col("c.cell") && col("a.vec_id") < col("c.vec_id"))
-      .select(col("c.vec_id").as("vec_id"),
-        round(dot(col("a.embedding"), col("c.embedding")) / (col("a.nrm") * col("c.nrm")),
-          roundDigits).as("cos"))
-      .where(col("cos") >= threshold)
-      .groupBy("vec_id")
+    val cells = corpus.select(col("vec_id"),
+      ivfCells(col("embedding"), centroids, 1)(0).as("cell"))
+    val dups = semDupPairs(corpus, centroids, threshold, roundDigits)
+      .groupBy(col("id_b").as("vec_id"))
       .agg(count(lit(1)).as("n_sem_dups"), max(col("cos")).as("max_cos"))
-    b.select(col("vec_id"), col("cell")).join(dups, Seq("vec_id"), "left")
+    cells.join(dups, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"),
         coalesce(col("n_sem_dups"), lit(0L)).as("n_sem_dups"),
         coalesce(col("max_cos"), lit(0.0)).as("max_cos"),
         (coalesce(col("n_sem_dups"), lit(0L)) === 0).cast("long").as("kept"))
+  }
+
+  /** The within-cell semantic duplicate PAIR set SemDeDup clusters —
+    * (id_a < id_b, rounded cosine ≥ threshold) edges from the same
+    * cell-bounded self-join as [[semDedup]]. This is the edge list the
+    * production resolution path feeds into
+    * [[Dedup.connectedComponents]] / [[Dedup.keepBestPerCluster]] when
+    * the keep-policy is a QUALITY score rather than [[semDedup]]'s
+    * min-id-canonical greedy; same scale shape (per-cell |cell|² work,
+    * never a corpus cross-join). */
+  def semDupPairs(corpus: DataFrame, centroids: Array[Array[Double]],
+      threshold: Double, roundDigits: Int = 5): DataFrame = {
+    val b = corpus.select(col("vec_id"), col("embedding"),
+      ivfCells(col("embedding"), centroids, 1)(0).as("cell"),
+      l2Norm(col("embedding")).as("nrm"))
+    b.as("a").join(b.as("c"),
+        col("a.cell") === col("c.cell") && col("a.vec_id") < col("c.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("c.vec_id").as("id_b"),
+        round(dot(col("a.embedding"), col("c.embedding")) / (col("a.nrm") * col("c.nrm")),
+          roundDigits).as("cos"))
+      .where(col("cos") >= threshold)
   }
 
   // ---- Product quantization (IVF-PQ): the 100 TB memory point ------------

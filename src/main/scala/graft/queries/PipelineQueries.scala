@@ -450,6 +450,21 @@ object PipelineQueries {
       Similarity.semDedup(table(s, dir, "embeddings"), ivfCentroids, threshold = 0.35)
         .orderBy("vec_id")),
 
+    // SemDeDup → keepBestPerCluster composition, the production semantic
+    // dedup path end-to-end: within-cell cosine pairs mined as edges,
+    // transitive clusters via connected components, and a QUALITY
+    // keep-policy (highest `label` standing in for a quality score,
+    // tiebreak smallest vec_id) instead of semDedup's min-id greedy
+    "p_semdedup_keep_best" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      Dedup.keepBestPerCluster(
+          emb.select(col("vec_id"), col("label")),
+          Similarity.semDupPairs(emb, ivfCentroids, threshold = 0.35)
+            .select(col("id_a"), col("id_b")),
+          col("label").cast("long"), idCol = "vec_id")
+        .orderBy("vec_id")
+    }),
+
     // learned quality-filter scoring: hashed-BoW (64 buckets, raw counts)
     // through the codegen dot-product kernel against a pinned literal
     // gblinear model — the map-only inference path of QualityClassifier
@@ -1714,6 +1729,44 @@ object PipelineQueries {
          |  CAST(CASE WHEN n_sem_dups IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM cells LEFT JOIN agg ON cells.vec_id = agg.vec_id
          |ORDER BY cells.vec_id""".stripMargin
+    },
+
+    "p_semdedup_keep_best" -> {
+      val dp = Similarity.dotSql("a.embedding", "c.embedding", 64)
+      val na = s"sqrt(${Similarity.dotSql("a.embedding", "a.embedding", 64)})"
+      val nc = s"sqrt(${Similarity.dotSql("c.embedding", "c.embedding", 64)})"
+      s"""WITH RECURSIVE cd AS (
+         |  SELECT vec_id, embedding, ${ivfDistCols("embedding")} FROM embeddings
+         |), cm AS (
+         |  SELECT *, $ivfLeastAll AS m FROM cd
+         |), cells AS (
+         |  SELECT vec_id, embedding, $ivfCellCase AS cell FROM cm
+         |), dup0 AS (
+         |  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         |    round(($dp) / (($na) * ($nc)), 5) AS cos
+         |  FROM cells a JOIN cells c ON a.cell = c.cell AND a.vec_id < c.vec_id
+         |), dup AS (
+         |  SELECT id_a, id_b FROM dup0 WHERE cos >= 0.35
+         |), edges AS (SELECT id_a AS src, id_b AS dst FROM dup
+         |             UNION SELECT id_b, id_a FROM dup),
+         |reach(id, r) AS (
+         |  SELECT src, least(src, dst) FROM edges
+         |  UNION
+         |  SELECT e.src, w.r FROM edges e JOIN reach w ON w.id = e.dst
+         |),
+         |lab AS (SELECT CAST(id AS BIGINT) AS id, CAST(MIN(r) AS BIGINT) AS lbl
+         |        FROM reach GROUP BY id),
+         |scored AS (
+         |  SELECT e.vec_id, coalesce(l.lbl, e.vec_id) AS cluster_id,
+         |    e.label AS score
+         |  FROM embeddings e LEFT JOIN lab l ON l.id = e.vec_id
+         |)
+         |SELECT vec_id, cluster_id,
+         |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM (SELECT vec_id, cluster_id, row_number() OVER (
+         |        PARTITION BY cluster_id ORDER BY score DESC, vec_id) AS rn
+         |      FROM scored)
+         |ORDER BY vec_id""".stripMargin
     },
 
     "p_quality_clf" -> {
