@@ -119,6 +119,13 @@ object EventQueries {
     * t_i = first stage-i event STRICTLY after t_{i−1}; later stages are
     * null for users who drop out.
     *
+    * RE-ENTRY CONTRACT: one row per user, carrying the FIRST complete
+    * traversal's times — later traversals are invisible to the batch
+    * report. The streaming twin ([[graft.streaming.StreamingFunnel]])
+    * drops state on completion and therefore emits one row PER
+    * traversal; parity holds exactly for one-traversal users
+    * (locked by StreamingSpec's re-entry contract case).
+    *
     * ONE user-keyed shuffle total (r10; was K aggregates + K−1 hash
     * joins): non-stage events are dropped map-side, the survivors are
     * hash-repartitioned on user and SORTED WITHIN PARTITIONS by

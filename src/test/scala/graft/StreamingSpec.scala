@@ -268,6 +268,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("funnel re-entry contract: batch reports the first traversal, streaming emits one row per traversal") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val stages = Seq("view", "click", "buy")
+    val trav1 = Seq((1L, 10, "view"), (1L, 20, "click"), (1L, 30, "buy"))
+    val trav2 = Seq((1L, 200, "view"), (1L, 210, "click"), (1L, 220, "buy"))
+    // BATCH contract: one row per user carrying the FIRST traversal's
+    // times — the greedy time-ordered scan stops at the first completion
+    // (StreamingFunnel scaladoc "One completion per funnel traversal")
+    val batchF = graft.queries.EventQueries.funnel(
+      (trav1 ++ trav2).map { case (u, s, t) => (u, ts(s).getTime, t) }
+        .toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", stages).collect()
+    assert(batchF.length == 1, s"batch reports each user once: ${batchF.toSeq}")
+    assert(batchF.head.getLong(1) == ts(10).getTime &&
+      batchF.head.getLong(2) == ts(20).getTime &&
+      batchF.head.getLong(3) == ts(30).getTime,
+      "batch must report the FIRST traversal's stage times")
+    // STREAMING contract: state drops on completion, so a second full
+    // traversal delivered after the first seals emits a SECOND row —
+    // the documented asymmetry; parity holds for one-traversal users
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = graft.streaming.StreamingFunnel.funnel(
+      stream.toDF().toDF("user_id", "ts", "event_type"), stages, "0 seconds")
+    val q = out.writeStream.format("memory").queryName("funnel_reentry_sink")
+      .outputMode("append").start()
+    def completions: Seq[(Long, Long, Long)] =
+      spark.table("funnel_reentry_sink")
+        .select("userId", "firstMs", "lastMs").as[(Long, Long, Long)]
+        .collect().toSeq.sortBy(_._2)
+    def awaitCompletions(n: Int): Unit = {
+      val deadline = System.currentTimeMillis() + 30000L
+      while (completions.length < n && System.currentTimeMillis() < deadline) {
+        Thread.sleep(100L); q.processAllAvailable()
+      }
+    }
+    try {
+      stream.addData(trav1.map { case (u, s, t) => (u, ts(s), t) })
+      q.processAllAvailable()
+      stream.addData(Seq((99L, ts(100), "view"))); q.processAllAvailable()
+      awaitCompletions(1)
+      assert(completions == Seq((1L, ts(10).getTime, ts(30).getTime)))
+      stream.addData(trav2.map { case (u, s, t) => (u, ts(s), t) })
+      q.processAllAvailable()
+      stream.addData(Seq((99L, ts(300), "view"))); q.processAllAvailable()
+      awaitCompletions(2)
+      assert(completions == Seq(
+        (1L, ts(10).getTime, ts(30).getTime),
+        (1L, ts(200).getTime, ts(220).getTime)),
+        s"re-entry after completion must emit again: $completions")
+    } finally q.stop()
+  }
+
   test("funnel under event-time disorder: within-watermark reorder, beyond-watermark drop") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
