@@ -45,17 +45,25 @@ object DistributedCumsum {
     * unique. */
   def cumsum(df: DataFrame, order: Seq[Column], sumCols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
+    // The range exchange evaluates its child TWICE in one job: once for
+    // the RangePartitioner's bound sampling (a reservoir pass over every
+    // row) and once for the map-side shuffle write. When the input is the
+    // tail of an expensive DAG (e.g. the full curation pipeline feeding
+    // packSequences), that doubles the whole pipeline's cost — so the
+    // input (projected to order + sum columns by the caller, hence small)
+    // is persisted across those two reads and dropped right after pass 1.
+    // The SORTED side stays unpersisted on purpose: the passes share the
+    // range-exchange's shuffle files, so pass 2 re-reads the
+    // (distinct-key-sized) shuffle output, not the upstream plan. Caching
+    // the converted Row objects instead was measured strictly slower than
+    // the shuffle re-read at every tested size.
     val prepared = df.withColumns(
       sumCols.map(c => c -> col(c).cast("double")).toMap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sorted = prepared.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
     val schema = sorted.schema
     val idxs = sumCols.map(schema.fieldIndex).toArray
     val k = idxs.length
-    // One lazily-planned RDD shared by both passes — deliberately NOT
-    // persisted: the passes share the range-exchange's shuffle files, so
-    // pass 2 re-reads the (distinct-key-sized) shuffle output, not the
-    // upstream plan. Caching the converted Row objects was measured
-    // strictly slower than the shuffle re-read at every tested size.
     val rdd = sorted.rdd
     val nParts = rdd.getNumPartitions
 
@@ -69,6 +77,8 @@ object DistributedCumsum {
       }
       Iterator.single((pid, s))
     }.collect().foreach { case (pid, s) => totals(pid) = s }
+    // the shuffle files exist now; pass 2 reads those, never `prepared`
+    prepared.unpersist(blocking = false)
 
     // exclusive prefix offsets per partition
     val offsets = new Array[Array[Double]](nParts)
