@@ -178,6 +178,78 @@ object Dedup {
       bloomExpectedItems, bloomFpp).drop("_key")
   }
 
+  /** Cross-snapshot incremental BANDED near-dedup — the J ≈ `threshold`
+    * OR-semantics tier of the daily-crawl gate, completing the family:
+    * [[incrementalDedup]] (byte equality) ⊂ [[incrementalNearDedup]]
+    * (signature equality, J ≈ 1) ⊂ this (any-band LSH candidates verified
+    * at J ≥ `threshold`). A new-batch document is dropped iff it shares
+    * ≥ 1 LSH band bucket with a prior-snapshot document AND the
+    * MINHASH-ESTIMATED Jaccard — the fraction of agreeing signature
+    * slots — reaches `threshold`. Using the estimator instead of exact
+    * Jaccard is the point: verification needs only the snapshot's
+    * SIGNATURES ([[minhashSignatures]] output, k × 8 bytes per doc), so
+    * the prior corpus's text is never read — the persisted signature
+    * table is the whole snapshot contract, like the key projections of
+    * the other two tiers.
+    *
+    * Estimator quality: each slot agrees with probability J, but slots
+    * WITHIN a 64-hash salt group share one md5 through the affine
+    * `h1 + j·h2` family ([[HashesPerGroup]]), so their agreements are
+    * correlated — the same trade Spark MLlib's MinHashLSH makes with its
+    * per-slot affine transforms of one base hash. The effective sample
+    * size is nearer the number of salt GROUPS than k, so run this gate
+    * at the corpus operating point (k = 128 → 2 independent md5s per
+    * shingle, default here) and treat `threshold` as a band, not a sharp
+    * cut; the decision is still fully deterministic given the signatures
+    * (exact in any engine — the DuckDB oracle recomputes it bit-for-bit).
+    * The miner ([[nearDupPairs]]) is unaffected: it verifies candidates
+    * with EXACT Jaccard, using signatures only for bucketing.
+    *
+    * Skew: buckets with more than `maxBucketSize` members ON EITHER SIDE
+    * are dropped before the candidate join (the [[candidatePairs]]
+    * convention — a boilerplate bucket would otherwise contribute
+    * |batch-bucket|·|prior-bucket| candidate rows; members still pair
+    * through their other bands).
+    *
+    * Scope: the CROSS-SNAPSHOT gate only. Within-batch near-dedup
+    * composes in front ([[nearDupPairs]] + [[keepBestPerCluster]]), and
+    * shingle-less documents carry no signature so they pass this tier —
+    * gate them with the exact/signature tiers, which production
+    * pipelines run first anyway. Returns the kept new-batch rows
+    * (original schema); `idCol` must be unique within `newDocs` — it
+    * keys the flagged-id anti-join. */
+  def incrementalBandedNearDedup(newDocs: DataFrame, priorSigs: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sigCols = "id" +: (0 until numHashes).map(k => s"mh$k")
+    require(priorSigs.columns.toSeq == sigCols,
+      s"priorSigs must be a minhashSignatures($numHashes) projection " +
+        s"(id, mh0..mh${numHashes - 1}); got " + priorSigs.columns.mkString(", "))
+    val sigArr = array((0 until numHashes).map(k => col(s"mh$k")): _*)
+    val batchSigs = minhashSignatures(newDocs, textCol, col(idCol), numHashes, shingleN)
+    def capped(buckets: DataFrame): DataFrame = {
+      val w = Window.partitionBy("band", "key")
+      buckets.withColumn("_n", count(lit(1)).over(w))
+        .where(col("_n") <= maxBucketSize).drop("_n")
+    }
+    val cand = capped(lshBuckets(batchSigs, numHashes, bands))
+      .select(col("id").as("_bid"), col("band"), col("key"))
+      .join(capped(lshBuckets(priorSigs, numHashes, bands))
+        .select(col("id").as("_pid"), col("band"), col("key")),
+        Seq("band", "key"))
+      .select(col("_bid"), col("_pid")).distinct()
+    val agree = size(filter(
+      zip_with(col("_bsig"), col("_psig"), (a, b) => a === b), x => x))
+    val flagged = cand
+      .join(batchSigs.select(col("id").as("_bid"), sigArr.as("_bsig")), "_bid")
+      .join(priorSigs.select(col("id").as("_pid"), sigArr.as("_psig")), "_pid")
+      .where(agree.cast("double") / lit(numHashes.toDouble) >= threshold)
+      .select(col("_bid").as(idCol)).distinct()
+    newDocs.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Hashes per salt group for the MinHash family: slot k derives from the
     * md5 of the group-salted shingle, group = k / 64, so arbitrary k needs
     * only ⌈k/64⌉ md5 evaluations per shingle. Within a group the two md5

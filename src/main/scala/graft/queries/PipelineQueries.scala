@@ -213,6 +213,37 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // cross-snapshot incremental BANDED near-dedup — the OR-semantics
+    // J ≥ 0.8 tier (exact ⊂ signature-equality ⊂ THIS): batch docs
+    // sharing an LSH band bucket with a prior doc are verified by the
+    // minhash-ESTIMATED Jaccard (agreeing-slot fraction), so the gate
+    // needs only the persisted prior signature table, never prior text.
+    // Fixture: replicas with EIGHT appended tokens (+20000) — enough new
+    // shingles to move some signature slots (byte-different AND
+    // signature-different, so the exact and signature-equality tiers
+    // both re-admit them) while slot agreement mostly stays ≥ 0.8 —
+    // plus byte-identical replicas (+40000, J = 1) proving the lower
+    // tiers are subsumed
+    "p_incr_neardup_banded" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val prior = d.where(col("doc_id") % 3 =!= 0)
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .unionByName(prior.where(col("doc_id") < 200)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"),
+              lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
+            col("lang")))
+        .unionByName(prior.where(col("doc_id") >= 200 && col("doc_id") < 300)
+          .withColumn("doc_id", col("doc_id") + 40000))
+      Dedup.incrementalBandedNearDedup(batch,
+          Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes),
+          numHashes = NumHashes, bands = Bands, threshold = 0.8,
+          maxBucketSize = MaxBucket)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
+        .orderBy("lang")
+    }),
+
     // per-stratum token-budget selection: en gets 20k tokens, every
     // other lang 8k — docs taken in doc_id order until the stratum's
     // budget fills; one global range-partitioned cumsum, text unshuffled
@@ -1384,6 +1415,48 @@ object PipelineQueries {
          |)
          |SELECT lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p_incr_neardup_banded" -> {
+      val r = NumHashes / Bands
+      def bandKeys(sig: String) = (0 until Bands).map { b =>
+        val slots = (0 until r).map(j => s"CAST(mh${b * r + j} AS VARCHAR)")
+        s"(SELECT $b AS band, md5(${slots.mkString("concat(", ", '_', ", ")")}) AS key)"
+      }.mkString(" UNION ALL ")
+      val agreeSum = (0 until NumHashes)
+        .map(k => s"(CASE WHEN bs.mh$k = ps.mh$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH prior AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+         |), batch AS (
+         |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000,
+         |    text || ' sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8', lang
+         |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id + 40000, text, lang FROM documents
+         |  WHERE doc_id % 3 <> 0 AND doc_id >= 200 AND doc_id < 300
+         |), ${sigKeyCtes("b", "batch", NumHashes)}, ${sigKeyCtes("p", "prior", NumHashes)},
+         |b_buckets AS (
+         |  SELECT id, bk.band, bk.key FROM b_sig, LATERAL (${bandKeys("b")}) bk
+         |  QUALIFY count(*) OVER (PARTITION BY bk.band, bk.key) <= $MaxBucket
+         |), p_buckets AS (
+         |  SELECT id, bk.band, bk.key FROM p_sig, LATERAL (${bandKeys("p")}) bk
+         |  QUALIFY count(*) OVER (PARTITION BY bk.band, bk.key) <= $MaxBucket
+         |), cand AS (
+         |  SELECT DISTINCT b.id AS bid, p.id AS pid
+         |  FROM b_buckets b JOIN p_buckets p ON b.band = p.band AND b.key = p.key
+         |), flagged AS (
+         |  SELECT DISTINCT cand.bid FROM cand
+         |  JOIN b_sig bs ON bs.id = cand.bid
+         |  JOIN p_sig ps ON ps.id = cand.pid
+         |  WHERE CAST($agreeSum AS DOUBLE) / $NumHashes >= 0.8
+         |), kept AS (
+         |  SELECT doc_id, lang FROM batch
+         |  WHERE doc_id NOT IN (SELECT bid FROM flagged)
+         |)
+         |SELECT lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "p_token_budget" ->
       """WITH t AS (

@@ -138,6 +138,26 @@ object ScaleProbe {
       Dedup.incrementalDedup(batch, prior,
         bloomExpectedItems = nBig, bloomFpp = 0.01).count()
     }
+    // incremental NEAR-dedup: the signature-key gate — signature
+    // aggregation is the explode→min shape (linear in shingles), the
+    // gate itself is one keyed anti-join on the ~100-byte key
+    time("incremental_neardup") {
+      val prior = big.where(col("doc_id") % 3 =!= 0)
+      val batch = big.where(col("doc_id") % 3 === 0)
+      Dedup.incrementalNearDedup(batch,
+        Dedup.nearDupKeys(prior, numHashes = 16), numHashes = 16).count()
+    }
+    // banded OR-tier: bucket join on (band, key) + estimated-Jaccard
+    // verification over the signature tables — linear in corpus shingles
+    // plus Σ|batch-bucket|·|prior-bucket| over co-occupied buckets
+    // (bounded by the cap)
+    time("incremental_neardup_banded") {
+      val prior = big.where(col("doc_id") % 3 =!= 0)
+      val batch = big.where(col("doc_id") % 3 === 0)
+      Dedup.incrementalBandedNearDedup(batch,
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), 16),
+        numHashes = 16, bands = 4, threshold = 0.8).count()
+    }
     // token-budget mix: one range-partitioned cumsum over (lang, id)
     time("token_budget") {
       graft.ext.Curation.takeTokenBudget(big, "lang",

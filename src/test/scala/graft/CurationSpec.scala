@@ -139,6 +139,43 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalBandedNearDedup: estimated-Jaccard gate over the prior signature table") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val long1 = (1 to 40).map(i => s"w$i").mkString(" ")          // 40 tokens
+    val other = (1 to 40).map(i => s"v$i").mkString(" ")
+    val prior = Seq((1L, long1), (2L, other)).toDF("doc_id", "text")
+    val priorSigs = graft.ext.Dedup.minhashSignatures(
+      prior, "text", col("doc_id"), 16)
+    val batch = Seq(
+      (10L, long1),                         // exact replica, J=1: drop
+      // 20 appended tokens: 14/16 slots still agree (est J 0.875 ≥ 0.8)
+      // but the full signature differs — the case ONLY this tier catches
+      (11L, long1 + " " + (1 to 20).map(i => s"q$i").mkString(" ")),
+      (12L, (1 to 40).map(i => s"x$i").mkString(" ")), // novel: keep
+      (13L, "a b"),                         // shingle-less: passes this tier
+      (14L, ((1 to 12).map(i => s"w$i") ++ (1 to 28).map(i => s"z$i")).mkString(" ")) // J ≈ 0.15: keep
+    ).toDF("doc_id", "text")
+    val kept = graft.ext.Dedup.incrementalBandedNearDedup(
+        batch, priorSigs, numHashes = 16, bands = 4, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 13L, 14L), kept)
+    // the lower tiers CANNOT catch the appended-token replica: its bytes
+    // and its full signature both differ from the prior doc's
+    val sigKept = graft.ext.Dedup.incrementalNearDedup(
+        batch, graft.ext.Dedup.nearDupKeys(prior, numHashes = 16), numHashes = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sigKept.contains(11L), "fixture must be invisible to the signature-equality tier")
+    // maxBucketSize drops over-cap buckets (cap 0 disables every bucket)
+    assert(graft.ext.Dedup.incrementalBandedNearDedup(
+      batch, priorSigs, numHashes = 16, bands = 4, threshold = 0.8,
+      maxBucketSize = 0).count() == batch.count())
+    // a non-signature prior frame is rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.ext.Dedup.incrementalBandedNearDedup(batch, prior, numHashes = 16, bands = 4)
+    }
+  }
+
   test("new ops degrade cleanly on empty inputs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")

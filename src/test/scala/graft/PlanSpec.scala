@@ -133,6 +133,17 @@ class PlanSpec extends AnyFunSuite {
       s"expected the hash anti-join:\n${pIncr.take(800)}")
   }
 
+  test("incremental near-dedup stays keyed; semdedup composition never goes cartesian") {
+    val pNear = plan(PipelineQueries.queries("p_incr_neardup")(spark, sf))
+    assert(!pNear.contains("CartesianProduct"),
+      "signature gate must stay keyed")
+    assert(pNear.contains("LeftAnti") || pNear.contains("left_anti"),
+      s"expected the signature-key anti-join:\n${pNear.take(800)}")
+    val pSem = plan(PipelineQueries.queries("p_semdedup_keep_best")(spark, sf))
+    assert(!pSem.contains("CartesianProduct"),
+      "semdedup pair mining must stay an equi-join on the cell id")
+  }
+
   test("near-dup verification broadcast is gated by BYTES, not rows") {
     import org.apache.spark.sql.functions._
     val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
