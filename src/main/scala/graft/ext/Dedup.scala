@@ -331,6 +331,20 @@ object Dedup {
       .drop("_graft_hs")
   }
 
+  /** The `bands` LSH band keys of a signature ARRAY (array<string> of
+    * length `bands`; empty for an empty signature) — bit-identical to the
+    * keys [[lshBuckets]] derives from the mh-column form, so a streaming
+    * gate keyed here and a batch snapshot bucketed there agree. */
+  def sigBandKeys(sig: Column, numHashes: Int, bands: Int): Column = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val r = numHashes / bands
+    val keys = array((0 until bands).map { b =>
+      md5(concat_ws("_", (0 until r).map(j =>
+        element_at(sig, b * r + j + 1).cast("string")): _*))
+    }: _*)
+    when(size(sig) >= numHashes, keys).otherwise(array().cast("array<string>"))
+  }
+
   /** Per-document LSH bucket rows: (id, band, key) where key hashes
     * `rowsPerBand` consecutive signature slots. Near-duplicates agree on
     * ≥1 band key with high probability (s-curve of banded MinHash). Band

@@ -302,9 +302,13 @@ object StreamingIngest {
     * SETS coincide — reordered, re-wrapped, or boilerplate-identical text
     * — collapse even when their bytes differ. Signature equality is the
     * AND over all k hashes (P = J^k), so this is the near-exact tier of
-    * near-dedup; the banded OR-semantics tier (catching J ≈ 0.8) stays a
-    * batch sweep (`Dedup.nearDupPairs`) because any-band matching needs
-    * cross-key state that a single watermark-scoped dedup cannot hold.
+    * near-dedup; the WITHIN-stream banded OR-semantics tier (catching
+    * J ≈ 0.8 between two feed docs) stays a batch sweep
+    * (`Dedup.nearDupPairs`) because any-band matching needs cross-key
+    * state that a single watermark-scoped dedup cannot hold — but
+    * against a STATIC prior snapshot the banded tier IS stateless, and
+    * `nearDupBands` > 0 turns it on (the streaming twin of
+    * `Dedup.incrementalBandedNearDedup`; see the inline note).
     * Exact duplicates have equal signatures, so the exact tier is
     * subsumed; `content_hash` stays in the output for audit.
     *
@@ -325,7 +329,9 @@ object StreamingIngest {
       maxTopBigramFrac: Double = 1.0, nearDupHashes: Int = 0,
       fixUnicode: Boolean = false, c4: Boolean = false,
       redactPii: Boolean = false,
-      priorDocs: Option[DataFrame] = None): DataFrame = {
+      priorDocs: Option[DataFrame] = None,
+      nearDupBands: Int = 0, nearDupBandedThreshold: Double = 0.8,
+      nearDupBandedMaxBucket: Int = 1000): DataFrame = {
     require(docs.isStreaming,
       "cleanDocuments is the streaming twin; batch feeds use Dedup.exactDedup + the p_quality filters")
     // optional pre-gate cleaning stages — all stateless projections, so
@@ -388,7 +394,55 @@ object StreamingIngest {
         .withColumn("dedup_key",
           when(size(col("minhash_sig")) > 0, concat_ws("_", col("minhash_sig")))
             .otherwise(col("content_hash")))
-      dropSeen(keyed, withKey, "dedup_key")
+      val afterSeen = dropSeen(keyed, withKey, "dedup_key")
+      // optional BANDED prior tier — the streaming twin of
+      // [[graft.ext.Dedup.incrementalBandedNearDedup]]: a feed doc is
+      // dropped iff it shares ≥1 LSH band bucket with a snapshot doc AND
+      // the minhash-ESTIMATED Jaccard (agreeing-slot fraction) reaches
+      // the threshold. The WITHIN-stream tier stays signature-equality
+      // (any-band matching needs cross-key state a watermark-scoped
+      // dedup cannot hold), but against a STATIC prior the gate is
+      // stateless: one left_outer stream-static join per band against
+      // the prior's per-bucket signature lists (distinct join keys, so
+      // stream rows never duplicate), then a pure array-expression
+      // verdict. Over-cap prior buckets are dropped (the candidatePairs
+      // convention); parity with the batch operator holds whenever no
+      // bucket exceeds the cap on either side. Shingle-less feed docs
+      // carry no signature and pass this tier (the exact/signature key
+      // gate above already covers them).
+      val afterBanded = (priorDocs, nearDupBands) match {
+        case (Some(prior), b) if b > 0 =>
+          require(nearDupHashes % b == 0,
+            "nearDupHashes must be divisible by nearDupBands")
+          val priorBucketRows = graft.ext.Dedup
+            .withMinhashSignature(prior, textCol, "_psig", nearDupHashes)
+            .where(size(col("_psig")) > 0)
+            .select(col("_psig"), posexplode(graft.ext.Dedup
+              .sigBandKeys(col("_psig"), nearDupHashes, b)).as(Seq("_band", "_bkey")))
+          val buckets = (0 until b).map { i =>
+            priorBucketRows.where(col("_band") === i)
+              .groupBy(col("_bkey").as(s"_k$i"))
+              .agg(collect_list(col("_psig")).as(s"_ps$i"))
+              .where(size(col(s"_ps$i")) <= nearDupBandedMaxBucket)
+          }
+          val withKeys = afterSeen.withColumn("_bkeys", graft.ext.Dedup
+            .sigBandKeys(col("minhash_sig"), nearDupHashes, b))
+          val joined = (0 until b).foldLeft(withKeys) { (df, i) =>
+            df.withColumn(s"_k$i", element_at(col("_bkeys"), i + 1))
+              .join(buckets(i), Seq(s"_k$i"), "left_outer")
+          }
+          val matchAny = (0 until b).map { i =>
+            coalesce(exists(col(s"_ps$i"), ps =>
+              size(filter(zip_with(col("minhash_sig"), ps, (a, c) => a === c),
+                x => x)).cast("double") / lit(nearDupHashes.toDouble)
+                >= nearDupBandedThreshold), lit(false))
+          }.reduce(_ || _)
+          joined.where(!matchAny)
+            .drop("_bkeys")
+            .drop((0 until b).flatMap(i => Seq(s"_k$i", s"_ps$i")): _*)
+        case _ => afterSeen
+      }
+      afterBanded
         .dropDuplicatesWithinWatermark("dedup_key")
         .drop("dedup_key")
     }

@@ -229,6 +229,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("streaming banded prior gate agrees with the batch incrementalBandedNearDedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val long1 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val prior = Seq((1L, long1)).toDF("doc_id", "text")
+    // 20 appended tokens: signature differs (not caught by the key gate)
+    // but 14/16 slots agree — est J 0.875 ≥ 0.8 → only the banded tier
+    // drops it; the two keepers are a novel doc and a J ≈ 0.15 doc
+    val nearDup = long1 + " " + (1 to 20).map(i => s"q$i").mkString(" ")
+    val novel = (1 to 40).map(i => s"x$i").mkString(" ")
+    val farDup = ((1 to 12).map(i => s"w$i") ++ (1 to 28).map(i => s"z$i")).mkString(" ")
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val cleaned = graft.streaming.StreamingIngest.cleanDocuments(
+      stream.toDF().toDF("ts", "text"), watermark = "1 minute",
+      minTokens = 0, minQuality = 0.0, nearDupHashes = 16,
+      priorDocs = Some(prior), nearDupBands = 4)
+    val q = cleaned.writeStream.format("memory").queryName("banded_prior_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((ts(0), nearDup), (ts(1), novel), (ts(2), farDup)))
+      q.processAllAvailable()
+      val out = spark.table("banded_prior_sink")
+        .select("text").as[String].collect().toSet
+      assert(out == Set(novel, farDup),
+        s"banded prior tier must drop the est-J≥0.8 doc only: ${out.map(_.take(20))}")
+      // batch twin agreement on the same inputs
+      val batchKept = graft.ext.Dedup.incrementalBandedNearDedup(
+          Seq((10L, nearDup), (11L, novel), (12L, farDup)).toDF("doc_id", "text"),
+          graft.ext.Dedup.minhashSignatures(prior, "text", col("doc_id"), 16),
+          numHashes = 16, bands = 4, threshold = 0.8)
+        .select("text").as[String].collect().toSet
+      assert(batchKept == out,
+        "batch incrementalBandedNearDedup must agree with the streaming banded gate")
+    } finally q.stop()
+  }
+
   test("streaming funnel completions agree with the batch funnel's completers") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
