@@ -313,7 +313,11 @@ object StreamingIngest {
     * subsumed; `content_hash` stays in the output for audit.
     *
     * `priorDocs` (a STATIC, already-curated corpus snapshot) switches on
-    * the cross-snapshot tier — the streaming twin of
+    * the cross-snapshot tier. The static side of every stream-static
+    * join is re-evaluated each micro-batch, so long-running streams
+    * should pass an already-persisted (or pre-materialized parquet)
+    * snapshot — the key/bucket projections derived here are plans over
+    * it, not cached tables. It is the streaming twin of
     * [[graft.ext.Dedup.incrementalDedup]]: surviving rows are checked
     * against the snapshot via a stream-static join on THE SAME KEY the
     * within-stream dedup uses (exact content hash, or the minhash
@@ -419,11 +423,19 @@ object StreamingIngest {
             .where(size(col("_psig")) > 0)
             .select(col("_psig"), posexplode(graft.ext.Dedup
               .sigBandKeys(col("_psig"), nearDupHashes, b)).as(Seq("_band", "_bkey")))
+          // over-cap buckets are dropped BEFORE collect_list (window
+          // count, sort-based and spillable) — a boilerplate mega-bucket
+          // must never materialize its full signature list in one
+          // aggregation buffer just to be discarded by a size filter
+          val bw = org.apache.spark.sql.expressions.Window
+            .partitionBy("_band", "_bkey")
+          val cappedRows = priorBucketRows
+            .withColumn("_n", count(lit(1)).over(bw))
+            .where(col("_n") <= nearDupBandedMaxBucket).drop("_n")
           val buckets = (0 until b).map { i =>
-            priorBucketRows.where(col("_band") === i)
+            cappedRows.where(col("_band") === i)
               .groupBy(col("_bkey").as(s"_k$i"))
               .agg(collect_list(col("_psig")).as(s"_ps$i"))
-              .where(size(col(s"_ps$i")) <= nearDupBandedMaxBucket)
           }
           val withKeys = afterSeen.withColumn("_bkeys", graft.ext.Dedup
             .sigBandKeys(col("minhash_sig"), nearDupHashes, b))
