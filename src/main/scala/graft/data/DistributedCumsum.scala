@@ -67,18 +67,22 @@ object DistributedCumsum {
     val rdd = sorted.rdd
     val nParts = rdd.getNumPartitions
 
-    // pass 1: per-partition totals (tiny collect: nParts × k doubles)
+    // pass 1: per-partition totals (tiny collect: nParts × k doubles).
+    // unpersist in finally: a failed pass-1 job must not leave the cache
+    // entry registered for the session's lifetime (cumsum is called per
+    // metric evaluation). On success, the shuffle files exist by now and
+    // pass 2 reads those, never `prepared`.
     val totals = new Array[Array[Double]](nParts)
-    rdd.mapPartitionsWithIndex { (pid, it) =>
-      val s = new Array[Double](k)
-      it.foreach { r =>
-        var i = 0
-        while (i < k) { if (!r.isNullAt(idxs(i))) s(i) += r.getDouble(idxs(i)); i += 1 }
-      }
-      Iterator.single((pid, s))
-    }.collect().foreach { case (pid, s) => totals(pid) = s }
-    // the shuffle files exist now; pass 2 reads those, never `prepared`
-    prepared.unpersist(blocking = false)
+    try {
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val s = new Array[Double](k)
+        it.foreach { r =>
+          var i = 0
+          while (i < k) { if (!r.isNullAt(idxs(i))) s(i) += r.getDouble(idxs(i)); i += 1 }
+        }
+        Iterator.single((pid, s))
+      }.collect().foreach { case (pid, s) => totals(pid) = s }
+    } finally prepared.unpersist(blocking = false)
 
     // exclusive prefix offsets per partition
     val offsets = new Array[Array[Double]](nParts)

@@ -229,14 +229,9 @@ object Dedup {
         s"(id, mh0..mh${numHashes - 1}); got " + priorSigs.columns.mkString(", "))
     val sigArr = array((0 until numHashes).map(k => col(s"mh$k")): _*)
     val batchSigs = minhashSignatures(newDocs, textCol, col(idCol), numHashes, shingleN)
-    def capped(buckets: DataFrame): DataFrame = {
-      val w = Window.partitionBy("band", "key")
-      buckets.withColumn("_n", count(lit(1)).over(w))
-        .where(col("_n") <= maxBucketSize).drop("_n")
-    }
-    val cand = capped(lshBuckets(batchSigs, numHashes, bands))
+    val cand = cappedBuckets(lshBuckets(batchSigs, numHashes, bands), maxBucketSize)
       .select(col("id").as("_bid"), col("band"), col("key"))
-      .join(capped(lshBuckets(priorSigs, numHashes, bands))
+      .join(cappedBuckets(lshBuckets(priorSigs, numHashes, bands), maxBucketSize)
         .select(col("id").as("_pid"), col("band"), col("key")),
         Seq("band", "key"))
       .select(col("_bid"), col("_pid")).distinct()
@@ -343,6 +338,19 @@ object Dedup {
         element_at(sig, b * r + j + 1).cast("string")): _*))
     }: _*)
     when(size(sig) >= numHashes, keys).otherwise(array().cast("array<string>"))
+  }
+
+  /** Drop over-cap (band, key) buckets via a spillable window count —
+    * THE shared cap for the banded incremental gates (batch and
+    * streaming call this same code, so the cap semantics cannot drift;
+    * the batch/streaming parity contract depends on both sides
+    * agreeing). Counts before any list materialization: a boilerplate
+    * mega-bucket must never be collected just to be discarded. */
+  private[graft] def cappedBuckets(buckets: DataFrame,
+      maxBucketSize: Int): DataFrame = {
+    val w = Window.partitionBy("band", "key")
+    buckets.withColumn("_n", count(lit(1)).over(w))
+      .where(col("_n") <= maxBucketSize).drop("_n")
   }
 
   /** Per-document LSH bucket rows: (id, band, key) where key hashes

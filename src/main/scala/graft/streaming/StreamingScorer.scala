@@ -335,9 +335,16 @@ object StreamingIngest {
       redactPii: Boolean = false,
       priorDocs: Option[DataFrame] = None,
       nearDupBands: Int = 0, nearDupBandedThreshold: Double = 0.8,
-      nearDupBandedMaxBucket: Int = 1000): DataFrame = {
+      nearDupBandedMaxBucket: Int = 1000,
+      nearDupPriorSigs: Option[DataFrame] = None): DataFrame = {
     require(docs.isStreaming,
       "cleanDocuments is the streaming twin; batch feeds use Dedup.exactDedup + the p_quality filters")
+    // the banded prior tier is meaningless without the minhash tier and a
+    // snapshot — fail fast instead of silently re-admitting near-dups
+    require(nearDupBands == 0 || (nearDupHashes > 0 && priorDocs.nonEmpty),
+      "nearDupBands > 0 requires nearDupHashes > 0 and priorDocs")
+    require(nearDupPriorSigs.isEmpty || nearDupBands > 0,
+      "nearDupPriorSigs is only read by the banded tier (nearDupBands > 0)")
     // optional pre-gate cleaning stages — all stateless projections, so
     // they ride the stream bit-identically to their batch forms:
     // fixText → C4 line/page filter (dropped pages leave the stream,
@@ -418,29 +425,46 @@ object StreamingIngest {
         case (Some(prior), b) if b > 0 =>
           require(nearDupHashes % b == 0,
             "nearDupHashes must be divisible by nearDupBands")
-          val priorBucketRows = graft.ext.Dedup
-            .withMinhashSignature(prior, textCol, "_psig", nearDupHashes)
-            .where(size(col("_psig")) > 0)
+          // prior signatures: from a precomputed minhashSignatures table
+          // when given (`nearDupPriorSigs` — the persisted snapshot
+          // contract, skipping the per-micro-batch minhash recompute the
+          // text path pays), else derived from the snapshot's text
+          val priorSigArr = nearDupPriorSigs match {
+            case Some(sigs) =>
+              val sigCols = "id" +: (0 until nearDupHashes).map(k => s"mh$k")
+              require(sigs.columns.toSeq == sigCols,
+                s"nearDupPriorSigs must be a minhashSignatures($nearDupHashes) " +
+                  "projection (id, mh0..); got " + sigs.columns.mkString(", "))
+              sigs.select(array(
+                (0 until nearDupHashes).map(k => col(s"mh$k")): _*).as("_psig"))
+            case None => graft.ext.Dedup
+              .withMinhashSignature(prior, textCol, "_psig", nearDupHashes)
+              .where(size(col("_psig")) > 0)
+              .select(col("_psig"))
+          }
+          val priorBucketRows = priorSigArr
             .select(col("_psig"), posexplode(graft.ext.Dedup
-              .sigBandKeys(col("_psig"), nearDupHashes, b)).as(Seq("_band", "_bkey")))
-          // over-cap buckets are dropped BEFORE collect_list (window
-          // count, sort-based and spillable) — a boilerplate mega-bucket
-          // must never materialize its full signature list in one
-          // aggregation buffer just to be discarded by a size filter
-          val bw = org.apache.spark.sql.expressions.Window
-            .partitionBy("_band", "_bkey")
-          val cappedRows = priorBucketRows
-            .withColumn("_n", count(lit(1)).over(bw))
-            .where(col("_n") <= nearDupBandedMaxBucket).drop("_n")
+              .sigBandKeys(col("_psig"), nearDupHashes, b)).as(Seq("band", "key")))
+          // over-cap buckets are dropped BEFORE collect_list via the SAME
+          // shared cap as the batch operator (Dedup.cappedBuckets —
+          // spillable window count; a boilerplate mega-bucket must never
+          // materialize its full signature list just to be discarded)
+          val cappedRows = graft.ext.Dedup
+            .cappedBuckets(priorBucketRows, nearDupBandedMaxBucket)
           val buckets = (0 until b).map { i =>
-            cappedRows.where(col("_band") === i)
-              .groupBy(col("_bkey").as(s"_k$i"))
+            cappedRows.where(col("band") === i)
+              .groupBy(col("key").as(s"_k$i"))
               .agg(collect_list(col("_psig")).as(s"_ps$i"))
           }
           val withKeys = afterSeen.withColumn("_bkeys", graft.ext.Dedup
             .sigBandKeys(col("minhash_sig"), nearDupHashes, b))
           val joined = (0 until b).foldLeft(withKeys) { (df, i) =>
-            df.withColumn(s"_k$i", element_at(col("_bkeys"), i + 1))
+            // shingle-less docs carry an EMPTY _bkeys array: guard the
+            // lookup (bare element_at throws under ANSI mode, default-on
+            // in Spark 4) — the null key matches no bucket, so such docs
+            // pass this tier as documented
+            df.withColumn(s"_k$i", when(size(col("_bkeys")) >= i + 1,
+                element_at(col("_bkeys"), i + 1)))
               .join(buckets(i), Seq(s"_k$i"), "left_outer")
           }
           val matchAny = (0 until b).map { i =>

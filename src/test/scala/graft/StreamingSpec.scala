@@ -242,29 +242,43 @@ class StreamingSpec extends AnyFunSuite {
     val nearDup = long1 + " " + (1 to 20).map(i => s"q$i").mkString(" ")
     val novel = (1 to 40).map(i => s"x$i").mkString(" ")
     val farDup = ((1 to 12).map(i => s"w$i") ++ (1 to 28).map(i => s"z$i")).mkString(" ")
-    val stream = MemoryStream[(java.sql.Timestamp, String)]
-    val cleaned = graft.streaming.StreamingIngest.cleanDocuments(
-      stream.toDF().toDF("ts", "text"), watermark = "1 minute",
-      minTokens = 0, minQuality = 0.0, nearDupHashes = 16,
-      priorDocs = Some(prior), nearDupBands = 4)
-    val q = cleaned.writeStream.format("memory").queryName("banded_prior_sink")
-      .outputMode("append").start()
-    try {
-      stream.addData(Seq((ts(0), nearDup), (ts(1), novel), (ts(2), farDup)))
-      q.processAllAvailable()
-      val out = spark.table("banded_prior_sink")
-        .select("text").as[String].collect().toSet
-      assert(out == Set(novel, farDup),
-        s"banded prior tier must drop the est-J≥0.8 doc only: ${out.map(_.take(20))}")
-      // batch twin agreement on the same inputs
-      val batchKept = graft.ext.Dedup.incrementalBandedNearDedup(
-          Seq((10L, nearDup), (11L, novel), (12L, farDup)).toDF("doc_id", "text"),
-          graft.ext.Dedup.minhashSignatures(prior, "text", col("doc_id"), 16),
-          numHashes = 16, bands = 4, threshold = 0.8)
-        .select("text").as[String].collect().toSet
-      assert(batchKept == out,
-        "batch incrementalBandedNearDedup must agree with the streaming banded gate")
-    } finally q.stop()
+    val shingleless = "a b" // empty signature: must PASS the tier, not crash
+    val priorSigs = graft.ext.Dedup.minhashSignatures(prior, "text", col("doc_id"), 16)
+    // both prior-side paths: text-derived signatures and the precomputed
+    // minhashSignatures snapshot table
+    for ((sigOpt, tag) <- Seq((None, "text"), (Some(priorSigs), "sigs"))) {
+      val stream = MemoryStream[(java.sql.Timestamp, String)]
+      val cleaned = graft.streaming.StreamingIngest.cleanDocuments(
+        stream.toDF().toDF("ts", "text"), watermark = "1 minute",
+        minTokens = 0, minQuality = 0.0, nearDupHashes = 16,
+        priorDocs = Some(prior), nearDupBands = 4,
+        nearDupPriorSigs = sigOpt)
+      val sink = s"banded_prior_sink_$tag"
+      val q = cleaned.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        stream.addData(Seq((ts(0), nearDup), (ts(1), novel), (ts(2), farDup),
+          (ts(3), shingleless)))
+        q.processAllAvailable()
+        val out = spark.table(sink).select("text").as[String].collect().toSet
+        assert(out == Set(novel, farDup, shingleless),
+          s"[$tag] banded prior tier must drop the est-J≥0.8 doc only: ${out.map(_.take(20))}")
+        // batch twin agreement on the same inputs
+        val batchKept = graft.ext.Dedup.incrementalBandedNearDedup(
+            Seq((10L, nearDup), (11L, novel), (12L, farDup), (13L, shingleless))
+              .toDF("doc_id", "text"),
+            priorSigs, numHashes = 16, bands = 4, threshold = 0.8)
+          .select("text").as[String].collect().toSet
+        assert(batchKept == out,
+          s"[$tag] batch incrementalBandedNearDedup must agree with the streaming banded gate")
+      } finally q.stop()
+    }
+    // misconfiguration fails fast instead of silently skipping the gate
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.cleanDocuments(
+        MemoryStream[(java.sql.Timestamp, String)].toDF().toDF("ts", "text"),
+        nearDupHashes = 0, nearDupBands = 4, priorDocs = Some(prior))
+    }
   }
 
   test("streaming funnel completions agree with the batch funnel's completers") {
