@@ -244,6 +244,45 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // the DAILY-CRAWL composition end-to-end: the signature-equality
+    // tier FIRST (within-batch dedup + key gate — also covers
+    // shingle-less docs via the md5 fallback), then the banded
+    // J-threshold tier over the same snapshot's signature table.
+    // The fixture carries all three replica classes: byte-identical
+    // (+40000, caught by the key gate), shingle-set-identical T·T·T
+    // (+20000, caught by the key gate only — bytes differ), and
+    // 8-token-appended (+60000, caught by the BANDED tier only — bytes
+    // and signature both differ)
+    "p_incr_crawl" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val prior = d.where(col("doc_id") % 3 =!= 0)
+        .withColumn("text", when(col("doc_id") < 200,
+          concat(col("text"), lit(" "), col("text"))).otherwise(col("text")))
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .unionByName(d.where(col("doc_id") % 3 =!= 0 && col("doc_id") < 200)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"), lit(" "), col("text"), lit(" "), col("text")).as("text"),
+            col("lang")))
+        .unionByName(prior
+          .where(col("doc_id") >= 200 && col("doc_id") < 300)
+          .withColumn("doc_id", col("doc_id") + 40000))
+        .unionByName(prior
+          .where(col("doc_id") >= 300 && col("doc_id") < 400)
+          .select((col("doc_id") + 60000).as("doc_id"),
+            concat(col("text"),
+              lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
+            col("lang")))
+      val s1 = Dedup.incrementalNearDedup(batch,
+        Dedup.nearDupKeys(prior, numHashes = NumHashes), numHashes = NumHashes)
+      Dedup.incrementalBandedNearDedup(s1,
+          Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes),
+          numHashes = NumHashes, bands = Bands, threshold = 0.8,
+          maxBucketSize = MaxBucket)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
+        .orderBy("lang")
+    }),
+
     // per-stratum token-budget selection: en gets 20k tokens, every
     // other lang 8k — docs taken in doc_id order until the stratum's
     // budget fills; one global range-partitioned cumsum, text unshuffled
@@ -1452,6 +1491,61 @@ object PipelineQueries {
          |  WHERE CAST($agreeSum AS DOUBLE) / $NumHashes >= 0.8
          |), kept AS (
          |  SELECT doc_id, lang FROM batch
+         |  WHERE doc_id NOT IN (SELECT bid FROM flagged)
+         |)
+         |SELECT lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "p_incr_crawl" -> {
+      val r = NumHashes / Bands
+      def bandKeys = (0 until Bands).map { b =>
+        val slots = (0 until r).map(j => s"CAST(mh${b * r + j} AS VARCHAR)")
+        s"(SELECT $b AS band, md5(${slots.mkString("concat(", ", '_', ", ")")}) AS key)"
+      }.mkString(" UNION ALL ")
+      val agreeSum = (0 until NumHashes)
+        .map(k => s"(CASE WHEN bs.mh$k = ps.mh$k THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH prior AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id < 200 THEN text || ' ' || text ELSE text END AS text
+         |  FROM documents WHERE doc_id % 3 <> 0
+         |), batch AS (
+         |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text || ' ' || text || ' ' || text, lang
+         |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id < 200
+         |  UNION ALL
+         |  SELECT doc_id + 40000, text, lang FROM documents
+         |  WHERE doc_id % 3 <> 0 AND doc_id >= 200 AND doc_id < 300
+         |  UNION ALL
+         |  SELECT doc_id + 60000,
+         |    text || ' sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8', lang
+         |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id >= 300 AND doc_id < 400
+         |), ${sigKeyCtes("b", "batch", NumHashes)}, ${sigKeyCtes("p", "prior", NumHashes)},
+         |s1 AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT b.doc_id, b.lang, k.key,
+         |      row_number() OVER (PARTITION BY k.key ORDER BY b.doc_id) AS rn
+         |    FROM batch b JOIN b_key k ON k.id = b.doc_id)
+         |  WHERE rn = 1 AND key NOT IN (SELECT key FROM p_key)
+         |), s1_sig AS (
+         |  SELECT bs.* FROM b_sig bs JOIN s1 ON s1.doc_id = bs.id
+         |), s1_buckets AS (
+         |  SELECT id, bk.band, bk.key FROM s1_sig, LATERAL ($bandKeys) bk
+         |  QUALIFY count(*) OVER (PARTITION BY bk.band, bk.key) <= $MaxBucket
+         |), p_buckets AS (
+         |  SELECT id, bk.band, bk.key FROM p_sig, LATERAL ($bandKeys) bk
+         |  QUALIFY count(*) OVER (PARTITION BY bk.band, bk.key) <= $MaxBucket
+         |), cand AS (
+         |  SELECT DISTINCT b.id AS bid, p.id AS pid
+         |  FROM s1_buckets b JOIN p_buckets p ON b.band = p.band AND b.key = p.key
+         |), flagged AS (
+         |  SELECT DISTINCT cand.bid FROM cand
+         |  JOIN b_sig bs ON bs.id = cand.bid
+         |  JOIN p_sig ps ON ps.id = cand.pid
+         |  WHERE CAST($agreeSum AS DOUBLE) / $NumHashes >= 0.8
+         |), kept AS (
+         |  SELECT doc_id, lang FROM s1
          |  WHERE doc_id NOT IN (SELECT bid FROM flagged)
          |)
          |SELECT lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
