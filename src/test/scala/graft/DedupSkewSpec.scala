@@ -10,6 +10,25 @@ import graft.ext.Dedup
 class DedupSkewSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("sigBandKeys matches lshBuckets' band keys bit-for-bit (parity-critical)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(11)
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until 25).map(_ => s"w${rng.nextInt(300)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "text", $"doc_id", 16, 3)
+    val viaColumns = Dedup.lshBuckets(sigs, 16, 4)
+      .select("id", "band", "key").as[(Long, Int, String)].collect().toSet
+    val viaArray = sigs
+      .select(col("id"), posexplode(Dedup.sigBandKeys(
+        array((0 until 16).map(k => col(s"mh$k")): _*), 16, 4)).as(Seq("band", "key")))
+      .as[(Long, Int, String)].collect().toSet
+    assert(viaColumns == viaArray,
+      "the streaming gate's array-form band keys must equal the batch bucket keys")
+    assert(viaColumns.size == 40 * 4)
+  }
+
   test("an over-cap boilerplate bucket contributes zero candidate pairs") {
     import spark.implicits._
     val boiler = "cookie notice please accept our terms and conditions to continue browsing"
