@@ -83,10 +83,18 @@ object Cleaning {
     * from `filter(lines, …)`): terminal punctuation + ≥5 words + no
     * "javascript" mention. Word count uses single-space splitting — the
     * same contract as [[TextOps.tokens]]. */
-  private def keepLine(l: Column): Column =
-    substring(l, -1, 1).isin(".", "!", "?", "\"") &&
-      size(split(l, " ")) >= 5 &&
+  private def keepLine(l: Column): Column = {
+    // test the RIGHT-TRIMMED line: raw web lines end in "\r" (CRLF pages
+    // — ControlRe deliberately preserves \r) or trailing spaces, and the
+    // C4 reference strips each line before testing; on the raw bytes a
+    // CRLF page lost EVERY line (terminal char was '\r') and the whole
+    // page was dropped (r13 review). Kept lines keep their original
+    // bytes — only the predicate trims.
+    val lt = rtrim(l, " \t\r")
+    substring(lt, -1, 1).isin(".", "!", "?", "\"") &&
+      size(split(lt, " ")) >= 5 &&
       !lower(l).contains("javascript")
+  }
 
   /** C4 line+page filter. One row per input row:
     * (idCol, n_lines, n_kept, page_keep 0/1, clean_text) where
@@ -151,8 +159,11 @@ object Cleaning {
     * (decoding last so `&lt;p&gt;` cannot materialize a strippable
     * tag), collapse whitespace, trim. Map-only, codegen'd. */
   def stripHtml(t: Column): Column = {
+    // (?i): <SCRIPT>/<Style> blocks are ubiquitous in older web pages —
+    // case-sensitive matching leaked their JS/CSS payload into the
+    // extracted text (r13 review)
     val noBlocks = regexp_replace(t,
-      "(?s)(<script\\b.*?</script>|<style\\b.*?</style>|<!--.*?-->)", "")
+      "(?is)(<script\\b.*?</script>|<style\\b.*?</style>|<!--.*?-->)", "")
     val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
     val decoded =
       regexp_replace(

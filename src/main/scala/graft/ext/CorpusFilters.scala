@@ -182,8 +182,13 @@ object CorpusFilters {
       .withColumn("_n", size(col("_toks")))
       .withColumn("_nl", size(col("_lines")))
     val hashCount = length(col("_t")) - length(regexp_replace(col("_t"), "#", ""))
+    // both ellipsis spellings: the three-dot literal AND U+2026 (the
+    // single-character ellipsis ubiquitous in scraped snippets) — the
+    // Gopher rule counts "… marks", and missing the Unicode form let
+    // truncated-snippet pages through (r13 review)
     val ellCount =
-      ((length(col("_t")) - length(regexp_replace(col("_t"), "\\.\\.\\.", ""))) / 3)
+      ((length(col("_t")) - length(regexp_replace(col("_t"), "\\.\\.\\.", ""))) / 3 +
+        (length(col("_t")) - length(regexp_replace(col("_t"), "…", ""))))
         .cast("long")
     val metrics = staged.select(
       col(idCol),
@@ -195,7 +200,8 @@ object CorpusFilters {
       round(size(filter(col("_lines"), l =>
         l.startsWith("- ") || l.startsWith("* ") || l.startsWith("\u2022")))
         .cast("double") / greatest(col("_nl"), lit(1)), 5).as("bullet_frac"),
-      round(size(filter(col("_lines"), l => l.endsWith("...")))
+      round(size(filter(col("_lines"), l =>
+        l.endsWith("...") || l.endsWith("…")))
         .cast("double") / greatest(col("_nl"), lit(1)), 5).as("ellipsis_frac"),
       // "token contains an ASCII letter" via a single translate pass —
       // same predicate as rlike("[A-Za-z]") without a per-token regex
@@ -218,33 +224,57 @@ object CorpusFilters {
 
   /** CCNet's head/middle/tail partition (Wenzek et al. 2020 §3.3): rank
     * documents by mean per-token NLL under the LM WITHIN each language
-    * and cut into terciles — "head" = most fluent third. Mean NLL
-    * compares as an exact integer cross-product (nll·n' vs nll'·n), and
-    * `ntile` runs over (lang) with a doc-id tiebreak, so the buckets
-    * are deterministic and engine-portable. One window shuffle on the
-    * lang key (bounded stratum count; each partition sorts its own
-    * stratum — the 100 TB shape is fine because per-lang rank is
-    * exactly what the operator means). */
+    * and cut into terciles — "head" = most fluent third. Mean NLL is an
+    * exact integer (`div`), and ranks carry a doc-id tiebreak, so the
+    * buckets are deterministic and engine-portable (the DuckDB oracle's
+    * plain `ntile` reproduces them bit-for-bit).
+    *
+    * Scale shape (r13; was `ntile` over `Window.partitionBy(lang)` —
+    * which funnels each language's ENTIRE document set through one task
+    * for the sort+count, the classic skewed-stratum scale-killer on a
+    * 60%-English 100 TB corpus): one range-partitioned
+    * [[graft.data.DistributedCumsum]] over (lang, mean, id) yields the
+    * stratum-local RANK (global running count minus the stratum's
+    * prefix), and the ntile bucket is integer arithmetic over
+    * (rank, stratum count) — first n%b groups of size ⌈n/b⌉, the rest
+    * ⌊n/b⌋, exactly SQL ntile's distribution. No per-stratum window;
+    * parallelism is corpus-wide regardless of language skew. */
   def ccnetBuckets(docs: DataFrame, langCol: String = "lang",
       idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = 3): DataFrame = {
     require(buckets >= 2, "need at least 2 buckets")
     val nll = unigramNll(docs, idCol, textCol)
-    val joined = docs.select(col(idCol), col(langCol)).join(nll, idCol)
     // mean micro-nats per token via INTEGER division (`div`, not `/`:
     // the double quotient can round up across an integer boundary and
     // then truncate differently than DuckDB's floor `//`)
-    val meanMicro = expr("nll_micro_total div n_tokens")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(langCol))
-      .orderBy(meanMicro.asc, col(idCol).asc)
-    joined
-      .withColumn("mean_nll_micro", meanMicro)
-      .withColumn("bucket", ntile(buckets).over(w))
+    val joined = docs.select(col(idCol), col(langCol)).join(nll, idCol)
+      .withColumn("mean_nll_micro", expr("nll_micro_total div n_tokens"))
+      .withColumn("_one", lit(1.0))
+    val c = graft.data.DistributedCumsum.cumsum(joined,
+      Seq(col(langCol).asc, col("mean_nll_micro").asc, col(idCol).asc),
+      Seq("_one"))
+    val stats = c.groupBy(col(langCol))
+      .agg(min(col("cum__one")).cast("long").as("_first"),
+        count(lit(1)).as("_n"))
+      .withColumnRenamed(langCol, "_lang_s")
+    // stratum-local rank 1..n; ntile bucket via exact integer ceils:
+    // ⌈x/y⌉ = (x + y − 1) div y — no float division near boundaries
+    c.join(broadcast(stats), col(langCol) <=> col("_lang_s"))
+      .withColumn("_rank", (col("cum__one").cast("long") - col("_first") + 1))
+      .withColumn("_q", expr(s"_n div $buckets"))
+      .withColumn("_rem", expr(s"_n % $buckets"))
+      .withColumn("_cut", col("_rem") * (col("_q") + 1))
+      .withColumn("bucket",
+        when(col("_rank") <= col("_cut"),
+          expr("(_rank + _q) div (_q + 1)"))
+          .otherwise(expr("_rem + (_rank - _cut + _q - 1) div _q"))
+          .cast("int"))
       .withColumn("tier",
         when(col("bucket") === 1, "head")
           .when(col("bucket") === buckets, "tail")
           .otherwise("middle"))
+      .drop("_one", "cum__one", "_lang_s", "_first", "_n", "_rank",
+        "_q", "_rem", "_cut")
   }
 
   /** Per-document NLL under the corpus BIGRAM LM with Jelinek–Mercer
@@ -315,7 +345,12 @@ object CorpusFilters {
       rates: Map[String, Double], defaultRate: Double, n: Int = 5,
       idCol: String = "doc_id", textCol: String = "text",
       topBigramMax: Double = 0.20, dupTrigramMax: Double = 0.18): DataFrame = {
-    val unique = Dedup.exactDedup(docs, textCol, idCol)
+    // one corpus pass for the dedup window: `unique` feeds both gate
+    // branches and the survivor spine, whose divergent pruned projections
+    // defeat ReuseExchange (the [[unigramNll]] lesson) — without the
+    // localCheckpoint the corpus-wide md5-window shuffle executes once
+    // per consumer (r13 review)
+    val unique = Dedup.exactDedup(docs, textCol, idCol).localCheckpoint()
     val repKeep = repetitionStats(unique, idCol, textCol, topBigramMax, dupTrigramMax)
       .where(col("repetition_keep") === 1).select(col(idCol))
     val cleanKeep = decontaminate(unique, benchmark, n, idCol, textCol)
@@ -341,21 +376,30 @@ object CorpusFilters {
   def dsirLogWeight(docs: DataFrame, isTarget: Column, numBuckets: Int = 512,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(numBuckets > 0, "numBuckets must be positive")
-    val tokBuckets = docs
+    // ONE tokenize+explode pass (r13; was two — the bucket table and the
+    // per-doc aggregate each re-ran the corpus explode, and their
+    // different exchanges defeat ReuseExchange): aggregate to
+    // (doc, bucket, count, is_t) once, localCheckpoint (the
+    // [[unigramNll]] shared-intermediate pattern), and derive both the
+    // bucket table and the per-doc weights from that — the intermediate
+    // is ≤ docs × numBuckets rows, far below the exploded token stream
+    val perDocBucket = docs
       .select(col(idCol), isTarget.cast("long").as("is_t"),
         explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col(idCol), col("is_t"),
         pmod(TextOps.hash60(col("tok")), lit(numBuckets.toLong)).as("b"))
-    val buckets = tokBuckets.groupBy("b")
-      .agg(count(lit(1)).as("raw_c"), sum("is_t").as("tgt_c"))
+      .groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("c"), max(col("is_t")).as("is_t"))
+      .localCheckpoint()
+    val buckets = perDocBucket.groupBy("b")
+      .agg(sum("c").as("raw_c"), sum(col("c") * col("is_t")).as("tgt_c"))
     val totals = buckets.agg(sum("raw_c").as("R"), sum("tgt_c").as("T"))
     val nb = lit(numBuckets.toDouble)
     val scored = buckets.crossJoin(broadcast(totals)) // 1-row scalar broadcast
       .select(col("b"), microNats(log(
         ((col("tgt_c") + lit(1.0)) / (col("T") + nb)) /
           ((col("raw_c") + lit(1.0)) / (col("R") + nb)))).as("w_micro"))
-    tokBuckets.groupBy(col(idCol), col("b")).agg(count(lit(1)).as("c"))
-      .join(broadcast(scored), "b")
+    perDocBucket.join(broadcast(scored), "b")
       .groupBy(col(idCol)).agg(
         sum("c").as("n_tokens"),
         sum(col("c") * col("w_micro")).as("dsir_micro"))

@@ -35,27 +35,28 @@ object Curation {
     df.where(hashFraction(col(keyCol), salt) < rate)
   }
 
-  /** Temperature-weighted mixture sampling — the multilingual/multi-source
-    * pretraining mix rule (XLM-R §3.1, mT5: sample stratum l with
-    * p_l ∝ n_l^alpha, alpha<1 up-weighting low-resource strata): keep
-    * rates are allocated so the EXPECTED kept volume is
-    * `targetFraction`·N, split across strata by n_l^alpha, clamped at 1.
+  /** One rate-table computation behind [[temperatureRates]] /
+    * [[temperatureRatesUnclamped]] (they differ only in the clamp).
     *
     * Determinism contract: per-stratum counts are collected (bounded —
     * strata are languages/sources), the weight sum accumulates
     * left-to-right in stratum-sorted order (an unordered float sum would
     * differ across engines in the last ulp), and each rate is quantized
     * to an integer micro-rate (round-half-up) before the same md5-coin
-    * predicate as [[stratifiedSample]]. Appends `rate_micro`.
+    * predicate as [[stratifiedSample]].
+    *
+    * NULL strata are excluded from the table: a null stratum has no
+    * n^alpha identity, and the samplers' rate lookup gives unlisted
+    * strata rate 0 — so null-stratum rows are deterministically DROPPED
+    * (tag unknowns explicitly upstream). Pre-r13 the `toString` on the
+    * null group key crashed the driver instead.
     *
     * Scale: one tiny count aggregate to the driver, then a map-side
     * predicate — no shuffle of the corpus. */
-  /** The per-stratum rate table of [[temperatureSample]]:
-    * (stratum, n_docs, rate_micro), stratum-sorted. One tiny aggregate
-    * to the driver (strata are bounded by construction). */
-  def temperatureRates(df: DataFrame, strataCol: String, alpha: Double,
-      targetFraction: Double): Seq[(String, Long, Long)] = {
-    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
+  private def rateTable(df: DataFrame, strataCol: String, alpha: Double,
+      targetFraction: Double, clamp: Boolean): Seq[(String, Long, Long)] = {
+    val counts = df.where(col(strataCol).isNotNull)
+      .groupBy(strataCol).agg(count(lit(1)).as("n"))
       .collect().map(r => r.get(0).toString -> r.getLong(1))
       .sortBy(_._1)
     val total = counts.map(_._2).sum
@@ -64,30 +65,28 @@ object Curation {
       val w = math.pow(n.toDouble, alpha); wsum += w; (s, n, w)
     }
     weights.map { case (s, n, w) =>
-      val rate = math.min(1.0, targetFraction * total * (w / wsum) / n)
+      val raw = targetFraction * total * (w / wsum) / n
+      val rate = if (clamp) math.min(1.0, raw) else raw
       (s, n, math.round(rate * 1e6))
     }.toSeq
   }
+
+  /** The per-stratum rate table of [[temperatureSample]]:
+    * (stratum, n_docs, rate_micro), stratum-sorted, clamped at rate 1.
+    * One tiny aggregate to the driver (strata are bounded by
+    * construction); see [[rateTable]] for the determinism and
+    * null-stratum contract. */
+  def temperatureRates(df: DataFrame, strataCol: String, alpha: Double,
+      targetFraction: Double): Seq[(String, Long, Long)] =
+    rateTable(df, strataCol, alpha, targetFraction, clamp = true)
 
   /** Unclamped variant of [[temperatureRates]] — rates above 1 mean the
     * stratum is REPLICATED (epochs over low-resource data, the actual
     * multilingual-mix semantics when alpha pushes mass toward small
     * strata). Same determinism contract. */
   def temperatureRatesUnclamped(df: DataFrame, strataCol: String,
-      alpha: Double, targetFraction: Double): Seq[(String, Long, Long)] = {
-    val counts = df.groupBy(strataCol).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.get(0).toString -> r.getLong(1))
-      .sortBy(_._1)
-    val total = counts.map(_._2).sum
-    var wsum = 0.0
-    val weights = counts.map { case (s, n) =>
-      val w = math.pow(n.toDouble, alpha); wsum += w; (s, n, w)
-    }
-    weights.map { case (s, n, w) =>
-      val rate = targetFraction * total * (w / wsum) / n
-      (s, n, math.round(rate * 1e6))
-    }.toSeq
-  }
+      alpha: Double, targetFraction: Double): Seq[(String, Long, Long)] =
+    rateTable(df, strataCol, alpha, targetFraction, clamp = false)
 
   /** Temperature MIXING with upsampling: every row is emitted
     * ⌊rate⌋ + coin(frac(rate)) times with a `copy_id` column
@@ -111,6 +110,13 @@ object Curation {
       .select(col("*"), explode(sequence(lit(0), col("n_copies") - 1)).as("copy_id"))
   }
 
+  /** Temperature-weighted mixture sampling — the multilingual/multi-source
+    * pretraining mix rule (XLM-R §3.1, mT5: sample stratum l with
+    * p_l ∝ n_l^alpha, alpha<1 up-weighting low-resource strata): keep
+    * rates are allocated so the EXPECTED kept volume is
+    * `targetFraction`·N, split across strata by n_l^alpha, clamped at 1.
+    * Appends `rate_micro`; see [[rateTable]] for the determinism and
+    * null-stratum contract. */
   def temperatureSample(df: DataFrame, strataCol: String, keyCol: String,
       alpha: Double, targetFraction: Double,
       salt: String = "temp"): DataFrame = {
@@ -131,6 +137,11 @@ object Curation {
   def chunkTokens(df: DataFrame, idCol: String, textCol: String,
       chunkSize: Int, stride: Int): DataFrame = {
     require(chunkSize > 0 && stride > 0, "chunkSize and stride must be positive")
+    // the full-coverage contract ("every token lands in ≥1 chunk") only
+    // holds when consecutive chunks at least touch; a swapped-argument
+    // call would otherwise SILENTLY drop the tokens between chunks
+    require(stride <= chunkSize,
+      s"stride ($stride) must be <= chunkSize ($chunkSize) for full coverage")
     val staged = df.select(col(idCol), TextOps.tokens(col(textCol)).as("_toks"))
       .withColumn("_n", size(col("_toks")))
     val chunks = when(col("_n") > 0,
@@ -194,9 +205,14 @@ object Curation {
     // (rows are (stratum, id)-ordered, so that row has the stratum min)
     val prefix = c.groupBy(col(strataCol))
       .agg(min(col("cum__nt") - col("_nt")).as("_pre"))
+      .withColumnRenamed(strataCol, "_strat_pre")
     val budget = coalesce(
       try_element_at(typedLit(budgets), col(strataCol)), lit(defaultBudget))
-    c.join(broadcast(prefix), strataCol)
+    // null-safe equality: a NULL stratum (untagged docs) forms its own
+    // budget group under defaultBudget — a plain equi-join would drop
+    // those rows silently (NULL never equals NULL), inconsistent with
+    // stratifiedSample's null handling (r13 review)
+    c.join(broadcast(prefix), col(strataCol) <=> col("_strat_pre"))
       .select(col(idCol), col(strataCol),
         col("_nt").cast("long").as("n_tokens"),
         (col("cum__nt") - col("_pre")).cast("long").as("cum_tokens"))

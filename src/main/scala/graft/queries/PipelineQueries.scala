@@ -858,7 +858,9 @@ object PipelineQueries {
             "<body><h1>Title "),
           (col("doc_id") % 100).cast("string"),
           lit("</h1><p>First &amp; second &lt;tag&gt;.</p>" +
-            "<script>var x = 1 < 2;</script><p>"),
+            "<script>var x = 1 < 2;</script>" +
+            "<SCRIPT type=\"text/javascript\">var y = 2;</SCRIPT>" +
+            "<Style>h1 { top: 0 }</Style><p>"),
           substring(col("text"), 1, 30),
           lit(".</p></body></html>")).as("html"))
       fx.select(col("doc_id"),
@@ -2261,14 +2263,16 @@ object PipelineQueries {
         |    '<html><head><style>p { color: red }</style><!-- note --></head>' ||
         |    '<body><h1>Title ' || (doc_id % 100) ||
         |    '</h1><p>First &amp; second &lt;tag&gt;.</p>' ||
-        |    '<script>var x = 1 < 2;</script><p>' ||
+        |    '<script>var x = 1 < 2;</script>' ||
+        |    '<SCRIPT type="text/javascript">var y = 2;</SCRIPT>' ||
+        |    '<Style>h1 { top: 0 }</Style><p>' ||
         |    substr(text, 1, 30) || '.</p></body></html>' AS html
         |  FROM documents
         |), s AS (
         |  SELECT doc_id,
         |    regexp_replace(
         |      regexp_replace(html,
-        |        '(?s)(<script\b.*?</script>|<style\b.*?</style>|<!--.*?-->)',
+        |        '(?is)(<script\b.*?</script>|<style\b.*?</style>|<!--.*?-->)',
         |        '', 'g'),
         |      '<[^>]*>', ' ', 'g') AS t1
         |  FROM fx
@@ -2319,8 +2323,8 @@ object PipelineQueries {
         |), k AS (
         |  SELECT doc_id, t,
         |    list_filter(string_split(t, chr(10)), l ->
-        |      right(l, 1) IN ('.', '!', '?', '"')
-        |      AND len(string_split(l, ' ')) >= 5
+        |      right(rtrim(l, ' ' || chr(9) || chr(13)), 1) IN ('.', '!', '?', '"')
+        |      AND len(string_split(rtrim(l, ' ' || chr(9) || chr(13)), ' ')) >= 5
         |      AND NOT contains(lower(l), 'javascript')) AS kept
         |  FROM f
         |), surv AS (
@@ -2437,8 +2441,8 @@ object PipelineQueries {
         |), k AS (
         |  SELECT doc_id, t,
         |    list_filter(string_split(t, chr(10)), l ->
-        |      right(l, 1) IN ('.', '!', '?', '"')
-        |      AND len(string_split(l, ' ')) >= 5
+        |      right(rtrim(l, ' ' || chr(9) || chr(13)), 1) IN ('.', '!', '?', '"')
+        |      AND len(string_split(rtrim(l, ' ' || chr(9) || chr(13)), ' ')) >= 5
         |      AND NOT contains(lower(l), 'javascript')) AS kept
         |  FROM fx
         |)
@@ -2685,12 +2689,14 @@ object PipelineQueries {
         |    round(CAST(list_sum(list_transform(toks, w -> length(w))) AS DOUBLE)
         |      / greatest(len(toks), 1), 5) AS mean_word_len,
         |    round(CAST((length(t) - length(replace(t, '#', ''))) +
-        |      (length(t) - length(replace(t, '...', ''))) // 3 AS DOUBLE)
+        |      (length(t) - length(replace(t, '...', ''))) // 3 +
+        |      (length(t) - length(replace(t, chr(8230), ''))) AS DOUBLE)
         |      / greatest(len(toks), 1), 5) AS symbol_ratio,
         |    round(CAST(len(list_filter(ls, l -> starts_with(l, '- ')
         |      OR starts_with(l, '* ') OR starts_with(l, chr(8226)))) AS DOUBLE)
         |      / greatest(len(ls), 1), 5) AS bullet_frac,
-        |    round(CAST(len(list_filter(ls, l -> ends_with(l, '...'))) AS DOUBLE)
+        |    round(CAST(len(list_filter(ls, l -> ends_with(l, '...')
+        |      OR ends_with(l, chr(8230)))) AS DOUBLE)
         |      / greatest(len(ls), 1), 5) AS ellipsis_frac,
         |    round(CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
         |      AS DOUBLE) / greatest(len(toks), 1), 5) AS alpha_frac,

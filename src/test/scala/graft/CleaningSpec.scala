@@ -71,6 +71,39 @@ class CleaningSpec extends AnyFunSuite {
     assert(r.getAs[Int]("page_keep") == 1)
   }
 
+  test("c4Clean: CRLF pages and trailing-space lines are judged on trimmed bytes (r13 review)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // pre-fix, the raw last char of every line was '\r' → zero kept
+    // lines → the whole CRLF page was silently dropped
+    val crlf = "One good sentence with enough words here.\r\n" +
+      "Another proper sentence with enough words too.\r\n" +
+      "And a third fine sentence with many words inside.\r"
+    val trailing = "A solid sentence with plenty of words present. \n" +
+      "Another sentence carrying sufficient words to pass. \n" +
+      "Third sentence also has the needed word count."
+    val rows = Cleaning.c4Clean(
+        Seq((1L, crlf), (2L, trailing)).toDF("doc_id", "text"))
+      .select("doc_id", "n_kept", "page_keep").collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == 3,
+        s"doc ${r.getLong(0)}: all 3 lines must be kept, got ${r.getInt(1)}")
+      assert(r.getInt(2) == 1, s"doc ${r.getLong(0)}: page must survive")
+    }
+  }
+
+  test("stripHtml removes uppercase/mixed-case script and style blocks (r13 review)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val html = "<SCRIPT>var secret = 1;</SCRIPT><Style>h1 { top: 0 }</Style>" +
+      "<p>Visible text stays.</p>"
+    val got = Seq(Tuple1(html)).toDF("h")
+      .select(graft.ext.Cleaning.stripHtml(col("h")).as("s"))
+      .as[String].head()
+    assert(got == "Visible text stays.", s"got: '$got'")
+    assert(!got.contains("secret") && !got.contains("top"))
+  }
+
   test("redactPii replaces emails, phones and IPv4s and counts matches") {
     import spark.implicits._
     val docs = Seq(

@@ -75,6 +75,23 @@ class CorpusFiltersSpec extends AnyFunSuite {
     assert(out(6L) == "head" && out(8L) == "tail")
   }
 
+  test("gopherQuality counts the U+2026 ellipsis like the three-dot form (r13 review)") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq(
+      (1L, (1 to 6).map(_ => s"$base…").mkString("\n")),   // every line ends in …
+      (2L, (1 to 6).map(_ => base).mkString("\n"))          // clean twin
+    ).toDF("doc_id", "text")
+    val m = graft.ext.CorpusFilters.gopherQuality(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Double]("ellipsis_frac") == 1.0,
+      "U+2026-terminated lines must count as ellipsis lines")
+    assert(m(1L).getAs[Double]("symbol_ratio") > 0.0,
+      "U+2026 marks must count into the symbol ratio")
+    assert(m(1L).getAs[Int]("quality_keep") == 0 &&
+      m(2L).getAs[Double]("ellipsis_frac") == 0.0)
+  }
+
   test("repetitionStats: hand-computed fractions and keep decision") {
     import spark.implicits._
     // doc 1: "a b a b a b" — bigram "a b" x3 of 5 bigrams, top frac = 6/6 -> capped 1.0;

@@ -101,6 +101,44 @@ class CurationSpec extends AnyFunSuite {
     assert(cols == Seq("doc_id", "text"), cols)
   }
 
+  test("null strata: temperature rates skip them, token budget groups them under the default (r13 review)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("en"), "a b c d e f"), (2L, Some("en"), "g h i j"),
+      (3L, None, "k l m"), (4L, None, "n o p q r")
+    ).toDF("doc_id", "lang", "text")
+    // pre-fix: NPE on the null group's toString; now the table skips
+    // nulls and the samplers give null-stratum rows rate 0 (dropped)
+    val rates = graft.ext.Curation.temperatureRates(docs, "lang", 0.5, 0.5)
+    assert(rates.map(_._1) == Seq("en"), rates)
+    val sampled = graft.ext.Curation.temperatureSample(
+      docs, "lang", "doc_id", 0.5, 1.0)
+    assert(sampled.where($"lang".isNull).count() == 0,
+      "null-stratum rows carry rate 0")
+    // pre-fix: the prefix equi-join silently dropped null-stratum rows;
+    // now they form their own budget group under defaultBudget
+    val kept = graft.ext.Curation.takeTokenBudget(
+        docs, "lang", Map("en" -> 100L), defaultBudget = 100L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L),
+      s"null-stratum docs must ride the default budget: $kept")
+    // and a tight default budget still binds the null group
+    val tight = graft.ext.Curation.takeTokenBudget(
+        docs, "lang", Map("en" -> 100L), defaultBudget = 3L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tight == Set(1L, 2L, 3L), s"got $tight")
+  }
+
+  test("chunkTokens rejects stride > chunkSize (silent-coverage-loss guard, r13 review)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ext.Curation.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 5, stride = 10)
+    }
+    assert(ex.getMessage.contains("full coverage"))
+  }
+
   test("incrementalNearDedup: signature key gates byte-different same-shingle-set docs") {
     import spark.implicits._
     val t1 = "alpha beta gamma delta"
