@@ -218,4 +218,44 @@ object Curation {
         (col("cum__nt") - col("_pre")).cast("long").as("cum_tokens"))
       .where(col("cum_tokens") <= budget)
   }
+
+  /** Deterministic epoch shuffle + sharding — the "global shuffle" stage
+    * of training-data serving (each epoch re-permutes the corpus under a
+    * fresh salt; shard files feed the data loaders): `shard` =
+    * hash60(id‖salt) mod `numShards`, and `shard_pos` is the row's
+    * 0-based rank within its shard under the (hash, id) order. Together
+    * they are a full deterministic permutation of the corpus —
+    * reproducible across reruns, task retries, and engines (the md5-based
+    * [[TextOps.hash60]] is the same coin as [[stratifiedSample]]), which
+    * `df.orderBy(rand())` fundamentally is not on a cluster.
+    *
+    * Returns (idCol, shard, shard_pos) only — join back to the payload on
+    * idCol to write shard files, so the wide text/media columns never
+    * ride this shuffle.
+    *
+    * Scale (100 TB): one range-partitioned
+    * [[graft.data.DistributedCumsum]] over (shard, hash, id) gives every
+    * row its within-shard rank — a `row_number` over
+    * `Window.partitionBy(shard)` would instead sort EACH SHARD in a
+    * single task (with 1024 shards over 100 TB that is a ~100 GB
+    * single-task sort); the cumsum's range sort keeps parallelism
+    * corpus-wide — then the per-shard prefix (numShards scalar rows)
+    * broadcasts back. */
+  def epochShards(df: DataFrame, idCol: String, numShards: Int,
+      salt: String = "epoch0"): DataFrame = {
+    require(numShards > 0, "numShards must be positive")
+    val base = df.select(col(idCol),
+        TextOps.hash60(concat(col(idCol).cast("string"), lit("_" + salt)))
+          .as("_h"))
+      .withColumn("shard", pmod(col("_h"), lit(numShards.toLong)).cast("int"))
+      .withColumn("_one", lit(1.0))
+    val c = graft.data.DistributedCumsum.cumsum(base,
+      Seq(col("shard").asc, col("_h").asc, col(idCol).asc), Seq("_one"))
+    val firsts = c.groupBy(col("shard"))
+      .agg(min(col("cum__one")).cast("long").as("_first"))
+      .withColumnRenamed("shard", "_sh")
+    c.join(broadcast(firsts), col("shard") === col("_sh"))
+      .select(col(idCol), col("shard"),
+        (col("cum__one").cast("long") - col("_first")).as("shard_pos"))
+  }
 }

@@ -831,6 +831,70 @@ object Dedup {
       .select(col("id"),
         explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
       .groupBy("id").agg(collect_set(col("pos")).as("_covered"))
+    cutCoveredPositions(toks, covered, idCol)
+  }
+
+  /** Keep-FIRST variant of [[removeRepeatedSpans]] — the published rule
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", ExactSubstr: one copy of each duplicated substring
+    * SURVIVES):
+    * for every corpus-hot n-gram, the single CANONICAL occurrence — the
+    * (id, start)-minimum, a pure function of the data rather than of
+    * scan order — is kept, and the tokens of every OTHER occurrence are
+    * cut. This makes the paper's keep-one semantics deterministic and
+    * oracle-checkable where a suffix-array scan order is not; the
+    * all-occurrence [[removeRepeatedSpans]] remains the harsher
+    * boilerplate-removal variant.
+    *
+    * n-gram-granularity caveat (documented, inherent): occurrences
+    * OVERLAPPING the canonical one inside the same document still cut
+    * their own positions, so a kept copy can lose flanking tokens —
+    * the same fragment-boundary artifact the paper reports.
+    *
+    * Returns (idCol, n_tokens, n_removed, clean_text).
+    *
+    * Scale (100 TB): identical shape to [[removeRepeatedSpans]] plus ONE
+    * extra map-side-combined groupBy on the n-gram key for the canonical
+    * (min-(id,start) struct) occurrence — output bounded by the hot set —
+    * whose equi-join back onto the hit stream rides the same n-gram key
+    * (AQE skew-split covers a pathologically hot boilerplate n-gram). No
+    * per-key windows (a row_number over PARTITION BY ngram would sort a
+    * 10⁷-occurrence license-page n-gram in one task), no driver state;
+    * document token arrays never shuffle. */
+  def removeRepeatedSpansKeepFirst(df: DataFrame, textCol: String,
+      idCol: String, n: Int, minDocs: Int): DataFrame = {
+    val src = ensurePar(df)
+    val hot = repeatedNgramsOf(src, textCol, idCol, n, minDocs).select("ngram")
+    val toks = src.select(col(idCol).as("id"), col(textCol),
+      TextOps.tokens(col(textCol)).as("_toks"))
+    // hit stream (id, start, ngram) is consumed twice (canonical min +
+    // the cut filter); localCheckpoint materializes it once — it is
+    // bounded by hot-n-gram occurrences, already far below the exploded
+    // n-gram stream, and re-running the explode+join per consumer would
+    // double the expensive pass (the dsirLogWeight lesson)
+    val hits = toks
+      .select(col("id"), posexplode(TextOps.ngramsAll(col("_toks"), n))
+        .as(Seq("start", "ngram")))
+      .join(hot, "ngram")
+      .localCheckpoint()
+    // canonical occurrence per n-gram: lexicographic struct min — a
+    // map-side-combined aggregate, never a per-ngram window
+    val canon = hits.groupBy("ngram")
+      .agg(min(struct(col("id"), col("start"))).as("_c"))
+    val covered = hits.join(canon, "ngram")
+      .where(!(col("id") === col("_c.id") && col("start") === col("_c.start")))
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+      .groupBy("id").agg(collect_set(col("pos")).as("_covered"))
+    cutCoveredPositions(toks, covered, idCol)
+  }
+
+  /** Shared tail of the span-removal operators: cut the covered token
+    * positions from each document and rebuild the text. `toks` is
+    * (id, <text>, _toks); `covered` is (id, _covered: array<int>) with
+    * absent ids meaning nothing to cut. */
+  private def cutCoveredPositions(toks: DataFrame, covered: DataFrame,
+      idCol: String): DataFrame = {
     toks.join(covered, Seq("id"), "left")
       .withColumn("_covered",
         coalesce(col("_covered"), array().cast("array<int>")))

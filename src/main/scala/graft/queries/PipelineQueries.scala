@@ -352,6 +352,18 @@ object PipelineQueries {
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")),
 
+    // keep-FIRST span removal (Lee et al.'s published keep-one rule made
+    // deterministic: the (id, start)-minimum occurrence of each hot
+    // n-gram survives, every other occurrence is cut)
+    "p_span_dedup_keep_first" -> ((s, dir) =>
+      Dedup.removeRepeatedSpansKeepFirst(table(s, dir, "documents"), "text",
+          "doc_id", n = 3, minDocs = 3)
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_removed").cast("long").as("n_removed"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")),
+
     // deterministic stratified sampling (data mixing): md5-hash coin per
     // doc, per-language rates — reproducible across reruns/retries, pure
     // map-side predicate (no shuffle, no rand())
@@ -369,6 +381,13 @@ object PipelineQueries {
         .groupBy("pack_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
         .orderBy("pack_id")),
+
+    // deterministic epoch shuffle/sharding: md5 permutation into 8 shards
+    // with dense 0-based within-shard positions — reproducible across
+    // reruns/retries/engines, unlike orderBy(rand())
+    "p_epoch_shards" -> ((s, dir) =>
+      Curation.epochShards(table(s, dir, "documents"), "doc_id", 8, "epoch0")
+        .orderBy("doc_id")),
 
     // duplicate-cluster resolution: connected components over the mined
     // pairs; cluster_id = min doc id of the component (the canonical doc
@@ -1648,6 +1667,40 @@ object PipelineQueries {
         |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
         |FROM k ORDER BY doc_id""".stripMargin,
 
+    "p_span_dedup_keep_first" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, u.i - 1 AS s0,
+        |    t[u.i]||' '||t[u.i+1]||' '||t[u.i+2] AS ngram
+        |  FROM t
+        |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+        |  WHERE len(t) >= 3
+        |), hot AS (
+        |  SELECT ngram FROM g GROUP BY ngram HAVING count(DISTINCT doc_id) >= 3
+        |), occ AS (
+        |  SELECT doc_id, s0,
+        |    row_number() OVER (PARTITION BY ngram ORDER BY doc_id, s0) AS rn
+        |  FROM g JOIN hot USING (ngram)
+        |), st AS (
+        |  SELECT doc_id, list(DISTINCT s0) AS starts
+        |  FROM occ WHERE rn > 1 GROUP BY doc_id
+        |), j AS (
+        |  SELECT t.doc_id, t.t,
+        |    CASE WHEN st.starts IS NULL THEN [] ELSE st.starts END AS starts
+        |  FROM t LEFT JOIN st USING (doc_id)
+        |), k AS (
+        |  SELECT doc_id, len(t) AS n_tokens,
+        |    list_transform(
+        |      list_filter(range(1, len(t) + 1),
+        |        i -> len(list_filter(starts, s -> s <= i - 1 AND i - 1 < s + 3)) = 0),
+        |      i -> t[i]) AS kept
+        |  FROM j
+        |)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+        |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
+
     "p_stratified_sample" ->
       s"""SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_id
          |FROM documents
@@ -1664,6 +1717,17 @@ object PipelineQueries {
         |SELECT CAST(floor(cum_before / 256) AS BIGINT) AS pack_id,
         |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS total_tokens
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p_epoch_shards" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    ${h60("concat(CAST(doc_id AS VARCHAR), '_epoch0')")} AS h
+         |  FROM documents
+         |)
+         |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+         |    AS BIGINT) AS shard_pos
+         |FROM b ORDER BY doc_id""".stripMargin,
 
     // connected components over the near-dup pairs: recursive reachability
     // closure, cluster id = min doc id reachable (= component minimum)

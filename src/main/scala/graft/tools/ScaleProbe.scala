@@ -99,6 +99,14 @@ object ScaleProbe {
         .agg(sum(length(col("clean_text"))), sum("n_removed")).collect()
       1L
     }
+    // keep-first variant: one extra map-side-combined min-struct
+    // aggregate + equi-join on the n-gram key over the cut-all shape —
+    // should track span_dedup within a small constant
+    time("span_dedup_keep_first") {
+      Dedup.removeRepeatedSpansKeepFirst(big, "text", "doc_id", n = 3, minDocs = 3)
+        .agg(sum(length(col("clean_text"))), sum("n_removed")).collect()
+      1L
+    }
     // span removal on FULLY-COVERED boilerplate docs (every token of every
     // doc sits under a hot n-gram — the license-page worst case, where
     // |starts| ≈ |tokens|): the r8 exists-lambda keep-filter was O(T²)
@@ -162,6 +170,12 @@ object ScaleProbe {
     time("token_budget") {
       graft.ext.Curation.takeTokenBudget(big, "lang",
         Map("en" -> 1000000L), defaultBudget = 500000L).count()
+    }
+    // epoch shuffle/shard at a production shard count: the within-shard
+    // rank rides the range-partitioned cumsum — linear in rows, no
+    // per-shard single-task sort
+    time("epoch_shards") {
+      graft.ext.Curation.epochShards(big, "doc_id", 1024).count()
     }
     big.unpersist(blocking = false)
 

@@ -129,6 +129,30 @@ class CurationSpec extends AnyFunSuite {
     assert(tight == Set(1L, 2L, 3L), s"got $tight")
   }
 
+  test("epochShards: deterministic full permutation with dense per-shard positions") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val out = graft.ext.Curation.epochShards(docs, "doc_id", 8, "epoch0")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.length == 100 && out.map(_._1).distinct.length == 100,
+      "every row appears exactly once")
+    assert(out.forall(t => t._2 >= 0 && t._2 < 8), "shards in [0, 8)")
+    // positions within each shard are exactly 0..n_s-1 (dense ranks)
+    out.groupBy(_._2).foreach { case (sh, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $sh positions must be dense 0-based ranks")
+    }
+    // reproducible: a second invocation yields the identical permutation
+    val again = graft.ext.Curation.epochShards(docs, "doc_id", 8, "epoch0")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // a fresh salt re-permutes (different epoch): some assignment differs
+    val epoch1 = graft.ext.Curation.epochShards(docs, "doc_id", 8, "epoch1")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.sortBy(_._1).toSeq != epoch1.sortBy(_._1).toSeq,
+      "a different salt must yield a different permutation")
+  }
+
   test("chunkTokens rejects stride > chunkSize (silent-coverage-loss guard, r13 review)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")

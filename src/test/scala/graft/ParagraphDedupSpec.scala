@@ -69,6 +69,45 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(byId(3L).getAs[Int]("n_removed") == 6)
   }
 
+  test("removeRepeatedSpansKeepFirst: the (id,start)-minimum occurrence survives") {
+    import spark.implicits._
+    // same fixture as the cut-all test: "x y z" hot in all 3 docs; the
+    // canonical occurrence is (doc 1, start 1) so doc 1 keeps its copy
+    val docs = Seq(
+      (1L, "a x y z b"),
+      (2L, "x y z"),
+      (3L, "c x y z x y z d")
+    ).toDF("doc_id", "text")
+    val byId = Dedup.removeRepeatedSpansKeepFirst(
+        docs, "text", "doc_id", n = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[String]("clean_text") == "a x y z b",
+      "canonical copy must survive intact")
+    assert(byId(1L).getAs[Int]("n_removed") == 0)
+    assert(byId(2L).getAs[String]("clean_text") == "")
+    assert(byId(3L).getAs[String]("clean_text") == "c d")
+    assert(byId(3L).getAs[Int]("n_removed") == 6)
+  }
+
+  test("removeRepeatedSpansKeepFirst: overlap inside the canonical doc cuts only the later occurrence") {
+    import spark.implicits._
+    // "x y z" occurs at (1,0) [canonical], (1,3), (2,0), (3,1); the
+    // later same-doc occurrence is cut, leaving exactly one copy in the
+    // corpus
+    val docs = Seq(
+      (1L, "x y z x y z"),
+      (2L, "x y z q"),
+      (3L, "p x y z")
+    ).toDF("doc_id", "text")
+    val byId = Dedup.removeRepeatedSpansKeepFirst(
+        docs, "text", "doc_id", n = 3, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[String]("clean_text") == "x y z")
+    assert(byId(1L).getAs[Int]("n_removed") == 3)
+    assert(byId(2L).getAs[String]("clean_text") == "q")
+    assert(byId(3L).getAs[String]("clean_text") == "p")
+  }
+
   test("removeRepeatedSpans leaves unique docs untouched") {
     import spark.implicits._
     val docs = Seq(

@@ -144,6 +144,23 @@ class PlanSpec extends AnyFunSuite {
       "semdedup pair mining must stay an equi-join on the cell id")
   }
 
+  test("epoch shards: range cumsum + broadcast prefix, no per-shard window; keep-first span dedup stays keyed") {
+    val pShards = plan(PipelineQueries.queries("p_epoch_shards")(spark, sf))
+    // the within-shard rank must ride the range-partitioned cumsum, not
+    // a Window.partitionBy(shard) (one task per shard = 100 GB sorts)
+    assert(!pShards.contains("Window"), s"no per-shard window:\n${pShards.take(600)}")
+    assert(pShards.contains("rangepartitioning"),
+      s"expected the range-partitioned cumsum:\n${pShards.take(800)}")
+    assert(pShards.contains("BroadcastHashJoin"),
+      s"the numShards-row prefix table must broadcast:\n${pShards.take(800)}")
+    val pKf = plan(PipelineQueries.queries("p_span_dedup_keep_first")(spark, sf))
+    assert(!pKf.contains("CartesianProduct"),
+      "canonical-occurrence resolution must stay on the n-gram key")
+    // canonical min is a map-side-combined aggregate, never a per-ngram
+    // window (a hot boilerplate n-gram would sort in one task)
+    assert(!pKf.contains("Window"), s"no per-ngram window:\n${pKf.take(600)}")
+  }
+
   test("near-dup verification broadcast is gated by BYTES, not rows") {
     import org.apache.spark.sql.functions._
     val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
