@@ -29,7 +29,14 @@ object ScaleProbe {
     val nBig = big.count()
     println(s"[scale] corpus ${nBase} -> ${nBig} docs (x$mult)")
 
+    // SPARK_GRAFT_PROBE_ONLY=a,b,c runs the named probes and skips the
+    // rest (the full 20x sweep takes ~10 min; a targeted re-measure of a
+    // changed operator should not pay for near_dup_k128's 5 min)
+    val only: Set[String] = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
     def time(name: String)(f: => Long): Unit = {
+      if (only.nonEmpty && !only.contains(name)) return
       val t0 = System.nanoTime()
       val rows = f
       println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
@@ -112,7 +119,8 @@ object ScaleProbe {
     // |starts| ≈ |tokens|): the r8 exists-lambda keep-filter was O(T²)
     // per document here (~25M lambda evals per 5k-token doc); the
     // covered-set array_except cut must scale ~linearly in doc count
-    for (m <- Seq(1, 4)) {
+    for (m <- Seq(1, 4)
+         if only.isEmpty || only.exists(_.startsWith("span_boiler"))) {
       val tokensN = 5000
       val nd = 64 * m
       val boiler = spark.range(nd).select(col("id").as("doc_id"),
@@ -181,7 +189,7 @@ object ScaleProbe {
 
     // funnel over a user-replicated event stream: one user-keyed shuffle,
     // per-user work linear in that user's stage events
-    locally {
+    if (only.isEmpty || only.contains("funnel")) {
       val ev = graft.queries.EventQueries.events(spark, dir)
         .select("user_id", "ts", "event_type")
       val bigEv = spark.range(mult).crossJoin(ev)
@@ -204,7 +212,7 @@ object ScaleProbe {
     // construction (hash partitioning can't split a key); what must stay
     // bounded is that task's MEMORY, which the external sort + streaming
     // fold guarantee.
-    locally {
+    if (only.isEmpty || only.contains("funnel_bot_user")) {
       val botEvents = 1000000L
       val bot = spark.range(botEvents).select(
         lit(7L).as("user_id"),
@@ -240,7 +248,8 @@ object ScaleProbe {
       .rdd.map(r => (Array(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)),
         r.getDouble(4), 1.0))
       .cache()
-    for (m <- Seq(1, trainMult)) {
+    for (m <- Seq(1, trainMult)
+         if only.isEmpty || only.exists(_.startsWith("train_hist"))) {
       val data = rows(m)
       val n = data.count()
       val t0 = System.nanoTime()
