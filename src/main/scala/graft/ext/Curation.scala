@@ -240,11 +240,16 @@ object Curation {
     * single task (with 1024 shards over 100 TB that is a ~100 GB
     * single-task sort); the cumsum's range sort keeps parallelism
     * corpus-wide — then the per-shard prefix (numShards scalar rows)
-    * broadcasts back. */
+    * broadcasts back.
+    *
+    * NULL ids are dropped EXPLICITLY (same contract as the null-stratum
+    * rule in [[rateTable]]): a null id has no hash identity to permute,
+    * and duplicate (all-null) order keys would violate the cumsum's
+    * unique-key determinism contract — tag rows with real ids upstream. */
   def epochShards(df: DataFrame, idCol: String, numShards: Int,
       salt: String = "epoch0"): DataFrame = {
     require(numShards > 0, "numShards must be positive")
-    val base = df.select(col(idCol),
+    val base = df.where(col(idCol).isNotNull).select(col(idCol),
         TextOps.hash60(concat(col(idCol).cast("string"), lit("_" + salt)))
           .as("_h"))
       .withColumn("shard", pmod(col("_h"), lit(numShards.toLong)).cast("int"))

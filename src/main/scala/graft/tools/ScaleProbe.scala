@@ -35,8 +35,14 @@ object ScaleProbe {
     val only: Set[String] = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    // prefix match so "span_boiler" selects span_boiler_x{1,4} and
+    // "train_hist" both trainer sizes; multi-iteration blocks gate each
+    // iteration on the same predicate as its time() call, so a targeted
+    // run never builds a fixture it will not measure
+    def selected(name: String): Boolean =
+      only.isEmpty || only.exists(name.startsWith)
     def time(name: String)(f: => Long): Unit = {
-      if (only.nonEmpty && !only.contains(name)) return
+      if (!selected(name)) return
       val t0 = System.nanoTime()
       val rows = f
       println(f"[scale] $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($rows rows)")
@@ -119,8 +125,7 @@ object ScaleProbe {
     // |starts| ≈ |tokens|): the r8 exists-lambda keep-filter was O(T²)
     // per document here (~25M lambda evals per 5k-token doc); the
     // covered-set array_except cut must scale ~linearly in doc count
-    for (m <- Seq(1, 4)
-         if only.isEmpty || only.exists(_.startsWith("span_boiler"))) {
+    for (m <- Seq(1, 4) if selected(s"span_boiler_x$m")) {
       val tokensN = 5000
       val nd = 64 * m
       val boiler = spark.range(nd).select(col("id").as("doc_id"),
@@ -189,7 +194,7 @@ object ScaleProbe {
 
     // funnel over a user-replicated event stream: one user-keyed shuffle,
     // per-user work linear in that user's stage events
-    if (only.isEmpty || only.contains("funnel")) {
+    if (selected("funnel")) {
       val ev = graft.queries.EventQueries.events(spark, dir)
         .select("user_id", "ts", "event_type")
       val bigEv = spark.range(mult).crossJoin(ev)
@@ -212,7 +217,7 @@ object ScaleProbe {
     // construction (hash partitioning can't split a key); what must stay
     // bounded is that task's MEMORY, which the external sort + streaming
     // fold guarantee.
-    if (only.isEmpty || only.contains("funnel_bot_user")) {
+    if (selected("funnel_bot_user")) {
       val botEvents = 1000000L
       val bot = spark.range(botEvents).select(
         lit(7L).as("user_id"),
@@ -248,14 +253,14 @@ object ScaleProbe {
       .rdd.map(r => (Array(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)),
         r.getDouble(4), 1.0))
       .cache()
-    for (m <- Seq(1, trainMult)
-         if only.isEmpty || only.exists(_.startsWith("train_hist"))) {
+    for (m <- Seq(1, trainMult) if selected(s"train_hist_x$m")) {
       val data = rows(m)
       val n = data.count()
-      val t0 = System.nanoTime()
-      new GBTTrainer(TrainParams(numRounds = 5, maxDepth = 5, maxBin = 64, seed = 7))
-        .fit(data)
-      println(f"[scale] train_hist_x$m%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
+      time(s"train_hist_x$m") {
+        new GBTTrainer(TrainParams(numRounds = 5, maxDepth = 5, maxBin = 64, seed = 7))
+          .fit(data)
+        n
+      }
       data.unpersist(blocking = true)
     }
     spark.stop()

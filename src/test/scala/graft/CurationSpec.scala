@@ -151,6 +151,14 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(out.sortBy(_._1).toSeq != epoch1.sortBy(_._1).toSeq,
       "a different salt must yield a different permutation")
+    // NULL ids are dropped by the DOCUMENTED contract (no hash identity;
+    // pre-fix they vanished silently in the prefix equi-join instead) —
+    // the non-null rows still form a dense permutation
+    val withNull = Seq((Some(1L), "a"), (None, "b"), (Some(2L), "c"))
+      .toDF("doc_id", "text")
+    val nn = graft.ext.Curation.epochShards(withNull, "doc_id", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(nn.map(_._1).toSet == Set(1L, 2L), s"got ${nn.toSeq}")
   }
 
   test("chunkTokens rejects stride > chunkSize (silent-coverage-loss guard, r13 review)") {
