@@ -194,13 +194,38 @@ object Curation {
     * cum_tokens = the stratum-local inclusive running count. */
   def takeTokenBudget(df: DataFrame, strataCol: String,
       budgets: Map[String, Long], defaultBudget: Long,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    takeTokenBudgetOrdered(df, strataCol, budgets, defaultBudget,
+      None, idCol, textCol)
+
+  /** [[takeTokenBudget]] with a QUALITY order: within each stratum, docs
+    * are taken highest-`scoreCol`-first (id tiebreak) until the token
+    * budget fills — "the best N tokens per language", the
+    * quality-threshold curation rule (take by classifier score /
+    * perplexity rank, cut at the budget) rather than id order. Same
+    * determinism and scale shape as [[takeTokenBudget]]: the score only
+    * changes the cumsum's order key; one range-partitioned pass, text
+    * never shuffles, no per-stratum window. */
+  def takeTokenBudgetByScore(df: DataFrame, strataCol: String,
+      scoreCol: String, budgets: Map[String, Long], defaultBudget: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    takeTokenBudgetOrdered(df, strataCol, budgets, defaultBudget,
+      Some(scoreCol), idCol, textCol)
+
+  private def takeTokenBudgetOrdered(df: DataFrame, strataCol: String,
+      budgets: Map[String, Long], defaultBudget: Long,
+      scoreDescCol: Option[String], idCol: String, textCol: String): DataFrame = {
     require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
       "budgets must be non-negative")
-    val withTokens = df.select(col(idCol), col(strataCol),
-      size(TextOps.tokens(col(textCol))).cast("double").as("_nt"))
-    val c = graft.data.DistributedCumsum.cumsum(
-      withTokens, Seq(col(strataCol).asc, col(idCol).asc), Seq("_nt"))
+    // the optional score rides the cumsum projection only as an order
+    // key (highest first); the id tiebreak keeps the key tuple unique
+    // as the cumsum's determinism contract requires
+    val withTokens = df.select(Seq(col(idCol), col(strataCol)) ++
+      scoreDescCol.map(col) :+
+      size(TextOps.tokens(col(textCol))).cast("double").as("_nt"): _*)
+    val order = Seq(col(strataCol).asc) ++
+      scoreDescCol.map(s => col(s).desc) :+ col(idCol).asc
+    val c = graft.data.DistributedCumsum.cumsum(withTokens, order, Seq("_nt"))
     // stratum's global prefix = the exclusive cumsum of its first row
     // (rows are (stratum, id)-ordered, so that row has the stratum min)
     val prefix = c.groupBy(col(strataCol))

@@ -291,6 +291,14 @@ object PipelineQueries {
           Map("en" -> 20000L), defaultBudget = 8000L)
         .orderBy("doc_id")),
 
+    // quality-ordered token budgets: take the BEST docs per language
+    // (n_chars desc, id tiebreak) until the budget fills — the
+    // quality-threshold curation rule
+    "p_token_budget_best" -> ((s, dir) =>
+      Curation.takeTokenBudgetByScore(table(s, dir, "documents"), "lang",
+          "n_chars", Map("en" -> 20000L), defaultBudget = 8000L)
+        .orderBy("doc_id")),
+
     // MinHash-LSH near-duplicate pairs, exact-Jaccard verified ≥ 0.8
     "p_near_dup" -> ((s, dir) =>
       Dedup.nearDupPairs(table(s, dir, "documents"), "text", "doc_id",
@@ -1581,6 +1589,22 @@ object PipelineQueries {
         |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
         |    CAST(sum(n_tokens) OVER (
         |      PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum_tokens
+        |  FROM t
+        |)
+        |SELECT doc_id, lang, n_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= CASE WHEN lang = 'en' THEN 20000 ELSE 8000 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "p_token_budget_best" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    CAST(sum(n_tokens) OVER (
+        |      PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT)
+        |      AS cum_tokens
         |  FROM t
         |)
         |SELECT doc_id, lang, n_tokens, cum_tokens FROM c

@@ -129,6 +129,23 @@ class CurationSpec extends AnyFunSuite {
     assert(tight == Set(1L, 2L, 3L), s"got $tight")
   }
 
+  test("takeTokenBudgetByScore: best-first order, id tiebreak, hard cut") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", 10L, "a b c"),     // 3 tokens, score 10 -> 3rd in en
+      (2L, "en", 30L, "d e f g"),   // 4 tokens, score 30 -> 1st
+      (3L, "en", 20L, "h i"),       // 2 tokens, score 20 -> 2nd
+      (4L, "de", 5L, "j k l"),      // tie on score: id order
+      (5L, "de", 5L, "m n")
+    ).toDF("doc_id", "lang", "score", "text")
+    val kept = graft.ext.Curation.takeTokenBudgetByScore(
+        docs, "lang", "score", Map("en" -> 6L), defaultBudget = 10L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cum_tokens")).toMap
+    // en: doc2 (cum 4), doc3 (cum 6); doc1 would be cum 9 > 6 -> cut.
+    // de: score tie broken by id -> doc4 (cum 3), doc5 (cum 5), both fit
+    assert(kept == Map(2L -> 4L, 3L -> 6L, 4L -> 3L, 5L -> 5L), kept)
+  }
+
   test("epochShards: deterministic full permutation with dense per-shard positions") {
     import spark.implicits._
     val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")

@@ -108,6 +108,29 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(byId(3L).getAs[String]("clean_text") == "p")
   }
 
+  test("keep-first removes no more than cut-all on a seeded random corpus") {
+    import spark.implicits._
+    // tiny vocab forces plenty of hot 3-grams; seed pins the fixture so
+    // the subset relation is a deterministic regression, not a property
+    // gamble (the CleaningPropertySpec seed-luck lesson)
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(10))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val all = Dedup.removeRepeatedSpans(docs, "text", "doc_id", 3, 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("n_removed")).toMap
+    val kf = Dedup.removeRepeatedSpansKeepFirst(docs, "text", "doc_id", 3, 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Int]("n_removed")).toMap
+    assert(kf.keySet == all.keySet)
+    kf.foreach { case (id, n) =>
+      assert(n <= all(id), s"doc $id: keep-first removed $n > cut-all ${all(id)}")
+    }
+    assert(kf.values.sum < all.values.sum,
+      "at least one canonical copy must survive the keep-first rule")
+  }
+
   test("removeRepeatedSpans leaves unique docs untouched") {
     import spark.implicits._
     val docs = Seq(
