@@ -164,12 +164,24 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 128, shingleN: Int = 3,
       bloomExpectedItems: Long = -1L, bloomFpp: Double = 0.01): DataFrame = {
+    val sigs = minhashSignatures(newDocs, textCol, col(idCol), numHashes, shingleN)
+      .select(col("id").as(idCol), sigKeyCol(numHashes).as("_key"))
+    sigKeyGate(newDocs, sigs, priorKeys, textCol, idCol,
+      bloomExpectedItems, bloomFpp)
+  }
+
+  /** Tier-1 body shared by [[incrementalNearDedup]] and
+    * [[incrementalCrawlGate]]: within-batch dedup on the signature key
+    * (md5-fallback for shingle-less docs) + anti-join against the prior
+    * snapshot's distinct keys. `batchSigKeys` is (idCol, _key) for the
+    * shingled batch docs. */
+  private def sigKeyGate(newDocs: DataFrame, batchSigKeys: DataFrame,
+      priorKeys: DataFrame, textCol: String, idCol: String,
+      bloomExpectedItems: Long, bloomFpp: Double): DataFrame = {
     require(priorKeys.columns.toSeq == Seq("_key"),
       "priorKeys must be a nearDupKeys projection (single `_key` column); " +
         "got " + priorKeys.columns.mkString(", "))
-    val sigs = minhashSignatures(newDocs, textCol, col(idCol), numHashes, shingleN)
-      .select(col("id").as(idCol), sigKeyCol(numHashes).as("_key"))
-    val keyed = newDocs.join(sigs, Seq(idCol), "left")
+    val keyed = newDocs.join(batchSigKeys, Seq(idCol), "left")
       .withColumn("_key", coalesce(col("_key"), md5(col(textCol))))
     val w = Window.partitionBy(col("_key")).orderBy(col(idCol))
     val batch = keyed.withColumn("_rn", row_number().over(w))
@@ -222,13 +234,26 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
+    val batchSigs = minhashSignatures(newDocs, textCol, col(idCol), numHashes, shingleN)
+    newDocs.join(
+      bandedFlaggedIds(batchSigs, priorSigs, numHashes, bands, threshold,
+        maxBucketSize).select(col("_bid").as(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  /** Tier-2 body shared by [[incrementalBandedNearDedup]] and
+    * [[incrementalCrawlGate]]: banded candidate join + estimated-Jaccard
+    * verification over the two signature tables. Returns the flagged
+    * batch ids as a single `_bid` column. */
+  private def bandedFlaggedIds(batchSigs: DataFrame, priorSigs: DataFrame,
+      numHashes: Int, bands: Int, threshold: Double,
+      maxBucketSize: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val sigCols = "id" +: (0 until numHashes).map(k => s"mh$k")
     require(priorSigs.columns.toSeq == sigCols,
       s"priorSigs must be a minhashSignatures($numHashes) projection " +
         s"(id, mh0..mh${numHashes - 1}); got " + priorSigs.columns.mkString(", "))
     val sigArr = array((0 until numHashes).map(k => col(s"mh$k")): _*)
-    val batchSigs = minhashSignatures(newDocs, textCol, col(idCol), numHashes, shingleN)
     val cand = cappedBuckets(lshBuckets(batchSigs, numHashes, bands), maxBucketSize)
       .select(col("id").as("_bid"), col("band"), col("key"))
       .join(cappedBuckets(lshBuckets(priorSigs, numHashes, bands), maxBucketSize)
@@ -237,12 +262,55 @@ object Dedup {
       .select(col("_bid"), col("_pid")).distinct()
     val agree = size(filter(
       zip_with(col("_bsig"), col("_psig"), (a, b) => a === b), x => x))
-    val flagged = cand
+    cand
       .join(batchSigs.select(col("id").as("_bid"), sigArr.as("_bsig")), "_bid")
       .join(priorSigs.select(col("id").as("_pid"), sigArr.as("_psig")), "_pid")
       .where(agree.cast("double") / lit(numHashes.toDouble) >= threshold)
-      .select(col("_bid").as(idCol)).distinct()
-    newDocs.join(flagged, Seq(idCol), "left_anti")
+      .select(col("_bid")).distinct()
+  }
+
+  /** The daily-crawl gate composition, SHARING one batch signature pass
+    * across both tiers: [[incrementalNearDedup]] (signature-equality,
+    * subsumes exact) then [[incrementalBandedNearDedup]] (J ≥ `threshold`
+    * OR-tier) — result row-identical to running the two operators in
+    * sequence, which is how the `p_incr_crawl` oracle states it.
+    *
+    * Why a fused operator exists at all: the sequential composition
+    * computes the batch's minhash signatures TWICE (tier 2 re-runs
+    * [[minhashSignatures]] on tier-1 survivors — whose plan ALSO embeds
+    * the whole tier-1 DAG, so stage 1 executes again inside stage 2).
+    * The signature pass (shingle explode + k hashes per shingle) is the
+    * dominant linear cost of the gate at corpus scale; here it runs ONCE
+    * over the batch (`localCheckpoint` — k longs per doc, far below the
+    * text), tier 1 keys derive from it, and tier 2 filters the same
+    * table to tier-1 survivors (a doc's signature depends only on its
+    * text, so filtering ≡ recomputing). Survivor ids are checkpointed
+    * (ids only) so the tier-1 window does not re-execute to build tier
+    * 2's candidate set.
+    *
+    * `priorKeys` ([[nearDupKeys]]) and `priorSigs`
+    * ([[minhashSignatures]]) are BOTH persistable snapshot projections —
+    * a production pipeline stores the signature table and derives the
+    * key table from it once per snapshot, never re-reading snapshot
+    * text. */
+  def incrementalCrawlGate(newDocs: DataFrame, priorKeys: DataFrame,
+      priorSigs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", numHashes: Int = 128, bands: Int = 32,
+      shingleN: Int = 3, threshold: Double = 0.8, maxBucketSize: Int = 1000,
+      bloomExpectedItems: Long = -1L, bloomFpp: Double = 0.01): DataFrame = {
+    val batchSigs = minhashSignatures(newDocs, textCol, col(idCol),
+      numHashes, shingleN).localCheckpoint()
+    val t1 = sigKeyGate(newDocs,
+      batchSigs.select(col("id").as(idCol), sigKeyCol(numHashes).as("_key")),
+      priorKeys, textCol, idCol, bloomExpectedItems, bloomFpp)
+    // ids only — bounded, and it stops the tier-1 window re-running as
+    // part of tier 2's candidate subtree
+    val keep1 = t1.select(col(idCol).as("id")).localCheckpoint()
+    val s1Sigs = batchSigs.join(keep1, Seq("id"), "left_semi")
+    t1.join(
+      bandedFlaggedIds(s1Sigs, priorSigs, numHashes, bands, threshold,
+        maxBucketSize).select(col("_bid").as(idCol)),
+      Seq(idCol), "left_anti")
   }
 
   /** Hashes per salt group for the MinHash family: slot k derives from the

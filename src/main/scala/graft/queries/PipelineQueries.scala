@@ -272,9 +272,12 @@ object PipelineQueries {
             concat(col("text"),
               lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
             col("lang")))
-      val s1 = Dedup.incrementalNearDedup(batch,
-        Dedup.nearDupKeys(prior, numHashes = NumHashes), numHashes = NumHashes)
-      Dedup.incrementalBandedNearDedup(s1,
+      // the FUSED gate: one batch signature pass shared by both tiers —
+      // row-identical to incrementalNearDedup then
+      // incrementalBandedNearDedup (the oracle states the sequential
+      // form; CurationSpec pins the equivalence, the 20x probe the win)
+      Dedup.incrementalCrawlGate(batch,
+          Dedup.nearDupKeys(prior, numHashes = NumHashes),
           Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes),
           numHashes = NumHashes, bands = Bands, threshold = 0.8,
           maxBucketSize = MaxBucket)

@@ -179,6 +179,28 @@ object ScaleProbe {
         Dedup.minhashSignatures(prior, "text", col("doc_id"), 16),
         numHashes = 16, bands = 4, threshold = 0.8).count()
     }
+    // the two-tier crawl gate, sequential vs fused (shared batch
+    // signature pass): at corpus scale the signature computation
+    // dominates, so the fused form should win by roughly the cost of
+    // one batch signature pass; k=128 is the documented banded-tier
+    // operating point
+    time("incremental_crawl_seq") {
+      val prior = big.where(col("doc_id") % 3 =!= 0)
+      val batch = big.where(col("doc_id") % 3 === 0)
+      Dedup.incrementalBandedNearDedup(
+        Dedup.incrementalNearDedup(batch,
+          Dedup.nearDupKeys(prior, numHashes = 128), numHashes = 128),
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), 128),
+        numHashes = 128, bands = 32, threshold = 0.8).count()
+    }
+    time("incremental_crawl_fused") {
+      val prior = big.where(col("doc_id") % 3 =!= 0)
+      val batch = big.where(col("doc_id") % 3 === 0)
+      Dedup.incrementalCrawlGate(batch,
+        Dedup.nearDupKeys(prior, numHashes = 128),
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), 128),
+        numHashes = 128, bands = 32, threshold = 0.8).count()
+    }
     // token-budget mix: one range-partitioned cumsum over (lang, id)
     time("token_budget") {
       graft.ext.Curation.takeTokenBudget(big, "lang",

@@ -263,6 +263,38 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalCrawlGate is row-identical to the sequential two-tier composition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val long1 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"v$i").mkString(" ")
+    val prior = Seq((1L, long1), (2L, other)).toDF("doc_id", "text")
+    val priorKeys = graft.ext.Dedup.nearDupKeys(prior, numHashes = 16)
+    val priorSigs = graft.ext.Dedup.minhashSignatures(
+      prior, "text", col("doc_id"), 16)
+    // all replica classes: byte-identical (10), within-batch signature
+    // dup (15 of 16), banded-only 20-token append (11), novel (12),
+    // shingle-less (13 — md5-fallback keyed), J ≈ 0.15 (14)
+    val batch = Seq(
+      (10L, long1),
+      (11L, long1 + " " + (1 to 20).map(i => s"q$i").mkString(" ")),
+      (12L, (1 to 40).map(i => s"x$i").mkString(" ")),
+      (13L, "a b"),
+      (14L, ((1 to 12).map(i => s"w$i") ++ (1 to 28).map(i => s"z$i")).mkString(" ")),
+      (15L, (1 to 40).map(i => s"x$i").mkString(" ")),
+      (16L, other)
+    ).toDF("doc_id", "text")
+    val sequential = graft.ext.Dedup.incrementalBandedNearDedup(
+        graft.ext.Dedup.incrementalNearDedup(batch, priorKeys, numHashes = 16),
+        priorSigs, numHashes = 16, bands = 4, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val fused = graft.ext.Dedup.incrementalCrawlGate(batch, priorKeys,
+        priorSigs, numHashes = 16, bands = 4, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(fused == sequential, s"fused $fused != sequential $sequential")
+    assert(fused == Set(12L, 13L, 14L), fused)
+  }
+
   test("new ops degrade cleanly on empty inputs") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
