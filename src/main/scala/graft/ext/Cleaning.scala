@@ -228,4 +228,25 @@ object Cleaning {
       size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ips"),
       redactText(t).as("redacted"))
   }
+
+  /** C4's blocklist page filter (Raffel et al. 2020 §2.2: any page
+    * containing a word from the "Dirty, Naughty, Obscene..." list is
+    * removed ENTIRELY — page granularity, unlike the line-level
+    * [[c4Clean]] rules): counts blocklisted tokens (case-insensitive
+    * whole-token match over the same single-space tokenization as
+    * [[TextOps.tokens]]) and flags clean pages. The list is bounded by
+    * construction, compiles into a codegen'd set-membership predicate —
+    * map-only, no shuffle, no UDF, scan-linear at any corpus size.
+    * Returns (idCol, n_tokens, n_blocked, word_keep 0/1). */
+  def blockedWordFilter(docs: DataFrame, blocklist: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    val words = blocklist.map(_.toLowerCase)
+    val toks = TextOps.tokens(col(textCol))
+    docs.select(col(idCol),
+        size(toks).as("n_tokens"),
+        size(filter(toks, t => lower(t).isInCollection(words))).as("n_blocked"))
+      .withColumn("word_keep",
+        when(col("n_blocked") === 0, 1).otherwise(0))
+  }
 }

@@ -286,6 +286,17 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // C4 blocklist page filter: pages containing any blocklisted word
+    // (case-insensitive whole token) are flagged for removal — map-only
+    "p_word_blocklist" -> ((s, dir) =>
+      Cleaning.blockedWordFilter(table(s, dir, "documents"),
+          Seq("slow", "error"), "doc_id", "text")
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_blocked").cast("long").as("n_blocked"),
+          col("word_keep"))
+        .orderBy("doc_id")),
+
     // per-stratum token-budget selection: en gets 20k tokens, every
     // other lang 8k — docs taken in doc_id order until the stratum's
     // budget fills; one global range-partitioned cumsum, text unshuffled
@@ -1583,6 +1594,20 @@ object PipelineQueries {
          |SELECT lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    "p_word_blocklist" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), m AS (
+        |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, w ->
+        |      list_contains(['slow', 'error'], lower(w)))) AS BIGINT)
+        |      AS n_blocked
+        |  FROM t
+        |)
+        |SELECT doc_id, n_tokens, n_blocked,
+        |  CAST(CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END AS INT) AS word_keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "p_token_budget" ->
       """WITH t AS (

@@ -104,6 +104,26 @@ class CleaningSpec extends AnyFunSuite {
     assert(!got.contains("secret") && !got.contains("top"))
   }
 
+  test("blockedWordFilter: whole-token case-insensitive page flag") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a clean page of text"),
+      (2L, "this page says BadWord twice BADWORD here"),
+      (3L, "badwords is not the listed token"),   // substring must NOT match
+      (4L, "edge badword")
+    ).toDF("doc_id", "text")
+    val m = Cleaning.blockedWordFilter(docs, Seq("badword"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Int]("n_blocked") == 0 && m(1L).getAs[Int]("word_keep") == 1)
+    assert(m(2L).getAs[Int]("n_blocked") == 2 && m(2L).getAs[Int]("word_keep") == 0)
+    assert(m(3L).getAs[Int]("word_keep") == 1,
+      "whole-token match only — substrings must not trigger the filter")
+    assert(m(4L).getAs[Int]("word_keep") == 0)
+    intercept[IllegalArgumentException] {
+      Cleaning.blockedWordFilter(docs, Seq.empty)
+    }
+  }
+
   test("redactPii replaces emails, phones and IPv4s and counts matches") {
     import spark.implicits._
     val docs = Seq(
