@@ -240,13 +240,21 @@ object Cleaning {
     * Returns (idCol, n_tokens, n_blocked, word_keep 0/1). */
   def blockedWordFilter(docs: DataFrame, blocklist: Seq[String],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(blocklist.nonEmpty, "blocklist must not be empty")
-    val words = blocklist.map(_.toLowerCase)
     val toks = TextOps.tokens(col(textCol))
     docs.select(col(idCol),
         size(toks).as("n_tokens"),
-        size(filter(toks, t => lower(t).isInCollection(words))).as("n_blocked"))
+        blockedWordCount(col(textCol), blocklist).as("n_blocked"))
       .withColumn("word_keep",
         when(col("n_blocked") === 0, 1).otherwise(0))
+  }
+
+  /** Count of blocklisted tokens in `t` — THE shared predicate of
+    * [[blockedWordFilter]] and the streaming ingest gate
+    * ([[graft.streaming.StreamingIngest.cleanDocuments]]), so batch and
+    * feed agree bit-identically on what a blocked page is. */
+  def blockedWordCount(t: Column, blocklist: Seq[String]): Column = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    val words = blocklist.map(_.toLowerCase)
+    size(filter(TextOps.tokens(t), w => lower(w).isInCollection(words)))
   }
 }

@@ -336,7 +336,8 @@ object StreamingIngest {
       priorDocs: Option[DataFrame] = None,
       nearDupBands: Int = 0, nearDupBandedThreshold: Double = 0.8,
       nearDupBandedMaxBucket: Int = 1000,
-      nearDupPriorSigs: Option[DataFrame] = None): DataFrame = {
+      nearDupPriorSigs: Option[DataFrame] = None,
+      blockWords: Seq[String] = Seq.empty): DataFrame = {
     require(docs.isStreaming,
       "cleanDocuments is the streaming twin; batch feeds use Dedup.exactDedup + the p_quality filters")
     // the banded prior tier is meaningless without the minhash tier and a
@@ -359,9 +360,16 @@ object StreamingIngest {
         .withColumn(textCol, col("clean_text"))
         .drop("n_lines", "n_kept", "page_keep", "clean_text")
       else fixed
-    val scrubbed =
+    val piiDone =
       if (redactPii) c4ed.withColumn(textCol, Cleaning.redactText(col(textCol)))
       else c4ed
+    // C4 blocklist page filter — stateless, THE SAME predicate as the
+    // batch blockedWordFilter (shared Cleaning.blockedWordCount), so a
+    // page the batch pipeline would drop can never enter via the feed
+    val scrubbed =
+      if (blockWords.nonEmpty)
+        piiDone.where(Cleaning.blockedWordCount(col(textCol), blockWords) === 0)
+      else piiDone
     val t = TextOps.tokens(col(textCol))
     val gated = scrubbed
       .withWatermark(tsCol, watermark)

@@ -168,6 +168,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest gate: blocklist page filter agrees with the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val clean = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val dirty = "the quick brown fox mentions BadWord once among many other english words"
+    val subStr = "the quick brown badwords is a substring case and must not be dropped here"
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val cleaned = graft.streaming.StreamingIngest.cleanDocuments(
+      stream.toDF().toDF("ts", "text"), watermark = "1 minute", minTokens = 5,
+      minQuality = 0.05, blockWords = Seq("badword"))
+    val q = cleaned.writeStream.format("memory").queryName("blocklist_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((ts(0), clean), (ts(1), dirty), (ts(2), subStr)))
+      q.processAllAvailable()
+      val out = spark.table("blocklist_sink").select("text").as[String].collect().toSet
+      assert(out == Set(clean, subStr), s"got $out")
+      // parity: the batch operator keeps exactly the same pages
+      val batchKept = graft.ext.Cleaning.blockedWordFilter(
+          Seq((1L, clean), (2L, dirty), (3L, subStr)).toDF("doc_id", "text"),
+          Seq("badword"))
+        .where($"word_keep" === 1).count()
+      assert(batchKept == 2)
+    } finally q.stop()
+  }
+
   test("streaming ingest gate: prior-snapshot dedup (incrementalDedup twin)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
