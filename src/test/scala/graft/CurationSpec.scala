@@ -293,6 +293,27 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(fused == sequential, s"fused $fused != sequential $sequential")
     assert(fused == Set(12L, 13L, 14L), fused)
+    // seeded-random parity sweep: small vocab forces a mix of exact,
+    // near and novel docs across random prior/batch splits
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val corpus = (1L to 60L).map { i =>
+      (i, Seq.fill(4 + rnd.nextInt(12))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val rPrior = corpus.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+    val rBatch = corpus.filter(_._1 % 2 == 1).toDF("doc_id", "text")
+    val rKeys = graft.ext.Dedup.nearDupKeys(rPrior, numHashes = 16)
+    val rSigs = graft.ext.Dedup.minhashSignatures(
+      rPrior, "text", col("doc_id"), 16)
+    val rSeq = graft.ext.Dedup.incrementalBandedNearDedup(
+        graft.ext.Dedup.incrementalNearDedup(rBatch, rKeys, numHashes = 16),
+        rSigs, numHashes = 16, bands = 4, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val rFused = graft.ext.Dedup.incrementalCrawlGate(rBatch, rKeys, rSigs,
+        numHashes = 16, bands = 4, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(rFused == rSeq, s"random-corpus parity: $rFused != $rSeq")
   }
 
   test("new ops degrade cleanly on empty inputs") {
