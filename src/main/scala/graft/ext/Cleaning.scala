@@ -248,13 +248,38 @@ object Cleaning {
         when(col("n_blocked") === 0, 1).otherwise(0))
   }
 
-  /** Count of blocklisted tokens in `t` — THE shared predicate of
+  /** Count of blocklisted matches in `t` — THE shared predicate of
     * [[blockedWordFilter]] and the streaming ingest gate
     * ([[graft.streaming.StreamingIngest.cleanDocuments]]), so batch and
-    * feed agree bit-identically on what a blocked page is. */
+    * feed agree bit-identically on what a blocked page is.
+    *
+    * Single-word entries match whole tokens (case-insensitive, the
+    * [[TextOps.tokens]] single-space convention). MULTI-WORD entries —
+    * the real C4/LDNOOBW list is full of them, and a tokens-only match
+    * would silently never fire on any — match as token-boundary phrases:
+    * occurrences of `" phrase "` inside the space-padded lowered text,
+    * so `"strip club"` matches the phrase but not `"nonstrip clubs"`.
+    * Both forms are plain codegen'd string expressions; map-only. */
   def blockedWordCount(t: Column, blocklist: Seq[String]): Column = {
     require(blocklist.nonEmpty, "blocklist must not be empty")
-    val words = blocklist.map(_.toLowerCase)
-    size(filter(TextOps.tokens(t), w => lower(w).isInCollection(words)))
+    val entries = blocklist.map(_.toLowerCase)
+    require(entries.forall(_.trim.nonEmpty), "blocklist entries must be non-blank")
+    val (phrases, words) = entries.partition(_.contains(" "))
+    val tokenHits =
+      if (words.nonEmpty)
+        size(filter(TextOps.tokens(t), w => lower(w).isInCollection(words)))
+      else lit(0)
+    // padded substring count: (len(s) − len(replace(s, p, ''))) / len(p)
+    // over s = ' ' + lower(text) + ' ' and p = ' ' + phrase + ' '; note
+    // back-to-back occurrences ("p p") share the separating space and
+    // count as one — the page is dropped either way (count > 0 is the
+    // decision), so the under-count is harmless and engine-portable
+    val padded = concat(lit(" "), lower(t), lit(" "))
+    val phraseHits = phrases.map { ph =>
+      val p = s" $ph "
+      ((length(padded) - length(replace(padded, lit(p), lit("")))) /
+        lit(p.length)).cast("int")
+    }.reduceOption(_ + _).getOrElse(lit(0))
+    tokenHits + phraseHits
   }
 }

@@ -226,8 +226,13 @@ object Curation {
     val order = Seq(col(strataCol).asc) ++
       scoreDescCol.map(s => col(s).desc) :+ col(idCol).asc
     val c = graft.data.DistributedCumsum.cumsum(withTokens, order, Seq("_nt"))
-    // stratum's global prefix = the exclusive cumsum of its first row
-    // (rows are (stratum, id)-ordered, so that row has the stratum min)
+    // stratum's global prefix = min over the stratum of the EXCLUSIVE
+    // cumsum. The min is order-agnostic within the stratum (stratum is
+    // the leading order key so its rows are contiguous, and _nt >= 0
+    // keeps the exclusive cumsum minimal at the stratum's first global
+    // row) — which is what keeps this shared body correct for BOTH the
+    // id-order and the score-desc order paths; do not "simplify" to a
+    // first()-style lookup that assumes id order
     val prefix = c.groupBy(col(strataCol))
       .agg(min(col("cum__nt") - col("_nt")).as("_pre"))
       .withColumnRenamed(strataCol, "_strat_pre")

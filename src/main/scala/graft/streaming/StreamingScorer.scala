@@ -392,12 +392,15 @@ object StreamingIngest {
       case Some(prior) =>
         // the STATIC side of a stream-static join re-executes on EVERY
         // micro-batch — for the text path that is a full snapshot
-        // signature pass per batch. Persist the bounded key projection
-        // for the query's lifetime (deliberately never unpersisted: the
-        // running query's plan references it until the stream stops;
-        // the ContextCleaner reclaims it afterwards).
+        // signature pass per batch. Eager localCheckpoint (NOT persist:
+        // a persist registers in the session CacheManager, which holds
+        // strong references until an explicit unpersist — a library
+        // cannot safely do that, so each gate construction would leak a
+        // session-lifetime cache entry). Checkpoint blocks are plain RDD
+        // blocks: the ContextCleaner reclaims them once the stopped
+        // query's plan is garbage-collected.
         val priorK = keyOf(prior).select(col(key), lit(1).as("_seen")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .localCheckpoint()
         stream.join(priorK, Seq(key), "left_outer")
           .where(col("_seen").isNull).drop("_seen")
       case None => stream
@@ -464,22 +467,25 @@ object StreamingIngest {
           // shared cap as the batch operator (Dedup.cappedBuckets —
           // spillable window count; a boilerplate mega-bucket must never
           // materialize its full signature list just to be discarded)
-          // static-side persists (same rationale as dropSeen's): without
-          // them, EACH of the b bucket tables re-runs the prior
-          // signature explode on its first materialization, and then
-          // again on EVERY micro-batch — b × batches full prior passes.
-          // cappedRows bounds the first-build cost to one pass; each
-          // per-band bucket table then persists its (key, sig-list)
-          // aggregate, which later micro-batches re-read directly.
-          // Deliberately never unpersisted (query-lifetime static state).
+          // static-side materialization (same rationale and mechanism as
+          // dropSeen's — localCheckpoint, never persist, see there):
+          // without it, EACH of the b bucket tables re-runs the prior
+          // signature explode on its first build and then again on EVERY
+          // micro-batch. cappedRows checkpoints once so the b bucket
+          // builds share one explode; each per-band (key, sig-list)
+          // aggregate then checkpoints so later micro-batches read the
+          // materialized blocks directly. After construction nothing
+          // references cappedRows' blocks — the ContextCleaner reclaims
+          // them — while the bucket blocks live exactly as long as the
+          // query plan does.
           val cappedRows = graft.ext.Dedup
             .cappedBuckets(priorBucketRows, nearDupBandedMaxBucket)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .localCheckpoint()
           val buckets = (0 until b).map { i =>
             cappedRows.where(col("band") === i)
               .groupBy(col("key").as(s"_k$i"))
               .agg(collect_list(col("_psig")).as(s"_ps$i"))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              .localCheckpoint()
           }
           val withKeys = afterSeen.withColumn("_bkeys", graft.ext.Dedup
             .sigBandKeys(col("minhash_sig"), nearDupHashes, b))

@@ -37,10 +37,11 @@ class BucketedSnapshotSpec extends AnyFunSuite {
       // same rows as the un-bucketed join
       val plain = docs.join(meta, "doc_id").count()
       assert(rows == plain && rows > 0)
-      // aggregation on the bucket key also skips the exchange
+      // aggregation on the bucket key also skips the exchange (plan-only
+      // inspection: executedPlan is computed lazily and independently of
+      // any action, so running the query first proves nothing extra)
       val agg = BucketedSnapshot.read(spark, "bk_docs")
         .groupBy("doc_id").agg(count(lit(1)).as("n"))
-      agg.collect()
       val aggPlan = agg.queryExecution.executedPlan.toString
       assert(!aggPlan.contains("Exchange"),
         s"groupBy on the bucket key must not shuffle:\n${aggPlan.take(1200)}")
@@ -64,11 +65,12 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     try {
       val batchKeys = graft.ext.Dedup.nearDupKeys(
         docs.where(col("doc_id") % 3 === 0), numHashes = 16)
-      def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
-        df.count()
+      // plan-only: exchange elision for bucketed scans is decided
+      // statically (AQE cannot introduce an exchange the initial plan
+      // lacks), so no action needs to run
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int =
         "Exchange hashpartitioning".r
           .findAllMatchIn(df.queryExecution.executedPlan.toString).length
-      }
       val bucketed = exchanges(batchKeys.join(
         BucketedSnapshot.read(spark, "bk_prior_keys"), Seq("_key"), "left_anti"))
       // the plain form recomputes + re-shuffles the prior side from text

@@ -124,6 +124,33 @@ class CleaningSpec extends AnyFunSuite {
     }
   }
 
+  test("blockedWordFilter: multi-word entries match token-boundary phrases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a page that mentions the Bad Phrase right here"),
+      (2L, "nonbad phrases and embedded notbad phrase stay clean"),
+      (3L, "bad phrase starts and it ends with bad phrase"),
+      (4L, "the word bad alone and phrase alone do not match")
+    ).toDF("doc_id", "text")
+    val m = Cleaning.blockedWordFilter(docs, Seq("bad phrase"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(m(1L).getAs[Int]("n_blocked") == 1 && m(1L).getAs[Int]("word_keep") == 0)
+    assert(m(2L).getAs[Int]("word_keep") == 1,
+      "substrings across token boundaries must not match")
+    assert(m(3L).getAs[Int]("n_blocked") == 2, "both occurrences count")
+    assert(m(4L).getAs[Int]("word_keep") == 1,
+      "the phrase's words alone must not match")
+    // mixed lists combine token and phrase hits
+    val mixed = Cleaning.blockedWordFilter(
+        Seq((1L, "standalone badword plus the bad phrase too")).toDF("doc_id", "text"),
+        Seq("badword", "bad phrase"))
+      .head()
+    assert(mixed.getAs[Int]("n_blocked") == 2)
+    intercept[IllegalArgumentException] {
+      Cleaning.blockedWordFilter(docs, Seq("  "))
+    }
+  }
+
   test("redactPii replaces emails, phones and IPv4s and counts matches") {
     import spark.implicits._
     val docs = Seq(
