@@ -287,10 +287,11 @@ object PipelineQueries {
     }),
 
     // C4 blocklist page filter: pages containing any blocklisted word
-    // (case-insensitive whole token) are flagged for removal — map-only
+    // (case-insensitive whole token) or multi-word phrase (token-boundary
+    // match) are flagged for removal — map-only
     "p_word_blocklist" -> ((s, dir) =>
       Cleaning.blockedWordFilter(table(s, dir, "documents"),
-          Seq("slow", "error"), "doc_id", "text")
+          Seq("slow", "error", "group query"), "doc_id", "text")
         .select(col("doc_id"),
           col("n_tokens").cast("long").as("n_tokens"),
           col("n_blocked").cast("long").as("n_blocked"),
@@ -1597,11 +1598,15 @@ object PipelineQueries {
 
     "p_word_blocklist" ->
       """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    ' ' || lower(text) || ' ' AS padded
+        |  FROM documents
         |), m AS (
         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |    CAST(len(list_filter(toks, w ->
-        |      list_contains(['slow', 'error'], lower(w)))) AS BIGINT)
+        |      list_contains(['slow', 'error'], lower(w))))
+        |      + (length(padded) - length(replace(padded, ' group query ', '')))
+        |        // length(' group query ') AS BIGINT)
         |      AS n_blocked
         |  FROM t
         |)
