@@ -82,12 +82,35 @@ object Dedup {
     * Returns the kept new-batch rows (original schema). */
   def incrementalDedup(newDocs: DataFrame, priorDocs: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
+      bloomExpectedItems: Long = -1L, bloomFpp: Double = 0.01): DataFrame =
+    incrementalDedupKeys(newDocs, exactKeys(priorDocs, textCol), textCol,
+      idCol, bloomExpectedItems, bloomFpp)
+
+  /** The exact tier's persistable snapshot projection — one md5 content
+    * key per document (single `_key` column), symmetric to [[nearDupKeys]]
+    * for the signature tier. At corpus scale, persist THIS (32 hex chars
+    * per document) and gate every subsequent crawl with
+    * [[incrementalDedupKeys]] without re-reading the snapshot's text. */
+  def exactKeys(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(md5(col(textCol)).as("_key"))
+
+  /** [[incrementalDedup]] against a PERSISTED [[exactKeys]] projection —
+    * the 100-TB contract all three gate tiers now share (exact keys here,
+    * [[nearDupKeys]] for the signature-equality tier, [[minhashSignatures]]
+    * for the banded tier): the prior snapshot's text is never read again
+    * after the projection is written. Semantics identical to
+    * [[incrementalDedup]] given `priorKeys = exactKeys(priorDocs)`. */
+  def incrementalDedupKeys(newDocs: DataFrame, priorKeys: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
       bloomExpectedItems: Long = -1L, bloomFpp: Double = 0.01): DataFrame = {
+    require(priorKeys.columns.toSeq == Seq("_key"),
+      "priorKeys must be an exactKeys projection (single `_key` column); " +
+        "got " + priorKeys.columns.mkString(", "))
     val batch = exactDedup(newDocs, textCol, idCol)
-      .withColumn("_h", md5(col(textCol)))
-    val priorH = priorDocs.select(md5(col(textCol)).as("_h")).distinct()
-    bloomedAntiJoin(batch, priorH, "_h", bloomExpectedItems, bloomFpp)
-      .drop("_h")
+      .withColumn("_key", md5(col(textCol)))
+    bloomedAntiJoin(batch, priorKeys.distinct(), "_key",
+      bloomExpectedItems, bloomFpp)
+      .drop("_key")
   }
 
   /** Anti-join `batch` against `priorKeys` on `keyCol`, with the optional

@@ -286,6 +286,71 @@ object PipelineQueries {
         .orderBy("lang")
     }),
 
+    // the snapshot LOOP closed end-to-end (exact tier): day-1 batch gated
+    // against the day-0 key snapshot, the ACCEPTED docs' keys advanced
+    // into the snapshot (per-doc projection, so advance ≡ union — the
+    // persisted form is a bucketed APPEND costing O(day), pinned in
+    // BucketedSnapshotSpec), then day-2 gated against the advanced
+    // snapshot. Day-2 carries replicas of day-1-ACCEPTED docs (+40000 —
+    // rejected only if the advance worked) and of day-0 docs (+60000 —
+    // proving the original keys survive the advance)
+    "p_snapshot_loop" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val prior = d.where(col("doc_id") % 3 === 1)
+      val day1 = d.where(col("doc_id") % 3 === 2)
+        .unionByName(prior.where(col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 20000))
+      val keys0 = Dedup.exactKeys(prior)
+      val kept1 = Dedup.incrementalDedupKeys(day1, keys0)
+      val keys1 = keys0.unionByName(Dedup.exactKeys(kept1))
+      val day2 = d.where(col("doc_id") % 3 === 0)
+        .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 40000))
+        .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
+          .withColumn("doc_id", col("doc_id") + 60000))
+      val kept2 = Dedup.incrementalDedupKeys(day2, keys1)
+      kept1.select(lit(1).as("day"), col("lang"), col("doc_id"))
+        .unionByName(kept2.select(lit(2).as("day"), col("lang"), col("doc_id")))
+        .groupBy("day", "lang")
+        .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
+        .orderBy("day", "lang")
+    }),
+
+    // the snapshot loop on the SIGNATURE tier: day-1 accepts %3==2 docs
+    // (<150 with text DOUBLED, T·T), the accepted docs' nearDupKeys are
+    // advanced into the snapshot, and day-2 carries TRIPLED (T·T·T,
+    // +40000) replicas — byte-different from anything ever stored, but
+    // shingle-SET-identical to the day-1 T·T texts, so ONLY the advanced
+    // signature snapshot can reject them (an exact-key loop would
+    // re-admit every one). +60000 byte-identical prior replicas prove
+    // day-0 keys survive the advance. Advance ≡ union because the key is
+    // a per-document pure function of text
+    "p_neardup_loop" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val prior = d.where(col("doc_id") % 3 === 1)
+      val day1 = d.where(col("doc_id") % 3 === 2)
+        .withColumn("text", when(col("doc_id") < 150,
+          concat(col("text"), lit(" "), col("text"))).otherwise(col("text")))
+        .unionByName(prior.where(col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 20000))
+      val keys0 = Dedup.nearDupKeys(prior, numHashes = NumHashes)
+      val kept1 = Dedup.incrementalNearDedup(day1, keys0, numHashes = NumHashes)
+      val keys1 = keys0.unionByName(Dedup.nearDupKeys(kept1, numHashes = NumHashes))
+      val day2 = d.where(col("doc_id") % 3 === 0)
+        .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            concat(col("text"), lit(" "), col("text"), lit(" "), col("text")).as("text"),
+            col("lang")))
+        .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
+          .withColumn("doc_id", col("doc_id") + 60000))
+      val kept2 = Dedup.incrementalNearDedup(day2, keys1, numHashes = NumHashes)
+      kept1.select(lit(1).as("day"), col("lang"), col("doc_id"))
+        .unionByName(kept2.select(lit(2).as("day"), col("lang"), col("doc_id")))
+        .groupBy("day", "lang")
+        .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
+        .orderBy("day", "lang")
+    }),
+
     // C4 blocklist page filter: pages containing any blocklisted word
     // (case-insensitive whole token) or multi-word phrase (token-boundary
     // match) are flagged for removal — map-only
@@ -1474,6 +1539,89 @@ object PipelineQueries {
         |)
         |SELECT lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p_snapshot_loop" ->
+      """WITH d AS (SELECT doc_id, text, lang FROM documents),
+        |prior AS (SELECT * FROM d WHERE doc_id % 3 = 1),
+        |day1 AS (
+        |  SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text, lang FROM prior WHERE doc_id < 150
+        |), keys0 AS (SELECT DISTINCT md5(text) AS k FROM prior),
+        |dedup1 AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM day1) WHERE rn = 1
+        |), kept1 AS (
+        |  SELECT * FROM dedup1 WHERE md5(text) NOT IN (SELECT k FROM keys0)
+        |), keys1 AS (
+        |  SELECT k FROM keys0 UNION ALL SELECT md5(text) FROM kept1
+        |), day2 AS (
+        |  SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 40000, text, lang FROM d
+        |  WHERE doc_id % 3 = 2 AND doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 60000, text, lang FROM prior
+        |  WHERE doc_id >= 150 AND doc_id < 250
+        |), dedup2 AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM day2) WHERE rn = 1
+        |), kept2 AS (
+        |  SELECT * FROM dedup2 WHERE md5(text) NOT IN (SELECT k FROM keys1)
+        |), un AS (
+        |  SELECT 1 AS day, lang, doc_id FROM kept1
+        |  UNION ALL SELECT 2 AS day, lang, doc_id FROM kept2
+        |)
+        |SELECT day, lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM un GROUP BY day, lang ORDER BY day, lang""".stripMargin,
+
+    "p_neardup_loop" ->
+      s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
+         |prior AS (SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 1),
+         |day1 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id < 150 THEN text || ' ' || text ELSE text END AS text,
+         |    lang
+         |  FROM d WHERE doc_id % 3 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text, lang FROM prior WHERE doc_id < 150
+         |), ${sigKeyCtes("p", "prior", NumHashes)},
+         |${sigKeyCtes("d1", "day1", NumHashes)},
+         |kept1 AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT b.doc_id, b.lang, k.key,
+         |      row_number() OVER (PARTITION BY k.key ORDER BY b.doc_id) AS rn
+         |    FROM day1 b JOIN d1_key k ON k.id = b.doc_id)
+         |  WHERE rn = 1 AND key NOT IN (SELECT key FROM p_key)
+         |), keys1 AS (
+         |  SELECT key FROM p_key
+         |  UNION ALL
+         |  SELECT k.key FROM d1_key k JOIN kept1 ON kept1.doc_id = k.id
+         |), day2 AS (
+         |  SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 40000, text || ' ' || text || ' ' || text, lang
+         |  FROM d WHERE doc_id % 3 = 2 AND doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 60000, text, lang FROM prior
+         |  WHERE doc_id >= 150 AND doc_id < 250
+         |), ${sigKeyCtes("d2", "day2", NumHashes)},
+         |kept2 AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT b.doc_id, b.lang, k.key,
+         |      row_number() OVER (PARTITION BY k.key ORDER BY b.doc_id) AS rn
+         |    FROM day2 b JOIN d2_key k ON k.id = b.doc_id)
+         |  WHERE rn = 1 AND key NOT IN (SELECT key FROM keys1)
+         |), un AS (
+         |  SELECT 1 AS day, lang, doc_id FROM kept1
+         |  UNION ALL SELECT 2 AS day, lang, doc_id FROM kept2
+         |)
+         |SELECT day, lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM un GROUP BY day, lang ORDER BY day, lang""".stripMargin,
 
     "p_incr_neardup" ->
       s"""WITH prior AS (

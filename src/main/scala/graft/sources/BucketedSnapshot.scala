@@ -48,4 +48,32 @@ object BucketedSnapshot {
     * bucketing metadata that lets the planner drop the exchange. */
   def read(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
+
+  /** Advance a snapshot table by APPENDING rows — the day-N → day-N+1
+    * step of the crawl-gate loop. After a day's batch is gated and
+    * accepted, its key/signature projection
+    * ([[graft.ext.Dedup.exactKeys]] / [[graft.ext.Dedup.nearDupKeys]] /
+    * [[graft.ext.Dedup.minhashSignatures]] — all per-document, so the
+    * advanced snapshot ≡ recomputing the projection over prior ∪
+    * accepted) is appended here. Only the DAY'S rows are hashed into
+    * bucket files; the accumulated corpus is never rewritten or
+    * reshuffled — at 100 TB the advance costs O(day), not O(corpus).
+    * Spark validates the bucketing spec against the existing table, so a
+    * mismatched `numBuckets`/key fails loudly rather than silently
+    * degrading the layout.
+    *
+    * Read-your-own-write contract: the day's accepted rows are normally
+    * DERIVED from a gate that scans this same table. Materialize them
+    * (write the accepted batch, or `localCheckpoint()`) BEFORE calling
+    * `append` — a lazy plan re-evaluated after the advance would see the
+    * day's own keys already in the snapshot and gate the day against
+    * itself. */
+  def append(df: DataFrame, tableName: String, keyCol: String,
+      numBuckets: Int): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    df.write.mode("append").format("parquet")
+      .bucketBy(numBuckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(tableName)
+  }
 }

@@ -52,6 +52,51 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("append advances the snapshot without rewriting it: bucketing survives, contents == union, spec mismatch fails") {
+    import spark.implicits._
+    val Dedup = graft.ext.Dedup
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select("doc_id", "text")
+    val prior = docs.where(col("doc_id") % 3 === 1)
+    val day1 = docs.where(col("doc_id") % 3 === 2)
+    val dir = tmpDir("bk_loop")
+    BucketedSnapshot.write(Dedup.exactKeys(prior).distinct(),
+      "bk_loop_keys", dir, "_key", 8)
+    try {
+      val before = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .toArray.map(_.toString).filter(_.endsWith(".parquet")).toSet
+      // materialize BEFORE appending: the gate's plan reads the very
+      // table the advance writes (the append scaladoc's contract)
+      val kept1 = Dedup.incrementalDedupKeys(day1,
+        BucketedSnapshot.read(spark, "bk_loop_keys")).localCheckpoint()
+      BucketedSnapshot.append(Dedup.exactKeys(kept1), "bk_loop_keys",
+        "_key", 8)
+      // advance cost is O(day): every day-0 file is still there untouched
+      val after = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+        .toArray.map(_.toString).filter(_.endsWith(".parquet")).toSet
+      assert(before.subsetOf(after) && after.size > before.size,
+        s"append must add files, not rewrite: ${before.size} -> ${after.size}")
+      // the advanced table still scans as bucketed: groupBy on the key
+      // plans with no exchange
+      val agg = BucketedSnapshot.read(spark, "bk_loop_keys")
+        .groupBy("_key").agg(count(lit(1)).as("n"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        agg.queryExecution.executedPlan.toString.take(800))
+      // contents == the recomputed union projection
+      val snap = BucketedSnapshot.read(spark, "bk_loop_keys")
+        .as[String].collect().sorted
+      val expect = Dedup.exactKeys(prior).distinct()
+        .unionByName(Dedup.exactKeys(kept1))
+        .as[String].collect().sorted
+      assert(snap.sameElements(expect), s"${snap.length} vs ${expect.length}")
+      // a mismatched bucket spec is a loud error, not a silent layout break
+      intercept[Exception] {
+        BucketedSnapshot.append(Dedup.exactKeys(kept1), "bk_loop_keys",
+          "_key", 16)
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS bk_loop_keys")
+  }
+
   test("the gate artifact case: a bucketed prior-key table anti-joins without shuffling the prior side") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")

@@ -101,6 +101,50 @@ class CurationSpec extends AnyFunSuite {
     assert(cols == Seq("doc_id", "text"), cols)
   }
 
+  test("exactKeys snapshot loop: gating against advanced keys == gating against recomputed prior union") {
+    import spark.implicits._
+    val Dedup = graft.ext.Dedup
+    val prior = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val day1 = Seq(
+      (10L, "gamma"), (11L, "alpha"),           // 11 dup vs day-0 snapshot
+      (12L, "delta"), (13L, "delta")).toDF("doc_id", "text") // keep 12
+    val keys0 = Dedup.exactKeys(prior)
+    val kept1 = Dedup.incrementalDedupKeys(day1, keys0)
+    assert(kept1.select("doc_id").as[Long].collect().toSet == Set(10L, 12L))
+    // the ADVANCE law: per-doc projection, so snapshot-union-of-keys is
+    // exactly recompute-over-union — gate day 2 both ways, same rows
+    val keys1 = keys0.unionByName(Dedup.exactKeys(kept1))
+    val day2 = Seq(
+      (20L, "gamma"),                           // dup vs day-1 ACCEPTED
+      (21L, "beta"),                            // dup vs day-0 snapshot
+      (22L, "epsilon")).toDF("doc_id", "text")
+    val viaKeys = Dedup.incrementalDedupKeys(day2, keys1)
+      .select("doc_id").as[Long].collect().toSet
+    val viaDocs = Dedup.incrementalDedup(day2,
+        prior.unionByName(kept1))
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaKeys == Set(22L), viaKeys)
+    assert(viaKeys == viaDocs)
+    // a non-projection prior fails loudly, not silently-wrong
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedupKeys(day2, prior)
+    }
+    assert(e.getMessage.contains("exactKeys projection"), e.getMessage)
+    // same advance law on the SIGNATURE tier: keys are per-doc pure
+    // functions of text, so advanced-keys gating ≡ recomputed-union gating
+    val nk0 = Dedup.nearDupKeys(prior, numHashes = 16)
+    val nkept1 = Dedup.incrementalNearDedup(day1, nk0, numHashes = 16)
+    val viaAdv = Dedup.incrementalNearDedup(day2,
+        nk0.unionByName(Dedup.nearDupKeys(nkept1, numHashes = 16)),
+        numHashes = 16)
+      .select("doc_id").as[Long].collect().toSet
+    val viaUnion = Dedup.incrementalNearDedup(day2,
+        Dedup.nearDupKeys(prior.unionByName(nkept1), numHashes = 16),
+        numHashes = 16)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaAdv == viaUnion, s"$viaAdv vs $viaUnion")
+  }
+
   test("null strata: temperature rates skip them, token budget groups them under the default (r13 review)") {
     import spark.implicits._
     val docs = Seq(
