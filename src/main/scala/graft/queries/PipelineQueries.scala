@@ -351,6 +351,59 @@ object PipelineQueries {
         .orderBy("day", "lang")
     }),
 
+    // the CAPSTONE loop: TWO days of the fused two-tier crawl gate with
+    // BOTH snapshot projections advanced between days (keys1 = day-0
+    // keys ∪ day-1-accepted keys; sigs1 likewise — per-doc pure
+    // functions, so advance ≡ union; the persisted form is the bucketed
+    // append). Day-2 replica classes exercise every tier against the
+    // ADVANCED snapshot: +40000 byte-identical and +50000 T·T·T
+    // (shingle-set-identical) replicas of day-1-accepted T·T docs hit
+    // the advanced KEY tier, +70000 8-token-appended replicas of day-1
+    // accepted docs hit the advanced BANDED tier, +60000 byte-identical
+    // day-0 replicas prove the original snapshot survives the advance
+    "p_crawl_loop" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val prior = d.where(col("doc_id") % 3 === 1)
+      val day1 = d.where(col("doc_id") % 3 === 2)
+        .withColumn("text", when(col("doc_id") < 150,
+          concat(col("text"), lit(" "), col("text"))).otherwise(col("text")))
+        .unionByName(prior.where(col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 20000))
+      val keys0 = Dedup.nearDupKeys(prior, numHashes = NumHashes)
+      val sigs0 = Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
+      val kept1 = Dedup.incrementalCrawlGate(day1, keys0, sigs0,
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket)
+      val keys1 = keys0.unionByName(
+        Dedup.nearDupKeys(kept1, numHashes = NumHashes))
+      val sigs1 = sigs0.unionByName(
+        Dedup.minhashSignatures(kept1, "text", col("doc_id"), NumHashes))
+      val day2 = d.where(col("doc_id") % 3 === 0)
+        .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text"), col("lang")))
+        .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
+          .select((col("doc_id") + 50000).as("doc_id"),
+            concat(col("text"), lit(" "), col("text"), lit(" "), col("text")).as("text"),
+            col("lang")))
+        .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
+          .withColumn("doc_id", col("doc_id") + 60000))
+        .unionByName(d.where(col("doc_id") % 3 === 2
+            && col("doc_id") >= 150 && col("doc_id") < 250)
+          .select((col("doc_id") + 70000).as("doc_id"),
+            concat(col("text"),
+              lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
+            col("lang")))
+      val kept2 = Dedup.incrementalCrawlGate(day2, keys1, sigs1,
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket)
+      kept1.select(lit(1).as("day"), col("lang"), col("doc_id"))
+        .unionByName(kept2.select(lit(2).as("day"), col("lang"), col("doc_id")))
+        .groupBy("day", "lang")
+        .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
+        .orderBy("day", "lang")
+    }),
+
     // C4 blocklist page filter: pages containing any blocklisted word
     // (case-insensitive whole token) or multi-word phrase (token-boundary
     // match) are flagged for removal — map-only
@@ -1505,6 +1558,51 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
+  /** One day of the fused crawl gate as a CTE chain (= the two-stage
+    * oracle shape of `p_incr_crawl`, parameterized so two days can run
+    * in one query): gates batch CTE `batchCte` (doc_id, text, lang)
+    * against the prior key CTE `keysCte` (key) and prior signature CTE
+    * `sigsCte` (id, mh0..mh{n-1}), emitting `{p}_kept` (doc_id, lang).
+    * Requires `sigKeyCtes(p, batchCte, NumHashes)` emitted beforehand
+    * for the same prefix (provides {p}_key / {p}_sig). */
+  private def crawlGateCtes(p: String, batchCte: String, keysCte: String,
+      sigsCte: String): String = {
+    val r = NumHashes / Bands
+    val bandKeys = (0 until Bands).map { b =>
+      val slots = (0 until r).map(j => s"CAST(mh${b * r + j} AS VARCHAR)")
+      s"(SELECT $b AS band, md5(${slots.mkString("concat(", ", '_', ", ")")}) AS key)"
+    }.mkString(" UNION ALL ")
+    val agreeSum = (0 until NumHashes)
+      .map(k => s"(CASE WHEN bs.mh$k = ps.mh$k THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""${p}_s1 AS (
+       |  SELECT doc_id, lang FROM (
+       |    SELECT b.doc_id, b.lang, k.key,
+       |      row_number() OVER (PARTITION BY k.key ORDER BY b.doc_id) AS rn
+       |    FROM $batchCte b JOIN ${p}_key k ON k.id = b.doc_id)
+       |  WHERE rn = 1 AND key NOT IN (SELECT key FROM $keysCte)
+       |), ${p}_s1_buckets AS (
+       |  SELECT id, bk.band, bk.key
+       |  FROM (SELECT g.* FROM ${p}_sig g
+       |        JOIN ${p}_s1 ON ${p}_s1.doc_id = g.id) s1g,
+       |    LATERAL ($bandKeys) bk
+       |  QUALIFY count(*) OVER (PARTITION BY bk.band, bk.key) <= $MaxBucket
+       |), ${p}_p_buckets AS (
+       |  SELECT id, bk.band, bk.key FROM $sigsCte, LATERAL ($bandKeys) bk
+       |  QUALIFY count(*) OVER (PARTITION BY bk.band, bk.key) <= $MaxBucket
+       |), ${p}_flagged AS (
+       |  SELECT DISTINCT c.bid FROM (
+       |    SELECT DISTINCT b.id AS bid, p2.id AS pid
+       |    FROM ${p}_s1_buckets b JOIN ${p}_p_buckets p2
+       |      ON b.band = p2.band AND b.key = p2.key) c
+       |  JOIN ${p}_sig bs ON bs.id = c.bid
+       |  JOIN $sigsCte ps ON ps.id = c.pid
+       |  WHERE CAST($agreeSum AS DOUBLE) / $NumHashes >= 0.8
+       |), ${p}_kept AS (
+       |  SELECT doc_id, lang FROM ${p}_s1
+       |  WHERE doc_id NOT IN (SELECT bid FROM ${p}_flagged)
+       |)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "p_exact_dedup" ->
       """WITH base AS (
@@ -1623,6 +1721,51 @@ object PipelineQueries {
          |SELECT day, lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM un GROUP BY day, lang ORDER BY day, lang""".stripMargin,
 
+    "p_crawl_loop" ->
+      s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
+         |prior AS (SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 1),
+         |day1 AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id < 150 THEN text || ' ' || text ELSE text END AS text,
+         |    lang
+         |  FROM d WHERE doc_id % 3 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text, lang FROM prior WHERE doc_id < 150
+         |), ${sigKeyCtes("p", "prior", NumHashes)},
+         |${sigKeyCtes("d1", "day1", NumHashes)},
+         |${crawlGateCtes("d1", "day1", "p_key", "p_sig")},
+         |keys1 AS (
+         |  SELECT key FROM p_key
+         |  UNION ALL
+         |  SELECT k.key FROM d1_key k JOIN d1_kept kk ON kk.doc_id = k.id
+         |), sigs1 AS (
+         |  SELECT * FROM p_sig
+         |  UNION ALL
+         |  SELECT g.* FROM d1_sig g JOIN d1_kept kk ON kk.doc_id = g.id
+         |), day2 AS (
+         |  SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 40000, text || ' ' || text, lang
+         |  FROM d WHERE doc_id % 3 = 2 AND doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 50000, text || ' ' || text || ' ' || text, lang
+         |  FROM d WHERE doc_id % 3 = 2 AND doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 60000, text, lang FROM prior
+         |  WHERE doc_id >= 150 AND doc_id < 250
+         |  UNION ALL
+         |  SELECT doc_id + 70000,
+         |    text || ' sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8', lang
+         |  FROM d WHERE doc_id % 3 = 2 AND doc_id >= 150 AND doc_id < 250
+         |), ${sigKeyCtes("d2", "day2", NumHashes)},
+         |${crawlGateCtes("d2", "day2", "keys1", "sigs1")},
+         |un AS (
+         |  SELECT 1 AS day, lang, doc_id FROM d1_kept
+         |  UNION ALL SELECT 2 AS day, lang, doc_id FROM d2_kept
+         |)
+         |SELECT day, lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM un GROUP BY day, lang ORDER BY day, lang""".stripMargin,
+
     "p_incr_neardup" ->
       s"""WITH prior AS (
          |  SELECT doc_id,
@@ -1689,14 +1832,7 @@ object PipelineQueries {
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
     },
 
-    "p_incr_crawl" -> {
-      val r = NumHashes / Bands
-      def bandKeys = (0 until Bands).map { b =>
-        val slots = (0 until r).map(j => s"CAST(mh${b * r + j} AS VARCHAR)")
-        s"(SELECT $b AS band, md5(${slots.mkString("concat(", ", '_', ", ")")}) AS key)"
-      }.mkString(" UNION ALL ")
-      val agreeSum = (0 until NumHashes)
-        .map(k => s"(CASE WHEN bs.mh$k = ps.mh$k THEN 1 ELSE 0 END)").mkString(" + ")
+    "p_incr_crawl" ->
       s"""WITH prior AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id < 200 THEN text || ' ' || text ELSE text END AS text
@@ -1714,35 +1850,9 @@ object PipelineQueries {
          |    text || ' sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8', lang
          |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id >= 300 AND doc_id < 400
          |), ${sigKeyCtes("b", "batch", NumHashes)}, ${sigKeyCtes("p", "prior", NumHashes)},
-         |s1 AS (
-         |  SELECT doc_id, lang FROM (
-         |    SELECT b.doc_id, b.lang, k.key,
-         |      row_number() OVER (PARTITION BY k.key ORDER BY b.doc_id) AS rn
-         |    FROM batch b JOIN b_key k ON k.id = b.doc_id)
-         |  WHERE rn = 1 AND key NOT IN (SELECT key FROM p_key)
-         |), s1_sig AS (
-         |  SELECT bs.* FROM b_sig bs JOIN s1 ON s1.doc_id = bs.id
-         |), s1_buckets AS (
-         |  SELECT id, bk.band, bk.key FROM s1_sig, LATERAL ($bandKeys) bk
-         |  QUALIFY count(*) OVER (PARTITION BY bk.band, bk.key) <= $MaxBucket
-         |), p_buckets AS (
-         |  SELECT id, bk.band, bk.key FROM p_sig, LATERAL ($bandKeys) bk
-         |  QUALIFY count(*) OVER (PARTITION BY bk.band, bk.key) <= $MaxBucket
-         |), cand AS (
-         |  SELECT DISTINCT b.id AS bid, p.id AS pid
-         |  FROM s1_buckets b JOIN p_buckets p ON b.band = p.band AND b.key = p.key
-         |), flagged AS (
-         |  SELECT DISTINCT cand.bid FROM cand
-         |  JOIN b_sig bs ON bs.id = cand.bid
-         |  JOIN p_sig ps ON ps.id = cand.pid
-         |  WHERE CAST($agreeSum AS DOUBLE) / $NumHashes >= 0.8
-         |), kept AS (
-         |  SELECT doc_id, lang FROM s1
-         |  WHERE doc_id NOT IN (SELECT bid FROM flagged)
-         |)
+         |${crawlGateCtes("b", "batch", "p_key", "p_sig")}
          |SELECT lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
-         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
-    },
+         |FROM b_kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p_word_blocklist" ->
       """WITH t AS (
