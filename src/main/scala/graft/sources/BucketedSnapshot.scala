@@ -76,4 +76,51 @@ object BucketedSnapshot {
       .sortBy(keyCol)
       .saveAsTable(tableName)
   }
+
+  /** Compact an append-accumulated snapshot into ONE file per bucket.
+    *
+    * Each [[append]] adds up to (writing tasks × buckets) files — a year
+    * of daily advances leaves thousands of small files per bucket, and
+    * scan/open overhead grows with file count even though the layout is
+    * still correct. Compaction rewrites the table at `toPath` as
+    * `toTable`: the `repartition(numBuckets, key)` uses the SAME
+    * Murmur3 hash as the bucketing, so every bucket's rows land in
+    * exactly one task and each task emits exactly one bucket file — the
+    * rewrite is one shuffle of the key projection (bytes ∝ keys, not
+    * corpus text), never a driver collect.
+    *
+    * Writes to a NEW table/path rather than in place: Spark cannot
+    * overwrite a table from a plan that scans it, and at corpus scale an
+    * in-place rewrite would have no rollback. Swap names in the catalog
+    * (or point the next day's gate at `toTable`) once the write
+    * succeeds; drop the old table afterwards. */
+  def compact(spark: SparkSession, fromTable: String, toTable: String,
+      toPath: String, keyCol: String, numBuckets: Int): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    // Counter-intuitive but required: read the source with bucketing
+    // DISABLED. With it on, the planner sees the scan's bucket layout,
+    // drops the explicit repartition as redundant — and then ALSO
+    // disables the bucketed scan itself ("disabled by query planner",
+    // nothing downstream demands it), leaving NO alignment at all: each
+    // bin-packed read task holds several buckets' rows and the write
+    // fragments into tasks × buckets files again. With bucketing off,
+    // the REPARTITION_BY_NUM exchange survives (AQE never coalesces a
+    // user-numbered repartition), its Murmur3 partition id equals the
+    // writer's bucket id, and each task emits exactly one bucket file.
+    val key = "spark.sql.sources.bucketing.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try {
+      spark.table(fromTable)
+        .repartition(numBuckets, org.apache.spark.sql.functions.col(keyCol))
+        .write.mode("overwrite").format("parquet")
+        .option("path", toPath)
+        .bucketBy(numBuckets, keyCol)
+        .sortBy(keyCol)
+        .saveAsTable(toTable)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }

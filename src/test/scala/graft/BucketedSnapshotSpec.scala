@@ -97,6 +97,45 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS bk_loop_keys")
   }
 
+  test("compact collapses append-accumulated files to one per bucket; contents and bucketing preserved") {
+    import spark.implicits._
+    val Dedup = graft.ext.Dedup
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select("doc_id", "text")
+    val dir = tmpDir("bk_cmp")
+    BucketedSnapshot.write(
+      Dedup.exactKeys(docs.where(col("doc_id") % 3 === 1)).distinct(),
+      "bk_cmp_keys", dir, "_key", 8)
+    try {
+      // two daily advances accumulate files well past one-per-bucket
+      for (m <- Seq(2, 0))
+        BucketedSnapshot.append(
+          Dedup.exactKeys(docs.where(col("doc_id") % 3 === m)).distinct()
+            .localCheckpoint(),
+          "bk_cmp_keys", "_key", 8)
+      def files(d: String) =
+        java.nio.file.Files.list(java.nio.file.Paths.get(d))
+          .toArray.map(_.toString).filter(_.endsWith(".parquet"))
+      assert(files(dir).length > 8, s"fixture must fragment: ${files(dir).length}")
+      val dir2 = tmpDir("bk_cmp2")
+      BucketedSnapshot.compact(spark, "bk_cmp_keys", "bk_cmp2_keys",
+        dir2, "_key", 8)
+      // one file per bucket — the co-partitioned rewrite's whole point
+      assert(files(dir2).length == 8, s"got ${files(dir2).length} files")
+      // contents identical, and the compacted table still plans bucketed
+      val a = BucketedSnapshot.read(spark, "bk_cmp_keys").as[String].collect().sorted
+      val b = BucketedSnapshot.read(spark, "bk_cmp2_keys").as[String].collect().sorted
+      assert(a.sameElements(b), s"${a.length} vs ${b.length}")
+      val agg = BucketedSnapshot.read(spark, "bk_cmp2_keys")
+        .groupBy("_key").agg(count(lit(1)).as("n"))
+      assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"),
+        agg.queryExecution.executedPlan.toString.take(800))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bk_cmp_keys")
+      spark.sql("DROP TABLE IF EXISTS bk_cmp2_keys")
+    }
+  }
+
   test("the gate artifact case: a bucketed prior-key table anti-joins without shuffling the prior side") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")

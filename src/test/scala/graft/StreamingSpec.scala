@@ -256,6 +256,60 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("snapshot loop across stream restarts: day-1 acceptances gate day 2 after the advance") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // periodic text so a ROTATION is shingle-set-identical (the
+    // signature-key trick the batch loop fixtures use)
+    val s0doc = "this document already lives in the published and curated corpus snapshot"
+    val d1doc = "delta epsilon zeta delta epsilon zeta"
+    val d1rot = "epsilon zeta delta epsilon zeta delta"
+    val fresh2 = "a second-day crawl document that no snapshot generation has ever contained"
+    val s0 = Seq((1L, s0doc)).toDF("doc_id", "text")
+    // day 1: stream gated by S0 accepts d1doc
+    val st1 = MemoryStream[(java.sql.Timestamp, String)]
+    val q1 = graft.streaming.StreamingIngest.cleanDocuments(
+        st1.toDF().toDF("ts", "text"), watermark = "1 minute", minTokens = 5,
+        minQuality = 0.0, nearDupHashes = 16, priorDocs = Some(s0))
+      .writeStream.format("memory").queryName("loop_day1")
+      .outputMode("append").start()
+    try {
+      st1.addData(Seq((ts(0), s0doc), (ts(1), d1doc)))
+      q1.processAllAvailable()
+      assert(spark.table("loop_day1").select("text").as[String].collect().toSeq
+        == Seq(d1doc))
+    } finally q1.stop()
+    // the ADVANCE: next generation's snapshot = S0 ∪ day-1 acceptances
+    // (the persisted form is the bucketed key append; semantics are the
+    // union, which is what a restart reads)
+    val s1 = s0.unionByName(spark.table("loop_day1")
+      .select(org.apache.spark.sql.functions.lit(2L).as("doc_id"),
+        org.apache.spark.sql.functions.col("text")))
+    // day 2: restarted stream gated by S1 — a byte-different rotation of
+    // the day-1-accepted doc must NOT re-enter; day-0 docs stay blocked
+    val st2 = MemoryStream[(java.sql.Timestamp, String)]
+    val q2 = graft.streaming.StreamingIngest.cleanDocuments(
+        st2.toDF().toDF("ts", "text"), watermark = "1 minute", minTokens = 5,
+        minQuality = 0.0, nearDupHashes = 16, priorDocs = Some(s1))
+      .writeStream.format("memory").queryName("loop_day2")
+      .outputMode("append").start()
+    try {
+      st2.addData(Seq((ts(100), d1rot), (ts(101), s0doc), (ts(102), fresh2)))
+      q2.processAllAvailable()
+      val day2 = spark.table("loop_day2").select("text").as[String].collect().toSeq
+      assert(day2 == Seq(fresh2),
+        s"only the genuinely new doc may pass the advanced snapshot: $day2")
+      // batch twin on the same advanced snapshot agrees
+      val batchKept = graft.ext.Dedup.incrementalNearDedup(
+          Seq((10L, d1rot), (11L, s0doc), (12L, fresh2)).toDF("doc_id", "text"),
+          graft.ext.Dedup.nearDupKeys(s1, numHashes = 16), numHashes = 16)
+        .select("text").as[String].collect().toSeq
+      assert(batchKept == day2,
+        "batch gate against the advanced keys must agree with the restarted stream")
+    } finally q2.stop()
+  }
+
   test("streaming banded prior gate agrees with the batch incrementalBandedNearDedup") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
