@@ -212,6 +212,42 @@ object ScaleProbe {
     time("epoch_shards") {
       graft.ext.Curation.epochShards(big, "doc_id", 1024).count()
     }
+    // snapshot ADVANCE vs full rewrite: the day-N → day-N+1 step appends
+    // only the day's key projection into the bucketed snapshot (cost ∝
+    // day), where the naive advance recomputes and rewrites the whole
+    // union (cost ∝ corpus). Both include their key computation; the
+    // growing gap with corpus size is the claim under test. The 2/3 vs
+    // 1/3 split makes "day" a third of "corpus", so at parity the
+    // advance would still take ~1/3 of the rewrite — materially less
+    // than that means the append really skips the prior.
+    if (selected("snapshot_advance") || selected("snapshot_rewrite")) {
+      import graft.sources.BucketedSnapshot
+      // salt the replicated text per row: the replicas otherwise share
+      // ~nBase distinct keys and BOTH variants would write the same tiny
+      // key table, hiding the day-vs-corpus asymmetry this probe exists
+      // to show
+      val salted = big.withColumn("text",
+        concat_ws(" ", col("text"), col("doc_id")))
+      val prior = salted.where(col("doc_id") % 3 =!= 0)
+      val day = salted.where(col("doc_id") % 3 === 0)
+      def tmp(n: String) = java.nio.file.Files.createTempDirectory(n).toString
+      // untimed: the standing snapshot the advance starts from
+      BucketedSnapshot.write(Dedup.exactKeys(prior).distinct(),
+        "probe_snap_keys", tmp("probe_snap"), "_key", 32)
+      time("snapshot_advance") {
+        val dayKeys = Dedup.exactKeys(day).distinct().localCheckpoint()
+        BucketedSnapshot.append(dayKeys, "probe_snap_keys", "_key", 32)
+        dayKeys.count()
+      }
+      time("snapshot_rewrite") {
+        BucketedSnapshot.write(
+          Dedup.exactKeys(prior.unionByName(day)).distinct(),
+          "probe_snap_keys2", tmp("probe_snap2"), "_key", 32)
+        spark.table("probe_snap_keys2").count()
+      }
+      spark.sql("DROP TABLE IF EXISTS probe_snap_keys")
+      spark.sql("DROP TABLE IF EXISTS probe_snap_keys2")
+    }
     big.unpersist(blocking = false)
 
     // funnel over a user-replicated event stream: one user-keyed shuffle,
