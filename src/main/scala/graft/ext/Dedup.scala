@@ -99,7 +99,17 @@ object Dedup {
     * [[nearDupKeys]] for the signature-equality tier, [[minhashSignatures]]
     * for the banded tier): the prior snapshot's text is never read again
     * after the projection is written. Semantics identical to
-    * [[incrementalDedup]] given `priorKeys = exactKeys(priorDocs)`. */
+    * [[incrementalDedup]] given `priorKeys = exactKeys(priorDocs)`.
+    *
+    * The require below distinguishes a key PROJECTION from a raw
+    * document table; it cannot distinguish the TIERS from each other —
+    * [[exactKeys]] and [[nearDupKeys]] share the single-`_key` shape by
+    * design (one `bloomedAntiJoin`, one bucketed-snapshot layout), and a
+    * format check would not help either (the signature key's
+    * shingle-less fallback IS an md5). Wiring a signature-key snapshot
+    * into the exact gate (or vice versa) therefore passes validation but
+    * gates nothing: name snapshot tables by tier and keep the pairing in
+    * one place (as `incrementalCrawlGate` does). */
   def incrementalDedupKeys(newDocs: DataFrame, priorKeys: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       bloomExpectedItems: Long = -1L, bloomFpp: Double = 0.01): DataFrame = {

@@ -301,7 +301,9 @@ object PipelineQueries {
         .unionByName(prior.where(col("doc_id") < 150)
           .withColumn("doc_id", col("doc_id") + 20000))
       val keys0 = Dedup.exactKeys(prior)
-      val kept1 = Dedup.incrementalDedupKeys(day1, keys0)
+      // kept1 feeds both the advance and the final union — materialize
+      // once so the day-1 gate's window + anti-join never re-execute
+      val kept1 = Dedup.incrementalDedupKeys(day1, keys0).localCheckpoint()
       val keys1 = keys0.unionByName(Dedup.exactKeys(kept1))
       val day2 = d.where(col("doc_id") % 3 === 0)
         .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
@@ -334,7 +336,10 @@ object PipelineQueries {
         .unionByName(prior.where(col("doc_id") < 150)
           .withColumn("doc_id", col("doc_id") + 20000))
       val keys0 = Dedup.nearDupKeys(prior, numHashes = NumHashes)
-      val kept1 = Dedup.incrementalNearDedup(day1, keys0, numHashes = NumHashes)
+      // materialize: consumed by the advance (a fresh signature pass)
+      // and the final union — without this the day-1 gate re-executes
+      val kept1 = Dedup.incrementalNearDedup(day1, keys0,
+        numHashes = NumHashes).localCheckpoint()
       val keys1 = keys0.unionByName(Dedup.nearDupKeys(kept1, numHashes = NumHashes))
       val day2 = d.where(col("doc_id") % 3 === 0)
         .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
@@ -371,9 +376,13 @@ object PipelineQueries {
           .withColumn("doc_id", col("doc_id") + 20000))
       val keys0 = Dedup.nearDupKeys(prior, numHashes = NumHashes)
       val sigs0 = Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
+      // materialize the day-1 acceptances ONCE: kept1 is consumed by the
+      // key advance, the signature advance (sigs1 — itself read twice
+      // inside the banded tier), and the final union; without this the
+      // whole day-1 gate re-executes in each of those subtrees
       val kept1 = Dedup.incrementalCrawlGate(day1, keys0, sigs0,
         numHashes = NumHashes, bands = Bands, threshold = 0.8,
-        maxBucketSize = MaxBucket)
+        maxBucketSize = MaxBucket).localCheckpoint()
       val keys1 = keys0.unionByName(
         Dedup.nearDupKeys(kept1, numHashes = NumHashes))
       val sigs1 = sigs0.unionByName(

@@ -71,6 +71,14 @@ object BucketedSnapshot {
   def append(df: DataFrame, tableName: String, keyCol: String,
       numBuckets: Int): Unit = {
     require(numBuckets > 0, "numBuckets must be positive")
+    // mode("append").saveAsTable on a MISSING table would quietly create
+    // a fresh one holding only the day's keys — every later gate would
+    // read a snapshot without the prior corpus and re-admit all
+    // historical duplicates. The catalog-forgets-on-restart caveat above
+    // makes this an easy state to reach; fail loudly instead.
+    require(df.sparkSession.catalog.tableExists(tableName),
+      s"snapshot table $tableName is not in the catalog — re-register the " +
+        "existing snapshot with write() before advancing it")
     df.write.mode("append").format("parquet")
       .bucketBy(numBuckets, keyCol)
       .sortBy(keyCol)
@@ -107,20 +115,20 @@ object BucketedSnapshot {
     // the REPARTITION_BY_NUM exchange survives (AQE never coalesces a
     // user-numbered repartition), its Murmur3 partition id equals the
     // writer's bucket id, and each task emits exactly one bucket file.
-    val key = "spark.sql.sources.bucketing.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try {
-      spark.table(fromTable)
-        .repartition(numBuckets, org.apache.spark.sql.functions.col(keyCol))
-        .write.mode("overwrite").format("parquet")
-        .option("path", toPath)
-        .bucketBy(numBuckets, keyCol)
-        .sortBy(keyCol)
-        .saveAsTable(toTable)
-    } finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
-    }
+    //
+    // The flag is flipped on a CLONED session (own conf, shared catalog
+    // and warehouse), never the caller's: a concurrent daily-gate query
+    // planned mid-compaction would otherwise lose its exchange-free
+    // snapshot join, and two overlapping compactions would race on the
+    // save/restore and could leave bucketing disabled session-wide.
+    val compactSession = spark.newSession()
+    compactSession.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    compactSession.table(fromTable)
+      .repartition(numBuckets, org.apache.spark.sql.functions.col(keyCol))
+      .write.mode("overwrite").format("parquet")
+      .option("path", toPath)
+      .bucketBy(numBuckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(toTable)
   }
 }
