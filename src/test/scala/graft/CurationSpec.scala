@@ -145,6 +145,31 @@ class CurationSpec extends AnyFunSuite {
     assert(viaAdv == viaUnion, s"$viaAdv vs $viaUnion")
   }
 
+  test("incremental gates on dirty text: null texts neither crash nor block unrelated docs") {
+    import spark.implicits._
+    val Dedup = graft.ext.Dedup
+    // null text in BOTH the batch and the prior: md5(null) = null key;
+    // null join keys never match an anti-join condition, so null-text
+    // batch docs pass the gate (they are not "seen" — there is nothing
+    // to match on), and a null-text prior row blocks nothing. Within
+    // the batch, exactDedup groups the nulls (window on the null key)
+    // and keeps the smallest id — one null-text doc survives, not all.
+    val prior = Seq((1L, Some("alpha")), (2L, None))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, None), (11L, None),                  // null dups: keep 10
+      (12L, Some("alpha")),                      // blocked by prior
+      (13L, Some("")), (14L, Some("")),          // empty IS a real key: keep 13
+      (15L, Some("fresh"))).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, prior)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 13L, 15L), kept)
+    // same through the persisted-key path
+    val keptK = Dedup.incrementalDedupKeys(batch, Dedup.exactKeys(prior))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptK == kept, s"$keptK vs $kept")
+  }
+
   test("null strata: temperature rates skip them, token budget groups them under the default (r13 review)") {
     import spark.implicits._
     val docs = Seq(
