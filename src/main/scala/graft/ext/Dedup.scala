@@ -94,6 +94,41 @@ object Dedup {
   def exactKeys(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(md5(col(textCol)).as("_key"))
 
+  /** Stamp a key projection (any tier: [[exactKeys]] / [[nearDupKeys]])
+    * with the snapshot GENERATION it was accepted in — the retention
+    * axis of the crawl-gate loop. Each daily advance appends keys
+    * stamped with that day's generation; [[retainGenerations]] then
+    * derives the gate-ready projection for any re-admission policy.
+    * Map-only; the (key, gen) table still buckets by `_key`, so the
+    * daily join stays exchange-free. */
+  def stampGeneration(keys: DataFrame, gen: Long): DataFrame = {
+    require(keys.columns.toSeq == Seq("_key"),
+      "stampGeneration takes a single-`_key` projection; got " +
+        keys.columns.mkString(", "))
+    keys.withColumn("_gen", lit(gen))
+  }
+
+  /** Retention/TTL over a generation-stamped snapshot: keep only keys
+    * last seen at generation ≥ `minGen` and return the single-`_key`
+    * gate projection. A crawl pipeline that wants "content unseen for N
+    * days becomes re-admittable" (source drift, deliberate re-crawls)
+    * gates each day against `retainGenerations(snapshot, today − N)` —
+    * the aged-out keys simply stop blocking; no rewrite of the snapshot
+    * is needed until the next [[graft.sources.BucketedSnapshot.compact]]
+    * physically drops them. If the same content re-enters later it is
+    * re-accepted and re-stamped with the new generation (the MAX stamp
+    * per key is what retention should see — keep appends stamped with
+    * the accepting day and filter on the max, which the `groupBy` here
+    * guarantees even when a key carries several stamps). */
+  def retainGenerations(keysGen: DataFrame, minGen: Long): DataFrame = {
+    require(keysGen.columns.toSeq == Seq("_key", "_gen"),
+      "retainGenerations takes a stampGeneration projection (_key, _gen); " +
+        "got " + keysGen.columns.mkString(", "))
+    keysGen.groupBy("_key").agg(max(col("_gen")).as("_gen"))
+      .where(col("_gen") >= minGen)
+      .select("_key")
+  }
+
   /** [[incrementalDedup]] against a PERSISTED [[exactKeys]] projection —
     * the 100-TB contract all three gate tiers now share (exact keys here,
     * [[nearDupKeys]] for the signature-equality tier, [[minhashSignatures]]

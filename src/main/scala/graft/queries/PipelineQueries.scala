@@ -413,6 +413,38 @@ object PipelineQueries {
         .orderBy("day", "lang")
     }),
 
+    // snapshot RETENTION (TTL) on the loop: keys carry the generation
+    // they were accepted in; day-2 gates against `retainGenerations(…,
+    // minGen = 1)`, so the gen-0 snapshot keys age out — +40000 replicas
+    // of day-0 docs are RE-ADMITTED (the re-crawl policy working as
+    // intended) while +60000 replicas of day-1 (gen-1) acceptances stay
+    // blocked. The retention groupBy keys on `_key`, so against a
+    // bucketed snapshot it plans exchange-free
+    "p_snapshot_ttl" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val prior = d.where(col("doc_id") % 3 === 1)
+      val day1 = d.where(col("doc_id") % 3 === 2)
+        .unionByName(prior.where(col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 20000))
+      val gen0 = Dedup.stampGeneration(Dedup.exactKeys(prior), 0L)
+      val kept1 = Dedup.incrementalDedupKeys(day1,
+        Dedup.retainGenerations(gen0, minGen = 0L)).localCheckpoint()
+      val gen1 = gen0.unionByName(
+        Dedup.stampGeneration(Dedup.exactKeys(kept1), 1L))
+      val day2 = d.where(col("doc_id") % 3 === 0)
+        .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
+          .withColumn("doc_id", col("doc_id") + 40000))
+        .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 60000))
+      val kept2 = Dedup.incrementalDedupKeys(day2,
+        Dedup.retainGenerations(gen1, minGen = 1L))
+      kept1.select(lit(1).as("day"), col("lang"), col("doc_id"))
+        .unionByName(kept2.select(lit(2).as("day"), col("lang"), col("doc_id")))
+        .groupBy("day", "lang")
+        .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
+        .orderBy("day", "lang")
+    }),
+
     // C4 blocklist page filter: pages containing any blocklisted word
     // (case-insensitive whole token) or multi-word phrase (token-boundary
     // match) are flagged for removal — map-only
@@ -1679,6 +1711,49 @@ object PipelineQueries {
         |    FROM day2) WHERE rn = 1
         |), kept2 AS (
         |  SELECT * FROM dedup2 WHERE md5(text) NOT IN (SELECT k FROM keys1)
+        |), un AS (
+        |  SELECT 1 AS day, lang, doc_id FROM kept1
+        |  UNION ALL SELECT 2 AS day, lang, doc_id FROM kept2
+        |)
+        |SELECT day, lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM un GROUP BY day, lang ORDER BY day, lang""".stripMargin,
+
+    "p_snapshot_ttl" ->
+      """WITH d AS (SELECT doc_id, text, lang FROM documents),
+        |prior AS (SELECT * FROM d WHERE doc_id % 3 = 1),
+        |day1 AS (
+        |  SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text, lang FROM prior WHERE doc_id < 150
+        |), g0 AS (SELECT DISTINCT md5(text) AS k, 0 AS g FROM prior),
+        |dedup1 AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM day1) WHERE rn = 1
+        |), kept1 AS (
+        |  SELECT * FROM dedup1 WHERE md5(text) NOT IN (
+        |    SELECT k FROM (SELECT k, max(g) AS g FROM g0 GROUP BY k)
+        |    WHERE g >= 0)
+        |), g1 AS (
+        |  SELECT k, g FROM g0 UNION ALL SELECT md5(text), 1 FROM kept1
+        |), day2 AS (
+        |  SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 40000, text, lang FROM prior
+        |  WHERE doc_id >= 150 AND doc_id < 250
+        |  UNION ALL
+        |  SELECT doc_id + 60000, text, lang FROM d
+        |  WHERE doc_id % 3 = 2 AND doc_id < 150
+        |), dedup2 AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM day2) WHERE rn = 1
+        |), kept2 AS (
+        |  SELECT * FROM dedup2 WHERE md5(text) NOT IN (
+        |    SELECT k FROM (SELECT k, max(g) AS g FROM g1 GROUP BY k)
+        |    WHERE g >= 1)
         |), un AS (
         |  SELECT 1 AS day, lang, doc_id FROM kept1
         |  UNION ALL SELECT 2 AS day, lang, doc_id FROM kept2

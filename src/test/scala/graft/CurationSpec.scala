@@ -385,6 +385,32 @@ class CurationSpec extends AnyFunSuite {
     assert(rFused == rSeq, s"random-corpus parity: $rFused != $rSeq")
   }
 
+  test("generation retention: aged-out keys re-admit, re-stamps take the max generation") {
+    import spark.implicits._
+    val Dedup = graft.ext.Dedup
+    val prior = Seq((1L, "old news"), (2L, "evergreen")).toDF("doc_id", "text")
+    val g0 = Dedup.stampGeneration(Dedup.exactKeys(prior), 0L)
+    // "evergreen" re-accepted at gen 2 → its key carries stamps {0, 2};
+    // retention at minGen 1 must see the MAX stamp and keep blocking it,
+    // while "old news" (only gen 0) ages out and re-admits
+    val snap = g0.unionByName(Dedup.stampGeneration(
+      Dedup.exactKeys(Seq((3L, "evergreen")).toDF("doc_id", "text")), 2L))
+    val batch = Seq((10L, "old news"), (11L, "evergreen"), (12L, "novel"))
+      .toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedupKeys(batch,
+        Dedup.retainGenerations(snap, minGen = 1L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L), kept)
+    // minGen 0: nothing aged out yet
+    val kept0 = Dedup.incrementalDedupKeys(batch,
+        Dedup.retainGenerations(snap, minGen = 0L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept0 == Set(12L), kept0)
+    // shape validation fails loudly on the wrong projection
+    intercept[IllegalArgumentException] { Dedup.retainGenerations(prior, 0L) }
+    intercept[IllegalArgumentException] { Dedup.stampGeneration(snap, 3L) }
+  }
+
   test("snapshot-loop advance law on a seeded-random corpus: advanced projections == recomputed union") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
