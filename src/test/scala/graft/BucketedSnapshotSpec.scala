@@ -136,6 +136,26 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     }
   }
 
+  test("retention over a bucketed (key, gen) snapshot plans without an exchange") {
+    import spark.implicits._
+    val Dedup = graft.ext.Dedup
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select("doc_id", "text")
+    val stamped = Dedup.stampGeneration(
+      Dedup.exactKeys(docs.where(col("doc_id") % 3 === 1)).distinct(), 0L)
+    BucketedSnapshot.write(stamped, "bk_gen_keys", tmpDir("bk_gen"), "_key", 8)
+    try {
+      // the daily retention pass (max-stamp groupBy on the bucket key)
+      // must ride the bucketing — a corpus-sized shuffle per day would
+      // defeat the layout
+      val gate = Dedup.retainGenerations(
+        BucketedSnapshot.read(spark, "bk_gen_keys"), minGen = 0L)
+      val plan = gate.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(gate.count() > 0)
+    } finally spark.sql("DROP TABLE IF EXISTS bk_gen_keys")
+  }
+
   test("the gate artifact case: a bucketed prior-key table anti-joins without shuffling the prior side") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
