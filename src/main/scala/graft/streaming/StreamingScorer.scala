@@ -337,12 +337,32 @@ object StreamingIngest {
       nearDupBands: Int = 0, nearDupBandedThreshold: Double = 0.8,
       nearDupBandedMaxBucket: Int = 1000,
       nearDupPriorSigs: Option[DataFrame] = None,
-      blockWords: Seq[String] = Seq.empty): DataFrame = {
+      blockWords: Seq[String] = Seq.empty,
+      priorKeys: Option[DataFrame] = None): DataFrame = {
     require(docs.isStreaming,
       "cleanDocuments is the streaming twin; batch feeds use Dedup.exactDedup + the p_quality filters")
+    // `priorKeys` is the persisted-projection form of the snapshot gate
+    // (the streaming twin of Dedup.incrementalDedupKeys /
+    // incrementalNearDedup-over-nearDupKeys): a single-`_key` table —
+    // exactKeys when nearDupHashes == 0, nearDupKeys(k = nearDupHashes)
+    // otherwise, the SAME tier pairing as batch — so a long-running
+    // stream never reads snapshot text at all. Pair with
+    // `nearDupPriorSigs` for the banded tier and the whole gate runs
+    // from persisted projections. Mutually exclusive with `priorDocs`
+    // (which derives the key projection from text).
+    priorKeys.foreach { pk =>
+      require(!pk.isStreaming, "priorKeys must be a static snapshot")
+      require(pk.columns.toSeq == Seq("_key"),
+        "priorKeys must be a key projection (single `_key` column); got " +
+          pk.columns.mkString(", "))
+      require(priorDocs.isEmpty,
+        "pass priorDocs OR priorKeys, not both — they are alternative " +
+          "forms of the same snapshot tier")
+    }
     // the banded prior tier is meaningless without the minhash tier and a
     // snapshot — fail fast instead of silently re-admitting near-dups
-    require(nearDupBands == 0 || (nearDupHashes > 0 && priorDocs.nonEmpty),
+    require(nearDupBands == 0 ||
+        (nearDupHashes > 0 && (priorDocs.nonEmpty || nearDupPriorSigs.nonEmpty)),
       "nearDupBands > 0 requires nearDupHashes > 0 and priorDocs")
     require(nearDupPriorSigs.isEmpty || nearDupBands > 0,
       "nearDupPriorSigs is only read by the banded tier (nearDupBands > 0)")
@@ -388,7 +408,17 @@ object StreamingIngest {
     // snapshot doc must not re-enter either). Stream-static has no
     // left_anti, hence left_outer + null filter.
     def dropSeen(stream: DataFrame, keyOf: DataFrame => DataFrame,
-        key: String): DataFrame = priorDocs match {
+        key: String): DataFrame = priorKeys match {
+      case Some(pk) =>
+        // persisted-projection path: the snapshot's key table joins
+        // as-is (renamed to the stream's key column) — no text, no
+        // per-construction key derivation. distinct + localCheckpoint
+        // for the same static-side re-execution reason as below.
+        val priorK = pk.select(col("_key").as(key), lit(1).as("_seen"))
+          .distinct().localCheckpoint()
+        stream.join(priorK, Seq(key), "left_outer")
+          .where(col("_seen").isNull).drop("_seen")
+      case None => priorDocs match {
       case Some(prior) =>
         // the STATIC side of a stream-static join re-executes on EVERY
         // micro-batch — for the text path that is a full snapshot
@@ -404,6 +434,7 @@ object StreamingIngest {
         stream.join(priorK, Seq(key), "left_outer")
           .where(col("_seen").isNull).drop("_seen")
       case None => stream
+      }
     }
     if (nearDupHashes <= 0) {
       dropSeen(gated,
@@ -439,8 +470,12 @@ object StreamingIngest {
       // bucket exceeds the cap on either side. Shingle-less feed docs
       // carry no signature and pass this tier (the exact/signature key
       // gate above already covers them).
-      val afterBanded = (priorDocs, nearDupBands) match {
-        case (Some(prior), b) if b > 0 =>
+      // the snapshot side comes from nearDupPriorSigs (the persisted
+      // projection — required when the key tier runs from priorKeys) or
+      // is derived from priorDocs text; the top require guarantees one
+      // of the two is present whenever bands > 0
+      val afterBanded = nearDupBands match {
+        case b if b > 0 =>
           require(nearDupHashes % b == 0,
             "nearDupHashes must be divisible by nearDupBands")
           // prior signatures: from a precomputed minhashSignatures table
@@ -456,7 +491,7 @@ object StreamingIngest {
               sigs.select(array(
                 (0 until nearDupHashes).map(k => col(s"mh$k")): _*).as("_psig"))
             case None => graft.ext.Dedup
-              .withMinhashSignature(prior, textCol, "_psig", nearDupHashes)
+              .withMinhashSignature(priorDocs.get, textCol, "_psig", nearDupHashes)
               .where(size(col("_psig")) > 0)
               .select(col("_psig"))
           }

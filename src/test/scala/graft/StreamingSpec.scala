@@ -310,6 +310,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("projection-driven streaming gate: priorKeys + nearDupPriorSigs run the full gate without snapshot text") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    import org.apache.spark.sql.functions.col
+    val Dedup = graft.ext.Dedup
+    val periodic = "alpha beta gamma alpha beta gamma"
+    val longDoc = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val prior = Seq((1L, periodic), (2L, longDoc)).toDF("doc_id", "text")
+    val keys = Dedup.nearDupKeys(prior, numHashes = 16)
+    val sigs = Dedup.minhashSignatures(prior, "text", col("doc_id"), 16)
+    // fixture classes: signature-equal rotation (key tier), 8-token
+    // append of the long doc (banded tier only), novel (passes)
+    val rotated = "beta gamma alpha beta gamma alpha"
+    val appended = longDoc + " sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8"
+    val novel = (1 to 40).map(i => s"new$i").mkString(" ")
+    def run(name: String, usePriorDocs: Boolean): Seq[String] = {
+      val st = MemoryStream[(java.sql.Timestamp, String)]
+      val q = graft.streaming.StreamingIngest.cleanDocuments(
+          st.toDF().toDF("ts", "text"), watermark = "1 minute",
+          minTokens = 5, minQuality = 0.0, nearDupHashes = 16,
+          nearDupBands = 4,
+          priorDocs = if (usePriorDocs) Some(prior) else None,
+          priorKeys = if (usePriorDocs) None else Some(keys),
+          nearDupPriorSigs = Some(sigs))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        st.addData(Seq((ts(0), rotated), (ts(1), appended), (ts(2), novel)))
+        q.processAllAvailable()
+        spark.table(name).select("text").as[String].collect().toSeq
+      } finally q.stop()
+    }
+    val viaKeys = run("proj_gate_keys", usePriorDocs = false)
+    assert(viaKeys == Seq(novel),
+      s"rotation (key tier) and append (banded tier) must both drop: $viaKeys")
+    // text-driven form agrees — the projections ARE the snapshot
+    assert(run("proj_gate_text", usePriorDocs = true) == viaKeys)
+    // misuse fails loudly
+    val st = MemoryStream[(java.sql.Timestamp, String)]
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.cleanDocuments(
+        st.toDF().toDF("ts", "text"),
+        priorDocs = Some(prior), priorKeys = Some(keys))
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.cleanDocuments(
+        st.toDF().toDF("ts", "text"), priorKeys = Some(prior))
+    }
+  }
+
   test("streaming banded prior gate agrees with the batch incrementalBandedNearDedup") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
