@@ -458,6 +458,32 @@ object PipelineQueries {
         .orderBy("day", "lang")
     }),
 
+    // WebDataset tar-shard round trip: documents → deterministic USTAR
+    // archives (batched per partition) → member explode; DuckDB
+    // recomputes the member sizes/hashes from the source table directly,
+    // so a hash match proves the container preserved every byte (the
+    // p_warc_extract discipline; TarShardsSpec adds the system-tar
+    // cross-validation in both directions)
+    "p_tar_shards" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val blobs = docs.as[(Long, String)].mapPartitions { it =>
+        it.grouped(64).map { grp =>
+          graft.sources.TarShards.writeAll(grp.map { case (id, text) =>
+            (f"$id%06d.txt",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          })
+        }
+      }.toDF("payload")
+      graft.sources.TarShards.members(blobs, col("payload"))
+        .select(
+          regexp_extract(col("member_name"), "^(\\d+)\\.txt$", 1)
+            .cast("long").as("doc_id"),
+          octet_length(col("body_text")).cast("long").as("n_bytes"),
+          md5(col("body_text")).as("payload_md5"))
+        .orderBy("doc_id")
+    }),
+
     // C4 blocklist page filter: pages containing any blocklisted word
     // (case-insensitive whole token) or multi-word phrase (token-boundary
     // match) are flagged for removal — map-only
@@ -2179,6 +2205,11 @@ object PipelineQueries {
          |        PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
          |      FROM scored)
          |ORDER BY doc_id""".stripMargin,
+
+    "p_tar_shards" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p_warc_extract" ->
       """SELECT doc_id, CAST(200 AS BIGINT) AS http_status,

@@ -1,0 +1,106 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.TarShards
+
+/** Tar shard sink/source, held to the repo's codec bar: proven against
+  * the INDEPENDENT system `tar` in both directions, plus byte
+  * determinism and the WebDataset shard round-trip. */
+class TarShardsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def tmpDir(name: String): java.io.File = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d
+  }
+
+  test("system tar reads our archives: names, sizes, and bytes match") {
+    import scala.sys.process._
+    val members = Seq(
+      "000001.txt" -> "hello tar world".getBytes("UTF-8"),
+      "000002.txt" -> Array.tabulate(1000)(i => (i % 251).toByte), // crosses a block
+      "000003.txt" -> Array.emptyByteArray)                        // zero-length member
+    val dir = tmpDir("tar_out")
+    val f = new java.io.File(dir, "t.tar")
+    java.nio.file.Files.write(f.toPath, TarShards.writeAll(members))
+    val listed = Seq("tar", "-tf", f.getPath).!!.trim.split("\n").toSeq
+    assert(listed == members.map(_._1), listed)
+    members.foreach { case (name, body) =>
+      val out = new java.io.ByteArrayOutputStream()
+      (Seq("tar", "-xOf", f.getPath, name) #> out).!!
+      assert(java.util.Arrays.equals(out.toByteArray, body),
+        s"$name: system tar extracted different bytes")
+    }
+  }
+
+  test("our parser reads system-tar archives") {
+    import scala.sys.process._
+    val dir = tmpDir("tar_sys")
+    val a = new java.io.File(dir, "a.txt")
+    val b = new java.io.File(dir, "b.bin")
+    java.nio.file.Files.write(a.toPath, "alpha beta".getBytes("UTF-8"))
+    java.nio.file.Files.write(b.toPath, Array.tabulate(700)(_.toByte))
+    val f = new java.io.File(dir, "sys.tar")
+    assert(Seq("tar", "-cf", f.getPath, "-C", dir.getPath, "a.txt", "b.bin").! == 0)
+    val parsed = TarShards.parseAll(java.nio.file.Files.readAllBytes(f.toPath))
+      .toSeq.sortBy(_._1)
+    assert(parsed.map(_._1) == Seq("a.txt", "b.bin"), parsed.map(_._1))
+    assert(new String(parsed.head._2, "UTF-8") == "alpha beta")
+    assert(java.util.Arrays.equals(parsed(1)._2, Array.tabulate(700)(_.toByte)))
+  }
+
+  test("writeShards/readShards round-trip: one tar per shard, deterministic bytes, rows preserved") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("shard", pmod(col("doc_id"), lit(4)))
+      .withColumn("name", format_string("%06d.txt", col("doc_id")))
+      .withColumn("payload", col("text").cast("binary"))
+    val dir = tmpDir("tar_shards")
+    TarShards.writeShards(docs, dir.getPath, "shard", "name", "payload")
+    val files = dir.listFiles.filter(_.getName.endsWith(".tar")).sortBy(_.getName)
+    assert(files.map(_.getName).toSeq ==
+      (0 to 3).map(i => f"shard-$i%05d.tar"), files.map(_.getName).toSeq)
+    // rows preserved exactly (shard membership + payload text)
+    val back = TarShards.readShards(spark, dir.getPath)
+      .select(col("shard"),
+        regexp_extract(col("member_name"), "^(\\d+)\\.txt$", 1)
+          .cast("long").as("doc_id"),
+        col("body_text"))
+    val expect = docs.select(col("shard").cast("long"), col("doc_id"), col("text"))
+    assert(back.count() == docs.count())
+    assert(back.join(expect,
+        back("shard") === expect("shard") && back("doc_id") === expect("doc_id")
+          && back("body_text") === expect("text"))
+      .count() == docs.count(), "every member must match its source row")
+    // byte determinism: a rewrite produces identical files
+    val dir2 = tmpDir("tar_shards2")
+    TarShards.writeShards(docs, dir2.getPath, "shard", "name", "payload")
+    files.foreach { f1 =>
+      val f2 = new java.io.File(dir2, f1.getName)
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f1.toPath),
+        java.nio.file.Files.readAllBytes(f2.toPath)),
+        s"${f1.getName} must be byte-identical across reruns")
+    }
+    // and system tar agrees with the member count of one shard
+    import scala.sys.process._
+    val n0 = Seq("tar", "-tf", files.head.getPath).!!.trim.split("\n").length
+    assert(n0.toLong == docs.where(col("shard") === 0).count())
+  }
+
+  test("oversized names and field overflows fail loudly") {
+    intercept[IllegalArgumentException] {
+      TarShards.writeAll(Seq(("x" * 101) -> Array.emptyByteArray))
+    }
+    // truncated archive: member claims more bytes than present
+    val good = TarShards.writeAll(Seq("a.txt" -> "abc".getBytes("UTF-8")))
+    val cut = java.util.Arrays.copyOfRange(good, 0, 513)
+    intercept[IllegalArgumentException] {
+      TarShards.parseAll(cut).toSeq
+    }
+  }
+}
