@@ -167,12 +167,26 @@ object TarShards {
     val spark = docs.sparkSession
     import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
+    // tasks write through the Hadoop FileSystem API so `dir` can be any
+    // cluster store (hdfs://, s3a://, file:/) — java.io would silently
+    // write executor-local disks on a real cluster. Configuration is not
+    // serializable; ship the session's entries and rebuild per task.
+    val confEntries: Seq[(String, String)] = {
+      val it = spark.sparkContext.hadoopConfiguration.iterator()
+      val buf = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+      buf.result()
+    }
     docs.select(col(shardCol).cast("long"), col(nameCol).cast("string"),
         col(payloadCol).cast("binary"))
       .as[(Long, String, Array[Byte])]
       .repartition(n, col(shardCol))
       .sortWithinPartitions(col(shardCol), col(nameCol))
       .foreachPartition { (it: Iterator[(Long, String, Array[Byte])]) =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(conf)
         var cur = -1L
         var out: java.io.OutputStream = null
         def close(): Unit = if (out != null) { writeTrailer(out); out.close() }
@@ -180,9 +194,9 @@ object TarShards {
           if (shard != cur) {
             close()
             cur = shard
-            val f = new java.io.File(dir, f"shard-$shard%05d.tar")
             out = new java.io.BufferedOutputStream(
-              new java.io.FileOutputStream(f), 1 << 16)
+              fs.create(new org.apache.hadoop.fs.Path(base,
+                f"shard-$shard%05d.tar"), true), 1 << 16)
           }
           writeMember(out, name, body)
         }
