@@ -93,9 +93,14 @@ object TarShards {
     out.toByteArray
   }
 
-  /** Parse a tar archive into its (name, body) members. Accepts any
-    * ustar/GNU archive of regular files; non-file members (directories,
-    * links, PAX/GNU extension blocks) are skipped by typeflag. */
+  /** Parse a tar archive into its (name, body) members. Accepts
+    * ustar/GNU archives of regular files with header-sized (≤ 100 byte)
+    * names; directories and links are skipped by typeflag. GNU longname
+    * ('L') and PAX extension ('x'/'g') entries are REJECTED loudly: the
+    * member after them carries a truncated header name, and silently
+    * returning it would corrupt keys (and collide distinct long keys
+    * sharing a 100-byte prefix). Python's tarfile writes GNU longnames
+    * by default for >100-byte keys — keep shard keys short. */
   def parseAll(payload: Array[Byte]): Iterator[(String, Array[Byte])] =
     new Iterator[(String, Array[Byte])] {
       private var pos = 0
@@ -128,6 +133,11 @@ object TarShards {
           val dataStart = pos + BlockSize
           require(dataStart + size <= payload.length,
             s"truncated tar: member $name claims $size bytes past the end")
+          require(typeflag != 'L'.toByte && typeflag != 'K'.toByte &&
+              typeflag != 'x'.toByte && typeflag != 'g'.toByte,
+            s"GNU longname / PAX extension entry (typeflag '${typeflag.toChar}') " +
+              "is not supported — the following member's header name is " +
+              "truncated; keep member names within 100 bytes")
           val padded = ((size + BlockSize - 1) / BlockSize) * BlockSize
           pos = dataStart + padded.toInt
           if (typeflag == '0'.toByte || typeflag == 0) {
@@ -187,20 +197,43 @@ object TarShards {
         confEntries.foreach { case (k, v) => conf.set(k, v) }
         val base = new org.apache.hadoop.fs.Path(dir)
         val fs = base.getFileSystem(conf)
+        // write-temp-then-rename (the FileOutputCommitter pattern): a
+        // speculative or zombie duplicate attempt must never interleave
+        // bytes into a reader-visible file, and a mid-write failure must
+        // leave no partial shard-*.tar behind. The temp name does not
+        // match readShards' shard-*.tar glob; the rename on close is the
+        // atomic commit (per-shard, last-finisher-wins between attempts).
+        val attempt = java.util.UUID.randomUUID().toString
         var cur = -1L
+        var open = false
         var out: java.io.OutputStream = null
-        def close(): Unit = if (out != null) { writeTrailer(out); out.close() }
-        it.foreach { case (shard, name, body) =>
-          if (shard != cur) {
-            close()
-            cur = shard
-            out = new java.io.BufferedOutputStream(
-              fs.create(new org.apache.hadoop.fs.Path(base,
-                f"shard-$shard%05d.tar"), true), 1 << 16)
-          }
-          writeMember(out, name, body)
+        var tmp: org.apache.hadoop.fs.Path = null
+        var fin: org.apache.hadoop.fs.Path = null
+        def commit(): Unit = if (open) {
+          writeTrailer(out); out.close(); open = false
+          fs.delete(fin, false)
+          require(fs.rename(tmp, fin), s"failed to commit $fin")
         }
-        close()
+        try {
+          it.foreach { case (shard, name, body) =>
+            require(shard >= 0,
+              s"shard ids must be non-negative (use pmod, not hash%%n): $shard")
+            if (!open || shard != cur) {
+              commit()
+              cur = shard
+              fin = new org.apache.hadoop.fs.Path(base, f"shard-$shard%05d.tar")
+              tmp = new org.apache.hadoop.fs.Path(base,
+                f".shard-$shard%05d.tar.$attempt.tmp")
+              out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+              open = true
+            }
+            writeMember(out, name, body)
+          }
+          commit()
+        } finally if (open) {
+          out.close()
+          fs.delete(tmp, false)
+        }
       }
   }
 

@@ -360,10 +360,17 @@ object StreamingIngest {
           "forms of the same snapshot tier")
     }
     // the banded prior tier is meaningless without the minhash tier and a
-    // snapshot — fail fast instead of silently re-admitting near-dups
+    // snapshot — fail fast instead of silently re-admitting near-dups.
+    // The KEY tier must also be present (priorDocs or priorKeys): the
+    // banded tier alone cannot cover shingle-less docs or over-cap
+    // buckets, which the comments below delegate to the key gate
     require(nearDupBands == 0 ||
-        (nearDupHashes > 0 && (priorDocs.nonEmpty || nearDupPriorSigs.nonEmpty)),
-      "nearDupBands > 0 requires nearDupHashes > 0 and priorDocs")
+        (nearDupHashes > 0 && (priorDocs.nonEmpty || priorKeys.nonEmpty)),
+      "nearDupBands > 0 requires nearDupHashes > 0 and a key-tier " +
+        "snapshot (priorDocs or priorKeys)")
+    require(nearDupBands == 0 || priorDocs.nonEmpty || nearDupPriorSigs.nonEmpty,
+      "nearDupBands > 0 with priorKeys needs nearDupPriorSigs (no text " +
+        "to derive the snapshot signatures from)")
     require(nearDupPriorSigs.isEmpty || nearDupBands > 0,
       "nearDupPriorSigs is only read by the banded tier (nearDupBands > 0)")
     // optional pre-gate cleaning stages — all stateless projections, so
@@ -408,32 +415,29 @@ object StreamingIngest {
     // snapshot doc must not re-enter either). Stream-static has no
     // left_anti, hence left_outer + null filter.
     def dropSeen(stream: DataFrame, keyOf: DataFrame => DataFrame,
-        key: String): DataFrame = priorKeys match {
-      case Some(pk) =>
-        // persisted-projection path: the snapshot's key table joins
-        // as-is (renamed to the stream's key column) — no text, no
-        // per-construction key derivation. distinct + localCheckpoint
-        // for the same static-side re-execution reason as below.
-        val priorK = pk.select(col("_key").as(key), lit(1).as("_seen"))
-          .distinct().localCheckpoint()
-        stream.join(priorK, Seq(key), "left_outer")
-          .where(col("_seen").isNull).drop("_seen")
-      case None => priorDocs match {
-      case Some(prior) =>
-        // the STATIC side of a stream-static join re-executes on EVERY
-        // micro-batch — for the text path that is a full snapshot
-        // signature pass per batch. Eager localCheckpoint (NOT persist:
-        // a persist registers in the session CacheManager, which holds
-        // strong references until an explicit unpersist — a library
-        // cannot safely do that, so each gate construction would leak a
-        // session-lifetime cache entry). Checkpoint blocks are plain RDD
-        // blocks: the ContextCleaner reclaims them once the stopped
-        // query's plan is garbage-collected.
-        val priorK = keyOf(prior).select(col(key), lit(1).as("_seen")).distinct()
-          .localCheckpoint()
-        stream.join(priorK, Seq(key), "left_outer")
-          .where(col("_seen").isNull).drop("_seen")
-      case None => stream
+        key: String): DataFrame = {
+      // the snapshot key table: given directly (priorKeys — the
+      // persisted-projection path, renamed to the stream's key column;
+      // no text, no per-construction derivation) or derived from the
+      // snapshot's text (priorDocs)
+      val keyTable = priorKeys.map(_.select(col("_key").as(key)))
+        .orElse(priorDocs.map(prior => keyOf(prior).select(col(key))))
+      keyTable match {
+        case Some(kt) =>
+          // the STATIC side of a stream-static join re-executes on EVERY
+          // micro-batch — for the text path that is a full snapshot
+          // signature pass per batch. Eager localCheckpoint (NOT persist:
+          // a persist registers in the session CacheManager, which holds
+          // strong references until an explicit unpersist — a library
+          // cannot safely do that, so each gate construction would leak a
+          // session-lifetime cache entry). Checkpoint blocks are plain RDD
+          // blocks: the ContextCleaner reclaims them once the stopped
+          // query's plan is garbage-collected.
+          val priorK = kt.withColumn("_seen", lit(1)).distinct()
+            .localCheckpoint()
+          stream.join(priorK, Seq(key), "left_outer")
+            .where(col("_seen").isNull).drop("_seen")
+        case None => stream
       }
     }
     if (nearDupHashes <= 0) {

@@ -103,4 +103,32 @@ class TarShardsSpec extends AnyFunSuite {
       TarShards.parseAll(cut).toSeq
     }
   }
+
+  test("GNU longname entries are rejected loudly, not silently truncated") {
+    import scala.sys.process._
+    val dir = tmpDir("tar_long")
+    val longName = ("k" * 120) + ".txt" // > 100 bytes → tar emits an 'L' entry
+    val f0 = new java.io.File(dir, longName)
+    java.nio.file.Files.write(f0.toPath, "payload".getBytes("UTF-8"))
+    val f = new java.io.File(dir, "long.tar")
+    assert(Seq("tar", "--format=gnu", "-cf", f.getPath,
+      "-C", dir.getPath, longName).! == 0)
+    val e = intercept[IllegalArgumentException] {
+      TarShards.parseAll(java.nio.file.Files.readAllBytes(f.toPath)).toSeq
+    }
+    assert(e.getMessage.contains("longname"), e.getMessage)
+  }
+
+  test("negative shard ids fail loudly instead of NPE or unparseable filenames") {
+    import spark.implicits._
+    val docs = Seq((-1L, "a.txt", "x"), (0L, "b.txt", "y"))
+      .toDF("shard", "name", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val dir = tmpDir("tar_neg")
+    val e = intercept[org.apache.spark.SparkException] {
+      TarShards.writeShards(docs, dir.getPath, "shard", "name", "payload")
+    }
+    assert(e.getCause != null || e.getMessage.contains("non-negative"),
+      e.getMessage.take(300))
+  }
 }
