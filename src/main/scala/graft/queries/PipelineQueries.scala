@@ -484,6 +484,46 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the OUTPUT pipeline end-to-end: per-language token budgets →
+    // deterministic epoch shards → one tar container per shard → parse
+    // back → per-shard member counts + content checksums. DuckDB
+    // recomputes the budgets, the shard hash, and the checksums straight
+    // from the source table, so a match proves the container stage
+    // added, dropped, and mangled nothing. Shards are built in-memory
+    // here (budgeted shards are small; the file-scale path is
+    // TarShards.writeShards, spec-tested)
+    "p_tar_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
+      val kept = Curation.takeTokenBudget(docs, "lang",
+        Map("en" -> 20000L), defaultBudget = 8000L).select("doc_id")
+      val sharded = Curation.epochShards(kept, "doc_id", 8, "tarpipe")
+        .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      val blobs = sharded.select(col("shard"), col("doc_id"), col("text"))
+        .as[(Int, Long, String)]
+        .groupByKey(_._1)
+        .mapGroups { (shard, it) =>
+          val members = it.toSeq.sortBy(_._2).map { case (_, id, text) =>
+            (f"$id%06d.txt",
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          (shard, graft.sources.TarShards.writeAll(members))
+        }.toDF("shard", "payload")
+      blobs.as[(Int, Array[Byte])]
+        .flatMap { case (shard, p) =>
+          graft.sources.TarShards.parseAll(p).map { case (n, b) =>
+            (shard, new String(b, java.nio.charset.StandardCharsets.UTF_8))
+          }
+        }.toDF("shard", "text2")
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_members"),
+          // 48-bit per-member content hash summed — order-independent,
+          // overflow-free at budgeted shard sizes
+          sum(conv(substring(md5(col("text2")), 1, 12), 16, 10)
+            .cast("long")).as("sum_h"))
+        .orderBy("shard")
+    }),
+
     // C4 blocklist page filter: pages containing any blocklisted word
     // (case-insensitive whole token) or multi-word phrase (token-boundary
     // match) are flagged for removal — map-only
@@ -2205,6 +2245,28 @@ object PipelineQueries {
          |        PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rn
          |      FROM scored)
          |ORDER BY doc_id""".stripMargin,
+
+    "p_tar_pipeline" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text, len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, text, lang,
+         |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+         |  FROM t
+         |), kept AS (
+         |  SELECT doc_id, text FROM c
+         |  WHERE cum <= CASE WHEN lang = 'en' THEN 20000 ELSE 8000 END
+         |), sh AS (
+         |  SELECT text,
+         |    CAST(${h60("concat(CAST(doc_id AS VARCHAR), '_tarpipe')")} % 8 AS INT)
+         |      AS shard
+         |  FROM kept
+         |)
+         |SELECT shard, count(*) AS n_members,
+         |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT))
+         |    AS BIGINT) AS sum_h
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
 
     "p_tar_shards" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
