@@ -361,6 +361,36 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("retention composes with the streaming gate: aged-out snapshot content re-enters the feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val Dedup = graft.ext.Dedup
+    val oldDoc = "content last crawled generations ago and due for a refresh"
+    val newDoc = "content accepted in the current generation of the snapshot"
+    val snap = Dedup.stampGeneration(
+        Dedup.exactKeys(Seq((1L, oldDoc)).toDF("doc_id", "text")), 0L)
+      .unionByName(Dedup.stampGeneration(
+        Dedup.exactKeys(Seq((2L, newDoc)).toDF("doc_id", "text")), 5L))
+    // retainGenerations output IS a priorKeys projection — the whole
+    // re-crawl policy plugs into the stream gate with no glue
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingIngest.cleanDocuments(
+        stream.toDF().toDF("ts", "text"), watermark = "1 minute",
+        minTokens = 5, minQuality = 0.0,
+        priorKeys = Some(Dedup.retainGenerations(snap, minGen = 3L)))
+      .writeStream.format("memory").queryName("ttl_gate_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq((ts(0), oldDoc), (ts(1), newDoc)))
+      q.processAllAvailable()
+      val out = spark.table("ttl_gate_sink").select("text").as[String]
+        .collect().toSeq
+      assert(out == Seq(oldDoc),
+        s"gen-0 content must re-enter, gen-5 must stay blocked: $out")
+    } finally q.stop()
+  }
+
   test("streaming banded prior gate agrees with the batch incrementalBandedNearDedup") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
