@@ -206,8 +206,12 @@ object Dedup {
       shingleN: Int = 3): DataFrame = {
     val sigs = minhashSignatures(docs, textCol, col(idCol), numHashes, shingleN)
       .select(sigKeyCol(numHashes).as("_key"))
+    // a doc has zero shingles exactly when it has < shingleN tokens
+    // (TextOps.shingles is the n-token sliding window) — test THAT, not
+    // size(shingles(...)) == 0, which would build and distinct the full
+    // shingle array for every document just to check emptiness
     val shingleless = docs
-      .where(size(TextOps.shingles(TextOps.tokens(col(textCol)), shingleN)) === 0)
+      .where(size(TextOps.tokens(col(textCol))) < shingleN)
       .select(md5(col(textCol)).as("_key"))
     sigs.unionByName(shingleless)
   }
