@@ -125,6 +125,19 @@ object TarShards {
         nextRec = null
         while (nextRec == null && pos + BlockSize <= payload.length
             && !blockZero(pos)) {
+          // verify the header checksum BEFORE trusting the size field: a
+          // corrupted size silently mis-frames every later member, which
+          // is far worse than a loud reject. Sum over the header with
+          // the checksum field read as spaces (the format's rule).
+          var sum = 0L
+          var ci = pos
+          while (ci < pos + BlockSize) {
+            sum += (if (ci - pos >= 148 && ci - pos < 156) ' '.toByte
+                    else payload(ci)) & 0xff
+            ci += 1
+          }
+          require(parseOctal(pos + 148, 8) == sum,
+            s"tar header checksum mismatch at offset $pos — corrupt archive")
           var end = pos
           while (end < pos + 100 && payload(end) != 0) end += 1
           val name = new String(payload, pos, end - pos, UTF_8)

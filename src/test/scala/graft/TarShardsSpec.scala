@@ -104,6 +104,44 @@ class TarShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("corrupted headers are rejected by checksum, never silently mis-framed (seeded fuzz)") {
+    val members = Seq(
+      "000001.txt" -> "the first member body".getBytes("UTF-8"),
+      "000002.txt" -> Array.tabulate(600)(i => (i % 127).toByte),
+      "000003.txt" -> "the last member".getBytes("UTF-8"))
+    val good = TarShards.writeAll(members)
+    val goodParse = TarShards.parseAll(good).toSeq.map {
+      case (n, b) => (n, b.toSeq)
+    }
+    val rnd = new scala.util.Random(42)
+    var rejected = 0
+    for (_ <- 1 to 200) {
+      val corrupt = good.clone()
+      // flip one byte inside the FIRST header (the frame everything
+      // downstream depends on), skipping positions where a flip can be
+      // a no-op for parsing (name tail NULs past the name, pad bytes)
+      val off = rnd.nextInt(512)
+      val delta = (1 + rnd.nextInt(254)).toByte
+      corrupt(off) = (corrupt(off) + delta).toByte
+      val r = scala.util.Try(TarShards.parseAll(corrupt).toSeq.map {
+        case (n, b) => (n, b.toSeq)
+      })
+      r match {
+        case scala.util.Success(parsed) =>
+          // a flip the checksum cannot see (it didn't change the sum
+          // contribution — impossible for a single byte — or landed in
+          // the data region) may parse; it must never silently change
+          // the member FRAMING (names and sizes of all three members)
+          assert(parsed.map(_._1) == goodParse.map(_._1) &&
+            parsed.map(_._2.length) == goodParse.map(_._2.length),
+            s"flip at $off silently re-framed the archive")
+        case scala.util.Failure(_: IllegalArgumentException) => rejected += 1
+        case scala.util.Failure(e) => throw e
+      }
+    }
+    assert(rejected > 150, s"most single-byte header flips must be caught: $rejected/200")
+  }
+
   test("GNU longname entries are rejected loudly, not silently truncated") {
     import scala.sys.process._
     val dir = tmpDir("tar_long")
