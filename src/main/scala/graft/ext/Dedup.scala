@@ -129,6 +129,51 @@ object Dedup {
       .select("_key")
   }
 
+  /** [[stampGeneration]]'s sibling for the BANDED tier's snapshot
+    * artifact: stamp a [[minhashSignatures]] table (id, mh0..mh{k−1})
+    * with the generation it was accepted in, so the signature snapshot
+    * obeys the SAME re-admission policy as the key tiers — without this,
+    * aged-out content re-admits through the key tiers but stays blocked
+    * by an eternal signature table (and that table grows forever).
+    * Map-only; a (id, mh*, _gen) table bucketed on `id` keeps
+    * [[retainSignatureGenerations]]'s groupBy exchange-free. */
+  def stampSignatureGeneration(sigs: DataFrame, gen: Long,
+      numHashes: Int): DataFrame = {
+    val sigCols = "id" +: (0 until numHashes).map(k => s"mh$k")
+    require(sigs.columns.toSeq == sigCols,
+      s"stampSignatureGeneration takes a minhashSignatures($numHashes) " +
+        "projection (id, mh0..mh" + (numHashes - 1) + "); got " +
+        sigs.columns.mkString(", "))
+    sigs.withColumn("_gen", lit(gen))
+  }
+
+  /** Retention/TTL over a generation-stamped signature snapshot — the
+    * banded tier's [[retainGenerations]]: per document id keep the
+    * LATEST stamped signature (lexicographic max over (_gen, mh0..), so
+    * a re-crawled id deterministically resolves to its newest
+    * signature), drop ids last accepted before `minGen`, and return the
+    * (id, mh0..mh{k−1}) projection [[incrementalBandedNearDedup]] /
+    * [[incrementalCrawlGate]] take as `priorSigs`. Gating each day
+    * against `retainSignatureGenerations(snapshot, today − N, k)` makes
+    * content unseen for N days re-admittable through the banded tier on
+    * the SAME policy the key tiers apply — one knob, three tiers.
+    * One max-per-id groupBy: against a snapshot bucketed on `id` it
+    * plans exchange-free (BucketedSnapshotSpec pins this). */
+  def retainSignatureGenerations(sigsGen: DataFrame, minGen: Long,
+      numHashes: Int): DataFrame = {
+    val cols = ("id" +: (0 until numHashes).map(k => s"mh$k")) :+ "_gen"
+    require(sigsGen.columns.toSeq == cols,
+      "retainSignatureGenerations takes a stampSignatureGeneration " +
+        s"projection (id, mh0..mh${numHashes - 1}, _gen); got " +
+        sigsGen.columns.mkString(", "))
+    val latest = sigsGen.groupBy("id")
+      .agg(max(struct(col("_gen") +:
+        (0 until numHashes).map(k => col(s"mh$k")): _*)).as("_m"))
+    latest.where(col("_m._gen") >= minGen)
+      .select(col("id") +:
+        (0 until numHashes).map(k => col(s"_m.mh$k").as(s"mh$k")): _*)
+  }
+
   /** [[incrementalDedup]] against a PERSISTED [[exactKeys]] projection —
     * the 100-TB contract all three gate tiers now share (exact keys here,
     * [[nearDupKeys]] for the signature-equality tier, [[minhashSignatures]]

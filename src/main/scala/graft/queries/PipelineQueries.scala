@@ -458,6 +458,71 @@ object PipelineQueries {
         .orderBy("day", "lang")
     }),
 
+    // retention closed over ALL THREE gate tiers — the full crawl-gate
+    // lifecycle under ONE re-admission policy: both snapshot artifacts
+    // (the key projection AND the banded tier's signature table) carry
+    // generation stamps, day-2 gates against retain(minGen = 1) on
+    // both, so gen-0 content ages out of EVERY tier consistently.
+    // Day-2 replica classes prove each edge: +40000 byte-identical and
+    // +50000 8-token-appended replicas of AGED-OUT day-0 docs are
+    // RE-ADMITTED (the key tier and the BANDED tier both forgot them —
+    // without stampSignatureGeneration the +50000 class would stay
+    // blocked by the eternal signature table, the r13 verdict's open
+    // edge), while +60000 byte-identical and +70000 8-token-appended
+    // replicas of day-1 (gen-1) acceptances stay BLOCKED by the key and
+    // banded tiers respectively
+    "p_crawl_ttl" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val prior = d.where(col("doc_id") % 3 === 1)
+      val day1 = d.where(col("doc_id") % 3 === 2)
+        .unionByName(prior.where(col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 20000))
+      // the stamped projections are PERSISTED bucketed tables in
+      // production (BucketedSnapshotSpec pins the exchange-free
+      // retention plan); materialize so both days share them
+      val gk0 = Dedup.stampGeneration(
+        Dedup.nearDupKeys(prior, numHashes = NumHashes), 0L).localCheckpoint()
+      val gs0 = Dedup.stampSignatureGeneration(
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes),
+        0L, NumHashes).localCheckpoint()
+      val kept1 = Dedup.incrementalCrawlGate(day1,
+        Dedup.retainGenerations(gk0, minGen = 0L),
+        Dedup.retainSignatureGenerations(gs0, minGen = 0L, NumHashes),
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket).localCheckpoint()
+      val gk1 = gk0.unionByName(Dedup.stampGeneration(
+        Dedup.nearDupKeys(kept1, numHashes = NumHashes), 1L))
+      val gs1 = gs0.unionByName(Dedup.stampSignatureGeneration(
+        Dedup.minhashSignatures(kept1, "text", col("doc_id"), NumHashes),
+        1L, NumHashes))
+      val day2 = d.where(col("doc_id") % 3 === 0)
+        .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
+          .withColumn("doc_id", col("doc_id") + 40000))
+        .unionByName(prior.where(col("doc_id") >= 250 && col("doc_id") < 350)
+          .select((col("doc_id") + 50000).as("doc_id"),
+            concat(col("text"),
+              lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
+            col("lang")))
+        .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 60000))
+        .unionByName(d.where(col("doc_id") % 3 === 2
+            && col("doc_id") >= 150 && col("doc_id") < 250)
+          .select((col("doc_id") + 70000).as("doc_id"),
+            concat(col("text"),
+              lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
+            col("lang")))
+      val kept2 = Dedup.incrementalCrawlGate(day2,
+        Dedup.retainGenerations(gk1, minGen = 1L),
+        Dedup.retainSignatureGenerations(gs1, minGen = 1L, NumHashes),
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket)
+      kept1.select(lit(1).as("day"), col("lang"), col("doc_id"))
+        .unionByName(kept2.select(lit(2).as("day"), col("lang"), col("doc_id")))
+        .groupBy("day", "lang")
+        .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
+        .orderBy("day", "lang")
+    }),
+
     // WebDataset tar-shard round trip: documents → deterministic USTAR
     // archives (batched per partition) → member explode; DuckDB
     // recomputes the member sizes/hashes from the source table directly,
@@ -1723,6 +1788,23 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
+  /** Mirror of `Dedup.retainSignatureGenerations`: per id keep the
+    * lexicographic-max (g, mh0..mh{n−1}) row (row_number over the full
+    * descending order = Spark's max(struct)), drop ids last stamped
+    * before `minGen`. `src` is a (id, mh0.., g) CTE. */
+  private def retainedSigCte(name: String, src: String, minGen: Long,
+      numHashes: Int): String = {
+    val mh = (0 until numHashes).map(k => s"mh$k").mkString(", ")
+    val ord = ("g DESC" +: (0 until numHashes).map(k => s"mh$k DESC"))
+      .mkString(", ")
+    s"""$name AS (
+       |  SELECT id, $mh FROM (
+       |    SELECT id, $mh, g,
+       |      row_number() OVER (PARTITION BY id ORDER BY $ord) AS rn
+       |    FROM $src) WHERE rn = 1 AND g >= $minGen
+       |)""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "p_exact_dedup" ->
       """WITH base AS (
@@ -1922,6 +2004,59 @@ object PipelineQueries {
          |  FROM d WHERE doc_id % 3 = 2 AND doc_id >= 150 AND doc_id < 250
          |), ${sigKeyCtes("d2", "day2", NumHashes)},
          |${crawlGateCtes("d2", "day2", "keys1", "sigs1")},
+         |un AS (
+         |  SELECT 1 AS day, lang, doc_id FROM d1_kept
+         |  UNION ALL SELECT 2 AS day, lang, doc_id FROM d2_kept
+         |)
+         |SELECT day, lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM un GROUP BY day, lang ORDER BY day, lang""".stripMargin,
+
+    "p_crawl_ttl" ->
+      s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
+         |prior AS (SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 1),
+         |day1 AS (
+         |  SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text, lang FROM prior WHERE doc_id < 150
+         |), ${sigKeyCtes("p", "prior", NumHashes)},
+         |gk0 AS (SELECT key, 0 AS g FROM p_key),
+         |gs0 AS (SELECT *, 0 AS g FROM p_sig),
+         |rk0 AS (
+         |  SELECT key FROM (SELECT key, max(g) AS g FROM gk0 GROUP BY key)
+         |  WHERE g >= 0
+         |), ${retainedSigCte("rs0", "gs0", 0L, NumHashes)},
+         |${sigKeyCtes("d1", "day1", NumHashes)},
+         |${crawlGateCtes("d1", "day1", "rk0", "rs0")},
+         |gk1 AS (
+         |  SELECT key, g FROM gk0
+         |  UNION ALL
+         |  SELECT k.key, 1 FROM d1_key k JOIN d1_kept kk ON kk.doc_id = k.id
+         |), gs1 AS (
+         |  SELECT * FROM gs0
+         |  UNION ALL
+         |  SELECT sg.*, 1 FROM d1_sig sg JOIN d1_kept kk ON kk.doc_id = sg.id
+         |), rk1 AS (
+         |  SELECT key FROM (SELECT key, max(g) AS g FROM gk1 GROUP BY key)
+         |  WHERE g >= 1
+         |), ${retainedSigCte("rs1", "gs1", 1L, NumHashes)},
+         |day2 AS (
+         |  SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 40000, text, lang FROM prior
+         |  WHERE doc_id >= 150 AND doc_id < 250
+         |  UNION ALL
+         |  SELECT doc_id + 50000,
+         |    text || ' sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8', lang
+         |  FROM prior WHERE doc_id >= 250 AND doc_id < 350
+         |  UNION ALL
+         |  SELECT doc_id + 60000, text, lang FROM d
+         |  WHERE doc_id % 3 = 2 AND doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 70000,
+         |    text || ' sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8', lang
+         |  FROM d WHERE doc_id % 3 = 2 AND doc_id >= 150 AND doc_id < 250
+         |), ${sigKeyCtes("d2", "day2", NumHashes)},
+         |${crawlGateCtes("d2", "day2", "rk1", "rs1")},
          |un AS (
          |  SELECT 1 AS day, lang, doc_id FROM d1_kept
          |  UNION ALL SELECT 2 AS day, lang, doc_id FROM d2_kept

@@ -156,6 +156,32 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS bk_gen_keys")
   }
 
+  test("signature-table retention over a bucketed (id, mh*, gen) snapshot plans without an exchange") {
+    import org.apache.spark.sql.functions._
+    val Dedup = graft.ext.Dedup
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select("doc_id", "text")
+    val stamped = Dedup.stampSignatureGeneration(
+      Dedup.minhashSignatures(docs.where(col("doc_id") % 3 === 1),
+        "text", col("doc_id"), 16), 0L, 16)
+    BucketedSnapshot.write(stamped, "bk_gen_sigs", tmpDir("bk_gen_sigs"),
+      "id", 8)
+    try {
+      // the banded tier's retention pass (max-(gen, sig) groupBy on id)
+      // must ride the bucketing, same contract as the key tiers'
+      // retainGenerations — the signature table is the one snapshot
+      // artifact that would otherwise re-shuffle ∝ corpus every day
+      val gate = Dedup.retainSignatureGenerations(
+        BucketedSnapshot.read(spark, "bk_gen_sigs"), minGen = 0L, 16)
+      val plan = gate.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(gate.count() > 0)
+      // and the retained projection feeds the banded gate unchanged
+      assert(gate.columns.toSeq ==
+        ("id" +: (0 until 16).map(k => s"mh$k")))
+    } finally spark.sql("DROP TABLE IF EXISTS bk_gen_sigs")
+  }
+
   test("the gate artifact case: a bucketed prior-key table anti-joins without shuffling the prior side") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")

@@ -411,6 +411,58 @@ class CurationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Dedup.stampGeneration(snap, 3L) }
   }
 
+  test("signature generation retention: aged-out sigs re-admit through the banded tier, re-stamps take the max") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val Dedup = graft.ext.Dedup
+    val long1 = (1 to 40).map(i => s"w$i").mkString(" ") // gen-0 content
+    val long2 = (1 to 40).map(i => s"v$i").mkString(" ") // gen-1 content
+    // 4 appended tokens: true J = 38/42 ≈ 0.905, comfortably above the
+    // 0.8 estimator threshold for both fixtures (20 appended tokens put
+    // the v-fixture's estimate under the cut — hash-draw dependent)
+    val q4 = "q1 q2 q3 q4"
+    val gs = Dedup.stampSignatureGeneration(
+        Dedup.minhashSignatures(
+          Seq((1L, long1)).toDF("doc_id", "text"), "text", col("doc_id"), 16),
+        0L, 16)
+      .unionByName(Dedup.stampSignatureGeneration(
+        Dedup.minhashSignatures(
+          Seq((5L, long2)).toDF("doc_id", "text"), "text", col("doc_id"), 16),
+        1L, 16))
+    val batch = Seq(
+      (10L, s"$long1 $q4"), // near-dup of the GEN-0 doc only
+      (11L, s"$long2 $q4"), // near-dup of the GEN-1 doc only
+      (12L, (1 to 40).map(i => s"x$i").mkString(" "))) // novel
+      .toDF("doc_id", "text")
+    def kept(minGen: Long, snap: org.apache.spark.sql.DataFrame = gs) =
+      Dedup.incrementalBandedNearDedup(batch,
+          Dedup.retainSignatureGenerations(snap, minGen, 16),
+          numHashes = 16, bands = 4, threshold = 0.8)
+        .select("doc_id").as[Long].collect().toSet
+    // minGen 0: both prior sigs current — both near-dups blocked
+    assert(kept(0L) == Set(12L), kept(0L))
+    // minGen 1: the gen-0 signature ages out — its near-dup RE-ADMITS
+    // while the gen-1 near-dup stays blocked (the r13 verdict's open
+    // edge: without signature retention, 10 would stay blocked forever)
+    assert(kept(1L) == Set(10L, 12L), kept(1L))
+    // re-stamp: id 1 re-accepted at gen 2 → its MAX stamp survives a
+    // minGen-2 cut (10 stays blocked) while the gen-1 sig ages out (11
+    // re-admits)
+    val reStamped = gs.unionByName(Dedup.stampSignatureGeneration(
+      Dedup.minhashSignatures(
+        Seq((1L, long1)).toDF("doc_id", "text"), "text", col("doc_id"), 16),
+      2L, 16))
+    assert(kept(2L, reStamped) == Set(11L, 12L), kept(2L, reStamped))
+    // shape validation fails loudly on the wrong projection
+    intercept[IllegalArgumentException] {
+      Dedup.retainSignatureGenerations(
+        Dedup.minhashSignatures(batch, "text", col("doc_id"), 16), 0L, 16)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.stampSignatureGeneration(gs, 3L, 16)
+    }
+  }
+
   test("snapshot-loop advance law on a seeded-random corpus: advanced projections == recomputed union") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
