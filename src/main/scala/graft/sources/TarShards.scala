@@ -20,10 +20,16 @@ import org.apache.spark.sql.functions._
   * (name 100, mode/uid/gid as octal ASCII, size 12-byte octal, mtime,
   * checksum over the header with the checksum field blanked to spaces,
   * typeflag '0', magic "ustar\0" version "00"), data padded to 512-byte
-  * blocks, archive terminated by two zero blocks. Headers are written
-  * with FIXED mode/uid/gid/mtime (0644/0/0/0), so the same rows always
-  * produce byte-identical shards — reruns and task retries are
-  * idempotent at the byte level, and round-trip oracles can hash them.
+  * blocks, archive terminated by two zero blocks. Names over 100 bytes
+  * (URL-derived WebDataset keys routinely are) are written as GNU
+  * longname ('L') entries — the same bytes GNU tar and Python's tarfile
+  * emit, readable everywhere. Headers are written with FIXED
+  * mode/uid/gid/mtime (0644/0/0/0), so the same rows always produce
+  * byte-identical shards — reruns and task retries are idempotent at
+  * the byte level, and round-trip oracles can hash them. The parser
+  * additionally reads POSIX prefix-split paths and PAX per-file
+  * extended headers (see [[parseAll]]), so third-party shards from any
+  * mainstream tar round-trip.
   *
   * Scale shape: [[writeShards]] repartitions by shard id (each shard's
   * rows land in one task; a task streams its shards to disk one member
@@ -46,10 +52,12 @@ object TarShards {
     (("0" * (width - 1 - s.length)) + s + "\u0000").getBytes(UTF_8)
   }
 
-  /** Serialize one ustar member header. */
-  private def header(name: String, size: Long): Array[Byte] = {
-    val nameBytes = name.getBytes(UTF_8)
-    require(nameBytes.length <= 100, s"tar member name exceeds 100 bytes: $name")
+  /** Serialize one ustar member header (`nameBytes` ≤ 100 — longer names
+    * are split into a GNU longname entry by [[writeMember]]). */
+  private def header(nameBytes: Array[Byte], size: Long,
+      typeflag: Byte): Array[Byte] = {
+    require(nameBytes.length <= 100,
+      "tar header name field exceeds 100 bytes")
     val h = new Array[Byte](BlockSize)
     System.arraycopy(nameBytes, 0, h, 0, nameBytes.length)
     System.arraycopy(octal(420L, 8), 0, h, 100, 8) // mode 0644
@@ -58,7 +66,7 @@ object TarShards {
     System.arraycopy(octal(size, 12), 0, h, 124, 12)
     System.arraycopy(octal(0L, 12), 0, h, 136, 12) // mtime: fixed for determinism
     java.util.Arrays.fill(h, 148, 156, ' '.toByte) // checksum blanked for the sum
-    h(156) = '0' // typeflag: regular file
+    h(156) = typeflag
     System.arraycopy(Array[Byte]('u', 's', 't', 'a', 'r', 0, '0', '0'),
       0, h, 257, 8) // POSIX magic "ustar" NUL + version "00"
     System.arraycopy(octal(0L, 8), 0, h, 329, 8) // devmajor
@@ -73,12 +81,33 @@ object TarShards {
     h
   }
 
-  private def writeMember(out: java.io.OutputStream, name: String,
-      body: Array[Byte]): Unit = {
-    out.write(header(name, body.length.toLong))
+  private def writeBody(out: java.io.OutputStream, body: Array[Byte]): Unit = {
     out.write(body)
     val pad = (BlockSize - body.length % BlockSize) % BlockSize
     if (pad > 0) out.write(new Array[Byte](pad))
+  }
+
+  /** GNU longname marker — the name GNU tar itself puts on 'L' entries. */
+  private val LongLink = "././@LongLink".getBytes(UTF_8)
+
+  private def writeMember(out: java.io.OutputStream, name: String,
+      body: Array[Byte]): Unit = {
+    val nameBytes = name.getBytes(UTF_8)
+    if (nameBytes.length > 100) {
+      // WebDataset keys are frequently URL-derived and exceed the ustar
+      // 100-byte name field. Emit a GNU longname ('L') entry carrying
+      // the full name (NUL-terminated, the GNU layout), then the real
+      // member with the name truncated to the field — the same bytes
+      // GNU tar writes, readable by every mainstream tar (and by
+      // [[parseAll]]). Fixed mode/uid/mtime keep the archive
+      // byte-deterministic.
+      val full = java.util.Arrays.copyOf(nameBytes, nameBytes.length + 1)
+      out.write(header(LongLink, full.length.toLong, 'L'.toByte))
+      writeBody(out, full)
+      out.write(header(java.util.Arrays.copyOf(nameBytes, 100),
+        body.length.toLong, '0'.toByte))
+    } else out.write(header(nameBytes, body.length.toLong, '0'.toByte))
+    writeBody(out, body)
   }
 
   private def writeTrailer(out: java.io.OutputStream): Unit =
@@ -93,18 +122,58 @@ object TarShards {
     out.toByteArray
   }
 
-  /** Parse a tar archive into its (name, body) members. Accepts
-    * ustar/GNU archives of regular files with header-sized (≤ 100 byte)
-    * names; directories and links are skipped by typeflag. GNU longname
-    * ('L') and PAX extension ('x'/'g') entries are REJECTED loudly: the
-    * member after them carries a truncated header name, and silently
-    * returning it would corrupt keys (and collide distinct long keys
-    * sharing a 100-byte prefix). Python's tarfile writes GNU longnames
-    * by default for >100-byte keys — keep shard keys short. */
+  /** Parse the PAX extended-header body: a sequence of
+    * `"<len> <key>=<value>\n"` records where `<len>` is the DECIMAL byte
+    * length of the whole record including its own digits, the space and
+    * the trailing newline (POSIX pax(1) layout). Malformed records are a
+    * loud reject — a mis-parsed record could silently shift every
+    * override. */
+  private def paxRecords(body: Array[Byte]): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var i = 0
+    while (i < body.length) {
+      var j = i
+      while (j < body.length && body(j) != ' ') j += 1
+      require(j < body.length && j > i,
+        s"malformed PAX record at offset $i: missing length delimiter")
+      val len = new String(body, i, j - i, UTF_8).toInt
+      require(len > j - i + 2 && i + len <= body.length && body(i + len - 1) == '\n',
+        s"malformed PAX record at offset $i: bad length $len")
+      val rec = new String(body, j + 1, i + len - (j + 1) - 1, UTF_8)
+      val eq = rec.indexOf('=')
+      require(eq > 0, s"malformed PAX record at offset $i: no '=' in '$rec'")
+      out += ((rec.substring(0, eq), rec.substring(eq + 1)))
+      i += len
+    }
+    out.result()
+  }
+
+  /** Parse a tar archive into its (name, body) members. Accepts the
+    * layouts real WebDataset shards arrive in:
+    *  - plain ustar/v7 regular files (≤ 100-byte names);
+    *  - POSIX ustar long paths split across the `prefix` field (offset
+    *    345; applied only under the exact POSIX magic — GNU archives
+    *    reuse those bytes for atime/ctime);
+    *  - GNU longname ('L') entries (what GNU tar and Python's tarfile
+    *    emit for > 100-byte names) — the carried name overrides the
+    *    next member's truncated header name;
+    *  - PAX per-file extended headers ('x') — `path` and `size` records
+    *    override the next member's name/size (the `size` record is how
+    *    PAX represents > 8 GiB members; bodies must still fit a JVM
+    *    array here).
+    * Directories and links are skipped by typeflag; GNU longLINKname
+    * ('K') entries are consumed and ignored (they describe a link
+    * target). PAX GLOBAL headers ('g') are ignored unless they carry a
+    * `path`/`size` override — which would silently apply to EVERY
+    * following member, so that one case stays a loud reject. */
   def parseAll(payload: Array[Byte]): Iterator[(String, Array[Byte])] =
     new Iterator[(String, Array[Byte])] {
       private var pos = 0
       private var nextRec: (String, Array[Byte]) = null
+      // pending per-file overrides from a preceding 'L'/'x' entry; they
+      // apply to the NEXT member of any type, then clear
+      private var overrideName: String = null
+      private var overrideSize: Long = -1L
       private def blockZero(off: Int): Boolean = {
         var i = off
         while (i < off + BlockSize) { if (payload(i) != 0) return false; i += 1 }
@@ -121,6 +190,18 @@ object TarShards {
         }
         v
       }
+      /** NUL-terminated string field. */
+      private def strField(off: Int, len: Int): String = {
+        var end = off
+        while (end < off + len && payload(end) != 0) end += 1
+        new String(payload, off, end - off, UTF_8)
+      }
+      /** Exact POSIX magic "ustar\0" — required before trusting the
+        * prefix field (GNU's "ustar  " stores atime/ctime there). */
+      private def posixMagic: Boolean =
+        payload(pos + 257) == 'u' && payload(pos + 258) == 's' &&
+          payload(pos + 259) == 't' && payload(pos + 260) == 'a' &&
+          payload(pos + 261) == 'r' && payload(pos + 262) == 0
       private def advance(): Unit = {
         nextRec = null
         while (nextRec == null && pos + BlockSize <= payload.length
@@ -138,25 +219,63 @@ object TarShards {
           }
           require(parseOctal(pos + 148, 8) == sum,
             s"tar header checksum mismatch at offset $pos — corrupt archive")
-          var end = pos
-          while (end < pos + 100 && payload(end) != 0) end += 1
-          val name = new String(payload, pos, end - pos, UTF_8)
-          val size = parseOctal(pos + 124, 12)
+          val rawName = strField(pos, 100)
+          val headerSize = parseOctal(pos + 124, 12)
           val typeflag = payload(pos + 156)
           val dataStart = pos + BlockSize
+          val isMeta = typeflag == 'L'.toByte || typeflag == 'K'.toByte ||
+            typeflag == 'x'.toByte || typeflag == 'g'.toByte
+          // a meta entry's own size is always the header's; a regular
+          // member's may carry a PAX size override
+          val size =
+            if (!isMeta && overrideSize >= 0L) overrideSize else headerSize
+          require(size <= Int.MaxValue - BlockSize,
+            s"tar member $rawName of $size bytes exceeds the in-memory limit")
           require(dataStart + size <= payload.length,
-            s"truncated tar: member $name claims $size bytes past the end")
-          require(typeflag != 'L'.toByte && typeflag != 'K'.toByte &&
-              typeflag != 'x'.toByte && typeflag != 'g'.toByte,
-            s"GNU longname / PAX extension entry (typeflag '${typeflag.toChar}') " +
-              "is not supported — the following member's header name is " +
-              "truncated; keep member names within 100 bytes")
+            s"truncated tar: member $rawName claims $size bytes past the end")
           val padded = ((size + BlockSize - 1) / BlockSize) * BlockSize
-          pos = dataStart + padded.toInt
-          if (typeflag == '0'.toByte || typeflag == 0) {
+          if (isMeta) {
             val body = java.util.Arrays.copyOfRange(
               payload, dataStart, dataStart + size.toInt)
-            nextRec = (name, body)
+            if (typeflag == 'L'.toByte) {
+              // GNU longname: body = full name, NUL-terminated
+              var end = 0
+              while (end < body.length && body(end) != 0) end += 1
+              overrideName = new String(body, 0, end, UTF_8)
+            } else if (typeflag == 'x'.toByte) {
+              paxRecords(body).foreach {
+                case ("path", v) => overrideName = v
+                case ("size", v) => overrideSize = v.toLong
+                case _ => () // mtime/atime/charset/...: no bearing here
+              }
+            } else if (typeflag == 'g'.toByte) {
+              val global = paxRecords(body).filter {
+                case (k, _) => k == "path" || k == "size"
+              }
+              require(global.isEmpty,
+                "PAX global header overrides " +
+                  global.map(_._1).mkString(",") +
+                  " for all following members — not supported")
+            } // 'K' (longlinkname): links are skipped anyway
+            pos = dataStart + padded.toInt
+          } else {
+            // POSIX ustar splits long paths as prefix + '/' + name; a
+            // pending 'L'/'x' override wins over both
+            val name =
+              if (overrideName != null) overrideName
+              else if (posixMagic && payload(pos + 345) != 0)
+                strField(pos + 345, 155) + "/" + rawName
+              else rawName
+            pos = dataStart + padded.toInt
+            if (typeflag == '0'.toByte || typeflag == 0) {
+              val body = java.util.Arrays.copyOfRange(
+                payload, dataStart, dataStart + size.toInt)
+              nextRec = (name, body)
+            }
+            // overrides are per-file: consumed by this member whether it
+            // was emitted or skipped (dir/link)
+            overrideName = null
+            overrideSize = -1L
           }
         }
       }
@@ -184,7 +303,16 @@ object TarShards {
     * [[graft.ext.Curation.epochShards]] or `pmod(hash, n)`). Rows are
     * repartitioned BY SHARD so each archive is written by exactly one
     * task, streamed member-by-member (bounded memory), sorted by
-    * `nameCol` within the shard for byte determinism. */
+    * `nameCol` within the shard for byte determinism.
+    *
+    * Commit protocol: each shard streams to a temp name and commits by
+    * rename-if-absent — safe under speculative/zombie duplicate
+    * attempts because the archives are byte-deterministic (an
+    * already-committed shard is the same bytes this attempt would have
+    * written). Consequence: write each dataset into a FRESH directory —
+    * an existing `shard-NNNNN.tar` from a previous, different dataset
+    * may be kept as-is on stores whose rename refuses existing targets
+    * (HDFS) rather than replaced. */
   def writeShards(docs: DataFrame, dir: String, shardCol: String,
       nameCol: String, payloadCol: String): Unit = {
     val spark = docs.sparkSession
@@ -215,7 +343,7 @@ object TarShards {
         // bytes into a reader-visible file, and a mid-write failure must
         // leave no partial shard-*.tar behind. The temp name does not
         // match readShards' shard-*.tar glob; the rename on close is the
-        // atomic commit (per-shard, last-finisher-wins between attempts).
+        // commit.
         val attempt = java.util.UUID.randomUUID().toString
         var cur = -1L
         var open = false
@@ -224,8 +352,22 @@ object TarShards {
         var fin: org.apache.hadoop.fs.Path = null
         def commit(): Unit = if (open) {
           writeTrailer(out); out.close(); open = false
-          fs.delete(fin, false)
-          require(fs.rename(tmp, fin), s"failed to commit $fin")
+          // NEVER delete the final path from a task: delete-then-rename
+          // is last-finisher-wins — a zombie duplicate attempt could
+          // delete an already-committed shard and die before its own
+          // rename, losing the shard while the job reports success.
+          // Rename-if-absent instead: archives are byte-deterministic,
+          // so a shard already committed by a concurrent attempt of the
+          // same job carries IDENTICAL bytes — "another attempt won" is
+          // success, drop our temp. (Flip side: a stale shard file from
+          // a different dataset is treated the same way on stores whose
+          // rename refuses existing targets — hence the fresh-directory
+          // contract in the scaladoc.)
+          if (!fs.rename(tmp, fin)) {
+            require(fs.exists(fin),
+              s"failed to commit $fin and no other attempt has")
+            fs.delete(tmp, false)
+          }
         }
         try {
           it.foreach { case (shard, name, body) =>

@@ -64,6 +64,9 @@ class TarShardsSpec extends AnyFunSuite {
     val files = dir.listFiles.filter(_.getName.endsWith(".tar")).sortBy(_.getName)
     assert(files.map(_.getName).toSeq ==
       (0 to 3).map(i => f"shard-$i%05d.tar"), files.map(_.getName).toSeq)
+    // commit leaves no temp artifacts behind
+    assert(!dir.listFiles.exists(_.getName.endsWith(".tmp")),
+      dir.listFiles.map(_.getName).mkString(", "))
     // rows preserved exactly (shard membership + payload text)
     val back = TarShards.readShards(spark, dir.getPath)
       .select(col("shard"),
@@ -92,16 +95,116 @@ class TarShardsSpec extends AnyFunSuite {
     assert(n0.toLong == docs.where(col("shard") === 0).count())
   }
 
-  test("oversized names and field overflows fail loudly") {
-    intercept[IllegalArgumentException] {
-      TarShards.writeAll(Seq(("x" * 101) -> Array.emptyByteArray))
-    }
-    // truncated archive: member claims more bytes than present
+  test("truncated archives fail loudly") {
+    // member claims more bytes than present
     val good = TarShards.writeAll(Seq("a.txt" -> "abc".getBytes("UTF-8")))
     val cut = java.util.Arrays.copyOfRange(good, 0, 513)
     intercept[IllegalArgumentException] {
       TarShards.parseAll(cut).toSeq
     }
+  }
+
+  test("long member names round-trip through GNU longname entries, deterministically, and system tar reads them") {
+    import scala.sys.process._
+    val longName = ("url-derived-key-" * 9) + "tail.txt" // 152 bytes
+    assert(longName.getBytes("UTF-8").length > 100)
+    val members = Seq(
+      longName -> "long-keyed payload".getBytes("UTF-8"),
+      "short.txt" -> "short".getBytes("UTF-8"))
+    val bytes = TarShards.writeAll(members)
+    // our own parser restores the FULL name
+    val parsed = TarShards.parseAll(bytes).toSeq
+    assert(parsed.map(_._1) == members.map(_._1), parsed.map(_._1))
+    assert(new String(parsed.head._2, "UTF-8") == "long-keyed payload")
+    // byte determinism holds across reruns
+    assert(java.util.Arrays.equals(bytes, TarShards.writeAll(members)))
+    // the independent system tar lists the full name and extracts the bytes
+    val dir = tmpDir("tar_longw")
+    val f = new java.io.File(dir, "lw.tar")
+    java.nio.file.Files.write(f.toPath, bytes)
+    val listed = Seq("tar", "-tf", f.getPath).!!.trim.split("\n").toSeq
+    assert(listed == members.map(_._1), listed)
+    val out = new java.io.ByteArrayOutputStream()
+    (Seq("tar", "-xOf", f.getPath, longName) #> out).!!
+    assert(new String(out.toByteArray, "UTF-8") == "long-keyed payload")
+  }
+
+  test("GNU-tar longname archives parse with the full name (Python tarfile's default for long keys)") {
+    import scala.sys.process._
+    val dir = tmpDir("tar_long")
+    val longName = ("k" * 120) + ".txt" // > 100 bytes → tar emits an 'L' entry
+    val f0 = new java.io.File(dir, longName)
+    java.nio.file.Files.write(f0.toPath, "payload".getBytes("UTF-8"))
+    val f = new java.io.File(dir, "long.tar")
+    assert(Seq("tar", "--format=gnu", "-cf", f.getPath,
+      "-C", dir.getPath, longName).! == 0)
+    val parsed = TarShards.parseAll(
+      java.nio.file.Files.readAllBytes(f.toPath)).toSeq
+    assert(parsed.map(_._1) == Seq(longName), parsed.map(_._1))
+    assert(new String(parsed.head._2, "UTF-8") == "payload")
+  }
+
+  test("PAX archives parse with the x-header path override") {
+    import scala.sys.process._
+    val dir = tmpDir("tar_pax")
+    val longName = ("p" * 110) + ".txt"
+    val f0 = new java.io.File(dir, longName)
+    java.nio.file.Files.write(f0.toPath, "pax payload".getBytes("UTF-8"))
+    val f = new java.io.File(dir, "pax.tar")
+    assert(Seq("tar", "--format=pax", "-cf", f.getPath,
+      "-C", dir.getPath, longName).! == 0)
+    val parsed = TarShards.parseAll(
+      java.nio.file.Files.readAllBytes(f.toPath)).toSeq
+    assert(parsed.map(_._1) == Seq(longName), parsed.map(_._1))
+    assert(new String(parsed.head._2, "UTF-8") == "pax payload")
+  }
+
+  test("POSIX ustar prefix-split paths parse as the full path, not the truncated name field") {
+    import scala.sys.process._
+    val dir = tmpDir("tar_pfx")
+    // a path over 100 bytes with a slash split point: ustar stores the
+    // directory part in the prefix field (offset 345) — ignoring it
+    // would both truncate the key and collide distinct keys sharing a
+    // 100-byte suffix
+    val sub = "d" * 80
+    val leaf = ("f" * 40) + ".txt"
+    val subDir = new java.io.File(dir, sub)
+    assert(subDir.mkdir())
+    java.nio.file.Files.write(new java.io.File(subDir, leaf).toPath,
+      "prefixed payload".getBytes("UTF-8"))
+    val f = new java.io.File(dir, "pfx.tar")
+    assert(Seq("tar", "--format=ustar", "-cf", f.getPath,
+      "-C", dir.getPath, s"$sub/$leaf").! == 0)
+    val parsed = TarShards.parseAll(
+      java.nio.file.Files.readAllBytes(f.toPath)).toSeq
+    assert(parsed.map(_._1) == Seq(s"$sub/$leaf"), parsed.map(_._1))
+    assert(new String(parsed.head._2, "UTF-8") == "prefixed payload")
+  }
+
+  test("PAX global headers with path/size overrides are rejected loudly; harmless globals are ignored") {
+    def patchTypeflag(archive: Array[Byte], flag: Byte): Array[Byte] = {
+      val a = archive.clone()
+      a(156) = flag
+      // recompute the POSIX checksum over the patched header
+      java.util.Arrays.fill(a, 148, 156, ' '.toByte)
+      var sum = 0L
+      (0 until 512).foreach(i => sum += a(i) & 0xff)
+      val chk = java.lang.Long.toOctalString(sum)
+      val field = ("0" * (6 - chk.length)) + chk + "  "
+      System.arraycopy(field.getBytes("UTF-8"), 0, a, 148, 8)
+      a
+    }
+    // a 'g' entry whose body carries a path override → loud reject
+    val evil = patchTypeflag(TarShards.writeAll(
+      Seq("g.hdr" -> "17 path=evil.txt\n".getBytes("UTF-8"))), 'g'.toByte)
+    val e = intercept[IllegalArgumentException] {
+      TarShards.parseAll(evil).toSeq
+    }
+    assert(e.getMessage.contains("global"), e.getMessage)
+    // a harmless global (comment) parses through to zero members
+    val benign = patchTypeflag(TarShards.writeAll(
+      Seq("g.hdr" -> "15 comment=hiA\n".getBytes("UTF-8"))), 'g'.toByte)
+    assert(TarShards.parseAll(benign).toSeq.isEmpty)
   }
 
   test("corrupted headers are rejected by checksum, never silently mis-framed (seeded fuzz)") {
@@ -140,21 +243,6 @@ class TarShardsSpec extends AnyFunSuite {
       }
     }
     assert(rejected > 150, s"most single-byte header flips must be caught: $rejected/200")
-  }
-
-  test("GNU longname entries are rejected loudly, not silently truncated") {
-    import scala.sys.process._
-    val dir = tmpDir("tar_long")
-    val longName = ("k" * 120) + ".txt" // > 100 bytes → tar emits an 'L' entry
-    val f0 = new java.io.File(dir, longName)
-    java.nio.file.Files.write(f0.toPath, "payload".getBytes("UTF-8"))
-    val f = new java.io.File(dir, "long.tar")
-    assert(Seq("tar", "--format=gnu", "-cf", f.getPath,
-      "-C", dir.getPath, longName).! == 0)
-    val e = intercept[IllegalArgumentException] {
-      TarShards.parseAll(java.nio.file.Files.readAllBytes(f.toPath)).toSeq
-    }
-    assert(e.getMessage.contains("longname"), e.getMessage)
   }
 
   test("negative shard ids fail loudly instead of NPE or unparseable filenames") {
