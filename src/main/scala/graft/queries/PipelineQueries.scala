@@ -549,6 +549,41 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // the FILE-SCALE tar path: writeShards streams one archive per
+    // shard through the Hadoop FS temp+rename commit, readShards scans
+    // them back as whole-file binaries — the actual production route
+    // (p_tar_shards covers the in-memory writeAll codec). DuckDB
+    // recomputes the per-shard member counts, byte totals and content
+    // checksums straight from the source table, so a hash match proves
+    // the filesystem round trip preserved every member byte. The temp
+    // shard directory is deleted after the result is materialized, so
+    // reruns are clean
+    "p_tar_files" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+        .withColumn("name", format_string("%06d.txt", col("doc_id")))
+        .withColumn("payload", col("text").cast("binary"))
+      // fresh directory per run — the writeShards commit contract
+      val out = java.nio.file.Files.createTempDirectory("graft_tar_files")
+      graft.sources.TarShards.writeShards(docs, out.toString, "shard",
+        "name", "payload")
+      val res = graft.sources.TarShards.readShards(s, out.toString)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_members"),
+          sum(octet_length(col("body_text")).cast("long")).as("sum_bytes"),
+          // 48-bit per-member content hash summed — order-independent,
+          // overflow-free at these member counts
+          sum(conv(substring(md5(col("body_text")), 1, 12), 16, 10)
+            .cast("long")).as("sum_h"))
+        .orderBy("shard")
+        // materialize BEFORE deleting the files the scan reads
+        .localCheckpoint()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      res
+    }),
+
     // the OUTPUT pipeline end-to-end: per-language token budgets →
     // deterministic epoch shards → one tar container per shard → parse
     // back → per-shard member counts + content checksums. DuckDB
@@ -2151,6 +2186,18 @@ object PipelineQueries {
          |${crawlGateCtes("b", "batch", "p_key", "p_sig")}
          |SELECT lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM b_kept GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "p_tar_files" ->
+      """WITH m AS (
+        |  SELECT doc_id % 8 AS shard,
+        |    strlen(text) AS n_bytes,
+        |    CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT) AS h
+        |  FROM documents
+        |)
+        |SELECT shard, count(*) AS n_members,
+        |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(h) AS BIGINT) AS sum_h
+        |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
 
     "p_word_blocklist" ->
       """WITH t AS (
