@@ -75,7 +75,10 @@ object Dedup {
     * never changes the result — false positives simply fall through to
     * the exact anti-join. Size the knob to the prior snapshot; beyond
     * ~10⁹ prior docs leave it off (the sketch outgrows the driver) and
-    * let the hash-only anti-join do the work. The filter check is a Scala
+    * let the hash-only anti-join do the work — requests whose estimated
+    * filter exceeds [[BloomMaxBytes]] (2 GiB, ≈1.7×10⁹ items at 1% fpp;
+    * see [[bloomBytes]]) are refused loudly rather than silently
+    * allocating a multi-GB driver sketch. The filter check is a Scala
     * UDF by necessity (Spark exposes no public might_contain function);
     * it runs only on the new BATCH, not the corpus.
     *
@@ -196,12 +199,37 @@ object Dedup {
     require(priorKeys.columns.toSeq == Seq("_key"),
       "priorKeys must be an exactKeys projection (single `_key` column); " +
         "got " + priorKeys.columns.mkString(", "))
+    requireNoReserved(newDocs, "newDocs")
     val batch = exactDedup(newDocs, textCol, idCol)
       .withColumn("_key", md5(col(textCol)))
     bloomedAntiJoin(batch, priorKeys.distinct(), "_key",
       bloomExpectedItems, bloomFpp)
       .drop("_key")
   }
+
+  /** Hard cap on the DRIVER-side Bloom filter allocation (2 GiB): the
+    * filter is materialized on the driver and shipped in the UDF
+    * closure, so its size must be gated like every other broadcast.
+    * bits = n·ln(1/p)/(ln 2)², so the cap is hit around 1.7×10⁹
+    * expected items at 1% fpp — past that, leave the pre-filter off
+    * (the default) and let the hash-only anti-join do the work. */
+  val BloomMaxBytes: Long = 2L << 30
+
+  /** Estimated Bloom filter size in bytes for `n` items at fpp `p` —
+    * the standard optimal-m formula, matching Spark's BloomFilter. */
+  def bloomBytes(n: Long, p: Double): Long =
+    (n * math.log(1.0 / p) / (math.log(2.0) * math.log(2.0)) / 8.0).toLong
+
+  /** The gate operators stage per-row state in `_key`/`_maybe`; an
+    * input already carrying one would be silently overwritten and
+    * dropped. Loud reject instead. */
+  private def requireNoReserved(df: DataFrame, what: String): Unit =
+    Seq("_key", "_maybe").foreach { c =>
+      require(!df.columns.contains(c),
+        s"$what already contains a column named $c — the incremental " +
+          "gates stage internal state there and would drop it; rename " +
+          "the input column")
+    }
 
   /** Anti-join `batch` against `priorKeys` on `keyCol`, with the optional
     * Bloom pre-filter of [[incrementalDedup]] (no false negatives, so the
@@ -212,7 +240,18 @@ object Dedup {
       keyCol: String, bloomExpectedItems: Long, bloomFpp: Double): DataFrame = {
     val preFiltered =
       if (bloomExpectedItems > 0) {
-        val bf = priorKeys.stat.bloomFilter(keyCol, bloomExpectedItems, bloomFpp)
+        val est = bloomBytes(bloomExpectedItems, bloomFpp)
+        require(est <= BloomMaxBytes,
+          s"Bloom pre-filter for $bloomExpectedItems items at fpp " +
+            s"$bloomFpp would allocate ~$est bytes ON THE DRIVER " +
+            s"(cap $BloomMaxBytes) — disable the pre-filter " +
+            "(bloomExpectedItems = -1) and let the hash-only anti-join " +
+            "gate at this scale")
+        // a dirty snapshot can carry null keys (md5 of null text);
+        // bloomFilter over a column with nulls can throw, and a null
+        // key never matches the anti-join anyway — build on non-nulls
+        val bf = priorKeys.where(col(keyCol).isNotNull)
+          .stat.bloomFilter(keyCol, bloomExpectedItems, bloomFpp)
         val maybe = udf((h: String) => h != null && bf.mightContain(h))
         batch.withColumn("_maybe", maybe(col(keyCol)))
       } else batch.withColumn("_maybe", lit(true))
@@ -298,6 +337,7 @@ object Dedup {
     require(priorKeys.columns.toSeq == Seq("_key"),
       "priorKeys must be a nearDupKeys projection (single `_key` column); " +
         "got " + priorKeys.columns.mkString(", "))
+    requireNoReserved(newDocs, "newDocs")
     val keyed = newDocs.join(batchSigKeys, Seq(idCol), "left")
       .withColumn("_key", coalesce(col("_key"), md5(col(textCol))))
     val w = Window.partitionBy(col("_key")).orderBy(col(idCol))

@@ -168,6 +168,43 @@ class CurationSpec extends AnyFunSuite {
     val keptK = Dedup.incrementalDedupKeys(batch, Dedup.exactKeys(prior))
       .select("doc_id").as[Long].collect().toSet
     assert(keptK == kept, s"$keptK vs $kept")
+    // and with the Bloom pre-filter ON: the dirty snapshot's null key
+    // must not break the driver-side filter build (nulls are filtered
+    // before stat.bloomFilter; they never match the anti-join anyway)
+    val keptB = Dedup.incrementalDedupKeys(batch, Dedup.exactKeys(prior),
+        bloomExpectedItems = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptB == kept, s"bloom on dirty snapshot: $keptB vs $kept")
+  }
+
+  test("bloom pre-filter byte gate and reserved staging columns fail loudly") {
+    import spark.implicits._
+    val Dedup = graft.ext.Dedup
+    val prior = Seq((1L, "alpha")).toDF("doc_id", "text")
+    val batch = Seq((10L, "beta")).toDF("doc_id", "text")
+    // the formula matches the scaladoc's ~1.2 GB per 10⁹ items at 1% fpp
+    assert(math.abs(Dedup.bloomBytes(1000000000L, 0.01) - 1.198e9) < 0.01e9,
+      Dedup.bloomBytes(1000000000L, 0.01))
+    // a filter estimate over the 2 GiB driver cap is refused, not allocated
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalDedup(batch, prior,
+        bloomExpectedItems = 100000000000L).collect()
+    }
+    assert(e.getMessage.contains("ON THE DRIVER"), e.getMessage)
+    // an input already carrying a _key/_maybe column would silently lose
+    // it to the gate's staging — loud reject instead
+    for (c <- Seq("_key", "_maybe")) {
+      val dirty = batch.withColumn(c, org.apache.spark.sql.functions.lit("x"))
+      val ek = intercept[IllegalArgumentException] {
+        Dedup.incrementalDedupKeys(dirty, Dedup.exactKeys(prior))
+      }
+      assert(ek.getMessage.contains(c), ek.getMessage)
+      val en = intercept[IllegalArgumentException] {
+        Dedup.incrementalNearDedup(dirty, Dedup.nearDupKeys(prior, numHashes = 16),
+          numHashes = 16)
+      }
+      assert(en.getMessage.contains(c), en.getMessage)
+    }
   }
 
   test("null strata: temperature rates skip them, token budget groups them under the default (r13 review)") {
