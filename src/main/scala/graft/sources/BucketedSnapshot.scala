@@ -21,11 +21,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Catalog caveat (documented, inherent): the bucketing METADATA lives in
   * the session catalog. On a production cluster that is the persistent
-  * metastore and the layout survives across jobs; in a plain local
-  * session the in-memory catalog forgets the table on stop (the parquet
-  * files at `path` remain, but a re-read via `spark.read.parquet` does
-  * not know the bucketing). Re-register with [[write]] per snapshot
-  * build, or run with a persistent metastore.
+  * metastore and the layout survives across jobs — BucketedSnapshotSpec
+  * pins this with a derby-metastore restart round-trip (write under one
+  * catalog instance, read exchange-free under a fresh one). In a plain
+  * local session the in-memory catalog forgets the table on stop (the
+  * parquet files at `path` remain, but a re-read via
+  * `spark.read.parquet` does not know the bucketing). Re-register with
+  * [[write]] per snapshot build, or run with a persistent metastore.
   */
 object BucketedSnapshot {
 

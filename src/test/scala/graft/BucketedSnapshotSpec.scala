@@ -182,6 +182,61 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS bk_gen_sigs")
   }
 
+  test("bucketed layout survives a catalog restart through a persistent (derby) metastore") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions._
+    val Dedup = graft.ext.Dedup
+    val base = java.nio.file.Files.createTempDirectory("bk_meta_rt")
+    base.toFile.deleteOnExit()
+    val wh = base.resolve("warehouse").toString
+    val db = base.resolve("metastore_db").toString
+    // a fresh SparkSession with its OWN SharedState (cleared default ⇒
+    // getOrCreate builds a new session on the existing context) backed
+    // by a Hive catalog over an embedded-derby metastore at `db` — two
+    // of these model a job restart: independent catalog instances, one
+    // persistent store
+    def hiveSession(): SparkSession = {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      SparkSession.builder()
+        .config("spark.sql.warehouse.dir", wh)
+        .config("javax.jdo.option.ConnectionURL",
+          s"jdbc:derby:;databaseName=$db;create=true")
+        .config("spark.sql.shuffle.partitions", "4")
+        .enableHiveSupport()
+        .getOrCreate()
+    }
+    try {
+      val s1 = hiveSession()
+      val keys = Dedup.exactKeys(
+        s1.read.parquet(s"${TestSpark.sf}/documents.parquet")
+          .select("doc_id", "text")).distinct()
+      BucketedSnapshot.write(keys, "bk_rt_keys",
+        base.resolve("tbl").toString, "_key", 8)
+      val n1 = s1.table("bk_rt_keys").count()
+      // "restart": a second session with a fresh SharedState + catalog
+      // client reads the SAME metastore — the production path the
+      // in-memory-catalog caveat in the scaladoc points at
+      val s2 = hiveSession()
+      assert(s2 ne s1)
+      val agg = BucketedSnapshot.read(s2, "bk_rt_keys")
+        .groupBy("_key").agg(count(lit(1)).as("n"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketing metadata must survive the catalog restart:\n${plan.take(1200)}")
+      assert(agg.count() == n1 && n1 > 0)
+      // and append (the daily advance) still validates against the
+      // restored spec rather than silently recreating the table
+      intercept[Exception] {
+        BucketedSnapshot.append(keys.limit(1), "bk_rt_keys", "_key", 16)
+      }
+      s2.sql("DROP TABLE IF EXISTS bk_rt_keys")
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(spark)
+      SparkSession.setActiveSession(spark)
+    }
+  }
+
   test("the gate artifact case: a bucketed prior-key table anti-joins without shuffling the prior side") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
