@@ -312,9 +312,17 @@ object TarShards {
     * written). Consequence: write each dataset into a FRESH directory —
     * an existing `shard-NNNNN.tar` from a previous, different dataset
     * may be kept as-is on stores whose rename refuses existing targets
-    * (HDFS) rather than replaced. */
+    * (HDFS) rather than replaced.
+    *
+    * `gzip = true` writes the `.tar.gz` WebDataset variant
+    * (`shard-NNNNN.tar.gz`, one gzip stream per shard, still streamed
+    * member-by-member through the Deflater — bounded memory).
+    * Determinism holds: `java.util.zip.GZIPOutputStream` writes a fixed
+    * header (MTIME 0), so identical rows still produce byte-identical
+    * shards. [[readShards]] sniffs the gzip magic per file and reads
+    * both layouts, mixed freely. */
   def writeShards(docs: DataFrame, dir: String, shardCol: String,
-      nameCol: String, payloadCol: String): Unit = {
+      nameCol: String, payloadCol: String, gzip: Boolean = false): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
@@ -376,10 +384,16 @@ object TarShards {
             if (!open || shard != cur) {
               commit()
               cur = shard
-              fin = new org.apache.hadoop.fs.Path(base, f"shard-$shard%05d.tar")
+              val ext = if (gzip) "tar.gz" else "tar"
+              fin = new org.apache.hadoop.fs.Path(base, f"shard-$shard%05d.$ext")
               tmp = new org.apache.hadoop.fs.Path(base,
-                f".shard-$shard%05d.tar.$attempt.tmp")
-              out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+                f".shard-$shard%05d.$ext.$attempt.tmp")
+              val raw = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+              // GZIPOutputStream's close() releases the native Deflater
+              // (the Warc lesson); its header is constant (MTIME 0), so
+              // gzipped shards stay byte-deterministic
+              out = if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+                    else raw
               open = true
             }
             writeMember(out, name, body)
@@ -394,16 +408,24 @@ object TarShards {
 
   /** Read a shard directory back as (shard, member_name, body,
     * body_text) — whole-file binary scan + per-partition explode, shard
-    * id recovered from the file name. */
+    * id recovered from the file name. Reads both the plain `.tar` and
+    * the gzipped `.tar.gz` layouts (magic-sniffed per file, so a mixed
+    * directory works). */
   def readShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val shardRe = "shard-(\\d+)\\.tar$".r
-    spark.read.format("binaryFile").load(s"$dir/shard-*.tar")
+    val shardRe = "shard-(\\d+)\\.tar(\\.gz)?$".r
+    spark.read.format("binaryFile").load(s"$dir/shard-*.tar*")
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .mapPartitions(_.flatMap { case (path, payload) =>
+      .mapPartitions(_.flatMap { case (path, raw) =>
         val shard = shardRe.findFirstMatchIn(path)
           .map(_.group(1).toLong).getOrElse(-1L)
+        val payload =
+          if (raw.length >= 2 && raw(0) == 0x1f.toByte && raw(1) == 0x8b.toByte) {
+            val in = new java.util.zip.GZIPInputStream(
+              new java.io.ByteArrayInputStream(raw), 1 << 16)
+            try in.readAllBytes() finally in.close()
+          } else raw
         parseAll(payload).map { case (n, b) =>
           (shard, n, b, new String(b, UTF_8))
         }

@@ -95,6 +95,50 @@ class TarShardsSpec extends AnyFunSuite {
     assert(n0.toLong == docs.where(col("shard") === 0).count())
   }
 
+  test("gzipped shards: .tar.gz round-trip, deterministic bytes, system tar -z reads them") {
+    import spark.implicits._
+    import scala.sys.process._
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .withColumn("shard", pmod(col("doc_id"), lit(3)))
+      .withColumn("name", format_string("%06d.txt", col("doc_id")))
+      .withColumn("payload", col("text").cast("binary"))
+    val dir = tmpDir("tar_gz")
+    TarShards.writeShards(docs, dir.getPath, "shard", "name", "payload",
+      gzip = true)
+    val files = dir.listFiles.filter(_.getName.endsWith(".tar.gz")).sortBy(_.getName)
+    assert(files.map(_.getName).toSeq ==
+      (0 to 2).map(i => f"shard-$i%05d.tar.gz"), files.map(_.getName).toSeq)
+    // readShards sniffs the gzip magic and restores every member
+    val back = TarShards.readShards(spark, dir.getPath)
+    assert(back.count() == docs.count())
+    val expect = docs.select(col("shard").cast("long").as("shard"),
+      col("name"), col("text"))
+    assert(back.join(expect,
+        back("shard") === expect("shard") && back("member_name") === expect("name")
+          && back("body_text") === expect("text"))
+      .count() == docs.count(), "every gz member must match its source row")
+    // byte determinism (fixed gzip header, MTIME 0)
+    val dir2 = tmpDir("tar_gz2")
+    TarShards.writeShards(docs, dir2.getPath, "shard", "name", "payload",
+      gzip = true)
+    files.foreach { f1 =>
+      val f2 = new java.io.File(dir2, f1.getName)
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f1.toPath),
+        java.nio.file.Files.readAllBytes(f2.toPath)),
+        s"${f1.getName} must be byte-identical across reruns")
+    }
+    // the independent system tar agrees on the member count
+    val n0 = Seq("tar", "-tzf", files.head.getPath).!!.trim.split("\n").length
+    assert(n0.toLong == docs.where(col("shard") === 0).count())
+    // a mixed directory (plain + gz) reads as the union
+    TarShards.writeShards(docs.where(col("shard") === 0)
+      .withColumn("shard", lit(7L)), dir.getPath, "shard", "name", "payload")
+    val mixed = TarShards.readShards(spark, dir.getPath)
+    assert(mixed.count() == docs.count() + docs.where(col("shard") === 0).count())
+  }
+
   test("truncated archives fail loudly") {
     // member claims more bytes than present
     val good = TarShards.writeAll(Seq("a.txt" -> "abc".getBytes("UTF-8")))
