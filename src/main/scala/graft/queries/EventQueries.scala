@@ -158,15 +158,23 @@ object EventQueries {
       .where(col("__si") >= 0 && col("__ts").isNotNull)
     val userField = evs.schema.head
     // the fold detects group boundaries with value equality on the
-    // external row object; that is only well-defined for scalar key types
-    // (long/int/string/decimal/...) — an array, map, struct, or binary
-    // user key surfaces as a JVM object comparing by reference, so every
-    // row would open a new group and silently emit duplicate user rows
+    // external row object; that is only well-defined for discrete scalar
+    // key types (long/int/string/decimal/date/...):
+    //  - an array, map, struct, or binary user key surfaces as a JVM
+    //    object comparing by reference, so every row would open a new
+    //    group and silently emit duplicate user rows;
+    //  - a float/double key has ill-defined boundaries at the IEEE edge
+    //    cases — boxed NaN compares unequal to ITSELF here (each event
+    //    of a NaN-keyed user would emit its own group) while Spark's
+    //    grouping semantics treat NaNs as one key, and ±0.0 merge or
+    //    split depending on the equality used. A fractional user id is
+    //    a data bug regardless; reject loudly.
     userField.dataType match {
       case _: types.ArrayType | _: types.MapType | _: types.StructType |
-          types.BinaryType =>
+          types.BinaryType | types.FloatType | types.DoubleType =>
         throw new IllegalArgumentException(
-          s"funnel user column must be a scalar type, got ${userField.dataType}")
+          "funnel user column must be a discrete scalar type " +
+            s"(integral/string/decimal), got ${userField.dataType}")
       case _ => ()
     }
     val outSchema = types.StructType(userField +:

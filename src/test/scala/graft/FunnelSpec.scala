@@ -77,6 +77,29 @@ class FunnelSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("scalar"))
   }
 
+  test("funnel: fractional user keys are rejected (IEEE ±0.0/NaN group boundaries are ill-defined)") {
+    import spark.implicits._
+    // a NaN-keyed user would emit one output row per EVENT (boxed NaN
+    // compares unequal to itself in the fold) while Spark's own grouping
+    // treats NaN as one key — reject rather than silently diverge
+    val e = Seq((1.5d, 10L, "a")).toDF("user_id", "ts", "event_type")
+    val ex = intercept[IllegalArgumentException] {
+      graft.queries.EventQueries.funnel(e, "user_id", "ts", "event_type",
+        Seq("a"))
+    }
+    assert(ex.getMessage.contains("discrete"), ex.getMessage)
+    // discrete scalars still pass: string and decimal keys work
+    val es = Seq(("u1", 10L, "a"), ("u1", 20L, "b"), ("u2", 5L, "a"))
+      .toDF("user_id", "ts", "event_type")
+    val fs = graft.queries.EventQueries.funnel(es, "user_id", "ts",
+      "event_type", Seq("a", "b")).collect()
+    assert(fs.length == 2, fs.toSeq)
+    val ed = es.withColumn("user_id", col("user_id").substr(2, 1).cast("decimal(10,0)"))
+    val fd = graft.queries.EventQueries.funnel(ed, "user_id", "ts",
+      "event_type", Seq("a", "b")).collect()
+    assert(fd.length == 2, fd.toSeq)
+  }
+
   /** In-memory reference: t1 = min stage-1 ts; t_i = min stage-i ts > t_{i-1}. */
   private def refFunnel(events: Seq[(Long, Long, String)],
       stages: Seq[String]): Map[Long, Seq[Option[Long]]] =
