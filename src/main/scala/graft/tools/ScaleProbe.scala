@@ -212,6 +212,27 @@ object ScaleProbe {
     time("epoch_shards") {
       graft.ext.Curation.epochShards(big, "doc_id", 1024).count()
     }
+    // the full OUTPUT pipeline at scale: epoch shard assignment →
+    // payload join-back → FILE-scale tar write (one streamed archive per
+    // shard, rename-if-absent commit) → container readback. Should be
+    // linear in corpus bytes: the shard rank is the range-partitioned
+    // cumsum, the write is one task per shard streaming members, the
+    // readback a whole-file binary scan + per-partition parse.
+    time("output_pipeline") {
+      val sharded = graft.ext.Curation.epochShards(
+          big.select("doc_id"), "doc_id", 256, "probe")
+        .join(big.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("shard"),
+          format_string("%09d.txt", col("doc_id")).as("name"),
+          col("text").cast("binary").as("payload"))
+      val out = java.nio.file.Files.createTempDirectory("probe_tar").toString
+      graft.sources.TarShards.writeShards(sharded, out, "shard", "name", "payload")
+      val n = graft.sources.TarShards.readShards(spark, out).count()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+        .asScala.toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      n
+    }
     // snapshot ADVANCE vs full rewrite: the day-N → day-N+1 step appends
     // only the day's key projection into the bucketed snapshot (cost ∝
     // day), where the naive advance recomputes and rewrites the whole
