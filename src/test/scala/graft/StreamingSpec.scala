@@ -391,6 +391,52 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("signature retention composes with the streaming banded gate: aged-out near-dups re-enter the feed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val Dedup = graft.ext.Dedup
+    val long1 = (1 to 40).map(i => s"aw$i").mkString(" ") // gen-0 content
+    val long2 = (1 to 40).map(i => s"bv$i").mkString(" ") // gen-5 content
+    val d1 = Seq((1L, long1)).toDF("doc_id", "text")
+    val d2 = Seq((2L, long2)).toDF("doc_id", "text")
+    // BOTH snapshot artifacts generation-stamped, ONE retention policy:
+    // the retained projections plug straight into the stream gate's
+    // priorKeys / nearDupPriorSigs slots with no glue
+    val keySnap = Dedup.stampGeneration(Dedup.nearDupKeys(d1, numHashes = 16), 0L)
+      .unionByName(Dedup.stampGeneration(Dedup.nearDupKeys(d2, numHashes = 16), 5L))
+    val sigSnap = Dedup.stampSignatureGeneration(
+        Dedup.minhashSignatures(d1, "text", col("doc_id"), 16), 0L, 16)
+      .unionByName(Dedup.stampSignatureGeneration(
+        Dedup.minhashSignatures(d2, "text", col("doc_id"), 16), 5L, 16))
+    // 4 appended tokens: true J ≈ 0.905 — visible ONLY to the banded
+    // tier (bytes and full signature both differ from the snapshot)
+    val agedNearDup = s"$long1 q1 q2 q3 q4"
+    val currentNearDup = s"$long2 q1 q2 q3 q4"
+    val novel = (1 to 40).map(i => s"cx$i").mkString(" ")
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingIngest.cleanDocuments(
+        stream.toDF().toDF("ts", "text"), watermark = "1 minute",
+        minTokens = 5, minQuality = 0.0, nearDupHashes = 16,
+        nearDupBands = 4,
+        priorKeys = Some(Dedup.retainGenerations(keySnap, minGen = 3L)),
+        nearDupPriorSigs =
+          Some(Dedup.retainSignatureGenerations(sigSnap, minGen = 3L, 16)))
+      .writeStream.format("memory").queryName("sig_ttl_gate_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(Seq(
+        (ts(0), agedNearDup), (ts(1), currentNearDup), (ts(2), novel)))
+      q.processAllAvailable()
+      val out = spark.table("sig_ttl_gate_sink").select("text").as[String]
+        .collect().toSeq
+      assert(out == Seq(agedNearDup, novel),
+        "the gen-0 near-dup must re-enter (its signature aged out of the " +
+          s"banded tier) while the gen-5 near-dup stays blocked: $out")
+    } finally q.stop()
+  }
+
   test("streaming banded prior gate agrees with the batch incrementalBandedNearDedup") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
