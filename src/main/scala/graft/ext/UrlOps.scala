@@ -173,6 +173,33 @@ object UrlOps {
       blocked: Seq[String]): DataFrame =
     df.where(!domain(col(urlCol)).isInCollection(blocked))
 
+  /** Deterministic GROUP-CONSISTENT train/validation split by registered
+    * domain — the leakage guard for web-corpus evals: near-duplicate
+    * pages overwhelmingly share a registered domain (mirrors, templated
+    * subpages, per-article boilerplate), so a row-level random split
+    * leaks them across sides and inflates validation scores. Every row
+    * whose URL shares a registered domain lands on the SAME side:
+    * `split = "val"` iff hash60(reg_domain ‖ '#' ‖ salt) mod 1000 <
+    * `valPermille`. Appends (reg_domain, split). Map-only (no shuffle,
+    * no state — the hash IS the assignment), reproducible across runs
+    * and engines, and `salt` re-rolls the split without touching data.
+    * E[val fraction] = valPermille/1000 over domains; the realized
+    * fraction over ROWS tracks it only as far as the domain-size
+    * distribution allows — at web scale a handful of mega-domains
+    * dominate row counts, so validate the realized mass (one groupBy)
+    * if the budget matters. */
+  def holdoutByDomain(df: DataFrame, urlCol: String, valPermille: Int,
+      salt: String = ""): DataFrame = {
+    require(valPermille >= 0 && valPermille <= 1000,
+      s"valPermille must be in [0, 1000], got $valPermille")
+    val rd = registeredDomain(col(urlCol))
+    df.withColumn("reg_domain", rd)
+      .withColumn("split",
+        when(TextOps.hash60(concat(col("reg_domain"), lit("#" + salt)))
+            % 1000 < valPermille, lit("val"))
+          .otherwise(lit("train")))
+  }
+
   /** Keep at most `cap` rows per domain, smallest `orderCol` first.
     * Appends `domain`; one hash-partitioned window. */
   def capPerDomain(df: DataFrame, urlCol: String, orderCol: String,

@@ -1179,6 +1179,22 @@ object PipelineQueries {
         .orderBy("domain")
     }),
 
+    // Domain-holdout split: group-consistent train/val assignment by
+    // registered domain (hash60 of the salted domain under a permille
+    // threshold — map-only, reproducible, no shuffle). The per-(split,
+    // reg_domain) aggregate pins BOTH that assignment is domain-
+    // consistent (each domain appears under exactly one split) and the
+    // exact hash arithmetic
+    "p_domain_holdout" -> ((s, dir) => {
+      val fx = table(s, dir, "documents")
+        .select(col("doc_id"), urlFixture.as("url"))
+      graft.ext.UrlOps.holdoutByDomain(fx, "url", valPermille = 200,
+          salt = "ho1")
+        .groupBy("split", "reg_domain")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"))
+        .orderBy("split", "reg_domain")
+    }),
+
     // Temperature-weighted mixture sampling (n_l^0.5 allocation, half the
     // corpus) over lang strata: the rate table pins the float contract
     // (stratum-ordered weight sum, micro-rate round-half-up) and n_kept
@@ -2945,6 +2961,30 @@ object PipelineQueries {
         |SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM k WHERE rn <= 7 GROUP BY domain ORDER BY domain""").stripMargin,
+
+    "p_domain_holdout" ->
+      (s"""WITH fx AS (
+        |  SELECT doc_id, $urlFixtureSql AS url
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        |      ':\\d+$$', ''), '^www\\.', '') AS domain
+        |  FROM fx
+        |), r AS (
+        |  SELECT doc_id,
+        |    ${graft.ext.UrlOps.registeredDomainSql("domain").replace("\n", "\n        |    ")} AS reg_domain
+        |  FROM d
+        |), s AS (
+        |  SELECT doc_id, reg_domain,
+        |    CASE WHEN ${graft.ext.TextOps.hash60Sql("reg_domain || '#ho1'")} % 1000 < 200
+        |         THEN 'val' ELSE 'train' END AS split
+        |  FROM r
+        |)
+        |SELECT split, reg_domain, count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM s GROUP BY split, reg_domain ORDER BY split, reg_domain""").stripMargin,
 
     // temperature sampling: stratum-ordered weight sum via list_sum,
     // micro-rate round-half-up, md5-coin identical to hashFraction

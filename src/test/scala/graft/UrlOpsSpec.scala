@@ -122,6 +122,40 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(rows.filter(_._1 == 2L).map(_._4).toSeq == Seq("a"))
   }
 
+  test("holdoutByDomain: domain-consistent sides, salt re-rolls, bounds enforced") {
+    import spark.implicits._
+    val UrlOps = graft.ext.UrlOps
+    // 40 domains × 5 pages; subdomains of one registered domain MUST
+    // land on the same side (the leakage case the operator exists for)
+    val docs = (0L until 200L).map { i =>
+      val d = i % 40
+      (i, s"https://sub${i % 5}.site$d.example-$d.com/page/$i")
+    }.toDF("doc_id", "url")
+    val split = UrlOps.holdoutByDomain(docs, "url", valPermille = 300,
+      salt = "s1")
+    val sides = split.groupBy("reg_domain")
+      .agg(countDistinct("split").as("k"))
+      .select("k").as[Long].collect()
+    assert(sides.forall(_ == 1L), "every registered domain on exactly one side")
+    // deterministic across calls; salt changes SOME assignments
+    val v1 = split.where(col("split") === "val")
+      .select("doc_id").as[Long].collect().toSet
+    val v1b = UrlOps.holdoutByDomain(docs, "url", 300, "s1")
+      .where(col("split") === "val").select("doc_id").as[Long].collect().toSet
+    assert(v1 == v1b && v1.nonEmpty && v1.size < 200)
+    val v2 = UrlOps.holdoutByDomain(docs, "url", 300, "s2")
+      .where(col("split") === "val").select("doc_id").as[Long].collect().toSet
+    assert(v2 != v1, "a different salt must re-roll the split")
+    // degenerate permilles: all-train / all-val
+    assert(UrlOps.holdoutByDomain(docs, "url", 0)
+      .where(col("split") === "val").count() == 0)
+    assert(UrlOps.holdoutByDomain(docs, "url", 1000)
+      .where(col("split") === "train").count() == 0)
+    intercept[IllegalArgumentException] {
+      UrlOps.holdoutByDomain(docs, "url", 1001)
+    }
+  }
+
   test("temperatureSample: alpha=1 reduces to uniform targetFraction rates") {
     import spark.implicits._
     val docs = (1L to 300L).map(i => (i, if (i <= 200) "en" else "de"))
