@@ -90,9 +90,16 @@ object TarShards {
   /** GNU longname marker — the name GNU tar itself puts on 'L' entries. */
   private val LongLink = "././@LongLink".getBytes(UTF_8)
 
+  private def blockPadded(n: Long): Long =
+    ((n + BlockSize - 1) / BlockSize) * BlockSize
+
+  /** Write one member (longname entry included when the key needs one).
+    * @return (bytes written, data offset within those bytes) — what a
+    *         random-access index needs. */
   private def writeMember(out: java.io.OutputStream, name: String,
-      body: Array[Byte]): Unit = {
+      body: Array[Byte]): (Long, Long) = {
     val nameBytes = name.getBytes(UTF_8)
+    var pre = 0L
     if (nameBytes.length > 100) {
       // WebDataset keys are frequently URL-derived and exceed the ustar
       // 100-byte name field. Emit a GNU longname ('L') entry carrying
@@ -104,10 +111,13 @@ object TarShards {
       val full = java.util.Arrays.copyOf(nameBytes, nameBytes.length + 1)
       out.write(header(LongLink, full.length.toLong, 'L'.toByte))
       writeBody(out, full)
+      pre = BlockSize + blockPadded(full.length.toLong)
       out.write(header(java.util.Arrays.copyOf(nameBytes, 100),
         body.length.toLong, '0'.toByte))
     } else out.write(header(nameBytes, body.length.toLong, '0'.toByte))
     writeBody(out, body)
+    val dataOff = pre + BlockSize
+    (dataOff + blockPadded(body.length.toLong), dataOff)
   }
 
   private def writeTrailer(out: java.io.OutputStream): Unit =
@@ -320,9 +330,18 @@ object TarShards {
     * Determinism holds: `java.util.zip.GZIPOutputStream` writes a fixed
     * header (MTIME 0), so identical rows still produce byte-identical
     * shards. [[readShards]] sniffs the gzip magic per file and reads
-    * both layouts, mixed freely. */
+    * both layouts, mixed freely.
+    *
+    * `index = true` additionally writes a `shard-NNNNN.idx` sidecar per
+    * shard — one `name<TAB>offset<TAB>size` line per member, offsets
+    * addressing the member's DATA in the (uncompressed) tar stream — so
+    * external loaders (the wids-style random-access pattern) can fetch
+    * one sample with a ranged read instead of scanning the archive.
+    * Written streamed alongside the tar and committed with the same
+    * rename-if-absent protocol; deterministic like the archives. */
   def writeShards(docs: DataFrame, dir: String, shardCol: String,
-      nameCol: String, payloadCol: String, gzip: Boolean = false): Unit = {
+      nameCol: String, payloadCol: String, gzip: Boolean = false,
+      index: Boolean = false): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
@@ -358,23 +377,33 @@ object TarShards {
         var out: java.io.OutputStream = null
         var tmp: org.apache.hadoop.fs.Path = null
         var fin: org.apache.hadoop.fs.Path = null
+        var idxOut: java.io.OutputStream = null
+        var idxTmp: org.apache.hadoop.fs.Path = null
+        var idxFin: org.apache.hadoop.fs.Path = null
+        var off = 0L
+        // NEVER delete the final path from a task: delete-then-rename
+        // is last-finisher-wins — a zombie duplicate attempt could
+        // delete an already-committed shard and die before its own
+        // rename, losing the shard while the job reports success.
+        // Rename-if-absent instead: archives are byte-deterministic,
+        // so a shard already committed by a concurrent attempt of the
+        // same job carries IDENTICAL bytes — "another attempt won" is
+        // success, drop our temp. (Flip side: a stale shard file from
+        // a different dataset is treated the same way on stores whose
+        // rename refuses existing targets — hence the fresh-directory
+        // contract in the scaladoc.)
+        def commitOne(t: org.apache.hadoop.fs.Path,
+            f: org.apache.hadoop.fs.Path): Unit =
+          if (!fs.rename(t, f)) {
+            require(fs.exists(f),
+              s"failed to commit $f and no other attempt has")
+            fs.delete(t, false)
+          }
         def commit(): Unit = if (open) {
           writeTrailer(out); out.close(); open = false
-          // NEVER delete the final path from a task: delete-then-rename
-          // is last-finisher-wins — a zombie duplicate attempt could
-          // delete an already-committed shard and die before its own
-          // rename, losing the shard while the job reports success.
-          // Rename-if-absent instead: archives are byte-deterministic,
-          // so a shard already committed by a concurrent attempt of the
-          // same job carries IDENTICAL bytes — "another attempt won" is
-          // success, drop our temp. (Flip side: a stale shard file from
-          // a different dataset is treated the same way on stores whose
-          // rename refuses existing targets — hence the fresh-directory
-          // contract in the scaladoc.)
-          if (!fs.rename(tmp, fin)) {
-            require(fs.exists(fin),
-              s"failed to commit $fin and no other attempt has")
-            fs.delete(tmp, false)
+          commitOne(tmp, fin)
+          if (idxOut != null) {
+            idxOut.close(); commitOne(idxTmp, idxFin); idxOut = null
           }
         }
         try {
@@ -384,6 +413,7 @@ object TarShards {
             if (!open || shard != cur) {
               commit()
               cur = shard
+              off = 0L
               val ext = if (gzip) "tar.gz" else "tar"
               fin = new org.apache.hadoop.fs.Path(base, f"shard-$shard%05d.$ext")
               tmp = new org.apache.hadoop.fs.Path(base,
@@ -394,14 +424,26 @@ object TarShards {
               // gzipped shards stay byte-deterministic
               out = if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16)
                     else raw
+              if (index) {
+                idxFin = new org.apache.hadoop.fs.Path(base, f"shard-$shard%05d.idx")
+                idxTmp = new org.apache.hadoop.fs.Path(base,
+                  f".shard-$shard%05d.idx.$attempt.tmp")
+                idxOut = new java.io.BufferedOutputStream(
+                  fs.create(idxTmp, true), 1 << 16)
+              }
               open = true
             }
-            writeMember(out, name, body)
+            val (written, dataOff) = writeMember(out, name, body)
+            if (idxOut != null)
+              idxOut.write(
+                s"$name\t${off + dataOff}\t${body.length}\n".getBytes(UTF_8))
+            off += written
           }
           commit()
         } finally if (open) {
           out.close()
           fs.delete(tmp, false)
+          if (idxOut != null) { idxOut.close(); fs.delete(idxTmp, false) }
         }
       }
   }

@@ -95,6 +95,55 @@ class TarShardsSpec extends AnyFunSuite {
     assert(n0.toLong == docs.where(col("shard") === 0).count())
   }
 
+  test("index sidecars: every (offset, size) entry ranged-reads the exact member bytes, long names included") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a.txt", "first body"),
+      (0L, ("k" * 130) + ".txt", "body behind a GNU longname entry"),
+      (0L, "z.txt", "x" * 700), // crosses a block boundary
+      (1L, "only.txt", "second shard"))
+      .toDF("shard", "name", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val dir = tmpDir("tar_idx")
+    TarShards.writeShards(docs, dir.getPath, "shard", "name", "payload",
+      index = true)
+    val idxFiles = dir.listFiles.filter(_.getName.endsWith(".idx")).sortBy(_.getName)
+    assert(idxFiles.map(_.getName).toSeq ==
+      Seq("shard-00000.idx", "shard-00001.idx"), idxFiles.map(_.getName).toSeq)
+    val expected = docs.select("shard", "name", "text")
+      .as[(Long, String, String)].collect()
+      .map { case (s, n, t) => (s, n) -> t }.toMap
+    var checked = 0
+    idxFiles.foreach { idx =>
+      val shard = idx.getName.stripSuffix(".idx").stripPrefix("shard-").toLong
+      val tar = new java.io.File(dir, idx.getName.stripSuffix("idx") + "tar")
+      val raf = new java.io.RandomAccessFile(tar, "r")
+      try {
+        scala.io.Source.fromFile(idx, "UTF-8").getLines().foreach { line =>
+          val Array(name, off, size) = line.split("\t")
+          val buf = new Array[Byte](size.toInt)
+          raf.seek(off.toLong)
+          raf.readFully(buf)
+          assert(new String(buf, "UTF-8") == expected((shard, name)),
+            s"ranged read of $name returned different bytes")
+          checked += 1
+        }
+      } finally raf.close()
+    }
+    assert(checked == 4, s"index must cover every member: $checked")
+    // determinism across reruns
+    val dir2 = tmpDir("tar_idx2")
+    TarShards.writeShards(docs, dir2.getPath, "shard", "name", "payload",
+      index = true)
+    idxFiles.foreach { f1 =>
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(f1.toPath),
+        java.nio.file.Files.readAllBytes(new java.io.File(dir2, f1.getName).toPath)))
+    }
+    // the sidecar never matches readShards' tar glob
+    assert(TarShards.readShards(spark, dir.getPath).count() == 4)
+  }
+
   test("gzipped shards: .tar.gz round-trip, deterministic bytes, system tar -z reads them") {
     import spark.implicits._
     import scala.sys.process._
