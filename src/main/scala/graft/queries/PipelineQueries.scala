@@ -584,6 +584,37 @@ object PipelineQueries {
       res
     }),
 
+    // the WebDataset SAMPLE model at file scale: every document becomes
+    // a two-part sample (<key>.json metadata + <key>.txt payload) in
+    // real shard files, read back grouped per sample. DuckDB recomputes
+    // the per-shard member counts and content checksums of BOTH parts
+    // straight from the source table, so a match proves the multi-part
+    // container preserved every byte of every modality
+    "p_tar_samples" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
+        .withColumn("shard", pmod(col("doc_id"), lit(4)))
+        .withColumn("key", format_string("%06d", col("doc_id")))
+        .withColumn("txt", col("text").cast("binary"))
+        .withColumn("json",
+          concat(lit("{\"id\":"), col("doc_id").cast("string"),
+            lit(",\"lang\":\""), col("lang"), lit("\"}")).cast("binary"))
+      val out = java.nio.file.Files.createTempDirectory("graft_tar_samples")
+      graft.sources.TarShards.writeSampleShards(docs, out.toString, "shard",
+        "key", Seq("json" -> "json", "txt" -> "txt"))
+      val res = graft.sources.TarShards.readSampleShards(s, out.toString)
+        .select(col("shard"), explode(col("parts")).as(Seq("ext", "body")))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_members"),
+          sum(conv(substring(md5(col("body")), 1, 12), 16, 10)
+            .cast("long")).as("sum_h"))
+        .orderBy("shard")
+        .localCheckpoint()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      res
+    }),
+
     // the OUTPUT pipeline end-to-end: per-language token budgets →
     // deterministic epoch shards → one tar container per shard → parse
     // back → per-shard member counts + content checksums. DuckDB
@@ -2214,6 +2245,20 @@ object PipelineQueries {
         |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
         |  CAST(sum(h) AS BIGINT) AS sum_h
         |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "p_tar_samples" ->
+      """WITH parts AS (
+        |  SELECT doc_id % 4 AS shard, text AS body FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 4,
+        |    '{"id":' || doc_id || ',"lang":"' || lang || '"}'
+        |  FROM documents
+        |)
+        |SELECT shard, count(*) AS n_members,
+        |  CAST(sum(CAST(concat('0x', substr(md5(body), 1, 12)) AS BIGINT))
+        |    AS BIGINT) AS sum_h
+        |FROM parts WHERE body IS NOT NULL
+        |GROUP BY shard ORDER BY shard""".stripMargin,
 
     "p_word_blocklist" ->
       """WITH t AS (

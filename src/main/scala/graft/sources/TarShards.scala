@@ -296,14 +296,22 @@ object TarShards {
       }
     }
 
+  /** Gunzip when the gzip magic is present; pass through otherwise. */
+  private def gunzipIfNeeded(raw: Array[Byte]): Array[Byte] =
+    if (raw.length >= 2 && raw(0) == 0x1f.toByte && raw(1) == 0x8b.toByte) {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(raw), 1 << 16)
+      try in.readAllBytes() finally in.close()
+    } else raw
+
   /** Explode a binary tar-payload column into (member_name, body,
     * body_text) rows — batched per partition, blobs never shuffle (the
-    * [[Warc.records]] pattern). */
+    * [[Warc.records]] pattern). Gzipped payloads are magic-sniffed. */
   def members(df: DataFrame, payloadCol: Column): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(payloadCol.as("p")).as[Array[Byte]]
-      .mapPartitions(_.flatMap(p => parseAll(p)
+      .mapPartitions(_.flatMap(p => parseAll(gunzipIfNeeded(p))
         .map { case (n, b) => (n, b, new String(b, UTF_8)) }))
       .toDF("member_name", "body", "body_text")
   }
@@ -462,16 +470,59 @@ object TarShards {
       .mapPartitions(_.flatMap { case (path, raw) =>
         val shard = shardRe.findFirstMatchIn(path)
           .map(_.group(1).toLong).getOrElse(-1L)
-        val payload =
-          if (raw.length >= 2 && raw(0) == 0x1f.toByte && raw(1) == 0x8b.toByte) {
-            val in = new java.util.zip.GZIPInputStream(
-              new java.io.ByteArrayInputStream(raw), 1 << 16)
-            try in.readAllBytes() finally in.close()
-          } else raw
-        parseAll(payload).map { case (n, b) =>
+        parseAll(gunzipIfNeeded(raw)).map { case (n, b) =>
           (shard, n, b, new String(b, UTF_8))
         }
       })
       .toDF("shard", "member_name", "body", "body_text")
   }
+
+  /** WebDataset SAMPLE writer — the multi-part form of [[writeShards]]:
+    * each row is one sample (a key plus one binary payload per part),
+    * written as members `<key>.<ext>` so any WebDataset loader
+    * reassembles the sample from adjacent members sharing the key
+    * prefix. `parts` maps extension → column (e.g. `Seq("jpg" -> "img",
+    * "json" -> "meta", "txt" -> "caption")`). ADJACENCY — the loader
+    * contract — follows from [[writeShards]]'s within-shard name sort:
+    * all `<key>.*` members are consecutive. Null parts are skipped
+    * (optional modalities); a sample whose parts are ALL null vanishes.
+    * Keys must not contain '.' (it delimits the extension on re-read —
+    * loudly enforced map-side) and must be unique per shard. */
+  def writeSampleShards(docs: DataFrame, dir: String, shardCol: String,
+      keyCol: String, parts: Seq[(String, String)], gzip: Boolean = false,
+      index: Boolean = false): Unit = {
+    require(parts.nonEmpty, "need at least one (extension, column) part")
+    require(parts.map(_._1).distinct.size == parts.size,
+      "part extensions must be distinct: " + parts.map(_._1).mkString(", "))
+    val key = col(keyCol).cast("string")
+    val melted = docs
+      .select(col(shardCol),
+        when(key.contains("."), raise_error(concat(
+            lit("sample key contains '.' (reserved as the extension " +
+              "delimiter): "), key)))
+          .otherwise(key).as("__k"),
+        explode(filter(
+          array(parts.map { case (ext, c) =>
+            struct(lit(ext).as("ext"), col(c).cast("binary").as("body"))
+          }: _*),
+          s => s.getField("body").isNotNull)).as("__m"))
+      .select(col(shardCol),
+        concat(col("__k"), lit("."), col("__m.ext")).as("__name"),
+        col("__m.body").as("__payload"))
+    writeShards(melted, dir, shardCol, "__name", "__payload", gzip, index)
+  }
+
+  /** Read sample shards back grouped per sample: (shard, key, parts:
+    * map<ext, binary>). One groupBy on (shard, key) over the member
+    * explode — sample parts are small by construction (one sample), so
+    * the per-key map is bounded. */
+  def readSampleShards(spark: SparkSession, dir: String): DataFrame =
+    readShards(spark, dir)
+      .select(col("shard"),
+        regexp_extract(col("member_name"), "^(.*)\\.([^.]+)$", 1).as("key"),
+        regexp_extract(col("member_name"), "^(.*)\\.([^.]+)$", 2).as("ext"),
+        col("body"))
+      .groupBy("shard", "key")
+      .agg(map_from_entries(sort_array(
+        collect_list(struct(col("ext"), col("body"))))).as("parts"))
 }

@@ -144,6 +144,49 @@ class TarShardsSpec extends AnyFunSuite {
     assert(TarShards.readShards(spark, dir.getPath).count() == 4)
   }
 
+  test("sample shards: multi-part samples round-trip with adjacent members; null parts skipped; dotted keys rejected") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "k1", "caption one", """{"id":1}"""),
+      (0L, "k2", "caption two", null),          // optional part missing
+      (1L, "k3", "caption three", """{"id":3}"""))
+      .toDF("shard", "key", "cap", "meta")
+      .withColumn("txt", col("cap").cast("binary"))
+      .withColumn("json", col("meta").cast("binary"))
+    val dir = tmpDir("tar_samples")
+    TarShards.writeSampleShards(docs, dir.getPath, "shard", "key",
+      Seq("json" -> "json", "txt" -> "txt"))
+    // read side reassembles each sample's part map
+    val back = TarShards.readSampleShards(spark, dir.getPath)
+      .select(col("shard"), col("key"),
+        map_keys(col("parts")).as("exts"),
+        transform(map_values(col("parts")),
+          b => b.cast("string")).as("vals"))
+      .as[(Long, String, Seq[String], Seq[String])]
+      .collect().map(r => (r._1, r._2) -> (r._3.zip(r._4).toMap)).toMap
+    assert(back((0L, "k1")) ==
+      Map("json" -> """{"id":1}""", "txt" -> "caption one"))
+    assert(back((0L, "k2")) == Map("txt" -> "caption two"),
+      "null part must be skipped, not written as an empty member")
+    assert(back((1L, "k3")) ==
+      Map("json" -> """{"id":3}""", "txt" -> "caption three"))
+    // the WebDataset loader contract: a sample's members are ADJACENT
+    // in the raw archive
+    val raw = TarShards.parseAll(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "shard-00000.tar").toPath)).map(_._1).toSeq
+    assert(raw == Seq("k1.json", "k1.txt", "k2.txt"), raw)
+    // a key containing '.' would corrupt the extension split — loud
+    val bad = Seq((0L, "k.4", "x", "y")).toDF("shard", "key", "cap", "meta")
+      .withColumn("txt", col("cap").cast("binary"))
+      .withColumn("json", col("meta").cast("binary"))
+    val e = intercept[Exception] {
+      TarShards.writeSampleShards(bad, tmpDir("tar_badkey").getPath,
+        "shard", "key", Seq("txt" -> "txt"))
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("reserved"), e.getMessage)
+  }
+
   test("gzipped shards: .tar.gz round-trip, deterministic bytes, system tar -z reads them") {
     import spark.implicits._
     import scala.sys.process._
