@@ -293,4 +293,40 @@ object Curation {
       .select(col(idCol), col("shard"),
         (col("cum__one").cast("long") - col("_first")).as("shard_pos"))
   }
+
+  /** Byte-packed shard assignment — [[epochShards]]' sibling for when
+    * shards target a SIZE rather than a count (the WebDataset
+    * convention: ~1 GB tar shards regardless of document length; count
+    * balancing skews shard bytes when document sizes vary by orders of
+    * magnitude): deterministic hash permutation of the ids, then
+    * first-fit linear packing along ONE range-partitioned byte cumsum —
+    * shard k holds the documents whose preceding permuted bytes fall in
+    * [k·targetBytes, (k+1)·targetBytes), so a document straddling a
+    * boundary belongs to the shard where it STARTS and every shard
+    * lands within one document of the target. Same scale shape as
+    * [[epochShards]]: no per-shard window, no single-task sort, the
+    * payload never rides the shuffle (join it back by id). Returns
+    * (idCol, n_bytes, shard). Rows with null id or size are dropped;
+    * negative sizes are rejected loudly map-side (they would silently
+    * corrupt every later boundary). `salt` re-rolls the permutation. */
+  def packShardsBySize(df: DataFrame, idCol: String, sizeCol: String,
+      targetBytes: Long, salt: String = "pack0"): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val sz0 = col(sizeCol).cast("long")
+    val base = df.where(col(idCol).isNotNull && sz0.isNotNull)
+      .select(col(idCol),
+        when(sz0 < 0, raise_error(concat(
+            lit("packShardsBySize: negative size for id "),
+            col(idCol).cast("string"))))
+          .otherwise(sz0).cast("double").as("_sz"),
+        TextOps.hash60(concat(col(idCol).cast("string"), lit("_" + salt)))
+          .as("_h"))
+    val c = graft.data.DistributedCumsum.cumsum(base,
+      Seq(col("_h").asc, col(idCol).asc), Seq("_sz"))
+    // exact in doubles to 2^53 bytes (≫ any corpus) — and the DuckDB
+    // oracle floors the identical quotient
+    c.select(col(idCol), col("_sz").cast("long").as("n_bytes"),
+      floor((col("cum__sz") - col("_sz")) / lit(targetBytes.toDouble))
+        .cast("int").as("shard"))
+  }
 }

@@ -781,6 +781,16 @@ object PipelineQueries {
       Curation.epochShards(table(s, dir, "documents"), "doc_id", 8, "epoch0")
         .orderBy("doc_id")),
 
+    // byte-packed shards: deterministic permutation + first-fit linear
+    // packing along one byte cumsum — shard sizes land within one doc
+    // of the 16 KiB target; the oracle replays the identical window sum
+    "p_pack_shards" -> ((s, dir) =>
+      Curation.packShardsBySize(
+          table(s, dir, "documents")
+            .withColumn("n_bytes", octet_length(col("text"))),
+          "doc_id", "n_bytes", targetBytes = 16384L, salt = "pack0")
+        .orderBy("doc_id")),
+
     // duplicate-cluster resolution: connected components over the mined
     // pairs; cluster_id = min doc id of the component (the canonical doc
     // a dedup pipeline keeps)
@@ -2449,6 +2459,20 @@ object PipelineQueries {
          |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
          |    AS BIGINT) AS shard_pos
          |FROM b ORDER BY doc_id""".stripMargin,
+
+    "p_pack_shards" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, strlen(text) AS n_bytes,
+         |    ${h60("concat(CAST(doc_id AS VARCHAR), '_pack0')")} AS h
+         |  FROM documents
+         |), c AS (
+         |  SELECT doc_id, n_bytes,
+         |    sum(n_bytes) OVER (ORDER BY h, doc_id) AS cum
+         |  FROM b
+         |)
+         |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+         |  CAST(floor((cum - n_bytes) / 16384.0) AS INT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     // connected components over the near-dup pairs: recursive reachability
     // closure, cluster id = min doc id reachable (= component minimum)

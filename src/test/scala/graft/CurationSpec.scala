@@ -284,6 +284,42 @@ class CurationSpec extends AnyFunSuite {
     assert(nn.map(_._1).toSet == Set(1L, 2L), s"got ${nn.toSeq}")
   }
 
+  test("packShardsBySize: contiguous byte packing within one doc of target, loud on negative sizes") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, 50L + (i * 37) % 400))
+      .toDF("doc_id", "n_bytes")
+    val target = 2000L
+    val packed = Curation.packShardsBySize(docs, "doc_id", "n_bytes", target)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(packed.length == 200)
+    // every shard's bytes start inside its window: sum of FULL shards
+    // (all but the last) is within one max doc of the target, and shards
+    // are contiguous 0..K
+    val byShard = packed.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val shards = byShard.keys.toSeq.sorted
+    assert(shards == (0 to shards.max), s"contiguous shards: $shards")
+    val maxDoc = packed.map(_._2).max
+    shards.dropRight(1).foreach { s =>
+      assert(math.abs(byShard(s) - target) <= maxDoc,
+        s"shard $s bytes ${byShard(s)} not within one doc of $target")
+    }
+    // deterministic; a different salt re-rolls the permutation
+    val again = Curation.packShardsBySize(docs, "doc_id", "n_bytes", target)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(packed.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    val other = Curation.packShardsBySize(docs, "doc_id", "n_bytes", target,
+      salt = "pack1").collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(packed.exists(p => other(p._1) != p._3), "salt must re-roll")
+    // nulls dropped, negative sizes loud
+    val dirty = Seq((1L, Some(10L)), (2L, None)).toDF("doc_id", "n_bytes")
+    assert(Curation.packShardsBySize(dirty, "doc_id", "n_bytes", 100L)
+      .count() == 1)
+    val neg = Seq((1L, -5L)).toDF("doc_id", "n_bytes")
+    intercept[Exception] {
+      Curation.packShardsBySize(neg, "doc_id", "n_bytes", 100L).collect()
+    }
+  }
+
   test("chunkTokens rejects stride > chunkSize (silent-coverage-loss guard, r13 review)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g h")).toDF("doc_id", "text")
