@@ -381,6 +381,65 @@ class TarShardsSpec extends AnyFunSuite {
     assert(rejected > 150, s"most single-byte header flips must be caught: $rejected/200")
   }
 
+  test("fuzz over longname/PAX header blocks: flips reject loudly or leave framing untouched (seeded)") {
+    // archive: [L header][longname body][real header][body]
+    //          [x header][pax body][real header][body]  (patched from 'L')
+    val longName = ("q" * 120) + ".txt"
+    val gnuPart = TarShards.writeAll(Seq(
+      longName -> "gnu member body".getBytes("UTF-8")))
+    // build a PAX pair by patching a synthetic 'L'-style layout: write a
+    // pax record carrier + the following member, then set typeflag 'x'
+    val paxRecord = {
+      // len counts its own digits: solve len == digits(len) + rest
+      val content = s" path=$longName\n"
+      var len = content.length + 1
+      while (len.toString.length + content.length != len) len += 1
+      s"$len$content".getBytes("UTF-8")
+    }
+    val paxCarrier = TarShards.writeAll(Seq(
+      "pax.hdr" -> paxRecord,
+      "short.txt" -> "pax member body".getBytes("UTF-8")))
+    val paxPart = paxCarrier.clone()
+    paxPart(156) = 'x'.toByte
+    // recompute the first header's checksum after the typeflag patch
+    java.util.Arrays.fill(paxPart, 148, 156, ' '.toByte)
+    var sum = 0L
+    (0 until 512).foreach(i => sum += paxPart(i) & 0xff)
+    val chk = java.lang.Long.toOctalString(sum)
+    System.arraycopy((("0" * (6 - chk.length)) + chk + "  ").getBytes("UTF-8"),
+      0, paxPart, 148, 8)
+    // strip each part's two-zero-block trailer except the last
+    val archive = java.util.Arrays.copyOfRange(gnuPart, 0, gnuPart.length - 1024) ++ paxPart
+    // the 'L' entry names the gnu member; the 'x' record renames the
+    // pax pair's following member — two emitted members, both longName
+    val goodParse = TarShards.parseAll(archive).toSeq.map { case (n, b) => (n, b.toSeq) }
+    assert(goodParse.map(_._1) == Seq(longName, longName), goodParse.map(_._1))
+    val rnd = new scala.util.Random(1234)
+    // header blocks sit at known offsets: L@0, real@1024 (after 512-pad
+    // name), x@2048+? — compute: gnuPart layout: L hdr 512 + name 512 +
+    // real hdr 512 + body 512 = 2048; pax: x hdr at 2048, record 512,
+    // real hdr at 3072
+    val headerOffsets = Seq(0, 1024, 2048, 3072)
+    var rejected = 0
+    for (_ <- 1 to 200) {
+      val corrupt = archive.clone()
+      val base = headerOffsets(rnd.nextInt(headerOffsets.length))
+      val off = base + rnd.nextInt(512)
+      corrupt(off) = (corrupt(off) + 1 + rnd.nextInt(254)).toByte
+      scala.util.Try(TarShards.parseAll(corrupt).toSeq.map {
+        case (n, b) => (n, b.toSeq)
+      }) match {
+        case scala.util.Success(parsed) =>
+          assert(parsed.map(_._1) == goodParse.map(_._1) &&
+            parsed.map(_._2.length) == goodParse.map(_._2.length),
+            s"flip at $off silently re-framed the longname/PAX archive")
+        case scala.util.Failure(_: IllegalArgumentException) => rejected += 1
+        case scala.util.Failure(e) => throw e
+      }
+    }
+    assert(rejected > 150, s"most header flips must be caught: $rejected/200")
+  }
+
   test("negative shard ids fail loudly instead of NPE or unparseable filenames") {
     import spark.implicits._
     val docs = Seq((-1L, "a.txt", "x"), (0L, "b.txt", "y"))
