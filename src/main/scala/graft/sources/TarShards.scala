@@ -171,11 +171,14 @@ object TarShards {
     *    override the next member's name/size (the `size` record is how
     *    PAX represents > 8 GiB members; bodies must still fit a JVM
     *    array here).
-    * Directories and links are skipped by typeflag; GNU longLINKname
-    * ('K') entries are consumed and ignored (they describe a link
-    * target). PAX GLOBAL headers ('g') are ignored unless they carry a
-    * `path`/`size` override — which would silently apply to EVERY
-    * following member, so that one case stays a loud reject. */
+    * Directories and links are skipped by typeflag ('7'
+    * contiguous-file members are read as regular files per POSIX; GNU
+    * sparse 'S' members reject loudly — their hole-encoded data region
+    * would silently yield wrong bytes); GNU longLINKname ('K') entries
+    * are consumed and ignored (they describe a link target). PAX
+    * GLOBAL headers ('g') are ignored unless they carry a `path`/`size`
+    * override — which would silently apply to EVERY following member,
+    * so that one case stays a loud reject. */
   def parseAll(payload: Array[Byte]): Iterator[(String, Array[Byte])] =
     new Iterator[(String, Array[Byte])] {
       private var pos = 0
@@ -243,7 +246,7 @@ object TarShards {
             s"tar member $rawName of $size bytes exceeds the in-memory limit")
           require(dataStart + size <= payload.length,
             s"truncated tar: member $rawName claims $size bytes past the end")
-          val padded = ((size + BlockSize - 1) / BlockSize) * BlockSize
+          val padded = blockPadded(size)
           if (isMeta) {
             val body = java.util.Arrays.copyOfRange(
               payload, dataStart, dataStart + size.toInt)
@@ -255,7 +258,10 @@ object TarShards {
             } else if (typeflag == 'x'.toByte) {
               paxRecords(body).foreach {
                 case ("path", v) => overrideName = v
-                case ("size", v) => overrideSize = v.toLong
+                case ("size", v) =>
+                  val sv = v.toLong // NumberFormatException = loud
+                  require(sv >= 0, s"negative PAX size record: $v")
+                  overrideSize = sv
                 case _ => () // mtime/atime/charset/...: no bearing here
               }
             } else if (typeflag == 'g'.toByte) {
@@ -277,7 +283,14 @@ object TarShards {
                 strField(pos + 345, 155) + "/" + rawName
               else rawName
             pos = dataStart + padded.toInt
-            if (typeflag == '0'.toByte || typeflag == 0) {
+            // '7' (contiguous) is POSIX-defined as "treat as a regular
+            // file"; GNU sparse ('S') members would yield WRONG bytes if
+            // read as regular (the data region is hole-encoded), so they
+            // reject loudly rather than silently corrupting samples
+            require(typeflag != 'S'.toByte,
+              s"GNU sparse member $name is not supported")
+            if (typeflag == '0'.toByte || typeflag == 0 ||
+                typeflag == '7'.toByte) {
               val body = java.util.Arrays.copyOfRange(
                 payload, dataStart, dataStart + size.toInt)
               nextRec = (name, body)
@@ -411,13 +424,24 @@ object TarShards {
           writeTrailer(out); out.close(); open = false
           commitOne(tmp, fin)
           if (idxOut != null) {
-            idxOut.close(); commitOne(idxTmp, idxFin); idxOut = null
+            // hand off before close/commit so a failure here leaves
+            // idxOut null and the finally block does not double-close
+            val io = idxOut; idxOut = null
+            io.close(); commitOne(idxTmp, idxFin)
           }
         }
         try {
           it.foreach { case (shard, name, body) =>
             require(shard >= 0,
               s"shard ids must be non-negative (use pmod, not hash%%n): $shard")
+            // the idx sidecar is line/tab-delimited: a name carrying a
+            // tab or newline would silently corrupt the whole shard's
+            // index for external consumers — loud reject instead
+            require(!index ||
+                (name.indexOf('\t') < 0 && name.indexOf('\n') < 0 &&
+                 name.indexOf('\r') < 0),
+              "member name contains tab/newline — unrepresentable in " +
+                s"the .idx sidecar: $name")
             if (!open || shard != cur) {
               commit()
               cur = shard
@@ -448,10 +472,17 @@ object TarShards {
             off += written
           }
           commit()
-        } finally if (open) {
-          out.close()
-          fs.delete(tmp, false)
-          if (idxOut != null) { idxOut.close(); fs.delete(idxTmp, false) }
+        } finally {
+          // abandoned-attempt cleanup; close() may throw on an already
+          // -failed stream — never mask the original exception with it
+          if (open) {
+            try out.close() catch { case _: java.io.IOException => () }
+            fs.delete(tmp, false)
+          }
+          if (idxOut != null) {
+            try idxOut.close() catch { case _: java.io.IOException => () }
+            fs.delete(idxTmp, false)
+          }
         }
       }
   }
@@ -494,10 +525,18 @@ object TarShards {
     require(parts.nonEmpty, "need at least one (extension, column) part")
     require(parts.map(_._1).distinct.size == parts.size,
       "part extensions must be distinct: " + parts.map(_._1).mkString(", "))
+    // readSampleShards splits on the LAST '.', so a dotted extension
+    // ("tar.gz") would re-read with part of itself folded into the key
+    require(parts.forall { case (e, _) => e.nonEmpty && !e.contains(".") },
+      "part extensions must be non-empty and contain no '.': " +
+        parts.map(_._1).mkString(", "))
     val key = col(keyCol).cast("string")
     val melted = docs
       .select(col(shardCol),
-        when(key.contains("."), raise_error(concat(
+        when(key.isNull,
+          raise_error(lit("sample key is null — null parts are skipped " +
+            "but a null KEY is a data bug")))
+          .when(key.contains("."), raise_error(concat(
             lit("sample key contains '.' (reserved as the extension " +
               "delimiter): "), key)))
           .otherwise(key).as("__k"),
@@ -519,7 +558,15 @@ object TarShards {
   def readSampleShards(spark: SparkSession, dir: String): DataFrame =
     readShards(spark, dir)
       .select(col("shard"),
-        regexp_extract(col("member_name"), "^(.*)\\.([^.]+)$", 1).as("key"),
+        // a member without a '.' cannot carry a sample key — a
+        // third-party shard not following the <key>.<ext> convention
+        // must fail loudly, not collapse onto the "" sample
+        when(!col("member_name").rlike("^.*\\.[^.]+$"),
+          raise_error(concat(
+            lit("member name has no <key>.<ext> form: "),
+            col("member_name"))))
+          .otherwise(regexp_extract(col("member_name"), "^(.*)\\.([^.]+)$", 1))
+          .as("key"),
         regexp_extract(col("member_name"), "^(.*)\\.([^.]+)$", 2).as("ext"),
         col("body"))
       .groupBy("shard", "key")

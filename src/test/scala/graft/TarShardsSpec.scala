@@ -185,6 +185,12 @@ class TarShardsSpec extends AnyFunSuite {
     }
     assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
       .contains("reserved"), e.getMessage)
+    // a dotted EXTENSION would mis-split on re-read (last-dot rule)
+    val e2 = intercept[IllegalArgumentException] {
+      TarShards.writeSampleShards(docs, tmpDir("tar_badext").getPath,
+        "shard", "key", Seq("tar.gz" -> "txt"))
+    }
+    assert(e2.getMessage.contains("no '.'"), e2.getMessage)
   }
 
   test("gzipped shards: .tar.gz round-trip, deterministic bytes, system tar -z reads them") {
@@ -438,6 +444,79 @@ class TarShardsSpec extends AnyFunSuite {
       }
     }
     assert(rejected > 150, s"most header flips must be caught: $rejected/200")
+  }
+
+  test("review hardening: typeflag 7 reads as regular, sparse rejects, idx tab-names reject, sample edge cases loud") {
+    import spark.implicits._
+    def patch(archive: Array[Byte], flag: Byte): Array[Byte] = {
+      val a = archive.clone()
+      a(156) = flag
+      java.util.Arrays.fill(a, 148, 156, ' '.toByte)
+      var sum = 0L
+      (0 until 512).foreach(i => sum += a(i) & 0xff)
+      val chk = java.lang.Long.toOctalString(sum)
+      System.arraycopy((("0" * (6 - chk.length)) + chk + "  ").getBytes("UTF-8"),
+        0, a, 148, 8)
+      a
+    }
+    val base = TarShards.writeAll(Seq("a.txt" -> "contiguous body".getBytes("UTF-8")))
+    // POSIX '7' (contiguous) = regular file, must not silently vanish
+    val seven = TarShards.parseAll(patch(base, '7'.toByte)).toSeq
+    assert(seven.map(_._1) == Seq("a.txt") &&
+      new String(seven.head._2, "UTF-8") == "contiguous body")
+    // GNU sparse would yield hole-mangled bytes if read as regular — loud
+    val eS = intercept[IllegalArgumentException] {
+      TarShards.parseAll(patch(base, 'S'.toByte)).toSeq
+    }
+    assert(eS.getMessage.contains("sparse"), eS.getMessage)
+    // a negative PAX size record is corrupt, not "absent"
+    val negRec = {
+      val content = " size=-1\n"
+      var len = content.length + 1
+      while (len.toString.length + content.length != len) len += 1
+      s"$len$content".getBytes("UTF-8")
+    }
+    val paxNeg = patch(TarShards.writeAll(Seq(
+      "p.hdr" -> negRec, "b.txt" -> "x".getBytes("UTF-8"))), 'x'.toByte)
+    val eN = intercept[IllegalArgumentException] {
+      TarShards.parseAll(paxNeg).toSeq
+    }
+    assert(eN.getMessage.contains("negative PAX size"), eN.getMessage)
+    // index mode rejects names the tab-delimited sidecar cannot express
+    val tabbed = Seq((0L, "a\tb.txt", "x"))
+      .toDF("shard", "name", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val eT = intercept[org.apache.spark.SparkException] {
+      TarShards.writeShards(tabbed, tmpDir("tar_tab").getPath,
+        "shard", "name", "payload", index = true)
+    }
+    assert(eT.getMessage.contains("idx") ||
+      Option(eT.getCause).exists(_.getMessage.contains("idx")), eT.getMessage)
+    // ...but plain (un-indexed) writes still allow them (tar itself does)
+    TarShards.writeShards(tabbed, tmpDir("tar_tab2").getPath,
+      "shard", "name", "payload")
+    // null sample keys are a loud data bug, not a deep NPE
+    val nullKey = Seq((0L, Option.empty[String], "x"))
+      .toDF("shard", "key", "cap")
+      .withColumn("txt", col("cap").cast("binary"))
+    val eK = intercept[Exception] {
+      TarShards.writeSampleShards(nullKey, tmpDir("tar_nullkey").getPath,
+        "shard", "key", Seq("txt" -> "txt"))
+    }
+    assert((eK.getMessage + Option(eK.getCause).map(_.getMessage).getOrElse(""))
+      .contains("null"), eK.getMessage)
+    // a third-party shard whose members lack <key>.<ext> form fails
+    // loudly on the sample read, not as a "" sample
+    val dir = tmpDir("tar_nodot")
+    val plain = Seq((0L, "noext", "x"))
+      .toDF("shard", "name", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    TarShards.writeShards(plain, dir.getPath, "shard", "name", "payload")
+    val eD = intercept[Exception] {
+      TarShards.readSampleShards(spark, dir.getPath).collect()
+    }
+    assert((eD.getMessage + Option(eD.getCause).map(_.getMessage).getOrElse(""))
+      .contains("key"), eD.getMessage)
   }
 
   test("negative shard ids fail loudly instead of NPE or unparseable filenames") {
