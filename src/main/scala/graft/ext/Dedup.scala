@@ -161,7 +161,11 @@ object Dedup {
     * content unseen for N days re-admittable through the banded tier on
     * the SAME policy the key tiers apply — one knob, three tiers.
     * One max-per-id groupBy: against a snapshot bucketed on `id` it
-    * plans exchange-free (BucketedSnapshotSpec pins this). */
+    * plans exchange-free (BucketedSnapshotSpec pins this). The banded
+    * gate reads its `priorSigs` twice (bucket side + verification
+    * side), so a caller composing this into [[incrementalCrawlGate]]
+    * may `localCheckpoint()` the retained projection to run the
+    * retention aggregation once — semantics unchanged either way. */
   def retainSignatureGenerations(sigsGen: DataFrame, minGen: Long,
       numHashes: Int): DataFrame = {
     val cols = ("id" +: (0 until numHashes).map(k => s"mh$k")) :+ "_gen"

@@ -437,6 +437,54 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("continuous archiving: gated stream -> per-batch tar shards via foreachBatch, byte-exact round trip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // the OUTPUT side of the pipeline on a FEED: each micro-batch of
+    // accepted documents is archived as WebDataset shards under an
+    // epoch directory keyed by batchId — writeShards' determinism and
+    // rename-if-absent commit make foreachBatch RETRIES safe (a
+    // replayed batch rewrites identical bytes into the same epoch dir)
+    val outRoot = java.nio.file.Files.createTempDirectory("stream_tar").toString
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val cleaned = graft.streaming.StreamingIngest.cleanDocuments(
+      stream.toDF().toDF("ts", "text"), watermark = "1 minute",
+      minTokens = 3, minQuality = 0.0)
+    val q = cleaned.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val docs = batch.select(
+          pmod(graft.ext.TextOps.hash60(col("text")), lit(2L)).as("shard"),
+          concat(md5(col("text")), lit(".txt")).as("name"),
+          col("text").cast("binary").as("payload"))
+        graft.sources.TarShards.writeShards(docs,
+          s"$outRoot/epoch-$batchId", "shard", "name", "payload")
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      val docs1 = Seq("alpha beta gamma delta", "red green blue walls")
+      val docs2 = Seq("one more later document arrives")
+      stream.addData(docs1.map(d => (ts(0), d)))
+      q.processAllAvailable()
+      stream.addData(docs2.map(d => (ts(5), d)))
+      q.processAllAvailable()
+      // every accepted doc is in exactly one epoch's shards, byte-exact
+      val archived = graft.sources.TarShards
+        .readShards(spark, s"$outRoot/epoch-*")
+        .select("body_text").as[String].collect().toSeq.sorted
+      assert(archived == (docs1 ++ docs2).sorted, archived)
+      val epochs = new java.io.File(outRoot).listFiles.map(_.getName).sorted
+      assert(epochs.length >= 2 && epochs.forall(_.startsWith("epoch-")), epochs.toSeq)
+    } finally {
+      q.stop()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(outRoot)).iterator()
+        .asScala.toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("streaming banded prior gate agrees with the batch incrementalBandedNearDedup") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
