@@ -515,7 +515,10 @@ object TarShards {
     * prefix. `parts` maps extension → column (e.g. `Seq("jpg" -> "img",
     * "json" -> "meta", "txt" -> "caption")`). ADJACENCY — the loader
     * contract — follows from [[writeShards]]'s within-shard name sort:
-    * all `<key>.*` members are consecutive. Null parts are skipped
+    * all `<key>.*` members are consecutive (keys cannot contain '.',
+    * so every other key's members differ from this key's `<key>.`
+    * prefix before the dot and sort entirely before or after it —
+    * nothing can interleave). Null parts are skipped
     * (optional modalities); a sample whose parts are ALL null vanishes.
     * Keys must not contain '.' (it delimits the extension on re-read —
     * loudly enforced map-side) and must be unique per shard. */

@@ -519,6 +519,31 @@ class TarShardsSpec extends AnyFunSuite {
       .contains("key"), eD.getMessage)
   }
 
+  test("seeded random round-trip property: arbitrary names (short and long) and bodies survive write->parse") {
+    val rnd = new scala.util.Random(20240815L)
+    // printable-ish name alphabet incl. path separators and spaces —
+    // everything tar allows except NUL (the field terminator)
+    val alphabet = (' ' to '~').filter(c => c != ' ').toArray
+    for (trial <- 1 to 30) {
+      val n = 1 + rnd.nextInt(8)
+      val members = (0 until n).map { i =>
+        val nameLen = 1 + rnd.nextInt(150) // crosses the 100-byte longname split
+        val name = s"m$i-" + Array.fill(nameLen)(
+          alphabet(rnd.nextInt(alphabet.length))).mkString
+        val body = new Array[Byte](rnd.nextInt(2000))
+        rnd.nextBytes(body)
+        (name, body)
+      }
+      val parsed = TarShards.parseAll(TarShards.writeAll(members)).toSeq
+      assert(parsed.map(_._1) == members.map(_._1),
+        s"trial $trial: names diverged")
+      parsed.zip(members).foreach { case ((_, got), (name, want)) =>
+        assert(java.util.Arrays.equals(got, want),
+          s"trial $trial: body of $name diverged")
+      }
+    }
+  }
+
   test("negative shard ids fail loudly instead of NPE or unparseable filenames") {
     import spark.implicits._
     val docs = Seq((-1L, "a.txt", "x"), (0L, "b.txt", "y"))
