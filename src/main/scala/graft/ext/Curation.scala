@@ -308,7 +308,12 @@ object Curation {
     * payload never rides the shuffle (join it back by id). Returns
     * (idCol, n_bytes, shard). Rows with null id or size are dropped;
     * negative sizes are rejected loudly map-side (they would silently
-    * corrupt every later boundary). `salt` re-rolls the permutation. */
+    * corrupt every later boundary). `salt` re-rolls the permutation.
+    * A document LARGER than `targetBytes` spans several windows: it
+    * belongs to the shard where it starts and the numbering skips the
+    * windows it covers — shard ids are deterministic but not
+    * necessarily dense ([[graft.sources.TarShards.writeShards]] names
+    * files by id, so gaps are harmless). */
   def packShardsBySize(df: DataFrame, idCol: String, sizeCol: String,
       targetBytes: Long, salt: String = "pack0"): DataFrame = {
     require(targetBytes > 0, "targetBytes must be positive")

@@ -187,7 +187,9 @@ object UrlOps {
     * fraction over ROWS tracks it only as far as the domain-size
     * distribution allows — at web scale a handful of mega-domains
     * dominate row counts, so validate the realized mass (one groupBy)
-    * if the budget matters. */
+    * if the budget matters. Rows with a null/unextractable URL get a
+    * null `reg_domain` and land on the TRAIN side (the null hash
+    * propagates to a null predicate), identically in the oracle. */
   def holdoutByDomain(df: DataFrame, urlCol: String, valPermille: Int,
       salt: String = ""): DataFrame = {
     require(valPermille >= 0 && valPermille <= 1000,
