@@ -209,6 +209,47 @@ object Cleaning {
       .withColumnRenamed("clean_text", textCol)
   }
 
+  /** Per-stage ATTRITION report for a filter pipeline — the
+    * observability surface a production curation run ships with its
+    * output: how many documents each stage dropped, with stages applied
+    * in order (a document is charged to the FIRST stage it fails).
+    * `stages` are (name, keep-predicate) pairs evaluated on the row; a
+    * null predicate counts as a failure at that stage (dirty data does
+    * not silently survive).
+    *
+    * Scale shape: ONE scan — each row is classified map-side to its
+    * first failing stage index (a nested when-chain, codegen'd), then
+    * one count-by-index aggregation of ≤ stages+1 groups. The
+    * driver-side math runs over that bounded aggregate (stage count,
+    * never data) — the temperatureRates precedent. S separate
+    * count-after-filter jobs would scan the corpus S times.
+    *
+    * Returns (stage_idx, stage, n_in, n_kept, n_dropped) with
+    * n_in(0) = corpus size and n_in(k+1) = n_kept(k). */
+  def attritionReport(docs: DataFrame,
+      stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one (name, predicate) stage")
+    require(stages.map(_._1).distinct.size == stages.size,
+      "stage names must be distinct: " + stages.map(_._1).mkString(", "))
+    val firstFail = stages.zipWithIndex.foldRight(
+        lit(stages.length): Column) { case (((_, pred), i), rest) =>
+      when(!coalesce(pred, lit(false)), lit(i)).otherwise(rest)
+    }
+    val agg = docs.select(firstFail.as("_ff"))
+      .groupBy("_ff").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var in = agg.values.sum
+    val rows = stages.zipWithIndex.map { case ((name, _), i) =>
+      val dropped = agg.getOrElse(i, 0L)
+      val out = (i, name, in, in - dropped, dropped)
+      in -= dropped
+      out
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    rows.toDF("stage_idx", "stage", "n_in", "n_kept", "n_dropped")
+  }
+
   /** The redaction chain alone, as a Column — for composing into gates
     * (streaming or batch) that only need the scrubbed text. */
   def redactText(t: Column): Column =

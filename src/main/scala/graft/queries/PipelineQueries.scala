@@ -667,6 +667,17 @@ object PipelineQueries {
           col("word_keep"))
         .orderBy("doc_id")),
 
+    // per-stage attrition report: docs charged to the FIRST filter
+    // stage they fail (min-token floor, then a char ceiling, then an
+    // en-only gate) — one scan, bounded aggregate; the oracle replays
+    // the identical first-fail CASE chain
+    "p_attrition" -> ((s, dir) =>
+      Cleaning.attritionReport(table(s, dir, "documents"), Seq(
+        "min_tokens" -> (size(TextOps.tokens(col("text"))) >= 60),
+        "max_chars" -> (col("n_chars") <= lit(900)),
+        "lang_en" -> (col("lang") === "en")))
+        .orderBy("stage_idx")),
+
     // per-stratum token-budget selection: en gets 20k tokens, every
     // other lang 8k — docs taken in doc_id order until the stratum's
     // budget fills; one global range-partitioned cumsum, text unshuffled
@@ -2287,6 +2298,35 @@ object PipelineQueries {
         |SELECT doc_id, n_tokens, n_blocked,
         |  CAST(CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END AS INT) AS word_keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "p_attrition" ->
+      """WITH s AS (
+        |  SELECT CASE
+        |    WHEN NOT coalesce(len(string_split(text, ' ')) >= 60, FALSE) THEN 0
+        |    WHEN NOT coalesce(n_chars <= 900, FALSE) THEN 1
+        |    WHEN NOT coalesce(lang = 'en', FALSE) THEN 2
+        |    ELSE 3 END AS ff
+        |  FROM documents
+        |), c AS (SELECT ff, count(*) AS n FROM s GROUP BY ff),
+        |total AS (SELECT count(*) AS t FROM documents),
+        |st(stage_idx, stage) AS (
+        |  VALUES (0, 'min_tokens'), (1, 'max_chars'), (2, 'lang_en')
+        |), j AS (
+        |  SELECT st.stage_idx, st.stage,
+        |    CAST(coalesce(c.n, 0) AS BIGINT) AS n_dropped
+        |  FROM st LEFT JOIN c ON c.ff = st.stage_idx
+        |), w AS (
+        |  SELECT stage_idx, stage, n_dropped,
+        |    (SELECT t FROM total) - coalesce(sum(n_dropped) OVER (
+        |      ORDER BY stage_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_in
+        |  FROM j
+        |)
+        |SELECT CAST(stage_idx AS INT) AS stage_idx, stage,
+        |  CAST(n_in AS BIGINT) AS n_in,
+        |  CAST(n_in - n_dropped AS BIGINT) AS n_kept,
+        |  n_dropped
+        |FROM w ORDER BY stage_idx""".stripMargin,
 
     "p_token_budget" ->
       """WITH t AS (

@@ -261,6 +261,36 @@ class CleaningSpec extends AnyFunSuite {
     assert(span.contains(1L) && span.contains(2L))
   }
 
+  test("attritionReport: first-fail charging, null predicate drops, conservation laws") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, Some("en"), 10),  // passes all
+      (2L, Some("en"), 2),   // fails min_len
+      (3L, Some("de"), 9),   // fails lang_en
+      (4L, None, 9),         // null lang: charged to lang_en (null = fail)
+      (5L, Some("en"), 1))   // fails min_len (charged there, NOT lang)
+      .toDF("doc_id", "lang", "n")
+    val rep = Cleaning.attritionReport(docs, Seq(
+        "min_len" -> (col("n") >= 5),
+        "lang_en" -> (col("lang") === "en")))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rep.toSeq == Seq(
+      (0, "min_len", 5L, 3L, 2L),
+      (1, "lang_en", 3L, 1L, 2L)), rep.toSeq)
+    // conservation: n_in(k+1) == n_kept(k); totals add up
+    assert(rep(1)._3 == rep(0)._4)
+    assert(rep.map(_._5).sum + rep.last._4 == 5L)
+    intercept[IllegalArgumentException] {
+      Cleaning.attritionReport(docs, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Cleaning.attritionReport(docs,
+        Seq("a" -> lit(true), "a" -> lit(false)))
+    }
+  }
+
   test("cleaning plans are map-only: no exchange, single split per scan") {
     import spark.implicits._
     val docs = Seq((1L, "a.\nb.")).toDF("doc_id", "text")
