@@ -29,6 +29,28 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
 
+  /** Canonical text for NORMALIZED exact dedup (the Dolma-style
+    * "fuzzy exact" tier between byte equality and MinHash): lowercase,
+    * replace every non-letter/digit/space run with one space, collapse
+    * whitespace, trim. Catches trivially-reformatted duplicates (case
+    * drift, punctuation/spacing churn, trailing decorations) at exact-
+    * dedup cost — one map-side expression, no shingles. Unicode-aware
+    * (`\p{L}\p{Nd}`), identical in DuckDB's RE2 dialect. */
+  def canonicalText(t: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(t), "[^\\p{L}\\p{Nd} ]+", " "), " +", " "))
+
+  /** [[exactDedup]] on the [[canonicalText]] key: keeps the smallest
+    * `idCol` per canonical form (deterministic, oracle-checkable);
+    * rows keep their ORIGINAL text. Same one-window scale shape as
+    * exactDedup — the canonical key is computed map-side and only its
+    * md5 drives the partitioning. */
+  def normalizedDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    requireNoReserved(df, "df")
+    exactDedup(df.withColumn("_key", canonicalText(col(textCol))),
+      "_key", idCol).drop("_key")
+  }
+
   /** Duplicate-cluster resolution with a QUALITY keep-policy — the
     * production alternative to "keep the smallest id": given mined
     * near-dup `pairs` (id_a, id_b), label clusters via

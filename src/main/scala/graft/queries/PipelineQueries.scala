@@ -667,6 +667,27 @@ object PipelineQueries {
           col("word_keep"))
         .orderBy("doc_id")),
 
+    // normalized ("fuzzy exact") dedup: case-folded, punctuation- and
+    // whitespace-collapsed canonical key — the reformatting replica
+    // classes (+20000 uppercased-decorated, +40000 triple-spaced) that
+    // byte-exact dedup CANNOT catch collapse here at map-side cost
+    "p_norm_dedup" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val batch = d
+        .unionByName(d.where(col("doc_id") < 150)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(lit("  "), upper(col("text")), lit("  !! ")).as("text"),
+            col("lang")))
+        .unionByName(d.where(col("doc_id") >= 150 && col("doc_id") < 250)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            regexp_replace(col("text"), " ", "   ").as("text"),
+            col("lang")))
+      Dedup.normalizedDedup(batch, "text", "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_unique"), sum("doc_id").as("sum_ids"))
+        .orderBy("lang")
+    }),
+
     // per-stage attrition report: docs charged to the FIRST filter
     // stage they fail (min-token floor, then a char ceiling, then an
     // en-only gate) — one scan, bounded aggregate; the oracle replays
@@ -2298,6 +2319,29 @@ object PipelineQueries {
         |SELECT doc_id, n_tokens, n_blocked,
         |  CAST(CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END AS INT) AS word_keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "p_norm_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, '  ' || upper(text) || '  !! ', lang
+        |  FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT doc_id + 40000, replace(text, ' ', '   '), lang
+        |  FROM documents WHERE doc_id >= 150 AND doc_id < 250
+        |), k AS (
+        |  SELECT doc_id, lang,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^\p{L}\p{Nd} ]+', ' ', 'g'), ' +', ' ', 'g')) AS ck
+        |  FROM base
+        |), kept AS (
+        |  SELECT doc_id, lang FROM (
+        |    SELECT doc_id, lang,
+        |      row_number() OVER (PARTITION BY ck ORDER BY doc_id) AS rn
+        |    FROM k) WHERE rn = 1
+        |)
+        |SELECT lang, count(*) AS n_unique, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p_attrition" ->
       """WITH s AS (

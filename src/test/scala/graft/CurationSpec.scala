@@ -82,6 +82,25 @@ class CurationSpec extends AnyFunSuite {
     assert(!none.contains("en") && none.count(_ == "de") == 1)
   }
 
+  test("normalizedDedup: case/punct/whitespace-reformatted replicas collapse, unicode punctuation included") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"),          // spacing + case drift
+      (3L, "HELLO—WORLD…"), // em-dash + ellipsis separators
+      (4L, "hello\tworld\n"),         // control whitespace
+      (5L, "a different document"))
+      .toDF("doc_id", "text")
+    val kept = graft.ext.Dedup.normalizedDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 5L), kept)
+    // original text survives, not the canonical form
+    val t1 = graft.ext.Dedup.normalizedDedup(docs, "text", "doc_id")
+      .where(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .select("text").as[String].head()
+    assert(t1 == "Hello, World!")
+  }
+
   test("incrementalDedup: within-batch dedup + prior anti-join; bloom never changes the result") {
     import spark.implicits._
     val prior = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
