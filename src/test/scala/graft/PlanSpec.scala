@@ -204,6 +204,41 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(thresholdKey, saved)
   }
 
+  test("r14 ops: holdout/attrition/norm-dedup map-shaped, byte packing windowless, sample melt exchange-free") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // domain holdout: the assignment IS a hash — map-only, no exchange,
+    // no join, no window on the operator itself
+    val pH = plan(graft.ext.UrlOps.holdoutByDomain(
+      docs.select(col("doc_id"),
+        concat(lit("https://www.ex"), col("doc_id") % 40, lit(".com/p")).as("url")),
+      "url", valPermille = 200))
+    assert(!pH.contains("Exchange") && !pH.contains("Join") &&
+      !pH.contains("Window"), pH.take(600))
+    // attrition: classification is one when-chain — no join, no window
+    val ffPlan = plan(docs.select(
+      when(!coalesce(col("n_chars") > 10, lit(false)), lit(0))
+        .otherwise(lit(1)).as("_ff")).groupBy("_ff").agg(count(lit(1))))
+    assert(!ffPlan.contains("Join") && !ffPlan.contains("Window"), ffPlan.take(400))
+    // normalized dedup: exactly the exactDedup shape — ONE exchange (the
+    // canonical-key hash partitioning), no join
+    val pN = plan(graft.ext.Dedup.normalizedDedup(docs, "text", "doc_id"))
+    assert("Exchange".r.findAllMatchIn(pN).length == 1 && !pN.contains("Join"),
+      pN.take(600))
+    // byte packing: the cumsum is the range boundary — no per-shard
+    // window, no join on the data path
+    val pP = plan(graft.ext.Curation.packShardsBySize(
+      docs.withColumn("n_bytes", octet_length(col("text"))),
+      "doc_id", "n_bytes", 16384L))
+    assert(!pP.contains("Window"), "packing must not window:\n" + pP.take(600))
+    // sample melt: writeSampleShards' member explode is map-side —
+    // Generate over the scan, no join before the shard repartition
+    val melted = docs.select(col("doc_id").cast("string").as("k"),
+      col("text").cast("binary").as("b"))
+      .select(explode(array(struct(lit("txt").as("ext"), col("b").as("body")))).as("m"))
+    assert(!plan(melted).contains("Exchange"), plan(melted).take(400))
+  }
+
   test("corpus-scale operating points stay equi-joined (k128 miner, multi-probe ANN)") {
     val p128 = plan(PipelineQueries.queries("p_near_dup_k128")(spark, sf))
     assert(!p128.contains("CartesianProduct"), "128-hash miner must stay bucketed")
