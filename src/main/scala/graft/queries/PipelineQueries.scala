@@ -615,6 +615,60 @@ object PipelineQueries {
       res
     }),
 
+    // THE DAILY RUN in one row: a crawl batch gated against the prior
+    // snapshot (fused two-tier gate, byte-identical +20000 and
+    // 8-token-appended +40000 replica classes blocked by their tiers),
+    // survivors budgeted per language, byte-packed into ~16 KiB shards,
+    // written as REAL tar shard files and read back — DuckDB recomputes
+    // the gate, the budget window, the packing cumsum AND the member
+    // checksums from the source table, so one hash match certifies the
+    // whole composition end to end
+    "p_daily_pipeline" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val prior = d.where(col("doc_id") % 3 === 1)
+      val batch = d.where(col("doc_id") % 3 =!= 1)
+        .unionByName(prior.where(col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 20000))
+        .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            concat(col("text"),
+              lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
+            col("lang")))
+      val kept = Dedup.incrementalCrawlGate(batch,
+          Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
+          Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
+            .localCheckpoint(),
+          numHashes = NumHashes, bands = Bands, threshold = 0.8,
+          maxBucketSize = MaxBucket)
+        .localCheckpoint() // consumed by the budget, the pack and the payload join
+      val chosen = Curation.takeTokenBudget(kept, "lang",
+        Map("en" -> 20000L), defaultBudget = 8000L).select("doc_id")
+      val packed = Curation.packShardsBySize(
+        chosen.join(kept.select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes")), "doc_id"),
+        "doc_id", "n_bytes", targetBytes = 16384L, salt = "daily0")
+      val docsOut = packed.select("doc_id", "shard")
+        .join(kept.select("doc_id", "text"), "doc_id")
+        .select(col("shard"),
+          format_string("%06d.txt", col("doc_id")).as("name"),
+          col("text").cast("binary").as("payload"))
+      val out = java.nio.file.Files.createTempDirectory("graft_daily")
+      graft.sources.TarShards.writeShards(docsOut, out.toString, "shard",
+        "name", "payload")
+      val res = graft.sources.TarShards.readShards(s, out.toString)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_members"),
+          sum(octet_length(col("body_text")).cast("long")).as("sum_bytes"),
+          sum(conv(substring(md5(col("body_text")), 1, 12), 16, 10)
+            .cast("long")).as("sum_h"))
+        .orderBy("shard")
+        .localCheckpoint()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      res
+    }),
+
     // the OUTPUT pipeline end-to-end: per-language token budgets →
     // deterministic epoch shards → one tar container per shard → parse
     // back → per-shard member counts + content checksums. DuckDB
@@ -2319,6 +2373,49 @@ object PipelineQueries {
         |SELECT doc_id, n_tokens, n_blocked,
         |  CAST(CASE WHEN n_blocked = 0 THEN 1 ELSE 0 END AS INT) AS word_keep
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "p_daily_pipeline" ->
+      s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
+         |prior AS (SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 1),
+         |batch AS (
+         |  SELECT doc_id, text, lang FROM d WHERE doc_id % 3 <> 1
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text, lang FROM prior WHERE doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 40000,
+         |    text || ' sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8', lang
+         |  FROM prior WHERE doc_id >= 150 AND doc_id < 250
+         |), ${sigKeyCtes("p", "prior", NumHashes)},
+         |${sigKeyCtes("b", "batch", NumHashes)},
+         |${crawlGateCtes("b", "batch", "p_key", "p_sig")},
+         |keptx AS (
+         |  SELECT k.doc_id, k.lang, b.text
+         |  FROM b_kept k JOIN batch b ON b.doc_id = k.doc_id
+         |), bud AS (
+         |  SELECT doc_id, text,
+         |    sum(len(string_split(text, ' '))) OVER (
+         |      PARTITION BY lang ORDER BY doc_id) AS cum_tokens,
+         |    CASE WHEN lang = 'en' THEN 20000 ELSE 8000 END AS budget
+         |  FROM keptx
+         |), chosen AS (
+         |  SELECT doc_id, text FROM bud WHERE cum_tokens <= budget
+         |), pk AS (
+         |  SELECT doc_id, text, strlen(text) AS n_bytes,
+         |    ${h60("concat(CAST(doc_id AS VARCHAR), '_daily0')")} AS h
+         |  FROM chosen
+         |), pc AS (
+         |  SELECT doc_id, text, n_bytes,
+         |    sum(n_bytes) OVER (ORDER BY h, doc_id) AS cum
+         |  FROM pk
+         |), sh AS (
+         |  SELECT CAST(floor((cum - n_bytes) / 16384.0) AS INT) AS shard, text
+         |  FROM pc
+         |)
+         |SELECT CAST(shard AS BIGINT) AS shard, count(*) AS n_members,
+         |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+         |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT))
+         |    AS BIGINT) AS sum_h
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
 
     "p_norm_dedup" ->
       """WITH base AS (
