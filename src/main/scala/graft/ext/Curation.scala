@@ -329,9 +329,13 @@ object Curation {
     val c = graft.data.DistributedCumsum.cumsum(base,
       Seq(col("_h").asc, col(idCol).asc), Seq("_sz"))
     // exact in doubles to 2^53 bytes (≫ any corpus) — and the DuckDB
-    // oracle floors the identical quotient
+    // oracle floors the identical quotient. Shard ids are LONG:
+    // totalBytes/targetBytes can exceed Int.MaxValue at corpus scale,
+    // and a non-ANSI int cast would wrap silently to negative ids
+    // (which writeShards rejects — but only after corrupting any other
+    // consumer)
     c.select(col(idCol), col("_sz").cast("long").as("n_bytes"),
       floor((col("cum__sz") - col("_sz")) / lit(targetBytes.toDouble))
-        .cast("int").as("shard"))
+        .cast("long").as("shard"))
   }
 }

@@ -25,6 +25,9 @@ object Dedup {
     * One window over the hash-partitioned data; no shuffle beyond the hash
     * repartition. */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    require(!df.columns.contains("_rn"),
+      "df already contains a column named _rn — exactDedup stages its " +
+        "window rank there and would drop it; rename the input column")
     val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
     df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
   }
@@ -49,6 +52,39 @@ object Dedup {
     requireNoReserved(df, "df")
     exactDedup(df.withColumn("_key", canonicalText(col(textCol))),
       "_key", idCol).drop("_key")
+  }
+
+  /** The NORMALIZED tier's persistable snapshot projection — one
+    * `md5(canonicalText(text))` key per document (single `_key` column),
+    * the [[exactKeys]] sibling for the "fuzzy exact" tier: a snapshot
+    * gated on THIS blocks case-drifted / re-punctuated / re-spaced
+    * replicas of prior-day documents that slip past the byte-exact key
+    * and carry different shingle sets. Same lifecycle as the other key
+    * tiers: [[stampGeneration]] / [[retainGenerations]] apply unchanged
+    * (single-`_key` shape), and a `_key`-bucketed persisted snapshot
+    * keeps the retention groupBy exchange-free. */
+  def canonicalKeys(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(md5(canonicalText(col(textCol))).as("_key"))
+
+  /** Cross-snapshot incremental NORMALIZED dedup — [[normalizedDedup]]'s
+    * daily-crawl form, the gate tier between byte equality and the
+    * signature tiers: within-batch dedup on the canonical key (smallest
+    * `idCol` per canonical form, deterministic) + anti-join against a
+    * persisted [[canonicalKeys]] snapshot projection. The canonical key
+    * is one map-side expression — no shingles, no explode — so this tier
+    * costs what the exact tier costs. The optional Bloom pre-filter
+    * works exactly as in [[incrementalDedup]] (no false negatives;
+    * result unchanged). Returns the kept new-batch rows (original
+    * schema). */
+  def incrementalNormalizedDedup(newDocs: DataFrame, priorCanonKeys: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      bloomExpectedItems: Long = -1L, bloomFpp: Double = 0.01): DataFrame = {
+    require(priorCanonKeys.columns.toSeq == Seq("_key"),
+      "priorCanonKeys must be a canonicalKeys projection (single `_key` " +
+        "column); got " + priorCanonKeys.columns.mkString(", "))
+    requireNoReserved(newDocs, "newDocs")
+    keyedGate(newDocs.withColumn("_key", md5(canonicalText(col(textCol)))),
+      priorCanonKeys, idCol, bloomExpectedItems, bloomFpp)
   }
 
   /** Duplicate-cluster resolution with a QUALITY keep-policy — the
@@ -246,16 +282,29 @@ object Dedup {
   def bloomBytes(n: Long, p: Double): Long =
     (n * math.log(1.0 / p) / (math.log(2.0) * math.log(2.0)) / 8.0).toLong
 
-  /** The gate operators stage per-row state in `_key`/`_maybe`; an
+  /** The gate operators stage per-row state in `_key`/`_maybe`/`_rn`; an
     * input already carrying one would be silently overwritten and
     * dropped. Loud reject instead. */
   private def requireNoReserved(df: DataFrame, what: String): Unit =
-    Seq("_key", "_maybe").foreach { c =>
+    Seq("_key", "_maybe", "_rn").foreach { c =>
       require(!df.columns.contains(c),
         s"$what already contains a column named $c — the incremental " +
           "gates stage internal state there and would drop it; rename " +
           "the input column")
     }
+
+  /** Shared tier body over an already-`_key`ed batch: within-batch dedup
+    * (smallest `idCol` per key — one hash-partitioned window) + anti-join
+    * against the prior snapshot's distinct keys, Bloom-prefiltered when
+    * asked. Drops `_key` on the way out. */
+  private def keyedGate(keyed: DataFrame, priorKeys: DataFrame, idCol: String,
+      bloomExpectedItems: Long, bloomFpp: Double): DataFrame = {
+    val w = Window.partitionBy(col("_key")).orderBy(col(idCol))
+    val batch = keyed.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+    bloomedAntiJoin(batch, priorKeys.distinct(), "_key",
+      bloomExpectedItems, bloomFpp).drop("_key")
+  }
 
   /** Anti-join `batch` against `priorKeys` on `keyCol`, with the optional
     * Bloom pre-filter of [[incrementalDedup]] (no false negatives, so the
@@ -366,11 +415,7 @@ object Dedup {
     requireNoReserved(newDocs, "newDocs")
     val keyed = newDocs.join(batchSigKeys, Seq(idCol), "left")
       .withColumn("_key", coalesce(col("_key"), md5(col(textCol))))
-    val w = Window.partitionBy(col("_key")).orderBy(col(idCol))
-    val batch = keyed.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn")
-    bloomedAntiJoin(batch, priorKeys.distinct(), "_key",
-      bloomExpectedItems, bloomFpp).drop("_key")
+    keyedGate(keyed, priorKeys, idCol, bloomExpectedItems, bloomFpp)
   }
 
   /** Cross-snapshot incremental BANDED near-dedup — the J ≈ `threshold`
@@ -475,22 +520,38 @@ object Dedup {
     * ([[minhashSignatures]]) are BOTH persistable snapshot projections —
     * a production pipeline stores the signature table and derives the
     * key table from it once per snapshot, never re-reading snapshot
-    * text. */
+    * text.
+    *
+    * `priorCanonKeys` (a persisted [[canonicalKeys]] projection) turns
+    * on the NORMALIZED tier between the signature-key and banded tiers:
+    * a batch doc whose `md5(canonicalText(text))` matches the snapshot —
+    * a case-drifted / re-punctuated / re-spaced replica of a prior-day
+    * doc, which carries different bytes AND different shingles, so
+    * neither surrounding tier can see it — is dropped, and within-batch
+    * canonical twins collapse to the smallest id. One map-side key, no
+    * extra pass over text beyond the expression; the projection obeys
+    * the SAME stamp/retain/bucket lifecycle as the other key tiers. */
   def incrementalCrawlGate(newDocs: DataFrame, priorKeys: DataFrame,
       priorSigs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", numHashes: Int = 128, bands: Int = 32,
       shingleN: Int = 3, threshold: Double = 0.8, maxBucketSize: Int = 1000,
-      bloomExpectedItems: Long = -1L, bloomFpp: Double = 0.01): DataFrame = {
+      bloomExpectedItems: Long = -1L, bloomFpp: Double = 0.01,
+      priorCanonKeys: Option[DataFrame] = None): DataFrame = {
     val batchSigs = minhashSignatures(newDocs, textCol, col(idCol),
       numHashes, shingleN).localCheckpoint()
     val t1 = sigKeyGate(newDocs,
       batchSigs.select(col("id").as(idCol), sigKeyCol(numHashes).as("_key")),
       priorKeys, textCol, idCol, bloomExpectedItems, bloomFpp)
-    // ids only — bounded, and it stops the tier-1 window re-running as
-    // part of tier 2's candidate subtree
-    val keep1 = t1.select(col(idCol).as("id")).localCheckpoint()
+    // optional normalized ("fuzzy exact") tier on the tier-1 survivors
+    val t15 = priorCanonKeys match {
+      case Some(ck) => incrementalNormalizedDedup(t1, ck, textCol, idCol)
+      case None => t1
+    }
+    // ids only — bounded, and it stops the tier-1(/1.5) windows
+    // re-running as part of tier 2's candidate subtree
+    val keep1 = t15.select(col(idCol).as("id")).localCheckpoint()
     val s1Sigs = batchSigs.join(keep1, Seq("id"), "left_semi")
-    t1.join(
+    t15.join(
       bandedFlaggedIds(s1Sigs, priorSigs, numHashes, bands, threshold,
         maxBucketSize).select(col("_bid").as(idCol)),
       Seq(idCol), "left_anti")

@@ -523,6 +523,46 @@ object PipelineQueries {
         .orderBy("day", "lang")
     }),
 
+    // the FOUR-tier daily gate: the normalized ("fuzzy exact") tier
+    // joins the crawl gate between the signature-key and banded tiers.
+    // Replica classes prove each tier catches exactly its own class:
+    // +60000 byte-identical prior replicas (signature-key tier), +20000
+    // uppercased-decorated prior replicas (normalized tier ONLY — bytes,
+    // shingles and signature all differ, so no other tier can see them),
+    // +40000 8-token-appended prior replicas (banded tier), +80000
+    // uppercased-decorated replicas of BATCH docs (within-batch
+    // normalized dedup — smallest id per canonical form survives)
+    "p_crawl_norm" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val prior = d.where(col("doc_id") % 3 === 1)
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .unionByName(prior.where(col("doc_id") < 150)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(lit("  "), upper(col("text")), lit("  !! ")).as("text"),
+            col("lang")))
+        .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            concat(col("text"),
+              lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
+            col("lang")))
+        .unionByName(prior.where(col("doc_id") >= 250 && col("doc_id") < 350)
+          .withColumn("doc_id", col("doc_id") + 60000))
+        .unionByName(d.where(col("doc_id") % 3 === 0 && col("doc_id") < 150)
+          .select((col("doc_id") + 80000).as("doc_id"),
+            concat(lit("  "), upper(col("text")), lit("  !! ")).as("text"),
+            col("lang")))
+      Dedup.incrementalCrawlGate(batch,
+          Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
+          Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
+            .localCheckpoint(),
+          numHashes = NumHashes, bands = Bands, threshold = 0.8,
+          maxBucketSize = MaxBucket,
+          priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
+        .orderBy("lang")
+    }),
+
     // WebDataset tar-shard round trip: documents → deterministic USTAR
     // archives (batched per partition) → member explode; DuckDB
     // recomputes the member sizes/hashes from the source table directly,
@@ -1921,15 +1961,26 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
+  /** Dedup.canonicalText in the DuckDB dialect (RE2-identical patterns;
+    * the p_norm_dedup oracle states the same expression inline). */
+  private def canonSql(x: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($x), " +
+      "'[^\\p{L}\\p{Nd} ]+', ' ', 'g'), ' +', ' ', 'g'))"
+
   /** One day of the fused crawl gate as a CTE chain (= the two-stage
     * oracle shape of `p_incr_crawl`, parameterized so two days can run
     * in one query): gates batch CTE `batchCte` (doc_id, text, lang)
     * against the prior key CTE `keysCte` (key) and prior signature CTE
     * `sigsCte` (id, mh0..mh{n-1}), emitting `{p}_kept` (doc_id, lang).
     * Requires `sigKeyCtes(p, batchCte, NumHashes)` emitted beforehand
-    * for the same prefix (provides {p}_key / {p}_sig). */
+    * for the same prefix (provides {p}_key / {p}_sig). `canonKeysCte`
+    * (a (key) CTE of md5(canonicalText) keys) inserts the NORMALIZED
+    * tier between the signature-key and banded stages, mirroring
+    * `Dedup.incrementalCrawlGate(priorCanonKeys = …)`: within-batch
+    * dedup on the canonical key + NOT IN the snapshot's canonical
+    * keys. */
   private def crawlGateCtes(p: String, batchCte: String, keysCte: String,
-      sigsCte: String): String = {
+      sigsCte: String, canonKeysCte: Option[String] = None): String = {
     val r = NumHashes / Bands
     val bandKeys = (0 until Bands).map { b =>
       val slots = (0 until r).map(j => s"CAST(mh${b * r + j} AS VARCHAR)")
@@ -1937,16 +1988,32 @@ object PipelineQueries {
     }.mkString(" UNION ALL ")
     val agreeSum = (0 until NumHashes)
       .map(k => s"(CASE WHEN bs.mh$k = ps.mh$k THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""${p}_s1 AS (
-       |  SELECT doc_id, lang FROM (
-       |    SELECT b.doc_id, b.lang, k.key,
-       |      row_number() OVER (PARTITION BY k.key ORDER BY b.doc_id) AS rn
-       |    FROM $batchCte b JOIN ${p}_key k ON k.id = b.doc_id)
-       |  WHERE rn = 1 AND key NOT IN (SELECT key FROM $keysCte)
-       |), ${p}_s1_buckets AS (
+    val s1 =
+      s"""${p}_s1 AS (
+         |  SELECT doc_id, lang FROM (
+         |    SELECT b.doc_id, b.lang, k.key,
+         |      row_number() OVER (PARTITION BY k.key ORDER BY b.doc_id) AS rn
+         |    FROM $batchCte b JOIN ${p}_key k ON k.id = b.doc_id)
+         |  WHERE rn = 1 AND key NOT IN (SELECT key FROM $keysCte)
+         |)""".stripMargin
+    // the normalized tier re-reads the batch text for its canonical key
+    // (the Scala side computes it map-side on the survivors' own rows)
+    val (norm, surv) = canonKeysCte match {
+      case Some(ck) =>
+        (s""", ${p}_s2 AS (
+           |  SELECT doc_id, lang FROM (
+           |    SELECT s.doc_id, s.lang, md5(${canonSql("b.text")}) AS ck,
+           |      row_number() OVER (PARTITION BY md5(${canonSql("b.text")})
+           |        ORDER BY s.doc_id) AS rn
+           |    FROM ${p}_s1 s JOIN $batchCte b ON b.doc_id = s.doc_id)
+           |  WHERE rn = 1 AND ck NOT IN (SELECT key FROM $ck)
+           |)""".stripMargin, s"${p}_s2")
+      case None => ("", s"${p}_s1")
+    }
+    s"""$s1$norm, ${p}_s1_buckets AS (
        |  SELECT id, bk.band, bk.key
        |  FROM (SELECT g.* FROM ${p}_sig g
-       |        JOIN ${p}_s1 ON ${p}_s1.doc_id = g.id) s1g,
+       |        JOIN $surv ON $surv.doc_id = g.id) s1g,
        |    LATERAL ($bandKeys) bk
        |  QUALIFY count(*) OVER (PARTITION BY bk.band, bk.key) <= $MaxBucket
        |), ${p}_p_buckets AS (
@@ -1961,7 +2028,7 @@ object PipelineQueries {
        |  JOIN $sigsCte ps ON ps.id = c.pid
        |  WHERE CAST($agreeSum AS DOUBLE) / $NumHashes >= 0.8
        |), ${p}_kept AS (
-       |  SELECT doc_id, lang FROM ${p}_s1
+       |  SELECT doc_id, lang FROM $surv
        |  WHERE doc_id NOT IN (SELECT bid FROM ${p}_flagged)
        |)""".stripMargin
   }
@@ -2241,6 +2308,31 @@ object PipelineQueries {
          |)
          |SELECT day, lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM un GROUP BY day, lang ORDER BY day, lang""".stripMargin,
+
+    "p_crawl_norm" ->
+      s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
+         |prior AS (SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 1),
+         |batch AS (
+         |  SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000, '  ' || upper(text) || '  !! ', lang
+         |  FROM prior WHERE doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 40000,
+         |    text || ' sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8', lang
+         |  FROM prior WHERE doc_id >= 150 AND doc_id < 250
+         |  UNION ALL
+         |  SELECT doc_id + 60000, text, lang FROM prior
+         |  WHERE doc_id >= 250 AND doc_id < 350
+         |  UNION ALL
+         |  SELECT doc_id + 80000, '  ' || upper(text) || '  !! ', lang
+         |  FROM d WHERE doc_id % 3 = 0 AND doc_id < 150
+         |), ${sigKeyCtes("p", "prior", NumHashes)},
+         |p_ck AS (SELECT md5(${canonSql("text")}) AS key FROM prior),
+         |${sigKeyCtes("b", "batch", NumHashes)},
+         |${crawlGateCtes("b", "batch", "p_key", "p_sig", Some("p_ck"))}
+         |SELECT lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM b_kept GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p_incr_neardup" ->
       s"""WITH prior AS (
@@ -2652,7 +2744,7 @@ object PipelineQueries {
          |  FROM b
          |)
          |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
-         |  CAST(floor((cum - n_bytes) / 16384.0) AS INT) AS shard
+         |  CAST(floor((cum - n_bytes) / 16384.0) AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
 
     // connected components over the near-dup pairs: recursive reachability

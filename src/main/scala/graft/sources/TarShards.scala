@@ -348,10 +348,18 @@ object TarShards {
     * `gzip = true` writes the `.tar.gz` WebDataset variant
     * (`shard-NNNNN.tar.gz`, one gzip stream per shard, still streamed
     * member-by-member through the Deflater — bounded memory).
-    * Determinism holds: `java.util.zip.GZIPOutputStream` writes a fixed
-    * header (MTIME 0), so identical rows still produce byte-identical
-    * shards. [[readShards]] sniffs the gzip magic per file and reads
-    * both layouts, mixed freely.
+    * Determinism: the gzip header is constant (MTIME 0) and the
+    * Deflater level is PINNED (level 6) rather than left at the JDK's
+    * default constant — but deflate output is only specified up to the
+    * zlib implementation, so `.tar.gz` byte identity is scoped to ONE
+    * JVM/zlib build. Within one Spark job that always holds (executors
+    * share the JVM image), which is what the rename-if-absent commit's
+    * "another attempt wrote identical bytes" argument needs; a re-run
+    * on a DIFFERENT JDK image may produce different (equally valid)
+    * compressed bytes for the same rows. The plain-tar layout is
+    * unconditionally byte-deterministic — pin cross-environment hashes
+    * to it, or to the decompressed stream. [[readShards]] sniffs the
+    * gzip magic per file and reads both layouts, mixed freely.
     *
     * `index = true` additionally writes a `shard-NNNNN.idx` sidecar per
     * shard — one `name<TAB>offset<TAB>size` line per member, offsets
@@ -423,11 +431,13 @@ object TarShards {
         def commit(): Unit = if (open) {
           writeTrailer(out); out.close(); open = false
           commitOne(tmp, fin)
+          tmp = null // committed (or ceded to the winning attempt)
           if (idxOut != null) {
             // hand off before close/commit so a failure here leaves
             // idxOut null and the finally block does not double-close
             val io = idxOut; idxOut = null
             io.close(); commitOne(idxTmp, idxFin)
+            idxTmp = null
           }
         }
         try {
@@ -452,9 +462,13 @@ object TarShards {
                 f".shard-$shard%05d.$ext.$attempt.tmp")
               val raw = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
               // GZIPOutputStream's close() releases the native Deflater
-              // (the Warc lesson); its header is constant (MTIME 0), so
-              // gzipped shards stay byte-deterministic
-              out = if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16)
+              // (the Warc lesson); header constant (MTIME 0) and level
+              // pinned to 6 (zlib's default, stated explicitly) so byte
+              // determinism rides the pinned level, not a JDK default —
+              // scope of the guarantee is per-JVM/zlib build (scaladoc)
+              out = if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16) {
+                      `def`.setLevel(6)
+                    }
                     else raw
               if (index) {
                 idxFin = new org.apache.hadoop.fs.Path(base, f"shard-$shard%05d.idx")
@@ -474,15 +488,19 @@ object TarShards {
           commit()
         } finally {
           // abandoned-attempt cleanup; close() may throw on an already
-          // -failed stream — never mask the original exception with it
+          // -failed stream — never mask the original exception with it.
+          // tmp/idxTmp are nulled at commit, so ANY non-null temp here is
+          // uncommitted garbage — including the case where close() or
+          // commitOne() itself threw after `open`/`idxOut` were already
+          // cleared (the paths the flag-keyed cleanup used to leak).
           if (open) {
             try out.close() catch { case _: java.io.IOException => () }
-            fs.delete(tmp, false)
           }
+          if (tmp != null) fs.delete(tmp, false)
           if (idxOut != null) {
             try idxOut.close() catch { case _: java.io.IOException => () }
-            fs.delete(idxTmp, false)
           }
+          if (idxTmp != null) fs.delete(idxTmp, false)
         }
       }
   }
@@ -554,25 +572,75 @@ object TarShards {
     writeShards(melted, dir, shardCol, "__name", "__payload", gzip, index)
   }
 
+  /** Split a `<key>.<ext>` member name at the LAST dot. A member without
+    * one cannot carry a sample key — a third-party shard not following
+    * the WebDataset convention must fail loudly, not collapse onto the
+    * "" sample. */
+  private def splitKeyExt(name: String, src: String): (String, String) = {
+    val dot = name.lastIndexOf('.')
+    require(dot >= 0 && dot < name.length - 1,
+      s"member name has no <key>.<ext> form: $name (in $src)")
+    (name.substring(0, dot), name.substring(dot + 1))
+  }
+
+  /** Fold a shard's member stream into samples by grouping ADJACENT
+    * members sharing the key prefix — ZERO shuffle: [[writeShards]]
+    * sorts members by name within the shard, so all `<key>.*` members
+    * are consecutive (see [[writeSampleShards]]'s adjacency proof) and
+    * one pass over the parse iterator reassembles every sample. A
+    * third-party shard violating adjacency (a key recurring after its
+    * group closed) or carrying duplicate `<key>.<ext>` members is a
+    * loud reject — silently emitting two half-samples for one key (or
+    * dropping a part) would corrupt downstream pairing; such shards can
+    * still be read via [[readShards]] + an explicit groupBy. */
+  private def adjacentSamples(shard: Long,
+      members: Iterator[(String, Array[Byte])],
+      src: String): Iterator[(Long, String, Map[String, Array[Byte]])] =
+    new Iterator[(Long, String, Map[String, Array[Byte]])] {
+      private val it = members.buffered
+      // closed-group keys, for the non-adjacency loud reject; bounded by
+      // the shard's key bytes (far below the archive payload already in
+      // memory on this task)
+      private val seen = new scala.collection.mutable.HashSet[String]
+      override def hasNext: Boolean = it.hasNext
+      override def next(): (Long, String, Map[String, Array[Byte]]) = {
+        val (n0, b0) = it.next()
+        val (key, ext0) = splitKeyExt(n0, src)
+        require(seen.add(key),
+          s"sample key $key recurs non-adjacently in $src — not a " +
+            "writeSampleShards layout; read it with readShards and group " +
+            "explicitly")
+        val parts = scala.collection.mutable.LinkedHashMap(ext0 -> b0)
+        while (it.hasNext && splitKeyExt(it.head._1, src)._1 == key) {
+          val (n, b) = it.next()
+          val ext = splitKeyExt(n, src)._2
+          require(!parts.contains(ext),
+            s"duplicate sample part $key.$ext in $src")
+          parts += ext -> b
+        }
+        (shard, key, parts.toMap)
+      }
+    }
+
   /** Read sample shards back grouped per sample: (shard, key, parts:
-    * map<ext, binary>). One groupBy on (shard, key) over the member
-    * explode — sample parts are small by construction (one sample), so
-    * the per-key map is bounded. */
-  def readSampleShards(spark: SparkSession, dir: String): DataFrame =
-    readShards(spark, dir)
-      .select(col("shard"),
-        // a member without a '.' cannot carry a sample key — a
-        // third-party shard not following the <key>.<ext> convention
-        // must fail loudly, not collapse onto the "" sample
-        when(!col("member_name").rlike("^.*\\.[^.]+$"),
-          raise_error(concat(
-            lit("member name has no <key>.<ext> form: "),
-            col("member_name"))))
-          .otherwise(regexp_extract(col("member_name"), "^(.*)\\.([^.]+)$", 1))
-          .as("key"),
-        regexp_extract(col("member_name"), "^(.*)\\.([^.]+)$", 2).as("ext"),
-        col("body"))
-      .groupBy("shard", "key")
-      .agg(map_from_entries(sort_array(
-        collect_list(struct(col("ext"), col("body"))))).as("parts"))
+    * map<ext, binary>). Shuffle-FREE: each archive is parsed
+    * sequentially in one task and samples reassemble by folding
+    * ADJACENT members there (the writer's within-shard name sort
+    * guarantees adjacency — see [[writeSampleShards]]), so the corpus's
+    * binary bodies never ride an exchange. Shards violating the
+    * `<key>.<ext>` adjacency convention reject loudly (see
+    * [[adjacentSamples]]). */
+  def readSampleShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shardRe = "shard-(\\d+)\\.tar(\\.gz)?$".r
+    spark.read.format("binaryFile").load(s"$dir/shard-*.tar*")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, raw) =>
+        val shard = shardRe.findFirstMatchIn(path)
+          .map(_.group(1).toLong).getOrElse(-1L)
+        adjacentSamples(shard, parseAll(gunzipIfNeeded(raw)), path)
+      })
+      .toDF("shard", "key", "parts")
+  }
 }

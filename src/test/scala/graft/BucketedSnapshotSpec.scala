@@ -156,6 +156,31 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS bk_gen_keys")
   }
 
+  test("canonical-key retention over a bucketed snapshot plans without an exchange and gates the normalized tier") {
+    import org.apache.spark.sql.functions._
+    val Dedup = graft.ext.Dedup
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select("doc_id", "text")
+    val stamped = Dedup.stampGeneration(
+      Dedup.canonicalKeys(docs.where(col("doc_id") % 3 === 1)).distinct(), 0L)
+    BucketedSnapshot.write(stamped, "bk_canon_keys", tmpDir("bk_canon"),
+      "_key", 8)
+    try {
+      // the normalized tier's snapshot obeys the SAME retention contract
+      // as the other key tiers: max-stamp groupBy rides the bucketing
+      val gate = Dedup.retainGenerations(
+        BucketedSnapshot.read(spark, "bk_canon_keys"), minGen = 0L)
+      val plan = gate.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(gate.count() > 0)
+      // and the retained projection is exactly what the normalized gate
+      // takes — end-to-end against the persisted table
+      val kept = Dedup.incrementalNormalizedDedup(
+        docs.where(col("doc_id") % 3 === 0), gate)
+      assert(kept.count() > 0)
+    } finally spark.sql("DROP TABLE IF EXISTS bk_canon_keys")
+  }
+
   test("signature-table retention over a bucketed (id, mh*, gen) snapshot plans without an exchange") {
     import org.apache.spark.sql.functions._
     val Dedup = graft.ext.Dedup

@@ -309,14 +309,14 @@ class CurationSpec extends AnyFunSuite {
       .toDF("doc_id", "n_bytes")
     val target = 2000L
     val packed = Curation.packShardsBySize(docs, "doc_id", "n_bytes", target)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(packed.length == 200)
     // every shard's bytes start inside its window: sum of FULL shards
     // (all but the last) is within one max doc of the target, and shards
     // are contiguous 0..K
     val byShard = packed.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
     val shards = byShard.keys.toSeq.sorted
-    assert(shards == (0 to shards.max), s"contiguous shards: $shards")
+    assert(shards == (0L to shards.max), s"contiguous shards: $shards")
     val maxDoc = packed.map(_._2).max
     shards.dropRight(1).foreach { s =>
       assert(math.abs(byShard(s) - target) <= maxDoc,
@@ -324,10 +324,10 @@ class CurationSpec extends AnyFunSuite {
     }
     // deterministic; a different salt re-rolls the permutation
     val again = Curation.packShardsBySize(docs, "doc_id", "n_bytes", target)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(packed.sortBy(_._1).sameElements(again.sortBy(_._1)))
     val other = Curation.packShardsBySize(docs, "doc_id", "n_bytes", target,
-      salt = "pack1").collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+      salt = "pack1").collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(packed.exists(p => other(p._1) != p._3), "salt must re-roll")
     // nulls dropped, negative sizes loud
     val dirty = Seq((1L, Some(10L)), (2L, None)).toDF("doc_id", "n_bytes")
@@ -475,6 +475,78 @@ class CurationSpec extends AnyFunSuite {
         numHashes = 16, bands = 4, threshold = 0.8)
       .select("doc_id").as[Long].collect().toSet
     assert(rFused == rSeq, s"random-corpus parity: $rFused != $rSeq")
+  }
+
+  test("four-tier crawl gate: normalized tier catches case/punct replicas; fused == sequential composition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val Dedup = graft.ext.Dedup
+    val long1 = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"v$i").mkString(" ")
+    val novel = (1 to 40).map(i => s"x$i").mkString(" ")
+    val prior = Seq((1L, long1), (2L, other)).toDF("doc_id", "text")
+    val priorKeys = Dedup.nearDupKeys(prior, numHashes = 16)
+    val priorSigs = Dedup.minhashSignatures(prior, "text", col("doc_id"), 16)
+    val priorCanon = Dedup.canonicalKeys(prior)
+    val batch = Seq(
+      (10L, long1), // byte-identical → signature-key tier
+      // case-drifted + decorated prior replica: bytes, shingles and
+      // signature ALL differ → only the NORMALIZED tier can block it
+      (11L, "  " + long1.toUpperCase + "  !! "),
+      (12L, novel), // novel → kept
+      (13L, s"$long1 q1 q2 q3 q4"), // J ≈ 0.905 → banded tier
+      (14L, other.toUpperCase), // normalized tier, no decoration
+      (15L, "  " + novel.toUpperCase + " ."), // within-batch canonical twin of 12
+      (16L, "a b") // shingle-less, novel → kept (md5-fallback key)
+    ).toDF("doc_id", "text")
+    val sequential = Dedup.incrementalBandedNearDedup(
+        Dedup.incrementalNormalizedDedup(
+          Dedup.incrementalNearDedup(batch, priorKeys, numHashes = 16),
+          priorCanon),
+        priorSigs, numHashes = 16, bands = 4, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val fused = Dedup.incrementalCrawlGate(batch, priorKeys, priorSigs,
+        numHashes = 16, bands = 4, threshold = 0.8,
+        priorCanonKeys = Some(priorCanon))
+      .select("doc_id").as[Long].collect().toSet
+    assert(fused == sequential, s"fused $fused != sequential $sequential")
+    assert(fused == Set(12L, 16L), fused)
+    // WITHOUT the normalized tier the case-drifted replicas re-admit —
+    // the exact replica class the tier exists for
+    val threeTier = Dedup.incrementalCrawlGate(batch, priorKeys, priorSigs,
+        numHashes = 16, bands = 4, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(threeTier == Set(11L, 12L, 14L, 15L, 16L), threeTier)
+    // loud rejects: a non-key frame as the canonical snapshot; a batch
+    // carrying a reserved staging column
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNormalizedDedup(batch, prior)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNormalizedDedup(
+        batch.withColumn("_rn", lit(1)), priorCanon)
+    }
+  }
+
+  test("canonical-key generation retention: aged-out canonical keys re-admit through the normalized tier") {
+    import spark.implicits._
+    val Dedup = graft.ext.Dedup
+    val snap = Dedup.stampGeneration(
+        Dedup.canonicalKeys(Seq((1L, "Old News!")).toDF("doc_id", "text")), 0L)
+      .unionByName(Dedup.stampGeneration(
+        Dedup.canonicalKeys(Seq((2L, "Evergreen Story")).toDF("doc_id", "text")), 1L))
+    val batch = Seq(
+      (10L, "old news"), // canonical twin of the GEN-0 doc
+      (11L, "  EVERGREEN   STORY !!"), // canonical twin of the GEN-1 doc
+      (12L, "novel thing")).toDF("doc_id", "text")
+    def kept(minGen: Long) =
+      Dedup.incrementalNormalizedDedup(batch,
+          Dedup.retainGenerations(snap, minGen))
+        .select("doc_id").as[Long].collect().toSet
+    // nothing aged out: both replicas blocked
+    assert(kept(0L) == Set(12L), kept(0L))
+    // gen-0 ages out → its canonical twin re-admits; gen-1 stays blocked
+    assert(kept(1L) == Set(10L, 12L), kept(1L))
   }
 
   test("generation retention: aged-out keys re-admit, re-stamps take the max generation") {

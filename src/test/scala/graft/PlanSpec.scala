@@ -239,6 +239,34 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan(melted).contains("Exchange"), plan(melted).take(400))
   }
 
+  test("r15: sample-shard read reassembles with ZERO exchange (adjacency fold, not a blob groupBy)") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .where(col("doc_id") < 64)
+      .withColumn("shard", pmod(col("doc_id"), lit(2)))
+      .withColumn("key", format_string("%06d", col("doc_id")))
+      .withColumn("txt", col("text").cast("binary"))
+      .withColumn("meta", col("lang").cast("binary"))
+    val out = java.nio.file.Files.createTempDirectory("plan_samples")
+    graft.sources.TarShards.writeSampleShards(docs, out.toString, "shard",
+      "key", Seq("json" -> "meta", "txt" -> "txt"))
+    try {
+      val df = graft.sources.TarShards.readSampleShards(spark, out.toString)
+      val p = plan(df)
+      // the writer guarantees <key>.* adjacency within each archive; the
+      // reader must exploit it — a groupBy here would shuffle every blob
+      // byte of the corpus
+      assert(!p.contains("Exchange"),
+        "sample reassembly must fold adjacent members, not shuffle blobs:\n" +
+          p.take(600))
+      assert(df.count() == 64)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("corpus-scale operating points stay equi-joined (k128 miner, multi-probe ANN)") {
     val p128 = plan(PipelineQueries.queries("p_near_dup_k128")(spark, sf))
     assert(!p128.contains("CartesianProduct"), "128-hash miner must stay bucketed")
