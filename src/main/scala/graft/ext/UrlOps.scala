@@ -32,6 +32,18 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
+  /** Column-APPENDING operators must never silently overwrite an input
+    * column (a frame that already carries `split` — common in eval prep
+    * — would get it clobbered). Same loud-reject class as
+    * `Dedup.requireNoReserved`. */
+  private def requireNoClobber(df: DataFrame, op: String,
+      cols: String*): Unit =
+    cols.foreach { c =>
+      require(!df.columns.contains(c),
+        s"$op appends a column named $c but the input already has one — " +
+          "it would be silently overwritten; rename the input column")
+    }
+
   /** scheme://host[:port] capture — host is everything before the first
     * '/', '?' or '#'. */
   private val HostRe = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
@@ -194,6 +206,7 @@ object UrlOps {
       salt: String = ""): DataFrame = {
     require(valPermille >= 0 && valPermille <= 1000,
       s"valPermille must be in [0, 1000], got $valPermille")
+    requireNoClobber(df, "holdoutByDomain", "reg_domain", "split")
     val rd = registeredDomain(col(urlCol))
     df.withColumn("reg_domain", rd)
       .withColumn("split",
@@ -207,6 +220,7 @@ object UrlOps {
   def capPerDomain(df: DataFrame, urlCol: String, orderCol: String,
       cap: Int): DataFrame = {
     require(cap > 0, "cap must be positive")
+    requireNoClobber(df, "capPerDomain", "domain", "_rn")
     val w = Window.partitionBy(domain(col(urlCol))).orderBy(col(orderCol))
     df.withColumn("domain", domain(col(urlCol)))
       .withColumn("_rn", row_number().over(w))

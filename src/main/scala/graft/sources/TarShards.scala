@@ -368,30 +368,38 @@ object TarShards {
     * one sample with a ranged read instead of scanning the archive.
     * Written streamed alongside the tar and committed with the same
     * rename-if-absent protocol; deterministic like the archives. */
+  /** Tasks read/write through the Hadoop FileSystem API so shard dirs
+    * can live on any cluster store (hdfs://, s3a://, file:/) — java.io
+    * would silently hit executor-local disks on a real cluster.
+    * Configuration is not serializable; ship the session's entries and
+    * rebuild per task. */
+  private def hadoopConfEntries(spark: SparkSession): Seq[(String, String)] = {
+    val it = spark.sparkContext.hadoopConfiguration.iterator()
+    val buf = Seq.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.result()
+  }
+
+  private def rebuildConf(entries: Seq[(String, String)]) = {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+
   def writeShards(docs: DataFrame, dir: String, shardCol: String,
       nameCol: String, payloadCol: String, gzip: Boolean = false,
       index: Boolean = false): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
-    // tasks write through the Hadoop FileSystem API so `dir` can be any
-    // cluster store (hdfs://, s3a://, file:/) — java.io would silently
-    // write executor-local disks on a real cluster. Configuration is not
-    // serializable; ship the session's entries and rebuild per task.
-    val confEntries: Seq[(String, String)] = {
-      val it = spark.sparkContext.hadoopConfiguration.iterator()
-      val buf = Seq.newBuilder[(String, String)]
-      while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
-      buf.result()
-    }
+    val confEntries = hadoopConfEntries(spark)
     docs.select(col(shardCol).cast("long"), col(nameCol).cast("string"),
         col(payloadCol).cast("binary"))
       .as[(Long, String, Array[Byte])]
       .repartition(n, col(shardCol))
       .sortWithinPartitions(col(shardCol), col(nameCol))
       .foreachPartition { (it: Iterator[(Long, String, Array[Byte])]) =>
-        val conf = new org.apache.hadoop.conf.Configuration(false)
-        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val conf = rebuildConf(confEntries)
         val base = new org.apache.hadoop.fs.Path(dir)
         val fs = base.getFileSystem(conf)
         // write-temp-then-rename (the FileOutputCommitter pattern): a
@@ -641,6 +649,134 @@ object TarShards {
           .map(_.group(1).toLong).getOrElse(-1L)
         adjacentSamples(shard, parseAll(gunzipIfNeeded(raw)), path)
       })
+      .toDF("shard", "key", "parts")
+  }
+
+  /** RANGED-read sample fetch — the engine-side consumer of the `.idx`
+    * sidecars [[writeShards]]`(index = true)` emits: fetch the samples
+    * named in `keys` (a single-column DataFrame of sample keys) from a
+    * shard store by seeking straight to each member's data bytes,
+    * instead of scanning whole archives the way [[readShards]] /
+    * [[readSampleShards]] do. The use case is sampled probes over a
+    * large shard store (QA spot-checks, decontamination audits): cost is
+    * ∝ the `.idx` sidecar scan (tens of bytes per member — orders of
+    * magnitude below the corpus) + the FETCHED bytes, not the corpus.
+    *
+    * Scale shape: sidecars scan distributed, entries semi-join the
+    * (bounded, broadcast) key set, matches repartition BY ARCHIVE so one
+    * task serves each archive's fetches through ONE open stream with
+    * positioned reads in ascending offset order; sample parts stay
+    * adjacent under the writer's name sort, so samples fold with zero
+    * shuffle, same as [[readSampleShards]]. Bodies never ride an
+    * exchange.
+    *
+    * Plain-`.tar` layout only: the sidecar offsets address the
+    * UNCOMPRESSED tar stream, so a `.tar.gz` store rejects loudly
+    * (gzip admits no ranged reads without a decompression index — read
+    * those with [[readSampleShards]]). Returns (shard, key, parts) like
+    * [[readSampleShards]], restricted to the requested keys; requested
+    * keys absent from the store simply return no row. */
+  def fetchSamples(spark: SparkSession, dir: String, keys: DataFrame): DataFrame = {
+    import spark.implicits._
+    require(keys.columns.length == 1,
+      "keys must be a single-column DataFrame of sample keys; got " +
+        keys.columns.mkString(", "))
+    require(!keys.isStreaming, "keys must be a bounded batch frame")
+    val confEntries = hadoopConfEntries(spark)
+    val n = spark.sessionState.conf.numShufflePartitions
+    val nameRe = "^(.*)\\.([^.]+)$"
+    // the sidecars are line/tab-delimited (name, data offset, size); a
+    // malformed line means a corrupt index that could silently miss
+    // requested keys — loud reject, never skip
+    val entries = spark.read.format("binaryFile").load(s"$dir/shard-*.idx")
+      .select(col("path"),
+        explode(split(col("content").cast("string"), "\n")).as("line"))
+      .where(col("line") =!= "")
+      .select(col("path"), col("line"), split(col("line"), "\t").as("f"))
+      .select(col("path"),
+        when(size(col("f")) =!= 3, raise_error(concat(
+            lit("malformed .idx line in "), col("path"), lit(": "),
+            col("line"))))
+          .otherwise(element_at(col("f"), 1)).as("name"),
+        element_at(col("f"), 2).cast("long").as("off"),
+        element_at(col("f"), 3).cast("long").as("len"))
+      .withColumn("key", regexp_extract(col("name"), nameRe, 1))
+      .withColumn("ext", regexp_extract(col("name"), nameRe, 2))
+    val wanted = entries.join(
+      broadcast(keys.select(col(keys.columns.head).cast("string").as("key"))
+        .distinct()),
+      Seq("key"), "left_semi")
+    val shardRe = "shard-(\\d+)\\.idx$".r
+    wanted
+      .repartition(n, col("path"))
+      .sortWithinPartitions(col("path"), col("off"))
+      .select(col("path"), col("key"), col("ext"), col("off"), col("len"))
+      .as[(String, String, String, Long, Long)]
+      .mapPartitions { rows =>
+        val conf = rebuildConf(confEntries)
+        val it = rows.buffered
+        new Iterator[(Long, String, Map[String, Array[Byte]])] {
+          private var curPath: String = null
+          private var curShard = -1L
+          private var in: org.apache.hadoop.fs.FSDataInputStream = null
+          // non-adjacency guard per archive, same contract as
+          // readSampleShards (dotted keys could defeat the name-sort
+          // grouping — loud, never two half-samples for one key)
+          private var seen = new scala.collection.mutable.HashSet[String]
+          // close on task end too — covers abandonment mid-iteration
+          Option(org.apache.spark.TaskContext.get()).foreach(
+            _.addTaskCompletionListener[Unit](_ => if (in != null) in.close()))
+          private def ensureOpen(path: String): Unit = if (path != curPath) {
+            if (in != null) { in.close(); in = null }
+            curPath = path
+            seen = new scala.collection.mutable.HashSet[String]
+            curShard = shardRe.findFirstMatchIn(path)
+              .map(_.group(1).toLong).getOrElse(-1L)
+            val idx = new org.apache.hadoop.fs.Path(path)
+            val fs = idx.getFileSystem(conf)
+            val base = path.stripSuffix(".idx")
+            val tar = new org.apache.hadoop.fs.Path(base + ".tar")
+            if (!fs.exists(tar)) {
+              val gz = new org.apache.hadoop.fs.Path(base + ".tar.gz")
+              require(!fs.exists(gz),
+                s"$gz is gzipped: .idx offsets address the UNCOMPRESSED " +
+                  "stream, so ranged fetch needs the plain .tar layout — " +
+                  "read gzip stores with readSampleShards")
+            }
+            in = fs.open(tar) // absent plain tar: loud FileNotFound
+          }
+          private def fetch(off: Long, len: Long): Array[Byte] = {
+            require(len >= 0 && len <= Int.MaxValue - 8,
+              s"member of $len bytes exceeds the in-memory limit")
+            val buf = new Array[Byte](len.toInt)
+            in.readFully(off, buf) // positioned read — no seek state
+            buf
+          }
+          override def hasNext: Boolean = {
+            val more = it.hasNext
+            if (!more && in != null) { in.close(); in = null }
+            more
+          }
+          override def next(): (Long, String, Map[String, Array[Byte]]) = {
+            val (path0, key, ext0, off0, len0) = it.next()
+            ensureOpen(path0)
+            require(seen.add(key),
+              s"sample key $key recurs non-adjacently in the index of " +
+                s"$path0 — not a writeSampleShards layout")
+            val parts = scala.collection.mutable.LinkedHashMap(
+              ext0 -> fetch(off0, len0))
+            // parts of one sample are offset-adjacent within the archive
+            // (writer name sort) — fold them without cross-row state
+            while (it.hasNext && it.head._1 == path0 && it.head._2 == key) {
+              val (_, _, ext, off, len) = it.next()
+              require(!parts.contains(ext),
+                s"duplicate sample part $key.$ext in ${path0}")
+              parts += ext -> fetch(off, len)
+            }
+            (curShard, key, parts.toMap)
+          }
+        }
+      }
       .toDF("shard", "key", "parts")
   }
 }

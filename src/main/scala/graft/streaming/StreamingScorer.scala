@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.model.BoosterModel
@@ -553,6 +553,27 @@ object StreamingIngest {
         .drop("dedup_key")
     }
   }
+
+  /** Streaming twin of [[graft.ext.Cleaning.attritionReport]] — per
+    * micro-batch stage accounting for a gated feed: a `foreachBatch`
+    * body that classifies the batch's rows with the SAME first-fail
+    * when-chain as the batch operator (shared code — the two cannot
+    * drift) and hands the per-stage report, stamped with the batch id,
+    * to `sink` (append it to a stats table / metrics store). Because
+    * attrition is a per-row classification, per-batch reports are
+    * ADDITIVE: summing n_in/n_kept/n_dropped per stage over batches
+    * equals the batch report over the concatenated feed — the parity
+    * contract StreamingSpec pins. Driver cost per batch is one
+    * stage-count-bounded aggregate (≤ stages+1 rows), same as the batch
+    * operator.
+    *
+    * Usage: `feed.writeStream.foreachBatch(
+    *   StreamingIngest.attritionForeachBatch(stages)(report => …))`. */
+  def attritionForeachBatch(stages: Seq[(String, Column)])(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, batchId) => sink(
+      graft.ext.Cleaning.attritionReport(batch, stages)
+        .withColumn("batch_id", lit(batchId)))
 }
 
 /** Continuous training over a micro-batch stream — the streaming twin of

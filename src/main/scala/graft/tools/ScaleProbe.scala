@@ -233,6 +233,33 @@ object ScaleProbe {
         .asScala.toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
       n
     }
+    // ranged sample fetch off the .idx sidecars vs the full-scan read:
+    // fetching a FIXED handful of samples from the shard store must cost
+    // ~the sidecar scan + the fetched bytes — flat in corpus size —
+    // while readSampleShards pays the whole store every time. The store
+    // is built untimed (it is output_pipeline's cost, measured above).
+    if (selected("sample_fetch") || selected("sample_scan")) {
+      val sharded = graft.ext.Curation.epochShards(
+          big.select("doc_id"), "doc_id", 64, "fetchprobe")
+        .join(big.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .select(col("shard"), format_string("%09d", col("doc_id")).as("key"),
+          col("text").cast("binary").as("txt"))
+      val out = java.nio.file.Files.createTempDirectory("probe_fetch").toString
+      graft.sources.TarShards.writeSampleShards(sharded, out, "shard", "key",
+        Seq("txt" -> "txt"), index = true)
+      val keys = big.select(format_string("%09d", col("doc_id")).as("k"))
+        .where(col("k").substr(8, 2) === "77").limit(50).localCheckpoint()
+      time("sample_fetch_ranged") {
+        graft.sources.TarShards.fetchSamples(spark, out, keys).count()
+      }
+      time("sample_scan_full") {
+        graft.sources.TarShards.readSampleShards(spark, out).count()
+      }
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+        .asScala.toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+
     // snapshot ADVANCE vs full rewrite: the day-N → day-N+1 step appends
     // only the day's key projection into the bucketed snapshot (cost ∝
     // day), where the naive advance recomputes and rewrites the whole

@@ -485,6 +485,67 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming attrition reports sum to the batch attritionReport over the same feed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val stages = Seq(
+      "min_tokens" -> (size(split(col("text"), " ")) >= 4),
+      "no_spam" -> !col("text").contains("spam"),
+      "has_period" -> col("text").endsWith("."))
+    val feed1 = Seq(
+      "one two.", // fails min_tokens
+      "a clean long document sentence.", // passes all
+      "buy spam now cheap today.") // fails no_spam
+    val feed2 = Seq(
+      "another good long accepted sentence.", // passes all
+      "ends without a terminal period here") // fails has_period
+    val reports = scala.collection.mutable.ArrayBuffer[
+      (Long, Int, String, Long, Long, Long)]()
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val q = stream.toDF().toDF("ts", "text").writeStream
+      .foreachBatch(
+        graft.streaming.StreamingIngest.attritionForeachBatch(stages) { r =>
+          reports ++= r
+            .select(col("batch_id"), col("stage_idx"), col("stage"),
+              col("n_in"), col("n_kept"), col("n_dropped"))
+            .as[(Long, Int, String, Long, Long, Long)].collect()
+          ()
+        })
+      .outputMode("append").start()
+    try {
+      stream.addData(feed1.map(d => (ts(0), d)))
+      q.processAllAvailable()
+      stream.addData(feed2.map(d => (ts(5), d)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(reports.map(_._1).toSet == Set(0L, 1L), reports.map(_._1).toSet)
+    // per-batch conservation: n_in(k+1) == n_kept(k) within each batch
+    reports.groupBy(_._1).foreach { case (b, rs) =>
+      val byIdx = rs.sortBy(_._2)
+      byIdx.sliding(2).foreach { w =>
+        if (w.length == 2)
+          assert(w(1)._4 == w(0)._5, s"batch $b: ${w(0)} -> ${w(1)}")
+      }
+    }
+    // ADDITIVITY — the parity contract: summed streaming counts equal the
+    // batch report over the concatenated feed
+    val summed = reports.groupBy(r => (r._2, r._3)).view
+      .mapValues(rs => (rs.map(_._4).sum, rs.map(_._5).sum, rs.map(_._6).sum))
+      .toMap
+    val batchRep = graft.ext.Cleaning.attritionReport(
+        (feed1 ++ feed2).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), stages)
+      .select(col("stage_idx"), col("stage"), col("n_in"), col("n_kept"),
+        col("n_dropped"))
+      .as[(Int, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(summed == batchRep, s"stream=$summed batch=$batchRep")
+    // and the fixture exercises every stage: each drops at least one doc
+    assert(batchRep.values.forall(_._3 >= 1), batchRep)
+  }
+
   test("streaming banded prior gate agrees with the batch incrementalBandedNearDedup") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

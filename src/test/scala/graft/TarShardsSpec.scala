@@ -193,6 +193,57 @@ class TarShardsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no '.'"), e2.getMessage)
   }
 
+  test("fetchSamples: ranged fetch off the .idx sidecars matches readSampleShards byte-exactly; gzip stores reject") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .where(col("doc_id") < 120)
+      .withColumn("shard", pmod(col("doc_id"), lit(3)))
+      .withColumn("key", format_string("%06d", col("doc_id")))
+      .withColumn("txt", col("text").cast("binary"))
+      .withColumn("json",
+        concat(lit("{\"id\":"), col("doc_id").cast("string"), lit("}"))
+          .cast("binary"))
+    val dir = tmpDir("tar_fetch")
+    TarShards.writeSampleShards(docs, dir.getPath, "shard", "key",
+      Seq("json" -> "json", "txt" -> "txt"), index = true)
+    def collectSamples(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("shard"), col("key"),
+        map_keys(col("parts")).as("exts"),
+        transform(map_values(col("parts")), b => b.cast("string")).as("vals"))
+      .as[(Long, String, Seq[String], Seq[String])]
+      .collect().map(r => (r._1, r._2) -> r._3.zip(r._4).sortBy(_._1)).toMap
+    // full-key fetch == the full scan, byte for byte
+    val allKeys = docs.select("key").distinct()
+    val fetched = collectSamples(
+      TarShards.fetchSamples(spark, dir.getPath, allKeys))
+    val scanned = collectSamples(TarShards.readSampleShards(spark, dir.getPath))
+    assert(fetched == scanned, s"${fetched.size} vs ${scanned.size}")
+    assert(fetched.size == 120)
+    // subset fetch returns exactly the requested samples (absent keys: no
+    // row, no error), both parts intact
+    val some = TarShards.fetchSamples(spark, dir.getPath,
+      Seq("000007", "000033", "no_such_key").toDF("k"))
+    val got = collectSamples(some)
+    assert(got.keySet.map(_._2) == Set("000007", "000033"), got.keySet)
+    assert(got((1L, "000007")) == scanned((1L, "000007")))
+    // a gzip store rejects loudly — its offsets address the uncompressed
+    // stream, so a silent ranged read would return garbage
+    val gzDir = tmpDir("tar_fetch_gz")
+    TarShards.writeSampleShards(docs, gzDir.getPath, "shard", "key",
+      Seq("txt" -> "txt"), gzip = true, index = true)
+    val e = intercept[Exception] {
+      TarShards.fetchSamples(spark, gzDir.getPath,
+        Seq("000007").toDF("k")).collect()
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("UNCOMPRESSED"), e.getMessage)
+    // shape guard: a multi-column keys frame is a usage bug
+    intercept[IllegalArgumentException] {
+      TarShards.fetchSamples(spark, dir.getPath,
+        Seq(("a", "b")).toDF("k", "x"))
+    }
+  }
+
   test("gzipped shards: .tar.gz round-trip, deterministic bytes, system tar -z reads them") {
     import spark.implicits._
     import scala.sys.process._

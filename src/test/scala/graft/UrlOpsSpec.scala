@@ -156,6 +156,30 @@ class UrlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("column-appending operators reject inputs already carrying their output columns (no silent clobber)") {
+    import spark.implicits._
+    val UrlOps = graft.ext.UrlOps
+    val docs = Seq((1L, "https://a.example.com/x")).toDF("doc_id", "url")
+    // a frame that already carries `split` (common in eval prep) or
+    // `reg_domain` must not get it silently overwritten
+    val e1 = intercept[IllegalArgumentException] {
+      UrlOps.holdoutByDomain(docs.withColumn("split", lit("test")), "url", 300)
+    }
+    assert(e1.getMessage.contains("split"), e1.getMessage)
+    intercept[IllegalArgumentException] {
+      UrlOps.holdoutByDomain(docs.withColumn("reg_domain", lit("x")), "url", 300)
+    }
+    intercept[IllegalArgumentException] {
+      UrlOps.capPerDomain(docs.withColumn("domain", lit("x")), "url", "doc_id", 2)
+    }
+    intercept[IllegalArgumentException] {
+      UrlOps.capPerDomain(docs.withColumn("_rn", lit(1)), "url", "doc_id", 2)
+    }
+    // clean inputs still work
+    assert(UrlOps.holdoutByDomain(docs, "url", 300).count() == 1)
+    assert(UrlOps.capPerDomain(docs, "url", "doc_id", 2).count() == 1)
+  }
+
   test("temperatureSample: alpha=1 reduces to uniform targetFraction rates") {
     import spark.implicits._
     val docs = (1L to 300L).map(i => (i, if (i <= 200) "en" else "de"))
