@@ -709,6 +709,79 @@ object PipelineQueries {
       res
     }),
 
+    // TWO DAYS of the daily run — advance-then-archive certified as one
+    // row: day-1 gates against the prior snapshot and ships (budget →
+    // byte-packed shards → real tar files → readback); BOTH snapshot
+    // projections advance with the day-1 acceptances; day-2 gates
+    // against the ADVANCED snapshot and ships likewise. Day-2 replica
+    // classes prove the advance: +40000 byte-identical replicas of
+    // day-1-ACCEPTED docs blocked only because the advance worked,
+    // +60000 replicas of day-0 docs prove the original keys survived it.
+    // DuckDB replays both gates, the advance unions, both budget
+    // windows, both packing cumsums AND the member checksums
+    "p_daily_loop" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val prior = d.where(col("doc_id") % 3 === 1)
+      val day1 = d.where(col("doc_id") % 3 === 2)
+        .unionByName(prior.where(col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 20000))
+      val keys0 = Dedup.nearDupKeys(prior, numHashes = NumHashes)
+        .localCheckpoint()
+      val sigs0 = Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
+        .localCheckpoint()
+      // kept1 feeds the shipping chain, both advances and nothing else —
+      // materialize once so the day-1 gate never re-executes
+      val kept1 = Dedup.incrementalCrawlGate(day1, keys0, sigs0,
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket).localCheckpoint()
+      val keys1 = keys0.unionByName(
+        Dedup.nearDupKeys(kept1, numHashes = NumHashes))
+      val sigs1 = sigs0.unionByName(
+        Dedup.minhashSignatures(kept1, "text", col("doc_id"), NumHashes))
+        .localCheckpoint() // the banded tier reads its priorSigs twice
+      val day2 = d.where(col("doc_id") % 3 === 0)
+        .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 40000))
+        .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
+          .withColumn("doc_id", col("doc_id") + 60000))
+      val kept2 = Dedup.incrementalCrawlGate(day2, keys1, sigs1,
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket).localCheckpoint()
+      // one day's OUTPUT stage: budget → byte-pack → tar files → readback
+      def ship(kept: org.apache.spark.sql.DataFrame, day: Int,
+          salt: String): org.apache.spark.sql.DataFrame = {
+        val chosen = Curation.takeTokenBudget(kept, "lang",
+          Map("en" -> 20000L), defaultBudget = 8000L).select("doc_id")
+        val packed = Curation.packShardsBySize(
+          chosen.join(kept.select(col("doc_id"),
+            octet_length(col("text")).as("n_bytes")), "doc_id"),
+          "doc_id", "n_bytes", targetBytes = 16384L, salt = salt)
+        val docsOut = packed.select("doc_id", "shard")
+          .join(kept.select("doc_id", "text"), "doc_id")
+          .select(col("shard"),
+            format_string("%06d.txt", col("doc_id")).as("name"),
+            col("text").cast("binary").as("payload"))
+        val out = java.nio.file.Files.createTempDirectory(s"graft_dloop$day")
+        graft.sources.TarShards.writeShards(docsOut, out.toString, "shard",
+          "name", "payload")
+        val res = graft.sources.TarShards.readShards(s, out.toString)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_members"),
+            sum(octet_length(col("body_text")).cast("long")).as("sum_bytes"),
+            sum(conv(substring(md5(col("body_text")), 1, 12), 16, 10)
+              .cast("long")).as("sum_h"))
+          .select(lit(day).as("day"), col("shard"), col("n_members"),
+            col("sum_bytes"), col("sum_h"))
+          .localCheckpoint() // materialize BEFORE deleting the files
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        res
+      }
+      ship(kept1, 1, "dloop1").unionByName(ship(kept2, 2, "dloop2"))
+        .orderBy("day", "shard")
+    }),
+
     // the OUTPUT pipeline end-to-end: per-language token budgets →
     // deterministic epoch shards → one tar container per shard → parse
     // back → per-shard member counts + content checksums. DuckDB
@@ -2033,6 +2106,43 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
+  /** One day's OUTPUT stage as a CTE chain (the p_daily_pipeline shape,
+    * parameterized so several days can ship in one query): takes
+    * `{p}_kept` (doc_id, lang) + the day's batch CTE (for text), applies
+    * the per-language token budget window, the byte-packing cumsum, and
+    * emits `{p}_sh` (shard, text) — the rows whose member checksums the
+    * final select aggregates per shard. */
+  private def shipCtes(p: String, batchCte: String, salt: String): String =
+    s"""${p}_keptx AS (
+       |  SELECT k.doc_id, k.lang, b.text
+       |  FROM ${p}_kept k JOIN $batchCte b ON b.doc_id = k.doc_id
+       |), ${p}_bud AS (
+       |  SELECT doc_id, text,
+       |    sum(len(string_split(text, ' '))) OVER (
+       |      PARTITION BY lang ORDER BY doc_id) AS cum_tokens,
+       |    CASE WHEN lang = 'en' THEN 20000 ELSE 8000 END AS budget
+       |  FROM ${p}_keptx
+       |), ${p}_pc AS (
+       |  SELECT doc_id, text, n_bytes,
+       |    sum(n_bytes) OVER (ORDER BY h, doc_id) AS cum
+       |  FROM (SELECT doc_id, text, strlen(text) AS n_bytes,
+       |          ${h60(s"concat(CAST(doc_id AS VARCHAR), '_$salt')")} AS h
+       |        FROM ${p}_bud WHERE cum_tokens <= budget)
+       |), ${p}_ship AS (
+       |  SELECT CAST(floor((cum - n_bytes) / 16384.0) AS BIGINT) AS shard,
+       |    text
+       |  FROM ${p}_pc
+       |)""".stripMargin
+
+  /** The per-shard member aggregate over a `{p}_sh` CTE — the final
+    * checksum shape every tar-stage oracle row shares. */
+  private def shipSelect(p: String, day: Int): String =
+    s"""SELECT $day AS day, shard, count(*) AS n_members,
+       |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+       |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT))
+       |    AS BIGINT) AS sum_h
+       |FROM ${p}_ship GROUP BY shard""".stripMargin
+
   /** Mirror of `Dedup.retainSignatureGenerations`: per id keep the
     * lexicographic-max (g, mh0..mh{n−1}) row (row_number over the full
     * descending order = Spark's max(struct)), drop ids last stamped
@@ -2508,6 +2618,41 @@ object PipelineQueries {
          |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT))
          |    AS BIGINT) AS sum_h
          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "p_daily_loop" ->
+      s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
+         |prior AS (SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 1),
+         |day1 AS (
+         |  SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text, lang FROM prior WHERE doc_id < 150
+         |), ${sigKeyCtes("p", "prior", NumHashes)},
+         |${sigKeyCtes("d1", "day1", NumHashes)},
+         |${crawlGateCtes("d1", "day1", "p_key", "p_sig")},
+         |keys1 AS (
+         |  SELECT key FROM p_key
+         |  UNION ALL
+         |  SELECT k.key FROM d1_key k JOIN d1_kept kk ON kk.doc_id = k.id
+         |), sigs1 AS (
+         |  SELECT * FROM p_sig
+         |  UNION ALL
+         |  SELECT g.* FROM d1_sig g JOIN d1_kept kk ON kk.doc_id = g.id
+         |), day2 AS (
+         |  SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 40000, text, lang FROM d
+         |  WHERE doc_id % 3 = 2 AND doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 60000, text, lang FROM prior
+         |  WHERE doc_id >= 150 AND doc_id < 250
+         |), ${sigKeyCtes("d2", "day2", NumHashes)},
+         |${crawlGateCtes("d2", "day2", "keys1", "sigs1")},
+         |${shipCtes("d1", "day1", "dloop1")},
+         |${shipCtes("d2", "day2", "dloop2")}
+         |${shipSelect("d1", 1)}
+         |UNION ALL
+         |${shipSelect("d2", 2)}
+         |ORDER BY day, shard""".stripMargin,
 
     "p_norm_dedup" ->
       """WITH base AS (

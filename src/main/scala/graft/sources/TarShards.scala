@@ -90,28 +90,55 @@ object TarShards {
   /** GNU longname marker — the name GNU tar itself puts on 'L' entries. */
   private val LongLink = "././@LongLink".getBytes(UTF_8)
 
+  /** PAX extended-header member name — Python tarfile's deterministic
+    * convention (POSIX's "%d/PaxHeaders.%p/%f" template embeds a PID,
+    * which would break byte determinism). */
+  private val PaxHeaderName = "././@PaxHeader".getBytes(UTF_8)
+
   private def blockPadded(n: Long): Long =
     ((n + BlockSize - 1) / BlockSize) * BlockSize
 
-  /** Write one member (longname entry included when the key needs one).
+  /** One PAX record `"<len> <key>=<value>\n"` — `<len>` is the DECIMAL
+    * byte length of the WHOLE record including its own digits (the
+    * self-referential fixpoint: smallest L with digits(L) + rest == L). */
+  private def paxRecord(key: String, value: String): Array[Byte] = {
+    val payload = s" $key=$value\n".getBytes(UTF_8)
+    var digits = 1
+    while ((digits + payload.length).toString.length != digits)
+      digits = (digits + payload.length).toString.length
+    (digits + payload.length).toString.getBytes(UTF_8) ++ payload
+  }
+
+  /** Write one member. Names over the 100-byte ustar field emit a
+    * long-name carrier first: a GNU 'L' entry (`format = "gnu"`, the
+    * default — what GNU tar and Python tarfile emit by default) or a
+    * POSIX PAX 'x' entry with a `path` record (`format = "pax"`, for
+    * consumers that reject GNU extensions). Both layouts are
+    * byte-deterministic (fixed header fields; the PAX header name is
+    * tarfile's constant "././@PaxHeader", not POSIX's PID-bearing
+    * template) and both round-trip through [[parseAll]].
     * @return (bytes written, data offset within those bytes) — what a
     *         random-access index needs. */
   private def writeMember(out: java.io.OutputStream, name: String,
-      body: Array[Byte]): (Long, Long) = {
+      body: Array[Byte], format: String = "gnu"): (Long, Long) = {
     val nameBytes = name.getBytes(UTF_8)
     var pre = 0L
     if (nameBytes.length > 100) {
       // WebDataset keys are frequently URL-derived and exceed the ustar
-      // 100-byte name field. Emit a GNU longname ('L') entry carrying
-      // the full name (NUL-terminated, the GNU layout), then the real
-      // member with the name truncated to the field — the same bytes
-      // GNU tar writes, readable by every mainstream tar (and by
-      // [[parseAll]]). Fixed mode/uid/mtime keep the archive
-      // byte-deterministic.
-      val full = java.util.Arrays.copyOf(nameBytes, nameBytes.length + 1)
-      out.write(header(LongLink, full.length.toLong, 'L'.toByte))
-      writeBody(out, full)
-      pre = BlockSize + blockPadded(full.length.toLong)
+      // 100-byte name field; the real member follows with the name
+      // truncated to the field, which the carrier's override replaces
+      if (format == "pax") {
+        val rec = paxRecord("path", name)
+        out.write(header(PaxHeaderName, rec.length.toLong, 'x'.toByte))
+        writeBody(out, rec)
+        pre = BlockSize + blockPadded(rec.length.toLong)
+      } else {
+        // GNU longname: full name NUL-terminated, the GNU layout
+        val full = java.util.Arrays.copyOf(nameBytes, nameBytes.length + 1)
+        out.write(header(LongLink, full.length.toLong, 'L'.toByte))
+        writeBody(out, full)
+        pre = BlockSize + blockPadded(full.length.toLong)
+      }
       out.write(header(java.util.Arrays.copyOf(nameBytes, 100),
         body.length.toLong, '0'.toByte))
     } else out.write(header(nameBytes, body.length.toLong, '0'.toByte))
@@ -123,11 +150,18 @@ object TarShards {
   private def writeTrailer(out: java.io.OutputStream): Unit =
     out.write(new Array[Byte](2 * BlockSize))
 
+  private def requireFormat(format: String): Unit =
+    require(format == "gnu" || format == "pax",
+      s"unknown long-name format '$format' (gnu | pax)")
+
   /** Serialize members into one in-memory tar archive (tests + the
-    * round-trip oracle row; production shards stream via [[writeShards]]). */
-  def writeAll(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    * round-trip oracle row; production shards stream via [[writeShards]]).
+    * `format` picks the long-name carrier — see [[writeMember]]. */
+  def writeAll(members: Seq[(String, Array[Byte])],
+      format: String = "gnu"): Array[Byte] = {
+    requireFormat(format)
     val out = new ByteArrayOutputStream()
-    members.foreach { case (n, b) => writeMember(out, n, b) }
+    members.foreach { case (n, b) => writeMember(out, n, b, format) }
     writeTrailer(out)
     out.toByteArray
   }
@@ -388,7 +422,8 @@ object TarShards {
 
   def writeShards(docs: DataFrame, dir: String, shardCol: String,
       nameCol: String, payloadCol: String, gzip: Boolean = false,
-      index: Boolean = false): Unit = {
+      index: Boolean = false, format: String = "gnu"): Unit = {
+    requireFormat(format)
     val spark = docs.sparkSession
     import spark.implicits._
     val n = spark.sessionState.conf.numShufflePartitions
@@ -487,7 +522,7 @@ object TarShards {
               }
               open = true
             }
-            val (written, dataOff) = writeMember(out, name, body)
+            val (written, dataOff) = writeMember(out, name, body, format)
             if (idxOut != null)
               idxOut.write(
                 s"$name\t${off + dataOff}\t${body.length}\n".getBytes(UTF_8))
@@ -550,7 +585,7 @@ object TarShards {
     * loudly enforced map-side) and must be unique per shard. */
   def writeSampleShards(docs: DataFrame, dir: String, shardCol: String,
       keyCol: String, parts: Seq[(String, String)], gzip: Boolean = false,
-      index: Boolean = false): Unit = {
+      index: Boolean = false, format: String = "gnu"): Unit = {
     require(parts.nonEmpty, "need at least one (extension, column) part")
     require(parts.map(_._1).distinct.size == parts.size,
       "part extensions must be distinct: " + parts.map(_._1).mkString(", "))
@@ -577,7 +612,8 @@ object TarShards {
       .select(col(shardCol),
         concat(col("__k"), lit("."), col("__m.ext")).as("__name"),
         col("__m.body").as("__payload"))
-    writeShards(melted, dir, shardCol, "__name", "__payload", gzip, index)
+    writeShards(melted, dir, shardCol, "__name", "__payload", gzip, index,
+      format)
   }
 
   /** Split a `<key>.<ext>` member name at the LAST dot. A member without

@@ -322,6 +322,61 @@ class TarShardsSpec extends AnyFunSuite {
     assert(new String(out.toByteArray, "UTF-8") == "long-keyed payload")
   }
 
+  test("PAX write side: format=pax emits x-header long names that system tar AND Python tarfile read; deterministic") {
+    import scala.sys.process._
+    val longName = ("pax-url-derived-key-" * 7) + "tail.txt" // 148 bytes
+    assert(longName.getBytes("UTF-8").length > 100)
+    val members = Seq(
+      longName -> "pax long-keyed payload".getBytes("UTF-8"),
+      "short.txt" -> "short".getBytes("UTF-8"))
+    val bytes = TarShards.writeAll(members, format = "pax")
+    // no GNU extension bytes anywhere: the carrier is an 'x' entry
+    val parsedNames = TarShards.parseAll(bytes).map(_._1).toSeq
+    assert(parsedNames == members.map(_._1), parsedNames)
+    assert(!new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .contains("././@LongLink"), "pax output must not carry GNU 'L' entries")
+    // byte determinism across reruns (fixed header fields + tarfile's
+    // constant PaxHeader name, no PID template)
+    assert(java.util.Arrays.equals(bytes,
+      TarShards.writeAll(members, format = "pax")))
+    val dir = tmpDir("tar_paxw")
+    val f = new java.io.File(dir, "pw.tar")
+    java.nio.file.Files.write(f.toPath, bytes)
+    // independent reader 1: system tar lists the full name, extracts bytes
+    val listed = Seq("tar", "-tf", f.getPath).!!.trim.split("\n").toSeq
+    assert(listed == members.map(_._1), listed)
+    val out = new java.io.ByteArrayOutputStream()
+    (Seq("tar", "-xOf", f.getPath, longName) #> out).!!
+    assert(new String(out.toByteArray, "UTF-8") == "pax long-keyed payload")
+    // independent reader 2: Python tarfile agrees on names and bytes
+    val py = Seq("python3", "-c",
+      s"""import tarfile
+         |t = tarfile.open('${f.getPath}')
+         |ms = t.getmembers()
+         |print('|'.join(m.name for m in ms))
+         |print(t.extractfile(ms[0]).read().decode())""".stripMargin).!!
+    val Array(names, body) = py.trim.split("\n")
+    assert(names == members.map(_._1).mkString("|"), names)
+    assert(body == "pax long-keyed payload")
+    // file-scale: writeShards(format = "pax") round-trips through our
+    // own reader AND an unknown format rejects loudly
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq((0L, longName, "a"), (0L, "b.txt", "b"))
+      .toDF("shard", "name", "text")
+      .withColumn("payload", col("text").cast("binary"))
+    val fdir = tmpDir("tar_paxw2")
+    TarShards.writeShards(docs, fdir.getPath, "shard", "name", "payload",
+      format = "pax")
+    val back = TarShards.readShards(spark, fdir.getPath)
+      .select("member_name", "body_text")
+      .as[(String, String)].collect().toMap
+    assert(back == Map(longName -> "a", "b.txt" -> "b"), back)
+    intercept[IllegalArgumentException] {
+      TarShards.writeAll(members, format = "v7")
+    }
+  }
+
   test("GNU-tar longname archives parse with the full name (Python tarfile's default for long keys)") {
     import scala.sys.process._
     val dir = tmpDir("tar_long")
