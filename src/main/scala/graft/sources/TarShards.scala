@@ -102,6 +102,10 @@ object TarShards {
     * byte length of the WHOLE record including its own digits (the
     * self-referential fixpoint: smallest L with digits(L) + rest == L). */
   private def paxRecord(key: String, value: String): Array[Byte] = {
+    // the record terminator IS a newline — a value carrying one would
+    // silently shift every following record's framing
+    require(!value.contains('\n'),
+      s"PAX record value contains a newline — unrepresentable: $value")
     val payload = s" $key=$value\n".getBytes(UTF_8)
     var digits = 1
     while ((digits + payload.length).toString.length != digits)

@@ -640,12 +640,18 @@ class TarShardsSpec extends AnyFunSuite {
         rnd.nextBytes(body)
         (name, body)
       }
-      val parsed = TarShards.parseAll(TarShards.writeAll(members)).toSeq
-      assert(parsed.map(_._1) == members.map(_._1),
-        s"trial $trial: names diverged")
-      parsed.zip(members).foreach { case ((_, got), (name, want)) =>
-        assert(java.util.Arrays.equals(got, want),
-          s"trial $trial: body of $name diverged")
+      // both long-name carriers round-trip the same rows — PAX names of
+      // many lengths also sweep the record-length self-referential
+      // fixpoint across its digit boundaries (95..1000+ byte records)
+      for (format <- Seq("gnu", "pax")) {
+        val parsed = TarShards.parseAll(
+          TarShards.writeAll(members, format)).toSeq
+        assert(parsed.map(_._1) == members.map(_._1),
+          s"trial $trial ($format): names diverged")
+        parsed.zip(members).foreach { case ((_, got), (name, want)) =>
+          assert(java.util.Arrays.equals(got, want),
+            s"trial $trial ($format): body of $name diverged")
+        }
       }
     }
   }
