@@ -655,6 +655,39 @@ object PipelineQueries {
       res
     }),
 
+    // RANGED sample fetch through the .idx sidecars at file scale: write
+    // two-part samples with indexes, fetch ONLY the doc_id % 7 == 0 keys
+    // by positioned reads, and checksum both parts per shard — DuckDB
+    // recomputes the same subset straight from the source table, so a
+    // hash match proves the index offsets, the ranged reads and the
+    // sample fold returned exactly the requested bytes and nothing else
+    "p_tar_fetch" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
+        .withColumn("shard", pmod(col("doc_id"), lit(4)))
+        .withColumn("key", format_string("%06d", col("doc_id")))
+        .withColumn("txt", col("text").cast("binary"))
+        .withColumn("json",
+          concat(lit("{\"id\":"), col("doc_id").cast("string"),
+            lit(",\"lang\":\""), col("lang"), lit("\"}")).cast("binary"))
+      val out = java.nio.file.Files.createTempDirectory("graft_tar_fetch")
+      graft.sources.TarShards.writeSampleShards(docs, out.toString, "shard",
+        "key", Seq("json" -> "json", "txt" -> "txt"), index = true)
+      val wantedKeys = docs.where(col("doc_id") % 7 === 0).select("key")
+      val res = graft.sources.TarShards
+        .fetchSamples(s, out.toString, wantedKeys)
+        .select(col("shard"), col("key"), explode(col("parts")).as(Seq("ext", "body")))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_members"),
+          sum(conv(substring(md5(col("body")), 1, 12), 16, 10)
+            .cast("long")).as("sum_h"))
+        .orderBy("shard")
+        .localCheckpoint() // materialize BEFORE deleting the files
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      res
+    }),
+
     // THE DAILY RUN in one row: a crawl batch gated against the prior
     // snapshot (fused two-tier gate, byte-identical +20000 and
     // 8-token-appended +40000 replica classes blocked by their tiers),
@@ -2551,6 +2584,21 @@ object PipelineQueries {
         |  SELECT doc_id % 4,
         |    '{"id":' || doc_id || ',"lang":"' || lang || '"}'
         |  FROM documents
+        |)
+        |SELECT shard, count(*) AS n_members,
+        |  CAST(sum(CAST(concat('0x', substr(md5(body), 1, 12)) AS BIGINT))
+        |    AS BIGINT) AS sum_h
+        |FROM parts WHERE body IS NOT NULL
+        |GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "p_tar_fetch" ->
+      """WITH parts AS (
+        |  SELECT doc_id % 4 AS shard, text AS body FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id % 4,
+        |    '{"id":' || doc_id || ',"lang":"' || lang || '"}'
+        |  FROM documents WHERE doc_id % 7 = 0
         |)
         |SELECT shard, count(*) AS n_members,
         |  CAST(sum(CAST(concat('0x', substr(md5(body), 1, 12)) AS BIGINT))

@@ -573,6 +573,27 @@ object TarShards {
       .toDF("shard", "member_name", "body", "body_text")
   }
 
+  /** [[readShards]] without the `body_text` column — for BINARY
+    * modalities (images, audio, packed tensors), where decoding every
+    * blob to a UTF-8 String inside the parse task is pure waste: the
+    * decode copies each payload (with replacement-char churn on invalid
+    * bytes) before Catalyst can prune it, since column pruning cannot
+    * reach inside `mapPartitions`. Same files, same framing, bodies
+    * byte-identical; returns (shard, member_name, body). */
+  def readShardsBinary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val shardRe = "shard-(\\d+)\\.tar(\\.gz)?$".r
+    spark.read.format("binaryFile").load(s"$dir/shard-*.tar*")
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.flatMap { case (path, raw) =>
+        val shard = shardRe.findFirstMatchIn(path)
+          .map(_.group(1).toLong).getOrElse(-1L)
+        parseAll(gunzipIfNeeded(raw)).map { case (n, b) => (shard, n, b) }
+      })
+      .toDF("shard", "member_name", "body")
+  }
+
   /** WebDataset SAMPLE writer — the multi-part form of [[writeShards]]:
     * each row is one sample (a key plus one binary payload per part),
     * written as members `<key>.<ext>` so any WebDataset loader

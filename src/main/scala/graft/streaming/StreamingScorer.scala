@@ -338,9 +338,27 @@ object StreamingIngest {
       nearDupBandedMaxBucket: Int = 1000,
       nearDupPriorSigs: Option[DataFrame] = None,
       blockWords: Seq[String] = Seq.empty,
-      priorKeys: Option[DataFrame] = None): DataFrame = {
+      priorKeys: Option[DataFrame] = None,
+      priorCanonKeys: Option[DataFrame] = None): DataFrame = {
     require(docs.isStreaming,
       "cleanDocuments is the streaming twin; batch feeds use Dedup.exactDedup + the p_quality filters")
+    // `priorCanonKeys` (a persisted Dedup.canonicalKeys projection)
+    // switches on the NORMALIZED tier — the streaming twin of
+    // incrementalCrawlGate's priorCanonKeys slot: a feed doc whose
+    // md5(canonicalText) matches the snapshot (case-drift / punctuation-
+    // churn replica — different bytes AND different shingles, invisible
+    // to every other tier) is dropped via a stateless stream-static
+    // anti-join, and within-stream canonical twins collapse under the
+    // watermark. The key is one map-side expression; no shingles.
+    priorCanonKeys.foreach { ck =>
+      require(!ck.isStreaming, "priorCanonKeys must be a static snapshot")
+      require(ck.columns.toSeq == Seq("_key"),
+        "priorCanonKeys must be a canonicalKeys projection (single " +
+          "`_key` column); got " + ck.columns.mkString(", "))
+      require(!docs.columns.contains("_canon_key"),
+        "the feed already carries a column named _canon_key — the " +
+          "normalized tier stages its key there; rename the input column")
+    }
     // `priorKeys` is the persisted-projection form of the snapshot gate
     // (the streaming twin of Dedup.incrementalDedupKeys /
     // incrementalNearDedup-over-nearDupKeys): a single-`_key` table —
@@ -440,9 +458,30 @@ object StreamingIngest {
         case None => stream
       }
     }
+    // the NORMALIZED tier (priorCanonKeys): stateless canonical-key
+    // projection + stream-static anti-join (same left_outer shape as
+    // dropSeen), then a watermark-scoped within-stream dedup on the
+    // canonical key — the streaming mirror of
+    // incrementalNormalizedDedup's two stages. Chained stateful dedups
+    // (canonical + the content/signature one downstream) are append-mode
+    // safe: both key on stateless projections of the same
+    // watermark-stamped rows.
+    def canonicalGate(stream: DataFrame): DataFrame = priorCanonKeys match {
+      case Some(ck) =>
+        val keyed = stream.withColumn("_canon_key",
+          md5(graft.ext.Dedup.canonicalText(col(textCol))))
+        // eager localCheckpoint, NOT persist — the dropSeen rationale
+        val priorK = ck.select(col("_key").as("_canon_key"))
+          .withColumn("_canon_seen", lit(1)).distinct().localCheckpoint()
+        keyed.join(priorK, Seq("_canon_key"), "left_outer")
+          .where(col("_canon_seen").isNull).drop("_canon_seen")
+          .dropDuplicatesWithinWatermark("_canon_key")
+          .drop("_canon_key")
+      case None => stream
+    }
     if (nearDupHashes <= 0) {
-      dropSeen(gated,
-        p => p.select(md5(col(textCol)).as("content_hash")), "content_hash")
+      canonicalGate(dropSeen(gated,
+        p => p.select(md5(col(textCol)).as("content_hash")), "content_hash"))
         .dropDuplicatesWithinWatermark("content_hash")
     } else {
       def withKey(df: DataFrame): DataFrame =
@@ -458,7 +497,8 @@ object StreamingIngest {
         .withColumn("dedup_key",
           when(size(col("minhash_sig")) > 0, concat_ws("_", col("minhash_sig")))
             .otherwise(col("content_hash")))
-      val afterSeen = dropSeen(keyed, withKey, "dedup_key")
+      // batch tier order: signature-key gate → normalized → banded
+      val afterSeen = canonicalGate(dropSeen(keyed, withKey, "dedup_key"))
       // optional BANDED prior tier — the streaming twin of
       // [[graft.ext.Dedup.incrementalBandedNearDedup]]: a feed doc is
       // dropped iff it shares ≥1 LSH band bucket with a snapshot doc AND

@@ -485,6 +485,81 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming normalized tier: case/punct replicas of snapshot docs blocked, within-stream canonical twins collapse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val Dedup = graft.ext.Dedup
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val priorText = "a prior snapshot document with several words."
+    val prior = Seq((1L, priorText)).toDF("doc_id", "text")
+    val canonKeys = Dedup.canonicalKeys(prior)
+    val novel = "a brand new feed document arrives here."
+    val feed = Seq(
+      priorText, // byte-identical → exact KEY tier
+      "  A PRIOR snapshot document, with several words!! ", // normalized tier ONLY
+      novel, // kept
+      "  " + novel.toUpperCase + " ", // within-stream canonical twin of novel
+      "another genuinely different page entirely today.") // kept
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    val cleaned = graft.streaming.StreamingIngest.cleanDocuments(
+      stream.toDF().toDF("ts", "text"), watermark = "1 minute",
+      minTokens = 3, minQuality = 0.0,
+      priorKeys = Some(Dedup.exactKeys(prior)),
+      priorCanonKeys = Some(canonKeys))
+    val q = cleaned.writeStream.format("memory").queryName("canon_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(feed.map(d => (ts(0), d)))
+      q.processAllAvailable()
+      val out = spark.table("canon_sink").select("text").as[String].collect()
+      val canon = out.map(t => t.toLowerCase.replaceAll("[^\\p{L}\\p{Nd} ]+", " ")
+        .replaceAll(" +", " ").trim).toSet
+      // exactly the two novel canonical forms survive: both snapshot
+      // replicas blocked, the twin pair collapsed to one row
+      assert(out.length == 2, out.toSeq)
+      assert(canon == Set(
+        "a brand new feed document arrives here",
+        "another genuinely different page entirely today"), canon)
+      // parity: the batch composition over the same feed keeps the same
+      // canonical forms
+      val batchKept = Dedup.incrementalNormalizedDedup(
+          Dedup.incrementalDedupKeys(
+            feed.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+              .toDF("doc_id", "text"),
+            Dedup.exactKeys(prior)),
+          canonKeys)
+        .select(graft.ext.Dedup.canonicalText(col("text"))).as[String]
+        .collect().toSet
+      assert(batchKept == canon, s"stream=$canon batch=$batchKept")
+    } finally q.stop()
+    // the signature-tier branch composes with the canonical tier too
+    val stream2 = MemoryStream[(java.sql.Timestamp, String)]
+    val cleaned2 = graft.streaming.StreamingIngest.cleanDocuments(
+      stream2.toDF().toDF("ts", "text"), watermark = "1 minute",
+      minTokens = 3, minQuality = 0.0, nearDupHashes = 16,
+      priorKeys = Some(Dedup.nearDupKeys(prior, numHashes = 16)),
+      priorCanonKeys = Some(canonKeys))
+    val q2 = cleaned2.writeStream.format("memory").queryName("canon_sink2")
+      .outputMode("append").start()
+    try {
+      stream2.addData(feed.map(d => (ts(0), d)))
+      q2.processAllAvailable()
+      assert(spark.table("canon_sink2").count() == 2)
+    } finally q2.stop()
+    // loud rejects: non-projection snapshot; reserved staging column
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.cleanDocuments(
+        stream.toDF().toDF("ts", "text"), priorCanonKeys = Some(prior))
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.cleanDocuments(
+        stream.toDF().toDF("ts", "text")
+          .withColumn("_canon_key", lit("x")),
+        priorCanonKeys = Some(canonKeys))
+    }
+  }
+
   test("streaming attrition reports sum to the batch attritionReport over the same feed") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

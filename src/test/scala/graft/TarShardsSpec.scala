@@ -193,6 +193,29 @@ class TarShardsSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("no '.'"), e2.getMessage)
   }
 
+  test("readShardsBinary: byte-identical bodies, no per-blob text decode column") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a.bin", Array[Byte](0, -1, 127, 8)), // invalid UTF-8 on purpose
+      (1L, "b.bin", "plain".getBytes("UTF-8")))
+      .toDF("shard", "name", "payload")
+    val dir = tmpDir("tar_bin")
+    TarShards.writeShards(docs, dir.getPath, "shard", "name", "payload")
+    val bin = TarShards.readShardsBinary(spark, dir.getPath)
+    assert(bin.columns.toSeq == Seq("shard", "member_name", "body"))
+    val got = bin.as[(Long, String, Array[Byte])].collect()
+      .map(r => (r._1, r._2) -> r._3.toSeq).toMap
+    val want = docs.as[(Long, String, Array[Byte])].collect()
+      .map(r => (r._1, r._2) -> r._3.toSeq).toMap
+    assert(got == want, got)
+    // agrees with readShards' body column on the same store
+    val full = TarShards.readShards(spark, dir.getPath)
+      .select("shard", "member_name", "body")
+      .as[(Long, String, Array[Byte])].collect()
+      .map(r => (r._1, r._2) -> r._3.toSeq).toMap
+    assert(full == got)
+  }
+
   test("fetchSamples: ranged fetch off the .idx sidecars matches readSampleShards byte-exactly; gzip stores reject") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
