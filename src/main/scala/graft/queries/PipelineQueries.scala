@@ -523,6 +523,71 @@ object PipelineQueries {
         .orderBy("day", "lang")
     }),
 
+    // retention closed over all FOUR gate tiers — the full lifecycle
+    // under ONE re-admission policy now that the normalized tier exists:
+    // all three snapshot artifacts (key projection, signature table,
+    // canonical-key projection) carry generation stamps; day-2 gates
+    // against retain(minGen = 1) on each. Day-2 replica classes prove
+    // the canonical tier's lifecycle edges specifically: +40000
+    // UPPERCASED-decorated replicas of AGED-OUT day-0 docs are
+    // RE-ADMITTED (without canonical retention they would stay blocked
+    // by an eternal canonical table — the same eternal-artifact bug the
+    // r13/r14 rounds closed for the other tiers), while +70000
+    // uppercased replicas of day-1 (gen-1) acceptances stay BLOCKED by
+    // the advanced canonical keys; +60000 byte-identical day-1 replicas
+    // prove the key tier's gen-1 stamps alongside
+    "p_crawl_norm_ttl" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val prior = d.where(col("doc_id") % 3 === 1)
+      val day1 = d.where(col("doc_id") % 3 === 2)
+        .unionByName(prior.where(col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 20000))
+      val gk0 = Dedup.stampGeneration(
+        Dedup.nearDupKeys(prior, numHashes = NumHashes), 0L).localCheckpoint()
+      val gs0 = Dedup.stampSignatureGeneration(
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes),
+        0L, NumHashes).localCheckpoint()
+      val gc0 = Dedup.stampGeneration(Dedup.canonicalKeys(prior), 0L)
+        .localCheckpoint()
+      val kept1 = Dedup.incrementalCrawlGate(day1,
+        Dedup.retainGenerations(gk0, minGen = 0L),
+        Dedup.retainSignatureGenerations(gs0, minGen = 0L, NumHashes),
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket,
+        priorCanonKeys = Some(Dedup.retainGenerations(gc0, minGen = 0L)))
+        .localCheckpoint()
+      val gk1 = gk0.unionByName(Dedup.stampGeneration(
+        Dedup.nearDupKeys(kept1, numHashes = NumHashes), 1L))
+      val gs1 = gs0.unionByName(Dedup.stampSignatureGeneration(
+        Dedup.minhashSignatures(kept1, "text", col("doc_id"), NumHashes),
+        1L, NumHashes))
+      val gc1 = gc0.unionByName(Dedup.stampGeneration(
+        Dedup.canonicalKeys(kept1), 1L))
+      val day2 = d.where(col("doc_id") % 3 === 0)
+        .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            concat(lit("  "), upper(col("text")), lit("  !! ")).as("text"),
+            col("lang")))
+        .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 60000))
+        .unionByName(d.where(col("doc_id") % 3 === 2
+            && col("doc_id") >= 150 && col("doc_id") < 250)
+          .select((col("doc_id") + 70000).as("doc_id"),
+            concat(lit("  "), upper(col("text")), lit("  !! ")).as("text"),
+            col("lang")))
+      val kept2 = Dedup.incrementalCrawlGate(day2,
+        Dedup.retainGenerations(gk1, minGen = 1L),
+        Dedup.retainSignatureGenerations(gs1, minGen = 1L, NumHashes),
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket,
+        priorCanonKeys = Some(Dedup.retainGenerations(gc1, minGen = 1L)))
+      kept1.select(lit(1).as("day"), col("lang"), col("doc_id"))
+        .unionByName(kept2.select(lit(2).as("day"), col("lang"), col("doc_id")))
+        .groupBy("day", "lang")
+        .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
+        .orderBy("day", "lang")
+    }),
+
     // the FOUR-tier daily gate: the normalized ("fuzzy exact") tier
     // joins the crawl gate between the signature-key and banded tiers.
     // Replica classes prove each tier catches exactly its own class:
@@ -2445,6 +2510,66 @@ object PipelineQueries {
          |  FROM d WHERE doc_id % 3 = 2 AND doc_id >= 150 AND doc_id < 250
          |), ${sigKeyCtes("d2", "day2", NumHashes)},
          |${crawlGateCtes("d2", "day2", "rk1", "rs1")},
+         |un AS (
+         |  SELECT 1 AS day, lang, doc_id FROM d1_kept
+         |  UNION ALL SELECT 2 AS day, lang, doc_id FROM d2_kept
+         |)
+         |SELECT day, lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM un GROUP BY day, lang ORDER BY day, lang""".stripMargin,
+
+    "p_crawl_norm_ttl" ->
+      s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
+         |prior AS (SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 1),
+         |day1 AS (
+         |  SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text, lang FROM prior WHERE doc_id < 150
+         |), ${sigKeyCtes("p", "prior", NumHashes)},
+         |gk0 AS (SELECT key, 0 AS g FROM p_key),
+         |gs0 AS (SELECT *, 0 AS g FROM p_sig),
+         |gc0 AS (SELECT md5(${canonSql("text")}) AS key, 0 AS g FROM prior),
+         |rk0 AS (
+         |  SELECT key FROM (SELECT key, max(g) AS g FROM gk0 GROUP BY key)
+         |  WHERE g >= 0
+         |), ${retainedSigCte("rs0", "gs0", 0L, NumHashes)},
+         |rc0 AS (
+         |  SELECT key FROM (SELECT key, max(g) AS g FROM gc0 GROUP BY key)
+         |  WHERE g >= 0
+         |), ${sigKeyCtes("d1", "day1", NumHashes)},
+         |${crawlGateCtes("d1", "day1", "rk0", "rs0", Some("rc0"))},
+         |gk1 AS (
+         |  SELECT key, g FROM gk0
+         |  UNION ALL
+         |  SELECT k.key, 1 FROM d1_key k JOIN d1_kept kk ON kk.doc_id = k.id
+         |), gs1 AS (
+         |  SELECT * FROM gs0
+         |  UNION ALL
+         |  SELECT sg.*, 1 FROM d1_sig sg JOIN d1_kept kk ON kk.doc_id = sg.id
+         |), gc1 AS (
+         |  SELECT key, g FROM gc0
+         |  UNION ALL
+         |  SELECT md5(${canonSql("b.text")}), 1
+         |  FROM d1_kept kk JOIN day1 b ON b.doc_id = kk.doc_id
+         |), rk1 AS (
+         |  SELECT key FROM (SELECT key, max(g) AS g FROM gk1 GROUP BY key)
+         |  WHERE g >= 1
+         |), ${retainedSigCte("rs1", "gs1", 1L, NumHashes)},
+         |rc1 AS (
+         |  SELECT key FROM (SELECT key, max(g) AS g FROM gc1 GROUP BY key)
+         |  WHERE g >= 1
+         |), day2 AS (
+         |  SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 40000, '  ' || upper(text) || '  !! ', lang
+         |  FROM prior WHERE doc_id >= 150 AND doc_id < 250
+         |  UNION ALL
+         |  SELECT doc_id + 60000, text, lang FROM d
+         |  WHERE doc_id % 3 = 2 AND doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 70000, '  ' || upper(text) || '  !! ', lang
+         |  FROM d WHERE doc_id % 3 = 2 AND doc_id >= 150 AND doc_id < 250
+         |), ${sigKeyCtes("d2", "day2", NumHashes)},
+         |${crawlGateCtes("d2", "day2", "rk1", "rs1", Some("rc1"))},
          |un AS (
          |  SELECT 1 AS day, lang, doc_id FROM d1_kept
          |  UNION ALL SELECT 2 AS day, lang, doc_id FROM d2_kept
