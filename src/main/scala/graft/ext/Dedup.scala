@@ -542,9 +542,13 @@ object Dedup {
     val t1 = sigKeyGate(newDocs,
       batchSigs.select(col("id").as(idCol), sigKeyCol(numHashes).as("_key")),
       priorKeys, textCol, idCol, bloomExpectedItems, bloomFpp)
-    // optional normalized ("fuzzy exact") tier on the tier-1 survivors
+    // optional normalized ("fuzzy exact") tier on the tier-1 survivors.
+    // The Bloom knob is shared with tier 1 deliberately: both snapshots
+    // are one-key-per-document projections of the SAME corpus, so one
+    // expected-items estimate sizes both filters.
     val t15 = priorCanonKeys match {
-      case Some(ck) => incrementalNormalizedDedup(t1, ck, textCol, idCol)
+      case Some(ck) => incrementalNormalizedDedup(t1, ck, textCol, idCol,
+        bloomExpectedItems, bloomFpp)
       case None => t1
     }
     // ids only — bounded, and it stops the tier-1(/1.5) windows

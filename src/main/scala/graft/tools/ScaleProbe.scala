@@ -201,6 +201,18 @@ object ScaleProbe {
         Dedup.minhashSignatures(prior, "text", col("doc_id"), 128),
         numHashes = 128, bands = 32, threshold = 0.8).count()
     }
+    // the FOUR-tier gate: the normalized tier should cost ~one map-side
+    // md5 + one key-only anti-join on top of the fused three-tier run —
+    // the signature pass still dominates
+    time("incremental_crawl_norm") {
+      val prior = big.where(col("doc_id") % 3 =!= 0)
+      val batch = big.where(col("doc_id") % 3 === 0)
+      Dedup.incrementalCrawlGate(batch,
+        Dedup.nearDupKeys(prior, numHashes = 128),
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), 128),
+        numHashes = 128, bands = 32, threshold = 0.8,
+        priorCanonKeys = Some(Dedup.canonicalKeys(prior))).count()
+    }
     // token-budget mix: one range-partitioned cumsum over (lang, id)
     time("token_budget") {
       graft.ext.Curation.takeTokenBudget(big, "lang",

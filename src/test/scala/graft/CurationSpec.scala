@@ -517,6 +517,14 @@ class CurationSpec extends AnyFunSuite {
         numHashes = 16, bands = 4, threshold = 0.8)
       .select("doc_id").as[Long].collect().toSet
     assert(threeTier == Set(11L, 12L, 14L, 15L, 16L), threeTier)
+    // the shared Bloom knob pre-filters BOTH key tiers without changing
+    // the result (no false negatives)
+    val bloomed = Dedup.incrementalCrawlGate(batch, priorKeys, priorSigs,
+        numHashes = 16, bands = 4, threshold = 0.8,
+        bloomExpectedItems = 1000L,
+        priorCanonKeys = Some(priorCanon))
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomed == fused, s"bloom changed the gate: $bloomed vs $fused")
     // loud rejects: a non-key frame as the canonical snapshot; a batch
     // carrying a reserved staging column
     intercept[IllegalArgumentException] {

@@ -267,6 +267,15 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("r15: the four-tier gate rows stay keyed — no cartesian anywhere in the plan") {
+    val pN = plan(PipelineQueries.queries("p_crawl_norm")(spark, sf))
+    assert(!pN.contains("CartesianProduct"),
+      "the normalized tier must stay an equi-anti-join")
+    val pT = plan(PipelineQueries.queries("p_crawl_norm_ttl")(spark, sf))
+    assert(!pT.contains("CartesianProduct"),
+      "four-tier retention must stay keyed")
+  }
+
   test("corpus-scale operating points stay equi-joined (k128 miner, multi-probe ANN)") {
     val p128 = plan(PipelineQueries.queries("p_near_dup_k128")(spark, sf))
     assert(!p128.contains("CartesianProduct"), "128-hash miner must stay bucketed")
