@@ -194,6 +194,18 @@ class CurationSpec extends AnyFunSuite {
         bloomExpectedItems = 1000L)
       .select("doc_id").as[Long].collect().toSet
     assert(keptB == kept, s"bloom on dirty snapshot: $keptB vs $kept")
+    // the NORMALIZED tier under the same dirt: md5(canonicalText(null))
+    // is null — null-text docs pass the snapshot anti-join (nothing to
+    // match) and collapse to one within the batch; punctuation-only
+    // text canonicalizes to "" (a REAL key, same as the empty string),
+    // so "!!!" and "" are canonical twins and keep the smaller id
+    val keptN = Dedup.incrementalNormalizedDedup(
+        Seq((10L, None), (11L, None), (12L, Some("Alpha!")),
+          (13L, Some("")), (14L, Some("!!!")), (15L, Some("fresh")))
+          .toDF("doc_id", "text"),
+        Dedup.canonicalKeys(prior))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptN == Set(10L, 13L, 15L), keptN)
   }
 
   test("bloom pre-filter byte gate and reserved staging columns fail loudly") {
