@@ -529,6 +529,31 @@ class CurationSpec extends AnyFunSuite {
         numHashes = 16, bands = 4, threshold = 0.8)
       .select("doc_id").as[Long].collect().toSet
     assert(threeTier == Set(11L, 12L, 14L, 15L, 16L), threeTier)
+    // seeded-random parity sweep, four-tier: small vocab + random case
+    // flips force a mix of exact, canonical, near and novel docs
+    val rnd = new scala.util.Random(15)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    def doc() = Seq.fill(4 + rnd.nextInt(12))(
+      vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val corpus = (1L to 60L).map { i =>
+      val t = doc()
+      (i, if (rnd.nextBoolean()) t.toUpperCase else t)
+    }
+    val rPrior = corpus.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+    val rBatch = corpus.filter(_._1 % 2 == 1).toDF("doc_id", "text")
+    val rKeys = Dedup.nearDupKeys(rPrior, numHashes = 16)
+    val rSigs = Dedup.minhashSignatures(rPrior, "text", col("doc_id"), 16)
+    val rCanon = Dedup.canonicalKeys(rPrior)
+    val rSeq = Dedup.incrementalBandedNearDedup(
+        Dedup.incrementalNormalizedDedup(
+          Dedup.incrementalNearDedup(rBatch, rKeys, numHashes = 16), rCanon),
+        rSigs, numHashes = 16, bands = 4, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    val rFused = Dedup.incrementalCrawlGate(rBatch, rKeys, rSigs,
+        numHashes = 16, bands = 4, threshold = 0.8,
+        priorCanonKeys = Some(rCanon))
+      .select("doc_id").as[Long].collect().toSet
+    assert(rFused == rSeq, s"random four-tier parity: $rFused != $rSeq")
     // the shared Bloom knob pre-filters BOTH key tiers without changing
     // the result (no false negatives)
     val bloomed = Dedup.incrementalCrawlGate(batch, priorKeys, priorSigs,

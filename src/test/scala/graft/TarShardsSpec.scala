@@ -267,6 +267,43 @@ class TarShardsSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded random fetch property: random multi-part stores fetch byte-exactly through the index, long keys and empty bodies included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(15082026L)
+    for (trial <- 1 to 3) {
+      val nDocs = 30 + rnd.nextInt(40)
+      val rows = (0 until nDocs).map { i =>
+        // ~half the keys exceed the 100-byte name field (with their
+        // extension) so the idx offsets must account for the longname
+        // carrier entries; bodies include zero-length members
+        val key = (if (rnd.nextBoolean()) "k" * (95 + rnd.nextInt(40))
+                   else "k") + f"-$trial-$i"
+        def part() =
+          if (rnd.nextInt(4) == 0) null
+          else { val b = new Array[Byte](rnd.nextInt(900)); rnd.nextBytes(b); b }
+        (i % 3, key, part(), part(), part())
+      }.filter(r => r._3 != null || r._4 != null || r._5 != null)
+      val df = rows.toDF("shard", "key", "txt", "json", "bin")
+      val dir = tmpDir(s"tar_fprop$trial")
+      TarShards.writeSampleShards(df, dir.getPath, "shard", "key",
+        Seq("txt" -> "txt", "json" -> "json", "bin" -> "bin"), index = true)
+      val wanted = rows.map(_._2).filter(_ => rnd.nextBoolean())
+      def collectSamples(d: org.apache.spark.sql.DataFrame) = d
+        .select(col("shard"), col("key"),
+          map_keys(col("parts")).as("es"),
+          transform(map_values(col("parts")), b => md5(b)).as("hs"))
+        .as[(Long, String, Seq[String], Seq[String])]
+        .collect().map(r => (r._1, r._2) -> r._3.zip(r._4).sortBy(_._1)).toMap
+      val fetched = collectSamples(TarShards.fetchSamples(spark, dir.getPath,
+        wanted.toDF("key")))
+      val scanned = collectSamples(TarShards.readSampleShards(spark, dir.getPath))
+        .filter { case ((_, k), _) => wanted.contains(k) }
+      assert(fetched == scanned,
+        s"trial $trial: ${fetched.size} vs ${scanned.size}")
+      assert(fetched.size == wanted.distinct.size, s"trial $trial")
+    }
+  }
+
   test("gzipped shards: .tar.gz round-trip, deterministic bytes, system tar -z reads them") {
     import spark.implicits._
     import scala.sys.process._
