@@ -2208,8 +2208,8 @@ object PipelineQueries {
     * parameterized so several days can ship in one query): takes
     * `{p}_kept` (doc_id, lang) + the day's batch CTE (for text), applies
     * the per-language token budget window, the byte-packing cumsum, and
-    * emits `{p}_sh` (shard, text) — the rows whose member checksums the
-    * final select aggregates per shard. */
+    * emits `{p}_ship` (shard, text) — the rows whose member checksums
+    * the final select aggregates per shard. */
   private def shipCtes(p: String, batchCte: String, salt: String): String =
     s"""${p}_keptx AS (
        |  SELECT k.doc_id, k.lang, b.text

@@ -476,12 +476,14 @@ object TarShards {
             fs.delete(t, false)
           }
         def commit(): Unit = if (open) {
-          writeTrailer(out); out.close(); open = false
+          writeTrailer(out)
+          // hand off before close/commit so a failure in either leaves
+          // the field null and the finally block does not double-close
+          val o = out; out = null; open = false
+          o.close()
           commitOne(tmp, fin)
           tmp = null // committed (or ceded to the winning attempt)
           if (idxOut != null) {
-            // hand off before close/commit so a failure here leaves
-            // idxOut null and the finally block does not double-close
             val io = idxOut; idxOut = null
             io.close(); commitOne(idxTmp, idxFin)
             idxTmp = null
@@ -507,16 +509,21 @@ object TarShards {
               fin = new org.apache.hadoop.fs.Path(base, f"shard-$shard%05d.$ext")
               tmp = new org.apache.hadoop.fs.Path(base,
                 f".shard-$shard%05d.$ext.$attempt.tmp")
-              val raw = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+              // `out` is assigned the RAW stream first so that a throw
+              // from the gzip wrap (header write) or the idx create
+              // below still reaches the finally block's close — keying
+              // cleanup on `open` alone leaked the stream (and gzip's
+              // native Deflater) on exactly those paths
+              out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
               // GZIPOutputStream's close() releases the native Deflater
               // (the Warc lesson); header constant (MTIME 0) and level
               // pinned to 6 (zlib's default, stated explicitly) so byte
               // determinism rides the pinned level, not a JDK default —
               // scope of the guarantee is per-JVM/zlib build (scaladoc)
-              out = if (gzip) new java.util.zip.GZIPOutputStream(raw, 1 << 16) {
-                      `def`.setLevel(6)
-                    }
-                    else raw
+              if (gzip)
+                out = new java.util.zip.GZIPOutputStream(out, 1 << 16) {
+                  `def`.setLevel(6)
+                }
               if (index) {
                 idxFin = new org.apache.hadoop.fs.Path(base, f"shard-$shard%05d.idx")
                 idxTmp = new org.apache.hadoop.fs.Path(base,
@@ -536,11 +543,12 @@ object TarShards {
         } finally {
           // abandoned-attempt cleanup; close() may throw on an already
           // -failed stream — never mask the original exception with it.
-          // tmp/idxTmp are nulled at commit, so ANY non-null temp here is
-          // uncommitted garbage — including the case where close() or
-          // commitOne() itself threw after `open`/`idxOut` were already
-          // cleared (the paths the flag-keyed cleanup used to leak).
-          if (open) {
+          // out/idxOut are nulled at commit-handoff and tmp/idxTmp after
+          // their renames, so ANY non-null field here is an uncommitted
+          // leftover — including a shard whose OPEN failed halfway (gzip
+          // header, idx create) or whose commit threw mid-sequence (the
+          // paths the old flag-keyed cleanup leaked).
+          if (out != null) {
             try out.close() catch { case _: java.io.IOException => () }
           }
           if (tmp != null) fs.delete(tmp, false)
@@ -557,15 +565,30 @@ object TarShards {
     * id recovered from the file name. Reads both the plain `.tar` and
     * the gzipped `.tar.gz` layouts (magic-sniffed per file, so a mixed
     * directory works). */
-  def readShards(spark: SparkSession, dir: String): DataFrame = {
+  /** Shard id recovered from a `shard-NNNNN.{tar,tar.gz,idx}` file name
+    * (−1 when the name does not match — shared by every reader so the
+    * naming rule lives in one place). */
+  private val ShardFileRe = "shard-(\\d+)\\.(?:tar(?:\\.gz)?|idx)$".r
+  private def shardIdOf(path: String): Long =
+    ShardFileRe.findFirstMatchIn(path).map(_.group(1).toLong).getOrElse(-1L)
+
+  /** Whole-file binary scan of a shard directory's archives — the shared
+    * front of every archive reader (one task per file; the per-reader
+    * mapPartitions stays at the call site so no extra serialization
+    * boundary enters the plan). */
+  private def shardFiles(spark: SparkSession,
+      dir: String): org.apache.spark.sql.Dataset[(String, Array[Byte])] = {
     import spark.implicits._
-    val shardRe = "shard-(\\d+)\\.tar(\\.gz)?$".r
     spark.read.format("binaryFile").load(s"$dir/shard-*.tar*")
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
+  }
+
+  def readShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    shardFiles(spark, dir)
       .mapPartitions(_.flatMap { case (path, raw) =>
-        val shard = shardRe.findFirstMatchIn(path)
-          .map(_.group(1).toLong).getOrElse(-1L)
+        val shard = shardIdOf(path)
         parseAll(gunzipIfNeeded(raw)).map { case (n, b) =>
           (shard, n, b, new String(b, UTF_8))
         }
@@ -582,13 +605,9 @@ object TarShards {
     * byte-identical; returns (shard, member_name, body). */
   def readShardsBinary(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val shardRe = "shard-(\\d+)\\.tar(\\.gz)?$".r
-    spark.read.format("binaryFile").load(s"$dir/shard-*.tar*")
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
+    shardFiles(spark, dir)
       .mapPartitions(_.flatMap { case (path, raw) =>
-        val shard = shardRe.findFirstMatchIn(path)
-          .map(_.group(1).toLong).getOrElse(-1L)
+        val shard = shardIdOf(path)
         parseAll(gunzipIfNeeded(raw)).map { case (n, b) => (shard, n, b) }
       })
       .toDF("shard", "member_name", "body")
@@ -701,16 +720,35 @@ object TarShards {
     * [[adjacentSamples]]). */
   def readSampleShards(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val shardRe = "shard-(\\d+)\\.tar(\\.gz)?$".r
-    spark.read.format("binaryFile").load(s"$dir/shard-*.tar*")
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
+    shardFiles(spark, dir)
       .mapPartitions(_.flatMap { case (path, raw) =>
-        val shard = shardRe.findFirstMatchIn(path)
-          .map(_.group(1).toLong).getOrElse(-1L)
-        adjacentSamples(shard, parseAll(gunzipIfNeeded(raw)), path)
+        adjacentSamples(shardIdOf(path), parseAll(gunzipIfNeeded(raw)), path)
       })
       .toDF("shard", "key", "parts")
+  }
+
+  /** Validated (name, off, len) projection over a split `.idx` line
+    * (columns `path`, `line`, `f`). Each column is self-defensive — the
+    * long cast lives in the otherwise branch — so the designed
+    * "malformed" message fires whichever column a fused projection
+    * evaluates first, never an opaque ANSI cast error. Evaluation is
+    * Catalyst-lazy by design: the NAME check runs for every line (the
+    * join key derives from it, so a line that could hide a requested
+    * key always rejects loudly), while off/len of entries the fetch
+    * never selects may go unevaluated — a corrupt offset on an
+    * unrequested entry cannot affect the result. */
+  private def idxEntryCols: Seq[Column] = {
+    def bad = raise_error(concat(
+      lit("malformed .idx line in "), col("path"), lit(": "), col("line")))
+    def num(i: Int) =
+      when(size(col("f")) =!= 3 ||
+          !element_at(col("f"), i).rlike("^\\d+$"), bad)
+        .otherwise(element_at(col("f"), i).cast("long"))
+    Seq(col("path"),
+      when(size(col("f")) =!= 3 ||
+          !element_at(col("f"), 1).rlike("^.*\\.[^.]+$"), bad)
+        .otherwise(element_at(col("f"), 1)).as("name"),
+      num(2).as("off"), num(3).as("len"))
   }
 
   /** RANGED-read sample fetch — the engine-side consumer of the `.idx`
@@ -747,27 +785,23 @@ object TarShards {
     val n = spark.sessionState.conf.numShufflePartitions
     val nameRe = "^(.*)\\.([^.]+)$"
     // the sidecars are line/tab-delimited (name, data offset, size); a
-    // malformed line means a corrupt index that could silently miss
-    // requested keys — loud reject, never skip
+    // malformed line — wrong field count, non-numeric offset/size, or a
+    // member name without the <key>.<ext> sample form — means a corrupt
+    // or non-sample index that could silently miss requested keys: loud
+    // reject with the designed message, never skip (and never an opaque
+    // cast error)
     val entries = spark.read.format("binaryFile").load(s"$dir/shard-*.idx")
       .select(col("path"),
         explode(split(col("content").cast("string"), "\n")).as("line"))
       .where(col("line") =!= "")
       .select(col("path"), col("line"), split(col("line"), "\t").as("f"))
-      .select(col("path"),
-        when(size(col("f")) =!= 3, raise_error(concat(
-            lit("malformed .idx line in "), col("path"), lit(": "),
-            col("line"))))
-          .otherwise(element_at(col("f"), 1)).as("name"),
-        element_at(col("f"), 2).cast("long").as("off"),
-        element_at(col("f"), 3).cast("long").as("len"))
+      .select(idxEntryCols: _*)
       .withColumn("key", regexp_extract(col("name"), nameRe, 1))
       .withColumn("ext", regexp_extract(col("name"), nameRe, 2))
     val wanted = entries.join(
       broadcast(keys.select(col(keys.columns.head).cast("string").as("key"))
         .distinct()),
       Seq("key"), "left_semi")
-    val shardRe = "shard-(\\d+)\\.idx$".r
     wanted
       .repartition(n, col("path"))
       .sortWithinPartitions(col("path"), col("off"))
@@ -791,8 +825,7 @@ object TarShards {
             if (in != null) { in.close(); in = null }
             curPath = path
             seen = new scala.collection.mutable.HashSet[String]
-            curShard = shardRe.findFirstMatchIn(path)
-              .map(_.group(1).toLong).getOrElse(-1L)
+            curShard = shardIdOf(path)
             val idx = new org.apache.hadoop.fs.Path(path)
             val fs = idx.getFileSystem(conf)
             val base = path.stripSuffix(".idx")

@@ -250,7 +250,9 @@ object ScaleProbe {
     // ~the sidecar scan + the fetched bytes — flat in corpus size —
     // while readSampleShards pays the whole store every time. The store
     // is built untimed (it is output_pipeline's cost, measured above).
-    if (selected("sample_fetch") || selected("sample_scan")) {
+    // guard names == the time() labels (the block-gating contract above:
+    // selecting a probe by its exact printed label must run it)
+    if (selected("sample_fetch_ranged") || selected("sample_scan_full")) {
       val sharded = graft.ext.Curation.epochShards(
           big.select("doc_id"), "doc_id", 64, "fetchprobe")
         .join(big.select(col("doc_id"), col("text")), Seq("doc_id"))

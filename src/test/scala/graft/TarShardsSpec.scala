@@ -265,6 +265,32 @@ class TarShardsSpec extends AnyFunSuite {
       TarShards.fetchSamples(spark, dir.getPath,
         Seq(("a", "b")).toDF("k", "x"))
     }
+    // a corrupt sidecar line (bad field count, non-numeric offset, or a
+    // member name without the <key>.<ext> form) rejects with the
+    // DESIGNED message — a silent skip could hide a requested sample
+    // from an audit, and an opaque cast error would hide the cause
+    for (badLine <- Seq("orphan\t0", "a.txt\tfoo\t5", "README\t0\t5")) {
+      val badDir = tmpDir("tar_fetch_bad")
+      TarShards.writeSampleShards(docs.where(col("doc_id") < 8),
+        badDir.getPath, "shard", "key", Seq("txt" -> "txt"), index = true)
+      val idx = badDir.listFiles.filter(_.getName.endsWith(".idx")).head
+      java.nio.file.Files.write(idx.toPath, s"$badLine\n".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.APPEND)
+      // the writer went through Hadoop's checksummed local FS — drop the
+      // stale .crc so the read reaches OUR validation, not the CRC check
+      new java.io.File(idx.getParentFile, "." + idx.getName + ".crc").delete()
+      // request key "a" too: off/len validation is Catalyst-lazy (only
+      // entries the fetch selects evaluate them), so the corrupt-offset
+      // case must be on a REQUESTED key to prove the loud path
+      val e3 = intercept[Exception] {
+        TarShards.fetchSamples(spark, badDir.getPath,
+          Seq("000000", "a").toDF("k")).collect()
+      }
+      val msgs = Iterator.iterate[Throwable](e3)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("malformed .idx line"), s"$badLine -> $msgs")
+    }
   }
 
   test("seeded random fetch property: random multi-part stores fetch byte-exactly through the index, long keys and empty bodies included") {
