@@ -216,13 +216,41 @@ object UrlOps {
   }
 
   /** Keep at most `cap` rows per domain, smallest `orderCol` first.
-    * Appends `domain`; one hash-partitioned window. */
+    * Appends `domain`; one hash-partitioned window.
+    *
+    * Skew (`skewSalts > 1`): the single window sorts each domain inside
+    * ONE task — fine for the web's long tail, but a mega-domain
+    * (10⁸-page platform hosts are routine at 100 TB) serializes into a
+    * single spilling sort. With S salts the cap runs in TWO stages:
+    * per-(domain, salt) top-`cap` windows (each sorts ~1/S of the hot
+    * domain, in parallel) and then the exact top-`cap` window over the
+    * ≤ S·cap per-domain survivors — row-identical to the single window
+    * (every global top-cap row is in its salt group's top-cap), at the
+    * price of one extra bounded shuffle. Ties: `orderCol` should be
+    * unique per domain (the usual doc-id), otherwise WHICH of the tied
+    * rows survives is arbitrary on either path — same caveat as the
+    * plain window, but the arbitrary choice can differ between salted
+    * and unsalted runs. */
   def capPerDomain(df: DataFrame, urlCol: String, orderCol: String,
-      cap: Int): DataFrame = {
+      cap: Int, skewSalts: Int = 1): DataFrame = {
     require(cap > 0, "cap must be positive")
-    requireNoClobber(df, "capPerDomain", "domain", "_rn")
-    val w = Window.partitionBy(domain(col(urlCol))).orderBy(col(orderCol))
-    df.withColumn("domain", domain(col(urlCol)))
+    require(skewSalts > 0, "skewSalts must be positive")
+    requireNoClobber(df, "capPerDomain", "domain", "_rn", "_salt")
+    val keyed = df.withColumn("domain", domain(col(urlCol)))
+    val preCapped =
+      if (skewSalts == 1) keyed
+      else {
+        val ws = Window.partitionBy(col("domain"), col("_salt"))
+          .orderBy(col(orderCol))
+        keyed
+          .withColumn("_salt",
+            pmod(TextOps.hash60(col(orderCol)), lit(skewSalts.toLong)))
+          .withColumn("_rn", row_number().over(ws))
+          .where(col("_rn") <= cap)
+          .drop("_rn", "_salt")
+      }
+    val w = Window.partitionBy(col("domain")).orderBy(col(orderCol))
+    preCapped
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= cap)
       .drop("_rn")

@@ -1517,6 +1517,20 @@ object PipelineQueries {
         .orderBy("domain")
     }),
 
+    // the SKEW-SALTED cap (two-stage: per-(domain, salt) pre-cap, then
+    // the exact window over ≤ salts·cap survivors) — row-identical to
+    // the single window by construction, so it shares p_domain_cap's
+    // oracle semantics; the hot-domain sort parallelizes across salts
+    "p_domain_cap_salted" -> ((s, dir) => {
+      val fx = table(s, dir, "documents")
+        .select(col("doc_id"), urlFixture.as("url"))
+      graft.ext.UrlOps.capPerDomain(fx, "url", "doc_id", cap = 7,
+          skewSalts = 8)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+        .orderBy("domain")
+    }),
+
     // Domain-holdout split: group-consistent train/val assignment by
     // registered domain (hash60 of the salted domain under a permille
     // threshold — map-only, reproducible, no shuffle). The per-(split,
@@ -3604,6 +3618,25 @@ object PipelineQueries {
 
     // per-domain cap: same deterministic row_number, QUALIFY-free form
     "p_domain_cap" ->
+      (s"""WITH fx AS (
+        |  SELECT doc_id, $urlFixtureSql AS url
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(
+        |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+        |      ':\\d+$$', ''), '^www\\.', '') AS domain
+        |  FROM fx
+        |), k AS (
+        |  SELECT doc_id, domain,
+        |    row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn
+        |  FROM d
+        |)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM k WHERE rn <= 7 GROUP BY domain ORDER BY domain""").stripMargin,
+
+    "p_domain_cap_salted" ->
       (s"""WITH fx AS (
         |  SELECT doc_id, $urlFixtureSql AS url
         |  FROM documents

@@ -156,6 +156,29 @@ class UrlOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerDomain skew salting: two-stage cap is row-identical to the single window") {
+    import spark.implicits._
+    val UrlOps = graft.ext.UrlOps
+    val rnd = new scala.util.Random(42)
+    // one mega-domain (the skew case the salting exists for) + a long
+    // tail, unique order ids
+    val docs = ((1L to 400L).map(i => (i, "https://mega.example.com/p" + i)) ++
+      (401L to 600L).map(i =>
+        (i, s"https://tail${rnd.nextInt(50)}.example.org/p$i")))
+      .sortBy(_ => rnd.nextLong()).toDF("doc_id", "url")
+    def kept(salts: Int) =
+      UrlOps.capPerDomain(docs, "url", "doc_id", cap = 5, skewSalts = salts)
+        .select("doc_id").as[Long].collect().toSet
+    val plain = kept(1)
+    for (s <- Seq(2, 8, 37))
+      assert(kept(s) == plain, s"salts=$s diverged")
+    // the cap semantics themselves: smallest 5 ids of the mega domain
+    assert(plain.intersect((1L to 400L).toSet) == (1L to 5L).toSet, plain)
+    intercept[IllegalArgumentException] {
+      UrlOps.capPerDomain(docs, "url", "doc_id", 5, skewSalts = 0)
+    }
+  }
+
   test("column-appending operators reject inputs already carrying their output columns (no silent clobber)") {
     import spark.implicits._
     val UrlOps = graft.ext.UrlOps
