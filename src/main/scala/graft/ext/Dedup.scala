@@ -96,10 +96,22 @@ object Dedup {
     * themselves (cluster_id = own id, kept = 1).
     *
     * Scale shape: the label table is (id, label) only — document text
-    * never enters the resolution; one id-keyed join to attach labels +
-    * one window over cluster_id (near-dup clusters are small by
-    * construction, so the per-partition sort is bounded; the window key
-    * hash-distributes clusters across the cluster).
+    * never enters the resolution; one id-keyed join to attach labels,
+    * then the per-cluster ARGMAX as a `max_by` AGGREGATE (map-side
+    * partial aggregation absorbs a mega-cluster before the shuffle —
+    * each task contributes one candidate row per cluster it sees) and a
+    * join-back keyed on the UNIQUE id (each best id matches exactly one
+    * row, so not even a 10⁸-member component concentrates the join into
+    * one task). A `row_number` window here would instead sort every
+    * transitively-chained component inside ONE task — and transitive
+    * chaining over LSH-mined pairs is exactly how monster components
+    * form at crawl scale (templated/boilerplate families: A~B, B~C, …).
+    *
+    * Ordering semantics match the window spelling bit-for-bit: `max` of
+    * `struct(_score, -id)` is max score, then min id (null scores order
+    * last, NaN first — Spark's ordering on both paths). Ids of
+    * Long.MinValue are unsupported (the tiebreak negation would
+    * overflow); real corpus ids are non-negative.
     *
     * Returns (idCol, cluster_id, kept 0/1) for every input document. */
   def keepBestPerCluster(docs: DataFrame, pairs: DataFrame, score: Column,
@@ -110,11 +122,14 @@ object Dedup {
       .join(labels, Seq(idCol), "left")
       .select(col(idCol), col("_score"),
         coalesce(col("label"), col(idCol)).as("cluster_id"))
-    val w = Window.partitionBy("cluster_id")
-      .orderBy(col("_score").desc, col(idCol).asc)
-    withL.withColumn("_rn", row_number().over(w))
+    val best = withL.groupBy("cluster_id")
+      .agg(max_by(col(idCol),
+        struct(col("_score"), (-col(idCol)).as("_nid"))).as("_best"))
+    withL.select(col(idCol), col("cluster_id"))
+      .join(best.select(col("_best").as(idCol), lit(1L).as("_kept")),
+        Seq(idCol), "left")
       .select(col(idCol), col("cluster_id"),
-        (col("_rn") === 1).cast("long").as("kept"))
+        coalesce(col("_kept"), lit(0L)).as("kept"))
   }
 
   /** Cross-snapshot INCREMENTAL exact dedup — the daily-crawl shape: dedup
@@ -131,14 +146,15 @@ object Dedup {
     * whose hash cannot be in the prior skip the anti-join shuffle
     * entirely. Bloom filters have NO false negatives, so the pre-filter
     * never changes the result — false positives simply fall through to
-    * the exact anti-join. Size the knob to the prior snapshot; beyond
-    * ~10⁹ prior docs leave it off (the sketch outgrows the driver) and
-    * let the hash-only anti-join do the work — requests whose estimated
-    * filter exceeds [[BloomMaxBytes]] (2 GiB, ≈1.7×10⁹ items at 1% fpp;
-    * see [[bloomBytes]]) are refused loudly rather than silently
-    * allocating a multi-GB driver sketch. The filter check is a Scala
-    * UDF by necessity (Spark exposes no public might_contain function);
-    * it runs only on the new BATCH, not the corpus.
+    * the exact anti-join. Size the knob to the prior snapshot. Estimates
+    * whose filter exceeds [[BloomMaxBytes]] (2 GiB, ≈1.7×10⁹ items at 1%
+    * fpp; see [[bloomBytes]]) route to an EXECUTOR-built filter
+    * (Catalyst BloomFilterAggregate + the codegen might-contain
+    * predicate) sized to the cluster's declared runtime-bloom-filter
+    * budget — fpp degrades past the budget, correctness never (see
+    * [[bloomedAntiJoin]]). Below the cap the check is a Scala UDF by
+    * necessity (Spark exposes no public might_contain function); either
+    * way it runs only on the new BATCH, not the corpus.
     *
     * Returns the kept new-batch rows (original schema). */
   def incrementalDedup(newDocs: DataFrame, priorDocs: DataFrame,
@@ -269,12 +285,15 @@ object Dedup {
       .drop("_key")
   }
 
-  /** Hard cap on the DRIVER-side Bloom filter allocation (2 GiB): the
-    * filter is materialized on the driver and shipped in the UDF
-    * closure, so its size must be gated like every other broadcast.
-    * bits = n·ln(1/p)/(ln 2)², so the cap is hit around 1.7×10⁹
-    * expected items at 1% fpp — past that, leave the pre-filter off
-    * (the default) and let the hash-only anti-join do the work. */
+  /** Routing boundary for the Bloom pre-filter build (2 GiB): below it
+    * the filter is materialized on the driver (`stat.bloomFilter`) and
+    * shipped in the UDF closure, so its size is gated like every other
+    * broadcast; estimates ABOVE it build executor-side instead via
+    * Catalyst's BloomFilterAggregate, sized to the session's
+    * runtime-bloom-filter budget (see [[bloomedAntiJoin]]) — a 10¹⁰-key
+    * snapshot gets a (less selective) pre-filter rather than a refusal.
+    * bits = n·ln(1/p)/(ln 2)², so the boundary sits around 1.7×10⁹
+    * expected items at 1% fpp. */
   val BloomMaxBytes: Long = 2L << 30
 
   /** Estimated Bloom filter size in bytes for `n` items at fpp `p` —
@@ -309,32 +328,85 @@ object Dedup {
   /** Anti-join `batch` against `priorKeys` on `keyCol`, with the optional
     * Bloom pre-filter of [[incrementalDedup]] (no false negatives, so the
     * result is exact regardless; rows the filter clears skip the anti-join
-    * shuffle entirely). The one UDF in the codebase lives here by
-    * necessity: Spark exposes no public might_contain function. */
+    * shuffle entirely). Two build routes by estimated size:
+    *  - ≤ [[BloomMaxBytes]]: the driver-side `stat.bloomFilter` sketch at
+    *    the requested fpp, applied via the codebase's one UDF (Spark
+    *    exposes no public might_contain function);
+    *  - over the cap (10¹⁰-key snapshots): built EXECUTOR-side with
+    *    Catalyst's `BloomFilterAggregate` (partial filters merge in the
+    *    aggregation — the driver only ever receives the final serialized
+    *    bytes) and probed with the codegen `BloomFilterMightContain`
+    *    predicate over `xxhash64(key)` on both sides. The filter is
+    *    sized to the CLUSTER-declared runtime-filter budget
+    *    (`spark.sql.optimizer.runtime.bloomFilter.maxNumBits`, the knob
+    *    Spark's own injected runtime filters obey — the nearDupPairs
+    *    broadcast-gate philosophy: inherit the cluster's declared
+    *    budget, don't invent one), so past the budget the fpp DEGRADES
+    *    instead of the operator refusing: the pre-filter gets less
+    *    selective, never wrong (Bloom filters have no false negatives
+    *    at any size). */
   private def bloomedAntiJoin(batch: DataFrame, priorKeys: DataFrame,
       keyCol: String, bloomExpectedItems: Long, bloomFpp: Double): DataFrame = {
     val preFiltered =
       if (bloomExpectedItems > 0) {
         val est = bloomBytes(bloomExpectedItems, bloomFpp)
-        require(est <= BloomMaxBytes,
-          s"Bloom pre-filter for $bloomExpectedItems items at fpp " +
-            s"$bloomFpp would allocate ~$est bytes ON THE DRIVER " +
-            s"(cap $BloomMaxBytes) — disable the pre-filter " +
-            "(bloomExpectedItems = -1) and let the hash-only anti-join " +
-            "gate at this scale")
         // a dirty snapshot can carry null keys (md5 of null text);
-        // bloomFilter over a column with nulls can throw, and a null
+        // filter builds over a column with nulls can throw, and a null
         // key never matches the anti-join anyway — build on non-nulls
-        val bf = priorKeys.where(col(keyCol).isNotNull)
-          .stat.bloomFilter(keyCol, bloomExpectedItems, bloomFpp)
-        val maybe = udf((h: String) => h != null && bf.mightContain(h))
-        batch.withColumn("_maybe", maybe(col(keyCol)))
+        val nonNull = priorKeys.where(col(keyCol).isNotNull)
+        if (est <= BloomMaxBytes) {
+          val bf = nonNull.stat.bloomFilter(keyCol, bloomExpectedItems, bloomFpp)
+          val maybe = udf((h: String) => h != null && bf.mightContain(h))
+          batch.withColumn("_maybe", maybe(col(keyCol)))
+        } else {
+          val bytes =
+            executorBloomBytes(nonNull, keyCol, bloomExpectedItems, est * 8L)
+          import org.apache.spark.sql.graft.ColumnBridge
+          import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+          // an EMPTY prior aggregates to a null filter: nothing can be
+          // in the snapshot, so nothing is "maybe seen"
+          val maybe = bytes match {
+            case null => lit(false)
+            case b => coalesce( // null key → false, matching the UDF route
+              ColumnBridge.column(BloomFilterMightContain(
+                Literal(b, org.apache.spark.sql.types.BinaryType),
+                ColumnBridge.expression(xxhash64(col(keyCol))))),
+              lit(false))
+          }
+          batch.withColumn("_maybe", maybe)
+        }
       } else batch.withColumn("_maybe", lit(true))
     val checked = preFiltered.where(col("_maybe"))
       .join(priorKeys, Seq(keyCol), "left_anti")
     preFiltered.where(!col("_maybe"))
       .unionByName(checked)
       .drop("_maybe")
+  }
+
+  /** Build a Bloom filter over `xxhash64(keyCol)` EXECUTOR-side via
+    * Catalyst's BloomFilterAggregate and return its serialized bytes
+    * (null for an empty input). Bits = min(requested, the session's
+    * runtime-bloom-filter budget); the items cap is raised to the
+    * honest estimate for the duration of the build (it only tunes the
+    * hash-function count — restored after). */
+  private def executorBloomBytes(keys: DataFrame, keyCol: String,
+      expectedItems: Long, requestedBits: Long): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.ColumnBridge
+    val conf = keys.sparkSession.conf
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val oldItems = conf.get(itemsKey)
+    val numBits = math.max(64L, math.min(requestedBits, conf.get(bitsKey).toLong))
+    conf.set(itemsKey, math.max(oldItems.toLong, expectedItems).toString)
+    try {
+      val agg = new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col(keyCol))),
+        Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+      keys.select(ColumnBridge.column(agg).as("bf"))
+        .head().getAs[Array[Byte]](0)
+    } finally conf.set(itemsKey, oldItems)
   }
 
   /** The signature-equality dedup KEY of a document — the '_'-joined
@@ -823,12 +895,21 @@ object Dedup {
     * only decrease, so `changed == 0` (counted from the round's persisted
     * result, no extra pass) is an exact fixpoint probe.
     *
-    * Returns one row per vertex that appears in `pairs`: (id, label). */
+    * Returns one row per vertex that appears in `pairs`: (id, label).
+    *
+    * `maxClusterSize` (> 0): loud-reject components larger than the cap.
+    * A monster component is usually a DATA bug — empty documents, a
+    * boilerplate family the miner should have capped upstream — not a
+    * dedup decision, and every downstream consumer (keep-best join,
+    * cluster stats, human review) degrades on it. The guard is one
+    * map-side-combined count per label + a bounded top-1 (never a
+    * collect of the component), so it prices like a count. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25, algorithm: String = "propagation"): DataFrame = {
+      maxIter: Int = 25, algorithm: String = "propagation",
+      maxClusterSize: Long = 0L): DataFrame = {
     require(Set("propagation", "star")(algorithm), s"unknown CC algorithm: $algorithm")
     if (algorithm == "star")
-      return connectedComponentsStar(pairs, aCol, bCol, maxIter)
+      return connectedComponentsStar(pairs, aCol, bCol, maxIter, maxClusterSize)
     import org.apache.spark.HashPartitioner
     import org.apache.spark.storage.StorageLevel
     val spark = pairs.sparkSession
@@ -898,7 +979,31 @@ object Dedup {
           s"component of diameter > $maxIter — raise maxIter, or use " +
           "algorithm = \"star\" (round count logarithmic, diameter-independent)")
     import spark.implicits._
-    labels.toDF("id", "label")
+    checkedClusterSizes(labels.toDF("id", "label"), maxClusterSize)
+  }
+
+  /** The `maxClusterSize` guard shared by both CC variants: when the cap
+    * is set, find the largest component (one map-side-combined count per
+    * label + a top-1 — no component is ever collected) and throw if it
+    * exceeds the cap, naming the offender so the caller can go look at
+    * the data. Returns `labels` unchanged when the cap is off or met. */
+  private def checkedClusterSizes(labels: DataFrame,
+      maxClusterSize: Long): DataFrame = {
+    if (maxClusterSize <= 0) return labels
+    val top = labels.groupBy("label").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc).limit(1).collect()
+    top.headOption.foreach { r =>
+      val (label, n) = (r.getLong(0), r.getLong(1))
+      if (n > maxClusterSize)
+        throw new IllegalStateException(
+          s"connected component $label has $n members (cap " +
+            s"$maxClusterSize) — a component this large is usually a data " +
+            "bug (empty/boilerplate documents chaining through the " +
+            "miner), not a dedup decision; inspect the members of label " +
+            s"$label, tighten the miner's threshold/bucket cap, or raise " +
+            "maxClusterSize if the component is genuine")
+    }
+    labels
   }
 
   /** Narrow inner join of two co-partitioned pair RDDs (both on the same
@@ -928,10 +1033,11 @@ object Dedup {
     * edge checksum) — the canonical oriented edge set is distinct, so an
     * unchanged pair ⇔ unchanged set (the rewiring is deterministic).
     *
-    * Same contract as [[connectedComponents]]: one (id, label) row per
-    * vertex appearing in `pairs`. */
+    * Same contract as [[connectedComponents]], including the
+    * `maxClusterSize` loud-reject guard: one (id, label) row per vertex
+    * appearing in `pairs`. */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25, maxClusterSize: Long = 0L): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     // materialize the (possibly expensive) upstream pair plan ONCE; nodes
     // and the oriented edge set both derive from the checkpointed rows
@@ -993,7 +1099,7 @@ object Dedup {
       .select(col("n.id").as("id"), coalesce(col("e.lo"), col("n.id")).as("label"))
       .groupBy("id").agg(min("label").as("label"))
     nodes.unpersist(blocking = false)
-    labels
+    checkedClusterSizes(labels, maxClusterSize)
   }
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */
@@ -1091,6 +1197,70 @@ object Dedup {
           transform(
             array_sort(collect_list(
               when(!col("is_dup"), struct(col("pos"), col("para"))))),
+            x => x.getField("para")),
+          "\n").as("clean_text"))
+      .withColumnRenamed("_pd_id", idCol)
+  }
+
+  /** The PARAGRAPH tier's persistable snapshot projection — one md5 per
+    * non-blank paragraph ('\n'-separated span, the [[paragraphDedup]]
+    * splitter), doc-id-free, as a single-`_key` table: the fifth crawl-
+    * gate tier's artifact. The four document-granularity tiers (exact /
+    * normalized / signature / banded) cannot see boilerplate PARAGRAPHS
+    * recurring across days around novel content (nav, footers, legal
+    * text) — each day's page is a novel document, so it re-admits whole,
+    * boilerplate included. A snapshot of shipped paragraph keys +
+    * [[stripSeenParagraphs]] closes that: the recurring spans are cut
+    * from the kept pages instead of re-entering the corpus daily.
+    * Same lifecycle as every other key tier: [[stampGeneration]] /
+    * [[retainGenerations]] apply unchanged, and a `_key`-bucketed
+    * persisted snapshot keeps the retention groupBy exchange-free.
+    * Map-only (explode + md5); paragraph text never leaves the task. */
+  def paragraphKeys(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(split(col(textCol), "\n")).as("_para"))
+      .where(trim(col("_para")) =!= "")
+      .select(md5(col("_para")).as("_key"))
+
+  /** Cross-snapshot paragraph strip — the ACTION half of the paragraph
+    * tier ([[paragraphDedup]]'s daily-crawl form): every paragraph of
+    * `newDocs` whose md5 appears in the persisted [[paragraphKeys]]
+    * snapshot is removed from its page; novel paragraphs survive in
+    * original order. Blank paragraphs are structural — never keyed,
+    * always kept (the [[paragraphDedup]] convention). Runs AFTER the
+    * document-granularity gate tiers (they decide which PAGES enter;
+    * this cleans the survivors' recurring spans).
+    *
+    * Returns (idCol, n_paras, n_seen_paras, clean_text) with clean_text
+    * the surviving paragraphs re-joined by '\n' in original order.
+    *
+    * Scale (100 TB): explode → one hash-partitioned join on the 32-hex
+    * md5 key against the snapshot's DISTINCT keys (one row per prior
+    * paragraph — a boilerplate span hot on the BATCH side spreads over
+    * the batch's partitions and AQE skew-split covers a pathological
+    * page shape) → one groupBy(doc) page rebuild. Only the batch's own
+    * paragraph text rides the two shuffles — the snapshot side is keys
+    * only, the prior corpus's text is never read. */
+  def stripSeenParagraphs(newDocs: DataFrame, priorParaKeys: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(priorParaKeys.columns.toSeq == Seq("_key"),
+      "priorParaKeys must be a paragraphKeys projection (single `_key` " +
+        "column); got " + priorParaKeys.columns.mkString(", "))
+    val paras = newDocs.select(
+        col(idCol).as("_pd_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "para")))
+      .withColumn("_key", md5(col("para")))
+      .withColumn("blank", trim(col("para")) === "")
+    val seen = priorParaKeys.distinct().withColumn("_seen", lit(true))
+    paras.join(seen, Seq("_key"), "left")
+      .withColumn("is_seen", !col("blank") && coalesce(col("_seen"), lit(false)))
+      .groupBy("_pd_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(when(col("is_seen"), 1L).otherwise(0L)).as("n_seen_paras"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("is_seen"), struct(col("pos"), col("para"))))),
             x => x.getField("para")),
           "\n").as("clean_text"))
       .withColumnRenamed("_pd_id", idCol)

@@ -250,6 +250,81 @@ object Similarity {
       .where(col("cos") >= threshold)
   }
 
+  /** The SEMANTIC tier's persistable snapshot projection — the
+    * crawl-gate artifact no LEXICAL tier can substitute for: one
+    * (id, cell, emb) row per prior document, `cell` from the shared IVF
+    * coarse quantizer ([[kmeansCentroids]]). A PARAPHRASED replica of a
+    * prior-day document (reworded — different bytes, canonical form AND
+    * shingle set) defeats the exact/normalized/signature/banded tiers;
+    * gating on embeddings closes it. The projection is dim×4 bytes per
+    * doc plus the cell id — the prior corpus's TEXT is never read again,
+    * the same snapshot contract as the other tiers' key/signature
+    * tables. Persist bucketed by `cell` so the daily gate join's prior
+    * side rides the layout. */
+  def semanticKeys(corpus: DataFrame, centroids: Array[Array[Double]],
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).cast("long").as("id"),
+      ivfCells(col(embCol), centroids, 1)(0).as("cell"),
+      col(embCol).as("emb"))
+
+  /** Drop over-cap cells via a spillable window count — the semantic
+    * gate's sibling of [[Dedup.cappedBuckets]]: a degenerate cell (the
+    * quantizer's catch-all for near-zero or templated embeddings) would
+    * otherwise contribute |batch-cell|·|prior-cell| candidate rows.
+    * Members of a dropped cell pass the tier (the [[Dedup.candidatePairs]]
+    * convention — the key tiers still gate them). */
+  private def cappedCells(cells: DataFrame, maxCellSize: Int): DataFrame = {
+    val w = Window.partitionBy("cell")
+    cells.withColumn("_n", count(lit(1)).over(w))
+      .where(col("_n") <= maxCellSize).drop("_n")
+  }
+
+  /** Cross-snapshot INCREMENTAL semantic dedup — [[semDedup]]'s
+    * daily-crawl form and the crawl gate's fifth membrane: a new-batch
+    * document is dropped iff some prior-snapshot document in one of its
+    * `nprobe` nearest cells has rounded cosine ≥ `threshold`. Composes
+    * AFTER [[graft.ext.Dedup.incrementalCrawlGate]] (the lexical tiers
+    * are far cheaper — run them first; this tier only needs to catch
+    * the paraphrase class they cannot see).
+    *
+    * Scale shape (the banded tier's, on embeddings): centroids ride the
+    * plan as literals (k×dim doubles, the IVF contract); batch cell
+    * assignment is map-only with the QUERY side fanning out ×nprobe
+    * (the [[ivfTopK]] convention — probing restores the recall a hard
+    * cell boundary costs); ONE equi-join shuffle on the cell id — never
+    * a cross join; per-cell work |batch-cell|·|prior-cell| with both
+    * sides capped at `maxCellSize` ([[cappedCells]]); verification reads
+    * only the snapshot's (cell, emb) projection, never prior text.
+    * Decisions are deterministic given the projection (rounded cosine,
+    * exact in any engine — the DuckDB oracle replays it bit-for-bit).
+    *
+    * Returns the kept new-batch rows (original schema); `idCol` must be
+    * unique within `newDocs` (it keys the flagged-id anti-join). */
+  def incrementalSemDedup(newDocs: DataFrame, priorCells: DataFrame,
+      centroids: Array[Array[Double]], threshold: Double,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      nprobe: Int = 1, maxCellSize: Int = 10000,
+      roundDigits: Int = 5): DataFrame = {
+    require(priorCells.columns.toSeq == Seq("id", "cell", "emb"),
+      "priorCells must be a semanticKeys projection (id, cell, emb); " +
+        "got " + priorCells.columns.mkString(", "))
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+    val pr = cappedCells(
+      priorCells.select(col("cell"), col("emb"), l2Norm(col("emb")).as("_pn")),
+      maxCellSize)
+    val bq = cappedCells(
+      newDocs.select(col(idCol).cast("long").as("_bid"),
+        explode(ivfCells(col(embCol), centroids, nprobe)).as("cell"),
+        col(embCol).as("_be"), l2Norm(col(embCol)).as("_bn")),
+      maxCellSize)
+    val flagged = bq.join(pr, Seq("cell"))
+      .where(round(dot(col("_be"), col("emb")) / (col("_bn") * col("_pn")),
+        roundDigits) >= threshold)
+      .select(col("_bid")).distinct()
+    newDocs.join(flagged.select(col("_bid").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   // ---- Product quantization (IVF-PQ): the 100 TB memory point ------------
 
   /** Deterministic fixed PQ codebooks (seeded Gaussian), inlined as

@@ -1253,6 +1253,29 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // the INCREMENTAL semantic tier — the crawl gate's fifth membrane,
+    // closing the paraphrase-replica class no lexical tier can see:
+    // batch docs probe their 2 nearest IVF cells and are dropped iff a
+    // PRIOR-snapshot doc in a probed cell reaches cosine 0.35. The
+    // +20000 rows re-feed prior embeddings under new ids (the
+    // paraphrase stand-in: cos = 1.0) and must all be blocked; novel
+    // batch docs survive unless organically near a prior doc. Both
+    // sides capped per cell (the banded-tier convention; the cap never
+    // binds at these scales — the binding case is spec-pinned)
+    "p_incr_semdedup" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val prior = e.where(col("vec_id") % 3 === 1)
+      val batch = e.where(col("vec_id") % 3 === 0)
+        .unionByName(prior.where(col("vec_id") < 100)
+          .withColumn("vec_id", col("vec_id") + 20000))
+      Similarity.incrementalSemDedup(batch,
+          Similarity.semanticKeys(prior, ivfCentroids).localCheckpoint(),
+          ivfCentroids, threshold = 0.35, nprobe = 2, maxCellSize = 1000)
+        .select(col("vec_id"),
+          Similarity.ivfCells(col("embedding"), ivfCentroids, 1)(0).as("cell"))
+        .orderBy("vec_id")
+    }),
+
     // learned quality-filter scoring: hashed-BoW (64 buckets, raw counts)
     // through the codegen dot-product kernel against a pinned literal
     // gblinear model — the map-only inference path of QualityClassifier
@@ -1687,6 +1710,42 @@ object PipelineQueries {
           col("n_dup_paras").cast("long").as("n_dup_paras"),
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")
+    }),
+
+    // the PARAGRAPH gate tier (the fifth crawl-gate tier): day-1 pages
+    // ship; their paragraph keys become a stamped snapshot projection;
+    // day-2 pages — novel docs plus +20000 replicas of day-1 docs —
+    // lose EXACTLY the paragraphs day 1 shipped (boilerplate header,
+    // the shared slogan line, and for replicas the whole day-1 body)
+    // while novel paragraphs and structural blanks survive. Both
+    // policy reads ship in one hash: retain(minGen=0) blocks, and
+    // retain(minGen=1) ages the gen-0 keys out so every paragraph
+    // re-admits — the same one-knob lifecycle as the other four tiers.
+    // The +20000 offset is a multiple of 40, so a replica's slogan
+    // line is byte-identical to its original's
+    "p_crawl_para" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      def page(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        concat_ws("\n",
+          lit("Subscribe to our newsletter today!"),
+          concat(lit("Slogan number "), (col("doc_id") % 40).cast("string")),
+          col("text"),
+          lit(""),
+          concat(lit("Unique closer "), col("doc_id").cast("string"))).as("text"))
+      val day1 = page(d.where(col("doc_id") % 3 === 1))
+      val gen0 = Dedup.stampGeneration(Dedup.paragraphKeys(day1), 0L)
+        .localCheckpoint()
+      val day2 = page(d.where(col("doc_id") % 3 === 0)
+        .unionByName(d.where(col("doc_id") % 3 === 1 && col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 20000)))
+      def strip(minGen: Long, policy: String) =
+        Dedup.stripSeenParagraphs(day2, Dedup.retainGenerations(gen0, minGen))
+          .select(lit(policy).as("policy"), col("doc_id"),
+            col("n_paras").cast("long").as("n_paras"),
+            col("n_seen_paras").cast("long").as("n_seen_paras"),
+            md5(col("clean_text")).as("clean_md5"))
+      strip(0L, "retain0").unionByName(strip(1L, "aged"))
+        .orderBy("policy", "doc_id")
     }),
 
     // C4 line/page cleaning (Raffel et al. 2020 §2.2) over the
@@ -3379,6 +3438,43 @@ object PipelineQueries {
          |ORDER BY vec_id""".stripMargin
     },
 
+    "p_incr_semdedup" -> {
+      val dp = Similarity.dotSql("b.embedding", "p.embedding", 64)
+      val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
+      val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
+      s"""WITH pd AS (
+         |  SELECT vec_id, embedding, ${ivfDistCols("embedding")}
+         |  FROM embeddings WHERE vec_id % 3 = 1
+         |), pm AS (SELECT *, $ivfLeastAll AS m FROM pd),
+         |prior AS (
+         |  SELECT vec_id, embedding, $ivfCellCase AS cell FROM pm
+         |  QUALIFY count(*) OVER (PARTITION BY cell) <= 1000
+         |), bsrc AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 20000, embedding FROM embeddings
+         |  WHERE vec_id % 3 = 1 AND vec_id < 100
+         |), bd AS (
+         |  SELECT vec_id, embedding, ${ivfDistCols("embedding")} FROM bsrc
+         |), bm AS (SELECT *, $ivfLeastAll AS m FROM bd),
+         |bc1 AS (SELECT *, $ivfCellCase AS cell1 FROM bm),
+         |bc AS (SELECT vec_id, embedding, cell1, $ivfCell2Case AS cell2 FROM bc1),
+         |bprobe AS (
+         |  SELECT vec_id, embedding, cell1 AS cell FROM bc
+         |  UNION ALL SELECT vec_id, embedding, cell2 FROM bc
+         |), bcap AS (
+         |  SELECT * FROM bprobe
+         |  QUALIFY count(*) OVER (PARTITION BY cell) <= 1000
+         |), flagged AS (
+         |  SELECT DISTINCT b.vec_id
+         |  FROM bcap b JOIN prior p USING (cell)
+         |  WHERE round(($dp) / (($nb) * ($np)), 5) >= 0.35
+         |)
+         |SELECT vec_id, CAST(cell1 AS INT) AS cell FROM bc
+         |WHERE vec_id NOT IN (SELECT vec_id FROM flagged)
+         |ORDER BY vec_id""".stripMargin
+    },
+
     "p_quality_clf" -> {
       val w = Similarity.planeSql(qcWeights)
       val bucket = s"(${TextOps.hash60Sql("tk")} % 64)"
@@ -3915,6 +4011,66 @@ object PipelineQueries {
         |    CASE WHEN blank OR NOT isdup0 THEN para END, chr(10) ORDER BY pos),
         |    '')) AS clean_md5
         |FROM j GROUP BY doc_id ORDER BY doc_id""").stripMargin,
+
+    "p_crawl_para" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |day1 AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    'Subscribe to our newsletter today!',
+        |    'Slogan number ' || (doc_id % 40),
+        |    text, '', 'Unique closer ' || doc_id) AS t
+        |  FROM d WHERE doc_id % 3 = 1
+        |), d2src AS (
+        |  SELECT doc_id, text FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000, text FROM d
+        |  WHERE doc_id % 3 = 1 AND doc_id < 150
+        |), day2 AS (
+        |  SELECT doc_id, concat_ws(chr(10),
+        |    'Subscribe to our newsletter today!',
+        |    'Slogan number ' || (doc_id % 40),
+        |    text, '', 'Unique closer ' || doc_id) AS t
+        |  FROM d2src
+        |), k0g AS (
+        |  SELECT md5(u.para) AS k, 0 AS g
+        |  FROM (SELECT string_split(t, chr(10)) AS l FROM day1) ls
+        |  CROSS JOIN LATERAL (SELECT unnest(l) AS para) u
+        |  WHERE trim(u.para) <> ''
+        |), ret0 AS (SELECT k FROM (SELECT k, max(g) AS g FROM k0g GROUP BY k)
+        |            WHERE g >= 0),
+        |ret1 AS (SELECT k FROM (SELECT k, max(g) AS g FROM k0g GROUP BY k)
+        |         WHERE g >= 1),
+        |paras AS (
+        |  SELECT doc_id, u.pos, l[u.pos] AS para
+        |  FROM (SELECT doc_id, string_split(t, chr(10)) AS l FROM day2) ls
+        |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(l)+1)) AS pos) u
+        |), j AS (
+        |  SELECT p.doc_id, p.pos, p.para, trim(p.para) = '' AS blank,
+        |    (r0.k IS NOT NULL) AS s0, (r1.k IS NOT NULL) AS s1
+        |  FROM paras p
+        |  LEFT JOIN ret0 r0 ON md5(p.para) = r0.k
+        |  LEFT JOIN ret1 r1 ON md5(p.para) = r1.k
+        |), strip0 AS (
+        |  SELECT 'retain0' AS policy, doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_paras,
+        |    CAST(sum(CASE WHEN NOT blank AND s0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_seen_paras,
+        |    md5(coalesce(string_agg(
+        |      CASE WHEN blank OR NOT s0 THEN para END, chr(10) ORDER BY pos),
+        |      '')) AS clean_md5
+        |  FROM j GROUP BY doc_id
+        |), strip1 AS (
+        |  SELECT 'aged' AS policy, doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_paras,
+        |    CAST(sum(CASE WHEN NOT blank AND s1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_seen_paras,
+        |    md5(coalesce(string_agg(
+        |      CASE WHEN blank OR NOT s1 THEN para END, chr(10) ORDER BY pos),
+        |      '')) AS clean_md5
+        |  FROM j GROUP BY doc_id
+        |)
+        |SELECT * FROM strip0 UNION ALL SELECT * FROM strip1
+        |ORDER BY policy, doc_id""".stripMargin,
 
     // C4 cleaning: identical fixture + line predicate in DuckDB lambda
     // form; page md5 pins the exact surviving text

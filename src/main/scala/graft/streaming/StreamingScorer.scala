@@ -355,9 +355,32 @@ object StreamingIngest {
       require(ck.columns.toSeq == Seq("_key"),
         "priorCanonKeys must be a canonicalKeys projection (single " +
           "`_key` column); got " + ck.columns.mkString(", "))
-      require(!docs.columns.contains("_canon_key"),
-        "the feed already carries a column named _canon_key — the " +
-          "normalized tier stages its key there; rename the input column")
+    }
+    // loud-reject EVERY column this gate appends or stages, scoped to
+    // the tiers actually switched on: a feed already carrying one would
+    // either be silently clobbered (withColumn) or die mid-plan with an
+    // undiagnostic ambiguous-column AnalysisException (the join-staged
+    // flags like _seen/_canon_seen) — same contract as
+    // Dedup.requireNoReserved / UrlOps.requireNoClobber
+    val staged =
+      Seq("content_hash", "n_tokens", "quality", "en_ratio",
+        "top_bigram_frac") ++
+      (if (c4) Seq("n_lines", "n_kept", "page_keep", "clean_text")
+       else Nil) ++
+      (if (nearDupHashes > 0) Seq("minhash_sig", "dedup_key") else Nil) ++
+      (if (priorDocs.nonEmpty || priorKeys.nonEmpty) Seq("_seen")
+       else Nil) ++
+      (if (priorCanonKeys.nonEmpty) Seq("_canon_key", "_canon_seen")
+       else Nil) ++
+      (if (nearDupBands > 0)
+        "_bkeys" +: (0 until nearDupBands).flatMap(i => Seq(s"_k$i", s"_ps$i"))
+       else Nil)
+    staged.foreach { c =>
+      require(!docs.columns.contains(c),
+        s"the feed already carries a column named $c — cleanDocuments " +
+          "appends/stages gate state there and the input would be " +
+          "silently overwritten (or die with an ambiguous-column error " +
+          "at query start); rename the input column")
     }
     // `priorKeys` is the persisted-projection form of the snapshot gate
     // (the streaming twin of Dedup.incrementalDedupKeys /

@@ -140,6 +140,29 @@ object ScaleProbe {
       }
       boiler.unpersist(blocking = true)
     }
+    // keep-best cluster resolution under ONE growing mega-component: the
+    // aggregate-argmax shape (map-side partial max_by + unique-id
+    // join-back) must stay ~flat per row as one component absorbs ever
+    // more of the corpus — the old per-cluster row_number window
+    // serialized the whole component into a single sorting task. Pairs
+    // are star-shaped (hub 0) so CC converges in O(1) rounds and the
+    // probe times the RESOLUTION, not label propagation.
+    for (m <- Seq(1, 4) if selected(s"keep_best_mega_x$m")) {
+      val nm = 500000L * m
+      val megaPairs = spark.range(1, nm)
+        .select(lit(0L).as("id_a"), col("id").as("id_b"))
+        .repartition(32)
+      val megaDocs = spark.range(nm)
+        .select(col("id").as("doc_id"), (col("id") % 9973L).as("score"))
+        .repartition(32).cache()
+      megaDocs.count()
+      time(s"keep_best_mega_x$m") {
+        Dedup.keepBestPerCluster(megaDocs, megaPairs, col("score"))
+          .agg(sum(col("kept")), sum(col("cluster_id"))).collect()
+        nm
+      }
+      megaDocs.unpersist(blocking = true)
+    }
     time("clean_corpus") {
       graft.ext.Cleaning.cleanCorpus(
         big.withColumn("text",

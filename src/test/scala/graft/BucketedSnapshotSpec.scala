@@ -181,6 +181,38 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS bk_canon_keys")
   }
 
+  test("paragraph-key retention over a bucketed snapshot plans without an exchange and feeds the strip") {
+    import org.apache.spark.sql.functions._
+    val Dedup = graft.ext.Dedup
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("doc_id"),
+        concat_ws("\n", lit("Shared header."), col("text"),
+          concat(lit("Footer "), col("doc_id").cast("string"))).as("text"))
+    val stamped = Dedup.stampGeneration(
+      Dedup.paragraphKeys(docs.where(col("doc_id") % 3 === 1)).distinct(), 0L)
+    BucketedSnapshot.write(stamped, "bk_para_keys", tmpDir("bk_para"),
+      "_key", 8)
+    try {
+      // the paragraph tier's snapshot obeys the SAME retention contract
+      // as the other key tiers: max-stamp groupBy rides the bucketing
+      val gate = Dedup.retainGenerations(
+        BucketedSnapshot.read(spark, "bk_para_keys"), minGen = 0L)
+      val plan = gate.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(gate.count() > 0)
+      // and the retained projection is exactly what the strip takes —
+      // end-to-end against the persisted table: the shared header is
+      // cut from every day-2 page, footers survive
+      val stripped = Dedup.stripSeenParagraphs(
+        docs.where(col("doc_id") % 3 === 0), gate)
+      assert(stripped.where(col("n_seen_paras") === 0).count() == 0)
+      assert(stripped.where(col("clean_text").contains("Shared header."))
+        .count() == 0)
+      assert(stripped.where(!col("clean_text").contains("Footer "))
+        .count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS bk_para_keys")
+  }
+
   test("signature-table retention over a bucketed (id, mh*, gen) snapshot plans without an exchange") {
     import org.apache.spark.sql.functions._
     val Dedup = graft.ext.Dedup

@@ -208,20 +208,50 @@ class CurationSpec extends AnyFunSuite {
     assert(keptN == Set(10L, 13L, 15L), keptN)
   }
 
-  test("bloom pre-filter byte gate and reserved staging columns fail loudly") {
+  test("bloom routing boundary: over-cap estimates build executor-side, result unchanged at both sizes") {
     import spark.implicits._
+    import org.apache.spark.sql.functions.col
     val Dedup = graft.ext.Dedup
-    val prior = Seq((1L, "alpha")).toDF("doc_id", "text")
-    val batch = Seq((10L, "beta")).toDF("doc_id", "text")
+    val docs = (0L until 60L).map(i => (i, s"document number $i body"))
+    val prior = docs.filter(_._1 % 3 != 0).toDF("doc_id", "text")
+    // batch: novel docs + byte replicas of prior docs under fresh ids +
+    // a null-text row (the null-key path must survive BOTH routes)
+    val batch = (docs.filter(_._1 % 3 == 0).map { case (i, t) => (i, Option(t)) } ++
+      docs.filter(t => t._1 % 3 == 1 && t._1 < 20)
+        .map { case (i, t) => (i + 1000L, Option(t)) } :+
+      ((2000L, Option.empty[String]))).toDF("doc_id", "text")
+    val want = Dedup.incrementalDedup(batch, prior)
+      .select("doc_id").as[Long].collect().toSet
+    // replicas blocked, novel + null-text kept — the classes the routes
+    // must agree on
+    assert(want == (docs.filter(_._1 % 3 == 0).map(_._1).toSet + 2000L), want)
+    // under the 2 GiB boundary: the driver stat.bloomFilter route
+    val small = Dedup.incrementalDedup(batch, prior, bloomExpectedItems = 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small == want, s"driver route changed the result: $small vs $want")
+    // OVER the boundary (10¹¹ items ≈ 120 GB optimal): routes to the
+    // executor-built BloomFilterAggregate sized to the session's
+    // runtime-filter budget (8 MB default) — a pre-filter instead of
+    // the old refusal; fpp degrades, the result cannot
+    assert(Dedup.bloomBytes(100000000000L, 0.01) > Dedup.BloomMaxBytes)
+    val big = Dedup.incrementalDedup(batch, prior,
+        bloomExpectedItems = 100000000000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(big == want, s"executor route changed the result: $big vs $want")
+    // the items-cap conf raised during the build is restored
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong < 100000000000L)
     // the formula matches the scaladoc's ~1.2 GB per 10⁹ items at 1% fpp
     assert(math.abs(Dedup.bloomBytes(1000000000L, 0.01) - 1.198e9) < 0.01e9,
       Dedup.bloomBytes(1000000000L, 0.01))
-    // a filter estimate over the 2 GiB driver cap is refused, not allocated
-    val e = intercept[IllegalArgumentException] {
-      Dedup.incrementalDedup(batch, prior,
-        bloomExpectedItems = 100000000000L).collect()
-    }
-    assert(e.getMessage.contains("ON THE DRIVER"), e.getMessage)
+    // an EMPTY prior snapshot through the executor route (null filter
+    // bytes) keeps every batch row
+    val none = Dedup.incrementalDedupKeys(batch,
+        prior.where(col("doc_id") < 0).select(
+          org.apache.spark.sql.functions.md5(col("text")).as("_key")),
+        bloomExpectedItems = 100000000000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(none == batch.select("doc_id").as[Long].collect().toSet, none)
     // an input already carrying a _key/_maybe column would silently lose
     // it to the gate's staging — loud reject instead
     for (c <- Seq("_key", "_maybe")) {

@@ -54,6 +54,65 @@ class DedupSkewSpec extends AnyFunSuite {
     assert(uncapped >= 400L * 399 / 2, s"uncapped should flood: $uncapped")
   }
 
+  test("keepBestPerCluster: aggregate argmax is row-identical to the window path on a mega-cluster") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // one mega-component (ids 0..4999 star-chained through hub 0) dwarfing
+    // everything else, two small clusters with SCORE TIES, and a tail of
+    // unclustered docs — the shape that serialized the old per-cluster
+    // row_number window into one sorting task
+    val mega = (1 until 5000).map(i => (0L, i.toLong))
+    val smallA = Seq((6000L, 6001L), (6001L, 6002L)) // scores tie below
+    val smallB = Seq((7000L, 7001L))
+    val pairs = (mega ++ smallA ++ smallB).toDF("id_a", "id_b")
+    val docs = ((0 until 5000).map(i => (i.toLong, (i % 97).toLong)) ++
+      Seq((6000L, 5L), (6001L, 5L), (6002L, 5L)) ++ // tie: smallest id wins
+      Seq((7000L, 1L), (7001L, 9L)) ++
+      (8000 until 8050).map(i => (i.toLong, i.toLong))) // unclustered
+      .toDF("doc_id", "score")
+    val got = Dedup.keepBestPerCluster(docs, pairs, col("score"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // reference: the pre-r16 window spelling over the same labels
+    val labels = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("label"))
+    val withL = docs.select(col("doc_id"), col("score").as("_score"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("_score"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("_score").desc, col("doc_id").asc)
+    val want = withL.withColumn("_rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"),
+        (col("_rn") === 1).cast("long").as("kept"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.length == docs.count())
+    assert(got.toSeq == want.toSeq,
+      "aggregate-argmax keep-best must be row-identical to the window path")
+    // spot-check the semantics directly: mega-cluster keeps the max score
+    // (96, smallest id carrying it = 96); the tied small cluster keeps 6000
+    assert(got.filter(_._3 == 1L).map(_._1).toSet.contains(96L))
+    assert(got.find(_._1 == 6000L).get._3 == 1L)
+    assert(got.find(_._1 == 6001L).get._3 == 0L)
+    assert((8000 until 8050).forall(i => got.find(_._1 == i.toLong).get._3 == 1L))
+  }
+
+  test("connectedComponents maxClusterSize loud-rejects a monster component") {
+    import spark.implicits._
+    val pairs = ((1 until 200).map(i => (0L, i.toLong)) :+ (500L, 501L))
+      .toDF("id_a", "id_b")
+    for (alg <- Seq("propagation", "star")) {
+      val e = intercept[IllegalStateException] {
+        Dedup.connectedComponents(pairs, "id_a", "id_b",
+          algorithm = alg, maxClusterSize = 100L).collect()
+      }
+      assert(e.getMessage.contains("200 members"), s"$alg: ${e.getMessage}")
+      // under the cap (or cap off) the labels come back untouched
+      assert(Dedup.connectedComponents(pairs, "id_a", "id_b",
+        algorithm = alg, maxClusterSize = 500L).count() == 202)
+    }
+  }
+
   test("withMinhashSignature is bit-identical to the explode-aggregate batch shape") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

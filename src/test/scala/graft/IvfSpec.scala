@@ -88,4 +88,66 @@ class IvfSpec extends AnyFunSuite {
     // every jittered copy whose source shares its cell must be flagged
     assert(copies.map(_._1).count(gotRemoved) >= copies.length / 2)
   }
+
+  test("incrementalSemDedup blocks paraphrase replicas of the snapshot; novel docs survive; plan is cell-equi-join") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val base = corpus.as[(Long, Seq[Float])].collect()
+    val prior = base.filter(_._1 % 3 == 1).toSeq.toDF("vec_id", "embedding")
+    // batch: novel docs + jittered (paraphrase-class) replicas of PRIOR
+    // docs under fresh ids — different bytes/shingles by construction,
+    // only the embedding ties them to the snapshot
+    val replicas = base.filter(t => t._1 % 3 == 1 && t._1 < 300).map {
+      case (id, v) => (2000L + id, v.map(x => x + rng.nextGaussian().toFloat * 0.01f))
+    }
+    val novel = base.filter(_._1 % 3 == 0)
+    val batch = (novel ++ replicas).toSeq.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(prior, k = 3, sampleRows = 900, iters = 10)
+    val snap = Similarity.semanticKeys(prior, cents)
+    assert(snap.columns.toSeq == Seq("id", "cell", "emb"))
+    val kept = Similarity.incrementalSemDedup(batch, snap, cents,
+      threshold = 0.999, nprobe = 2)
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    // replicas: blocked whenever a probed cell holds their source (jitter
+    // keeps cos ≈ 1 ≥ 0.999); with 2-probe over 3 separable blobs, that is
+    // essentially all of them
+    val blockedReplicas = replicas.map(_._1).count(id => !keptIds(id))
+    assert(blockedReplicas >= replicas.length * 9 / 10,
+      s"only $blockedReplicas/${replicas.length} replicas blocked")
+    // novel docs survive (nothing in the snapshot is cos >= 0.999 to them)
+    assert(novel.map(_._1).forall(keptIds), "novel docs must survive")
+    // the plan joins on the cell key — never a cartesian
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(600))
+    // non-projection snapshot rejects loudly
+    intercept[IllegalArgumentException] {
+      Similarity.incrementalSemDedup(batch, prior, cents, 0.9)
+    }
+  }
+
+  test("incrementalSemDedup cell cap drops degenerate cells on both sides; members pass the tier") {
+    import spark.implicits._
+    // all prior docs in ONE degenerate cell (identical embedding) + one
+    // normal pair in another cell
+    val hot = Seq.fill(50)(Array.fill(8)(1.0f).toSeq)
+    val cold = Array.fill(8)(-4.0f).toSeq
+    val prior = (hot.zipWithIndex.map { case (v, i) => (i.toLong, v) } :+
+      (900L, cold)).toDF("vec_id", "embedding")
+    val batch = Seq((1000L, hot.head), (1001L, cold)).toDF("vec_id", "embedding")
+    val cents = Array(Array.fill(8)(1.0), Array.fill(8)(-4.0))
+    val snap = Similarity.semanticKeys(prior, cents)
+    // cap below the hot cell's 50 members: the hot-cell batch replica
+    // PASSES the tier (cell dropped on the prior side), the cold one is
+    // still blocked through its small cell
+    val kept = Similarity.incrementalSemDedup(batch, snap, cents,
+        threshold = 0.999, nprobe = 1, maxCellSize = 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1000L), kept)
+    // with the cap above the cell size both are blocked
+    val kept2 = Similarity.incrementalSemDedup(batch, snap, cents,
+        threshold = 0.999, nprobe = 1, maxCellSize = 100)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept2.isEmpty, kept2)
+  }
 }

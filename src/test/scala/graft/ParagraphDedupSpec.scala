@@ -49,6 +49,44 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(byId(1L).getAs[Long]("n_dup_paras") == 2L)
   }
 
+  test("paragraph tier: stripSeenParagraphs cuts exactly the snapshot's paragraphs; retention re-admits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val day1 = Seq(
+      (1L, Seq("Shared header.", "day one body", "", "Footer 1").mkString("\n")),
+      (2L, Seq("Shared header.", "other body", "Footer 2").mkString("\n"))
+    ).toDF("doc_id", "text")
+    // projection: one key per NON-BLANK paragraph, doc-id-free
+    val keys = Dedup.paragraphKeys(day1)
+    assert(keys.columns.toSeq == Seq("_key"))
+    assert(keys.count() == 6 && keys.distinct().count() == 5) // header twice
+    val gen0 = Dedup.stampGeneration(keys, 0L).localCheckpoint()
+    val day2 = Seq(
+      // header + a day-1 body recur -> stripped; novel body + blank survive
+      (10L, Seq("Shared header.", "day one body", "novel body", "").mkString("\n")),
+      (11L, Seq("all novel here", "and here too").mkString("\n"))
+    ).toDF("doc_id", "text")
+    val strict = Dedup.stripSeenParagraphs(day2,
+        Dedup.retainGenerations(gen0, 0L))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(strict(10L).getAs[Long]("n_paras") == 4L)
+    assert(strict(10L).getAs[Long]("n_seen_paras") == 2L)
+    assert(strict(10L).getAs[String]("clean_text") == "novel body\n")
+    assert(strict(11L).getAs[Long]("n_seen_paras") == 0L)
+    assert(strict(11L).getAs[String]("clean_text") == "all novel here\nand here too")
+    // retention: minGen = 1 ages the gen-0 keys out -> nothing stripped
+    val aged = Dedup.stripSeenParagraphs(day2,
+        Dedup.retainGenerations(gen0, 1L))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(aged(10L).getAs[Long]("n_seen_paras") == 0L)
+    assert(aged(10L).getAs[String]("clean_text") ==
+      "Shared header.\nday one body\nnovel body\n")
+    // non-projection snapshot rejects loudly
+    intercept[IllegalArgumentException] {
+      Dedup.stripSeenParagraphs(day2, day1)
+    }
+  }
+
   test("removeRepeatedSpans cuts every token covered by a corpus-hot n-gram") {
     import spark.implicits._
     // "x y z" appears in all 3 docs -> hot at minDocs=3; overlapping

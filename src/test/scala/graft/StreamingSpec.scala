@@ -560,6 +560,50 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("cleanDocuments loud-rejects feeds carrying any gate-staged column") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val Dedup = graft.ext.Dedup
+    val prior = Seq((1L, "a prior snapshot document.")).toDF("doc_id", "text")
+    val stream = MemoryStream[(java.sql.Timestamp, String)]
+    def feedWith(c: String) =
+      stream.toDF().toDF("ts", "text").withColumn(c, lit("x"))
+    // always-appended output columns
+    for (c <- Seq("content_hash", "n_tokens", "quality", "en_ratio",
+        "top_bigram_frac")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.StreamingIngest.cleanDocuments(feedWith(c))
+      }
+      assert(e.getMessage.contains(c), e.getMessage)
+    }
+    // tier-scoped staging columns: the JOINED flags (_seen/_canon_seen)
+    // would previously die with an undiagnostic ambiguous-column
+    // AnalysisException at query start instead of the designed message
+    val e1 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.cleanDocuments(feedWith("_canon_seen"),
+        priorCanonKeys = Some(Dedup.canonicalKeys(prior)))
+    }
+    assert(e1.getMessage.contains("_canon_seen"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.cleanDocuments(feedWith("_seen"),
+        priorKeys = Some(Dedup.exactKeys(prior)))
+    }
+    assert(e2.getMessage.contains("_seen"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.cleanDocuments(feedWith("_k1"),
+        nearDupHashes = 16, nearDupBands = 4,
+        priorKeys = Some(Dedup.nearDupKeys(prior, numHashes = 16)),
+        nearDupPriorSigs = Some(
+          Dedup.minhashSignatures(prior, "text", col("doc_id"), 16)))
+    }
+    assert(e3.getMessage.contains("_k1"), e3.getMessage)
+    // and a tier-scoped column on a feed NOT running that tier is fine
+    val ok = graft.streaming.StreamingIngest.cleanDocuments(
+      feedWith("_canon_seen").withColumn("_bkeys", lit("y")))
+    assert(ok.isStreaming)
+  }
+
   test("streaming attrition reports sum to the batch attritionReport over the same feed") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
