@@ -273,7 +273,7 @@ object Similarity {
     * otherwise contribute |batch-cell|·|prior-cell| candidate rows.
     * Members of a dropped cell pass the tier (the [[Dedup.candidatePairs]]
     * convention — the key tiers still gate them). */
-  private def cappedCells(cells: DataFrame, maxCellSize: Int): DataFrame = {
+  private[graft] def cappedCells(cells: DataFrame, maxCellSize: Int): DataFrame = {
     val w = Window.partitionBy("cell")
     cells.withColumn("_n", count(lit(1)).over(w))
       .where(col("_n") <= maxCellSize).drop("_n")

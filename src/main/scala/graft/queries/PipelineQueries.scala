@@ -880,6 +880,106 @@ object PipelineQueries {
         .orderBy("day", "shard")
     }),
 
+    // the THREE-day daily capstone with retention INSIDE the loop — the
+    // full production cadence (gate → ship → advance → retire) per day,
+    // one hash row: every projection carries generation stamps, day N
+    // gates against retain(minGen = N−1), so content ages out after one
+    // idle day. Replica classes prove each edge: day-2 +40000 replicas
+    // of day-1 acceptances BLOCKED (first advance), +60000 replicas of
+    // the AGED gen-0 prior RE-ADMITTED (first retire); day-3 +70000
+    // replicas of day-2 acceptances BLOCKED (second advance), +80000
+    // replicas of day-1 acceptances RE-ADMITTED (their gen-1 stamps
+    // aged at minGen = 2 — the retire-inside-the-loop edge a two-day
+    // row cannot see), +85000 8-token-appended replicas of day-2
+    // acceptances BLOCKED by the banded tier's RETAINED signatures.
+    // DuckDB replays all three gates, the stamped advances, both
+    // retention reads, the budget/packing windows and the member
+    // checksums of all three ship stages
+    "p_daily_loop3" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val prior = d.where(col("doc_id") % 3 === 1)
+      val day1 = d.where(col("doc_id") % 3 === 2)
+        .unionByName(prior.where(col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 20000))
+      val gk0 = Dedup.stampGeneration(
+        Dedup.nearDupKeys(prior, numHashes = NumHashes), 0L).localCheckpoint()
+      val gs0 = Dedup.stampSignatureGeneration(
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes),
+        0L, NumHashes).localCheckpoint()
+      def gate(day: org.apache.spark.sql.DataFrame,
+          gk: org.apache.spark.sql.DataFrame,
+          gs: org.apache.spark.sql.DataFrame, minGen: Long) =
+        Dedup.incrementalCrawlGate(day,
+          Dedup.retainGenerations(gk, minGen),
+          Dedup.retainSignatureGenerations(gs, minGen, NumHashes),
+          numHashes = NumHashes, bands = Bands, threshold = 0.8,
+          maxBucketSize = MaxBucket).localCheckpoint()
+      def advanceK(gk: org.apache.spark.sql.DataFrame,
+          kept: org.apache.spark.sql.DataFrame, gen: Long) =
+        gk.unionByName(Dedup.stampGeneration(
+          Dedup.nearDupKeys(kept, numHashes = NumHashes), gen)).localCheckpoint()
+      def advanceS(gs: org.apache.spark.sql.DataFrame,
+          kept: org.apache.spark.sql.DataFrame, gen: Long) =
+        gs.unionByName(Dedup.stampSignatureGeneration(
+          Dedup.minhashSignatures(kept, "text", col("doc_id"), NumHashes),
+          gen, NumHashes)).localCheckpoint()
+      val kept1 = gate(day1, gk0, gs0, minGen = 0L)
+      val gk1 = advanceK(gk0, kept1, 1L)
+      val gs1 = advanceS(gs0, kept1, 1L)
+      val day2 = d.where(col("doc_id") % 3 === 0)
+        .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 40000))
+        .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
+          .withColumn("doc_id", col("doc_id") + 60000))
+      val kept2 = gate(day2, gk1, gs1, minGen = 1L)
+      val gk2 = advanceK(gk1, kept2, 2L)
+      val gs2 = advanceS(gs1, kept2, 2L)
+      val day3 = d.where(col("doc_id") % 3 === 0 && col("doc_id") < 150)
+        .select((col("doc_id") + 70000).as("doc_id"), col("text"), col("lang"))
+        .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 80000))
+        .unionByName(d.where(col("doc_id") % 3 === 0
+            && col("doc_id") >= 150 && col("doc_id") < 250)
+          .select((col("doc_id") + 85000).as("doc_id"),
+            concat(col("text"),
+              lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
+            col("lang")))
+      val kept3 = gate(day3, gk2, gs2, minGen = 2L)
+      def ship(kept: org.apache.spark.sql.DataFrame, day: Int,
+          salt: String): org.apache.spark.sql.DataFrame = {
+        val chosen = Curation.takeTokenBudget(kept, "lang",
+          Map("en" -> 20000L), defaultBudget = 8000L).select("doc_id")
+        val packed = Curation.packShardsBySize(
+          chosen.join(kept.select(col("doc_id"),
+            octet_length(col("text")).as("n_bytes")), "doc_id"),
+          "doc_id", "n_bytes", targetBytes = 16384L, salt = salt)
+        val docsOut = packed.select("doc_id", "shard")
+          .join(kept.select("doc_id", "text"), "doc_id")
+          .select(col("shard"),
+            format_string("%06d.txt", col("doc_id")).as("name"),
+            col("text").cast("binary").as("payload"))
+        val out = java.nio.file.Files.createTempDirectory(s"graft_dl3_$day")
+        graft.sources.TarShards.writeShards(docsOut, out.toString, "shard",
+          "name", "payload")
+        val res = graft.sources.TarShards.readShards(s, out.toString)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_members"),
+            sum(octet_length(col("body_text")).cast("long")).as("sum_bytes"),
+            sum(conv(substring(md5(col("body_text")), 1, 12), 16, 10)
+              .cast("long")).as("sum_h"))
+          .select(lit(day).as("day"), col("shard"), col("n_members"),
+            col("sum_bytes"), col("sum_h"))
+          .localCheckpoint() // materialize BEFORE deleting the files
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        res
+      }
+      ship(kept1, 1, "dl3a").unionByName(ship(kept2, 2, "dl3b"))
+        .unionByName(ship(kept3, 3, "dl3c"))
+        .orderBy("day", "shard")
+    }),
+
     // the OUTPUT pipeline end-to-end: per-language token budgets →
     // deterministic epoch shards → one tar container per shard → parse
     // back → per-shard member counts + content checksums. DuckDB
@@ -2898,6 +2998,78 @@ object PipelineQueries {
          |${shipSelect("d1", 1)}
          |UNION ALL
          |${shipSelect("d2", 2)}
+         |ORDER BY day, shard""".stripMargin,
+
+    "p_daily_loop3" ->
+      s"""WITH d AS (SELECT doc_id, text, lang FROM documents),
+         |prior AS (SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 1),
+         |day1 AS (
+         |  SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 2
+         |  UNION ALL
+         |  SELECT doc_id + 20000, text, lang FROM prior WHERE doc_id < 150
+         |), ${sigKeyCtes("p", "prior", NumHashes)},
+         |gk0 AS (SELECT key, 0 AS g FROM p_key),
+         |gs0 AS (SELECT *, 0 AS g FROM p_sig),
+         |rk0 AS (
+         |  SELECT key FROM (SELECT key, max(g) AS g FROM gk0 GROUP BY key)
+         |  WHERE g >= 0
+         |), ${retainedSigCte("rs0", "gs0", 0L, NumHashes)},
+         |${sigKeyCtes("d1", "day1", NumHashes)},
+         |${crawlGateCtes("d1", "day1", "rk0", "rs0")},
+         |gk1 AS (
+         |  SELECT key, g FROM gk0
+         |  UNION ALL
+         |  SELECT k.key, 1 FROM d1_key k JOIN d1_kept kk ON kk.doc_id = k.id
+         |), gs1 AS (
+         |  SELECT * FROM gs0
+         |  UNION ALL
+         |  SELECT sg.*, 1 FROM d1_sig sg JOIN d1_kept kk ON kk.doc_id = sg.id
+         |), rk1 AS (
+         |  SELECT key FROM (SELECT key, max(g) AS g FROM gk1 GROUP BY key)
+         |  WHERE g >= 1
+         |), ${retainedSigCte("rs1", "gs1", 1L, NumHashes)},
+         |day2 AS (
+         |  SELECT doc_id, text, lang FROM d WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 40000, text, lang FROM d
+         |  WHERE doc_id % 3 = 2 AND doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 60000, text, lang FROM prior
+         |  WHERE doc_id >= 150 AND doc_id < 250
+         |), ${sigKeyCtes("d2", "day2", NumHashes)},
+         |${crawlGateCtes("d2", "day2", "rk1", "rs1")},
+         |gk2 AS (
+         |  SELECT key, g FROM gk1
+         |  UNION ALL
+         |  SELECT k.key, 2 FROM d2_key k JOIN d2_kept kk ON kk.doc_id = k.id
+         |), gs2 AS (
+         |  SELECT * FROM gs1
+         |  UNION ALL
+         |  SELECT sg.*, 2 FROM d2_sig sg JOIN d2_kept kk ON kk.doc_id = sg.id
+         |), rk2 AS (
+         |  SELECT key FROM (SELECT key, max(g) AS g FROM gk2 GROUP BY key)
+         |  WHERE g >= 2
+         |), ${retainedSigCte("rs2", "gs2", 2L, NumHashes)},
+         |day3 AS (
+         |  SELECT doc_id + 70000 AS doc_id, text, lang FROM d
+         |  WHERE doc_id % 3 = 0 AND doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 80000, text, lang FROM d
+         |  WHERE doc_id % 3 = 2 AND doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 85000,
+         |    text || ' sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8', lang
+         |  FROM d WHERE doc_id % 3 = 0 AND doc_id >= 150 AND doc_id < 250
+         |), ${sigKeyCtes("d3", "day3", NumHashes)},
+         |${crawlGateCtes("d3", "day3", "rk2", "rs2")},
+         |${shipCtes("d1", "day1", "dl3a")},
+         |${shipCtes("d2", "day2", "dl3b")},
+         |${shipCtes("d3", "day3", "dl3c")}
+         |${shipSelect("d1", 1)}
+         |UNION ALL
+         |${shipSelect("d2", 2)}
+         |UNION ALL
+         |${shipSelect("d3", 3)}
          |ORDER BY day, shard""".stripMargin,
 
     "p_norm_dedup" ->

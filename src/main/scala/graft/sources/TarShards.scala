@@ -218,62 +218,116 @@ object TarShards {
     * override — which would silently apply to EVERY following member,
     * so that one case stays a loud reject. */
   def parseAll(payload: Array[Byte]): Iterator[(String, Array[Byte])] =
+    parseMembers(new java.io.ByteArrayInputStream(payload))
+
+  /** The framing core behind [[parseAll]] and [[readShardsStreamed]]:
+    * parse tar members off an InputStream with a BOUNDED window — one
+    * 512-byte header block plus at most one member body resident at a
+    * time — so the ARCHIVE no longer has to fit in memory (members
+    * still do: each body becomes one row). Because the in-memory
+    * [[parseAll]] is this same code over a ByteArrayInputStream, the
+    * two fronts cannot drift: every fuzz/round-trip case in
+    * TarShardsSpec exercises this parser. Semantics (checksum-first
+    * loud rejects, GNU/PAX/prefix long names, sparse reject, quiet end
+    * at the first zero or partial block) are the pre-r16 parseAll's,
+    * message-for-message. */
+  private def parseMembers(in: java.io.InputStream): Iterator[(String, Array[Byte])] =
     new Iterator[(String, Array[Byte])] {
-      private var pos = 0
+      private var pos = 0L // bytes consumed before the current header
       private var nextRec: (String, Array[Byte]) = null
       // pending per-file overrides from a preceding 'L'/'x' entry; they
       // apply to the NEXT member of any type, then clear
       private var overrideName: String = null
       private var overrideSize: Long = -1L
-      private def blockZero(off: Int): Boolean = {
-        var i = off
-        while (i < off + BlockSize) { if (payload(i) != 0) return false; i += 1 }
+      private val h = new Array[Byte](BlockSize)
+      /** Fill `h` with the next header block; false on clean EOF or a
+        * partial trailing block (both are the quiet end, matching the
+        * array parser's `pos + BlockSize <= length` loop bound). */
+      private def readBlock(): Boolean = {
+        var off = 0
+        while (off < BlockSize) {
+          val n = in.read(h, off, BlockSize - off)
+          if (n < 0) return false
+          off += n
+        }
+        true
+      }
+      private def blockZero: Boolean = {
+        var i = 0
+        while (i < BlockSize) { if (h(i) != 0) return false; i += 1 }
         true
       }
       private def parseOctal(off: Int, len: Int): Long = {
         var v = 0L
         var i = off
         while (i < off + len) {
-          val c = payload(i)
+          val c = h(i)
           if (c >= '0' && c <= '7') v = v * 8 + (c - '0')
           else if (c != ' ' && c != 0) return v
           i += 1
         }
         v
       }
-      /** NUL-terminated string field. */
+      /** NUL-terminated string field (within the header block). */
       private def strField(off: Int, len: Int): String = {
         var end = off
-        while (end < off + len && payload(end) != 0) end += 1
-        new String(payload, off, end - off, UTF_8)
+        while (end < off + len && h(end) != 0) end += 1
+        new String(h, off, end - off, UTF_8)
       }
       /** Exact POSIX magic "ustar\0" — required before trusting the
         * prefix field (GNU's "ustar  " stores atime/ctime there). */
       private def posixMagic: Boolean =
-        payload(pos + 257) == 'u' && payload(pos + 258) == 's' &&
-          payload(pos + 259) == 't' && payload(pos + 260) == 'a' &&
-          payload(pos + 261) == 'r' && payload(pos + 262) == 0
+        h(257) == 'u' && h(258) == 's' && h(259) == 't' && h(260) == 'a' &&
+          h(261) == 'r' && h(262) == 0
+      /** Read `size` body bytes (+ block padding) or reject loudly —
+        * the stream form of the array parser's bounds require. Grows the
+        * buffer WITH the bytes actually read (1 MiB hint, amortized
+        * doubling) instead of allocating `size` up front: a corrupt
+        * fuzzed size field must reject at EOF, not OOM first. */
+      private def readBody(size: Long, rawName: String): Array[Byte] = {
+        val out = new ByteArrayOutputStream(
+          math.max(64L, math.min(size, 1L << 20)).toInt)
+        var left = size
+        while (left > 0) {
+          val n = in.read(scratch, 0,
+            math.min(left, scratch.length.toLong).toInt)
+          require(n >= 0,
+            s"truncated tar: member $rawName claims $size bytes past the end")
+          out.write(scratch, 0, n)
+          left -= n
+        }
+        skipFully(blockPadded(size) - size, rawName, size)
+        out.toByteArray
+      }
+      /** Discard `n` bytes (body of a skipped dir/link member, padding). */
+      private def skipFully(n: Long, rawName: String, size: Long): Unit = {
+        var left = n
+        while (left > 0) {
+          val got = in.read(scratch, 0, math.min(left, scratch.length.toLong).toInt)
+          require(got >= 0,
+            s"truncated tar: member $rawName claims $size bytes past the end")
+          left -= got
+        }
+      }
+      private val scratch = new Array[Byte](1 << 16)
       private def advance(): Unit = {
         nextRec = null
-        while (nextRec == null && pos + BlockSize <= payload.length
-            && !blockZero(pos)) {
+        while (nextRec == null && readBlock() && !blockZero) {
           // verify the header checksum BEFORE trusting the size field: a
           // corrupted size silently mis-frames every later member, which
           // is far worse than a loud reject. Sum over the header with
           // the checksum field read as spaces (the format's rule).
           var sum = 0L
-          var ci = pos
-          while (ci < pos + BlockSize) {
-            sum += (if (ci - pos >= 148 && ci - pos < 156) ' '.toByte
-                    else payload(ci)) & 0xff
+          var ci = 0
+          while (ci < BlockSize) {
+            sum += (if (ci >= 148 && ci < 156) ' '.toByte else h(ci)) & 0xff
             ci += 1
           }
-          require(parseOctal(pos + 148, 8) == sum,
+          require(parseOctal(148, 8) == sum,
             s"tar header checksum mismatch at offset $pos — corrupt archive")
-          val rawName = strField(pos, 100)
-          val headerSize = parseOctal(pos + 124, 12)
-          val typeflag = payload(pos + 156)
-          val dataStart = pos + BlockSize
+          val rawName = strField(0, 100)
+          val headerSize = parseOctal(124, 12)
+          val typeflag = h(156)
           val isMeta = typeflag == 'L'.toByte || typeflag == 'K'.toByte ||
             typeflag == 'x'.toByte || typeflag == 'g'.toByte
           // a meta entry's own size is always the header's; a regular
@@ -282,12 +336,11 @@ object TarShards {
             if (!isMeta && overrideSize >= 0L) overrideSize else headerSize
           require(size <= Int.MaxValue - BlockSize,
             s"tar member $rawName of $size bytes exceeds the in-memory limit")
-          require(dataStart + size <= payload.length,
-            s"truncated tar: member $rawName claims $size bytes past the end")
           val padded = blockPadded(size)
           if (isMeta) {
-            val body = java.util.Arrays.copyOfRange(
-              payload, dataStart, dataStart + size.toInt)
+            // prefix/name fields are consumed from `h` BEFORE the body
+            // read overwrites nothing — the header block is private
+            val body = readBody(size, rawName)
             if (typeflag == 'L'.toByte) {
               // GNU longname: body = full name, NUL-terminated
               var end = 0
@@ -311,16 +364,15 @@ object TarShards {
                   global.map(_._1).mkString(",") +
                   " for all following members — not supported")
             } // 'K' (longlinkname): links are skipped anyway
-            pos = dataStart + padded.toInt
+            pos += BlockSize + padded
           } else {
             // POSIX ustar splits long paths as prefix + '/' + name; a
             // pending 'L'/'x' override wins over both
             val name =
               if (overrideName != null) overrideName
-              else if (posixMagic && payload(pos + 345) != 0)
-                strField(pos + 345, 155) + "/" + rawName
+              else if (posixMagic && h(345) != 0)
+                strField(345, 155) + "/" + rawName
               else rawName
-            pos = dataStart + padded.toInt
             // '7' (contiguous) is POSIX-defined as "treat as a regular
             // file"; GNU sparse ('S') members would yield WRONG bytes if
             // read as regular (the data region is hole-encoded), so they
@@ -329,10 +381,11 @@ object TarShards {
               s"GNU sparse member $name is not supported")
             if (typeflag == '0'.toByte || typeflag == 0 ||
                 typeflag == '7'.toByte) {
-              val body = java.util.Arrays.copyOfRange(
-                payload, dataStart, dataStart + size.toInt)
-              nextRec = (name, body)
+              nextRec = (name, readBody(size, rawName))
+            } else {
+              skipFully(padded, rawName, size) // dir/link body discarded
             }
+            pos += BlockSize + padded
             // overrides are per-file: consumed by this member whether it
             // was emitted or skipped (dir/link)
             overrideName = null
@@ -577,9 +630,15 @@ object TarShards {
     * mapPartitions stays at the call site so no extra serialization
     * boundary enters the plan). */
   private def shardFiles(spark: SparkSession,
-      dir: String): org.apache.spark.sql.Dataset[(String, Array[Byte])] = {
+      dir: String): org.apache.spark.sql.Dataset[(String, Array[Byte])] =
+    shardFilesAt(spark, Seq(s"$dir/shard-*.tar*"))
+
+  /** [[shardFiles]] over explicit paths/globs (the mixed-store fallback
+    * reads a subset of a directory's archives). */
+  private def shardFilesAt(spark: SparkSession,
+      paths: Seq[String]): org.apache.spark.sql.Dataset[(String, Array[Byte])] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/shard-*.tar*")
+    spark.read.format("binaryFile").load(paths: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
   }
@@ -594,6 +653,73 @@ object TarShards {
         }
       })
       .toDF("shard", "member_name", "body", "body_text")
+  }
+
+  /** STREAMING shard read — [[readShardsBinary]] without the
+    * whole-archive materialization: each task opens its archives as
+    * Hadoop streams and parses members off a bounded window (one header
+    * block + one member body resident at a time — [[parseMembers]]),
+    * lifting [[readShards]]'s 2 GiB/archive JVM-array cap for
+    * THIRD-PARTY stores (this library's own [[writeShards]] convention
+    * is 16 KB–1 GB shards, where the whole-file scan is fine; a 10 GB
+    * WebDataset shard from elsewhere needs this path). Members still
+    * become individual rows, so each BODY must fit in memory — only the
+    * archive bound is lifted. Gzipped shards are magic-sniffed and
+    * stream through GZIPInputStream (decompression is inherently
+    * sequential, which is exactly what this reader does). Returns
+    * (shard, member_name, body); results are byte-identical to
+    * [[readShardsBinary]] by construction — both fronts run the SAME
+    * [[parseMembers]] core.
+    *
+    * Scale shape: the file listing (one glob, one row per shard — the
+    * shard count, not the corpus) distributes over the session's
+    * parallelism; bodies never shuffle; one open stream per task at a
+    * time, closed on exhaustion and again on task completion (covers
+    * abandonment mid-iteration). */
+  def readShardsStreamed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val confEntries = hadoopConfEntries(spark)
+    val base = new org.apache.hadoop.fs.Path(s"$dir/shard-*.tar*")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = Option(fs.globStatus(base)).getOrElse(Array.empty)
+      .map(_.getPath.toString).sorted.toSeq
+    val n = math.max(1, math.min(
+      spark.sessionState.conf.numShufflePartitions, files.length))
+    spark.createDataset(files).repartition(n)
+      .mapPartitions { paths =>
+        val conf = rebuildConf(confEntries)
+        var cur: java.io.InputStream = null
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => if (cur != null) cur.close()))
+        paths.flatMap { p =>
+          val shard = shardIdOf(p)
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val buf = new java.io.BufferedInputStream(
+            hp.getFileSystem(conf).open(hp), 1 << 16)
+          // gzip magic sniff without consuming the stream
+          buf.mark(2)
+          val b0 = buf.read(); val b1 = buf.read()
+          buf.reset()
+          val in: java.io.InputStream =
+            if (b0 == 0x1f && b1 == 0x8b)
+              new java.util.zip.GZIPInputStream(buf, 1 << 16)
+            else buf
+          cur = in
+          val members = parseMembers(in)
+          new Iterator[(Long, String, Array[Byte])] {
+            override def hasNext: Boolean = {
+              val more = members.hasNext
+              if (!more && cur != null) { cur.close(); cur = null }
+              more
+            }
+            override def next(): (Long, String, Array[Byte]) = {
+              val (nm, b) = members.next()
+              (shard, nm, b)
+            }
+          }
+        }
+      }
+      .toDF("shard", "member_name", "body")
   }
 
   /** [[readShards]] without the `body_text` column — for BINARY
@@ -774,13 +900,51 @@ object TarShards {
     * (gzip admits no ranged reads without a decompression index — read
     * those with [[readSampleShards]]). Returns (shard, key, parts) like
     * [[readSampleShards]], restricted to the requested keys; requested
-    * keys absent from the store simply return no row. */
+    * keys absent from the store simply return no row.
+    *
+    * MIXED stores (sidecars for some shards only — e.g. a store whose
+    * early shards predate `index = true`): shards WITHOUT a `.idx` fall
+    * back to a full scan of just those archives, filtered to the
+    * requested keys — with a loud stderr note, because silently
+    * fetching nothing from them would read as "key absent" (data loss
+    * masquerading as a miss). Fetch cost for the un-indexed shards is ∝
+    * their bytes, not the fetched bytes; re-index the store to get the
+    * ranged path everywhere. */
   def fetchSamples(spark: SparkSession, dir: String, keys: DataFrame): DataFrame = {
     import spark.implicits._
     require(keys.columns.length == 1,
       "keys must be a single-column DataFrame of sample keys; got " +
         keys.columns.mkString(", "))
     require(!keys.isStreaming, "keys must be a bounded batch frame")
+    // mixed-store detection: one driver-side glob, bounded by the SHARD
+    // count (one status per file, never corpus data)
+    val globPath = new org.apache.hadoop.fs.Path(s"$dir/shard-*")
+    val fsd = globPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = Option(fsd.globStatus(globPath)).getOrElse(Array.empty)
+      .map(_.getPath.toString)
+    val idxShards = all.filter(_.endsWith(".idx")).map(shardIdOf).toSet
+    val unindexed = all.filter(p =>
+      (p.endsWith(".tar") || p.endsWith(".tar.gz")) &&
+        !idxShards.contains(shardIdOf(p)))
+    val fallback: Option[DataFrame] =
+      if (unindexed.isEmpty) None
+      else {
+        System.err.println(s"[graft-tar] fetchSamples: ${unindexed.length} " +
+          s"of ${all.count(p => p.endsWith(".tar") || p.endsWith(".tar.gz"))} " +
+          s"shards in $dir have no .idx sidecar — falling back to a full " +
+          "scan of those shards (cost ∝ their bytes, not the fetched " +
+          "bytes); rewrite or re-index the store for ranged fetch")
+        val scanned = shardFilesAt(spark, unindexed.toSeq)
+          .mapPartitions(_.flatMap { case (path, raw) =>
+            adjacentSamples(shardIdOf(path), parseAll(gunzipIfNeeded(raw)), path)
+          })
+          .toDF("shard", "key", "parts")
+        Some(scanned.join(
+          broadcast(keys.select(col(keys.columns.head).cast("string").as("key"))
+            .distinct()),
+          Seq("key"), "left_semi")
+          .select("shard", "key", "parts"))
+      }
     val confEntries = hadoopConfEntries(spark)
     val n = spark.sessionState.conf.numShufflePartitions
     val nameRe = "^(.*)\\.([^.]+)$"
@@ -802,7 +966,7 @@ object TarShards {
       broadcast(keys.select(col(keys.columns.head).cast("string").as("key"))
         .distinct()),
       Seq("key"), "left_semi")
-    wanted
+    val ranged = wanted
       .repartition(n, col("path"))
       .sortWithinPartitions(col("path"), col("off"))
       .select(col("path"), col("key"), col("ext"), col("off"), col("len"))
@@ -872,5 +1036,6 @@ object TarShards {
         }
       }
       .toDF("shard", "key", "parts")
+    fallback.map(ranged.unionByName(_)).getOrElse(ranged)
   }
 }

@@ -617,6 +617,85 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming twin of [[graft.ext.Similarity.incrementalSemDedup]] — the
+    * SEMANTIC gate tier over a feed that carries an embedding column:
+    * a feed doc is dropped iff some PRIOR-snapshot doc in one of its
+    * `nprobe` nearest IVF cells reaches rounded cosine ≥ `threshold`.
+    * Against a STATIC snapshot the tier is stateless (the banded twin's
+    * argument): one left_outer stream-static join per probe against the
+    * prior's per-cell (embedding, norm) lists — distinct join keys, so
+    * stream rows never duplicate — then a pure array-expression
+    * verdict. Over-cap prior cells are dropped via the SAME
+    * [[graft.ext.Similarity.cappedCells]] window the batch gate uses;
+    * parity with the batch operator holds whenever no cell exceeds the
+    * cap on either side (the batch gate also caps ITS probe side — the
+    * banded-tier convention). Compose AFTER [[cleanDocuments]]: the
+    * lexical tiers are cheaper and catch everything but the paraphrase
+    * class this tier exists for.
+    *
+    * The static per-cell tables are localCheckpointed once at
+    * construction (the dropSeen rationale — a long stream must not
+    * re-run the snapshot cell assignment every micro-batch). */
+  def semanticGate(stream: DataFrame, priorCells: DataFrame,
+      centroids: Array[Array[Double]], threshold: Double,
+      embCol: String = "embedding", nprobe: Int = 1,
+      maxCellSize: Int = 1000, roundDigits: Int = 5): DataFrame = {
+    import graft.ext.Similarity
+    require(stream.isStreaming,
+      "semanticGate is the streaming twin; batch frames use Similarity.incrementalSemDedup")
+    require(!priorCells.isStreaming, "priorCells must be a static snapshot")
+    require(priorCells.columns.toSeq == Seq("id", "cell", "emb"),
+      "priorCells must be a semanticKeys projection (id, cell, emb); " +
+        "got " + priorCells.columns.mkString(", "))
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+    val staged = "_scells" +: (0 until nprobe).flatMap(i =>
+      Seq(s"_sc$i", s"_sps$i"))
+    staged.foreach { c =>
+      require(!stream.columns.contains(c),
+        s"the feed already carries a column named $c — semanticGate " +
+          "stages tier state there; rename the input column")
+    }
+    val cellLists = Similarity.cappedCells(
+        priorCells.select(col("cell"),
+          struct(col("emb").as("e"),
+            Similarity.l2Norm(col("emb")).as("n")).as("_p")),
+        maxCellSize)
+      .groupBy("cell").agg(collect_list(col("_p")).as("_sps"))
+      .localCheckpoint()
+    val withCells = stream.withColumn("_scells",
+      Similarity.ivfCells(col(embCol), centroids, nprobe))
+    val joined = (0 until nprobe).foldLeft(withCells) { (df, i) =>
+      df.withColumn(s"_sc$i", element_at(col("_scells"), i + 1))
+        .join(cellLists.select(col("cell").as(s"_sc$i"),
+          col("_sps").as(s"_sps$i")), Seq(s"_sc$i"), "left_outer")
+    }
+    val sn = Similarity.l2Norm(col(embCol))
+    val matchAny = (0 until nprobe).map { i =>
+      coalesce(exists(col(s"_sps$i"), p =>
+        round(Similarity.dot(col(embCol), p.getField("e")) /
+          (sn * p.getField("n")), roundDigits) >= threshold), lit(false))
+    }.reduce(_ || _)
+    joined.where(!matchAny).drop(staged: _*)
+  }
+
+  /** Streaming composition of [[graft.ext.Dedup.stripSeenParagraphs]] —
+    * the paragraph tier over a feed, as a `foreachBatch` body (the
+    * continuous-archiving pattern): each micro-batch is stripped
+    * against the persisted [[graft.ext.Dedup.paragraphKeys]] snapshot
+    * with the SAME batch operator (shared code), and the per-doc
+    * (idCol, n_paras, n_seen_paras, clean_text) rows — stamped with the
+    * batch id — go to `sink`. The strip is per-DOCUMENT-independent
+    * given the static snapshot, so per-batch outputs over a feed equal
+    * the batch operator over the concatenated feed row-for-row (the
+    * attritionForeachBatch parity discipline; StreamingSpec pins it). */
+  def stripSeenParagraphsForeachBatch(priorParaKeys: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id")(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, batchId) => sink(
+      graft.ext.Dedup.stripSeenParagraphs(batch, priorParaKeys, textCol, idCol)
+        .withColumn("batch_id", lit(batchId)))
+
   /** Streaming twin of [[graft.ext.Cleaning.attritionReport]] — per
     * micro-batch stage accounting for a gated feed: a `foreachBatch`
     * body that classifies the batch's rows with the SAME first-fail

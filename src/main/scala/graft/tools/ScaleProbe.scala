@@ -236,6 +236,41 @@ object ScaleProbe {
         numHashes = 128, bands = 32, threshold = 0.8,
         priorCanonKeys = Some(Dedup.canonicalKeys(prior))).count()
     }
+    // paragraph gate tier: snapshot keys are map-only; the strip is one
+    // hash join on the md5 key (snapshot side keys-only) + a per-doc
+    // page rebuild — linear in batch paragraphs
+    time("paragraph_strip") {
+      val pages = big.withColumn("text",
+        concat_ws("\n", lit("Shared boilerplate header line."), col("text"),
+          concat(lit("Unique footer "), col("doc_id").cast("string"))))
+      val prior = pages.where(col("doc_id") % 3 =!= 0)
+      val batch = pages.where(col("doc_id") % 3 === 0)
+      Dedup.stripSeenParagraphs(batch, Dedup.paragraphKeys(prior))
+        .agg(sum(length(col("clean_text"))), sum("n_seen_paras")).collect()
+      1L
+    }
+    // incremental semantic tier over the replicated embeddings table:
+    // cell assignment map-only, ONE equi-join shuffle on the cell id,
+    // per-cell candidate work bounded by the cap — linear in vectors
+    if (selected("incremental_semdedup")) {
+      import graft.ext.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val bigEmb = spark.range(mult).crossJoin(emb)
+        .select((col("vec_id") * mult + col("id")).as("vec_id"), col("embedding"))
+        .repartition(32).cache()
+      val nEmb = bigEmb.count()
+      val prior = bigEmb.where(col("vec_id") % 3 =!= 0)
+      val batch = bigEmb.where(col("vec_id") % 3 === 0)
+      val cents = Similarity.kmeansCentroids(prior, k = 16)
+      time("incremental_semdedup") {
+        Similarity.incrementalSemDedup(batch,
+          Similarity.semanticKeys(prior, cents), cents,
+          threshold = 0.95, nprobe = 2, maxCellSize = 20000).count()
+      }
+      println(s"[scale] semdedup vectors: $nEmb")
+      bigEmb.unpersist(blocking = true)
+    }
     // token-budget mix: one range-partitioned cumsum over (lang, id)
     time("token_budget") {
       graft.ext.Curation.takeTokenBudget(big, "lang",

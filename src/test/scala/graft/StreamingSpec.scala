@@ -560,6 +560,93 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming semantic gate agrees with the batch incrementalSemDedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val Similarity = graft.ext.Similarity
+    val rng = new scala.util.Random(41)
+    val centers = Array.fill(3)(Array.fill(8)(rng.nextGaussian() * 4))
+    def vec(c: Int) = centers(c).map(x => (x + rng.nextGaussian() * 0.4).toFloat).toSeq
+    val prior = (0 until 120).map(i => (i.toLong, vec(i % 3))).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(prior, k = 3, sampleRows = 200, iters = 10)
+    val snap = Similarity.semanticKeys(prior, cents).localCheckpoint()
+    // feed: jittered paraphrase replicas of prior docs + genuinely far
+    // vectors (a fourth region no prior doc occupies)
+    val priorRows = prior.as[(Long, Seq[Float])].collect()
+    val far = Array.fill(8)(25.0)
+    val feed = priorRows.take(30).map { case (id, v) =>
+      (1000L + id, v.map(x => x + rng.nextGaussian().toFloat * 0.005f))
+    } ++ (0 until 20).map(i =>
+      (5000L + i, far.map(x => (x + rng.nextGaussian()).toFloat).toSeq))
+    val batchKept = Similarity.incrementalSemDedup(
+        feed.toSeq.toDF("vec_id", "embedding"), snap, cents,
+        threshold = 0.999, nprobe = 2, maxCellSize = 100000)
+      .select("vec_id").as[Long].collect().toSet
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val gated = graft.streaming.StreamingIngest.semanticGate(
+      stream.toDF().toDF("vec_id", "embedding"), snap, cents,
+      threshold = 0.999, nprobe = 2, maxCellSize = 100000)
+    val q = gated.writeStream.format("memory").queryName("sem_gate_sink")
+      .outputMode("append").start()
+    try {
+      stream.addData(feed.toSeq)
+      q.processAllAvailable()
+      val streamKept = spark.table("sem_gate_sink")
+        .select("vec_id").as[Long].collect().toSet
+      assert(streamKept == batchKept,
+        s"stream-only=${streamKept -- batchKept} batch-only=${batchKept -- streamKept}")
+      // the far vectors survive, the replicas are (almost all) blocked
+      assert((5000 until 5020).forall(i => streamKept(i.toLong)))
+      assert(streamKept.count(id => id >= 1000L && id < 2000L) <= 3)
+    } finally q.stop()
+    // loud rejects: staged column; non-projection snapshot
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.semanticGate(
+        stream.toDF().toDF("vec_id", "embedding").withColumn("_sc0", lit(1)),
+        snap, cents, 0.9)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.semanticGate(
+        stream.toDF().toDF("vec_id", "embedding"), prior, cents, 0.9)
+    }
+  }
+
+  test("streaming paragraph strip (foreachBatch) equals the batch stripSeenParagraphs over the concatenated feed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val Dedup = graft.ext.Dedup
+    val day1 = Seq(
+      (1L, "Shared header.\nday one body\nFooter 1"),
+      (2L, "Shared header.\nother body\nFooter 2")).toDF("doc_id", "text")
+    val keys = Dedup.paragraphKeys(day1).localCheckpoint()
+    val feed = Seq(
+      (10L, "Shared header.\nnovel ten\nday one body"),
+      (11L, "all novel\nhere"),
+      (12L, "other body\nnovel twelve"),
+      (13L, "Shared header.\nFooter 2"))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]()
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.streaming.StreamingIngest
+        .stripSeenParagraphsForeachBatch(keys)(b =>
+          out ++= b.select(col("doc_id"), col("n_paras"),
+            col("n_seen_paras"), col("clean_text"))
+            .as[(Long, Long, Long, String)].collect()))
+      .outputMode("append").start()
+    try {
+      stream.addData(feed.take(2)); q.processAllAvailable()
+      stream.addData(feed.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val batch = Dedup.stripSeenParagraphs(feed.toDF("doc_id", "text"), keys)
+      .select(col("doc_id"), col("n_paras"), col("n_seen_paras"),
+        col("clean_text"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out.toSet == batch, s"stream=${out.toSet} batch=$batch")
+    assert(batch.find(_._1 == 10L).get._4 == "novel ten")
+  }
+
   test("cleanDocuments loud-rejects feeds carrying any gate-staged column") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

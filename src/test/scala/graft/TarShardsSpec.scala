@@ -52,6 +52,69 @@ class TarShardsSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(parsed(1)._2, Array.tabulate(700)(_.toByte)))
   }
 
+  test("readShardsStreamed: byte-identical to readShardsBinary on a mixed plain/gz store, long names included") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    def rows(n0: Int) = (0 until 40).map { i =>
+      val name =
+        if (i % 7 == 0) ("k" * 140) + f"$i%04d.txt" // GNU longname path
+        else f"member-$i%04d.txt"
+      (i % 4L, name, Array.fill(rng.nextInt(3000))(rng.nextInt().toByte))
+    }
+    val plainDir = tmpDir("tar_stream_plain").getPath
+    val gzDir = tmpDir("tar_stream_gz").getPath
+    TarShards.writeShards(rows(0).toDF("shard", "name", "payload"),
+      plainDir, "shard", "name", "payload")
+    TarShards.writeShards(rows(1).toDF("shard", "name", "payload"),
+      gzDir, "shard", "name", "payload", gzip = true)
+    for (dir <- Seq(plainDir, gzDir)) {
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("shard"), col("member_name"),
+          octet_length(col("body")).cast("long").as("n"), md5(col("body")))
+        .as[(Long, String, Long, String)].collect().toSet
+      val streamed = key(TarShards.readShardsStreamed(spark, dir))
+      val inMemory = key(TarShards.readShardsBinary(spark, dir))
+      assert(streamed == inMemory && streamed.size == 40, s"$dir: mismatch")
+    }
+  }
+
+  test("readShardsStreamed reads a >2 GiB archive the whole-file scan cannot hold") {
+    import spark.implicits._
+    // 40 x 64 MiB members = 2.56 GiB — past the JVM byte-array (and
+    // binaryFile content) cap that bounds readShards. Written streamed
+    // (per-member archives concatenated minus their trailers), read
+    // back with the bounded-window parser; md5s pin every byte.
+    val dir = tmpDir("tar_huge")
+    val f = new java.io.File(dir, "shard-00000.tar")
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(f), 1 << 20)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = (0 until 40).map { i =>
+      val body = new Array[Byte](64 << 20)
+      java.util.Arrays.fill(body, (i + 1).toByte)
+      body(0) = (i * 3 + 7).toByte // per-member fingerprint byte
+      val name = f"big-$i%04d.bin"
+      val one = TarShards.writeAll(Seq(name -> body))
+      out.write(one, 0, one.length - 1024) // strip the per-call trailer
+      md.reset()
+      name -> (body.length.toLong, md.digest(body).map("%02x".format(_)).mkString)
+    }.toMap
+    out.write(new Array[Byte](1024)) // the archive trailer
+    out.close()
+    assert(f.length() > Int.MaxValue.toLong, f.length())
+    val got = TarShards.readShardsStreamed(spark, dir.getPath)
+      .select(col("member_name"), octet_length(col("body")).cast("long"),
+        md5(col("body")))
+      .as[(String, Long, String)].collect()
+      .map { case (n, len, h) => n -> (len, h) }.toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (n, want) =>
+      assert(got(n) == want, s"$n: ${got(n)} vs $want")
+    }
+    // free the 2.5 GiB promptly
+    f.delete()
+  }
+
   test("writeShards/readShards round-trip: one tar per shard, deterministic bytes, rows preserved") {
     import spark.implicits._
     val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
@@ -291,6 +354,33 @@ class TarShardsSpec extends AnyFunSuite {
         .mkString(" | ")
       assert(msgs.contains("malformed .idx line"), s"$badLine -> $msgs")
     }
+  }
+
+  test("fetchSamples over a MIXED store: un-indexed shards fall back to a scan, nothing silently missing") {
+    import spark.implicits._
+    val dir = tmpDir("tar_mixed_idx").getPath
+    // shards 0/1 indexed; shards 2/3 written WITHOUT sidecars (the
+    // pre-index era of a store) — requested keys live in both eras
+    val indexed = (0 until 20).map(i => (i % 2L, f"k$i%04d", s"body $i"))
+      .toDF("shard", "key", "cap").withColumn("txt", col("cap").cast("binary"))
+    val plain = (20 until 40).map(i => (2L + i % 2L, f"k$i%04d", s"body $i"))
+      .toDF("shard", "key", "cap").withColumn("txt", col("cap").cast("binary"))
+    TarShards.writeSampleShards(indexed, dir, "shard", "key",
+      Seq("txt" -> "txt"), index = true)
+    TarShards.writeSampleShards(plain, dir, "shard", "key",
+      Seq("txt" -> "txt"), index = false)
+    val want = Seq("k0003", "k0007", "k0023", "k0031", "k9999") // both eras + a miss
+    val got = TarShards.fetchSamples(spark, dir, want.toDF("key"))
+      .select(col("shard"), col("key"),
+        col("parts").getItem("txt").cast("string").as("txt"))
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "k0003", "body 3"), (1L, "k0007", "body 7"),
+      (3L, "k0023", "body 23"), (3L, "k0031", "body 31")), got)
+    // a FULLY indexed store takes the pure ranged path (no scan branch)
+    val got2 = TarShards.fetchSamples(spark, dir.toString,
+      Seq("k0003").toDF("key")).count()
+    assert(got2 == 1L)
   }
 
   test("seeded random fetch property: random multi-part stores fetch byte-exactly through the index, long keys and empty bodies included") {
