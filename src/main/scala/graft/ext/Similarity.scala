@@ -267,6 +267,42 @@ object Similarity {
       ivfCells(col(embCol), centroids, 1)(0).as("cell"),
       col(embCol).as("emb"))
 
+  /** [[graft.ext.Dedup.stampGeneration]]'s sibling for the SEMANTIC
+    * tier's snapshot artifact: stamp a [[semanticKeys]] table with the
+    * generation it was accepted in, so the embedding snapshot obeys the
+    * SAME re-admission policy as the lexical tiers — without this,
+    * aged-out content re-admits through the key/signature tiers but
+    * stays blocked by an eternal embedding table (and that table grows
+    * forever). Map-only; a (id, cell, emb, _gen) table bucketed on
+    * `cell` keeps the gate join's prior side on the layout. */
+  def stampSemanticGeneration(cells: DataFrame, gen: Long): DataFrame = {
+    require(cells.columns.toSeq == Seq("id", "cell", "emb"),
+      "stampSemanticGeneration takes a semanticKeys projection " +
+        "(id, cell, emb); got " + cells.columns.mkString(", "))
+    cells.withColumn("_gen", lit(gen))
+  }
+
+  /** Retention/TTL over a generation-stamped semantic snapshot — the
+    * embedding tier's [[graft.ext.Dedup.retainSignatureGenerations]]:
+    * per document id keep the LATEST stamped row (lexicographic max
+    * over (_gen, cell, emb) — a re-crawled id deterministically
+    * resolves to its newest embedding), drop ids last accepted before
+    * `minGen`, and return the (id, cell, emb) projection
+    * [[incrementalSemDedup]] takes as `priorCells`. One max-per-id
+    * groupBy (arrays are orderable, so the struct max is exact and
+    * engine-reproducible); against a snapshot bucketed on `id` it
+    * plans exchange-free — same contract as the other tiers. */
+  def retainSemanticGenerations(cellsGen: DataFrame, minGen: Long): DataFrame = {
+    require(cellsGen.columns.toSeq == Seq("id", "cell", "emb", "_gen"),
+      "retainSemanticGenerations takes a stampSemanticGeneration " +
+        "projection (id, cell, emb, _gen); got " +
+        cellsGen.columns.mkString(", "))
+    cellsGen.groupBy("id")
+      .agg(max(struct(col("_gen"), col("cell"), col("emb"))).as("_m"))
+      .where(col("_m._gen") >= minGen)
+      .select(col("id"), col("_m.cell").as("cell"), col("_m.emb").as("emb"))
+  }
+
   /** Drop over-cap cells via a spillable window count — the semantic
     * gate's sibling of [[Dedup.cappedBuckets]]: a degenerate cell (the
     * quantizer's catch-all for near-zero or templated embeddings) would

@@ -1376,6 +1376,44 @@ object PipelineQueries {
         .orderBy("vec_id")
     }),
 
+    // SEMANTIC-tier retention — the embedding snapshot under the same
+    // one-knob lifecycle as the lexical tiers: day-1 gate against
+    // retain(gen0, 0) blocks +20000 exact-embedding replicas of the
+    // prior; the snapshot advances with day-1 acceptances (gen 1);
+    // day-2 gates against retain(gen1, 1), so +40000 replicas of the
+    // AGED-OUT gen-0 prior RE-ADMIT while +60000 replicas of day-1
+    // acceptances stay blocked. Without stampSemanticGeneration /
+    // retainSemanticGenerations the +40000 class would stay blocked by
+    // an eternal embedding table — the same eternal-artifact bug r13-15
+    // closed for the key/signature/canonical tiers
+    "p_incr_semdedup_ttl" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val prior = e.where(col("vec_id") % 3 === 1)
+      val gen0 = Similarity.stampSemanticGeneration(
+        Similarity.semanticKeys(prior, ivfCentroids), 0L).localCheckpoint()
+      val day1 = e.where(col("vec_id") % 3 === 2)
+        .unionByName(prior.where(col("vec_id") < 100)
+          .withColumn("vec_id", col("vec_id") + 20000))
+      val kept1 = Similarity.incrementalSemDedup(day1,
+        Similarity.retainSemanticGenerations(gen0, 0L), ivfCentroids,
+        threshold = 0.999, nprobe = 1, maxCellSize = 1000).localCheckpoint()
+      val gen1 = gen0.unionByName(Similarity.stampSemanticGeneration(
+        Similarity.semanticKeys(kept1, ivfCentroids), 1L))
+      val day2 = e.where(col("vec_id") % 3 === 0)
+        .unionByName(prior.where(col("vec_id") >= 100 && col("vec_id") < 200)
+          .withColumn("vec_id", col("vec_id") + 40000))
+        .unionByName(e.where(col("vec_id") % 3 === 2 && col("vec_id") < 100)
+          .withColumn("vec_id", col("vec_id") + 60000))
+      val kept2 = Similarity.incrementalSemDedup(day2,
+        Similarity.retainSemanticGenerations(gen1, 1L), ivfCentroids,
+        threshold = 0.999, nprobe = 1, maxCellSize = 1000)
+      kept1.select(lit(1).as("day"), col("vec_id"))
+        .unionByName(kept2.select(lit(2).as("day"), col("vec_id")))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_new"), sum("vec_id").as("sum_ids"))
+        .orderBy("day")
+    }),
+
     // learned quality-filter scoring: hashed-BoW (64 buckets, raw counts)
     // through the codegen dot-product kernel against a pinned literal
     // gblinear model — the map-only inference path of QualityClassifier
@@ -3645,6 +3683,73 @@ object PipelineQueries {
          |SELECT vec_id, CAST(cell1 AS INT) AS cell FROM bc
          |WHERE vec_id NOT IN (SELECT vec_id FROM flagged)
          |ORDER BY vec_id""".stripMargin
+    },
+
+    "p_incr_semdedup_ttl" -> {
+      val dp = Similarity.dotSql("b.embedding", "p.embedding", 64)
+      val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
+      val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
+      val cos = s"round(($dp) / (($nb) * ($np)), 5)"
+      def cells(name: String, src: String) =
+        s"""${name}_d AS (
+           |  SELECT vec_id, embedding, ${ivfDistCols("embedding")} FROM $src
+           |), ${name}_m AS (SELECT *, $ivfLeastAll AS m FROM ${name}_d),
+           |$name AS (
+           |  SELECT vec_id, embedding, $ivfCellCase AS cell FROM ${name}_m
+           |)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |pr AS (SELECT vec_id, embedding FROM e WHERE vec_id % 3 = 1),
+         |${cells("prc", "pr")},
+         |g0 AS (SELECT vec_id AS id, cell, embedding, 0 AS g FROM prc),
+         |r0 AS (
+         |  SELECT id, cell, embedding FROM g0 WHERE g >= 0
+         |  QUALIFY count(*) OVER (PARTITION BY cell) <= 1000
+         |), day1 AS (
+         |  SELECT vec_id, embedding FROM e WHERE vec_id % 3 = 2
+         |  UNION ALL
+         |  SELECT vec_id + 20000, embedding FROM pr WHERE vec_id < 100
+         |), ${cells("d1c", "day1")},
+         |d1cap AS (
+         |  SELECT * FROM d1c
+         |  QUALIFY count(*) OVER (PARTITION BY cell) <= 1000
+         |), f1 AS (
+         |  SELECT DISTINCT b.vec_id FROM d1cap b JOIN r0 p ON b.cell = p.cell
+         |  WHERE $cos >= 0.999
+         |), kept1 AS (
+         |  SELECT vec_id, embedding FROM day1
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM f1)
+         |), ${cells("k1c", "kept1")},
+         |g1 AS (
+         |  SELECT id, cell, embedding, g FROM g0
+         |  UNION ALL
+         |  SELECT vec_id, cell, embedding, 1 FROM k1c
+         |), r1 AS (
+         |  SELECT id, cell, embedding FROM g1 WHERE g >= 1
+         |  QUALIFY count(*) OVER (PARTITION BY cell) <= 1000
+         |), day2 AS (
+         |  SELECT vec_id, embedding FROM e WHERE vec_id % 3 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 40000, embedding FROM pr
+         |  WHERE vec_id >= 100 AND vec_id < 200
+         |  UNION ALL
+         |  SELECT vec_id + 60000, embedding FROM e
+         |  WHERE vec_id % 3 = 2 AND vec_id < 100
+         |), ${cells("d2c", "day2")},
+         |d2cap AS (
+         |  SELECT * FROM d2c
+         |  QUALIFY count(*) OVER (PARTITION BY cell) <= 1000
+         |), f2 AS (
+         |  SELECT DISTINCT b.vec_id FROM d2cap b JOIN r1 p ON b.cell = p.cell
+         |  WHERE $cos >= 0.999
+         |), kept2 AS (
+         |  SELECT vec_id FROM day2
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM f2)
+         |), un AS (
+         |  SELECT 1 AS day, vec_id FROM kept1
+         |  UNION ALL SELECT 2 AS day, vec_id FROM kept2
+         |)
+         |SELECT day, count(*) AS n_new, CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM un GROUP BY day ORDER BY day""".stripMargin
     },
 
     "p_quality_clf" -> {

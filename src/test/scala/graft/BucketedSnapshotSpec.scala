@@ -239,6 +239,33 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS bk_gen_sigs")
   }
 
+  test("semantic-table retention over a bucketed (id, cell, emb, gen) snapshot plans without an exchange") {
+    import org.apache.spark.sql.functions._
+    val Similarity = graft.ext.Similarity
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(
+      emb.where(col("vec_id") % 3 === 1), k = 4)
+    val stamped = Similarity.stampSemanticGeneration(
+      Similarity.semanticKeys(emb.where(col("vec_id") % 3 === 1), cents), 0L)
+    BucketedSnapshot.write(stamped, "bk_sem_cells", tmpDir("bk_sem"), "id", 8)
+    try {
+      // the semantic tier's retention pass (max-(gen, cell, emb) groupBy
+      // on id) must ride the bucketing — same contract as the signature
+      // table, the other wide snapshot artifact
+      val gate = Similarity.retainSemanticGenerations(
+        BucketedSnapshot.read(spark, "bk_sem_cells"), minGen = 0L)
+      val plan = gate.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(gate.count() > 0)
+      // and the retained projection feeds the gate end-to-end
+      assert(gate.columns.toSeq == Seq("id", "cell", "emb"))
+      val kept = Similarity.incrementalSemDedup(
+        emb.where(col("vec_id") % 3 === 0), gate, cents, threshold = 0.999)
+      assert(kept.count() > 0)
+    } finally spark.sql("DROP TABLE IF EXISTS bk_sem_cells")
+  }
+
   test("bucketed layout survives a catalog restart through a persistent (derby) metastore") {
     import org.apache.spark.sql.SparkSession
     import org.apache.spark.sql.functions._

@@ -126,6 +126,39 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic generation retention: aged-out embeddings re-admit, re-stamps take the max generation") {
+    import spark.implicits._
+    val prior = (0 until 60).map(i => (i.toLong,
+      Array.fill(8)((i % 3 + 1).toFloat).toSeq)).toDF("vec_id", "embedding")
+    val cents = Array(Array.fill(8)(1.0), Array.fill(8)(2.0), Array.fill(8)(3.0))
+    val gen0 = Similarity.stampSemanticGeneration(
+      Similarity.semanticKeys(prior, cents), 0L)
+    assert(gen0.columns.toSeq == Seq("id", "cell", "emb", "_gen"))
+    // a replica batch is blocked under retain(0)...
+    val batch = Seq((1000L, Array.fill(8)(1.0f).toSeq),
+      (1001L, Array.fill(8)(9.0f).toSeq)).toDF("vec_id", "embedding")
+    val cents2 = cents :+ Array.fill(8)(9.0)
+    def kept(minGen: Long, g: org.apache.spark.sql.DataFrame) =
+      Similarity.incrementalSemDedup(batch,
+        Similarity.retainSemanticGenerations(g, minGen), cents2,
+        threshold = 0.999).select("vec_id").as[Long].collect().toSet
+    assert(kept(0L, gen0) == Set(1001L))
+    // ...and re-admits once the gen-0 stamps age out
+    assert(kept(1L, gen0) == Set(1000L, 1001L))
+    // a re-stamp takes the max generation: the same id re-accepted at
+    // gen 2 keeps blocking at minGen = 2 (latest row wins per id)
+    val gen2 = gen0.unionByName(Similarity.stampSemanticGeneration(
+      Similarity.semanticKeys(prior.where($"vec_id" === 0L), cents), 2L))
+    assert(kept(2L, gen2) == Set(1001L))
+    // shape loud-rejects
+    intercept[IllegalArgumentException] {
+      Similarity.stampSemanticGeneration(prior, 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.retainSemanticGenerations(gen0.drop("_gen"), 0L)
+    }
+  }
+
   test("incrementalSemDedup cell cap drops degenerate cells on both sides; members pass the tier") {
     import spark.implicits._
     // all prior docs in ONE degenerate cell (identical embedding) + one
