@@ -333,6 +333,14 @@ object Similarity {
     * only the snapshot's (cell, emb) projection, never prior text.
     * Decisions are deterministic given the projection (rounded cosine,
     * exact in any engine — the DuckDB oracle replays it bit-for-bit).
+    * SIZE THE QUANTIZER WITH THE CORPUS (k ≈ √n, the [[semDedup]]
+    * contract): per-cell work is ≈ (n/k)² so a FIXED k turns the tier
+    * quadratic as the corpus grows, and k also bounds the candidate
+    * join's parallelism (cells are the partition unit) — ScaleProbe
+    * measured k=16 over 40k vectors 7× slower than √n cells on the
+    * same data. Within-batch semantic dedup is out of scope (compose
+    * [[semDedup]] / [[semDupPairs]] in front), mirroring the banded
+    * tier's cross-snapshot-only contract.
     *
     * Returns the kept new-batch rows (original schema); `idCol` must be
     * unique within `newDocs` (it keys the flagged-id anti-join). */

@@ -689,6 +689,37 @@ object PipelineQueries {
       res
     }),
 
+    // the STREAMED shard read at file scale: same store shape as
+    // p_tar_files but HALF the shards written gzipped (the sniff must
+    // pick the right front per file) and the readback goes through
+    // readShardsStreamed — the bounded-window parser that never holds a
+    // whole archive (the >2 GiB third-party path, spec-proven on a
+    // 2.56 GiB shard; this row pins its byte fidelity against DuckDB's
+    // independent recomputation from the source table)
+    "p_tar_stream" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("shard", pmod(col("doc_id"), lit(8)))
+        .withColumn("name", format_string("%06d.txt", col("doc_id")))
+        .withColumn("payload", col("text").cast("binary"))
+      val out = java.nio.file.Files.createTempDirectory("graft_tar_stream")
+      graft.sources.TarShards.writeShards(docs.where(col("shard") < 4),
+        out.toString, "shard", "name", "payload")
+      graft.sources.TarShards.writeShards(docs.where(col("shard") >= 4),
+        out.toString, "shard", "name", "payload", gzip = true)
+      val res = graft.sources.TarShards.readShardsStreamed(s, out.toString)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_members"),
+          sum(octet_length(col("body")).cast("long")).as("sum_bytes"),
+          sum(conv(substring(md5(col("body")), 1, 12), 16, 10)
+            .cast("long")).as("sum_h"))
+        .orderBy("shard")
+        .localCheckpoint() // materialize BEFORE deleting the files
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      res
+    }),
+
     // the WebDataset SAMPLE model at file scale: every document becomes
     // a two-part sample (<key>.json metadata + <key>.txt payload) in
     // real shard files, read back grouped per sample. DuckDB recomputes
@@ -1374,6 +1405,65 @@ object PipelineQueries {
         .select(col("vec_id"),
           Similarity.ivfCells(col("embedding"), ivfCentroids, 1)(0).as("cell"))
         .orderBy("vec_id")
+    }),
+
+    // the FIVE-tier daily gate — the full membrane over a corpus that
+    // carries BOTH text and embeddings (documents ⋈ embeddings on id):
+    // the four lexical tiers (incrementalCrawlGate) compose with the
+    // semantic tier (incrementalSemDedup on the survivors — the
+    // documented tier order: lexical first, they are cheaper). One
+    // replica class per tier proves each membrane catches exactly its
+    // own: +60000 byte-identical (signature-key tier), +20000
+    // uppercased-decorated (normalized tier), +40000 8-token-appended
+    // (banded tier) — all three carry a FAR synthetic embedding so the
+    // semantic tier cannot mask a lexical leak — and +80000
+    // fully-REWORDED pages carrying a PRIOR doc's embedding (different
+    // bytes, canonical form AND shingles: only the semantic tier can
+    // see them). Kept classes aggregate by id range — the semantic
+    // class (+80000) is blocked COMPLETELY at cos ≥ 0.999, while a
+    // handful of SHORT docs in the banded class legitimately pass
+    // (their 8-token append drops estimated J below 0.8 — the tier's
+    // documented threshold behavior, replayed identically by DuckDB)
+    "p_crawl_sem" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val corpus = d.join(e, "doc_id")
+      val prior = corpus.where(col("doc_id") % 3 === 1).localCheckpoint()
+      val far = array_repeat(lit(25.0f), 64)
+      val batch = corpus.where(col("doc_id") % 3 === 0)
+        .unionByName(prior.where(col("doc_id") < 150).select(
+          (col("doc_id") + 20000).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("  !! ")).as("text"),
+          col("lang"), far.as("embedding")))
+        .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            concat(col("text"),
+              lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
+            col("lang"), far.as("embedding")))
+        .unionByName(prior.where(col("doc_id") >= 250 && col("doc_id") < 350)
+          .select((col("doc_id") + 60000).as("doc_id"), col("text"),
+            col("lang"), far.as("embedding")))
+        .unionByName(prior.where(col("doc_id") < 150).select(
+          (col("doc_id") + 80000).as("doc_id"),
+          concat(lit("reworded page number "), col("doc_id").cast("string"),
+            lit(" entirely different words here")).as("text"),
+          col("lang"), col("embedding")))
+      val kept4 = Dedup.incrementalCrawlGate(batch,
+        Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
+          .localCheckpoint(),
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket,
+        priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
+      val kept5 = Similarity.incrementalSemDedup(kept4,
+        Similarity.semanticKeys(prior, ivfCentroids, idCol = "doc_id")
+          .localCheckpoint(),
+        ivfCentroids, threshold = 0.999, idCol = "doc_id", nprobe = 1,
+        maxCellSize = 1000)
+      kept5.groupBy(floor(col("doc_id") / 20000).cast("long").as("class"))
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+        .orderBy("class")
     }),
 
     // SEMANTIC-tier retention — the embedding snapshot under the same
@@ -2913,6 +3003,18 @@ object PipelineQueries {
         |  CAST(sum(h) AS BIGINT) AS sum_h
         |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
 
+    "p_tar_stream" ->
+      """WITH m AS (
+        |  SELECT doc_id % 8 AS shard,
+        |    strlen(text) AS n_bytes,
+        |    CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT) AS h
+        |  FROM documents
+        |)
+        |SELECT shard, count(*) AS n_members,
+        |  CAST(sum(n_bytes) AS BIGINT) AS sum_bytes,
+        |  CAST(sum(h) AS BIGINT) AS sum_h
+        |FROM m GROUP BY shard ORDER BY shard""".stripMargin,
+
     "p_tar_samples" ->
       """WITH parts AS (
         |  SELECT doc_id % 4 AS shard, text AS body FROM documents
@@ -3683,6 +3785,63 @@ object PipelineQueries {
          |SELECT vec_id, CAST(cell1 AS INT) AS cell FROM bc
          |WHERE vec_id NOT IN (SELECT vec_id FROM flagged)
          |ORDER BY vec_id""".stripMargin
+    },
+
+    "p_crawl_sem" -> {
+      val dp = Similarity.dotSql("b.embedding", "p.embedding", 64)
+      val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
+      val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
+      val cos = s"round(($dp) / (($nb) * ($np)), 5)"
+      val farSql = "list_transform(range(1, 65), i -> CAST(25.0 AS DOUBLE))"
+      def cells(name: String, src: String) =
+        s"""${name}_d AS (
+           |  SELECT vec_id, embedding, ${ivfDistCols("embedding")} FROM $src
+           |), ${name}_m AS (SELECT *, $ivfLeastAll AS m FROM ${name}_d),
+           |$name AS (
+           |  SELECT vec_id, embedding, $ivfCellCase AS cell FROM ${name}_m
+           |  QUALIFY count(*) OVER (PARTITION BY $ivfCellCase) <= 1000
+           |)""".stripMargin
+      s"""WITH corpus AS (
+         |  SELECT d.doc_id, d.text, d.lang, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |), prior AS (SELECT * FROM corpus WHERE doc_id % 3 = 1),
+         |batch AS (
+         |  SELECT doc_id, text, lang, embedding FROM corpus WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000, '  ' || upper(text) || '  !! ', lang, $farSql
+         |  FROM prior WHERE doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 40000,
+         |    text || ' sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8', lang, $farSql
+         |  FROM prior WHERE doc_id >= 150 AND doc_id < 250
+         |  UNION ALL
+         |  SELECT doc_id + 60000, text, lang, $farSql
+         |  FROM prior WHERE doc_id >= 250 AND doc_id < 350
+         |  UNION ALL
+         |  SELECT doc_id + 80000,
+         |    'reworded page number ' || doc_id || ' entirely different words here',
+         |    lang, embedding
+         |  FROM prior WHERE doc_id < 150
+         |), ${sigKeyCtes("p", "prior", NumHashes)},
+         |pck AS (SELECT md5(${canonSql("text")}) AS key FROM prior),
+         |${sigKeyCtes("b1", "batch", NumHashes)},
+         |${crawlGateCtes("b1", "batch", "p_key", "p_sig", Some("pck"))},
+         |prsrc AS (SELECT doc_id AS vec_id, embedding FROM prior),
+         |s5src AS (
+         |  SELECT b.doc_id AS vec_id, b.embedding
+         |  FROM b1_kept k JOIN batch b ON b.doc_id = k.doc_id
+         |), ${cells("prc", "prsrc")},
+         |${cells("s5c", "s5src")},
+         |f5 AS (
+         |  SELECT DISTINCT b.vec_id FROM s5c b JOIN prc p ON b.cell = p.cell
+         |  WHERE $cos >= 0.999
+         |), kept5 AS (
+         |  SELECT doc_id FROM b1_kept
+         |  WHERE doc_id NOT IN (SELECT vec_id FROM f5)
+         |)
+         |SELECT CAST(floor(doc_id / 20000) AS BIGINT) AS class,
+         |  count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM kept5 GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
     "p_incr_semdedup_ttl" -> {

