@@ -107,9 +107,12 @@ object Dedup {
     * chaining over LSH-mined pairs is exactly how monster components
     * form at crawl scale (templated/boilerplate families: A~B, B~C, …).
     *
-    * Ordering semantics match the window spelling bit-for-bit: `max` of
-    * `struct(_score, -id)` is max score, then min id (null scores order
-    * last, NaN first — Spark's ordering on both paths). Ids of
+    * Ordering semantics match the window spelling bit-for-bit for
+    * non-null ids: `max` of `struct(_score, -id)` is max score, then
+    * min id (null scores order last, NaN first — Spark's ordering on
+    * both paths). Rows with a NULL id — a data bug, the id keys the
+    * resolution — all come back kept=0 (the join-back cannot match a
+    * null), where the old window arbitrarily kept one of them. Ids of
     * Long.MinValue are unsupported (the tiebreak negation would
     * overflow); real corpus ids are non-negative.
     *
@@ -389,25 +392,33 @@ object Dedup {
     * runtime-bloom-filter budget); the items cap is raised to the
     * honest estimate for the duration of the build (it only tunes the
     * hash-function count — restored after). */
+  /** Serializes the raise-build-restore of the items-cap conf below:
+    * concurrent over-cap builds in one JVM would otherwise interleave
+    * their read/set/restore and could leave the session's cap
+    * permanently inflated (thread B reads thread A's raised value as
+    * "old"). Coarse by design — over-cap builds are rare and heavy. */
+  private val bloomConfLock = new Object
+
   private def executorBloomBytes(keys: DataFrame, keyCol: String,
-      expectedItems: Long, requestedBits: Long): Array[Byte] = {
-    import org.apache.spark.sql.catalyst.expressions.Literal
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graft.ColumnBridge
-    val conf = keys.sparkSession.conf
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val oldItems = conf.get(itemsKey)
-    val numBits = math.max(64L, math.min(requestedBits, conf.get(bitsKey).toLong))
-    conf.set(itemsKey, math.max(oldItems.toLong, expectedItems).toString)
-    try {
-      val agg = new BloomFilterAggregate(
-        ColumnBridge.expression(xxhash64(col(keyCol))),
-        Literal(expectedItems), Literal(numBits)).toAggregateExpression()
-      keys.select(ColumnBridge.column(agg).as("bf"))
-        .head().getAs[Array[Byte]](0)
-    } finally conf.set(itemsKey, oldItems)
-  }
+      expectedItems: Long, requestedBits: Long): Array[Byte] =
+    bloomConfLock.synchronized {
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      import org.apache.spark.sql.graft.ColumnBridge
+      val conf = keys.sparkSession.conf
+      val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val oldItems = conf.get(itemsKey)
+      val numBits = math.max(64L, math.min(requestedBits, conf.get(bitsKey).toLong))
+      conf.set(itemsKey, math.max(oldItems.toLong, expectedItems).toString)
+      try {
+        val agg = new BloomFilterAggregate(
+          ColumnBridge.expression(xxhash64(col(keyCol))),
+          Literal(expectedItems), Literal(numBits)).toAggregateExpression()
+        keys.select(ColumnBridge.column(agg).as("bf"))
+          .head().getAs[Array[Byte]](0)
+      } finally conf.set(itemsKey, oldItems)
+    }
 
   /** The signature-equality dedup KEY of a document — the '_'-joined
     * `numHashes`-slot MinHash signature, falling back to the exact content
@@ -986,10 +997,15 @@ object Dedup {
     * is set, find the largest component (one map-side-combined count per
     * label + a top-1 — no component is ever collected) and throw if it
     * exceeds the cap, naming the offender so the caller can go look at
-    * the data. Returns `labels` unchanged when the cap is off or met. */
-  private def checkedClusterSizes(labels: DataFrame,
+    * the data. The label table is localCheckpointed first so the guard's
+    * own job and the caller's subsequent actions share ONE computation
+    * of the final label join instead of each re-deriving it — the guard
+    * must price like a count, not double the resolution stage. Returns
+    * the (materialized) labels when the cap is off or met. */
+  private def checkedClusterSizes(labels0: DataFrame,
       maxClusterSize: Long): DataFrame = {
-    if (maxClusterSize <= 0) return labels
+    if (maxClusterSize <= 0) return labels0
+    val labels = labels0.localCheckpoint()
     val top = labels.groupBy("label").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc).limit(1).collect()
     top.headOption.foreach { r =>

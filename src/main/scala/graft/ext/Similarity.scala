@@ -263,7 +263,9 @@ object Similarity {
     * side rides the layout. */
   def semanticKeys(corpus: DataFrame, centroids: Array[Array[Double]],
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame =
-    corpus.select(col(idCol).cast("long").as("id"),
+    // the id keeps its ORIGINAL type: a hidden cast("long") would turn a
+    // UUID-string id into null and silently neuter the gate's anti-join
+    corpus.select(col(idCol).as("id"),
       ivfCells(col(embCol), centroids, 1)(0).as("cell"),
       col(embCol).as("emb"))
 
@@ -357,8 +359,11 @@ object Similarity {
     val pr = cappedCells(
       priorCells.select(col("cell"), col("emb"), l2Norm(col("emb")).as("_pn")),
       maxCellSize)
+    // the flagged-id key keeps the caller's id type uncast — see
+    // semanticKeys' rationale (a silent cast-to-null would make the
+    // anti-join a no-op for non-numeric ids)
     val bq = cappedCells(
-      newDocs.select(col(idCol).cast("long").as("_bid"),
+      newDocs.select(col(idCol).as("_bid"),
         explode(ivfCells(col(embCol), centroids, nprobe)).as("cell"),
         col(embCol).as("_be"), l2Norm(col(embCol)).as("_bn")),
       maxCellSize)

@@ -696,6 +696,10 @@ object TarShards {
           val hp = new org.apache.hadoop.fs.Path(p)
           val buf = new java.io.BufferedInputStream(
             hp.getFileSystem(conf).open(hp), 1 << 16)
+          // track the RAW stream immediately: a corrupt gzip header
+          // makes the GZIPInputStream constructor throw below, and the
+          // task-completion listener must still find something to close
+          cur = buf
           // gzip magic sniff without consuming the stream
           buf.mark(2)
           val b0 = buf.read(); val b1 = buf.read()
@@ -922,7 +926,8 @@ object TarShards {
     val fsd = globPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val all = Option(fsd.globStatus(globPath)).getOrElse(Array.empty)
       .map(_.getPath.toString)
-    val idxShards = all.filter(_.endsWith(".idx")).map(shardIdOf).toSet
+    val idxFiles = all.filter(_.endsWith(".idx"))
+    val idxShards = idxFiles.map(shardIdOf).toSet
     val unindexed = all.filter(p =>
       (p.endsWith(".tar") || p.endsWith(".tar.gz")) &&
         !idxShards.contains(shardIdOf(p)))
@@ -945,6 +950,14 @@ object TarShards {
           Seq("key"), "left_semi")
           .select("shard", "key", "parts"))
       }
+    // a store with NO sidecars at all (every shard predates index=true,
+    // or an empty directory) must not die on the `.idx` glob below —
+    // PATH_NOT_FOUND at plan time is exactly the opaque failure the
+    // fallback exists to replace
+    if (idxFiles.isEmpty)
+      return fallback.getOrElse(
+        Seq.empty[(Long, String, Map[String, Array[Byte]])]
+          .toDF("shard", "key", "parts"))
     val confEntries = hadoopConfEntries(spark)
     val n = spark.sessionState.conf.numShufflePartitions
     val nameRe = "^(.*)\\.([^.]+)$"

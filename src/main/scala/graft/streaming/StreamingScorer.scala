@@ -626,10 +626,11 @@ object StreamingIngest {
     * prior's per-cell (embedding, norm) lists — distinct join keys, so
     * stream rows never duplicate — then a pure array-expression
     * verdict. Over-cap prior cells are dropped via the SAME
-    * [[graft.ext.Similarity.cappedCells]] window the batch gate uses;
-    * parity with the batch operator holds whenever no cell exceeds the
-    * cap on either side (the batch gate also caps ITS probe side — the
-    * banded-tier convention). Compose AFTER [[cleanDocuments]]: the
+    * [[graft.ext.Similarity.cappedCells]] window the batch gate uses,
+    * with the SAME default cap as the batch twin (mismatched defaults
+    * would silently break parity out of the box); parity holds whenever
+    * no cell exceeds the cap on either side (the batch gate also caps
+    * ITS probe side — the banded-tier convention). Compose AFTER [[cleanDocuments]]: the
     * lexical tiers are cheaper and catch everything but the paraphrase
     * class this tier exists for.
     *
@@ -639,7 +640,7 @@ object StreamingIngest {
   def semanticGate(stream: DataFrame, priorCells: DataFrame,
       centroids: Array[Array[Double]], threshold: Double,
       embCol: String = "embedding", nprobe: Int = 1,
-      maxCellSize: Int = 1000, roundDigits: Int = 5): DataFrame = {
+      maxCellSize: Int = 10000, roundDigits: Int = 5): DataFrame = {
     import graft.ext.Similarity
     require(stream.isStreaming,
       "semanticGate is the streaming twin; batch frames use Similarity.incrementalSemDedup")

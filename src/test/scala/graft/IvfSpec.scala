@@ -126,6 +126,59 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded property: incrementalSemDedup == brute-force cell-probe filter; empty edges degrade") {
+    import spark.implicits._
+    val rng = new scala.util.Random(53)
+    def v() = Array.fill(8)((rng.nextGaussian() * 2).toFloat)
+    val priorRows = (0 until 80).map(i => (i.toLong, v()))
+    val batchRows = (100 until 160).map { i =>
+      // half the batch = small perturbations of prior vectors (both
+      // outcomes occur at τ = 0.8), half fresh
+      if (i % 2 == 0) {
+        val (_, pv) = priorRows(rng.nextInt(priorRows.length))
+        (i.toLong, pv.map(x => x + rng.nextGaussian().toFloat * 0.3f))
+      } else (i.toLong, v())
+    }
+    val prior = priorRows.map { case (i, a) => (i, a.toSeq) }.toDF("vec_id", "embedding")
+    val batch = batchRows.map { case (i, a) => (i, a.toSeq) }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(prior, k = 4, sampleRows = 80)
+    val kept = Similarity.incrementalSemDedup(batch,
+        Similarity.semanticKeys(prior, cents), cents,
+        threshold = 0.8, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    // brute-force oracle of the rule, mirroring IvfCells' probe order
+    // (ascending squared distance, ties to the lowest index)
+    def dists(x: Array[Float]) = cents.map(c =>
+      c.zip(x).map { case (a, b) => (a - b.toDouble) * (a - b.toDouble) }.sum)
+    def nearest(x: Array[Float], n: Int) = {
+      val d = dists(x)
+      d.indices.sortBy(i => (d(i), i)).take(n).toSet
+    }
+    def cos(a: Array[Float], b: Array[Float]) = {
+      val dp = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      math.rint(dp / (na * nb) * 1e5) / 1e5
+    }
+    val priorCell = priorRows.map { case (_, pv) => (pv, nearest(pv, 1).head) }
+    val wantDropped = batchRows.filter { case (_, bv) =>
+      val probed = nearest(bv, 2)
+      priorCell.exists { case (pv, c) => probed(c) && cos(bv, pv) >= 0.8 }
+    }.map(_._1).toSet
+    assert(wantDropped.nonEmpty && wantDropped.size < batchRows.length,
+      s"fixture must exercise both outcomes: ${wantDropped.size}")
+    assert(kept == batchRows.map(_._1).toSet -- wantDropped,
+      s"missing=${(batchRows.map(_._1).toSet -- wantDropped) -- kept} " +
+        s"extra=${kept -- (batchRows.map(_._1).toSet -- wantDropped)}")
+    // empty prior: everything kept; empty batch: empty out, schema intact
+    assert(Similarity.incrementalSemDedup(batch,
+      Similarity.semanticKeys(prior.where($"vec_id" < 0), cents), cents,
+      threshold = 0.8).count() == batchRows.length)
+    val eb = Similarity.incrementalSemDedup(batch.where($"vec_id" < 0),
+      Similarity.semanticKeys(prior, cents), cents, threshold = 0.8)
+    assert(eb.columns.toSeq == Seq("vec_id", "embedding") && eb.count() == 0)
+  }
+
   test("semantic generation retention: aged-out embeddings re-admit, re-stamps take the max generation") {
     import spark.implicits._
     val prior = (0 until 60).map(i => (i.toLong,
@@ -182,5 +235,19 @@ class IvfSpec extends AnyFunSuite {
         threshold = 0.999, nprobe = 1, maxCellSize = 100)
       .select("vec_id").as[Long].collect().toSet
     assert(kept2.isEmpty, kept2)
+    // STRING (UUID-style) ids gate correctly — no hidden cast-to-null
+    // neutering the flagged-id anti-join
+    val sPrior = Seq(("p-aa", hot.head), ("p-bb", cold))
+      .toDF("doc", "embedding")
+    // b-22 is orthogonal to both prior directions (constant vectors are
+    // colinear, so a sign-flip would still be cos ±1 — alternate signs)
+    val sBatch = Seq(("b-11", hot.head),
+      ("b-22", Array.tabulate(8)(i => if (i % 2 == 0) 4.0f else -4.0f).toSeq))
+      .toDF("doc", "embedding")
+    val sKept = Similarity.incrementalSemDedup(sBatch,
+        Similarity.semanticKeys(sPrior, cents, idCol = "doc"), cents,
+        threshold = 0.999, idCol = "doc", nprobe = 2)
+      .select("doc").as[String].collect().toSet
+    assert(sKept == Set("b-22"), sKept)
   }
 }

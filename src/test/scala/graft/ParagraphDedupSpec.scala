@@ -87,6 +87,47 @@ class ParagraphDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded property: stripSeenParagraphs == brute-force per-doc recomputation; empty snapshot = identity") {
+    import spark.implicits._
+    val rng = new scala.util.Random(77)
+    val vocab = (0 until 30).map(i => s"para body number $i with words")
+    def page() = (0 until 1 + rng.nextInt(6)).map { _ =>
+      if (rng.nextInt(5) == 0) "" else vocab(rng.nextInt(vocab.length))
+    }.mkString("\n")
+    val day1 = (0 until 40).map(i => (i.toLong, page())).toDF("doc_id", "text")
+    val day2 = (100 until 140).map(i => (i.toLong, page()))
+    val seen = day1.select("text").as[String].collect()
+      .flatMap(_.split("\n", -1)).filter(_.trim.nonEmpty).toSet
+    val got = Dedup.stripSeenParagraphs(day2.toDF("doc_id", "text"),
+        Dedup.paragraphKeys(day1))
+      .select("doc_id", "n_paras", "n_seen_paras", "clean_text")
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    day2.foreach { case (id, text) =>
+      val paras = text.split("\n", -1)
+      val kept = paras.filter(p => p.trim.isEmpty || !seen(p))
+      val want = (id, paras.length.toLong,
+        paras.count(p => p.trim.nonEmpty && seen(p)).toLong,
+        kept.mkString("\n"))
+      assert(got(id) == want, s"doc $id: ${got(id)} vs $want")
+    }
+    // empty snapshot: identity strip (same split/rebuild, nothing seen)
+    val idem = Dedup.stripSeenParagraphs(day2.toDF("doc_id", "text"),
+        Dedup.paragraphKeys(day1.where($"doc_id" < 0)))
+      .select("doc_id", "n_seen_paras", "clean_text")
+      .as[(Long, Long, String)].collect()
+    val orig = day2.toMap
+    idem.foreach { case (id, ns, t) =>
+      assert(ns == 0L && t == orig(id), s"doc $id not identical")
+    }
+    // empty input degrades to an empty frame with the contract schema
+    val empty = Dedup.stripSeenParagraphs(
+      day2.toDF("doc_id", "text").where($"doc_id" < 0),
+      Dedup.paragraphKeys(day1))
+    assert(empty.columns.toSeq ==
+      Seq("doc_id", "n_paras", "n_seen_paras", "clean_text"))
+    assert(empty.count() == 0)
+  }
+
   test("removeRepeatedSpans cuts every token covered by a corpus-hot n-gram") {
     import spark.implicits._
     // "x y z" appears in all 3 docs -> hot at minDocs=3; overlapping

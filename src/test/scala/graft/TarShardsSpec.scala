@@ -381,6 +381,37 @@ class TarShardsSpec extends AnyFunSuite {
     val got2 = TarShards.fetchSamples(spark, dir.toString,
       Seq("k0003").toDF("key")).count()
     assert(got2 == 1L)
+    // a FULLY-UNINDEXED store (every shard predates index=true — the
+    // fallback's motivating class): the .idx glob matches nothing and
+    // the fetch must scan, not die with PATH_NOT_FOUND at plan time
+    val noIdx = tmpDir("tar_noidx").getPath
+    TarShards.writeSampleShards(plain, noIdx, "shard", "key",
+      Seq("txt" -> "txt"), index = false)
+    val got3 = TarShards.fetchSamples(spark, noIdx,
+        Seq("k0023", "k9999").toDF("key"))
+      .select(col("key"), col("parts").getItem("txt").cast("string"))
+      .as[(String, String)].collect().toSet
+    assert(got3 == Set(("k0023", "body 23")), got3)
+  }
+
+  test("streamed reader and mixed-store fetch degrade cleanly on empty inputs") {
+    import spark.implicits._
+    val empty = tmpDir("tar_empty").getPath
+    val st = TarShards.readShardsStreamed(spark, empty)
+    assert(st.columns.toSeq == Seq("shard", "member_name", "body"))
+    assert(st.count() == 0)
+    // a mixed store fetched with ZERO keys returns zero rows through
+    // both the ranged and the fallback-scan branches
+    val dir = tmpDir("tar_mixed_empty").getPath
+    val rows = Seq((0L, "k0001", "x"), (1L, "k0002", "y"))
+      .toDF("shard", "key", "cap")
+      .withColumn("txt", col("cap").cast("binary"))
+    TarShards.writeSampleShards(rows.where(col("shard") === 0), dir,
+      "shard", "key", Seq("txt" -> "txt"), index = true)
+    TarShards.writeSampleShards(rows.where(col("shard") === 1), dir,
+      "shard", "key", Seq("txt" -> "txt"), index = false)
+    assert(TarShards.fetchSamples(spark, dir,
+      Seq.empty[String].toDF("key")).count() == 0)
   }
 
   test("seeded random fetch property: random multi-part stores fetch byte-exactly through the index, long keys and empty bodies included") {
