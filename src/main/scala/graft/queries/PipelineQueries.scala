@@ -1466,6 +1466,98 @@ object PipelineQueries {
         .orderBy("class")
     }),
 
+    // ONE DAY through the COMPLETE membrane — the capstone a user of
+    // the documented daily loop actually runs: four lexical gate tiers
+    // → semantic tier → paragraph strip on the survivors (cross-day
+    // boilerplate cut from the kept pages) → token budget → byte-pack →
+    // real tar files → readback, one hash row over the shipped member
+    // checksums. Pages carry shared boilerplate + a slogan line + the
+    // doc body + a unique closer, so the strip has real work on every
+    // kept page; one replica class per gate tier (+20000 normalized,
+    // +40000 banded, +60000 signature-key, +80000 semantic — reworded
+    // text under a prior embedding, far embeddings on the lexical
+    // classes so tiers cannot mask each other)
+    "p_daily_full" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      def page(t: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
+        concat_ws("\n",
+          lit("Subscribe to our newsletter today!"),
+          concat(lit("Slogan number "), (id % 40).cast("string")),
+          t,
+          concat(lit("Unique closer "), id.cast("string")))
+      val pbase = d.join(e, "doc_id").where(col("doc_id") % 3 === 1)
+      val prior = pbase.select(col("doc_id"),
+        page(col("text"), col("doc_id")).as("text"), col("lang"),
+        col("embedding")).localCheckpoint()
+      val far = array_repeat(lit(25.0f), 64)
+      val batch = d.join(e, "doc_id").where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), page(col("text"), col("doc_id")).as("text"),
+          col("lang"), col("embedding"))
+        .unionByName(prior.where(col("doc_id") < 150).select(
+          (col("doc_id") + 20000).as("doc_id"),
+          concat(lit("  "), upper(col("text")), lit("  !! ")).as("text"),
+          col("lang"), far.as("embedding")))
+        .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
+          .select((col("doc_id") + 40000).as("doc_id"),
+            concat(col("text"),
+              lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
+            col("lang"), far.as("embedding")))
+        .unionByName(prior.where(col("doc_id") >= 250 && col("doc_id") < 350)
+          .select((col("doc_id") + 60000).as("doc_id"), col("text"),
+            col("lang"), far.as("embedding")))
+        .unionByName(pbase.where(col("doc_id") < 150).select(
+          (col("doc_id") + 80000).as("doc_id"),
+          page(concat(lit("reworded page number "),
+              col("doc_id").cast("string"),
+              lit(" entirely different words here")),
+            col("doc_id") + 80000).as("text"),
+          col("lang"), col("embedding")))
+      val kept4 = Dedup.incrementalCrawlGate(batch,
+        Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
+          .localCheckpoint(),
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket,
+        priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
+      val kept5 = Similarity.incrementalSemDedup(kept4,
+        Similarity.semanticKeys(prior, ivfCentroids, idCol = "doc_id")
+          .localCheckpoint(),
+        ivfCentroids, threshold = 0.999, idCol = "doc_id", nprobe = 1,
+        maxCellSize = 1000).localCheckpoint()
+      val shipIn = Dedup.stripSeenParagraphs(kept5, Dedup.paragraphKeys(prior))
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(kept5.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint()
+      val chosen = Curation.takeTokenBudget(shipIn, "lang",
+        Map("en" -> 20000L), defaultBudget = 8000L).select("doc_id")
+      val packed = Curation.packShardsBySize(
+        chosen.join(shipIn.select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes")), "doc_id"),
+        "doc_id", "n_bytes", targetBytes = 16384L, salt = "dfull")
+      val docsOut = packed.select("doc_id", "shard")
+        .join(shipIn.select("doc_id", "text"), "doc_id")
+        .select(col("shard"),
+          format_string("%06d.txt", col("doc_id")).as("name"),
+          col("text").cast("binary").as("payload"))
+      val out = java.nio.file.Files.createTempDirectory("graft_dfull")
+      graft.sources.TarShards.writeShards(docsOut, out.toString, "shard",
+        "name", "payload")
+      val res = graft.sources.TarShards.readShards(s, out.toString)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_members"),
+          sum(octet_length(col("body_text")).cast("long")).as("sum_bytes"),
+          sum(conv(substring(md5(col("body_text")), 1, 12), 16, 10)
+            .cast("long")).as("sum_h"))
+        .orderBy("shard")
+        .localCheckpoint() // materialize BEFORE deleting the files
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      res
+    }),
+
     // SEMANTIC-tier retention — the embedding snapshot under the same
     // one-knob lifecycle as the lexical tiers: day-1 gate against
     // retain(gen0, 0) blocks +20000 exact-embedding replicas of the
@@ -3842,6 +3934,115 @@ object PipelineQueries {
          |SELECT CAST(floor(doc_id / 20000) AS BIGINT) AS class,
          |  count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM kept5 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "p_daily_full" -> {
+      val dp = Similarity.dotSql("b.embedding", "p.embedding", 64)
+      val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
+      val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
+      val cos = s"round(($dp) / (($nb) * ($np)), 5)"
+      val farSql = "list_transform(range(1, 65), i -> CAST(25.0 AS DOUBLE))"
+      def pageSql(t: String, id: String) =
+        s"""concat_ws(chr(10),
+           |    'Subscribe to our newsletter today!',
+           |    'Slogan number ' || (($id) % 40),
+           |    $t,
+           |    'Unique closer ' || ($id))""".stripMargin
+      def cells(name: String, src: String) =
+        s"""${name}_d AS (
+           |  SELECT vec_id, embedding, ${ivfDistCols("embedding")} FROM $src
+           |), ${name}_m AS (SELECT *, $ivfLeastAll AS m FROM ${name}_d),
+           |$name AS (
+           |  SELECT vec_id, embedding, $ivfCellCase AS cell FROM ${name}_m
+           |  QUALIFY count(*) OVER (PARTITION BY $ivfCellCase) <= 1000
+           |)""".stripMargin
+      s"""WITH corpus AS (
+         |  SELECT d.doc_id, d.text, d.lang, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |), pbase AS (SELECT * FROM corpus WHERE doc_id % 3 = 1),
+         |prior AS (
+         |  SELECT doc_id, ${pageSql("text", "doc_id")} AS text, lang, embedding
+         |  FROM pbase
+         |), batch AS (
+         |  SELECT doc_id, ${pageSql("text", "doc_id")} AS text, lang, embedding
+         |  FROM corpus WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000, '  ' || upper(text) || '  !! ', lang, $farSql
+         |  FROM prior WHERE doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 40000,
+         |    text || ' sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8', lang, $farSql
+         |  FROM prior WHERE doc_id >= 150 AND doc_id < 250
+         |  UNION ALL
+         |  SELECT doc_id + 60000, text, lang, $farSql
+         |  FROM prior WHERE doc_id >= 250 AND doc_id < 350
+         |  UNION ALL
+         |  SELECT doc_id + 80000,
+         |    ${pageSql(
+               "'reworded page number ' || doc_id || ' entirely different words here'",
+               "doc_id + 80000")},
+         |    lang, embedding
+         |  FROM pbase WHERE doc_id < 150
+         |), ${sigKeyCtes("p", "prior", NumHashes)},
+         |pck AS (SELECT md5(${canonSql("text")}) AS key FROM prior),
+         |${sigKeyCtes("b1", "batch", NumHashes)},
+         |${crawlGateCtes("b1", "batch", "p_key", "p_sig", Some("pck"))},
+         |prsrc AS (SELECT doc_id AS vec_id, embedding FROM prior),
+         |s5src AS (
+         |  SELECT b.doc_id AS vec_id, b.embedding
+         |  FROM b1_kept k JOIN batch b ON b.doc_id = k.doc_id
+         |), ${cells("prc", "prsrc")},
+         |${cells("s5c", "s5src")},
+         |f5 AS (
+         |  SELECT DISTINCT b.vec_id FROM s5c b JOIN prc p ON b.cell = p.cell
+         |  WHERE $cos >= 0.999
+         |), kept5 AS (
+         |  SELECT doc_id, lang FROM b1_kept
+         |  WHERE doc_id NOT IN (SELECT vec_id FROM f5)
+         |), k0 AS (
+         |  SELECT DISTINCT md5(u.para) AS k
+         |  FROM (SELECT string_split(text, chr(10)) AS l FROM prior) ls
+         |  CROSS JOIN LATERAL (SELECT unnest(l) AS para) u
+         |  WHERE trim(u.para) <> ''
+         |), kpage AS (
+         |  SELECT kk.doc_id, string_split(b.text, chr(10)) AS l
+         |  FROM kept5 kk JOIN batch b ON b.doc_id = kk.doc_id
+         |), paras AS (
+         |  SELECT doc_id, u.pos, l[u.pos] AS para
+         |  FROM kpage
+         |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(l)+1)) AS pos) u
+         |), strip AS (
+         |  SELECT p.doc_id,
+         |    coalesce(string_agg(
+         |      CASE WHEN trim(p.para) = '' OR k.k IS NULL THEN p.para END,
+         |      chr(10) ORDER BY p.pos), '') AS text
+         |  FROM paras p LEFT JOIN k0 k ON md5(p.para) = k.k
+         |  GROUP BY p.doc_id
+         |), shipx AS (
+         |  SELECT s.doc_id, s.text, kk.lang
+         |  FROM strip s JOIN kept5 kk ON kk.doc_id = s.doc_id
+         |), bud AS (
+         |  SELECT doc_id, text,
+         |    sum(len(string_split(text, ' '))) OVER (
+         |      PARTITION BY lang ORDER BY doc_id) AS cum_tokens,
+         |    CASE WHEN lang = 'en' THEN 20000 ELSE 8000 END AS budget
+         |  FROM shipx
+         |), pc AS (
+         |  SELECT doc_id, text, n_bytes,
+         |    sum(n_bytes) OVER (ORDER BY h, doc_id) AS cum
+         |  FROM (SELECT doc_id, text, strlen(text) AS n_bytes,
+         |          ${h60("concat(CAST(doc_id AS VARCHAR), '_dfull')")} AS h
+         |        FROM bud WHERE cum_tokens <= budget)
+         |), ship AS (
+         |  SELECT CAST(floor((cum - n_bytes) / 16384.0) AS BIGINT) AS shard,
+         |    text
+         |  FROM pc
+         |)
+         |SELECT shard, count(*) AS n_members,
+         |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
+         |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT))
+         |    AS BIGINT) AS sum_h
+         |FROM ship GROUP BY shard ORDER BY shard""".stripMargin
     },
 
     "p_incr_semdedup_ttl" -> {
