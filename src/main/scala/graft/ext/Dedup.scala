@@ -990,22 +990,26 @@ object Dedup {
           s"component of diameter > $maxIter — raise maxIter, or use " +
           "algorithm = \"star\" (round count logarithmic, diameter-independent)")
     import spark.implicits._
-    checkedClusterSizes(labels.toDF("id", "label"), maxClusterSize)
+    checkedClusterSizes(labels.toDF("id", "label"), maxClusterSize,
+      materialize = false)
   }
 
   /** The `maxClusterSize` guard shared by both CC variants: when the cap
     * is set, find the largest component (one map-side-combined count per
     * label + a top-1 — no component is ever collected) and throw if it
     * exceeds the cap, naming the offender so the caller can go look at
-    * the data. The label table is localCheckpointed first so the guard's
-    * own job and the caller's subsequent actions share ONE computation
-    * of the final label join instead of each re-deriving it — the guard
-    * must price like a count, not double the resolution stage. Returns
-    * the (materialized) labels when the cap is off or met. */
+    * the data. When `materialize` is set (the star path, whose labels
+    * are an unpersisted plan over the checkpointed edges) the label
+    * table is localCheckpointed first so the guard's own job and the
+    * caller's subsequent actions share ONE computation of the final
+    * label join — the guard must price like a count, not double the
+    * resolution stage; the propagation path's labels are already
+    * persisted RDD blocks, so checkpointing there would just store a
+    * second full copy. Returns the labels when the cap is off or met. */
   private def checkedClusterSizes(labels0: DataFrame,
-      maxClusterSize: Long): DataFrame = {
+      maxClusterSize: Long, materialize: Boolean): DataFrame = {
     if (maxClusterSize <= 0) return labels0
-    val labels = labels0.localCheckpoint()
+    val labels = if (materialize) labels0.localCheckpoint() else labels0
     val top = labels.groupBy("label").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc).limit(1).collect()
     top.headOption.foreach { r =>
@@ -1115,7 +1119,7 @@ object Dedup {
       .select(col("n.id").as("id"), coalesce(col("e.lo"), col("n.id")).as("label"))
       .groupBy("id").agg(min("label").as("label"))
     nodes.unpersist(blocking = false)
-    checkedClusterSizes(labels, maxClusterSize)
+    checkedClusterSizes(labels, maxClusterSize, materialize = true)
   }
 
   /** Exact Jaccard similarity of two (distinct-element) array columns. */

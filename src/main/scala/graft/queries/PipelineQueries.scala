@@ -130,6 +130,42 @@ object PipelineQueries {
   private val Bands = 4 // rows per band = 4 (the s-curve operating point)
   private val MaxBucket = 1000 // LSH bucket-size skew cap (Dedup.candidatePairs)
 
+  /** The four replica classes shared by the membrane capstones
+    * (`p_crawl_sem` / `p_daily_full`), single-sourced so the two rows
+    * cannot drift apart on fixture semantics: +20000 uppercased-
+    * decorated (normalized tier), +40000 8-token-appended (banded),
+    * +60000 byte-identical (signature-key) — all carrying a FAR
+    * synthetic embedding so the semantic tier cannot mask a lexical
+    * leak — and +80000 `reworded` text (an expression over the `pbase`
+    * row's doc_id/text) under the prior doc's OWN embedding, visible
+    * only to the semantic tier. `prior` supplies the lexical classes'
+    * text (page-wrapped or raw, per capstone); `pbase` the +80000
+    * class's source rows. */
+  private def membraneReplicas(prior: DataFrame, pbase: DataFrame,
+      reworded: org.apache.spark.sql.Column): DataFrame = {
+    val far = array_repeat(lit(25.0f), 64)
+    prior.where(col("doc_id") < 150).select(
+        (col("doc_id") + 20000).as("doc_id"),
+        concat(lit("  "), upper(col("text")), lit("  !! ")).as("text"),
+        col("lang"), far.as("embedding"))
+      .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
+        .select((col("doc_id") + 40000).as("doc_id"),
+          concat(col("text"),
+            lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
+          col("lang"), far.as("embedding")))
+      .unionByName(prior.where(col("doc_id") >= 250 && col("doc_id") < 350)
+        .select((col("doc_id") + 60000).as("doc_id"), col("text"),
+          col("lang"), far.as("embedding")))
+      .unionByName(pbase.where(col("doc_id") < 150).select(
+        (col("doc_id") + 80000).as("doc_id"), reworded.as("text"),
+        col("lang"), col("embedding")))
+  }
+
+  /** [[membraneReplicas]]' +80000 reworded text over a pbase row. */
+  private def rewordedText: org.apache.spark.sql.Column =
+    concat(lit("reworded page number "), col("doc_id").cast("string"),
+      lit(" entirely different words here"))
+
   /** MinHash slot k (= Dedup.minhashSignatures slot k: double hashing
     * h1_g + j·h2_g from the group-salted md5 — group g = k/64 salts the
     * shingle with '#g', g = 0 unsalted). */
@@ -1430,25 +1466,8 @@ object PipelineQueries {
         .select(col("vec_id").as("doc_id"), col("embedding"))
       val corpus = d.join(e, "doc_id")
       val prior = corpus.where(col("doc_id") % 3 === 1).localCheckpoint()
-      val far = array_repeat(lit(25.0f), 64)
       val batch = corpus.where(col("doc_id") % 3 === 0)
-        .unionByName(prior.where(col("doc_id") < 150).select(
-          (col("doc_id") + 20000).as("doc_id"),
-          concat(lit("  "), upper(col("text")), lit("  !! ")).as("text"),
-          col("lang"), far.as("embedding")))
-        .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
-          .select((col("doc_id") + 40000).as("doc_id"),
-            concat(col("text"),
-              lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
-            col("lang"), far.as("embedding")))
-        .unionByName(prior.where(col("doc_id") >= 250 && col("doc_id") < 350)
-          .select((col("doc_id") + 60000).as("doc_id"), col("text"),
-            col("lang"), far.as("embedding")))
-        .unionByName(prior.where(col("doc_id") < 150).select(
-          (col("doc_id") + 80000).as("doc_id"),
-          concat(lit("reworded page number "), col("doc_id").cast("string"),
-            lit(" entirely different words here")).as("text"),
-          col("lang"), col("embedding")))
+        .unionByName(membraneReplicas(prior, prior, rewordedText))
       val kept4 = Dedup.incrementalCrawlGate(batch,
         Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
         Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
@@ -1491,29 +1510,11 @@ object PipelineQueries {
       val prior = pbase.select(col("doc_id"),
         page(col("text"), col("doc_id")).as("text"), col("lang"),
         col("embedding")).localCheckpoint()
-      val far = array_repeat(lit(25.0f), 64)
       val batch = d.join(e, "doc_id").where(col("doc_id") % 3 === 0)
         .select(col("doc_id"), page(col("text"), col("doc_id")).as("text"),
           col("lang"), col("embedding"))
-        .unionByName(prior.where(col("doc_id") < 150).select(
-          (col("doc_id") + 20000).as("doc_id"),
-          concat(lit("  "), upper(col("text")), lit("  !! ")).as("text"),
-          col("lang"), far.as("embedding")))
-        .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
-          .select((col("doc_id") + 40000).as("doc_id"),
-            concat(col("text"),
-              lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
-            col("lang"), far.as("embedding")))
-        .unionByName(prior.where(col("doc_id") >= 250 && col("doc_id") < 350)
-          .select((col("doc_id") + 60000).as("doc_id"), col("text"),
-            col("lang"), far.as("embedding")))
-        .unionByName(pbase.where(col("doc_id") < 150).select(
-          (col("doc_id") + 80000).as("doc_id"),
-          page(concat(lit("reworded page number "),
-              col("doc_id").cast("string"),
-              lit(" entirely different words here")),
-            col("doc_id") + 80000).as("text"),
-          col("lang"), col("embedding")))
+        .unionByName(membraneReplicas(prior, pbase,
+          page(rewordedText, col("doc_id") + 80000)))
       val kept4 = Dedup.incrementalCrawlGate(batch,
         Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
         Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
@@ -1550,7 +1551,9 @@ object PipelineQueries {
           sum(octet_length(col("body_text")).cast("long")).as("sum_bytes"),
           sum(conv(substring(md5(col("body_text")), 1, 12), 16, 10)
             .cast("long")).as("sum_h"))
-        .orderBy("shard")
+        .select(lit(1).as("day"), col("shard"), col("n_members"),
+          col("sum_bytes"), col("sum_h"))
+        .orderBy("day", "shard")
         .localCheckpoint() // materialize BEFORE deleting the files
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
@@ -2364,6 +2367,26 @@ object PipelineQueries {
   private val ivfCellCase =
     (0 until ivfK).map(i => s"WHEN d$i = m THEN $i").mkString("CASE ", " ", " END")
 
+  /** The semantic tier's cell-assignment CTE chain over a (vec_id,
+    * embedding) source: `{name}` ends up as (vec_id, embedding, cell)
+    * with the nearest-cell argmin (ties → lowest index, the IvfCells
+    * scan). `cap` replays [[Similarity.cappedCells]]' per-cell window
+    * drop inline — pass None when the row applies its caps in separate
+    * CTEs (the retention rows). Single-sourced so the membrane rows
+    * cannot drift on the cell replay. */
+  private def ivfCellCtes(name: String, src: String,
+      cap: Option[Int]): String = {
+    val qualify = cap.map(c =>
+      s"\n  QUALIFY count(*) OVER (PARTITION BY $ivfCellCase) <= $c")
+      .getOrElse("")
+    s"""${name}_d AS (
+       |  SELECT vec_id, embedding, ${ivfDistCols("embedding")} FROM $src
+       |), ${name}_m AS (SELECT *, $ivfLeastAll AS m FROM ${name}_d),
+       |$name AS (
+       |  SELECT vec_id, embedding, $ivfCellCase AS cell FROM ${name}_m$qualify
+       |)""".stripMargin
+  }
+
   /** Second-nearest cell: per first-cell branch, first-match argmin over
     * the remaining columns. */
   private val ivfCell2Case = {
@@ -2607,7 +2630,14 @@ object PipelineQueries {
     s"""${p}_keptx AS (
        |  SELECT k.doc_id, k.lang, b.text
        |  FROM ${p}_kept k JOIN $batchCte b ON b.doc_id = k.doc_id
-       |), ${p}_bud AS (
+       |), ${shipFromKeptx(p, salt)}""".stripMargin
+
+  /** The budget→pack→ship tail of [[shipCtes]] over an EXISTING
+    * `{p}_keptx` (doc_id, lang, text) CTE — split out so rows whose
+    * shipped text is not the batch text (the paragraph-stripped
+    * capstone) replay the same chain instead of re-inlining it. */
+  private def shipFromKeptx(p: String, salt: String): String =
+    s"""${p}_bud AS (
        |  SELECT doc_id, text,
        |    sum(len(string_split(text, ' '))) OVER (
        |      PARTITION BY lang ORDER BY doc_id) AS cum_tokens,
@@ -3885,14 +3915,6 @@ object PipelineQueries {
       val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
       val cos = s"round(($dp) / (($nb) * ($np)), 5)"
       val farSql = "list_transform(range(1, 65), i -> CAST(25.0 AS DOUBLE))"
-      def cells(name: String, src: String) =
-        s"""${name}_d AS (
-           |  SELECT vec_id, embedding, ${ivfDistCols("embedding")} FROM $src
-           |), ${name}_m AS (SELECT *, $ivfLeastAll AS m FROM ${name}_d),
-           |$name AS (
-           |  SELECT vec_id, embedding, $ivfCellCase AS cell FROM ${name}_m
-           |  QUALIFY count(*) OVER (PARTITION BY $ivfCellCase) <= 1000
-           |)""".stripMargin
       s"""WITH corpus AS (
          |  SELECT d.doc_id, d.text, d.lang, e.embedding
          |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
@@ -3922,8 +3944,8 @@ object PipelineQueries {
          |s5src AS (
          |  SELECT b.doc_id AS vec_id, b.embedding
          |  FROM b1_kept k JOIN batch b ON b.doc_id = k.doc_id
-         |), ${cells("prc", "prsrc")},
-         |${cells("s5c", "s5src")},
+         |), ${ivfCellCtes("prc", "prsrc", Some(1000))},
+         |${ivfCellCtes("s5c", "s5src", Some(1000))},
          |f5 AS (
          |  SELECT DISTINCT b.vec_id FROM s5c b JOIN prc p ON b.cell = p.cell
          |  WHERE $cos >= 0.999
@@ -3948,14 +3970,6 @@ object PipelineQueries {
            |    'Slogan number ' || (($id) % 40),
            |    $t,
            |    'Unique closer ' || ($id))""".stripMargin
-      def cells(name: String, src: String) =
-        s"""${name}_d AS (
-           |  SELECT vec_id, embedding, ${ivfDistCols("embedding")} FROM $src
-           |), ${name}_m AS (SELECT *, $ivfLeastAll AS m FROM ${name}_d),
-           |$name AS (
-           |  SELECT vec_id, embedding, $ivfCellCase AS cell FROM ${name}_m
-           |  QUALIFY count(*) OVER (PARTITION BY $ivfCellCase) <= 1000
-           |)""".stripMargin
       s"""WITH corpus AS (
          |  SELECT d.doc_id, d.text, d.lang, e.embedding
          |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
@@ -3991,8 +4005,8 @@ object PipelineQueries {
          |s5src AS (
          |  SELECT b.doc_id AS vec_id, b.embedding
          |  FROM b1_kept k JOIN batch b ON b.doc_id = k.doc_id
-         |), ${cells("prc", "prsrc")},
-         |${cells("s5c", "s5src")},
+         |), ${ivfCellCtes("prc", "prsrc", Some(1000))},
+         |${ivfCellCtes("s5c", "s5src", Some(1000))},
          |f5 AS (
          |  SELECT DISTINCT b.vec_id FROM s5c b JOIN prc p ON b.cell = p.cell
          |  WHERE $cos >= 0.999
@@ -4018,31 +4032,12 @@ object PipelineQueries {
          |      chr(10) ORDER BY p.pos), '') AS text
          |  FROM paras p LEFT JOIN k0 k ON md5(p.para) = k.k
          |  GROUP BY p.doc_id
-         |), shipx AS (
-         |  SELECT s.doc_id, s.text, kk.lang
+         |), d5_keptx AS (
+         |  SELECT s.doc_id, kk.lang, s.text
          |  FROM strip s JOIN kept5 kk ON kk.doc_id = s.doc_id
-         |), bud AS (
-         |  SELECT doc_id, text,
-         |    sum(len(string_split(text, ' '))) OVER (
-         |      PARTITION BY lang ORDER BY doc_id) AS cum_tokens,
-         |    CASE WHEN lang = 'en' THEN 20000 ELSE 8000 END AS budget
-         |  FROM shipx
-         |), pc AS (
-         |  SELECT doc_id, text, n_bytes,
-         |    sum(n_bytes) OVER (ORDER BY h, doc_id) AS cum
-         |  FROM (SELECT doc_id, text, strlen(text) AS n_bytes,
-         |          ${h60("concat(CAST(doc_id AS VARCHAR), '_dfull')")} AS h
-         |        FROM bud WHERE cum_tokens <= budget)
-         |), ship AS (
-         |  SELECT CAST(floor((cum - n_bytes) / 16384.0) AS BIGINT) AS shard,
-         |    text
-         |  FROM pc
-         |)
-         |SELECT shard, count(*) AS n_members,
-         |  CAST(sum(strlen(text)) AS BIGINT) AS sum_bytes,
-         |  CAST(sum(CAST(concat('0x', substr(md5(text), 1, 12)) AS BIGINT))
-         |    AS BIGINT) AS sum_h
-         |FROM ship GROUP BY shard ORDER BY shard""".stripMargin
+         |), ${shipFromKeptx("d5", "dfull")}
+         |${shipSelect("d5", 1)}
+         |ORDER BY day, shard""".stripMargin
     },
 
     "p_incr_semdedup_ttl" -> {
@@ -4050,16 +4045,9 @@ object PipelineQueries {
       val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
       val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
       val cos = s"round(($dp) / (($nb) * ($np)), 5)"
-      def cells(name: String, src: String) =
-        s"""${name}_d AS (
-           |  SELECT vec_id, embedding, ${ivfDistCols("embedding")} FROM $src
-           |), ${name}_m AS (SELECT *, $ivfLeastAll AS m FROM ${name}_d),
-           |$name AS (
-           |  SELECT vec_id, embedding, $ivfCellCase AS cell FROM ${name}_m
-           |)""".stripMargin
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |pr AS (SELECT vec_id, embedding FROM e WHERE vec_id % 3 = 1),
-         |${cells("prc", "pr")},
+         |${ivfCellCtes("prc", "pr", None)},
          |g0 AS (SELECT vec_id AS id, cell, embedding, 0 AS g FROM prc),
          |r0 AS (
          |  SELECT id, cell, embedding FROM g0 WHERE g >= 0
@@ -4068,7 +4056,7 @@ object PipelineQueries {
          |  SELECT vec_id, embedding FROM e WHERE vec_id % 3 = 2
          |  UNION ALL
          |  SELECT vec_id + 20000, embedding FROM pr WHERE vec_id < 100
-         |), ${cells("d1c", "day1")},
+         |), ${ivfCellCtes("d1c", "day1", None)},
          |d1cap AS (
          |  SELECT * FROM d1c
          |  QUALIFY count(*) OVER (PARTITION BY cell) <= 1000
@@ -4078,7 +4066,7 @@ object PipelineQueries {
          |), kept1 AS (
          |  SELECT vec_id, embedding FROM day1
          |  WHERE vec_id NOT IN (SELECT vec_id FROM f1)
-         |), ${cells("k1c", "kept1")},
+         |), ${ivfCellCtes("k1c", "kept1", None)},
          |g1 AS (
          |  SELECT id, cell, embedding, g FROM g0
          |  UNION ALL
@@ -4094,7 +4082,7 @@ object PipelineQueries {
          |  UNION ALL
          |  SELECT vec_id + 60000, embedding FROM e
          |  WHERE vec_id % 3 = 2 AND vec_id < 100
-         |), ${cells("d2c", "day2")},
+         |), ${ivfCellCtes("d2c", "day2", None)},
          |d2cap AS (
          |  SELECT * FROM d2c
          |  QUALIFY count(*) OVER (PARTITION BY cell) <= 1000

@@ -394,6 +394,26 @@ class TarShardsSpec extends AnyFunSuite {
     assert(got3 == Set(("k0023", "body 23")), got3)
   }
 
+  test("readShardsStreamed fails loudly on a corrupt gzip header (no hang, no silent skip)") {
+    import spark.implicits._
+    val dir = tmpDir("tar_badgz")
+    // gzip magic followed by garbage: the GZIPInputStream constructor
+    // throws during the sniffed open — the task must die loudly (and the
+    // review-hardened `cur = buf` handoff means the raw stream is closed
+    // by the completion listener, not leaked)
+    java.nio.file.Files.write(new java.io.File(dir, "shard-00000.tar.gz").toPath,
+      Array[Byte](0x1f.toByte, 0x8b.toByte, 0x7f, 0x7f, 0x00, 0x01, 0x02))
+    val e = intercept[org.apache.spark.SparkException] {
+      TarShards.readShardsStreamed(spark, dir.getPath).count()
+    }
+    val msgs = e.getMessage +
+      Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null)
+        .map(_.toString).mkString(" ")
+    assert(msgs.toLowerCase.contains("zip") || msgs.toLowerCase.contains("gzip") ||
+      msgs.toLowerCase.contains("deflat") || msgs.toLowerCase.contains("eof"),
+      msgs.take(400))
+  }
+
   test("streamed reader and mixed-store fetch degrade cleanly on empty inputs") {
     import spark.implicits._
     val empty = tmpDir("tar_empty").getPath
