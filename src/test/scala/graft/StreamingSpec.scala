@@ -612,6 +612,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic retention composes with the streaming gate: aged-out embeddings re-enter the feed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Similarity = graft.ext.Similarity
+    val prior = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)((i % 2 + 1).toFloat).toSeq)).toDF("vec_id", "embedding")
+    val cents = Array(Array.fill(8)(1.0), Array.fill(8)(2.0))
+    val gen0 = Similarity.stampSemanticGeneration(
+      Similarity.semanticKeys(prior, cents), 0L).localCheckpoint()
+    val feed = Seq((100L, Array.fill(8)(1.0f).toSeq)) // exact prior replica
+    def run(minGen: Long): Long = {
+      val st = MemoryStream[(Long, Seq[Float])]
+      val gated = graft.streaming.StreamingIngest.semanticGate(
+        st.toDF().toDF("vec_id", "embedding"),
+        Similarity.retainSemanticGenerations(gen0, minGen), cents,
+        threshold = 0.999)
+      val name = s"sem_ttl_sink_$minGen"
+      val q = gated.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try { st.addData(feed); q.processAllAvailable() } finally q.stop()
+      spark.table(name).count()
+    }
+    // live gen-0 snapshot blocks the replica...
+    assert(run(0L) == 0L)
+    // ...and the SAME one-knob retention read re-admits it once aged
+    assert(run(1L) == 1L)
+  }
+
   test("streaming paragraph strip (foreachBatch) equals the batch stripSeenParagraphs over the concatenated feed") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
