@@ -87,6 +87,38 @@ object Dedup {
       priorCanonKeys, idCol, bloomExpectedItems, bloomFpp)
   }
 
+  /** The URL (ZEROTH) tier's persistable snapshot projection — one md5
+    * per CANONICAL url ([[UrlOps.normalize]]: lowercase scheme+host,
+    * fragment/tracking-param/trailing-slash strip), single `_key`
+    * column: production crawlers dedup by URL BEFORE fetching content,
+    * so this tier runs ahead of every text tier and a hit saves the
+    * FETCH itself, not just the downstream compute. Same single-`_key`
+    * shape as the other key tiers ⇒ [[stampGeneration]] /
+    * [[retainGenerations]] and the bucketed-snapshot layout apply
+    * verbatim. Map-only. */
+  def urlKeys(docs: DataFrame, urlCol: String = "url"): DataFrame =
+    docs.select(md5(UrlOps.normalize(col(urlCol))).as("_key"))
+
+  /** Cross-snapshot incremental URL dedup — the ZEROTH crawl-gate tier:
+    * within-batch dedup on the canonical url (smallest `idCol` per
+    * canonical form, deterministic) + anti-join against a persisted
+    * [[urlKeys]] snapshot, the [[keyedGate]] body every key tier
+    * shares. Tracking-param / fragment / trailing-slash variants of
+    * already-fetched pages drop before any text tier runs — in a real
+    * crawler, before the fetch. The optional Bloom pre-filter works
+    * exactly as in [[incrementalDedup]]. Returns the kept new-batch
+    * rows (original schema). */
+  def incrementalUrlDedup(newDocs: DataFrame, priorUrlKeys: DataFrame,
+      urlCol: String = "url", idCol: String = "doc_id",
+      bloomExpectedItems: Long = -1L, bloomFpp: Double = 0.01): DataFrame = {
+    require(priorUrlKeys.columns.toSeq == Seq("_key"),
+      "priorUrlKeys must be a urlKeys projection (single `_key` column); " +
+        "got " + priorUrlKeys.columns.mkString(", "))
+    requireNoReserved(newDocs, "newDocs")
+    keyedGate(newDocs.withColumn("_key", md5(UrlOps.normalize(col(urlCol)))),
+      priorUrlKeys, idCol, bloomExpectedItems, bloomFpp)
+  }
+
   /** Duplicate-cluster resolution with a QUALITY keep-policy — the
     * production alternative to "keep the smallest id": given mined
     * near-dup `pairs` (id_a, id_b), label clusters via

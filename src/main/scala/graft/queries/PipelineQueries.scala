@@ -1485,6 +1485,33 @@ object PipelineQueries {
         .orderBy("class")
     }),
 
+    // the ZEROTH gate tier — URL-level incremental dedup, the membrane
+    // layer that runs BEFORE any text exists (a hit saves the fetch
+    // itself): within-batch canonical-url dedup + anti-join against the
+    // persisted urlKeys snapshot. Classes: +20000 byte-identical prior
+    // urls blocked; +40000 fragment-decorated VARIANTS of prior urls
+    // blocked (canonicalization, not byte equality, is the key); +60000
+    // fragment-decorated twins of batch urls collapse within-batch to
+    // the smallest id
+    "p_incr_url" -> ((s, dir) => {
+      val fx = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), urlFixture.as("url"))
+      val prior = fx.where(col("doc_id") % 3 === 1)
+      val batch = fx.where(col("doc_id") % 3 === 0)
+        .unionByName(prior.where(col("doc_id") < 150)
+          .withColumn("doc_id", col("doc_id") + 20000))
+        .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
+          .select((col("doc_id") + 40000).as("doc_id"), col("lang"),
+            concat(col("url"), lit("#extra")).as("url")))
+        .unionByName(fx.where(col("doc_id") % 3 === 0 && col("doc_id") < 150)
+          .select((col("doc_id") + 60000).as("doc_id"), col("lang"),
+            concat(col("url"), lit("#dup")).as("url")))
+      Dedup.incrementalUrlDedup(batch, Dedup.urlKeys(prior))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
+        .orderBy("lang")
+    }),
+
     // ONE DAY through the COMPLETE membrane — the capstone a user of
     // the documented daily loop actually runs: four lexical gate tiers
     // → semantic tier → paragraph strip on the survivors (cross-day
@@ -2553,6 +2580,18 @@ object PipelineQueries {
   private def canonSql(x: String): String =
     s"trim(regexp_replace(regexp_replace(lower($x), " +
       "'[^\\p{L}\\p{Nd} ]+', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** UrlOps.normalize in the DuckDB dialect over a SQL expression `u`
+    * (single-sourced: p_url_normalize, p_url_dedup and the zeroth-tier
+    * gate row all replay the SAME canonicalization chain). */
+  private def normUrlSql(u: String): String =
+    s"""lower(regexp_extract($u, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
+       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+       |        regexp_replace($u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+       |        '#.*$$', ''),
+       |        '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+       |        '[?&]$$', ''),
+       |        '/$$', '')""".stripMargin
 
   /** One day of the fused crawl gate as a CTE chain (= the two-stage
     * oracle shape of `p_incr_crawl`, parameterized so two days can run
@@ -4289,19 +4328,42 @@ object PipelineQueries {
 
     // URL canonicalization: identical regex chain in DuckDB (tracking
     // strip needs the explicit 'g' flag; Spark replaces globally)
+    "p_incr_url" ->
+      s"""WITH fx AS (
+         |  SELECT doc_id, lang, $urlFixtureSql AS url FROM documents
+         |), prior AS (SELECT * FROM fx WHERE doc_id % 3 = 1),
+         |batch AS (
+         |  SELECT doc_id, lang, url FROM fx WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000, lang, url FROM prior WHERE doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 40000, lang, url || '#extra' FROM prior
+         |  WHERE doc_id >= 150 AND doc_id < 250
+         |  UNION ALL
+         |  SELECT doc_id + 60000, lang, url || '#dup' FROM fx
+         |  WHERE doc_id % 3 = 0 AND doc_id < 150
+         |), bk AS (
+         |  SELECT doc_id, lang, md5(${normUrlSql("url")}) AS k FROM batch
+         |), pk AS (
+         |  SELECT DISTINCT md5(${normUrlSql("url")}) AS k FROM prior
+         |), dedup AS (
+         |  SELECT doc_id, lang, k FROM (
+         |    SELECT doc_id, lang, k,
+         |      row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+         |    FROM bk) WHERE rn = 1
+         |), kept AS (
+         |  SELECT doc_id, lang FROM dedup WHERE k NOT IN (SELECT k FROM pk)
+         |)
+         |SELECT lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
+
     "p_url_normalize" ->
       (s"""WITH fx AS (
         |  SELECT doc_id, $urlFixtureSql AS url
         |  FROM documents
         |), n AS (
         |  SELECT doc_id,
-        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |        regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
-        |        '#.*$$', ''),
-        |        '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
-        |        '[?&]$$', ''),
-        |        '/$$', '') AS norm_url,
+        |    ${normUrlSql("url")} AS norm_url,
         |    regexp_replace(regexp_replace(
         |      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
         |      ':\\d+$$', ''), '^www\\.', '') AS domain
@@ -4313,7 +4375,7 @@ object PipelineQueries {
 
     // URL dedup: canonicalize (same regex chain) then min-id per group
     "p_url_dedup" ->
-      """WITH fx AS (
+      s"""WITH fx AS (
         |  SELECT doc_id,
         |    'HTTPS://WWW.Example.COM/Page/' || (doc_id % 250) ||
         |    CASE WHEN doc_id % 2 = 0
@@ -4322,13 +4384,7 @@ object PipelineQueries {
         |  FROM documents
         |), n AS (
         |  SELECT doc_id,
-        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) ||
-        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        |        regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
-        |        '#.*$', ''),
-        |        '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
-        |        '[?&]$', ''),
-        |        '/$', '') AS nu
+        |    ${normUrlSql("url")} AS nu
         |  FROM fx
         |), k AS (
         |  SELECT nu, min(doc_id) AS keep FROM n GROUP BY nu

@@ -203,6 +203,40 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(UrlOps.capPerDomain(docs, "url", "doc_id", 2).count() == 1)
   }
 
+  test("zeroth tier: incrementalUrlDedup blocks canonical-url variants of the snapshot; retention re-admits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val Dedup = graft.ext.Dedup
+    val prior = Seq(
+      (1L, "https://example.com/a"),
+      (2L, "https://example.com/b?id=2")).toDF("doc_id", "url")
+    val keys = Dedup.urlKeys(prior)
+    assert(keys.columns.toSeq == Seq("_key"))
+    val batch = Seq(
+      (10L, "HTTPS://EXAMPLE.COM/a#frag"), // case+fragment variant → blocked
+      (11L, "https://example.com/b?utm_source=x&id=2"), // tracking variant → blocked
+      (12L, "https://example.com/c?id=3"), // novel → kept
+      (13L, "https://example.com/c?id=3&utm_term=z"), // within-batch twin → collapses
+      (14L, "https://example.com/d/")).toDF("doc_id", "url") // novel (slash-stripped)
+    val kept = Dedup.incrementalUrlDedup(batch, keys)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(12L, 14L), kept)
+    // the single-`_key` shape rides the standard retention lifecycle:
+    // aged-out url keys re-admit on the same one-knob read
+    val gen0 = Dedup.stampGeneration(keys, 0L)
+    val keptAged = Dedup.incrementalUrlDedup(batch,
+        Dedup.retainGenerations(gen0, 1L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptAged == Set(10L, 11L, 12L, 14L), keptAged)
+    // shape + reserved-column loud rejects
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalUrlDedup(batch, prior)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalUrlDedup(batch.withColumn("_key", lit("x")), keys)
+    }
+  }
+
   test("temperatureSample: alpha=1 reduces to uniform targetFraction rates") {
     import spark.implicits._
     val docs = (1L to 300L).map(i => (i, if (i <= 200) "en" else "de"))
