@@ -617,6 +617,41 @@ object StreamingIngest {
     }
   }
 
+  /** Streaming twin of [[graft.ext.Dedup.incrementalUrlDedup]] — the
+    * ZEROTH gate tier over a feed: drop rows whose CANONICAL url
+    * ([[graft.ext.UrlOps.normalize]]) matches the persisted
+    * [[graft.ext.Dedup.urlKeys]] snapshot (stateless stream-static
+    * anti-join), then collapse within-stream canonical-url twins under
+    * the watermark. Runs BEFORE [[cleanDocuments]] — in a real crawler,
+    * before the FETCH — so it applies its own watermark (`tsCol`,
+    * `watermark`); the downstream gate re-stamping the same column is
+    * fine. Static key table localCheckpointed once (the dropSeen
+    * rationale). */
+  def urlGate(stream: DataFrame, priorUrlKeys: DataFrame,
+      urlCol: String = "url", tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(stream.isStreaming,
+      "urlGate is the streaming twin; batch frames use Dedup.incrementalUrlDedup")
+    require(!priorUrlKeys.isStreaming, "priorUrlKeys must be a static snapshot")
+    require(priorUrlKeys.columns.toSeq == Seq("_key"),
+      "priorUrlKeys must be a urlKeys projection (single `_key` column); " +
+        "got " + priorUrlKeys.columns.mkString(", "))
+    Seq("_url_key", "_url_seen").foreach { c =>
+      require(!stream.columns.contains(c),
+        s"the feed already carries a column named $c — urlGate stages " +
+          "tier state there; rename the input column")
+    }
+    val keyed = stream.withWatermark(tsCol, watermark)
+      .withColumn("_url_key",
+        md5(graft.ext.UrlOps.normalize(col(urlCol))))
+    val priorK = priorUrlKeys.select(col("_key").as("_url_key"))
+      .withColumn("_url_seen", lit(1)).distinct().localCheckpoint()
+    keyed.join(priorK, Seq("_url_key"), "left_outer")
+      .where(col("_url_seen").isNull).drop("_url_seen")
+      .dropDuplicatesWithinWatermark("_url_key")
+      .drop("_url_key")
+  }
+
   /** Streaming twin of [[graft.ext.Similarity.incrementalSemDedup]] — the
     * SEMANTIC gate tier over a feed that carries an embedding column:
     * a feed doc is dropped iff some PRIOR-snapshot doc in one of its

@@ -612,6 +612,57 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming URL gate agrees with the batch incrementalUrlDedup; retention re-admits") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val Dedup = graft.ext.Dedup
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val prior = Seq((1L, "https://example.com/a"),
+      (2L, "https://example.com/b?id=2")).toDF("doc_id", "url")
+    val keys = Dedup.urlKeys(prior).localCheckpoint()
+    val feed = Seq(
+      (10L, "HTTPS://EXAMPLE.COM/a#frag"), // canonical variant of snapshot
+      (11L, "https://example.com/b?utm_source=x&id=2"), // tracking variant
+      (12L, "https://example.com/c?id=3"), // novel
+      (13L, "https://example.com/c?id=3&utm_term=z"), // within-stream twin
+      (14L, "https://example.com/d/"))
+    def run(pk: org.apache.spark.sql.DataFrame, name: String): Set[Long] = {
+      val st = MemoryStream[(Long, java.sql.Timestamp, String)]
+      val gated = graft.streaming.StreamingIngest.urlGate(
+        st.toDF().toDF("doc_id", "ts", "url"), pk, watermark = "1 minute")
+      val q = gated.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        st.addData(feed.map { case (id, u) => (id, ts(0), u) })
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.table(name).select("doc_id").as[Long].collect().toSet
+    }
+    val streamKept = run(keys, "url_gate_sink")
+    // parity with the batch zeroth tier over the same feed
+    val batchKept = Dedup.incrementalUrlDedup(
+        feed.toDF("doc_id", "url"), keys)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamKept == batchKept && streamKept == Set(12L, 14L),
+      s"stream=$streamKept batch=$batchKept")
+    // one-knob retention: aged-out url keys re-admit through the stream
+    val aged = run(Dedup.retainGenerations(
+      Dedup.stampGeneration(keys, 0L), 1L), "url_gate_sink_aged")
+    assert(aged == Set(10L, 11L, 12L, 14L), aged)
+    // loud rejects: non-projection snapshot; staged column
+    val st = MemoryStream[(Long, java.sql.Timestamp, String)]
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.urlGate(
+        st.toDF().toDF("doc_id", "ts", "url"), prior)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.urlGate(
+        st.toDF().toDF("doc_id", "ts", "url")
+          .withColumn("_url_key", lit("x")), keys)
+    }
+  }
+
   test("semantic retention composes with the streaming gate: aged-out embeddings re-enter the feed") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
