@@ -313,11 +313,11 @@ object Dedup {
       "priorKeys must be an exactKeys projection (single `_key` column); " +
         "got " + priorKeys.columns.mkString(", "))
     requireNoReserved(newDocs, "newDocs")
-    val batch = exactDedup(newDocs, textCol, idCol)
-      .withColumn("_key", md5(col(textCol)))
-    bloomedAntiJoin(batch, priorKeys.distinct(), "_key",
-      bloomExpectedItems, bloomFpp)
-      .drop("_key")
+    // the [[keyedGate]] body (within-batch window ≡ exactDedup's md5
+    // partition for non-null text) so the exact tier shares the shared
+    // null-key pass-through contract documented there
+    keyedGate(newDocs.withColumn("_key", md5(col(textCol))), priorKeys,
+      idCol, bloomExpectedItems, bloomFpp)
   }
 
   /** Routing boundary for the Bloom pre-filter build (2 GiB): below it
@@ -350,10 +350,30 @@ object Dedup {
   /** Shared tier body over an already-`_key`ed batch: within-batch dedup
     * (smallest `idCol` per key — one hash-partitioned window) + anti-join
     * against the prior snapshot's distinct keys, Bloom-prefiltered when
-    * asked. Drops `_key` on the way out. */
+    * asked. Drops `_key` on the way out.
+    *
+    * NULL-key semantics (shared by every key tier — exact, normalized,
+    * url, signature): a null canonical key (null url, null text) is NO
+    * EVIDENCE of duplication, so null-key rows PASS THE TIER UNTOUCHED —
+    * never blocked by the snapshot (Spark's `left_anti` already keeps a
+    * null key: null matches nothing) and never collapsed within-batch.
+    * The naive window (`partitionBy(_key)`) would do the OPPOSITE on
+    * that second half: it groups ALL null-key rows into one partition
+    * and keeps exactly one — on a feed where the url column is optional,
+    * the zeroth tier would silently drop every null-url document but
+    * one, and funnel a null-heavy feed into one hot window task.
+    * Salting the window partition with the row's own id EXACTLY when
+    * the key is null makes each null-key row its own partition (rn = 1
+    * always — kept, skew-free); non-null keys see a constant salt, so
+    * their grouping is untouched. The DuckDB oracles mirror both halves
+    * explicitly (`PARTITION BY k, CASE WHEN k IS NULL THEN id END`;
+    * `k IS NULL OR k NOT IN (non-null prior keys)` — `NOT IN` alone
+    * would DIVERGE from `left_anti` on null). */
   private def keyedGate(keyed: DataFrame, priorKeys: DataFrame, idCol: String,
       bloomExpectedItems: Long, bloomFpp: Double): DataFrame = {
-    val w = Window.partitionBy(col("_key")).orderBy(col(idCol))
+    val w = Window.partitionBy(col("_key"),
+        when(col("_key").isNull, col(idCol).cast("string")).otherwise(lit("")))
+      .orderBy(col(idCol))
     val batch = keyed.withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1).drop("_rn")
     bloomedAntiJoin(batch, priorKeys.distinct(), "_key",

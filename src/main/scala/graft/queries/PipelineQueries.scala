@@ -1492,11 +1492,19 @@ object PipelineQueries {
     // urls blocked; +40000 fragment-decorated VARIANTS of prior urls
     // blocked (canonicalization, not byte equality, is the key); +60000
     // fragment-decorated twins of batch urls collapse within-batch to
-    // the smallest id
+    // the smallest id; +80000 NULL-url rows ALL pass through untouched
+    // (a null key is no evidence of duplication — the shared keyedGate
+    // contract: not collapsed within-batch, not blocked by the
+    // snapshot, which itself carries null keys from its own null-url
+    // prior rows without poisoning the anti-join)
     "p_incr_url" -> ((s, dir) => {
       val fx = table(s, dir, "documents")
         .select(col("doc_id"), col("lang"), urlFixture.as("url"))
+      val nullUrl = lit(null).cast("string")
       val prior = fx.where(col("doc_id") % 3 === 1)
+        .unionByName(fx.where(col("doc_id") % 3 === 1 && col("doc_id") < 60)
+          .select((col("doc_id") + 90000).as("doc_id"), col("lang"),
+            nullUrl.as("url")))
       val batch = fx.where(col("doc_id") % 3 === 0)
         .unionByName(prior.where(col("doc_id") < 150)
           .withColumn("doc_id", col("doc_id") + 20000))
@@ -1506,6 +1514,9 @@ object PipelineQueries {
         .unionByName(fx.where(col("doc_id") % 3 === 0 && col("doc_id") < 150)
           .select((col("doc_id") + 60000).as("doc_id"), col("lang"),
             concat(col("url"), lit("#dup")).as("url")))
+        .unionByName(fx.where(col("doc_id") % 3 === 0 && col("doc_id") < 120)
+          .select((col("doc_id") + 80000).as("doc_id"), col("lang"),
+            nullUrl.as("url")))
       Dedup.incrementalUrlDedup(batch, Dedup.urlKeys(prior))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
@@ -4327,12 +4338,22 @@ object PipelineQueries {
         |FROM sub ORDER BY doc_id""".stripMargin,
 
     // URL canonicalization: identical regex chain in DuckDB (tracking
-    // strip needs the explicit 'g' flag; Spark replaces globally)
+    // strip needs the explicit 'g' flag; Spark replaces globally).
+    // Null-key semantics replayed explicitly — the engine's left_anti
+    // KEEPS a null key while a bare NOT IN would drop it (and a null in
+    // the pk set would drop EVERYTHING), so the kept-filter spells
+    // `k IS NULL OR k NOT IN (non-null keys)` and the within-batch
+    // window salts null-key partitions by doc_id (each null-url row its
+    // own partition — pass through, never collapsed)
     "p_incr_url" ->
       s"""WITH fx AS (
          |  SELECT doc_id, lang, $urlFixtureSql AS url FROM documents
-         |), prior AS (SELECT * FROM fx WHERE doc_id % 3 = 1),
-         |batch AS (
+         |), prior AS (
+         |  SELECT * FROM fx WHERE doc_id % 3 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 90000, lang, NULL FROM fx
+         |  WHERE doc_id % 3 = 1 AND doc_id < 60
+         |), batch AS (
          |  SELECT doc_id, lang, url FROM fx WHERE doc_id % 3 = 0
          |  UNION ALL
          |  SELECT doc_id + 20000, lang, url FROM prior WHERE doc_id < 150
@@ -4342,17 +4363,25 @@ object PipelineQueries {
          |  UNION ALL
          |  SELECT doc_id + 60000, lang, url || '#dup' FROM fx
          |  WHERE doc_id % 3 = 0 AND doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 80000, lang, NULL FROM fx
+         |  WHERE doc_id % 3 = 0 AND doc_id < 120
          |), bk AS (
          |  SELECT doc_id, lang, md5(${normUrlSql("url")}) AS k FROM batch
          |), pk AS (
          |  SELECT DISTINCT md5(${normUrlSql("url")}) AS k FROM prior
+         |  WHERE url IS NOT NULL
          |), dedup AS (
          |  SELECT doc_id, lang, k FROM (
          |    SELECT doc_id, lang, k,
-         |      row_number() OVER (PARTITION BY k ORDER BY doc_id) AS rn
+         |      row_number() OVER (
+         |        PARTITION BY k,
+         |          CASE WHEN k IS NULL THEN CAST(doc_id AS VARCHAR) ELSE '' END
+         |        ORDER BY doc_id) AS rn
          |    FROM bk) WHERE rn = 1
          |), kept AS (
-         |  SELECT doc_id, lang FROM dedup WHERE k NOT IN (SELECT k FROM pk)
+         |  SELECT doc_id, lang FROM dedup
+         |  WHERE k IS NULL OR k NOT IN (SELECT k FROM pk)
          |)
          |SELECT lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,

@@ -646,10 +646,19 @@ object StreamingIngest {
         md5(graft.ext.UrlOps.normalize(col(urlCol))))
     val priorK = priorUrlKeys.select(col("_key").as("_url_key"))
       .withColumn("_url_seen", lit(1)).distinct().localCheckpoint()
-    keyed.join(priorK, Seq("_url_key"), "left_outer")
+    // null-url rows PASS THROUGH untouched — the batch twin's shared
+    // null-key contract (Dedup.keyedGate: a null canonical key is no
+    // evidence of duplication). They branch off BEFORE the state op:
+    // dropDuplicatesWithinWatermark treats nulls as equal and would
+    // silently collapse every null-url feed row onto one, breaking
+    // batch↔streaming parity; the stateless null branch also skips the
+    // snapshot join (a null key matches nothing anyway).
+    val nonNull = keyed.where(col("_url_key").isNotNull)
+      .join(priorK, Seq("_url_key"), "left_outer")
       .where(col("_url_seen").isNull).drop("_url_seen")
       .dropDuplicatesWithinWatermark("_url_key")
       .drop("_url_key")
+    nonNull.unionByName(keyed.where(col("_url_key").isNull).drop("_url_key"))
   }
 
   /** Streaming twin of [[graft.ext.Similarity.incrementalSemDedup]] — the
