@@ -804,6 +804,50 @@ object Dedup {
       .where(col("_n") <= maxBucketSize).drop("_n")
   }
 
+  /** Cap-drop observability — the measuring half of the over-cap
+    * convention shared by [[cappedBuckets]] / [[candidatePairs]] /
+    * [[graft.ext.Similarity.cappedCells]]: members of an over-cap
+    * bucket/cell PASS their tier by design (correct, documented — the
+    * alternative is quadratic work on a boilerplate bucket), but a gate
+    * that cannot report its own recall decay will decay unnoticed as
+    * the corpus grows (the fixed-quantizer failure mode
+    * [[graft.ext.Similarity.rekeySemanticSnapshot]] exists to fix).
+    * This is the attrition-style side report a production run ships
+    * with its output: over the grouped key rows (`lshBuckets` output
+    * for the banded tier, a snapshot's `cell` column for the semantic
+    * tier), ONE map-side-combined count per group + ONE bounded
+    * aggregate over the group counts — prices like a count, output is
+    * a single row (n_groups, n_groups_dropped, n_rows,
+    * n_rows_passed_uncapped). `n_rows_passed_uncapped` is the recall
+    * headline: rows whose group the cap dropped, i.e. rows this tier
+    * passed WITHOUT gating. Alert/re-key when it grows. */
+  def capReport(keyed: DataFrame, keyCols: Seq[String],
+      maxSize: Int): DataFrame = {
+    require(keyCols.nonEmpty &&
+        keyCols.forall(keyed.columns.contains),
+      s"capReport needs grouping columns present in the input; got " +
+        s"${keyCols.mkString(", ")} over ${keyed.columns.mkString(", ")}")
+    val counts = keyed.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+    counts.agg(
+      count(lit(1)).as("n_groups"),
+      coalesce(sum(when(col("_n") > maxSize, 1L)), lit(0L))
+        .as("n_groups_dropped"),
+      coalesce(sum(col("_n")), lit(0L)).as("n_rows"),
+      coalesce(sum(when(col("_n") > maxSize, col("_n"))), lit(0L))
+        .as("n_rows_passed_uncapped"))
+  }
+
+  /** [[capReport]] over the banded tier's (band, key) buckets for a
+    * signature table — the report to ship next to
+    * [[incrementalBandedNearDedup]] / [[incrementalCrawlGate]] runs
+    * (same keys, same cap, same over-cap convention as
+    * [[cappedBuckets]]). */
+  def bucketCapReport(sigs: DataFrame, numHashes: Int, bands: Int,
+      maxBucketSize: Int): DataFrame =
+    capReport(lshBuckets(sigs, numHashes, bands), Seq("band", "key"),
+      maxBucketSize)
+
   /** Per-document LSH bucket rows: (id, band, key) where key hashes
     * `rowsPerBand` consecutive signature slots. Near-duplicates agree on
     * ≥1 band key with high probability (s-curve of banded MinHash). Band

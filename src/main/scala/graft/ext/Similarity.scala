@@ -136,17 +136,58 @@ object Similarity {
   /** Train an IVF coarse quantizer: deterministic Lloyd iterations on a
     * driver-side sample (bounded rows × dim doubles — NOT the corpus; at
     * 100 TB the quantizer trains on a sample by construction, exactly like
-    * faiss-style IVF). Init = first k sample vectors; ties in assignment
-    * break to the lowest centroid index. */
+    * faiss-style IVF). The sample is HASH-ordered (xxhash64 of the id,
+    * id tiebreak): deterministic like an id-prefix sample but unbiased
+    * under any id layout — a head-of-table sample covers only the
+    * corpus's FIRST ids, which is biased exactly when ids correlate
+    * with content (chronological crawls, replicated snapshots), and a
+    * quantizer trained on a biased sample leaves the unseen mass in a
+    * few mega-cells (measured in ScaleProbe's rekey sweep: the prefix
+    * sample left >75% of a dispersed corpus in over-cap cells at
+    * k = √n). Init = first k sample vectors; ties in assignment break
+    * to the lowest centroid index. */
   def kmeansCentroids(corpus: DataFrame, k: Int, sampleRows: Int = 2048,
       iters: Int = 8): Array[Array[Double]] = {
     val sample = corpus.select(col("vec_id"), col("embedding"))
-      .orderBy("vec_id").limit(sampleRows)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleRows)
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     require(sample.length >= k, s"need at least $k sample rows, got ${sample.length}")
+    lloydCluster(sample, k, iters)
+  }
+
+  /** Shared deterministic Lloyd core of [[kmeansCentroids]] /
+    * [[pqTrainCodebooks]]: farthest-first init (first sample vector,
+    * then greedily the sample point farthest from the chosen set — ties
+    * to the lowest sample index), then `iters` assignment/update rounds
+    * with lowest-index tie-breaks. Farthest-first makes the init
+    * ORDER-ROBUST: a first-k init seeds duplicate centroids whenever
+    * the sample's head under-covers the clusters (which a hash-ordered
+    * or shuffled sample routinely does), and Lloyd rarely recovers a
+    * missed cluster within bounded iterations. */
+  private def lloydCluster(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
     val dim = sample.head.length
-    var cents = Array.tabulate(k)(i => sample(i).clone())
+    val init = new Array[Array[Double]](k)
+    init(0) = sample(0).clone()
+    val minD = Array.fill(sample.length)(Double.MaxValue)
+    var c0 = 1
+    while (c0 < k) {
+      val p = init(c0 - 1)
+      var best = 0; var bestD = -1.0
+      var s = 0
+      while (s < sample.length) {
+        var d = 0.0; var i = 0
+        val v = sample(s)
+        while (i < dim) { val t = v(i) - p(i); d += t * t; i += 1 }
+        if (d < minD(s)) minD(s) = d
+        if (minD(s) > bestD) { bestD = minD(s); best = s }
+        s += 1
+      }
+      init(c0) = sample(best).clone()
+      c0 += 1
+    }
+    var cents = init
     var it = 0
     while (it < iters) {
       val sums = Array.fill(k)(new Array[Double](dim))
@@ -305,6 +346,84 @@ object Similarity {
       .select(col("id"), col("_m.cell").as("cell"), col("_m.emb").as("emb"))
   }
 
+  /** Re-key a persisted semantic snapshot under NEW centroids — the
+    * quantizer-GROWTH lifecycle step the fixed-k tier is incomplete
+    * without: the snapshot's own sizing contract is k ≈ √n (per-cell
+    * gate work is ≈ (n/k)², and k bounds the candidate join's
+    * parallelism), so a corpus that grows for months under one
+    * quantizer eventually pushes cells past `maxCellSize` — and
+    * [[cappedCells]] then passes those cells' members BY CONVENTION,
+    * silently degrading the paraphrase membrane toward a no-op. The
+    * lifecycle: when a cell-occupancy read (see [[cellOccupancy]])
+    * shows cells approaching the cap, train a BIGGER quantizer toward
+    * k ≈ √n ([[kmeansCentroids]] — a bounded driver-side sample, never
+    * the corpus) and re-key the snapshot under it with this operator.
+    *
+    * ONE map-only pass: the embeddings are already IN the snapshot
+    * (the [[semanticKeys]] projection stores (id, cell, emb)), so
+    * re-keying never re-reads corpus text or re-embeds — `cell` is
+    * recomputed from the stored `emb` and everything else is carried
+    * through, including the `_gen` stamp of a
+    * [[stampSemanticGeneration]]ed snapshot (re-keying is a LAYOUT
+    * change; it must not disturb retention ages). Re-keyed ≡
+    * fresh-built from the same embeddings bit-for-bit
+    * ([[semanticKeys]] on the (id, emb) projection — IvfSpec
+    * pins the parity), because cell assignment is a pure function of
+    * (emb, centroids). Rewrite the persisted snapshot bucketed by the
+    * NEW `cell` so the daily gate join rides the new layout. */
+  def rekeySemanticSnapshot(cells: DataFrame,
+      newCentroids: Array[Array[Double]]): DataFrame = {
+    val cols = cells.columns.toSeq
+    require(cols == Seq("id", "cell", "emb") ||
+        cols == Seq("id", "cell", "emb", "_gen"),
+      "rekeySemanticSnapshot takes a semanticKeys projection (id, cell, " +
+        "emb) or its stamped form (id, cell, emb, _gen); got " +
+        cols.mkString(", "))
+    cells.withColumn("cell", ivfCells(col("emb"), newCentroids, 1)(0))
+  }
+
+  /** Per-cell occupancy of a semantic snapshot vs the gate cap — the
+    * observability read driving the [[rekeySemanticSnapshot]] lifecycle
+    * (and the monitoring half of the capped-cell convention): one
+    * map-side-combined count per cell, flagging cells at or past
+    * `maxCellSize` (whose members [[cappedCells]] will pass ungated).
+    * Returns (cell, n, over_cap 0/1) — bounded by k rows. */
+  def cellOccupancy(cells: DataFrame, maxCellSize: Int): DataFrame = {
+    require(cells.columns.contains("cell"),
+      "cellOccupancy takes a snapshot carrying a `cell` column; got " +
+        cells.columns.mkString(", "))
+    cells.groupBy("cell").agg(count(lit(1)).as("n"))
+      .select(col("cell"), col("n"),
+        (col("n") > maxCellSize).cast("long").as("over_cap"))
+  }
+
+  /** Cap-drop report for ONE [[incrementalSemDedup]] invocation — the
+    * semantic tier's [[graft.ext.Dedup.capReport]], covering BOTH
+    * capped sides with the gate's own keys: side `prior` counts the
+    * snapshot's cells (rows in dropped cells = prior docs the tier can
+    * no longer see — recall decay of the membrane itself, the signal
+    * that drives [[rekeySemanticSnapshot]]), side `batch` counts the
+    * query-probe rows after the ×nprobe fan-out (rows in dropped cells
+    * = probes that went ungated). One bounded aggregate per side;
+    * output two rows. Ship it next to the gate's output (the
+    * attritionReport discipline) — the hash rows stay reports-free. */
+  def semanticCapReport(newDocs: DataFrame, priorCells: DataFrame,
+      centroids: Array[Array[Double]], idCol: String = "vec_id",
+      embCol: String = "embedding", nprobe: Int = 1,
+      maxCellSize: Int = 10000): DataFrame = {
+    require(priorCells.columns.toSeq == Seq("id", "cell", "emb"),
+      "priorCells must be a semanticKeys projection (id, cell, emb); " +
+        "got " + priorCells.columns.mkString(", "))
+    val pr = Dedup.capReport(priorCells.select("cell"), Seq("cell"),
+      maxCellSize)
+    val bq = Dedup.capReport(
+      newDocs.select(explode(ivfCells(col(embCol), centroids, nprobe))
+        .as("cell")),
+      Seq("cell"), maxCellSize)
+    pr.select(lit("prior").as("side"), col("*"))
+      .unionByName(bq.select(lit("batch").as("side"), col("*")))
+  }
+
   /** Drop over-cap cells via a spillable window count — the semantic
     * gate's sibling of [[Dedup.cappedBuckets]]: a degenerate cell (the
     * quantizer's catch-all for near-zero or templated embeddings) would
@@ -388,12 +507,14 @@ object Similarity {
   /** Train PQ codebooks: per-subspace Lloyd iterations on a bounded
     * driver-side sample (the faiss ProductQuantizer shape — at 100 TB the
     * codebooks train on a sample by construction and the corpus is only
-    * ENCODED, never collected). Deterministic: sorted sample, first-k
-    * init, lowest-index ties. */
+    * ENCODED, never collected). Deterministic: hash-ordered sample (the
+    * [[kmeansCentroids]] rationale — unbiased under any id layout),
+    * farthest-first init, lowest-index ties (the shared
+    * [[lloydCluster]] core). */
   def pqTrainCodebooks(corpus: DataFrame, numSub: Int, k: Int,
       sampleRows: Int = 2048, iters: Int = 8): Array[Array[Array[Double]]] = {
     val sample = corpus.select(col("vec_id"), col("embedding"))
-      .orderBy("vec_id").limit(sampleRows)
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleRows)
       .collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     require(sample.nonEmpty, "empty sample")
@@ -403,29 +524,7 @@ object Similarity {
     Array.tabulate(numSub) { s =>
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
       require(sub.length >= k, s"need at least $k sample rows, got ${sub.length}")
-      var cents = Array.tabulate(k)(i => sub(i).clone())
-      var it = 0
-      while (it < iters) {
-        val sums = Array.fill(k)(new Array[Double](subDim))
-        val counts = new Array[Long](k)
-        sub.foreach { v =>
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < k) {
-            var d = 0.0; var i = 0
-            while (i < subDim) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
-            if (d < bestD) { best = c; bestD = d }
-            c += 1
-          }
-          var i = 0
-          while (i < subDim) { sums(best)(i) += v(i); i += 1 }
-          counts(best) += 1
-        }
-        cents = Array.tabulate(k)(c =>
-          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
-        it += 1
-      }
-      cents
+      lloydCluster(sub, k, iters)
     }
   }
 

@@ -1637,6 +1637,39 @@ object PipelineQueries {
         .orderBy("day")
     }),
 
+    // the quantizer-GROWTH lifecycle (rekeySemanticSnapshot): a corpus
+    // grown past its quantizer has over-cap cells, and cappedCells then
+    // passes their members UNGATED — the fixed-k decay that silently
+    // turns the paraphrase membrane into a no-op. Golden 16-cluster
+    // corpus (SF-independent, exact-in-float): under the STALE k=2
+    // quantizer both prior cells (~333) blow the 200-cap, so +20000
+    // exact-embedding replicas of the prior ALL PASS; re-keying the
+    // SAME snapshot under the grown k=16 quantizer (one map-only pass
+    // over the stored embeddings — no corpus re-read) brings cells to
+    // ~42 and the replicas block. One row per (path, id-class)
+    "p_semdedup_rekey" -> ((s, dir) => {
+      val all = rekeyGolden(s)
+      val prior = all.where(col("vec_id") % 3 === 1)
+      val snapStale = Similarity.semanticKeys(prior, rekeyStaleCents)
+        .localCheckpoint()
+      val batch = all.where(col("vec_id") % 3 === 0)
+        .unionByName(prior.where(col("vec_id") < 150)
+          .withColumn("vec_id", col("vec_id") + 20000))
+      def classes(kept: DataFrame, path: String) =
+        kept.groupBy(floor(col("vec_id") / 20000).cast("long").as("class"))
+          .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("sum_ids"))
+          .select(lit(path).as("path"), col("class"), col("n_kept"),
+            col("sum_ids"))
+      classes(Similarity.incrementalSemDedup(batch, snapStale,
+          rekeyStaleCents, threshold = 0.999, nprobe = 1,
+          maxCellSize = 200), "stale")
+        .unionByName(classes(Similarity.incrementalSemDedup(batch,
+          Similarity.rekeySemanticSnapshot(snapStale, rekeyNewCents),
+          rekeyNewCents, threshold = 0.999, nprobe = 1,
+          maxCellSize = 200), "rekeyed"))
+        .orderBy("path", "class")
+    }),
+
     // learned quality-filter scoring: hashed-BoW (64 buckets, raw counts)
     // through the codegen dot-product kernel against a pinned literal
     // gblinear model — the map-only inference path of QualityClassifier
@@ -2342,6 +2375,39 @@ object PipelineQueries {
   // fixed 8-cell IVF coarse quantizer, likewise shared as literals
   private val ivfCentroids: Array[Array[Double]] = Similarity.hyperplanes(8, 64, seed = 7L)
 
+  /** 16-cluster one-hot-block quantizer for the re-key lifecycle row:
+    * centroid c carries 8.0 on dims i ≡ c (mod 16) — every value exact
+    * in float AND double, so the Spark float pipeline and the DuckDB
+    * double replay agree bit-for-bit with no rounding hazard. The
+    * "stale" undersized quantizer is its first two centroids. */
+  private val rekeyNewCents: Array[Array[Double]] =
+    Array.tabulate(16)(c => Array.tabulate(64)(i => if (i % 16 == c) 8.0 else 0.0))
+  private val rekeyStaleCents: Array[Array[Double]] =
+    Array(rekeyNewCents(0), rekeyNewCents(8))
+
+  /** SF-independent golden embedding corpus for the re-key row (the
+    * bpeGoldenCorpus contract): 2000 vectors in the 16 one-hot-block
+    * clusters of [[rekeyNewCents]], jittered by an exact-in-float
+    * lattice (k·2⁻⁶, k < 97) derived from (vec_id, dim) so both engines
+    * rebuild identical values. Under the stale k=2 quantizer the prior
+    * lands ~333 per cell (over the row's 200-cap — the tier silently
+    * no-ops, the decay this row exists to demonstrate); under the grown
+    * k=16 quantizer ~42 per cell. */
+  private def rekeyGolden(s: SparkSession): DataFrame =
+    s.range(2000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (when(i % 16 === col("id") % 16, lit(8.0)).otherwise(lit(0.0)) +
+          ((col("id") * 31 + i * 7) % 97).cast("double") * lit(0.015625))
+          .cast("float")).as("embedding"))
+
+  /** [[rekeyGolden]] in DuckDB dialect (same exact-float lattice). */
+  private val rekeyGoldenSql =
+    """SELECT vec_id, list_transform(range(0, 64), i ->
+      |    CAST(CAST(CASE WHEN i % 16 = vec_id % 16 THEN 8.0 ELSE 0.0 END
+      |      + ((vec_id * 31 + i * 7) % 97) * 0.015625 AS FLOAT) AS DOUBLE))
+      |    AS embedding
+      |  FROM range(2000) t(vec_id)""".stripMargin
+
   // fixed PQ codebooks: 4 subspaces × 4 centroids × 16 dims, shared as
   // literals with the oracle (data-trained path covered in ScalaTest)
   private val pqBooks: Array[Array[Array[Double]]] = Similarity.pqCodebooks(4, 4, 16, seed = 11L)
@@ -2391,19 +2457,30 @@ object PipelineQueries {
 
   /** `d<i>` column definitions for a vector column: |c|² − 2·v·c with the
     * centroid norm emitted as a Scala-computed literal (bit-identical to
-    * the Spark kernel's). */
-  private def ivfDistCols(vec: String): String =
-    ivfCentroids.zipWithIndex.map { case (c, i) =>
+    * the Spark kernel's). Parameterized by the centroid set so the
+    * re-key row can replay a SECOND (stale / grown) quantizer with the
+    * same single-sourced fragments. */
+  private def ivfDistColsFor(vec: String,
+      cents: Array[Array[Double]]): String =
+    cents.zipWithIndex.map { case (c, i) =>
       val normSq = c.map(x => x * x).sum
       val dp = s"list_sum(list_transform(range(1, 65), j -> CAST($vec[j] AS DOUBLE) * (${Similarity.planeSql(c)})[j]))"
       s"($normSq - 2.0 * ($dp)) AS d$i"
     }.mkString(", ")
 
-  private val ivfLeastAll = (0 until ivfK).map(i => s"d$i").mkString("least(", ", ", ")")
+  private def ivfDistCols(vec: String): String =
+    ivfDistColsFor(vec, ivfCentroids)
+
+  private def ivfLeastAllFor(k: Int): String =
+    (0 until k).map(i => s"d$i").mkString("least(", ", ", ")")
+
+  private val ivfLeastAll = ivfLeastAllFor(ivfK)
 
   /** First-match argmin over the d columns. */
-  private val ivfCellCase =
-    (0 until ivfK).map(i => s"WHEN d$i = m THEN $i").mkString("CASE ", " ", " END")
+  private def ivfCellCaseFor(k: Int): String =
+    (0 until k).map(i => s"WHEN d$i = m THEN $i").mkString("CASE ", " ", " END")
+
+  private val ivfCellCase = ivfCellCaseFor(ivfK)
 
   /** The semantic tier's cell-assignment CTE chain over a (vec_id,
     * embedding) source: `{name}` ends up as (vec_id, embedding, cell)
@@ -2412,18 +2489,22 @@ object PipelineQueries {
     * drop inline — pass None when the row applies its caps in separate
     * CTEs (the retention rows). Single-sourced so the membrane rows
     * cannot drift on the cell replay. */
-  private def ivfCellCtes(name: String, src: String,
-      cap: Option[Int]): String = {
+  private def ivfCellCtesFor(name: String, src: String, cap: Option[Int],
+      cents: Array[Array[Double]]): String = {
+    val cellCase = ivfCellCaseFor(cents.length)
     val qualify = cap.map(c =>
-      s"\n  QUALIFY count(*) OVER (PARTITION BY $ivfCellCase) <= $c")
+      s"\n  QUALIFY count(*) OVER (PARTITION BY $cellCase) <= $c")
       .getOrElse("")
     s"""${name}_d AS (
-       |  SELECT vec_id, embedding, ${ivfDistCols("embedding")} FROM $src
-       |), ${name}_m AS (SELECT *, $ivfLeastAll AS m FROM ${name}_d),
+       |  SELECT vec_id, embedding, ${ivfDistColsFor("embedding", cents)} FROM $src
+       |), ${name}_m AS (SELECT *, ${ivfLeastAllFor(cents.length)} AS m FROM ${name}_d),
        |$name AS (
-       |  SELECT vec_id, embedding, $ivfCellCase AS cell FROM ${name}_m$qualify
+       |  SELECT vec_id, embedding, $cellCase AS cell FROM ${name}_m$qualify
        |)""".stripMargin
   }
+
+  private def ivfCellCtes(name: String, src: String,
+      cap: Option[Int]): String = ivfCellCtesFor(name, src, cap, ivfCentroids)
 
   /** Second-nearest cell: per first-cell branch, first-match argmin over
     * the remaining columns. */
@@ -4148,6 +4229,49 @@ object PipelineQueries {
          |)
          |SELECT day, count(*) AS n_new, CAST(sum(vec_id) AS BIGINT) AS sum_ids
          |FROM un GROUP BY day ORDER BY day""".stripMargin
+    },
+
+    // quantizer-growth lifecycle: BOTH gate paths replayed — the stale
+    // k=2 quantizer (over-cap cells → QUALIFY caps them out → replicas
+    // pass) and the re-keyed k=16 path (re-key ≡ fresh assignment from
+    // the stored embeddings, which is exactly what the cell CTEs
+    // compute). All fixture values exact in float and double, so the
+    // two engines agree bit-for-bit
+    "p_semdedup_rekey" -> {
+      val dp = Similarity.dotSql("b.embedding", "p.embedding", 64)
+      val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
+      val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
+      val cos = s"round(($dp) / (($nb) * ($np)), 5)"
+      s"""WITH allv AS (
+         |  $rekeyGoldenSql
+         |), prior AS (SELECT vec_id, embedding FROM allv WHERE vec_id % 3 = 1),
+         |batch AS (
+         |  SELECT vec_id, embedding FROM allv WHERE vec_id % 3 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 20000, embedding FROM prior WHERE vec_id < 150
+         |), ${ivfCellCtesFor("pstale", "prior", Some(200), rekeyStaleCents)},
+         |${ivfCellCtesFor("bstale", "batch", Some(200), rekeyStaleCents)},
+         |fstale AS (
+         |  SELECT DISTINCT b.vec_id FROM bstale b JOIN pstale p USING (cell)
+         |  WHERE $cos >= 0.999
+         |), kstale AS (
+         |  SELECT vec_id FROM batch
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM fstale)
+         |), ${ivfCellCtesFor("pnew", "prior", Some(200), rekeyNewCents)},
+         |${ivfCellCtesFor("bnew", "batch", Some(200), rekeyNewCents)},
+         |fnew AS (
+         |  SELECT DISTINCT b.vec_id FROM bnew b JOIN pnew p USING (cell)
+         |  WHERE $cos >= 0.999
+         |), knew AS (
+         |  SELECT vec_id FROM batch
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM fnew)
+         |), un AS (
+         |  SELECT 'stale' AS path, vec_id FROM kstale
+         |  UNION ALL SELECT 'rekeyed', vec_id FROM knew
+         |)
+         |SELECT path, CAST(floor(vec_id / 20000) AS BIGINT) AS class,
+         |  count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM un GROUP BY path, class ORDER BY path, class""".stripMargin
     },
 
     "p_quality_clf" -> {

@@ -277,6 +277,55 @@ object ScaleProbe {
       println(s"[scale] semdedup vectors: $nEmb cells: $kCells")
       bigEmb.unpersist(blocking = true)
     }
+    // quantizer-growth lifecycle: a snapshot keyed by a FIXED k=16
+    // quantizer decays as the corpus grows (over-cap cells pass their
+    // members ungated — visible in n_rows_passed_uncapped, NOT in wall
+    // time); rekeySemanticSnapshot re-keys the stored embeddings under
+    // a √n quantizer in ONE map-only pass (linear in snapshot rows),
+    // after which the gate's per-cell work is flat again
+    for (m <- Seq(1, 4) if selected(s"semdedup_rekey_x$m")) {
+      import graft.ext.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      // replicas are JITTERED per (row, dim) (±0.1 on unit-norm-ish
+      // vectors): byte-identical replicas would collapse into the same
+      // cell at ANY k — a degenerate mega-cell no quantizer growth can
+      // split — where the real decay under test is a DISPERSED corpus
+      // outgrowing its cell count
+      val bigEmb = spark.range(mult.toLong * m).crossJoin(emb)
+        .select((col("vec_id") * (mult * m) + col("id")).as("vec_id"),
+          col("embedding"))
+        .select(col("vec_id"), transform(col("embedding"), (x, i) =>
+          x + ((col("vec_id") * 31 + i * 7) % 97 - 48).cast("float")
+            * lit(0.002f)).as("embedding"))
+        .repartition(32).cache()
+      val nEmb = bigEmb.count()
+      val prior = bigEmb.where(col("vec_id") % 3 =!= 0)
+      val batch = bigEmb.where(col("vec_id") % 3 === 0)
+      val cap = 1000
+      val staleCents = Similarity.kmeansCentroids(prior, k = 16)
+      val snapStale = Similarity.semanticKeys(prior, staleCents).localCheckpoint()
+      val kNew = math.max(16, math.sqrt(nEmb.toDouble).toInt)
+      val newCents = Similarity.kmeansCentroids(prior, k = kNew,
+        sampleRows = math.max(2048, kNew))
+      time(s"semdedup_rekey_x$m") {
+        Similarity.rekeySemanticSnapshot(snapStale, newCents).count()
+      }
+      val rekeyed = Similarity.rekeySemanticSnapshot(snapStale, newCents)
+        .localCheckpoint()
+      time(s"semdedup_rekeyed_gate_x$m") {
+        Similarity.incrementalSemDedup(batch, rekeyed, newCents,
+          threshold = 0.95, nprobe = 2, maxCellSize = cap).count()
+      }
+      // the decay the lifecycle exists to close, via the cap report:
+      // rows of the snapshot the gate can no longer see
+      def ungated(snap: org.apache.spark.sql.DataFrame) =
+        Dedup.capReport(snap.select("cell"), Seq("cell"), cap)
+          .collect().head.getLong(3)
+      println(s"[scale] rekey x$m: vectors $nEmb stale-k16 ungated rows " +
+        s"${ungated(snapStale)} -> rekeyed-k$kNew ungated ${ungated(rekeyed)}")
+      bigEmb.unpersist(blocking = true)
+    }
     // token-budget mix: one range-partitioned cumsum over (lang, id)
     time("token_budget") {
       graft.ext.Curation.takeTokenBudget(big, "lang",

@@ -250,4 +250,88 @@ class IvfSpec extends AnyFunSuite {
       .select("doc").as[String].collect().toSet
     assert(sKept == Set("b-22"), sKept)
   }
+
+  test("rekeySemanticSnapshot == fresh semanticKeys under the new quantizer; _gen carried; stale-k gate no-ops where the re-keyed gate blocks") {
+    import spark.implicits._
+    val cents3 = Similarity.kmeansCentroids(corpus, k = 3, sampleRows = 900, iters = 10)
+    val cents1 = cents3.take(1) // the "stale" undersized quantizer
+    val snapStale = Similarity.semanticKeys(corpus, cents1).localCheckpoint()
+    // parity: re-keyed ≡ fresh-built from the same embeddings (cell
+    // assignment is a pure function of (emb, centroids))
+    val rekeyed = Similarity.rekeySemanticSnapshot(snapStale, cents3)
+    assert(rekeyed.columns.toSeq == Seq("id", "cell", "emb"))
+    val fresh = Similarity.semanticKeys(corpus, cents3)
+    assert(rekeyed.select("id", "cell").except(fresh.select("id", "cell")).isEmpty &&
+      fresh.select("id", "cell").except(rekeyed.select("id", "cell")).isEmpty)
+    // the stamped form carries _gen through untouched (re-key is a
+    // layout change — retention ages must not move)
+    val rekeyedGen = Similarity.rekeySemanticSnapshot(
+      Similarity.stampSemanticGeneration(snapStale, 3L), cents3)
+    assert(rekeyedGen.columns.toSeq == Seq("id", "cell", "emb", "_gen"))
+    assert(rekeyedGen.select("_gen").distinct().as[Long].collect().toSeq == Seq(3L))
+    // shape guard
+    intercept[IllegalArgumentException] {
+      Similarity.rekeySemanticSnapshot(corpus, cents3)
+    }
+    // lifecycle end-to-end: under the stale k=1 quantizer EVERY doc is
+    // in one cell; a cap below the corpus size caps it out and an exact
+    // replica of a prior doc PASSES the gate ungated. Re-keying the SAME
+    // snapshot to k=3 brings cells under the cap and the replica blocks.
+    val replica = corpus.where(col("vec_id") === 7L)
+      .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    val cap = 400 // blob cells are 200-400; the k=1 cell is 900
+    val keptStale = Similarity.incrementalSemDedup(replica, snapStale, cents1,
+      threshold = 0.999, nprobe = 1, maxCellSize = cap).count()
+    val keptRekey = Similarity.incrementalSemDedup(replica, rekeyed, cents3,
+      threshold = 0.999, nprobe = 1, maxCellSize = cap).count()
+    assert(keptStale == 1L && keptRekey == 0L, s"$keptStale / $keptRekey")
+    // ...and cellOccupancy is the read that drives the re-key decision
+    val occStale = Similarity.cellOccupancy(snapStale, cap)
+      .select("over_cap").as[Long].collect()
+    assert(occStale.toSeq == Seq(1L))
+    val occNew = Similarity.cellOccupancy(rekeyed, cap)
+      .select("over_cap").as[Long].collect()
+    assert(occNew.length == 3 && occNew.forall(_ == 0L))
+  }
+
+  test("capReport / semanticCapReport / bucketCapReport count dropped groups and ungated rows") {
+    import spark.implicits._
+    val Dedup = graft.ext.Dedup
+    // generic: 3 groups of sizes 5/2/1 with cap 3 → one group dropped,
+    // its 5 rows pass uncapped
+    val keyed = (Seq.fill(5)("a") ++ Seq.fill(2)("b") ++ Seq("c"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val rep = Dedup.capReport(keyed, Seq("k"), 3).collect().head
+    assert((rep.getLong(0), rep.getLong(1), rep.getLong(2), rep.getLong(3)) ==
+      ((3L, 1L, 8L, 5L)), rep.toString)
+    intercept[IllegalArgumentException] {
+      Dedup.capReport(keyed, Seq("missing"), 3)
+    }
+    // semantic: the over-cap fixture of the cap spec above — prior hot
+    // cell (50 members) dropped at cap 10, cold cell (1) kept; batch
+    // probes 1 per cell, nothing dropped
+    val hot = Seq.fill(50)(Array.fill(8)(1.0f).toSeq)
+    val cold = Array.fill(8)(-4.0f).toSeq
+    val prior = (hot.zipWithIndex.map { case (v, i) => (i.toLong, v) } :+
+      (900L, cold)).toDF("vec_id", "embedding")
+    val batch = Seq((1000L, hot.head), (1001L, cold)).toDF("vec_id", "embedding")
+    val cents = Array(Array.fill(8)(1.0), Array.fill(8)(-4.0))
+    val sem = Similarity.semanticCapReport(batch,
+        Similarity.semanticKeys(prior, cents), cents, maxCellSize = 10)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(sem("prior") == ((2L, 1L, 51L, 50L)), sem.toString)
+    assert(sem("batch") == ((2L, 0L, 2L, 0L)), sem.toString)
+    // banded: one boilerplate text repeated 12 times + 2 normal docs at
+    // cap 10 → every band's boilerplate bucket drops (all 4 bands), the
+    // 12 rows per band pass uncapped
+    val docs = ((0 until 12).map(i =>
+        (i.toLong, "the same boilerplate sentence repeated everywhere always")) ++
+      Seq((100L, "one normal document with several distinct words inside"),
+        (101L, "another entirely different page of text goes right here")))
+      .toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "text", col("doc_id"), 16)
+    val brep = Dedup.bucketCapReport(sigs, 16, 4, 10).collect().head
+    assert(brep.getLong(1) == 4L && brep.getLong(3) == 48L, brep.toString)
+  }
 }
