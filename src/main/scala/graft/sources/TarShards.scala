@@ -630,8 +630,19 @@ object TarShards {
     * mapPartitions stays at the call site so no extra serialization
     * boundary enters the plan). */
   private def shardFiles(spark: SparkSession,
-      dir: String): org.apache.spark.sql.Dataset[(String, Array[Byte])] =
-    shardFilesAt(spark, Seq(s"$dir/shard-*.tar*"))
+      dir: String): org.apache.spark.sql.Dataset[(String, Array[Byte])] = {
+    // load the DIRECTORY with a pathGlobFilter rather than a glob in the
+    // path: DataSource resolution stats the path string verbatim for a
+    // (never-present) streaming-sink metadata dir, and a literal
+    // `shard-*.tar*` path makes that probe throw-and-log a WARN with a
+    // full FileNotFoundException stack per read — pure noise that buries
+    // real fetch failures in the capstone logs
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "shard-*.tar*").load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+  }
 
   /** [[shardFiles]] over explicit paths/globs (the mixed-store fallback
     * reads a subset of a directory's archives). */
@@ -967,7 +978,11 @@ object TarShards {
     // or non-sample index that could silently miss requested keys: loud
     // reject with the designed message, never skip (and never an opaque
     // cast error)
-    val entries = spark.read.format("binaryFile").load(s"$dir/shard-*.idx")
+    // directory + pathGlobFilter, not a glob path (the shardFiles
+    // rationale: a glob path makes resolution log a spurious
+    // FileNotFoundException WARN per read)
+    val entries = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "shard-*.idx").load(dir)
       .select(col("path"),
         explode(split(col("content").cast("string"), "\n")).as("line"))
       .where(col("line") =!= "")
