@@ -1599,6 +1599,96 @@ object PipelineQueries {
       res
     }),
 
+    // the COMPLETE production gate ORDER, zeroth tier included: url →
+    // lexical×4 → semantic → paragraph strip → budget → pack → tar →
+    // readback. p_daily_full certifies tiers 1-6; this row puts the
+    // ZEROTH (pre-fetch) tier in FRONT, where a production crawler
+    // runs it — a url hit saves the fetch itself, so the url class's
+    // pages never reach a text tier. One replica class per tier:
+    // +20000 normalized / +40000 banded / +60000 signature-key /
+    // +80000 semantic (all carrying NOVEL urls so the zeroth tier
+    // cannot mask the tier under test) and +100000 url-variant
+    // replicas of prior urls carrying NOVEL text and far embeddings —
+    // only the zeroth tier can block them
+    "p_daily_full6" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang", "source")
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      def page(t: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
+        concat_ws("\n",
+          lit("Subscribe to our newsletter today!"),
+          concat(lit("Slogan number "), (id % 40).cast("string")),
+          t,
+          concat(lit("Unique closer "), id.cast("string")))
+      val far = array_repeat(lit(25.0f), 64)
+      val corpus = d.join(e, "doc_id")
+      val pbase = corpus.where(col("doc_id") % 3 === 1)
+      val prior = pbase.select(col("doc_id"),
+        page(col("text"), col("doc_id")).as("text"), col("lang"),
+        urlFixture.as("url"), col("embedding")).localCheckpoint()
+      val batch = corpus.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), page(col("text"), col("doc_id")).as("text"),
+          col("lang"), urlFixture.as("url"), col("embedding"))
+        .unionByName(membraneReplicas(prior, pbase,
+          page(rewordedText, col("doc_id") + 80000))
+          .withColumn("url",
+            concat(lit("https://replica.example.com/r/"),
+              col("doc_id").cast("string"))))
+        .unionByName(prior.where(col("doc_id") >= 350 && col("doc_id") < 450)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            page(concat(lit("url replica body "), col("doc_id").cast("string")),
+              col("doc_id") + 100000).as("text"),
+            col("lang"), concat(col("url"), lit("#u")).as("url"),
+            far.as("embedding")))
+      val kept0 = Dedup.incrementalUrlDedup(batch,
+          Dedup.urlKeys(prior), idCol = "doc_id")
+        .drop("url").localCheckpoint()
+      val kept4 = Dedup.incrementalCrawlGate(kept0,
+        Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
+          .localCheckpoint(),
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket,
+        priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
+      val kept5 = Similarity.incrementalSemDedup(kept4,
+        Similarity.semanticKeys(prior, ivfCentroids, idCol = "doc_id")
+          .localCheckpoint(),
+        ivfCentroids, threshold = 0.999, idCol = "doc_id", nprobe = 1,
+        maxCellSize = 1000).localCheckpoint()
+      val shipIn = Dedup.stripSeenParagraphs(kept5, Dedup.paragraphKeys(prior))
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(kept5.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint()
+      val chosen = Curation.takeTokenBudget(shipIn, "lang",
+        Map("en" -> 20000L), defaultBudget = 8000L).select("doc_id")
+      val packed = Curation.packShardsBySize(
+        chosen.join(shipIn.select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes")), "doc_id"),
+        "doc_id", "n_bytes", targetBytes = 16384L, salt = "dfull6")
+      val docsOut = packed.select("doc_id", "shard")
+        .join(shipIn.select("doc_id", "text"), "doc_id")
+        .select(col("shard"),
+          format_string("%06d.txt", col("doc_id")).as("name"),
+          col("text").cast("binary").as("payload"))
+      val out = java.nio.file.Files.createTempDirectory("graft_dfull6")
+      graft.sources.TarShards.writeShards(docsOut, out.toString, "shard",
+        "name", "payload")
+      val res = graft.sources.TarShards.readShards(s, out.toString)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_members"),
+          sum(octet_length(col("body_text")).cast("long")).as("sum_bytes"),
+          sum(conv(substring(md5(col("body_text")), 1, 12), 16, 10)
+            .cast("long")).as("sum_h"))
+        .select(lit(1).as("day"), col("shard"), col("n_members"),
+          col("sum_bytes"), col("sum_h"))
+        .orderBy("day", "shard")
+        .localCheckpoint() // materialize BEFORE deleting the files
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(out).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      res
+    }),
+
     // SEMANTIC-tier retention — the embedding snapshot under the same
     // one-knob lifecycle as the lexical tiers: day-1 gate against
     // retain(gen0, 0) blocks +20000 exact-embedding replicas of the
@@ -4168,6 +4258,115 @@ object PipelineQueries {
          |  FROM strip s JOIN kept5 kk ON kk.doc_id = s.doc_id
          |), ${shipFromKeptx("d5", "dfull")}
          |${shipSelect("d5", 1)}
+         |ORDER BY day, shard""".stripMargin
+    },
+
+    // the six-membrane capstone: p_daily_full's chain with the ZEROTH
+    // url tier replayed in FRONT (within-batch canonical-url dedup +
+    // NOT IN the prior's url keys), gating which rows the text tiers
+    // ever see — the production order, where a url hit saves the fetch
+    "p_daily_full6" -> {
+      val dp = Similarity.dotSql("b.embedding", "p.embedding", 64)
+      val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
+      val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
+      val cos = s"round(($dp) / (($nb) * ($np)), 5)"
+      val farSql = "list_transform(range(1, 65), i -> CAST(25.0 AS DOUBLE))"
+      def pageSql(t: String, id: String) =
+        s"""concat_ws(chr(10),
+           |    'Subscribe to our newsletter today!',
+           |    'Slogan number ' || (($id) % 40),
+           |    $t,
+           |    'Unique closer ' || ($id))""".stripMargin
+      s"""WITH corpus AS (
+         |  SELECT d.doc_id, d.text, d.lang, d.source, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |), pbase AS (SELECT * FROM corpus WHERE doc_id % 3 = 1),
+         |prior AS (
+         |  SELECT doc_id, ${pageSql("text", "doc_id")} AS text, lang,
+         |    $urlFixtureSql AS url, embedding
+         |  FROM pbase
+         |), batch AS (
+         |  SELECT doc_id, ${pageSql("text", "doc_id")} AS text, lang,
+         |    $urlFixtureSql AS url, embedding
+         |  FROM corpus WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000, '  ' || upper(text) || '  !! ', lang,
+         |    'https://replica.example.com/r/' || (doc_id + 20000), $farSql
+         |  FROM prior WHERE doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 40000,
+         |    text || ' sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8', lang,
+         |    'https://replica.example.com/r/' || (doc_id + 40000), $farSql
+         |  FROM prior WHERE doc_id >= 150 AND doc_id < 250
+         |  UNION ALL
+         |  SELECT doc_id + 60000, text, lang,
+         |    'https://replica.example.com/r/' || (doc_id + 60000), $farSql
+         |  FROM prior WHERE doc_id >= 250 AND doc_id < 350
+         |  UNION ALL
+         |  SELECT doc_id + 80000,
+         |    ${pageSql(
+               "'reworded page number ' || doc_id || ' entirely different words here'",
+               "doc_id + 80000")},
+         |    lang, 'https://replica.example.com/r/' || (doc_id + 80000),
+         |    embedding
+         |  FROM pbase WHERE doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 100000,
+         |    ${pageSql("'url replica body ' || doc_id", "doc_id + 100000")},
+         |    lang, url || '#u', $farSql
+         |  FROM prior WHERE doc_id >= 350 AND doc_id < 450
+         |), ubk AS (
+         |  SELECT doc_id, md5(${normUrlSql("url")}) AS uk FROM batch
+         |), upk AS (
+         |  SELECT DISTINCT md5(${normUrlSql("url")}) AS uk FROM prior
+         |), u1 AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, uk,
+         |      row_number() OVER (PARTITION BY uk ORDER BY doc_id) AS rn
+         |    FROM ubk) WHERE rn = 1 AND uk NOT IN (SELECT uk FROM upk)
+         |), batch0 AS (
+         |  SELECT b.doc_id, b.text, b.lang, b.embedding
+         |  FROM batch b JOIN u1 USING (doc_id)
+         |), ${sigKeyCtes("p", "prior", NumHashes)},
+         |pck AS (SELECT md5(${canonSql("text")}) AS key FROM prior),
+         |${sigKeyCtes("b1", "batch0", NumHashes)},
+         |${crawlGateCtes("b1", "batch0", "p_key", "p_sig", Some("pck"))},
+         |prsrc AS (SELECT doc_id AS vec_id, embedding FROM prior),
+         |s5src AS (
+         |  SELECT b.doc_id AS vec_id, b.embedding
+         |  FROM b1_kept k JOIN batch0 b ON b.doc_id = k.doc_id
+         |), ${ivfCellCtes("prc", "prsrc", Some(1000))},
+         |${ivfCellCtes("s5c", "s5src", Some(1000))},
+         |f5 AS (
+         |  SELECT DISTINCT b.vec_id FROM s5c b JOIN prc p ON b.cell = p.cell
+         |  WHERE $cos >= 0.999
+         |), kept5 AS (
+         |  SELECT doc_id, lang FROM b1_kept
+         |  WHERE doc_id NOT IN (SELECT vec_id FROM f5)
+         |), k0 AS (
+         |  SELECT DISTINCT md5(u.para) AS k
+         |  FROM (SELECT string_split(text, chr(10)) AS l FROM prior) ls
+         |  CROSS JOIN LATERAL (SELECT unnest(l) AS para) u
+         |  WHERE trim(u.para) <> ''
+         |), kpage AS (
+         |  SELECT kk.doc_id, string_split(b.text, chr(10)) AS l
+         |  FROM kept5 kk JOIN batch0 b ON b.doc_id = kk.doc_id
+         |), paras AS (
+         |  SELECT doc_id, u.pos, l[u.pos] AS para
+         |  FROM kpage
+         |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(l)+1)) AS pos) u
+         |), strip AS (
+         |  SELECT p.doc_id,
+         |    coalesce(string_agg(
+         |      CASE WHEN trim(p.para) = '' OR k.k IS NULL THEN p.para END,
+         |      chr(10) ORDER BY p.pos), '') AS text
+         |  FROM paras p LEFT JOIN k0 k ON md5(p.para) = k.k
+         |  GROUP BY p.doc_id
+         |), d6_keptx AS (
+         |  SELECT s.doc_id, kk.lang, s.text
+         |  FROM strip s JOIN kept5 kk ON kk.doc_id = s.doc_id
+         |), ${shipFromKeptx("d6", "dfull6")}
+         |${shipSelect("d6", 1)}
          |ORDER BY day, shard""".stripMargin
     },
 
