@@ -1382,6 +1382,69 @@ object Dedup {
       .withColumnRenamed("_pd_id", idCol)
   }
 
+  /** The repeated-SPAN (sub-paragraph) tier's persistable snapshot
+    * projection — one md5 per corpus-HOT token n-gram (appearing in
+    * ≥ `minDocs` distinct snapshot documents), as a single-`_key`
+    * table: the crawl-gate artifact for INLINE boilerplate (share
+    * bars, cookie sentences, byline tails) recurring across days
+    * INSIDE otherwise-novel paragraphs — invisible to all the
+    * document-granularity tiers AND to the paragraph tier (which
+    * needs an exact '\n'-span match). Built from the existing
+    * map-side-combined [[repeatedNgrams]] aggregate (output bounded
+    * by the hot set, never the corpus); n-gram TEXT never leaves the
+    * aggregation — only 32-hex keys persist. Same lifecycle as every
+    * key tier: [[stampGeneration]] / [[retainGenerations]] apply
+    * unchanged, and a `_key`-bucketed snapshot keeps retention
+    * exchange-free. Append each day's own hot set stamped with that
+    * day's generation; boilerplate hot WITHIN any single day enters
+    * the snapshot and gates every later day. */
+  def spanKeys(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3, minDocs: Int = 3): DataFrame =
+    repeatedNgrams(docs, textCol, idCol, n, minDocs)
+      .select(md5(col("ngram")).as("_key"))
+
+  /** Cross-snapshot repeated-SPAN strip — [[removeRepeatedSpans]]'
+    * daily-crawl form and the action half of the span tier: every
+    * token of `newDocs` covered by an occurrence of a SNAPSHOT-hot
+    * n-gram (a persisted [[spanKeys]] projection) is cut; novel text
+    * survives in original order. Keep-first is structural here: the
+    * canonical copies already SHIPPED with the snapshot's own days, so
+    * the incremental form cuts every batch occurrence (the
+    * [[stripSeenParagraphs]] convention — the snapshot side decides
+    * what "already seen" means, the batch side only loses repeats).
+    * Runs AFTER the document-granularity gates, beside the paragraph
+    * strip, on the kept pages.
+    *
+    * Returns (idCol, n_tokens, n_removed, clean_text).
+    *
+    * Scale (100 TB): batch explodes to (start, ngram) pairs that join
+    * the snapshot's DISTINCT keys on the md5 — ONE hash join (AQE
+    * skew-split covers a pathologically hot boilerplate n-gram;
+    * snapshot side is keys only, prior text is never read) — hits
+    * expand to covered positions and fold back with one groupBy(doc),
+    * and the cut is the shared [[cutCoveredPositions]] hash-set pass.
+    * No per-ngram windows, no driver state; document token arrays
+    * never shuffle (SpanGateSpec pins the window-free plan). */
+  def stripSeenSpans(newDocs: DataFrame, priorSpanKeys: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    require(priorSpanKeys.columns.toSeq == Seq("_key"),
+      "priorSpanKeys must be a spanKeys projection (single `_key` " +
+        "column); got " + priorSpanKeys.columns.mkString(", "))
+    val src = ensurePar(newDocs)
+    val toks = src.select(col(idCol).as("id"), col(textCol),
+      TextOps.tokens(col(textCol)).as("_toks"))
+    val covered = toks
+      .select(col("id"), posexplode(TextOps.ngramsAll(col("_toks"), n))
+        .as(Seq("start", "ngram")))
+      .withColumn("_key", md5(col("ngram")))
+      .join(priorSpanKeys.distinct(), Seq("_key"))
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+      .groupBy("id").agg(collect_set(col("pos")).as("_covered"))
+    cutCoveredPositions(toks, covered, idCol)
+  }
+
   /** Flag documents carrying repeated n-grams: per doc, how many of its
     * n-grams are corpus-hot (≥ minDocs docs). One additional shuffle join
     * on the n-gram key against the bounded hot set. */

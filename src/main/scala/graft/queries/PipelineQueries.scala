@@ -2232,6 +2232,38 @@ object PipelineQueries {
         .orderBy("policy", "doc_id")
     }),
 
+    // the repeated-SPAN gate tier (inline boilerplate across days —
+    // the class the paragraph tier cannot see, needing an exact
+    // '\n'-span match): day-1 pages carry an inline share-bar tail;
+    // its 3-grams go hot (every day-1 doc carries them), their md5s
+    // become the stamped snapshot; day-2 pages lose exactly the
+    // covered tokens while novel text survives. Both policy reads in
+    // one hash row: retain(minGen=0) strips, retain(minGen=1) ages
+    // the gen-0 keys out so nothing is cut — the same one-knob
+    // lifecycle as the other six tiers. The day-1 corpus text itself
+    // contributes organically-hot 3-grams too; the oracle replays the
+    // full hot set, not just the fixture tail
+    "p_incr_span" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      def page(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        concat(col("text"),
+          lit(" share this page on all social media channels right now thanks"))
+          .as("text"))
+      val day1 = page(d.where(col("doc_id") % 3 === 1))
+      val gen0 = Dedup.stampGeneration(
+        Dedup.spanKeys(day1, n = 3, minDocs = 3), 0L).localCheckpoint()
+      val day2 = page(d.where(col("doc_id") % 3 === 0))
+      def strip(minGen: Long, policy: String) =
+        Dedup.stripSeenSpans(day2, Dedup.retainGenerations(gen0, minGen),
+            n = 3)
+          .select(lit(policy).as("policy"), col("doc_id"),
+            col("n_tokens").cast("long").as("n_tokens"),
+            col("n_removed").cast("long").as("n_removed"),
+            md5(col("clean_text")).as("clean_md5"))
+      strip(0L, "retain0").unionByName(strip(1L, "aged"))
+        .orderBy("policy", "doc_id")
+    }),
+
     // C4 line/page cleaning (Raffel et al. 2020 §2.2) over the
     // deterministic pageFixture; the oracle re-runs the same line
     // predicate with a DuckDB list_filter lambda and compares the
@@ -3750,6 +3782,60 @@ object PipelineQueries {
         |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
         |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // span gate tier: day-1 hot 3-grams (share-bar tail + organically
+    // hot corpus 3-grams) strip day-2 covered tokens under retain0;
+    // the aged read empties the key set so nothing is cut (clean text
+    // = the tokens re-joined — the same normalization the strip's kept
+    // branch applies)
+    "p_incr_span" ->
+      """WITH d1 AS (
+        |  SELECT doc_id,
+        |    text || ' share this page on all social media channels right now thanks' AS text
+        |  FROM documents WHERE doc_id % 3 = 1
+        |), t1 AS (SELECT doc_id, string_split(text, ' ') AS t FROM d1),
+        |g1 AS (
+        |  SELECT doc_id, t[u.i]||' '||t[u.i+1]||' '||t[u.i+2] AS ngram
+        |  FROM t1
+        |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+        |  WHERE len(t) >= 3
+        |), hot AS (
+        |  SELECT ngram FROM g1 GROUP BY ngram HAVING count(DISTINCT doc_id) >= 3
+        |), d2 AS (
+        |  SELECT doc_id,
+        |    text || ' share this page on all social media channels right now thanks' AS text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |), t2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM d2),
+        |g2 AS (
+        |  SELECT doc_id, u.i - 1 AS s0,
+        |    t[u.i]||' '||t[u.i+1]||' '||t[u.i+2] AS ngram
+        |  FROM t2
+        |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+        |  WHERE len(t) >= 3
+        |), st AS (
+        |  SELECT doc_id, list(DISTINCT s0) AS starts
+        |  FROM g2 JOIN hot USING (ngram) GROUP BY doc_id
+        |), j AS (
+        |  SELECT t2.doc_id, t2.t,
+        |    CASE WHEN st.starts IS NULL THEN [] ELSE st.starts END AS starts
+        |  FROM t2 LEFT JOIN st USING (doc_id)
+        |), k AS (
+        |  SELECT doc_id, len(t) AS n_tokens,
+        |    list_transform(
+        |      list_filter(range(1, len(t) + 1),
+        |        i -> len(list_filter(starts, s -> s <= i - 1 AND i - 1 < s + 3)) = 0),
+        |      i -> t[i]) AS kept
+        |  FROM j
+        |)
+        |SELECT 'retain0' AS policy, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+        |  md5(coalesce(array_to_string(kept, ' '), '')) AS clean_md5
+        |FROM k
+        |UNION ALL
+        |SELECT 'aged', doc_id, CAST(len(t) AS BIGINT),
+        |  CAST(0 AS BIGINT), md5(array_to_string(t, ' '))
+        |FROM t2
+        |ORDER BY policy, doc_id""".stripMargin,
 
     "p_stratified_sample" ->
       s"""SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_id
