@@ -240,6 +240,38 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
+  /** [[ivfTopK]] over a PERSISTED [[semanticKeys]] snapshot — the dedup
+    * tier's embedding artifact doubled as a retrieval index: the
+    * snapshot's (id, cell, emb) rows ARE an IVF inverted file (cell =
+    * the coarse-quantizer posting list), so the corpus a daily gate
+    * maintains is queryable for nearest-neighbor retrieval with NO
+    * extra index build or corpus re-read. Same plan shape as
+    * [[ivfTopK]]: queries fan ×nprobe map-side, ONE equi-join shuffle
+    * on the cell id (riding the snapshot's cell bucketing when
+    * persisted that way), rounded-cosine ranking with id tiebreak.
+    * With `nprobe = centroids.length` every posting list is probed and
+    * the result EQUALS brute-force top-k over the snapshot (the
+    * `p_ann_snapshot` oracle states exactly that equivalence); smaller
+    * nprobe trades recall for probe cost, tuned like any IVF index. */
+  def ivfTopKFromSnapshot(cells: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Double]], nprobe: Int, k: Int,
+      roundDigits: Int = 5): DataFrame = {
+    require(cells.columns.toSeq == Seq("id", "cell", "emb"),
+      "cells must be a semanticKeys projection (id, cell, emb); got " +
+        cells.columns.mkString(", "))
+    val cb = cells.select(col("id").as("vec_id"), col("cell"),
+      col("emb").as("embedding"), l2Norm(col("emb")).as("nc"))
+    val qb = queries.select(col("qid"), col("qe"),
+      explode(ivfCells(col("qe"), centroids, nprobe)).as("cell"),
+      l2Norm(col("qe")).as("nq"))
+    val scored = qb.join(cb, Seq("cell"))
+      .where(col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        round(dot(col("qe"), col("embedding")) / (col("nq") * col("nc")), roundDigits).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
     * k-means cells + within-cell pairwise cosine. A document is flagged as
     * a semantic duplicate iff some LOWER-id document in the same cell has

@@ -1369,6 +1369,23 @@ object PipelineQueries {
       Similarity.ivfTopK(e, q, ivfCentroids, nprobe = 2, k = 2).orderBy("qid", "rk")
     }),
 
+    // ANN retrieval OVER THE DEDUP SNAPSHOT: the semantic tier's
+    // persisted (id, cell, emb) artifact IS an IVF inverted file, so
+    // the corpus the daily gate maintains is queryable with no extra
+    // index build. Probing ALL cells makes IVF exactly brute force —
+    // which is what the oracle states (plain cross-join top-k, no cell
+    // replay): the row certifies the snapshot-as-index path against
+    // ground truth, not against its own plumbing
+    "p_ann_snapshot" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val snap = Similarity.semanticKeys(
+        e.where(col("vec_id") % 3 === 1), ivfCentroids)
+      val q = e.where(col("vec_id") % 3 === 0 && col("vec_id") < 15)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Similarity.ivfTopKFromSnapshot(snap, q, ivfCentroids,
+        nprobe = ivfCentroids.length, k = 5).orderBy("qid", "rk")
+    }),
+
     // Product quantization, brute ADC: the corpus is ENCODED once to 4
     // sub-codes per vector (the compressed table that fits in memory at
     // 100 TB — 64 floats → a few bytes) and queries scan codes with the
@@ -4023,6 +4040,29 @@ object PipelineQueries {
          |SELECT qid, vec_id, cos,
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS INT) AS rk
          |FROM s QUALIFY rk <= 1 ORDER BY qid, rk""".stripMargin
+    },
+
+    // snapshot-as-index certified against GROUND TRUTH: nprobe = all
+    // cells makes IVF ≡ brute force, so the oracle is the plain
+    // cross-join top-k — no cell replay anywhere
+    "p_ann_snapshot" -> {
+      val dp = Similarity.dotSql("q.qe", "p.embedding", 64)
+      val nq = s"sqrt(${Similarity.dotSql("q.qe", "q.qe", 64)})"
+      val nc = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
+      s"""WITH prior AS (
+         |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 1
+         |), q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |  WHERE vec_id % 3 = 0 AND vec_id < 15
+         |), scored AS (
+         |  SELECT q.qid, p.vec_id, round(($dp) / (($nq) * ($nc)), 5) AS cos
+         |  FROM q CROSS JOIN prior p WHERE q.qid <> p.vec_id
+         |)
+         |SELECT qid, vec_id, cos, rk FROM (
+         |  SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
     },
 
     "p_ann_ivf" ->

@@ -294,6 +294,34 @@ class IvfSpec extends AnyFunSuite {
     assert(occNew.length == 3 && occNew.forall(_ == 0L))
   }
 
+  test("ivfTopKFromSnapshot: the dedup snapshot doubles as the IVF index") {
+    import spark.implicits._
+    val cents = Similarity.kmeansCentroids(corpus, k = 3, sampleRows = 900, iters = 10)
+    val snap = Similarity.semanticKeys(corpus, cents)
+    val q = corpus.where(col("vec_id") < 6)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSeq
+    // identical to ivfTopK over the raw corpus at every nprobe (the
+    // snapshot is a pure projection; no information is lost)
+    for (np <- Seq(1, 3)) {
+      assert(rows(Similarity.ivfTopKFromSnapshot(snap, q, cents, np, k = 4)) ==
+        rows(Similarity.ivfTopK(corpus, q, cents, np, k = 4)), s"nprobe=$np")
+    }
+    // probing all cells == brute force (the p_ann_snapshot oracle claim)
+    assert(rows(Similarity.ivfTopKFromSnapshot(snap, q, cents, 3, k = 4)) ==
+      rows(Similarity.bruteTopK(corpus, q, k = 4)))
+    // single-probe recall stays high on separable blobs (same contract
+    // as the raw-corpus IVF path)
+    val brute = rows(Similarity.bruteTopK(corpus, q, k = 4)).map(t => (t._1, t._2)).toSet
+    val p1 = rows(Similarity.ivfTopKFromSnapshot(snap, q, cents, 1, k = 4)).map(t => (t._1, t._2)).toSet
+    assert(p1.intersect(brute).size >= (brute.size * 0.7).toInt, s"${p1.intersect(brute).size}/${brute.size}")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTopKFromSnapshot(corpus, q, cents, 1, k = 4)
+    }
+  }
+
   test("capReport / semanticCapReport / bucketCapReport count dropped groups and ungated rows") {
     import spark.implicits._
     val Dedup = graft.ext.Dedup
