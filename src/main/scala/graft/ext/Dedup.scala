@@ -403,39 +403,52 @@ object Dedup {
   private def bloomedAntiJoin(batch: DataFrame, priorKeys: DataFrame,
       keyCol: String, bloomExpectedItems: Long, bloomFpp: Double): DataFrame = {
     val preFiltered =
-      if (bloomExpectedItems > 0) {
-        val est = bloomBytes(bloomExpectedItems, bloomFpp)
-        // a dirty snapshot can carry null keys (md5 of null text);
-        // filter builds over a column with nulls can throw, and a null
-        // key never matches the anti-join anyway — build on non-nulls
-        val nonNull = priorKeys.where(col(keyCol).isNotNull)
-        if (est <= BloomMaxBytes) {
-          val bf = nonNull.stat.bloomFilter(keyCol, bloomExpectedItems, bloomFpp)
-          val maybe = udf((h: String) => h != null && bf.mightContain(h))
-          batch.withColumn("_maybe", maybe(col(keyCol)))
-        } else {
-          val bytes =
-            executorBloomBytes(nonNull, keyCol, bloomExpectedItems, est * 8L)
-          import org.apache.spark.sql.graft.ColumnBridge
-          import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-          // an EMPTY prior aggregates to a null filter: nothing can be
-          // in the snapshot, so nothing is "maybe seen"
-          val maybe = bytes match {
-            case null => lit(false)
-            case b => coalesce( // null key → false, matching the UDF route
-              ColumnBridge.column(BloomFilterMightContain(
-                Literal(b, org.apache.spark.sql.types.BinaryType),
-                ColumnBridge.expression(xxhash64(col(keyCol))))),
-              lit(false))
-          }
-          batch.withColumn("_maybe", maybe)
-        }
-      } else batch.withColumn("_maybe", lit(true))
+      withBloomMaybe(batch, priorKeys, keyCol, bloomExpectedItems, bloomFpp)
     val checked = preFiltered.where(col("_maybe"))
       .join(priorKeys, Seq(keyCol), "left_anti")
     preFiltered.where(!col("_maybe"))
       .unionByName(checked)
       .drop("_maybe")
+  }
+
+  /** The Bloom pre-filter body shared by [[bloomedAntiJoin]] and the
+    * paragraph strip's routed pre-filter: stages `_maybe` (might the
+    * row's `keyCol` be in `priorKeys`?) on `batch`, via the
+    * driver-built sketch below [[BloomMaxBytes]] and the
+    * executor-built Catalyst filter above it. No false negatives on
+    * either route, so consumers may safely skip the snapshot join for
+    * `_maybe = false` rows. `bloomExpectedItems <= 0` stages a
+    * constant true (pre-filter off). */
+  private def withBloomMaybe(batch: DataFrame, priorKeys: DataFrame,
+      keyCol: String, bloomExpectedItems: Long, bloomFpp: Double): DataFrame = {
+    if (bloomExpectedItems > 0) {
+      val est = bloomBytes(bloomExpectedItems, bloomFpp)
+      // a dirty snapshot can carry null keys (md5 of null text);
+      // filter builds over a column with nulls can throw, and a null
+      // key never matches the anti-join anyway — build on non-nulls
+      val nonNull = priorKeys.where(col(keyCol).isNotNull)
+      if (est <= BloomMaxBytes) {
+        val bf = nonNull.stat.bloomFilter(keyCol, bloomExpectedItems, bloomFpp)
+        val maybe = udf((h: String) => h != null && bf.mightContain(h))
+        batch.withColumn("_maybe", maybe(col(keyCol)))
+      } else {
+        val bytes =
+          executorBloomBytes(nonNull, keyCol, bloomExpectedItems, est * 8L)
+        import org.apache.spark.sql.graft.ColumnBridge
+        import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+        // an EMPTY prior aggregates to a null filter: nothing can be
+        // in the snapshot, so nothing is "maybe seen"
+        val maybe = bytes match {
+          case null => lit(false)
+          case b => coalesce( // null key → false, matching the UDF route
+            ColumnBridge.column(BloomFilterMightContain(
+              Literal(b, org.apache.spark.sql.types.BinaryType),
+              ColumnBridge.expression(xxhash64(col(keyCol))))),
+            lit(false))
+        }
+        batch.withColumn("_maybe", maybe)
+      }
+    } else batch.withColumn("_maybe", lit(true))
   }
 
   /** Build a Bloom filter over `xxhash64(keyCol)` EXECUTOR-side via
@@ -1355,9 +1368,19 @@ object Dedup {
     * the batch's partitions and AQE skew-split covers a pathological
     * page shape) → one groupBy(doc) page rebuild. Only the batch's own
     * paragraph text rides the two shuffles — the snapshot side is keys
-    * only, the prior corpus's text is never read. */
+    * only, the prior corpus's text is never read.
+    *
+    * `bloomExpectedItems > 0` turns on the routed Bloom pre-filter of
+    * [[incrementalDedup]] on the paragraph key — worth more here than
+    * on the document tiers, because the snapshot is ~10× doc-count
+    * ROWS (one per prior paragraph) and most batch paragraphs are
+    * novel: paragraphs the filter clears skip the key join entirely.
+    * No false negatives on either build route, so the result is
+    * bit-identical at any size (ParagraphDedupSpec pins both routes);
+    * size the knob to the snapshot's PARAGRAPH count. */
   def stripSeenParagraphs(newDocs: DataFrame, priorParaKeys: DataFrame,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      bloomExpectedItems: Long = -1L, bloomFpp: Double = 0.01): DataFrame = {
     require(priorParaKeys.columns.toSeq == Seq("_key"),
       "priorParaKeys must be a paragraphKeys projection (single `_key` " +
         "column); got " + priorParaKeys.columns.mkString(", "))
@@ -1367,7 +1390,15 @@ object Dedup {
       .withColumn("_key", md5(col("para")))
       .withColumn("blank", trim(col("para")) === "")
     val seen = priorParaKeys.distinct().withColumn("_seen", lit(true))
-    paras.join(seen, Seq("_key"), "left")
+    // routed pre-filter: _maybe = false paragraphs are DEFINITELY novel
+    // (Bloom has no false negatives) — they bypass the key join with a
+    // staged null _seen, exactly what the left join would have produced
+    val pre = withBloomMaybe(paras, seen.select("_key"), "_key",
+      bloomExpectedItems, bloomFpp)
+    pre.where(col("_maybe")).join(seen, Seq("_key"), "left")
+      .unionByName(pre.where(!col("_maybe"))
+        .withColumn("_seen", lit(null).cast("boolean")))
+      .drop("_maybe")
       .withColumn("is_seen", !col("blank") && coalesce(col("_seen"), lit(false)))
       .groupBy("_pd_id")
       .agg(

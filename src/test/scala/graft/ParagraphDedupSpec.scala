@@ -87,6 +87,31 @@ class ParagraphDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("paragraph strip bloom routes: result bit-identical with the pre-filter off, driver-built, and executor-built") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val day1 = (0L until 40L).map(i =>
+      (i, Seq("Shared header.", s"body $i", "Footer common").mkString("\n")))
+      .toDF("doc_id", "text")
+    val keys = Dedup.paragraphKeys(day1).localCheckpoint()
+    val day2 = (100L until 130L).map(i =>
+      (i, Seq("Shared header.", s"novel body $i", "", "Footer common",
+        "fresh closer").mkString("\n")))
+      .toDF("doc_id", "text")
+    def run(bloom: Long) = Dedup.stripSeenParagraphs(day2, keys,
+        bloomExpectedItems = bloom)
+      .select(col("doc_id"), col("n_paras"), col("n_seen_paras"),
+        md5(col("clean_text")).as("m"))
+      .orderBy("doc_id").collect().toSeq
+    val want = run(-1L)
+    // seen paragraphs cut, novel + blanks kept — the classes the routes
+    // must agree on
+    assert(want.forall(r => r.getLong(1) == 5L && r.getLong(2) == 2L))
+    assert(run(1000L) == want, "driver bloom route changed the strip")
+    assert(Dedup.bloomBytes(100000000000L, 0.01) > Dedup.BloomMaxBytes)
+    assert(run(100000000000L) == want, "executor bloom route changed the strip")
+  }
+
   test("seeded property: stripSeenParagraphs == brute-force per-doc recomputation; empty snapshot = identity") {
     import spark.implicits._
     val rng = new scala.util.Random(77)
