@@ -414,6 +414,23 @@ object Similarity {
     cells.withColumn("cell", ivfCells(col("emb"), newCentroids, 1)(0))
   }
 
+  /** Train a GROWN quantizer from the snapshot itself — the middle
+    * step of the re-key lifecycle (occupancy read → THIS → re-key),
+    * so the whole quantizer-growth cycle runs off the persisted
+    * artifact with no corpus access: [[kmeansCentroids]] over the
+    * snapshot's own (id, emb) projection (hash-ordered bounded
+    * driver-side sample, farthest-first init — the shared Lloyd
+    * core). Size `k` toward √n per the [[semDedup]] contract. */
+  def trainQuantizerFromSnapshot(cells: DataFrame, k: Int,
+      sampleRows: Int = 2048, iters: Int = 8): Array[Array[Double]] = {
+    require(cells.columns.startsWith(Seq("id", "cell", "emb")),
+      "trainQuantizerFromSnapshot takes a semanticKeys projection " +
+        "(id, cell, emb[, _gen]); got " + cells.columns.mkString(", "))
+    kmeansCentroids(
+      cells.select(col("id").as("vec_id"), col("emb").as("embedding")),
+      k, sampleRows, iters)
+  }
+
   /** Per-cell occupancy of a semantic snapshot vs the gate cap — the
     * observability read driving the [[rekeySemanticSnapshot]] lifecycle
     * (and the monitoring half of the capped-cell convention): one

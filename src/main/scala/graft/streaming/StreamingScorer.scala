@@ -761,6 +761,23 @@ object StreamingIngest {
     (batch, batchId) => sink(
       graft.ext.Cleaning.attritionReport(batch, stages)
         .withColumn("batch_id", lit(batchId)))
+
+  /** Streaming composition of [[graft.ext.Dedup.stripSeenSpans]] — the
+    * repeated-SPAN tier over a feed, as a `foreachBatch` body (the
+    * [[stripSeenParagraphsForeachBatch]] pattern, and the twin that
+    * completes the set: every gate tier now has a streaming form):
+    * each micro-batch is stripped against the persisted
+    * [[graft.ext.Dedup.spanKeys]] snapshot with the SAME batch
+    * operator, rows stamped with the batch id. Per-document-
+    * independent given the static snapshot ⇒ per-batch outputs equal
+    * the batch operator over the concatenated feed row-for-row
+    * (StreamingSpec-pinned parity discipline). */
+  def stripSeenSpansForeachBatch(priorSpanKeys: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 3)(
+      sink: DataFrame => Unit): (DataFrame, Long) => Unit =
+    (batch, batchId) => sink(
+      graft.ext.Dedup.stripSeenSpans(batch, priorSpanKeys, textCol, idCol, n)
+        .withColumn("batch_id", lit(batchId)))
 }
 
 /** Continuous training over a micro-batch stream — the streaming twin of

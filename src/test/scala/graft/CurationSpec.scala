@@ -167,22 +167,22 @@ class CurationSpec extends AnyFunSuite {
   test("incremental gates on dirty text: null texts neither crash nor block unrelated docs") {
     import spark.implicits._
     val Dedup = graft.ext.Dedup
-    // null text in BOTH the batch and the prior: md5(null) = null key;
-    // null join keys never match an anti-join condition, so null-text
-    // batch docs pass the gate (they are not "seen" — there is nothing
-    // to match on), and a null-text prior row blocks nothing. Within
-    // the batch, exactDedup groups the nulls (window on the null key)
-    // and keeps the smallest id — one null-text doc survives, not all.
+    // null text in BOTH the batch and the prior: md5(null) = null key,
+    // and a null key is NO EVIDENCE of duplication (the r17 keyedGate
+    // contract, mirrored in the oracles) — null-text batch docs pass
+    // the tier UNTOUCHED (never collapsed within-batch: the window
+    // salts null-key partitions by id; never blocked: null matches
+    // nothing), and a null-text prior row blocks nothing.
     val prior = Seq((1L, Some("alpha")), (2L, None))
       .toDF("doc_id", "text")
     val batch = Seq(
-      (10L, None), (11L, None),                  // null dups: keep 10
+      (10L, None), (11L, None),                  // null keys: BOTH pass
       (12L, Some("alpha")),                      // blocked by prior
       (13L, Some("")), (14L, Some("")),          // empty IS a real key: keep 13
       (15L, Some("fresh"))).toDF("doc_id", "text")
     val kept = Dedup.incrementalDedup(batch, prior)
       .select("doc_id").as[Long].collect().toSet
-    assert(kept == Set(10L, 13L, 15L), kept)
+    assert(kept == Set(10L, 11L, 13L, 15L), kept)
     // same through the persisted-key path
     val keptK = Dedup.incrementalDedupKeys(batch, Dedup.exactKeys(prior))
       .select("doc_id").as[Long].collect().toSet
@@ -195,17 +195,17 @@ class CurationSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(keptB == kept, s"bloom on dirty snapshot: $keptB vs $kept")
     // the NORMALIZED tier under the same dirt: md5(canonicalText(null))
-    // is null — null-text docs pass the snapshot anti-join (nothing to
-    // match) and collapse to one within the batch; punctuation-only
-    // text canonicalizes to "" (a REAL key, same as the empty string),
-    // so "!!!" and "" are canonical twins and keep the smaller id
+    // is null — null-text docs ALL pass (the shared null-key contract);
+    // punctuation-only text canonicalizes to "" (a REAL key, same as
+    // the empty string), so "!!!" and "" are canonical twins and keep
+    // the smaller id
     val keptN = Dedup.incrementalNormalizedDedup(
         Seq((10L, None), (11L, None), (12L, Some("Alpha!")),
           (13L, Some("")), (14L, Some("!!!")), (15L, Some("fresh")))
           .toDF("doc_id", "text"),
         Dedup.canonicalKeys(prior))
       .select("doc_id").as[Long].collect().toSet
-    assert(keptN == Set(10L, 13L, 15L), keptN)
+    assert(keptN == Set(10L, 11L, 13L, 15L), keptN)
   }
 
   test("bloom routing boundary: over-cap estimates build executor-side, result unchanged at both sizes") {

@@ -292,6 +292,16 @@ class IvfSpec extends AnyFunSuite {
     val occNew = Similarity.cellOccupancy(rekeyed, cap)
       .select("over_cap").as[Long].collect()
     assert(occNew.length == 3 && occNew.forall(_ == 0L))
+    // the grown quantizer trains off the SNAPSHOT itself (no corpus
+    // access anywhere in the lifecycle): same sample ids + same Lloyd
+    // core ⇒ identical centroids to training on the raw corpus
+    val fromSnap = Similarity.trainQuantizerFromSnapshot(snapStale, k = 3,
+      sampleRows = 900, iters = 10)
+    assert(fromSnap.length == 3 &&
+      fromSnap.zip(cents3).forall { case (a, b) => a.sameElements(b) })
+    intercept[IllegalArgumentException] {
+      Similarity.trainQuantizerFromSnapshot(corpus, k = 3)
+    }
   }
 
   test("ivfTopKFromSnapshot: the dedup snapshot doubles as the IVF index") {

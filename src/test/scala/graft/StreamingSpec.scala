@@ -726,6 +726,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.find(_._1 == 10L).get._4 == "novel ten")
   }
 
+  test("streaming span strip (foreachBatch) equals the batch stripSeenSpans over the concatenated feed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val Dedup = graft.ext.Dedup
+    val bar = "share this page on social media"
+    val day1 = Seq(
+      (1L, s"alpha beta gamma $bar"),
+      (2L, s"delta epsilon zeta $bar"),
+      (3L, s"eta theta iota $bar")).toDF("doc_id", "text")
+    val keys = Dedup.spanKeys(day1, n = 3, minDocs = 3).localCheckpoint()
+    val feed = Seq(
+      (10L, s"totally novel words here $bar"),
+      (11L, "no boilerplate at all present"),
+      (12L, s"$bar leading boilerplate case"))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String)]()
+    val stream = MemoryStream[(Long, String)]
+    val q = stream.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch(graft.streaming.StreamingIngest
+        .stripSeenSpansForeachBatch(keys, n = 3)(b =>
+          out ++= b.select(col("doc_id"), col("n_tokens"),
+            col("n_removed"), col("clean_text"))
+            .as[(Long, Long, Long, String)].collect()))
+      .outputMode("append").start()
+    try {
+      stream.addData(feed.take(2)); q.processAllAvailable()
+      stream.addData(feed.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val batch = Dedup.stripSeenSpans(feed.toDF("doc_id", "text"), keys, n = 3)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("clean_text"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(out.toSet == batch, s"stream=${out.toSet} batch=$batch")
+    assert(batch.find(_._1 == 10L).get._4 == "totally novel words here")
+  }
+
   test("cleanDocuments loud-rejects feeds carrying any gate-staged column") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
