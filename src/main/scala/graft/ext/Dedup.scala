@@ -402,6 +402,14 @@ object Dedup {
     *    at any size). */
   private def bloomedAntiJoin(batch: DataFrame, priorKeys: DataFrame,
       keyCol: String, bloomExpectedItems: Long, bloomFpp: Double): DataFrame = {
+    // bloom OFF takes the plain anti-join, NOT the union shape with a
+    // constant-false branch: Catalyst does NOT fold the `!_maybe`
+    // filter over the aliased `lit(true)` through the union, so the
+    // dead branch EXECUTES — the whole batch subtree (window, explodes)
+    // evaluated twice per gate tier (measured 2.4× on the paragraph
+    // strip, whose explode subtree is not checkpointed upstream)
+    if (bloomExpectedItems <= 0)
+      return batch.join(priorKeys, Seq(keyCol), "left_anti")
     val preFiltered =
       withBloomMaybe(batch, priorKeys, keyCol, bloomExpectedItems, bloomFpp)
     val checked = preFiltered.where(col("_maybe"))
@@ -1392,13 +1400,21 @@ object Dedup {
     val seen = priorParaKeys.distinct().withColumn("_seen", lit(true))
     // routed pre-filter: _maybe = false paragraphs are DEFINITELY novel
     // (Bloom has no false negatives) — they bypass the key join with a
-    // staged null _seen, exactly what the left join would have produced
-    val pre = withBloomMaybe(paras, seen.select("_key"), "_key",
-      bloomExpectedItems, bloomFpp)
-    pre.where(col("_maybe")).join(seen, Seq("_key"), "left")
-      .unionByName(pre.where(!col("_maybe"))
-        .withColumn("_seen", lit(null).cast("boolean")))
-      .drop("_maybe")
+    // staged null _seen, exactly what the left join would have produced.
+    // Bloom OFF takes the single-join plan (the bloomedAntiJoin
+    // rationale: the union's constant-false branch is not folded, and
+    // executing the paras explode twice measured 2.4× on this tier)
+    val marked =
+      if (bloomExpectedItems <= 0) paras.join(seen, Seq("_key"), "left")
+      else {
+        val pre = withBloomMaybe(paras, seen.select("_key"), "_key",
+          bloomExpectedItems, bloomFpp)
+        pre.where(col("_maybe")).join(seen, Seq("_key"), "left")
+          .unionByName(pre.where(!col("_maybe"))
+            .withColumn("_seen", lit(null).cast("boolean")))
+          .drop("_maybe")
+      }
+    marked
       .withColumn("is_seen", !col("blank") && coalesce(col("_seen"), lit(false)))
       .groupBy("_pd_id")
       .agg(
