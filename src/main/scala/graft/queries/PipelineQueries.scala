@@ -1616,18 +1616,19 @@ object PipelineQueries {
       res
     }),
 
-    // the COMPLETE production gate ORDER, zeroth tier included: url →
-    // lexical×4 → semantic → paragraph strip → budget → pack → tar →
-    // readback. p_daily_full certifies tiers 1-6; this row puts the
-    // ZEROTH (pre-fetch) tier in FRONT, where a production crawler
-    // runs it — a url hit saves the fetch itself, so the url class's
-    // pages never reach a text tier. One replica class per tier:
-    // +20000 normalized / +40000 banded / +60000 signature-key /
-    // +80000 semantic (all carrying NOVEL urls so the zeroth tier
-    // cannot mask the tier under test) and +100000 url-variant
-    // replicas of prior urls carrying NOVEL text and far embeddings —
-    // only the zeroth tier can block them
-    "p_daily_full6" -> ((s, dir) => {
+    // the COMPLETE production gate ORDER — all SEVEN membranes + the
+    // ship stage: url (pre-fetch) → exact/normalized/signature/banded
+    // → semantic → paragraph strip → SPAN strip → budget → pack → tar
+    // → readback. One replica class per gate tier: +20000 normalized /
+    // +40000 banded / +60000 signature-key / +80000 semantic (all
+    // carrying NOVEL urls so the zeroth tier cannot mask the tier
+    // under test) and +100000 url-variant replicas of prior urls
+    // carrying NOVEL text and far embeddings — only the zeroth tier
+    // can block them. Every page body carries an INLINE share-bar tail
+    // (inside the body line, so the paragraph tier cannot see it —
+    // each body paragraph is unique): the span tier cuts exactly those
+    // tokens from the kept pages before shipping
+    "p_daily_full7" -> ((s, dir) => {
       val d = table(s, dir, "documents").select("doc_id", "text", "lang", "source")
       val e = table(s, dir, "embeddings")
         .select(col("vec_id").as("doc_id"), col("embedding"))
@@ -1637,14 +1638,16 @@ object PipelineQueries {
           concat(lit("Slogan number "), (id % 40).cast("string")),
           t,
           concat(lit("Unique closer "), id.cast("string")))
+      val bar = lit(" share this page on all social media channels right now thanks")
       val far = array_repeat(lit(25.0f), 64)
       val corpus = d.join(e, "doc_id")
       val pbase = corpus.where(col("doc_id") % 3 === 1)
       val prior = pbase.select(col("doc_id"),
-        page(col("text"), col("doc_id")).as("text"), col("lang"),
+        page(concat(col("text"), bar), col("doc_id")).as("text"), col("lang"),
         urlFixture.as("url"), col("embedding")).localCheckpoint()
       val batch = corpus.where(col("doc_id") % 3 === 0)
-        .select(col("doc_id"), page(col("text"), col("doc_id")).as("text"),
+        .select(col("doc_id"),
+          page(concat(col("text"), bar), col("doc_id")).as("text"),
           col("lang"), urlFixture.as("url"), col("embedding"))
         .unionByName(membraneReplicas(prior, pbase,
           page(rewordedText, col("doc_id") + 80000))
@@ -1672,7 +1675,11 @@ object PipelineQueries {
           .localCheckpoint(),
         ivfCentroids, threshold = 0.999, idCol = "doc_id", nprobe = 1,
         maxCellSize = 1000).localCheckpoint()
-      val shipIn = Dedup.stripSeenParagraphs(kept5, Dedup.paragraphKeys(prior))
+      val paraStripped = Dedup.stripSeenParagraphs(kept5,
+          Dedup.paragraphKeys(prior))
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val shipIn = Dedup.stripSeenSpans(paraStripped,
+          Dedup.spanKeys(prior, n = 3, minDocs = 3).localCheckpoint(), n = 3)
         .select(col("doc_id"), col("clean_text").as("text"))
         .join(kept5.select("doc_id", "lang"), "doc_id")
         .localCheckpoint()
@@ -1681,13 +1688,13 @@ object PipelineQueries {
       val packed = Curation.packShardsBySize(
         chosen.join(shipIn.select(col("doc_id"),
           octet_length(col("text")).as("n_bytes")), "doc_id"),
-        "doc_id", "n_bytes", targetBytes = 16384L, salt = "dfull6")
+        "doc_id", "n_bytes", targetBytes = 16384L, salt = "dfull7")
       val docsOut = packed.select("doc_id", "shard")
         .join(shipIn.select("doc_id", "text"), "doc_id")
         .select(col("shard"),
           format_string("%06d.txt", col("doc_id")).as("name"),
           col("text").cast("binary").as("payload"))
-      val out = java.nio.file.Files.createTempDirectory("graft_dfull6")
+      val out = java.nio.file.Files.createTempDirectory("graft_dfull7")
       graft.sources.TarShards.writeShards(docsOut, out.toString, "shard",
         "name", "payload")
       val res = graft.sources.TarShards.readShards(s, out.toString)
@@ -4387,16 +4394,19 @@ object PipelineQueries {
          |ORDER BY day, shard""".stripMargin
     },
 
-    // the six-membrane capstone: p_daily_full's chain with the ZEROTH
-    // url tier replayed in FRONT (within-batch canonical-url dedup +
-    // NOT IN the prior's url keys), gating which rows the text tiers
-    // ever see — the production order, where a url hit saves the fetch
-    "p_daily_full6" -> {
+    // the COMPLETE-membrane capstone: p_daily_full's chain with the
+    // ZEROTH url tier replayed in FRONT (within-batch canonical-url
+    // dedup + NOT IN the prior's url keys) and the SPAN tier replayed
+    // after the paragraph strip (hot 3-grams of the prior pages —
+    // share-bar tail + organics — cut from the kept, already
+    // paragraph-stripped pages) — the production order end-to-end
+    "p_daily_full7" -> {
       val dp = Similarity.dotSql("b.embedding", "p.embedding", 64)
       val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
       val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
       val cos = s"round(($dp) / (($nb) * ($np)), 5)"
       val farSql = "list_transform(range(1, 65), i -> CAST(25.0 AS DOUBLE))"
+      val barSql = "' share this page on all social media channels right now thanks'"
       def pageSql(t: String, id: String) =
         s"""concat_ws(chr(10),
            |    'Subscribe to our newsletter today!',
@@ -4408,11 +4418,11 @@ object PipelineQueries {
          |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
          |), pbase AS (SELECT * FROM corpus WHERE doc_id % 3 = 1),
          |prior AS (
-         |  SELECT doc_id, ${pageSql("text", "doc_id")} AS text, lang,
+         |  SELECT doc_id, ${pageSql(s"text || $barSql", "doc_id")} AS text, lang,
          |    $urlFixtureSql AS url, embedding
          |  FROM pbase
          |), batch AS (
-         |  SELECT doc_id, ${pageSql("text", "doc_id")} AS text, lang,
+         |  SELECT doc_id, ${pageSql(s"text || $barSql", "doc_id")} AS text, lang,
          |    $urlFixtureSql AS url, embedding
          |  FROM corpus WHERE doc_id % 3 = 0
          |  UNION ALL
@@ -4488,11 +4498,41 @@ object PipelineQueries {
          |      chr(10) ORDER BY p.pos), '') AS text
          |  FROM paras p LEFT JOIN k0 k ON md5(p.para) = k.k
          |  GROUP BY p.doc_id
-         |), d6_keptx AS (
+         |), sp_t1 AS (SELECT doc_id, string_split(text, ' ') AS t FROM prior),
+         |sp_g1 AS (
+         |  SELECT doc_id, t[u.i]||' '||t[u.i+1]||' '||t[u.i+2] AS ngram
+         |  FROM sp_t1
+         |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+         |  WHERE len(t) >= 3
+         |), sp_hot AS (
+         |  SELECT ngram FROM sp_g1 GROUP BY ngram
+         |  HAVING count(DISTINCT doc_id) >= 3
+         |), sp_t2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM strip),
+         |sp_g2 AS (
+         |  SELECT doc_id, u.i - 1 AS s0,
+         |    t[u.i]||' '||t[u.i+1]||' '||t[u.i+2] AS ngram
+         |  FROM sp_t2
+         |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+         |  WHERE len(t) >= 3
+         |), sp_st AS (
+         |  SELECT doc_id, list(DISTINCT s0) AS starts
+         |  FROM sp_g2 JOIN sp_hot USING (ngram) GROUP BY doc_id
+         |), sp_j AS (
+         |  SELECT sp_t2.doc_id, sp_t2.t,
+         |    CASE WHEN sp_st.starts IS NULL THEN [] ELSE sp_st.starts END AS starts
+         |  FROM sp_t2 LEFT JOIN sp_st USING (doc_id)
+         |), spanstrip AS (
+         |  SELECT doc_id,
+         |    coalesce(array_to_string(list_transform(
+         |      list_filter(range(1, len(t) + 1),
+         |        i -> len(list_filter(starts, s -> s <= i - 1 AND i - 1 < s + 3)) = 0),
+         |      i -> t[i]), ' '), '') AS text
+         |  FROM sp_j
+         |), d7_keptx AS (
          |  SELECT s.doc_id, kk.lang, s.text
-         |  FROM strip s JOIN kept5 kk ON kk.doc_id = s.doc_id
-         |), ${shipFromKeptx("d6", "dfull6")}
-         |${shipSelect("d6", 1)}
+         |  FROM spanstrip s JOIN kept5 kk ON kk.doc_id = s.doc_id
+         |), ${shipFromKeptx("d7", "dfull7")}
+         |${shipSelect("d7", 1)}
          |ORDER BY day, shard""".stripMargin
     },
 

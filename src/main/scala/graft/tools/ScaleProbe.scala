@@ -249,6 +249,21 @@ object ScaleProbe {
         .agg(sum(length(col("clean_text"))), sum("n_seen_paras")).collect()
       1L
     }
+    // span gate tier: snapshot keys from the map-side-combined hot-set
+    // aggregate (bounded output); the strip is one hash join on the
+    // md5 key + the shared covered-positions cut — linear in batch
+    // n-grams, the same shape as the batch span op
+    time("span_strip") {
+      val pages = big.withColumn("text",
+        concat(col("text"),
+          lit(" share this page on all social media channels right now")))
+      val prior = pages.where(col("doc_id") % 3 =!= 0)
+      val batch = pages.where(col("doc_id") % 3 === 0)
+      Dedup.stripSeenSpans(batch,
+          Dedup.spanKeys(prior, n = 3, minDocs = 3).localCheckpoint(), n = 3)
+        .agg(sum(length(col("clean_text"))), sum("n_removed")).collect()
+      1L
+    }
     // incremental semantic tier over the replicated embeddings table:
     // cell assignment map-only, ONE equi-join shuffle on the cell id,
     // per-cell candidate work bounded by the cap — linear in vectors
