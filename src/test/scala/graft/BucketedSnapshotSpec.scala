@@ -213,6 +213,36 @@ class BucketedSnapshotSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS bk_para_keys")
   }
 
+  test("span-key retention over a bucketed snapshot plans without an exchange and feeds the span strip") {
+    import org.apache.spark.sql.functions._
+    val Dedup = graft.ext.Dedup
+    val bar = lit(" share this page on social media now")
+    val docs = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+      .select(col("doc_id"), concat(col("text"), bar).as("text"))
+    val stamped = Dedup.stampGeneration(
+      Dedup.spanKeys(docs.where(col("doc_id") % 3 === 1),
+        n = 3, minDocs = 3).distinct(), 0L)
+    BucketedSnapshot.write(stamped, "bk_span_keys", tmpDir("bk_span"),
+      "_key", 8)
+    try {
+      // the span tier's snapshot obeys the SAME retention contract as
+      // every other single-`_key` tier: max-stamp groupBy rides the
+      // bucketing
+      val gate = Dedup.retainGenerations(
+        BucketedSnapshot.read(spark, "bk_span_keys"), minGen = 0L)
+      val plan = gate.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(800))
+      assert(gate.count() > 0)
+      // end-to-end against the persisted table: the share-bar tokens
+      // are cut from every day-2 doc (its 3-grams are hot in day 1)
+      val stripped = Dedup.stripSeenSpans(
+        docs.where(col("doc_id") % 3 === 0), gate, n = 3)
+      assert(stripped.where(col("n_removed") === 0).count() == 0)
+      assert(stripped.where(col("clean_text").contains("social media"))
+        .count() == 0)
+    } finally spark.sql("DROP TABLE IF EXISTS bk_span_keys")
+  }
+
   test("signature-table retention over a bucketed (id, mh*, gen) snapshot plans without an exchange") {
     import org.apache.spark.sql.functions._
     val Dedup = graft.ext.Dedup
