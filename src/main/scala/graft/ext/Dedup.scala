@@ -410,8 +410,14 @@ object Dedup {
     // strip, whose explode subtree is not checkpointed upstream)
     if (bloomExpectedItems <= 0)
       return batch.join(priorKeys, Seq(keyCol), "left_anti")
+    // localCheckpoint: BOTH union branches consume the pre-filtered
+    // frame, and union branches share no computation (only exchanges
+    // reuse), so the batch subtree — the within-batch window included —
+    // would otherwise evaluate twice. Materializing once preserves the
+    // route's point: _maybe = false rows skip the anti-join SHUFFLE.
     val preFiltered =
       withBloomMaybe(batch, priorKeys, keyCol, bloomExpectedItems, bloomFpp)
+        .localCheckpoint()
     val checked = preFiltered.where(col("_maybe"))
       .join(priorKeys, Seq(keyCol), "left_anti")
     preFiltered.where(!col("_maybe"))
@@ -1407,8 +1413,12 @@ object Dedup {
     val marked =
       if (bloomExpectedItems <= 0) paras.join(seen, Seq("_key"), "left")
       else {
+        // localCheckpoint (the bloomedAntiJoin rationale): both union
+        // branches consume the pre-filtered frame, and the paragraph
+        // explode above it is exactly the subtree that must not run
+        // twice — while cleared paragraphs still skip the join shuffle
         val pre = withBloomMaybe(paras, seen.select("_key"), "_key",
-          bloomExpectedItems, bloomFpp)
+          bloomExpectedItems, bloomFpp).localCheckpoint()
         pre.where(col("_maybe")).join(seen, Seq("_key"), "left")
           .unionByName(pre.where(!col("_maybe"))
             .withColumn("_seen", lit(null).cast("boolean")))
@@ -1481,14 +1491,11 @@ object Dedup {
     val src = ensurePar(newDocs)
     val toks = src.select(col(idCol).as("id"), col(textCol),
       TextOps.tokens(col(textCol)).as("_toks"))
-    val covered = toks
-      .select(col("id"), posexplode(TextOps.ngramsAll(col("_toks"), n))
-        .as(Seq("start", "ngram")))
-      .withColumn("_key", md5(col("ngram")))
-      .join(priorSpanKeys.distinct(), Seq("_key"))
-      .select(col("id"),
-        explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
-      .groupBy("id").agg(collect_set(col("pos")).as("_covered"))
+    val covered = expandCoveredPositions(
+      toks.select(col("id"), posexplode(TextOps.ngramsAll(col("_toks"), n))
+          .as(Seq("start", "ngram")))
+        .withColumn("_key", md5(col("ngram")))
+        .join(priorSpanKeys.distinct(), Seq("_key")), n)
     cutCoveredPositions(toks, covered, idCol)
   }
 
@@ -1536,15 +1543,22 @@ object Dedup {
     val hot = repeatedNgramsOf(src, textCol, idCol, n, minDocs).select("ngram")
     val toks = src.select(col(idCol).as("id"), col(textCol),
       TextOps.tokens(col(textCol)).as("_toks"))
-    val covered = toks
-      .select(col("id"), posexplode(TextOps.ngramsAll(col("_toks"), n))
-        .as(Seq("start", "ngram")))
-      .join(hot, "ngram")
-      .select(col("id"),
-        explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
-      .groupBy("id").agg(collect_set(col("pos")).as("_covered"))
+    val covered = expandCoveredPositions(
+      toks.select(col("id"), posexplode(TextOps.ngramsAll(col("_toks"), n))
+          .as(Seq("start", "ngram")))
+        .join(hot, "ngram"), n)
     cutCoveredPositions(toks, covered, idCol)
   }
+
+  /** The (id, start) hit stream → per-doc covered-position sets —
+    * the shared middle of every span-removal operator (batch cut-all,
+    * batch keep-first, and the incremental [[stripSeenSpans]]): each
+    * hit expands to its n covered positions, folded back with ONE
+    * map-side-combined groupBy(doc). */
+  private def expandCoveredPositions(hits: DataFrame, n: Int): DataFrame =
+    hits.select(col("id"),
+        explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
+      .groupBy("id").agg(collect_set(col("pos")).as("_covered"))
 
   /** Keep-FIRST variant of [[removeRepeatedSpans]] — the published rule
     * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
@@ -1593,11 +1607,10 @@ object Dedup {
     // map-side-combined aggregate, never a per-ngram window
     val canon = hits.groupBy("ngram")
       .agg(min(struct(col("id"), col("start"))).as("_c"))
-    val covered = hits.join(canon, "ngram")
-      .where(!(col("id") === col("_c.id") && col("start") === col("_c.start")))
-      .select(col("id"),
-        explode(sequence(col("start"), col("start") + lit(n - 1))).as("pos"))
-      .groupBy("id").agg(collect_set(col("pos")).as("_covered"))
+    val covered = expandCoveredPositions(
+      hits.join(canon, "ngram")
+        .where(!(col("id") === col("_c.id") && col("start") === col("_c.start"))),
+      n)
     cutCoveredPositions(toks, covered, idCol)
   }
 

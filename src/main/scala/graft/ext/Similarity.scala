@@ -144,8 +144,8 @@ object Similarity {
     * quantizer trained on a biased sample leaves the unseen mass in a
     * few mega-cells (measured in ScaleProbe's rekey sweep: the prefix
     * sample left >75% of a dispersed corpus in over-cap cells at
-    * k = √n). Init = first k sample vectors; ties in assignment break
-    * to the lowest centroid index. */
+    * k = √n). Init and iteration are the shared [[lloydCluster]] core:
+    * deterministic farthest-first init, lowest-index assignment ties. */
   def kmeansCentroids(corpus: DataFrame, k: Int, sampleRows: Int = 2048,
       iters: Int = 8): Array[Array[Double]] = {
     val sample = corpus.select(col("vec_id"), col("embedding"))
@@ -434,9 +434,11 @@ object Similarity {
   /** Per-cell occupancy of a semantic snapshot vs the gate cap — the
     * observability read driving the [[rekeySemanticSnapshot]] lifecycle
     * (and the monitoring half of the capped-cell convention): one
-    * map-side-combined count per cell, flagging cells at or past
-    * `maxCellSize` (whose members [[cappedCells]] will pass ungated).
-    * Returns (cell, n, over_cap 0/1) — bounded by k rows. */
+    * map-side-combined count per cell, flagging cells STRICTLY past
+    * `maxCellSize` — the exact boundary [[cappedCells]] drops at (it
+    * keeps n ≤ maxCellSize), so over_cap = 1 ⇔ the cell's members pass
+    * the gate ungated. Returns (cell, n, over_cap 0/1) — bounded by k
+    * rows. */
   def cellOccupancy(cells: DataFrame, maxCellSize: Int): DataFrame = {
     require(cells.columns.contains("cell"),
       "cellOccupancy takes a snapshot carrying a `cell` column; got " +
@@ -460,9 +462,12 @@ object Similarity {
       centroids: Array[Array[Double]], idCol: String = "vec_id",
       embCol: String = "embedding", nprobe: Int = 1,
       maxCellSize: Int = 10000): DataFrame = {
-    require(priorCells.columns.toSeq == Seq("id", "cell", "emb"),
-      "priorCells must be a semanticKeys projection (id, cell, emb); " +
-        "got " + priorCells.columns.mkString(", "))
+    // accepts the stamped (id, cell, emb, _gen) form too — the report
+    // ships alongside the LIFECYCLE's snapshot, which is stamped (the
+    // rekeySemanticSnapshot shape contract)
+    require(priorCells.columns.startsWith(Seq("id", "cell", "emb")),
+      "priorCells must be a semanticKeys projection (id, cell, emb" +
+        "[, _gen]); got " + priorCells.columns.mkString(", "))
     val pr = Dedup.capReport(priorCells.select("cell"), Seq("cell"),
       maxCellSize)
     val bq = Dedup.capReport(

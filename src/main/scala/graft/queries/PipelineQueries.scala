@@ -2813,6 +2813,50 @@ object PipelineQueries {
        |)""".stripMargin
   }
 
+  // ---- span-tier oracle fragments (single-sourced: p_incr_span and the
+  // ---- complete-membrane capstone replay the SAME hot-set build and
+  // ---- token cut — the ivfCellCtesFor discipline) ----
+
+  /** Hot token 3-grams of CTE `src` (doc_id, text) → `{p}hot` (ngram). */
+  private def spanHotCte(p: String, src: String, minDocs: Int): String =
+    s"""${p}t1 AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+       |${p}g1 AS (
+       |  SELECT doc_id, t[u.i]||' '||t[u.i+1]||' '||t[u.i+2] AS ngram
+       |  FROM ${p}t1
+       |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+       |  WHERE len(t) >= 3
+       |), ${p}hot AS (
+       |  SELECT ngram FROM ${p}g1 GROUP BY ngram
+       |  HAVING count(DISTINCT doc_id) >= $minDocs
+       |)""".stripMargin
+
+  /** Covered-start join of CTE `docSrc` (doc_id, text) against a hot-set
+    * CTE → `{p}t2` (doc_id, t) and `{p}j` (doc_id, t, starts). */
+  private def spanCoverCtes(p: String, docSrc: String, hotCte: String): String =
+    s"""${p}t2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM $docSrc),
+       |${p}g2 AS (
+       |  SELECT doc_id, u.i - 1 AS s0,
+       |    t[u.i]||' '||t[u.i+1]||' '||t[u.i+2] AS ngram
+       |  FROM ${p}t2
+       |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
+       |  WHERE len(t) >= 3
+       |), ${p}st AS (
+       |  SELECT doc_id, list(DISTINCT s0) AS starts
+       |  FROM ${p}g2 JOIN $hotCte USING (ngram) GROUP BY doc_id
+       |), ${p}j AS (
+       |  SELECT ${p}t2.doc_id, ${p}t2.t,
+       |    CASE WHEN ${p}st.starts IS NULL THEN [] ELSE ${p}st.starts END AS starts
+       |  FROM ${p}t2 LEFT JOIN ${p}st USING (doc_id)
+       |)""".stripMargin
+
+  /** Kept-token list over a `{p}j` row's (t, starts) at n = 3 (the cut
+    * of Dedup.stripSeenSpans / removeRepeatedSpans). */
+  private val spanKept3 =
+    """list_transform(
+      |      list_filter(range(1, len(t) + 1),
+      |        i -> len(list_filter(starts, s -> s <= i - 1 AND i - 1 < s + 3)) = 0),
+      |      i -> t[i])""".stripMargin
+
   /** Dedup.canonicalText in the DuckDB dialect (RE2-identical patterns;
     * the p_norm_dedup oracle states the same expression inline). */
   private def canonSql(x: String): String =
@@ -3813,43 +3857,19 @@ object PipelineQueries {
     // = the tokens re-joined — the same normalization the strip's kept
     // branch applies)
     "p_incr_span" ->
-      """WITH d1 AS (
+      s"""WITH d1 AS (
         |  SELECT doc_id,
         |    text || ' share this page on all social media channels right now thanks' AS text
         |  FROM documents WHERE doc_id % 3 = 1
-        |), t1 AS (SELECT doc_id, string_split(text, ' ') AS t FROM d1),
-        |g1 AS (
-        |  SELECT doc_id, t[u.i]||' '||t[u.i+1]||' '||t[u.i+2] AS ngram
-        |  FROM t1
-        |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
-        |  WHERE len(t) >= 3
-        |), hot AS (
-        |  SELECT ngram FROM g1 GROUP BY ngram HAVING count(DISTINCT doc_id) >= 3
-        |), d2 AS (
+        |), ${spanHotCte("h_", "d1", 3)},
+        |d2 AS (
         |  SELECT doc_id,
         |    text || ' share this page on all social media channels right now thanks' AS text
         |  FROM documents WHERE doc_id % 3 = 0
-        |), t2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM d2),
-        |g2 AS (
-        |  SELECT doc_id, u.i - 1 AS s0,
-        |    t[u.i]||' '||t[u.i+1]||' '||t[u.i+2] AS ngram
-        |  FROM t2
-        |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
-        |  WHERE len(t) >= 3
-        |), st AS (
-        |  SELECT doc_id, list(DISTINCT s0) AS starts
-        |  FROM g2 JOIN hot USING (ngram) GROUP BY doc_id
-        |), j AS (
-        |  SELECT t2.doc_id, t2.t,
-        |    CASE WHEN st.starts IS NULL THEN [] ELSE st.starts END AS starts
-        |  FROM t2 LEFT JOIN st USING (doc_id)
-        |), k AS (
-        |  SELECT doc_id, len(t) AS n_tokens,
-        |    list_transform(
-        |      list_filter(range(1, len(t) + 1),
-        |        i -> len(list_filter(starts, s -> s <= i - 1 AND i - 1 < s + 3)) = 0),
-        |      i -> t[i]) AS kept
-        |  FROM j
+        |), ${spanCoverCtes("s_", "d2", "h_hot")},
+        |k AS (
+        |  SELECT doc_id, len(t) AS n_tokens, $spanKept3 AS kept
+        |  FROM s_j
         |)
         |SELECT 'retain0' AS policy, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
         |  CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
@@ -3858,7 +3878,7 @@ object PipelineQueries {
         |UNION ALL
         |SELECT 'aged', doc_id, CAST(len(t) AS BIGINT),
         |  CAST(0 AS BIGINT), md5(array_to_string(t, ' '))
-        |FROM t2
+        |FROM s_t2
         |ORDER BY policy, doc_id""".stripMargin,
 
     "p_stratified_sample" ->
@@ -4498,36 +4518,12 @@ object PipelineQueries {
          |      chr(10) ORDER BY p.pos), '') AS text
          |  FROM paras p LEFT JOIN k0 k ON md5(p.para) = k.k
          |  GROUP BY p.doc_id
-         |), sp_t1 AS (SELECT doc_id, string_split(text, ' ') AS t FROM prior),
-         |sp_g1 AS (
-         |  SELECT doc_id, t[u.i]||' '||t[u.i+1]||' '||t[u.i+2] AS ngram
-         |  FROM sp_t1
-         |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
-         |  WHERE len(t) >= 3
-         |), sp_hot AS (
-         |  SELECT ngram FROM sp_g1 GROUP BY ngram
-         |  HAVING count(DISTINCT doc_id) >= 3
-         |), sp_t2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM strip),
-         |sp_g2 AS (
-         |  SELECT doc_id, u.i - 1 AS s0,
-         |    t[u.i]||' '||t[u.i+1]||' '||t[u.i+2] AS ngram
-         |  FROM sp_t2
-         |  CROSS JOIN LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) u
-         |  WHERE len(t) >= 3
-         |), sp_st AS (
-         |  SELECT doc_id, list(DISTINCT s0) AS starts
-         |  FROM sp_g2 JOIN sp_hot USING (ngram) GROUP BY doc_id
-         |), sp_j AS (
-         |  SELECT sp_t2.doc_id, sp_t2.t,
-         |    CASE WHEN sp_st.starts IS NULL THEN [] ELSE sp_st.starts END AS starts
-         |  FROM sp_t2 LEFT JOIN sp_st USING (doc_id)
-         |), spanstrip AS (
+         |), ${spanHotCte("sp_", "prior", 3)},
+         |${spanCoverCtes("spc_", "strip", "sp_hot")},
+         |spanstrip AS (
          |  SELECT doc_id,
-         |    coalesce(array_to_string(list_transform(
-         |      list_filter(range(1, len(t) + 1),
-         |        i -> len(list_filter(starts, s -> s <= i - 1 AND i - 1 < s + 3)) = 0),
-         |      i -> t[i]), ' '), '') AS text
-         |  FROM sp_j
+         |    coalesce(array_to_string($spanKept3, ' '), '') AS text
+         |  FROM spc_j
          |), d7_keptx AS (
          |  SELECT s.doc_id, kk.lang, s.text
          |  FROM spanstrip s JOIN kept5 kk ON kk.doc_id = s.doc_id

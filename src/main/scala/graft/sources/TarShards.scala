@@ -630,18 +630,32 @@ object TarShards {
     * mapPartitions stays at the call site so no extra serialization
     * boundary enters the plan). */
   private def shardFiles(spark: SparkSession,
-      dir: String): org.apache.spark.sql.Dataset[(String, Array[Byte])] = {
-    // load the DIRECTORY with a pathGlobFilter rather than a glob in the
-    // path: DataSource resolution stats the path string verbatim for a
-    // (never-present) streaming-sink metadata dir, and a literal
-    // `shard-*.tar*` path makes that probe throw-and-log a WARN with a
-    // full FileNotFoundException stack per read — pure noise that buries
-    // real fetch failures in the capstone logs
-    import spark.implicits._
-    spark.read.format("binaryFile")
-      .option("pathGlobFilter", "shard-*.tar*").load(dir)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
+      dir: String): org.apache.spark.sql.Dataset[(String, Array[Byte])] =
+    shardFilesAt(spark, listShardFiles(spark, dir, "shard-*.tar*"))
+
+  /** Expand a top-level shard glob to its EXPLICIT file list — the
+    * shared front of the directory readers, fixing two hazards at
+    * once: (a) a glob IN the load path makes DataSource resolution
+    * stat the literal string for a (never-present) streaming-sink
+    * metadata dir, throwing-and-logging a FileNotFoundException WARN
+    * stack per read that buries real fetch failures; (b) a bare
+    * directory load with a pathGlobFilter silently returns EMPTY for a
+    * wrong/failed store (and partition discovery could pick up nested
+    * key=value matches the top-level glob never meant). Explicit
+    * existing-file paths produce no probe noise, no discovery, and an
+    * empty match LOUD-REJECTS — the store-reader convention (a missing
+    * store is a bug, not an empty corpus). */
+  private def listShardFiles(spark: SparkSession, dir: String,
+      pattern: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$pattern")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hits = Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .map(_.getPath.toString).sorted.toSeq
+    require(hits.nonEmpty,
+      s"no $pattern files under $dir — wrong store path, or the shard " +
+        "write failed; a reader returning an empty frame here would " +
+        "report an empty-but-'successful' run")
+    hits
   }
 
   /** [[shardFiles]] over explicit paths/globs (the mixed-store fallback
@@ -690,10 +704,9 @@ object TarShards {
   def readShardsStreamed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val confEntries = hadoopConfEntries(spark)
-    val base = new org.apache.hadoop.fs.Path(s"$dir/shard-*.tar*")
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = Option(fs.globStatus(base)).getOrElse(Array.empty)
-      .map(_.getPath.toString).sorted.toSeq
+    // listShardFiles loud-rejects an EMPTY match — a missing/failed
+    // store must not read back as an empty corpus (shared convention)
+    val files = listShardFiles(spark, dir, "shard-*.tar*")
     val n = math.max(1, math.min(
       spark.sessionState.conf.numShufflePartitions, files.length))
     spark.createDataset(files).repartition(n)
@@ -978,11 +991,12 @@ object TarShards {
     // or non-sample index that could silently miss requested keys: loud
     // reject with the designed message, never skip (and never an opaque
     // cast error)
-    // directory + pathGlobFilter, not a glob path (the shardFiles
-    // rationale: a glob path makes resolution log a spurious
-    // FileNotFoundException WARN per read)
+    // explicit file list (the already-listed sidecars, non-empty past
+    // the guard above), not a glob path — the listShardFiles rationale:
+    // no spurious FileNotFoundException WARN, no silent empty store,
+    // no nested partition-discovery pickup
     val entries = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "shard-*.idx").load(dir)
+      .load(idxFiles.sorted.toIndexedSeq: _*)
       .select(col("path"),
         explode(split(col("content").cast("string"), "\n")).as("line"))
       .where(col("line") =!= "")

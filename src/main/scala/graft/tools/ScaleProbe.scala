@@ -298,7 +298,9 @@ object ScaleProbe {
     // time); rekeySemanticSnapshot re-keys the stored embeddings under
     // a √n quantizer in ONE map-only pass (linear in snapshot rows),
     // after which the gate's per-cell work is flat again
-    for (m <- Seq(1, 4) if selected(s"semdedup_rekey_x$m")) {
+    for (m <- Seq(1, 4)
+         if selected(s"semdedup_rekey_x$m") ||
+           selected(s"semdedup_rekeyed_gate_x$m")) {
       import graft.ext.Similarity
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select("vec_id", "embedding")

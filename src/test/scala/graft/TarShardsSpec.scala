@@ -414,12 +414,18 @@ class TarShardsSpec extends AnyFunSuite {
       msgs.take(400))
   }
 
-  test("streamed reader and mixed-store fetch degrade cleanly on empty inputs") {
+  test("empty-store reads loud-reject; zero-key fetch degrades cleanly") {
     import spark.implicits._
+    // an EMPTY shard directory is a wrong store path or a failed write,
+    // not an empty corpus: every directory reader loud-rejects (r17 —
+    // a silently-empty frame reads as an empty-but-'successful' run)
     val empty = tmpDir("tar_empty").getPath
-    val st = TarShards.readShardsStreamed(spark, empty)
-    assert(st.columns.toSeq == Seq("shard", "member_name", "body"))
-    assert(st.count() == 0)
+    for (read <- Seq(
+        () => TarShards.readShardsStreamed(spark, empty),
+        () => TarShards.readShards(spark, empty))) {
+      val e = intercept[IllegalArgumentException](read().count())
+      assert(e.getMessage.contains("no shard-"), e.getMessage)
+    }
     // a mixed store fetched with ZERO keys returns zero rows through
     // both the ranged and the fallback-scan branches
     val dir = tmpDir("tar_mixed_empty").getPath
