@@ -1784,6 +1784,50 @@ object PipelineQueries {
         .orderBy("path", "class")
     }),
 
+    // the re-key lifecycle INSIDE the daily loop — the operational
+    // sequence a months-running pipeline actually executes: day-1 gate
+    // against the STALE-k stamped snapshot (its cells blow the cap, so
+    // +20000 replicas of the prior pass ungated — the decay), then
+    // occupancy-driven RE-KEY of the whole stamped table under the
+    // grown quantizer (_gen carried — retention ages must not move),
+    // then ADVANCE with day-1 acceptances stamped gen 1, then the
+    // day-2 gate under the grown quantizer: +40000 replicas of the
+    // prior AND +60000 replicas of day-1 acceptances both block — the
+    // membrane is restored without re-reading any corpus text or
+    // embedding source
+    "p_semdedup_rekey_loop" -> ((s, dir) => {
+      val all = rekeyGolden(s)
+      val prior = all.where(col("vec_id") % 3 === 1)
+      val gen0 = Similarity.stampSemanticGeneration(
+        Similarity.semanticKeys(prior, rekeyStaleCents), 0L).localCheckpoint()
+      val day1 = all.where(col("vec_id") % 3 === 0 && col("vec_id") < 1000)
+        .unionByName(prior.where(col("vec_id") < 150)
+          .withColumn("vec_id", col("vec_id") + 20000))
+      val kept1 = Similarity.incrementalSemDedup(day1,
+        Similarity.retainSemanticGenerations(gen0, 0L), rekeyStaleCents,
+        threshold = 0.999, nprobe = 1, maxCellSize = 200).localCheckpoint()
+      // the lifecycle turn: re-key the WHOLE stamped table (map-only,
+      // stamps carried), advance with day-1 acceptances under the
+      // grown quantizer
+      val gen1 = Similarity.rekeySemanticSnapshot(gen0, rekeyNewCents)
+        .unionByName(Similarity.stampSemanticGeneration(
+          Similarity.semanticKeys(kept1, rekeyNewCents), 1L))
+      val day2 = all.where(col("vec_id") % 3 === 0 && col("vec_id") >= 1000)
+        .unionByName(prior.where(col("vec_id") >= 150 && col("vec_id") < 300)
+          .withColumn("vec_id", col("vec_id") + 40000))
+        .unionByName(day1.where(col("vec_id") % 3 === 0 && col("vec_id") < 150)
+          .withColumn("vec_id", col("vec_id") + 60000))
+      val kept2 = Similarity.incrementalSemDedup(day2,
+        Similarity.retainSemanticGenerations(gen1, 0L), rekeyNewCents,
+        threshold = 0.999, nprobe = 1, maxCellSize = 200)
+      kept1.select(lit(1).as("day"), col("vec_id"))
+        .unionByName(kept2.select(lit(2).as("day"), col("vec_id")))
+        .groupBy(col("day"),
+          floor(col("vec_id") / 20000).cast("long").as("class"))
+        .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("sum_ids"))
+        .orderBy("day", "class")
+    }),
+
     // learned quality-filter scoring: hashed-BoW (64 buckets, raw counts)
     // through the codegen dot-product kernel against a pinned literal
     // gblinear model — the map-only inference path of QualityClassifier
@@ -4633,6 +4677,68 @@ object PipelineQueries {
          |SELECT path, CAST(floor(vec_id / 20000) AS BIGINT) AS class,
          |  count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS sum_ids
          |FROM un GROUP BY path, class ORDER BY path, class""".stripMargin
+    },
+
+    // the lifecycle loop: day-1 gate under the stale quantizer (cells
+    // over cap → QUALIFY drops them → replicas pass), re-key = fresh
+    // assignment of the SAME prior under the grown quantizer, advance
+    // with day-1 acceptances, day-2 gate under the grown quantizer —
+    // ids are disjoint across generations so the retention read is the
+    // plain union
+    "p_semdedup_rekey_loop" -> {
+      val dp = Similarity.dotSql("b.embedding", "p.embedding", 64)
+      val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
+      val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
+      val cos = s"round(($dp) / (($nb) * ($np)), 5)"
+      s"""WITH allv AS (
+         |  $rekeyGoldenSql
+         |), prior AS (SELECT vec_id, embedding FROM allv WHERE vec_id % 3 = 1),
+         |${ivfCellCtesFor("p0", "prior", None, rekeyStaleCents)},
+         |p0cap AS (
+         |  SELECT * FROM p0 QUALIFY count(*) OVER (PARTITION BY cell) <= 200
+         |), day1 AS (
+         |  SELECT vec_id, embedding FROM allv
+         |  WHERE vec_id % 3 = 0 AND vec_id < 1000
+         |  UNION ALL
+         |  SELECT vec_id + 20000, embedding FROM prior WHERE vec_id < 150
+         |), ${ivfCellCtesFor("d1c", "day1", Some(200), rekeyStaleCents)},
+         |f1 AS (
+         |  SELECT DISTINCT b.vec_id FROM d1c b JOIN p0cap p USING (cell)
+         |  WHERE $cos >= 0.999
+         |), kept1 AS (
+         |  SELECT vec_id, embedding FROM day1
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM f1)
+         |), ${ivfCellCtesFor("pn", "prior", None, rekeyNewCents)},
+         |${ivfCellCtesFor("k1n", "kept1", None, rekeyNewCents)},
+         |g1 AS (
+         |  SELECT vec_id, embedding, cell FROM pn
+         |  UNION ALL
+         |  SELECT vec_id, embedding, cell FROM k1n
+         |), g1cap AS (
+         |  SELECT * FROM g1 QUALIFY count(*) OVER (PARTITION BY cell) <= 200
+         |), day2 AS (
+         |  SELECT vec_id, embedding FROM allv
+         |  WHERE vec_id % 3 = 0 AND vec_id >= 1000
+         |  UNION ALL
+         |  SELECT vec_id + 40000, embedding FROM prior
+         |  WHERE vec_id >= 150 AND vec_id < 300
+         |  UNION ALL
+         |  SELECT vec_id + 60000, embedding FROM day1
+         |  WHERE vec_id % 3 = 0 AND vec_id < 150
+         |), ${ivfCellCtesFor("d2c", "day2", Some(200), rekeyNewCents)},
+         |f2 AS (
+         |  SELECT DISTINCT b.vec_id FROM d2c b JOIN g1cap p USING (cell)
+         |  WHERE $cos >= 0.999
+         |), kept2 AS (
+         |  SELECT vec_id FROM day2
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM f2)
+         |), un AS (
+         |  SELECT 1 AS day, vec_id FROM kept1
+         |  UNION ALL SELECT 2, vec_id FROM kept2
+         |)
+         |SELECT day, CAST(floor(vec_id / 20000) AS BIGINT) AS class,
+         |  count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM un GROUP BY day, class ORDER BY day, class""".stripMargin
     },
 
     "p_quality_clf" -> {
