@@ -2630,6 +2630,18 @@ object PipelineQueries {
     s"round(($dp) / (($nq) * ($ne)), 5)"
   }
 
+  /** The semantic gate's round-5 cosine between join aliases `b`
+    * (batch/probe side) and `p` (prior side), both on an `embedding`
+    * column — single-sourced across every membrane oracle row (the
+    * ivfCellCtesFor discipline: a rounding or association change must
+    * reach all of them or none). */
+  private val cosBP: String = {
+    val dp = Similarity.dotSql("b.embedding", "p.embedding", 64)
+    val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
+    val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
+    s"round(($dp) / (($nb) * ($np)), 5)"
+  }
+
   private def bucketSqlFor(vec: String, ps: Array[Array[Double]]): String =
     ps.zipWithIndex.map { case (p, i) =>
       val dp = s"list_sum(list_transform(range(1, 65), i -> CAST($vec[i] AS DOUBLE) * (${Similarity.planeSql(p)})[i]))"
@@ -4291,9 +4303,7 @@ object PipelineQueries {
     },
 
     "p_incr_semdedup" -> {
-      val dp = Similarity.dotSql("b.embedding", "p.embedding", 64)
-      val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
-      val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
+      val cos = cosBP
       s"""WITH pd AS (
          |  SELECT vec_id, embedding, ${ivfDistCols("embedding")}
          |  FROM embeddings WHERE vec_id % 3 = 1
@@ -4320,7 +4330,7 @@ object PipelineQueries {
          |), flagged AS (
          |  SELECT DISTINCT b.vec_id
          |  FROM bcap b JOIN prior p USING (cell)
-         |  WHERE round(($dp) / (($nb) * ($np)), 5) >= 0.35
+         |  WHERE $cos >= 0.35
          |)
          |SELECT vec_id, CAST(cell1 AS INT) AS cell FROM bc
          |WHERE vec_id NOT IN (SELECT vec_id FROM flagged)
@@ -4328,10 +4338,7 @@ object PipelineQueries {
     },
 
     "p_crawl_sem" -> {
-      val dp = Similarity.dotSql("b.embedding", "p.embedding", 64)
-      val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
-      val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
-      val cos = s"round(($dp) / (($nb) * ($np)), 5)"
+      val cos = cosBP
       val farSql = "list_transform(range(1, 65), i -> CAST(25.0 AS DOUBLE))"
       s"""WITH corpus AS (
          |  SELECT d.doc_id, d.text, d.lang, e.embedding
@@ -4377,10 +4384,7 @@ object PipelineQueries {
     },
 
     "p_daily_full" -> {
-      val dp = Similarity.dotSql("b.embedding", "p.embedding", 64)
-      val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
-      val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
-      val cos = s"round(($dp) / (($nb) * ($np)), 5)"
+      val cos = cosBP
       val farSql = "list_transform(range(1, 65), i -> CAST(25.0 AS DOUBLE))"
       def pageSql(t: String, id: String) =
         s"""concat_ws(chr(10),
@@ -4465,10 +4469,7 @@ object PipelineQueries {
     // share-bar tail + organics — cut from the kept, already
     // paragraph-stripped pages) — the production order end-to-end
     "p_daily_full7" -> {
-      val dp = Similarity.dotSql("b.embedding", "p.embedding", 64)
-      val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
-      val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
-      val cos = s"round(($dp) / (($nb) * ($np)), 5)"
+      val cos = cosBP
       val farSql = "list_transform(range(1, 65), i -> CAST(25.0 AS DOUBLE))"
       val barSql = "' share this page on all social media channels right now thanks'"
       def pageSql(t: String, id: String) =
@@ -4577,10 +4578,7 @@ object PipelineQueries {
     },
 
     "p_incr_semdedup_ttl" -> {
-      val dp = Similarity.dotSql("b.embedding", "p.embedding", 64)
-      val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
-      val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
-      val cos = s"round(($dp) / (($nb) * ($np)), 5)"
+      val cos = cosBP
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |pr AS (SELECT vec_id, embedding FROM e WHERE vec_id % 3 = 1),
          |${ivfCellCtes("prc", "pr", None)},
@@ -4643,10 +4641,7 @@ object PipelineQueries {
     // compute). All fixture values exact in float and double, so the
     // two engines agree bit-for-bit
     "p_semdedup_rekey" -> {
-      val dp = Similarity.dotSql("b.embedding", "p.embedding", 64)
-      val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
-      val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
-      val cos = s"round(($dp) / (($nb) * ($np)), 5)"
+      val cos = cosBP
       s"""WITH allv AS (
          |  $rekeyGoldenSql
          |), prior AS (SELECT vec_id, embedding FROM allv WHERE vec_id % 3 = 1),
@@ -4686,17 +4681,12 @@ object PipelineQueries {
     // ids are disjoint across generations so the retention read is the
     // plain union
     "p_semdedup_rekey_loop" -> {
-      val dp = Similarity.dotSql("b.embedding", "p.embedding", 64)
-      val nb = s"sqrt(${Similarity.dotSql("b.embedding", "b.embedding", 64)})"
-      val np = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
-      val cos = s"round(($dp) / (($nb) * ($np)), 5)"
+      val cos = cosBP
       s"""WITH allv AS (
          |  $rekeyGoldenSql
          |), prior AS (SELECT vec_id, embedding FROM allv WHERE vec_id % 3 = 1),
-         |${ivfCellCtesFor("p0", "prior", None, rekeyStaleCents)},
-         |p0cap AS (
-         |  SELECT * FROM p0 QUALIFY count(*) OVER (PARTITION BY cell) <= 200
-         |), day1 AS (
+         |${ivfCellCtesFor("p0cap", "prior", Some(200), rekeyStaleCents)},
+         |day1 AS (
          |  SELECT vec_id, embedding FROM allv
          |  WHERE vec_id % 3 = 0 AND vec_id < 1000
          |  UNION ALL
