@@ -410,20 +410,39 @@ object Dedup {
     // strip, whose explode subtree is not checkpointed upstream)
     if (bloomExpectedItems <= 0)
       return batch.join(priorKeys, Seq(keyCol), "left_anti")
-    // localCheckpoint: BOTH union branches consume the pre-filtered
+    // materialize once: BOTH union branches consume the pre-filtered
     // frame, and union branches share no computation (only exchanges
     // reuse), so the batch subtree — the within-batch window included —
     // would otherwise evaluate twice. Materializing once preserves the
     // route's point: _maybe = false rows skip the anti-join SHUFFLE.
     val preFiltered =
-      withBloomMaybe(batch, priorKeys, keyCol, bloomExpectedItems, bloomFpp)
-        .localCheckpoint()
+      materializeOnce(withBloomMaybe(batch, priorKeys, keyCol,
+        bloomExpectedItems, bloomFpp))
     val checked = preFiltered.where(col("_maybe"))
       .join(priorKeys, Seq(keyCol), "left_anti")
     preFiltered.where(!col("_maybe"))
       .unionByName(checked)
       .drop("_maybe")
   }
+
+  /** Materialize a frame that BOTH branches of a routed union consume,
+    * exactly once. Default route: `localCheckpoint()` — note it is
+    * EAGER (a job runs at plan-construction time) and TRUNCATES
+    * LINEAGE: the cached blocks are unrecoverable on executor loss, so
+    * the route is hazardous under dynamic allocation / spot executors
+    * (a lost block fails the query instead of recomputing). On such
+    * clusters set `spark.graft.routeMaterialize=persist`: a lazy
+    * MEMORY_AND_DISK persist keeps the lineage (lost blocks recompute)
+    * at the cost of the subtree possibly evaluating once per branch
+    * until the cache warms — never wrong, just slower on first touch.
+    * Any other value falls back to localCheckpoint. */
+  private def materializeOnce(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.routeMaterialize")
+      .getOrElse("localCheckpoint") match {
+      case "persist" =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case _ => df.localCheckpoint()
+    }
 
   /** The Bloom pre-filter body shared by [[bloomedAntiJoin]] and the
     * paragraph strip's routed pre-filter: stages `_maybe` (might the
@@ -818,17 +837,31 @@ object Dedup {
     when(size(sig) >= numHashes, keys).otherwise(array().cast("array<string>"))
   }
 
-  /** Drop over-cap (band, key) buckets via a spillable window count —
-    * THE shared cap for the banded incremental gates (batch and
-    * streaming call this same code, so the cap semantics cannot drift;
-    * the batch/streaming parity contract depends on both sides
-    * agreeing). Counts before any list materialization: a boilerplate
-    * mega-bucket must never be collected just to be discarded. */
+  /** Drop over-cap (band, key) buckets — THE shared cap for the banded
+    * incremental gates (batch and streaming call this same code, so the
+    * cap semantics cannot drift; the batch/streaming parity contract
+    * depends on both sides agreeing).
+    *
+    * Shape: a map-side-combined count per (band, key) filtered to the
+    * over-cap keys (at most n/cap rows — usually a handful), then a
+    * LEFT ANTI equi-join back onto the rows. NOT a per-key window
+    * count: a window partition can never be split, so the mega-bucket —
+    * the exact thing the cap exists to catch — would buffer through ONE
+    * task before being dropped, while AQE can skew-split (or broadcast
+    * the tiny over-cap side of) an equi-join. The [[capReport]] /
+    * [[keepBestPerCluster]] argument, applied to the cap itself. The
+    * anti-join condition is null-SAFE so an all-null key group is
+    * capped exactly as the window shape capped it (nulls group
+    * together). Counts touch only the key columns (column pruning keeps
+    * the count side narrow); no list is ever materialized. */
   private[graft] def cappedBuckets(buckets: DataFrame,
       maxBucketSize: Int): DataFrame = {
-    val w = Window.partitionBy("band", "key")
-    buckets.withColumn("_n", count(lit(1)).over(w))
-      .where(col("_n") <= maxBucketSize).drop("_n")
+    val over = buckets.select(col("band"), col("key")).groupBy("band", "key")
+      .agg(count(lit(1)).as("_n"))
+      .where(col("_n") > maxBucketSize)
+      .select(col("band").as("_ob"), col("key").as("_ok"))
+    buckets.join(over,
+      col("band") <=> col("_ob") && col("key") <=> col("_ok"), "left_anti")
   }
 
   /** Cap-drop observability — the measuring half of the over-cap
@@ -887,6 +920,46 @@ object Dedup {
         (0 until r).map(j => col(s"mh${b * r + j}").cast("string")): _*))
     signatures.select(col("id"),
       posexplode(array((0 until bands).map(bandKey): _*)).as(Seq("band", "key")))
+  }
+
+  /** RE-BAND a persisted signature snapshot under a NEW band count —
+    * the banded tier's s-curve retune and the [[graft.ext.Similarity
+    * .rekeySemanticSnapshot]] move applied to the lexical membrane: a
+    * corpus that grows (or drifts) under one (bands, rows) operating
+    * point eventually wants the recall curve moved — more bands
+    * (shorter rows) catches lower-J near-duplicates the stale banding
+    * never candidates. Because the tier's persisted artifact is the
+    * SIGNATURE table itself ([[minhashSignatures]], under
+    * [[stampSignatureGeneration]]/[[retainSignatureGenerations]]) and
+    * band keys are md5s of stored slots, the retune is ONE map-only
+    * pass over the snapshot — the corpus text is never re-read and
+    * the shingle/hash pass (the gate's dominant linear cost) never
+    * re-runs. Output: (id, band, key[, _gen]) bucket rows —
+    * bit-identical to [[lshBuckets]] on the same slots and to the
+    * streaming twin's [[sigBandKeys]] derivation, so a persisted
+    * bucket-row artifact (e.g. bucketed by key for an exchange-free
+    * daily join, or the streaming gate's `priorBucketRows`) can be
+    * rebuilt at any band count from the signature table alone. `_gen`
+    * is carried through untouched when the snapshot is stamped
+    * (re-banding is a LAYOUT change — retention ages must not move). */
+  def rebandSignatures(sigs: DataFrame, numHashes: Int,
+      newBands: Int): DataFrame = {
+    require(numHashes % newBands == 0, "numHashes must be divisible by newBands")
+    val sigCols = "id" +: (0 until numHashes).map(k => s"mh$k")
+    val stamped = sigs.columns.toSeq == sigCols :+ "_gen"
+    require(sigs.columns.toSeq == sigCols || stamped,
+      s"rebandSignatures takes a minhashSignatures($numHashes) " +
+        s"projection (id, mh0..mh${numHashes - 1}[, _gen]); got " +
+        sigs.columns.mkString(", "))
+    val r = numHashes / newBands
+    val bandKey = (b: Int) =>
+      md5(concat_ws("_",
+        (0 until r).map(j => col(s"mh${b * r + j}").cast("string")): _*))
+    val gen = if (stamped) Seq(col("_gen")) else Nil
+    sigs.select((Seq(col("id")) ++ gen :+
+        posexplode(array((0 until newBands).map(bandKey): _*))
+          .as(Seq("band", "key"))): _*)
+      .select((Seq(col("id"), col("band"), col("key")) ++ gen): _*)
   }
 
   /** Candidate near-duplicate pairs (idA < idB) from shared LSH buckets —
@@ -1413,12 +1486,12 @@ object Dedup {
     val marked =
       if (bloomExpectedItems <= 0) paras.join(seen, Seq("_key"), "left")
       else {
-        // localCheckpoint (the bloomedAntiJoin rationale): both union
+        // materialize once (the bloomedAntiJoin rationale): both union
         // branches consume the pre-filtered frame, and the paragraph
         // explode above it is exactly the subtree that must not run
         // twice — while cleared paragraphs still skip the join shuffle
-        val pre = withBloomMaybe(paras, seen.select("_key"), "_key",
-          bloomExpectedItems, bloomFpp).localCheckpoint()
+        val pre = materializeOnce(withBloomMaybe(paras, seen.select("_key"),
+          "_key", bloomExpectedItems, bloomFpp))
         pre.where(col("_maybe")).join(seen, Seq("_key"), "left")
           .unionByName(pre.where(!col("_maybe"))
             .withColumn("_seen", lit(null).cast("boolean")))
@@ -1459,6 +1532,26 @@ object Dedup {
       idCol: String = "doc_id", n: Int = 3, minDocs: Int = 3): DataFrame =
     repeatedNgrams(docs, textCol, idCol, n, minDocs)
       .select(md5(col("ngram")).as("_key"))
+      .unionByName(docs.sparkSession.range(1)
+        .select(lit(spanSentinelKey(n)).as("_key")))
+
+  /** The n-marker SENTINEL key every [[spanKeys]] snapshot carries —
+    * one extra `_key` row, md5 of a namespaced marker string no token
+    * n-gram can produce (n-gram keys hash space-joined token text;
+    * the marker contains `=` and a reserved prefix). Span keys are
+    * otherwise bare md5s, so a snapshot built at one n consumed by a
+    * gate at another n is UNDETECTABLE and silently cuts nothing —
+    * the sentinel makes [[stripSeenSpans]]' n check possible while
+    * keeping the single-`_key` shape, so [[stampGeneration]] /
+    * [[retainGenerations]] / bucketing apply verbatim (the sentinel
+    * rides the lifecycle like any key and is re-stamped by every
+    * day's append, so it survives retention exactly as long as the
+    * snapshot has any in-retention day). It can never match a batch
+    * n-gram, so gate DECISIONS are unchanged. */
+  private[graft] def spanSentinelKey(n: Int): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"graft-span-n=$n".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
 
   /** Cross-snapshot repeated-SPAN strip — [[removeRepeatedSpans]]'
     * daily-crawl form and the action half of the span tier: every
@@ -1488,6 +1581,21 @@ object Dedup {
     require(priorSpanKeys.columns.toSeq == Seq("_key"),
       "priorSpanKeys must be a spanKeys projection (single `_key` " +
         "column); got " + priorSpanKeys.columns.mkString(", "))
+    // n-mismatch loud-reject (the [[spanSentinelKey]] contract): keys
+    // are bare md5s, so a snapshot built at a different n would
+    // silently cut NOTHING — undetectable at runtime before r18. One
+    // bounded aggregate over the keys-only snapshot (the hot set, not
+    // the corpus); an EMPTY snapshot stays legitimate (aged-out /
+    // day-0 retention ⇒ nothing is hot ⇒ cut nothing).
+    val probe = priorSpanKeys.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(when(col("_key") === spanSentinelKey(n), 1L)), lit(0L))
+        .as("s")).head()
+    require(probe.getLong(0) == 0L || probe.getLong(1) > 0L,
+      s"priorSpanKeys carries no n=$n sentinel (graft-span-n marker): " +
+        "the snapshot was built by spanKeys at a DIFFERENT n (or " +
+        "predates the sentinel) — a mismatched-n gate silently cuts " +
+        "nothing; rebuild the snapshot at n=" + n)
     val src = ensurePar(newDocs)
     val toks = src.select(col(idCol).as("id"), col(textCol),
       TextOps.tokens(col(textCol)).as("_toks"))

@@ -219,6 +219,78 @@ object Similarity {
     ColumnBridge.column(IvfCells(ColumnBridge.expression(vec), centroids, probe))
   }
 
+  /** TWO-LEVEL (coarse × fine residual) composed cell id(s) as a
+    * column — [[ivfCells]] past the driver-training ceiling: composed
+    * cell = c1·k2 + c2 with c2 the fine argmin of the residual
+    * v − coarse(c1); `probe` fans over the nearest COARSE centroids
+    * (see [[Ivf2Cells]] for the arithmetic the oracle mirrors). */
+  def ivf2Cells(vec: Column, coarse: Array[Array[Double]],
+      fine: Array[Array[Double]], probe: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(Ivf2Cells(ColumnBridge.expression(vec), coarse,
+      fine, probe))
+  }
+
+  /** Train a TWO-LEVEL residual quantizer — the k ≈ √n contract past
+    * the driver's flat-Lloyd ceiling: flat [[kmeansCentroids]] is
+    * O(sample·k·dim·iters) driver FLOPs and needs sample ≥ k, so at
+    * 10¹⁰ docs (k ≈ 10⁵) it is intractable by orders of magnitude —
+    * the two-level factorization trains k1 + k2 centroids for k1·k2
+    * effective cells (k = 10⁵ at k1 = k2 ≈ 320 stays well inside one
+    * driver core; the reference solves the analogous cut-finding
+    * problem distributively, hist_util sketch→cuts). Same bounded
+    * hash-ordered sample and deterministic [[lloydCluster]] core as
+    * the flat path: coarse on the sample, fine on the sample's coarse
+    * RESIDUALS (the faiss IVF-residual shape), so the fine level
+    * spends its centroids on within-cell structure shared across
+    * cells. Returns (coarse, fine) for [[ivf2Cells]] /
+    * [[semanticKeys2]] / [[incrementalSemDedup2]]. */
+  def trainQuantizer2(corpus: DataFrame, k1: Int, k2: Int,
+      sampleRows: Int = 2048, iters: Int = 8):
+      (Array[Array[Double]], Array[Array[Double]]) = {
+    val sample = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleRows)
+      .collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(sample.length >= math.max(k1, k2),
+      s"need at least max(k1=$k1, k2=$k2) sample rows, got ${sample.length}")
+    val coarse = lloydCluster(sample, k1, iters)
+    val dim = sample.head.length
+    val resid = sample.map { v =>
+      // nearest coarse, strictly-less scan (ties → lowest index, the
+      // IvfCells convention — training and assignment must agree)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k1) {
+        var d = 0.0; var i = 0
+        while (i < dim) { val t = v(i) - coarse(c)(i); d += t * t; i += 1 }
+        if (d < bestD) { best = c; bestD = d }
+        c += 1
+      }
+      val r = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { r(i) = v(i) - coarse(best)(i); i += 1 }
+      r
+    }
+    (coarse, lloydCluster(resid, k2, iters))
+  }
+
+  /** [[trainQuantizer2]] off a persisted [[semanticKeys]] /
+    * [[semanticKeys2]] snapshot — the grown-quantizer training step of
+    * the re-key lifecycle when the corpus has outgrown flat driver
+    * Lloyd (the [[trainQuantizerFromSnapshot]] sibling; no corpus
+    * access, embeddings come from the artifact). */
+  def trainQuantizer2FromSnapshot(cells: DataFrame, k1: Int, k2: Int,
+      sampleRows: Int = 2048, iters: Int = 8):
+      (Array[Array[Double]], Array[Array[Double]]) = {
+    require(cells.columns.startsWith(Seq("id", "cell", "emb")),
+      "trainQuantizer2FromSnapshot takes a semanticKeys projection " +
+        "(id, cell, emb[, _gen]); got " + cells.columns.mkString(", "))
+    trainQuantizer2(
+      cells.select(col("id").as("vec_id"), col("emb").as("embedding")),
+      k1, k2, sampleRows, iters)
+  }
+
   /** IVF-bucketed ANN: corpus rows live in their single nearest cell;
     * queries probe their `nprobe` nearest cells. One equi-join shuffle on
     * the cell id; per-cell work is |cell|·|queries-in-cell| — the classic
@@ -270,6 +342,44 @@ object Similarity {
         round(dot(col("qe"), col("embedding")) / (col("nq") * col("nc")), roundDigits).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Recall probe for [[ivfTopKFromSnapshot]] — the tuning read a
+    * production user picks `nprobe` FROM DATA with, instead of
+    * guessing: for each candidate probe width, recall@k of the
+    * IVF-bucketed read against brute-force ground truth over the SAME
+    * snapshot, on a caller-bounded query sample. Output one
+    * (nprobe, n_queries, n_truth, n_hit, recall) row per candidate —
+    * bounded by `nprobes.size`. Cost: one brute pass (the ground
+    * truth — sample the queries so it stays a scalar-side crossJoin,
+    * the bruteTopK contract) + one bucketed read per candidate; at
+    * corpus scale run it on a sampled query set exactly like any
+    * recall evaluation. Ground truth ties and ranking follow the
+    * shared rounded-cosine/id-tiebreak convention, so recall(max
+    * nprobe) ≡ 1 by the [[ivfTopKFromSnapshot]] equivalence. */
+  def annRecallProbe(cells: DataFrame, queries: DataFrame,
+      centroids: Array[Array[Double]], k: Int, nprobes: Seq[Int],
+      roundDigits: Int = 5): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(p =>
+      p >= 1 && p <= centroids.length),
+      s"nprobes must be within [1, ${centroids.length}]; got $nprobes")
+    val truth = bruteTopK(
+        cells.select(col("id").as("vec_id"), col("emb").as("embedding")),
+        queries, k, roundDigits)
+      .select(col("qid"), col("vec_id")).localCheckpoint()
+    nprobes.map { np =>
+      val got = ivfTopKFromSnapshot(cells, queries, centroids, np, k,
+        roundDigits).select(col("qid"), col("vec_id"))
+      truth.join(got, Seq("qid", "vec_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_truth"),
+          countDistinct(col("qid")).as("n_queries")))
+        .select(lit(np).as("nprobe"), col("n_queries"), col("n_truth"),
+          col("n_hit"),
+          round(col("n_hit").cast("double") /
+            greatest(col("n_truth"), lit(1L)).cast("double"), roundDigits)
+            .as("recall"))
+    }.reduce(_ unionByName _)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
@@ -340,6 +450,19 @@ object Similarity {
     // UUID-string id into null and silently neuter the gate's anti-join
     corpus.select(col(idCol).as("id"),
       ivfCells(col(embCol), centroids, 1)(0).as("cell"),
+      col(embCol).as("emb"))
+
+  /** [[semanticKeys]] under a TWO-LEVEL quantizer ([[trainQuantizer2]])
+    * — same (id, cell, emb) artifact contract, `cell` the composed
+    * c1·k2 + c2 id, so everything downstream of the projection
+    * (stamp/retain, occupancy, cap reports, bucketing, the snapshot
+    * ANN read) applies verbatim: a composed cell id is just a cell
+    * id. */
+  def semanticKeys2(corpus: DataFrame, coarse: Array[Array[Double]],
+      fine: Array[Array[Double]], idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      ivf2Cells(col(embCol), coarse, fine, 1)(0).as("cell"),
       col(embCol).as("emb"))
 
   /** [[graft.ext.Dedup.stampGeneration]]'s sibling for the SEMANTIC
@@ -414,6 +537,22 @@ object Similarity {
     cells.withColumn("cell", ivfCells(col("emb"), newCentroids, 1)(0))
   }
 
+  /** [[rekeySemanticSnapshot]] under a TWO-LEVEL quantizer — the
+    * re-key lifecycle's growth step once k ≈ √n outgrows flat driver
+    * Lloyd: same one map-only pass over the stored embeddings, `_gen`
+    * carried, re-keyed ≡ fresh [[semanticKeys2]] bit-for-bit (cell
+    * assignment is a pure function of (emb, coarse, fine)). */
+  def rekeySemanticSnapshot2(cells: DataFrame,
+      coarse: Array[Array[Double]], fine: Array[Array[Double]]): DataFrame = {
+    val cols = cells.columns.toSeq
+    require(cols == Seq("id", "cell", "emb") ||
+        cols == Seq("id", "cell", "emb", "_gen"),
+      "rekeySemanticSnapshot2 takes a semanticKeys projection (id, " +
+        "cell, emb) or its stamped form (id, cell, emb, _gen); got " +
+        cols.mkString(", "))
+    cells.withColumn("cell", ivf2Cells(col("emb"), coarse, fine, 1)(0))
+  }
+
   /** Train a GROWN quantizer from the snapshot itself — the middle
     * step of the re-key lifecycle (occupancy read → THIS → re-key),
     * so the whole quantizer-growth cycle runs off the persisted
@@ -459,7 +598,7 @@ object Similarity {
     * output two rows. Ship it next to the gate's output (the
     * attritionReport discipline) — the hash rows stay reports-free. */
   def semanticCapReport(newDocs: DataFrame, priorCells: DataFrame,
-      centroids: Array[Array[Double]], idCol: String = "vec_id",
+      centroids: Array[Array[Double]],
       embCol: String = "embedding", nprobe: Int = 1,
       maxCellSize: Int = 10000): DataFrame = {
     // accepts the stamped (id, cell, emb, _gen) form too — the report
@@ -478,16 +617,27 @@ object Similarity {
       .unionByName(bq.select(lit("batch").as("side"), col("*")))
   }
 
-  /** Drop over-cap cells via a spillable window count — the semantic
-    * gate's sibling of [[Dedup.cappedBuckets]]: a degenerate cell (the
-    * quantizer's catch-all for near-zero or templated embeddings) would
-    * otherwise contribute |batch-cell|·|prior-cell| candidate rows.
-    * Members of a dropped cell pass the tier (the [[Dedup.candidatePairs]]
-    * convention — the key tiers still gate them). */
+  /** Drop over-cap cells — the semantic gate's sibling of
+    * [[Dedup.cappedBuckets]]: a degenerate cell (the quantizer's
+    * catch-all for near-zero or templated embeddings) would otherwise
+    * contribute |batch-cell|·|prior-cell| candidate rows. Members of a
+    * dropped cell pass the tier (the [[Dedup.candidatePairs]]
+    * convention — the key tiers still gate them).
+    *
+    * Shape: map-side-combined count per cell → over-cap cell ids (≤
+    * n/cap rows) → null-safe LEFT ANTI join back. NOT a per-key window:
+    * a window partition cannot be split, so the mega-cell would buffer
+    * its full rows — EMBEDDINGS included — through ONE task before
+    * being dropped; the count side here carries only the cell id, and
+    * AQE can skew-split or broadcast the anti-join. Same argument as
+    * [[Dedup.cappedBuckets]] (see the capReport/keepBestPerCluster
+    * precedent). */
   private[graft] def cappedCells(cells: DataFrame, maxCellSize: Int): DataFrame = {
-    val w = Window.partitionBy("cell")
-    cells.withColumn("_n", count(lit(1)).over(w))
-      .where(col("_n") <= maxCellSize).drop("_n")
+    val over = cells.select(col("cell")).groupBy("cell")
+      .agg(count(lit(1)).as("_n"))
+      .where(col("_n") > maxCellSize)
+      .select(col("cell").as("_oc"))
+    cells.join(over, col("cell") <=> col("_oc"), "left_anti")
   }
 
   /** Cross-snapshot INCREMENTAL semantic dedup — [[semDedup]]'s
@@ -524,21 +674,114 @@ object Similarity {
       idCol: String = "vec_id", embCol: String = "embedding",
       nprobe: Int = 1, maxCellSize: Int = 10000,
       roundDigits: Int = 5): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}], got $nprobe")
     require(priorCells.columns.toSeq == Seq("id", "cell", "emb"),
       "priorCells must be a semanticKeys projection (id, cell, emb); " +
         "got " + priorCells.columns.mkString(", "))
+    incrementalSemDedupImpl(newDocs, priorCells,
+      v => ivfCells(v, centroids, nprobe), col(embCol), threshold, idCol,
+      embCol, maxCellSize, roundDigits)
+  }
+
+  /** [[incrementalSemDedup]] under a TWO-LEVEL quantizer — the gate at
+    * the corpus scale where k ≈ √n outgrows flat driver Lloyd
+    * ([[trainQuantizer2]]): identical semantics and plan shape (probe
+    * fan-out map-side, ONE cell equi-join, both sides capped), the
+    * composed cell id standing in for the flat one. `priorCells` is a
+    * [[semanticKeys2]] (or [[rekeySemanticSnapshot2]]-re-keyed)
+    * projection; `nprobe` fans over COARSE centroids. */
+  def incrementalSemDedup2(newDocs: DataFrame, priorCells: DataFrame,
+      coarse: Array[Array[Double]], fine: Array[Array[Double]],
+      threshold: Double, idCol: String = "vec_id",
+      embCol: String = "embedding", nprobe: Int = 1,
+      maxCellSize: Int = 10000, roundDigits: Int = 5): DataFrame = {
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe must be in [1, ${coarse.length}] (coarse probes), got $nprobe")
+    require(priorCells.columns.toSeq == Seq("id", "cell", "emb"),
+      "priorCells must be a semanticKeys projection (id, cell, emb); " +
+        "got " + priorCells.columns.mkString(", "))
+    incrementalSemDedupImpl(newDocs, priorCells,
+      v => ivf2Cells(v, coarse, fine, nprobe), col(embCol), threshold,
+      idCol, embCol, maxCellSize, roundDigits)
+  }
+
+  /** [[incrementalSemDedup]] over a PQ-COMPRESSED snapshot — the
+    * 10¹⁰-doc storage point: the persisted artifact stores (id, cell,
+    * codes) with `codes` = `numSub` small ints ([[semanticKeysPq]];
+    * dim×4 bytes → numSub×4, e.g. 64-dim float → 4 codes = 16× less),
+    * and verification runs on DECODED vectors with the same rounded
+    * cosine/threshold semantics. BOTH sides are compared in the
+    * quantized space (prior codes decoded; the batch vector
+    * encode∘decoded through the SAME codebooks): an exact replica of
+    * a prior doc maps to the prior's own codes, so its decoded cosine
+    * is EXACTLY 1.0 and blocks at any code budget — replica recall
+    * does not depend on reconstruction quality, only near-dup
+    * resolution does (size the budget with PqSnapshotSpec's parity
+    * check; at an adequate budget gate decisions match the
+    * uncompressed tier). Cell assignment stays on the RAW batch
+    * vector, matching how [[semanticKeysPq]] assigned the snapshot's
+    * cells at build time. Same plan shape as the uncompressed gate:
+    * probe fan-out map-side, ONE cell equi-join, both sides capped —
+    * only the per-row payload shrinks. */
+  def incrementalSemDedupPq(newDocs: DataFrame, priorCodes: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], threshold: Double,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      nprobe: Int = 1, maxCellSize: Int = 10000,
+      roundDigits: Int = 5): DataFrame = {
     require(nprobe >= 1 && nprobe <= centroids.length,
       s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+    require(priorCodes.columns.toSeq == Seq("id", "cell", "codes"),
+      "priorCodes must be a semanticKeysPq projection (id, cell, " +
+        "codes); got " + priorCodes.columns.mkString(", "))
+    incrementalSemDedupImpl(newDocs,
+      priorCodes.select(col("id"), col("cell"),
+        pqDecode(col("codes"), codebooks).as("emb")),
+      v => ivfCells(v, centroids, nprobe),
+      pqDecode(pqCodes(col(embCol), codebooks), codebooks), threshold,
+      idCol, embCol, maxCellSize, roundDigits)
+  }
+
+  /** The PQ-compressed form of [[semanticKeys]] — (id, cell, codes):
+    * `cell` from the shared coarse quantizer on the RAW embedding,
+    * `codes` the PQ encoding that replaces the stored vector. The
+    * snapshot's dominant storage term drops from dim×4 bytes to
+    * numSub ints per doc; decode back with [[pqDecode]] (the
+    * [[incrementalSemDedupPq]] read path). Not re-keyable to a FINER
+    * reconstruction without re-encoding from source embeddings —
+    * choose the code budget with headroom (PqSnapshotSpec's parity
+    * read); cell re-keying under a grown coarse quantizer would need
+    * the decoded vectors (cell = f(decoded) — document the decoded
+    * re-key as approximate) or the source embeddings. */
+  def semanticKeysPq(corpus: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      ivfCells(col(embCol), centroids, 1)(0).as("cell"),
+      pqCodes(col(embCol), codebooks).as("codes"))
+
+  /** Shared body of [[incrementalSemDedup]] / [[incrementalSemDedup2]]
+    * / [[incrementalSemDedupPq]] — the quantizer enters ONLY through
+    * `probeCells` (the batch-side probe-cell array expression), the
+    * snapshot's vector form only through `priorProj` (a (cell, emb)
+    * projection — raw or PQ-decoded) and `batchEmb` (the batch-side
+    * comparison vector — raw or encode∘decode), so the gate variants
+    * cannot drift on cap, join, rounding, or anti-join semantics. */
+  private def incrementalSemDedupImpl(newDocs: DataFrame,
+      priorProj: DataFrame, probeCells: Column => Column,
+      batchEmb: Column, threshold: Double, idCol: String, embCol: String,
+      maxCellSize: Int, roundDigits: Int): DataFrame = {
     val pr = cappedCells(
-      priorCells.select(col("cell"), col("emb"), l2Norm(col("emb")).as("_pn")),
+      priorProj.select(col("cell"), col("emb"), l2Norm(col("emb")).as("_pn")),
       maxCellSize)
     // the flagged-id key keeps the caller's id type uncast — see
     // semanticKeys' rationale (a silent cast-to-null would make the
     // anti-join a no-op for non-numeric ids)
     val bq = cappedCells(
       newDocs.select(col(idCol).as("_bid"),
-        explode(ivfCells(col(embCol), centroids, nprobe)).as("cell"),
-        col(embCol).as("_be"), l2Norm(col(embCol)).as("_bn")),
+        explode(probeCells(col(embCol))).as("cell"),
+        batchEmb.as("_be"), l2Norm(batchEmb).as("_bn")),
       maxCellSize)
     val flagged = bq.join(pr, Seq("cell"))
       .where(round(dot(col("_be"), col("emb")) / (col("_bn") * col("_pn")),
@@ -594,6 +837,13 @@ object Similarity {
     import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(PqAdc(ColumnBridge.expression(q),
       ColumnBridge.expression(codes), codebooks))
+  }
+
+  /** Decoded (reconstructed) vector of a PQ codes column — per-sub
+    * centroid rows concatenated (pure lookup; see [[PqDecode]]). */
+  def pqDecode(codes: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(PqDecode(ColumnBridge.expression(codes), codebooks))
   }
 
   /** PQ brute ADC top-k: the corpus is ENCODED ONCE to `numSub` small ints

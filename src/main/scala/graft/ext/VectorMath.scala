@@ -135,6 +135,114 @@ case class IvfCells(child: Expression, centroids: Array[Array[Double]],
     copy(child = newChild)
 }
 
+/** TWO-LEVEL (coarse × fine residual) IVF cell assignment — the
+  * quantizer-growth escape past driver-side Lloyd: a composed cell id
+  * `c1 * fine.length + c2` where `c1` is the nearest coarse centroid
+  * and `c2` the nearest FINE centroid of the residual `v − coarse(c1)`
+  * (the faiss IVF-with-residual two-level shape). k = k1·k2 effective
+  * cells from only k1 + k2 trained centroids, so the k ≈ √n sizing
+  * contract stays driver-trainable at 10¹⁰ docs (k = 10⁵ needs k1 =
+  * k2 ≈ 320 — see Similarity.trainQuantizer2).
+  *
+  * `probe` composed cells are produced by probing the `probe` nearest
+  * COARSE centroids (repeated first-min scans, ties → lowest index —
+  * the [[IvfCells]] convention) and composing each with its
+  * residual's fine argmin: recall probing is a coarse-boundary
+  * concern, and per-coarse the fine id is the deterministic argmin.
+  *
+  * Arithmetic (mirrored EXACTLY by the generated oracle SQL): coarse
+  * distance `|c|² − 2·v·c` as in [[IvfCells]]; fine distance over the
+  * residual uses `r·f = v·f − c·f`, i.e.
+  * `|f|² − 2·(v·f − ccDot(c1)(f))` with `|f|²` and the k1×k2 table
+  * `ccDot` precomputed — `|r|²` is constant per (v, c1) and cannot
+  * change the argmin. v·f is computed ONCE per fine centroid and
+  * reused across probes: k1 + k2 dot products per vector, never
+  * k1·k2. */
+case class Ivf2Cells(child: Expression, coarse: Array[Array[Double]],
+    fine: Array[Array[Double]], probe: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_ivf2_cells requires array<float|double>, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_ivf2_cells"
+
+  @transient private lazy val normSqC: Array[Double] =
+    coarse.map(c => c.map(x => x * x).sum)
+  @transient private lazy val normSqF: Array[Double] =
+    fine.map(f => f.map(x => x * x).sum)
+  // coarse(b)·fine(j), the residual-dot correction table (k1×k2 doubles)
+  @transient private lazy val ccDot: Array[Array[Double]] =
+    coarse.map(c => fine.map { f =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * f(i); i += 1 }
+      s
+    })
+
+  private def isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  def cellsOf(v: ArrayData): ArrayData = {
+    val k1 = coarse.length
+    val k2 = fine.length
+    val dC = new Array[Double](k1)
+    var c = 0
+    while (c < k1) {
+      val dot = if (isFloat) VectorMath.dotFD(v, UnsafeWrap.wrap(coarse(c)))
+        else VectorMath.dotDD(v, UnsafeWrap.wrap(coarse(c)))
+      dC(c) = normSqC(c) - 2.0 * dot
+      c += 1
+    }
+    val vF = new Array[Double](k2)
+    var j = 0
+    while (j < k2) {
+      vF(j) = if (isFloat) VectorMath.dotFD(v, UnsafeWrap.wrap(fine(j)))
+        else VectorMath.dotDD(v, UnsafeWrap.wrap(fine(j)))
+      j += 1
+    }
+    val out = new Array[Int](math.min(probe, k1))
+    val taken = new Array[Boolean](k1)
+    var p = 0
+    while (p < out.length) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < k1) {
+        if (!taken(i) && dC(i) < bestD) { best = i; bestD = dC(i) }
+        i += 1
+      }
+      taken(best) = true
+      var bf = 0
+      var bfD = Double.MaxValue
+      var f = 0
+      while (f < k2) {
+        val d = normSqF(f) - 2.0 * (vF(f) - ccDot(best)(f))
+        if (d < bfD) { bf = f; bfD = d }
+        f += 1
+      }
+      out(p) = best * k2 + bf
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  protected override def nullSafeEval(v: Any): Any =
+    cellsOf(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("graftIvf2", this, classOf[Ivf2Cells].getName)
+    defineCodeGen(ctx, ev, v => s"$self.cellsOf($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Ivf2Cells =
+    copy(child = newChild)
+}
+
 /** Product-quantization code assignment: the input vector is cut into
   * `codebooks.length` contiguous subvectors and each is assigned to its
   * nearest sub-centroid by squared distance `|c|² − 2·v·c` (the subvector
@@ -199,6 +307,50 @@ case class PqCodes(child: Expression,
   }
 
   override protected def withNewChildInternal(newChild: Expression): PqCodes =
+    copy(child = newChild)
+}
+
+/** PQ code DECODE: the reconstructed vector of a codes column —
+  * per-sub centroid rows concatenated in sub order (array<double> of
+  * the original dimensionality). Pure table lookup, no arithmetic, so
+  * the oracle's `list_concat(CASE code…)` replay is exact by
+  * construction. The read half of the PQ-compressed snapshot: store
+  * (cell, codes), decode on the gate/re-rank path. */
+case class PqDecode(child: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"graft_pq_decode requires array<int>, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_decode"
+
+  def decodeOf(codes: ArrayData): ArrayData = {
+    val dim = codebooks.map(_(0).length).sum
+    val out = new Array[Double](dim)
+    var off = 0
+    var s = 0
+    while (s < codebooks.length) {
+      val cent = codebooks(s)(codes.getInt(s))
+      System.arraycopy(cent, 0, out, off, cent.length)
+      off += cent.length
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  protected override def nullSafeEval(v: Any): Any =
+    decodeOf(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("graftPqDec", this, classOf[PqDecode].getName)
+    defineCodeGen(ctx, ev, v => s"$self.decodeOf($v)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqDecode =
     copy(child = newChild)
 }
 

@@ -83,7 +83,7 @@ object PipelineQueries {
     * registered-domain cases), optional port, tracking params, a
     * bare-path trailing slash variant (doc_id % 7) and an optional
     * fragment, all derived from doc_id + source. */
-  private def urlFixture = concat(
+  private[graft] def urlFixture = concat(
     lit("HTTPS://WWW."), col("source"),
     // PSL fixture coverage: multi-part suffixes (co.uk/com.au), a
     // wildcard TLD (*.ck), a wildcard EXCEPTION host (!www.ck), and a
@@ -126,9 +126,9 @@ object PipelineQueries {
     "CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(range(1, len(t)-1), " +
       "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) ELSE [] END"
 
-  private val NumHashes = 16
-  private val Bands = 4 // rows per band = 4 (the s-curve operating point)
-  private val MaxBucket = 1000 // LSH bucket-size skew cap (Dedup.candidatePairs)
+  private[graft] val NumHashes = 16
+  private[graft] val Bands = 4 // rows per band = 4 (the s-curve operating point)
+  private[graft] val MaxBucket = 1000 // LSH bucket-size skew cap (Dedup.candidatePairs)
 
   /** The four replica classes shared by the membrane capstones
     * (`p_crawl_sem` / `p_daily_full`), single-sourced so the two rows
@@ -141,7 +141,7 @@ object PipelineQueries {
     * only to the semantic tier. `prior` supplies the lexical classes'
     * text (page-wrapped or raw, per capstone); `pbase` the +80000
     * class's source rows. */
-  private def membraneReplicas(prior: DataFrame, pbase: DataFrame,
+  private[graft] def membraneReplicas(prior: DataFrame, pbase: DataFrame,
       reworded: org.apache.spark.sql.Column): DataFrame = {
     val far = array_repeat(lit(25.0f), 64)
     prior.where(col("doc_id") < 150).select(
@@ -162,7 +162,7 @@ object PipelineQueries {
   }
 
   /** [[membraneReplicas]]' +80000 reworded text over a pbase row. */
-  private def rewordedText: org.apache.spark.sql.Column =
+  private[graft] def rewordedText: org.apache.spark.sql.Column =
     concat(lit("reworded page number "), col("doc_id").cast("string"),
       lit(" entirely different words here"))
 
@@ -278,6 +278,42 @@ object PipelineQueries {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
         .orderBy("lang")
+    }),
+
+    // the banded tier's RE-BAND lifecycle (the rekeySemanticSnapshot
+    // move on the lexical membrane): the tier's persisted artifact is
+    // the SIGNATURE table, so retuning the s-curve is a map-only
+    // band-key recompute off stored slots — no corpus re-read, no
+    // shingle pass (Dedup.rebandSignatures; parity spec-pinned). The
+    // fixture: an 8-token-appended replica class (+20000, J ≈ 0.85)
+    // against ONE checkpointed signature snapshot read at two
+    // operating points — stale bands=1 (r=16: per-band match J^16 —
+    // effectively the signature-equality curve, the class mostly
+    // PASSES) and re-banded bands=8 (r=2: J² per band over 8 bands —
+    // the class blocks). Same verification threshold both paths: the
+    // recall move is pure banding
+    "p_neardup_reband" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text")
+      val prior = d.where(col("doc_id") % 3 =!= 0)
+      val sigs = Dedup.minhashSignatures(prior, "text", col("doc_id"),
+        NumHashes).localCheckpoint()
+      val batch = d.where(col("doc_id") % 3 === 0)
+        .unionByName(prior.where(col("doc_id") < 200)
+          .select((col("doc_id") + 20000).as("doc_id"),
+            concat(col("text"),
+              lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text")))
+      def classes(kept: DataFrame, path: String) =
+        kept.groupBy(floor(col("doc_id") / 20000).cast("long").as("class"))
+          .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+          .select(lit(path).as("path"), col("class"), col("n_kept"),
+            col("sum_ids"))
+      classes(Dedup.incrementalBandedNearDedup(batch, sigs,
+          numHashes = NumHashes, bands = 1, threshold = 0.8,
+          maxBucketSize = MaxBucket), "stale")
+        .unionByName(classes(Dedup.incrementalBandedNearDedup(batch, sigs,
+          numHashes = NumHashes, bands = 8, threshold = 0.8,
+          maxBucketSize = MaxBucket), "rebanded"))
+        .orderBy("path", "class")
     }),
 
     // the DAILY-CRAWL composition end-to-end: the signature-equality
@@ -1784,6 +1820,64 @@ object PipelineQueries {
         .orderBy("path", "class")
     }),
 
+    // the re-key lifecycle PAST the driver-training ceiling: same
+    // golden corpus and stale k=2 decay as p_semdedup_rekey, but the
+    // grown quantizer is the TWO-LEVEL 4×4 composed factorization
+    // (coarse residue groups × fine within-group residuals — k1+k2=8
+    // trained centroids for 16 effective cells, the k ≈ √n contract's
+    // shape at 10¹⁰ docs where flat k is driver-intractable). The
+    // stale path passes the +20000 replicas ungated (cells over cap);
+    // the composed re-key (rekeySemanticSnapshot2, one map-only pass)
+    // blocks them — the oracle replays BOTH quantizers, the composed
+    // one via the two-level cell CTE chain
+    "p_semdedup_rekey2" -> ((s, dir) => {
+      val all = rekeyGolden(s)
+      val prior = all.where(col("vec_id") % 3 === 1)
+      val snapStale = Similarity.semanticKeys(prior, rekeyStaleCents)
+        .localCheckpoint()
+      val batch = all.where(col("vec_id") % 3 === 0)
+        .unionByName(prior.where(col("vec_id") < 150)
+          .withColumn("vec_id", col("vec_id") + 20000))
+      def classes(kept: DataFrame, path: String) =
+        kept.groupBy(floor(col("vec_id") / 20000).cast("long").as("class"))
+          .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("sum_ids"))
+          .select(lit(path).as("path"), col("class"), col("n_kept"),
+            col("sum_ids"))
+      classes(Similarity.incrementalSemDedup(batch, snapStale,
+          rekeyStaleCents, threshold = 0.999, nprobe = 1,
+          maxCellSize = 200), "stale")
+        .unionByName(classes(Similarity.incrementalSemDedup2(batch,
+          Similarity.rekeySemanticSnapshot2(snapStale, rekeyCoarse,
+            rekeyFine), rekeyCoarse, rekeyFine, threshold = 0.999,
+          nprobe = 1, maxCellSize = 200), "rekeyed2"))
+        .orderBy("path", "class")
+    }),
+
+    // PQ-COMPRESSED semantic snapshot gate (r18 stretch): the
+    // persisted artifact stores (id, cell, codes) — 4 ints replacing
+    // 64 floats — and verification decodes BOTH sides through the
+    // same static codebooks. Exact +20000 replicas carry their
+    // source's codes, so their decoded cosine is EXACTLY 1.0 and they
+    // block at ANY code budget; what the tiny 4×4×16 budget trades is
+    // near-dup resolution (organically-similar docs sharing codes
+    // merge), which is deterministic and replayed bit-for-bit by the
+    // oracle's decode CASE chains (decision parity at an adequate
+    // TRAINED budget is PqSnapshotSpec's read)
+    "p_semdedup_pq" -> ((s, dir) => {
+      val all = rekeyGolden(s)
+      val prior = all.where(col("vec_id") % 3 === 1)
+      val snap = Similarity.semanticKeysPq(prior, rekeyNewCents, pqBooks)
+        .localCheckpoint()
+      val batch = all.where(col("vec_id") % 3 === 0)
+        .unionByName(prior.where(col("vec_id") < 150)
+          .withColumn("vec_id", col("vec_id") + 20000))
+      Similarity.incrementalSemDedupPq(batch, snap, rekeyNewCents,
+          pqBooks, threshold = 0.999, nprobe = 1, maxCellSize = 200)
+        .groupBy(floor(col("vec_id") / 20000).cast("long").as("class"))
+        .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("sum_ids"))
+        .orderBy("class")
+    }),
+
     // the re-key lifecycle INSIDE the daily loop — the operational
     // sequence a months-running pipeline actually executes: day-1 gate
     // against the STALE-k stamped snapshot (its cells blow the cap, so
@@ -2563,7 +2657,7 @@ object PipelineQueries {
   private val planes16: Array[Array[Double]] = Similarity.hyperplanes(16, 64, seed = 42L)
 
   // fixed 8-cell IVF coarse quantizer, likewise shared as literals
-  private val ivfCentroids: Array[Array[Double]] = Similarity.hyperplanes(8, 64, seed = 7L)
+  private[graft] val ivfCentroids: Array[Array[Double]] = Similarity.hyperplanes(8, 64, seed = 7L)
 
   /** 16-cluster one-hot-block quantizer for the re-key lifecycle row:
     * centroid c carries 8.0 on dims i ≡ c (mod 16) — every value exact
@@ -2574,6 +2668,17 @@ object PipelineQueries {
     Array.tabulate(16)(c => Array.tabulate(64)(i => if (i % 16 == c) 8.0 else 0.0))
   private val rekeyStaleCents: Array[Array[Double]] =
     Array(rekeyNewCents(0), rekeyNewCents(8))
+
+  /** 4×4 TWO-LEVEL factorization of the same 16-cluster structure for
+    * the composed-quantizer re-key row: coarse b covers residue group
+    * i%16 ∈ [4b, 4b+4) (amplitude 2 — exact in float/double), fine j
+    * covers i%4 == j (amplitude 8), so composed cell (i%16)/4·4 + i%4
+    * separates cluster i%16 exactly like the flat k=16 quantizer while
+    * training only 4+4 centroids (the Ivf2Spec parity). */
+  private val rekeyCoarse: Array[Array[Double]] =
+    Array.tabulate(4)(b => Array.tabulate(64)(i => if (i % 16 / 4 == b) 2.0 else 0.0))
+  private val rekeyFine: Array[Array[Double]] =
+    Array.tabulate(4)(j => Array.tabulate(64)(i => if (i % 4 == j) 8.0 else 0.0))
 
   /** SF-independent golden embedding corpus for the re-key row (the
     * bpeGoldenCorpus contract): 2000 vectors in the 16 one-hot-block
@@ -2708,6 +2813,56 @@ object PipelineQueries {
   private def ivfCellCtes(name: String, src: String,
       cap: Option[Int]): String = ivfCellCtesFor(name, src, cap, ivfCentroids)
 
+  /** TWO-LEVEL composed-cell CTE chain — [[ivfCellCtesFor]]'s sibling
+    * replaying [[graft.ext.Ivf2Cells]] bit for bit: coarse argmin
+    * (first-match CASE, ties → lowest index) over |c|² − 2·v·c, then
+    * v·fine dots as columns, then per-coarse-branch fine distances
+    * |f|² − 2·(vf − c·f) with |f|² and the k1×k2 c·f table emitted as
+    * Scala-computed literals (the ivfDistColsFor discipline — the
+    * exact doubles the Spark kernel uses), fine argmin, composed cell
+    * c1·k2 + c2. `cap` replays the per-cell cap inline. */
+  private def ivf2CellCtesFor(name: String, src: String, cap: Option[Int],
+      coarse: Array[Array[Double]], fine: Array[Array[Double]]): String = {
+    val k1 = coarse.length
+    val k2 = fine.length
+    val coarseCols = coarse.zipWithIndex.map { case (c, i) =>
+      val normSq = c.map(x => x * x).sum
+      val dp = s"list_sum(list_transform(range(1, 65), j -> CAST(embedding[j] AS DOUBLE) * (${Similarity.planeSql(c)})[j]))"
+      s"($normSq - 2.0 * ($dp)) AS d$i"
+    }.mkString(", ")
+    val least1 = (0 until k1).map(i => s"d$i").mkString("least(", ", ", ")")
+    val c1Case = (0 until k1).map(i => s"WHEN d$i = m THEN $i")
+      .mkString("CASE ", " ", " END")
+    val vfCols = fine.zipWithIndex.map { case (f, j) =>
+      s"(list_sum(list_transform(range(1, 65), j2 -> CAST(embedding[j2] AS DOUBLE) * (${Similarity.planeSql(f)})[j2]))) AS vf$j"
+    }.mkString(", ")
+    val fdCols = (0 until k2).map { j =>
+      val normF = fine(j).map(x => x * x).sum
+      val cc = (0 until k1).map { b =>
+        // coarse(b)·fine(j) left-to-right — Ivf2Cells.ccDot's loop
+        val d = coarse(b).zip(fine(j)).map { case (a, x) => a * x }.sum
+        s"WHEN $b THEN $d"
+      }.mkString("CASE c1 ", " ", " END")
+      s"($normF - 2.0 * (vf$j - ($cc))) AS fd$j"
+    }.mkString(", ")
+    val least2 = (0 until k2).map(j => s"fd$j").mkString("least(", ", ", ")")
+    val c2Case = (0 until k2).map(j => s"WHEN fd$j = m2 THEN $j")
+      .mkString("CASE ", " ", " END")
+    val qualify = cap.map(c =>
+      s"\n  QUALIFY count(*) OVER (PARTITION BY c1 * $k2 + ($c2Case)) <= $c")
+      .getOrElse("")
+    s"""${name}_d AS (
+       |  SELECT vec_id, embedding, $coarseCols FROM $src
+       |), ${name}_m AS (SELECT *, $least1 AS m FROM ${name}_d),
+       |${name}_c1 AS (SELECT vec_id, embedding, $c1Case AS c1 FROM ${name}_m),
+       |${name}_vf AS (SELECT *, $vfCols FROM ${name}_c1),
+       |${name}_fd AS (SELECT *, $fdCols FROM ${name}_vf),
+       |${name}_m2 AS (SELECT *, $least2 AS m2 FROM ${name}_fd),
+       |$name AS (
+       |  SELECT vec_id, embedding, c1 * $k2 + ($c2Case) AS cell FROM ${name}_m2$qualify
+       |)""".stripMargin
+  }
+
   /** Second-nearest cell: per first-cell branch, first-match argmin over
     * the remaining columns. */
   private val ivfCell2Case = {
@@ -2744,6 +2899,17 @@ object PipelineQueries {
         .mkString("CASE ", " ", " END")
       s"($cse) AS code$s"
     }.mkString(", ")
+
+  /** Decoded PQ vector as a SQL list — per-sub CASE over the code
+    * picking the centroid list literal, sub lists concatenated in
+    * order (`||`): the exact lookup [[graft.ext.PqDecode]] performs,
+    * no arithmetic on either engine. */
+  private val pqDecodeSql: String =
+    (0 until pqM).map { s =>
+      val branches = (0 until pqK).map(c =>
+        s"WHEN $c THEN ${Similarity.planeSql(pqBooks(s)(c))}").mkString(" ")
+      s"(CASE code$s $branches END)"
+    }.mkString(" || ")
 
   private def pqAdcSql(qe: String): String =
     (0 until pqM).map { s =>
@@ -3466,6 +3632,58 @@ object PipelineQueries {
          |)
          |SELECT lang, count(*) AS n_new, CAST(sum(doc_id) AS BIGINT) AS sum_ids
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    // both operating points replay the SAME signature CTEs — the
+    // oracle's statement of "one persisted snapshot, two bandings"
+    "p_neardup_reband" -> {
+      def bandKeysFor(bands: Int): String = {
+        val r = NumHashes / bands
+        (0 until bands).map { b =>
+          val slots = (0 until r).map(j => s"CAST(mh${b * r + j} AS VARCHAR)")
+          s"(SELECT $b AS band, md5(${slots.mkString("concat(", ", '_', ", ")")}) AS key)"
+        }.mkString(" UNION ALL ")
+      }
+      def buckets(name: String, sig: String, bands: Int): String =
+        s"""$name AS (
+           |  SELECT id, bk.band, bk.key FROM $sig, LATERAL (${bandKeysFor(bands)}) bk
+           |  QUALIFY count(*) OVER (PARTITION BY bk.band, bk.key) <= $MaxBucket
+           |)""".stripMargin
+      val agreeSum = (0 until NumHashes)
+        .map(k => s"(CASE WHEN bs.mh$k = ps.mh$k THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      def flagged(name: String, bb: String, pb: String): String =
+        s"""$name AS (
+           |  SELECT DISTINCT cand.bid FROM (
+           |    SELECT DISTINCT b.id AS bid, p.id AS pid
+           |    FROM $bb b JOIN $pb p ON b.band = p.band AND b.key = p.key
+           |  ) cand
+           |  JOIN b_sig bs ON bs.id = cand.bid
+           |  JOIN p_sig ps ON ps.id = cand.pid
+           |  WHERE CAST($agreeSum AS DOUBLE) / $NumHashes >= 0.8
+           |)""".stripMargin
+      s"""WITH prior AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0
+         |), batch AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000,
+         |    text || ' sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8'
+         |  FROM documents WHERE doc_id % 3 <> 0 AND doc_id < 200
+         |), ${sigKeyCtes("b", "batch", NumHashes)}, ${sigKeyCtes("p", "prior", NumHashes)},
+         |${buckets("bs1", "b_sig", 1)}, ${buckets("ps1", "p_sig", 1)},
+         |${buckets("bs8", "b_sig", 8)}, ${buckets("ps8", "p_sig", 8)},
+         |${flagged("f1", "bs1", "ps1")}, ${flagged("f8", "bs8", "ps8")},
+         |un AS (
+         |  SELECT 'stale' AS path, doc_id FROM batch
+         |  WHERE doc_id NOT IN (SELECT bid FROM f1)
+         |  UNION ALL
+         |  SELECT 'rebanded', doc_id FROM batch
+         |  WHERE doc_id NOT IN (SELECT bid FROM f8)
+         |)
+         |SELECT path, CAST(floor(doc_id / 20000) AS BIGINT) AS class,
+         |  count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM un GROUP BY path, class ORDER BY path, class""".stripMargin
     },
 
     "p_incr_crawl" ->
@@ -4668,6 +4886,78 @@ object PipelineQueries {
          |), un AS (
          |  SELECT 'stale' AS path, vec_id FROM kstale
          |  UNION ALL SELECT 'rekeyed', vec_id FROM knew
+         |)
+         |SELECT path, CAST(floor(vec_id / 20000) AS BIGINT) AS class,
+         |  count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM un GROUP BY path, class ORDER BY path, class""".stripMargin
+    },
+
+    // the PQ snapshot gate: flat cells capped at 200 (QUALIFY replay),
+    // codes via the shared pqDistCols/pqCodeCols fragments, BOTH sides
+    // decoded through the same CASE chains, rounded decoded cosine —
+    // exact replicas decode identically (cos = 1.0 exactly)
+    "p_semdedup_pq" -> {
+      val cos = cosBP
+      s"""WITH allv AS (
+         |  $rekeyGoldenSql
+         |), prior AS (SELECT vec_id, embedding FROM allv WHERE vec_id % 3 = 1),
+         |batch AS (
+         |  SELECT vec_id, embedding FROM allv WHERE vec_id % 3 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 20000, embedding FROM prior WHERE vec_id < 150
+         |), ${ivfCellCtesFor("pc", "prior", Some(200), rekeyNewCents)},
+         |${ivfCellCtesFor("bc", "batch", Some(200), rekeyNewCents)},
+         |pcd AS (SELECT vec_id, cell, ${pqDistCols("embedding")} FROM pc),
+         |pcode AS (SELECT vec_id, cell, $pqCodeCols FROM pcd),
+         |pdec AS (SELECT vec_id, cell, $pqDecodeSql AS embedding FROM pcode),
+         |bcd AS (SELECT vec_id, cell, ${pqDistCols("embedding")} FROM bc),
+         |bcode AS (SELECT vec_id, cell, $pqCodeCols FROM bcd),
+         |bdec AS (SELECT vec_id, cell, $pqDecodeSql AS embedding FROM bcode),
+         |f AS (
+         |  SELECT DISTINCT b.vec_id FROM bdec b JOIN pdec p USING (cell)
+         |  WHERE $cos >= 0.999
+         |), kept AS (
+         |  SELECT vec_id FROM batch
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM f)
+         |)
+         |SELECT CAST(floor(vec_id / 20000) AS BIGINT) AS class,
+         |  count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS sum_ids
+         |FROM kept GROUP BY class ORDER BY class""".stripMargin
+    },
+
+    // the composed-quantizer re-key: the stale flat replay is
+    // p_semdedup_rekey's verbatim; the grown path replays the
+    // TWO-LEVEL assignment (coarse argmin → per-branch residual fine
+    // argmin via |f|²−2·(v·f − c·f) with Scala-computed literals) —
+    // every fixture value exact in float and double
+    "p_semdedup_rekey2" -> {
+      val cos = cosBP
+      s"""WITH allv AS (
+         |  $rekeyGoldenSql
+         |), prior AS (SELECT vec_id, embedding FROM allv WHERE vec_id % 3 = 1),
+         |batch AS (
+         |  SELECT vec_id, embedding FROM allv WHERE vec_id % 3 = 0
+         |  UNION ALL
+         |  SELECT vec_id + 20000, embedding FROM prior WHERE vec_id < 150
+         |), ${ivfCellCtesFor("pstale", "prior", Some(200), rekeyStaleCents)},
+         |${ivfCellCtesFor("bstale", "batch", Some(200), rekeyStaleCents)},
+         |fstale AS (
+         |  SELECT DISTINCT b.vec_id FROM bstale b JOIN pstale p USING (cell)
+         |  WHERE $cos >= 0.999
+         |), kstale AS (
+         |  SELECT vec_id FROM batch
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM fstale)
+         |), ${ivf2CellCtesFor("p2", "prior", Some(200), rekeyCoarse, rekeyFine)},
+         |${ivf2CellCtesFor("b2", "batch", Some(200), rekeyCoarse, rekeyFine)},
+         |f2 AS (
+         |  SELECT DISTINCT b.vec_id FROM b2 b JOIN p2 p USING (cell)
+         |  WHERE $cos >= 0.999
+         |), k2 AS (
+         |  SELECT vec_id FROM batch
+         |  WHERE vec_id NOT IN (SELECT vec_id FROM f2)
+         |), un AS (
+         |  SELECT 'stale' AS path, vec_id FROM kstale
+         |  UNION ALL SELECT 'rekeyed2', vec_id FROM k2
          |)
          |SELECT path, CAST(floor(vec_id / 20000) AS BIGINT) AS class,
          |  count(*) AS n_kept, CAST(sum(vec_id) AS BIGINT) AS sum_ids

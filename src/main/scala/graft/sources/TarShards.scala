@@ -644,7 +644,15 @@ object TarShards {
     * key=value matches the top-level glob never meant). Explicit
     * existing-file paths produce no probe noise, no discovery, and an
     * empty match LOUD-REJECTS — the store-reader convention (a missing
-    * store is a bug, not an empty corpus). */
+    * store is a bug, not an empty corpus).
+    *
+    * Day-0/bootstrap consumers: the loud-reject is deliberate on the
+    * READ side, so a pipeline that may legitimately start before any
+    * shard exists must write first (the daily loop's natural order —
+    * day 1 ships its own shards before any readback) or probe
+    * existence itself (`FileSystem.globStatus` on `dir/shard-*.tar*`)
+    * and branch; silently reading an absent store as an empty corpus
+    * is exactly the failure mode this guard closed in r17. */
   private def listShardFiles(spark: SparkSession, dir: String,
       pattern: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$pattern")

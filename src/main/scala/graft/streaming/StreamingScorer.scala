@@ -670,7 +670,8 @@ object StreamingIngest {
     * prior's per-cell (embedding, norm) lists — distinct join keys, so
     * stream rows never duplicate — then a pure array-expression
     * verdict. Over-cap prior cells are dropped via the SAME
-    * [[graft.ext.Similarity.cappedCells]] window the batch gate uses,
+    * [[graft.ext.Similarity.cappedCells]] primitive the batch gate
+    * uses (count-aggregate + anti-join-back — the skew-safe shape),
     * with the SAME default cap as the batch twin (mismatched defaults
     * would silently break parity out of the box); parity holds whenever
     * no cell exceeds the cap on either side (the batch gate also caps
@@ -680,7 +681,22 @@ object StreamingIngest {
     *
     * The static per-cell tables are localCheckpointed once at
     * construction (the dropSeen rationale — a long stream must not
-    * re-run the snapshot cell assignment every micro-batch). */
+    * re-run the snapshot cell assignment every micro-batch).
+    *
+    * RE-KEY HANDOFF (the quantizer-growth lifecycle over a stream):
+    * `priorCells` and `centroids` are fixed for the life of the query
+    * by design — the tier is STATELESS against the static snapshot
+    * (no dropDuplicates state, no watermark), so swapping in a grown
+    * quantizer is a plain restart: stop the query, re-key the
+    * persisted snapshot ([[graft.ext.Similarity.rekeySemanticSnapshot]]
+    * — map-only, `_gen` carried), and start a new query on the
+    * re-keyed snapshot + new centroids. Nothing is lost at the seam:
+    * there is no tier state to migrate, sink offsets live with the
+    * SINK's checkpoint, and post-swap decisions equal the batch gate
+    * under the new quantizer row-for-row (StreamingSpec pins the
+    * handoff). Do NOT swap the snapshot under a RUNNING query via
+    * closure capture — the cell lists are checkpointed at construction
+    * precisely so the plan cannot silently half-read two quantizers. */
   def semanticGate(stream: DataFrame, priorCells: DataFrame,
       centroids: Array[Array[Double]], threshold: Double,
       embCol: String = "embedding", nprobe: Int = 1,

@@ -343,6 +343,119 @@ object ScaleProbe {
         s"${ungated(snapStale)} -> rekeyed-k$kNew ungated ${ungated(rekeyed)}")
       bigEmb.unpersist(blocking = true)
     }
+    // PQ-compressed semantic snapshot bytes (r18 stretch): the same
+    // corpus persisted as (id, cell, emb float[64]) vs (id, cell,
+    // codes int[8]) — the dominant storage term of the embedding
+    // membrane at 10¹⁰ docs; the gate reads the codes through
+    // pqDecode (PqSnapshotSpec pins decision parity at budget)
+    if (selected("pq_snapshot_bytes")) {
+      import graft.ext.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val cents = Similarity.kmeansCentroids(emb, k = 16)
+      val books = Similarity.pqTrainCodebooks(emb, numSub = 8, k = 64)
+      def dirBytes(p: java.nio.file.Path): Long = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+      }
+      time("pq_snapshot_bytes") {
+        val raw = java.nio.file.Files.createTempDirectory("probe_snap_raw")
+        val pq = java.nio.file.Files.createTempDirectory("probe_snap_pq")
+        Similarity.semanticKeys(emb, cents)
+          .write.mode("overwrite").parquet(raw.toString)
+        Similarity.semanticKeysPq(emb, cents, books)
+          .write.mode("overwrite").parquet(pq.toString)
+        val (rb, pb) = (dirBytes(raw), dirBytes(pq))
+        println(f"[scale]   raw snapshot $rb%10d B   pq snapshot $pb%10d B   ratio ${rb.toDouble / pb}%.1f×")
+        import scala.jdk.CollectionConverters._
+        Seq(raw, pq).foreach(d => java.nio.file.Files.walk(d).iterator()
+          .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_)))
+        rb / math.max(1L, pb)
+      }
+    }
+
+    // snapshot-ANN nprobe tuning table (r18): recall@10 of
+    // ivfTopKFromSnapshot vs brute-force ground truth over the same
+    // snapshot, per probe width — the read a production user picks
+    // nprobe from (recall rises toward 1.0 at full probe by the
+    // p_ann_snapshot equivalence; cost rises ~linearly in nprobe)
+    if (selected("ann_recall_table")) {
+      import graft.ext.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val k = math.max(8, math.sqrt(emb.count().toDouble).toInt / 2)
+      val cents = Similarity.kmeansCentroids(emb, k = k)
+      val snap = Similarity.semanticKeys(emb, cents).localCheckpoint()
+      val q = emb.where(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .localCheckpoint()
+      time("ann_recall_table") {
+        val rows = Similarity.annRecallProbe(snap, q, cents, k = 10,
+          nprobes = Seq(1, 2, 4, 8, k)).orderBy("nprobe").collect()
+        rows.foreach(r => println(
+          f"[scale]   nprobe=${r.getInt(0)}%-4d recall@10=${r.getDouble(4)}%.4f"))
+        rows.length.toLong
+      }
+    }
+
+    // quantizer-training ceiling (r18): the k ≈ √n contract at 10¹⁰
+    // docs wants k ≈ 10⁵ — flat driver Lloyd is O(sample·k·dim·iters)
+    // and needs sample ≥ k, so already at k = 4096 it is measurably
+    // infeasible next to the TWO-LEVEL factorization (64×64 = the same
+    // 4096 effective cells from 128 trained centroids over the same
+    // sample). Same deterministic Lloyd core both sides; the gap is
+    // the k-factor, and it widens linearly in k.
+    if (selected("quantizer2_train") || selected("quantizer_flat_train")) {
+      import graft.ext.Similarity
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      // flat k=4096 needs sample ≥ k (the kmeansCentroids require) —
+      // replicate-and-jitter to a dispersed 16k-vector corpus (the
+      // rekey sweep's fixture shape)
+      val bigEmb = spark.range(8).crossJoin(emb)
+        .select((col("vec_id") * 8 + col("id")).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + ((col("vec_id") * 31 + i * 7) % 97 - 48).cast("float")
+              * lit(0.002f)).as("embedding"))
+        .localCheckpoint()
+      time("quantizer2_train") {
+        val (c, f) = Similarity.trainQuantizer2(bigEmb, k1 = 64, k2 = 64,
+          sampleRows = 8192, iters = 8)
+        (c.length * f.length).toLong
+      }
+      time("quantizer_flat_train") {
+        Similarity.kmeansCentroids(bigEmb, k = 4096, sampleRows = 8192,
+          iters = 8).length.toLong
+      }
+    }
+
+    // mega-cell cap sweep (r18): the cap primitive is a count-aggregate
+    // + null-safe anti-join-back, so ONE degenerate cell concentrating
+    // 500k→2M rows (embeddings in tow) must cost ~linear scan time —
+    // the per-key window shape it replaced buffered the whole mega-cell
+    // through ONE task before dropping it. Fixture: one hot cell at n
+    // rows + 1000 normal cells; watch the exponent stay ≈ 1.
+    for (n <- Seq(500000L, 1000000L, 2000000L)
+         if selected(s"cap_megacell_${n / 1000}k")) {
+      import graft.ext.Similarity
+      val mega = spark.range(n).select(col("id"), lit(0).as("cell"),
+          transform(sequence(lit(0), lit(63)),
+            i => ((col("id") + i) % 97).cast("float")).as("emb"))
+        .unionByName(spark.range(10000).select(
+          (col("id") + 10000000L).as("id"),
+          (col("id") % 1000 + 1).cast("int").as("cell"),
+          transform(sequence(lit(0), lit(63)),
+            i => ((col("id") * 7 + i) % 89).cast("float")).as("emb")))
+        .repartition(32).cache()
+      mega.count()
+      time(s"cap_megacell_${n / 1000}k") {
+        Similarity.cappedCells(mega, maxCellSize = 1000).count()
+      }
+      mega.unpersist(blocking = true)
+    }
+
     // token-budget mix: one range-partitioned cumsum over (lang, id)
     time("token_budget") {
       graft.ext.Curation.takeTokenBudget(big, "lang",

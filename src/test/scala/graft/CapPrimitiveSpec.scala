@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Similarity}
+
+/** The skew-safe cap primitive (r18): `cappedCells` / `cappedBuckets`
+  * are a count-aggregate + null-safe LEFT ANTI join-back, NOT a
+  * per-key window count — a window partition can never be split, so
+  * the mega-cell/mega-bucket (the exact case the cap exists for)
+  * would buffer through ONE task before being dropped, while AQE can
+  * skew-split or broadcast the anti-join. These specs pin (a)
+  * bit-identical membership vs the window spelling on fixtures with
+  * over-cap, under-cap, boundary and NULL-key groups, and (b) the
+  * no-WindowExec plan shape of the gate paths that consume them. */
+class CapPrimitiveSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  /** The r17 window spelling, kept as the parity reference. */
+  private def windowCap(df: DataFrame, keys: Seq[String], cap: Int): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("_n", count(lit(1)).over(w))
+      .where(col("_n") <= cap).drop("_n")
+  }
+
+  test("cappedCells == window spelling incl. null-key and boundary groups; no WindowExec") {
+    import spark.implicits._
+    // groups: 7×cell=1 (over), 3×cell=2 (boundary), 1×cell=3 (under),
+    // 5×cell=NULL (over — nulls group together in the window spelling)
+    val cells = (Seq.fill(7)(Option(1)) ++ Seq.fill(3)(Option(2)) ++
+        Seq(Option(3)) ++ Seq.fill(5)(Option.empty[Int]))
+      .zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toDF("id", "cell")
+    val got = Similarity.cappedCells(cells, maxCellSize = 3)
+    val want = windowCap(cells, Seq("cell"), 3)
+    assert(got.select("id").except(want.select("id")).isEmpty &&
+      want.select("id").except(got.select("id")).isEmpty)
+    // membership stated explicitly: boundary group kept, over-cap and
+    // null mega-group dropped
+    assert(got.select("cell").distinct().as[Option[Int]].collect().toSet ==
+      Set(Option(2), Option(3)))
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("CartesianProduct"), plan.take(800))
+  }
+
+  test("cappedBuckets == window spelling on (band, key) incl. nulls; extra columns carried") {
+    import spark.implicits._
+    val rows = (Seq.fill(4)((0, Option("hot"))) ++
+        Seq.fill(2)((0, Option("ok"))) ++ Seq.fill(3)((1, Option("hot"))) ++
+        Seq.fill(4)((1, Option.empty[String])))
+      .zipWithIndex.map { case ((b, k), i) => (i.toLong, b, k) }
+      .toDF("id", "band", "key")
+    val got = Dedup.cappedBuckets(rows, maxBucketSize = 3)
+    val want = windowCap(rows, Seq("band", "key"), 3)
+    assert(got.select("id").except(want.select("id")).isEmpty &&
+      want.select("id").except(got.select("id")).isEmpty)
+    // (0, hot) and (1, NULL) over cap → dropped; (1, hot) at boundary kept
+    assert(got.count() == 5)
+    assert(got.columns.toSeq == Seq("id", "band", "key"))
+    assert(!got.queryExecution.executedPlan.toString.contains("WindowExec"))
+  }
+
+  test("gate paths carry no WindowExec (the skew argument reaches the executed plan)") {
+    import spark.implicits._
+    val emb = (0 until 40).map(i =>
+      (i.toLong, Array.fill(8)((i % 4 + 1).toFloat).toSeq)).toDF("vec_id", "embedding")
+    val cents = Array.tabulate(4)(c => Array.fill(8)(c + 1.0))
+    val kept = Similarity.incrementalSemDedup(
+      emb.where($"vec_id" >= 20), Similarity.semanticKeys(emb.where($"vec_id" < 20), cents),
+      cents, threshold = 0.999, nprobe = 1, maxCellSize = 3)
+    assert(!kept.queryExecution.executedPlan.toString.contains("WindowExec"))
+    val docs = (0 until 12).map(i => (i.toLong,
+      if (i < 8) "the same boilerplate sentence repeated everywhere always"
+      else s"document number $i with its own distinct words inside here")).toDF("doc_id", "text")
+    val keptB = Dedup.incrementalBandedNearDedup(
+      docs.where($"doc_id" >= 6), Dedup.minhashSignatures(
+        docs.where($"doc_id" < 6), "text", col("doc_id"), 16),
+      numHashes = 16, bands = 4, maxBucketSize = 3)
+    assert(!keptB.queryExecution.executedPlan.toString.contains("WindowExec"))
+  }
+}

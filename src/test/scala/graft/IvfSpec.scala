@@ -332,6 +332,31 @@ class IvfSpec extends AnyFunSuite {
     }
   }
 
+  test("annRecallProbe: recall monotone in nprobe, 1.0 at full probe, accounting exact") {
+    import spark.implicits._
+    val cents = Similarity.kmeansCentroids(corpus, k = 3, sampleRows = 900, iters = 10)
+    val snap = Similarity.semanticKeys(corpus, cents)
+    val q = corpus.where(col("vec_id") % 30 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val nq = q.count()
+    val rows = Similarity.annRecallProbe(snap, q, cents, k = 4,
+        nprobes = Seq(1, 2, 3))
+      .orderBy("nprobe")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    // accounting: every row reports the same sampled-query ground truth
+    assert(rows.forall(r => r._2 == nq && r._3 == nq * 4))
+    // monotone recall, exactly 1.0 when every posting list is probed
+    // (the ivfTopKFromSnapshot ≡ brute-force equivalence)
+    assert(rows.map(_._5).toSeq == rows.map(_._5).sorted.toSeq)
+    assert(rows.last._5 == 1.0, rows.last.toString)
+    assert(rows.head._5 > 0.5 && rows.head._4 == (rows.head._5 * nq * 4).round)
+    intercept[IllegalArgumentException] {
+      Similarity.annRecallProbe(snap, q, cents, 4, Seq(0, 1))
+    }
+  }
+
   test("capReport / semanticCapReport / bucketCapReport count dropped groups and ungated rows") {
     import spark.implicits._
     val Dedup = graft.ext.Dedup

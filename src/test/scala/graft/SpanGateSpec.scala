@@ -26,8 +26,10 @@ class SpanGateSpec extends AnyFunSuite {
       (3L, s"eta theta iota $bar")).toDF("doc_id", "text")
     val keys = Dedup.spanKeys(day1, n = 3, minDocs = 3)
     assert(keys.columns.toSeq == Seq("_key"))
-    // the share bar has 4 hot 3-grams (6 tokens); doc bodies are unique
-    assert(keys.count() == 4L)
+    // the share bar has 4 hot 3-grams (6 tokens); doc bodies are unique;
+    // +1 for the n-marker sentinel row (the n-mismatch guard)
+    assert(keys.count() == 5L)
+    assert(keys.where(col("_key") === Dedup.spanSentinelKey(3)).count() == 1L)
     val day2 = Seq(
       (10L, s"totally novel words here $bar"),
       (11L, "no boilerplate at all present")).toDF("doc_id", "text")
@@ -47,6 +49,18 @@ class SpanGateSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Dedup.stripSeenSpans(day2, day1)
     }
+    // n-mismatch loud-reject: a snapshot built at n=3 consumed at n=4
+    // (or a pre-sentinel bare-key table) throws instead of silently
+    // cutting nothing; an EMPTY snapshot (aged-out/day-0) stays legal
+    intercept[IllegalArgumentException] {
+      Dedup.stripSeenSpans(day2, keys, n = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.stripSeenSpans(day2,
+        keys.where(col("_key") =!= Dedup.spanSentinelKey(3)), n = 3)
+    }
+    assert(Dedup.stripSeenSpans(day2, keys.where(lit(false)), n = 4)
+      .count() == 2L)
   }
 
   test("stripSeenSpans plan is window-free (no per-ngram sort task)") {

@@ -612,6 +612,59 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic re-key handoff: stop → re-key snapshot → restart; post-swap decisions == batch gate under the grown quantizer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val Similarity = graft.ext.Similarity
+    // the rekeyGolden shape: 16 one-hot-block clusters, exact-in-float
+    // jitter; the stale k=2 quantizer leaves both ~100-member cells
+    // over a 60-cap so replicas pass ungated — the decay the re-key
+    // closes (re-keyed k=16 cells are ~12, far under it)
+    val all = spark.range(600).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (when(i % 16 === col("id") % 16, lit(8.0)).otherwise(lit(0.0)) +
+          ((col("id") * 31 + i * 7) % 97).cast("double") * lit(0.015625))
+          .cast("float")).as("embedding"))
+    val cents16 = Array.tabulate(16)(c =>
+      Array.tabulate(64)(i => if (i % 16 == c) 8.0 else 0.0))
+    val centsStale = Array(cents16(0), cents16(8))
+    val prior = all.where($"vec_id" % 3 === 1)
+    val snapStale = Similarity.semanticKeys(prior, centsStale).localCheckpoint()
+    val replicas = prior.where($"vec_id" < 90)
+      .select(($"vec_id" + 20000).as("vec_id"), $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    def runGate(snap: org.apache.spark.sql.DataFrame,
+        cents: Array[Array[Double]], name: String): Set[Long] = {
+      val st = MemoryStream[(Long, Seq[Float])]
+      val q = graft.streaming.StreamingIngest.semanticGate(
+          st.toDF().toDF("vec_id", "embedding"), snap, cents,
+          threshold = 0.999, nprobe = 1, maxCellSize = 60)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        st.addData(replicas)
+        q.processAllAvailable()
+      } finally q.stop() // the handoff seam: the tier holds no state
+      spark.table(name).select("vec_id").as[Long].collect().toSet
+    }
+    // day 1 under the stale quantizer: cells over cap ⇒ replicas pass
+    val day1 = runGate(snapStale, centsStale, "rekey_handoff_d1")
+    assert(day1.size == replicas.size, s"stale gate should no-op: ${day1.size}")
+    // stop → re-key the SAME snapshot (map-only) → restart on the
+    // grown quantizer: the membrane is restored mid-stream
+    val rekeyed = Similarity.rekeySemanticSnapshot(snapStale, cents16)
+      .localCheckpoint()
+    val day2 = runGate(rekeyed, cents16, "rekey_handoff_d2")
+    assert(day2.isEmpty, s"re-keyed gate must block the replicas: $day2")
+    // the post-swap stream equals the batch gate under the new quantizer
+    val batchKept = Similarity.incrementalSemDedup(
+        replicas.toDF("vec_id", "embedding"), rekeyed, cents16,
+        threshold = 0.999, nprobe = 1, maxCellSize = 60)
+      .select("vec_id").as[Long].collect().toSet
+    assert(day2 == batchKept)
+  }
+
   test("streaming URL gate agrees with the batch incrementalUrlDedup; retention re-admits") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
