@@ -643,7 +643,13 @@ object Dedup {
       textCol: String = "text", idCol: String = "doc_id",
       numHashes: Int = 128, bands: Int = 32, shingleN: Int = 3,
       threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
-    val batchSigs = minhashSignatures(newDocs, textCol, col(idCol), numHashes, shingleN)
+    // materialized once (the incrementalCrawlGate rationale, k longs
+    // per doc): the batch signature pass — the gate's dominant linear
+    // cost — is consumed THREE times downstream (the bucket cap's
+    // count side, its probe side, and the verification join); without
+    // this the shingle+hash chain would re-run for each
+    val batchSigs = minhashSignatures(newDocs, textCol, col(idCol),
+      numHashes, shingleN).localCheckpoint()
     newDocs.join(
       bandedFlaggedIds(batchSigs, priorSigs, numHashes, bands, threshold,
         maxBucketSize).select(col("_bid").as(idCol)),

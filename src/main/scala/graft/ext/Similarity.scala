@@ -601,12 +601,15 @@ object Similarity {
       centroids: Array[Array[Double]],
       embCol: String = "embedding", nprobe: Int = 1,
       maxCellSize: Int = 10000): DataFrame = {
-    // accepts the stamped (id, cell, emb, _gen) form too — the report
-    // ships alongside the LIFECYCLE's snapshot, which is stamped (the
-    // rekeySemanticSnapshot shape contract)
-    require(priorCells.columns.startsWith(Seq("id", "cell", "emb")),
-      "priorCells must be a semanticKeys projection (id, cell, emb" +
-        "[, _gen]); got " + priorCells.columns.mkString(", "))
+    // accepts every snapshot form that carries (id, cell, …): raw
+    // (…emb), stamped (…emb, _gen), composed-cell (semanticKeys2), and
+    // PQ (…codes) — the prior side of the report reads ONLY `cell`.
+    // For a TWO-LEVEL batch-side report, explode ivf2Cells into
+    // Dedup.capReport directly (the batch side here probes with the
+    // flat quantizer passed as `centroids`).
+    require(priorCells.columns.startsWith(Seq("id", "cell")),
+      "priorCells must be a semantic snapshot projection (id, cell, " +
+        "…); got " + priorCells.columns.mkString(", "))
     val pr = Dedup.capReport(priorCells.select("cell"), Seq("cell"),
       maxCellSize)
     val bq = Dedup.capReport(

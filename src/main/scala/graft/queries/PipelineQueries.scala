@@ -272,7 +272,11 @@ object PipelineQueries {
         .unionByName(prior.where(col("doc_id") >= 200 && col("doc_id") < 300)
           .withColumn("doc_id", col("doc_id") + 40000))
       Dedup.incrementalBandedNearDedup(batch,
-          Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes),
+          // the snapshot projection is a PERSISTED table in production
+          // (the p_incr_crawl convention) — materialize so the row
+          // measures the gate, not a per-consumer snapshot rebuild
+          Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
+            .localCheckpoint(),
           numHashes = NumHashes, bands = Bands, threshold = 0.8,
           maxBucketSize = MaxBucket)
         .groupBy("lang")

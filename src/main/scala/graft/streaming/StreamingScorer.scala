@@ -567,8 +567,9 @@ object StreamingIngest {
               .sigBandKeys(col("_psig"), nearDupHashes, b)).as(Seq("band", "key")))
           // over-cap buckets are dropped BEFORE collect_list via the SAME
           // shared cap as the batch operator (Dedup.cappedBuckets —
-          // spillable window count; a boilerplate mega-bucket must never
-          // materialize its full signature list just to be discarded)
+          // count-aggregate + anti-join-back since r18; a boilerplate
+          // mega-bucket must never materialize its signature list just
+          // to be discarded, and must never funnel through one task)
           // static-side materialization (same rationale and mechanism as
           // dropSeen's — localCheckpoint, never persist, see there):
           // without it, EACH of the b bucket tables re-runs the prior
@@ -702,15 +703,80 @@ object StreamingIngest {
       embCol: String = "embedding", nprobe: Int = 1,
       maxCellSize: Int = 10000, roundDigits: Int = 5): DataFrame = {
     import graft.ext.Similarity
-    require(stream.isStreaming,
-      "semanticGate is the streaming twin; batch frames use Similarity.incrementalSemDedup")
-    require(!priorCells.isStreaming, "priorCells must be a static snapshot")
     require(priorCells.columns.toSeq == Seq("id", "cell", "emb"),
       "priorCells must be a semanticKeys projection (id, cell, emb); " +
         "got " + priorCells.columns.mkString(", "))
     require(nprobe >= 1 && nprobe <= centroids.length,
       s"nprobe must be in [1, ${centroids.length}], got $nprobe")
-    val staged = "_scells" +: (0 until nprobe).flatMap(i =>
+    semanticGateImpl(stream, priorCells,
+      v => Similarity.ivfCells(v, centroids, nprobe), col(embCol),
+      threshold, embCol, nprobe, maxCellSize, roundDigits)
+  }
+
+  /** [[semanticGate]] under a TWO-LEVEL quantizer — the streaming twin
+    * of [[graft.ext.Similarity.incrementalSemDedup2]] (every gate
+    * form keeps its twin): same stateless stream-static shape, the
+    * composed cell id standing in for the flat one; `priorCells` is a
+    * `semanticKeys2` / `rekeySemanticSnapshot2` projection, `nprobe`
+    * fans over COARSE centroids. The re-key handoff note on
+    * [[semanticGate]] applies verbatim. */
+  def semanticGate2(stream: DataFrame, priorCells: DataFrame,
+      coarse: Array[Array[Double]], fine: Array[Array[Double]],
+      threshold: Double, embCol: String = "embedding", nprobe: Int = 1,
+      maxCellSize: Int = 10000, roundDigits: Int = 5): DataFrame = {
+    import graft.ext.Similarity
+    require(priorCells.columns.toSeq == Seq("id", "cell", "emb"),
+      "priorCells must be a semanticKeys projection (id, cell, emb); " +
+        "got " + priorCells.columns.mkString(", "))
+    require(nprobe >= 1 && nprobe <= coarse.length,
+      s"nprobe must be in [1, ${coarse.length}] (coarse probes), got $nprobe")
+    semanticGateImpl(stream, priorCells,
+      v => Similarity.ivf2Cells(v, coarse, fine, nprobe), col(embCol),
+      threshold, embCol, nprobe, maxCellSize, roundDigits)
+  }
+
+  /** [[semanticGate]] over a PQ-COMPRESSED snapshot — the streaming
+    * twin of [[graft.ext.Similarity.incrementalSemDedupPq]]: the
+    * static per-cell lists hold DECODED vectors (decoded once at
+    * construction — the long-stream discipline), the feed vector is
+    * encode∘decoded through the same codebooks, verification is the
+    * shared rounded decoded cosine. Exact replicas of snapshot docs
+    * block at any code budget (decoded cosine exactly 1.0). */
+  def semanticGatePq(stream: DataFrame, priorCodes: DataFrame,
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]], threshold: Double,
+      embCol: String = "embedding", nprobe: Int = 1,
+      maxCellSize: Int = 10000, roundDigits: Int = 5): DataFrame = {
+    import graft.ext.Similarity
+    require(priorCodes.columns.toSeq == Seq("id", "cell", "codes"),
+      "priorCodes must be a semanticKeysPq projection (id, cell, " +
+        "codes); got " + priorCodes.columns.mkString(", "))
+    require(nprobe >= 1 && nprobe <= centroids.length,
+      s"nprobe must be in [1, ${centroids.length}], got $nprobe")
+    semanticGateImpl(stream,
+      priorCodes.select(col("id"), col("cell"),
+        Similarity.pqDecode(col("codes"), codebooks).as("emb")),
+      v => Similarity.ivfCells(v, centroids, nprobe),
+      Similarity.pqDecode(Similarity.pqCodes(col(embCol), codebooks),
+        codebooks),
+      threshold, embCol, nprobe, maxCellSize, roundDigits)
+  }
+
+  /** Shared body of the semantic streaming twins — the quantizer
+    * enters ONLY through `probeCells`, the snapshot's vector form only
+    * through `priorProj` (a (cell, emb) projection) and `batchVec`
+    * (the feed-side comparison vector), mirroring the batch
+    * `incrementalSemDedupImpl` discipline so twins and batch gates
+    * cannot drift. */
+  private def semanticGateImpl(stream: DataFrame, priorProj: DataFrame,
+      probeCells: Column => Column, batchVec: Column, threshold: Double,
+      embCol: String, nprobe: Int, maxCellSize: Int,
+      roundDigits: Int): DataFrame = {
+    import graft.ext.Similarity
+    require(stream.isStreaming,
+      "semanticGate is the streaming twin; batch frames use Similarity.incrementalSemDedup")
+    require(!priorProj.isStreaming, "priorCells must be a static snapshot")
+    val staged = Seq("_scells", "_sbv") ++ (0 until nprobe).flatMap(i =>
       Seq(s"_sc$i", s"_sps$i"))
     staged.foreach { c =>
       require(!stream.columns.contains(c),
@@ -718,23 +784,25 @@ object StreamingIngest {
           "stages tier state there; rename the input column")
     }
     val cellLists = Similarity.cappedCells(
-        priorCells.select(col("cell"),
+        priorProj.select(col("cell"),
           struct(col("emb").as("e"),
             Similarity.l2Norm(col("emb")).as("n")).as("_p")),
         maxCellSize)
       .groupBy("cell").agg(collect_list(col("_p")).as("_sps"))
       .localCheckpoint()
-    val withCells = stream.withColumn("_scells",
-      Similarity.ivfCells(col(embCol), centroids, nprobe))
+    // the comparison vector is staged ONCE per row (_sbv): the PQ twin's
+    // encode∘decode must not re-run per probe × per candidate
+    val withCells = stream.withColumn("_scells", probeCells(col(embCol)))
+      .withColumn("_sbv", batchVec)
     val joined = (0 until nprobe).foldLeft(withCells) { (df, i) =>
       df.withColumn(s"_sc$i", element_at(col("_scells"), i + 1))
         .join(cellLists.select(col("cell").as(s"_sc$i"),
           col("_sps").as(s"_sps$i")), Seq(s"_sc$i"), "left_outer")
     }
-    val sn = Similarity.l2Norm(col(embCol))
+    val sn = Similarity.l2Norm(col("_sbv"))
     val matchAny = (0 until nprobe).map { i =>
       coalesce(exists(col(s"_sps$i"), p =>
-        round(Similarity.dot(col(embCol), p.getField("e")) /
+        round(Similarity.dot(col("_sbv"), p.getField("e")) /
           (sn * p.getField("n")), roundDigits) >= threshold), lit(false))
     }.reduce(_ || _)
     joined.where(!matchAny).drop(staged: _*)

@@ -368,7 +368,7 @@ object ScaleProbe {
         Similarity.semanticKeysPq(emb, cents, books)
           .write.mode("overwrite").parquet(pq.toString)
         val (rb, pb) = (dirBytes(raw), dirBytes(pq))
-        println(f"[scale]   raw snapshot $rb%10d B   pq snapshot $pb%10d B   ratio ${rb.toDouble / pb}%.1f×")
+        println(f"[scale]   raw snapshot $rb%10d B   pq snapshot $pb%10d B   ratio ${rb.toDouble / pb}%.1fx")
         import scala.jdk.CollectionConverters._
         Seq(raw, pq).foreach(d => java.nio.file.Files.walk(d).iterator()
           .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_)))

@@ -665,6 +665,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(day2 == batchKept)
   }
 
+  test("composed and PQ semantic twins agree with their batch gates (every gate form keeps its twin)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    val Similarity = graft.ext.Similarity
+    val all = spark.range(600).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (when(i % 16 === col("id") % 16, lit(8.0)).otherwise(lit(0.0)) +
+          ((col("id") * 31 + i * 7) % 97).cast("double") * lit(0.015625))
+          .cast("float")).as("embedding"))
+    val cents16 = Array.tabulate(16)(c =>
+      Array.tabulate(64)(i => if (i % 16 == c) 8.0 else 0.0))
+    val coarse4 = Array.tabulate(4)(b =>
+      Array.tabulate(64)(i => if (i % 16 / 4 == b) 2.0 else 0.0))
+    val fine4 = Array.tabulate(4)(j =>
+      Array.tabulate(64)(i => if (i % 4 == j) 8.0 else 0.0))
+    val books = Similarity.pqCodebooks(4, 4, 16, seed = 11L)
+    val prior = all.where($"vec_id" % 3 === 1)
+    val feed = all.where($"vec_id" % 3 === 0 && $"vec_id" < 300)
+      .unionByName(prior.where($"vec_id" < 60)
+        .select(($"vec_id" + 20000).as("vec_id"), $"embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    def run(gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String): Set[Long] = {
+      val st = MemoryStream[(Long, Seq[Float])]
+      val q = gate(st.toDF().toDF("vec_id", "embedding"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try { st.addData(feed); q.processAllAvailable() } finally q.stop()
+      spark.table(name).select("vec_id").as[Long].collect().toSet
+    }
+    // composed twin == composed batch gate
+    val snap2 = Similarity.semanticKeys2(prior, coarse4, fine4).localCheckpoint()
+    val got2 = run(s => graft.streaming.StreamingIngest.semanticGate2(
+      s, snap2, coarse4, fine4, threshold = 0.999, nprobe = 1,
+      maxCellSize = 200), "sem2_twin")
+    val want2 = Similarity.incrementalSemDedup2(
+        feed.toDF("vec_id", "embedding"), snap2, coarse4, fine4,
+        threshold = 0.999, nprobe = 1, maxCellSize = 200)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got2 == want2,
+      s"stream-only=${got2 -- want2} batch-only=${want2 -- got2}")
+    assert(got2.forall(_ < 20000), "a replica leaked through the composed twin")
+    // PQ twin == PQ batch gate (exact replicas block at this tiny budget)
+    val snapPq = Similarity.semanticKeysPq(prior, cents16, books).localCheckpoint()
+    val gotPq = run(s => graft.streaming.StreamingIngest.semanticGatePq(
+      s, snapPq, cents16, books, threshold = 0.999, nprobe = 1,
+      maxCellSize = 200), "sempq_twin")
+    val wantPq = Similarity.incrementalSemDedupPq(
+        feed.toDF("vec_id", "embedding"), snapPq, cents16, books,
+        threshold = 0.999, nprobe = 1, maxCellSize = 200)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gotPq == wantPq,
+      s"stream-only=${gotPq -- wantPq} batch-only=${wantPq -- gotPq}")
+    assert(gotPq.forall(_ < 20000), "a replica leaked through the PQ twin")
+    // shape loud-rejects route through the shared fronts
+    val st = MemoryStream[(Long, Seq[Float])]
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.semanticGate2(
+        st.toDF().toDF("vec_id", "embedding"), snapPq, coarse4, fine4, 0.9)
+    }
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamingIngest.semanticGatePq(
+        st.toDF().toDF("vec_id", "embedding"), snap2, cents16, books, 0.9)
+    }
+  }
+
   test("streaming URL gate agrees with the batch incrementalUrlDedup; retention re-admits") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
