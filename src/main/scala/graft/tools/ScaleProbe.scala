@@ -300,7 +300,9 @@ object ScaleProbe {
     // after which the gate's per-cell work is flat again
     for (m <- Seq(1, 4)
          if selected(s"semdedup_rekey_x$m") ||
-           selected(s"semdedup_rekeyed_gate_x$m")) {
+           selected(s"semdedup_rekeyed_gate_x$m") ||
+           selected(s"semdedup_rekey2_x$m") ||
+           selected(s"semdedup_rekeyed2_gate_x$m")) {
       import graft.ext.Similarity
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
         .select("vec_id", "embedding")
@@ -341,6 +343,26 @@ object ScaleProbe {
           .collect().head.getLong(3)
       println(s"[scale] rekey x$m: vectors $nEmb stale-k16 ungated rows " +
         s"${ungated(snapStale)} -> rekeyed-k$kNew ungated ${ungated(rekeyed)}")
+      // the SAME growth step via the TWO-LEVEL quantizer (the past-the-
+      // driver-ceiling path): k1 = k2 ≈ √kNew composed cells, trained in
+      // a fraction of the flat time; re-key is the same map-only pass
+      // and the composed gate reads the same decay through the report
+      if (selected(s"semdedup_rekey2_x$m")) {
+        val k1 = math.max(4, math.sqrt(kNew.toDouble).toInt)
+        val (c2, f2) = Similarity.trainQuantizer2(prior, k1, k1,
+          sampleRows = math.max(2048, k1))
+        time(s"semdedup_rekey2_x$m") {
+          Similarity.rekeySemanticSnapshot2(snapStale, c2, f2).count()
+        }
+        val rekeyed2 = Similarity.rekeySemanticSnapshot2(snapStale, c2, f2)
+          .localCheckpoint()
+        time(s"semdedup_rekeyed2_gate_x$m") {
+          Similarity.incrementalSemDedup2(batch, rekeyed2, c2, f2,
+            threshold = 0.95, nprobe = 2, maxCellSize = cap).count()
+        }
+        println(s"[scale] rekey2 x$m: composed ${k1}x$k1 cells ungated " +
+          s"${ungated(rekeyed2)} (flat-k$kNew ${ungated(rekeyed)})")
+      }
       bigEmb.unpersist(blocking = true)
     }
     // PQ-compressed semantic snapshot bytes (r18 stretch): the same

@@ -663,6 +663,30 @@ class StreamingSpec extends AnyFunSuite {
         threshold = 0.999, nprobe = 1, maxCellSize = 60)
       .select("vec_id").as[Long].collect().toSet
     assert(day2 == batchKept)
+    // ...and the SAME handoff works when the growth step lands past the
+    // driver ceiling: re-key the stale snapshot under the COMPOSED 4×4
+    // quantizer and restart on the composed twin — decisions equal the
+    // composed batch gate (r18's two growth paths compose at the seam)
+    val coarse4 = Array.tabulate(4)(b =>
+      Array.tabulate(64)(i => if (i % 16 / 4 == b) 2.0 else 0.0))
+    val fine4 = Array.tabulate(4)(j =>
+      Array.tabulate(64)(i => if (i % 4 == j) 8.0 else 0.0))
+    val rekeyed2 = Similarity.rekeySemanticSnapshot2(snapStale, coarse4,
+      fine4).localCheckpoint()
+    val st2 = MemoryStream[(Long, Seq[Float])]
+    val q2 = graft.streaming.StreamingIngest.semanticGate2(
+        st2.toDF().toDF("vec_id", "embedding"), rekeyed2, coarse4, fine4,
+        threshold = 0.999, nprobe = 1, maxCellSize = 60)
+      .writeStream.format("memory").queryName("rekey_handoff_d3")
+      .outputMode("append").start()
+    try { st2.addData(replicas); q2.processAllAvailable() } finally q2.stop()
+    val day3 = spark.table("rekey_handoff_d3")
+      .select("vec_id").as[Long].collect().toSet
+    val batchKept2 = Similarity.incrementalSemDedup2(
+        replicas.toDF("vec_id", "embedding"), rekeyed2, coarse4, fine4,
+        threshold = 0.999, nprobe = 1, maxCellSize = 60)
+      .select("vec_id").as[Long].collect().toSet
+    assert(day3 == batchKept2 && day3.isEmpty, s"$day3")
   }
 
   test("composed and PQ semantic twins agree with their batch gates (every gate form keeps its twin)") {
