@@ -22,14 +22,33 @@ object Dedup {
 
   /** Exact dedup by content hash, keeping the smallest `idCol` per group —
     * deterministic (unlike dropDuplicates) and therefore oracle-checkable.
-    * One window over the hash-partitioned data; no shuffle beyond the hash
-    * repartition. */
+    *
+    * Shape (r18): a map-side-combined min-id aggregate per content key
+    * + a LEFT SEMI join-back on (key, id) — NOT a per-key window: a
+    * byte-identical mega-group (one viral page crawled 10⁶ times) is
+    * exactly the input this operator exists for, and a window would
+    * sort the whole group through ONE task while AQE can skew-split
+    * the equi-join (the cap-primitive/keepBestPerCluster argument).
+    * Row-identical to the old rank-1 window given unique ids (min id ≡
+    * first by id); null-text rows still collapse to their min id (the
+    * null md5 key groups in both shapes). `idCol` should be unique —
+    * under duplicate ids the window kept ONE arbitrary tied row where
+    * the semi-join keeps every row carrying the winning (key, id). */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    require(!df.columns.contains("_rn"),
-      "df already contains a column named _rn — exactDedup stages its " +
-        "window rank there and would drop it; rename the input column")
-    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    require(!df.columns.contains("_gkey"),
+      "df already contains a column named _gkey — exactDedup stages its " +
+        "content key there and would drop it; rename the input column")
+    val keyed = df.withColumn("_gkey", md5(col(textCol)))
+    // null-SAFE join on the key: null-text rows share the null md5 key
+    // and must resolve to their min id exactly like any group (a plain
+    // equi-join would silently drop them all)
+    val winners = keyed.groupBy(col("_gkey"))
+      .agg(min(col(idCol)).as("_gwid"))
+      .select(col("_gkey").as("_gwkey"), col("_gwid"))
+    keyed.join(winners,
+        col("_gkey") <=> col("_gwkey") && col(idCol) <=> col("_gwid"),
+        "left_semi")
+      .drop("_gkey")
   }
 
   /** Canonical text for NORMALIZED exact dedup (the Dolma-style
@@ -371,13 +390,25 @@ object Dedup {
     * would DIVERGE from `left_anti` on null). */
   private def keyedGate(keyed: DataFrame, priorKeys: DataFrame, idCol: String,
       bloomExpectedItems: Long, bloomFpp: Double): DataFrame = {
-    val w = Window.partitionBy(col("_key"),
-        when(col("_key").isNull, col(idCol).cast("string")).otherwise(lit("")))
-      .orderBy(col(idCol))
-    val batch = keyed.withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1).drop("_rn")
+    // within-batch collapse as a min-id AGGREGATE + semi-join on
+    // (key, id), not a window (r18 — the exactDedup/cap-primitive
+    // argument): a day whose batch carries one virally-duplicated key
+    // 10⁶ times would sort that whole group through ONE window task,
+    // while the aggregate map-side combines and AQE can skew-split the
+    // join. Null keys branch around BOTH the collapse and the
+    // snapshot anti-join in SCALA — a null key is no evidence of
+    // duplication, so every null-key row passes untouched (the r17
+    // null contract, now with no salt expression at all: grouping
+    // nulls would collapse them onto one row, so they simply never
+    // enter the aggregate). Row-identical to the salted-window
+    // spelling given unique ids (the operator contract).
+    val nn = keyed.where(col("_key").isNotNull)
+    val winners = nn.groupBy(col("_key")).agg(min(col(idCol)).as(idCol))
+    val batch = nn.join(winners, Seq("_key", idCol), "left_semi")
     bloomedAntiJoin(batch, priorKeys.distinct(), "_key",
-      bloomExpectedItems, bloomFpp).drop("_key")
+      bloomExpectedItems, bloomFpp)
+      .unionByName(keyed.where(col("_key").isNull))
+      .drop("_key")
   }
 
   /** Anti-join `batch` against `priorKeys` on `keyCol`, with the optional

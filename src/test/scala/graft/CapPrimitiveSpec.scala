@@ -63,6 +63,55 @@ class CapPrimitiveSpec extends AnyFunSuite {
     assert(!got.queryExecution.executedPlan.toString.contains("WindowExec"))
   }
 
+  test("exactDedup == rank-1 window spelling incl. mega-group and null text; no WindowExec") {
+    import spark.implicits._
+    // one 5000-row byte-identical mega-group + unique docs + null text
+    val docs = ((0 until 5000).map(i => (i.toLong, "the same viral page body")) ++
+        (5000 until 5040).map(i => (i.toLong, s"unique page $i")) ++
+        Seq((9001L, null: String), (9002L, null: String)))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDedup(docs, "text", "doc_id")
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val want = docs.withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn")
+    assert(got.select("doc_id").except(want.select("doc_id")).isEmpty &&
+      want.select("doc_id").except(got.select("doc_id")).isEmpty)
+    // the mega-group resolves to its min id; null-text rows collapse to
+    // theirs (both spellings group the null key)
+    val ids = got.select("doc_id").as[Long].collect().toSet
+    assert(ids(0L) && !ids(1L) && ids(9001L) && !ids(9002L) && ids.size == 42)
+    assert(!got.queryExecution.executedPlan.toString.contains("WindowExec"))
+    intercept[IllegalArgumentException] {
+      Dedup.exactDedup(docs.withColumn("_gkey", lit("x")), "text", "doc_id")
+    }
+  }
+
+  test("keyedGate (via incrementalDedupKeys) == salted-window spelling; nulls pass; no WindowExec") {
+    import spark.implicits._
+    // batch: a hot within-batch duplicate group, snapshot hits, novel
+    // docs, and null-text rows (the null contract: all pass untouched)
+    val batch = ((0 until 3000).map(i => (i.toLong, "dup dup dup")) ++
+        Seq((8000L, "seen before"), (8001L, "novel one"),
+          (8002L, null: String), (8003L, null: String)))
+      .toDF("doc_id", "text")
+    val prior = Seq("seen before").toDF("text")
+    val keys = Dedup.exactKeys(prior).localCheckpoint()
+    val got = Dedup.incrementalDedupKeys(batch, keys)
+    // the r17 salted-window reference spelling
+    val keyed = batch.withColumn("_key", md5(col("text")))
+    val ws = Window.partitionBy(col("_key"),
+        when(col("_key").isNull, col("doc_id").cast("string")).otherwise(lit("")))
+      .orderBy(col("doc_id"))
+    val want = keyed.withColumn("_rn", row_number().over(ws))
+      .where(col("_rn") === 1).drop("_rn")
+      .join(keys, Seq("_key"), "left_anti").drop("_key")
+    assert(got.select("doc_id").except(want.select("doc_id")).isEmpty &&
+      want.select("doc_id").except(got.select("doc_id")).isEmpty)
+    assert(got.select("doc_id").as[Long].collect().toSet ==
+      Set(0L, 8001L, 8002L, 8003L))
+    assert(!got.queryExecution.executedPlan.toString.contains("WindowExec"))
+  }
+
   test("gate paths carry no WindowExec (the skew argument reaches the executed plan)") {
     import spark.implicits._
     val emb = (0 until 40).map(i =>
