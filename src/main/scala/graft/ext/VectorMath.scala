@@ -144,11 +144,17 @@ case class IvfCells(child: Expression, centroids: Array[Array[Double]],
   * contract stays driver-trainable at 10¹⁰ docs (k = 10⁵ needs k1 =
   * k2 ≈ 320 — see Similarity.trainQuantizer2).
   *
-  * `probe` composed cells are produced by probing the `probe` nearest
-  * COARSE centroids (repeated first-min scans, ties → lowest index —
-  * the [[IvfCells]] convention) and composing each with its
-  * residual's fine argmin: recall probing is a coarse-boundary
-  * concern, and per-coarse the fine id is the deterministic argmin.
+  * `probe × fineProbe` composed cells are produced by probing the
+  * `probe` nearest COARSE centroids (repeated first-min scans, ties →
+  * lowest index — the [[IvfCells]] convention) and composing each
+  * with its residual's `fineProbe` nearest FINE centroids (same
+  * repeated-min convention). The GATE keeps `fineProbe = 1` (recall
+  * probing there is a coarse-boundary concern and per-coarse the fine
+  * id is the deterministic argmin); the snapshot-ANN READ
+  * (`ivf2TopKFromSnapshot`) widens it because a corpus vector sharing
+  * the query's coarse branch can live in a DIFFERENT fine cell — and
+  * at (probe = k1, fineProbe = k2) every composed cell is probed, so
+  * the read is exactly brute force (the `p_ann_snapshot2` oracle).
   *
   * Arithmetic (mirrored EXACTLY by the generated oracle SQL): coarse
   * distance `|c|² − 2·v·c` as in [[IvfCells]]; fine distance over the
@@ -159,7 +165,8 @@ case class IvfCells(child: Expression, centroids: Array[Array[Double]],
   * reused across probes: k1 + k2 dot products per vector, never
   * k1·k2. */
 case class Ivf2Cells(child: Expression, coarse: Array[Array[Double]],
-    fine: Array[Array[Double]], probe: Int) extends UnaryExpression {
+    fine: Array[Array[Double]], probe: Int,
+    fineProbe: Int = 1) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -205,10 +212,12 @@ case class Ivf2Cells(child: Expression, coarse: Array[Array[Double]],
         else VectorMath.dotDD(v, UnsafeWrap.wrap(fine(j)))
       j += 1
     }
-    val out = new Array[Int](math.min(probe, k1))
+    val nC = math.min(probe, k1)
+    val nF = math.min(fineProbe, k2)
+    val out = new Array[Int](nC * nF)
     val taken = new Array[Boolean](k1)
     var p = 0
-    while (p < out.length) {
+    while (p < nC) {
       var best = -1
       var bestD = Double.MaxValue
       var i = 0
@@ -217,15 +226,23 @@ case class Ivf2Cells(child: Expression, coarse: Array[Array[Double]],
         i += 1
       }
       taken(best) = true
-      var bf = 0
-      var bfD = Double.MaxValue
-      var f = 0
-      while (f < k2) {
-        val d = normSqF(f) - 2.0 * (vF(f) - ccDot(best)(f))
-        if (d < bfD) { bf = f; bfD = d }
-        f += 1
+      // the fine residual distances of THIS coarse branch, probed by
+      // the same repeated strictly-less min scan (ties → lowest index)
+      val takenF = new Array[Boolean](k2)
+      var q = 0
+      while (q < nF) {
+        var bf = -1
+        var bfD = Double.MaxValue
+        var f = 0
+        while (f < k2) {
+          val d = normSqF(f) - 2.0 * (vF(f) - ccDot(best)(f))
+          if (!takenF(f) && d < bfD) { bf = f; bfD = d }
+          f += 1
+        }
+        takenF(bf) = true
+        out(p * nF + q) = best * k2 + bf
+        q += 1
       }
-      out(p) = best * k2 + bf
       p += 1
     }
     UnsafeArrayData.fromPrimitiveArray(out)

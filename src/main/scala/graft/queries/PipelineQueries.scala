@@ -1426,6 +1426,46 @@ object PipelineQueries {
         nprobe = ivfCentroids.length, k = 5).orderBy("qid", "rk")
     }),
 
+    // snapshot-as-index for the COMPOSED artifact (r19): the
+    // semanticKeys2 (id, cell, emb) table — exactly what a 10¹⁰-doc
+    // corpus persists once k ≈ √n outgrows flat driver Lloyd — read
+    // back as a retrieval index. Queries fan ×(nprobe × fineProbe)
+    // composed cells (per probed coarse branch, the fineProbe nearest
+    // residual fine cells — a corpus vector sharing the coarse branch
+    // can sit in a neighboring fine cell); probing ALL (k1 × k2)
+    // cells makes the read exactly brute force, which is what the
+    // oracle states (plain cross-join top-k, no cell replay) —
+    // production points tune (nprobe, fineProbe) via annRecallProbe2
+    "p_ann_snapshot2" -> ((s, dir) => {
+      val all = rekeyGolden(s)
+      val snap = Similarity.semanticKeys2(
+        all.where(col("vec_id") % 3 === 1), rekeyCoarse, rekeyFine)
+      val q = all.where(col("vec_id") % 3 === 0 && col("vec_id") < 60)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Similarity.ivf2TopKFromSnapshot(snap, q, rekeyCoarse, rekeyFine,
+        nprobe = rekeyCoarse.length, k = 5, fineProbe = rekeyFine.length)
+        .orderBy("qid", "rk")
+    }),
+
+    // snapshot-as-index for the PQ-COMPRESSED artifact (r19): the
+    // semanticKeysPq (id, cell, codes) table — NO raw embeddings —
+    // read with the IVF-PQ ADC kernel against the stored codes.
+    // Probing ALL flat cells makes the read exactly the brute ADC
+    // scan of the snapshot, which the oracle replays: codes recomputed
+    // from the prior embeddings (the snapshot build), ADC distance
+    // via the per-sub CASE chains, ascending rounded distance with id
+    // tiebreak (nprobe tuning via annRecallProbePq measures the
+    // bucketing loss alone — code-budget loss is fixed at encode)
+    "p_ann_snapshot_pq" -> ((s, dir) => {
+      val all = rekeyGolden(s)
+      val snap = Similarity.semanticKeysPq(
+        all.where(col("vec_id") % 3 === 1), rekeyNewCents, pqBooks)
+      val q = all.where(col("vec_id") % 3 === 0 && col("vec_id") < 60)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      Similarity.pqTopKFromSnapshot(snap, q, rekeyNewCents, pqBooks,
+        nprobe = rekeyNewCents.length, k = 3).orderBy("qid", "rk")
+    }),
+
     // Product quantization, brute ADC: the corpus is ENCODED once to 4
     // sub-codes per vector (the compressed table that fits in memory at
     // 100 TB — 64 floats → a few bytes) and queries scan codes with the
@@ -4369,6 +4409,52 @@ object PipelineQueries {
          |  FROM scored)
          |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
     },
+
+    // composed snapshot read at full (k1 × k2) probe ≡ brute force —
+    // the oracle is the plain cross-join top-k over the same prior,
+    // no composed-cell replay anywhere (the p_ann_snapshot convention)
+    "p_ann_snapshot2" -> {
+      val dp = Similarity.dotSql("q.qe", "p.embedding", 64)
+      val nq = s"sqrt(${Similarity.dotSql("q.qe", "q.qe", 64)})"
+      val nc = s"sqrt(${Similarity.dotSql("p.embedding", "p.embedding", 64)})"
+      s"""WITH golden AS ($rekeyGoldenSql
+         |), prior AS (
+         |  SELECT vec_id, embedding FROM golden WHERE vec_id % 3 = 1
+         |), q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM golden
+         |  WHERE vec_id % 3 = 0 AND vec_id < 60
+         |), scored AS (
+         |  SELECT q.qid, p.vec_id, round(($dp) / (($nq) * ($nc)), 5) AS cos
+         |  FROM q CROSS JOIN prior p WHERE q.qid <> p.vec_id
+         |)
+         |SELECT qid, vec_id, cos, rk FROM (
+         |  SELECT qid, vec_id, cos,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |  FROM scored)
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+    },
+
+    // PQ snapshot read at full flat probe ≡ the brute ADC scan of the
+    // codes: the oracle rebuilds the snapshot's codes from the prior
+    // embeddings (per-sub argmin CASE chains) and replays the ADC
+    // kernel — no cell replay (every posting list is probed)
+    "p_ann_snapshot_pq" ->
+      s"""WITH golden AS ($rekeyGoldenSql
+         |), cd AS (
+         |  SELECT vec_id, ${pqDistCols("embedding")} FROM golden
+         |  WHERE vec_id % 3 = 1
+         |), code AS (
+         |  SELECT vec_id, $pqCodeCols FROM cd
+         |), q AS (
+         |  SELECT vec_id AS qid, embedding AS qe FROM golden
+         |  WHERE vec_id % 3 = 0 AND vec_id < 60
+         |), s AS (
+         |  SELECT qid, vec_id, round(${pqAdcSql("qe")}, 5) AS adc
+         |  FROM q JOIN code ON qid <> vec_id
+         |)
+         |SELECT qid, vec_id, adc,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id) AS INT) AS rk
+         |FROM s QUALIFY rk <= 3 ORDER BY qid, rk""".stripMargin,
 
     "p_ann_ivf" ->
       s"""WITH cd AS (

@@ -637,29 +637,116 @@ object StreamingIngest {
     require(priorUrlKeys.columns.toSeq == Seq("_key"),
       "priorUrlKeys must be a urlKeys projection (single `_key` column); " +
         "got " + priorUrlKeys.columns.mkString(", "))
-    Seq("_url_key", "_url_seen").foreach { c =>
+    keyedStreamGate(stream, priorUrlKeys,
+      md5(graft.ext.UrlOps.normalize(col(urlCol))), "_url", "urlGate",
+      tsCol, watermark)
+  }
+
+  /** Streaming twin of [[graft.ext.Dedup.incrementalDedupKeys]] — the
+    * EXACT tier as a standalone composable gate (r19): drop feed rows
+    * whose content hash matches the persisted
+    * [[graft.ext.Dedup.exactKeys]] snapshot, then collapse
+    * within-stream byte twins under the watermark. Null-TEXT rows pass
+    * untouched (the shared [[keyedStreamGate]] null branch — inside
+    * [[cleanDocuments]] the quality gate drops them first, but wired
+    * directly this twin honors the batch null contract on its own). */
+  def exactGate(stream: DataFrame, priorKeys: DataFrame,
+      textCol: String = "text", tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(stream.isStreaming,
+      "exactGate is the streaming twin; batch frames use Dedup.incrementalDedupKeys")
+    requireKeyProjection(priorKeys, "priorKeys", "exactKeys")
+    keyedStreamGate(stream, priorKeys, md5(col(textCol)), "_exact",
+      "exactGate", tsCol, watermark)
+  }
+
+  /** Streaming twin of [[graft.ext.Dedup.incrementalNormalizedDedup]]
+    * — the NORMALIZED ("fuzzy exact") tier as a standalone composable
+    * gate (r19): key = md5 of [[graft.ext.Dedup.canonicalText]],
+    * gated against a persisted [[graft.ext.Dedup.canonicalKeys]]
+    * snapshot; null-text rows pass untouched. */
+  def normalizedGate(stream: DataFrame, priorCanonKeys: DataFrame,
+      textCol: String = "text", tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(stream.isStreaming,
+      "normalizedGate is the streaming twin; batch frames use " +
+        "Dedup.incrementalNormalizedDedup")
+    requireKeyProjection(priorCanonKeys, "priorCanonKeys", "canonicalKeys")
+    keyedStreamGate(stream, priorCanonKeys,
+      md5(graft.ext.Dedup.canonicalText(col(textCol))), "_canon",
+      "normalizedGate", tsCol, watermark)
+  }
+
+  /** Streaming twin of [[graft.ext.Dedup.incrementalNearDedup]] — the
+    * SIGNATURE-equality tier as a standalone composable gate (r19):
+    * key = the minhash signature key (slot concat,
+    * [[graft.ext.Dedup.withMinhashSignature]] — bit-identical slot
+    * math to the batch miner) with the batch tier's md5(text) fallback
+    * for shingle-less docs, gated against a persisted
+    * [[graft.ext.Dedup.nearDupKeys]] snapshot. Null-text rows carry a
+    * null key through BOTH forms (no shingles AND a null md5) and
+    * pass untouched. */
+  def signatureGate(stream: DataFrame, priorSigKeys: DataFrame,
+      numHashes: Int, textCol: String = "text", tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame = {
+    require(stream.isStreaming,
+      "signatureGate is the streaming twin; batch frames use Dedup.incrementalNearDedup")
+    requireKeyProjection(priorSigKeys, "priorSigKeys", "nearDupKeys")
+    require(!stream.columns.contains("_sig_arr"),
+      "the feed already carries a column named _sig_arr — signatureGate " +
+        "stages the signature there; rename the input column")
+    val sigged = graft.ext.Dedup.withMinhashSignature(stream, textCol,
+      "_sig_arr", numHashes)
+    keyedStreamGate(sigged,
+      priorSigKeys,
+      when(size(col("_sig_arr")) > 0, concat_ws("_", col("_sig_arr")))
+        .otherwise(md5(col(textCol))),
+      "_sig", "signatureGate", tsCol, watermark)
+      .drop("_sig_arr")
+  }
+
+  private def requireKeyProjection(keys: DataFrame, arg: String,
+      builder: String): Unit = {
+    require(!keys.isStreaming, s"$arg must be a static snapshot")
+    require(keys.columns.toSeq == Seq("_key"),
+      s"$arg must be a $builder projection (single `_key` column); " +
+        "got " + keys.columns.mkString(", "))
+  }
+
+  /** Shared body of the standalone keyed stream twins ([[urlGate]] /
+    * [[exactGate]] / [[normalizedGate]] / [[signatureGate]]) — the
+    * batch [[graft.ext.Dedup]] keyedGate's streaming shape, so the
+    * four tiers cannot drift: stream-static anti-join (left_outer +
+    * null filter — stream-static has no left_anti) against the
+    * snapshot's distinct keys, then a watermark-scoped within-stream
+    * collapse on the same key. NULL keys branch around BOTH in SCALA
+    * (the shared null-key contract: a null canonical key is no
+    * evidence of duplication — `dropDuplicatesWithinWatermark`
+    * compares nulls EQUAL and would silently collapse every null-key
+    * feed row onto one, breaking batch↔streaming parity; the
+    * stateless null branch also skips the snapshot join, which a null
+    * key cannot match anyway). Static key table localCheckpointed
+    * once at construction (the dropSeen rationale — never persist:
+    * a library cannot safely own a session-lifetime cache entry). */
+  private def keyedStreamGate(stream: DataFrame, priorKeys: DataFrame,
+      keyOf: Column, stage: String, op: String, tsCol: String,
+      watermark: String): DataFrame = {
+    val (kCol, sCol) = (s"${stage}_key", s"${stage}_seen")
+    Seq(kCol, sCol).foreach { c =>
       require(!stream.columns.contains(c),
-        s"the feed already carries a column named $c — urlGate stages " +
+        s"the feed already carries a column named $c — $op stages " +
           "tier state there; rename the input column")
     }
     val keyed = stream.withWatermark(tsCol, watermark)
-      .withColumn("_url_key",
-        md5(graft.ext.UrlOps.normalize(col(urlCol))))
-    val priorK = priorUrlKeys.select(col("_key").as("_url_key"))
-      .withColumn("_url_seen", lit(1)).distinct().localCheckpoint()
-    // null-url rows PASS THROUGH untouched — the batch twin's shared
-    // null-key contract (Dedup.keyedGate: a null canonical key is no
-    // evidence of duplication). They branch off BEFORE the state op:
-    // dropDuplicatesWithinWatermark treats nulls as equal and would
-    // silently collapse every null-url feed row onto one, breaking
-    // batch↔streaming parity; the stateless null branch also skips the
-    // snapshot join (a null key matches nothing anyway).
-    val nonNull = keyed.where(col("_url_key").isNotNull)
-      .join(priorK, Seq("_url_key"), "left_outer")
-      .where(col("_url_seen").isNull).drop("_url_seen")
-      .dropDuplicatesWithinWatermark("_url_key")
-      .drop("_url_key")
-    nonNull.unionByName(keyed.where(col("_url_key").isNull).drop("_url_key"))
+      .withColumn(kCol, keyOf)
+    val priorK = priorKeys.select(col("_key").as(kCol))
+      .withColumn(sCol, lit(1)).distinct().localCheckpoint()
+    val nonNull = keyed.where(col(kCol).isNotNull)
+      .join(priorK, Seq(kCol), "left_outer")
+      .where(col(sCol).isNull).drop(sCol)
+      .dropDuplicatesWithinWatermark(kCol)
+      .drop(kCol)
+    nonNull.unionByName(keyed.where(col(kCol).isNull).drop(kCol))
   }
 
   /** Streaming twin of [[graft.ext.Similarity.incrementalSemDedup]] — the

@@ -442,12 +442,15 @@ object ScaleProbe {
             x + ((col("vec_id") * 31 + i * 7) % 97 - 48).cast("float")
               * lit(0.002f)).as("embedding"))
         .localCheckpoint()
-      time("quantizer2_train") {
+      // each block behind its OWN guard (r19): the shared fixture is
+      // cheap, but selecting only the composed probe must not pay the
+      // deliberately-infeasible flat k=4096 train (and vice versa)
+      if (selected("quantizer2_train")) time("quantizer2_train") {
         val (c, f) = Similarity.trainQuantizer2(bigEmb, k1 = 64, k2 = 64,
           sampleRows = 8192, iters = 8)
         (c.length * f.length).toLong
       }
-      time("quantizer_flat_train") {
+      if (selected("quantizer_flat_train")) time("quantizer_flat_train") {
         Similarity.kmeansCentroids(bigEmb, k = 4096, sampleRows = 8192,
           iters = 8).length.toLong
       }

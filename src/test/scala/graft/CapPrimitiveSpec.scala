@@ -112,6 +112,51 @@ class CapPrimitiveSpec extends AnyFunSuite {
     assert(!got.queryExecution.executedPlan.toString.contains("WindowExec"))
   }
 
+  test("opt-in id contract check: null idCol raises under spark.graft.checkIdContract") {
+    import spark.implicits._
+    val docs = Seq((Option(1L), "a"), (Option.empty[Long], "a"))
+      .toDF("doc_id", "text")
+    // off (default): min_by skips the null id while a non-null exists
+    assert(Dedup.exactDedup(docs, "text", "doc_id").count() == 1L)
+    spark.conf.set("spark.graft.checkIdContract", "true")
+    try {
+      val ex = intercept[Exception] {
+        Dedup.exactDedup(docs, "text", "doc_id").count()
+      }
+      assert(ex.getMessage.contains("exactDedup") ||
+        Option(ex.getCause).exists(_.getMessage.contains("exactDedup")),
+        ex.toString)
+      val ex2 = intercept[Exception] {
+        Dedup.incrementalDedupKeys(docs,
+          Dedup.exactKeys(Seq("zzz").toDF("text"))).count()
+      }
+      assert(ex2.toString.contains("keyedGate") ||
+        Option(ex2.getCause).exists(_.toString.contains("keyedGate")),
+        ex2.toString)
+      // non-null ids pass the check unchanged
+      assert(Dedup.exactDedup(Seq((1L, "a"), (2L, "a")).toDF("doc_id", "text"),
+        "text", "doc_id").count() == 1L)
+    } finally spark.conf.unset("spark.graft.checkIdContract")
+  }
+
+  test("routeMaterialize=persist: gate results identical on the lineage-keeping route") {
+    import spark.implicits._
+    val batch = ((0 until 200).map(i => (i.toLong, s"doc ${i % 50}")) ++
+      Seq((900L, null: String))).toDF("doc_id", "text")
+    val keys = Dedup.exactKeys(
+      (0 until 10).map(i => s"doc $i").toDF("text")).localCheckpoint()
+    def run() = Dedup.incrementalDedupKeys(batch, keys,
+        bloomExpectedItems = 10L)
+      .select("doc_id").as[Long].collect().toSet
+    val viaCheckpoint = run()
+    spark.conf.set("spark.graft.routeMaterialize", "persist")
+    try {
+      assert(run() == viaCheckpoint)
+      // the documented growth remedy releases the routed cache entries
+      spark.catalog.clearCache()
+    } finally spark.conf.unset("spark.graft.routeMaterialize")
+  }
+
   test("gate paths carry no WindowExec (the skew argument reaches the executed plan)") {
     import spark.implicits._
     val emb = (0 until 40).map(i =>

@@ -111,6 +111,57 @@ class Ivf2Spec extends AnyFunSuite {
       .where(col("over_cap") === 1).count() == 0)
   }
 
+  test("ivf2TopKFromSnapshot: full (k1 × k2) probe ≡ brute force; recall probe monotone to 1.0; cap report parity with the flat tier") {
+    import spark.implicits._
+    val snap = Similarity.semanticKeys2(
+      corpus.where(col("vec_id") % 3 === 1), coarse4, fine4).localCheckpoint()
+    val q = corpus.where(col("vec_id") % 3 === 0 && col("vec_id") < 45)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .localCheckpoint()
+    val full = Similarity.ivf2TopKFromSnapshot(snap, q, coarse4, fine4,
+      nprobe = 4, k = 4, fineProbe = 4)
+      .select("qid", "vec_id", "cos", "rk")
+    val brute = Similarity.bruteTopK(
+      snap.select(col("id").as("vec_id"), col("emb").as("embedding")),
+      q, k = 4).select("qid", "vec_id", "cos", "rk")
+    assert(full.except(brute).isEmpty && brute.except(full).isEmpty)
+    // a narrow probe returns a SUBSET of the full read's candidates
+    val narrow = Similarity.ivf2TopKFromSnapshot(snap, q, coarse4, fine4,
+      nprobe = 1, k = 4).select("qid", "vec_id")
+    assert(narrow.join(snap.select(col("id").as("vec_id")), Seq("vec_id"),
+      "left_anti").isEmpty)
+    // recall probe: monotone in the probe pair, exactly 1.0 at full
+    val probe = Similarity.annRecallProbe2(snap, q, coarse4, fine4, k = 4,
+        probes = Seq((1, 1), (2, 2), (4, 4)))
+      .orderBy("nprobe").select("recall").as[Double].collect()
+    assert(probe.length == 3 && probe.sliding(2).forall(p => p(0) <= p(1)),
+      probe.toSeq.toString)
+    assert(probe.last == 1.0, probe.toSeq.toString)
+    // composed cap report: same shape and sides as the flat tier's —
+    // the two-level recall ledger reads identically
+    val rFlat = Similarity.semanticCapReport(
+      corpus.where(col("vec_id") % 3 === 0), snap, flat16,
+      maxCellSize = 40)
+    val r2 = Similarity.semanticCapReport2(
+      corpus.where(col("vec_id") % 3 === 0), snap, coarse4, fine4,
+      maxCellSize = 40)
+    assert(r2.columns.toSeq == rFlat.columns.toSeq)
+    assert(r2.select("side").as[String].collect().sorted.toSeq ==
+      Seq("batch", "prior"))
+    // the composed batch side counts the same probe rows the composed
+    // GATE probes (fineProbe = 1): one probe per doc at nprobe = 1
+    val nBatch = r2.where(col("side") === "batch")
+      .select("n_rows").as[Long].head()
+    assert(nBatch == corpus.where(col("vec_id") % 3 === 0).count())
+    intercept[IllegalArgumentException] {
+      Similarity.ivf2TopKFromSnapshot(snap, q, coarse4, fine4,
+        nprobe = 1, k = 4, fineProbe = 9)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivf2TopKFromSnapshot(corpus, q, coarse4, fine4, 1, 4)
+    }
+  }
+
   test("trainQuantizer2 separates structure the flat trainer finds, at max(k1,k2) sample cost; trains off the snapshot") {
     import spark.implicits._
     val rng = new scala.util.Random(31)

@@ -103,4 +103,76 @@ class NullKeyGateSpec extends AnyFunSuite {
     assert(streamKept == batchKept && streamKept == Set(11L, 12L, 13L),
       s"stream=$streamKept batch=$batchKept")
   }
+
+  /** Drive one standalone keyed stream twin over a (doc_id, text) feed
+    * and return the kept ids. */
+  private def runTextTwin(feed: Seq[(Long, String)], sink: String)(
+      gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Set[Long] = {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ts = new java.sql.Timestamp(1700000000000L)
+    val st = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = gate(st.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      st.addData(feed.map { case (id, t) => (id, ts, t) })
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(sink).select("doc_id").as[Long].collect().toSet
+  }
+
+  test("streaming exact/normalized/signature twins: null-text parity with the batch gates (no state-op collapse)") {
+    import spark.implicits._
+    val prior = Seq((1L, "seen page body here today"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    // EXACT twin vs Dedup.incrementalDedupKeys
+    val exactKeys = Dedup.exactKeys(prior).localCheckpoint()
+    val feedE = Seq(
+      (10L, "seen page body here today"),   // snapshot hit → blocked
+      (11L, null.asInstanceOf[String]),
+      (12L, null.asInstanceOf[String]),     // both null rows survive
+      (13L, "novel page body right here"),
+      (14L, "novel page body right here"))  // within-stream twin collapses
+    val streamE = runTextTwin(feedE, "null_exact_sink")(
+      graft.streaming.StreamingIngest.exactGate(_, exactKeys,
+        watermark = "1 minute"))
+    val batchE = Dedup.incrementalDedupKeys(feedE.toDF("doc_id", "text"),
+      exactKeys).select("doc_id").as[Long].collect().toSet
+    assert(streamE == batchE && streamE == Set(11L, 12L, 13L),
+      s"stream=$streamE batch=$batchE")
+    // NORMALIZED twin vs Dedup.incrementalNormalizedDedup
+    val canonKeys = Dedup.canonicalKeys(prior).localCheckpoint()
+    val feedN = Seq(
+      (10L, "SEEN page, body... here -- today!"), // canonical replica → blocked
+      (11L, null.asInstanceOf[String]),
+      (12L, null.asInstanceOf[String]),
+      (13L, "Novel body!"),
+      (14L, "novel BODY"))                        // canonical twin collapses
+    val streamN = runTextTwin(feedN, "null_norm_sink")(
+      graft.streaming.StreamingIngest.normalizedGate(_, canonKeys,
+        watermark = "1 minute"))
+    val batchN = Dedup.incrementalNormalizedDedup(feedN.toDF("doc_id", "text"),
+      canonKeys).select("doc_id").as[Long].collect().toSet
+    assert(streamN == batchN && streamN == Set(11L, 12L, 13L),
+      s"stream=$streamN batch=$batchN")
+    // SIGNATURE twin vs Dedup.incrementalNearDedup (k = 16): the
+    // re-wrapped copy shares the shingle SET (different bytes); the
+    // two-token doc exercises the shingle-less md5 fallback
+    val sigKeys = Dedup.nearDupKeys(prior, numHashes = 16).localCheckpoint()
+    val feedS = Seq(
+      (10L, "here today seen page body here today"), // sig-equal? no — different shingles
+      (11L, "seen page body here today"),            // signature replica → blocked
+      (12L, null.asInstanceOf[String]),
+      (13L, null.asInstanceOf[String]),              // nulls survive, uncollapsed
+      (14L, "tiny doc"))                             // shingle-less fallback key
+    val streamS = runTextTwin(feedS, "null_sig_sink")(
+      graft.streaming.StreamingIngest.signatureGate(_, sigKeys,
+        numHashes = 16, watermark = "1 minute"))
+    val batchS = Dedup.incrementalNearDedup(feedS.toDF("doc_id", "text"),
+      sigKeys, numHashes = 16).select("doc_id").as[Long].collect().toSet
+    assert(streamS == batchS, s"stream=$streamS batch=$batchS")
+    assert(Set(12L, 13L, 14L).subsetOf(streamS) && !streamS(11L), streamS)
+  }
 }

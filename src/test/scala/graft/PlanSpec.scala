@@ -220,15 +220,15 @@ class PlanSpec extends AnyFunSuite {
       when(!coalesce(col("n_chars") > 10, lit(false)), lit(0))
         .otherwise(lit(1)).as("_ff")).groupBy("_ff").agg(count(lit(1))))
     assert(!ffPlan.contains("Join") && !ffPlan.contains("Window"), ffPlan.take(400))
-    // normalized dedup: exactly the exactDedup shape — since r18 a
-    // map-side-combined min-id aggregate + null-safe LEFT SEMI
-    // join-back, NOT a window (a byte-identical mega-group must never
-    // sort through one task; AQE broadcasts the winners side here).
-    // ≤ 2 shuffle exchanges (the aggregate; the probe side only when
-    // AQE declines the broadcast), zero windows.
+    // normalized dedup: exactly the exactDedup shape — since r19 a
+    // SINGLE-PASS map-side-combined min_by(struct, id) aggregate, NOT
+    // a window (a byte-identical mega-group must never sort through
+    // one task) and NOT the r18 agg + semi-join (which evaluated the
+    // canonicalization subtree twice and paid a second exchange).
+    // Exactly ONE shuffle exchange, zero joins, zero windows.
     val pN = plan(graft.ext.Dedup.normalizedDedup(docs, "text", "doc_id"))
-    assert(pN.contains("LeftSemi") && !pN.contains("Window") &&
-      "Exchange hashpartitioning".r.findAllMatchIn(pN).length <= 2,
+    assert(!pN.contains("Join") && !pN.contains("Window") &&
+      "Exchange hashpartitioning".r.findAllMatchIn(pN).length == 1,
       pN.take(600))
     // byte packing: the cumsum is the range boundary — no per-shard
     // window, no join on the data path

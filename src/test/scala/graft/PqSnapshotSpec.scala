@@ -104,4 +104,103 @@ class PqSnapshotSpec extends AnyFunSuite {
         Similarity.semanticKeys(prior, cents), cents, books, 0.99)
     }
   }
+
+  test("re-encoding discipline: sidecar trains grown books on REAL vectors; decoded re-encode is exact only on the old manifold and leaks replicas a source re-encode blocks") {
+    import spark.implicits._
+    val prior = corpus.where($"vec_id" % 3 =!= 2).localCheckpoint()
+    // (a) the sidecar IS the training sample: deterministic, bounded,
+    // and codebooks trained from it are byte-identical to training
+    // from the corpus with the same sample budget (same hash-ordered
+    // selection → same Lloyd input)
+    val sidecar = Similarity.pqSampleSidecar(prior, sampleRows = 300)
+    assert(sidecar.count() == 300 &&
+      sidecar.columns.toSeq == Seq("vec_id", "embedding"))
+    assert(sidecar.collect().map(_.getLong(0)).toSeq ==
+      Similarity.pqSampleSidecar(prior, 300).collect().map(_.getLong(0)).toSeq)
+    val fromSidecar = Similarity.pqTrainCodebooks(sidecar, numSub = 4,
+      k = 16, sampleRows = 300)
+    val fromCorpus = Similarity.pqTrainCodebooks(prior, numSub = 4,
+      k = 16, sampleRows = 300)
+    assert(fromSidecar.zip(fromCorpus).forall { case (a, b) =>
+      a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+    // (b) decoded re-encode is EXACT exactly on the old reconstruction
+    // manifold: when the new books subsume the old centroids (budget
+    // grows by appending), the migrated reconstruction equals the old
+    // one bit-for-bit — the information the old budget kept survives;
+    // what it discarded never returns
+    val oldBooks = Similarity.pqTrainCodebooks(prior, numSub = 4, k = 2,
+      sampleRows = 300)
+    val extended = oldBooks.zip(fromSidecar).map { case (o, n) => o ++ n }
+    val snapOld = Similarity.semanticKeysPq(prior, cents, oldBooks)
+      .localCheckpoint()
+    val migrated = Similarity.reencodePqSnapshot(snapOld, oldBooks, extended)
+    assert(migrated.columns.toSeq == Seq("id", "cell", "codes"))
+    val recon = migrated.select(col("id"),
+        Similarity.pqDecode(col("codes"), extended).as("r"))
+      .join(snapOld.select(col("id"),
+        Similarity.pqDecode(col("codes"), oldBooks).as("o")), "id")
+      .where(not(col("r") === col("o"))).count()
+    assert(recon == 0L, s"$recon rows left the old reconstruction manifold")
+    intercept[IllegalArgumentException] {
+      Similarity.reencodePqSnapshot(prior, oldBooks, extended)
+    }
+    // (c) what budget growth does to gate DECISIONS — the honest
+    // divergence the scaladoc documents: exact replicas of prior docs,
+    // gated under the grown books. A SOURCE re-encode (raw embeddings
+    // still exist) blocks every replica — fresh batch codes equal
+    // fresh snapshot codes. The DECODED migration does not: the batch
+    // side encodes the true vector, the migrated side only the old
+    // coarse reconstruction, and at k_old = 2 per sub the two
+    // reconstructions disagree past the threshold — replicas LEAK.
+    // The sidecar + source-re-encode is the full-fidelity path; the
+    // decoded migration is for the discarded-source case only.
+    val replicas = prior.where($"vec_id" < 90)
+      .select(($"vec_id" + 5000).as("vec_id"), $"embedding")
+    val keptFresh = Similarity.incrementalSemDedupPq(replicas,
+        Similarity.semanticKeysPq(prior, cents, extended), cents, extended,
+        threshold = 0.999, nprobe = 1)
+      .count()
+    assert(keptFresh == 0L, s"source re-encode leaked $keptFresh replicas")
+    val keptMigrated = Similarity.incrementalSemDedupPq(replicas,
+        migrated, cents, extended, threshold = 0.999, nprobe = 1)
+      .count()
+    assert(keptMigrated > 0L,
+      "expected the decoded migration to leak replicas on this fixture " +
+        "(the documented approximation) — if this starts passing, the " +
+        "fixture stopped demonstrating the divergence, not the operator " +
+        "becoming exact")
+  }
+
+  test("pqTopKFromSnapshot: full probe ≡ brute ADC scan of the same codes; recall probe monotone to 1.0") {
+    import spark.implicits._
+    val prior = corpus.where($"vec_id" % 3 =!= 2)
+    val books = Similarity.pqTrainCodebooks(corpus, numSub = 4, k = 8,
+      sampleRows = 600)
+    val snap = Similarity.semanticKeysPq(prior, cents, books)
+      .localCheckpoint()
+    val q = corpus.where($"vec_id" % 3 === 2 && $"vec_id" < 50)
+      .select($"vec_id".as("qid"), $"embedding".as("qe")).localCheckpoint()
+    // full probe over the snapshot ≡ pqTopK's brute ADC scan of the
+    // SAME corpus (codes are a pure function of (embedding, books))
+    val full = Similarity.pqTopKFromSnapshot(snap, q, cents, books,
+      nprobe = cents.length, k = 3).select("qid", "vec_id", "adc", "rk")
+    val brute = Similarity.pqTopK(
+      prior.select($"vec_id", $"embedding"), q, books, k = 3)
+      .select("qid", "vec_id", "adc", "rk")
+    assert(full.except(brute).isEmpty && brute.except(full).isEmpty)
+    // recall probe against the full ADC scan: monotone, exactly 1.0
+    // at full probe (isolates the BUCKETING loss — the code budget's
+    // quantization loss is fixed at encode time)
+    val probe = Similarity.annRecallProbePq(snap, q, cents, books, k = 3,
+        nprobes = Seq(1, 2, 3))
+      .orderBy("nprobe").select("recall").as[Double].collect()
+    assert(probe.length == 3 && probe.sliding(2).forall(p => p(0) <= p(1)),
+      probe.toSeq.toString)
+    assert(probe.last == 1.0, probe.toSeq.toString)
+    // shape guard: a raw (emb) snapshot is not a codes snapshot
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKFromSnapshot(
+        Similarity.semanticKeys(prior, cents), q, cents, books, 1, 3)
+    }
+  }
 }

@@ -61,6 +61,14 @@ class SpanGateSpec extends AnyFunSuite {
     }
     assert(Dedup.stripSeenSpans(day2, keys.where(lit(false)), n = 4)
       .count() == 2L)
+    // n = 1 rejected (r19): a single-token marker is itself forgeable
+    // by a document containing the literal sentinel token, so the
+    // tier requires n >= 2 where the exactly-n-minus-one-spaces
+    // argument makes the sentinel airtight
+    intercept[IllegalArgumentException] { Dedup.spanKeys(day1, n = 1) }
+    intercept[IllegalArgumentException] {
+      Dedup.stripSeenSpans(day2, keys, n = 1)
+    }
   }
 
   test("stripSeenSpans plan is window-free (no per-ngram sort task)") {
