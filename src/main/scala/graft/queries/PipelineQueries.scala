@@ -1582,6 +1582,79 @@ object PipelineQueries {
         .orderBy("class")
     }),
 
+    // the FIVE-tier membrane under the TWO-LEVEL quantizer (r19) —
+    // p_crawl_sem's exact fixture and replica classes, the semantic
+    // tier swapped to the composed (coarse × fine residual) artifact:
+    // the membrane a 10¹⁰-doc corpus actually runs once flat k ≈ √n
+    // outgrows driver Lloyd. Same four lexical tiers in front, then
+    // incrementalSemDedup2 over a semanticKeys2 snapshot — the oracle
+    // replays the composed cell assignment with the two-level CTE
+    // chain (the p_semdedup_rekey2 machinery) inside the full crawl
+    // gate replay, pinning that the composed tier COMPOSES: replica
+    // classes land tier-for-tier exactly as under the flat quantizer
+    "p_crawl_sem2" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val corpus = d.join(e, "doc_id")
+      val prior = corpus.where(col("doc_id") % 3 === 1).localCheckpoint()
+      val batch = corpus.where(col("doc_id") % 3 === 0)
+        .unionByName(membraneReplicas(prior, prior, rewordedText))
+      val kept4 = Dedup.incrementalCrawlGate(batch,
+        Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
+          .localCheckpoint(),
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket,
+        priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
+      val kept5 = Similarity.incrementalSemDedup2(kept4,
+        Similarity.semanticKeys2(prior, semCoarse4, semFine4,
+          idCol = "doc_id").localCheckpoint(),
+        semCoarse4, semFine4, threshold = 0.999, idCol = "doc_id",
+        nprobe = 1, maxCellSize = 1000)
+      kept5.groupBy(floor(col("doc_id") / 20000).cast("long").as("class"))
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+        .orderBy("class")
+    }),
+
+    // the FIVE-tier membrane over the PQ-COMPRESSED semantic artifact
+    // (r19) — p_crawl_sem's fixture with the semantic snapshot storing
+    // (id, cell, codes) only, both sides compared through encode∘decode
+    // (incrementalSemDedupPq): the +80000 reworded class carries a
+    // PRIOR doc's embedding, so its decoded cosine is EXACTLY 1.0 and
+    // it blocks at ANY code budget. What the UNTRAINED fixed 4×16×16
+    // budget trades is organic resolution: the clustered embeddings
+    // table lands most organic docs on a prior doc's exact codes, so
+    // the bulk of class 0 merges at sf0.01 (deterministic, replayed
+    // bit-for-bit by the oracle's code/decode CASE chains) — the row
+    // certifies the COMPOSITION's exactness; budget SIZING on real
+    // data is PqSnapshotSpec's trained-budget parity read, where an
+    // adequate TRAINED budget reproduces the raw tier's decisions
+    "p_crawl_sem_pq" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val corpus = d.join(e, "doc_id")
+      val prior = corpus.where(col("doc_id") % 3 === 1).localCheckpoint()
+      val batch = corpus.where(col("doc_id") % 3 === 0)
+        .unionByName(membraneReplicas(prior, prior, rewordedText))
+      val kept4 = Dedup.incrementalCrawlGate(batch,
+        Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
+          .localCheckpoint(),
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket,
+        priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
+      val kept5 = Similarity.incrementalSemDedupPq(kept4,
+        Similarity.semanticKeysPq(prior, ivfCentroids, pqBooks16,
+          idCol = "doc_id").localCheckpoint(),
+        ivfCentroids, pqBooks16, threshold = 0.999, idCol = "doc_id",
+        nprobe = 1, maxCellSize = 1000)
+      kept5.groupBy(floor(col("doc_id") / 20000).cast("long").as("class"))
+        .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_ids"))
+        .orderBy("class")
+    }),
+
     // the ZEROTH gate tier — URL-level incremental dedup, the membrane
     // layer that runs BEFORE any text exists (a hit saves the fetch
     // itself): within-batch canonical-url dedup + anti-join against the
@@ -2713,6 +2786,15 @@ object PipelineQueries {
   private val rekeyStaleCents: Array[Array[Double]] =
     Array(rekeyNewCents(0), rekeyNewCents(8))
 
+  /** Fixed 4×4 composed quantizer over the real `embeddings` table for
+    * the five-tier-membrane-under-two-level row (`p_crawl_sem2`) —
+    * deterministic seeded hyperplanes shared as literals with the
+    * oracle, the [[ivfCentroids]] convention (cell QUALITY is
+    * irrelevant to gate correctness; assignment determinism is what
+    * the oracle replays). 16 composed cells ≈ the flat row's 8. */
+  private val semCoarse4: Array[Array[Double]] = Similarity.hyperplanes(4, 64, seed = 13L)
+  private val semFine4: Array[Array[Double]] = Similarity.hyperplanes(4, 64, seed = 29L)
+
   /** 4×4 TWO-LEVEL factorization of the same 16-cluster structure for
     * the composed-quantizer re-key row: coarse b covers residue group
     * i%16 ∈ [4b, 4b+4) (amplitude 2 — exact in float/double), fine j
@@ -2750,6 +2832,14 @@ object PipelineQueries {
   // fixed PQ codebooks: 4 subspaces × 4 centroids × 16 dims, shared as
   // literals with the oracle (data-trained path covered in ScalaTest)
   private val pqBooks: Array[Array[Array[Double]]] = Similarity.pqCodebooks(4, 4, 16, seed = 11L)
+
+  /** Wider fixed PQ codebooks (4 subspaces × 16 centroids × 16 dims)
+    * for the PQ-membrane capstone: at k = 4 per sub the whole corpus
+    * collapses onto 256 reconstructions and the semantic tier merges
+    * the organic class away — correct but degenerate; k = 16 (65 536
+    * reconstructions) keeps organic docs on distinct codes while the
+    * exact-replica guarantee stays budget-independent. */
+  private val pqBooks16: Array[Array[Array[Double]]] = Similarity.pqCodebooks(4, 16, 16, seed = 31L)
 
   /** Pinned literal 5-class lang-id model for the p_lang_clf scoring
     * row (training pinned by t_hash_lang_clf): deterministic seeded
@@ -2927,33 +3017,42 @@ object PipelineQueries {
   private val pqK = pqBooks(0).length
   private val pqSubDim = pqBooks(0)(0).length
 
-  private def pqDistCols(vec: String): String =
-    (for (s <- 0 until pqM; c <- 0 until pqK) yield {
-      val cb = pqBooks(s)(c)
+  private def pqDistColsFor(vec: String,
+      books: Array[Array[Array[Double]]]): String =
+    (for (s <- books.indices; c <- books(s).indices) yield {
+      val cb = books(s)(c)
+      val subDim = cb.length
       val normSq = cb.map(x => x * x).sum
-      val dp = s"list_sum(list_transform(range(1, ${pqSubDim + 1}), " +
-        s"j -> CAST($vec[j + ${s * pqSubDim}] AS DOUBLE) * (${Similarity.planeSql(cb)})[j]))"
+      val dp = s"list_sum(list_transform(range(1, ${subDim + 1}), " +
+        s"j -> CAST($vec[j + ${s * subDim}] AS DOUBLE) * (${Similarity.planeSql(cb)})[j]))"
       s"($normSq - 2.0 * ($dp)) AS e${s}_$c"
     }).mkString(", ")
 
-  private val pqCodeCols: String =
-    (0 until pqM).map { s =>
-      val m = (0 until pqK).map(c => s"e${s}_$c").mkString("least(", ", ", ")")
-      val cse = (0 until pqK).map(c => s"WHEN e${s}_$c = ($m) THEN $c")
+  private def pqDistCols(vec: String): String = pqDistColsFor(vec, pqBooks)
+
+  private def pqCodeColsFor(books: Array[Array[Array[Double]]]): String =
+    books.indices.map { s =>
+      val ks = books(s).indices
+      val m = ks.map(c => s"e${s}_$c").mkString("least(", ", ", ")")
+      val cse = ks.map(c => s"WHEN e${s}_$c = ($m) THEN $c")
         .mkString("CASE ", " ", " END")
       s"($cse) AS code$s"
     }.mkString(", ")
+
+  private val pqCodeCols: String = pqCodeColsFor(pqBooks)
 
   /** Decoded PQ vector as a SQL list — per-sub CASE over the code
     * picking the centroid list literal, sub lists concatenated in
     * order (`||`): the exact lookup [[graft.ext.PqDecode]] performs,
     * no arithmetic on either engine. */
-  private val pqDecodeSql: String =
-    (0 until pqM).map { s =>
-      val branches = (0 until pqK).map(c =>
-        s"WHEN $c THEN ${Similarity.planeSql(pqBooks(s)(c))}").mkString(" ")
+  private def pqDecodeSqlFor(books: Array[Array[Array[Double]]]): String =
+    books.indices.map { s =>
+      val branches = books(s).indices.map(c =>
+        s"WHEN $c THEN ${Similarity.planeSql(books(s)(c))}").mkString(" ")
       s"(CASE code$s $branches END)"
     }.mkString(" || ")
+
+  private val pqDecodeSql: String = pqDecodeSqlFor(pqBooks)
 
   private def pqAdcSql(qe: String): String =
     (0 until pqM).map { s =>
@@ -4681,6 +4780,113 @@ object PipelineQueries {
          |${ivfCellCtes("s5c", "s5src", Some(1000))},
          |f5 AS (
          |  SELECT DISTINCT b.vec_id FROM s5c b JOIN prc p ON b.cell = p.cell
+         |  WHERE $cos >= 0.999
+         |), kept5 AS (
+         |  SELECT doc_id FROM b1_kept
+         |  WHERE doc_id NOT IN (SELECT vec_id FROM f5)
+         |)
+         |SELECT CAST(floor(doc_id / 20000) AS BIGINT) AS class,
+         |  count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM kept5 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // five-tier membrane under the TWO-LEVEL quantizer: identical
+    // replay to p_crawl_sem with the flat cell CTEs swapped for the
+    // composed-cell chain (coarse argmin → residual fine argmin, the
+    // p_semdedup_rekey2 machinery) on BOTH the prior and survivor sides
+    "p_crawl_sem2" -> {
+      val cos = cosBP
+      val farSql = "list_transform(range(1, 65), i -> CAST(25.0 AS DOUBLE))"
+      s"""WITH corpus AS (
+         |  SELECT d.doc_id, d.text, d.lang, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |), prior AS (SELECT * FROM corpus WHERE doc_id % 3 = 1),
+         |batch AS (
+         |  SELECT doc_id, text, lang, embedding FROM corpus WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000, '  ' || upper(text) || '  !! ', lang, $farSql
+         |  FROM prior WHERE doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 40000,
+         |    text || ' sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8', lang, $farSql
+         |  FROM prior WHERE doc_id >= 150 AND doc_id < 250
+         |  UNION ALL
+         |  SELECT doc_id + 60000, text, lang, $farSql
+         |  FROM prior WHERE doc_id >= 250 AND doc_id < 350
+         |  UNION ALL
+         |  SELECT doc_id + 80000,
+         |    'reworded page number ' || doc_id || ' entirely different words here',
+         |    lang, embedding
+         |  FROM prior WHERE doc_id < 150
+         |), ${sigKeyCtes("p", "prior", NumHashes)},
+         |pck AS (SELECT md5(${canonSql("text")}) AS key FROM prior),
+         |${sigKeyCtes("b1", "batch", NumHashes)},
+         |${crawlGateCtes("b1", "batch", "p_key", "p_sig", Some("pck"))},
+         |prsrc AS (SELECT doc_id AS vec_id, embedding FROM prior),
+         |s5src AS (
+         |  SELECT b.doc_id AS vec_id, b.embedding
+         |  FROM b1_kept k JOIN batch b ON b.doc_id = k.doc_id
+         |), ${ivf2CellCtesFor("prc", "prsrc", Some(1000), semCoarse4, semFine4)},
+         |${ivf2CellCtesFor("s5c", "s5src", Some(1000), semCoarse4, semFine4)},
+         |f5 AS (
+         |  SELECT DISTINCT b.vec_id FROM s5c b JOIN prc p ON b.cell = p.cell
+         |  WHERE $cos >= 0.999
+         |), kept5 AS (
+         |  SELECT doc_id FROM b1_kept
+         |  WHERE doc_id NOT IN (SELECT vec_id FROM f5)
+         |)
+         |SELECT CAST(floor(doc_id / 20000) AS BIGINT) AS class,
+         |  count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+         |FROM kept5 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // five-tier membrane over the PQ snapshot: the flat-cell replay of
+    // p_crawl_sem with BOTH semantic sides pushed through the
+    // code/decode CASE chains (the p_semdedup_pq machinery) before the
+    // round-5 cosine — codes are a pure function of (embedding, books),
+    // so the oracle rebuilds the snapshot exactly
+    "p_crawl_sem_pq" -> {
+      val cos = cosBP
+      val farSql = "list_transform(range(1, 65), i -> CAST(25.0 AS DOUBLE))"
+      s"""WITH corpus AS (
+         |  SELECT d.doc_id, d.text, d.lang, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+         |), prior AS (SELECT * FROM corpus WHERE doc_id % 3 = 1),
+         |batch AS (
+         |  SELECT doc_id, text, lang, embedding FROM corpus WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000, '  ' || upper(text) || '  !! ', lang, $farSql
+         |  FROM prior WHERE doc_id < 150
+         |  UNION ALL
+         |  SELECT doc_id + 40000,
+         |    text || ' sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8', lang, $farSql
+         |  FROM prior WHERE doc_id >= 150 AND doc_id < 250
+         |  UNION ALL
+         |  SELECT doc_id + 60000, text, lang, $farSql
+         |  FROM prior WHERE doc_id >= 250 AND doc_id < 350
+         |  UNION ALL
+         |  SELECT doc_id + 80000,
+         |    'reworded page number ' || doc_id || ' entirely different words here',
+         |    lang, embedding
+         |  FROM prior WHERE doc_id < 150
+         |), ${sigKeyCtes("p", "prior", NumHashes)},
+         |pck AS (SELECT md5(${canonSql("text")}) AS key FROM prior),
+         |${sigKeyCtes("b1", "batch", NumHashes)},
+         |${crawlGateCtes("b1", "batch", "p_key", "p_sig", Some("pck"))},
+         |prsrc AS (SELECT doc_id AS vec_id, embedding FROM prior),
+         |s5src AS (
+         |  SELECT b.doc_id AS vec_id, b.embedding
+         |  FROM b1_kept k JOIN batch b ON b.doc_id = k.doc_id
+         |), ${ivfCellCtes("prc", "prsrc", Some(1000))},
+         |${ivfCellCtes("s5c", "s5src", Some(1000))},
+         |pcd AS (SELECT vec_id, cell, ${pqDistColsFor("embedding", pqBooks16)} FROM prc),
+         |pcode AS (SELECT vec_id, cell, ${pqCodeColsFor(pqBooks16)} FROM pcd),
+         |pdec AS (SELECT vec_id, cell, ${pqDecodeSqlFor(pqBooks16)} AS embedding FROM pcode),
+         |bcd AS (SELECT vec_id, cell, ${pqDistColsFor("embedding", pqBooks16)} FROM s5c),
+         |bcode AS (SELECT vec_id, cell, ${pqCodeColsFor(pqBooks16)} FROM bcd),
+         |bdec AS (SELECT vec_id, cell, ${pqDecodeSqlFor(pqBooks16)} AS embedding FROM bcode),
+         |f5 AS (
+         |  SELECT DISTINCT b.vec_id FROM bdec b JOIN pdec p USING (cell)
          |  WHERE $cos >= 0.999
          |), kept5 AS (
          |  SELECT doc_id FROM b1_kept
