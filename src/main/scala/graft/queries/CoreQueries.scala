@@ -16,6 +16,35 @@ object CoreQueries {
   def table(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** [[table]] plus a scale-ADAPTIVE parallelism restore for CPU-heavy
+    * consumers (optimization guide §2.5 "input skew" / §1.2 step 1): the
+    * testdata parquet is one row group per file, so the scan — and every
+    * narrow stage downstream, which for the text pipeline is where the
+    * regex/md5/shingle CPU lives — runs as ONE task no matter how many
+    * cores the session has (a row group is the parquet split floor;
+    * `minPartitionNum` cannot cut inside it). When the scan yields fewer
+    * partitions than the session's default parallelism, hash-repartition
+    * on the table's unique key: deterministic under task retry (the
+    * guide's §2.5 rand()-repartition hazard — a hash of a stored column
+    * reproduces on re-run; round-robin would also pay a per-partition
+    * sort), evenly spread (unique key, so 20-100x more distinct values
+    * than partitions), and ~50 ms for the row counts where it matters.
+    * At production scale a 100 TB table scans as thousands of splits and
+    * this is a NO-OP — nothing here is tuned to local[32]; the driver's
+    * lower-core bench run adapts the same way via defaultParallelism.
+    *
+    * NOT used by the trainer rows: their pinned t_hash_* digests depend
+    * on the quantile-sketch merge topology, which partitioning changes —
+    * results there must stay bit-identical (see TrainQueries scaladoc).
+    */
+  def spreadTable(s: SparkSession, dir: String, name: String,
+      key: String): DataFrame = {
+    val df = table(s, dir, name)
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, col(key))
+  }
+
   /** Deterministic synthetic prediction/label/weight columns over lineitem —
     * the fixture for metric + gradient queries (FIXTURES.md §1): pred is a
     * scaled quantity in (0,1); binary label from returnflag; count label

@@ -18,6 +18,17 @@ object PipelineQueries {
 
   import CoreQueries.table
 
+  /** documents/embeddings via [[CoreQueries.spreadTable]]: scale-adaptive
+    * scan-parallelism restore (no-op once the scan has >= cores splits),
+    * hash-repartitioned on the unique id so the shuffle is deterministic
+    * under retry. Every pipeline row funnels its base reads through these
+    * two so the shingle/md5/regex map work parallelizes. */
+  private def docTable(s: SparkSession, dir: String): DataFrame =
+    CoreQueries.spreadTable(s, dir, "documents", "doc_id")
+
+  private def embTable(s: SparkSession, dir: String): DataFrame =
+    CoreQueries.spreadTable(s, dir, "embeddings", "vec_id")
+
   // ---- shared SQL fragments (DuckDB dialect) -------------------------------
 
   /** hash60 in DuckDB: first 15 md5 hex digits as BIGINT (= TextOps.hash60). */
@@ -193,7 +204,7 @@ object PipelineQueries {
 
     // exact dedup by content hash, keep-min-id semantics (ext.Dedup.exactDedup)
     "p_exact_dedup" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
       val dup = d.where(col("doc_id") < 100)
         .withColumn("doc_id", col("doc_id") + 10000)
       val kept = Dedup.exactDedup(d.unionByName(dup), "text", "doc_id")
@@ -208,7 +219,7 @@ object PipelineQueries {
     // Bloom pre-filter ON to exercise the full path — the result is
     // exact regardless (no false negatives)
     "p_incr_dedup" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
       val prior = d.where(col("doc_id") % 3 =!= 0)
       val batch = d.where(col("doc_id") % 3 === 0)
         .unionByName(prior.where(col("doc_id") < 200)
@@ -230,7 +241,7 @@ object PipelineQueries {
     // replicas (ids +40000) proving exact dups are subsumed. Gate runs
     // against the persisted nearDupKeys projection, the 100-TB shape.
     "p_incr_neardup" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
       val prior = d.where(col("doc_id") % 3 =!= 0)
         .withColumn("text", when(col("doc_id") < 200,
           concat(col("text"), lit(" "), col("text"))).otherwise(col("text")))
@@ -261,7 +272,7 @@ object PipelineQueries {
     // plus byte-identical replicas (+40000, J = 1) proving the lower
     // tiers are subsumed
     "p_incr_neardup_banded" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
       val prior = d.where(col("doc_id") % 3 =!= 0)
       val batch = d.where(col("doc_id") % 3 === 0)
         .unionByName(prior.where(col("doc_id") < 200)
@@ -297,7 +308,7 @@ object PipelineQueries {
     // the class blocks). Same verification threshold both paths: the
     // recall move is pure banding
     "p_neardup_reband" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text")
+      val d = docTable(s, dir).select("doc_id", "text")
       val prior = d.where(col("doc_id") % 3 =!= 0)
       val sigs = Dedup.minhashSignatures(prior, "text", col("doc_id"),
         NumHashes).localCheckpoint()
@@ -330,7 +341,7 @@ object PipelineQueries {
     // 8-token-appended (+60000, caught by the BANDED tier only — bytes
     // and signature both differ)
     "p_incr_crawl" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
       val prior = d.where(col("doc_id") % 3 =!= 0)
         .withColumn("text", when(col("doc_id") < 200,
           concat(col("text"), lit(" "), col("text"))).otherwise(col("text")))
@@ -375,7 +386,7 @@ object PipelineQueries {
     // rejected only if the advance worked) and of day-0 docs (+60000 —
     // proving the original keys survive the advance)
     "p_snapshot_loop" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
       val prior = d.where(col("doc_id") % 3 === 1)
       val day1 = d.where(col("doc_id") % 3 === 2)
         .unionByName(prior.where(col("doc_id") < 150)
@@ -408,7 +419,7 @@ object PipelineQueries {
     // day-0 keys survive the advance. Advance ≡ union because the key is
     // a per-document pure function of text
     "p_neardup_loop" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
       val prior = d.where(col("doc_id") % 3 === 1)
       val day1 = d.where(col("doc_id") % 3 === 2)
         .withColumn("text", when(col("doc_id") < 150,
@@ -450,7 +461,7 @@ object PipelineQueries {
     // accepted docs hit the advanced BANDED tier, +60000 byte-identical
     // day-0 replicas prove the original snapshot survives the advance
     "p_crawl_loop" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
       val prior = d.where(col("doc_id") % 3 === 1)
       val day1 = d.where(col("doc_id") % 3 === 2)
         .withColumn("text", when(col("doc_id") < 150,
@@ -509,7 +520,7 @@ object PipelineQueries {
     // blocked. The retention groupBy keys on `_key`, so against a
     // bucketed snapshot it plans exchange-free
     "p_snapshot_ttl" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
       val prior = d.where(col("doc_id") % 3 === 1)
       val day1 = d.where(col("doc_id") % 3 === 2)
         .unionByName(prior.where(col("doc_id") < 150)
@@ -548,7 +559,7 @@ object PipelineQueries {
     // replicas of day-1 (gen-1) acceptances stay BLOCKED by the key and
     // banded tiers respectively
     "p_crawl_ttl" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
       val prior = d.where(col("doc_id") % 3 === 1)
       val day1 = d.where(col("doc_id") % 3 === 2)
         .unionByName(prior.where(col("doc_id") < 150)
@@ -613,7 +624,7 @@ object PipelineQueries {
     // the advanced canonical keys; +60000 byte-identical day-1 replicas
     // prove the key tier's gen-1 stamps alongside
     "p_crawl_norm_ttl" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
       val prior = d.where(col("doc_id") % 3 === 1)
       val day1 = d.where(col("doc_id") % 3 === 2)
         .unionByName(prior.where(col("doc_id") < 150)
@@ -674,7 +685,7 @@ object PipelineQueries {
     // uppercased-decorated replicas of BATCH docs (within-batch
     // normalized dedup — smallest id per canonical form survives)
     "p_crawl_norm" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
       val prior = d.where(col("doc_id") % 3 === 1)
       val batch = d.where(col("doc_id") % 3 === 0)
         .unionByName(prior.where(col("doc_id") < 150)
@@ -712,7 +723,7 @@ object PipelineQueries {
     // cross-validation in both directions)
     "p_tar_shards" -> ((s, dir) => {
       import s.implicits._
-      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = docTable(s, dir).select(col("doc_id"), col("text"))
       val blobs = docs.as[(Long, String)].mapPartitions { it =>
         it.grouped(64).map { grp =>
           graft.sources.TarShards.writeAll(grp.map { case (id, text) =>
@@ -740,7 +751,7 @@ object PipelineQueries {
     // shard directory is deleted after the result is materialized, so
     // reruns are clean
     "p_tar_files" -> ((s, dir) => {
-      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = docTable(s, dir).select(col("doc_id"), col("text"))
         .withColumn("shard", pmod(col("doc_id"), lit(8)))
         .withColumn("name", format_string("%06d.txt", col("doc_id")))
         .withColumn("payload", col("text").cast("binary"))
@@ -773,7 +784,7 @@ object PipelineQueries {
     // 2.56 GiB shard; this row pins its byte fidelity against DuckDB's
     // independent recomputation from the source table)
     "p_tar_stream" -> ((s, dir) => {
-      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = docTable(s, dir).select(col("doc_id"), col("text"))
         .withColumn("shard", pmod(col("doc_id"), lit(8)))
         .withColumn("name", format_string("%06d.txt", col("doc_id")))
         .withColumn("payload", col("text").cast("binary"))
@@ -803,7 +814,7 @@ object PipelineQueries {
     // straight from the source table, so a match proves the multi-part
     // container preserved every byte of every modality
     "p_tar_samples" -> ((s, dir) => {
-      val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
+      val docs = docTable(s, dir).select("doc_id", "lang", "text")
         .withColumn("shard", pmod(col("doc_id"), lit(4)))
         .withColumn("key", format_string("%06d", col("doc_id")))
         .withColumn("txt", col("text").cast("binary"))
@@ -834,7 +845,7 @@ object PipelineQueries {
     // hash match proves the index offsets, the ranged reads and the
     // sample fold returned exactly the requested bytes and nothing else
     "p_tar_fetch" -> ((s, dir) => {
-      val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
+      val docs = docTable(s, dir).select("doc_id", "lang", "text")
         .withColumn("shard", pmod(col("doc_id"), lit(4)))
         .withColumn("key", format_string("%06d", col("doc_id")))
         .withColumn("txt", col("text").cast("binary"))
@@ -869,7 +880,7 @@ object PipelineQueries {
     // checksums from the source table, so one hash match certifies the
     // whole composition end to end
     "p_daily_pipeline" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
       val prior = d.where(col("doc_id") % 3 === 1)
       val batch = d.where(col("doc_id") % 3 =!= 1)
         .unionByName(prior.where(col("doc_id") < 150)
@@ -925,7 +936,7 @@ object PipelineQueries {
     // DuckDB replays both gates, the advance unions, both budget
     // windows, both packing cumsums AND the member checksums
     "p_daily_loop" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
       val prior = d.where(col("doc_id") % 3 === 1)
       val day1 = d.where(col("doc_id") % 3 === 2)
         .unionByName(prior.where(col("doc_id") < 150)
@@ -1003,7 +1014,7 @@ object PipelineQueries {
     // retention reads, the budget/packing windows and the member
     // checksums of all three ship stages
     "p_daily_loop3" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
       val prior = d.where(col("doc_id") % 3 === 1)
       val day1 = d.where(col("doc_id") % 3 === 2)
         .unionByName(prior.where(col("doc_id") < 150)
@@ -1097,7 +1108,7 @@ object PipelineQueries {
     // TarShards.writeShards, spec-tested)
     "p_tar_pipeline" -> ((s, dir) => {
       import s.implicits._
-      val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
+      val docs = docTable(s, dir).select("doc_id", "lang", "text")
       val kept = Curation.takeTokenBudget(docs, "lang",
         Map("en" -> 20000L), defaultBudget = 8000L).select("doc_id")
       val sharded = Curation.epochShards(kept, "doc_id", 8, "tarpipe")
@@ -1131,7 +1142,7 @@ object PipelineQueries {
     // (case-insensitive whole token) or multi-word phrase (token-boundary
     // match) are flagged for removal — map-only
     "p_word_blocklist" -> ((s, dir) =>
-      Cleaning.blockedWordFilter(table(s, dir, "documents"),
+      Cleaning.blockedWordFilter(docTable(s, dir),
           Seq("slow", "error", "group query"), "doc_id", "text")
         .select(col("doc_id"),
           col("n_tokens").cast("long").as("n_tokens"),
@@ -1144,7 +1155,7 @@ object PipelineQueries {
     // classes (+20000 uppercased-decorated, +40000 triple-spaced) that
     // byte-exact dedup CANNOT catch collapse here at map-side cost
     "p_norm_dedup" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
       val batch = d
         .unionByName(d.where(col("doc_id") < 150)
           .select((col("doc_id") + 20000).as("doc_id"),
@@ -1165,7 +1176,7 @@ object PipelineQueries {
     // en-only gate) — one scan, bounded aggregate; the oracle replays
     // the identical first-fail CASE chain
     "p_attrition" -> ((s, dir) =>
-      Cleaning.attritionReport(table(s, dir, "documents"), Seq(
+      Cleaning.attritionReport(docTable(s, dir), Seq(
         "min_tokens" -> (size(TextOps.tokens(col("text"))) >= 60),
         "max_chars" -> (col("n_chars") <= lit(900)),
         "lang_en" -> (col("lang") === "en")))
@@ -1175,7 +1186,7 @@ object PipelineQueries {
     // other lang 8k — docs taken in doc_id order until the stratum's
     // budget fills; one global range-partitioned cumsum, text unshuffled
     "p_token_budget" -> ((s, dir) =>
-      Curation.takeTokenBudget(table(s, dir, "documents"), "lang",
+      Curation.takeTokenBudget(docTable(s, dir), "lang",
           Map("en" -> 20000L), defaultBudget = 8000L)
         .orderBy("doc_id")),
 
@@ -1183,13 +1194,13 @@ object PipelineQueries {
     // (n_chars desc, id tiebreak) until the budget fills — the
     // quality-threshold curation rule
     "p_token_budget_best" -> ((s, dir) =>
-      Curation.takeTokenBudgetByScore(table(s, dir, "documents"), "lang",
+      Curation.takeTokenBudgetByScore(docTable(s, dir), "lang",
           "n_chars", Map("en" -> 20000L), defaultBudget = 8000L)
         .orderBy("doc_id")),
 
     // MinHash-LSH near-duplicate pairs, exact-Jaccard verified ≥ 0.8
     "p_near_dup" -> ((s, dir) =>
-      Dedup.nearDupPairs(table(s, dir, "documents"), "text", "doc_id",
+      Dedup.nearDupPairs(docTable(s, dir), "text", "doc_id",
           numHashes = NumHashes, bands = Bands, shingleN = 3, threshold = 0.8,
           maxBucketSize = MaxBucket)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
@@ -1202,7 +1213,7 @@ object PipelineQueries {
     // 2 salted md5s per shingle (the O(k/64) design point), 32-band
     // bucket join. Bench-graded at sf0.1 alongside the demo-scale row.
     "p_near_dup_k128" -> ((s, dir) =>
-      Dedup.nearDupPairs(table(s, dir, "documents"), "text", "doc_id",
+      Dedup.nearDupPairs(docTable(s, dir), "text", "doc_id",
           numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8,
           maxBucketSize = MaxBucket)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 5).as("jaccard"))
@@ -1214,7 +1225,7 @@ object PipelineQueries {
     // group; collapsing them first removes that term). Representative =
     // min doc_id per md5(text) group, deterministic on both engines.
     "p_near_dup_exact_first" -> ((s, dir) => {
-      val reps = Dedup.exactDedup(table(s, dir, "documents"), "text", "doc_id")
+      val reps = Dedup.exactDedup(docTable(s, dir), "text", "doc_id")
       Dedup.nearDupPairs(reps, "text", "doc_id",
           numHashes = 128, bands = 32, shingleN = 3, threshold = 0.8,
           maxBucketSize = MaxBucket)
@@ -1225,13 +1236,13 @@ object PipelineQueries {
     // repeated n-gram mining (Lee et al. 2022 substring dedup at n-gram
     // granularity): 5-grams present in >= 3 distinct docs, with counts
     "p_repeated_ngrams" -> ((s, dir) =>
-      Dedup.repeatedNgrams(table(s, dir, "documents"), "text", "doc_id",
+      Dedup.repeatedNgrams(docTable(s, dir), "text", "doc_id",
           n = 5, minDocs = 3)
         .orderBy("ngram")),
 
     // per-document hot-n-gram exposure (the cut/down-weight signal)
     "p_repeat_flag" -> ((s, dir) =>
-      Dedup.flagRepeatedNgramDocs(table(s, dir, "documents"), "text", "doc_id",
+      Dedup.flagRepeatedNgramDocs(docTable(s, dir), "text", "doc_id",
           n = 5, minDocs = 3)
         .select(col("id").as("doc_id"), col("n_hot_ngrams"))
         .orderBy("doc_id")),
@@ -1240,7 +1251,7 @@ object PipelineQueries {
     // granularity): tokens covered by any corpus-hot 3-gram occurrence
     // are cut from every doc; md5 pins the rebuilt text
     "p_span_dedup" -> ((s, dir) =>
-      Dedup.removeRepeatedSpans(table(s, dir, "documents"), "text", "doc_id",
+      Dedup.removeRepeatedSpans(docTable(s, dir), "text", "doc_id",
           n = 3, minDocs = 3)
         .select(col("doc_id"),
           col("n_tokens").cast("long").as("n_tokens"),
@@ -1252,7 +1263,7 @@ object PipelineQueries {
     // deterministic: the (id, start)-minimum occurrence of each hot
     // n-gram survives, every other occurrence is cut)
     "p_span_dedup_keep_first" -> ((s, dir) =>
-      Dedup.removeRepeatedSpansKeepFirst(table(s, dir, "documents"), "text",
+      Dedup.removeRepeatedSpansKeepFirst(docTable(s, dir), "text",
           "doc_id", n = 3, minDocs = 3)
         .select(col("doc_id"),
           col("n_tokens").cast("long").as("n_tokens"),
@@ -1264,7 +1275,7 @@ object PipelineQueries {
     // doc, per-language rates — reproducible across reruns/retries, pure
     // map-side predicate (no shuffle, no rand())
     "p_stratified_sample" -> ((s, dir) =>
-      Curation.stratifiedSample(table(s, dir, "documents"), "lang",
+      Curation.stratifiedSample(docTable(s, dir), "lang",
           Map("en" -> 0.5), defaultRate = 0.2, keyCol = "doc_id")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("sum_id"))
@@ -1273,7 +1284,7 @@ object PipelineQueries {
     // sequence packing: concat-then-chunk into 256-token packs over a
     // distributed range-partitioned cumsum (no single-task window)
     "p_seq_pack" -> ((s, dir) =>
-      Curation.packSequences(table(s, dir, "documents"), "text", "doc_id", 256)
+      Curation.packSequences(docTable(s, dir), "text", "doc_id", 256)
         .groupBy("pack_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
         .orderBy("pack_id")),
@@ -1282,7 +1293,7 @@ object PipelineQueries {
     // with dense 0-based within-shard positions — reproducible across
     // reruns/retries/engines, unlike orderBy(rand())
     "p_epoch_shards" -> ((s, dir) =>
-      Curation.epochShards(table(s, dir, "documents"), "doc_id", 8, "epoch0")
+      Curation.epochShards(docTable(s, dir), "doc_id", 8, "epoch0")
         .orderBy("doc_id")),
 
     // byte-packed shards: deterministic permutation + first-fit linear
@@ -1290,7 +1301,7 @@ object PipelineQueries {
     // of the 16 KiB target; the oracle replays the identical window sum
     "p_pack_shards" -> ((s, dir) =>
       Curation.packShardsBySize(
-          table(s, dir, "documents")
+          docTable(s, dir)
             .withColumn("n_bytes", octet_length(col("text"))),
           "doc_id", "n_bytes", targetBytes = 16384L, salt = "pack0")
         .orderBy("doc_id")),
@@ -1300,7 +1311,7 @@ object PipelineQueries {
     // a dedup pipeline keeps)
     "p_dup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
-          Dedup.nearDupPairs(table(s, dir, "documents"), "text", "doc_id",
+          Dedup.nearDupPairs(docTable(s, dir), "text", "doc_id",
             numHashes = NumHashes, bands = Bands, shingleN = 3, threshold = 0.8,
             maxBucketSize = MaxBucket),
           "id_a", "id_b")
@@ -1312,7 +1323,7 @@ object PipelineQueries {
     // highest-token-count doc (tiebreak smallest id) — the production
     // choice ("keep the longest copy"), deterministic and oracle-checked
     "p_cluster_keep_best" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+      val docs = docTable(s, dir)
       Dedup.keepBestPerCluster(docs,
           Dedup.nearDupPairs(docs, "text", "doc_id",
             numHashes = NumHashes, bands = Bands, shingleN = 3, threshold = 0.8,
@@ -1329,7 +1340,7 @@ object PipelineQueries {
     // against the oracle's direct recomputation from the table
     "p_warc_extract" -> ((s, dir) => {
       import s.implicits._
-      val docs = table(s, dir, "documents")
+      val docs = docTable(s, dir)
         .select(col("doc_id"),
           concat(lit("<html><head><title>doc</title></head><body><p>"),
             col("text"), lit("</p></body></html>")).as("html"))
@@ -1354,14 +1365,14 @@ object PipelineQueries {
     }),
 
     // 16-bit SimHash per document
-    "p_simhash" -> ((s, dir) => table(s, dir, "documents")
+    "p_simhash" -> ((s, dir) => docTable(s, dir)
       .where(col("doc_id") < 100)
       .select(col("doc_id"), TextOps.simhash16(TextOps.tokens(col("text"))).as("simhash"))
       .orderBy("doc_id")),
 
     // character-4-gram Jaccard of consecutive doc pairs
     "p_char_ngram_jaccard" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
+      val d = docTable(s, dir)
         .select(col("doc_id"), Dedup.charNgrams(col("text"), 4).as("g"))
       val a = d.where(col("doc_id") < 100)
         .select(col("doc_id").as("id_a"), col("g").as("ga"))
@@ -1374,7 +1385,7 @@ object PipelineQueries {
 
     // brute-force cosine top-3 neighbors for 5 query vectors
     "p_ann_brute" -> ((s, dir) => {
-      val e = table(s, dir, "embeddings")
+      val e = embTable(s, dir)
       val q = e.where(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       Similarity.bruteTopK(e, q, k = 3).orderBy("qid", "rk")
@@ -1382,7 +1393,7 @@ object PipelineQueries {
 
     // LSH-bucketed ANN: top-1 co-bucketed neighbor per query (16 buckets)
     "p_ann_lsh" -> ((s, dir) => {
-      val e = table(s, dir, "embeddings")
+      val e = embTable(s, dir)
       val q = e.where(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       Similarity.lshTopK(e, q, planes, k = 1).orderBy("qid", "rk")
@@ -1393,7 +1404,7 @@ object PipelineQueries {
     // Hamming-1 multi-probe for recall; only the query side fans out
     // (×17), the corpus stays one row per vector
     "p_ann_lsh_p16" -> ((s, dir) => {
-      val e = table(s, dir, "embeddings")
+      val e = embTable(s, dir)
       val q = e.where(col("vec_id") < 20)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       Similarity.lshTopKMultiProbe(e, q, planes16, k = 1).orderBy("qid", "rk")
@@ -1403,7 +1414,7 @@ object PipelineQueries {
     // fixed coarse quantizer — data-trained quantizers via
     // Similarity.kmeansCentroids, exercised in ScalaTest)
     "p_ann_ivf" -> ((s, dir) => {
-      val e = table(s, dir, "embeddings")
+      val e = embTable(s, dir)
       val q = e.where(col("vec_id") < 15)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       Similarity.ivfTopK(e, q, ivfCentroids, nprobe = 2, k = 2).orderBy("qid", "rk")
@@ -1417,7 +1428,7 @@ object PipelineQueries {
     // replay): the row certifies the snapshot-as-index path against
     // ground truth, not against its own plumbing
     "p_ann_snapshot" -> ((s, dir) => {
-      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val e = embTable(s, dir).select("vec_id", "embedding")
       val snap = Similarity.semanticKeys(
         e.where(col("vec_id") % 3 === 1), ivfCentroids)
       val q = e.where(col("vec_id") % 3 === 0 && col("vec_id") < 15)
@@ -1473,7 +1484,7 @@ object PipelineQueries {
     // oracle recomputes codes + ADC from literals (data-trained codebooks
     // via Similarity.pqTrainCodebooks, exercised in ScalaTest)
     "p_ann_pq" -> ((s, dir) => {
-      val e = table(s, dir, "embeddings")
+      val e = embTable(s, dir)
       val q = e.where(col("vec_id") < 15)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       Similarity.pqTopK(e, q, pqBooks, k = 2).orderBy("qid", "rk")
@@ -1482,7 +1493,7 @@ object PipelineQueries {
     // IVF-PQ: the faiss-IndexIVFPQ operating point — corpus stored as
     // (cell, codes) only, queries probe 2 cells, ADC scoring within cells
     "p_ann_ivfpq" -> ((s, dir) => {
-      val e = table(s, dir, "embeddings")
+      val e = embTable(s, dir)
       val q = e.where(col("vec_id") < 15)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       Similarity.pqIvfTopK(e, q, ivfCentroids, pqBooks, nprobe = 2, k = 2)
@@ -1492,14 +1503,14 @@ object PipelineQueries {
     // embedding-cosine near-dup mining: LSH buckets → in-bucket pairs →
     // cosine threshold (the embedding flavor of dedup)
     "p_embed_dedup" -> ((s, dir) =>
-      Similarity.embedDupPairs(table(s, dir, "embeddings"), planes, threshold = 0.4)
+      Similarity.embedDupPairs(embTable(s, dir), planes, threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
     // SemDeDup: k-means-cell semantic dedup — every doc flagged iff a
     // smaller-id doc in its cell is within cosine threshold (min-id
     // canonical); same 8-centroid coarse quantizer as p_ann_ivf
     "p_semdedup" -> ((s, dir) =>
-      Similarity.semDedup(table(s, dir, "embeddings"), ivfCentroids, threshold = 0.35)
+      Similarity.semDedup(embTable(s, dir), ivfCentroids, threshold = 0.35)
         .orderBy("vec_id")),
 
     // SemDeDup → keepBestPerCluster composition, the production semantic
@@ -1508,7 +1519,7 @@ object PipelineQueries {
     // keep-policy (highest `label` standing in for a quality score,
     // tiebreak smallest vec_id) instead of semDedup's min-id greedy
     "p_semdedup_keep_best" -> ((s, dir) => {
-      val emb = table(s, dir, "embeddings")
+      val emb = embTable(s, dir)
       Dedup.keepBestPerCluster(
           emb.select(col("vec_id"), col("label")),
           Similarity.semDupPairs(emb, ivfCentroids, threshold = 0.35)
@@ -1527,7 +1538,7 @@ object PipelineQueries {
     // sides capped per cell (the banded-tier convention; the cap never
     // binds at these scales — the binding case is spec-pinned)
     "p_incr_semdedup" -> ((s, dir) => {
-      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val e = embTable(s, dir).select("vec_id", "embedding")
       val prior = e.where(col("vec_id") % 3 === 1)
       val batch = e.where(col("vec_id") % 3 === 0)
         .unionByName(prior.where(col("vec_id") < 100)
@@ -1558,8 +1569,8 @@ object PipelineQueries {
     // (their 8-token append drops estimated J below 0.8 — the tier's
     // documented threshold behavior, replayed identically by DuckDB)
     "p_crawl_sem" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
-      val e = table(s, dir, "embeddings")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
+      val e = embTable(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding"))
       val corpus = d.join(e, "doc_id")
       val prior = corpus.where(col("doc_id") % 3 === 1).localCheckpoint()
@@ -1593,8 +1604,8 @@ object PipelineQueries {
     // gate replay, pinning that the composed tier COMPOSES: replica
     // classes land tier-for-tier exactly as under the flat quantizer
     "p_crawl_sem2" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
-      val e = table(s, dir, "embeddings")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
+      val e = embTable(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding"))
       val corpus = d.join(e, "doc_id")
       val prior = corpus.where(col("doc_id") % 3 === 1).localCheckpoint()
@@ -1631,8 +1642,8 @@ object PipelineQueries {
     // data is PqSnapshotSpec's trained-budget parity read, where an
     // adequate TRAINED budget reproduces the raw tier's decisions
     "p_crawl_sem_pq" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
-      val e = table(s, dir, "embeddings")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
+      val e = embTable(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding"))
       val corpus = d.join(e, "doc_id")
       val prior = corpus.where(col("doc_id") % 3 === 1).localCheckpoint()
@@ -1668,7 +1679,7 @@ object PipelineQueries {
     // snapshot, which itself carries null keys from its own null-url
     // prior rows without poisoning the anti-join)
     "p_incr_url" -> ((s, dir) => {
-      val fx = table(s, dir, "documents")
+      val fx = docTable(s, dir)
         .select(col("doc_id"), col("lang"), urlFixture.as("url"))
       val nullUrl = lit(null).cast("string")
       val prior = fx.where(col("doc_id") % 3 === 1)
@@ -1705,8 +1716,8 @@ object PipelineQueries {
     // text under a prior embedding, far embeddings on the lexical
     // classes so tiers cannot mask each other)
     "p_daily_full" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang")
-      val e = table(s, dir, "embeddings")
+      val d = docTable(s, dir).select("doc_id", "text", "lang")
+      val e = embTable(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding"))
       def page(t: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
         concat_ws("\n",
@@ -1782,8 +1793,8 @@ object PipelineQueries {
     // each body paragraph is unique): the span tier cuts exactly those
     // tokens from the kept pages before shipping
     "p_daily_full7" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text", "lang", "source")
-      val e = table(s, dir, "embeddings")
+      val d = docTable(s, dir).select("doc_id", "text", "lang", "source")
+      val e = embTable(s, dir)
         .select(col("vec_id").as("doc_id"), col("embedding"))
       def page(t: org.apache.spark.sql.Column, id: org.apache.spark.sql.Column) =
         concat_ws("\n",
@@ -1877,7 +1888,7 @@ object PipelineQueries {
     // an eternal embedding table — the same eternal-artifact bug r13-15
     // closed for the key/signature/canonical tiers
     "p_incr_semdedup_ttl" -> ((s, dir) => {
-      val e = table(s, dir, "embeddings").select("vec_id", "embedding")
+      val e = embTable(s, dir).select("vec_id", "embedding")
       val prior = e.where(col("vec_id") % 3 === 1)
       val gen0 = Similarity.stampSemanticGeneration(
         Similarity.semanticKeys(prior, ivfCentroids), 0L).localCheckpoint()
@@ -2045,7 +2056,7 @@ object PipelineQueries {
     // (training itself is pinned by the t_hash_quality_clf digest)
     "p_quality_clf" -> ((s, dir) => {
       val scored = graft.ext.QualityClassifier.scoreDocs(
-        table(s, dir, "documents").where(col("doc_id") < 100),
+        docTable(s, dir).where(col("doc_id") < 100),
         qcModel, numBuckets = 64, sublinearTf = false)
       scored.select(col("doc_id"),
         round(col("quality_margin"), 5).as("quality_margin"),
@@ -2058,7 +2069,7 @@ object PipelineQueries {
     // (training is pinned by the t_hash_lang_clf digest)
     "p_lang_clf" -> ((s, dir) => {
       val scored = graft.ext.LangClassifier.scoreDocs(
-        table(s, dir, "documents").where(col("doc_id") < 100)
+        docTable(s, dir).where(col("doc_id") < 100)
           .select(col("doc_id"), col("text")),
         lcModel, lcClasses, numBuckets = 64)
       scored.select(col("doc_id"),
@@ -2070,7 +2081,7 @@ object PipelineQueries {
     // stopword-profile language-ID heuristic
     "p_lang_id" -> ((s, dir) => {
       val t = TextOps.tokens(col("text"))
-      table(s, dir, "documents").where(col("doc_id") < 100)
+      docTable(s, dir).where(col("doc_id") < 100)
         .select(col("doc_id"),
           round(TextOps.enStopwordRatio(t), 5).as("en_ratio"),
           when(TextOps.enStopwordRatio(t) > 0.05, "en").otherwise("other").as("guess"))
@@ -2080,14 +2091,14 @@ object PipelineQueries {
     // heuristic quality score
     "p_quality" -> ((s, dir) => {
       val t = TextOps.tokens(col("text"))
-      table(s, dir, "documents").where(col("doc_id") < 100)
+      docTable(s, dir).where(col("doc_id") < 100)
         .select(col("doc_id"), size(t).cast("long").as("n_tokens"),
           round(TextOps.qualityScore(col("text"), t), 5).as("quality"))
         .orderBy("doc_id")
     }),
 
     // corpus token statistics per language
-    "p_token_stats" -> ((s, dir) => table(s, dir, "documents")
+    "p_token_stats" -> ((s, dir) => docTable(s, dir)
       .select(col("lang"), col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy("lang")
       .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_tokens"),
@@ -2095,14 +2106,14 @@ object PipelineQueries {
       .orderBy("lang")),
 
     // order-sensitive rolling-hash document fingerprint
-    "p_fingerprint" -> ((s, dir) => table(s, dir, "documents")
+    "p_fingerprint" -> ((s, dir) => docTable(s, dir)
       .where(col("doc_id") < 100)
       .select(col("doc_id"), TextOps.fingerprint(TextOps.tokens(col("text"))).as("fp"))
       .orderBy("doc_id")),
 
     // top-20 corpus terms by total TF-IDF
     "p_tfidf" -> ((s, dir) => {
-      val d = table(s, dir, "documents")
+      val d = docTable(s, dir)
       val toks = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
       val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
@@ -2123,7 +2134,7 @@ object PipelineQueries {
     }),
 
     // embedding norms per class label (vector-column ops)
-    "p_embed_norm" -> ((s, dir) => table(s, dir, "embeddings")
+    "p_embed_norm" -> ((s, dir) => embTable(s, dir)
       .groupBy("label")
       // per-row norms round to scaled BIGINTs before the mean: the integer
       // sum is aggregation-order-independent (ADVICE r2)
@@ -2136,7 +2147,7 @@ object PipelineQueries {
     "p_multimodal_meta" -> ((s, dir) => {
       val payload = Multimodal.asPayload(col("text"))
       val dec = Multimodal.decodeStub(payload)
-      table(s, dir, "documents").where(col("doc_id") < 100)
+      docTable(s, dir).where(col("doc_id") < 100)
         .select(col("doc_id"),
           dec.getField("n_bytes").cast("long").as("n_bytes"),
           dec.getField("checksum").as("checksum"),
@@ -2150,7 +2161,7 @@ object PipelineQueries {
     // (ext.MediaCodecs). DuckDB recomputes the closed forms.
     "p_wav_decode" -> ((s, dir) => {
       import s.implicits._
-      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+      val payloads = docTable(s, dir).where(col("doc_id") < 100)
         .select(col("doc_id")).as[Long]
         .map(id => (id, MediaCodecs.wavFixture(id)))
       MediaCodecs.decodeAudio(payloads)
@@ -2169,7 +2180,7 @@ object PipelineQueries {
     // same pixel grid with a lateral range expansion.
     "p_bmp_decode" -> ((s, dir) => {
       import s.implicits._
-      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+      val payloads = docTable(s, dir).where(col("doc_id") < 100)
         .select(col("doc_id")).as[Long]
         .map(id => (id, MediaCodecs.bmpFixture(id)))
       MediaCodecs.decodeImage(payloads)
@@ -2189,7 +2200,7 @@ object PipelineQueries {
     // lossy general path is bounded + ImageIO-cross-validated in JpegSpec.
     "p_jpeg_decode" -> ((s, dir) => {
       import s.implicits._
-      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+      val payloads = docTable(s, dir).where(col("doc_id") < 100)
         .select(col("doc_id")).as[Long]
         .map(id => (id, Jpeg.jpegFixture(id)))
       Jpeg.decodeImages(payloads)
@@ -2205,7 +2216,7 @@ object PipelineQueries {
     // for any fixture; the oracle recomputes the gradient means directly.
     "p_png_decode" -> ((s, dir) => {
       import s.implicits._
-      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+      val payloads = docTable(s, dir).where(col("doc_id") < 100)
         .select(col("doc_id")).as[Long]
         .map(id => (id, Png.pngFixture(id)))
       Png.decodeImages(payloads)
@@ -2224,7 +2235,7 @@ object PipelineQueries {
     // fixture ⇒ bit-exact decode ⇒ closed-form per-frame means.
     "p_video_frames" -> ((s, dir) => {
       import s.implicits._
-      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+      val payloads = docTable(s, dir).where(col("doc_id") < 100)
         .select(col("doc_id")).as[Long]
         .map(id => (id, Avi.aviFixture(id)))
       Avi.sampleVideos(payloads, stride = 2)
@@ -2244,7 +2255,7 @@ object PipelineQueries {
     // oracle from the fixture parameters.
     "p_mp3_meta" -> ((s, dir) => {
       import s.implicits._
-      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+      val payloads = docTable(s, dir).where(col("doc_id") < 100)
         .select(col("doc_id")).as[Long]
         .map(id => (id, Mp3.mp3Fixture(id)))
       Mp3.parseStreams(payloads)
@@ -2261,7 +2272,7 @@ object PipelineQueries {
     // messy urlFixture; all regexes live in the Java∩RE2 subset so the
     // oracle evaluates the identical patterns.
     "p_url_normalize" -> ((s, dir) => {
-      val fx = table(s, dir, "documents")
+      val fx = docTable(s, dir)
         .select(col("doc_id"), urlFixture.as("url"))
       fx.select(col("doc_id"),
         graft.ext.UrlOps.normalize(col("url")).as("norm_url"),
@@ -2274,7 +2285,7 @@ object PipelineQueries {
     // normalized URL (every doc_id % 250 pair collides after tracking
     // params and fragments are stripped) — the crawl-frontier dedup
     "p_url_dedup" -> ((s, dir) => {
-      val fx = table(s, dir, "documents").select(col("doc_id"),
+      val fx = docTable(s, dir).select(col("doc_id"),
         concat(
           lit("HTTPS://WWW.Example.COM/Page/"),
           (col("doc_id") % 250).cast("string"),
@@ -2295,7 +2306,7 @@ object PipelineQueries {
     // domain via one hash-partitioned window; the oracle replays the
     // same row_number with QUALIFY.
     "p_domain_cap" -> ((s, dir) => {
-      val fx = table(s, dir, "documents")
+      val fx = docTable(s, dir)
         .select(col("doc_id"), urlFixture.as("url"))
       graft.ext.UrlOps.capPerDomain(fx, "url", "doc_id", cap = 7)
         .groupBy("domain")
@@ -2308,7 +2319,7 @@ object PipelineQueries {
     // the single window by construction, so it shares p_domain_cap's
     // oracle semantics; the hot-domain sort parallelizes across salts
     "p_domain_cap_salted" -> ((s, dir) => {
-      val fx = table(s, dir, "documents")
+      val fx = docTable(s, dir)
         .select(col("doc_id"), urlFixture.as("url"))
       graft.ext.UrlOps.capPerDomain(fx, "url", "doc_id", cap = 7,
           skewSalts = 8)
@@ -2324,7 +2335,7 @@ object PipelineQueries {
     // consistent (each domain appears under exactly one split) and the
     // exact hash arithmetic
     "p_domain_holdout" -> ((s, dir) => {
-      val fx = table(s, dir, "documents")
+      val fx = docTable(s, dir)
         .select(col("doc_id"), urlFixture.as("url"))
       graft.ext.UrlOps.holdoutByDomain(fx, "url", valPermille = 200,
           salt = "ho1")
@@ -2339,7 +2350,7 @@ object PipelineQueries {
     // pins the md5-coin.
     "p_temperature_sample" -> ((s, dir) => {
       import s.implicits._
-      val docs = table(s, dir, "documents")
+      val docs = docTable(s, dir)
       val kept = Curation.temperatureSample(docs, "lang", "doc_id",
         alpha = 0.5, targetFraction = 0.5)
       val rates = Curation.temperatureRates(docs, "lang", 0.5, 0.5)
@@ -2355,7 +2366,7 @@ object PipelineQueries {
     // exact-dup exposure and mean quality — the summary a curation run
     // reports before/after each stage (single scan, two aggregates)
     "p_corpus_stats" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+      val docs = docTable(s, dir)
         .select(col("doc_id"), col("lang"), col("text"),
           TextOps.tokens(col("text")).as("_toks"), md5(col("text")).as("_h"))
       val dupDocs = docs.groupBy("_h").agg(count(lit(1)).as("c"))
@@ -2374,7 +2385,7 @@ object PipelineQueries {
     // overlap) straight over the corpus; md5 per chunk pins content and
     // boundaries
     "p_chunk_text" -> ((s, dir) =>
-      Curation.chunkTokens(table(s, dir, "documents"), "doc_id", "text",
+      Curation.chunkTokens(docTable(s, dir), "doc_id", "text",
           chunkSize = 32, stride = 24)
         .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
           col("n_chunk_tokens").cast("long").as("n_chunk_tokens"),
@@ -2386,7 +2397,7 @@ object PipelineQueries {
     // AFTER tag-strip, so it must survive) — stripped string compared
     // verbatim.
     "p_html_strip" -> ((s, dir) => {
-      val fx = table(s, dir, "documents").select(col("doc_id"),
+      val fx = docTable(s, dir).select(col("doc_id"),
         concat(
           lit("<html><head><style>p { color: red }</style><!-- note --></head>" +
             "<body><h1>Title "),
@@ -2405,7 +2416,7 @@ object PipelineQueries {
     // sentence segmentation (lookaround-free [^.!?]+[.!?]+ runs) over
     // the stripped fixture text
     "p_sentence_split" -> ((s, dir) => {
-      val fx = table(s, dir, "documents").select(col("doc_id"),
+      val fx = docTable(s, dir).select(col("doc_id"),
         concat(lit("First sentence here. Second one! Third? trailing bit"),
           lit(" id "), (col("doc_id") % 7).cast("string")).as("t"))
       fx.select(col("doc_id"),
@@ -2422,7 +2433,7 @@ object PipelineQueries {
     // (for most docs) exactly the unique line — the md5 pins the whole
     // four-stage composition end to end.
     "p_clean_pipeline" -> ((s, dir) => {
-      val fx = table(s, dir, "documents").select(col("doc_id"),
+      val fx = docTable(s, dir).select(col("doc_id"),
         concat(pageFixture, lit("\n"),
           substring(col("text"), 1, 40), lit(" stays unique today."))
           .as("page"))
@@ -2439,7 +2450,7 @@ object PipelineQueries {
     // replication with copy ids; per-lang row counts pin rates + coins
     "p_temperature_mix" -> ((s, dir) => {
       import s.implicits._
-      val docs = table(s, dir, "documents")
+      val docs = docTable(s, dir)
       val mixed = Curation.temperatureMix(docs, "lang", "doc_id",
         alpha = 0.3, targetFraction = 1.0)
       val rates = Curation.temperatureRatesUnclamped(docs, "lang", 0.3, 1.0)
@@ -2460,7 +2471,7 @@ object PipelineQueries {
     // salad, and a per-doc unique marker — dup paragraphs vanish, order
     // and blanks survive, page compared by md5.
     "p_para_dedup" -> ((s, dir) => {
-      val fx = table(s, dir, "documents").select(col("doc_id"),
+      val fx = docTable(s, dir).select(col("doc_id"),
         concat_ws("\n",
           lit("Subscribe to our newsletter today!"),
           concat(lit("Group slogan number "), (col("doc_id") % 50).cast("string")),
@@ -2487,7 +2498,7 @@ object PipelineQueries {
     // The +20000 offset is a multiple of 40, so a replica's slogan
     // line is byte-identical to its original's
     "p_crawl_para" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text")
+      val d = docTable(s, dir).select("doc_id", "text")
       def page(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
         concat_ws("\n",
           lit("Subscribe to our newsletter today!"),
@@ -2523,7 +2534,7 @@ object PipelineQueries {
     // contributes organically-hot 3-grams too; the oracle replays the
     // full hot set, not just the fixture tail
     "p_incr_span" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select("doc_id", "text")
+      val d = docTable(s, dir).select("doc_id", "text")
       def page(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
         concat(col("text"),
           lit(" share this page on all social media channels right now thanks"))
@@ -2548,7 +2559,7 @@ object PipelineQueries {
     // predicate with a DuckDB list_filter lambda and compares the
     // cleaned page by md5.
     "p_c4_clean" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+      val docs = docTable(s, dir)
         .select(col("doc_id"), pageFixture.as("page"))
       Cleaning.c4Clean(docs, "doc_id", "page")
         .select(col("doc_id"),
@@ -2569,7 +2580,7 @@ object PipelineQueries {
     // NFC-first order leaves it decomposed (2 chars) — fixed_len and
     // fixed_md5 both flip if the order regresses.
     "p_fix_text" -> ((s, dir) => {
-      val fx = table(s, dir, "documents").select(col("doc_id"),
+      val fx = docTable(s, dir).select(col("doc_id"),
         concat(lit(" Cafe\u0301  du\t\tMarche\u0301 "),
           substring(col("text"), 1, 20),
           lit(" end\u0007bell O\u0007\u0301k "),
@@ -2585,7 +2596,7 @@ object PipelineQueries {
     // same fixture; patterns live in the Java∩RE2 subset so DuckDB
     // evaluates the identical regexes, redacted page compared by md5.
     "p_pii_redact" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+      val docs = docTable(s, dir)
         .select(col("doc_id"), pageFixture.as("page"))
       Cleaning.redactPii(docs, "doc_id", "page")
         .select(col("doc_id"),
@@ -2601,7 +2612,7 @@ object PipelineQueries {
     // the indexed-gradient channel means exactly.
     "p_gif_decode" -> ((s, dir) => {
       import s.implicits._
-      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+      val payloads = docTable(s, dir).where(col("doc_id") < 100)
         .select(col("doc_id")).as[Long]
         .map(id => (id, Gif.gifFixture(id)))
       Gif.decodeImages(payloads)
@@ -2622,7 +2633,7 @@ object PipelineQueries {
     // closed form.
     "p_image_resize" -> ((s, dir) => {
       import s.implicits._
-      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+      val payloads = docTable(s, dir).where(col("doc_id") < 100)
         .select(col("doc_id")).as[Long]
         .map(id => (id, Png.pngFixture(id)))
       ImageOps.resizedPngRows(payloads, 4, 4)
@@ -2641,7 +2652,7 @@ object PipelineQueries {
     // agreeing to 4 decimals.
     "p_audio_spectrum" -> ((s, dir) => {
       import s.implicits._
-      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+      val payloads = docTable(s, dir).where(col("doc_id") < 100)
         .select(col("doc_id")).as[Long]
         .map(id => (id, MediaCodecs.wavFixture(id)))
       AudioDsp.spectrumRows(payloads, size = 64)
@@ -2657,7 +2668,7 @@ object PipelineQueries {
     // (Parseval, tone peak, determinism) cover the math.
     "t_hash_mfcc" -> ((s, dir) => {
       import s.implicits._
-      val payloads = table(s, dir, "documents").where(col("doc_id") < 100)
+      val payloads = docTable(s, dir).where(col("doc_id") < 100)
         .select(col("doc_id")).as[Long]
         .map(id => (id, MediaCodecs.wavFixture(id)))
       AudioDsp.mfccRows(payloads)
@@ -2700,7 +2711,7 @@ object PipelineQueries {
     // distinct 5-gram with it are contaminated. Benchmark n-grams
     // broadcast — the corpus side never shuffles on the n-gram key.
     "p_decontaminate" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+      val docs = docTable(s, dir)
       CorpusFilters.decontaminate(
         docs.where(col("source") =!= "src0"),
         docs.where(col("source") === "src0"), n = 5)
@@ -2710,31 +2721,31 @@ object PipelineQueries {
     // Gopher repetition rules (Rae et al. 2021 §A1.1): top-bigram and
     // duplicate-trigram token fractions + keep decision
     "p_gopher_repetition" -> ((s, dir) =>
-      CorpusFilters.repetitionStats(table(s, dir, "documents"))
+      CorpusFilters.repetitionStats(docTable(s, dir))
         .orderBy("doc_id")),
 
     // CCNet-shape perplexity filter: per-doc NLL under the corpus unigram
     // LM, fixed-point micro-nats (order-independent integer sums)
     "p_unigram_nll" -> ((s, dir) =>
-      CorpusFilters.unigramNll(table(s, dir, "documents"))
+      CorpusFilters.unigramNll(docTable(s, dir))
         .orderBy("doc_id")),
 
     // bigram-LM perplexity filter (Jelinek–Mercer interpolation to the
     // unigram) — the CCNet ladder one rung above p_unigram_nll
     "p_bigram_nll" -> ((s, dir) =>
-      CorpusFilters.bigramNll(table(s, dir, "documents"))
+      CorpusFilters.bigramNll(docTable(s, dir))
         .orderBy("doc_id")),
 
     // DSIR importance log-weight toward the lang='en' target slice over
     // 512 hashed unigram buckets (bounded → broadcast lookup)
     "p_dsir_weight" -> ((s, dir) =>
-      CorpusFilters.dsirLogWeight(table(s, dir, "documents"),
+      CorpusFilters.dsirLogWeight(docTable(s, dir),
         col("lang") === "en").orderBy("doc_id")),
 
     // full Gopher quality rules (non-repetition half): bounds, ratios
     // and stop-hit containment over the raw corpus
     "p_gopher_quality" -> ((s, dir) =>
-      CorpusFilters.gopherQuality(table(s, dir, "documents"))
+      CorpusFilters.gopherQuality(docTable(s, dir))
         .select(col("doc_id"), col("n_words"), col("mean_word_len"),
           col("symbol_ratio"), col("bullet_frac"), col("ellipsis_frac"),
           col("alpha_frac"), col("stop_hits"),
@@ -2745,7 +2756,7 @@ object PipelineQueries {
     // integer mean micro-nats, ntile with doc-id tiebreak); per-tier
     // counts + id sums pin every bucket assignment
     "p_ccnet_buckets" -> ((s, dir) =>
-      CorpusFilters.ccnetBuckets(table(s, dir, "documents"))
+      CorpusFilters.ccnetBuckets(docTable(s, dir))
         .groupBy("lang", "tier")
         .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("sum_ids"),
           min("mean_nll_micro").as("min_nll"), max("mean_nll_micro").as("max_nll"))
@@ -2755,7 +2766,7 @@ object PipelineQueries {
     // decontamination (vs src0) → stratified sample → 256-token packing,
     // summarized per pack
     "p_curation_pipeline" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+      val docs = docTable(s, dir)
       val curated = CorpusFilters.curate(
         docs.where(col("source") =!= "src0"),
         docs.where(col("source") === "src0"),
