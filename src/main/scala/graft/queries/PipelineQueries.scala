@@ -22,7 +22,12 @@ object PipelineQueries {
     * scan-parallelism restore (no-op once the scan has >= cores splits),
     * hash-repartitioned on the unique id so the shuffle is deterministic
     * under retry. Every pipeline row funnels its base reads through these
-    * two so the shingle/md5/regex map work parallelizes. */
+    * two so the shingle/md5/regex map work parallelizes — EXCEPT the
+    * p_tar_* rows, which deliberately keep the plain [[CoreQueries.table]]
+    * read: their cost is the archive write/read itself (writeShards
+    * repartitions by shard internally), the payload projection is a
+    * trivial concat, and the spread's extra exchange measured a
+    * consistent +0.5–1.5 s on p_tar_fetch in interleaved A/B. */
   private def docTable(s: SparkSession, dir: String): DataFrame =
     CoreQueries.spreadTable(s, dir, "documents", "doc_id")
 
@@ -723,7 +728,7 @@ object PipelineQueries {
     // cross-validation in both directions)
     "p_tar_shards" -> ((s, dir) => {
       import s.implicits._
-      val docs = docTable(s, dir).select(col("doc_id"), col("text"))
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
       val blobs = docs.as[(Long, String)].mapPartitions { it =>
         it.grouped(64).map { grp =>
           graft.sources.TarShards.writeAll(grp.map { case (id, text) =>
@@ -751,7 +756,7 @@ object PipelineQueries {
     // shard directory is deleted after the result is materialized, so
     // reruns are clean
     "p_tar_files" -> ((s, dir) => {
-      val docs = docTable(s, dir).select(col("doc_id"), col("text"))
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
         .withColumn("shard", pmod(col("doc_id"), lit(8)))
         .withColumn("name", format_string("%06d.txt", col("doc_id")))
         .withColumn("payload", col("text").cast("binary"))
@@ -784,7 +789,7 @@ object PipelineQueries {
     // 2.56 GiB shard; this row pins its byte fidelity against DuckDB's
     // independent recomputation from the source table)
     "p_tar_stream" -> ((s, dir) => {
-      val docs = docTable(s, dir).select(col("doc_id"), col("text"))
+      val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
         .withColumn("shard", pmod(col("doc_id"), lit(8)))
         .withColumn("name", format_string("%06d.txt", col("doc_id")))
         .withColumn("payload", col("text").cast("binary"))
@@ -814,7 +819,7 @@ object PipelineQueries {
     // straight from the source table, so a match proves the multi-part
     // container preserved every byte of every modality
     "p_tar_samples" -> ((s, dir) => {
-      val docs = docTable(s, dir).select("doc_id", "lang", "text")
+      val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
         .withColumn("shard", pmod(col("doc_id"), lit(4)))
         .withColumn("key", format_string("%06d", col("doc_id")))
         .withColumn("txt", col("text").cast("binary"))
@@ -845,7 +850,7 @@ object PipelineQueries {
     // hash match proves the index offsets, the ranged reads and the
     // sample fold returned exactly the requested bytes and nothing else
     "p_tar_fetch" -> ((s, dir) => {
-      val docs = docTable(s, dir).select("doc_id", "lang", "text")
+      val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
         .withColumn("shard", pmod(col("doc_id"), lit(4)))
         .withColumn("key", format_string("%06d", col("doc_id")))
         .withColumn("txt", col("text").cast("binary"))
@@ -1108,7 +1113,7 @@ object PipelineQueries {
     // TarShards.writeShards, spec-tested)
     "p_tar_pipeline" -> ((s, dir) => {
       import s.implicits._
-      val docs = docTable(s, dir).select("doc_id", "lang", "text")
+      val docs = table(s, dir, "documents").select("doc_id", "lang", "text")
       val kept = Curation.takeTokenBudget(docs, "lang",
         Map("en" -> 20000L), defaultBudget = 8000L).select("doc_id")
       val sharded = Curation.epochShards(kept, "doc_id", 8, "tarpipe")
