@@ -635,6 +635,25 @@ object Dedup {
     sigs.unionByName(shingleless)
   }
 
+  /** [[nearDupKeys]] derived from an ALREADY-COMPUTED signature frame
+    * (a [[minhashSignatures]] output, typically the persisted/checkpointed
+    * snapshot artifact) plus the docs frame for the shingleless fallback —
+    * bit-identical output ([[nearDupKeys]] is literally this projection
+    * inlined over a fresh signature pass), but the expensive
+    * shingle+hash pass is NOT re-run when the caller already holds the
+    * signature table. That is the production snapshot shape: the banded
+    * tier persists the signature table, so the key tier's projection is
+    * a map-only read of it (the [[rebandSignatures]] argument applied to
+    * the key tier). The shingleless branch stays a cheap map-side filter
+    * over the raw docs (those rows never enter the signature table). */
+  def nearDupKeysFromSignatures(sigs: DataFrame, docs: DataFrame,
+      textCol: String = "text", numHashes: Int = 128,
+      shingleN: Int = 3): DataFrame =
+    sigs.select(sigKeyCol(numHashes).as("_key"))
+      .unionByName(docs
+        .where(size(TextOps.tokens(col(textCol))) < shingleN)
+        .select(md5(col(textCol)).as("_key")))
+
   /** Cross-snapshot incremental NEAR-dedup — [[incrementalDedup]]'s
     * signature-equality sibling, closing the daily-crawl gap the exact
     * tier leaves open: a re-wrapped or boilerplate-identical copy of a

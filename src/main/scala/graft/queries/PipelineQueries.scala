@@ -34,6 +34,26 @@ object PipelineQueries {
   private def embTable(s: SparkSession, dir: String): DataFrame =
     CoreQueries.spreadTable(s, dir, "embeddings", "vec_id")
 
+  /** [[Dedup.incrementalCrawlGate]] over a snapshot whose TWO near-dup
+    * projections (key tier + signature tier) are built from ONE
+    * materialized signature pass: the signature table is checkpointed
+    * first and the key tier derives from it map-only
+    * ([[Dedup.nearDupKeysFromSignatures]] — bit-identical to
+    * nearDupKeys(prior)), instead of each projection running its own
+    * shingle+hash pass over the snapshot. One expensive pass saved per
+    * gate fixture; the projections stay materialized (they are persisted
+    * tables in production). */
+  private def crawlGateSharedSnap(batch: DataFrame, prior: DataFrame,
+      priorCanonKeys: Option[DataFrame] = None): DataFrame = {
+    val sigs = Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
+      .localCheckpoint()
+    Dedup.incrementalCrawlGate(batch,
+      Dedup.nearDupKeysFromSignatures(sigs, prior, numHashes = NumHashes)
+        .localCheckpoint(),
+      sigs, numHashes = NumHashes, bands = Bands, threshold = 0.8,
+      maxBucketSize = MaxBucket, priorCanonKeys = priorCanonKeys)
+  }
+
   // ---- shared SQL fragments (DuckDB dialect) -------------------------------
 
   /** hash60 in DuckDB: first 15 md5 hex digits as BIGINT (= TextOps.hash60). */
@@ -371,12 +391,7 @@ object PipelineQueries {
       // The two snapshot projections are PERSISTED tables in production
       // (built once per snapshot) — materialize them so the row measures
       // the gate, not a per-query rebuild of the snapshot artifacts
-      Dedup.incrementalCrawlGate(batch,
-          Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
-          Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
-            .localCheckpoint(),
-          numHashes = NumHashes, bands = Bands, threshold = 0.8,
-          maxBucketSize = MaxBucket)
+      crawlGateSharedSnap(batch, prior)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
         .orderBy("lang")
@@ -476,10 +491,11 @@ object PipelineQueries {
       // the day-0 projections are PERSISTED tables in production —
       // materialize them once here so day 1 and day 2 share them instead
       // of re-running the snapshot signature pass inside both plans
-      val keys0 = Dedup.nearDupKeys(prior, numHashes = NumHashes)
-        .localCheckpoint()
       val sigs0 = Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
-        .localCheckpoint()
+        .localCheckpoint() // ONE signature pass over the snapshot...
+      val keys0 = Dedup.nearDupKeysFromSignatures(sigs0, prior,
+          numHashes = NumHashes)
+        .localCheckpoint() // ...and the key tier derives from it map-only
       // materialize the day-1 acceptances ONCE: kept1 is consumed by the
       // key advance, the signature advance (sigs1 — itself read twice
       // inside the banded tier), and the final union; without this the
@@ -487,10 +503,11 @@ object PipelineQueries {
       val kept1 = Dedup.incrementalCrawlGate(day1, keys0, sigs0,
         numHashes = NumHashes, bands = Bands, threshold = 0.8,
         maxBucketSize = MaxBucket).localCheckpoint()
+      val keptSigs1 = Dedup.minhashSignatures(kept1, "text", col("doc_id"),
+        NumHashes).localCheckpoint() // one pass over the acceptances, too
       val keys1 = keys0.unionByName(
-        Dedup.nearDupKeys(kept1, numHashes = NumHashes))
-      val sigs1 = sigs0.unionByName(
-        Dedup.minhashSignatures(kept1, "text", col("doc_id"), NumHashes))
+        Dedup.nearDupKeysFromSignatures(keptSigs1, kept1, numHashes = NumHashes))
+      val sigs1 = sigs0.unionByName(keptSigs1)
       val day2 = d.where(col("doc_id") % 3 === 0)
         .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
           .select((col("doc_id") + 40000).as("doc_id"),
@@ -572,21 +589,22 @@ object PipelineQueries {
       // the stamped projections are PERSISTED bucketed tables in
       // production (BucketedSnapshotSpec pins the exchange-free
       // retention plan); materialize so both days share them
+      val ps0 = Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
+        .localCheckpoint() // ONE signature pass; both stamped tiers derive
       val gk0 = Dedup.stampGeneration(
-        Dedup.nearDupKeys(prior, numHashes = NumHashes), 0L).localCheckpoint()
-      val gs0 = Dedup.stampSignatureGeneration(
-        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes),
-        0L, NumHashes).localCheckpoint()
+        Dedup.nearDupKeysFromSignatures(ps0, prior, numHashes = NumHashes), 0L)
+        .localCheckpoint()
+      val gs0 = Dedup.stampSignatureGeneration(ps0, 0L, NumHashes)
       val kept1 = Dedup.incrementalCrawlGate(day1,
         Dedup.retainGenerations(gk0, minGen = 0L),
         Dedup.retainSignatureGenerations(gs0, minGen = 0L, NumHashes),
         numHashes = NumHashes, bands = Bands, threshold = 0.8,
         maxBucketSize = MaxBucket).localCheckpoint()
+      val ks1 = Dedup.minhashSignatures(kept1, "text", col("doc_id"), NumHashes)
+        .localCheckpoint() // one pass over the acceptances for both tiers
       val gk1 = gk0.unionByName(Dedup.stampGeneration(
-        Dedup.nearDupKeys(kept1, numHashes = NumHashes), 1L))
-      val gs1 = gs0.unionByName(Dedup.stampSignatureGeneration(
-        Dedup.minhashSignatures(kept1, "text", col("doc_id"), NumHashes),
-        1L, NumHashes))
+        Dedup.nearDupKeysFromSignatures(ks1, kept1, numHashes = NumHashes), 1L))
+      val gs1 = gs0.unionByName(Dedup.stampSignatureGeneration(ks1, 1L, NumHashes))
       val day2 = d.where(col("doc_id") % 3 === 0)
         .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
           .withColumn("doc_id", col("doc_id") + 40000))
@@ -634,11 +652,12 @@ object PipelineQueries {
       val day1 = d.where(col("doc_id") % 3 === 2)
         .unionByName(prior.where(col("doc_id") < 150)
           .withColumn("doc_id", col("doc_id") + 20000))
+      val ps0 = Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
+        .localCheckpoint() // ONE signature pass; both stamped tiers derive
       val gk0 = Dedup.stampGeneration(
-        Dedup.nearDupKeys(prior, numHashes = NumHashes), 0L).localCheckpoint()
-      val gs0 = Dedup.stampSignatureGeneration(
-        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes),
-        0L, NumHashes).localCheckpoint()
+        Dedup.nearDupKeysFromSignatures(ps0, prior, numHashes = NumHashes), 0L)
+        .localCheckpoint()
+      val gs0 = Dedup.stampSignatureGeneration(ps0, 0L, NumHashes)
       val gc0 = Dedup.stampGeneration(Dedup.canonicalKeys(prior), 0L)
         .localCheckpoint()
       val kept1 = Dedup.incrementalCrawlGate(day1,
@@ -648,11 +667,11 @@ object PipelineQueries {
         maxBucketSize = MaxBucket,
         priorCanonKeys = Some(Dedup.retainGenerations(gc0, minGen = 0L)))
         .localCheckpoint()
+      val ks1 = Dedup.minhashSignatures(kept1, "text", col("doc_id"), NumHashes)
+        .localCheckpoint() // one pass over the acceptances for both tiers
       val gk1 = gk0.unionByName(Dedup.stampGeneration(
-        Dedup.nearDupKeys(kept1, numHashes = NumHashes), 1L))
-      val gs1 = gs0.unionByName(Dedup.stampSignatureGeneration(
-        Dedup.minhashSignatures(kept1, "text", col("doc_id"), NumHashes),
-        1L, NumHashes))
+        Dedup.nearDupKeysFromSignatures(ks1, kept1, numHashes = NumHashes), 1L))
+      val gs1 = gs0.unionByName(Dedup.stampSignatureGeneration(ks1, 1L, NumHashes))
       val gc1 = gc0.unionByName(Dedup.stampGeneration(
         Dedup.canonicalKeys(kept1), 1L))
       val day2 = d.where(col("doc_id") % 3 === 0)
@@ -708,13 +727,8 @@ object PipelineQueries {
           .select((col("doc_id") + 80000).as("doc_id"),
             concat(lit("  "), upper(col("text")), lit("  !! ")).as("text"),
             col("lang")))
-      Dedup.incrementalCrawlGate(batch,
-          Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
-          Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
-            .localCheckpoint(),
-          numHashes = NumHashes, bands = Bands, threshold = 0.8,
-          maxBucketSize = MaxBucket,
-          priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
+      crawlGateSharedSnap(batch, prior,
+        priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
         .orderBy("lang")
@@ -895,12 +909,7 @@ object PipelineQueries {
             concat(col("text"),
               lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
             col("lang")))
-      val kept = Dedup.incrementalCrawlGate(batch,
-          Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
-          Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
-            .localCheckpoint(),
-          numHashes = NumHashes, bands = Bands, threshold = 0.8,
-          maxBucketSize = MaxBucket)
+      val kept = crawlGateSharedSnap(batch, prior)
         .localCheckpoint() // consumed by the budget, the pack and the payload join
       val chosen = Curation.takeTokenBudget(kept, "lang",
         Map("en" -> 20000L), defaultBudget = 8000L).select("doc_id")
@@ -946,20 +955,22 @@ object PipelineQueries {
       val day1 = d.where(col("doc_id") % 3 === 2)
         .unionByName(prior.where(col("doc_id") < 150)
           .withColumn("doc_id", col("doc_id") + 20000))
-      val keys0 = Dedup.nearDupKeys(prior, numHashes = NumHashes)
-        .localCheckpoint()
       val sigs0 = Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
-        .localCheckpoint()
+        .localCheckpoint() // ONE signature pass over the snapshot...
+      val keys0 = Dedup.nearDupKeysFromSignatures(sigs0, prior,
+          numHashes = NumHashes)
+        .localCheckpoint() // ...and the key tier derives from it map-only
       // kept1 feeds the shipping chain, both advances and nothing else —
       // materialize once so the day-1 gate never re-executes
       val kept1 = Dedup.incrementalCrawlGate(day1, keys0, sigs0,
         numHashes = NumHashes, bands = Bands, threshold = 0.8,
         maxBucketSize = MaxBucket).localCheckpoint()
+      val keptSigs1 = Dedup.minhashSignatures(kept1, "text", col("doc_id"),
+        NumHashes).localCheckpoint() // one pass over the acceptances; the
+      // banded tier's double read of sigs1 now re-scans two cached frames
       val keys1 = keys0.unionByName(
-        Dedup.nearDupKeys(kept1, numHashes = NumHashes))
-      val sigs1 = sigs0.unionByName(
-        Dedup.minhashSignatures(kept1, "text", col("doc_id"), NumHashes))
-        .localCheckpoint() // the banded tier reads its priorSigs twice
+        Dedup.nearDupKeysFromSignatures(keptSigs1, kept1, numHashes = NumHashes))
+      val sigs1 = sigs0.unionByName(keptSigs1)
       val day2 = d.where(col("doc_id") % 3 === 0)
         .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
           .withColumn("doc_id", col("doc_id") + 40000))
@@ -1024,11 +1035,12 @@ object PipelineQueries {
       val day1 = d.where(col("doc_id") % 3 === 2)
         .unionByName(prior.where(col("doc_id") < 150)
           .withColumn("doc_id", col("doc_id") + 20000))
+      val ps0 = Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
+        .localCheckpoint() // ONE signature pass; both stamped tiers derive
       val gk0 = Dedup.stampGeneration(
-        Dedup.nearDupKeys(prior, numHashes = NumHashes), 0L).localCheckpoint()
-      val gs0 = Dedup.stampSignatureGeneration(
-        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes),
-        0L, NumHashes).localCheckpoint()
+        Dedup.nearDupKeysFromSignatures(ps0, prior, numHashes = NumHashes), 0L)
+        .localCheckpoint()
+      val gs0 = Dedup.stampSignatureGeneration(ps0, 0L, NumHashes)
       def gate(day: org.apache.spark.sql.DataFrame,
           gk: org.apache.spark.sql.DataFrame,
           gs: org.apache.spark.sql.DataFrame, minGen: Long) =
@@ -1037,26 +1049,29 @@ object PipelineQueries {
           Dedup.retainSignatureGenerations(gs, minGen, NumHashes),
           numHashes = NumHashes, bands = Bands, threshold = 0.8,
           maxBucketSize = MaxBucket).localCheckpoint()
-      def advanceK(gk: org.apache.spark.sql.DataFrame,
-          kept: org.apache.spark.sql.DataFrame, gen: Long) =
-        gk.unionByName(Dedup.stampGeneration(
-          Dedup.nearDupKeys(kept, numHashes = NumHashes), gen)).localCheckpoint()
-      def advanceS(gs: org.apache.spark.sql.DataFrame,
-          kept: org.apache.spark.sql.DataFrame, gen: Long) =
-        gs.unionByName(Dedup.stampSignatureGeneration(
-          Dedup.minhashSignatures(kept, "text", col("doc_id"), NumHashes),
-          gen, NumHashes)).localCheckpoint()
+      // BOTH stamped tiers advance off ONE signature pass over the
+      // acceptances (nearDupKeysFromSignatures derives the key tier
+      // map-only) — was two independent passes per day
+      def advance(gk: org.apache.spark.sql.DataFrame,
+          gs: org.apache.spark.sql.DataFrame,
+          kept: org.apache.spark.sql.DataFrame, gen: Long) = {
+        val ks = Dedup.minhashSignatures(kept, "text", col("doc_id"), NumHashes)
+          .localCheckpoint()
+        (gk.unionByName(Dedup.stampGeneration(
+            Dedup.nearDupKeysFromSignatures(ks, kept, numHashes = NumHashes),
+            gen)).localCheckpoint(),
+          gs.unionByName(Dedup.stampSignatureGeneration(ks, gen, NumHashes))
+            .localCheckpoint())
+      }
       val kept1 = gate(day1, gk0, gs0, minGen = 0L)
-      val gk1 = advanceK(gk0, kept1, 1L)
-      val gs1 = advanceS(gs0, kept1, 1L)
+      val (gk1, gs1) = advance(gk0, gs0, kept1, 1L)
       val day2 = d.where(col("doc_id") % 3 === 0)
         .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
           .withColumn("doc_id", col("doc_id") + 40000))
         .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
           .withColumn("doc_id", col("doc_id") + 60000))
       val kept2 = gate(day2, gk1, gs1, minGen = 1L)
-      val gk2 = advanceK(gk1, kept2, 2L)
-      val gs2 = advanceS(gs1, kept2, 2L)
+      val (gk2, gs2) = advance(gk1, gs1, kept2, 2L)
       val day3 = d.where(col("doc_id") % 3 === 0 && col("doc_id") < 150)
         .select((col("doc_id") + 70000).as("doc_id"), col("text"), col("lang"))
         .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
@@ -1581,12 +1596,7 @@ object PipelineQueries {
       val prior = corpus.where(col("doc_id") % 3 === 1).localCheckpoint()
       val batch = corpus.where(col("doc_id") % 3 === 0)
         .unionByName(membraneReplicas(prior, prior, rewordedText))
-      val kept4 = Dedup.incrementalCrawlGate(batch,
-        Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
-        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
-          .localCheckpoint(),
-        numHashes = NumHashes, bands = Bands, threshold = 0.8,
-        maxBucketSize = MaxBucket,
+      val kept4 = crawlGateSharedSnap(batch, prior,
         priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
       val kept5 = Similarity.incrementalSemDedup(kept4,
         Similarity.semanticKeys(prior, ivfCentroids, idCol = "doc_id")
@@ -1616,12 +1626,7 @@ object PipelineQueries {
       val prior = corpus.where(col("doc_id") % 3 === 1).localCheckpoint()
       val batch = corpus.where(col("doc_id") % 3 === 0)
         .unionByName(membraneReplicas(prior, prior, rewordedText))
-      val kept4 = Dedup.incrementalCrawlGate(batch,
-        Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
-        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
-          .localCheckpoint(),
-        numHashes = NumHashes, bands = Bands, threshold = 0.8,
-        maxBucketSize = MaxBucket,
+      val kept4 = crawlGateSharedSnap(batch, prior,
         priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
       val kept5 = Similarity.incrementalSemDedup2(kept4,
         Similarity.semanticKeys2(prior, semCoarse4, semFine4,
@@ -1654,12 +1659,7 @@ object PipelineQueries {
       val prior = corpus.where(col("doc_id") % 3 === 1).localCheckpoint()
       val batch = corpus.where(col("doc_id") % 3 === 0)
         .unionByName(membraneReplicas(prior, prior, rewordedText))
-      val kept4 = Dedup.incrementalCrawlGate(batch,
-        Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
-        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
-          .localCheckpoint(),
-        numHashes = NumHashes, bands = Bands, threshold = 0.8,
-        maxBucketSize = MaxBucket,
+      val kept4 = crawlGateSharedSnap(batch, prior,
         priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
       val kept5 = Similarity.incrementalSemDedupPq(kept4,
         Similarity.semanticKeysPq(prior, ivfCentroids, pqBooks16,
@@ -1739,12 +1739,7 @@ object PipelineQueries {
           col("lang"), col("embedding"))
         .unionByName(membraneReplicas(prior, pbase,
           page(rewordedText, col("doc_id") + 80000)))
-      val kept4 = Dedup.incrementalCrawlGate(batch,
-        Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
-        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
-          .localCheckpoint(),
-        numHashes = NumHashes, bands = Bands, threshold = 0.8,
-        maxBucketSize = MaxBucket,
+      val kept4 = crawlGateSharedSnap(batch, prior,
         priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
       val kept5 = Similarity.incrementalSemDedup(kept4,
         Similarity.semanticKeys(prior, ivfCentroids, idCol = "doc_id")
@@ -1832,12 +1827,7 @@ object PipelineQueries {
       val kept0 = Dedup.incrementalUrlDedup(batch,
           Dedup.urlKeys(prior), idCol = "doc_id")
         .drop("url").localCheckpoint()
-      val kept4 = Dedup.incrementalCrawlGate(kept0,
-        Dedup.nearDupKeys(prior, numHashes = NumHashes).localCheckpoint(),
-        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
-          .localCheckpoint(),
-        numHashes = NumHashes, bands = Bands, threshold = 0.8,
-        maxBucketSize = MaxBucket,
+      val kept4 = crawlGateSharedSnap(kept0, prior,
         priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
       val kept5 = Similarity.incrementalSemDedup(kept4,
         Similarity.semanticKeys(prior, ivfCentroids, idCol = "doc_id")

@@ -84,4 +84,24 @@ class RebandSpec extends AnyFunSuite {
     assert(Dedup.incrementalBandedNearDedup(novel, sigs, numHashes = 16,
       bands = 8, threshold = 0.6, maxBucketSize = 1000).count() == novel.count())
   }
+
+  test("nearDupKeysFromSignatures on the stored table == nearDupKeys from text") {
+    import spark.implicits._
+    // include shingle-less docs (< 3 tokens) so the md5 fallback branch —
+    // which fromSignatures must take from the DOCS side, since those rows
+    // never enter the signature table — is exercised, plus an exact pair
+    val short = Seq((100L, "one two"), (101L, "lone"), (102L, "one two"))
+      .toDF("doc_id", "text")
+    val all = docs.unionByName(short)
+    val sigs = Dedup.minhashSignatures(all, "text", col("doc_id"), 16)
+      .localCheckpoint()
+    val fromText = Dedup.nearDupKeys(all, numHashes = 16)
+    val fromSigs = Dedup.nearDupKeysFromSignatures(sigs, all, numHashes = 16)
+    // multiset equality (duplicate keys matter: the two identical short
+    // docs must contribute two fallback rows on both routes)
+    val a = fromText.groupBy("_key").count()
+    val b = fromSigs.groupBy("_key").count()
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    assert(fromSigs.count() == all.count())
+  }
 }
