@@ -197,7 +197,23 @@ object Bench {
     val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0.0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"sf":"$sfDir","note":"noop-sink full-plan eval; sub-3s rows = median of 3; -1.0 = FAILED (names in errors); isolated = fresh-JVM WARMED re-run of the heaviest rows (warm once, report second run; codegen+JIT excluded): engine regression iff slow there too, else full-run JVM-state noise"}""")
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"isolated":$iso,"sf":"$sfDir","note":"noop-sink full-plan eval; sub-3s rows = median of 3; -1.0 = FAILED (names in errors); isolated = fresh-JVM WARMED re-run of the heaviest rows (warm once, report second run; codegen+JIT excluded): engine regression iff slow there too, else full-run JVM-state noise"}"""
+    println(fullJson)
+    // Measurement-signal restore (r19 verdict "What's wrong" #1): the full
+    // line above is ~10 KB, the driver stores only a 2000-char tail of the
+    // sbt-wrapped stdout, and sbt's "[success] Total time" trailer follows
+    // it — so BENCH_r{16..19}.json all carry parsed:null and the driver has
+    // had NO per-query perf signal for four rounds. Mitigation the verdict
+    // prescribes: persist the full JSON to a file and print a SECOND,
+    // compact summary line (total/n/errors fits any tail). The full line —
+    // the original contract — is unchanged and still printed first.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outPath), fullJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[graft-bench] bench_out write failed: ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"n_err":${results.count(_._2 < 0.0)},"sf":"$sfDir","full_json":"$outPath"}""")
     spark.stop()
   }
 }

@@ -515,13 +515,34 @@ object Dedup {
     * (the daily-crawl cadence makes day boundaries the natural point);
     * the default localCheckpoint route has no such growth — its blocks
     * are dropped when the checkpointed frame is GC'd. */
-  private[graft] def materializeOnce(df: DataFrame): DataFrame =
-    df.sparkSession.conf.getOption("spark.graft.routeMaterialize")
-      .getOrElse("localCheckpoint") match {
+  private[graft] def materializeOnce(df: DataFrame): DataFrame = {
+    val sess = df.sparkSession
+    val route = materializeRoute(
+      sess.conf.getOption("spark.graft.routeMaterialize"),
+      sess.sparkContext.getConf
+        .getBoolean("spark.dynamicAllocation.enabled", defaultValue = false))
+    route match {
       case "persist" =>
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       case _ => df.localCheckpoint()
     }
+  }
+
+  /** Cluster-profile route default (r20, verdict #8): under dynamic
+    * allocation executors are RELEASED as a matter of course, and
+    * localCheckpoint's lineage truncation turns every released-executor
+    * block into a query FAILURE instead of a recompute — so when the
+    * cluster declares dynamic allocation and the user set no explicit
+    * route, default to the lineage-keeping persist route. An explicit
+    * `spark.graft.routeMaterialize` always wins; static-resource
+    * sessions (the bench topology and classic fixed clusters) keep the
+    * faster eager localCheckpoint. (Pure function — the launch-time
+    * core conf cannot be modified at runtime, so the selection is
+    * spec-tested through this seam.) */
+  private[graft] def materializeRoute(explicitRoute: Option[String],
+      dynamicAllocation: Boolean): String =
+    explicitRoute.getOrElse(
+      if (dynamicAllocation) "persist" else "localCheckpoint")
 
   /** The Bloom pre-filter body shared by [[bloomedAntiJoin]] and the
     * paragraph strip's routed pre-filter: stages `_maybe` (might the
@@ -648,11 +669,18 @@ object Dedup {
     * over the raw docs (those rows never enter the signature table). */
   def nearDupKeysFromSignatures(sigs: DataFrame, docs: DataFrame,
       textCol: String = "text", numHashes: Int = 128,
-      shingleN: Int = 3): DataFrame =
+      shingleN: Int = 3): DataFrame = {
+    // a sigs frame WIDER than numHashes would silently yield a prefix
+    // key that never matches keys built at the full width elsewhere in
+    // the gate (r19 advice) — reject shape drift loudly instead
+    require(sigs.columns.toSeq == "id" +: (0 until numHashes).map(k => s"mh$k"),
+      s"sigs must be a minhashSignatures($numHashes) projection " +
+        s"(id, mh0..mh${numHashes - 1}); got " + sigs.columns.mkString(", "))
     sigs.select(sigKeyCol(numHashes).as("_key"))
       .unionByName(docs
         .where(size(TextOps.tokens(col(textCol))) < shingleN)
         .select(md5(col(textCol)).as("_key")))
+  }
 
   /** Cross-snapshot incremental NEAR-dedup — [[incrementalDedup]]'s
     * signature-equality sibling, closing the daily-crawl gap the exact
@@ -826,11 +854,24 @@ object Dedup {
       idCol: String = "doc_id", numHashes: Int = 128, bands: Int = 32,
       shingleN: Int = 3, threshold: Double = 0.8, maxBucketSize: Int = 1000,
       bloomExpectedItems: Long = -1L, bloomFpp: Double = 0.01,
-      priorCanonKeys: Option[DataFrame] = None): DataFrame = {
-    val batchSigs = minhashSignatures(newDocs, textCol, col(idCol),
-      numHashes, shingleN).localCheckpoint()
+      priorCanonKeys: Option[DataFrame] = None,
+      batchSigs: Option[DataFrame] = None): DataFrame = {
+    // `batchSigs`: an ALREADY-MATERIALIZED minhashSignatures(newDocs,
+    // textCol, idCol, numHashes, shingleN) frame, when the caller built
+    // it up front so its job could OVERLAP the prior-snapshot projection
+    // builds (guide §2.6 — see [[graft.ext.Par]]). Pure function of
+    // newDocs' text, so a correctly-built frame cannot change the
+    // result; the shape is checked loudly, None computes it here as
+    // before.
+    batchSigs.foreach { bs =>
+      require(bs.columns.toSeq == "id" +: (0 until numHashes).map(k => s"mh$k"),
+        s"batchSigs must be a minhashSignatures($numHashes) projection " +
+          s"(id, mh0..mh${numHashes - 1}); got " + bs.columns.mkString(", "))
+    }
+    val bSigs = batchSigs.getOrElse(minhashSignatures(newDocs, textCol,
+      col(idCol), numHashes, shingleN).localCheckpoint())
     val t1 = sigKeyGate(newDocs,
-      batchSigs.select(col("id").as(idCol), sigKeyCol(numHashes).as("_key")),
+      bSigs.select(col("id").as(idCol), sigKeyCol(numHashes).as("_key")),
       priorKeys, textCol, idCol, bloomExpectedItems, bloomFpp)
     // optional normalized ("fuzzy exact") tier on the tier-1 survivors.
     // The Bloom knob is shared with tier 1 deliberately: both snapshots
@@ -844,7 +885,7 @@ object Dedup {
     // ids only — bounded, and it stops the tier-1(/1.5) windows
     // re-running as part of tier 2's candidate subtree
     val keep1 = t15.select(col(idCol).as("id")).localCheckpoint()
-    val s1Sigs = batchSigs.join(keep1, Seq("id"), "left_semi")
+    val s1Sigs = bSigs.join(keep1, Seq("id"), "left_semi")
     t15.join(
       bandedFlaggedIds(s1Sigs, priorSigs, numHashes, bands, threshold,
         maxBucketSize).select(col("_bid").as(idCol)),

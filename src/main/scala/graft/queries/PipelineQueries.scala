@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AudioDsp, Avi, Bpe, Cleaning, CorpusFilters, Curation, Dedup, Gif, ImageOps, Jpeg, MediaCodecs, Mp3, Multimodal, Png, Similarity, TextOps}
+import graft.ext.{AudioDsp, Avi, Bpe, Cleaning, CorpusFilters, Curation, Dedup, Gif, ImageOps, Jpeg, MediaCodecs, Mp3, Multimodal, Par, Png, Similarity, TextOps}
 
 /** LLM-training-data pipeline queries over `documents.parquet` /
   * `embeddings.parquet` — dedup (exact, MinHash-LSH, SimHash, n-gram
@@ -45,13 +45,27 @@ object PipelineQueries {
     * tables in production). */
   private def crawlGateSharedSnap(batch: DataFrame, prior: DataFrame,
       priorCanonKeys: Option[DataFrame] = None): DataFrame = {
-    val sigs = Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
-      .localCheckpoint()
+    // §2.6 overlap (r20): the snapshot signature pass, the BATCH
+    // signature pass (the gate's other dominant linear cost, previously
+    // run serially inside incrementalCrawlGate) and the optional
+    // canonical-key projection are INDEPENDENT jobs — materialize them
+    // together instead of one after another; the serialized per-tier
+    // checkpoints were the r19 verdict's #1 residual cost (fixed per-job
+    // time, the reason 8 cores beat 32 on these rows at bench scale).
+    // priorCanonKeys arrives UN-materialized and is checkpointed here so
+    // its job joins the overlapped group.
+    val mats = Par.materializeAll(Seq(
+      Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes),
+      Dedup.minhashSignatures(batch, "text", col("doc_id"), NumHashes)) ++
+      priorCanonKeys.toSeq)
+    val sigs = mats(0)
     Dedup.incrementalCrawlGate(batch,
       Dedup.nearDupKeysFromSignatures(sigs, prior, numHashes = NumHashes)
         .localCheckpoint(),
       sigs, numHashes = NumHashes, bands = Bands, threshold = 0.8,
-      maxBucketSize = MaxBucket, priorCanonKeys = priorCanonKeys)
+      maxBucketSize = MaxBucket,
+      priorCanonKeys = priorCanonKeys.map(_ => mats(2)),
+      batchSigs = Some(mats(1)))
   }
 
   // ---- shared SQL fragments (DuckDB dialect) -------------------------------
@@ -488,26 +502,6 @@ object PipelineQueries {
           concat(col("text"), lit(" "), col("text"))).otherwise(col("text")))
         .unionByName(prior.where(col("doc_id") < 150)
           .withColumn("doc_id", col("doc_id") + 20000))
-      // the day-0 projections are PERSISTED tables in production —
-      // materialize them once here so day 1 and day 2 share them instead
-      // of re-running the snapshot signature pass inside both plans
-      val sigs0 = Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
-        .localCheckpoint() // ONE signature pass over the snapshot...
-      val keys0 = Dedup.nearDupKeysFromSignatures(sigs0, prior,
-          numHashes = NumHashes)
-        .localCheckpoint() // ...and the key tier derives from it map-only
-      // materialize the day-1 acceptances ONCE: kept1 is consumed by the
-      // key advance, the signature advance (sigs1 — itself read twice
-      // inside the banded tier), and the final union; without this the
-      // whole day-1 gate re-executes in each of those subtrees
-      val kept1 = Dedup.incrementalCrawlGate(day1, keys0, sigs0,
-        numHashes = NumHashes, bands = Bands, threshold = 0.8,
-        maxBucketSize = MaxBucket).localCheckpoint()
-      val keptSigs1 = Dedup.minhashSignatures(kept1, "text", col("doc_id"),
-        NumHashes).localCheckpoint() // one pass over the acceptances, too
-      val keys1 = keys0.unionByName(
-        Dedup.nearDupKeysFromSignatures(keptSigs1, kept1, numHashes = NumHashes))
-      val sigs1 = sigs0.unionByName(keptSigs1)
       val day2 = d.where(col("doc_id") % 3 === 0)
         .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
           .select((col("doc_id") + 40000).as("doc_id"),
@@ -524,9 +518,36 @@ object PipelineQueries {
             concat(col("text"),
               lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
             col("lang")))
+      // the day-0 projections are PERSISTED tables in production —
+      // materialize them once here so day 1 and day 2 share them instead
+      // of re-running the snapshot signature pass inside both plans.
+      // §2.6 overlap (r20): the snapshot pass and BOTH day-batch passes
+      // are independent of each other (each is a pure function of its
+      // own input frame) — run the three jobs together instead of
+      // serially; the driver's day-2 gate was previously idle-waiting on
+      // jobs it never depended on
+      val Seq(sigs0, bsig1, bsig2) = Par.materializeAll(Seq(
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes),
+        Dedup.minhashSignatures(day1, "text", col("doc_id"), NumHashes),
+        Dedup.minhashSignatures(day2, "text", col("doc_id"), NumHashes)))
+      val keys0 = Dedup.nearDupKeysFromSignatures(sigs0, prior,
+          numHashes = NumHashes)
+        .localCheckpoint() // the key tier derives from the sigs map-only
+      // materialize the day-1 acceptances ONCE: kept1 is consumed by the
+      // key advance, the signature advance (sigs1 — itself read twice
+      // inside the banded tier), and the final union; without this the
+      // whole day-1 gate re-executes in each of those subtrees
+      val kept1 = Dedup.incrementalCrawlGate(day1, keys0, sigs0,
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket, batchSigs = Some(bsig1)).localCheckpoint()
+      val keptSigs1 = Dedup.minhashSignatures(kept1, "text", col("doc_id"),
+        NumHashes).localCheckpoint() // one pass over the acceptances, too
+      val keys1 = keys0.unionByName(
+        Dedup.nearDupKeysFromSignatures(keptSigs1, kept1, numHashes = NumHashes))
+      val sigs1 = sigs0.unionByName(keptSigs1)
       val kept2 = Dedup.incrementalCrawlGate(day2, keys1, sigs1,
         numHashes = NumHashes, bands = Bands, threshold = 0.8,
-        maxBucketSize = MaxBucket)
+        maxBucketSize = MaxBucket, batchSigs = Some(bsig2))
       kept1.select(lit(1).as("day"), col("lang"), col("doc_id"))
         .unionByName(kept2.select(lit(2).as("day"), col("lang"), col("doc_id")))
         .groupBy("day", "lang")
@@ -586,25 +607,6 @@ object PipelineQueries {
       val day1 = d.where(col("doc_id") % 3 === 2)
         .unionByName(prior.where(col("doc_id") < 150)
           .withColumn("doc_id", col("doc_id") + 20000))
-      // the stamped projections are PERSISTED bucketed tables in
-      // production (BucketedSnapshotSpec pins the exchange-free
-      // retention plan); materialize so both days share them
-      val ps0 = Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
-        .localCheckpoint() // ONE signature pass; both stamped tiers derive
-      val gk0 = Dedup.stampGeneration(
-        Dedup.nearDupKeysFromSignatures(ps0, prior, numHashes = NumHashes), 0L)
-        .localCheckpoint()
-      val gs0 = Dedup.stampSignatureGeneration(ps0, 0L, NumHashes)
-      val kept1 = Dedup.incrementalCrawlGate(day1,
-        Dedup.retainGenerations(gk0, minGen = 0L),
-        Dedup.retainSignatureGenerations(gs0, minGen = 0L, NumHashes),
-        numHashes = NumHashes, bands = Bands, threshold = 0.8,
-        maxBucketSize = MaxBucket).localCheckpoint()
-      val ks1 = Dedup.minhashSignatures(kept1, "text", col("doc_id"), NumHashes)
-        .localCheckpoint() // one pass over the acceptances for both tiers
-      val gk1 = gk0.unionByName(Dedup.stampGeneration(
-        Dedup.nearDupKeysFromSignatures(ks1, kept1, numHashes = NumHashes), 1L))
-      val gs1 = gs0.unionByName(Dedup.stampSignatureGeneration(ks1, 1L, NumHashes))
       val day2 = d.where(col("doc_id") % 3 === 0)
         .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
           .withColumn("doc_id", col("doc_id") + 40000))
@@ -621,11 +623,34 @@ object PipelineQueries {
             concat(col("text"),
               lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
             col("lang")))
+      // the stamped projections are PERSISTED bucketed tables in
+      // production (BucketedSnapshotSpec pins the exchange-free
+      // retention plan); materialize so both days share them.
+      // §2.6 overlap (r20): snapshot pass + both day-batch passes are
+      // independent — three jobs together instead of serialized
+      val Seq(ps0, bsig1, bsig2) = Par.materializeAll(Seq(
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes),
+        Dedup.minhashSignatures(day1, "text", col("doc_id"), NumHashes),
+        Dedup.minhashSignatures(day2, "text", col("doc_id"), NumHashes)))
+      val gk0 = Dedup.stampGeneration(
+        Dedup.nearDupKeysFromSignatures(ps0, prior, numHashes = NumHashes), 0L)
+        .localCheckpoint()
+      val gs0 = Dedup.stampSignatureGeneration(ps0, 0L, NumHashes)
+      val kept1 = Dedup.incrementalCrawlGate(day1,
+        Dedup.retainGenerations(gk0, minGen = 0L),
+        Dedup.retainSignatureGenerations(gs0, minGen = 0L, NumHashes),
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket, batchSigs = Some(bsig1)).localCheckpoint()
+      val ks1 = Dedup.minhashSignatures(kept1, "text", col("doc_id"), NumHashes)
+        .localCheckpoint() // one pass over the acceptances for both tiers
+      val gk1 = gk0.unionByName(Dedup.stampGeneration(
+        Dedup.nearDupKeysFromSignatures(ks1, kept1, numHashes = NumHashes), 1L))
+      val gs1 = gs0.unionByName(Dedup.stampSignatureGeneration(ks1, 1L, NumHashes))
       val kept2 = Dedup.incrementalCrawlGate(day2,
         Dedup.retainGenerations(gk1, minGen = 1L),
         Dedup.retainSignatureGenerations(gs1, minGen = 1L, NumHashes),
         numHashes = NumHashes, bands = Bands, threshold = 0.8,
-        maxBucketSize = MaxBucket)
+        maxBucketSize = MaxBucket, batchSigs = Some(bsig2))
       kept1.select(lit(1).as("day"), col("lang"), col("doc_id"))
         .unionByName(kept2.select(lit(2).as("day"), col("lang"), col("doc_id")))
         .groupBy("day", "lang")
@@ -652,28 +677,6 @@ object PipelineQueries {
       val day1 = d.where(col("doc_id") % 3 === 2)
         .unionByName(prior.where(col("doc_id") < 150)
           .withColumn("doc_id", col("doc_id") + 20000))
-      val ps0 = Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
-        .localCheckpoint() // ONE signature pass; both stamped tiers derive
-      val gk0 = Dedup.stampGeneration(
-        Dedup.nearDupKeysFromSignatures(ps0, prior, numHashes = NumHashes), 0L)
-        .localCheckpoint()
-      val gs0 = Dedup.stampSignatureGeneration(ps0, 0L, NumHashes)
-      val gc0 = Dedup.stampGeneration(Dedup.canonicalKeys(prior), 0L)
-        .localCheckpoint()
-      val kept1 = Dedup.incrementalCrawlGate(day1,
-        Dedup.retainGenerations(gk0, minGen = 0L),
-        Dedup.retainSignatureGenerations(gs0, minGen = 0L, NumHashes),
-        numHashes = NumHashes, bands = Bands, threshold = 0.8,
-        maxBucketSize = MaxBucket,
-        priorCanonKeys = Some(Dedup.retainGenerations(gc0, minGen = 0L)))
-        .localCheckpoint()
-      val ks1 = Dedup.minhashSignatures(kept1, "text", col("doc_id"), NumHashes)
-        .localCheckpoint() // one pass over the acceptances for both tiers
-      val gk1 = gk0.unionByName(Dedup.stampGeneration(
-        Dedup.nearDupKeysFromSignatures(ks1, kept1, numHashes = NumHashes), 1L))
-      val gs1 = gs0.unionByName(Dedup.stampSignatureGeneration(ks1, 1L, NumHashes))
-      val gc1 = gc0.unionByName(Dedup.stampGeneration(
-        Dedup.canonicalKeys(kept1), 1L))
       val day2 = d.where(col("doc_id") % 3 === 0)
         .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
           .select((col("doc_id") + 40000).as("doc_id"),
@@ -686,12 +689,40 @@ object PipelineQueries {
           .select((col("doc_id") + 70000).as("doc_id"),
             concat(lit("  "), upper(col("text")), lit("  !! ")).as("text"),
             col("lang")))
+      // §2.6 overlap (r20): snapshot signature pass, canonical-key
+      // projection and both day-batch passes are independent — four jobs
+      // together instead of serialized
+      val Seq(ps0, gc0, bsig1, bsig2) = Par.materializeAll(Seq(
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes),
+        Dedup.stampGeneration(Dedup.canonicalKeys(prior), 0L),
+        Dedup.minhashSignatures(day1, "text", col("doc_id"), NumHashes),
+        Dedup.minhashSignatures(day2, "text", col("doc_id"), NumHashes)))
+      val gk0 = Dedup.stampGeneration(
+        Dedup.nearDupKeysFromSignatures(ps0, prior, numHashes = NumHashes), 0L)
+        .localCheckpoint()
+      val gs0 = Dedup.stampSignatureGeneration(ps0, 0L, NumHashes)
+      val kept1 = Dedup.incrementalCrawlGate(day1,
+        Dedup.retainGenerations(gk0, minGen = 0L),
+        Dedup.retainSignatureGenerations(gs0, minGen = 0L, NumHashes),
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket,
+        priorCanonKeys = Some(Dedup.retainGenerations(gc0, minGen = 0L)),
+        batchSigs = Some(bsig1))
+        .localCheckpoint()
+      val ks1 = Dedup.minhashSignatures(kept1, "text", col("doc_id"), NumHashes)
+        .localCheckpoint() // one pass over the acceptances for both tiers
+      val gk1 = gk0.unionByName(Dedup.stampGeneration(
+        Dedup.nearDupKeysFromSignatures(ks1, kept1, numHashes = NumHashes), 1L))
+      val gs1 = gs0.unionByName(Dedup.stampSignatureGeneration(ks1, 1L, NumHashes))
+      val gc1 = gc0.unionByName(Dedup.stampGeneration(
+        Dedup.canonicalKeys(kept1), 1L))
       val kept2 = Dedup.incrementalCrawlGate(day2,
         Dedup.retainGenerations(gk1, minGen = 1L),
         Dedup.retainSignatureGenerations(gs1, minGen = 1L, NumHashes),
         numHashes = NumHashes, bands = Bands, threshold = 0.8,
         maxBucketSize = MaxBucket,
-        priorCanonKeys = Some(Dedup.retainGenerations(gc1, minGen = 1L)))
+        priorCanonKeys = Some(Dedup.retainGenerations(gc1, minGen = 1L)),
+        batchSigs = Some(bsig2))
       kept1.select(lit(1).as("day"), col("lang"), col("doc_id"))
         .unionByName(kept2.select(lit(2).as("day"), col("lang"), col("doc_id")))
         .groupBy("day", "lang")
@@ -728,7 +759,7 @@ object PipelineQueries {
             concat(lit("  "), upper(col("text")), lit("  !! ")).as("text"),
             col("lang")))
       crawlGateSharedSnap(batch, prior,
-        priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
+        priorCanonKeys = Some(Dedup.canonicalKeys(prior)))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_new"), sum("doc_id").as("sum_ids"))
         .orderBy("lang")
@@ -955,30 +986,20 @@ object PipelineQueries {
       val day1 = d.where(col("doc_id") % 3 === 2)
         .unionByName(prior.where(col("doc_id") < 150)
           .withColumn("doc_id", col("doc_id") + 20000))
-      val sigs0 = Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
-        .localCheckpoint() // ONE signature pass over the snapshot...
-      val keys0 = Dedup.nearDupKeysFromSignatures(sigs0, prior,
-          numHashes = NumHashes)
-        .localCheckpoint() // ...and the key tier derives from it map-only
-      // kept1 feeds the shipping chain, both advances and nothing else —
-      // materialize once so the day-1 gate never re-executes
-      val kept1 = Dedup.incrementalCrawlGate(day1, keys0, sigs0,
-        numHashes = NumHashes, bands = Bands, threshold = 0.8,
-        maxBucketSize = MaxBucket).localCheckpoint()
-      val keptSigs1 = Dedup.minhashSignatures(kept1, "text", col("doc_id"),
-        NumHashes).localCheckpoint() // one pass over the acceptances; the
-      // banded tier's double read of sigs1 now re-scans two cached frames
-      val keys1 = keys0.unionByName(
-        Dedup.nearDupKeysFromSignatures(keptSigs1, kept1, numHashes = NumHashes))
-      val sigs1 = sigs0.unionByName(keptSigs1)
       val day2 = d.where(col("doc_id") % 3 === 0)
         .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
           .withColumn("doc_id", col("doc_id") + 40000))
         .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
           .withColumn("doc_id", col("doc_id") + 60000))
-      val kept2 = Dedup.incrementalCrawlGate(day2, keys1, sigs1,
-        numHashes = NumHashes, bands = Bands, threshold = 0.8,
-        maxBucketSize = MaxBucket).localCheckpoint()
+      // §2.6 overlap (r20): snapshot pass + both day-batch passes are
+      // independent — three jobs together instead of serialized
+      val Seq(sigs0, bsig1, bsig2) = Par.materializeAll(Seq(
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes),
+        Dedup.minhashSignatures(day1, "text", col("doc_id"), NumHashes),
+        Dedup.minhashSignatures(day2, "text", col("doc_id"), NumHashes)))
+      val keys0 = Dedup.nearDupKeysFromSignatures(sigs0, prior,
+          numHashes = NumHashes)
+        .localCheckpoint() // the key tier derives from the sigs map-only
       // one day's OUTPUT stage: budget → byte-pack → tar files → readback
       def ship(kept: org.apache.spark.sql.DataFrame, day: Int,
           salt: String): org.apache.spark.sql.DataFrame = {
@@ -1010,7 +1031,24 @@ object PipelineQueries {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
         res
       }
-      ship(kept1, 1, "dloop1").unionByName(ship(kept2, 2, "dloop2"))
+      // kept1 feeds the shipping chain, both advances and nothing else —
+      // materialize once so the day-1 gate never re-executes
+      val kept1 = Dedup.incrementalCrawlGate(day1, keys0, sigs0,
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket, batchSigs = Some(bsig1)).localCheckpoint()
+      // §2.6: day-1's ship (budget → pack → tar → readback, its own temp
+      // dir) only needs kept1 — run it overlapped with the day-2 chain
+      val ship1 = Par.async(ship(kept1, 1, "dloop1"))
+      val keptSigs1 = Dedup.minhashSignatures(kept1, "text", col("doc_id"),
+        NumHashes).localCheckpoint() // one pass over the acceptances; the
+      // banded tier's double read of sigs1 now re-scans two cached frames
+      val keys1 = keys0.unionByName(
+        Dedup.nearDupKeysFromSignatures(keptSigs1, kept1, numHashes = NumHashes))
+      val sigs1 = sigs0.unionByName(keptSigs1)
+      val kept2 = Dedup.incrementalCrawlGate(day2, keys1, sigs1,
+        numHashes = NumHashes, bands = Bands, threshold = 0.8,
+        maxBucketSize = MaxBucket, batchSigs = Some(bsig2)).localCheckpoint()
+      Par.await(ship1).unionByName(ship(kept2, 2, "dloop2"))
         .orderBy("day", "shard")
     }),
 
@@ -1035,43 +1073,11 @@ object PipelineQueries {
       val day1 = d.where(col("doc_id") % 3 === 2)
         .unionByName(prior.where(col("doc_id") < 150)
           .withColumn("doc_id", col("doc_id") + 20000))
-      val ps0 = Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes)
-        .localCheckpoint() // ONE signature pass; both stamped tiers derive
-      val gk0 = Dedup.stampGeneration(
-        Dedup.nearDupKeysFromSignatures(ps0, prior, numHashes = NumHashes), 0L)
-        .localCheckpoint()
-      val gs0 = Dedup.stampSignatureGeneration(ps0, 0L, NumHashes)
-      def gate(day: org.apache.spark.sql.DataFrame,
-          gk: org.apache.spark.sql.DataFrame,
-          gs: org.apache.spark.sql.DataFrame, minGen: Long) =
-        Dedup.incrementalCrawlGate(day,
-          Dedup.retainGenerations(gk, minGen),
-          Dedup.retainSignatureGenerations(gs, minGen, NumHashes),
-          numHashes = NumHashes, bands = Bands, threshold = 0.8,
-          maxBucketSize = MaxBucket).localCheckpoint()
-      // BOTH stamped tiers advance off ONE signature pass over the
-      // acceptances (nearDupKeysFromSignatures derives the key tier
-      // map-only) — was two independent passes per day
-      def advance(gk: org.apache.spark.sql.DataFrame,
-          gs: org.apache.spark.sql.DataFrame,
-          kept: org.apache.spark.sql.DataFrame, gen: Long) = {
-        val ks = Dedup.minhashSignatures(kept, "text", col("doc_id"), NumHashes)
-          .localCheckpoint()
-        (gk.unionByName(Dedup.stampGeneration(
-            Dedup.nearDupKeysFromSignatures(ks, kept, numHashes = NumHashes),
-            gen)).localCheckpoint(),
-          gs.unionByName(Dedup.stampSignatureGeneration(ks, gen, NumHashes))
-            .localCheckpoint())
-      }
-      val kept1 = gate(day1, gk0, gs0, minGen = 0L)
-      val (gk1, gs1) = advance(gk0, gs0, kept1, 1L)
       val day2 = d.where(col("doc_id") % 3 === 0)
         .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
           .withColumn("doc_id", col("doc_id") + 40000))
         .unionByName(prior.where(col("doc_id") >= 150 && col("doc_id") < 250)
           .withColumn("doc_id", col("doc_id") + 60000))
-      val kept2 = gate(day2, gk1, gs1, minGen = 1L)
-      val (gk2, gs2) = advance(gk1, gs1, kept2, 2L)
       val day3 = d.where(col("doc_id") % 3 === 0 && col("doc_id") < 150)
         .select((col("doc_id") + 70000).as("doc_id"), col("text"), col("lang"))
         .unionByName(d.where(col("doc_id") % 3 === 2 && col("doc_id") < 150)
@@ -1082,7 +1088,44 @@ object PipelineQueries {
             concat(col("text"),
               lit(" sur1 sur2 sur3 sur4 sur5 sur6 sur7 sur8")).as("text"),
             col("lang")))
-      val kept3 = gate(day3, gk2, gs2, minGen = 2L)
+      // §2.6 overlap (r20): the snapshot signature pass and all THREE
+      // day-batch passes are independent (each a pure function of its
+      // own input) — four jobs together instead of serialized
+      val Seq(ps0, bsig1, bsig2, bsig3) = Par.materializeAll(Seq(
+        Dedup.minhashSignatures(prior, "text", col("doc_id"), NumHashes),
+        Dedup.minhashSignatures(day1, "text", col("doc_id"), NumHashes),
+        Dedup.minhashSignatures(day2, "text", col("doc_id"), NumHashes),
+        Dedup.minhashSignatures(day3, "text", col("doc_id"), NumHashes)))
+      val gk0 = Dedup.stampGeneration(
+        Dedup.nearDupKeysFromSignatures(ps0, prior, numHashes = NumHashes), 0L)
+        .localCheckpoint()
+      val gs0 = Dedup.stampSignatureGeneration(ps0, 0L, NumHashes)
+      def gate(day: org.apache.spark.sql.DataFrame,
+          gk: org.apache.spark.sql.DataFrame,
+          gs: org.apache.spark.sql.DataFrame, minGen: Long,
+          bsig: org.apache.spark.sql.DataFrame) =
+        Dedup.incrementalCrawlGate(day,
+          Dedup.retainGenerations(gk, minGen),
+          Dedup.retainSignatureGenerations(gs, minGen, NumHashes),
+          numHashes = NumHashes, bands = Bands, threshold = 0.8,
+          maxBucketSize = MaxBucket, batchSigs = Some(bsig)).localCheckpoint()
+      // BOTH stamped tiers advance off ONE signature pass over the
+      // acceptances (nearDupKeysFromSignatures derives the key tier
+      // map-only) — was two independent passes per day; the two advanced
+      // projections are independent of each other, so their
+      // materializations overlap too (§2.6)
+      def advance(gk: org.apache.spark.sql.DataFrame,
+          gs: org.apache.spark.sql.DataFrame,
+          kept: org.apache.spark.sql.DataFrame, gen: Long) = {
+        val ks = Dedup.minhashSignatures(kept, "text", col("doc_id"), NumHashes)
+          .localCheckpoint()
+        val Seq(gkA, gsA) = Par.materializeAll(Seq(
+          gk.unionByName(Dedup.stampGeneration(
+            Dedup.nearDupKeysFromSignatures(ks, kept, numHashes = NumHashes),
+            gen)),
+          gs.unionByName(Dedup.stampSignatureGeneration(ks, gen, NumHashes))))
+        (gkA, gsA)
+      }
       def ship(kept: org.apache.spark.sql.DataFrame, day: Int,
           salt: String): org.apache.spark.sql.DataFrame = {
         val chosen = Curation.takeTokenBudget(kept, "lang",
@@ -1113,7 +1156,17 @@ object PipelineQueries {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
         res
       }
-      ship(kept1, 1, "dl3a").unionByName(ship(kept2, 2, "dl3b"))
+      val kept1 = gate(day1, gk0, gs0, minGen = 0L, bsig1)
+      // §2.6: each day's ship (its own temp dir, consumes only that
+      // day's acceptances) runs overlapped with the NEXT day's
+      // gate/advance chain instead of serialized after day 3
+      val ship1 = Par.async(ship(kept1, 1, "dl3a"))
+      val (gk1, gs1) = advance(gk0, gs0, kept1, 1L)
+      val kept2 = gate(day2, gk1, gs1, minGen = 1L, bsig2)
+      val ship2 = Par.async(ship(kept2, 2, "dl3b"))
+      val (gk2, gs2) = advance(gk1, gs1, kept2, 2L)
+      val kept3 = gate(day3, gk2, gs2, minGen = 2L, bsig3)
+      Par.await(ship1).unionByName(Par.await(ship2))
         .unionByName(ship(kept3, 3, "dl3c"))
         .orderBy("day", "shard")
     }),
@@ -1596,11 +1649,13 @@ object PipelineQueries {
       val prior = corpus.where(col("doc_id") % 3 === 1).localCheckpoint()
       val batch = corpus.where(col("doc_id") % 3 === 0)
         .unionByName(membraneReplicas(prior, prior, rewordedText))
+      // §2.6: the semantic-key projection only needs `prior` — start its
+      // job now so it overlaps the lexical gate's own jobs
+      val semKeys = Par.async(Similarity.semanticKeys(prior, ivfCentroids,
+        idCol = "doc_id").localCheckpoint())
       val kept4 = crawlGateSharedSnap(batch, prior,
-        priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
-      val kept5 = Similarity.incrementalSemDedup(kept4,
-        Similarity.semanticKeys(prior, ivfCentroids, idCol = "doc_id")
-          .localCheckpoint(),
+        priorCanonKeys = Some(Dedup.canonicalKeys(prior)))
+      val kept5 = Similarity.incrementalSemDedup(kept4, Par.await(semKeys),
         ivfCentroids, threshold = 0.999, idCol = "doc_id", nprobe = 1,
         maxCellSize = 1000)
       kept5.groupBy(floor(col("doc_id") / 20000).cast("long").as("class"))
@@ -1626,11 +1681,11 @@ object PipelineQueries {
       val prior = corpus.where(col("doc_id") % 3 === 1).localCheckpoint()
       val batch = corpus.where(col("doc_id") % 3 === 0)
         .unionByName(membraneReplicas(prior, prior, rewordedText))
+      val semKeys = Par.async(Similarity.semanticKeys2(prior, semCoarse4,
+        semFine4, idCol = "doc_id").localCheckpoint())
       val kept4 = crawlGateSharedSnap(batch, prior,
-        priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
-      val kept5 = Similarity.incrementalSemDedup2(kept4,
-        Similarity.semanticKeys2(prior, semCoarse4, semFine4,
-          idCol = "doc_id").localCheckpoint(),
+        priorCanonKeys = Some(Dedup.canonicalKeys(prior)))
+      val kept5 = Similarity.incrementalSemDedup2(kept4, Par.await(semKeys),
         semCoarse4, semFine4, threshold = 0.999, idCol = "doc_id",
         nprobe = 1, maxCellSize = 1000)
       kept5.groupBy(floor(col("doc_id") / 20000).cast("long").as("class"))
@@ -1659,11 +1714,11 @@ object PipelineQueries {
       val prior = corpus.where(col("doc_id") % 3 === 1).localCheckpoint()
       val batch = corpus.where(col("doc_id") % 3 === 0)
         .unionByName(membraneReplicas(prior, prior, rewordedText))
+      val semKeys = Par.async(Similarity.semanticKeysPq(prior, ivfCentroids,
+        pqBooks16, idCol = "doc_id").localCheckpoint())
       val kept4 = crawlGateSharedSnap(batch, prior,
-        priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
-      val kept5 = Similarity.incrementalSemDedupPq(kept4,
-        Similarity.semanticKeysPq(prior, ivfCentroids, pqBooks16,
-          idCol = "doc_id").localCheckpoint(),
+        priorCanonKeys = Some(Dedup.canonicalKeys(prior)))
+      val kept5 = Similarity.incrementalSemDedupPq(kept4, Par.await(semKeys),
         ivfCentroids, pqBooks16, threshold = 0.999, idCol = "doc_id",
         nprobe = 1, maxCellSize = 1000)
       kept5.groupBy(floor(col("doc_id") / 20000).cast("long").as("class"))
@@ -1739,11 +1794,13 @@ object PipelineQueries {
           col("lang"), col("embedding"))
         .unionByName(membraneReplicas(prior, pbase,
           page(rewordedText, col("doc_id") + 80000)))
+      // §2.6: the semantic-key projection only needs `prior` — start its
+      // job now so it overlaps the lexical gate's own jobs
+      val semKeys = Par.async(Similarity.semanticKeys(prior, ivfCentroids,
+        idCol = "doc_id").localCheckpoint())
       val kept4 = crawlGateSharedSnap(batch, prior,
-        priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
-      val kept5 = Similarity.incrementalSemDedup(kept4,
-        Similarity.semanticKeys(prior, ivfCentroids, idCol = "doc_id")
-          .localCheckpoint(),
+        priorCanonKeys = Some(Dedup.canonicalKeys(prior)))
+      val kept5 = Similarity.incrementalSemDedup(kept4, Par.await(semKeys),
         ivfCentroids, threshold = 0.999, idCol = "doc_id", nprobe = 1,
         maxCellSize = 1000).localCheckpoint()
       val shipIn = Dedup.stripSeenParagraphs(kept5, Dedup.paragraphKeys(prior))
@@ -1824,21 +1881,26 @@ object PipelineQueries {
               col("doc_id") + 100000).as("text"),
             col("lang"), concat(col("url"), lit("#u")).as("url"),
             far.as("embedding")))
+      // §2.6: the semantic-key and span-key projections only need
+      // `prior` — start their jobs now so they overlap the url tier and
+      // the lexical gate's own jobs
+      val semKeys = Par.async(Similarity.semanticKeys(prior, ivfCentroids,
+        idCol = "doc_id").localCheckpoint())
+      val spanKeysF = Par.async(
+        Dedup.spanKeys(prior, n = 3, minDocs = 3).localCheckpoint())
       val kept0 = Dedup.incrementalUrlDedup(batch,
           Dedup.urlKeys(prior), idCol = "doc_id")
         .drop("url").localCheckpoint()
       val kept4 = crawlGateSharedSnap(kept0, prior,
-        priorCanonKeys = Some(Dedup.canonicalKeys(prior).localCheckpoint()))
-      val kept5 = Similarity.incrementalSemDedup(kept4,
-        Similarity.semanticKeys(prior, ivfCentroids, idCol = "doc_id")
-          .localCheckpoint(),
+        priorCanonKeys = Some(Dedup.canonicalKeys(prior)))
+      val kept5 = Similarity.incrementalSemDedup(kept4, Par.await(semKeys),
         ivfCentroids, threshold = 0.999, idCol = "doc_id", nprobe = 1,
         maxCellSize = 1000).localCheckpoint()
       val paraStripped = Dedup.stripSeenParagraphs(kept5,
           Dedup.paragraphKeys(prior))
         .select(col("doc_id"), col("clean_text").as("text"))
       val shipIn = Dedup.stripSeenSpans(paraStripped,
-          Dedup.spanKeys(prior, n = 3, minDocs = 3).localCheckpoint(), n = 3)
+          Par.await(spanKeysF), n = 3)
         .select(col("doc_id"), col("clean_text").as("text"))
         .join(kept5.select("doc_id", "lang"), "doc_id")
         .localCheckpoint()

@@ -97,12 +97,22 @@ object TrainQueries {
     // pure inference throughput: a synthetic 60-tree depth-5 ensemble over
     // every lineitem row through the codegen predictor — isolates the
     // per-row scoring tax the 100 TB inference scan pays, with ZERO
-    // training jobs in the timed region
+    // training jobs in the timed region.
+    // r20 (verdict #4): scoring is per-row map work but the sf parquet is
+    // one row group per file, so the scan ran SINGLE-task — spread it like
+    // the pipeline base reads (guide §2.5; spreadTable is a no-op at real
+    // scale). Partition-safe: count is exact and the 3-digit-rounded mean
+    // is far from any rounding boundary relative to double sum-order slack
+    // — verified bit-identical at sf0.001/0.01/0.1. The l_orderkey hash key
+    // is deterministic under retry (~4 rows per key, vastly more distinct
+    // values than partitions). The t_train_*/t_hash_* digest rows stay on
+    // the pinned read (their results depend on partition merge topology).
     "t_predict_throughput" -> ((s, dir) => {
       val model = syntheticEnsemble(numTrees = 60, depth = 5,
         nf = featureCols.length)
-      val df = CoreQueries.table(s, dir, "lineitem").select(
-        array(featureCols.map(c => col(c).cast("double")): _*).as("features"))
+      val df = CoreQueries.spreadTable(s, dir, "lineitem", "l_orderkey")
+        .select(
+          array(featureCols.map(c => col(c).cast("double")): _*).as("features"))
       Predictor.transform(df, model, "features")
         .agg(count(lit(1)).as("n_scored"),
           round(avg(col("prediction")), 3).as("mean_pred"))

@@ -517,6 +517,21 @@ class CurationSpec extends AnyFunSuite {
         numHashes = 16, bands = 4, threshold = 0.8)
       .select("doc_id").as[Long].collect().toSet
     assert(rFused == rSeq, s"random-corpus parity: $rFused != $rSeq")
+    // r20: a caller-precomputed batch signature table (the §2.6 overlap
+    // path — the pass runs as a job overlapping the snapshot projection
+    // builds) is row-identical to the gate computing it internally, and
+    // a wrong-width frame is rejected loudly
+    val rPre = graft.ext.Dedup.minhashSignatures(
+      rBatch, "text", col("doc_id"), 16).localCheckpoint()
+    val rPreFused = graft.ext.Dedup.incrementalCrawlGate(rBatch, rKeys, rSigs,
+        numHashes = 16, bands = 4, threshold = 0.8, batchSigs = Some(rPre))
+      .select("doc_id").as[Long].collect().toSet
+    assert(rPreFused == rFused, s"precomputed batchSigs: $rPreFused != $rFused")
+    intercept[IllegalArgumentException] {
+      graft.ext.Dedup.incrementalCrawlGate(rBatch, rKeys, rSigs,
+        numHashes = 16, bands = 4, threshold = 0.8,
+        batchSigs = Some(rPre.drop("mh15")))
+    }
   }
 
   test("four-tier crawl gate: normalized tier catches case/punct replicas; fused == sequential composition") {

@@ -20,7 +20,7 @@ for rep in $(seq 1 "$REPS"); do
       java $OPENS -Xmx${SPARK_DRIVER_MEM:-32g} \
         -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
         -cp "/opt/spark/jars/*:$jar" graft.Bench 2>/dev/null |
-      python3 -c "import json,sys; print(json.loads(sys.stdin.readlines()[-1])['queries']['$ROW'])")
+      python3 -c "import json,sys; print(json.loads([l for l in sys.stdin if '\"queries\"' in l][-1])['queries']['$ROW'])")
     echo "$ROW rep$rep $label $sec"
   done
 done
