@@ -882,11 +882,21 @@ object Dedup {
         bloomExpectedItems, bloomFpp)
       case None => t1
     }
-    // ids only — bounded, and it stops the tier-1(/1.5) windows
-    // re-running as part of tier 2's candidate subtree
-    val keep1 = t15.select(col(idCol).as("id")).localCheckpoint()
+    // Materialize the tier-1(/1.5) SURVIVORS once (r20): the previous
+    // shape checkpointed only the survivor ids, which stopped the tier-1
+    // aggregation re-running inside tier 2's candidate subtree — but the
+    // TERMINAL anti-join still embedded the whole tier-1 DAG, so tier 1
+    // executed twice per gate call (once for the ids job, once in the
+    // final plan). Materializing the survivor ROWS runs tier 1 exactly
+    // once and drops the separate ids checkpoint job; the ids projection
+    // becomes a map over the cached blocks. Cost: the cache now holds
+    // batch text (not just ids) — day-batch-bounded, same order as the
+    // caller-visible kept output most pipelines persist anyway, and the
+    // routeMaterialize escape hatch applies here like every routed site.
+    val t15m = materializeOnce(t15)
+    val keep1 = t15m.select(col(idCol).as("id"))
     val s1Sigs = bSigs.join(keep1, Seq("id"), "left_semi")
-    t15.join(
+    t15m.join(
       bandedFlaggedIds(s1Sigs, priorSigs, numHashes, bands, threshold,
         maxBucketSize).select(col("_bid").as(idCol)),
       Seq(idCol), "left_anti")
